@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.{FlatColumn, FlatTableConfig}
+
+/** The reference's core operator: transpose ("flatten") a long EAV
+  * table into one wide row per entity, one column per attribute
+  * (reference README.md:7-12, README.md:244-253 — `obs` →
+  * `mamba_flat_encounter_<type>`).
+  *
+  * Spark-first design decisions (SURVEY §2.4 A3, §4):
+  *
+  *  - '''Explicit labels, conditional aggregation.''' The column set
+  *    comes from config (or a metadata scan — [[autoConfig]]), never
+  *    from `pivot()`'s implicit distinct-scan of the fact table. Each
+  *    output column is `max(when(attr === k, value))`: a declarative,
+  *    whole-stage-codegen'd aggregate — ONE shuffle by the entity key,
+  *    map-side partial aggregation for free. At 100 TB this is the
+  *    plan you want: no extra pass over `obs`, no driver-side label
+  *    collection from the big table.
+  *  - '''Deterministic collision rule.''' The reference doesn't
+  *    document which obs wins when an encounter has two values for one
+  *    concept (SURVEY §7.5); we define latest-`obs_datetime` (tie:
+  *    highest id) via a `row_number` window. The window shares the
+  *    same `entity` hash partitioning as the final aggregation, so AQE
+  *    plans window+agg inside one exchange.
+  *  - '''No 40-column vertical partitioning.''' MySQL's row-width cap
+  *    (reference README.md:130-131,154) doesn't exist in columnar
+  *    Parquet — one wide table, intentional divergence (SURVEY §1.4).
+  */
+object Flatten {
+
+  /** Generic pivot-latest: one row per `entityCol`, one column per
+    * requested label; on (entity, attr) collisions the row that sorts
+    * first by `tieBreak` wins.
+    *
+    * @param labels   (outputLabel, attrKeyValue, valueColumn) triples;
+    *                 the value column may differ per label (typed EAV
+    *                 value_* columns, SURVEY §1.3).
+    * @param tieBreak descending-priority ordering; pass Nil when the
+    *                 input is already unique per (entity, attr) to
+    *                 skip the window pass entirely.
+    */
+  def pivotLatest(
+      eav: DataFrame,
+      entityCol: String,
+      attrCol: String,
+      labels: Seq[(String, Any, Column)],
+      tieBreak: Seq[Column]): DataFrame = {
+    val relevant = eav.filter(
+      col(attrCol).isin(labels.map(_._2): _*))
+    val deduped =
+      if (tieBreak.isEmpty) relevant
+      else {
+        val w = Window.partitionBy(col(entityCol), col(attrCol))
+          .orderBy(tieBreak: _*)
+        relevant.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
+    val aggs = labels.map { case (label, key, value) =>
+      max(when(col(attrCol) === lit(key), value)).as(label)
+    }
+    deduped.groupBy(col(entityCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** OpenMRS-shaped flattening: `obs` EAV → `mamba_flat_encounter_*`
+    * per a [[FlatTableConfig]] (reference README.md:244-253). Voided
+    * rows are dropped first (SURVEY §2.2 P6) so they never reach the
+    * shuffle.
+    */
+  def flattenObs(obs: DataFrame, config: FlatTableConfig): DataFrame = {
+    val labels = config.columns.map { c =>
+      (c.label, c.conceptId: Any, valueColumnFor(c.datatype))
+    }
+    pivotLatest(
+      obs.filter(col("voided") === 0),
+      entityCol = "encounter_id",
+      attrCol = "concept_id",
+      labels = labels,
+      tieBreak = Seq(col("obs_datetime").desc, col("obs_id").desc))
+  }
+
+  /** Concept datatype → which typed obs value_* column carries the
+    * value (SURVEY §1.3 "Column types follow the source concept
+    * datatype").
+    */
+  def valueColumnFor(datatype: String): Column = datatype match {
+    case "Numeric"  => col("value_numeric")
+    case "Datetime" => col("value_datetime")
+    case "Coded"    => col("value_coded")
+    case "Boolean"  => col("value_numeric") === 1.0
+    case _          => col("value_text")
+  }
+
+  /** Auto-generate a flat-table config from concept metadata when the
+    * implementer supplied none — the reference "will automatically
+    * generate these config files, one for each Encounter type"
+    * (reference README.md:246-247). The concept dim is small: the
+    * distinct scan runs over `obs` restricted to the encounter type,
+    * then a broadcast join resolves names; only the tiny label list is
+    * collected to the driver.
+    */
+  def autoConfig(
+      obs: DataFrame,
+      encounters: DataFrame,
+      concepts: DataFrame,
+      encounterTypeId: Int,
+      tableNamePrefix: String = "mamba_flat_encounter_"): FlatTableConfig = {
+    val encIds = encounters
+      .filter(col("encounter_type") === encounterTypeId && col("voided") === 0)
+      .select("encounter_id")
+    val usedConcepts = obs.filter(col("voided") === 0)
+      .join(encIds, Seq("encounter_id"), "left_semi")
+      .select("concept_id").distinct()
+    val cols = usedConcepts
+      .join(broadcast(concepts), Seq("concept_id"))
+      .select(col("concept_id"), col("name"), col("datatype"))
+      .collect()
+      .map { r =>
+        FlatColumn(
+          label = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", "_"),
+          conceptId = r.getLong(0),
+          datatype = r.getString(2))
+      }
+      .sortBy(_.label).toSeq
+    FlatTableConfig(s"$tableNamePrefix$encounterTypeId", encounterTypeId, cols)
+  }
+}

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Flatten, Incremental, Melt, Sessionize}
+import graft.reports.ReportRegistry
+import graft.sources.Tables
+
+/** The reference operator surface (SURVEY §2) re-expressed over the
+  * driver's star schema (FIXTURES.md §A mapping): every query here has
+  * a DuckDB oracle and exercises one row of the §2 inventory.
+  *
+  * Conventions (see [[QueryDef]]): aliases identical on both sides;
+  * cross-engine-aggregated doubles rounded; DuckDB integer aggregates
+  * cast to match Spark's output types (DuckDB sum(BIGINT) is INT128,
+  * year() is BIGINT, window sum is INT128).
+  */
+object RefQueries {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private lazy val reports: ReportRegistry = {
+    val in = getClass.getResourceAsStream("/reports.json")
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    ReportRegistry.fromJson(json)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ── §2.4 A1/A4 + §2.2: scan → filter → hash agg (partial+final) ──
+    "q1_pricing_summary" -> QueryDef(
+      doc = "TPC-H Q1 shape: grouped sums/avgs/count with a pushed-down date filter (SURVEY A1/A4/P4)",
+      oracle = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+               round(round(sum(l_discount), 2) / count(*), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '2001-06-01'
+        GROUP BY l_returnflag, l_linestatus""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") < lit("2001-06-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          // avg re-expressed as rounded-sum / count: inputs are
+          // 2-decimal quantized, so round(sum,2) is never a rounding
+          // boundary and both engines land on the identical double —
+          // a bare round(avg,4) can straddle a half-ulp boundary.
+          round(round(sum(col("l_quantity")), 2) / count(lit(1)), 4).as("avg_qty"),
+          round(round(sum(col("l_discount")), 2) / count(lit(1)), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // ── reference report #2 (README.md:309-315): dim join + range + COUNT(*) ──
+    "q2_report_total_deliveries" -> QueryDef(
+      doc = "report #2 via ReportRegistry: join + segment filter + date window + COUNT(*) (SURVEY J2/P2/P4/A1/F8)",
+      oracle = """
+        SELECT COUNT(*) AS total_deliveries
+        FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          AND o.o_orderdate < TIMESTAMP '2001-01-01'""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      reports.run(s, "total_deliveries", Map(
+        "mktsegment" -> "BUILDING",
+        "date_from" -> "2000-01-01", "date_to" -> "2001-01-01"))
+    },
+
+    // ── reference report #3 (README.md:317-326): COUNT(DISTINCT) + BETWEEN ×2 ──
+    "q3_report_distinct_clients" -> QueryDef(
+      doc = "report #3: COUNT(DISTINCT) over a doubly-BETWEEN-bounded join (SURVEY A2/P5/J3)",
+      oracle = """
+        SELECT COUNT(DISTINCT o.o_custkey) AS total_clients
+        FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '2001-12-31'
+          AND c.c_acctbal BETWEEN 0 AND 5000""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      reports.run(s, "exposed_infants", Map(
+        "date_from" -> "1998-01-01", "date_to" -> "2001-12-31",
+        "bal_lo" -> 0, "bal_hi" -> 5000))
+    },
+
+    // ── reference report #1 (README.md:292-307): typed named params ──
+    "q4_report_client_lookup" -> QueryDef(
+      doc = "report #1: parameterized projection with aliases (SURVEY P1/P2/F7/F8)",
+      oracle = """
+        SELECT c_custkey AS client_id, c_name AS client_name,
+               round(c_acctbal, 2) AS acctbal
+        FROM customer WHERE c_mktsegment = 'BUILDING'""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      reports.run(s, "client_lookup", Map("mktsegment" -> "BUILDING"))
+    },
+
+    // ── §2.4 A3: the flagship flatten (EAV pivot), melt→pivot on lineitem ──
+    "q5_flatten_pivot" -> QueryDef(
+      doc = "core flatten: typed EAV → wide row per entity via conditional agg (SURVEY A3, reference README.md:7-12)",
+      oracle = """
+        WITH eav AS (
+          SELECT l_orderkey*8+l_linenumber AS encounter_id, 'quantity' AS concept,
+                 l_quantity AS value_numeric, CAST(NULL AS VARCHAR) AS value_text FROM lineitem
+          UNION ALL SELECT l_orderkey*8+l_linenumber, 'extendedprice', l_extendedprice, NULL FROM lineitem
+          UNION ALL SELECT l_orderkey*8+l_linenumber, 'discount', l_discount, NULL FROM lineitem
+          UNION ALL SELECT l_orderkey*8+l_linenumber, 'returnflag', CAST(NULL AS DOUBLE), l_returnflag FROM lineitem
+          UNION ALL SELECT l_orderkey*8+l_linenumber, 'linestatus', CAST(NULL AS DOUBLE), l_linestatus FROM lineitem)
+        SELECT encounter_id,
+               max(CASE WHEN concept = 'quantity' THEN value_numeric END) AS quantity,
+               max(CASE WHEN concept = 'extendedprice' THEN value_numeric END) AS extendedprice,
+               max(CASE WHEN concept = 'discount' THEN value_numeric END) AS discount,
+               max(CASE WHEN concept = 'returnflag' THEN value_text END) AS returnflag,
+               max(CASE WHEN concept = 'linestatus' THEN value_text END) AS linestatus
+        FROM eav GROUP BY encounter_id""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val ent = (col("l_orderkey") * 8 + col("l_linenumber")).as("encounter_id")
+      def num(attr: String, c: Column) = li.select(ent,
+        lit(attr).as("concept"), c.as("value_numeric"),
+        lit(null).cast("string").as("value_text"))
+      def txt(attr: String, c: Column) = li.select(ent,
+        lit(attr).as("concept"), lit(null).cast("double").as("value_numeric"),
+        c.as("value_text"))
+      val eav = num("quantity", col("l_quantity"))
+        .unionByName(num("extendedprice", col("l_extendedprice")))
+        .unionByName(num("discount", col("l_discount")))
+        .unionByName(txt("returnflag", col("l_returnflag")))
+        .unionByName(txt("linestatus", col("l_linestatus")))
+      Flatten.pivotLatest(eav, "encounter_id", "concept",
+        labels = Seq(
+          ("quantity", "quantity", col("value_numeric")),
+          ("extendedprice", "extendedprice", col("value_numeric")),
+          ("discount", "discount", col("value_numeric")),
+          ("returnflag", "returnflag", col("value_text")),
+          ("linestatus", "linestatus", col("value_text"))),
+        tieBreak = Nil)
+    },
+
+    // ── melt (inverse of A3; SURVEY §5b round-trip partner) ──
+    "q6_melt_unpivot" -> QueryDef(
+      doc = "unpivot wide → EAV long via stack() (narrow, no shuffle)",
+      oracle = """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS attr, l_quantity AS val FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""") { (s, dir) =>
+      Melt.melt(t(s, dir, "lineitem"),
+        idCols = Seq("l_orderkey", "l_linenumber"),
+        valueCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+
+    // ── §2.1 S3: incremental MERGE as anti-join + union ──
+    "q7_incremental_merge" -> QueryDef(
+      doc = "incremental mode 1: delta rows replace same-key rows, rest survive (SURVEY S3, reference README.md:133-134)",
+      oracle = """
+        WITH delta AS (
+          SELECT o_orderkey, round(o_totalprice + 1000, 2) AS o_totalprice,
+                 'RESTATED' AS o_orderpriority
+          FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        SELECT o_orderkey, o_totalprice, o_orderpriority FROM delta
+        UNION ALL
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = o.o_orderkey)""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val existing = o.select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"), col("o_orderpriority"))
+      val delta = o.filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") + 1000, 2).as("o_totalprice"),
+          lit("RESTATED").as("o_orderpriority"))
+      Incremental.merge(existing, delta, Seq("o_orderkey"))
+    },
+
+    // ── §2.3 J1-J3: three-way star join, small dims broadcast ──
+    "q8_star_join" -> QueryDef(
+      doc = "customer ⋈ nation ⋈ region with broadcast dims, grouped rollup metrics (SURVEY J1/J2)",
+      oracle = """
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_customers,
+               round(round(sum(c.c_acctbal), 2) / count(*), 4) AS avg_bal,
+               round(sum(c.c_acctbal), 2) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name"), n("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          round(round(sum(col("c_acctbal")), 2) / count(lit(1)), 4).as("avg_bal"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    },
+
+    // ── §2.6 F1-F7 scalar date/string functions incl. the F6 dialect shape ──
+    "q9_scalar_dates" -> QueryDef(
+      doc = "scalar functions of the reference SQL: DATE, YEAR, DATE_FORMAT('%Y-01-01'), CONCAT (SURVEY F1/F2/F5/F6)",
+      oracle = """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(month(o_orderdate) AS INTEGER) AS o_month,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_day,
+               strftime(o_orderdate, '%Y-01-01') AS year_floor,
+               o_orderpriority || '/' || o_orderstatus AS tag
+        FROM orders""") { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        // string-typed day: DATE columns round-trip differently through
+        // the two engines' result readers; F1's to_date is exercised in
+        // ScalaTest instead.
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"),
+        date_format(col("o_orderdate"), "yyyy-01-01").as("year_floor"),
+        concat(col("o_orderpriority"), lit("/"), col("o_orderstatus")).as("tag"))
+    },
+
+    // ── §2.5 window dedup (the A3 collision rule, standalone) ──
+    "q10_window_dedup" -> QueryDef(
+      doc = "latest-row-per-key via row_number window — the flatten collision rule (SURVEY §2.5, §7.5)",
+      oracle = """
+        SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+          SELECT l_orderkey, l_linenumber, l_shipdate,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+          FROM lineitem) WHERE rn = 1""") { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate").desc, col("l_linenumber").desc)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    },
+
+    // ── §2.5 order-by + limit (free via Spark; TakeOrderedAndProject) ──
+    "q11_topn" -> QueryDef(
+      doc = "global top-N: planned as TakeOrderedAndProject — per-partition heap + driver merge, no full sort (SURVEY §2.5)",
+      oracle = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""") { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+    },
+
+    // ── §2.5 set ops ──
+    "q12_set_ops" -> QueryDef(
+      doc = "INTERSECT / EXCEPT / UNION ALL over key sets (SURVEY §2.5)",
+      oracle = """
+        WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+             active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        SELECT c_custkey, 'active' AS status FROM (SELECT * FROM building INTERSECT SELECT * FROM active)
+        UNION ALL
+        SELECT c_custkey, 'inactive' AS status FROM (SELECT * FROM building EXCEPT SELECT * FROM active)""") { (s, dir) =>
+      val building = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val active = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      building.intersect(active).withColumn("status", lit("active"))
+        .unionByName(
+          building.except(active).withColumn("status", lit("inactive")))
+    },
+
+    // ── §2.7 streaming surface, batch twin: tumbling window agg ──
+    "q13_events_tumbling" -> QueryDef(
+      doc = "tumbling 1h windows over events via window() (SURVEY §2.7; streaming twin in graft.streaming)",
+      oracle = """
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2""") { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+    },
+
+    // ── ext: batch sessionization ──
+    "q14_events_sessionize" -> QueryDef(
+      doc = "gap-based sessionization: lag + cumulative-sum windows sharing one shuffle (ext tier)",
+      oracle = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id""") { (s, dir) =>
+      Sessionize.sessions(t(s, dir, "events"), gapSeconds = 1800L)
+    },
+
+    // ── ext: JSON payload extraction (events.props) ──
+    "q15_events_json" -> QueryDef(
+      doc = "semi-structured payload: JSON path extraction + typed agg (ext tier)",
+      oracle = """
+        SELECT event_type,
+               count(*) AS n,
+               round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type""") { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(k), 4).as("avg_k"),
+          max(k).as("max_k"))
+    },
+
+    // ── §2.3 anti/semi joins (internal requirement of S3) ──
+    "q16_anti_join" -> QueryDef(
+      doc = "NOT EXISTS as broadcast-able left_anti join (SURVEY §2.3, S3 internals)",
+      oracle = """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""") { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    },
+
+    "q17_semi_join" -> QueryDef(
+      doc = "EXISTS as left_semi join (SURVEY §2.3)",
+      oracle = """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2001-01-01')""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, dir, "customer")
+        .join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }
+  )
+}

@@ -1,0 +1,45 @@
+package graft.reports
+
+/** Minimal MySQL→Spark SQL dialect shim for report queries.
+  *
+  * The reference's report SQL is MySQL-flavored — `DATE_FORMAT(NOW(),
+  * '%Y-01-01')`, `CURDATE()` (reference README.md:313,321). Spark's
+  * `date_format` uses JDK patterns, not `%`-tokens (SURVEY §2.6 F6:
+  * "semantic gap"). Per SURVEY §7.5 we declare Spark SQL as the
+  * authored dialect and provide this token-level shim so reference
+  * report SQL runs unchanged. It is a string rewrite, NOT a SQL
+  * parser — it covers exactly the constructs the reference uses.
+  */
+object MySqlDialect {
+  private val tokenMap: Seq[(String, String)] = Seq(
+    "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
+    "%H" -> "HH", "%i" -> "mm", "%s" -> "ss")
+
+  def translate(sql: String): String = {
+    var out = sql
+    out = out.replaceAll("(?i)\\bCURDATE\\s*\\(\\s*\\)", "current_date()")
+    out = out.replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", "current_timestamp()")
+    // MySQL %-tokens only ever appear inside DATE_FORMAT's literal —
+    // rewrite them globally inside single-quoted strings.
+    out = rewriteInStringLiterals(out)
+    out
+  }
+
+  private def rewriteInStringLiterals(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inString = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'') { inString = !inString; sb.append(c); i += 1 }
+      else if (inString && c == '%' && i + 1 < sql.length) {
+        val tok = sql.substring(i, i + 2)
+        tokenMap.find(_._1 == tok) match {
+          case Some((_, repl)) => sb.append(repl); i += 2
+          case None            => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
