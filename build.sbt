@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // codegen-heavy: default 240M code cache fills mid-suite, after
+  // which the JIT stops compiling and later queries run interpreted
+  "-XX:ReservedCodeCacheSize=1g",
 )

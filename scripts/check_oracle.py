@@ -41,7 +41,7 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noora = 0
     import glob
-    for qdir in sorted(glob.glob(f"{out_dir}/q*") + glob.glob(f"{out_dir}/[a-p]*")):
+    for qdir in sorted(d for d in glob.glob(f"{out_dir}/*") if not d.endswith(".json")):
         import os
         if not os.path.isdir(qdir):
             continue

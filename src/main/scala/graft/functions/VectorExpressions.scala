@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the vector hot path.
+  *
+  * Why not `zip_with`+`aggregate`: Spark's higher-order functions have
+  * NO `doGenCode` — they evaluate interpreted, allocating a lambda
+  * frame per element. Inside a join condition (the all-pairs cosine
+  * and ANN rerank paths) that interpreted eval dominated the entire
+  * benchmark. This expression generates a primitive `double` loop
+  * inside whole-stage codegen / generated predicates, which is the
+  * preference order the engine is built on: native Expression >
+  * higher-order functions > UDF (SURVEY §7.4).
+  *
+  * Semantics: elementwise multiply-accumulate, sequential
+  * left-to-right in `double` over min(len) elements — identical
+  * summation order to DuckDB's `list_dot_product`, so oracle results
+  * are bit-identical to the old higher-order implementation. Array
+  * elements must be non-null (embedding vectors; enforced upstream).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Inputs are cast to array<double> here (the expression itself
+    * reads doubles — no ImplicitCastInputTypes, that trait's types
+    * are private[sql]).
+    */
+  def column(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(
+      GraftSqlBridge.expression(a.cast("array<double>")),
+      GraftSqlBridge.expression(b.cast("array<double>"))))
+}

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float/double>` embedding columns. The dot
+  * product — the hot path inside join conditions and reranks — is a
+  * native codegen'd Catalyst expression ([[DotProduct]]); Spark's
+  * higher-order functions (`zip_with`+`aggregate`) compute the same
+  * value but evaluate interpreted (no doGenCode), which was measured
+  * ~100× slower inside a BroadcastNestedLoopJoin condition.
+  *
+  * Determinism contract: all accumulation is sequential left-to-right
+  * in double, which matches DuckDB's list_* evaluation — the oracle
+  * sees bit-identical results.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> once, up front, so every later
+    * product/sum runs in double (float accumulation drifts).
+    */
+  def toDouble(v: Column): Column =
+    transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column = DotProduct.column(a, b)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** cos(a,b) = dot / sqrt(|a|²·|b|²) — single-sqrt form; the oracle
+    * SQL uses the identical formula so both engines compute the same
+    * double.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(normSq(a) * normSq(b))
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication family for training-data pipelines (ext tier,
+  * SURVEY §7.1): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine. Each returns a deterministic result so the
+  * DuckDB oracle can hash-check it; the *plans* differ in how they
+  * avoid the O(n²) pair space at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id per identical-content group, one
+    * hash-groupBy (well, a window over the content hash — same single
+    * shuffle). At scale: shuffle is by md5, perfectly uniform, no
+    * skew.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol)))
+    df.select(col(idCol),
+        min(col(idCol)).over(w).as("canonical_id"))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Distinct k-word shingles per doc: (id, shingle) long table.
+    * Narrow (explode) — no shuffle until someone aggregates it. The
+    * shingling itself is the [[graft.functions.WordShingles]] native
+    * expression (one eval per doc; composed higher-order functions
+    * were measured 12× slower under JIT profile pollution).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc"),
+      explode(graft.functions.WordShingles.column(col(textCol), k)).as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs.
+    *
+    * Candidate generation = self-join on shared shingle (docs sharing
+    * zero shingles can't have J > 0), then J = |∩| / (|A|+|B|−|∩|)
+    * from exact integer counts. This is the *exact baseline*; its
+    * cost grows with the shared-shingle pair count, which is why
+    * [[minHashLsh]] exists as the scale path. Frequent-shingle skew
+    * is the risk at 100 TB — AQE skew-join handles moderate skew, and
+    * a stop-shingle cap (drop shingles appearing in >0.1% of docs)
+    * is the standard mitigation, applied here via `maxShingleFreq`.
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val shCapped = maxShingleFreq match {
+      case None => sh
+      case Some(cap) =>
+        val hot = sh.groupBy("shingle").count().filter(col("count") > cap)
+          .select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val a = shCapped.select(col("doc").as("da"), col("shingle"))
+    val b = shCapped.select(col("doc").as("db"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
+  /** MinHash + banded LSH near-dup pairs, verified.
+    *
+    * The scale path: signature = NUM_PERM permutation-mins over
+    * xxhash64'd shingles (one grouped agg), candidates = pairs
+    * sharing any of `bands` band-hashes (self-join on tiny band keys,
+    * NOT on raw shingles), then candidates are *verified* with exact
+    * Jaccard so the output equals [[ngramJaccard]]'s (same oracle)
+    * while the pair space explored is orders of magnitude smaller.
+    * With b=32, r=4: P(detect | J=0.7) ≈ 0.9998, →1 rapidly above.
+    *
+    * minhash_i(doc) = min over shingles of (a_i·h + b_i mod p):
+    * computed as one aggregate with NUM_PERM min() columns — single
+    * shuffle by doc, map-side partial mins, no UDAF.
+    */
+  def minHashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val rowsPerBand = numPerm / bands
+    // 2^31-1 (Mersenne): with h,a,b < 2^31 the product a*h+b stays
+    // under 2^62 — no Long overflow under ANSI mode. 31-bit signature
+    // values are plenty: candidate pairs are exact-verified afterwards.
+    val prime = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val coeffs = Seq.fill(numPerm)(
+      (rnd.nextInt((prime - 1).toInt).toLong + 1L,
+        rnd.nextInt(prime.toInt).toLong))
+
+    // shingle rows feed the signature AND the exact verification (3
+    // plan branches) — persist so the tokenize+explode+distinct work
+    // runs once, spilling to disk if the corpus outgrows memory.
+    val sh = shingles(df, idCol, textCol, k)
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(prime)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
+    }
+    val sig = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+
+    // ALL bands in one projection (explode of (band, bkey) structs):
+    // a per-band select + union would re-run the 128-agg signature
+    // job once per band — measured 30× slower at sf0.1.
+    val bandRows = sig.select(col("doc"), explode(array((0 until bands).map { bi =>
+      val cols = (bi * rowsPerBand until (bi + 1) * rowsPerBand)
+        .map(i => col(s"m$i"))
+      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bkey"))
+    }: _*)).as("tb"))
+      .select(col("doc"), col("tb.band"), col("tb.bkey"))
+
+    val l = bandRows.select(col("doc").as("da"), col("band"), col("bkey"))
+    val r = bandRows.select(col("doc").as("db"), col("band"), col("bkey"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs — shared by the
+    * LSH paths. Shingle rows are first semi-joined down to docs that
+    * appear in any candidate, so verification cost tracks the
+    * candidate count, not the corpus.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val docsInPlay = candidates.select(col("da").as("doc"))
+      .union(candidates.select(col("db").as("doc"))).distinct()
+    val shC = sh.join(broadcast(docsInPlay), Seq("doc"), "left_semi")
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val inter = shC.select(col("doc").as("da"), col("shingle"))
+      .join(shC.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .join(broadcast(candidates), Seq("da", "db"), "left_semi")
+      .groupBy("da", "db").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc").as("db"), col("n").as("nb")), Seq("db"))
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
+    *
+    * Pigeonhole-exact blocking: the 60-bit simhash splits into
+    * (maxHamming+1) disjoint bands; two hashes within Hamming d must
+    * agree on ≥1 band, so joining per-band finds every qualifying
+    * pair — no recall loss, unlike probabilistic LSH. Join keys are
+    * 15-bit ints: tiny shuffle.
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = TextAnalysis.SimhashBits / nBands
+    val hashes = TextAnalysis.simhash(df, idCol, textCol)
+    // one pass over the simhash agg (explode, not select-per-band ∪)
+    val banded = hashes.select(col(idCol).as("doc"), col("simhash"),
+      explode(array((0 until nBands).map { bi =>
+        struct(lit(bi).as("band"),
+          shiftright(col("simhash"), bi * bandBits)
+            .bitwiseAND((1L << bandBits) - 1).as("bkey"))
+      }: _*)).as("tb"))
+      .select(col("doc"), col("simhash"), col("tb.band"), col("tb.bkey"))
+    val l = banded.select(col("doc").as("da"), col("simhash").as("ha"),
+      col("band"), col("bkey"))
+    val r = banded.select(col("doc").as("db"), col("simhash").as("hb"),
+      col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs — exact all-pairs above the
+    * diagonal. Quadratic by design (the baseline); the ANN path in
+    * [[Similarity]] is the scale story.
+    *
+    * Plan shape: BroadcastNestedLoopJoin with the cosine predicate
+    * fully codegen'd (the [[VectorFunctions.dot]] native expression —
+    * interpreted higher-order fns here were the #1 bench hotspot).
+    * The streamed side is repartitioned so the O(n²) predicate work
+    * spreads across all cores instead of one-task-per-input-file.
+    */
+  def embeddingCosinePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = VectorFunctions.toDouble(col(vecCol))
+    val base = df.select(col(idCol), v.as("v"))
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val a = base.select(col(idCol).as("va"), col("v").as("xa"))
+      .repartition(parallelism)
+    val b = base.select(col(idCol).as("vb"), col("v").as("xb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cos",
+        round(VectorFunctions.cosine(col("xa"), col("xb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("va", "vb", "cos")
+  }
+}

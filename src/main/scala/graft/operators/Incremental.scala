@@ -54,7 +54,9 @@ object Incremental {
   def nextBookmark(
       df: DataFrame,
       tsCols: Seq[String] = Seq("date_created", "date_changed")): Option[java.sql.Timestamp] = {
-    val latest = greatest(tsCols.map(col): _*)
+    // greatest() requires ≥2 args — single-column bookmarks are legal
+    val latest =
+      if (tsCols.size == 1) col(tsCols.head) else greatest(tsCols.map(col): _*)
     df.agg(max(latest)).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
   }

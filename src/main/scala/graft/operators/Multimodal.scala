@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (ext tier, SURVEY §7.1): image/audio/
+  * video travel as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract runs partition-parallel over the
+  * bytes.
+  *
+  * The decode step itself is STUBBED (this container has no image/
+  * audio libs — builder-prompt contract): [[FakeDecoder]] is a
+  * deterministic byte-level "decoder". Everything around it — the
+  * schema, the repartition-for-balanced-decode, the mapPartitions
+  * batch shape (one decoder instance per partition, streamed
+  * iterator, no per-row setup) — is the real production plumbing a
+  * JVM codec would drop into. The PySpark equivalent is a Pandas UDF
+  * over mapInPandas; mapPartitions over a typed Dataset is the Scala
+  * native of the same pattern.
+  */
+object Multimodal {
+
+  /** A media row: id + raw bytes + tiny metadata struct. */
+  final case class MediaRecord(doc_id: Long, format: String, payload: Array[Byte])
+
+  /** Extracted features. All fields derivable by any engine from the
+    * bytes, so the driver oracle can hash-check the full pipeline.
+    */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, header_hex: String, content_md5: String)
+
+  /** Wrap a text corpus as binary media records — the test stand-in
+    * for `spark.read.format("binaryFile")` over an object store.
+    */
+  def asMedia(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), lit("txt").as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** The stubbed decoder. A real deployment swaps this object for a
+    * JNI/JavaCV codec; the call shape (bytes in, features out, heavy
+    * init amortized per partition via [[decodeFeatures]]) stays.
+    */
+  object FakeDecoder {
+    def decode(r: MediaRecord): MediaFeatures = {
+      val md = MessageDigest.getInstance("MD5")
+      val digest = md.digest(r.payload).map("%02x".format(_)).mkString
+      val header = r.payload.take(4).map("%02x".format(_)).mkString
+      MediaFeatures(r.doc_id, r.payload.length, header, digest)
+    }
+
+    /** Frame-sampling stub: every `stride`-th byte window — stands in
+      * for video frame extraction; deterministic.
+      */
+    def sampleFrames(payload: Array[Byte], stride: Int, frame: Int): Seq[Array[Byte]] =
+      payload.grouped(stride).map(_.take(frame)).toSeq
+  }
+
+  /** Partition-parallel feature extraction. `repartition(parallelism)`
+    * balances decode cost when upstream files are skewed (common for
+    * media: one 4 GB video next to thousands of thumbnails); the
+    * mapPartitions body allocates nothing per row beyond the feature
+    * object.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], parallelism: Int = 0): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val balanced = if (parallelism > 0) media.repartition(parallelism) else media
+    balanced.mapPartitions(_.map(FakeDecoder.decode))
+  }
+
+  /** End-to-end: documents → binary records → decoded feature table. */
+  def featureTable(spark: SparkSession, documents: DataFrame): DataFrame =
+    decodeFeatures(asMedia(documents)).toDF()
+}

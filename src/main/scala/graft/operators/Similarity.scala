@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (ext tier, SURVEY §7.1): brute-force cosine top-k as the exact
+  * baseline, random-hyperplane LSH bucketing as the scale path.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: corpus × broadcast(queries) + per-query
+    * window. The query side is the small one — broadcast it so the
+    * corpus never shuffles; the only exchange is the window's
+    * partition-by-query, whose input is already down to corpus×|Q|
+    * rows. Rank ties broken by corpus id for determinism.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+      VectorFunctions.toDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.toDouble(col(vecCol)).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim matrix seeded per
+    * table, materialized as literals (a few KB) — compiled into
+    * codegen, no join, identical on every executor.
+    */
+  private def hyperplanes(seed: Int, nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id of a vector under one table's planes:
+    * bit b = sign(v · plane_b). Cosine-similar vectors agree on most
+    * sign bits, so they share a bucket with probability
+    * (1 − θ/π)^nBits per table.
+    */
+  def lshBucket(vec: Column, seed: Int, nBits: Int, dim: Int): Column = {
+    val planes = hyperplanes(seed, nBits, dim)
+    (0 until nBits).map { b =>
+      // typedlit: ONE array Literal per plane. array(64 × lit) builds
+      // 64 expressions per plane — the resulting generated classes
+      // (tables × bits × dims of them) took minutes of C2 compiler
+      // time and starved the JIT for unrelated later queries.
+      val plane = typedlit(planes(b))
+      when(VectorFunctions.dot(vec, plane) > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH: `tables` independent
+    * sign-hash tables of `bitsPerTable` bits; candidates = corpus
+    * vectors sharing ANY table's bucket with the query, then exact
+    * cosine rerank within candidates.
+    *
+    * Scale shape: the query side (small) is broadcast with one
+    * (table, bucket) key per table; the corpus computes its `tables`
+    * bucket ids inside codegen and broadcast-hash-joins — the corpus
+    * is NEVER shuffled; only the candidate set reaches the
+    * dedup + window exchanges. In production the corpus's (table,
+    * bucket) index would be written once and reused across query
+    * batches. Recall tuning: P(candidate) = 1 − (1 − p^b)^L with
+    * p = 1 − θ/π; more tables → recall, more bits → pruning.
+    * Recall < 1 by design → rows-only driver check; ScalaTest
+    * measures recall vs brute force.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bitsPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
+    def bucketStructs(vec: Column): Column = array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(vec, 42 + t, bitsPerTable, dim).as("bucket"))
+    }: _*)
+    val c = corpus.select(col(idCol).as("nid"),
+        VectorFunctions.toDouble(col(vecCol)).as("cv"))
+      .select(col("nid"), col("cv"), explode(bucketStructs(col("cv"))).as("tb"))
+      .select(col("nid"), col("cv"), col("tb.tbl"), col("tb.bucket"))
+    val q = queries.select(col(idCol).as("qid"),
+        VectorFunctions.toDouble(col(vecCol)).as("qv"))
+      .select(col("qid"), col("qv"), explode(bucketStructs(col("qv"))).as("tb"))
+      .select(col("qid"), col("qv"), col("tb.tbl"), col("tb.bucket"))
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .dropDuplicates("qid", "nid") // same pair found by several tables
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cos")
+  }
+
+  /** Distinct (query, corpus) candidate pairs the multi-table LSH
+    * would exact-score — the pruning metric (vs |corpus|×|queries|
+    * for brute force).
+    */
+  def lshCandidateCount(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      bitsPerTable: Int = 8, tables: Int = 8, dim: Int = 64): Long = {
+    def keys(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out),
+          VectorFunctions.toDouble(col(vecCol)).as("v"))
+        .select(col(out), explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            lshBucket(col("v"), 42 + t, bitsPerTable, dim).as("bucket"))
+        }: _*)).as("tb"))
+        .select(col(out), col("tb.tbl"), col("tb.bucket"))
+    keys(corpus, "nid")
+      .join(broadcast(keys(queries, "qid")), Seq("tbl", "bucket"))
+      .select("qid", "nid").distinct().count()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (ext tier, SURVEY §7.1): tokenization, quality scoring, language
+  * ID, document fingerprinting. Everything is per-row/narrow — no
+  * shuffle — so throughput scales linearly with executors at 100 TB.
+  *
+  * All expressions are engine-deterministic (integer arithmetic,
+  * md5, sequential lambdas) so each op carries a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped (robust to double spaces). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * other non-space chars — the pre-tokenizer shape BPE vocabularies
+    * assume. Regex kept to the POSIX-safe subset both Java regex and
+    * RE2 (DuckDB) treat identically.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+
+  /** Small multilingual stopword lexicons for the language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen,
+    * no join.
+    */
+  val lexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "los", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "ist", "mit", "zu", "den", "von"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "dans", "que", "les", "pour"))
+
+  private def lexScore(toks: Column, lex: Seq[String]): Column = {
+    val arr = array(lex.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  /** n-gram/stopword-count language ID: score each lexicon against the
+    * token list, argmax with a fixed tie-break order (first listed
+    * language wins ties — deterministic, mirrored in the oracle).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = lexicons.map { case (lang, lex) => lang -> lexScore(toks, lex) }
+    // argmax by cascade: pick the first language whose score >= all others
+    scores.foldRight(lit(lexicons.last._1)) { case ((lang, s), elseCol) =>
+      val geAll = scores.filter(_._1 != lang).map(o => s >= o._2)
+        .reduceOption(_ && _).getOrElse(lit(true))
+      when(geAll, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality-score feature block over a text column:
+    * word/char counts, avg word length, punctuation ratio, stopword
+    * ratio, plus a composite boolean gate — the usual pre-training
+    * corpus filters. All ratios are exact-integer divisions → rounded
+    * to 4dp, so the oracle hash-matches.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t)
+    val nWords = size(toks)
+    val sumWordLen = aggregate(transform(toks, w => length(w)),
+      lit(0), (acc, x) => acc + x)
+    val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    val nStop = lexScore(toks, lexicons.head._2)
+    df.withColumn("n_chars_m", nChars)
+      .withColumn("word_count", nWords)
+      .withColumn("avg_word_len",
+        round(sumWordLen.cast("double") / nWords, 4))
+      .withColumn("punct_ratio",
+        round(nPunct.cast("double") / nChars, 4))
+      .withColumn("stopword_ratio",
+        round(nStop.cast("double") / nWords, 4))
+      .withColumn("is_quality",
+        nWords >= 5 && nChars >= 40 &&
+          (nStop.cast("double") / nWords) >= 0.01)
+  }
+
+  /** Exact-content fingerprint (md5 of the raw text) plus an
+    * order-insensitive one (md5 of the sorted distinct token set) —
+    * the pair distinguishes "identical bytes" from "same bag of
+    * words" duplicates.
+    */
+  def fingerprints(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("md5_exact", md5(t))
+      .withColumn("md5_tokenset",
+        md5(array_join(array_sort(array_distinct(tokens(t))), " ")))
+  }
+
+  /** 60-bit token hash shared by SimHash and the oracle: the top 15
+    * hex chars of md5 — reproducible in any engine, unlike
+    * murmur/xxhash which are Spark-internal. Positive (fits BIGINT).
+    */
+  def tokenHash60(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  val SimhashBits = 60
+
+  /** SimHash over the distinct token set: per bit j, sum ±1 across
+    * token hashes' bit j; bit j of the output is 1 iff the sum is
+    * positive. One explode + one grouped aggregate with 60 sum
+    * columns — a single shuffle of (doc, token-hash) pairs, fully
+    * codegen'd.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hv = tokenHash60(col("__w")).as("__hv")
+    val exploded = df
+      .select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("__w"))
+      .select(col(idCol), hv)
+    val bitSums = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col("__hv"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$j")
+    }
+    val combined = (0 until SimhashBits).map { j =>
+      when(col(s"__b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), combined.as("simhash"))
+  }
+}

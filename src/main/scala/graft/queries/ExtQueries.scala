@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
+  * documents/embeddings tables — dedup family, similarity search,
+  * text analysis, multimodal plumbing. Oracles replicate the full
+  * algorithm in DuckDB SQL wherever the math is engine-deterministic;
+  * probabilistic-recall paths (LSH ANN) are rows-only and measured
+  * against their exact baselines in ScalaTest instead.
+  */
+object ExtQueries {
+
+  /** DuckDB-side distinct 3-word shingles CTE (mirrors Dedup.shingles). */
+  private val duckShingles = """
+    words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents),
+    idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS g FROM words),
+    sh AS (SELECT DISTINCT doc_id AS doc, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS shingle
+           FROM idx)"""
+
+  /** Exact-Jaccard pair SQL shared by the ngram and minhash oracles —
+    * LSH with verification returns exactly the exact-Jaccard answer,
+    * so both check against the same ground truth.
+    */
+  private def jaccardOracle(threshold: Double): String = s"""
+    WITH $duckShingles,
+    sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS da, b.doc AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT da, db, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter JOIN sz sa ON sa.doc = da JOIN sz sb ON sb.doc = db
+    WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold"""
+
+  /** DuckDB simhash pipeline: 60 generated bit expressions mirroring
+    * TextAnalysis.simhash (md5-derived 60-bit token hashes are the
+    * cross-engine-reproducible choice).
+    */
+  private val simhashOracle: String = {
+    val bits = 0 until TextAnalysis.SimhashBits
+    val bitSums = bits.map(j =>
+      s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val combine = bits.map(j =>
+      s"CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+                 FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+    sums AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, $combine AS simhash FROM sums),
+    banded AS (SELECT doc_id, simhash, b.band, (simhash >> (b.band * 15)) & 32767 AS bkey
+               FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+    pairs AS (SELECT DISTINCT l.doc_id AS da, r.doc_id AS db,
+                     l.simhash AS ha, r.simhash AS hb
+              FROM banded l JOIN banded r ON l.band = r.band AND l.bkey = r.bkey
+                   AND l.doc_id < r.doc_id)
+    SELECT da, db, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(ha, hb)) <= 3"""
+  }
+
+  private val duckToks =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  private def duckLex(lang: String): String =
+    TextAnalysis.lexicons.find(_._1 == lang).get._2
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val duckCosine =
+    "round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "dedup_exact" -> QueryDef(
+      doc = "exact dedup: canonical id per identical-content group (hash window, one shuffle)",
+      oracle = """
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        FROM documents""") { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "dedup_ngram_jaccard" -> QueryDef(
+      doc = "exact 3-gram Jaccard near-dup pairs ≥0.5 (shared-shingle candidates — the exact baseline)",
+      oracle = jaccardOracle(0.5)) { (s, dir) =>
+      Dedup.ngramJaccard(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.5)
+    },
+
+    "dedup_minhash_lsh" -> QueryDef(
+      doc = "MinHash(128)+LSH(32 bands) candidates, exact-Jaccard verified ≥0.7 — scale path, same ground truth as the exact baseline",
+      oracle = jaccardOracle(0.7)) { (s, dir) =>
+      Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.7)
+    },
+
+    "dedup_simhash" -> QueryDef(
+      doc = "SimHash(60-bit) pairs within Hamming≤3 via pigeonhole banding (exact recall, no LSH miss)",
+      oracle = simhashOracle) { (s, dir) =>
+      Dedup.simhashPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+    },
+
+    "dedup_embedding_cosine" -> QueryDef(
+      doc = "embedding near-dup pairs, exact all-pairs cosine ≥0.4 (quadratic baseline; LSH path = ann_topk_lsh)",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS va, b.vec_id AS vb, $duckCosine AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE $duckCosine >= 0.4""") { (s, dir) =>
+      Dedup.embeddingCosinePairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+    },
+
+    "ann_topk_brute" -> QueryDef(
+      doc = "exact cosine top-5 neighbors for query vectors (broadcast queries, no corpus shuffle)",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        c AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT qid, nid, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= 5""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+
+    "ann_topk_lsh" -> QueryDef.noOracle(
+      doc = "LSH-bucketed ANN top-5 (8-bit hyperplane buckets, multi-probe) — recall<1 by design; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.lshTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+
+    "text_tokens" -> QueryDef(
+      doc = "token counting: whitespace + BPE-ish regex pre-tokenizer counts",
+      oracle = s"""
+        SELECT doc_id,
+               CAST(len($duckToks) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_regex_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars
+        FROM documents""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"),
+        length(col("text")).as("n_chars"))
+    },
+
+    "text_quality" -> QueryDef(
+      doc = "quality scoring: length/punct/stopword features + composite gate (pre-training corpus filters)",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS word_count,
+               round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE) / len(toks), 4) AS avg_word_len,
+               round(CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+               round(CAST(len(list_filter(toks, w -> list_contains(${duckLex("en")}, w))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+               (len(toks) >= 5 AND length(text) >= 40
+                AND CAST(len(list_filter(toks, w -> list_contains(${duckLex("en")}, w))) AS DOUBLE) / len(toks) >= 0.01) AS is_quality
+        FROM t""") { (s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"))
+        .select("doc_id", "word_count", "avg_word_len", "punct_ratio",
+          "stopword_ratio", "is_quality")
+    },
+
+    "text_langid" -> QueryDef(
+      doc = "lexicon-vote language ID with fixed tie-break order (n-gram heuristic family)",
+      oracle = {
+        val scores = TextAnalysis.lexicons.map { case (lang, _) =>
+          s"len(list_filter(toks, w -> list_contains(${duckLex(lang)}, w))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextAnalysis.lexicons.map(_._1)
+        val cases = langs.map { lang =>
+          val geAll = langs.filter(_ != lang).map(o => s"s_$lang >= s_$o").mkString(" AND ")
+          s"WHEN $geAll THEN '$lang'"
+        }.mkString(" ")
+        s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        sc AS (SELECT doc_id, $scores FROM t)
+        SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS pred_lang FROM sc"""
+      }) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    },
+
+    "text_fingerprint" -> QueryDef(
+      doc = "document fingerprints: exact md5 + order-insensitive token-set md5",
+      oracle = s"""
+        SELECT doc_id, md5(text) AS md5_exact,
+               md5(array_to_string(list_sort(list_distinct($duckToks)), ' ')) AS md5_tokenset
+        FROM documents""") { (s, dir) =>
+      TextAnalysis.fingerprints(Tables.load(s, dir, "documents"))
+        .select("doc_id", "md5_exact", "md5_tokenset")
+    },
+
+    "multimodal_features" -> QueryDef(
+      doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
+      oracle = """
+        SELECT doc_id, CAST(length(text) AS INTEGER) AS n_bytes,
+               lower(hex(substr(text, 1, 4))) AS header_hex,
+               md5(text) AS content_md5
+        FROM documents""") { (s, dir) =>
+      Multimodal.featureTable(s, Tables.load(s, dir, "documents"))
+    }
+  )
+}

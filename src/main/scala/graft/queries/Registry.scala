@@ -5,5 +5,5 @@ package graft.queries
   * implemented.
   */
 object Registry {
-  val all: Map[String, QueryDef] = RefQueries.defs
+  val all: Map[String, QueryDef] = RefQueries.defs ++ ExtQueries.defs
 }

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch event operators (SURVEY
+  * §2.7). The reference's "streaming" is a polling MySQL EVENT
+  * (reference api/src/main/resources/mamba/mamba_main.sql:1-14); the
+  * Spark-native generalization is a real incremental dataflow:
+  * readStream → watermarked windowed aggs → writeStream. Each
+  * function takes an un-aggregated (possibly streaming) events frame
+  * with columns (event_id, ts timestamp, user_id, event_type, value)
+  * and returns the transformed (streaming) frame — callers attach the
+  * sink/trigger.
+  *
+  * The transforms are written against the untyped API so the SAME
+  * code runs in batch tests and streaming jobs — parity between
+  * q13/q14's batch results and these is asserted in
+  * StreamingSpec via MemoryStream.
+  */
+object EventsStreaming {
+
+  /** Tumbling-window count/sum per event_type (batch twin: q13).
+    * Watermark bounds state: windows older than `watermarkDelay`
+    * behind the max seen ts are finalized and dropped — this is what
+    * keeps state finite on an unbounded 100 TB/day stream.
+    */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based sessions via the built-in session_window — the
+    * streaming equivalent of [[graft.operators.Sessionize]]. State =
+    * one open window per (user, gap-session), closed and emitted once
+    * the watermark passes the gap.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("n_events"),
+        col("session_start"), col("session_end"))
+
+  /** Per-user running state the built-ins can't express (SURVEY §2.7
+    * "custom state"): event count + cumulative value per user,
+    * emitted on every update — the `mapGroupsWithState` pattern at
+    * its smallest. Input is a typed stream of (user_id, value).
+    *
+    * `idleTimeout = Some(duration)` additionally expires state for
+    * users idle past the duration (production memory-bound knob).
+    * Note: with a processing-time timeout the engine schedules extra
+    * empty micro-batches to fire expirations, so
+    * `processAllAvailable()` never settles — tests use the default
+    * `None` (NoTimeout).
+    */
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserStat(user_id: Long, n_events: Long, total_value: Double)
+
+  def runningUserStats(
+      events: Dataset[UserEvent],
+      idleTimeout: Option[String] = None): Dataset[UserStat] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserStat, UserStat](timeoutConf) {
+        (user: Long, batch: Iterator[UserEvent], state: GroupState[UserStat]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+            val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), e) => (cn + 1, cv + e.value)
+            }
+            val next = UserStat(user, n, math.round(v * 100).toDouble / 100)
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            next
+          }
+      }
+  }
+
+  /** Recommended sink wiring for the aggregations above (documentation
+    * +  smoke-tested): append mode emits each window exactly once,
+    * after the watermark closes it.
+    */
+  def toConsole(df: DataFrame): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.outputMode(OutputMode.Append).format("console")
+}

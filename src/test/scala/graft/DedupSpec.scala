@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup family (ext tier): exact groups, shingle edge cases, and the
+  * LSH-verified == exact-Jaccard contract the oracle also checks.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact: canonical id = min id per identical text") {
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "cc"), (4L, "aa bb"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 3L, false), (4L, 1L, true)))
+  }
+
+  test("shingles: docs shorter than k yield zero shingles, not an error") {
+    val docs = Seq((1L, "one two"), (2L, "a b c d"), (3L, ""))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", k = 3)
+      .as[(Long, String)].collect().toSet
+    assert(sh == Set((2L, "a b c"), (2L, "b c d")))
+  }
+
+  test("shingles are distinct per doc (repeated trigrams collapse)") {
+    val docs = Seq((1L, "x y x y x y x")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", k = 3)
+      .as[(Long, String)].collect().toSeq
+    assert(sh.distinct == sh)
+    assert(sh.map(_._2).toSet == Set("x y x", "y x y"))
+  }
+
+  test("minHashLsh equals exact ngramJaccard on the documents corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.7)
+    val lsh = Dedup.minHashLsh(docs, "doc_id", "text", k = 3, threshold = 0.7)
+    // verified-LSH must equal the exact answer (candidates ⊇ true pairs
+    // at this threshold, verification trims to ground truth)
+    assertSameRows(lsh, exact)
+    assert(exact.count() > 0) // corpus actually contains near-dups
+  }
+
+  test("ngramJaccard maxShingleFreq drops hot shingles from candidates") {
+    // 3 docs share a stop-shingle; only 1-2 share a rare one
+    val docs = Seq(
+      (1L, "the of and rare pair one"),
+      (2L, "the of and rare pair two"),
+      (3L, "the of and different tail here")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.0)
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.0,
+      maxShingleFreq = Some(2))
+    // capping never invents pairs and drops at least the all-hot ones
+    val up = uncapped.select("da", "db").as[(Long, Long)].collect().toSet
+    val cp = capped.select("da", "db").as[(Long, Long)].collect().toSet
+    assert(cp.subsetOf(up))
+    // jaccard values for surviving pairs still computed from full sizes
+    val j12 = capped.filter(col("da") === 1 && col("db") === 2)
+      .select("jaccard").as[Double].collect()
+    assert(j12.forall(_ > 0))
+  }
+
+  test("simhashPairs: near-identical docs collide, distinct docs don't") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " mu"), // tiny edit → small hamming
+      (3L, "totally different words about unrelated subject matter entirely"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("embeddingCosinePairs finds only above-threshold pairs") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", 0.9)
+      .select("va", "vb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

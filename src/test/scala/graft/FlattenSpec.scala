@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.model.{FlatColumn, FlatTableConfig}
+import graft.operators.{Flatten, Melt}
+
+/** The core reference semantics (SURVEY §2.4 A3): EAV → wide flatten,
+  * collision rule, datatype-driven value columns, config parsing,
+  * auto-config, and the melt→pivot round-trip property (SURVEY §5b).
+  */
+class FlattenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  /** obs fixture: (obs_id, encounter_id, concept_id, value_numeric,
+    * value_text, value_datetime, value_coded, obs_datetime, voided)
+    */
+  private def obsFixture: DataFrame = Seq(
+    // encounter 1: weight (numeric, two values — later obs_datetime wins)
+    (1L, 1L, 100L, Some(61.0), None: Option[String], None: Option[Timestamp], None: Option[String], ts("2024-01-01 10:00:00"), 0),
+    (2L, 1L, 100L, Some(62.5), None, None, None, ts("2024-01-01 11:00:00"), 0),
+    // encounter 1: hiv_result (coded)
+    (3L, 1L, 200L, None, None, None, Some("POSITIVE"), ts("2024-01-01 10:05:00"), 0),
+    // encounter 1: note (text) — voided, must be dropped
+    (4L, 1L, 300L, None, Some("void me"), None, None, ts("2024-01-01 10:06:00"), 1),
+    // encounter 2: weight only; same obs_datetime twice — higher obs_id wins
+    (5L, 2L, 100L, Some(70.0), None, None, None, ts("2024-01-02 09:00:00"), 0),
+    (6L, 2L, 100L, Some(71.0), None, None, None, ts("2024-01-02 09:00:00"), 0),
+    // encounter 2: visit_date (datetime)
+    (7L, 2L, 400L, None, None, Some(ts("2024-01-02 00:00:00")), None, ts("2024-01-02 09:01:00"), 0)
+  ).toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+    "value_text", "value_datetime", "value_coded", "obs_datetime", "voided")
+
+  private val config = FlatTableConfig("mamba_flat_encounter_anc", 1, Seq(
+    FlatColumn("weight", 100L, "Numeric"),
+    FlatColumn("hiv_result", 200L, "Coded"),
+    FlatColumn("note", 300L, "Text"),
+    FlatColumn("visit_date", 400L, "Datetime")))
+
+  test("flattenObs: one wide row per encounter, typed value columns") {
+    val flat = Flatten.flattenObs(obsFixture, config)
+      .orderBy("encounter_id").collect()
+    assert(flat.length == 2)
+    val e1 = flat(0)
+    assert(e1.getAs[Double]("weight") == 62.5) // latest obs_datetime wins
+    assert(e1.getAs[String]("hiv_result") == "POSITIVE")
+    assert(e1.getAs[String]("note") == null) // voided row dropped
+    val e2 = flat(1)
+    assert(e2.getAs[Double]("weight") == 71.0) // obs_id tie-break
+    assert(e2.getAs[Timestamp]("visit_date") == ts("2024-01-02 00:00:00"))
+  }
+
+  test("pivotLatest with tieBreak=Nil skips the window pass") {
+    val eav = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0))
+      .toDF("id", "attr", "v")
+    val wide = Flatten.pivotLatest(eav, "id", "attr",
+      labels = Seq(("a", "a", col("v")), ("b", "b", col("v"))),
+      tieBreak = Nil)
+    assert(wide.queryExecution.executedPlan.toString.indexOf("Window") < 0)
+    val rows = wide.orderBy("id").collect()
+    assert(rows(0).getAs[Double]("a") == 10.0 && rows(0).getAs[Double]("b") == 20.0)
+    assert(rows(1).getAs[Double]("a") == 30.0 && rows(1).isNullAt(rows(1).fieldIndex("b")))
+  }
+
+  test("melt → pivotLatest round-trips lineitem (SURVEY §5b identity)") {
+    // (l_orderkey, l_linenumber) is NOT unique in the generated data —
+    // synthesize a unique rowid (test-only; 6k rows, 1-partition window)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("rowid", row_number().over(w))
+    val valueCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val melted = Melt.melt(li, Seq("rowid"), valueCols)
+    val back = Flatten.pivotLatest(melted, "rowid", "attr",
+      labels = valueCols.map(c => (c, c: Any, col("val"))), tieBreak = Nil)
+    assertSameRows(
+      back.select("rowid", valueCols: _*),
+      li.select("rowid", valueCols: _*))
+  }
+
+  test("autoConfig derives labels from metadata; flatten honors them") {
+    val encounters = Seq((1L, 7, 0), (2L, 7, 0), (3L, 8, 0))
+      .toDF("encounter_id", "encounter_type", "voided")
+    val concepts = Seq(
+      (100L, "Weight (kg)", "Numeric"), (200L, "HIV Result!", "Coded"),
+      (999L, "Unused", "Text"))
+      .toDF("concept_id", "name", "datatype")
+    val cfg = Flatten.autoConfig(
+      obsFixture, encounters, concepts, encounterTypeId = 7)
+    assert(cfg.tableName == "mamba_flat_encounter_7")
+    assert(cfg.columns.map(_.label) == Seq("hiv_result_", "weight_kg_"))
+    val flat = Flatten.flattenObs(obsFixture, cfg)
+    assert(flat.columns.toSet == Set("encounter_id", "hiv_result_", "weight_kg_"))
+  }
+
+  test("FlatTableConfig.fromJson parses the FIXTURES.md §B shape") {
+    val cfg = FlatTableConfig.fromJson(
+      """{"table_name": "mamba_flat_encounter_anc", "encounter_type_id": 3,
+         "concepts": [{"label": "weight", "concept_id": 100, "datatype": "Numeric"},
+                      {"label": "note", "concept_id": 300}]}""")
+    assert(cfg.tableName == "mamba_flat_encounter_anc")
+    assert(cfg.encounterTypeId == 3)
+    assert(cfg.columns == Seq(
+      FlatColumn("weight", 100L, "Numeric"), FlatColumn("note", 300L, "Text")))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** ANN search (ext tier): brute-force exactness on a constructed
+  * corpus, and the LSH path's recall vs the brute-force ground truth
+  * on the real embeddings table (the check the driver can't do —
+  * recall<1 by design, so ann_topk_lsh is rows-only there).
+  */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("vector functions: dot / cosine on known values") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("dot"),
+      VectorFunctions.cosine(col("a"), col("a")).as("selfcos"))
+      .as[(Double, Double)].head()
+    assert(r._1 == 32.0)
+    assert(math.abs(r._2 - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: exact ranks on a constructed corpus") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.8f, 0.6f)), (12L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 2)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(top.map(t => (t._2, t._3)).toSeq == Seq((10L, 1), (11L, 2)))
+  }
+
+  test("lshTopK recall ≥ 0.8 vs brute force on the embeddings table") {
+    // this corpus is near-random (top-5 neighbor cos ≈ 0.3) — the
+    // hardest case for sign-LSH, so use short 4-bit tables × 16:
+    // P(candidate | cos=0.3) = 1-(1-0.6^4)^16 ≈ 0.89
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5,
+      bitsPerTable = 4, tables = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall < 0.8")
+  }
+
+  test("lshTopK prunes: candidate pairs well below the full cross product") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val nCand = Similarity.lshCandidateCount(corpus, queries,
+      "vec_id", "embedding", bitsPerTable = 8, tables = 8)
+    val full = corpus.count() * queries.count()
+    assert(nCand < full / 2, s"candidates $nCand not < half of $full")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStreaming
+
+/** Structured-Streaming twins (SURVEY §2.7): the same transform over
+  * a MemoryStream must equal the batch result once the watermark
+  * closes the windows; mapGroupsWithState keeps per-user running
+  * state across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+    (2L, ts("2024-01-01 10:45:00"), 1L, "click", 2.0),
+    (3L, ts("2024-01-01 11:05:00"), 2L, "view", 4.0),
+    (4L, ts("2024-01-01 12:10:00"), 2L, "view", 8.0),
+    // late enough to advance the watermark past every window above
+    (5L, ts("2024-01-01 23:00:00"), 3L, "tick", 0.0))
+
+  test("streaming tumblingCounts == batch q13 shape once windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.tumblingCounts(events, "1 hour", "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("tumb").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData((6L, ts("2024-01-02 12:00:00"), 3L, "tick", 0.0)) // push watermark
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumb")
+      .filter(col("event_type").isin("click", "view"))
+    val expected = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .filter(col("event_type").isin("click", "view"))
+    assertSameRows(streamed, expected)
+  }
+
+  test("streaming sessionWindows groups by gap per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.sessionWindows(events, "30 minutes", "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData((6L, ts("2024-01-02 12:00:00"), 3L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sess").filter(col("user_id") <= 2)
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq.sorted
+    // user 1: 10:05 → 10:45 gap is 40min > 30min → two sessions of 1
+    // user 2: 11:05 → 12:10 gap 65min → two sessions of 1
+    assert(out == Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("runningUserStats accumulates per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStreaming.UserEvent]
+    val q = EventsStreaming.runningUserStats(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("stats").start()
+    mem.addData(EventsStreaming.UserEvent(1L, 1.5), EventsStreaming.UserEvent(1L, 2.5))
+    q.processAllAvailable()
+    mem.addData(EventsStreaming.UserEvent(1L, 4.0), EventsStreaming.UserEvent(2L, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("stats")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (k, n, v) => k -> ((n, v)) }.toMap
+    assert(last(1L) == ((3L, 8.0)))
+    assert(last(2L) == ((1L, 10.0)))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis ops (ext tier): tokenization edge cases, language-ID
+  * determinism, quality gates, fingerprint semantics.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens drops empties from repeated spaces") {
+    val toks = Seq("a  b   c").toDF("text")
+      .select(TextAnalysis.tokens(col("text"))).as[Seq[String]].head()
+    assert(toks == Seq("a", "b", "c"))
+  }
+
+  test("regexTokenCount splits letters / digits / punct the BPE-ish way") {
+    val n = Seq("abc123, def!").toDF("text")
+      .select(TextAnalysis.regexTokenCount(col("text"))).as[Int].head()
+    // abc | 123 | , | def | !
+    assert(n == 5)
+  }
+
+  test("langId votes by lexicon and ties break to first-listed") {
+    val df = Seq(
+      "the cat and the dog of it", // en
+      "el perro y la casa de que", // es
+      "der hund und die katze ist", // de
+      "le chien et la maison dans que les", // fr
+      "xyzzy qwerty") // no votes at all → tie → first listed (en)
+      .toDF("text")
+    val langs = df.select(TextAnalysis.langId(col("text"))).as[String].collect()
+    assert(langs.toSeq == Seq("en", "es", "de", "fr", "en"))
+  }
+
+  test("qualityFeatures gates short / low-signal docs") {
+    val out = TextAnalysis.qualityFeatures(
+      Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, "no stop words here"), // <5 words → not quality
+        (3L, "zz qq ww ee rr tt yy uu ii oo pp aa ss dd ff")) // no stopwords
+        .toDF("doc_id", "text"))
+    val rows = out.select("doc_id", "is_quality").as[(Long, Boolean)]
+      .collect().toMap
+    assert(rows(1L) && !rows(2L) && !rows(3L))
+  }
+
+  test("fingerprints: tokenset md5 is order- and dup-insensitive; exact is not") {
+    val fp = TextAnalysis.fingerprints(
+      Seq((1L, "b a c"), (2L, "a b c c"), (3L, "a b d")).toDF("doc_id", "text"))
+      .select("doc_id", "md5_exact", "md5_tokenset")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(fp(0)._3 == fp(1)._3) // same token set
+    assert(fp(0)._2 != fp(1)._2) // different bytes
+    assert(fp(0)._3 != fp(2)._3) // different token set
+  }
+
+  test("simhash is deterministic and identical for identical texts") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta")).toDF("doc_id", "text")
+    val h = TextAnalysis.simhash(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(3L))
+    assert(h.values.forall(_ >= 0)) // 60-bit, fits positive Long
+  }
+}
