@@ -1,0 +1,90 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{EtlConfig, FlatTableConfig}
+import graft.operators.Flatten
+import graft.pipeline.{EtlPipeline, Stage}
+
+/** The reference's complete ETL wired end-to-end on this engine — what
+  * a MambaETL user's deployment becomes (reference README.md:7-12,
+  * 244-255; SURVEY §3 E1-E3). Given OpenMRS-shaped source frames
+  * (person, encounter_type, encounter, concept, obs), builds:
+  *
+  *  - `mamba_dim_person`, `mamba_dim_encounter` — cleaned conformed
+  *    dims (reference README.md:296,313);
+  *  - one `mamba_flat_encounter_<type>` per requested encounter type,
+  *    via config or metadata auto-config (README.md:244-253);
+  *  - `mamba_fact_encounter_counts` — a derived fact off the dims
+  *    (the `derived/` folder mechanism, sp_makefile:6-9);
+  *
+  * in base→derived order via the stage DAG, every output registered
+  * as a temp view so `ReportRegistry` SQL (E3) runs against them.
+  */
+object MambaEtlJob {
+
+  final case class Sources(
+      person: DataFrame, encounterType: DataFrame, encounter: DataFrame,
+      concept: DataFrame, obs: DataFrame)
+
+  /** Build the pipeline; flat-table configs may be supplied
+    * (README.md:246 "not mandatory") — any encounter type without one
+    * gets auto-config from metadata (README.md:247).
+    */
+  def pipeline(
+      config: EtlConfig,
+      src: Sources,
+      encounterTypeIds: Seq[Int],
+      flatConfigs: Map[Int, FlatTableConfig] = Map.empty): EtlPipeline = {
+    val p = new EtlPipeline(config)
+
+    p.register(Stage("mamba_dim_person", Nil) { (_, _) =>
+      src.person.filter(col("voided") === 0)
+        .select("person_id", "uuid", "gender", "birthdate")
+    })
+
+    p.register(Stage("mamba_dim_encounter", Nil) { (_, _) =>
+      src.encounter.filter(col("voided") === 0)
+        .join(broadcast(src.encounterType
+          .select(col("encounter_type_id").as("encounter_type"),
+            col("uuid").as("encounter_type_uuid"),
+            col("name").as("encounter_type_name"))),
+          Seq("encounter_type"))
+        .select("encounter_id", "uuid", "encounter_type",
+          "encounter_type_uuid", "encounter_type_name",
+          "patient_id", "encounter_datetime")
+    })
+
+    encounterTypeIds.foreach { et =>
+      p.register(Stage(s"mamba_flat_encounter_$et", Seq("mamba_dim_encounter")) {
+        (_, deps) =>
+          val cfg = flatConfigs.getOrElse(et,
+            Flatten.autoConfig(src.obs, src.encounter, src.concept, et))
+          val encIds = deps("mamba_dim_encounter")
+            .filter(col("encounter_type") === et)
+            .select("encounter_id", "patient_id", "encounter_datetime")
+          Flatten.flattenObs(src.obs, cfg)
+            .join(encIds, Seq("encounter_id"), "inner")
+      })
+    }
+
+    p.register(Stage("mamba_fact_encounter_counts",
+      Seq("mamba_dim_encounter", "mamba_dim_person")) { (_, deps) =>
+      deps("mamba_dim_encounter")
+        .join(deps("mamba_dim_person")
+          .select(col("person_id").as("patient_id"), col("gender")),
+          Seq("patient_id"))
+        .groupBy("encounter_type_name", "gender")
+        .agg(count(lit(1)).as("n_encounters"),
+          countDistinct(col("patient_id")).as("n_patients"))
+    })
+
+    p
+  }
+
+  def run(spark: SparkSession, config: EtlConfig, src: Sources,
+      encounterTypeIds: Seq[Int],
+      flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Map[String, DataFrame] =
+    pipeline(config, src, encounterTypeIds, flatConfigs).run(spark)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate CLUSTERING: turn pairwise matches (from
+  * [[Dedup.minHashLsh]] / [[Dedup.simhashPairs]] / …) into connected
+  * components, electing the minimum doc id of each component as its
+  * canonical representative — the step a training-data pipeline
+  * actually needs ("keep one copy per duplicate cluster").
+  *
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Each round every node adopts the smallest label among itself and
+  * its neighbors (one edge join label), then shortcuts to its label's
+  * label (one label self-join) — pointer jumping halves chain depth,
+  * so convergence is O(log diameter) rounds even on pathological path
+  * graphs; near-dup components are small and dense, so 2-4 rounds in
+  * practice.
+  *
+  * Scale shape per round: shuffles touch only the edge set and the
+  * label frontier — the full corpus appears once, in the final
+  * left-join that assigns singletons to themselves. Each round ends
+  * in `localCheckpoint`: iterative DataFrame algorithms MUST truncate
+  * lineage — the loop body references `labels` several times, so the
+  * un-checkpointed logical plan doubles per round (even rendering it
+  * as a string goes exponential; persist alone does NOT cut the
+  * logical plan).
+  */
+object DedupCluster {
+
+  /** @param docs  (idCol) — the full universe of doc ids
+    * @param pairs (aCol, bCol) — undirected duplicate edges
+    * @return (idCol, cluster_id, is_canonical)
+    */
+  def connectedComponents(
+      docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", aCol: String = "da", bCol: String = "db",
+      maxIter: Int = 25): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline exactly once
+    // — every edge/frontier branch below would otherwise re-run it
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    // symmetric edge list (a→b and b→a), so one join sees all neighbors
+    val edges = p0.unionByName(
+        p0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // frontier: only nodes that appear in any edge (singletons join in
+    // at the end — no reason to iterate over the whole corpus)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      // 1. neighbor min
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+      // 2. pointer jump: label := label(label)
+      val jumped = stepped.alias("s")
+        .join(stepped.select(col("id").as("label"),
+          col("label").as("parent")).alias("p"), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("parent"), col("label")))
+            .as("label"))
+      val next = jumped.localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+      System.err.println(f"[cc] iter $iter: changed=$changed, ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+
+    val out = docs.select(col(idCol))
+      .join(labels.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+    edges.unpersist()
+    out
+  }
+
+  /** End-to-end near-dup pruning: MinHash+LSH pairs → components →
+    * per-cluster canonical survivor flag.
+    */
+  def minHashClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val pairs = Dedup.minHashLsh(docs, idCol, textCol, k, threshold)
+    connectedComponents(docs, pairs, idCol)
+  }
+}

@@ -1,10 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregator, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (ext tier, SURVEY §7.1): brute-force cosine top-k as the exact
@@ -12,11 +11,29 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Exact top-k by cosine: corpus × broadcast(queries) + per-query
-    * window. The query side is the small one — broadcast it so the
-    * corpus never shuffles; the only exchange is the window's
-    * partition-by-query, whose input is already down to corpus×|Q|
-    * rows. Rank ties broken by corpus id for determinism.
+  /** Rank scored (qid, nid, cos) rows to top-k per query via the
+    * bounded-heap [[TopKAggregator]]. vs a `row_number` window: the
+    * window shuffles EVERY scored row then discards all but k; the
+    * aggregator partial-aggregates map-side, so the exchange carries
+    * |queries| × k rows — at corpus scale, shuffling the answer
+    * instead of the corpus. Ties break by corpus id (deterministic,
+    * same order the window version used).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(TopKAggregator.topK(k),
+      Encoders.product[TopKAggregator.Scored])
+    scored
+      .groupBy(col("qid"))
+      .agg(tk(col("nid"), col("cos")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("s.score").as("cos"))
+  }
+
+  /** Exact top-k by cosine: corpus × broadcast(queries) + bounded-heap
+    * aggregation. The query side is the small one — broadcast it so
+    * the corpus never shuffles; the only exchange carries the
+    * partial top-k heaps (|queries| × k rows).
     */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -27,12 +44,7 @@ object Similarity {
       VectorFunctions.toDouble(col(vecCol)).as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "rank", "cos")
+    rankTopK(scored, k)
   }
 
   /** Deterministic random hyperplanes: nBits × dim matrix seeded per
@@ -95,12 +107,7 @@ object Similarity {
     val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
       .dropDuplicates("qid", "nid") // same pair found by several tables
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("nid"))
-    cands
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "nid", "rank", "cos")
+    rankTopK(cands, k)
   }
 
   /** Distinct (query, corpus) candidate pairs the multi-table LSH

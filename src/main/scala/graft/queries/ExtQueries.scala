@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DedupCluster, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
@@ -104,6 +104,28 @@ object ExtQueries {
       oracle = simhashOracle) { (s, dir) =>
       Dedup.simhashPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3)
+    },
+
+    "dedup_clusters" -> QueryDef(
+      doc = "near-dup clustering: LSH pairs → connected components → canonical per cluster (iterative min-label propagation; oracle = recursive CTE closure)",
+      oracle = s"""
+        WITH RECURSIVE
+        pairs AS (${jaccardOracle(0.7)}),
+        edges AS (SELECT da AS s, db AS d FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        cc(id, label) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.s, c.label FROM edges e JOIN cc c ON c.id = e.d),
+        minlab AS (SELECT id, min(label) AS lab FROM cc GROUP BY id)
+        SELECT doc_id,
+               coalesce(m.lab, doc_id) AS cluster_id,
+               doc_id <> coalesce(m.lab, doc_id) AS is_duplicate
+        FROM documents LEFT JOIN minlab m ON m.id = doc_id""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      DedupCluster.minHashClusters(docs, "doc_id", "text", k = 3, threshold = 0.7)
+        .select(col("doc_id"), col("cluster_id"),
+          (!col("is_canonical")).as("is_duplicate"))
     },
 
     "dedup_embedding_cosine" -> QueryDef(

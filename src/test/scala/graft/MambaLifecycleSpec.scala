@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+
+import graft.examples.MambaEtlJob
+import graft.model.EtlConfig
+import graft.reports.ReportRegistry
+
+/** The reference's full lifecycle end-to-end on an OpenMRS-shaped
+  * fixture (SURVEY §3 E1-E3): sources → dims → per-type flat tables
+  * (auto-config) → derived fact → parameterized report SQL over the
+  * registered views. This is the "a MambaETL user switches engines"
+  * test.
+  */
+class MambaLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  private def sources: MambaEtlJob.Sources = MambaEtlJob.Sources(
+    person = Seq(
+      (1L, "p-uuid-1", "F", d("1990-03-04"), 0),
+      (2L, "p-uuid-2", "M", d("1985-07-21"), 0),
+      (3L, "p-uuid-3", "F", d("2001-11-30"), 1) // voided
+    ).toDF("person_id", "uuid", "gender", "birthdate", "voided"),
+    encounterType = Seq(
+      (7, "et-uuid-anc", "ANC"), (8, "et-uuid-hts", "HTS")
+    ).toDF("encounter_type_id", "uuid", "name"),
+    encounter = Seq(
+      (10L, "e-10", 7, 1L, ts("2024-02-01 09:00:00"), 0),
+      (11L, "e-11", 7, 2L, ts("2024-02-02 10:00:00"), 0),
+      (12L, "e-12", 8, 1L, ts("2024-02-03 11:00:00"), 0),
+      (13L, "e-13", 7, 1L, ts("2024-02-04 12:00:00"), 1) // voided
+    ).toDF("encounter_id", "uuid", "encounter_type", "patient_id",
+      "encounter_datetime", "voided"),
+    concept = Seq(
+      (100L, "Weight (kg)", "Numeric"),
+      (200L, "HIV Result", "Coded"),
+      (300L, "Counselor Notes", "Text")
+    ).toDF("concept_id", "name", "datatype"),
+    obs = Seq(
+      (1L, 10L, 100L, Some(61.5), None: Option[String], None: Option[String], ts("2024-02-01 09:05:00"), 0),
+      (2L, 10L, 200L, None, None, Some("NEGATIVE"), ts("2024-02-01 09:06:00"), 0),
+      (3L, 11L, 100L, Some(82.0), None, None, ts("2024-02-02 10:05:00"), 0),
+      (4L, 12L, 200L, None, None, Some("POSITIVE"), ts("2024-02-03 11:05:00"), 0),
+      (5L, 12L, 300L, None, Some("follow up"), None, ts("2024-02-03 11:06:00"), 0),
+      (6L, 13L, 100L, Some(90.0), None, None, ts("2024-02-04 12:05:00"), 0)
+    ).toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+      "value_text", "value_coded", "obs_datetime", "voided"))
+
+  private lazy val outputs: Map[String, DataFrame] =
+    MambaEtlJob.run(spark, EtlConfig("/src", "/out"), sources, Seq(7, 8))
+
+  test("dims are cleaned projections (voided rows dropped)") {
+    assert(outputs("mamba_dim_person").count() == 2)
+    val enc = outputs("mamba_dim_encounter")
+    assert(enc.count() == 3) // encounter 13 voided
+    assert(enc.filter($"encounter_type_name" === "ANC").count() == 2)
+  }
+
+  test("per-type flat tables auto-configure from metadata") {
+    val anc = outputs("mamba_flat_encounter_7")
+    // ANC obs only reference Weight → one auto column + enc metadata
+    assert(anc.columns.contains("weight_kg_"))
+    val byEnc = anc.orderBy("encounter_id").collect()
+    assert(byEnc.length == 2)
+    assert(byEnc(0).getAs[Double]("weight_kg_") == 61.5)
+    val hts = outputs("mamba_flat_encounter_8")
+    assert(hts.columns.contains("hiv_result") && hts.columns.contains("counselor_notes"))
+    val h = hts.collect().head
+    assert(h.getAs[String]("hiv_result") == "POSITIVE")
+    assert(h.getAs[String]("counselor_notes") == "follow up")
+  }
+
+  test("derived fact aggregates over dims in base→derived order") {
+    val fact = outputs("mamba_fact_encounter_counts")
+      .orderBy("encounter_type_name", "gender")
+      .as[(String, String, Long, Long)].collect()
+    assert(fact.toSeq == Seq(
+      ("ANC", "F", 1L, 1L), ("ANC", "M", 1L, 1L), ("HTS", "F", 1L, 1L)))
+  }
+
+  test("report SQL runs over the registered views with typed params") {
+    outputs // force pipeline run (registers temp views)
+    val registry = ReportRegistry.fromJson(
+      """{"report_definitions": [{
+           "report_name": "ANC clients in window",
+           "report_id": "anc_clients",
+           "report_sql": {
+             "sql_query": "SELECT COUNT(DISTINCT e.patient_id) AS total_clients FROM mamba_dim_encounter e WHERE e.encounter_type_name = :etype AND e.encounter_datetime >= CAST(:date_from AS TIMESTAMP)",
+             "query_params": [
+               {"name": "etype", "type": "VARCHAR(255)"},
+               {"name": "date_from", "type": "VARCHAR(255)"}]}}]}""")
+    val r = registry.run(spark, "anc_clients",
+      Map("etype" -> "ANC", "date_from" -> "2024-01-01"))
+    assert(r.as[Long].head() == 2L)
+  }
+}
