@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, WordShingles}
+
+/** Catalyst integration: expose the native expressions to SQL.
+  *
+  *  - Cluster deployment: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard `SparkSessionExtensions` injection point).
+  *  - Existing session (tests, notebooks): `GraftExtensions.register(spark)`.
+  *
+  * SQL surface:
+  *   graft_dot(array<double>, array<double>) → double  (codegen'd)
+  *   graft_shingles(text, k)                → array<string>
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private[graft] val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(a, b) takes 2 arguments")
+        DotProduct(args(0), args(1))
+      }),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(text, k) takes 2 arguments")
+        WordShingles(args(0), intArg(args(1), "k"))
+      }))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, _, builder) =>
+      GraftSqlBridge.registerFunction(spark, name, builder)
+    }
+}

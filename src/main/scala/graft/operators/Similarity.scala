@@ -110,6 +110,100 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  // ───────────────────────── IVF (inverted file) ─────────────────────────
+
+  /** Spherical k-means coarse quantizer, trained distributed: assign =
+    * argmax dot against broadcast centroids (codegen'd [[DotProduct]]
+    * per centroid); update = per-dimension mean via posexplode +
+    * grouped avg, renormalized driver-side (centroids are a k×dim
+    * model — collecting them is collecting the model, not the data).
+    * Deterministic: init = first k corpus vectors by id.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, iters: Int = 5): Array[Array[Double]] = {
+    val unit = unitVectors(corpus, idCol, vecCol, "id", "v")
+    var centroids = unit.orderBy(col("id")).limit(nCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    for (_ <- 0 until iters) {
+      val assigned = unit.withColumn("cid", nearestCentroid(col("v"), centroids))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { c =>
+        byCid.get(c) match {
+          case None => centroids(c) // empty cluster keeps its centroid
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+            val n = math.sqrt(m.map(x => x * x).sum)
+            if (n == 0) centroids(c) else m.map(_ / n)
+        }
+      }.toArray
+    }
+    centroids
+  }
+
+  /** L2-normalized copies of (id, vec) — spherical space, so nearest
+    * centroid == max dot and cosine == dot.
+    */
+  private def unitVectors(
+      df: DataFrame, idCol: String, vecCol: String,
+      idOut: String, vecOut: String): DataFrame = {
+    val v = VectorFunctions.toDouble(col(vecCol))
+    df.select(col(idCol).as(idOut),
+      transform(v, x => x / sqrt(VectorFunctions.normSq(v))).as(vecOut))
+  }
+
+  /** argmax-dot centroid id of a unit vector (k codegen'd dots). */
+  private def nearestCentroid(unitVec: Column, centroids: Array[Array[Double]]): Column = {
+    val dots = array(centroids.map(c =>
+      VectorFunctions.dot(unitVec, typedlit(c))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** IVF top-k: corpus is bucketed by nearest centroid once (the
+    * "inverted file"); each query exactly scores only the vectors in
+    * its `nProbe` closest centroid buckets.
+    *
+    * Scale shape: the index pass is one narrow projection of the
+    * corpus (k codegen'd dots per row, no shuffle); search
+    * broadcast-joins the query probes so the corpus still never
+    * shuffles, and the only exchanges are the candidate dedup-free
+    * bucket join + the top-k aggregation (which carries |queries|×k
+    * rows). vs LSH: IVF partitions space adaptively (data-dependent),
+    * so probing degrades gracefully — recall is tunable by nProbe
+    * with candidate cost ∝ nProbe/nCentroids of the corpus.
+    * Recall < 1 by design → rows-only driver check; SimilaritySpec
+    * measures recall vs brute force.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    val c = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+      .withColumn("cid", nearestCentroid(col("cv"), centroids))
+    // query probes: top-nProbe centroids by dot
+    val dots = array(centroids.map(ct =>
+      VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
+    val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .withColumn("probe", slice(
+        transform(
+          array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
+            (d, i) => struct((-d).as("negd"), i.as("cid")))),
+          s => s.getField("cid")),
+        1, nProbe))
+      .select(col("qid"), col("qv"), explode(col("probe")).as("cid"))
+    val cands = c.join(broadcast(q), Seq("cid"))
+      .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+    rankTopK(cands, k)
+  }
+
   /** Distinct (query, corpus) candidate pairs the multi-table LSH
     * would exact-score — the pruning metric (vs |corpus|×|queries|
     * for brute force).

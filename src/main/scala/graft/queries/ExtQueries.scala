@@ -167,6 +167,15 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
+    "ann_topk_ivf" -> QueryDef.noOracle(
+      doc = "IVF ANN top-5 (16-centroid spherical k-means, 4-probe) — recall<1 by design; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+
     "text_tokens" -> QueryDef(
       doc = "token counting: whitespace + BPE-ish regex pre-tokenizer counts",
       oracle = s"""

@@ -49,6 +49,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall < 0.8")
   }
 
+  test("ivfTopK recall on near-random data scales with nProbe") {
+    // adversarial corpus (top-5 neighbor cos ≈ 0.3 — barely better
+    // than random): probing half the centroid buckets must recover
+    // well over half the true neighbors; clustered real embeddings
+    // do far better at much lower nProbe.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6")
+    assert(ivf.size == exact.size) // still returns full top-k per query
+  }
+
+  test("trainCentroids returns unit centroids, deterministic") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val c1 = Similarity.trainCentroids(e, "vec_id", "embedding", 4, iters = 2)
+    val c2 = Similarity.trainCentroids(e, "vec_id", "embedding", 4, iters = 2)
+    assert(c1.length == 4)
+    c1.zip(c2).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    c1.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
   test("lshTopK prunes: candidate pairs well below the full cross product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = e.filter(col("vec_id") >= 10)
