@@ -75,3 +75,70 @@ object WordShingles {
   def column(text: Column, k: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), k))
 }
+
+/** Winnowing document fingerprints (rolling-hash family, per the
+  * MOSS scheme: Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
+  * character k-gram, slide a window of w hashes, keep each window's
+  * minimum — guaranteeing any shared substring of length ≥ k+w-1
+  * yields a shared fingerprint, while storing ~2/(w+1) of the hashes.
+  *
+  * The k-gram hash is the top-60-bit prefix of md5 (not a true
+  * Rabin-Karp rolling product) so the DuckDB oracle reproduces it
+  * exactly; the selection structure (slide + window-min + distinct)
+  * is the winnowing algorithm proper. One monolithic eval per doc —
+  * same JIT-robustness rationale as [[WordShingles]].
+  *
+  * Returns the distinct fingerprints sorted ascending
+  * (array<bigint>); docs shorter than k+w-1 chars yield an empty
+  * array.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, "k-gram size and window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val nGrams = text.length - k + 1
+    val nWins = nGrams - w + 1
+    if (nWins <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      // top 15 hex chars = 60 bits, matching TextAnalysis.tokenHash60
+      var h = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      hashes(i) = h >>> 4 // 64 - 60
+      md.reset()
+      i += 1
+    }
+    val fps = new java.util.TreeSet[java.lang.Long]
+    i = 0
+    while (i < nWins) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      fps.add(m)
+      i += 1
+    }
+    val out = new Array[Any](fps.size)
+    val it = fps.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def column(text: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), k, w))
+}

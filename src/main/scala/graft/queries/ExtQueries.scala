@@ -238,6 +238,24 @@ object ExtQueries {
         .select("doc_id", "md5_exact", "md5_tokenset")
     },
 
+    "text_winnow" -> QueryDef(
+      doc = "winnowing fingerprints (rolling-hash family): char 8-gram hashes, window-4 minima, distinct — MOSS scheme",
+      oracle = """
+        WITH pos AS (SELECT doc_id, text, unnest(generate_series(1, length(text) - 7)) AS p
+                     FROM documents WHERE length(text) >= 11),
+        h AS (SELECT doc_id, p, ('0x' || substr(md5(substr(text, p, 8)), 1, 15))::BIGINT AS hv
+              FROM pos),
+        wm AS (SELECT doc_id, p,
+                      min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                      count(*) OVER (PARTITION BY doc_id) AS n
+               FROM h)
+        SELECT DISTINCT doc_id, fp FROM wm WHERE p <= n - 3""") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.WinnowFingerprint.column(col("text"), 8, 4)).as("fp"))
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """

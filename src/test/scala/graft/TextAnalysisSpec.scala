@@ -57,6 +57,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(0)._3 != fp(2)._3) // different token set
   }
 
+  test("winnowing: shared substring ≥ k+w-1 chars ⇒ shared fingerprint") {
+    import graft.functions.WinnowFingerprint
+    val k = 8; val w = 4
+    val common = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      (1L, s"PREFIX AAA $common SUFFIX BBB"),
+      (2L, s"other start $common and another end"),
+      (3L, "completely unrelated content with no overlap at all here"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), WinnowFingerprint.column(col("text"), k, w).as("fps"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet & fps(2L).toSet).nonEmpty) // guarantee holds
+    assert(fps(1L) == fps(1L).sorted && fps(1L).distinct == fps(1L))
+    // short doc: no full window → empty
+    val short = Seq((9L, "tiny")).toDF("doc_id", "text")
+      .select(WinnowFingerprint.column(col("text"), k, w)).as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
   test("simhash is deterministic and identical for identical texts") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "alpha beta delta")).toDF("doc_id", "text")
