@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Flatten, Incremental, Melt, Sessionize}
+import graft.operators.{Flatten, Incremental, Melt, Sessionize, SkewJoin}
 import graft.reports.ReportRegistry
 import graft.sources.Tables
 
@@ -335,6 +335,24 @@ object RefQueries {
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
+    },
+
+    "q18_salted_join" -> QueryDef(
+      doc = "hot-key-resilient salted join ≡ plain join (SURVEY §4 skew mitigation; salt scatters each key over 8 sub-keys)",
+      oracle = """
+        SELECT l.l_orderkey, o.o_custkey,
+               round(sum(l.l_extendedprice), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, o.o_custkey""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      SkewJoin.saltedJoin(li, o, Seq("l_orderkey"), factor = 8)
+        .groupBy("l_orderkey", "o_custkey")
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
     },
 
     "q17_semi_join" -> QueryDef(
