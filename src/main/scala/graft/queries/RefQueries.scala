@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Flatten, Incremental, Melt, Sessionize, SkewJoin}
+import graft.operators.{AsOfJoin, Flatten, Incremental, Melt, Sessionize, SkewJoin}
 import graft.reports.ReportRegistry
 import graft.sources.Tables
 
@@ -335,6 +335,25 @@ object RefQueries {
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
+    },
+
+    "q19_asof_join" -> QueryDef(
+      doc = "as-of join: each click gets the latest view at-or-before it per user (log-merge window plan, one shuffle; oracle = DuckDB ASOF JOIN)",
+      oracle = """
+        WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        views AS (SELECT user_id, ts, max_by(value, event_id) AS last_view_value
+                  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+        SELECT c.event_id, c.user_id, c.ts, v.last_view_value
+        FROM clicks c ASOF LEFT JOIN views v
+          ON c.user_id = v.user_id AND c.ts >= v.ts""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(expr("max_by(value, event_id)").as("last_view_value"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"),
+        leftTs = "ts", rightTs = "ts")
     },
 
     "q18_salted_join" -> QueryDef(
