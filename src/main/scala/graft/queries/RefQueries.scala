@@ -337,6 +337,32 @@ object RefQueries {
         .select("c_custkey", "c_name")
     },
 
+    "q20_rollup" -> QueryDef(
+      doc = "ROLLUP hierarchy totals: (region, nation), (region), () in one pass (SURVEY §2.4 'grouping sets come free')",
+      oracle = """
+        SELECT coalesce(r.r_name, '__all__') AS region,
+               coalesce(n.n_name, '__all__') AS nation,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS sum_bal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region"))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(r("r_name"), n("n_name"), col("c_acctbal"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .select(
+          coalesce(col("r_name"), lit("__all__")).as("region"),
+          coalesce(col("n_name"), lit("__all__")).as("nation"),
+          col("n_customers"), col("sum_bal"))
+    },
+
     "q19_asof_join" -> QueryDef(
       doc = "as-of join: each click gets the latest view at-or-before it per user (log-merge window plan, one shuffle; oracle = DuckDB ASOF JOIN)",
       oracle = """
