@@ -337,6 +337,16 @@ object RefQueries {
         .select("c_custkey", "c_name")
     },
 
+    "q21_approx_sketches" -> QueryDef.noOracle(
+      doc = "approximate aggregates (HLL++ distinct, quantile sketch) — engine-specific sketch values, so rows-only here; relative-error bound vs exact asserted in ApproxSpec") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    },
+
     "q20_rollup" -> QueryDef(
       doc = "ROLLUP hierarchy totals: (region, nation), (region), () in one pass (SURVEY §2.4 'grouping sets come free')",
       oracle = """
