@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Flatten, Incremental, Melt, Sessionize, SkewJoin}
+import graft.operators.{AsOfJoin, Flatten, Incremental, Melt, RangeJoin, Sessionize, SkewJoin}
 import graft.reports.ReportRegistry
 import graft.sources.Tables
 
@@ -335,6 +335,27 @@ object RefQueries {
         .join(t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
           Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
+    },
+
+    "q22_range_join" -> QueryDef(
+      doc = "bucketized range join: clicks inside 10-min incident windows after each error (equi-join on time bucket + exact filter, no nested loop)",
+      oracle = """
+        WITH err AS (SELECT event_id AS incident_id, ts AS ws,
+                            ts + INTERVAL 10 MINUTE AS we
+                     FROM events WHERE event_type = 'error'),
+        clk AS (SELECT ts FROM events WHERE event_type = 'click')
+        SELECT incident_id, count(*) AS n_clicks
+        FROM err JOIN clk ON clk.ts >= err.ws AND clk.ts <= err.we
+        GROUP BY incident_id""") { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val incidents = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("ts").as("ws"),
+          (col("ts") + expr("INTERVAL 10 MINUTES")).as("we"))
+      val clicks = ev.filter(col("event_type") === "click").select("ts")
+      RangeJoin.pointInInterval(clicks, incidents,
+        tsCol = "ts", startCol = "ws", endCol = "we", bucketSeconds = 600L)
+        .groupBy("incident_id")
+        .agg(count(lit(1)).as("n_clicks"))
     },
 
     "q21_approx_sketches" -> QueryDef.noOracle(
