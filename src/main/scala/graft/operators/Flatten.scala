@@ -83,6 +83,36 @@ object Flatten {
       tieBreak = Seq(col("obs_datetime").desc, col("obs_id").desc))
   }
 
+  /** Incremental flattening — the reference's mode 1 ("only add/modify
+    * what has changed", reference README.md:133-134) applied to the
+    * core operator: obs rows changed since the bookmark identify the
+    * encounters whose wide rows are stale; ONLY those encounters are
+    * re-pivoted (semi-join before the shuffle), and the fresh rows
+    * replace same-key rows of the existing flat table.
+    *
+    * Scale shape: per tick, the pivot's shuffle carries only the
+    * changed encounters' obs (typically ≪ the store); the merge
+    * broadcasts the changed-key set so the existing flat table is
+    * never shuffled. Contract (tested): N incremental ticks ≡ one
+    * full [[flattenObs]] over the final obs state — note the changed
+    * encounters' obs must be re-read IN FULL (not just the changed
+    * rows), which is why this keys on encounter, not on obs row.
+    */
+  def flattenObsIncremental(
+      obs: DataFrame,
+      existingFlat: DataFrame,
+      config: FlatTableConfig,
+      changedSince: Option[java.sql.Timestamp],
+      tsCols: Seq[String] = Seq("obs_datetime")): DataFrame = {
+    val changedEncounters = Incremental
+      .changedSince(obs, changedSince, tsCols)
+      .select("encounter_id").distinct()
+    val affectedObs = obs.join(
+      broadcast(changedEncounters), Seq("encounter_id"), "left_semi")
+    val freshRows = flattenObs(affectedObs, config)
+    Incremental.merge(existingFlat, freshRows, Seq("encounter_id"))
+  }
+
   /** Concept datatype → which typed obs value_* column carries the
     * value (SURVEY §1.3 "Column types follow the source concept
     * datatype").

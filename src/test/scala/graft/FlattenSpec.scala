@@ -84,6 +84,27 @@ class FlattenSpec extends SparkSpec {
       li.select("rowid", valueCols: _*))
   }
 
+  test("incremental flatten ≡ full re-flatten after a change tick") {
+    val t0 = Flatten.flattenObs(obsFixture, config)
+    // tick: a new obs arrives for encounter 1 (heavier weight, later
+    // ts) and a brand-new encounter 3 appears
+    val newObs = Seq(
+      (8L, 1L, 100L, Some(64.0), None: Option[String], None: Option[Timestamp],
+        None: Option[String], ts("2024-01-03 08:00:00"), 0),
+      (9L, 3L, 200L, None, None, None, Some("NEGATIVE"),
+        ts("2024-01-03 09:00:00"), 0)
+    ).toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+      "value_text", "value_datetime", "value_coded", "obs_datetime", "voided")
+    val obs2 = obsFixture.unionByName(newObs)
+    val incremental = Flatten.flattenObsIncremental(
+      obs2, existingFlat = t0, config,
+      changedSince = Some(ts("2024-01-02 23:59:59")))
+    assertSameRows(incremental, Flatten.flattenObs(obs2, config))
+    // and the changed encounter really did update
+    val e1 = incremental.filter(col("encounter_id") === 1).collect().head
+    assert(e1.getAs[Double]("weight") == 64.0)
+  }
+
   test("autoConfig derives labels from metadata; flatten honors them") {
     val encounters = Seq((1L, 7, 0), (2L, 7, 0), (3L, 8, 0))
       .toDF("encounter_id", "encounter_type", "voided")
