@@ -256,6 +256,19 @@ object ExtQueries {
           explode(graft.functions.WinnowFingerprint.column(col("text"), 8, 4)).as("fp"))
     },
 
+    "text_normalize" -> QueryDef(
+      doc = "dedup preprocessing: lowercase, strip non-alphanumerics, collapse whitespace — the canonical form the dedup family hashes",
+      oracle = """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
+        FROM documents""") { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_md5"))
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """

@@ -337,6 +337,23 @@ object RefQueries {
         .select("c_custkey", "c_name")
     },
 
+    "q23_cube" -> QueryDef(
+      doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
+      oracle = """
+        SELECT coalesce(o_orderstatus, '__all__') AS status,
+               coalesce(o_orderpriority, '__all__') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)""") { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("__all__")).as("status"),
+          coalesce(col("o_orderpriority"), lit("__all__")).as("priority"),
+          col("n"), col("total"))
+    },
+
     "q22_range_join" -> QueryDef(
       doc = "bucketized range join: clicks inside 10-min incident windows after each error (equi-join on time bucket + exact filter, no nested loop)",
       oracle = """
