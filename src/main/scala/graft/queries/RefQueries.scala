@@ -337,6 +337,21 @@ object RefQueries {
         .select("c_custkey", "c_name")
     },
 
+    "q24_subqueries" -> QueryDef(
+      doc = "scalar + correlated subqueries through spark.sql (Catalyst decorrelates the inner count into a join)",
+      oracle = """
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+               (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        FROM orders o
+        WHERE o.o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+               (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        FROM orders o
+        WHERE o.o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)""")
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
