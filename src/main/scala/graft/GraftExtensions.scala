@@ -17,10 +17,13 @@ import graft.functions.{DotProduct, WordShingles}
   *   graft_shingles(text, k)                → array<string>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ =>
+      graft.plans.AutoBroadcastDims(graft.sources.Tables.smallDims))
+  }
 }
 
 object GraftExtensions {

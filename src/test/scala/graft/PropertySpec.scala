@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.{Flatten, Melt}
+
+/** ScalaCheck properties (SURVEY §5b): pivot/melt round-trip on
+  * generated tables, WordShingles vs a reference implementation.
+  * Each property runs a bounded number of Spark jobs — keep the data
+  * per case small.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, minTests: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: melt → pivotLatest round-trips any wide table") {
+    val genRow = for {
+      a <- Gen.chooseNum(-1e6, 1e6)
+      b <- Gen.chooseNum(-1e6, 1e6)
+      c <- Gen.chooseNum(-1e6, 1e6)
+    } yield (a, b, c)
+    val genTable = Gen.nonEmptyListOf(genRow).map(_.take(30))
+    check(Prop.forAll(genTable) { rows =>
+      val wide = rows.zipWithIndex
+        .map { case ((a, b, c), i) => (i.toLong, a, b, c) }
+        .toDF("id", "va", "vb", "vc")
+      val melted = Melt.melt(wide, Seq("id"), Seq("va", "vb", "vc"))
+      val back = Flatten.pivotLatest(melted, "id", "attr",
+        labels = Seq("va", "vb", "vc").map(c => (c, c: Any, col("val"))),
+        tieBreak = Nil)
+      val orig = wide.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+      val rt = back.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSet
+      rt == orig
+    })
+  }
+
+  test("property: WordShingles equals the obvious reference implementation") {
+    val token = Gen.oneOf("a", "bb", "ccc", "dd", "e", "xyz")
+    val genDoc = Gen.listOf(token).map(_.take(25))
+    val genK = Gen.chooseNum(1, 4)
+    check(Prop.forAll(genDoc, genK) { (toks, k) =>
+      val text = toks.mkString(" ")
+      val expected = toks.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toSeq.distinct
+      val got = Seq(text).toDF("text")
+        .select(graft.functions.WordShingles.column(col("text"), k))
+        .as[Seq[String]].head()
+      got == expected
+    })
+  }
+
+  test("property: flatten collision rule always keeps latest obs_datetime") {
+    val genObs = Gen.nonEmptyListOf(for {
+      enc <- Gen.chooseNum(1L, 3L)
+      t <- Gen.chooseNum(1L, 50L)
+      v <- Gen.chooseNum(0.0, 100.0)
+    } yield (enc, t, v)).map(_.take(40))
+    check(Prop.forAll(genObs) { obsRows =>
+      val distinctRows = obsRows.zipWithIndex.map { case ((e, t, v), i) =>
+        (i.toLong, e, 100L, Some(v), None: Option[String],
+          None: Option[java.sql.Timestamp], None: Option[String],
+          new java.sql.Timestamp(t * 1000), 0)
+      }
+      val obs = distinctRows.toDF("obs_id", "encounter_id", "concept_id",
+        "value_numeric", "value_text", "value_datetime", "value_coded",
+        "obs_datetime", "voided")
+      val cfg = graft.model.FlatTableConfig("t", 1,
+        Seq(graft.model.FlatColumn("w", 100L, "Numeric")))
+      val flat = Flatten.flattenObs(obs, cfg).collect()
+        .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("w"))).toMap
+      // expected winner per encounter: max (ts, obs_id)
+      val expected = distinctRows.groupBy(_._2).map { case (enc, rows) =>
+        enc -> rows.maxBy(r => (r._8.getTime, r._1))._4.get
+      }
+      flat == expected
+    })
+  }
+}
