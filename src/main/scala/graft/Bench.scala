@@ -33,15 +33,38 @@ object Bench {
     // SPARK_GRAFT_ONLY=q1_pricing_summary,q8_star_join → bench a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // wall vs process-CPU vs GC diagnostics per query: if a query's
+    // wall time balloons while cpu/wall stays far below the core
+    // count and GC is idle, the slowdown is host-external (another
+    // tenant / scheduler stall), not this plan — that distinction is
+    // what separates "optimize the query" from "rerun the bench"
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def codeCacheUsedMb: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed).sum / (1 << 20)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val cpu0 = osBean.getProcessCpuTime
+      val gc0 = gcMillis
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+      System.err.println(f"[bench] $name%-28s wall=$dt%8.2fs cpu=$cpuS%8.1fs " +
+        f"(${cpuS / dt}%4.1f cores) gc=${(gcMillis - gc0) / 1000.0}%6.1fs " +
+        f"codecache=${codeCacheUsedMb}%4dMB")
       // isolate queries: drop persisted blocks an operator may have
       // left behind (e.g. minhash's shingle cache) so later timings
       // don't pay its memory pressure

@@ -38,7 +38,14 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_dot(a, b) takes 2 arguments")
-        DotProduct(args(0), args(1))
+        // cast to array<double> like DotProduct.column does, so SQL
+        // callers can pass array<float>/array<int> and still hit the
+        // packed-double fast path (DotProduct itself rejects
+        // non-double arrays at analysis time)
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType}
+        DotProduct(Cast(args(0), ArrayType(DoubleType)),
+          Cast(args(1), ArrayType(DoubleType)))
       }),
     ("graft_shingles",
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),

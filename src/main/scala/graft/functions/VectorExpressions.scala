@@ -29,6 +29,23 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  // Reject anything but array<double> at analysis time: eval reads
+  // the packed-double array layout directly, so e.g. array<float>
+  // or array<int> would silently return garbage, not throw.
+  // (ExpectsInputTypes would do this declaratively but its types are
+  // private[sql]; the SQL builder in GraftExtensions additionally
+  // casts its args so well-typed numeric arrays still work there.)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -36,20 +36,29 @@ object AsOfJoin {
     require(!keys.contains(rightTs) && !keys.contains(leftTs),
       "timestamp columns cannot be join keys")
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightTs)
+    require(rightVals.nonEmpty, "right side has no value columns to attach")
     require(rightVals.intersect(left.columns).isEmpty,
       s"right value columns ${rightVals.mkString(",")} collide with left columns — rename first")
     val leftNonKey = left.columns.filterNot(keys.contains)
-    val outCols = (keys ++ leftNonKey ++ rightVals ++ Seq("__ts", "__side")).map(col)
+    val outCols = (keys ++ leftNonKey ++ Seq("__rrow", "__ts", "__side")).map(col)
 
-    var taggedLeft = left
+    // The entire right row rides in ONE struct so the window fill
+    // below carries it atomically: per-column last(_, ignoreNulls)
+    // would mix columns from different right rows whenever right
+    // value columns contain legitimate NULLs (each column would grab
+    // its own last non-null). The struct is null ⟺ the row came from
+    // the left side, so ignoreNulls skips exactly the left rows.
+    val rrowType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c).copy(name = c)))
+    val taggedLeft = left
       .withColumn("__ts", col(leftTs)).withColumn("__side", lit(1))
-    rightVals.foreach(c => taggedLeft = taggedLeft
-      .withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__rrow", lit(null).cast(rrowType))
 
     // capture __ts BEFORE dropping rightTs — the drop also makes room
     // for a left column of the same name (the leftTs == rightTs case)
     var taggedRight = right
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
+      .withColumn("__rrow", struct(rightVals.map(col): _*))
       .drop(rightTs)
     leftNonKey.foreach(c => taggedRight = taggedRight
       .withColumn(c, lit(null).cast(left.schema(c).dataType)))
@@ -61,9 +70,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightVals.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned
+      .withColumn("__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+    val unpacked = rightVals.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col(s"__rrow.$c"))
     }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    unpacked.filter(col("__side") === 1).drop("__rrow", "__ts", "__side")
   }
 }

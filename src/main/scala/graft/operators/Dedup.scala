@@ -59,7 +59,11 @@ object Dedup {
           .select("shingle")
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    // sizes from the CAPPED set: Jaccard must be computed over one
+    // shingle universe — intersections come from shCapped, so sizes
+    // from the uncapped sh would inflate the denominator and
+    // systematically underestimate every score
+    val sizes = shCapped.groupBy("doc").agg(count(lit(1)).as("n"))
     val a = shCapped.select(col("doc").as("da"), col("shingle"))
     val b = shCapped.select(col("doc").as("db"), col("shingle"))
     val inter = a.join(b, Seq("shingle"))

@@ -97,6 +97,17 @@ object Flatten {
     * full [[flattenObs]] over the final obs state — note the changed
     * encounters' obs must be re-read IN FULL (not just the changed
     * rows), which is why this keys on encounter, not on obs row.
+    *
+    * Deletion semantics: existing wide rows are anti-joined against
+    * the CHANGED-ENCOUNTER set, not against the fresh rows' keys — an
+    * encounter whose every config-relevant obs became voided in a
+    * tick produces NO fresh row, and keying the merge on fresh rows
+    * would leave its stale wide row behind (a full refresh drops it).
+    * Caveat this implies: voiding/deleting an obs only registers if
+    * it bumps one of `tsCols` past the bookmark (OpenMRS's
+    * date_voided/date_changed audit columns serve exactly this role);
+    * an in-place delete with no audit trail is invisible to any
+    * bookmark-based incremental scheme.
     */
   def flattenObsIncremental(
       obs: DataFrame,
@@ -110,7 +121,9 @@ object Flatten {
     val affectedObs = obs.join(
       broadcast(changedEncounters), Seq("encounter_id"), "left_semi")
     val freshRows = flattenObs(affectedObs, config)
-    Incremental.merge(existingFlat, freshRows, Seq("encounter_id"))
+    existingFlat
+      .join(broadcast(changedEncounters), Seq("encounter_id"), "left_anti")
+      .unionByName(freshRows)
   }
 
   /** Concept datatype → which typed obs value_* column carries the

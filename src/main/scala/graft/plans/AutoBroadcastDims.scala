@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, HintInfo, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, HintInfo, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -22,13 +22,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 case class AutoBroadcastDims(dimNames: Set[String]) extends Rule[LogicalPlan] {
 
   /** A join side is "a dim scan" when, under row-preserving-or-
-    * narrowing nodes only (Project/Filter/alias), it bottoms out at a
-    * scan of a declared dim — such a side is never LARGER than the
-    * dim itself, so the broadcast stays safe.
+    * narrowing nodes only (Project/Filter/alias/view), it bottoms out
+    * at a scan of a declared dim — such a side is never LARGER than
+    * the dim itself, so the broadcast stays safe.
+    *
+    * Deliberately NO matching on alias/view NAME alone: a user frame
+    * `.alias("nation")` or a temp view shadowing a dim name can be
+    * arbitrarily large, and a forced broadcast of it would OOM the
+    * executors. Temp views the engine registers over dim parquet
+    * still match — their stored plans bottom out at the dim scan.
     */
   private def isDimScan(plan: LogicalPlan): Boolean = plan match {
-    case SubqueryAlias(id, child) =>
-      dimNames.contains(id.name.toLowerCase) || isDimScan(child)
+    case SubqueryAlias(_, child) => isDimScan(child)
+    case v: View => isDimScan(v.child)
     case Project(_, child) => isDimScan(child)
     case Filter(_, child) => isDimScan(child)
     case lr: LogicalRelation => lr.relation match {

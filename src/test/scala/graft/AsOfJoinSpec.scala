@@ -41,6 +41,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "state0")))
   }
 
+  test("NULLs in right value columns ride atomically with their row") {
+    // the latest right row has price=NULL, note="n2"; an earlier row
+    // has price=100.0, note="n1". Per-column fill would stitch
+    // (100.0, "n2") — a row that never existed; as-of semantics
+    // require ALL columns from the single latest row: (NULL, "n2").
+    val l = Seq((1L, "A", ts("2024-01-01 12:00:00"))).toDF("id", "sym", "t_ts")
+    val r = Seq(
+      ("A", ts("2024-01-01 10:00:00"), Some(100.0), "n1"),
+      ("A", ts("2024-01-01 11:00:00"), None: Option[Double], "n2"))
+      .toDF("sym", "q_ts", "price", "note")
+    val out = AsOfJoin.asOf(l, r, Seq("sym"), "t_ts", "q_ts")
+      .select("price", "note").collect().head
+    assert(out.isNullAt(0), s"price must be NULL from the latest row, got $out")
+    assert(out.getString(1) == "n2")
+  }
+
   test("colliding right value columns are rejected eagerly") {
     val l = Seq((1L, 7L, ts("2024-01-01 01:00:00"), 5.0)).toDF("id", "k", "ts", "v")
     val r = Seq((7L, ts("2024-01-01 00:30:00"), 1.0)).toDF("k", "rts", "v")

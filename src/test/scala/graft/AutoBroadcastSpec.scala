@@ -38,6 +38,27 @@ class AutoBroadcastSpec extends SparkSpec {
     }
   }
 
+  test("a big frame aliased to a dim name is NOT force-broadcast") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.experimental.extraOptimizations =
+      Seq(AutoBroadcastDims(Tables.smallDims))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // adversarial shape from the round-1 advice: lineitem wearing a
+      // dim's name — matching by alias name alone would broadcast an
+      // arbitrarily large relation (executor OOM at scale)
+      val bigAsDim = Tables.load(spark, sfDir, "lineitem").alias("nation")
+      val o = Tables.load(spark, sfDir, "orders")
+      val joined = o.join(bigAsDim, o("o_orderkey") === col("l_orderkey"))
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "alias-only dim name must not trigger a forced broadcast")
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("temp-view (SQL) joins against dims are covered too") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.experimental.extraOptimizations =

@@ -23,6 +23,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(dotF == 11.0)
   }
 
+  test("graft_dot: raw float/int arrays are cast, not read as garbage") {
+    GraftExtensions.register(spark)
+    // pre-fix, an uncast array<float> passed analysis and getDouble
+    // read the wrong byte layout silently; the builder now casts
+    val f = spark.sql(
+      "SELECT graft_dot(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(f == 11.0)
+    val i = spark.sql("SELECT graft_dot(array(1, 2), array(3, 4)) AS d")
+      .as[Double].head()
+    assert(i == 11.0)
+    // and the expression itself rejects non-double arrays when built
+    // directly (no cast wrapper), instead of returning garbage
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val rawDot = GraftSqlBridge.column(graft.functions.DotProduct(
+      GraftSqlBridge.expression(col("a")),
+      GraftSqlBridge.expression(col("b"))))
+    val err = intercept[Exception](df.select(rawDot).collect())
+    assert(err.getMessage.toLowerCase.contains("array<double>")
+      || err.getMessage.contains("DATATYPE_MISMATCH"), err.getMessage)
+  }
+
   test("graft_shingles accepts foldable k, rejects non-foldable k") {
     GraftExtensions.register(spark)
     // foldable-but-not-literal is fine (evaluated at analysis)
