@@ -76,6 +76,79 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unit-length (L2) normalization of an array<double> vector, codegen'd.
+  *
+  * Exists for the same reason as [[DotProduct]]: the higher-order
+  * formulation `transform(v, x => x / sqrt(aggregate(...)))`
+  * re-evaluates an interpreted norm for every element — O(d²)
+  * interpreted work per row, which made the IVF quantizer's assign
+  * step effectively single-threaded-slow. This is two primitive
+  * loops inside whole-stage codegen.
+  *
+  * A zero vector normalizes to itself (no NaNs downstream — dot with
+  * anything stays 0, which ranks it last in cosine searches).
+  */
+case class L2Normalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_l2_normalize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.catalogString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i); s += d * d; i += 1 }
+    val inv = if (s == 0.0) 1.0 else 1.0 / math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = x.getDouble(i) * inv; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val inv = ctx.freshName("inv")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = $a.getDouble($i); $s += d * d;
+         |}
+         |double $inv = ($s == 0.0) ? 1.0 : 1.0 / java.lang.Math.sqrt($s);
+         |double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = $a.getDouble($i) * $inv;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+    copy(child = newChild)
+}
+
+object L2Normalize {
+  /** Input cast to array<double> here, mirroring [[DotProduct.column]]. */
+  def column(v: Column): Column =
+    GraftSqlBridge.column(L2Normalize(
+      GraftSqlBridge.expression(v.cast("array<double>"))))
+}
+
 object DotProduct {
   /** Inputs are cast to array<double> here (the expression itself
     * reads doubles — no ImplicitCastInputTypes, that trait's types

@@ -17,14 +17,22 @@ import org.apache.spark.sql.functions._
 object VectorFunctions {
 
   /** Cast array<float> → array<double> once, up front, so every later
-    * product/sum runs in double (float accumulation drifts).
+    * product/sum runs in double (float accumulation drifts). A plain
+    * Cast, NOT `transform(_.cast)`: Cast over arrays is codegen'd,
+    * the higher-order transform is interpreted per element.
     */
-  def toDouble(v: Column): Column =
-    transform(v, x => x.cast("double"))
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
   def dot(a: Column, b: Column): Column = DotProduct.column(a, b)
 
   def normSq(a: Column): Column = dot(a, a)
+
+  /** Unit-length copy (codegen'd [[L2Normalize]]): one norm pass +
+    * one scale pass per row. The naive
+    * `transform(v, x / sqrt(normSq(v)))` re-evaluates the interpreted
+    * norm for EVERY element — O(d²) interpreted work per row.
+    */
+  def l2Normalize(v: Column): Column = L2Normalize.column(v)
 
   /** cos(a,b) = dot / sqrt(|a|²·|b|²) — single-sqrt form; the oracle
     * SQL uses the identical formula so both engines compute the same

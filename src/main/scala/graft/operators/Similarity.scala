@@ -122,7 +122,18 @@ object Similarity {
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5): Array[Array[Double]] = {
+    // every iteration re-scans the unit vectors (assign + update):
+    // persist them once so the parquet read + normalization doesn't
+    // re-run `iters`+1 times
     val unit = unitVectors(corpus, idCol, vecCol, "id", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      trainOnUnit(unit, nCentroids, iters)
+    } finally unit.unpersist()
+  }
+
+  private def trainOnUnit(
+      unit: DataFrame, nCentroids: Int, iters: Int): Array[Array[Double]] = {
     var centroids = unit.orderBy(col("id")).limit(nCentroids)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -149,15 +160,17 @@ object Similarity {
   }
 
   /** L2-normalized copies of (id, vec) — spherical space, so nearest
-    * centroid == max dot and cosine == dot.
+    * centroid == max dot and cosine == dot. Codegen'd normalization
+    * ([[VectorFunctions.l2Normalize]]); the old higher-order
+    * `transform(v, _ / sqrt(normSq(v)))` form recomputed an
+    * interpreted norm per ELEMENT — O(d²) interpreted per row, the
+    * whole IVF path's measured bottleneck.
     */
   private def unitVectors(
       df: DataFrame, idCol: String, vecCol: String,
-      idOut: String, vecOut: String): DataFrame = {
-    val v = VectorFunctions.toDouble(col(vecCol))
+      idOut: String, vecOut: String): DataFrame =
     df.select(col(idCol).as(idOut),
-      transform(v, x => x / sqrt(VectorFunctions.normSq(v))).as(vecOut))
-  }
+      VectorFunctions.l2Normalize(col(vecCol)).as(vecOut))
 
   /** argmax-dot centroid id of a unit vector (k codegen'd dots). */
   private def nearestCentroid(unitVec: Column, centroids: Array[Array[Double]]): Column = {
