@@ -95,6 +95,34 @@ object TextAnalysis {
         md5(array_join(array_sort(array_distinct(tokens(t))), " ")))
   }
 
+  /** TF-IDF weights per (doc, token): tf = occurrences / doc length,
+    * idf = ln(corpusDocs / docsContainingToken). The classic relevance
+    * weight a training-data pipeline uses for keyword scoring and
+    * cheap salient-term extraction.
+    *
+    * Plan shape at scale: one explode (narrow) feeding two hash aggs —
+    * (doc, token) counts shuffle by pair key, document frequencies by
+    * token — plus a scalar corpus count that rides in as a broadcast
+    * crossJoin (one row; no driver-side action inside the plan). Both
+    * aggregations partial-aggregate map-side; nothing touches the raw
+    * corpus twice.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("__n"),
+        explode(col("__toks")).as("token"))
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("__c"), first(col("__n")).as("__n"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(countDistinct(col(idCol)).as("__nd"))
+    tf.join(docFreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        round((col("__c").cast("double") / col("__n")) *
+          log(col("__nd").cast("double") / col("__df")), 4).as("tfidf"))
+  }
+
   /** 60-bit token hash shared by SimHash and the oracle: the top 15
     * hex chars of md5 — reproducible in any engine, unlike
     * murmur/xxhash which are Spark-internal. Positive (fits BIGINT).

@@ -269,6 +269,21 @@ object ExtQueries {
         .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_md5"))
     },
 
+    "text_tfidf" -> QueryDef(
+      doc = "TF-IDF weights per (doc, token): explode → two hash aggs + broadcast scalar corpus count — keyword scoring for salient-term extraction",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS n FROM t),
+        tf AS (SELECT doc_id, token, count(*) AS c, any_value(n) AS n
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+        SELECT doc_id, token,
+               round((c * 1.0 / n) * ln(nd * 1.0 / df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN nd""") { (s, dir) =>
+      TextAnalysis.tfidf(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Flatten, Incremental, Melt, RangeJoin, Sessionize, SkewJoin}
+import graft.operators.{AsOfJoin, BloomJoin, Flatten, Incremental, Melt, RangeJoin, Sessionize, SkewJoin}
 import graft.reports.ReportRegistry
 import graft.sources.Tables
 
@@ -350,6 +350,74 @@ object RefQueries {
                (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items
         FROM orders o
         WHERE o.o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)""")
+    },
+
+    "q25_grouping_sets" -> QueryDef(
+      doc = "explicit GROUPING SETS (not rollup/cube-shaped) + grouping_id disambiguation, one aggregation pass",
+      oracle = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_rows,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          grouping_id().cast("int").as("gid"))
+    },
+
+    "q26_window_analytics" -> QueryDef(
+      doc = "window analytics family: lag/lead, rank, ntile, cume_dist per customer (deterministic unique ordering)",
+      oracle = """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+               round(lag(o_totalprice) OVER w, 2) AS prev_price,
+               round(lead(o_totalprice) OVER w, 2) AS next_price,
+               CAST(rank() OVER wp AS INTEGER) AS price_rank,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(cume_dist() OVER w, 4) AS cd
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wp AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""") { (s, dir) =>
+      // both windows hash-partition by o_custkey → ONE exchange, two
+      // sorts; ordering includes the unique o_orderkey so every
+      // rank/ntile/cume_dist value is deterministic
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wp = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+        rank().over(wp).as("price_rank"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 4).as("cd"))
+    },
+
+    "q27_bloom_join" -> QueryDef(
+      doc = "bloom-pruned equi-join ≡ plain join: fact side filtered by a membership sketch of the dim keys before the exchange (the rung between broadcast-hash and full shuffle)",
+      oracle = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1""") { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      BloomJoin.prunedJoin(t(s, dir, "orders"), dim,
+          factKey = "o_custkey", dimKey = "c_custkey",
+          expectedItems = 100000L, fpp = 0.01)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
     },
 
     "q23_cube" -> QueryDef(
