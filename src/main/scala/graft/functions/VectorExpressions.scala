@@ -149,6 +149,78 @@ object L2Normalize {
       GraftSqlBridge.expression(v.cast("array<double>"))))
 }
 
+/** Symmetric int8 scalar quantization of a vector, codegen'd:
+  * normalize to unit length, then code_i = round(127 · x_i) — each
+  * dimension lands in [-127, 127] and the stored vector shrinks 8×
+  * (array<byte> vs array<double>). Cosine is scale-invariant, so
+  * cosine over the quantized codes approximates cosine over the
+  * originals with per-dimension error ≤ 1/254.
+  *
+  * This is the storage/IO half of the 100 TB ANN story: the corpus
+  * index scans 8× less data; scoring casts codes back to
+  * array<double> (a codegen'd Cast) and reuses [[DotProduct]].
+  * Zero vectors quantize to all-zero codes.
+  */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "graft_int8_quantize"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<double>, got ${t.catalogString}")
+    }
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x.getDouble(i); s += d * d; i += 1 }
+    val scale = if (s == 0.0) 0.0 else 127.0 / math.sqrt(s)
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) { out(i) = math.round(x.getDouble(i) * scale).toByte; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val scale = ctx.freshName("scale")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = $a.getDouble($i); $s += d * d;
+         |}
+         |double $scale = ($s == 0.0) ? 0.0 : 127.0 / java.lang.Math.sqrt($s);
+         |byte[] $arr = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $arr[$i] = (byte) java.lang.Math.round($a.getDouble($i) * $scale);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
+object Int8Quantize {
+  def column(v: Column): Column =
+    GraftSqlBridge.column(Int8Quantize(
+      GraftSqlBridge.expression(v.cast("array<double>"))))
+}
+
 object DotProduct {
   /** Inputs are cast to array<double> here (the expression itself
     * reads doubles — no ImplicitCastInputTypes, that trait's types

@@ -78,4 +78,31 @@ object Multimodal {
   /** End-to-end: documents → binary records → decoded feature table. */
   def featureTable(spark: SparkSession, documents: DataFrame): DataFrame =
     decodeFeatures(asMedia(documents)).toDF()
+
+  /** One extracted "frame": position + content hash. */
+  final case class MediaFrame(doc_id: Long, frame_no: Int, frame_md5: String)
+
+  /** Frame sampling over binary payloads — the video-style op: every
+    * `stride` bytes, take a `frameLen`-byte window and emit its
+    * fingerprint. flatMap keeps it one narrow partition-parallel pass
+    * (a 2-hour video explodes into frames WITHOUT materializing them
+    * all in one row); a real codec replaces the byte-window stub with
+    * keyframe extraction, the (stride, explode, per-frame feature)
+    * plumbing is unchanged.
+    */
+  def sampleFrameFeatures(
+      media: Dataset[MediaRecord],
+      stride: Int = 64, frameLen: Int = 16): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val md = MessageDigest.getInstance("MD5")
+      FakeDecoder.sampleFrames(r.payload, stride, frameLen).iterator.zipWithIndex
+        .map { case (bytes, i) =>
+          md.reset()
+          MediaFrame(r.doc_id, i,
+            md.digest(bytes).map("%02x".format(_)).mkString)
+        }
+    }
+  }
 }

@@ -217,6 +217,41 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Scalar-quantized (int8) exact-scan top-k: the corpus index holds
+    * 8×-smaller code vectors ([[graft.functions.Int8Quantize]] —
+    * unit-normalize then round to ±127), and scoring runs cosine over
+    * the codes (cast back to array<double> — a codegen'd Cast — then
+    * the same [[VectorFunctions.cosine]] hot loop).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] (broadcast queries,
+    * corpus never shuffles, top-k heaps in the only exchange) but the
+    * corpus scan reads the int8 index instead of raw doubles — at
+    * 100 TB of embeddings that is the difference between scanning
+    * 12.5 TB and 100 TB per query batch. Quantization error is
+    * ≤1/254 per dimension → recall<1 by design (rows-only driver
+    * check; recall vs brute force asserted in SimilaritySpec).
+    */
+  def sqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val index = sqIndex(corpus, idCol, vecCol)
+    val q = queries.select(col(idCol).as("qid"),
+      VectorFunctions.toDouble(col(vecCol)).as("qv"))
+    val scored = index
+      .select(col("nid"), col("codes").cast("array<double>").as("cv"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
+    rankTopK(scored, k)
+  }
+
+  /** The int8 index build: (id, codes array<byte>) — one narrow
+    * codegen'd pass over the corpus, written once and scanned by
+    * every query batch.
+    */
+  def sqIndex(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("nid"),
+      graft.functions.Int8Quantize.column(col(vecCol)).as("codes"))
+
   /** Distinct (query, corpus) candidate pairs the multi-table LSH
     * would exact-score — the pruning metric (vs |corpus|×|queries|
     * for brute force).

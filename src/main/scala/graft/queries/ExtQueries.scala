@@ -176,6 +176,29 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
+    "ann_topk_sq" -> QueryDef.noOracle(
+      doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes) — quantization error → rows-only; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.sqTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+
+    "multimodal_frames" -> QueryDef(
+      doc = "frame sampling over binary payloads: every 64 bytes take a 16-byte window, fingerprint per frame (video keyframe plumbing, stubbed codec)",
+      oracle = """
+        WITH f AS (SELECT doc_id, text,
+                          unnest(generate_series(0, CAST(floor((length(text) - 1) / 64.0) AS INTEGER))) AS fn
+                   FROM documents WHERE length(text) > 0)
+        SELECT doc_id, CAST(fn AS INTEGER) AS frame_no,
+               md5(substr(text, fn * 64 + 1, 16)) AS frame_md5
+        FROM f""") { (s, dir) =>
+      Multimodal.sampleFrameFeatures(
+        Multimodal.asMedia(Tables.load(s, dir, "documents")),
+        stride = 64, frameLen = 16).toDF()
+    },
+
     "text_tokens" -> QueryDef(
       doc = "token counting: whitespace + BPE-ish regex pre-tokenizer counts",
       oracle = s"""

@@ -96,6 +96,21 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming exact dedup by event id — the streaming twin of the
+    * dedup family: duplicates arriving within the watermark horizon
+    * are dropped with bounded state (one key per event inside the
+    * horizon; keys older than the watermark are evicted, which is the
+    * only way dedup state stays finite on an unbounded stream). An
+    * at-least-once upstream (Kafka replays, retried batches) becomes
+    * effectively-once downstream.
+    */
+  def dedupEvents(
+      events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Recommended sink wiring for the aggregations above (documentation
     * +  smoke-tested): append mode emits each window exactly once,
     * after the watermark closes it.

@@ -32,4 +32,16 @@ class MultimodalSpec extends SparkSpec {
       (0 until 10).map(_.toByte).toArray, stride = 4, frame = 2)
     assert(frames.map(_.toSeq) == Seq(Seq(0, 1), Seq(4, 5), Seq(8, 9)).map(_.map(_.toByte)))
   }
+
+  test("sampleFrameFeatures explodes one fingerprint per frame window") {
+    // 10 chars, stride 4 → frames at offsets 0/4/8 (last one short)
+    val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrameFeatures(
+      Multimodal.asMedia(docs), stride = 4, frameLen = 2).collect()
+      .sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 1, 2))
+    // md5("ab"), md5("ef"), md5("ij") — per-window content hashes
+    assert(frames(0).frame_md5 == "187ef4436122d1cc2f40dc2b92f0eba0")
+    assert(frames.map(_.frame_md5).distinct.length == 3)
+  }
 }

@@ -68,6 +68,27 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("dedupEvents drops within-watermark duplicates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.dedupEvents(events, "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    // replay event 1 (same id, an at-least-once redelivery) plus one
+    // genuinely new event — only the new one must survive
+    mem.addData(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+      (9L, ts("2024-01-01 23:30:00"), 3L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup").select("event_id")
+      .as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 9L), s"got $ids")
+  }
+
   test("runningUserStats accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStreaming.UserEvent]
