@@ -89,8 +89,10 @@ object Dedup {
     * With b=32, r=4: P(detect | J=0.7) ≈ 0.9998, →1 rapidly above.
     *
     * minhash_i(doc) = min over shingles of (a_i·h + b_i mod p):
-    * computed as one aggregate with NUM_PERM min() columns — single
-    * shuffle by doc, map-side partial mins, no UDAF.
+    * computed as ONE typed aggregation with a long[numPerm] buffer
+    * ([[graft.functions.MinHashAggregator]]) — single shuffle by doc,
+    * map-side partial mins. The equivalent 128-column min() aggregate
+    * produced codegen so large its compile time dominated the query.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
@@ -113,17 +115,20 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, k)
       .withColumn("h", pmod(xxhash64(col("shingle")), lit(prime)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minCols = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(prime))).as(s"m$i")
-    }
-    val sig = sh.groupBy(col("doc")).agg(minCols.head, minCols.tail: _*)
+    val mh = org.apache.spark.sql.functions.udaf(
+      graft.functions.MinHashAggregator.minhash(
+        coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, prime),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sig = sh.groupBy(col("doc")).agg(mh(col("h")).as("sig"))
 
     // ALL bands in one projection (explode of (band, bkey) structs):
-    // a per-band select + union would re-run the 128-agg signature
-    // job once per band — measured 30× slower at sf0.1.
+    // a per-band select + union would re-run the signature job once
+    // per band — measured 30× slower at sf0.1. element_at pulls the
+    // same longs the old per-column form fed xxhash64, so band keys
+    // (and thus candidates) are bit-identical.
     val bandRows = sig.select(col("doc"), explode(array((0 until bands).map { bi =>
       val cols = (bi * rowsPerBand until (bi + 1) * rowsPerBand)
-        .map(i => col(s"m$i"))
+        .map(i => element_at(col("sig"), i + 1))
       struct(lit(bi).as("band"), xxhash64(cols: _*).as("bkey"))
     }: _*)).as("tb"))
       .select(col("doc"), col("tb.band"), col("tb.bkey"))
