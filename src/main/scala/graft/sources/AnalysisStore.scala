@@ -25,6 +25,27 @@ object AnalysisStore {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** Bucketed + sorted table write: pre-shuffles once at WRITE time by
+    * `bucketBy` so every later equi-join/aggregation on the bucket key
+    * between co-bucketed tables plans with NO exchange — the join
+    * reads matching buckets directly (SortMergeJoin over pre-sorted
+    * buckets, no shuffle, no sort). This is the 100 TB answer to
+    * "this join runs every tick": pay the shuffle once in the store,
+    * not per query. Requires a table-catalog write (`saveAsTable`) —
+    * bucket metadata lives in the catalog, plain parquet paths can't
+    * carry it.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Merge `delta` into the table at `path` by key (rows with a key
     * present in delta are replaced; new keys appended). Missing table
     * → plain write. The merged result is staged and swapped so a

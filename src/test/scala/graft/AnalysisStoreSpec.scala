@@ -22,6 +22,45 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(back.columns.contains("d")) // partition column readable
   }
 
+  test("co-bucketed tables join with no exchange and prune partitions") {
+    import org.apache.spark.sql.functions._
+    // two tables bucketed the same way on the join key: the sort-merge
+    // join must read buckets directly — zero Exchange, zero Sort in
+    // the plan (the write paid the shuffle once)
+    val facts = Seq((1L, 10.0, "2024-01-01"), (2L, 20.0, "2024-01-01"),
+      (3L, 30.0, "2024-01-02")).toDF("k", "v", "d")
+    val dims = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "name")
+    AnalysisStore.writeBucketed(facts, "b_facts", Seq("k"), nBuckets = 4)
+    AnalysisStore.writeBucketed(dims, "b_dims", Seq("k"), nBuckets = 4)
+    try {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = spark.table("b_facts")
+          .join(spark.table("b_dims"), Seq("k"))
+        val physical = j.queryExecution.executedPlan.toString
+        assert(!physical.contains("Exchange"),
+          s"bucketed join must not shuffle:\n$physical")
+        assert(j.count() == 3)
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+      // partition pruning on a partitioned store: the scan's partition
+      // filters cut non-matching dirs before any IO
+      val dir = java.nio.file.Files.createTempDirectory("store")
+        .resolve("pp").toString
+      AnalysisStore.writeFull(facts, dir, partitionBy = Seq("d"))
+      val pruned = spark.read.parquet(dir).filter(col("d") === "2024-01-02")
+      val scan = pruned.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(d"),
+        s"expected partition filters in scan:\n$scan")
+      assert(pruned.count() == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_facts")
+      spark.sql("DROP TABLE IF EXISTS b_dims")
+    }
+  }
+
   test("writeIncremental: first write, then merge-by-key over ticks") {
     val dir = Files.createTempDirectory("store").resolve("inc").toString
     AnalysisStore.writeIncremental(spark,
