@@ -57,6 +57,47 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: MinHashAggregator equals the per-permutation min formula") {
+    val prime = 2147483647L
+    val genHashes = Gen.nonEmptyListOf(Gen.chooseNum(0L, prime - 1)).map(_.take(50))
+    val genCoeffs = Gen.listOfN(8, for {
+      a <- Gen.chooseNum(1L, prime - 1)
+      b <- Gen.chooseNum(0L, prime - 1)
+    } yield (a, b))
+    check(Prop.forAll(genHashes, genCoeffs) { (hs, coeffs) =>
+      val as = coeffs.map(_._1).toArray
+      val bs = coeffs.map(_._2).toArray
+      val agg = graft.functions.MinHashAggregator.minhash(as, bs, prime)
+      // fold through reduce (as the partial agg would), then merge
+      // two halves (as the exchange would) — both orders must agree
+      val whole = hs.foldLeft(agg.zero)((s, h) => agg.reduce(s, h))
+      val (h1, h2) = hs.splitAt(hs.length / 2)
+      val merged = agg.merge(
+        h1.foldLeft(agg.zero)((s, h) => agg.reduce(s, h)),
+        h2.foldLeft(agg.zero)((s, h) => agg.reduce(s, h)))
+      val expected = as.indices.map(i =>
+        hs.map(h => (h * as(i) + bs(i)) % prime).min)
+      agg.finish(whole).toSeq == expected &&
+        agg.finish(merged).toSeq == expected
+    })
+  }
+
+  test("property: Int8Quantize codes bounded and direction-preserving") {
+    val genVec = Gen.nonEmptyListOf(Gen.chooseNum(-10.0, 10.0)).map(_.take(16))
+    check(Prop.forAll(genVec) { xs =>
+      val codes = Seq(xs.toArray).toDF("v")
+        .select(graft.functions.Int8Quantize.column(col("v")))
+        .as[Seq[Byte]].head()
+      val norm = math.sqrt(xs.map(x => x * x).sum)
+      codes.length == xs.length &&
+        codes.forall(b => b >= -127 && b <= 127) &&
+        // each code is the rounded scaled coordinate (exact contract)
+        (norm == 0.0 || codes.zip(xs).forall { case (c, x) =>
+          c == math.round(x * 127.0 / norm).toByte
+        })
+    })
+  }
+
   test("property: flatten collision rule always keeps latest obs_datetime") {
     val genObs = Gen.nonEmptyListOf(for {
       enc <- Gen.chooseNum(1L, 3L)
