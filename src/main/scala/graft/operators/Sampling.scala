@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (ext tier).
+  *
+  * Hash-based, not `rand()`-based: the sampling decision for a row is
+  * a pure function of its id, so (a) reruns reproduce the exact same
+  * sample (resumable pipelines, debuggable evals), (b) the sample is
+  * STABLE under corpus growth — new rows don't reshuffle old
+  * decisions the way seeded-rand-per-partition does when partitioning
+  * changes, and (c) the same id draws the same verdict in every
+  * table, so sampled fact tables stay joinable. The hash is md5 (not
+  * xxhash64) so the decision is reproducible by any engine — the
+  * DuckDB oracle replicates it bit-for-bit.
+  *
+  * Plan shape: a narrow codegen'd filter — no shuffle, pushes nothing
+  * but reads nothing it doesn't need; linear scale-out.
+  */
+object Sampling {
+
+  /** Basis for fraction resolution: fractions quantize to 1/10000. */
+  private val Basis = 10000L
+
+  /** Per-row hash bucket in [0, Basis): first 8 md5 hex chars of the
+    * stringified id. 32 bits of hash → bucket skew ≤ 2⁻³² per id.
+    */
+  def hashBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(Basis))
+
+  /** Uniform deterministic sample: keep ~`fraction` of rows. */
+  def deterministic(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction must be in [0,1]")
+    df.filter(hashBucket(col(idCol)) < lit((fraction * Basis).round))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions with
+    * a default for unlisted strata — the corpus-balancing op (e.g.
+    * downsample dominant languages, keep all of a rare one).
+    */
+  def stratified(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(lit((defaultFraction * Basis).round)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === lit(stratum), lit((f * Basis).round)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+}

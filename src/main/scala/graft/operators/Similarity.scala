@@ -112,47 +112,59 @@ object Similarity {
 
   // ───────────────────────── IVF (inverted file) ─────────────────────────
 
-  /** Spherical k-means coarse quantizer, trained distributed: assign =
-    * argmax dot against broadcast centroids (codegen'd [[DotProduct]]
-    * per centroid); update = per-dimension mean via posexplode +
-    * grouped avg, renormalized driver-side (centroids are a k×dim
-    * model — collecting them is collecting the model, not the data).
-    * Deterministic: init = first k corpus vectors by id.
+  /** Spherical k-means coarse quantizer, trained on a driver-side
+    * SAMPLE — the standard IVF recipe (quantizer quality needs only
+    * O(100)·nCentroids training vectors, not the corpus): take the
+    * first `maxTrainRows` vectors by id (TakeOrdered — per-partition
+    * heaps + driver merge, no full sort even at 100 TB), then iterate
+    * k-means locally. The distributed-iteration formulation this
+    * replaces paid 2 Spark jobs per iteration (plus a fresh codegen
+    * compile of the k-dot assign expression, since the centroid
+    * literals change every round) to crunch a k×dim model — pure
+    * scheduling overhead; the corpus-scale work (assignment) stays
+    * distributed and codegen'd in [[ivfTopK]].
+    *
+    * Deterministic: init = first nCentroids sample vectors; assign =
+    * first argmax-dot on ties; update = id-ordered sequential mean,
+    * renormalized; empty cluster keeps its centroid.
     */
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nCentroids: Int, iters: Int = 5): Array[Array[Double]] = {
-    // every iteration re-scans the unit vectors (assign + update):
-    // persist them once so the parquet read + normalization doesn't
-    // re-run `iters`+1 times
-    val unit = unitVectors(corpus, idCol, vecCol, "id", "v")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      trainOnUnit(unit, nCentroids, iters)
-    } finally unit.unpersist()
-  }
-
-  private def trainOnUnit(
-      unit: DataFrame, nCentroids: Int, iters: Int): Array[Array[Double]] = {
-    var centroids = unit.orderBy(col("id")).limit(nCentroids)
+      nCentroids: Int, iters: Int = 5,
+      maxTrainRows: Int = 65536): Array[Array[Double]] = {
+    val sample = unitVectors(corpus, idCol, vecCol, "id", "v")
+      .orderBy(col("id")).limit(maxTrainRows)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    var centroids = sample.take(nCentroids)
     for (_ <- 0 until iters) {
-      val assigned = unit.withColumn("cid", nearestCentroid(col("v"), centroids))
-      val sums = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg(col("x")).as("m"))
-        .collect()
-      val byCid = sums.groupBy(_.getInt(0))
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < centroids.length) {
+          val ct = centroids(c)
+          var d = 0.0
+          var i = 0
+          val n = math.min(v.length, ct.length)
+          while (i < n) { d += v(i) * ct(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        val s = sums(best)
+        var i = 0
+        while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
       centroids = centroids.indices.map { c =>
-        byCid.get(c) match {
-          case None => centroids(c) // empty cluster keeps its centroid
-          case Some(rows) =>
-            val dim = rows.map(_.getInt(1)).max + 1
-            val m = new Array[Double](dim)
-            rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
-            val n = math.sqrt(m.map(x => x * x).sum)
-            if (n == 0) centroids(c) else m.map(_ / n)
+        if (counts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n == 0) centroids(c) else m.map(_ / n)
         }
       }.toArray
     }

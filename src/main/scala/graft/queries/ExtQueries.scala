@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupCluster, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, DedupCluster, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
@@ -305,6 +305,18 @@ object ExtQueries {
                round((c * 1.0 / n) * ln(nd * 1.0 / df), 4) AS tfidf
         FROM tf JOIN dfreq USING (token) CROSS JOIN nd""") { (s, dir) =>
       TextAnalysis.tfidf(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "sample_stratified" -> QueryDef(
+      doc = "deterministic hash-stratified sampling: keep 50% of 'en' docs, 10% of everything else — md5-bucketed, so reruns and other engines reproduce the exact sample",
+      oracle = """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+              CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END""") { (s, dir) =>
+      Sampling.stratified(Tables.load(s, dir, "documents"),
+          idCol = "doc_id", strataCol = "lang",
+          fractions = Map("en" -> 0.5), defaultFraction = 0.1)
+        .select("doc_id", "lang")
     },
 
     "multimodal_features" -> QueryDef(

@@ -420,6 +420,26 @@ object RefQueries {
           round(sum(col("o_totalprice")), 2).as("total_price"))
     },
 
+    "q28_outer_join" -> QueryDef(
+      doc = "FULL OUTER join closing the join-type matrix (inner/semi/anti/left-asof elsewhere): segment customers × per-customer order counts, nulls surviving on both sides",
+      oracle = """
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+               c.c_mktsegment, o.n_orders
+        FROM (SELECT c_custkey, c_mktsegment FROM customer
+              WHERE c_mktsegment = 'BUILDING') c
+        FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                         FROM orders GROUP BY o_custkey) o
+        ON c.c_custkey = o.o_custkey""") { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+      val o = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_orders"))
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+/** Deterministic hash sampling: reproducibility, stability under
+  * corpus growth, and per-stratum rate accuracy.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deterministic: same sample every run, rate near the fraction") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s1 = Sampling.deterministic(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministic(docs, "doc_id", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2)
+    val rate = s1.size.toDouble / docs.count()
+    assert(math.abs(rate - 0.2) < 0.1, s"rate $rate far from 0.2")
+  }
+
+  test("stable under growth: old rows keep their verdict when rows arrive") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, "x")).toDF("id", "v")
+    val grown = Seq.tabulate(600)(i => (i.toLong, "x")).toDF("id", "v")
+    val before = Sampling.deterministic(docs, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val after = Sampling.deterministic(grown, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(after.filter(_ < 300) == before,
+      "growing the corpus must not change old rows' sampling verdicts")
+  }
+
+  test("stratified: per-stratum rates honor the fraction map") {
+    val rows = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
+    val df = rows.toDF("id", "lang")
+    val sampled = Sampling.stratified(df, "id", "lang",
+      Map("en" -> 0.8), defaultFraction = 0.05)
+    val byLang = sampled.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / 500
+    val deRate = byLang.getOrElse("de", 0L).toDouble / 1500
+    assert(math.abs(enRate - 0.8) < 0.15, s"en rate $enRate")
+    assert(math.abs(deRate - 0.05) < 0.05, s"de rate $deRate")
+    // and it is the SAME rows on a rerun (no rand())
+    val again = Sampling.stratified(df, "id", "lang",
+      Map("en" -> 0.8), defaultFraction = 0.05)
+    assert(sampled.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+}
