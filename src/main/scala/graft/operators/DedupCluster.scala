@@ -54,6 +54,17 @@ object DedupCluster {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
 
+    // convergence metric: labels only ever DECREASE under min-label
+    // propagation, so the label sum strictly decreases until the fixed
+    // point — comparing sums of the checkpointed frame is a cheap
+    // local scan, vs the join-against-previous-labels formulation
+    // (an extra shuffle per round just to detect convergence)
+    // decimal(38,0): a long sum would overflow (ANSI: throw) once
+    // node count × id magnitude passes 2⁶³ — real at corpus scale
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)")))
+        .collect().head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -76,13 +87,12 @@ object DedupCluster {
           least(col("label"), coalesce(col("parent"), col("label")))
             .as("label"))
       val next = jumped.localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum == prevSum
+      prevSum = curSum
       iter += 1
-      System.err.println(f"[cc] iter $iter: changed=$changed, ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.err.println(f"[cc] iter $iter: sum=$curSum, ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
     val out = docs.select(col(idCol))

@@ -58,10 +58,13 @@ class DedupSpec extends SparkSpec {
     val up = uncapped.select("da", "db").as[(Long, Long)].collect().toSet
     val cp = capped.select("da", "db").as[(Long, Long)].collect().toSet
     assert(cp.subsetOf(up))
-    // jaccard values for surviving pairs still computed from full sizes
+    // jaccard over ONE consistent universe (the capped sets): docs 1,2
+    // keep {of and rare, and rare pair, rare pair one/two} → |∩|=2,
+    // |A|=|B|=3 → J = 2/(3+3−2) = 0.5. (Sizing from the UNCAPPED sets
+    // — the round-1 advice bug — gave 2/(4+4−2) ≈ 0.3333.)
     val j12 = capped.filter(col("da") === 1 && col("db") === 2)
-      .select("jaccard").as[Double].collect()
-    assert(j12.forall(_ > 0))
+      .select("jaccard").as[Double].head()
+    assert(j12 == 0.5, s"expected capped-universe jaccard 0.5, got $j12")
   }
 
   test("simhashPairs: near-identical docs collide, distinct docs don't") {
