@@ -440,6 +440,57 @@ object RefQueries {
           col("c_mktsegment"), col("n_orders"))
     },
 
+    "q29_percentiles" -> QueryDef(
+      doc = "exact percentiles (linear-interpolated, the SQL-standard quantile_cont semantics) per group — the exact twin of q21's sketches",
+      oracle = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY l_returnflag""") { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+    },
+
+    "q30_moving_window" -> QueryDef(
+      doc = "RANGE-frame moving aggregate: 30-day trailing revenue per customer (value-based frame, not row-count — the frame family q26 doesn't cover)",
+      oracle = """
+        SELECT o_orderkey, o_custkey,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+                 AS trailing_30d
+        FROM orders""") { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-2592000L, Window.currentRow)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"))
+    },
+
+    "q31_string_funcs" -> QueryDef(
+      doc = "scalar string-function family: concat_ws/substr/replace/lpad/regexp_extract/split over customer names (POSIX-safe regex subset only)",
+      oracle = """
+        SELECT c_custkey,
+               concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+               upper(substr(c_name, 1, 8)) AS name_prefix,
+               replace(c_name, '#', '-') AS name_dashed,
+               lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+               regexp_extract(c_name, '[0-9]+', 0) AS name_digits,
+               CAST(len(string_split(c_name, '#')) AS INTEGER) AS n_parts
+        FROM customer""") { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"),
+        concat_ws("|", col("c_mktsegment"), col("c_nationkey").cast("string"))
+          .as("seg_nat"),
+        upper(substring(col("c_name"), 1, 8)).as("name_prefix"),
+        regexp_replace(col("c_name"), lit("#"), lit("-")).as("name_dashed"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("key_padded"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("name_digits"),
+        size(split(col("c_name"), "#", -1)).as("n_parts"))
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
