@@ -4,7 +4,7 @@ import org.apache.spark.sql.{GraftSqlBridge, SparkSession, SparkSessionExtension
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, WordShingles}
+import graft.functions.{DotProduct, Int8Quantize, L2Normalize, WordShingles}
 
 /** Catalyst integration: expose the native expressions to SQL.
   *
@@ -52,7 +52,25 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_shingles(text, k) takes 2 arguments")
         WordShingles(args(0), intArg(args(1), "k"))
+      }),
+    ("graft_l2_normalize",
+      new ExpressionInfo(classOf[L2Normalize].getName, "graft_l2_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_l2_normalize(v) takes 1 argument")
+        L2Normalize(castToDoubleArray(args(0)))
+      }),
+    ("graft_int8_quantize",
+      new ExpressionInfo(classOf[Int8Quantize].getName, "graft_int8_quantize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_int8_quantize(v) takes 1 argument")
+        Int8Quantize(castToDoubleArray(args(0)))
       }))
+
+  private def castToDoubleArray(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    Cast(e, ArrayType(DoubleType))
+  }
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -98,6 +98,25 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
       numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val (sh, bandRows) = minHashIndex(df, idCol, textCol, k, numPerm, bands)
+    val l = bandRows.select(col("doc").as("da"), col("band"), col("bkey"))
+    val r = bandRows.select(col("doc").as("db"), col("band"), col("bkey"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** The MinHash index: hashed shingle rows (doc, shingle, h) and LSH
+    * band rows (doc, band, bkey). At corpus scale BOTH are analysis-
+    * store tables written once (ideally bucketed by their join keys —
+    * [[graft.sources.AnalysisStore.writeBucketed]]) and maintained
+    * incrementally; [[minHashLshDelta]] probes them with only a
+    * delta's docs.
+    */
+  def minHashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 128, bands: Int = 32): (DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     // 2^31-1 (Mersenne): with h,a,b < 2^31 the product a*h+b stays
@@ -132,14 +151,39 @@ object Dedup {
       struct(lit(bi).as("band"), xxhash64(cols: _*).as("bkey"))
     }: _*)).as("tb"))
       .select(col("doc"), col("tb.band"), col("tb.bkey"))
+    (sh, bandRows)
+  }
 
-    val l = bandRows.select(col("doc").as("da"), col("band"), col("bkey"))
-    val r = bandRows.select(col("doc").as("db"), col("band"), col("bkey"))
+  /** Incremental near-dup detection — the shape dedup actually runs at
+    * 100 TB: a delta of new/changed docs probes the persisted index,
+    * returning exactly the verified pairs that TOUCH the delta
+    * (new×old and new×new; old×old pairs were reported when their
+    * docs arrived). Cost tracks |delta| × bucket hit rate, never
+    * |corpus|²: the delta's band rows broadcast-join the full band
+    * table, and verification shingles are semi-joined down to docs in
+    * candidate pairs.
+    *
+    * @param indexShingles (doc, shingle, …) of the FULL corpus
+    *                      (delta included — the index is maintained
+    *                      first, probed second)
+    * @param indexBands    (doc, band, bkey) of the full corpus
+    * @param deltaIds      one-column frame of the delta's doc ids
+    */
+  def minHashLshDelta(
+      indexShingles: DataFrame, indexBands: DataFrame,
+      deltaIds: DataFrame, threshold: Double): DataFrame = {
+    val delta = deltaIds.toDF("doc")
+    val deltaBands = indexBands.join(broadcast(delta), Seq("doc"), "left_semi")
+    val l = deltaBands.select(col("doc").as("da"), col("band"), col("bkey"))
+    val r = indexBands.select(col("doc").as("db"), col("band"), col("bkey"))
     val candidates = l.join(r, Seq("band", "bkey"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
-
-    verifyJaccard(candidates, sh, threshold)
+      .filter(col("da") =!= col("db"))
+      // normalize (a,b) ordering so new×old pairs found in either
+      // direction, and new×new pairs found twice, dedup to one row
+      .select(least(col("da"), col("db")).as("da"),
+        greatest(col("da"), col("db")).as("db"))
+      .distinct()
+    verifyJaccard(candidates, indexShingles, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs — shared by the

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
+import graft.sources.Tables
 
 /** Dedup family (ext tier): exact groups, shingle edge cases, and the
   * LSH-verified == exact-Jaccard contract the oracle also checks.
@@ -65,6 +66,22 @@ class DedupSpec extends SparkSpec {
     val j12 = capped.filter(col("da") === 1 && col("db") === 2)
       .select("jaccard").as[Double].head()
     assert(j12 == 0.5, s"expected capped-universe jaccard 0.5, got $j12")
+  }
+
+  test("minHashLshDelta returns exactly the full answer's delta-touching pairs") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val full = Dedup.minHashLsh(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // delta = the last quarter of doc ids (arrived "this tick")
+    val cut = 150L
+    val deltaIds = docs.filter(col("doc_id") >= cut).select(col("doc_id"))
+    val (sh, bands) = Dedup.minHashIndex(docs, "doc_id", "text", k = 3)
+    val delta = Dedup.minHashLshDelta(sh, bands, deltaIds, threshold = 0.5)
+      .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter(p => p._1 >= cut || p._2 >= cut)
+    assert(delta == expected,
+      s"missing=${expected -- delta}, extra=${delta -- expected}")
+    assert(expected.nonEmpty, "test corpus produced no delta-touching pairs")
   }
 
   test("simhashPairs: near-identical docs collide, distinct docs don't") {

@@ -23,6 +23,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(dotF == 11.0)
   }
 
+  test("graft_l2_normalize and graft_int8_quantize callable from SQL") {
+    GraftExtensions.register(spark)
+    val n = spark.sql("SELECT graft_l2_normalize(array(3.0D, 4.0D)) AS v")
+      .as[Seq[Double]].head()
+    // contract: x * (1/norm) — reciprocal-multiply, not division
+    assert(n == Seq(3.0 * (1.0 / 5.0), 4.0 * (1.0 / 5.0)))
+    assert(math.abs(math.sqrt(n.map(x => x * x).sum) - 1.0) < 1e-12)
+    val q = spark.sql("SELECT graft_int8_quantize(array(3, 4)) AS c")
+      .as[Seq[Byte]].head()
+    assert(q == Seq(math.round(0.6 * 127).toByte, math.round(0.8 * 127).toByte))
+  }
+
   test("graft_dot: raw float/int arrays are cast, not read as garbage") {
     GraftExtensions.register(spark)
     // pre-fix, an uncast array<float> passed analysis and getDouble
