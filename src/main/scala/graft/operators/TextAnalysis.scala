@@ -17,6 +17,15 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Canonical dedup-preprocessing form: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim — what the
+    * dedup family should hash so cosmetic edits don't defeat
+    * exact-dup detection. (Also exposed as the text_normalize query.)
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * other non-space chars — the pre-tokenizer shape BPE vocabularies
     * assume. Regex kept to the POSIX-safe subset both Java regex and

@@ -286,8 +286,7 @@ object ExtQueries {
                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
                md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_md5
         FROM documents""") { (s, dir) =>
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val norm = TextAnalysis.normalize(col("text"))
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_md5"))
     },
