@@ -60,7 +60,8 @@ object MambaEtlJob {
       p.register(Stage(s"mamba_flat_encounter_$et", Seq("mamba_dim_encounter")) {
         (_, deps) =>
           val cfg = flatConfigs.getOrElse(et,
-            Flatten.autoConfig(src.obs, src.encounter, src.concept, et))
+            Flatten.autoConfig(src.obs, src.encounter, src.concept, et,
+              locale = Some(config.locale)))
           val encIds = deps("mamba_dim_encounter")
             .filter(col("encounter_type") === et)
             .select("encounter_id", "patient_id", "encounter_datetime")

@@ -145,13 +145,24 @@ object Flatten {
     * distinct scan runs over `obs` restricted to the encounter type,
     * then a broadcast join resolves names; only the tiny label list is
     * collected to the driver.
+    *
+    * `locale` implements the reference's "preferred concepts locale"
+    * (reference README.md:127-128): concept names are localized rows,
+    * and the flat column labels come from the configured locale's
+    * name. Ignored when the concept dim carries no locale column.
     */
   def autoConfig(
       obs: DataFrame,
       encounters: DataFrame,
       concepts: DataFrame,
       encounterTypeId: Int,
-      tableNamePrefix: String = "mamba_flat_encounter_"): FlatTableConfig = {
+      tableNamePrefix: String = "mamba_flat_encounter_",
+      locale: Option[String] = None): FlatTableConfig = {
+    val conceptDim = locale match {
+      case Some(l) if concepts.columns.contains("locale") =>
+        concepts.filter(col("locale") === l)
+      case _ => concepts
+    }
     val encIds = encounters
       .filter(col("encounter_type") === encounterTypeId && col("voided") === 0)
       .select("encounter_id")
@@ -159,7 +170,7 @@ object Flatten {
       .join(encIds, Seq("encounter_id"), "left_semi")
       .select("concept_id").distinct()
     val cols = usedConcepts
-      .join(broadcast(concepts), Seq("concept_id"))
+      .join(broadcast(conceptDim), Seq("concept_id"))
       .select(col("concept_id"), col("name"), col("datatype"))
       .collect()
       .map { r =>

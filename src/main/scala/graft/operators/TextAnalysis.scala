@@ -79,17 +79,23 @@ object TextAnalysis {
       lit(0), (acc, x) => acc + x)
     val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
     val nStop = lexScore(toks, lexicons.head._2)
+    // empty docs exist in real corpora: zero denominators become NULL
+    // (ratio undefined) instead of an ANSI DIVIDE_BY_ZERO that kills
+    // the whole pass; NULL ratios make is_quality false via
+    // three-valued AND (nWords >= 5 is already false)
+    val safeWords = when(nWords === 0, lit(null)).otherwise(nWords)
+    val safeChars = when(nChars === 0, lit(null)).otherwise(nChars)
     df.withColumn("n_chars_m", nChars)
       .withColumn("word_count", nWords)
       .withColumn("avg_word_len",
-        round(sumWordLen.cast("double") / nWords, 4))
+        round(sumWordLen.cast("double") / safeWords, 4))
       .withColumn("punct_ratio",
-        round(nPunct.cast("double") / nChars, 4))
+        round(nPunct.cast("double") / safeChars, 4))
       .withColumn("stopword_ratio",
-        round(nStop.cast("double") / nWords, 4))
+        round(nStop.cast("double") / safeWords, 4))
       .withColumn("is_quality",
-        nWords >= 5 && nChars >= 40 &&
-          (nStop.cast("double") / nWords) >= 0.01)
+        coalesce(nWords >= 5 && nChars >= 40 &&
+          (nStop.cast("double") / safeWords) >= 0.01, lit(false)))
   }
 
   /** Exact-content fingerprint (md5 of the raw text) plus an

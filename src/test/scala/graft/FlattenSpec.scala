@@ -142,6 +142,22 @@ class FlattenSpec extends SparkSpec {
     assert(flat.columns.toSet == Set("encounter_id", "hiv_result_", "weight_kg_"))
   }
 
+  test("autoConfig localizes labels per the configured locale") {
+    val encounters = Seq((1L, 7, 0), (2L, 7, 0))
+      .toDF("encounter_id", "encounter_type", "voided")
+    // localized concept dim: one name row per (concept, locale)
+    val concepts = Seq(
+      (100L, "Weight", "Numeric", "en"), (100L, "Peso", "Numeric", "es"),
+      (200L, "HIV Result", "Coded", "en"), (200L, "Resultado VIH", "Coded", "es"))
+      .toDF("concept_id", "name", "datatype", "locale")
+    val en = Flatten.autoConfig(obsFixture, encounters, concepts, 7,
+      locale = Some("en"))
+    val es = Flatten.autoConfig(obsFixture, encounters, concepts, 7,
+      locale = Some("es"))
+    assert(en.columns.map(_.label) == Seq("hiv_result", "weight"))
+    assert(es.columns.map(_.label) == Seq("peso", "resultado_vih"))
+  }
+
   test("FlatTableConfig.fromJson parses the FIXTURES.md §B shape") {
     val cfg = FlatTableConfig.fromJson(
       """{"table_name": "mamba_flat_encounter_anc", "encounter_type_id": 3,

@@ -85,4 +85,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h(1L) != h(3L))
     assert(h.values.forall(_ >= 0)) // 60-bit, fits positive Long
   }
+
+  test("null and empty texts flow through without crashing") {
+    // real corpora contain both; the contract is null-in → null-out
+    // for scalar features, absent-from-output for exploding ops
+    val df = Seq((1L, Some("real words here")), (2L, Some("")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val feats = TextAnalysis.qualityFeatures(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(feats(1L).getAs[Boolean]("is_quality") == false
+      || feats(1L).getAs[Boolean]("is_quality")) // evaluates, no throw
+    assert(feats(3L).isNullAt(feats(3L).fieldIndex("word_count")))
+    // exploding ops: empty/null docs simply contribute no rows
+    val sh = graft.operators.Dedup.shingles(df, "doc_id", "text", 3)
+      .select("doc").as[Long].collect().toSet
+    assert(sh == Set(1L))
+    val norm = df.select(TextAnalysis.normalize(col("text"))).collect()
+    assert(norm(1).getString(0) == "" && norm(2).isNullAt(0))
+    // tfidf ignores docs with no tokens but counts them in the corpus
+    val tf = TextAnalysis.tfidf(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(tf == Set(1L))
+  }
 }
