@@ -55,8 +55,14 @@ object AsOfJoin {
       .withColumn("__rrow", lit(null).cast(rrowType))
 
     // capture __ts BEFORE dropping rightTs — the drop also makes room
-    // for a left column of the same name (the leftTs == rightTs case)
+    // for a left column of the same name (the leftTs == rightTs case).
+    // NULL-key right rows are dropped first: equi-join semantics never
+    // match on NULL, but the window partition would happily group a
+    // null-key left row with null-key right rows and "match" them.
+    // (Null-key LEFT rows survive with nothing to attach — same as a
+    // left join.)
     var taggedRight = right
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
       .withColumn("__rrow", struct(rightVals.map(col): _*))
       .drop(rightTs)

@@ -57,6 +57,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.getString(1) == "n2")
   }
 
+  test("NULL keys never match (equi-join semantics), left rows survive") {
+    val l = Seq(
+      (1L, Some("A"), ts("2024-01-01 12:00:00")),
+      (2L, None: Option[String], ts("2024-01-01 12:00:00")))
+      .toDF("id", "sym", "t_ts")
+    val r = Seq(
+      (Some("A"), ts("2024-01-01 10:00:00"), 1.0),
+      (None: Option[String], ts("2024-01-01 11:00:00"), 99.0)) // null key
+      .toDF("sym", "q_ts", "price")
+    val out = AsOfJoin.asOf(l, r, Seq("sym"), "t_ts", "q_ts")
+      .select("id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))
+    assert(out(2L).isEmpty, "null-key left row must not match null-key right row")
+  }
+
   test("colliding right value columns are rejected eagerly") {
     val l = Seq((1L, 7L, ts("2024-01-01 01:00:00"), 5.0)).toDF("id", "k", "ts", "v")
     val r = Seq((7L, ts("2024-01-01 00:30:00"), 1.0)).toDF("k", "rts", "v")
