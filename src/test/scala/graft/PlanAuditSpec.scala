@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries.Registry
+
+/** Plan-shape regression tests: the scale properties the engine is
+  * designed around, asserted on the actual physical plans of driver
+  * queries — filter pushdown reaching scans, dims broadcasting, shuffle
+  * counts not regressing, top-N avoiding full sorts. A refactor that
+  * silently turns a broadcast join into a shuffle or loses a pushed
+  * filter fails here, not in a 100× slower production run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.all(name).build(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  test("q1: the date predicate reaches the lineitem parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
+  test("q8 star join: all dims broadcast, zero sort-merge joins") {
+    val p = plan("q8_star_join")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q11 top-N plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q11_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q26: both window families share ONE exchange") {
+    val p = plan("q26_window_analytics")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(count(p, "Window") >= 2, p)
+  }
+
+  test("q5 flatten: window dedup + pivot agg share one exchange") {
+    val p = plan("q5_flatten_pivot")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("ann_topk_brute: corpus never shuffles — only the top-k heaps do") {
+    val p = plan("ann_topk_brute")
+    assert(count(p, "Exchange hashpartitioning") == 1, p) // the topK agg
+    assert(p.contains("BroadcastNestedLoopJoin"), p)      // scored via broadcast
+  }
+
+  test("q27 bloom join: dim broadcasts and its segment filter is pushed") {
+    val p = plan("q27_bloom_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+  }
+
+  test("sample_stratified: pure narrow filter, zero exchanges") {
+    val p = plan("sample_stratified")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+  }
+}
