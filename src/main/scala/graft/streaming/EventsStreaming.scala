@@ -96,6 +96,31 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-stream interval join: each click joins the views by the
+    * same user within the preceding `horizon` — attribution at stream
+    * time. Both sides are watermarked and the join condition bounds
+    * the event-time distance, so the engine can expire buffered rows:
+    * state per side ≈ horizon × rate, independent of stream length —
+    * the only formulation that survives an unbounded 100 TB/day feed
+    * (an unbounded-condition stream-stream join buffers forever).
+    */
+  def clickViewAttribution(
+      clicks: DataFrame, views: DataFrame,
+      horizon: String = "10 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    c.join(v,
+      col("user_id") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $horizon") &&
+        col("view_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+  }
+
   /** Streaming exact dedup by event id — the streaming twin of the
     * dedup family: duplicates arriving within the watermark horizon
     * are dropped with bounded state (one key per event inside the

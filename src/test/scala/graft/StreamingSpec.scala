@@ -68,6 +68,38 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (1L, 1L), (2L, 1L), (2L, 1L)))
   }
 
+  test("stream-stream interval join == the equivalent batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickRows = Seq(
+      (10L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0),
+      (11L, ts("2024-01-01 10:40:00"), 2L, "click", 0.0))
+    val viewRows = Seq(
+      (20L, ts("2024-01-01 10:15:00"), 1L, "view", 0.0), // within 10 min of click 10
+      (21L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0), // too old for click 10
+      (22L, ts("2024-01-01 10:39:00"), 2L, "view", 0.0), // within for click 11
+      (23L, ts("2024-01-01 10:41:00"), 2L, "view", 0.0)) // after the click — no
+    val lateC = (98L, ts("2024-01-02 00:00:00"), 8L, "tick", 0.0)
+    val lateV = (99L, ts("2024-01-02 00:00:00"), 9L, "tick", 0.0)
+
+    val memC = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val memV = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventsStreaming.clickViewAttribution(
+      named(memC.toDF()), named(memV.toDF()), "10 minutes", "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("attr").start()
+    memC.addData(clickRows: _*); memV.addData(viewRows: _*)
+    q.processAllAvailable()
+    memC.addData(lateC); memV.addData(lateV) // advance both watermarks
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("attr")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    // batch twin: plain interval join over the same rows
+    assert(streamed == Set((10L, 20L), (11L, 22L)), s"got $streamed")
+  }
+
   test("dedupEvents drops within-watermark duplicates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
