@@ -97,15 +97,38 @@ final class EtlScheduler(
     bookmarks: BookmarkStore,
     sleep: Long => Unit = Thread.sleep) {
 
+  /** Run up to `maxTicks` ticks. A failing tick does NOT kill the
+    * loop — the reference's MySQL EVENT fires on schedule regardless
+    * of the previous run's outcome, and a transient source hiccup
+    * must not silently stop all future ETL. `onError` observes each
+    * failure; after `maxConsecutiveFailures` in a row the loop gives
+    * up and rethrows (a permanently broken pipeline should page
+    * someone, not spin forever).
+    *
+    * @return number of SUCCESSFUL ticks
+    */
   def runLoop(spark: SparkSession, maxTicks: Int,
-      onTick: Map[String, DataFrame] => Unit = _ => ()): Int = {
+      onTick: Map[String, DataFrame] => Unit = _ => (),
+      onError: (Int, Throwable) => Unit = (_, _) => (),
+      maxConsecutiveFailures: Int = 3): Int = {
     var ticks = 0
+    var ok = 0
+    var consecutiveFailures = 0
     while (ticks < maxTicks) {
-      val results = pipeline.run(spark)
-      onTick(results)
+      try {
+        val results = pipeline.run(spark)
+        onTick(results)
+        ok += 1
+        consecutiveFailures = 0
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          consecutiveFailures += 1
+          onError(ticks, e)
+          if (consecutiveFailures >= maxConsecutiveFailures) throw e
+      }
       ticks += 1
       if (ticks < maxTicks) sleep(config.etlIntervalSeconds * 1000L)
     }
-    ticks
+    ok
   }
 }

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC source reader — the production OpenMRS path for SURVEY §2.1
+  * S1 (the reference reads `obs`/`encounter`/`person` from MySQL,
+  * reference pom.xml:279-280, README.md:123). The engine only ever
+  * sees DataFrames, so swapping [[Tables.load]] for [[Jdbc.table]]
+  * changes nothing downstream.
+  *
+  * The scale knob is `partitionColumn`: without it a JDBC read is ONE
+  * task on one executor regardless of cluster size; with bounds it
+  * becomes `numPartitions` range-predicate queries in parallel.
+  * Catalyst pushes filters into the generated SQL (`PushedFilters`
+  * on the JDBC scan node), so `Incremental.changedSince`'s bookmark
+  * predicate runs IN MySQL — a tick ships only changed rows, which is
+  * the whole point of incremental mode over a remote source.
+  *
+  * Untested in this environment (no database in the container) by
+  * construction: the method body is a direct pass-through to
+  * `spark.read.jdbc`, with the option plumbing pinned here.
+  */
+object Jdbc {
+
+  final case class Conn(
+      url: String,                       // jdbc:mysql://host/openmrs
+      user: String,
+      password: String,
+      driver: String = "com.mysql.cj.jdbc.Driver")
+
+  /** Parallel partitioned read of one table (or subquery alias). */
+  def table(
+      spark: SparkSession,
+      conn: Conn,
+      table: String,
+      partitionColumn: String,
+      lowerBound: Long,
+      upperBound: Long,
+      numPartitions: Int): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("user", conn.user)
+    props.setProperty("password", conn.password)
+    props.setProperty("driver", conn.driver)
+    // cursor-stream rows instead of buffering whole result sets in the
+    // executor (the MySQL connector default reads everything into RAM)
+    props.setProperty("fetchsize", "10000")
+    spark.read.jdbc(conn.url, table, partitionColumn,
+      lowerBound, upperBound, numPartitions, props)
+  }
+
+  /** Single-partition read — only for genuinely small tables (dims). */
+  def smallTable(spark: SparkSession, conn: Conn, table: String): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("user", conn.user)
+    props.setProperty("password", conn.password)
+    props.setProperty("driver", conn.driver)
+    spark.read.jdbc(conn.url, table, props)
+  }
+}

@@ -67,4 +67,32 @@ class PipelineSpec extends SparkSpec {
     assert(ticks == 3 && seen == 3)
     assert(slept.toSeq == Seq(7000L, 7000L)) // no sleep after the last tick
   }
+
+  test("scheduler survives transient tick failures, gives up when persistent") {
+    var calls = 0
+    val p = new EtlPipeline(cfg)
+    p.register(Stage("flaky", Nil) { (_, _) =>
+      calls += 1
+      if (calls == 2) throw new RuntimeException("transient source hiccup")
+      Seq((calls, "ok")).toDF("tick", "status")
+    })
+    val bm = new graft.operators.BookmarkStore(
+      java.nio.file.Files.createTempDirectory("bm").resolve("b").toString)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val sched = new EtlScheduler(p, cfg, bm, _ => ())
+    val ok = sched.runLoop(spark, maxTicks = 4,
+      onError = (tick, _) => errors += tick)
+    assert(ok == 3, "3 of 4 ticks succeed")    // tick 2 failed
+    assert(errors.toSeq == Seq(1))             // observed at 0-based tick 1
+
+    // persistent failure: gives up after maxConsecutiveFailures
+    val pBroken = new EtlPipeline(cfg)
+    pBroken.register(Stage("dead", Nil) { (_, _) =>
+      throw new RuntimeException("permanently broken")
+    })
+    val schedBroken = new EtlScheduler(pBroken, cfg, bm, _ => ())
+    val e = intercept[RuntimeException](
+      schedBroken.runLoop(spark, maxTicks = 10, maxConsecutiveFailures = 2))
+    assert(e.getMessage.contains("permanently broken"))
+  }
 }
