@@ -98,6 +98,41 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: asOf equals the naive latest-at-or-before lookup") {
+    val genLeft = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 40L)
+    } yield (k, t)).map(_.take(15))
+    val genRight = Gen.listOf(for {
+      k <- Gen.chooseNum(1L, 3L); t <- Gen.chooseNum(0L, 40L)
+      v <- Gen.option(Gen.chooseNum(0.0, 9.0))
+    } yield (k, t, v)).map(_.take(15))
+    check(Prop.forAll(genLeft, genRight) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) =>
+        (i.toLong, k, new java.sql.Timestamp(t * 1000))
+      }.toDF("id", "k", "lts")
+      // right side deduped per (k, ts): the operator carries the whole
+      // latest ROW; at equal ts the winner among duplicates is
+      // plan-order-dependent, so the property pins unique (k, ts)
+      val rRows = rs.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val out =
+        if (rRows.isEmpty) Map.empty[Long, Option[Double]]
+        else {
+          val right = rRows.map { case (k, t, v) =>
+            (k, new java.sql.Timestamp(t * 1000), v)
+          }.toDF("k", "rts", "price")
+          graft.operators.AsOfJoin.asOf(left, right, Seq("k"), "lts", "rts")
+            .select("id", "price").as[(Long, Option[Double])]
+            .collect().toMap
+        }
+      if (rRows.isEmpty) true
+      else ls.zipWithIndex.forall { case ((k, t), i) =>
+        val expected = rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.flatMap(_._3)
+        out(i.toLong) == expected
+      }
+    })
+  }
+
   test("property: flatten collision rule always keeps latest obs_datetime") {
     val genObs = Gen.nonEmptyListOf(for {
       enc <- Gen.chooseNum(1L, 3L)
