@@ -110,6 +110,36 @@ object TextAnalysis {
         md5(array_join(array_sort(array_distinct(tokens(t))), " ")))
   }
 
+  /** Repetition/diversity features — the filters that catch generated
+    * or boilerplate text that length/punctuation gates miss:
+    * character-level Shannon entropy (low = repetitive byte patterns)
+    * and distinct-token ratio (low = the same words over and over).
+    * One explode + one grouped agg per doc; entropy accumulates in a
+    * deterministic per-character-count sum so the oracle reproduces
+    * it exactly.
+    */
+  def diversityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val charCounts = chars.groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("c"))
+    val entropy = charCounts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log(col("c").cast("double"))).as("clogc"))
+      // H = ln(n) − (Σ c·ln c)/n — one pass, no per-char division
+      .select(col("doc_id"),
+        round(log(col("n").cast("double")) - col("clogc") / col("n"), 4)
+          .as("char_entropy"))
+    val toks = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    val diversity = toks.select(col("doc_id"),
+      when(size(col("__toks")) === 0, lit(null))
+        .otherwise(round(size(array_distinct(col("__toks"))).cast("double") /
+          size(col("__toks")), 4)).as("distinct_token_ratio"))
+    diversity.join(entropy, Seq("doc_id"), "left")
+  }
+
   /** TF-IDF weights per (doc, token): tf = occurrences / doc length,
     * idf = ln(corpusDocs / docsContainingToken). The classic relevance
     * weight a training-data pipeline uses for keyword scoring and

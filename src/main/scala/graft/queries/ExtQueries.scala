@@ -318,6 +318,26 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "text_diversity" -> QueryDef(
+      doc = "repetition filters: character Shannon entropy (ln n − Σc·ln c / n) + distinct-token ratio — catches generated/boilerplate text that length gates miss",
+      oracle = s"""
+        WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                    FROM documents),
+        cc AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY doc_id, c),
+        ent AS (SELECT doc_id,
+                       round(ln(sum(n) * 1.0) - sum(n * ln(n * 1.0)) / sum(n), 4) AS char_entropy
+                FROM cc GROUP BY doc_id),
+        tok AS (SELECT doc_id, $duckToks AS toks FROM documents)
+        SELECT t.doc_id,
+               CASE WHEN len(toks) = 0 THEN NULL
+                    ELSE round(len(list_distinct(toks)) * 1.0 / len(toks), 4)
+               END AS distinct_token_ratio,
+               e.char_entropy
+        FROM tok t LEFT JOIN ent e ON t.doc_id = e.doc_id""") { (s, dir) =>
+      TextAnalysis.diversityFeatures(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """
