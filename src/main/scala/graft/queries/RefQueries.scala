@@ -491,6 +491,27 @@ object RefQueries {
         size(split(col("c_name"), "#", -1)).as("n_parts"))
     },
 
+    "q32_recursive_cte" -> QueryDef(
+      doc = "recursive CTE: iterative self-referencing walk joining the orders table each step (linear recursion, Spark 4 WITH RECURSIVE)",
+      oracle = """
+        WITH RECURSIVE chain(orderkey, custkey, depth) AS (
+          SELECT o_orderkey, o_custkey, 0 FROM orders WHERE o_orderkey = 1
+          UNION ALL
+          SELECT o.o_orderkey, o.o_custkey, c.depth + 1
+          FROM chain c JOIN orders o ON o.o_orderkey = c.orderkey * 2
+          WHERE c.depth < 30)
+        SELECT orderkey, custkey, CAST(depth AS INTEGER) AS depth FROM chain""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH RECURSIVE chain(orderkey, custkey, depth) AS (
+          SELECT o_orderkey, o_custkey, 0 FROM orders WHERE o_orderkey = 1
+          UNION ALL
+          SELECT o.o_orderkey, o.o_custkey, c.depth + 1
+          FROM chain c JOIN orders o ON o.o_orderkey = c.orderkey * 2
+          WHERE c.depth < 30)
+        SELECT orderkey, custkey, CAST(depth AS INTEGER) AS depth FROM chain""")
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """

@@ -86,6 +86,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h.values.forall(_ >= 0)) // 60-bit, fits positive Long
   }
 
+  test("diversityFeatures: entropy and repetition behave on known cases") {
+    val df = Seq(
+      (1L, "aaaaaaaa"),              // one symbol → entropy 0
+      (2L, "abababab"),              // two equal symbols → ln 2
+      (3L, "the the the the"),       // repeated token → low distinct ratio
+      (4L, "all words fully unique"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.diversityFeatures(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("char_entropy") == 0.0)
+    assert(math.abs(out(2L).getAs[Double]("char_entropy") - math.log(2)) < 1e-3)
+    assert(out(3L).getAs[Double]("distinct_token_ratio") == 0.25)
+    assert(out(4L).getAs[Double]("distinct_token_ratio") == 1.0)
+    // entropy orders repetitive < diverse
+    assert(out(1L).getAs[Double]("char_entropy") <
+      out(4L).getAs[Double]("char_entropy"))
+  }
+
   test("null and empty texts flow through without crashing") {
     // real corpora contain both; the contract is null-in → null-out
     // for scalar features, absent-from-output for exploding ops
