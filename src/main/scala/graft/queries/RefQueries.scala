@@ -512,6 +512,39 @@ object RefQueries {
         SELECT orderkey, custkey, CAST(depth AS INTEGER) AS depth FROM chain""")
     },
 
+    "q33_lateral_join" -> QueryDef(
+      doc = "LATERAL correlated subquery join: per-order top line item by price (decorrelates to a ranked join, not a per-row loop)",
+      oracle = """
+        SELECT o.o_orderkey, l.top_price, l.top_qty
+        FROM orders o, LATERAL (
+          SELECT round(l_extendedprice, 2) AS top_price, l_quantity AS top_qty
+          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) l
+        WHERE o.o_orderkey <= 1000""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o.o_orderkey, l.top_price, l.top_qty
+        FROM orders o, LATERAL (
+          SELECT round(l_extendedprice, 2) AS top_price, l_quantity AS top_qty
+          FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) l
+        WHERE o.o_orderkey <= 1000""")
+    },
+
+    "q34_sql_pivot" -> QueryDef(
+      doc = "SQL PIVOT clause: order counts by priority × status (Spark PIVOT syntax; oracle spells the same table as CASE aggregation)",
+      oracle = """
+        SELECT o_orderpriority,
+               CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS open_n,
+               CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS filled_n,
+               CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS partial_n
+        FROM orders GROUP BY o_orderpriority""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+        PIVOT (count(1) FOR o_orderstatus IN ('O' AS open_n, 'F' AS filled_n, 'P' AS partial_n))""")
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
