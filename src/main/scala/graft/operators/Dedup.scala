@@ -99,12 +99,24 @@ object Dedup {
       k: Int = 3, threshold: Double = 0.5,
       numPerm: Int = 128, bands: Int = 32): DataFrame = {
     val (sh, bandRows) = minHashIndex(df, idCol, textCol, k, numPerm, bands)
-    val l = bandRows.select(col("doc").as("da"), col("band"), col("bkey"))
-    val r = bandRows.select(col("doc").as("db"), col("band"), col("bkey"))
+    pairsFromIndex(sh, bandRows, threshold)
+  }
+
+  /** Verified pairs from a prebuilt index — the all-pairs step shared
+    * by [[minHashLsh]] and [[DedupCluster]]. Callers that materialize
+    * the result (checkpoint/write) should `unpersist` the index
+    * shingles afterwards: the persist exists to serve the signature +
+    * verification branches of ONE pass, not to live beyond it.
+    */
+  def pairsFromIndex(
+      indexShingles: DataFrame, indexBands: DataFrame,
+      threshold: Double): DataFrame = {
+    val l = indexBands.select(col("doc").as("da"), col("band"), col("bkey"))
+    val r = indexBands.select(col("doc").as("db"), col("band"), col("bkey"))
     val candidates = l.join(r, Seq("band", "bkey"))
       .filter(col("da") < col("db"))
       .select("da", "db").distinct()
-    verifyJaccard(candidates, sh, threshold)
+    verifyJaccard(candidates, indexShingles, threshold)
   }
 
   /** The MinHash index: hashed shingle rows (doc, shingle, h) and LSH

@@ -105,12 +105,21 @@ object DedupCluster {
   }
 
   /** End-to-end near-dup pruning: MinHash+LSH pairs → components →
-    * per-cluster canonical survivor flag.
+    * per-cluster canonical survivor flag. The shingle cache backing
+    * the pair pipeline is released as soon as connectedComponents has
+    * eagerly checkpointed the pairs — it exists to serve one pass,
+    * and holding it through the label-propagation loop (and beyond,
+    * in a long-lived session) squats on executor storage memory.
     */
   def minHashClusters(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val pairs = Dedup.minHashLsh(docs, idCol, textCol, k, threshold)
-    connectedComponents(docs, pairs, idCol)
+    val (sh, bands) = Dedup.minHashIndex(docs, idCol, textCol, k)
+    val pairs = Dedup.pairsFromIndex(sh, bands, threshold)
+    // connectedComponents checkpoints `pairs` eagerly on entry, so
+    // the shingle cache is dead weight from here on
+    val out = connectedComponents(docs, pairs, idCol)
+    sh.unpersist()
+    out
   }
 }

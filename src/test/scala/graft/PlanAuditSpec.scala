@@ -56,6 +56,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
   }
 
+  test("q33 LATERAL decorrelates to a join, not a per-row nested loop") {
+    val p = plan("q33_lateral_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("sample_stratified: pure narrow filter, zero exchanges") {
     val p = plan("sample_stratified")
     assert(count(p, "Exchange hashpartitioning") == 0, p)
