@@ -545,6 +545,22 @@ object RefQueries {
         PIVOT (count(1) FOR o_orderstatus IN ('O' AS open_n, 'F' AS filled_n, 'P' AS partial_n))""")
     },
 
+    "q35_array_agg" -> QueryDef(
+      doc = "collection aggregates: per-customer sorted order-key list and distinct-status set (collect_list/collect_set made deterministic by sorting, joined for stable hashing)",
+      oracle = """
+        SELECT o_custkey,
+               array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+               array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+        FROM orders WHERE o_custkey <= 200 GROUP BY o_custkey""") { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_custkey") <= 200)
+        .groupBy("o_custkey")
+        .agg(
+          array_join(sort_array(collect_list(col("o_orderkey"))), ",")
+            .as("order_keys"),
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"))
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
