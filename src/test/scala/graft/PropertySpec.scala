@@ -133,6 +133,51 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: bucketized range join equals the naive theta join") {
+    val genPoints = Gen.nonEmptyListOf(Gen.chooseNum(0L, 500L)).map(_.take(20))
+    val genIvals = Gen.nonEmptyListOf(for {
+      s <- Gen.chooseNum(0L, 500L); len <- Gen.chooseNum(0L, 120L)
+    } yield (s, s + len)).map(_.take(10))
+    val genW = Gen.oneOf(7L, 30L, 60L, 200L)
+    check(Prop.forAll(genPoints, genIvals, genW) { (ps, ivs, w) =>
+      val points = ps.zipWithIndex.map { case (t, i) =>
+        (i.toLong, new java.sql.Timestamp(t * 1000))
+      }.toDF("pid", "ts")
+      val intervals = ivs.zipWithIndex.map { case ((s, e), i) =>
+        (i.toLong, new java.sql.Timestamp(s * 1000), new java.sql.Timestamp(e * 1000))
+      }.toDF("iid", "ws", "we")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "ts", "ws", "we", bucketSeconds = w)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      val expected = (for {
+        (t, pi) <- ps.zipWithIndex
+        ((s, e), ii) <- ivs.zipWithIndex
+        if t >= s && t <= e
+      } yield (pi.toLong, ii.toLong)).toSet
+      got == expected
+    })
+  }
+
+  test("property: salted join equals the plain join") {
+    val genLarge = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 4L); v <- Gen.chooseNum(0, 99)
+    } yield (k, v)).map(_.take(30))
+    val genSmall = Gen.nonEmptyListOf(for {
+      k <- Gen.chooseNum(1L, 6L); w <- Gen.alphaStr.map(_.take(3))
+    } yield (k, w)).map(_.take(8).distinct)
+    check(Prop.forAll(genLarge, genSmall) { (ls, ss) =>
+      val large = ls.toDF("k", "v")
+      val small = ss.toDF("k", "w")
+      val plain = large.join(small, Seq("k")).select("k", "v", "w")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      val salted = graft.operators.SkewJoin
+        .saltedJoin(large, small, Seq("k"), factor = 4)
+        .select("k", "v", "w")
+        .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.size).toMap
+      salted == plain // multiset equality — duplicates preserved exactly
+    })
+  }
+
   test("property: flatten collision rule always keeps latest obs_datetime") {
     val genObs = Gen.nonEmptyListOf(for {
       enc <- Gen.chooseNum(1L, 3L)
