@@ -561,6 +561,77 @@ object RefQueries {
             .as("statuses"))
     },
 
+    "q36_exists_subquery" -> QueryDef(
+      doc = "explicit EXISTS / NOT EXISTS subqueries (Catalyst plans semi/anti joins; SQL twin of the DataFrame q16/q17)",
+      oracle = """
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 400000) AS has_big_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 400000) AS has_big_order
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')""")
+    },
+
+    "q37_multiset_ops" -> QueryDef(
+      doc = "INTERSECT ALL / EXCEPT ALL — multiset semantics with duplicate counts preserved (q12 covers the DISTINCT variants)",
+      oracle = """
+        SELECT l_orderkey, 'both' AS src FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+        UNION ALL
+        SELECT l_orderkey, 'a_only' AS src FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+          EXCEPT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_orderkey, 'both' AS src FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+          INTERSECT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+        UNION ALL
+        SELECT l_orderkey, 'a_only' AS src FROM (
+          SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+          EXCEPT ALL
+          SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')""")
+    },
+
+    "q38_nullsafe_join" -> QueryDef(
+      doc = "null-safe equality join (IS NOT DISTINCT FROM): NULL keys match each other — the semantic corner plain equi-joins drop",
+      oracle = """
+        WITH l AS (SELECT o_orderkey,
+                          CASE WHEN o_orderstatus = 'P' THEN NULL
+                               ELSE o_orderstatus END AS k
+                   FROM orders WHERE o_orderkey <= 2000),
+        r AS (SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                   ELSE o_orderstatus END AS k
+              FROM orders)
+        SELECT l.o_orderkey, coalesce(l.k, '__null__') AS k
+        FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""") { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH l AS (SELECT o_orderkey,
+                          CASE WHEN o_orderstatus = 'P' THEN NULL
+                               ELSE o_orderstatus END AS k
+                   FROM orders WHERE o_orderkey <= 2000),
+        r AS (SELECT DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+                                   ELSE o_orderstatus END AS k
+              FROM orders)
+        SELECT l.o_orderkey, coalesce(l.k, '__null__') AS k
+        FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
