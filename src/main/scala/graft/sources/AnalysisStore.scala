@@ -20,10 +20,27 @@ import graft.operators.Incremental
   */
 object AnalysisStore {
 
-  def writeFull(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  /** Columnar formats the store supports. Parquet is the default
+    * (vectorized reader, best pushdown); ORC is the drop-in
+    * alternative when the surrounding platform standardizes on it —
+    * both keep types, stats and predicate pushdown. `csv`/`json` are
+    * EXPORT formats (text, schema-lossy — read them back only with an
+    * explicit schema); they exist for interop, not for the store's own
+    * round-trips.
+    */
+  val ColumnarFormats: Set[String] = Set("parquet", "orc")
+
+  def writeFull(
+      df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      format: String = "parquet"): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
+
+  /** Read a store table back, honoring the format it was written in. */
+  def read(spark: SparkSession, path: String,
+      format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path)
 
   /** Bucketed + sorted table write: pre-shuffles once at WRITE time by
     * `bucketBy` so every later equi-join/aggregation on the bucket key

@@ -61,6 +61,33 @@ class AnalysisStoreSpec extends SparkSpec {
     }
   }
 
+  test("ORC round-trips the store identically; pushdown reaches ORC scans") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("store").resolve("orc").toString
+    val data = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("k", "s", "v")
+    AnalysisStore.writeFull(data, dir, format = "orc")
+    val back = AnalysisStore.read(spark, dir, format = "orc")
+    assertSameRows(back, data)
+    // columnar type fidelity (nullability widens on any file source)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      data.schema.map(f => (f.name, f.dataType)))
+    val filtered = back.filter(col("k") > 1)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(k,1"), scan)
+  }
+
+  test("csv/json export: text formats round-trip given an explicit schema") {
+    val dir = Files.createTempDirectory("store")
+    val data = Seq((1L, "x,with,commas", 1.5)).toDF("k", "s", "v")
+    for (fmt <- Seq("csv", "json")) {
+      val p = dir.resolve(fmt).toString
+      AnalysisStore.writeFull(data, p, format = fmt)
+      val back = spark.read.format(fmt).schema(data.schema).load(p)
+      assertSameRows(back, data)
+    }
+  }
+
   test("writeIncremental: first write, then merge-by-key over ticks") {
     val dir = Files.createTempDirectory("store").resolve("inc").toString
     AnalysisStore.writeIncremental(spark,
