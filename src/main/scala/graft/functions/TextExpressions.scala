@@ -76,6 +76,69 @@ object WordShingles {
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(text), k))
 }
 
+/** Whitespace-token statistics in ONE pass: token count, summed token
+  * length, and an occurrence score per supplied lexicon — the numbers
+  * [[graft.operators.TextAnalysis]]'s quality gate and language ID
+  * both need. The composed form (`size(filter(split(...)))` once per
+  * statistic, `filter(toks, array_contains(lex, t))` once per
+  * language) re-tokenizes per statistic through interpreted
+  * higher-order functions; this walks the text's tokens once with
+  * hash-set lexicon probes — same JIT-robustness rationale as
+  * [[WordShingles]].
+  *
+  * Output struct: (n_words int, sum_word_len int, scores array<int>)
+  * with scores(i) = occurrences (duplicates counted) of lexicons(i)
+  * words — mirroring `size(filter(toks, array_contains(...)))`.
+  */
+case class TokenStats(child: Expression, lexicons: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("sum_word_len", IntegerType, nullable = false),
+    StructField("scores", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    lexicons.map { lex =>
+      val s = new java.util.HashSet[String]()
+      lex.foreach(s.add)
+      s
+    }.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    var nWords = 0
+    var sumLen = 0
+    val scores = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        nWords += 1
+        sumLen += t.codePointCount(0, t.length) // = Spark length() semantics
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(t)) scores(l) += 1
+          l += 1
+        }
+      }
+      i += 1
+    }
+    InternalRow(nWords, sumLen,
+      new GenericArrayData(scores.map(x => x: Any)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
+    copy(child = newChild)
+}
+
+object TokenStats {
+  def column(text: Column, lexicons: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(TokenStats(GraftSqlBridge.expression(text), lexicons))
+}
+
 /** Winnowing document fingerprints (rolling-hash family, per the
   * MOSS scheme: Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every
   * character k-gram, slide a window of w hashes, keep each window's

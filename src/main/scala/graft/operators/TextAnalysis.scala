@@ -52,10 +52,15 @@ object TextAnalysis {
   /** n-gram/stopword-count language ID: score each lexicon against the
     * token list, argmax with a fixed tie-break order (first listed
     * language wins ties — deterministic, mirrored in the oracle).
+    * All lexicon scores come from ONE [[graft.functions.TokenStats]]
+    * pass (the composed per-language filter() was interpreted and
+    * re-walked the tokens per language).
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = lexicons.map { case (lang, lex) => lang -> lexScore(toks, lex) }
+    val stats = graft.functions.TokenStats.column(text, lexicons.map(_._2))
+    val scores = lexicons.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> element_at(stats.getField("scores"), i + 1)
+    }
     // argmax by cascade: pick the first language whose score >= all others
     scores.foldRight(lit(lexicons.last._1)) { case ((lang, s), elseCol) =>
       val geAll = scores.filter(_._1 != lang).map(o => s >= o._2)
@@ -72,13 +77,15 @@ object TextAnalysis {
     */
   def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // one monolithic pass for token count / summed length / stopword
+    // hits — the composed HOF form walked the tokens three times,
+    // interpreted
+    val stats = graft.functions.TokenStats.column(t, Seq(lexicons.head._2))
     val nChars = length(t)
-    val nWords = size(toks)
-    val sumWordLen = aggregate(transform(toks, w => length(w)),
-      lit(0), (acc, x) => acc + x)
+    val nWords = stats.getField("n_words")
+    val sumWordLen = stats.getField("sum_word_len")
     val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
-    val nStop = lexScore(toks, lexicons.head._2)
+    val nStop = element_at(stats.getField("scores"), 1)
     // empty docs exist in real corpora: zero denominators become NULL
     // (ratio undefined) instead of an ANSI DIVIDE_BY_ZERO that kills
     // the whole pass; NULL ratios make is_quality false via
