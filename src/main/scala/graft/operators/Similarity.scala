@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKAggregator, VectorFunctions}
@@ -263,6 +264,40 @@ object Similarity {
   def sqIndex(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
     corpus.select(col(idCol).as("nid"),
       graft.functions.Int8Quantize.column(col(vecCol)).as("codes"))
+
+  /** kNN label prediction: each query takes the majority label of its
+    * k nearest corpus neighbors by cosine (ties: most votes, then
+    * smallest label — deterministic). The label-propagation /
+    * weak-labeling primitive of a training-data pipeline, and the
+    * standard embedding-quality eval (predict held-out labels).
+    *
+    * Plan: [[bruteForceTopK]] (corpus never shuffles, heaps in the
+    * exchange) → broadcast label attach → per-query vote. Swap the
+    * top-k stage for [[lshTopK]]/[[ivfTopK]]/[[sqTopK]] at corpus
+    * scale — the vote is identical.
+    */
+  def knnPredict(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val nbrLabels = corpus.select(col(idCol).as("nid"),
+      col(labelCol).cast("int").as("nlabel"))
+    val votes = top
+      .join(broadcast(nbrLabels), Seq("nid"))
+      .groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n").desc, col("nlabel"))
+    val pred = votes
+      .withColumn("__vr", row_number().over(w))
+      .filter(col("__vr") === 1)
+      .select(col("qid"), col("nlabel").as("pred_label"))
+    pred.join(
+      broadcast(queries.select(col(idCol).as("qid"),
+        col(labelCol).cast("int").as("true_label"))),
+      Seq("qid"))
+      .select("qid", "true_label", "pred_label")
+  }
 
   /** Distinct (query, corpus) candidate pairs the multi-table LSH
     * would exact-score — the pruning metric (vs |corpus|×|queries|

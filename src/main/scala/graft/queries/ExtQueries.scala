@@ -199,6 +199,31 @@ object ExtQueries {
         stride = 64, frameLen = 16).toDF()
     },
 
+    "knn_label_predict" -> QueryDef(
+      doc = "kNN label prediction: majority label of the 5 nearest corpus neighbors per query (most votes, then smallest label) — the weak-labeling / embedding-eval primitive",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        c AS (SELECT * FROM e WHERE vec_id >= 10),
+        scored AS (SELECT b.vec_id AS qid, b.label AS true_label,
+                          a.label AS nlabel, a.vec_id AS nid, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+                   FROM scored),
+        votes AS (SELECT qid, true_label, nlabel, count(*) AS n
+                  FROM ranked WHERE rk <= 5 GROUP BY qid, true_label, nlabel)
+        SELECT qid, CAST(true_label AS INTEGER) AS true_label,
+               CAST(nlabel AS INTEGER) AS pred_label
+        FROM (SELECT qid, true_label, nlabel,
+                     row_number() OVER (PARTITION BY qid ORDER BY n DESC, nlabel) AS vr
+              FROM votes) WHERE vr = 1""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.knnPredict(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
+    },
+
     "text_tokens" -> QueryDef(
       doc = "token counting: whitespace + BPE-ish regex pre-tokenizer counts",
       oracle = s"""
