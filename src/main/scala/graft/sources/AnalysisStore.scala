@@ -63,6 +63,40 @@ object AnalysisStore {
       .saveAsTable(table)
   }
 
+  /** Compact a store table's files to ~`targetFileBytes` each — the
+    * small-files remedy. Incremental ticks and streaming foreachBatch
+    * writes accumulate files far smaller than a scan split; at 100 TB
+    * that means millions of files, NameNode/listing pressure, and a
+    * task per tiny file. Periodic compaction (off the write path)
+    * rewrites the table at the target granularity via the same
+    * staging-swap used by incremental writes, so readers never see a
+    * half-compacted table.
+    *
+    * @return number of files after compaction
+    */
+  def compact(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20,
+      format: String = "parquet"): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val totalBytes = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val compacted = read(spark, path, format)
+      .repartition(nFiles)
+      .localCheckpoint(true) // materialize BEFORE overwriting the source
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    fs.delete(staging, true)
+    compacted.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(backup, true)
+    fs.rename(target, backup)
+    fs.rename(staging, target)
+    fs.delete(backup, true)
+    nFiles
+  }
+
   /** Merge `delta` into the table at `path` by key (rows with a key
     * present in delta are replaced; new keys appended). Missing table
     * → plain write. The merged result is staged and swapped so a

@@ -88,6 +88,22 @@ class AnalysisStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact merges a fragmented table without losing rows") {
+    val dir = Files.createTempDirectory("store").resolve("frag").toString
+    // fragment: 16 partitions of a small table → 16 tiny files
+    val data = (1 to 500).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    data.repartition(16).write.parquet(dir)
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() == 16)
+    val n = AnalysisStore.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(n == 1 && parquetFiles() == 1)
+    assertSameRows(spark.read.parquet(dir), data)
+    // no staging/backup leftovers
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("frag"), s"leftovers: $parent")
+  }
+
   test("writeIncremental: first write, then merge-by-key over ticks") {
     val dir = Files.createTempDirectory("store").resolve("inc").toString
     AnalysisStore.writeIncremental(spark,
