@@ -36,6 +36,17 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < lit((fraction * Basis).round))
   }
 
+  /** Weighted (importance) deterministic sample: each row's keep
+    * probability comes from its own weight column in [0,1] — e.g. a
+    * quality score, so high-quality documents survive preferentially
+    * while the decision stays a pure function of the id (reproducible,
+    * growth-stable). Weights outside [0,1] are clamped.
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
+    df.filter(hashBucket(col(idCol)) < (w * Basis).cast("long"))
+  }
+
   /** Stratified deterministic sample: per-stratum keep fractions with
     * a default for unlisted strata — the corpus-balancing op (e.g.
     * downsample dominant languages, keep all of a rare one).

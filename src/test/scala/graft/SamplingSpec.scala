@@ -33,6 +33,27 @@ class SamplingSpec extends SparkSpec {
       "growing the corpus must not change old rows' sampling verdicts")
   }
 
+  test("weighted: per-row keep probability follows the weight column") {
+    val rows = (0 until 3000).map { i =>
+      (i.toLong, if (i % 3 == 0) 0.0 else if (i % 3 == 1) 0.5 else 1.0)
+    }
+    val df = rows.toDF("id", "q")
+    val kept = Sampling.weighted(df, "id", "q")
+      .select("id", "q").as[(Long, Double)].collect()
+    assert(!kept.exists(_._2 == 0.0))                  // weight 0 → never
+    assert(kept.count(_._2 == 1.0) == 1000)            // weight 1 → always
+    val half = kept.count(_._2 == 0.5) / 1000.0
+    assert(math.abs(half - 0.5) < 0.1, s"half-weight rate $half")
+    // deterministic rerun
+    val again = Sampling.weighted(df, "id", "q").select("id").as[Long].collect()
+    assert(again.toSet == kept.map(_._1).toSet)
+    // out-of-range weights clamp instead of throwing
+    val clamped = Sampling.weighted(
+      Seq((1L, -3.0), (2L, 7.0)).toDF("id", "q"), "id", "q")
+      .select("id").as[Long].collect().toSet
+    assert(clamped == Set(2L))
+  }
+
   test("stratified: per-stratum rates honor the fraction map") {
     val rows = (0 until 2000).map(i => (i.toLong, if (i % 4 == 0) "en" else "de"))
     val df = rows.toDF("id", "lang")
