@@ -61,8 +61,10 @@ object AsOfJoin {
     // null-key left row with null-key right rows and "match" them.
     // (Null-key LEFT rows survive with nothing to attach — same as a
     // left join.)
+    // foldLeft over lit(true): keys = Nil (global as-of, one ordered
+    // stream) stays legal — reduce would throw on the empty list
     var taggedRight = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .filter(keys.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
       .withColumn("__ts", col(rightTs)).withColumn("__side", lit(0))
       .withColumn("__rrow", struct(rightVals.map(col): _*))
       .drop(rightTs)

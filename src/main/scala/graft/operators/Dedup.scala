@@ -208,7 +208,11 @@ object Dedup {
     val docsInPlay = candidates.select(col("da").as("doc"))
       .union(candidates.select(col("db").as("doc"))).distinct()
     val shC = sh.join(broadcast(docsInPlay), Seq("doc"), "left_semi")
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    // sizes from the candidate-restricted rows: shC keeps EVERY
+    // shingle of each in-play doc, so counts are identical to the
+    // full-table aggregate — but the delta path's cost now tracks the
+    // candidate set instead of group-counting the whole corpus index
+    val sizes = shC.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = shC.select(col("doc").as("da"), col("shingle"))
       .join(shC.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
       .filter(col("da") < col("db"))

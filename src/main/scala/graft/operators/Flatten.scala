@@ -118,12 +118,28 @@ object Flatten {
     val changedEncounters = Incremental
       .changedSince(obs, changedSince, tsCols)
       .select("encounter_id").distinct()
+    mergeChanged(obs, existingFlat, config, changedEncounters)
+  }
+
+  /** The changed-encounter merge both incremental paths share (batch
+    * bookmark ticks above, streaming micro-batches in
+    * [[graft.streaming.EtlStreaming]]): re-pivot the changed
+    * encounters' obs IN FULL, drop their stale wide rows (by changed
+    * id, so fully-voided encounters disappear), and union the fresh
+    * ones. One implementation ⇒ the N-ticks ≡ full-refresh contract
+    * is proven once and holds everywhere.
+    */
+  def mergeChanged(
+      obs: DataFrame,
+      existingFlat: DataFrame,
+      config: FlatTableConfig,
+      changedEncounters: DataFrame): DataFrame = {
     val affectedObs = obs.join(
       broadcast(changedEncounters), Seq("encounter_id"), "left_semi")
     val freshRows = flattenObs(affectedObs, config)
     existingFlat
       .join(broadcast(changedEncounters), Seq("encounter_id"), "left_anti")
-      .unionByName(freshRows)
+      .unionByName(freshRows, allowMissingColumns = true)
   }
 
   /** Concept datatype → which typed obs value_* column carries the

@@ -44,7 +44,10 @@ object Sampling {
     */
   def weighted(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
     val w = least(greatest(col(weightCol).cast("double"), lit(0.0)), lit(1.0))
-    df.filter(hashBucket(col(idCol)) < (w * Basis).cast("long"))
+    // round like the static-fraction APIs do — a cast would TRUNCATE
+    // (0.29 * 10000 = 2899.99… → 2899) and flip one bucket's verdict
+    // relative to deterministic(0.29)
+    df.filter(hashBucket(col(idCol)) < round(w * Basis).cast("long"))
   }
 
   /** Stratified deterministic sample: per-stratum keep fractions with

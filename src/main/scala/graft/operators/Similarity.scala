@@ -282,8 +282,10 @@ object Similarity {
     val top = bruteForceTopK(corpus, queries, idCol, vecCol, k)
     val nbrLabels = corpus.select(col(idCol).as("nid"),
       col(labelCol).cast("int").as("nlabel"))
-    val votes = top
-      .join(broadcast(nbrLabels), Seq("nid"))
+    // broadcast the SMALL side — top is |queries|×k rows; the label
+    // table is corpus-sized and must never be the broadcast relation
+    val votes = nbrLabels
+      .join(broadcast(top), Seq("nid"))
       .groupBy(col("qid"), col("nlabel"))
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("qid")

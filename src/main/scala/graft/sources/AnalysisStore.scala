@@ -63,6 +63,28 @@ object AnalysisStore {
       .saveAsTable(table)
   }
 
+  /** Crash-safe table rewrite: materialize the new contents into a
+    * staging dir (the source stays intact and readable throughout),
+    * then swap via renames. Shared by every path that rewrites a
+    * table in place (incremental merge, compaction, streaming ticks)
+    * so the rename choreography lives in exactly one place.
+    */
+  def stageAndSwap(
+      spark: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    fs.delete(staging, true)
+    write(staging.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(backup, true)
+    fs.rename(target, backup)
+    fs.rename(staging, target)
+    fs.delete(backup, true)
+  }
+
   /** Compact a store table's files to ~`targetFileBytes` each — the
     * small-files remedy. Incremental ticks and streaming foreachBatch
     * writes accumulate files far smaller than a scan split; at 100 TB
@@ -80,20 +102,15 @@ object AnalysisStore {
       format: String = "parquet"): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(path)
-    val totalBytes = fs.getContentSummary(target).getLength
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val compacted = read(spark, path, format)
-      .repartition(nFiles)
-      .localCheckpoint(true) // materialize BEFORE overwriting the source
-    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-    fs.delete(staging, true)
-    compacted.write.mode(SaveMode.Overwrite).format(format).save(staging.toString)
-    val backup = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.delete(backup, true)
-    fs.rename(target, backup)
-    fs.rename(staging, target)
-    fs.delete(backup, true)
+    // the staging write READS the still-intact source — no
+    // materialization through executor storage memory needed
+    stageAndSwap(spark, path) { staging =>
+      read(spark, path, format).repartition(nFiles)
+        .write.mode(SaveMode.Overwrite).format(format).save(staging)
+    }
     nFiles
   }
 
@@ -112,14 +129,9 @@ object AnalysisStore {
       writeFull(delta, path)
       return
     }
-    val merged = Incremental.merge(spark.read.parquet(path), delta, keys)
-    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
-    fs.delete(staging, true)
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val backup = new org.apache.hadoop.fs.Path(path + "__old")
-    fs.delete(backup, true)
-    fs.rename(target, backup)
-    fs.rename(staging, target)
-    fs.delete(backup, true)
+    stageAndSwap(spark, path) { staging =>
+      Incremental.merge(spark.read.parquet(path), delta, keys)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
   }
 }

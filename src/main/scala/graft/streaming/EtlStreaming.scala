@@ -50,24 +50,24 @@ object EtlStreaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val changed = batch.select("encounter_id").distinct()
-        val affected = allObs.join(
-          org.apache.spark.sql.functions.broadcast(changed),
-          Seq("encounter_id"), "left_semi")
-        val fresh = Flatten.flattenObs(affected, config)
-        // encounters whose every obs became voided produce no fresh
-        // row; writeIncremental merges by key, so drop-then-merge:
-        // stale rows for changed encounters are replaced by fresh
-        // ones, and fully-voided ones are rewritten as absent via the
-        // anti-join inside the store merge keyed on changed ids
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
-          val existing = spark.read.parquet(storePath)
-          val merged = existing
-            .join(org.apache.spark.sql.functions.broadcast(changed),
-              Seq("encounter_id"), "left_anti")
-            .unionByName(fresh, allowMissingColumns = true)
-          AnalysisStore.writeFull(merged.localCheckpoint(true), storePath)
-        } else AnalysisStore.writeFull(fresh, storePath)
+          // the SAME changed-encounter merge the batch path proves
+          // (Flatten.mergeChanged), written crash-safely: the staging
+          // write reads the still-intact store, then a rename swap —
+          // a tick that dies mid-write never half-destroys the table
+          AnalysisStore.stageAndSwap(spark, storePath) { staging =>
+            Flatten.mergeChanged(allObs,
+                spark.read.parquet(storePath), config, changed)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(staging)
+          }
+        } else {
+          val affected = allObs.join(
+            org.apache.spark.sql.functions.broadcast(changed),
+            Seq("encounter_id"), "left_semi")
+          AnalysisStore.writeFull(Flatten.flattenObs(affected, config), storePath)
+        }
       }
 }
