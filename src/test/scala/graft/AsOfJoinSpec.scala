@@ -72,6 +72,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2L).isEmpty, "null-key left row must not match null-key right row")
   }
 
+  test("empty key list = global as-of over one ordered stream") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 09:00:00"))).toDF("id", "t_ts")
+    val r = Seq((ts("2024-01-01 09:30:00"), 7.0)).toDF("q_ts", "price")
+    val out = AsOfJoin.asOf(l, r, Seq.empty, "t_ts", "q_ts")
+      .select("id", "price").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(7.0)) // after the quote
+    assert(out(2L).isEmpty)       // before any quote
+  }
+
   test("colliding right value columns are rejected eagerly") {
     val l = Seq((1L, 7L, ts("2024-01-01 01:00:00"), 5.0)).toDF("id", "k", "ts", "v")
     val r = Seq((7L, ts("2024-01-01 00:30:00"), 1.0)).toDF("k", "rts", "v")

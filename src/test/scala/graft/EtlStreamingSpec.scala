@@ -65,6 +65,9 @@ class EtlStreamingSpec extends SparkSpec {
       assertSameRows(streamed, Flatten.flattenObs(toObs(obsStore), cfg))
       val e1 = streamed.filter(col("encounter_id") === 1).collect().head
       assert(e1.getAs[Double]("weight") == 64.0) // tick replaced the row
+      // crash-safe swap leaves no staging/backup dirs behind
+      val siblings = new java.io.File(storePath).getParentFile.list().toSeq
+      assert(siblings == Seq("flat"), s"leftovers: $siblings")
     } finally q.stop()
   }
 }
