@@ -632,6 +632,34 @@ object RefQueries {
         FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k""")
     },
 
+    "q39_supply_chain" -> QueryDef(
+      doc = "five-table supply-chain star: lineitem × part × supplier × nation × region — revenue by region and part brand (covers the part/supplier dims)",
+      oracle = """
+        SELECT r.r_name AS region, p.p_brand AS brand,
+               count(*) AS n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size <= 10
+        GROUP BY r.r_name, p.p_brand""") { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") <= 10)
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(r("r_name").as("region"), p("p_brand").as("brand"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(l("l_extendedprice") * (lit(1) - l("l_discount"))), 2)
+            .as("revenue"))
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
