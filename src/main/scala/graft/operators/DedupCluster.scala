@@ -54,21 +54,25 @@ object DedupCluster {
       .withColumn("label", col("id"))
       .localCheckpoint(true)
 
-    // convergence metric: labels only ever DECREASE under min-label
-    // propagation, so the label sum strictly decreases until the fixed
-    // point — comparing sums of the checkpointed frame is a cheap
-    // local scan, vs the join-against-previous-labels formulation
-    // (an extra shuffle per round just to detect convergence)
-    // decimal(38,0): a long sum would overflow (ANSI: throw) once
-    // node count × id magnitude passes 2⁶³ — real at corpus scale
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)")))
-        .collect().head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    // convergence detection rides INSIDE the round's one materializing
+    // job: each row carries a changed flag whose evaluation bumps an
+    // accumulator while localCheckpoint computes the partition — no
+    // second per-round action (the sum-compare formulation paid an
+    // extra job per round; sequential job boundaries are exactly where
+    // a contended host stalls an iterative algorithm). Exact despite
+    // task retries: a retried task re-adds only what it saw — the
+    // fixed point has NO changed rows anywhere, so acc==0 iff converged.
+    val changedAcc = docs.sparkSession.sparkContext
+      .longAccumulator("cc_changed")
+    val bump = udf { (changed: Boolean) =>
+      if (changed) changedAcc.add(1L)
+      changed
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val t0 = System.nanoTime()
+      changedAcc.reset()
       // 1. neighbor min
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dst_label")),
@@ -76,23 +80,25 @@ object DedupCluster {
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_label")).as("nbr_label"))
       val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
       // 2. pointer jump: label := label(label)
-      val jumped = stepped.alias("s")
+      val jumped = stepped
         .join(stepped.select(col("id").as("label"),
           col("label").as("parent")).alias("p"), Seq("label"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("parent"), col("label")))
-            .as("label"))
-      val next = jumped.localCheckpoint(true)
-      val curSum = labelSum(next)
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
+            .as("label"),
+          col("prev"))
+      val next = jumped
+        .select(col("id"), col("label"),
+          bump(col("label") =!= col("prev")).as("changed"))
+        .localCheckpoint(true)
+      labels = next.select("id", "label")
+      converged = changedAcc.value == 0L
       iter += 1
-      System.err.println(f"[cc] iter $iter: sum=$curSum, ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.err.println(f"[cc] iter $iter: changed=${changedAcc.value}, ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
 
     val out = docs.select(col(idCol))
