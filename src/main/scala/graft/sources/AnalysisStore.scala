@@ -134,4 +134,58 @@ object AnalysisStore {
         .write.mode(SaveMode.Overwrite).parquet(staging)
     }
   }
+
+  /** Partition-pruned incremental merge — the write-side twin of the
+    * read-side partition pruning, and the shape a tick MUST take at
+    * 100 TB (reference README.md:133-134 "only add/modify what has
+    * changed"): an unpartitioned [[writeIncremental]] rewrites the
+    * whole table every tick, which turns a 30-minute schedule into a
+    * full-store write amplification.
+    *
+    * Mechanism: collect the delta's partition values (bounded — one
+    * tuple per touched partition, model-sized, never row data), read
+    * ONLY those partitions back (the literal predicate prunes at the
+    * directory level), merge by key, and write with dynamic partition
+    * overwrite — Spark replaces exactly the partition directories
+    * present in the written frame and leaves every other directory's
+    * files untouched (asserted byte-identical in AnalysisStoreSpec).
+    *
+    * Contract: partition columns must be STABLE under updates (a row's
+    * key never moves between partitions — e.g. an encounter's month).
+    * A moved row would leave its stale copy in the old partition; that
+    * case needs the full [[writeIncremental]] rewrite.
+    */
+  def writeIncrementalPartitioned(
+      spark: SparkSession, delta: DataFrame, path: String,
+      keys: Seq[String], partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty,
+      "use writeIncremental for unpartitioned tables")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      writeFull(delta, path, partitionBy)
+      return
+    }
+    import org.apache.spark.sql.functions.{col, lit}
+    val touched = delta.select(partitionBy.map(col): _*).distinct().collect()
+    if (touched.isEmpty) return
+    val touchedPred = touched.map { row =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        col(c) === lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val existingTouched = spark.read.parquet(path).filter(touchedPred)
+    // checkpoint breaks the read-write cycle (Spark refuses to
+    // overwrite a path its own plan reads); holds only the touched
+    // partitions' rows — delta-scale, not table-scale
+    val merged = Incremental.merge(existingTouched, delta, keys)
+      .localCheckpoint(true)
+    merged
+      .write.mode(SaveMode.Overwrite)
+      // per-write option (not session conf): only THIS write replaces
+      // partitions dynamically; static overwrite elsewhere stays safe
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
 }

@@ -104,6 +104,51 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(parent == Seq("frag"), s"leftovers: $parent")
   }
 
+  test("writeIncrementalPartitioned leaves untouched partition dirs byte-identical") {
+    val dir = Files.createTempDirectory("store").resolve("incp").toString
+    val v1 = Seq((1L, "2024-01", "a1"), (2L, "2024-01", "b1"),
+      (3L, "2024-02", "c1"), (4L, "2024-03", "d1")).toDF("k", "m", "v")
+    AnalysisStore.writeIncrementalPartitioned(spark, v1, dir, Seq("k"), Seq("m"))
+    def snap(part: String): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$dir/m=$part")
+      assert(d.isDirectory, s"expected partition dir $d")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    }
+    val before02 = snap("2024-02")
+    val before03 = snap("2024-03")
+    Thread.sleep(10) // so a rewrite would be visible in mtime
+    // tick touches only 2024-01: update k=2, insert k=5
+    val delta = Seq((2L, "2024-01", "b2"), (5L, "2024-01", "e2"))
+      .toDF("k", "m", "v")
+    AnalysisStore.writeIncrementalPartitioned(spark, delta, dir, Seq("k"), Seq("m"))
+    // untouched partitions: same files, same bytes, same mtimes
+    assert(snap("2024-02") == before02, "2024-02 must not be rewritten")
+    assert(snap("2024-03") == before03, "2024-03 must not be rewritten")
+    val rows = spark.read.parquet(dir).select("k", "v").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a1"), (2L, "b2"), (3L, "c1"),
+      (4L, "d1"), (5L, "e2")))
+  }
+
+  test("writeIncrementalPartitioned: N ticks ≡ one full refresh") {
+    val dir = Files.createTempDirectory("store")
+    val incDir = dir.resolve("inc").toString
+    val ticks = Seq(
+      Seq((1L, "2024-01", "a1"), (2L, "2024-02", "b1")),
+      Seq((2L, "2024-02", "b2"), (3L, "2024-03", "c2")),
+      Seq((1L, "2024-01", "a3"), (4L, "2024-02", "d3")))
+    ticks.foreach { t =>
+      AnalysisStore.writeIncrementalPartitioned(spark,
+        t.toDF("k", "m", "v"), incDir, Seq("k"), Seq("m"))
+    }
+    // full refresh of the same logical state: last write per key wins
+    val full = ticks.flatten.groupBy(_._1).map(_._2.last).toSeq
+    assertSameRows(
+      spark.read.parquet(incDir).select("k", "m", "v"),
+      full.toDF("k", "m", "v"))
+  }
+
   test("writeIncremental: first write, then merge-by-key over ticks") {
     val dir = Files.createTempDirectory("store").resolve("inc").toString
     AnalysisStore.writeIncremental(spark,
