@@ -73,6 +73,36 @@ object ExtQueries {
   private val duckCosine =
     "round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4)"
 
+  /** Driver-visible recall gate for an approximate ANN variant: one
+    * Spark job computes recall@5 = |approx ∩ brute| / |brute| (both
+    * sides deterministic — seeded planes/centroids, id tie-breaks),
+    * and emits a single row whose `recall_ok` the literal oracle pins
+    * to 1. A regression in the approximate path craters recall to
+    * ~0.2 and flips the hash — visible in CORRECTNESS instead of only
+    * in a spec. Thresholds sit under the measured deterministic
+    * values (sf0.01: lsh 0.78, ivf 0.74, sq 0.96) with margin, using
+    * the same knobs SimilaritySpec tunes for this near-random corpus.
+    */
+  private def annRecall(variant: String, minRecall: Double)(
+      approx: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): QueryDef =
+    QueryDef(
+      doc = s"recall@5 of the $variant ANN path vs brute force (≥$minRecall ⇒ recall_ok=1) — driver-visible approximate-path regression gate",
+      oracle = s"SELECT '$variant' AS variant, CAST(5 AS INTEGER) AS k, CAST(1 AS INTEGER) AS recall_ok") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(corpus, queries,
+          "vec_id", "embedding", 5)
+        .select(col("qid"), col("nid"))
+      val hits = approx(corpus, queries)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+      brute.join(hits, Seq("qid", "nid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select(lit(variant).as("variant"), lit(5).cast("int").as("k"),
+          (col("recall") >= minRecall).cast("int").as("recall_ok"))
+    }
+
   val defs: Map[String, QueryDef] = Map(
 
     "dedup_exact" -> QueryDef(
@@ -183,6 +213,20 @@ object ExtQueries {
         corpus = e.filter(col("vec_id") >= 10),
         queries = e.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+
+    "ann_recall_lsh" -> annRecall("lsh", 0.6) { (c, q) =>
+      Similarity.lshTopK(c, q, "vec_id", "embedding", 5,
+        bitsPerTable = 4, tables = 16)
+    },
+
+    "ann_recall_ivf" -> annRecall("ivf", 0.6) { (c, q) =>
+      Similarity.ivfTopK(c, q, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 8)
+    },
+
+    "ann_recall_sq" -> annRecall("sq", 0.9) { (c, q) =>
+      Similarity.sqTopK(c, q, "vec_id", "embedding", 5)
     },
 
     "multimodal_frames" -> QueryDef(
