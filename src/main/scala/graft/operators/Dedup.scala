@@ -183,19 +183,31 @@ object Dedup {
     */
   def minHashLshDelta(
       indexShingles: DataFrame, indexBands: DataFrame,
-      deltaIds: DataFrame, threshold: Double): DataFrame = {
+      deltaIds: DataFrame, threshold: Double): DataFrame =
+    verifyJaccard(deltaCandidates(indexBands, deltaIds), indexShingles,
+      threshold)
+
+  /** The delta probe's candidate join, exposed for plan auditing: when
+    * `indexBands` is a store table bucketed on (band, bkey)
+    * ([[graft.sources.AnalysisStore.writeBucketed]]), this join plans
+    * with NO shuffle of the index — the delta semi-join broadcasts
+    * (preserving the scan's bucket distribution) and the band
+    * self-join reads matching buckets directly; the only exchange
+    * left carries the candidate PAIRS (delta-sized), which is the
+    * whole 100 TB story for incremental dedup.
+    */
+  def deltaCandidates(indexBands: DataFrame, deltaIds: DataFrame): DataFrame = {
     val delta = deltaIds.toDF("doc")
     val deltaBands = indexBands.join(broadcast(delta), Seq("doc"), "left_semi")
     val l = deltaBands.select(col("doc").as("da"), col("band"), col("bkey"))
     val r = indexBands.select(col("doc").as("db"), col("band"), col("bkey"))
-    val candidates = l.join(r, Seq("band", "bkey"))
+    l.join(r, Seq("band", "bkey"))
       .filter(col("da") =!= col("db"))
       // normalize (a,b) ordering so new×old pairs found in either
       // direction, and new×new pairs found twice, dedup to one row
       .select(least(col("da"), col("db")).as("da"),
         greatest(col("da"), col("db")).as("db"))
       .distinct()
-    verifyJaccard(candidates, indexShingles, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs — shared by the

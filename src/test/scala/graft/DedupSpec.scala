@@ -84,6 +84,48 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "test corpus produced no delta-touching pairs")
   }
 
+  test("bucketed minhash index: delta probe correct and plans without a full-index shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val (sh, bands) = Dedup.minHashIndex(docs, "doc_id", "text", k = 3)
+    try {
+      // the index persisted as store tables: band rows bucketed on the
+      // probe key (SURVEY §9.1), shingles as a plain table (probed via
+      // broadcast semi-join, never the join's shuffled side)
+      graft.sources.AnalysisStore.writeBucketed(
+        bands, "mh_bands", Seq("band", "bkey"), nBuckets = 8)
+      val shDir = java.nio.file.Files.createTempDirectory("mhidx")
+        .resolve("sh").toString
+      graft.sources.AnalysisStore.writeFull(sh, shDir)
+      sh.unpersist()
+      val bandsT = spark.table("mh_bands")
+      val shT = spark.read.parquet(shDir)
+
+      // correctness through the store round-trip: same contract as the
+      // in-memory delta test
+      val cut = 150L
+      val deltaIds = docs.filter(col("doc_id") >= cut).select(col("doc_id"))
+      val full = Dedup.minHashLsh(docs, "doc_id", "text", k = 3, threshold = 0.5)
+        .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val delta = Dedup.minHashLshDelta(shT, bandsT, deltaIds, threshold = 0.5)
+        .select("da", "db", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(delta == full.filter(p => p._1 >= cut || p._2 >= cut),
+        "store-backed delta probe must equal the in-memory answer")
+
+      // plan shape: the band self-join reads co-located buckets — the
+      // only hash exchange anywhere is the candidate-pair distinct
+      // (delta-sized); the full index never shuffles
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = Dedup.deltaCandidates(bandsT, deltaIds)
+          .queryExecution.executedPlan.toString
+        assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+        assert(p.contains("SortMergeJoin"), p)
+        assert(p.contains("BroadcastHashJoin"), p) // the delta semi-join
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql("DROP TABLE IF EXISTS mh_bands")
+  }
+
   test("simhashPairs: near-identical docs collide, distinct docs don't") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
