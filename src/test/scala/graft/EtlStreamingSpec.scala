@@ -70,4 +70,61 @@ class EtlStreamingSpec extends SparkSpec {
       assert(siblings == Seq("flat"), s"leftovers: $siblings")
     } finally q.stop()
   }
+
+  test("file-drop source: parquet drops drive ticks; checkpoint resumes after restart") {
+    // the deployment shape: a CDC/export job lands parquet files in a
+    // drop directory; the tick stream tails it. MemoryStream proves
+    // the merge semantics — this proves the real source wiring AND
+    // that engine checkpointing (the bookmark's replacement) survives
+    // a crash/restart without reprocessing committed drops.
+    val cfg = FlatTableConfig("flat", 1, Seq(
+      FlatColumn("weight", 100L, "Numeric"),
+      FlatColumn("result", 200L, "Coded")))
+    val batch1: Seq[ObsRow] = Seq(
+      (1L, 1L, 100L, Some(61.0), None, None, None, ts("2024-01-01 10:00:00"), 0),
+      (2L, 2L, 200L, None, None, None, Some("POS"), ts("2024-01-01 11:00:00"), 0))
+    val batch2: Seq[ObsRow] = Seq(
+      (3L, 1L, 100L, Some(64.0), None, None, None, ts("2024-01-02 09:00:00"), 0),
+      (4L, 3L, 200L, None, None, None, Some("NEG"), ts("2024-01-02 10:00:00"), 0))
+
+    val root = Files.createTempDirectory("etlfiles")
+    val dropDir = root.resolve("drops").toString
+    Files.createDirectories(root.resolve("drops"))
+    val storePath = root.resolve("flat").toString
+    val ckpt = root.resolve("ckpt").toString
+    var obsStore: Seq[ObsRow] = Seq.empty
+    val schema = toObs(Nil).schema
+
+    def startQuery() =
+      EtlStreaming.incrementalFlatten(
+          spark.readStream.schema(schema).parquet(dropDir),
+          toObs(obsStore), cfg, storePath, interval = "0 seconds")
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    // tick 1: first drop lands, query processes it
+    obsStore = batch1
+    toObs(batch1).write.mode("append").parquet(dropDir)
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      assertSameRows(spark.read.parquet(storePath),
+        Flatten.flattenObs(toObs(batch1), cfg))
+    } finally q1.stop() // simulated crash/redeploy boundary
+
+    // second drop lands while the query is down
+    obsStore = batch1 ++ batch2
+    toObs(batch2).write.mode("append").parquet(dropDir)
+
+    // restart from the SAME checkpoint: only the new drop is processed
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val replayed = q2.recentProgress.map(_.numInputRows).sum
+      assert(replayed == batch2.size,
+        s"restart must resume from the checkpoint, not reprocess: read $replayed rows")
+      assertSameRows(spark.read.parquet(storePath),
+        Flatten.flattenObs(toObs(obsStore), cfg))
+    } finally q2.stop()
+  }
 }
