@@ -64,10 +64,20 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision keeps the line short (full-precision
+    // doubles tripled its length and got the capture truncated)
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces artifact: stdout capture can truncate; the file
+    // always carries the complete result line
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }
