@@ -245,6 +245,36 @@ object Dedup {
       .select("da", "db", "jaccard")
   }
 
+  /** Benchmark decontamination: per corpus doc, the fraction of its
+    * k-word shingles that appear anywhere in the eval/benchmark set —
+    * the train/test-overlap check a training-data pipeline runs before
+    * shipping a corpus (flag, then drop or ablate, docs that leak
+    * benchmark content).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs,
+    * not the corpus), so its distinct shingle set BROADCASTS; the
+    * corpus side is one narrow shingle explode + a single hash
+    * aggregation by doc. Nothing corpus-sized shuffles except the
+    * (doc, count) rows. Docs with zero shingles (shorter than k words)
+    * cannot carry a k-gram leak and are not emitted.
+    */
+  def contamination(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val c = shingles(corpus, idCol, textCol, k)
+    val e = shingles(eval, idCol, textCol, k)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    c.join(broadcast(e), Seq("shingle"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("hit"), lit(0))).as("h"))
+      .select(col("doc").as(idCol),
+        round(col("h").cast("double") / col("n"), 4).as("overlap_ratio"))
+      .withColumn("is_contaminated", col("overlap_ratio") >= threshold)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole-exact blocking: the 60-bit simhash splits into

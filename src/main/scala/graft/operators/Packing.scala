@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training-data pipelines: assign documents to
+  * fixed-token-budget context windows by concatenation order
+  * ("concatenate the corpus in id order, chunk every `budget`
+  * tokens") — the standard LLM pre-training packing shape. Each doc
+  * gets the pack id and intra-pack offset of its FIRST token.
+  *
+  * The naive formulation is a running token sum over a global
+  * `ORDER BY id` window — which Spark plans as a SINGLE partition
+  * (no partitionBy), the canonical 100 TB scale-killer. This
+  * implementation is the classic two-phase distributed prefix sum
+  * instead:
+  *
+  *  1. split the id space into `nBuckets` contiguous ranges; compute
+  *     per-bucket token totals (one small agg),
+  *  2. prefix-sum those totals on the driver (model-sized: nBuckets
+  *     rows, never row data), broadcast them back,
+  *  3. cumulative sum WITHIN each bucket (parallel windows) + the
+  *     bucket's prefix offset.
+  *
+  * Identical to the single-window answer (prefix decomposition is
+  * exact, ids are unique), but every stage is partition-parallel. The
+  * DuckDB oracle runs the single-window formulation — single-node
+  * engines can afford it; this is precisely the plan shape that does
+  * NOT survive a cluster, which is why the engine doesn't use it.
+  */
+object Packing {
+
+  /** @param df      input with a unique numeric id and a text column
+    * @param budget  tokens per pack (context window length)
+    * @return (idCol, n_tokens int, pack_id bigint, pack_offset bigint)
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, textCol: String,
+      budget: Int, nBuckets: Int = 64): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val counted = df.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
+
+    // contiguous id ranges — bucket boundaries must respect id order
+    // for the prefix decomposition to equal the global cumsum
+    val bounds = counted.agg(min(col(idCol)), max(col(idCol))).head()
+    if (bounds.isNullAt(0))
+      return counted.select(col(idCol), col("n").cast("int").as("n_tokens"),
+        lit(0L).as("pack_id"), lit(0L).as("pack_offset")).limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo) / nBuckets + 1)
+    // DIV: exact integral division (a plain `/` on columns is double
+    // arithmetic — loses exactness past 2^52)
+    val bucketed = counted.withColumn("bucket",
+      expr(s"($idCol - ${lo}L) DIV ${span}L"))
+
+    // per-bucket totals → driver prefix sum (nBuckets scalars, never rows)
+    val totals = bucketed.groupBy("bucket").agg(sum("n").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prefixRows = (0L until (hi - lo) / span + 1).scanLeft((0L, 0L)) {
+      case ((_, acc), b) => (b, acc + totals.getOrElse(b - 1, 0L))
+    }.drop(1).map { case (b, p) => Row(b, p) }
+    val spark = df.sparkSession
+    val prefixes = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("prefix",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+
+    // parallel per-bucket running sums + the bucket's global offset
+    val w = Window.partitionBy("bucket").orderBy(col(idCol))
+    bucketed.join(broadcast(prefixes), Seq("bucket"))
+      .withColumn("start", col("prefix") + sum(col("n")).over(w) - col("n"))
+      .select(col(idCol), col("n").cast("int").as("n_tokens"),
+        expr(s"start DIV $budget").as("pack_id"),
+        (col("start") % budget).as("pack_offset"))
+  }
+}

@@ -215,6 +215,43 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
+    "dedup_contamination" -> QueryDef(
+      doc = "benchmark decontamination: fraction of each corpus doc's 3-gram shingles leaked into the eval split (docs <50) — broadcast eval shingle set, one corpus agg",
+      oracle = s"""
+        WITH $duckShingles,
+        c AS (SELECT * FROM sh WHERE doc >= 50),
+        e AS (SELECT DISTINCT shingle FROM sh WHERE doc < 50),
+        j AS (SELECT c.doc, count(*) AS n,
+                     sum(CASE WHEN e.shingle IS NULL THEN 0 ELSE 1 END) AS h
+              FROM c LEFT JOIN e ON c.shingle = e.shingle
+              GROUP BY c.doc)
+        SELECT doc AS doc_id, round(h * 1.0 / n, 4) AS overlap_ratio,
+               round(h * 1.0 / n, 4) >= 0.5 AS is_contaminated
+        FROM j""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Dedup.contamination(
+        corpus = d.filter(col("doc_id") >= 50),
+        eval = d.filter(col("doc_id") < 50),
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+    },
+
+    "pack_sequences" -> QueryDef(
+      doc = "sequence packing: docs → 512-token context windows by id-order concatenation; distributed two-phase prefix sum (the oracle's single global window is the plan that does NOT survive a cluster)",
+      oracle = """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+               CAST((cum - n) // 512 AS BIGINT) AS pack_id,
+               CAST((cum - n) % 512 AS BIGINT) AS pack_offset
+        FROM c""") { (s, dir) =>
+      graft.operators.Packing.packSequences(
+        Tables.load(s, dir, "documents"), "doc_id", "text", budget = 512)
+    },
+
     "ann_recall_lsh" -> annRecall("lsh", 0.6) { (c, q) =>
       Similarity.lshTopK(c, q, "vec_id", "embedding", 5,
         bitsPerTable = 4, tables = 16)

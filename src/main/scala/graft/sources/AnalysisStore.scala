@@ -99,17 +99,28 @@ object AnalysisStore {
   def compact(
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20,
-      format: String = "parquet"): Int = {
+      format: String = "parquet",
+      partitionBy: Seq[String] = Nil): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // the staging write READS the still-intact source — no
-    // materialization through executor storage memory needed
+    // materialization through executor storage memory needed.
+    // Partitioned tables keep their directory layout: repartition by
+    // the partition columns (so each output task writes whole
+    // partition dirs, not a sliver of every dir) and re-partitionBy on
+    // write; pruning still works after compaction.
     stageAndSwap(spark, path) { staging =>
-      read(spark, path, format).repartition(nFiles)
-        .write.mode(SaveMode.Overwrite).format(format).save(staging)
+      import org.apache.spark.sql.functions.col
+      val src = read(spark, path, format)
+      val w =
+        if (partitionBy.isEmpty) src.repartition(nFiles)
+        else src.repartition(nFiles, partitionBy.map(col): _*)
+      val writer = w.write.mode(SaveMode.Overwrite).format(format)
+      (if (partitionBy.isEmpty) writer
+       else writer.partitionBy(partitionBy: _*)).save(staging)
     }
     nFiles
   }

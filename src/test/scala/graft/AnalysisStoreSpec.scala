@@ -104,6 +104,27 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(parent == Seq("frag"), s"leftovers: $parent")
   }
 
+  test("compact keeps a partitioned table's directory layout and pruning") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("store").resolve("fragp").toString
+    val data = (1 to 400)
+      .map(i => (i.toLong, s"2024-0${i % 3 + 1}", s"v$i")).toDF("k", "m", "v")
+    // fragment each partition dir
+    data.repartition(8).write.partitionBy("m").parquet(dir)
+    def files(part: String) = new java.io.File(s"$dir/m=$part").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01") > 1)
+    AnalysisStore.compact(spark, dir, targetFileBytes = 1L << 30,
+      partitionBy = Seq("m"))
+    // layout survives: still one dir per partition value, fewer files
+    for (p <- Seq("2024-01", "2024-02", "2024-03"))
+      assert(files(p) == 1, s"partition $p not compacted in place")
+    assertSameRows(spark.read.parquet(dir).select("k", "m", "v"), data)
+    val pruned = spark.read.parquet(dir).filter(col("m") === "2024-02")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(m"))
+  }
+
   test("writeIncrementalPartitioned leaves untouched partition dirs byte-identical") {
     val dir = Files.createTempDirectory("store").resolve("incp").toString
     val v1 = Seq((1L, "2024-01", "a1"), (2L, "2024-01", "b1"),

@@ -139,6 +139,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("contamination: leaked shingles flagged, clean and short docs handled") {
+    val eval = Seq((100L, "the quick brown fox jumps over dogs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high today"), // 3 of 5 shingles leak
+      (2L, "completely unrelated training content here"),
+      (3L, "ab")) // shorter than k words → no shingles → not emitted
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, eval, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .orderBy("doc_id").as[(Long, Double, Boolean)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._2 == 0.6 && out(0)._3) // 3/5 leaked → contaminated
+    assert(out(1)._2 == 0.0 && !out(1)._3)
+  }
+
   test("embeddingCosinePairs finds only above-threshold pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))

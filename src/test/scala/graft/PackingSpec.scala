@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Sequence packing: the distributed two-phase prefix sum must equal
+  * the naive single-window cumsum exactly, including across bucket
+  * boundaries, and plan without a single-partition global window.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, budget: Int) = {
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .withColumn("start", sum("n").over(w) - col("n"))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        expr(s"start DIV $budget").as("pack_id"),
+        (col("start") % budget).as("pack_offset"))
+  }
+
+  test("equals the single-window formulation across bucket boundaries") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // few buckets → every bucket boundary is exercised
+    val packed = Packing.packSequences(docs, "doc_id", "text",
+      budget = 128, nBuckets = 7)
+    assertSameRows(packed, naive(docs, 128))
+  }
+
+  test("packs are contiguous: offsets restart and ids partition the token stream") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (10L, "j"))
+      .toDF("doc_id", "text")
+    val rows = Packing.packSequences(docs, "doc_id", "text", budget = 4)
+      .orderBy("doc_id").as[(Long, Int, Long, Long)].collect()
+    // token stream: doc1@0..2, doc2@3..4, doc3@5..8, doc10@9
+    assert(rows.toSeq == Seq(
+      (1L, 3, 0L, 0L), (2L, 2, 0L, 3L), (3L, 4, 1L, 1L), (10L, 1, 2L, 1L)))
+  }
+
+  test("empty input yields an empty packing, not a crash") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Packing.packSequences(docs, "doc_id", "text", budget = 10).count() == 0)
+  }
+
+  test("plan: per-bucket windows, never a single global-order window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = Packing.packSequences(docs, "doc_id", "text", budget = 128)
+      .queryExecution.executedPlan.toString
+    // a global ORDER BY window would show an Exchange SinglePartition
+    // feeding the Window — the 100 TB scale-killer this op avoids
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("Window"), p)
+  }
+}
