@@ -166,9 +166,23 @@ object AnalysisStore {
     * A moved row would leave its stale copy in the old partition; that
     * case needs the full [[writeIncremental]] rewrite.
     */
+  /** @param removeKeys keys whose existing rows must be dropped even
+    *        when `delta` carries no replacement row (the
+    *        deleted/voided-away case — a merge keyed only on the
+    *        delta's rows would leave them behind). Their old partition
+    *        locations are found by a column-pruned scan of
+    *        (keys ++ partitionBy) — O(table) in rows but only a few
+    *        columns of IO, and only when removeKeys is passed.
+    *        Limitation (inherent to dynamic partition overwrite): a
+    *        partition whose every row is removed with nothing new
+    *        written cannot be expressed as "overwrite with empty" —
+    *        use the full [[writeIncremental]] rewrite if mass-deletion
+    *        can empty partitions.
+    */
   def writeIncrementalPartitioned(
       spark: SparkSession, delta: DataFrame, path: String,
-      keys: Seq[String], partitionBy: Seq[String]): Unit = {
+      keys: Seq[String], partitionBy: Seq[String],
+      removeKeys: Option[DataFrame] = None): Unit = {
     require(partitionBy.nonEmpty,
       "use writeIncremental for unpartitioned tables")
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -177,8 +191,20 @@ object AnalysisStore {
       writeFull(delta, path, partitionBy)
       return
     }
-    import org.apache.spark.sql.functions.{col, lit}
-    val touched = delta.select(partitionBy.map(col): _*).distinct().collect()
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val deltaParts = delta.select(partitionBy.map(col): _*).distinct().collect()
+    // rows being removed may live in partitions the delta no longer
+    // writes to — locate them so their partitions are rewritten too
+    val removedParts = removeKeys match {
+      case None => Array.empty[org.apache.spark.sql.Row]
+      case Some(rk) =>
+        spark.read.parquet(path)
+          .select((keys ++ partitionBy).map(col): _*)
+          .join(broadcast(rk.select(keys.map(col): _*).distinct()),
+            keys, "left_semi")
+          .select(partitionBy.map(col): _*).distinct().collect()
+    }
+    val touched = (deltaParts ++ removedParts).distinct
     if (touched.isEmpty) return
     val touchedPred = touched.map { row =>
       partitionBy.zipWithIndex.map { case (c, i) =>
@@ -186,10 +212,14 @@ object AnalysisStore {
       }.reduce(_ && _)
     }.reduce(_ || _)
     val existingTouched = spark.read.parquet(path).filter(touchedPred)
-    // checkpoint breaks the read-write cycle (Spark refuses to
-    // overwrite a path its own plan reads); holds only the touched
-    // partitions' rows — delta-scale, not table-scale
-    val merged = Incremental.merge(existingTouched, delta, keys)
+    val dropKeys = removeKeys.getOrElse(delta)
+      .select(keys.map(col): _*).distinct()
+    val merged = existingTouched
+      .join(broadcast(dropKeys), keys, "left_anti")
+      .unionByName(delta)
+      // checkpoint breaks the read-write cycle (Spark refuses to
+      // overwrite a path its own plan reads); holds only the touched
+      // partitions' rows — delta-scale, not table-scale
       .localCheckpoint(true)
     merged
       .write.mode(SaveMode.Overwrite)

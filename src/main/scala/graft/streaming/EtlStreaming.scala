@@ -35,6 +35,16 @@ object EtlStreaming {
     * table at `storePath`. Caller starts/stops the returned writer
     * (attach `.trigger(...)`/checkpoint options as deployment needs).
     *
+    * With `partitionBy` (the 100 TB deployment shape) the store is a
+    * PARTITIONED table and a tick rewrites only the partitions its
+    * changed encounters touch ([[AnalysisStore
+    * .writeIncrementalPartitioned]] + dynamic partition overwrite)
+    * instead of read-merge-swapping the whole table —
+    * write amplification tracks the delta, not the store.
+    * `withPartitionCols` derives the partition columns on the flat
+    * frame (e.g. month of a flat datetime column); partition values
+    * must be stable per encounter (a visit's month doesn't move).
+    *
     * @param obsDelta streaming frame of changed obs rows (obs schema)
     * @param allObs   batch frame of the full obs store of record
     */
@@ -43,7 +53,9 @@ object EtlStreaming {
       allObs: => DataFrame,
       config: FlatTableConfig,
       storePath: String,
-      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+      interval: String = "30 minutes",
+      partitionBy: Seq[String] = Nil,
+      withPartitionCols: DataFrame => DataFrame = identity): DataStreamWriter[org.apache.spark.sql.Row] =
     obsDelta.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(interval))
@@ -52,7 +64,24 @@ object EtlStreaming {
         val changed = batch.select("encounter_id").distinct()
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(new org.apache.hadoop.fs.Path(storePath))) {
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+        if (partitionBy.nonEmpty) {
+          val affected = allObs.join(
+            org.apache.spark.sql.functions.broadcast(changed),
+            Seq("encounter_id"), "left_semi")
+          val flatDelta = withPartitionCols(Flatten.flattenObs(affected, config))
+          if (exists)
+            // removeKeys = the changed-encounter set, NOT the fresh
+            // rows' keys: an encounter whose every relevant obs was
+            // voided this tick produces no fresh row, and its stale
+            // wide row must still be dropped (same deletion semantics
+            // Flatten.mergeChanged proves for the full-rewrite path)
+            AnalysisStore.writeIncrementalPartitioned(spark, flatDelta,
+              storePath, Seq("encounter_id"), partitionBy,
+              removeKeys = Some(changed))
+          else
+            AnalysisStore.writeFull(flatDelta, storePath, partitionBy)
+        } else if (exists) {
           // the SAME changed-encounter merge the batch path proves
           // (Flatten.mergeChanged), written crash-safely: the staging
           // write reads the still-intact store, then a rename swap —

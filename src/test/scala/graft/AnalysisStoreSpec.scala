@@ -152,6 +152,29 @@ class AnalysisStoreSpec extends SparkSpec {
       (4L, "d1"), (5L, "e2")))
   }
 
+  test("writeIncrementalPartitioned removeKeys drops rows even in partitions the delta skips") {
+    val dir = Files.createTempDirectory("store").resolve("incrm").toString
+    val v1 = Seq((1L, "2024-01", "a1"), (2L, "2024-02", "b1"),
+      (4L, "2024-02", "d1"), (3L, "2024-03", "c1")).toDF("k", "m", "v")
+    AnalysisStore.writeIncrementalPartitioned(spark, v1, dir, Seq("k"), Seq("m"))
+    def snap(part: String): Seq[(String, Long, Long)] =
+      new java.io.File(s"$dir/m=$part").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    val before03 = snap("2024-03")
+    Thread.sleep(10)
+    // tick: update k=1 (2024-01) and DELETE k=2 — which lives in
+    // 2024-02, a partition the delta writes nothing to
+    val delta = Seq((1L, "2024-01", "a2")).toDF("k", "m", "v")
+    AnalysisStore.writeIncrementalPartitioned(spark, delta, dir,
+      Seq("k"), Seq("m"), removeKeys = Some(Seq(1L, 2L).toDF("k")))
+    val rows = spark.read.parquet(dir).select("k", "v").as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a2"), (3L, "c1"), (4L, "d1")),
+      "k=2's stale row must be dropped from its old partition")
+    assert(snap("2024-03") == before03, "2024-03 must not be rewritten")
+  }
+
   test("writeIncrementalPartitioned: N ticks ≡ one full refresh") {
     val dir = Files.createTempDirectory("store")
     val incDir = dir.resolve("inc").toString

@@ -71,6 +71,76 @@ class EtlStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("partitioned store: a tick rewrites only the months its encounters touch") {
+    // 100 TB shape: flat store partitioned by visit month; tick 2
+    // changes only January encounters, so February's directory must
+    // stay byte-identical (no full-table swap), while a fully-voided
+    // January encounter still disappears (removeKeys semantics).
+    val cfg = FlatTableConfig("flat", 1, Seq(
+      FlatColumn("weight", 100L, "Numeric"),
+      FlatColumn("visit_time", 300L, "Datetime")))
+    def obsRow(id: Long, enc: Long, concept: Long, num: Option[Double],
+        dt: Option[Timestamp], at: String, voided: Int = 0): ObsRow =
+      (id, enc, concept, num, None, dt, None, ts(at), voided)
+    val jan1 = "2024-01-05 10:00:00"
+    val jan2 = "2024-01-20 09:00:00"
+    val feb = "2024-02-10 12:00:00"
+    val batch1: Seq[ObsRow] = Seq(
+      obsRow(1L, 1L, 100L, Some(61.0), None, jan1),
+      obsRow(2L, 1L, 300L, None, Some(ts(jan1)), jan1),
+      obsRow(3L, 2L, 100L, Some(70.0), None, jan2),
+      obsRow(4L, 2L, 300L, None, Some(ts(jan2)), jan2),
+      obsRow(5L, 3L, 100L, Some(80.0), None, feb),
+      obsRow(6L, 3L, 300L, None, Some(ts(feb)), feb))
+    // tick 2: encounter 1 gains a later weight; encounter 2 is voided
+    // away entirely (its wide row must vanish without a full rewrite)
+    val batch2: Seq[ObsRow] = Seq(
+      obsRow(7L, 1L, 100L, Some(64.0), None, "2024-01-06 08:00:00"),
+      obsRow(3L, 2L, 100L, Some(70.0), None, jan2, voided = 1),
+      obsRow(4L, 2L, 300L, None, Some(ts(jan2)), jan2, voided = 1))
+    var obsStore: Seq[ObsRow] = Seq.empty
+    def withMonth(df: DataFrame): DataFrame =
+      df.withColumn("m", date_format(col("visit_time"), "yyyy-MM"))
+
+    val storePath = Files.createTempDirectory("etlpart")
+      .resolve("flat").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[ObsRow]
+    val delta = mem.toDF().toDF("obs_id", "encounter_id", "concept_id",
+      "value_numeric", "value_text", "value_datetime", "value_coded",
+      "obs_datetime", "voided")
+    val q = EtlStreaming.incrementalFlatten(
+      delta, toObs(obsStore), cfg, storePath, interval = "0 seconds",
+      partitionBy = Seq("m"), withPartitionCols = withMonth).start()
+    try {
+      obsStore = batch1
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      def snapFeb() = new java.io.File(s"$storePath/m=2024-02").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+      val febBefore = snapFeb()
+      assert(febBefore.nonEmpty)
+      Thread.sleep(10)
+
+      obsStore = batch1.filterNot(o => Seq(3L, 4L).contains(o._1)) ++ batch2
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+
+      assert(snapFeb() == febBefore,
+        "February's partition must not be rewritten by a January tick")
+      val streamed = spark.read.parquet(storePath)
+        .select("encounter_id", "weight", "visit_time", "m")
+      assertSameRows(streamed,
+        withMonth(Flatten.flattenObs(toObs(obsStore), cfg))
+          .select("encounter_id", "weight", "visit_time", "m"))
+      assert(streamed.filter(col("encounter_id") === 2).isEmpty,
+        "fully-voided encounter's wide row must be dropped")
+      assert(streamed.filter(col("encounter_id") === 1)
+        .collect().head.getAs[Double]("weight") == 64.0)
+    } finally q.stop()
+  }
+
   test("file-drop source: parquet drops drive ticks; checkpoint resumes after restart") {
     // the deployment shape: a CDC/export job lands parquet files in a
     // drop directory; the tick stream tails it. MemoryStream proves
