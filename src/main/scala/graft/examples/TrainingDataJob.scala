@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupCluster, Sampling, TextAnalysis}
+import graft.operators.{Dedup, DedupCluster, Packing, Sampling, TextAnalysis}
 
 /** The canonical pre-training corpus pipeline, composed from the
   * engine's ext-tier operators — the end-to-end shape a 100 TB
@@ -15,27 +15,41 @@ import graft.operators.{DedupCluster, Sampling, TextAnalysis}
   *  2. near-dup pruning — MinHash+LSH pairs → connected components →
   *     keep each cluster's canonical doc ([[DedupCluster]]); the only
   *     super-linear stage, bounded by LSH candidate generation
-  *  3. deterministic stratified sampling — md5-bucketed per-language
+  *  3. benchmark decontamination — drop docs leaking eval-set
+  *     k-grams; the eval shingle set broadcasts ([[Dedup
+  *     .contamination]])
+  *  4. deterministic stratified sampling — md5-bucketed per-language
   *     fractions, reproducible and growth-stable ([[Sampling]])
-  *  4. feature annotation — tokens, language, normalized form,
+  *  5. feature annotation — tokens, language, normalized form,
   *     fingerprints for downstream joins ([[TextAnalysis]])
+  *  6. sequence packing — context-window assignment via distributed
+  *     prefix sum ([[Packing.packSequences]])
   *
   * Stage ORDER is the scale decision: the cheap narrow gate runs
   * before the quadratic-ish dedup so junk never reaches the pair
-  * space, and sampling runs after dedup so duplicate clusters can't
-  * vote their way past the sample.
+  * space, decontamination after dedup (fewer docs to probe),
+  * sampling after both so duplicate clusters and contaminated docs
+  * can't vote their way past the sample, and packing last — pack ids
+  * depend on exactly the rows that ship.
   */
 object TrainingDataJob {
 
   final case class Config(
       jaccardThreshold: Double = 0.7,
       langFractions: Map[String, Double] = Map("en" -> 1.0),
-      defaultFraction: Double = 0.5)
+      defaultFraction: Double = 0.5,
+      contaminationThreshold: Double = 0.5,
+      packBudget: Int = 2048)
 
-  /** documents(doc_id, text, lang, …) → curated corpus with features.
-    * Deterministic end-to-end: same input ⇒ same output rows.
+  /** documents(doc_id, text, lang, …) → curated corpus with features
+    * and pack assignments. Deterministic end-to-end: same input ⇒
+    * same output rows.
+    *
+    * @param evalSet held-out benchmark docs (doc_id, text) to
+    *                decontaminate against; None skips the stage
     */
-  def run(documents: DataFrame, config: Config = Config()): DataFrame = {
+  def run(documents: DataFrame, config: Config = Config(),
+      evalSet: Option[DataFrame] = None): DataFrame = {
     // 1. quality gate (narrow)
     val quality = TextAnalysis.qualityFeatures(documents)
       .filter(col("is_quality"))
@@ -48,14 +62,30 @@ object TrainingDataJob {
       clustered.filter(col("is_canonical")).select("doc_id"),
       Seq("doc_id"), "left_semi")
 
-    // 3. deterministic stratified sample (per-language balance)
-    val sampled = Sampling.stratified(kept, "doc_id", "lang",
+    // 3. benchmark decontamination (broadcast eval shingles)
+    val clean = evalSet match {
+      case None => kept
+      case Some(eval) =>
+        val leaked = Dedup.contamination(kept, eval, "doc_id", "text",
+            k = 3, threshold = config.contaminationThreshold)
+          .filter(col("is_contaminated")).select("doc_id")
+        kept.join(broadcast(leaked), Seq("doc_id"), "left_anti")
+    }
+
+    // 4. deterministic stratified sample (per-language balance)
+    val sampled = Sampling.stratified(clean, "doc_id", "lang",
       config.langFractions, config.defaultFraction)
 
-    // 4. feature annotation for downstream consumers
-    TextAnalysis.fingerprints(sampled)
+    // 5. feature annotation for downstream consumers
+    val features = TextAnalysis.fingerprints(sampled)
       .withColumn("norm_text", TextAnalysis.normalize(col("text")))
       .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+
+    // 6. context-window assignment over exactly the shipped rows
+    features.join(
+      Packing.packSequences(sampled, "doc_id", "text", config.packBudget)
+        .select("doc_id", "pack_id", "pack_offset"),
+      Seq("doc_id"))
   }
 }

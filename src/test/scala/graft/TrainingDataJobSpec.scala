@@ -42,5 +42,32 @@ class TrainingDataJobSpec extends SparkSpec {
     // feature columns present and populated
     assert(rows.forall(r => r.getAs[Int]("n_tokens") > 0))
     assert(rows.forall(r => r.getAs[String]("md5_exact").length == 32))
+    // packing covers every shipped row with a valid window slot
+    assert(rows.forall(r => r.getAs[Long]("pack_id") >= 0))
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("pack_offset")
+      off >= 0 && off < 2048
+    })
+  }
+
+  test("decontamination stage drops docs that leak the eval set") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(300)
+    // adversarial eval set: exact copies of two training docs
+    val eval = docs.filter(col("doc_id").isin(20L, 40L))
+      .select(col("doc_id") + 100000, col("text"))
+      .toDF("doc_id", "text")
+    val cfg = TrainingDataJob.Config(
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0)
+    // guard against vacuity: without an eval set these docs ship
+    val withoutEval = TrainingDataJob.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assume(withoutEval.contains(20L) && withoutEval.contains(40L))
+    val ids = TrainingDataJob.run(docs, cfg, evalSet = Some(eval))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(20L) && !ids.contains(40L),
+      "docs identical to eval members must not ship")
+    // the stage is a filter, not a rewrite: clean docs still flow and
+    // nothing outside it is added
+    assert(ids.nonEmpty && ids.subsetOf(withoutEval))
   }
 }
