@@ -212,8 +212,34 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 5): DataFrame = {
     val centroids = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
-    val c = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+    ivfTopKFromIndex(ivfAssign(corpus, idCol, vecCol, centroids),
+      centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** The inverted file itself: (nid, cv unit vector, cid) — ONE
+    * narrow codegen'd pass over the corpus (nCentroids dots per row,
+    * no shuffle). In production this is a store table written once
+    * and probed by every query batch ([[ivfTopKFromIndex]]); at
+    * 100 TB re-assigning the corpus per batch is the cost you pay
+    * exactly once, not per query.
+    */
+  def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    unitVectors(corpus, idCol, vecCol, "nid", "cv")
       .withColumn("cid", nearestCentroid(col("cv"), centroids))
+
+  /** IVF search over a PREBUILT index — the serving path: the corpus
+    * side is a plain scan of the persisted (nid, cv, cid) table (no
+    * assignment work, no shuffle — the probe join broadcasts the
+    * query side), so consecutive query batches pay only their own
+    * probe cost.
+    */
+  def ivfTopKFromIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val nCentroids = centroids.length
     // query probes: top-nProbe centroids by dot
     val dots = array(centroids.map(ct =>
       VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
@@ -225,10 +251,32 @@ object Similarity {
           s => s.getField("cid")),
         1, nProbe))
       .select(col("qid"), col("qv"), explode(col("probe")).as("cid"))
-    val cands = c.join(broadcast(q), Seq("cid"))
+    val cands = index.join(broadcast(q), Seq("cid"))
       .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
     rankTopK(cands, k)
   }
+
+  /** Persist/reload the k×dim centroid model next to the index table
+    * (one row per centroid — model-sized, never row data). The loaded
+    * model is bit-identical, so probes against a reloaded index equal
+    * the in-memory run.
+    */
+  def saveCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cid", "v")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  def loadCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy("cid").collect()
+      .map(_.getSeq[Double](1).toArray)
 
   /** Scalar-quantized (int8) exact-scan top-k: the corpus index holds
     * 8×-smaller code vectors ([[graft.functions.Int8Quantize]] —
@@ -246,8 +294,17 @@ object Similarity {
     */
   def sqTopK(
       corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    sqTopKFromIndex(sqIndex(corpus, idCol, vecCol),
+      queries, idCol, vecCol, k)
+
+  /** SQ search over a PREBUILT (nid, codes) index table — the serving
+    * path: the scan reads the 8×-smaller persisted codes directly,
+    * no per-batch quantization pass.
+    */
+  def sqTopKFromIndex(
+      index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val index = sqIndex(corpus, idCol, vecCol)
     val q = queries.select(col(idCol).as("qid"),
       VectorFunctions.toDouble(col(vecCol)).as("qv"))
     val scored = index

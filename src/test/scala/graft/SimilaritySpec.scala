@@ -101,6 +101,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted ANN indexes serve query batches identically to the in-memory run") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val q1 = e.filter(col("vec_id") < 5)
+    val q2 = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+    val dir = java.nio.file.Files.createTempDirectory("annidx")
+
+    // IVF: write (index table + centroid model) once, reload, probe
+    // two query batches — no retraining, no re-assignment
+    val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", 8)
+    val ivfPath = dir.resolve("ivf").toString
+    val ctPath = dir.resolve("centroids").toString
+    Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids)
+      .write.parquet(ivfPath)
+    Similarity.saveCentroids(spark, centroids, ctPath)
+    val loadedIdx = spark.read.parquet(ivfPath)
+    val loadedCt = Similarity.loadCentroids(spark, ctPath)
+    assert(loadedCt.map(_.toSeq).toSeq == centroids.map(_.toSeq).toSeq)
+    for (q <- Seq(q1, q2))
+      assertSameRows(
+        Similarity.ivfTopKFromIndex(loadedIdx, loadedCt, q,
+          "vec_id", "embedding", k = 5),
+        Similarity.ivfTopKFromIndex(
+          Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids),
+          centroids, q, "vec_id", "embedding", k = 5))
+
+    // SQ: persisted codes table serves batches == fresh quantization
+    val sqPath = dir.resolve("sq").toString
+    Similarity.sqIndex(corpus, "vec_id", "embedding").write.parquet(sqPath)
+    val sqLoaded = spark.read.parquet(sqPath)
+    for (q <- Seq(q1, q2))
+      assertSameRows(
+        Similarity.sqTopKFromIndex(sqLoaded, q, "vec_id", "embedding", k = 5),
+        Similarity.sqTopK(corpus, q, "vec_id", "embedding", k = 5))
+
+    // serving-path plan: the index scan feeds the probe join with no
+    // corpus-side shuffle — the only hash exchange is the top-k agg
+    val p = Similarity.ivfTopKFromIndex(loadedIdx, loadedCt, q1,
+      "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("lshTopK prunes: candidate pairs well below the full cross product") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val corpus = e.filter(col("vec_id") >= 10)
