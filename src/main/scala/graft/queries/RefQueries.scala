@@ -660,6 +660,32 @@ object RefQueries {
             .as("revenue"))
     },
 
+    "q40_higher_order" -> QueryDef(
+      doc = "array higher-order functions: per-order sorted quantity array → lambda transform/filter/aggregate/exists (quantities cast to int — integral in TPC-H — so folds are exact cross-engine)",
+      oracle = """
+        WITH a AS (SELECT o_orderkey,
+                          list_sort(list(CAST(l_quantity AS INTEGER))) AS qtys
+                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                   WHERE o_custkey <= 100
+                   GROUP BY o_orderkey)
+        SELECT o_orderkey,
+               array_to_string(list_transform(qtys, x -> x * 2), ',') AS doubled,
+               CAST(len(list_filter(qtys, x -> x > 25)) AS INTEGER) AS n_large,
+               CAST(list_sum(qtys) AS BIGINT) AS total_qty,
+               len(list_filter(qtys, x -> x >= 50)) > 0 AS has_max
+        FROM a""") { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(col("o_custkey") <= 100)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qtys"))
+        .select(col("o_orderkey"),
+          array_join(transform(col("qtys"), x => x * 2), ",").as("doubled"),
+          size(filter(col("qtys"), x => x > 25)).as("n_large"),
+          aggregate(col("qtys"), lit(0L), (acc, x) => acc + x).as("total_qty"),
+          exists(col("qtys"), x => x >= 50).as("has_max"))
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
