@@ -93,19 +93,46 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bitsPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
-    def bucketStructs(vec: Column): Column = array((0 until tables).map { t =>
-      struct(lit(t).as("tbl"), lshBucket(vec, 42 + t, bitsPerTable, dim).as("bucket"))
+      bitsPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame =
+    lshTopKFromIndex(lshAssign(corpus, idCol, vecCol, bitsPerTable, tables, dim),
+      queries, idCol, vecCol, k, bitsPerTable, tables, dim)
+
+  private def lshBucketStructs(
+      vec: Column, bitsPerTable: Int, tables: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        lshBucket(vec, 42 + t, bitsPerTable, dim).as("bucket"))
     }: _*)
-    val c = corpus.select(col(idCol).as("nid"),
+
+  /** The LSH corpus index: one (nid, cv, tbl, bucket) row per hash
+    * table — written once as a store table and probed by every query
+    * batch; the sign-hash work over the corpus is paid at build time,
+    * not per batch. Seeds are fixed (42 + t), so an index built
+    * yesterday answers today's queries.
+    */
+  def lshAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bitsPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame =
+    corpus.select(col(idCol).as("nid"),
         VectorFunctions.toDouble(col(vecCol)).as("cv"))
-      .select(col("nid"), col("cv"), explode(bucketStructs(col("cv"))).as("tb"))
+      .select(col("nid"), col("cv"),
+        explode(lshBucketStructs(col("cv"), bitsPerTable, tables, dim)).as("tb"))
       .select(col("nid"), col("cv"), col("tb.tbl"), col("tb.bucket"))
+
+  /** LSH search over a PREBUILT index — the serving path: only the
+    * query batch computes bucket ids; the corpus side is a plain scan
+    * of the persisted index joined via broadcast.
+    */
+  def lshTopKFromIndex(
+      index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bitsPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
         VectorFunctions.toDouble(col(vecCol)).as("qv"))
-      .select(col("qid"), col("qv"), explode(bucketStructs(col("qv"))).as("tb"))
+      .select(col("qid"), col("qv"),
+        explode(lshBucketStructs(col("qv"), bitsPerTable, tables, dim)).as("tb"))
       .select(col("qid"), col("qv"), col("tb.tbl"), col("tb.bucket"))
-    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+    val cands = index.join(broadcast(q), Seq("tbl", "bucket"))
       .dropDuplicates("qid", "nid") // same pair found by several tables
       .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
     rankTopK(cands, k)

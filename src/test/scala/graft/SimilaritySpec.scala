@@ -127,6 +127,19 @@ class SimilaritySpec extends SparkSpec {
           Similarity.ivfAssign(corpus, "vec_id", "embedding", centroids),
           centroids, q, "vec_id", "embedding", k = 5))
 
+    // LSH: persisted (nid, cv, tbl, bucket) index serves batches ==
+    // fresh hashing (seeds fixed, so the index survives restarts)
+    val lshPath = dir.resolve("lsh").toString
+    Similarity.lshAssign(corpus, "vec_id", "embedding",
+      bitsPerTable = 4, tables = 8).write.parquet(lshPath)
+    val lshLoaded = spark.read.parquet(lshPath)
+    for (q <- Seq(q1, q2))
+      assertSameRows(
+        Similarity.lshTopKFromIndex(lshLoaded, q, "vec_id", "embedding",
+          k = 5, bitsPerTable = 4, tables = 8),
+        Similarity.lshTopK(corpus, q, "vec_id", "embedding",
+          k = 5, bitsPerTable = 4, tables = 8))
+
     // SQ: persisted codes table serves batches == fresh quantization
     val sqPath = dir.resolve("sq").toString
     Similarity.sqIndex(corpus, "vec_id", "embedding").write.parquet(sqPath)
