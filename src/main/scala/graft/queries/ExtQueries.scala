@@ -215,6 +215,68 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
+    "corpus_source_mix" -> QueryDef(
+      doc = "per-source curation rollup: doc/token volume, quality rate, exact-dup rate, language spread — the keep/reweight decision table a corpus curator reads",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, source, lang, text, $duckToks AS toks FROM documents),
+        f AS (SELECT doc_id, source, lang,
+                     len(toks) AS wc,
+                     (len(toks) >= 5 AND length(text) >= 40
+                      AND CAST(len(list_filter(toks, w -> list_contains(${duckLex("en")}, w))) AS DOUBLE) / len(toks) >= 0.01) AS is_q,
+                     doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+              FROM t)
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(wc) AS BIGINT) AS total_tokens,
+               round(avg(CASE WHEN is_q THEN 1.0 ELSE 0.0 END), 4) AS quality_rate,
+               round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4) AS dup_rate,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM f GROUP BY source""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+      val q = TextAnalysis.qualityFeatures(d)
+        .select(col("doc_id"), col("word_count"), col("is_quality"))
+      d.select(col("doc_id"), col("source"), col("lang"),
+          (col("doc_id") =!= min(col("doc_id")).over(w)).as("is_dup"))
+        .join(q, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("word_count")).cast("long").as("total_tokens"),
+          round(avg(when(col("is_quality"), 1.0).otherwise(0.0)), 4)
+            .as("quality_rate"),
+          round(avg(when(col("is_dup"), 1.0).otherwise(0.0)), 4)
+            .as("dup_rate"),
+          countDistinct(col("lang")).as("n_langs"))
+    },
+
+    "dedup_semantic_clusters" -> QueryDef(
+      doc = "semantic (embedding-space) dedup clusters: cosine pairs ≥0.4 → connected components → canonical per cluster (same CC engine as the text path, recursive-CTE oracle)",
+      oracle = s"""
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE $duckCosine >= 0.4),
+        edges AS (SELECT va AS s, vb AS d FROM pairs
+                  UNION SELECT vb, va FROM pairs),
+        cc(id, label) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e2.s, c.label FROM edges e2 JOIN cc c ON c.id = e2.d),
+        minlab AS (SELECT id, min(label) AS lab FROM cc GROUP BY id)
+        SELECT vec_id,
+               coalesce(m.lab, vec_id) AS cluster_id,
+               vec_id <> coalesce(m.lab, vec_id) AS is_duplicate
+        FROM embeddings LEFT JOIN minlab m ON m.id = vec_id""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val pairs = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.4)
+      DedupCluster.connectedComponents(e.select("vec_id"), pairs,
+          idCol = "vec_id", aCol = "va", bCol = "vb")
+        .select(col("vec_id"), col("cluster_id"),
+          (!col("is_canonical")).as("is_duplicate"))
+    },
+
     "dedup_contamination" -> QueryDef(
       doc = "benchmark decontamination: fraction of each corpus doc's 3-gram shingles leaked into the eval split (docs <50) — broadcast eval shingle set, one corpus agg",
       oracle = s"""
