@@ -486,6 +486,19 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "sample_weighted" -> QueryDef(
+      doc = "deterministic per-row weighted sampling: keep probability ∝ doc length (clamped to [0,1]) — md5-bucketed like the stratified sampler, so reruns and other engines reproduce the exact sample",
+      oracle = """
+        SELECT doc_id, lang FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 <
+              CAST(round(least(greatest(n_chars / 2000.0, 0), 1) * 10000) AS BIGINT)""") { (s, dir) =>
+      Sampling.weighted(
+          Tables.load(s, dir, "documents")
+            .withColumn("w", col("n_chars") / 2000.0),
+          idCol = "doc_id", weightCol = "w")
+        .select("doc_id", "lang")
+    },
+
     "text_diversity" -> QueryDef(
       doc = "repetition filters: character Shannon entropy (ln n − Σc·ln c / n) + distinct-token ratio — catches generated/boilerplate text that length gates miss",
       oracle = s"""
