@@ -40,4 +40,16 @@ object VectorFunctions {
     */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(normSq(a) * normSq(b))
+
+  /** [[cosine]] with the norms precomputed PER ROW: inside an
+    * all-pairs or cross join, `cosine(a, b)` re-walks both vectors
+    * three times per PAIR (dot + both norms); carrying |a|² and |b|²
+    * as row columns cuts that to one dot per pair — a 3× cut on the
+    * quadratic paths' inner loop. Identical arithmetic (the norm
+    * doubles are the same values, multiplied and rooted in the same
+    * order), so results are bit-identical to [[cosine]] and to the
+    * oracle.
+    */
+  def cosinePre(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
+    dot(a, b) / sqrt(normSqA * normSqB)
 }

@@ -323,14 +323,18 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val v = VectorFunctions.toDouble(col(vecCol))
+    // norms once per ROW, not per pair: the O(n²) inner loop then
+    // walks each vector pair once (cosinePre), not three times
     val base = df.select(col(idCol), v.as("v"))
+      .withColumn("n2", VectorFunctions.normSq(col("v")))
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val a = base.select(col(idCol).as("va"), col("v").as("xa"))
+    val a = base.select(col(idCol).as("va"), col("v").as("xa"), col("n2").as("na"))
       .repartition(parallelism)
-    val b = base.select(col(idCol).as("vb"), col("v").as("xb"))
+    val b = base.select(col(idCol).as("vb"), col("v").as("xb"), col("n2").as("nb"))
     a.join(b, col("va") < col("vb"))
       .withColumn("cos",
-        round(VectorFunctions.cosine(col("xa"), col("xb")), 4))
+        round(VectorFunctions.cosinePre(col("xa"), col("xb"),
+          col("na"), col("nb")), 4))
       .filter(col("cos") >= threshold)
       .select("va", "vb", "cos")
   }

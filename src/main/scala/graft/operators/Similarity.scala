@@ -39,12 +39,17 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms once per row (not per pair): the cross join's inner loop
+    // walks each (corpus, query) vector pair once, not three times
     val c = corpus.select(col(idCol).as("nid"),
-      VectorFunctions.toDouble(col(vecCol)).as("cv"))
+        VectorFunctions.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFunctions.normSq(col("cv")))
     val q = queries.select(col(idCol).as("qid"),
-      VectorFunctions.toDouble(col(vecCol)).as("qv"))
+        VectorFunctions.toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.normSq(col("qv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
+      .withColumn("cos", round(VectorFunctions.cosinePre(
+        col("cv"), col("qv"), col("cn"), col("qn")), 4))
     rankTopK(scored, k)
   }
 
@@ -132,9 +137,13 @@ object Similarity {
       .select(col("qid"), col("qv"),
         explode(lshBucketStructs(col("qv"), bitsPerTable, tables, dim)).as("tb"))
       .select(col("qid"), col("qv"), col("tb.tbl"), col("tb.bucket"))
-    val cands = index.join(broadcast(q), Seq("tbl", "bucket"))
+    val cands = index
+      .withColumn("cn", VectorFunctions.normSq(col("cv")))
+      .join(broadcast(q.withColumn("qn", VectorFunctions.normSq(col("qv")))),
+        Seq("tbl", "bucket"))
       .dropDuplicates("qid", "nid") // same pair found by several tables
-      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
+      .withColumn("cos", round(VectorFunctions.cosinePre(
+        col("cv"), col("qv"), col("cn"), col("qn")), 4))
     rankTopK(cands, k)
   }
 
@@ -333,11 +342,14 @@ object Similarity {
       index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
-      VectorFunctions.toDouble(col(vecCol)).as("qv"))
+        VectorFunctions.toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.normSq(col("qv")))
     val scored = index
       .select(col("nid"), col("codes").cast("array<double>").as("cv"))
+      .withColumn("cn", VectorFunctions.normSq(col("cv")))
       .crossJoin(broadcast(q))
-      .withColumn("cos", round(VectorFunctions.cosine(col("cv"), col("qv")), 4))
+      .withColumn("cos", round(VectorFunctions.cosinePre(
+        col("cv"), col("qv"), col("cn"), col("qn")), 4))
     rankTopK(scored, k)
   }
 
