@@ -66,4 +66,18 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sample_stratified")
     assert(count(p, "Exchange hashpartitioning") == 0, p)
   }
+
+  test("dedup_contamination: eval shingles broadcast; corpus pays one agg exchange") {
+    val p = plan("dedup_contamination")
+    assert(p.contains("BroadcastHashJoin"), p) // eval side broadcast
+    // exactly two hash exchanges: the eval-sized shingle distinct
+    // (inside the broadcast build) and the by-doc agg — the corpus
+    // itself never shuffles for the join
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("sample_weighted: pure narrow filter, zero exchanges") {
+    val p = plan("sample_weighted")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+  }
 }
