@@ -24,12 +24,18 @@ object Incremental {
     * no shuffle of the big `existing` side at all. If a delta ever
     * outgrows the broadcast threshold AQE falls back to a shuffled
     * join on its own.
+    *
+    * Schema evolution: `allowMissingColumns` — the reference
+    * auto-generates flat configs from metadata (README.md:246-247),
+    * so a tick can legitimately carry a column the stored table
+    * predates (a newly-answered concept) or drop one; either side's
+    * missing columns fill with null instead of failing the tick.
     */
   def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
     val incomingKeys = broadcast(incoming.select(keys.map(col): _*).distinct())
     existing
       .join(incomingKeys, keys, "left_anti")
-      .unionByName(incoming)
+      .unionByName(incoming, allowMissingColumns = true)
   }
 
   /** Change detection between ticks: rows whose latest audit timestamp

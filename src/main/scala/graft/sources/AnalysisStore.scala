@@ -216,6 +216,12 @@ object AnalysisStore {
       .select(keys.map(col): _*).distinct()
     val merged = existingTouched
       .join(broadcast(dropKeys), keys, "left_anti")
+      // strict unionByName ON PURPOSE: this path rewrites only touched
+      // partition dirs, so an evolved delta schema would leave the
+      // table's partitions schema-divergent (readable only with
+      // mergeSchema, silently column-dropping without). Fail fast
+      // here; evolve schemas through the full [[writeIncremental]]
+      // rewrite, which re-materializes every row under the new schema.
       .unionByName(delta)
       // checkpoint breaks the read-write cycle (Spark refuses to
       // overwrite a path its own plan reads); holds only the touched

@@ -204,6 +204,15 @@ class AnalysisStoreSpec extends SparkSpec {
     val rows = spark.read.parquet(dir).as[(Long, String)]
       .collect().sortBy(_._1)
     assert(rows.toSeq == Seq((1L, "a3"), (2L, "b2"), (3L, "c2")))
+    // schema evolution through the full-rewrite path: the tick's new
+    // column lands uniformly (old rows null) because every row is
+    // re-materialized under the new schema
+    AnalysisStore.writeIncremental(spark,
+      Seq((3L, "c4", 9.0)).toDF("k", "v", "w"), dir, Seq("k"))
+    val evolved = spark.read.parquet(dir).select("k", "v", "w")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1)
+    assert(evolved.toSeq == Seq((1L, "a3", None), (2L, "b2", None),
+      (3L, "c4", Some(9.0))))
     // no staging/backup leftovers
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent == Seq("inc"), s"leftovers: $parent")

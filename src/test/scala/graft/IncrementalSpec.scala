@@ -24,6 +24,17 @@ class IncrementalSpec extends SparkSpec {
     assert(merged.toSeq == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
   }
 
+  test("merge tolerates schema evolution: a tick's new column nulls out old rows") {
+    // the reference auto-generates flat configs from metadata — a tick
+    // after a new concept first appears carries a column the stored
+    // table predates (reference README.md:246-247)
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val incoming = Seq((2L, "B2", 7.5)).toDF("k", "v", "w")
+    val merged = Incremental.merge(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Long, String, Option[Double])].collect()
+    assert(merged.toSeq == Seq((1L, "a", None), (2L, "B2", Some(7.5))))
+  }
+
   test("N incremental ticks ≡ one full refresh (SURVEY §5d)") {
     // source versions over three ticks: key → (value, changed-at)
     val v1 = Seq((1L, "a1", ts("2024-01-01 00:00:00")),
