@@ -686,6 +686,72 @@ object RefQueries {
           exists(col("qtys"), x => x >= 50).as("has_max"))
     },
 
+    "q41_funnel" -> QueryDef(
+      doc = "ordered conversion funnel over events: view → click within 24h → purchase within 24h per user, counted by deepest stage reached (three per-user aggs, small sides broadcast)",
+      oracle = """
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        v AS (SELECT user_id, min(ts) AS vt FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(ts) AS ct FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE event_type = 'click' AND ts > vt AND ts <= vt + INTERVAL 24 HOUR
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(ts) AS pt FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE event_type = 'purchase' AND ts > ct AND ts <= ct + INTERVAL 24 HOUR
+              GROUP BY e.user_id),
+        s AS (SELECT u.user_id,
+                     CASE WHEN pt IS NOT NULL THEN 3 WHEN ct IS NOT NULL THEN 2
+                          WHEN vt IS NOT NULL THEN 1 ELSE 0 END AS stage
+              FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+                     LEFT JOIN p USING (user_id))
+        SELECT stage, count(*) AS n_users FROM s GROUP BY stage""") { (s, dir) =>
+      val e = t(s, dir, "events")
+      val u = e.select(col("user_id")).distinct()
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vt"))
+      val day = expr("INTERVAL 24 HOURS")
+      val c = e.filter(col("event_type") === "click")
+        .join(broadcast(v), Seq("user_id"))
+        .filter(col("ts") > col("vt") && col("ts") <= col("vt") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("ct"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(broadcast(c), Seq("user_id"))
+        .filter(col("ts") > col("ct") && col("ts") <= col("ct") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("pt"))
+      u.join(broadcast(v), Seq("user_id"), "left")
+        .join(broadcast(c), Seq("user_id"), "left")
+        .join(broadcast(p), Seq("user_id"), "left")
+        .select(when(col("pt").isNotNull, 3)
+          .when(col("ct").isNotNull, 2)
+          .when(col("vt").isNotNull, 1)
+          .otherwise(0).as("stage"))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    },
+
+    "q42_retention" -> QueryDef(
+      doc = "weekly retention cohorts: users grouped by signup week × active-week offset (week-truncated on both engines; cohort emitted as a string, never a DATE)",
+      oracle = """
+        WITH su AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort, w) // 7 AS INTEGER) AS week_offset,
+               count(DISTINCT user_id) AS n_users
+        FROM act JOIN su USING (user_id)
+        WHERE w >= cohort
+        GROUP BY 1, 2""") { (s, dir) =>
+      val e = t(s, dir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+      val act = e.select(col("user_id"),
+        date_trunc("week", col("ts")).as("w")).distinct()
+      act.join(broadcast(su), Seq("user_id"))
+        .filter(col("w") >= col("cohort"))
+        .groupBy(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+          (datediff(col("w"), col("cohort")) / 7).cast("int").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    },
+
     "q23_cube" -> QueryDef(
       doc = "CUBE over order status × priority: all four grouping combinations in one pass (SURVEY §2.4 grouping sets family)",
       oracle = """
