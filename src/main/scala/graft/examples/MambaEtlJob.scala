@@ -88,4 +88,61 @@ object MambaEtlJob {
       encounterTypeIds: Seq[Int],
       flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Map[String, DataFrame] =
     pipeline(config, src, encounterTypeIds, flatConfigs).run(spark)
+
+  /** Month partition column for a flat store table — coarse enough
+    * that partition counts stay bounded, fine enough that a tick's
+    * rewrite is a sliver of the table (SURVEY §9.1).
+    */
+  private def withVisitMonth(df: DataFrame): DataFrame =
+    df.withColumn("visit_month",
+      date_format(col("encounter_datetime"), "yyyy-MM"))
+
+  /** The install path persisted (reference mode 0, README.md:133-134
+    * "delete and recreate"): dims and facts full-refresh (domain-
+    * bounded), flat encounter tables written partitioned by visit
+    * month so later ticks and report date filters prune directories.
+    */
+  def runPersisted(spark: SparkSession, config: EtlConfig, src: Sources,
+      encounterTypeIds: Seq[Int], storeRoot: String,
+      flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Map[String, DataFrame] = {
+    val results = run(spark, config, src, encounterTypeIds, flatConfigs)
+    results.foreach { case (name, df) =>
+      if (name.startsWith("mamba_flat_encounter_"))
+        graft.sources.AnalysisStore.writeFull(
+          withVisitMonth(df), s"$storeRoot/$name", Seq("visit_month"))
+      else
+        graft.sources.AnalysisStore.writeFull(df, s"$storeRoot/$name")
+    }
+    results
+  }
+
+  /** A scheduled tick persisted (reference mode 1, "only add/modify
+    * what has changed"): obs changed since the bookmark identify the
+    * stale encounters; ONLY their wide rows are re-pivoted and merged,
+    * and the store write rewrites ONLY the month partitions those
+    * encounters live in (dynamic partition overwrite + explicit
+    * removeKeys, so a fully-voided encounter's row disappears from
+    * its old month). Write amplification per tick tracks the delta.
+    */
+  def tickPersisted(spark: SparkSession, config: EtlConfig, src: Sources,
+      encounterTypeId: Int, storeRoot: String,
+      changedSince: Option[java.sql.Timestamp],
+      flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Unit = {
+    val cfg = flatConfigs.getOrElse(encounterTypeId,
+      Flatten.autoConfig(src.obs, src.encounter, src.concept,
+        encounterTypeId, locale = Some(config.locale)))
+    val changed = graft.operators.Incremental
+      .changedSince(src.obs, changedSince, Seq("obs_datetime"))
+      .select("encounter_id").distinct()
+    val affected = src.obs.join(broadcast(changed), Seq("encounter_id"), "left_semi")
+    val encIds = src.encounter.filter(col("voided") === 0)
+      .filter(col("encounter_type") === encounterTypeId)
+      .select("encounter_id", "patient_id", "encounter_datetime")
+    val flatDelta = withVisitMonth(
+      Flatten.flattenObs(affected, cfg).join(encIds, Seq("encounter_id")))
+    graft.sources.AnalysisStore.writeIncrementalPartitioned(spark, flatDelta,
+      s"$storeRoot/mamba_flat_encounter_$encounterTypeId",
+      keys = Seq("encounter_id"), partitionBy = Seq("visit_month"),
+      removeKeys = Some(changed))
+  }
 }

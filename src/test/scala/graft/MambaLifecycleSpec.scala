@@ -83,6 +83,56 @@ class MambaLifecycleSpec extends SparkSpec {
       ("ANC", "F", 1L, 1L), ("ANC", "M", 1L, 1L), ("HTS", "F", 1L, 1L)))
   }
 
+  test("persisted lifecycle: install partitions by month; a tick rewrites only touched months") {
+    import org.apache.spark.sql.functions.col
+    // widen the fixture across two months so partition pruning is visible
+    val extraEnc = Seq((14L, "e-14", 7, 2L, ts("2024-03-05 09:00:00"), 0))
+      .toDF("encounter_id", "uuid", "encounter_type", "patient_id",
+        "encounter_datetime", "voided")
+    val extraObs = Seq((7L, 14L, 100L, Some(70.0), None: Option[String],
+      None: Option[String], ts("2024-03-05 09:10:00"), 0))
+      .toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+        "value_text", "value_coded", "obs_datetime", "voided")
+    val src = sources.copy(
+      encounter = sources.encounter.unionByName(extraEnc),
+      obs = sources.obs.unionByName(extraObs))
+    val cfgE = EtlConfig("/src", "/out")
+    val root = java.nio.file.Files.createTempDirectory("mambastore").toString
+    MambaEtlJob.runPersisted(spark, cfgE, src, Seq(7, 8), root)
+    val flat7 = s"$root/mamba_flat_encounter_7"
+    def snapMarch(): Seq[(String, Long, Long)] =
+      new java.io.File(s"$flat7/visit_month=2024-03").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sortBy(_._1)
+    val marchBefore = snapMarch()
+    assert(marchBefore.nonEmpty, "install must lay out month partitions")
+    Thread.sleep(10)
+
+    // tick: a late-arriving obs updates encounter 10 (February); the
+    // bookmark admits only the new row
+    val tickObs = Seq((8L, 10L, 100L, Some(63.0), None: Option[String],
+      None: Option[String], ts("2024-03-10 08:00:00"), 0))
+      .toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+        "value_text", "value_coded", "obs_datetime", "voided")
+    val src2 = src.copy(obs = src.obs.unionByName(tickObs))
+    MambaEtlJob.tickPersisted(spark, cfgE, src2, 7, root,
+      changedSince = Some(ts("2024-03-06 00:00:00")))
+
+    assert(snapMarch() == marchBefore,
+      "a February-only tick must not rewrite the March partition")
+    val stored = spark.read.parquet(flat7)
+    assert(stored.filter(col("encounter_id") === 10)
+      .collect().head.getAs[Double]("weight_kg_") == 63.0)
+
+    // N-ticks ≡ full: the ticked store equals a fresh install from the
+    // final obs state
+    val root2 = java.nio.file.Files.createTempDirectory("mambastore2").toString
+    MambaEtlJob.runPersisted(spark, cfgE, src2, Seq(7), root2)
+    val cols = stored.columns.sorted.map(col).toSeq
+    assertSameRows(stored.select(cols: _*),
+      spark.read.parquet(s"$root2/mamba_flat_encounter_7").select(cols: _*))
+  }
+
   test("report SQL runs over the registered views with typed params") {
     outputs // force pipeline run (registers temp views)
     val registry = ReportRegistry.fromJson(
