@@ -147,6 +147,74 @@ object TextAnalysis {
     diversity.join(entropy, Seq("doc_id"), "left")
   }
 
+  /** Adjacent word 2-grams ("a b c" → ["a b", "b c"]); empty below
+    * two words. Index-generated (not zip_with) because Spark pads
+    * zip_with to the LONGER side with nulls.
+    */
+  private def wordBigrams(words: Column): Column =
+    when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(words) - 2),
+        i => concat(element_at(words, i + 1), lit(" "),
+          element_at(words, i + 2))))
+
+  /** Run-length stats over a gram array, computed ROW-LOCALLY:
+    * sort_array puts equal grams adjacent, then one aggregate() pass
+    * folds each run into (top_n, top_mass, dup_n, dup_mass) where
+    * mass = occurrences × gram length in chars. O(n log n) per row,
+    * codegen'd, zero exchanges — the explode+groupBy formulation of
+    * the same stats shuffles every gram instance of the corpus.
+    */
+  private def runStats(arr: Column): Column = {
+    def fold(s: Column): Column = {
+      val r = s.getField("run")
+      val mass = r * length(s.getField("prev"))
+      struct(
+        greatest(s.getField("top_n"), r).as("top_n"),
+        greatest(s.getField("top_mass"), mass).as("top_mass"),
+        (s.getField("dup_n") + when(r > 1, r).otherwise(lit(0L))).as("dup_n"),
+        (s.getField("dup_mass") + when(r > 1, mass).otherwise(lit(0L)))
+          .as("dup_mass"))
+    }
+    def carry(prev: Column, run: Column, f: Column): Column =
+      struct(prev.as("prev"), run.as("run"),
+        f.getField("top_n").as("top_n"),
+        f.getField("top_mass").as("top_mass"),
+        f.getField("dup_n").as("dup_n"),
+        f.getField("dup_mass").as("dup_mass"))
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("top_n"), lit(0L).as("top_mass"),
+      lit(0L).as("dup_n"), lit(0L).as("dup_mass"))
+    aggregate(
+      sort_array(arr),
+      zero,
+      (s, x) => when(x === s.getField("prev"),
+          carry(s.getField("prev"), s.getField("run") + 1L, s))
+        .otherwise(carry(x, lit(1L), fold(s))),
+      s => fold(s))
+  }
+
+  /** Gopher-style repetition signals: most-frequent and duplicated
+    * word / 2-gram occurrence counts and char masses. High dup_mass
+    * relative to doc length flags boilerplate and generated loops
+    * that entropy/length gates miss. Per-row narrow op (see
+    * [[runStats]]) — linear scale-out, no shuffle. All-integer output
+    * so the DuckDB oracle hash-matches exactly.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("word_count"),
+        runStats(col("__ws")).as("__w"),
+        runStats(wordBigrams(col("__ws"))).as("__g"))
+      .select(col("doc_id"), col("word_count"),
+        col("__w").getField("top_n").as("top_word_n"),
+        col("__w").getField("dup_n").as("dup_word_n"),
+        col("__g").getField("top_n").as("top2_n"),
+        col("__g").getField("top_mass").as("top2_mass"),
+        col("__g").getField("dup_n").as("dup2_n"),
+        col("__g").getField("dup_mass").as("dup2_mass"))
+
   /** TF-IDF weights per (doc, token): tf = occurrences / doc length,
     * idf = ln(corpusDocs / docsContainingToken). The classic relevance
     * weight a training-data pipeline uses for keyword scoring and

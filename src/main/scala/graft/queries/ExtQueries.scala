@@ -519,6 +519,41 @@ object ExtQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    "text_repetition" -> QueryDef(
+      doc = "Gopher-style repetition signals: top / duplicated word and 2-gram occurrence counts and char masses per doc — Spark computes them row-locally (sort_array + aggregate fold, zero exchanges); the oracle's explode+groupBy is the formulation that does NOT survive 100 TB",
+      oracle = """
+        WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        wu AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM wu GROUP BY 1, 2),
+        wstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS word_count,
+                          CAST(max(c) AS BIGINT) AS top_word_n,
+                          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_word_n
+                   FROM wc GROUP BY 1),
+        gu AS (SELECT doc_id,
+                      unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS gram
+               FROM w WHERE len(ws) >= 2),
+        gc AS (SELECT doc_id, gram, count(*) AS c FROM gu GROUP BY 1, 2),
+        gstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_n,
+                          CAST(max(c * length(gram)) AS BIGINT) AS top2_mass,
+                          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup2_n,
+                          CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS BIGINT) AS dup2_mass
+                   FROM gc GROUP BY 1)
+        SELECT d.doc_id,
+               CAST(coalesce(w.word_count, 0) AS BIGINT) AS word_count,
+               CAST(coalesce(w.top_word_n, 0) AS BIGINT) AS top_word_n,
+               CAST(coalesce(w.dup_word_n, 0) AS BIGINT) AS dup_word_n,
+               CAST(coalesce(g.top2_n, 0) AS BIGINT) AS top2_n,
+               CAST(coalesce(g.top2_mass, 0) AS BIGINT) AS top2_mass,
+               CAST(coalesce(g.dup2_n, 0) AS BIGINT) AS dup2_n,
+               CAST(coalesce(g.dup2_mass, 0) AS BIGINT) AS dup2_mass
+        FROM documents d
+        LEFT JOIN wstats w ON d.doc_id = w.doc_id
+        LEFT JOIN gstats g ON d.doc_id = g.doc_id""") { (s, dir) =>
+      TextAnalysis.repetitionSignals(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """

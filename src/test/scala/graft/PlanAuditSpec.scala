@@ -76,6 +76,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") == 2, p)
   }
 
+  test("text_repetition: row-local run folding — zero exchanges") {
+    val p = plan("text_repetition")
+    assert(count(p, "Exchange") == 0, p)
+  }
+
   test("sample_weighted: pure narrow filter, zero exchanges") {
     val p = plan("sample_weighted")
     assert(count(p, "Exchange hashpartitioning") == 0, p)

@@ -125,4 +125,23 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(tf == Set(1L))
   }
+
+  test("repetitionSignals: hand-computed runs, mass ties, empty docs") {
+    val df = Seq(
+      (1L, "a a a b"),       // words a×3 b×1; grams "a a"×2 "a b"×1
+      (2L, "x y"),           // no repetition at all
+      (3L, ""),              // empty → all zeros
+      (4L, "aa aa b b b"))   // top2 by MASS is "b b"×2=6 > "aa aa"×1=5
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("word_count"), r.getAs[Long]("top_word_n"),
+         r.getAs[Long]("dup_word_n"), r.getAs[Long]("top2_n"),
+         r.getAs[Long]("top2_mass"), r.getAs[Long]("dup2_n"),
+         r.getAs[Long]("dup2_mass"))).toMap
+    assert(out(1L) == ((4L, 3L, 3L, 2L, 6L, 2L, 6L)))
+    assert(out(2L) == ((2L, 1L, 0L, 1L, 3L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(4L) == ((5L, 3L, 5L, 2L, 6L, 2L, 6L)))
+  }
 }
