@@ -50,6 +50,51 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < round(w * Basis).cast("long"))
   }
 
+  /** Seeded per-row shuffle key: md5 of "seed:id". Changing the seed
+    * is a fresh epoch-level reshuffle; the same seed reproduces the
+    * exact order on any engine (md5, not xxhash64, for that reason).
+    */
+  def shuffleKey(id: Column, seed: String): Column =
+    md5(concat(lit(seed + ":"), id.cast("string")))
+
+  /** Shard in [0, numShards) from the first 32 bits of the shuffle
+    * key — uniform (md5), deterministic, engine-reproducible.
+    */
+  def shardOf(id: Column, seed: String, numShards: Int): Column =
+    pmod(conv(substring(shuffleKey(id, seed), 1, 8), 16, 10).cast("long"),
+      lit(numShards.toLong))
+
+  /** Deterministic global shuffle — the canonical LAST step of a
+    * training-data pipeline: break corpus locality (source/time runs)
+    * so sequential readers see an unbiased stream, split into
+    * `numShards` reproducible shards for parallel loaders.
+    *
+    * Rows gain `shard` and `shuffle_key`; reading a shard in
+    * shuffle_key order IS the shuffled stream. Narrow op — callers
+    * that only need assignment pay no exchange at all.
+    */
+  def shuffleShards(df: DataFrame, idCol: String, seed: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    df.withColumn("shard", shardOf(col(idCol), seed, numShards))
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+  }
+
+  /** Export the shuffled corpus: ONE uniform hash exchange on the
+    * shard id, in-task sort by (shard, shuffle_key) — that prefix
+    * ordering satisfies the partitioned writer's requirement, so no
+    * second sort is injected — then exactly one key-ordered parquet
+    * file per `shard=` directory. At 100 TB: the exchange carries each
+    * row once with 32-bit-uniform keys (no skew possible), and loaders
+    * stream shards independently.
+    */
+  def writeShuffledShards(df: DataFrame, path: String, idCol: String,
+      seed: String, numShards: Int): Unit =
+    shuffleShards(df, idCol, seed, numShards)
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions("shard", "shuffle_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Stratified deterministic sample: per-stratum keep fractions with
     * a default for unlisted strata — the corpus-balancing op (e.g.
     * downsample dominant languages, keep all of a rare one).

@@ -499,6 +499,28 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "corpus_shards" -> QueryDef(
+      doc = "deterministic global shuffle + sharding (the training-export step): seeded md5 shuffle key, 8 shards; per-shard row/char totals and key-range bounds prove assignment AND order are engine-reproducible",
+      oracle = """
+        WITH s AS (SELECT n_chars,
+                          ('0x' || substr(md5('train1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard,
+                          md5('train1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+                   FROM documents)
+        SELECT CAST(shard AS BIGINT) AS shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               min(shuffle_key) AS first_key,
+               max(shuffle_key) AS last_key
+        FROM s GROUP BY 1""") { (s, dir) =>
+      Sampling.shuffleShards(Tables.load(s, dir, "documents"),
+          idCol = "doc_id", seed = "train1", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          min(col("shuffle_key")).as("first_key"),
+          max(col("shuffle_key")).as("last_key"))
+    },
+
     "text_diversity" -> QueryDef(
       doc = "repetition filters: character Shannon entropy (ln n − Σc·ln c / n) + distinct-token ratio — catches generated/boilerplate text that length gates miss",
       oracle = s"""

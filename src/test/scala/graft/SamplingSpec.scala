@@ -71,4 +71,53 @@ class SamplingSpec extends SparkSpec {
     assert(sampled.select("id").as[Long].collect().toSet ==
       again.select("id").as[Long].collect().toSet)
   }
+
+  test("shuffleShards: assignment is total, deterministic, and balanced") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val n = docs.count()
+    val sharded = Sampling.shuffleShards(docs, "doc_id", "train1", 8)
+    // total: every row lands in exactly one shard in [0, 8)
+    assert(sharded.count() == n)
+    val counts = sharded.groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet.subsetOf((0L until 8L).toSet))
+    // balanced: md5 uniformity keeps every shard within 2× of fair share
+    assert(counts.values.forall(c => c > n / 16 && c < n / 4), counts.toString)
+    // deterministic: same seed → same assignment; new seed → reshuffle
+    val again = Sampling.shuffleShards(docs, "doc_id", "train1", 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val first = sharded.select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    assert(first == again)
+    val epoch2 = Sampling.shuffleShards(docs, "doc_id", "train2", 8)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(first != epoch2, "a new seed must reshuffle")
+  }
+
+  test("writeShuffledShards: one key-ordered file per shard dir, one exchange") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("shards").toString
+    Sampling.writeShuffledShards(docs, out, "doc_id", "train1", 8)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(dirs.map(_.getName).toSet ==
+      (0 until 8).map(i => s"shard=$i").toSet)
+    // exactly ONE parquet file per shard (loaders stream it sequentially)
+    dirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${d.getName} must hold exactly one file")
+    }
+    // within a shard file the rows are in shuffle_key order, and the
+    // re-read union is exactly the corpus
+    val shard0 = spark.read.parquet(s"$out/shard=0")
+      .select("shuffle_key").as[String].collect()
+    assert(shard0.toSeq == shard0.toSeq.sorted, "shard file must be key-ordered")
+    assert(spark.read.parquet(out).count() == docs.count())
+    // plan: the export pays exactly one exchange (the shard repartition)
+    val plan = Sampling.shuffleShards(docs, "doc_id", "train1", 8)
+      .repartition(8, col("shard"))
+      .sortWithinPartitions("shard", "shuffle_key")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
 }
