@@ -361,6 +361,160 @@ object Similarity {
     corpus.select(col(idCol).as("nid"),
       graft.functions.Int8Quantize.column(col(vecCol)).as("codes"))
 
+  // ─────────────────────── PQ (product quantization) ───────────────────────
+
+  /** Per-subspace k-means codebooks for product quantization, trained
+    * on the same driver-side sample recipe as [[trainCentroids]]
+    * (codebook quality needs O(100)·ksub vectors, not the corpus).
+    * The unit-normalized vector is split into `m` contiguous
+    * subvectors; each subspace gets `ksub` plain-L2 centroids.
+    *
+    * Deterministic: init = first ksub sample subvectors; assign =
+    * first argmin on ties; update = mean (NOT renormalized — subspace
+    * centroids live in the subspace, not on the sphere); empty
+    * cluster keeps its centroid. Model size: m × ksub × (dim/m)
+    * doubles = dim × ksub — kilobytes, broadcast as codegen literals.
+    */
+  def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
+    val sample = unitVectors(corpus, idCol, vecCol, "id", "v")
+      .orderBy(col("id")).limit(maxTrainRows)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      val xs = sample.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
+      var cents = xs.take(ksub)
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](sub))
+        val counts = new Array[Long](cents.length)
+        xs.foreach { x =>
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0
+            var i = 0
+            while (i < sub) { val t = x(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          val s0 = sums(best)
+          var i = 0
+          while (i < sub) { s0(i) += x(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+  }
+
+  /** Code of subspace `j`: argmin-L2 centroid, computed as
+    * argmax(dot − ½‖c‖²) so the hot loop is the same codegen'd
+    * [[VectorFunctions.dot]] the rest of the ANN family uses (the
+    * ½‖c‖² terms fold to literals at plan time).
+    */
+  private def pqCode(unitVec: Column, codebook: Array[Array[Double]],
+      j: Int, sub: Int): Column = {
+    val s = slice(unitVec, j * sub + 1, sub)
+    val scores = array(codebook.map(c =>
+      VectorFunctions.dot(s, typedlit(c)) -
+        lit(0.5 * c.map(x => x * x).sum)): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** The PQ index: (nid, codes array<int> of length m) — dim/m-fold
+    * smaller than the raw corpus per 8-bit-code subspace (with
+    * ksub≤256 a production layout packs codes to bytes; int codes here
+    * keep the arithmetic in codegen'd primitives). One narrow pass,
+    * no shuffle; written once, scanned by every query batch.
+    */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    unitVectors(corpus, idCol, vecCol, "nid", "cv")
+      .select(col("nid"), array((0 until m).map(j =>
+        pqCode(col("cv"), codebooks(j), j, sub)): _*).as("codes"))
+  }
+
+  /** PQ search over a PREBUILT index — asymmetric distance
+    * computation (ADC): each query precomputes its m×ksub table of
+    * subspace dots ONCE (one row of m·ksub codegen'd dots), then every
+    * corpus code scores with m table lookups (`get`, codegen'd) — no
+    * per-pair floating-point vector walk at all.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] (broadcast queries,
+    * corpus never shuffles, top-k heaps in the only exchange), but the
+    * corpus scan reads m ints per row instead of dim doubles — 16×
+    * smaller than SQ's codes, 128× smaller than raw doubles at the
+    * defaults — and scoring is table lookups instead of dot products.
+    * Approximation error → recall<1 by design (SimilaritySpec gates
+    * recall, ann_recall_pq gates it driver-visibly).
+    */
+  def pqTopKFromIndex(
+      index: DataFrame, codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, oversample: Int = 1,
+      rerankWith: Option[DataFrame] = None): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val qtab = array((for (j <- 0 until m; c <- codebooks(j)) yield
+      VectorFunctions.dot(slice(col("qv"), j * sub + 1, sub),
+        typedlit(c))): _*)
+    val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .select(col("qid"), qtab.as("qtab"))
+    val scored = index.crossJoin(broadcast(q))
+      .withColumn("cos", round(
+        (0 until m).map(j => get(col("qtab"),
+          lit(j * ksub) + get(col("codes"), lit(j)))).reduce(_ + _), 4))
+    val adc = rankTopK(scored, k * oversample)
+    rerankWith match {
+      case None => adc
+      case Some(corpus) =>
+        // exact rerank of the (|q| × k·oversample)-row candidate list:
+        // the candidates broadcast and the corpus is probed BY ID — at
+        // store scale an id-bucketed layout makes this a bucket-local
+        // fetch, never a corpus shuffle
+        val cand = adc.select(col("qid"), col("nid"))
+        val cvecs = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+          .join(broadcast(cand), Seq("nid"))
+        val exact = cvecs
+          .join(broadcast(unitVectors(queries, idCol, vecCol, "qid", "qv")),
+            Seq("qid"))
+          .withColumn("cos",
+            round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+        rankTopK(exact, k)
+    }
+  }
+
+  /** PQ ANN top-k end-to-end: train codebooks, encode the corpus,
+    * ADC-score an oversampled shortlist, exact-rerank it (the
+    * standard ADC+rerank serving recipe — compression decides the
+    * shortlist, exact math decides the ranks). The serving path
+    * splits these: [[pqIndex]] is written once, [[pqTopKFromIndex]]
+    * runs per query batch.
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      oversample: Int = 5): DataFrame = {
+    val codebooks = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    pqTopKFromIndex(pqIndex(corpus, idCol, vecCol, codebooks),
+      codebooks, queries, idCol, vecCol, k, oversample,
+      rerankWith = if (oversample > 1) Some(corpus) else None)
+  }
+
   /** kNN label prediction: each query takes the majority label of its
     * k nearest corpus neighbors by cosine (ties: most votes, then
     * smallest label — deterministic). The label-propagation /

@@ -206,6 +206,15 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
+    "ann_topk_pq" -> QueryDef.noOracle(
+      doc = "product-quantized ANN top-5 (16 subspaces × 16-code books, ADC table-lookup scoring + exact rerank of a 5× shortlist) — approximation → rows-only; recall gated in SimilaritySpec and ann_recall_pq") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pqTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, m = 16, ksub = 16)
+    },
+
     "ann_topk_sq" -> QueryDef.noOracle(
       doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes) — quantization error → rows-only; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -326,6 +335,10 @@ object ExtQueries {
 
     "ann_recall_sq" -> annRecall("sq", 0.9) { (c, q) =>
       Similarity.sqTopK(c, q, "vec_id", "embedding", 5)
+    },
+
+    "ann_recall_pq" -> annRecall("pq", 0.6) { (c, q) =>
+      Similarity.pqTopK(c, q, "vec_id", "embedding", 5, m = 16, ksub = 16)
     },
 
     "multimodal_frames" -> QueryDef(

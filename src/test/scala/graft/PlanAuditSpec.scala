@@ -81,6 +81,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "Exchange") == 0, p)
   }
 
+  test("ann_topk_pq: corpus never shuffles — ADC heap + rerank heap only") {
+    val p = plan("ann_topk_pq")
+    // two hash exchanges: the ADC shortlist top-k agg and the final
+    // reranked top-k agg; candidates/queries ride broadcasts
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("sample_weighted: pure narrow filter, zero exchanges") {
     val p = plan("sample_weighted")
     assert(count(p, "Exchange hashpartitioning") == 0, p)

@@ -90,6 +90,44 @@ class SimilaritySpec extends SparkSpec {
     assert(sq.size == exact.size)
   }
 
+  test("pqTopK: ADC+rerank recall ≥ 0.7; codebooks and codes are well-formed") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val books = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 16, ksub = 16)
+    // model shape: 16 subspaces × ≤16 centroids × 4 dims, deterministic
+    assert(books.length == 16)
+    assert(books.forall(b => b.nonEmpty && b.length <= 16 &&
+      b.forall(_.length == 4)))
+    val again = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 16, ksub = 16)
+    books.zip(again).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) } }
+    // codes: m ints in [0, ksub)
+    val codes = Similarity.pqIndex(corpus, "vec_id", "embedding", books)
+      .select("codes").as[Seq[Int]].head()
+    assert(codes.length == 16 && codes.forall(c => c >= 0 && c < 16))
+    // recall on the adversarial near-random corpus: the ADC shortlist
+    // (5× oversample) + exact rerank recovers most true neighbors
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", 5,
+        m = 16, ksub = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.7, s"PQ recall $recall < 0.7")
+    assert(pq.size == exact.size) // full top-k per query survives rerank
+    // rerank matters: ADC-only (oversample=1) recall is strictly lower
+    // on this corpus — the shortlist+exact recipe is what closes it
+    val adcOnly = Similarity.pqTopKFromIndex(
+        Similarity.pqIndex(corpus, "vec_id", "embedding", books),
+        books, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val adcRecall = (exact & adcOnly).size.toDouble / exact.size
+    assert(adcRecall <= recall, s"rerank must not lose recall ($adcRecall > $recall)")
+  }
+
   test("trainCentroids returns unit centroids, deterministic") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val c1 = Similarity.trainCentroids(e, "vec_id", "embedding", 4, iters = 2)
