@@ -10,8 +10,10 @@ import graft.operators.{Dedup, DedupCluster, Packing, Sampling, TextAnalysis}
   * training-data run takes, with each stage's scale story already
   * proven at the operator level:
   *
-  *  1. quality gate — per-row codegen'd features, narrow, no shuffle
-  *     ([[TextAnalysis.qualityFeatures]])
+  *  1. quality + repetition gate — per-row codegen'd features,
+  *     narrow, no shuffle ([[TextAnalysis.qualityFeatures]] +
+  *     [[TextAnalysis.repetitionSignals]] — the Gopher-style
+  *     boilerplate/loop filter length gates miss)
   *  2. near-dup pruning — MinHash+LSH pairs → connected components →
   *     keep each cluster's canonical doc ([[DedupCluster]]); the only
   *     super-linear stage, bounded by LSH candidate generation
@@ -24,13 +26,16 @@ import graft.operators.{Dedup, DedupCluster, Packing, Sampling, TextAnalysis}
   *     fingerprints for downstream joins ([[TextAnalysis]])
   *  6. sequence packing — context-window assignment via distributed
   *     prefix sum ([[Packing.packSequences]])
+  *  7. global shuffle + sharding — seeded, reproducible export order
+  *     for parallel loaders ([[Sampling.shuffleShards]])
   *
   * Stage ORDER is the scale decision: the cheap narrow gate runs
   * before the quadratic-ish dedup so junk never reaches the pair
   * space, decontamination after dedup (fewer docs to probe),
   * sampling after both so duplicate clusters and contaminated docs
-  * can't vote their way past the sample, and packing last — pack ids
-  * depend on exactly the rows that ship.
+  * can't vote their way past the sample, packing after the final row
+  * set is known — pack ids depend on exactly the rows that ship —
+  * and the shuffle last of all, so shard files are the deliverable.
   */
 object TrainingDataJob {
 
@@ -39,7 +44,13 @@ object TrainingDataJob {
       langFractions: Map[String, Double] = Map("en" -> 1.0),
       defaultFraction: Double = 0.5,
       contaminationThreshold: Double = 0.5,
-      packBudget: Int = 2048)
+      packBudget: Int = 2048,
+      // drop docs whose duplicated-2-gram char mass exceeds this
+      // fraction of total chars (integer-arithmetic compare, so the
+      // gate is engine-exact like the rest of the pipeline)
+      maxRepetitionRatio: Double = 0.5,
+      numShards: Int = 8,
+      shuffleSeed: String = "epoch0")
 
   /** documents(doc_id, text, lang, …) → curated corpus with features
     * and pack assignments. Deterministic end-to-end: same input ⇒
@@ -50,9 +61,16 @@ object TrainingDataJob {
     */
   def run(documents: DataFrame, config: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
-    // 1. quality gate (narrow)
-    val quality = TextAnalysis.qualityFeatures(documents)
-      .filter(col("is_quality"))
+    // 1. quality + repetition gate (both per-row, narrow). Repetition
+    // rule: the fraction of 2-gram instances that are duplicated must
+    // not exceed maxRepetitionRatio — integer cross-multiplication
+    // (dup2_n·10⁶ ≤ ratio·10⁶·(2-gram count)), engine-exact
+    val repThreshold = (config.maxRepetitionRatio * 1000000L).round
+    val quality = TextAnalysis.withRepetitionSignals(
+        TextAnalysis.qualityFeatures(documents), "text")
+      .filter(col("is_quality") &&
+        col("dup2_n") * lit(1000000L) <=
+          lit(repThreshold) * greatest(col("word_count") - 1L, lit(1L)))
       .select(documents.columns.map(col): _*)
 
     // 2. near-dup pruning: keep each cluster's canonical member
@@ -83,9 +101,15 @@ object TrainingDataJob {
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
 
     // 6. context-window assignment over exactly the shipped rows
-    features.join(
+    val packed = features.join(
       Packing.packSequences(sampled, "doc_id", "text", config.packBudget)
         .select("doc_id", "pack_id", "pack_offset"),
       Seq("doc_id"))
+
+    // 7. reproducible global shuffle: shard + order keys for loaders
+    // (narrow — the exchange is paid only if/when shard files are
+    // written via Sampling.writeShuffledShards)
+    Sampling.shuffleShards(packed, "doc_id", config.shuffleSeed,
+      config.numShards)
   }
 }

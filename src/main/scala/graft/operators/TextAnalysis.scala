@@ -202,18 +202,27 @@ object TextAnalysis {
     */
   def repetitionSignals(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ws"))
-      .select(col("doc_id"),
-        size(col("__ws")).cast("long").as("word_count"),
-        runStats(col("__ws")).as("__w"),
-        runStats(wordBigrams(col("__ws"))).as("__g"))
-      .select(col("doc_id"), col("word_count"),
-        col("__w").getField("top_n").as("top_word_n"),
-        col("__w").getField("dup_n").as("dup_word_n"),
-        col("__g").getField("top_n").as("top2_n"),
-        col("__g").getField("top_mass").as("top2_mass"),
-        col("__g").getField("dup_n").as("dup2_n"),
-        col("__g").getField("dup_mass").as("dup2_mass"))
+    withRepetitionSignals(df.select(col(idCol).as("doc_id"), col(textCol)),
+        textCol)
+      .select("doc_id", "word_count", "top_word_n", "dup_word_n",
+        "top2_n", "top2_mass", "dup2_n", "dup2_mass")
+
+  /** [[repetitionSignals]] appended to the caller's columns — the
+    * in-pipeline form: a gate filters on the signals and drops them,
+    * all in one narrow scan (no join back by id).
+    */
+  def withRepetitionSignals(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__ws", tokens(col(textCol)))
+      .withColumn("__w", runStats(col("__ws")))
+      .withColumn("__g", runStats(wordBigrams(col("__ws"))))
+      .withColumn("word_count", size(col("__ws")).cast("long"))
+      .withColumn("top_word_n", col("__w").getField("top_n"))
+      .withColumn("dup_word_n", col("__w").getField("dup_n"))
+      .withColumn("top2_n", col("__g").getField("top_n"))
+      .withColumn("top2_mass", col("__g").getField("top_mass"))
+      .withColumn("dup2_n", col("__g").getField("dup_n"))
+      .withColumn("dup2_mass", col("__g").getField("dup_mass"))
+      .drop("__ws", "__w", "__g")
 
   /** TF-IDF weights per (doc, token): tf = occurrences / doc length,
     * idf = ln(corpusDocs / docsContainingToken). The classic relevance

@@ -48,6 +48,31 @@ class TrainingDataJobSpec extends SparkSpec {
       val off = r.getAs[Long]("pack_offset")
       off >= 0 && off < 2048
     })
+    // every shipped row carries its export shard + shuffle order key
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard")
+      s >= 0 && s < 8 && r.getAs[String]("shuffle_key").length == 32
+    })
+  }
+
+  test("repetition gate drops looping boilerplate that passes length gates") {
+    val looping = ("the spam " * 40).trim            // dup2 ratio ≈ 1
+    val normal = "the quick brown fox jumps over the lazy dog and then " +
+      "walks across a quiet field toward the distant river bank today"
+    val docs = Seq((1L, looping, "en"), (2L, normal, "en"))
+      .toDF("doc_id", "text", "lang")
+    val cfg = TrainingDataJob.Config(
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0,
+      maxRepetitionRatio = 0.5)
+    val ids = TrainingDataJob.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(1L), "high-repetition doc must be gated out")
+    assert(ids.contains(2L), "normal doc must survive the repetition gate")
+    // and the looping doc DID pass the quality gate — repetition is
+    // the signal that caught it, not length/stopwords
+    val q = graft.operators.TextAnalysis.qualityFeatures(docs)
+      .filter(col("doc_id") === 1L).select("is_quality").as[Boolean].head()
+    assert(q, "fixture must defeat the quality gate for this test to bite")
   }
 
   test("decontamination stage drops docs that leak the eval set") {
