@@ -204,4 +204,40 @@ class PropertySpec extends SparkSpec {
       flat == expected
     })
   }
+
+  test("property: repetitionSignals equals the reference counting implementation") {
+    val token = Gen.oneOf("a", "bb", "ccc", "dd", "e", "xyz")
+    val genDoc = Gen.listOf(token).map(_.take(30))
+    check(Prop.forAll(Gen.nonEmptyListOf(genDoc).map(_.take(8))) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.TextAnalysis
+        .repetitionSignals(df, "doc_id", "text").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      def stats(grams: Seq[String]): (Long, Long, Long, Long) = {
+        val counts = grams.groupBy(identity).view
+          .mapValues(_.size.toLong).toMap
+        if (counts.isEmpty) (0L, 0L, 0L, 0L)
+        else (counts.values.max,
+          counts.map { case (g, c) => c * g.length }.max,
+          counts.valuesIterator.filter(_ > 1).sum,
+          counts.collect { case (g, c) if c > 1 => c * g.length }.sum)
+      }
+      docs.zipWithIndex.forall { case (toks, i) =>
+        val grams2 = toks.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSeq
+        val (topW, _, dupW, _) = stats(toks)
+        val (t2n, t2m, d2n, d2m) = stats(grams2)
+        val r = out(i.toLong)
+        r.getAs[Long]("word_count") == toks.size &&
+          r.getAs[Long]("top_word_n") == topW &&
+          r.getAs[Long]("dup_word_n") == dupW &&
+          r.getAs[Long]("top2_n") == t2n &&
+          r.getAs[Long]("top2_mass") == t2m &&
+          r.getAs[Long]("dup2_n") == d2n &&
+          r.getAs[Long]("dup2_mass") == d2m
+      }
+    })
+  }
 }
