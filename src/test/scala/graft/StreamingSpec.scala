@@ -138,4 +138,34 @@ class StreamingSpec extends SparkSpec {
     assert(last(1L) == ((3L, 8.0)))
     assert(last(2L) == ((1L, 10.0)))
   }
+
+  test("stateless curation gate (quality + repetition) streams with batch parity") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val looping = ("the spam " * 40).trim
+    val normal = "the quick brown fox jumps over the lazy dog and then " +
+      "walks across a quiet field toward the distant river bank today"
+    def gate(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.withRepetitionSignals(
+          TextAnalysis.qualityFeatures(docs), "text")
+        .filter(col("is_quality") &&
+          col("dup2_n") * lit(1000000L) <=
+            lit(500000L) * greatest(col("word_count") - 1L, lit(1L)))
+        .select("doc_id")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    // the whole stage-1 gate is narrow/stateless, so the SAME code
+    // runs on a stream with no watermark or state store at all
+    val q = gate(docs).writeStream.outputMode("append")
+      .format("memory").queryName("gate").start()
+    mem.addData((1L, looping), (2L, normal), (3L, "too short"))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("gate").as[Long].collect().toSet
+    val batch = gate(Seq((1L, looping), (2L, normal), (3L, "too short"))
+      .toDF("doc_id", "text")).as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed == Set(2L),
+      "repetition gates doc 1, quality gates doc 3, doc 2 ships")
+  }
 }
