@@ -21,13 +21,15 @@ import org.apache.spark.sql.types.{LongType, IntegerType, StringType}
   * join, with the result still EXACT — bloom false positives are
   * eliminated by the real join that follows.
   *
-  * The membership probe is a Scala UDF (the only non-codegen hop in
-  * the engine's join family): Spark's native BloomFilterMightContain
-  * expression is private to its runtime-filter rule, and a probe is
-  * ~100 ns/row against the shuffle it saves. The sketch itself is
-  * built distributed (one aggregation over the dim) and only the
-  * filter bytes come to the driver — collecting the model, not the
-  * data.
+  * The membership probe is the [[graft.functions.BloomProbe]] native
+  * expression (Spark's own BloomFilterMightContain is private to its
+  * runtime-filter rule): it generates a direct `mightContainLong` /
+  * `mightContainBinary` call inside whole-stage codegen, so the
+  * pruning filter fuses with the fact scan instead of forcing a
+  * row-format boundary the way the previous UDF probe did. The sketch
+  * itself is built distributed (one aggregation over the dim) and
+  * only the filter bytes come to the driver — collecting the model,
+  * not the data.
   */
 object BloomJoin {
 
@@ -54,19 +56,12 @@ object BloomJoin {
       fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
     fact.schema(factKey).dataType match {
-      case LongType | IntegerType =>
-        val probe = udf((k: java.lang.Long) =>
-          k != null && bc.value.mightContainLong(k))
-        fact.filter(probe(col(factKey).cast("long")))
-      case StringType =>
-        val probe = udf((k: String) =>
-          k != null && bc.value.mightContainString(k))
-        fact.filter(probe(col(factKey)))
+      case LongType | IntegerType | StringType => ()
       case t => throw new IllegalArgumentException(
         s"bloom pruning supports long/int/string keys, got ${t.catalogString}")
     }
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    fact.filter(graft.functions.BloomProbe.column(col(factKey), bf))
   }
 }

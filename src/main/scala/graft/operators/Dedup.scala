@@ -245,6 +245,51 @@ object Dedup {
       .select("da", "db", "jaccard")
   }
 
+  /** Span-level (C4-style) dedup: docs are cut into consecutive
+    * `span`-word pieces, each piece is kept only at its globally first
+    * occurrence (ordered by doc id, then position), and docs are
+    * reassembled from their surviving pieces. This removes repeated
+    * boilerplate (headers, navigation, license blocks) INSIDE
+    * otherwise-unique documents — the gap whole-doc dedup can't touch.
+    *
+    * Plan shape at scale: one narrow slice+explode, then first
+    * occurrences via groupBy(span).agg(min(doc,pos)) — map-side
+    * partial aggregation absorbs hot boilerplate spans BEFORE the
+    * exchange, which is why this is an aggregate+join-back rather
+    * than a row_number window (a window partitioned by span has an
+    * irreducible skew partition for every hot span; the join back can
+    * be AQE-skew-split, the window sort cannot). Reassembly is one
+    * more uniform shuffle by doc id.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      span: Int = 10): DataFrame = {
+    require(span >= 1, "span must be >= 1")
+    val nToks = size(col("__toks"))
+    val pieces = transform(
+      sequence(lit(0), ceil(nToks / lit(span.toDouble)).cast("int") - 1),
+      i => struct(i.as("pos"),
+        array_join(slice(col("__toks"), i * span + 1, lit(span)), " ").as("span")))
+    val exploded = df
+      .select(col(idCol).as("doc_id"),
+        graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(nToks > 0)
+      .select(col("doc_id"), explode(pieces).as("__p"))
+      .select(col("doc_id"), col("__p.pos"), col("__p.span"))
+    val firsts = exploded.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    exploded.join(firsts, Seq("span"))
+      .withColumn("__kept",
+        struct(col("doc_id"), col("pos")) === col("__first"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("pos"), col("span"))))),
+          s => s.getField("span")), " ").as("dedup_text"))
+  }
+
   /** Benchmark decontamination: per corpus doc, the fraction of its
     * k-word shingles that appear anywhere in the eval/benchmark set —
     * the train/test-overlap check a training-data pipeline runs before

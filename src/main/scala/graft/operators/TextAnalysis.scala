@@ -255,6 +255,104 @@ object TextAnalysis {
           log(col("__nd").cast("double") / col("__df")), 4).as("tfidf"))
   }
 
+  /** PII regexes, kept to the POSIX-safe subset Java regex and RE2
+    * (DuckDB) treat identically — no lookaround, no backrefs, no \b.
+    * Replacement order matters and is fixed: emails first (their
+    * local/domain parts contain dots and digits that the other
+    * patterns could chew on), then IPv4, then phone.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+
+  /** PII redaction — the compliance pass a training corpus runs before
+    * anything else sees the text: emails, IPv4 addresses, and
+    * international-format phone numbers become typed placeholder
+    * tokens. Pure narrow regexp_replace chain (codegen'd, zero
+    * shuffle) — linear scale-out like the rest of the text tier.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches in a text (pre-redaction audit metric). */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(s"$EmailRe|$Ipv4Re|$PhoneRe"), lit(0)))
+
+  /** Sliding-window chunking: split each doc into `chunkSize`-token
+    * windows starting every `stride` tokens (stride < chunkSize ⇒
+    * overlapping windows, the shape context-window training prep
+    * uses). Emits (doc_id, chunk_id, chunk_text, n_tokens).
+    *
+    * Entirely narrow — tokenize, generate window starts, slice — so
+    * it scales linearly; contrast [[Packing.packSequences]], which
+    * needs a global prefix sum because its windows span documents.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
+    val n = size(col("__toks"))
+    val windows = transform(
+      sequence(lit(0), floor((n - 1) / stride).cast("int")),
+      i => struct(
+        i.as("chunk_id"),
+        array_join(slice(col("__toks"), i * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(lit(chunkSize), n - i * stride).as("n_tokens")))
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), explode(windows).as("__c"))
+      .select(col("doc_id"), col("__c.chunk_id"), col("__c.chunk_text"),
+        col("__c.n_tokens"))
+  }
+
+  /** Bigram-LM fluency scoring — the cheap perplexity-style quality
+    * filter: train add-k-smoothed bigram probabilities on the corpus
+    * itself, then score each doc by its mean log-probability and
+    * perplexity (high ppl = text unlike the corpus; the classic
+    * KenLM-filter shape with the n-gram model kept inside the engine).
+    *
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V), where c(w1·) counts
+    * w1 as a bigram context and V is the unigram vocabulary.
+    *
+    * Plan shape at scale: two grouped counts over the corpus's bigram
+    * instances (uniform-ish keys; Zipf-head bigrams are exactly what
+    * AQE skew-join splits), V as a broadcast scalar, then the doc
+    * bigrams join the model tables on (w1,w2)/(w1) and aggregate by
+    * doc. Nothing is collected to the driver and the model never has
+    * to fit anywhere whole — unlike an external-LM UDF, which would
+    * ship the model to every executor.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("__toks"))
+    val bigrams = base.filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("__toks")) - 2),
+        i => struct(element_at(col("__toks"), i + 1).as("w1"),
+          element_at(col("__toks"), i + 2).as("w2")))).as("__b"))
+      .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+    val cg = bigrams.groupBy("w1").agg(count(lit(1)).as("__cg"))
+    val v = base.select(explode(col("__toks")).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    bigrams
+      .join(cb, Seq("w1", "w2"))
+      .join(cg, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        log((col("__cb") + addK) / (col("__cg") + lit(addK) * col("__v")))
+          .as("__ll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(col("__ll")), 4).as("avg_logprob"),
+        round(exp(-avg(col("__ll"))), 4).as("ppl"))
+  }
+
   /** 60-bit token hash shared by SimHash and the oracle: the top 15
     * hex chars of md5 — reproducible in any engine, unlike
     * murmur/xxhash which are Spark-internal. Positive (fits BIGINT).

@@ -589,6 +589,101 @@ object ExtQueries {
         Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    "dedup_spans" -> QueryDef(
+      doc = "C4-style span-level dedup: 10-word pieces kept only at their globally-first occurrence (min doc,pos), docs reassembled — removes repeated boilerplate inside otherwise-unique docs; first-occurrence via agg+join-back (map-side combine absorbs hot spans; a row_number window could not be skew-split)",
+      oracle = """
+        WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id, ws,
+                     unnest(generate_series(0, CAST(ceil(len(ws) / 10.0) AS INTEGER) - 1)) AS pos
+              FROM w WHERE len(ws) > 0),
+        sp AS (SELECT doc_id, pos,
+                      array_to_string(ws[(pos * 10 + 1):(pos * 10 + 10)], ' ') AS span
+               FROM g),
+        k AS (SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) = 1 AS kept
+              FROM sp)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(CASE WHEN kept THEN span END, ' ' ORDER BY pos), '') AS dedup_text
+        FROM k GROUP BY doc_id""") { (s, dir) =>
+      Dedup.spanDedup(Tables.load(s, dir, "documents"),
+        "doc_id", "text", span = 10)
+    },
+
+    "text_redact_pii" -> QueryDef(
+      doc = "PII redaction: emails / IPv4s / phone numbers → typed placeholders, plus a match-count audit column — deterministic PII is appended to each doc so the patterns demonstrably fire; pure narrow regexp chain, zero exchanges",
+      oracle = {
+        val raw = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+          "'@mail.example or +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+          "' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'"
+        s"""
+        WITH r AS (SELECT doc_id, $raw AS raw FROM documents)
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(raw, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                   '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+                 '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted,
+               CAST(len(regexp_extract_all(raw,
+                 '${TextAnalysis.EmailRe}|${TextAnalysis.Ipv4Re}|${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_pii
+        FROM r"""
+      }) { (s, dir) =>
+      val raw = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or +1 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".1"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), raw.as("__raw"))
+        .select(col("doc_id"),
+          TextAnalysis.redactPii(col("__raw")).as("redacted"),
+          TextAnalysis.piiCount(col("__raw")).as("n_pii"))
+    },
+
+    "text_chunk" -> QueryDef(
+      doc = "sliding-window chunking: 64-token windows every 48 tokens (overlapping context-window prep) — tokenize + slice, entirely narrow, zero exchanges",
+      oracle = """
+        WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        g AS (SELECT doc_id, ws,
+                     unnest(generate_series(0, (len(ws) - 1) // 48)) AS i
+              FROM w WHERE len(ws) > 0)
+        SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+               array_to_string(ws[(i * 48 + 1):(i * 48 + 64)], ' ') AS chunk_text,
+               CAST(least(64, len(ws) - i * 48) AS INTEGER) AS n_tokens
+        FROM g""") { (s, dir) =>
+      TextAnalysis.chunk(Tables.load(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 64, stride = 48)
+    },
+
+    "text_lm_score" -> QueryDef(
+      doc = "bigram-LM fluency scoring: add-0.5-smoothed bigram model trained on the corpus, per-doc mean log-prob + perplexity (the KenLM-filter shape with the model kept inside the engine — two grouped counts, model joins, one doc agg)",
+      oracle = """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                     FROM t WHERE len(ws) >= 2)),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        cg AS (SELECT w1, count(*) AS cg FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(ws) AS w FROM t)),
+        sc AS (SELECT g.doc_id,
+                      ln((cb.cb + 0.5) / (cg.cg + 0.5 * v.v)) AS ll
+               FROM bg g
+               JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
+               JOIN cg ON g.w1 = cg.w1
+               CROSS JOIN v)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ll), 4) AS avg_logprob,
+               round(exp(-avg(ll)), 4) AS ppl
+        FROM sc GROUP BY doc_id""") { (s, dir) =>
+      TextAnalysis.lmScore(Tables.load(s, dir, "documents"),
+        "doc_id", "text", addK = 0.5)
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """

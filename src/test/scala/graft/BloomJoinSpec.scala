@@ -48,6 +48,20 @@ class BloomJoinSpec extends SparkSpec {
     assertSameRows(joined, plain)
   }
 
+  test("probe is a native expression fused into the scan stage, not a UDF") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val dim = Tables.load(spark, sfDir, "customer").select("c_custkey")
+    val plan = BloomJoin.prunedFact(orders, dim, "o_custkey", "c_custkey",
+      10000L, 0.01).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_probe"), s"native probe missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF survived in the probe path:\n$plan")
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen
+    // stage — the UDF form ran the Filter outside any codegen span
+    assert(plan.linesIterator.exists(l =>
+      l.trim.matches("""\*\(\d+\) Filter graft_bloom_probe.*""")),
+      s"probe Filter not inside a codegen stage:\n$plan")
+  }
+
   test("unsupported key type is rejected eagerly") {
     val orders = Tables.load(spark, sfDir, "orders")
     intercept[IllegalArgumentException] {

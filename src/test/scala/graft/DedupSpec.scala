@@ -155,6 +155,28 @@ class DedupSpec extends SparkSpec {
     assert(out(1)._2 == 0.0 && !out(1)._3)
   }
 
+  test("spanDedup keeps first occurrence by (doc, pos) and reassembles") {
+    val docs = Seq(
+      (1L, "a b c d"),  // both spans first occurrences
+      (2L, "a b x y"),  // "a b" already seen in doc 1
+      (3L, "c d"))      // whole doc = doc 1's second span
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", span = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("spanDedup: short tail span is its own piece; within-doc repeats collapse") {
+    val docs = Seq((1L, "p q p q p")).toDF("doc_id", "text")
+    // spans of 2: "p q"(0), "p q"(1, dup), "p"(2)
+    val out = Dedup.spanDedup(docs, "doc_id", "text", span = 2)
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 3L, 2L, "p q p")))
+  }
+
   test("embeddingCosinePairs finds only above-threshold pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))

@@ -144,4 +144,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     assert(out(4L) == ((5L, 3L, 5L, 2L, 6L, 2L, 6L)))
   }
+
+  test("redactPii replaces emails, IPs, phones and counts matches") {
+    val df = Seq("mail me at bob@x.co or +1 555-0199, host 192.168.0.1 thanks")
+      .toDF("text")
+    val (red, n) = df.select(TextAnalysis.redactPii(col("text")),
+      TextAnalysis.piiCount(col("text"))).as[(String, Int)].head()
+    assert(red == "mail me at <EMAIL> or <PHONE>, host <IP> thanks")
+    assert(n == 3)
+    // clean text passes through untouched, zero count
+    val (clean, z) = Seq("nothing sensitive here 42")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")),
+        TextAnalysis.piiCount(col("text"))).as[(String, Int)].head()
+    assert(clean == "nothing sensitive here 42" && z == 0)
+  }
+
+  test("chunk: overlapping windows with a short tail; empty docs dropped") {
+    val df = Seq((1L, "a b c d e"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text",
+        chunkSize = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "a b c", 3),
+      (1L, 1, "c d e", 3),
+      (1L, 2, "e", 1)))
+  }
+
+  test("lmScore matches the hand-computed smoothed bigram model") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"))
+      .toDF("doc_id", "text")
+    // bigrams: doc1 (a,b)(b,a)(a,b), doc2 (a,b) → cb(a,b)=3, cb(b,a)=1
+    // contexts: cg(a)=3, cg(b)=1; vocab V=2; k=0.5
+    val pAB = (3 + 0.5) / (3 + 0.5 * 2) // 0.875
+    val pBA = (1 + 0.5) / (1 + 0.5 * 2) // 0.75
+    val out = TextAnalysis.lmScore(df, "doc_id", "text", addK = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val avg1 = (2 * math.log(pAB) + math.log(pBA)) / 3
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 3L), (2L, 1L)))
+    assert(out(0)._3 == r4(avg1) && out(0)._4 == r4(math.exp(-avg1)))
+    assert(out(1)._3 == r4(math.log(pAB)) &&
+      out(1)._4 == r4(math.exp(-math.log(pAB))))
+  }
 }
