@@ -110,4 +110,54 @@ object Sampling {
     }
     df.filter(hashBucket(col(idCol)) < threshold)
   }
+
+  /** Fixed-SIZE deterministic sample per stratum: the `n` rows of each
+    * stratum with the smallest shuffle keys — balanced corpus
+    * construction when you need exact per-group counts (eval sets,
+    * per-source caps), not fractions. Seeded: a new seed redraws.
+    *
+    * Plan shape: one exchange by stratum + a per-stratum sort capped
+    * by rank — Spark plans the row_number window with partial
+    * windowing; skew-wise each stratum's partition holds that
+    * stratum's rows, which is the same bound `stratified` readers
+    * already accept for any per-group op. For stratum cardinality so
+    * hot a single partition can't hold it, cap first with
+    * [[stratified]] (fraction ≈ n/|stratum| × margin) and take the
+    * exact n from the survivors.
+    */
+  def fixedPerStratum(
+      df: DataFrame, idCol: String, strataCol: String,
+      n: Int, seed: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(shuffleKey(col(idCol), seed))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
+  /** Deterministic train/validation/test split: each row draws a split
+    * label as a pure function of its id — reproducible anywhere, and
+    * STABLE under corpus growth (a new doc never moves an old doc
+    * between splits, unlike randomSplit). `fractions` are (label,
+    * fraction) in order; they must sum to ≤ 1 and any remainder goes
+    * to the last label. Narrow (one codegen'd case-cascade) — zero
+    * exchanges.
+    */
+  def split(
+      df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "at least one split label")
+    require(fractions.forall(_._2 >= 0) && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "fractions must be non-negative and sum to <= 1")
+    val b = hashBucket(col(idCol))
+    val cuts = fractions.map(_._2).scanLeft(0L) {
+      case (acc, f) => acc + (f * Basis).round
+    }.tail
+    val expr = fractions.map(_._1).zip(cuts).init
+      .foldRight(lit(fractions.last._1)) { case ((label, cut), elseCol) =>
+        when(b < cut, lit(label)).otherwise(elseCol)
+      }
+    df.withColumn("split", expr)
+  }
 }

@@ -353,6 +353,30 @@ object TextAnalysis {
         round(exp(-avg(col("__ll"))), 4).as("ppl"))
   }
 
+  /** Vocabulary builder: the `topN` tokens by corpus occurrence count
+    * (ties broken by token text), with document frequency — the seed
+    * step of BPE/unigram vocab construction and the stopword-list
+    * refresh a curation pipeline periodically re-derives.
+    *
+    * Plan shape: one explode + one hash aggregation by token (map-side
+    * partial counts absorb Zipf-head tokens before the exchange), then
+    * TakeOrdered for the top slice. The rank window runs AFTER the
+    * limit, over topN rows — a single-partition window over model-
+    * sized data, not corpus-sized.
+    */
+  def vocab(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 100): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("token")
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+    counts.orderBy(col("n_occ").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occ").desc, col("token"))).cast("int"))
+  }
+
   /** 60-bit token hash shared by SimHash and the oracle: the top 15
     * hex chars of md5 — reproducible in any engine, unlike
     * murmur/xxhash which are Spark-internal. Positive (fits BIGINT).

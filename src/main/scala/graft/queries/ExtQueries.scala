@@ -512,6 +512,47 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "sample_per_stratum" -> QueryDef(
+      doc = "fixed-size per-stratum sample: the 20 docs per language with the smallest seeded md5 shuffle keys — exact per-group counts (eval sets, per-source caps), seeded + engine-reproducible",
+      oracle = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5('bal1:' || CAST(doc_id AS VARCHAR))) AS rk
+          FROM documents) WHERE rk <= 20""") { (s, dir) =>
+      Sampling.fixedPerStratum(Tables.load(s, dir, "documents"),
+          idCol = "doc_id", strataCol = "lang", n = 20, seed = "bal1")
+        .select("doc_id", "lang")
+    },
+
+    "corpus_split" -> QueryDef(
+      doc = "deterministic train/valid/test split (80/10/10): the label is a pure function of the id — reproducible anywhere, stable under corpus growth (new docs never move old docs between splits, unlike randomSplit); zero exchanges",
+      oracle = """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                    WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents""") { (s, dir) =>
+      Sampling.split(Tables.load(s, dir, "documents"), idCol = "doc_id",
+          fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    },
+
+    "text_vocab" -> QueryDef(
+      doc = "vocabulary builder: top-100 tokens by corpus occurrence count with document frequency and rank (ties by token) — one token aggregation + TakeOrdered; the rank window runs over the model-sized top slice only",
+      oracle = """
+        WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                     FROM documents),
+        c AS (SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+              FROM tok GROUP BY 1)
+        SELECT token, CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS rank
+        FROM c ORDER BY n_occ DESC, token LIMIT 100""") { (s, dir) =>
+      TextAnalysis.vocab(Tables.load(s, dir, "documents"),
+        "doc_id", "text", topN = 100)
+    },
+
     "corpus_shards" -> QueryDef(
       doc = "deterministic global shuffle + sharding (the training-export step): seeded md5 shuffle key, 8 shards; per-shard row/char totals and key-range bounds prove assignment AND order are engine-reproducible",
       oracle = """

@@ -120,4 +120,49 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
+
+  test("fixedPerStratum: exact n per stratum, seeded, deterministic") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sampled = Sampling.fixedPerStratum(docs, "doc_id", "lang",
+      n = 5, seed = "s1")
+    val counts = sampled.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val full = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, total) =>
+      assert(counts(lang) == math.min(5L, total),
+        s"$lang: got ${counts(lang)} of $total")
+    }
+    // same seed reproduces the exact sample; a new seed redraws
+    val again = Sampling.fixedPerStratum(docs, "doc_id", "lang", 5, "s1")
+      .select("doc_id").as[Long].collect().toSet
+    val other = Sampling.fixedPerStratum(docs, "doc_id", "lang", 5, "s2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sampled.select("doc_id").as[Long].collect().toSet)
+    assert(other != again, "different seeds should redraw")
+  }
+
+  test("split: labels partition the corpus, are id-pure, and never move") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val splits = Sampling.split(docs, "doc_id",
+      Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    val byLabel = splits.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    val total = docs.count()
+    assert(byLabel.keySet == Set("train", "valid", "test"))
+    assert(byLabel.values.sum == total)
+    assert(byLabel("train") > byLabel("valid") * 4,
+      s"80/10 proportions implausible: $byLabel")
+    // growth stability: the label of a doc is unchanged when the
+    // corpus around it changes (pure function of the id)
+    val subset = Sampling.split(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val fullMap = splits.select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    subset.foreach { case (id, label) => assert(fullMap(id) == label) }
+    // degenerate and invalid configs
+    intercept[IllegalArgumentException] {
+      Sampling.split(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
 }

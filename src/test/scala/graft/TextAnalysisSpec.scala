@@ -172,6 +172,17 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, 2, "e", 1)))
   }
 
+  test("vocab: top-n by occurrence with doc frequency, ties by token") {
+    val df = Seq(
+      (1L, "b b a c"),
+      (2L, "b a"),
+      (3L, "c")).toDF("doc_id", "text")
+    // occurrences: b=3, a=2, c=2 (a and c tie → 'a' ranks first)
+    val out = TextAnalysis.vocab(df, "doc_id", "text", topN = 2)
+      .as[(String, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(("b", 3L, 2L, 1), ("a", 2L, 2L, 2)))
+  }
+
   test("lmScore matches the hand-computed smoothed bigram model") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"))
       .toDF("doc_id", "text")
