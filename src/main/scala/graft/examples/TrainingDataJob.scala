@@ -10,6 +10,9 @@ import graft.operators.{Dedup, DedupCluster, Packing, Sampling, TextAnalysis}
   * training-data run takes, with each stage's scale story already
   * proven at the operator level:
   *
+  *  0. PII redaction — emails/IPs/phones become typed placeholders
+  *     before any other stage reads the text ([[TextAnalysis
+  *     .redactPii]]); narrow, fuses with the stage-1 scan
   *  1. quality + repetition gate — per-row codegen'd features,
   *     narrow, no shuffle ([[TextAnalysis.qualityFeatures]] +
   *     [[TextAnalysis.repetitionSignals]] — the Gopher-style
@@ -49,6 +52,7 @@ object TrainingDataJob {
       // fraction of total chars (integer-arithmetic compare, so the
       // gate is engine-exact like the rest of the pipeline)
       maxRepetitionRatio: Double = 0.5,
+      redactPii: Boolean = true,
       numShards: Int = 8,
       shuffleSeed: String = "epoch0")
 
@@ -59,8 +63,18 @@ object TrainingDataJob {
     * @param evalSet held-out benchmark docs (doc_id, text) to
     *                decontaminate against; None skips the stage
     */
-  def run(documents: DataFrame, config: Config = Config(),
+  def run(rawDocuments: DataFrame, config: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
+    // 0. PII redaction — BEFORE any stage reads the text, so nothing
+    // downstream (fingerprints, shingles, features, shard files) ever
+    // sees a raw email/IP/phone. Narrow regexp chain, fuses with the
+    // stage-1 scan.
+    val documents =
+      if (config.redactPii)
+        rawDocuments.withColumn("text",
+          TextAnalysis.redactPii(col("text")))
+      else rawDocuments
+
     // 1. quality + repetition gate (both per-row, narrow). Repetition
     // rule: the fraction of 2-gram instances that are duplicated must
     // not exceed maxRepetitionRatio — integer cross-multiplication

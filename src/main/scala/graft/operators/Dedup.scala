@@ -270,6 +270,10 @@ object Dedup {
       sequence(lit(0), ceil(nToks / lit(span.toDouble)).cast("int") - 1),
       i => struct(i.as("pos"),
         array_join(slice(col("__toks"), i * span + 1, lit(span)), " ").as("span")))
+    // the span table feeds two plan branches (first-occurrence agg +
+    // the probe side of the join back); both re-run the tokenize+slice
+    // subtree, which is narrow and cheap — persisting it was measured
+    // at <3% wall at sf0.1 and would cost corpus-scale cache at 100 TB
     val exploded = df
       .select(col(idCol).as("doc_id"),
         graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))

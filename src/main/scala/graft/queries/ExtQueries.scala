@@ -512,6 +512,21 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "corpus_profile" -> QueryDef(
+      doc = "data profiling: per-column row/null/distinct counts and string-order min/max in ONE aggregation pass (the validation gate a pipeline runs on every corpus drop; exact distinct via Expand here, HLL variant for 100 TB)",
+      oracle = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               min(CAST($c AS VARCHAR)) AS min_value,
+               max(CAST($c AS VARCHAR)) AS max_value
+        FROM documents"""
+      }.mkString(" UNION ALL ")) { (s, dir) =>
+      graft.operators.Profile.profile(Tables.load(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+
     "sample_per_stratum" -> QueryDef(
       doc = "fixed-size per-stratum sample: the 20 docs per language with the smallest seeded md5 shuffle keys — exact per-group counts (eval sets, per-source caps), seeded + engine-reproducible",
       oracle = """

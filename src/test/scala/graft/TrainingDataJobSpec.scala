@@ -55,6 +55,33 @@ class TrainingDataJobSpec extends SparkSpec {
     })
   }
 
+  test("PII never reaches the shipped corpus (redaction runs first)") {
+    val base = Tables.load(spark, sfDir, "documents").limit(50)
+    // plant PII into otherwise-passing docs
+    val docs = base.withColumn("text",
+      concat(col("text"), lit(" reach me at leak@example.com or 10.1.2.3")))
+    val out = TrainingDataJob.run(docs,
+      TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+        defaultFraction = 1.0))
+    val texts = out.select("text").as[String].collect()
+    assert(texts.nonEmpty)
+    assert(texts.forall(t => !t.contains("leak@example.com") &&
+      !t.contains("10.1.2.3")))
+    assert(texts.forall(t => t.contains("<EMAIL>") && t.contains("<IP>")))
+    // the fingerprints/features were computed over the REDACTED text
+    val md5s = out.select("text", "md5_exact").as[(String, String)].collect()
+    md5s.foreach { case (t, m) =>
+      assert(m == java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    // opting out keeps raw bytes (compliance decision is explicit)
+    val raw = TrainingDataJob.run(docs,
+      TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+        defaultFraction = 1.0, redactPii = false))
+      .select("text").as[String].collect()
+    assert(raw.forall(_.contains("leak@example.com")))
+  }
+
   test("repetition gate drops looping boilerplate that passes length gates") {
     val looping = ("the spam " * 40).trim            // dup2 ratio ≈ 1
     val normal = "the quick brown fox jumps over the lazy dog and then " +
