@@ -91,11 +91,15 @@ object ExtQueries {
       val e = Tables.load(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") >= 10)
       val queries = e.filter(col("vec_id") < 10)
+      // both sides are |q|×k rows; localCheckpoint truncates their
+      // corpus-scan lineages so the recall join/agg cannot re-execute
+      // either top-k pipeline a second time (measured ~2s of the
+      // recall queries' wall at sf0.1)
       val brute = Similarity.bruteForceTopK(corpus, queries,
           "vec_id", "embedding", 5)
-        .select(col("qid"), col("nid"))
+        .select(col("qid"), col("nid")).localCheckpoint(true)
       val hits = approx(corpus, queries)
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
+        .select(col("qid"), col("nid"), lit(1).as("hit")).localCheckpoint(true)
       brute.join(hits, Seq("qid", "nid"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
           count(lit(1))).as("recall"))
