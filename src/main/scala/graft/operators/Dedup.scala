@@ -264,34 +264,83 @@ object Dedup {
   def spanDedup(
       df: DataFrame, idCol: String, textCol: String,
       span: Int = 10): DataFrame = {
+    val exploded = spanRows(df, idCol, textCol, span)
+    val firsts = exploded.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
+    reassemble(exploded.join(firsts, Seq("span"))
+      .withColumn("__kept",
+        struct(col("doc_id"), col("pos")) === col("__first")))
+  }
+
+  /** (doc_id, pos, span) piece rows — narrow tokenize + slice. Feeds
+    * two plan branches in [[spanDedup]] (first-occurrence agg + the
+    * probe side of the join back); both re-run this subtree, which is
+    * cheap — persisting it was measured at <3% wall at sf0.1 and
+    * would cost corpus-scale cache at 100 TB.
+    */
+  private def spanRows(
+      df: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
     require(span >= 1, "span must be >= 1")
     val nToks = size(col("__toks"))
     val pieces = transform(
       sequence(lit(0), ceil(nToks / lit(span.toDouble)).cast("int") - 1),
       i => struct(i.as("pos"),
         array_join(slice(col("__toks"), i * span + 1, lit(span)), " ").as("span")))
-    // the span table feeds two plan branches (first-occurrence agg +
-    // the probe side of the join back); both re-run the tokenize+slice
-    // subtree, which is narrow and cheap — persisting it was measured
-    // at <3% wall at sf0.1 and would cost corpus-scale cache at 100 TB
-    val exploded = df
-      .select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))
       .filter(nToks > 0)
       .select(col("doc_id"), explode(pieces).as("__p"))
       .select(col("doc_id"), col("__p.pos"), col("__p.span"))
-    val firsts = exploded.groupBy("span")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("__first"))
-    exploded.join(firsts, Seq("span"))
-      .withColumn("__kept",
-        struct(col("doc_id"), col("pos")) === col("__first"))
-      .groupBy("doc_id")
+  }
+
+  /** Rebuild (doc_id, n_spans, n_kept, dedup_text) from flagged span
+    * rows — one uniform shuffle by doc id.
+    */
+  private def reassemble(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_spans"),
         sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(
           array_sort(collect_list(when(col("__kept"),
             struct(col("pos"), col("span"))))),
           s => s.getField("span")), " ").as("dedup_text"))
+
+  /** The span first-occurrence index: (span, first=(doc_id, pos)) —
+    * at corpus scale an analysis-store table, ideally bucketed on
+    * `span` ([[graft.sources.AnalysisStore.writeBucketed]]) so delta
+    * probes join it bucket-locally without a full-index exchange.
+    */
+  def spanFirstIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      span: Int = 10): DataFrame =
+    spanRows(df, idCol, textCol, span).groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+
+  /** Incremental span dedup — the shape this op runs at 100 TB: a
+    * delta of NEW docs (ids above every indexed doc, the bookmark
+    * contract [[Incremental.changedSince]] already enforces) probes
+    * the persisted first-occurrence index. A delta piece survives iff
+    * its span is absent from the index (never seen by any older doc)
+    * AND it is the delta's own first occurrence. Because delta ids
+    * are greater than every indexed id, previously-shipped docs are
+    * never re-cut — the outputs of earlier runs stay valid, and the
+    * updated index is the old one plus the delta's new spans.
+    *
+    * Cost tracks |delta|: the delta's span rows shuffle by span into
+    * the (bucketed) index's layout; nothing corpus-sized moves.
+    */
+  def spanDedupDelta(
+      indexFirsts: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, span: Int = 10): DataFrame = {
+    val dExp = spanRows(delta, idCol, textCol, span)
+    val dFirsts = dExp.groupBy("span")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__dfirst"))
+    reassemble(dExp
+      .join(indexFirsts.select(col("span"), lit(1).as("__seen")),
+        Seq("span"), "left")
+      .join(dFirsts, Seq("span"))
+      .withColumn("__kept", col("__seen").isNull &&
+        struct(col("doc_id"), col("pos")) === col("__dfirst")))
   }
 
   /** Benchmark decontamination: per corpus doc, the fraction of its

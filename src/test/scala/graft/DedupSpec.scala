@@ -177,6 +177,24 @@ class DedupSpec extends SparkSpec {
     assert(out == ((1L, 3L, 2L, "p q p")))
   }
 
+  test("spanDedupDelta ≡ full spanDedup restricted to the delta docs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300)
+    val full = Dedup.spanDedup(docs, "doc_id", "text", span = 5)
+      .filter(col("doc_id") >= 300)
+    val incremental = Dedup.spanDedupDelta(
+      Dedup.spanFirstIndex(old, "doc_id", "text", span = 5),
+      delta, "doc_id", "text", span = 5)
+    assertSameRows(incremental, full)
+    // and the old docs' full-run results were not affected by the
+    // delta at all (monotonic ids ⇒ first occurrences never move back)
+    val oldFull = Dedup.spanDedup(docs, "doc_id", "text", span = 5)
+      .filter(col("doc_id") < 300)
+    val oldOnly = Dedup.spanDedup(old, "doc_id", "text", span = 5)
+    assertSameRows(oldFull, oldOnly)
+  }
+
   test("embeddingCosinePairs finds only above-threshold pairs") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
