@@ -571,4 +571,28 @@ object Similarity {
       .join(broadcast(keys(queries, "qid")), Seq("tbl", "bucket"))
       .select("qid", "nid").distinct().count()
   }
+
+  /** Per-label embedding centroids in long format (label, dim, mean) —
+    * the embedding-analytics primitive behind classifier
+    * initialization, per-domain corpus embeddings, and drift checks
+    * between corpus snapshots.
+    *
+    * Plan shape: posexplode (narrow, dim rows per vector) → ONE hash
+    * aggregation by (label, dim) with map-side partial sums — the
+    * exchange carries |labels|×dim partial rows per task, never
+    * vectors. Long output on purpose: scalar cells hash-compare
+    * exactly (array<double> columns would ride on element-order ulp),
+    * and downstream pivots to vector form are one narrow
+    * collect_list away.
+    */
+  def labelCentroids(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(VectorFunctions.toDouble(col(vecCol)))
+          .as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(round(avg(col("x")), 4).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .select(col("label"), col("dim").cast("int").as("dim"),
+        col("centroid"), col("n_vectors"))
 }

@@ -516,6 +516,19 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "embedding_centroids" -> QueryDef(
+      doc = "per-label embedding centroids (long format): posexplode → one (label, dim) aggregation, map-side partial sums — classifier init / per-domain embedding / drift primitive",
+      oracle = """
+        WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM e)
+        SELECT CAST(label AS INTEGER) AS label, CAST(dim AS INTEGER) AS dim,
+               round(avg(x), 4) AS centroid,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM x GROUP BY 1, 2""") { (s, dir) =>
+      Similarity.labelCentroids(Tables.load(s, dir, "embeddings"),
+        labelCol = "label", vecCol = "embedding")
+    },
+
     "corpus_profile" -> QueryDef(
       doc = "data profiling: per-column row/null/distinct counts and string-order min/max in ONE aggregation pass (the validation gate a pipeline runs on every corpus drop; exact distinct via Expand here, HLL variant for 100 TB)",
       oracle = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>

@@ -205,4 +205,18 @@ class SimilaritySpec extends SparkSpec {
     val full = corpus.count() * queries.count()
     assert(nCand < full / 2, s"candidates $nCand not < half of $full")
   }
+
+  test("labelCentroids: hand-computed per-label per-dim means") {
+    import spark.implicits._
+    val e = Seq(
+      (0, Array(1.0f, 0.0f)),
+      (0, Array(3.0f, 2.0f)),
+      (1, Array(-1.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.labelCentroids(e, "label", "embedding")
+      .as[(Int, Int, Double, Long)].collect().toSet
+    assert(out == Set(
+      (0, 0, 2.0, 2L), (0, 1, 1.0, 2L),
+      (1, 0, -1.0, 1L), (1, 1, 5.0, 1L)))
+  }
 }
