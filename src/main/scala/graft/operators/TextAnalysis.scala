@@ -377,6 +377,47 @@ object TextAnalysis {
           .orderBy(col("n_occ").desc, col("token"))).cast("int"))
   }
 
+  /** Distribution drift per group: Jensen–Shannon divergence between
+    * each group's token distribution and the corpus-wide one — the
+    * check a curation pipeline runs when a new source (or a new crawl
+    * of an old one) lands: high JSD = the source's language no longer
+    * looks like the corpus (format change, spam injection, scraper
+    * breakage).
+    *
+    * JSD(P‖Q) = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m), m=(p+q)/2 — bounded
+    * [0, ln 2], symmetric, defined even where a group lacks tokens.
+    *
+    * Plan shape: token counts by (group, token) — one uniform
+    * exchange of the corpus's tokens with map-side combine — then the
+    * term grid is groups × vocab (MODEL-sized: both factors bounded;
+    * cap the vocab with [[vocab]] first if a raw 100 TB vocabulary is
+    * too wide) and one tiny aggregation by group. The corpus total
+    * rides in as a broadcast scalar.
+    */
+  def distributionDrift(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+    val tokTotals = counts.groupBy("token").agg(sum(col("c")).as("ct"))
+    val grpTotals = counts.groupBy("grp").agg(sum(col("c")).as("ng"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    val grid = grpTotals.crossJoin(tokTotals)
+      .join(counts, Seq("grp", "token"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(total))
+    val p = col("c").cast("double") / col("ng")
+    val q = col("ct").cast("double") / col("n")
+    val m = (p + q) / 2
+    val term = (when(col("c") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+      q * log(q / m)) * 0.5
+    grid.select(col("grp"), col("ng"), term.as("__t"))
+      .groupBy("grp")
+      .agg(first(col("ng")).as("n_tokens"),
+        round(sum(col("__t")), 4).as("jsd"))
+      .select(col("grp").as(groupCol), col("n_tokens"), col("jsd"))
+  }
+
   /** 60-bit token hash shared by SimHash and the oracle: the top 15
     * hex chars of md5 — reproducible in any engine, unlike
     * murmur/xxhash which are Spark-internal. Positive (fits BIGINT).

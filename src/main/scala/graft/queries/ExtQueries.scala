@@ -516,6 +516,31 @@ object ExtQueries {
         .select("doc_id", "lang")
     },
 
+    "corpus_drift" -> QueryDef(
+      doc = "distribution drift per source: Jensen-Shannon divergence of each source's token distribution vs the corpus-wide one (new-crawl sanity check) — token counts shuffle once; the term grid is groups × vocab, model-sized",
+      oracle = """
+        WITH tok AS (SELECT source AS grp, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                     FROM documents),
+        c AS (SELECT grp, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        ct AS (SELECT token, sum(c) AS ct FROM c GROUP BY 1),
+        ng AS (SELECT grp, sum(c) AS ng FROM c GROUP BY 1),
+        n AS (SELECT sum(c) AS n FROM c),
+        grid AS (SELECT g.grp, g.ng, t.token, t.ct, coalesce(cc.c, 0) AS c
+                 FROM ng g CROSS JOIN ct t
+                 LEFT JOIN c cc ON cc.grp = g.grp AND cc.token = t.token),
+        terms AS (SELECT grp, ng,
+                         0.5 * (CASE WHEN c > 0
+                                     THEN (c * 1.0 / ng) * ln((c * 1.0 / ng) / ((c * 1.0 / ng + ct * 1.0 / n) / 2))
+                                     ELSE 0 END
+                                + (ct * 1.0 / n) * ln((ct * 1.0 / n) / ((c * 1.0 / ng + ct * 1.0 / n) / 2))) AS t
+                  FROM grid CROSS JOIN n)
+        SELECT grp AS source, CAST(any_value(ng) AS BIGINT) AS n_tokens,
+               round(sum(t), 4) AS jsd
+        FROM terms GROUP BY grp""") { (s, dir) =>
+      TextAnalysis.distributionDrift(Tables.load(s, dir, "documents"),
+        groupCol = "source", textCol = "text")
+    },
+
     "embedding_centroids" -> QueryDef(
       doc = "per-label embedding centroids (long format): posexplode → one (label, dim) aggregation, map-side partial sums — classifier init / per-domain embedding / drift primitive",
       oracle = """

@@ -183,6 +183,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(("b", 3L, 2L, 1), ("a", 2L, 2L, 2)))
   }
 
+  test("distributionDrift: identical groups → 0, disjoint vocab → high") {
+    // two groups with IDENTICAL token distributions → jsd 0 for both
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    val jsdSame = TextAnalysis.distributionDrift(same, "source", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(jsdSame("a") == 0.0 && jsdSame("b") == 0.0)
+
+    // disjoint vocabularies: hand-compute group a's JSD vs the mixture
+    val disj = Seq(("a", "x x"), ("b", "y y")).toDF("source", "text")
+    val out = TextAnalysis.distributionDrift(disj, "source", "text")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // P_a = {x:1}, Q = {x:.5, y:.5}
+    // term_x = .5*(1*ln(1/.75) + .5*ln(.5/.75)); term_y = .5*(.5*ln(2))
+    val expected = 0.5 * (math.log(1 / 0.75) + 0.5 * math.log(0.5 / 0.75)) +
+      0.5 * 0.5 * math.log(2)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("a")._2 == 2L)
+    assert(out("a")._3 == r4(expected), s"got ${out("a")._3}, want ${r4(expected)}")
+    assert(out("b")._3 == r4(expected)) // symmetric corpus
+    // JSD is bounded by ln 2
+    assert(out.values.forall(_._3 <= math.log(2) + 1e-9))
+  }
+
   test("lmScore matches the hand-computed smoothed bigram model") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"))
       .toDF("doc_id", "text")
