@@ -22,6 +22,25 @@ object Bench {
       try graft.sources.Tables.load(spark, sfDir, n).count()
       catch { case _: Throwable => () }
     }
+    // warmup 2: run the heavy expression families once on tiny slices
+    // so JIT/codegen compilation of the vector + shingle hot paths is
+    // paid here, not by whichever ANN/dedup query happens to sort
+    // first (measured ~2-3s pinned on ann_recall_ivf purely for being
+    // alphabetically the first ANN query)
+    try {
+      import org.apache.spark.sql.functions.col
+      val e = graft.sources.Tables.load(spark, sfDir, "embeddings").limit(200)
+        .localCheckpoint(true)
+      graft.operators.Similarity.bruteForceTopK(
+          e.filter(col("vec_id") >= 10), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 3)
+        .write.format("noop").mode("overwrite").save()
+      val d = graft.sources.Tables.load(spark, sfDir, "documents").limit(200)
+        .localCheckpoint(true)
+      graft.operators.Dedup.minHashLsh(d, "doc_id", "text", 3, 0.7)
+        .write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=q1_pricing_summary,q8_star_join → bench a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
