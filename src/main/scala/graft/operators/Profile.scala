@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * null / distinct counts and min/max, as one long-format table
   * (column, n_rows, n_nulls, n_distinct, min_value, max_value).
   *
-  * Plan shape: ONE global aggregation computes every column's stats
-  * in a single pass (partial aggs per partition, a rows×columns-sized
-  * exchange of one row), then the wide result row is exploded into
-  * long format driver-free. Exact multi-column countDistinct plans
-  * via Expand — an O(columns) row multiplier BEFORE partial
-  * aggregation, which is the documented cost of exactness; at 100 TB
-  * profile with `approxDistinct = true` (HLL sketches, no Expand, one
-  * scan) and keep the exact form for gate-sized checks.
+  * Plan shape: ONE aggregation computes every column's stats in a
+  * single pass over the scan, then the wide result row is exploded
+  * into long format driver-free. Exact multi-column countDistinct
+  * plans via Expand — an O(columns) row multiplier feeding a
+  * distinct-key shuffle, the documented cost of exactness; at 100 TB
+  * profile with `approxDistinct = true` (HLL sketches — no Expand, no
+  * corpus-keyed shuffle, partial sketches merge in a single-partition
+  * exchange) and keep the exact form for gate-sized checks.
   *
   * min/max compare as strings (cast once, per the oracle's CAST) so
   * one schema covers every column type; numeric-order min/max of a

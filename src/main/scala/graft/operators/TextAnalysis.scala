@@ -398,7 +398,12 @@ object TextAnalysis {
       textCol: String): DataFrame = {
     val tok = df.select(col(groupCol).as("grp"),
       explode(tokens(col(textCol))).as("token"))
+    // materialize the (group, token) counts ONCE: they feed four plan
+    // branches (group totals, token totals, the grid join-back, the
+    // corpus scalar) and each would otherwise re-explode the corpus's
+    // tokens; the counts table itself is groups × vocab — model-sized
     val counts = tok.groupBy("grp", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tokTotals = counts.groupBy("token").agg(sum(col("c")).as("ct"))
     val grpTotals = counts.groupBy("grp").agg(sum(col("c")).as("ng"))
     val total = counts.agg(sum(col("c")).as("n"))

@@ -93,4 +93,53 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("sample_weighted")
     assert(count(p, "Exchange hashpartitioning") == 0, p)
   }
+
+  test("corpus_split and text_chunk and text_redact_pii: narrow, zero exchanges") {
+    Seq("corpus_split", "text_chunk", "text_redact_pii").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Exchange") == 0, s"$q:\n$p")
+    }
+  }
+
+  test("dedup_spans: span agg + join-back + reassembly, no extra exchanges") {
+    val p = plan("dedup_spans")
+    // 1: partial→final first-occurrence agg; 2: join probe side by
+    // span; 3: reassembly by doc. The first-occurrence side reuses its
+    // agg exchange for the join (same key) — anything above 4 means a
+    // replanned branch snuck in.
+    assert(count(p, "Exchange hashpartitioning") <= 4, p)
+    assert(!p.contains("SortMergeJoin") || !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("corpus_profile: exact pays one distinct-key shuffle; approx pays none") {
+    val p = plan("corpus_profile")
+    // exact multi-distinct: Expand feeds ONE distinct-key exchange,
+    // then a single-partition merge — no other corpus-keyed shuffle
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    val approx = graft.operators.Profile.profile(
+        graft.sources.Tables.load(spark, sfDir, "documents"),
+        Seq("doc_id", "lang", "source"), approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(count(approx, "Exchange hashpartitioning") == 0, approx)
+  }
+
+  test("embedding_centroids: one (label, dim) exchange, partial aggregation first") {
+    val p = plan("embedding_centroids")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_"), p) // map-side combine before the exchange
+  }
+
+  test("corpus_drift: corpus tokens explode once; downstream is model-sized") {
+    val p = plan("corpus_drift")
+    // the (group, token) counts are checkpointed, so the corpus scan +
+    // explode appears in NO branch of the final plan — everything
+    // downstream reads the model-sized counts
+    assert(!p.contains("FileScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_vocab: token agg then TakeOrdered; rank window is post-limit") {
+    val p = plan("text_vocab")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
