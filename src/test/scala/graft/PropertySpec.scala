@@ -240,4 +240,64 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: spanDedup equals the obvious sequential-scan reference") {
+    val token = Gen.oneOf("a", "b", "c")
+    val genDoc = Gen.nonEmptyListOf(token).map(_.take(12))
+    val genCorpus = Gen.nonEmptyListOf(genDoc).map(_.take(8))
+    val genSpan = Gen.chooseNum(1, 4)
+    check(Prop.forAll(genCorpus, genSpan) { (docs, span) =>
+      // reference: walk docs in id order, cut into span-word pieces,
+      // keep a piece iff its text was never seen before
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.zipWithIndex.map { case (toks, i) =>
+        val pieces = toks.grouped(span).map(_.mkString(" ")).toSeq
+        val kept = pieces.filter { p =>
+          val fresh = !seen(p); seen += p; fresh
+        }
+        (i.toLong, pieces.size.toLong, kept.size.toLong, kept.mkString(" "))
+      }
+      val got = graft.operators.Dedup.spanDedup(
+          docs.zipWithIndex.map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          "doc_id", "text", span)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      got == expected
+    }, minTests = 8)
+  }
+
+  test("property: chunk with stride == chunkSize partitions the doc exactly") {
+    val token = Gen.oneOf("a", "bb", "ccc")
+    val genDoc = Gen.nonEmptyListOf(token).map(_.take(20))
+    val genSize = Gen.chooseNum(1, 6)
+    check(Prop.forAll(genDoc, genSize) { (toks, cs) =>
+      val out = graft.operators.TextAnalysis.chunk(
+          Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          "doc_id", "text", chunkSize = cs, stride = cs)
+        .orderBy("chunk_id")
+        .as[(Long, Int, String, Int)].collect().toSeq
+      // non-overlapping chunks reassemble to the original token stream
+      // and chunk ids are dense from 0
+      out.map(_._3).mkString(" ") == toks.mkString(" ") &&
+        out.map(_._2) == out.indices.map(identity) &&
+        out.map(_._4).sum == toks.size
+    }, minTests = 8)
+  }
+
+  test("property: split honors cumulative hash thresholds exactly") {
+    val genIds = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct.take(40))
+    val genCut = Gen.chooseNum(0.1, 0.9)
+    check(Prop.forAll(genIds, genCut) { (ids, f) =>
+      val out = graft.operators.Sampling.split(
+          ids.toDF("id"), "id", Seq("x" -> f, "y" -> (1.0 - f)))
+        .as[(Long, String)].collect().toMap
+      ids.forall { id =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val bucket = java.lang.Long.parseLong(hex, 16) % 10000
+        out(id) == (if (bucket < (f * 10000).round) "x" else "y")
+      }
+    }, minTests = 8)
+  }
 }
