@@ -56,4 +56,31 @@ object Jdbc {
     props.setProperty("driver", conn.driver)
     spark.read.jdbc(conn.url, table, props)
   }
+
+  /** JDBC result sink — the reference's deployment writes its
+    * analysis tables back into the database (reference README.md:123:
+    * the `analysis_db` MySQL schema). `overwrite` is the full-refresh
+    * family (S2), `append` serves incremental merges whose dedup
+    * happened engine-side first.
+    *
+    * The scale knob here is `maxConnections`: a wide DataFrame write
+    * opens one connection PER PARTITION — a 1000-executor write would
+    * hammer the database with 1000 sessions. Coalesce (narrow, no
+    * shuffle) caps the fan-in; rows stream in `batchSize` inserts per
+    * round trip.
+    */
+  def writeTable(
+      df: DataFrame, conn: Conn, table: String,
+      mode: String = "overwrite",
+      maxConnections: Int = 8, batchSize: Int = 10000): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("user", conn.user)
+    props.setProperty("password", conn.password)
+    props.setProperty("driver", conn.driver)
+    props.setProperty("batchsize", batchSize.toString)
+    val capped =
+      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
+      else df
+    capped.write.mode(mode).jdbc(conn.url, table, props)
+  }
 }

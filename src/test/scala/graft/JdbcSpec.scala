@@ -92,4 +92,25 @@ class JdbcSpec extends SparkSpec {
       .select("person_id", "value_numeric").collect().head
     assert(row.getInt(0) == 0 && row.getDouble(1) == 63.0)
   }
+
+  test("writeTable: overwrite replaces, append adds, connections capped") {
+    fixture
+    import spark.implicits._
+    val report = (1 to 50).map(i => (i.toLong, s"name_$i", i * 2.0))
+      .toDF("id", "name", "score").repartition(16)
+    Jdbc.writeTable(report, conn, "report_out", maxConnections = 4)
+    val back = Jdbc.smallTable(spark, conn, "report_out")
+    assert(back.count() == 50)
+    assertSameRows(back.select("id", "name", "score"),
+      report.select("id", "name", "score"))
+
+    // full refresh: a second overwrite REPLACES, never accumulates
+    Jdbc.writeTable(report.filter(col("id") <= 10), conn, "report_out")
+    assert(Jdbc.smallTable(spark, conn, "report_out").count() == 10)
+
+    // append mode adds rows on top
+    Jdbc.writeTable(report.filter(col("id") > 40), conn, "report_out",
+      mode = "append")
+    assert(Jdbc.smallTable(spark, conn, "report_out").count() == 20)
+  }
 }

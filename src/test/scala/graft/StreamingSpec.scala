@@ -168,4 +168,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set(2L),
       "repetition gates doc 1, quality gates doc 3, doc 2 ships")
   }
+
+  test("redaction + chunking stream with batch parity (narrow ops)") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val doc = "ping admin@site.io then " + ("alpha beta gamma " * 20).trim
+    def prep(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunk(
+        docs.withColumn("text", TextAnalysis.redactPii(col("text"))),
+        "doc_id", "text", chunkSize = 16, stride = 16)
+    val mem = MemoryStream[(Long, String)]
+    val q = prep(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("prep").start()
+    mem.addData((1L, doc), (2L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("prep")
+      .as[(Long, Int, String, Int)].collect().toSet
+    val batch = prep(Seq((1L, doc), (2L, "")).toDF("doc_id", "text"))
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall(!_._3.contains("admin@site.io")),
+      "redaction must precede chunking in the stream too")
+  }
 }
