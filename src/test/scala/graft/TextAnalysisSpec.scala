@@ -183,6 +183,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(("b", 3L, 2L, 1), ("a", 2L, 2L, 2)))
   }
 
+  test("new ops: null and empty texts flow through without crashing") {
+    val df = Seq((1L, "real content here today"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    // chunk / lmScore / spanDedup drop token-less docs instead of erroring
+    assert(TextAnalysis.chunk(df, "doc_id", "text", 4, 4)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(TextAnalysis.lmScore(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    assert(graft.operators.Dedup.spanDedup(df, "doc_id", "text", 2)
+      .select("doc_id").as[Long].collect().toSet == Set(1L))
+    // redaction preserves null, counts null as no matches downstream
+    val red = df.select(col("doc_id"), TextAnalysis.redactPii(col("text")))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!red(1L) && !red(2L) && red(3L))
+    // vocab and drift simply see no tokens from docs 2 and 3
+    assert(TextAnalysis.vocab(df, "doc_id", "text", 10).count() == 4)
+    val drift = TextAnalysis.distributionDrift(
+      df.withColumn("source", lit("s")), "source", "text")
+    assert(drift.count() == 1)
+  }
+
   test("distributionDrift: identical groups → 0, disjoint vocab → high") {
     // two groups with IDENTICAL token distributions → jsd 0 for both
     val same = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
