@@ -328,30 +328,64 @@ object TextAnalysis {
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       addK: Double = 0.5): DataFrame = {
+    val model = trainBigramModel(df, idCol, textCol)
+    scoreWithBigramModel(model, df, idCol, textCol, addK)
+  }
+
+  /** Bigram rows (doc_id, w1, w2) — narrow index-generated pairs. */
+  private def bigramRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val base = df.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("__toks"))
-    val bigrams = base.filter(size(col("__toks")) >= 2)
+    base.filter(size(col("__toks")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), size(col("__toks")) - 2),
         i => struct(element_at(col("__toks"), i + 1).as("w1"),
           element_at(col("__toks"), i + 2).as("w2")))).as("__b"))
       .select(col("doc_id"), col("__b.w1"), col("__b.w2"))
-    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
-    val cg = bigrams.groupBy("w1").agg(count(lit(1)).as("__cg"))
-    val v = base.select(explode(col("__toks")).as("w"))
-      .agg(countDistinct(col("w")).as("__v"))
-    bigrams
-      .join(cb, Seq("w1", "w2"))
-      .join(cg, Seq("w1"))
-      .crossJoin(broadcast(v))
+  }
+
+  /** The persisted half of [[lmScore]]: train the counts once, score
+    * every incoming batch against them. All three frames are
+    * analysis-store shaped (bigram counts ideally bucketed on (w1,w2)
+    * so scoring joins bucket-locally — the same serving pattern as
+    * the ANN and minhash indexes).
+    */
+  final case class BigramModel(
+      bigramCounts: DataFrame,  // (w1, w2, cb)
+      contextCounts: DataFrame, // (w1, cg)
+      vocab: DataFrame)         // single row (v)
+
+  def trainBigramModel(df: DataFrame, idCol: String,
+      textCol: String): BigramModel = {
+    val bigrams = bigramRows(df, idCol, textCol)
+    BigramModel(
+      bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
+      contextCounts = bigrams.groupBy("w1").agg(count(lit(1)).as("cg")),
+      vocab = df.select(explode(tokens(col(textCol))).as("w"))
+        .agg(countDistinct(col("w")).as("v")))
+  }
+
+  /** Score a batch against a trained model. Bigrams UNSEEN by the
+    * model (new docs bring new pairs) still score: smoothing gives
+    * them (k)/(cg + k·V), and a fully-unknown context scores k/(k·V)
+    * = 1/V — the uniform floor. That is what makes the periodic-train
+    * / continuous-score deployment sound.
+    */
+  def scoreWithBigramModel(model: BigramModel, df: DataFrame,
+      idCol: String, textCol: String, addK: Double = 0.5): DataFrame =
+    bigramRows(df, idCol, textCol)
+      .join(model.bigramCounts, Seq("w1", "w2"), "left")
+      .join(model.contextCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
       .select(col("doc_id"),
-        log((col("__cb") + addK) / (col("__cg") + lit(addK) * col("__v")))
+        log((coalesce(col("cb"), lit(0L)) + addK) /
+          (coalesce(col("cg"), lit(0L)) + lit(addK) * col("v")))
           .as("__ll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(col("__ll")), 4).as("avg_logprob"),
         round(exp(-avg(col("__ll"))), 4).as("ppl"))
-  }
 
   /** Vocabulary builder: the `topN` tokens by corpus occurrence count
     * (ties broken by token text), with document frequency — the seed

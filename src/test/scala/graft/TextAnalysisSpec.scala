@@ -227,6 +227,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.values.forall(_._3 <= math.log(2) + 1e-9))
   }
 
+  test("bigram model: persisted train/score ≡ one-shot; unseen bigrams floor at 1/V") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents").limit(200)
+    val oneShot = TextAnalysis.lmScore(docs, "doc_id", "text")
+    val model = TextAnalysis.trainBigramModel(docs, "doc_id", "text")
+    // round-trip the model through parquet (the store deployment)
+    val dir = java.nio.file.Files.createTempDirectory("lm").toString
+    model.bigramCounts.write.parquet(s"$dir/cb")
+    model.contextCounts.write.parquet(s"$dir/cg")
+    model.vocab.write.parquet(s"$dir/v")
+    val loaded = TextAnalysis.BigramModel(
+      spark.read.parquet(s"$dir/cb"),
+      spark.read.parquet(s"$dir/cg"),
+      spark.read.parquet(s"$dir/v"))
+    assertSameRows(
+      TextAnalysis.scoreWithBigramModel(loaded, docs, "doc_id", "text"),
+      oneShot)
+    // a doc whose bigrams the model never saw: every pair scores the
+    // uniform floor k/(k·V) = 1/V
+    val v = model.vocab.collect().head.getLong(0)
+    val alien = Seq((99L, "zzq wwx zzq")).toDF("doc_id", "text")
+    val ppl = TextAnalysis.scoreWithBigramModel(loaded, alien,
+        "doc_id", "text")
+      .select("ppl").as[Double].head()
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ppl == r4(v.toDouble))
+  }
+
   test("lmScore matches the hand-computed smoothed bigram model") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"))
       .toDF("doc_id", "text")
