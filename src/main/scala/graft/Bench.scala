@@ -39,12 +39,16 @@ object Bench {
         .localCheckpoint(true)
       graft.operators.Dedup.minHashLsh(d, "doc_id", "text", 3, 0.7)
         .write.format("noop").mode("overwrite").save()
+      // frees the minhash shingle persist; the two 200-row checkpoint
+      // blocks are below noise and die with RDD GC
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
 
-    // SPARK_GRAFT_ONLY=q1_pricing_summary,q8_star_join → bench a subset
+    // SPARK_GRAFT_ONLY=q1_pricing_summary,q8_star_join → bench a
+    // subset; blank means "all", not "none"
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     // wall vs process-CPU vs GC diagnostics per query: if a query's
     // wall time balloons while cpu/wall stays far below the core
     // count and GC is idle, the slowdown is host-external (another

@@ -272,26 +272,20 @@ object Dedup {
         struct(col("doc_id"), col("pos")) === col("__first")))
   }
 
-  /** (doc_id, pos, span) piece rows — narrow tokenize + slice. Feeds
+  /** (doc_id, pos, span) piece rows — [[TextAnalysis.chunk]] with
+    * stride == chunkSize (one shared implementation of the window
+    * slicing, so an off-by-one fix there cannot diverge here). Feeds
     * two plan branches in [[spanDedup]] (first-occurrence agg + the
-    * probe side of the join back); both re-run this subtree, which is
-    * cheap — persisting it was measured at <3% wall at sf0.1 and
-    * would cost corpus-scale cache at 100 TB.
+    * probe side of the join back); both re-run this narrow subtree,
+    * which is cheap — persisting it was measured at <3% wall at sf0.1
+    * and would cost corpus-scale cache at 100 TB.
     */
   private def spanRows(
-      df: DataFrame, idCol: String, textCol: String, span: Int): DataFrame = {
-    require(span >= 1, "span must be >= 1")
-    val nToks = size(col("__toks"))
-    val pieces = transform(
-      sequence(lit(0), ceil(nToks / lit(span.toDouble)).cast("int") - 1),
-      i => struct(i.as("pos"),
-        array_join(slice(col("__toks"), i * span + 1, lit(span)), " ").as("span")))
-    df.select(col(idCol).as("doc_id"),
-        graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .filter(nToks > 0)
-      .select(col("doc_id"), explode(pieces).as("__p"))
-      .select(col("doc_id"), col("__p.pos"), col("__p.span"))
-  }
+      df: DataFrame, idCol: String, textCol: String, span: Int): DataFrame =
+    graft.operators.TextAnalysis.chunk(df, idCol, textCol,
+        chunkSize = span, stride = span)
+      .select(col("doc_id"), col("chunk_id").as("pos"),
+        col("chunk_text").as("span"))
 
   /** Rebuild (doc_id, n_spans, n_kept, dedup_text) from flagged span
     * rows — one uniform shuffle by doc id.

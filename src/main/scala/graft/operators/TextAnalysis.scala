@@ -263,7 +263,13 @@ object TextAnalysis {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  val PhoneRe = "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+  // two alternatives: separator-delimited (+1 555-0199, 555.123.4567)
+  // and parenthesized US-style ((555) 123-4567). Dot separators rank
+  // AFTER the IPv4 replacement in redactPii, so dotted-quad IPs are
+  // already gone when this pattern runs. Unseparated digit runs are
+  // deliberately NOT matched — they collide with ids/quantities.
+  val PhoneRe = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{4}" +
+    "|\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}"
 
   /** PII redaction — the compliance pass a training corpus runs before
     * anything else sees the text: emails, IPv4 addresses, and
@@ -427,6 +433,12 @@ object TextAnalysis {
     * cap the vocab with [[vocab]] first if a raw 100 TB vocabulary is
     * too wide) and one tiny aggregation by group. The corpus total
     * rides in as a broadcast scalar.
+    *
+    * Note: calling this MATERIALIZES the token counts eagerly (the
+    * checkpoint that stops four plan branches re-exploding the
+    * corpus); the model-sized blocks live until the returned frame is
+    * GC'd, so long-lived monitors should drop references between
+    * drops rather than accumulate them.
     */
   def distributionDrift(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = {

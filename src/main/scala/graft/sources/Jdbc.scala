@@ -78,9 +78,10 @@ object Jdbc {
     props.setProperty("password", conn.password)
     props.setProperty("driver", conn.driver)
     props.setProperty("batchsize", batchSize.toString)
-    val capped =
-      if (df.rdd.getNumPartitions > maxConnections) df.coalesce(maxConnections)
-      else df
-    capped.write.mode(mode).jdbc(conn.url, table, props)
+    // unconditional: coalesce never INCREASES partition count, and
+    // probing df.rdd.getNumPartitions first would materialize the
+    // whole upstream plan under AQE just to read a number — running
+    // the pipeline twice per write
+    df.coalesce(maxConnections).write.mode(mode).jdbc(conn.url, table, props)
   }
 }

@@ -108,7 +108,7 @@ class PlanAuditSpec extends SparkSpec {
     // agg exchange for the join (same key) — anything above 4 means a
     // replanned branch snuck in.
     assert(count(p, "Exchange hashpartitioning") <= 4, p)
-    assert(!p.contains("SortMergeJoin") || !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
   }
 
   test("corpus_profile: exact pays one distinct-key shuffle; approx pays none") {

@@ -152,6 +152,13 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.piiCount(col("text"))).as[(String, Int)].head()
     assert(red == "mail me at <EMAIL> or <PHONE>, host <IP> thanks")
     assert(n == 3)
+    // parenthesized and dotted phone formats are caught too
+    val variants = Seq("call (555) 123-4567 or 555.123.4567 today")
+      .toDF("text")
+      .select(TextAnalysis.redactPii(col("text")),
+        TextAnalysis.piiCount(col("text"))).as[(String, Int)].head()
+    assert(variants._1 == "call <PHONE> or <PHONE> today", variants._1)
+    assert(variants._2 == 2)
     // clean text passes through untouched, zero count
     val (clean, z) = Seq("nothing sensitive here 42")
       .toDF("text")
