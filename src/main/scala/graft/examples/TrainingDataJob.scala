@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupCluster, Packing, Sampling, TextAnalysis}
+import graft.operators.{Dedup, DedupCluster, Packing, QualityModel, Sampling, TextAnalysis}
 
 /** The canonical pre-training corpus pipeline, composed from the
   * engine's ext-tier operators — the end-to-end shape a 100 TB
@@ -53,6 +53,11 @@ object TrainingDataJob {
       // gate is engine-exact like the rest of the pipeline)
       maxRepetitionRatio: Double = 0.5,
       redactPii: Boolean = true,
+      // model-based gate: when set, stage 1 filters on the classifier's
+      // calibrated probability instead of the raw rule gate (the rules
+      // still run — they feed the model its features)
+      qualityModel: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
+      minQualityProb: Double = 0.5,
       numShards: Int = 8,
       shuffleSeed: String = "epoch0")
 
@@ -80,12 +85,24 @@ object TrainingDataJob {
     // not exceed maxRepetitionRatio — integer cross-multiplication
     // (dup2_n·10⁶ ≤ ratio·10⁶·(2-gram count)), engine-exact
     val repThreshold = (config.maxRepetitionRatio * 1000000L).round
-    val quality = TextAnalysis.withRepetitionSignals(
-        TextAnalysis.qualityFeatures(documents), "text")
-      .filter(col("is_quality") &&
-        col("dup2_n") * lit(1000000L) <=
-          lit(repThreshold) * greatest(col("word_count") - 1L, lit(1L)))
-      .select(documents.columns.map(col): _*)
+    val quality = config.qualityModel match {
+      case Some(model) =>
+        // classifier gate: calibrated probability over the same
+        // feature blocks (scoring is a narrow broadcast-weights pass)
+        documents.join(
+          QualityModel.score(model,
+              QualityModel.features(documents, "doc_id", "text"))
+            .filter(col("quality_prob") >= config.minQualityProb)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None =>
+        TextAnalysis.withRepetitionSignals(
+            TextAnalysis.qualityFeatures(documents), "text")
+          .filter(col("is_quality") &&
+            col("dup2_n") * lit(1000000L) <=
+              lit(repThreshold) * greatest(col("word_count") - 1L, lit(1L)))
+          .select(documents.columns.map(col): _*)
+    }
 
     // 2. near-dup pruning: keep each cluster's canonical member
     val clustered = DedupCluster.minHashClusters(

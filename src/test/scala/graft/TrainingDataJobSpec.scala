@@ -82,6 +82,29 @@ class TrainingDataJobSpec extends SparkSpec {
     assert(raw.forall(_.contains("leak@example.com")))
   }
 
+  test("model-based quality gate swaps in for the rule gate") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(120)
+    val model = graft.operators.QualityModel.train(
+      graft.operators.QualityModel.features(docs, "doc_id", "text"))
+    val out = TrainingDataJob.run(docs,
+      TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+        defaultFraction = 1.0, qualityModel = Some(model),
+        minQualityProb = 0.5))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every survivor clears the model's probability bar
+    val survivors = out.select("doc_id", "text")
+    val probs = graft.operators.QualityModel.score(model,
+        graft.operators.QualityModel.features(survivors, "doc_id", "text"))
+      .select("quality_prob").as[Double].collect()
+    assert(probs.forall(_ >= 0.5))
+    // schema is identical to the rule-gate pipeline's output
+    val ruleOut = TrainingDataJob.run(docs,
+      TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+        defaultFraction = 1.0))
+    assert(out.columns.toSeq == ruleOut.columns.toSeq)
+  }
+
   test("repetition gate drops looping boilerplate that passes length gates") {
     val looping = ("the spam " * 40).trim            // dup2 ratio ≈ 1
     val normal = "the quick brown fox jumps over the lazy dog and then " +
