@@ -469,6 +469,36 @@ object TextAnalysis {
       .select(col("grp").as(groupCol), col("n_tokens"), col("jsd"))
   }
 
+  /** Encode: map each doc's tokens to vocabulary ids — the step
+    * between curation and packing in a training-data pipeline. Tokens
+    * absent from the vocab become `unkId`.
+    *
+    * The vocab rides in as a DataFrame (token, rank) — typically
+    * [[vocab]]'s output or a store table — and is collected to a
+    * literal map ONLY because a vocabulary is model-sized by
+    * definition (the same bounded-artifact rule as IVF centroids and
+    * bloom bytes); the encode itself is then a narrow codegen'd
+    * map-lookup transform, zero exchanges, linear scale-out. The
+    * join-based alternative (explode → join vocab → re-collect) pays
+    * a corpus-wide shuffle for no benefit at any vocab size that fits
+    * a broadcast.
+    */
+  def encode(df: DataFrame, vocabDf: DataFrame, idCol: String,
+      textCol: String, unkId: Int = -1): DataFrame = {
+    val entries = vocabDf.select(col("token"), col("rank").cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    require(entries.nonEmpty, "encode needs a non-empty vocabulary")
+    val vocabMap = map(entries.flatMap { case (t, r) =>
+      Seq(lit(t), lit(r)) }.toIndexedSeq: _*)
+    df.select(col(idCol).as("doc_id"),
+        tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        transform(col("__toks"),
+          t => coalesce(element_at(vocabMap, t), lit(unkId)))
+          .as("token_ids"),
+        size(col("__toks")).as("n_tokens"))
+  }
+
   /** 60-bit token hash shared by SimHash and the oracle: the top 15
     * hex chars of md5 — reproducible in any engine, unlike
     * murmur/xxhash which are Spark-internal. Positive (fits BIGINT).

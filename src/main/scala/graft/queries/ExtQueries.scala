@@ -610,6 +610,52 @@ object ExtQueries {
         "doc_id", "text", topN = 100)
     },
 
+    "text_encode" -> QueryDef(
+      doc = "encode to vocab ids: tokens → rank of the top-50 vocab (unk=-1), long format for the oracle — the vocab collects as a model-sized literal map; the encode itself is a narrow codegen'd lookup, zero exchanges",
+      oracle = """
+        WITH tok0 AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                      FROM documents),
+        c AS (SELECT token, count(*) AS n_occ FROM tok0 GROUP BY 1),
+        v AS (SELECT token, CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS rank
+              FROM c ORDER BY n_occ DESC, token LIMIT 50),
+        w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        pos AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS token
+                FROM w WHERE len(ws) > 0)
+        SELECT p.doc_id, CAST(p.pos AS INTEGER) AS pos,
+               CAST(coalesce(v.rank, -1) AS INTEGER) AS token_id
+        FROM pos p LEFT JOIN v ON p.token = v.token""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = TextAnalysis.vocab(docs, "doc_id", "text", topN = 50)
+      TextAnalysis.encode(docs, vocab, "doc_id", "text")
+        .select(col("doc_id"), posexplode(col("token_ids")).as(Seq("p", "token_id")))
+        .select(col("doc_id"), (col("p") + 1).cast("int").as("pos"),
+          col("token_id"))
+    },
+
+    "pack_manifest" -> QueryDef(
+      doc = "pack manifest: per context-window pack, the docs that start in it, their token volume, and id bounds — the loader-side index of the packing assignment",
+      oracle = """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+        p AS (SELECT doc_id, n, (cum - n) // 512 AS pack_id FROM c)
+        SELECT CAST(pack_id AS BIGINT) AS pack_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM p GROUP BY 1""") { (s, dir) =>
+      graft.operators.Packing.packSequences(
+          Tables.load(s, dir, "documents"), "doc_id", "text", budget = 512)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    },
+
     "corpus_shards" -> QueryDef(
       doc = "deterministic global shuffle + sharding (the training-export step): seeded md5 shuffle key, 8 shards; per-shard row/char totals and key-range bounds prove assignment AND order are engine-reproducible",
       oracle = """

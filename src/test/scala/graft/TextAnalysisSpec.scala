@@ -261,6 +261,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ppl == r4(v.toDouble))
   }
 
+  test("encode maps tokens to vocab ranks with unk fallback") {
+    val docs = Seq((1L, "b a zz b"), (2L, "")).toDF("doc_id", "text")
+    val vocab = Seq(("b", 1), ("a", 2)).toDF("token", "rank")
+    val out = TextAnalysis.encode(docs, vocab, "doc_id", "text")
+      .as[(Long, Seq[Int], Int)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, Seq(1, 2, -1, 1), 4),
+      (2L, Seq(), 0)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.encode(docs, vocab.limit(0), "doc_id", "text")
+    }
+  }
+
   test("lmScore matches the hand-computed smoothed bigram model") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a"))
       .toDF("doc_id", "text")
