@@ -110,6 +110,33 @@ object DedupCluster {
     out
   }
 
+  /** Incremental clustering: fold a DELTA's duplicate pairs (from
+    * [[Dedup.minHashLshDelta]] — new×old and new×new edges only) into
+    * a PRIOR clustering without touching old×old pairs again. Prior
+    * assignments become edges (member → its cluster id), so two old
+    * clusters bridged by a new doc correctly merge to the smaller
+    * cluster id, and the label propagation runs over
+    * |prior non-singleton members| + |delta pairs| edges — duplicate-
+    * cluster-sized, never corpus-sized. Composed with the bucketed
+    * band index this is the full 100 TB incremental near-dup loop:
+    * maintain index → probe delta → merge clusters.
+    *
+    * @param priorLabels (idCol, cluster_id) from an earlier
+    *                    [[connectedComponents]] run over the old docs
+    * @param deltaPairs  (aCol, bCol) pairs touching the delta
+    * @param universe    (idCol) — old + delta doc ids
+    */
+  def mergeDelta(
+      priorLabels: DataFrame, deltaPairs: DataFrame, universe: DataFrame,
+      idCol: String = "doc_id", aCol: String = "da", bCol: String = "db"): DataFrame = {
+    val priorEdges = priorLabels
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as(aCol), col("cluster_id").as(bCol))
+    connectedComponents(universe,
+      priorEdges.unionByName(deltaPairs.select(col(aCol), col(bCol))),
+      idCol, aCol, bCol)
+  }
+
   /** End-to-end near-dup pruning: MinHash+LSH pairs → components →
     * per-cluster canonical survivor flag. The shingle cache backing
     * the pair pipeline is released as soon as connectedComponents has
