@@ -61,6 +61,39 @@ object TrainingDataJob {
       numShards: Int = 8,
       shuffleSeed: String = "epoch0")
 
+  /** Stage 0: PII redaction — BEFORE any stage reads the text, so
+    * nothing downstream (fingerprints, shingles, features, shard
+    * files) ever sees a raw email/IP/phone. Narrow regexp chain,
+    * fuses with the stage-1 scan.
+    */
+  def redact(df: DataFrame, config: Config): DataFrame =
+    if (config.redactPii)
+      df.withColumn("text", TextAnalysis.redactPii(col("text")))
+    else df
+
+  /** Stage 1 (rule form): quality + repetition gate, both per-row and
+    * narrow. Repetition rule: the fraction of 2-gram instances that
+    * are duplicated must not exceed maxRepetitionRatio — integer
+    * cross-multiplication (dup2_n·10⁶ ≤ ratio·10⁶·(2-gram count)),
+    * engine-exact.
+    */
+  def ruleGate(df: DataFrame, config: Config): DataFrame = {
+    val repThreshold = (config.maxRepetitionRatio * 1000000L).round
+    TextAnalysis.withRepetitionSignals(
+        TextAnalysis.qualityFeatures(df), "text")
+      .filter(col("is_quality") &&
+        col("dup2_n") * lit(1000000L) <=
+          lit(repThreshold) * greatest(col("word_count") - 1L, lit(1L)))
+      .select(df.columns.map(col): _*)
+  }
+
+  /** Stages 0+1 composed — the frame the dedup stages cluster over;
+    * exposed so incremental callers can reconstruct prior-state
+    * inputs ([[tick]]) identically to [[run]].
+    */
+  def curatedQuality(df: DataFrame, config: Config): DataFrame =
+    ruleGate(redact(df, config), config)
+
   /** documents(doc_id, text, lang, …) → curated corpus with features
     * and pack assignments. Deterministic end-to-end: same input ⇒
     * same output rows.
@@ -70,21 +103,8 @@ object TrainingDataJob {
     */
   def run(rawDocuments: DataFrame, config: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
-    // 0. PII redaction — BEFORE any stage reads the text, so nothing
-    // downstream (fingerprints, shingles, features, shard files) ever
-    // sees a raw email/IP/phone. Narrow regexp chain, fuses with the
-    // stage-1 scan.
-    val documents =
-      if (config.redactPii)
-        rawDocuments.withColumn("text",
-          TextAnalysis.redactPii(col("text")))
-      else rawDocuments
+    val documents = redact(rawDocuments, config)
 
-    // 1. quality + repetition gate (both per-row, narrow). Repetition
-    // rule: the fraction of 2-gram instances that are duplicated must
-    // not exceed maxRepetitionRatio — integer cross-multiplication
-    // (dup2_n·10⁶ ≤ ratio·10⁶·(2-gram count)), engine-exact
-    val repThreshold = (config.maxRepetitionRatio * 1000000L).round
     val quality = config.qualityModel match {
       case Some(model) =>
         // classifier gate: calibrated probability over the same
@@ -95,13 +115,7 @@ object TrainingDataJob {
             .filter(col("quality_prob") >= config.minQualityProb)
             .select("doc_id"),
           Seq("doc_id"), "left_semi")
-      case None =>
-        TextAnalysis.withRepetitionSignals(
-            TextAnalysis.qualityFeatures(documents), "text")
-          .filter(col("is_quality") &&
-            col("dup2_n") * lit(1000000L) <=
-              lit(repThreshold) * greatest(col("word_count") - 1L, lit(1L)))
-          .select(documents.columns.map(col): _*)
+      case None => ruleGate(documents, config)
     }
 
     // 2. near-dup pruning: keep each cluster's canonical member
@@ -142,5 +156,90 @@ object TrainingDataJob {
     // written via Sampling.writeShuffledShards)
     Sampling.shuffleShards(packed, "doc_id", config.shuffleSeed,
       config.numShards)
+  }
+
+  /** One INCREMENTAL tick: curate only a delta of new docs (ids above
+    * every prior doc — the bookmark contract) against the prior run's
+    * state, composing the per-stage incremental twins the operators
+    * already prove: [[Dedup.minHashLshDelta]] (index probe),
+    * [[DedupCluster.mergeDelta]] (cluster merge),
+    * [[Packing.packSequencesDelta]] (token-bookmark continuation);
+    * redaction/gate/features are narrow, sampling is id-pure — both
+    * trivially incremental.
+    *
+    * Returns (additions, retractedIds):
+    *  - additions: the delta docs that ship, with the same columns
+    *    [[run]] emits — pack slots CONTINUE from `tokenBookmark`, so
+    *    previously shipped pack files stay valid (append-only).
+    *  - retractedIds: previously-shipped OLD docs that lost canonical
+    *    status because a delta doc bridged their cluster into one
+    *    with a smaller id — mask these in the serving layer (the
+    *    partitioned store's removeKeys path); the engine never
+    *    rewrites shipped packs for them.
+    *
+    * The shipped ID SET after (prior − retractions + additions)
+    * equals a full [[run]] over old+delta (spec-asserted); pack
+    * assignments of old docs intentionally differ from a from-scratch
+    * re-pack — that is the append-only contract.
+    *
+    * @param oldDocuments  prior raw corpus (for the dedup index; at
+    *                      scale this is the persisted bucketed index,
+    *                      not a recompute — DedupSpec proves that
+    *                      layout)
+    * @param priorClusters (doc_id, cluster_id) over the prior QUALITY
+    *                      docs (the clustering [[run]] computed)
+    * @param tokenBookmark Σ n_tokens of previously shipped rows
+    *                      ([[Packing.tokenBookmark]])
+    */
+  def tick(
+      oldDocuments: DataFrame,
+      priorClusters: DataFrame,
+      tokenBookmark: Long,
+      rawDelta: DataFrame,
+      config: Config = Config(),
+      evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val delta = redact(rawDelta, config)
+    val qDelta = ruleGate(delta, config)
+    val oldQuality = curatedQuality(oldDocuments, config)
+
+    // 2'. delta probes the (persisted, here recomputed) minhash index
+    val (sh, bands) = Dedup.minHashIndex(
+      oldQuality.unionByName(qDelta), "doc_id", "text", k = 3)
+    val deltaPairs = Dedup.minHashLshDelta(sh, bands,
+      qDelta.select("doc_id"), config.jaccardThreshold)
+    val merged = DedupCluster.mergeDelta(priorClusters, deltaPairs,
+      oldQuality.select("doc_id").unionByName(qDelta.select("doc_id")))
+    sh.unpersist()
+    val canonical = merged.filter(col("is_canonical")).select("doc_id")
+    val keptDelta = qDelta.join(canonical, Seq("doc_id"), "left_semi")
+    // old canonicals that a delta bridge demoted → retract downstream
+    val retracted = priorClusters
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+      .join(canonical, Seq("doc_id"), "left_anti")
+
+    // 3'–5'. decontaminate + sample + annotate the delta only
+    val clean = evalSet match {
+      case None => keptDelta
+      case Some(eval) =>
+        val leaked = Dedup.contamination(keptDelta, eval, "doc_id", "text",
+            k = 3, threshold = config.contaminationThreshold)
+          .filter(col("is_contaminated")).select("doc_id")
+        keptDelta.join(broadcast(leaked), Seq("doc_id"), "left_anti")
+    }
+    val sampled = Sampling.stratified(clean, "doc_id", "lang",
+      config.langFractions, config.defaultFraction)
+    val features = TextAnalysis.fingerprints(sampled)
+      .withColumn("norm_text", TextAnalysis.normalize(col("text")))
+      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+
+    // 6'–7'. packs continue from the bookmark; shuffle keys are id-pure
+    val packed = features.join(
+      Packing.packSequencesDelta(sampled, "doc_id", "text",
+          config.packBudget, tokenBookmark)
+        .select("doc_id", "pack_id", "pack_offset"),
+      Seq("doc_id"))
+    (Sampling.shuffleShards(packed, "doc_id", config.shuffleSeed,
+      config.numShards), retracted)
   }
 }

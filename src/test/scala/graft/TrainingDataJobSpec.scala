@@ -105,6 +105,37 @@ class TrainingDataJobSpec extends SparkSpec {
     assert(out.columns.toSeq == ruleOut.columns.toSeq)
   }
 
+  test("incremental tick ≡ full run on shipped ids; packs continue the bookmark") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5)
+
+    val fullIds = TrainingDataJob.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    val priorOut = TrainingDataJob.run(old, cfg)
+    val priorIds = priorOut.select("doc_id").as[Long].collect().toSet
+    val bookmark = priorOut.agg(sum(col("n_tokens").cast("long")))
+      .as[Long].head()
+    // the prior clustering over the old quality docs (what run used)
+    val priorClusters = graft.operators.DedupCluster.minHashClusters(
+        TrainingDataJob.curatedQuality(old, cfg), "doc_id", "text",
+        k = 3, threshold = cfg.jaccardThreshold)
+      .select("doc_id", "cluster_id")
+
+    val (adds, retracted) = TrainingDataJob.tick(old, priorClusters,
+      bookmark, delta, cfg)
+    val addIds = adds.select("doc_id").as[Long].collect().toSet
+    val retractIds = retracted.as[Long].collect().toSet
+    assert((priorIds -- retractIds) ++ addIds == fullIds)
+    // additions' pack slots continue after the bookmark
+    val minStart = adds
+      .agg(min(col("pack_id") * cfg.packBudget + col("pack_offset")))
+      .as[Long].head()
+    assert(minStart >= bookmark)
+  }
+
   test("repetition gate drops looping boilerplate that passes length gates") {
     val looping = ("the spam " * 40).trim            // dup2 ratio ≈ 1
     val normal = "the quick brown fox jumps over the lazy dog and then " +
