@@ -235,4 +235,29 @@ object AnalysisStore {
       .partitionBy(partitionBy: _*)
       .parquet(path)
   }
+
+  /** Retention: drop whole partition DIRECTORIES whose partition
+    * value fails `keep` — the time-to-live sweep a partitioned fact
+    * store runs periodically (reference semantics: old encounters age
+    * out of the hot analysis tables). Pure metadata+delete — no row
+    * is read or rewritten, so the sweep costs O(partitions), not
+    * O(data); surviving partitions stay byte-identical (pruned reads
+    * are untouched).
+    *
+    * @return the dropped partition values
+    */
+  def dropPartitions(
+      spark: SparkSession, path: String, partitionCol: String,
+      keep: String => Boolean): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(path)
+    val prefix = s"$partitionCol="
+    val dropped = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
+      .filterNot { case (_, v) => keep(v) }
+    dropped.foreach { case (p, _) => fs.delete(p, true) }
+    dropped.map(_._2)
+  }
 }

@@ -217,4 +217,24 @@ class AnalysisStoreSpec extends SparkSpec {
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent == Seq("inc"), s"leftovers: $parent")
   }
+
+  test("dropPartitions: TTL sweep deletes whole dirs, survivors untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("ttl").toString + "/t"
+    Seq((1L, "2024-01"), (2L, "2024-02"), (3L, "2024-03"))
+      .toDF("id", "month")
+      .write.partitionBy("month").parquet(dir)
+    // fingerprint the surviving partition's files before the sweep
+    def files(month: String) =
+      new java.io.File(s"$dir/month=$month").listFiles()
+        .map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    val before = files("2024-03")
+    val dropped = AnalysisStore.dropPartitions(spark, dir, "month",
+      keep = _ >= "2024-03")
+    assert(dropped.toSet == Set("2024-01", "2024-02"))
+    assert(!new java.io.File(s"$dir/month=2024-01").exists())
+    assert(files("2024-03") == before, "survivor partition was touched")
+    // the table still reads, containing exactly the survivors
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+      == Seq(3L))
+  }
 }

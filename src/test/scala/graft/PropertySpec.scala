@@ -284,6 +284,37 @@ class PropertySpec extends SparkSpec {
     }, minTests = 8)
   }
 
+  test("property: lmScore equals the naive smoothed-bigram reference") {
+    val token = Gen.oneOf("a", "b", "c", "d")
+    val genDoc = Gen.listOf(token).map(_.take(10))
+    val genCorpus = Gen.nonEmptyListOf(genDoc).map(_.take(6))
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    check(Prop.forAll(genCorpus) { docs =>
+      val bigrams = docs.flatMap(d => d.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      if (bigrams.isEmpty) true
+      else {
+        val cb = bigrams.groupBy(identity).view.mapValues(_.size).toMap
+        val cg = bigrams.groupBy(_._1).view.mapValues(_.size).toMap
+        val v = docs.flatten.distinct.size
+        val expected = docs.zipWithIndex.flatMap { case (d, i) =>
+          val bs = d.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))).toSeq
+          if (bs.isEmpty) None
+          else {
+            val lls = bs.map(b => math.log((cb(b) + 0.5) / (cg(b._1) + 0.5 * v)))
+            val avg = lls.sum / lls.size
+            Some(i.toLong -> ((bs.size.toLong, r4(avg), r4(math.exp(-avg)))))
+          }
+        }.toMap
+        val got = graft.operators.TextAnalysis.lmScore(
+            docs.zipWithIndex.map { case (d, i) => (i.toLong, d.mkString(" ")) }
+              .toDF("doc_id", "text"), "doc_id", "text", addK = 0.5)
+          .as[(Long, Long, Double, Double)].collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+        got == expected
+      }
+    }, minTests = 8)
+  }
+
   test("property: split honors cumulative hash thresholds exactly") {
     val genIds = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct.take(40))
     val genCut = Gen.chooseNum(0.1, 0.9)
