@@ -191,13 +191,19 @@ object TrainingDataJob {
     * @param tokenBookmark Σ n_tokens of previously shipped rows
     *                      ([[Packing.tokenBookmark]])
     */
+  /** [[tick]]'s outputs: what ships, what retracts, and the merged
+    * clustering the NEXT tick needs as its prior state.
+    */
+  final case class TickResult(
+      additions: DataFrame, retractedIds: DataFrame, clusters: DataFrame)
+
   def tick(
       oldDocuments: DataFrame,
       priorClusters: DataFrame,
       tokenBookmark: Long,
       rawDelta: DataFrame,
       config: Config = Config(),
-      evalSet: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+      evalSet: Option[DataFrame] = None): TickResult = {
     val delta = redact(rawDelta, config)
     val qDelta = ruleGate(delta, config)
     val oldQuality = curatedQuality(oldDocuments, config)
@@ -239,7 +245,10 @@ object TrainingDataJob {
           config.packBudget, tokenBookmark)
         .select("doc_id", "pack_id", "pack_offset"),
       Seq("doc_id"))
-    (Sampling.shuffleShards(packed, "doc_id", config.shuffleSeed,
-      config.numShards), retracted)
+    TickResult(
+      additions = Sampling.shuffleShards(packed, "doc_id",
+        config.shuffleSeed, config.numShards),
+      retractedIds = retracted,
+      clusters = merged.select("doc_id", "cluster_id"))
   }
 }

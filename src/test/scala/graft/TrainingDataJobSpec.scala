@@ -124,8 +124,8 @@ class TrainingDataJobSpec extends SparkSpec {
         k = 3, threshold = cfg.jaccardThreshold)
       .select("doc_id", "cluster_id")
 
-    val (adds, retracted) = TrainingDataJob.tick(old, priorClusters,
-      bookmark, delta, cfg)
+    val r = TrainingDataJob.tick(old, priorClusters, bookmark, delta, cfg)
+    val (adds, retracted) = (r.additions, r.retractedIds)
     val addIds = adds.select("doc_id").as[Long].collect().toSet
     val retractIds = retracted.as[Long].collect().toSet
     assert((priorIds -- retractIds) ++ addIds == fullIds)

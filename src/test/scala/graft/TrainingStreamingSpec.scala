@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.examples.TrainingDataJob
+import graft.sources.Tables
+import graft.streaming.TrainingStreaming
+
+/** Streaming corpus curation: document drops drive incremental ticks;
+  * the curated view (additions − retractions) must converge to the
+  * batch pipeline's answer, and the state must survive a restart.
+  */
+class TrainingStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two drops converge to the batch run; restart resumes from checkpoint") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5)
+
+    val root = Files.createTempDirectory("curation")
+    val dropDir = root.resolve("drops").toString
+    Files.createDirectories(root.resolve("drops"))
+    val storeRoot = root.resolve("store").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema = docs.schema
+
+    def startQuery() =
+      TrainingStreaming.curationTicks(
+          spark.readStream.schema(schema).parquet(dropDir),
+          storeRoot, cfg)
+        .option("checkpointLocation", ckpt)
+        .start()
+
+    drop1.write.mode("append").parquet(dropDir)
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable()
+      // after drop 1 the curated view is exactly the batch run on it
+      val batchIds = TrainingDataJob.run(drop1, cfg)
+        .select("doc_id").as[Long].collect().toSet
+      val streamIds = TrainingStreaming.readCurated(spark, storeRoot)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamIds == batchIds)
+    } finally q1.stop() // simulated crash/redeploy boundary
+
+    drop2.write.mode("append").parquet(dropDir)
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      val replayed = q2.recentProgress.map(_.numInputRows).sum
+      assert(replayed == drop2.count(),
+        s"restart must resume from the checkpoint: read $replayed rows")
+      // curated view ≡ full batch pipeline over everything (the tick
+      // equivalence, now carried through streaming state)
+      val fullIds = TrainingDataJob.run(docs, cfg)
+        .select("doc_id").as[Long].collect().toSet
+      val streamIds = TrainingStreaming.readCurated(spark, storeRoot)
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamIds == fullIds)
+      // additions carry the full output schema (packs, shards, features)
+      val cols = TrainingStreaming.readCurated(spark, storeRoot).columns.toSet
+      assert(Set("pack_id", "pack_offset", "shard", "shuffle_key",
+        "md5_exact", "n_tokens").subsetOf(cols), cols.toString)
+    } finally q2.stop()
+  }
+}
