@@ -87,12 +87,31 @@ object TrainingDataJob {
       .select(df.columns.map(col): _*)
   }
 
+  /** Stage 1, either form: the classifier gate when
+    * `config.qualityModel` is set (calibrated probability over the
+    * same feature blocks — a narrow broadcast-weights pass), the rule
+    * gate otherwise. [[run]] and [[tick]] both gate through here so
+    * the incremental tier can never silently diverge from the batch
+    * pipeline's gate.
+    */
+  def gate(df: DataFrame, config: Config): DataFrame =
+    config.qualityModel match {
+      case Some(model) =>
+        df.join(
+          QualityModel.score(model,
+              QualityModel.features(df, "doc_id", "text"))
+            .filter(col("quality_prob") >= config.minQualityProb)
+            .select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      case None => ruleGate(df, config)
+    }
+
   /** Stages 0+1 composed — the frame the dedup stages cluster over;
     * exposed so incremental callers can reconstruct prior-state
     * inputs ([[tick]]) identically to [[run]].
     */
   def curatedQuality(df: DataFrame, config: Config): DataFrame =
-    ruleGate(redact(df, config), config)
+    gate(redact(df, config), config)
 
   /** documents(doc_id, text, lang, …) → curated corpus with features
     * and pack assignments. Deterministic end-to-end: same input ⇒
@@ -104,19 +123,7 @@ object TrainingDataJob {
   def run(rawDocuments: DataFrame, config: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
     val documents = redact(rawDocuments, config)
-
-    val quality = config.qualityModel match {
-      case Some(model) =>
-        // classifier gate: calibrated probability over the same
-        // feature blocks (scoring is a narrow broadcast-weights pass)
-        documents.join(
-          QualityModel.score(model,
-              QualityModel.features(documents, "doc_id", "text"))
-            .filter(col("quality_prob") >= config.minQualityProb)
-            .select("doc_id"),
-          Seq("doc_id"), "left_semi")
-      case None => ruleGate(documents, config)
-    }
+    val quality = gate(documents, config)
 
     // 2. near-dup pruning: keep each cluster's canonical member
     val clustered = DedupCluster.minHashClusters(
@@ -158,6 +165,12 @@ object TrainingDataJob {
       config.numShards)
   }
 
+  /** [[tick]]'s outputs: what ships, what retracts, and the merged
+    * clustering the NEXT tick needs as its prior state.
+    */
+  final case class TickResult(
+      additions: DataFrame, retractedIds: DataFrame, clusters: DataFrame)
+
   /** One INCREMENTAL tick: curate only a delta of new docs (ids above
     * every prior doc — the bookmark contract) against the prior run's
     * state, composing the per-stage incremental twins the operators
@@ -191,12 +204,6 @@ object TrainingDataJob {
     * @param tokenBookmark Σ n_tokens of previously shipped rows
     *                      ([[Packing.tokenBookmark]])
     */
-  /** [[tick]]'s outputs: what ships, what retracts, and the merged
-    * clustering the NEXT tick needs as its prior state.
-    */
-  final case class TickResult(
-      additions: DataFrame, retractedIds: DataFrame, clusters: DataFrame)
-
   def tick(
       oldDocuments: DataFrame,
       priorClusters: DataFrame,
@@ -205,7 +212,7 @@ object TrainingDataJob {
       config: Config = Config(),
       evalSet: Option[DataFrame] = None): TickResult = {
     val delta = redact(rawDelta, config)
-    val qDelta = ruleGate(delta, config)
+    val qDelta = gate(delta, config)
     val oldQuality = curatedQuality(oldDocuments, config)
 
     // 2'. delta probes the (persisted, here recomputed) minhash index

@@ -249,9 +249,10 @@ object AnalysisStore {
   def dropPartitions(
       spark: SparkSession, path: String, partitionCol: String,
       keep: String => Boolean): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(path)
+    // the path's OWN filesystem — a bulk delete must never resolve
+    // against fs.defaultFS when the store lives on another scheme
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prefix = s"$partitionCol="
     val dropped = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))

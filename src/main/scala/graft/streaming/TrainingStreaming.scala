@@ -15,11 +15,14 @@ import graft.sources.AnalysisStore
   * analysis store across batches and restarts.
   *
   * Delivery contract: the engine's checkpoint gives at-least-once
-  * batch delivery; every state write here is idempotent BY KEY
-  * ([[AnalysisStore.writeIncremental]] keyed on doc_id), so a batch
-  * re-run after a crash converges to the same store instead of
-  * duplicating rows — the same staging-swap hygiene the ETL tick
-  * stream uses.
+  * batch delivery, and a re-delivered batch CONVERGES because every
+  * state read excludes the batch's own keys before composing the
+  * tick — the docs store and the bookmark are read "as of before this
+  * batch" even when a crashed attempt already wrote part of it — and
+  * every state write merges BY KEY ([[AnalysisStore
+  * .writeIncremental]] on doc_id). The clustering swaps through
+  * staging+backup with read-side recovery, so neither a half-written
+  * new state nor a mid-swap crash can feed the retry a wrong prior.
   *
   * The token bookmark is re-derived from the additions table (one
   * columnar sum over a single long column) rather than kept as a
@@ -27,6 +30,11 @@ import graft.sources.AnalysisStore
   * retries, the store cannot. A 100 TB deployment that finds the sum
   * too hot keeps (batchId → bookmark) in the store and reads the max
   * — same idempotence, O(ticks) rows.
+  *
+  * PII: the docs state persists the REDACTED text (redaction is
+  * idempotent), so the run()-level promise — nothing downstream of
+  * stage 0 ever sees a raw email/IP/phone — holds for durable
+  * streaming state too.
   */
 object TrainingStreaming {
 
@@ -35,43 +43,73 @@ object TrainingStreaming {
   private def addsPath(root: String) = s"$root/additions"
   private def retractsPath(root: String) = s"$root/retractions"
 
+  /** The path's OWN filesystem — state roots need not live on the
+    * cluster's fs.defaultFS.
+    */
+  private def fsOf(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def exists(spark: SparkSession, p: String): Boolean =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(p))
+    fsOf(spark, p).exists(new org.apache.hadoop.fs.Path(p))
 
   private def emptyClusters(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("doc_id", LongType),
         StructField("cluster_id", LongType))))
 
+  /** Recover the clusters dir if a previous attempt crashed mid-swap:
+    * stageAndSwap's only non-atomic window leaves the target renamed
+    * away to `__old` but the staging not yet renamed in — restore the
+    * backup so the retry reads the true prior state instead of
+    * treating the tick as the first one.
+    */
+  private def recoverClusters(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, clustersPath(root))
+    val target = new org.apache.hadoop.fs.Path(clustersPath(root))
+    val backup = new org.apache.hadoop.fs.Path(clustersPath(root) + "__old")
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+  }
+
   /** One curation tick over a batch of new docs, against (and
     * updating) the state rooted at `storeRoot`. Exposed for batch
     * callers and tests; [[curationTicks]] wires it to a stream.
     */
   def tickBatch(spark: SparkSession, rawBatch: DataFrame, storeRoot: String,
-      config: TrainingDataJob.Config): Unit = {
+      config: TrainingDataJob.Config,
+      evalSet: Option[DataFrame] = None): Unit = {
     // ONE source read: the tick references the batch from many plan
     // branches (gate, index union, joins, the docs-store merge), and
     // an un-materialized foreachBatch frame re-reads the stream
     // source per action — measured 13-14 re-reads per tick
-    val batch = rawBatch.localCheckpoint(true)
+    val batch = TrainingDataJob.redact(rawBatch, config).localCheckpoint(true)
     if (batch.isEmpty) return
+    val batchIds = batch.select("doc_id")
+    recoverClusters(spark, storeRoot)
+    // state "as of before this batch": a crashed attempt may have
+    // already merged this batch into docs/additions — excluding the
+    // batch's own keys makes the retry read what the first attempt
+    // read, so the tick (and the bookmark) recompute identically
     val old =
       if (exists(spark, docsPath(storeRoot)))
         spark.read.parquet(docsPath(storeRoot))
+          .join(batchIds, Seq("doc_id"), "left_anti")
       else batch.limit(0)
     val priorClusters =
       if (exists(spark, clustersPath(storeRoot)))
         spark.read.parquet(clustersPath(storeRoot))
+          .join(batchIds, Seq("doc_id"), "left_anti")
       else emptyClusters(spark)
     val bookmark =
       if (exists(spark, addsPath(storeRoot))) {
         val r = spark.read.parquet(addsPath(storeRoot))
+          .join(batchIds, Seq("doc_id"), "left_anti")
           .agg(sum(col("n_tokens").cast("long"))).head()
         if (r.isNullAt(0)) 0L else r.getLong(0)
       } else 0L
 
-    val r = TrainingDataJob.tick(old, priorClusters, bookmark, batch, config)
+    val r = TrainingDataJob.tick(old, priorClusters, bookmark, batch,
+      config, evalSet)
     // materialize EVERY tick output before any state write: their
     // plans read the docs/clusters store files this method is about
     // to swap out from under them
@@ -87,13 +125,15 @@ object TrainingStreaming {
     AnalysisStore.writeIncremental(spark, batch,
       docsPath(storeRoot), keys = Seq("doc_id"))
     // the clustering is replaced whole (two long columns over quality
-    // docs); stage-and-swap so readers never see a half state — the
-    // first tick writes directly (no prior state to protect)
-    if (exists(spark, clustersPath(storeRoot)))
-      AnalysisStore.stageAndSwap(spark, clustersPath(storeRoot)) { staging =>
-        clusters.write.parquet(staging)
-      }
-    else clusters.write.parquet(clustersPath(storeRoot))
+    // docs) via stage-and-swap — an empty dir is pre-created on the
+    // first tick so the swap (and its crash recovery above) covers
+    // every tick the same way
+    val cp = new org.apache.hadoop.fs.Path(clustersPath(storeRoot))
+    val fs = fsOf(spark, clustersPath(storeRoot))
+    if (!fs.exists(cp)) fs.mkdirs(cp)
+    AnalysisStore.stageAndSwap(spark, clustersPath(storeRoot)) { staging =>
+      clusters.write.parquet(staging)
+    }
   }
 
   /** Wire a documents stream (e.g. `readStream.schema(s).parquet(dir)`
@@ -101,14 +141,22 @@ object TrainingStreaming {
     * state. Caller attaches trigger/checkpoint options and starts it.
     */
   def curationTicks(docsStream: DataFrame, storeRoot: String,
-      config: TrainingDataJob.Config = TrainingDataJob.Config()): DataStreamWriter[Row] =
+      config: TrainingDataJob.Config = TrainingDataJob.Config(),
+      evalSet: Option[DataFrame] = None): DataStreamWriter[Row] =
     docsStream.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
-        tickBatch(batch.sparkSession, batch, storeRoot, config)
+        tickBatch(batch.sparkSession, batch, storeRoot, config, evalSet)
     }
 
-  /** The curated corpus as of now: additions minus retractions. */
+  /** The curated corpus as of now: additions minus retractions. An
+    * untouched store (no non-empty batch yet) reads as an empty
+    * doc_id frame rather than a PATH_NOT_FOUND error, so monitors can
+    * poll from startup.
+    */
   def readCurated(spark: SparkSession, storeRoot: String): DataFrame = {
+    if (!exists(spark, addsPath(storeRoot)))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType))))
     val adds = spark.read.parquet(addsPath(storeRoot))
     if (exists(spark, retractsPath(storeRoot)))
       adds.join(spark.read.parquet(retractsPath(storeRoot)),

@@ -15,6 +15,50 @@ import graft.streaming.TrainingStreaming
 class TrainingStreamingSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redelivered batch converges: running the same tick twice changes nothing") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5)
+    val root = Files.createTempDirectory("retry").resolve("store").toString
+
+    TrainingStreaming.tickBatch(spark, drop1, root, cfg)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    def snapshot() = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id", "pack_id", "pack_offset", "shard")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val once = snapshot()
+    // at-least-once delivery: the same batch arrives again (crash
+    // after state writes, before the checkpoint commit)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    assert(snapshot() == once,
+      "a redelivered batch must not shift packs or duplicate rows")
+    // the curated view equals the batch pipeline over everything
+    val fullIds = TrainingDataJob.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(snapshot().map(_._1) == fullIds)
+  }
+
+  test("readCurated on an untouched store is an empty frame, not an error") {
+    val root = Files.createTempDirectory("fresh").resolve("store").toString
+    val out = TrainingStreaming.readCurated(spark, root)
+    assert(out.isEmpty && out.columns.toSeq == Seq("doc_id"))
+  }
+
+  test("raw PII never reaches the durable docs state") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+      .withColumn("text", concat(col("text"), lit(" ping spy@leak.io")))
+    val root = Files.createTempDirectory("piistate").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, docs, root,
+      TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+        defaultFraction = 1.0))
+    val stored = spark.read.parquet(s"$root/docs")
+      .select("text").as[String].collect()
+    assert(stored.nonEmpty)
+    assert(stored.forall(t => !t.contains("spy@leak.io") && t.contains("<EMAIL>")))
+  }
+
   test("two drops converge to the batch run; restart resumes from checkpoint") {
     val docs = Tables.load(spark, sfDir, "documents")
     val drop1 = docs.filter(col("doc_id") < 300)
