@@ -572,6 +572,41 @@ object Similarity {
       .select("qid", "nid").distinct().count()
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for
+    * each query vector, its k NEAREST corpus vectors carrying a
+    * DIFFERENT label. Nearest wrong-label examples are the negatives
+    * that actually move an embedding model; random negatives are
+    * mostly trivial.
+    *
+    * Same plan shape as [[bruteForceTopK]] (corpus never shuffles,
+    * queries broadcast, only |q|×k heap rows exchange) with the
+    * label-mismatch predicate fused into the scored join; swap the
+    * scoring stage for an ANN variant when the corpus outgrows the
+    * exact scan, exactly as the top-k family documents.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+        col(labelCol).as("nlabel"),
+        VectorFunctions.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFunctions.normSq(col("cv")))
+    val q = queries.select(col(idCol).as("qid"),
+        col(labelCol).as("qlabel"),
+        VectorFunctions.toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.normSq(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("cos", round(VectorFunctions.cosinePre(
+        col("cv"), col("qv"), col("cn"), col("qn")), 4))
+    rankTopK(scored, k)
+      .join(queries.select(col(idCol).as("qid"),
+        col(labelCol).as("qlabel")), Seq("qid"))
+      .join(corpus.select(col(idCol).as("nid"),
+        col(labelCol).as("nlabel")), Seq("nid"))
+      .select("qid", "qlabel", "nid", "nlabel", "rank", "cos")
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

@@ -384,6 +384,28 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
     },
 
+    "hard_negatives" -> QueryDef(
+      doc = "hard-negative mining for contrastive training: each query's 3 nearest corpus vectors with a DIFFERENT label (same no-corpus-shuffle plan as brute top-k, mismatch predicate fused into the scored join)",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        c AS (SELECT * FROM e WHERE vec_id >= 10),
+        scored AS (SELECT b.vec_id AS qid, b.label AS qlabel,
+                          a.vec_id AS nid, a.label AS nlabel, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b WHERE a.label <> b.label),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+                   FROM scored)
+        SELECT qid, CAST(qlabel AS INTEGER) AS qlabel,
+               nid, CAST(nlabel AS INTEGER) AS nlabel,
+               CAST(rk AS INTEGER) AS rank, cos
+        FROM ranked WHERE rk <= 3""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 3)
+    },
+
     "text_tokens" -> QueryDef(
       doc = "token counting: whitespace + BPE-ish regex pre-tokenizer counts",
       oracle = s"""

@@ -206,6 +206,25 @@ class SimilaritySpec extends SparkSpec {
     assert(nCand < full / 2, s"candidates $nCand not < half of $full")
   }
 
+  test("hardNegatives: nearest wrong-label only, never the own class") {
+    import spark.implicits._
+    val e = Seq(
+      (1, 0, Array(1.0f, 0.0f)),   // query, label 0
+      (10, 0, Array(0.99f, 0.1f)), // same label, nearest — must NOT appear
+      (11, 1, Array(0.9f, 0.2f)),  // wrong label, near
+      (12, 1, Array(0.0f, 1.0f)))  // wrong label, far
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 2)
+      .orderBy("rank")
+      .select(col("qid").cast("long"), col("nid").cast("long"),
+        col("nlabel").cast("int"), col("rank").cast("int"))
+      .as[(Long, Long, Int, Int)].collect().toSeq
+    assert(out == Seq((1L, 11L, 1, 1), (1L, 12L, 1, 2)))
+  }
+
   test("labelCentroids: hand-computed per-label per-dim means") {
     import spark.implicits._
     val e = Seq(
