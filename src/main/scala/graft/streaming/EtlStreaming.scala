@@ -31,6 +31,38 @@ import graft.sources.AnalysisStore
   */
 object EtlStreaming {
 
+  /** Decode a Debezium-shaped CDC JSON stream into changed obs rows —
+    * the standard upgrade path from poll-based change detection to
+    * log-based capture for a MySQL source of record: each message is
+    * an envelope `{op: c|u|d, before: {...}, after: {...}, ts_ms}`.
+    *
+    * Inserts/updates yield the after-image; DELETES yield the
+    * before-image with `voided = 1`, which downstream incremental
+    * flatten already treats as "prune this obs from its encounter" —
+    * a hard delete and a soft delete converge to the same store
+    * state. Malformed messages and unknown ops are dropped (from_json
+    * nulls), never poison the tick. Narrow (one from_json projection)
+    * — composes directly with [[incrementalFlatten]]'s `obsDelta`.
+    */
+  def fromCdcJson(raw: DataFrame,
+      rowSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val envelope = StructType(Seq(
+      StructField("op", StringType),
+      StructField("before", rowSchema),
+      StructField("after", rowSchema),
+      StructField("ts_ms", LongType)))
+    raw.select(from_json(col("value"), envelope).as("e"))
+      .filter(col("e.op").isin("c", "u", "d"))
+      .filter((col("e.op") === "d" && col("e.before").isNotNull) ||
+        (col("e.op") =!= "d" && col("e.after").isNotNull))
+      .select(when(col("e.op") === "d",
+          col("e.before").withField("voided", lit(1)))
+        .otherwise(col("e.after")).as("r"))
+      .select("r.*")
+  }
+
   /** Wire a changed-obs stream into an incrementally-maintained flat
     * table at `storePath`. Caller starts/stops the returned writer
     * (attach `.trigger(...)`/checkpoint options as deployment needs).

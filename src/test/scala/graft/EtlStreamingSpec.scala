@@ -29,6 +29,33 @@ class EtlStreamingSpec extends SparkSpec {
     rows.toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
       "value_text", "value_datetime", "value_coded", "obs_datetime", "voided")
 
+  test("fromCdcJson: envelopes decode; deletes void; junk is dropped") {
+    val schema = toObs(Nil).schema
+    val after = """{"obs_id":1,"encounter_id":7,"concept_id":100,
+      |"value_numeric":61.0,"obs_datetime":"2024-01-01 10:00:00","voided":0}"""
+      .stripMargin.replace("\n", "")
+    val raw = Seq(
+      s"""{"op":"c","after":$after,"ts_ms":1}""",
+      s"""{"op":"u","after":${after.replace("61.0", "64.5")},"ts_ms":2}""",
+      s"""{"op":"d","before":$after,"ts_ms":3}""",   // delete → voided
+      s"""{"op":"r","after":$after,"ts_ms":4}""",    // unknown op → drop
+      s"""{"op":"c","ts_ms":5}""",                   // no image → drop
+      "not json at all")                             // malformed → drop
+      .toDF("value")
+    val out = EtlStreaming.fromCdcJson(raw, schema)
+      .select("obs_id", "encounter_id", "value_numeric", "voided")
+      .as[(Long, Long, Option[Double], Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 7L, Some(61.0), 0),
+      (1L, 7L, Some(64.5), 0),
+      (1L, 7L, Some(61.0), 1)))
+    // fields/types match the obs schema (from_json output is nullable
+    // by construction) → composes with incrementalFlatten
+    assert(EtlStreaming.fromCdcJson(raw, schema).schema
+      .map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+  }
+
   test("streamed ticks converge to the full batch flatten") {
     val cfg = FlatTableConfig("flat", 1, Seq(
       FlatColumn("weight", 100L, "Numeric"),
