@@ -59,6 +59,43 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(stored.forall(t => !t.contains("spy@leak.io") && t.contains("<EMAIL>")))
   }
 
+  test("a delta doc bridging two shipped clusters retracts the demoted canonical") {
+    // words w1..w30 with stopwords planted so the quality gate passes;
+    // A=w1..20 and B=w11..30 share too few 3-gram shingles to be dups
+    // of each other (J≈0.29), but C=w6..25 overlaps each at J≈0.57 —
+    // at threshold 0.5, C bridges {A} and {B} into one cluster
+    val w = (1 to 30).map {
+      case 11 => "the"
+      case 15 => "and"
+      case i => s"w$i"
+    }
+    def txt(lo: Int, hi: Int) = w.slice(lo - 1, hi).mkString(" ")
+    val old = Seq((1L, txt(1, 20), "en"), (2L, txt(11, 30), "en"))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq((3L, txt(6, 25), "en")).toDF("doc_id", "text", "lang")
+    val cfg = TrainingDataJob.Config(jaccardThreshold = 0.5,
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0)
+    val root = Files.createTempDirectory("retract").resolve("store").toString
+
+    TrainingStreaming.tickBatch(spark, old, root, cfg)
+    val shipped1 = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shipped1 == Set(1L, 2L), "both old docs are canonical at first")
+
+    TrainingStreaming.tickBatch(spark, delta, root, cfg)
+    val shipped2 = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    // merged cluster {1,2,3}: 1 stays canonical, 2 is RETRACTED, 3 is
+    // a non-canonical addition that never ships
+    assert(shipped2 == Set(1L), s"got $shipped2")
+    assert(spark.read.parquet(s"$root/retractions")
+      .as[Long].collect().toSet == Set(2L))
+    // and that matches the batch pipeline over everything
+    val fullIds = TrainingDataJob.run(old.unionByName(delta), cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shipped2 == fullIds)
+  }
+
   test("two drops converge to the batch run; restart resumes from checkpoint") {
     val docs = Tables.load(spark, sfDir, "documents")
     val drop1 = docs.filter(col("doc_id") < 300)
