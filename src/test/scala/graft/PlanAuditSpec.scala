@@ -142,4 +142,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("text_vocab")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("hard_negatives: corpus never shuffles — queries broadcast, heaps exchange") {
+    val p = plan("hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the top-k agg heap exchange + the two label join-backs; the
+    // corpus side itself must not hash-partition
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -315,6 +315,25 @@ class PropertySpec extends SparkSpec {
     }, minTests = 8)
   }
 
+  test("property: encode equals a plain map lookup with unk fallback") {
+    val token = Gen.oneOf("a", "b", "c", "zz", "qq")
+    val genDoc = Gen.listOf(token).map(_.take(12))
+    val genCorpus = Gen.nonEmptyListOf(genDoc).map(_.take(5))
+    val vocab = Seq(("a", 1), ("b", 2), ("c", 3))
+    check(Prop.forAll(genCorpus) { docs =>
+      val vmap = vocab.toMap
+      val expected = docs.zipWithIndex.map { case (d, i) =>
+        (i.toLong, d.map(t => vmap.getOrElse(t, -1)), d.size)
+      }
+      val got = graft.operators.TextAnalysis.encode(
+          docs.zipWithIndex.map { case (d, i) => (i.toLong, d.mkString(" ")) }
+            .toDF("doc_id", "text"),
+          vocab.toDF("token", "rank"), "doc_id", "text")
+        .as[(Long, Seq[Int], Int)].collect().sortBy(_._1).toSeq
+      got == expected
+    }, minTests = 8)
+  }
+
   test("property: split honors cumulative hash thresholds exactly") {
     val genIds = Gen.nonEmptyListOf(Gen.chooseNum(0L, 100000L)).map(_.distinct.take(40))
     val genCut = Gen.chooseNum(0.1, 0.9)
