@@ -30,6 +30,35 @@ object AnalysisStore {
     */
   val ColumnarFormats: Set[String] = Set("parquet", "orc")
 
+  /** The path's OWN filesystem — store roots need not live on the
+    * cluster's fs.defaultFS, and resolving against the default fs
+    * would silently target the wrong filesystem (or fail) for any
+    * other scheme.
+    */
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Roll back a crashed [[stageAndSwap]]: its only non-atomic window
+    * leaves the target renamed away to `__old` with the staging not
+    * yet renamed in. If that state is found, restore the backup so
+    * readers (and the retrying writer) see the true prior table
+    * instead of "missing" — without this, a retrying incremental
+    * writer would fall back to writeFull(delta) and silently replace
+    * all prior state. Called by every read-modify-write entry point;
+    * callers that only READ state at tick start should call it for
+    * each state path before their exists() checks.
+    *
+    * @return true if a backup was restored
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val fs = fsOf(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
+    else false
+  }
+
   def writeFull(
       df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
       format: String = "parquet"): Unit = {
@@ -72,8 +101,8 @@ object AnalysisStore {
   def stageAndSwap(
       spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
+    recover(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val staging = new org.apache.hadoop.fs.Path(path + "__staging")
     fs.delete(staging, true)
@@ -101,8 +130,7 @@ object AnalysisStore {
       targetFileBytes: Long = 128L << 20,
       format: String = "parquet",
       partitionBy: Seq[String] = Nil): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
@@ -133,8 +161,8 @@ object AnalysisStore {
   def writeIncremental(
       spark: SparkSession, delta: DataFrame, path: String,
       keys: Seq[String]): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
+    recover(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(target)) {
       writeFull(delta, path)
@@ -185,8 +213,8 @@ object AnalysisStore {
       removeKeys: Option[DataFrame] = None): Unit = {
     require(partitionBy.nonEmpty,
       "use writeIncremental for unpartitioned tables")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
+    recover(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
       writeFull(delta, path, partitionBy)
       return
@@ -244,19 +272,25 @@ object AnalysisStore {
     * O(data); surviving partitions stay byte-identical (pruned reads
     * are untouched).
     *
-    * @return the dropped partition values
+    * `keep` receives the LOGICAL partition value: Spark
+    * percent-escapes special characters in partition directory names
+    * (':' → '%3A', ' ' → '%20'), so timestamp-like values must be
+    * unescaped before the predicate sees them or retention would
+    * match (and delete) the wrong directories.
+    *
+    * @return the dropped partition values (unescaped)
     */
   def dropPartitions(
       spark: SparkSession, path: String, partitionCol: String,
       keep: String => Boolean): Seq[String] = {
     val base = new org.apache.hadoop.fs.Path(path)
-    // the path's OWN filesystem — a bulk delete must never resolve
-    // against fs.defaultFS when the store lives on another scheme
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsOf(spark, path)
     val prefix = s"$partitionCol="
     val dropped = fs.listStatus(base).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
-      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
+      .map(s => (s.getPath,
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.getPath.getName.stripPrefix(prefix))))
       .filterNot { case (_, v) => keep(v) }
     dropped.foreach { case (p, _) => fs.delete(p, true) }
     dropped.map(_._2)

@@ -36,7 +36,9 @@ object EtlStreaming {
     * log-based capture for a MySQL source of record: each message is
     * an envelope `{op: c|u|d, before: {...}, after: {...}, ts_ms}`.
     *
-    * Inserts/updates yield the after-image; DELETES yield the
+    * Inserts/updates — and `r` (snapshot-read) records, which a
+    * connector started with initial snapshotting emits for every
+    * pre-existing row — yield the after-image; DELETES yield the
     * before-image with `voided = 1`, which downstream incremental
     * flatten already treats as "prune this obs from its encounter" —
     * a hard delete and a soft delete converge to the same store
@@ -54,7 +56,7 @@ object EtlStreaming {
       StructField("after", rowSchema),
       StructField("ts_ms", LongType)))
     raw.select(from_json(col("value"), envelope).as("e"))
-      .filter(col("e.op").isin("c", "u", "d"))
+      .filter(col("e.op").isin("c", "u", "d", "r"))
       .filter((col("e.op") === "d" && col("e.before").isNotNull) ||
         (col("e.op") =!= "d" && col("e.after").isNotNull))
       .select(when(col("e.op") === "d",
@@ -94,8 +96,9 @@ object EtlStreaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val changed = batch.select("encounter_id").distinct()
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
+        // the store path's OWN filesystem — never fs.defaultFS
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
         if (partitionBy.nonEmpty) {
           val affected = allObs.join(

@@ -58,18 +58,20 @@ object TrainingStreaming {
       StructType(Seq(StructField("doc_id", LongType),
         StructField("cluster_id", LongType))))
 
-  /** Recover the clusters dir if a previous attempt crashed mid-swap:
-    * stageAndSwap's only non-atomic window leaves the target renamed
-    * away to `__old` but the staging not yet renamed in — restore the
-    * backup so the retry reads the true prior state instead of
-    * treating the tick as the first one.
+  /** Recover EVERY state dir if a previous attempt crashed mid-swap:
+    * stageAndSwap's only non-atomic window leaves a target renamed
+    * away to `__old` with the staging not yet renamed in. Without
+    * restoring the backup before the exists() reads below, the retry
+    * would treat that state as absent — for docs/additions that means
+    * writeIncremental falls back to writeFull(delta), permanently
+    * replacing all prior corpus state and resetting the token
+    * bookmark. [[AnalysisStore.recover]] also runs inside every
+    * incremental write, but the tick READS state before it writes, so
+    * recovery must happen first.
     */
-  private def recoverClusters(spark: SparkSession, root: String): Unit = {
-    val fs = fsOf(spark, clustersPath(root))
-    val target = new org.apache.hadoop.fs.Path(clustersPath(root))
-    val backup = new org.apache.hadoop.fs.Path(clustersPath(root) + "__old")
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
-  }
+  private def recoverState(spark: SparkSession, root: String): Unit =
+    Seq(docsPath(root), clustersPath(root), addsPath(root),
+      retractsPath(root)).foreach(AnalysisStore.recover(spark, _))
 
   /** One curation tick over a batch of new docs, against (and
     * updating) the state rooted at `storeRoot`. Exposed for batch
@@ -85,7 +87,7 @@ object TrainingStreaming {
     val batch = TrainingDataJob.redact(rawBatch, config).localCheckpoint(true)
     if (batch.isEmpty) return
     val batchIds = batch.select("doc_id")
-    recoverClusters(spark, storeRoot)
+    recoverState(spark, storeRoot)
     // state "as of before this batch": a crashed attempt may have
     // already merged this batch into docs/additions — excluding the
     // batch's own keys makes the retry read what the first attempt

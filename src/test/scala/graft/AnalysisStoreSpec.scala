@@ -218,6 +218,50 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(parent == Seq("inc"), s"leftovers: $parent")
   }
 
+  test("recover restores a mid-swap crash; retrying writeIncremental keeps prior state") {
+    val dir = Files.createTempDirectory("store").resolve("crash").toString
+    AnalysisStore.writeIncremental(spark,
+      Seq((1L, "a1"), (2L, "b1")).toDF("k", "v"), dir, Seq("k"))
+    // simulate stageAndSwap dying in its non-atomic window: target
+    // renamed away to __old, staging never renamed in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    // the retry's incremental write must NOT treat the table as
+    // missing (which would writeFull the delta and erase k=1)
+    AnalysisStore.writeIncremental(spark,
+      Seq((2L, "b2")).toDF("k", "v"), dir, Seq("k"))
+    val rows = spark.read.parquet(dir).as[(Long, String)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, "a1"), (2L, "b2")),
+      "prior state must survive a mid-swap crash + retry")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__old")))
+    // a plain read-side caller can recover explicitly too
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__old")))
+    assert(AnalysisStore.recover(spark, dir))
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!AnalysisStore.recover(spark, dir)) // idempotent no-op
+  }
+
+  test("dropPartitions unescapes partition values before the keep predicate") {
+    val dir = Files.createTempDirectory("ttl").toString + "/esc"
+    // timestamp-like values: ':' and ' ' are %-escaped in dir names
+    Seq((1L, "2024-01-01 00:00:00"), (2L, "2024-02-01 00:00:00"),
+      (3L, "2024-03-01 00:00:00")).toDF("id", "ts")
+      .write.partitionBy("ts").parquet(dir)
+    // on-disk names carry %3A — the predicate must see the logical value
+    assert(new java.io.File(dir).list()
+      .exists(_.contains("%3A")), "fixture should exercise escaping")
+    val dropped = AnalysisStore.dropPartitions(spark, dir, "ts",
+      keep = _ >= "2024-03-01 00:00:00")
+    assert(dropped.toSet ==
+      Set("2024-01-01 00:00:00", "2024-02-01 00:00:00"))
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq
+      == Seq(3L))
+  }
+
   test("dropPartitions: TTL sweep deletes whole dirs, survivors untouched") {
     val dir = java.nio.file.Files.createTempDirectory("ttl").toString + "/t"
     Seq((1L, "2024-01"), (2L, "2024-02"), (3L, "2024-03"))

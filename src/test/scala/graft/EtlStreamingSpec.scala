@@ -38,8 +38,11 @@ class EtlStreamingSpec extends SparkSpec {
       s"""{"op":"c","after":$after,"ts_ms":1}""",
       s"""{"op":"u","after":${after.replace("61.0", "64.5")},"ts_ms":2}""",
       s"""{"op":"d","before":$after,"ts_ms":3}""",   // delete → voided
-      s"""{"op":"r","after":$after,"ts_ms":4}""",    // unknown op → drop
-      s"""{"op":"c","ts_ms":5}""",                   // no image → drop
+      // snapshot read: a connector started with snapshotting emits
+      // 'r' for every pre-existing row — must load like an insert
+      s"""{"op":"r","after":${after.replace("\"obs_id\":1", "\"obs_id\":9")},"ts_ms":4}""",
+      s"""{"op":"x","after":$after,"ts_ms":5}""",    // unknown op → drop
+      s"""{"op":"c","ts_ms":6}""",                   // no image → drop
       "not json at all")                             // malformed → drop
       .toDF("value")
     val out = EtlStreaming.fromCdcJson(raw, schema)
@@ -48,7 +51,8 @@ class EtlStreamingSpec extends SparkSpec {
     assert(out == Seq(
       (1L, 7L, Some(61.0), 0),
       (1L, 7L, Some(64.5), 0),
-      (1L, 7L, Some(61.0), 1)))
+      (1L, 7L, Some(61.0), 1),
+      (9L, 7L, Some(61.0), 0)))
     // fields/types match the obs schema (from_json output is nullable
     // by construction) → composes with incrementalFlatten
     assert(EtlStreaming.fromCdcJson(raw, schema).schema

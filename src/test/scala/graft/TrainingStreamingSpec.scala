@@ -40,6 +40,34 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(snapshot().map(_._1) == fullIds)
   }
 
+  test("mid-swap crash on docs/additions state is recovered at the next tick") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5)
+    val root = Files.createTempDirectory("midswap").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, drop1, root, cfg)
+    // simulate a crash inside stageAndSwap's non-atomic window on the
+    // two stores whose loss silently resets the pipeline: target
+    // renamed to __old, staging never renamed in
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (p <- Seq(s"$root/docs", s"$root/additions"))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(p),
+        new org.apache.hadoop.fs.Path(p + "__old")))
+    // next tick must recover the backups BEFORE reading state — else
+    // it would see an empty store, writeFull the delta, and reset the
+    // token bookmark (breaking shipped pack assignments)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    val streamIds = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    val fullIds = TrainingDataJob.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamIds == fullIds,
+      "state from before the crash must survive into the next tick")
+  }
+
   test("readCurated on an untouched store is an empty frame, not an error") {
     val root = Files.createTempDirectory("fresh").resolve("store").toString
     val out = TrainingStreaming.readCurated(spark, root)
