@@ -96,11 +96,20 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     // belt-and-braces artifact: stdout capture can truncate; the file
-    // always carries the complete result line
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_result.json"),
-      (line + "\n").getBytes("UTF-8"))
+    // always carries the complete result line. Atomic (temp + move)
+    // so a killed run never leaves a half-written file.
+    val tmp = java.nio.file.Paths.get("bench_result.json.tmp")
+    java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get("bench_result.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // stop BEFORE printing: shutdown logging otherwise lands AFTER
+    // the JSON line in a merged capture and pushes its head out of a
+    // tail-window capture (BENCH_r03 lost its first ~11 queries to
+    // exactly this). The result line must be the process's last output.
     spark.stop()
+    println(line)
+    Console.out.flush()
   }
 }
