@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Greedy longest-match subword segmentation of a text against a
+  * fixed piece vocabulary — the encode half of the engine's subword
+  * tokenizer ([[graft.operators.Bpe]]). Pre-tokenizes into words
+  * (letter runs / digit runs / single other chars, the pre-tokenizer
+  * shape BPE vocabularies assume, same pattern as
+  * `TextAnalysis.regexTokenCount`), then segments each word by
+  * repeatedly taking the LONGEST vocabulary piece that prefixes the
+  * remaining suffix; a position no piece matches emits its single
+  * character (an unknown — only possible for characters the
+  * vocabulary never saw). Pieces never span word boundaries, and each
+  * word's pieces concatenate back to the word exactly — the
+  * round-trip property BpeSpec pins.
+  *
+  * One monolithic expression rather than a transform/aggregate
+  * composition for the same reason as [[WordShingles]]: higher-order
+  * functions are interpreted and their dispatch goes megamorphic
+  * under JIT pressure; this is one virtual call per row with a
+  * hash-set probe per candidate length (O(len × maxPieceLen) probes
+  * per word). Semantics mirror the DuckDB oracle's recursive-CTE walk
+  * in ExtQueries exactly (longest-first coalesce over piece lengths).
+  */
+case class GreedyPieces(child: Expression, vocab: Seq[String], maxPieceLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_subword_pieces"
+
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(GreedyPieces.PreTokenRe)
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[Any]()
+    val m = pattern.matcher(text)
+    while (m.find()) {
+      val w = m.group()
+      var p = 0
+      while (p < w.length) {
+        var piece: String = null
+        var l = math.min(maxPieceLen, w.length - p)
+        while (piece == null && l >= 1) {
+          val cand = w.substring(p, p + l)
+          if (set.contains(cand)) piece = cand
+          l -= 1
+        }
+        if (piece == null) piece = w.substring(p, p + 1) // unseen char
+        out.add(UTF8String.fromString(piece))
+        p += piece.length
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GreedyPieces =
+    copy(child = newChild)
+}
+
+object GreedyPieces {
+  /** Pre-tokenizer: letter runs, digit runs, single other non-space
+    * chars. Kept to the POSIX-safe subset Java regex and RE2 (DuckDB)
+    * treat identically; shared by the trainer, the matcher, and every
+    * oracle.
+    */
+  val PreTokenRe: String = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def column(text: Column, vocab: Seq[String], maxPieceLen: Int): Column =
+    GraftSqlBridge.column(
+      GreedyPieces(GraftSqlBridge.expression(text), vocab, maxPieceLen))
+}

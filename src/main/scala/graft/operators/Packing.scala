@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,16 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** @param df      input with a unique numeric id and a text column
-    * @param budget  tokens per pack (context window length)
+  /** The default token accounting: whitespace words. Swap in
+    * [[Bpe.pieceCount]] (partially applied) to budget in subword
+    * pieces — what a real pre-training pipeline packs by.
+    */
+  val wordCount: Column => Column = t => size(TextAnalysis.tokens(t))
+
+  /** @param df         input with a unique numeric id and a text column
+    * @param budget     tokens per pack (context window length)
+    * @param tokenCount text column → token count; defaults to
+    *                   whitespace words, pass a subword counter for
+    *                   BPE-budgeted packing (must be narrow — it runs
+    *                   inside the counting scan)
     * @return (idCol, n_tokens int, pack_id bigint, pack_offset bigint)
     */
   def packSequences(
       df: DataFrame, idCol: String, textCol: String,
-      budget: Int, nBuckets: Int = 64): DataFrame = {
+      budget: Int, nBuckets: Int = 64,
+      tokenCount: Column => Column = wordCount): DataFrame = {
     require(budget > 0, "token budget must be positive")
     val counted = df.select(col(idCol),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n"))
+      tokenCount(col(textCol)).cast("long").as("n"))
 
     // contiguous id ranges — bucket boundaries must respect id order
     // for the prefix decomposition to equal the global cumsum
@@ -83,8 +94,9 @@ object Packing {
     * incremental packing run persists between ticks (alongside the
     * [[graft.operators.Incremental.BookmarkStore]] timestamp).
     */
-  def tokenBookmark(df: DataFrame, textCol: String): Long = {
-    val r = df.agg(sum(size(TextAnalysis.tokens(col(textCol))).cast("long"))).head()
+  def tokenBookmark(df: DataFrame, textCol: String,
+      tokenCount: Column => Column = wordCount): Long = {
+    val r = df.agg(sum(tokenCount(col(textCol)).cast("long"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
@@ -99,9 +111,10 @@ object Packing {
     */
   def packSequencesDelta(
       delta: DataFrame, idCol: String, textCol: String,
-      budget: Int, startTokens: Long, nBuckets: Int = 64): DataFrame = {
+      budget: Int, startTokens: Long, nBuckets: Int = 64,
+      tokenCount: Column => Column = wordCount): DataFrame = {
     require(startTokens >= 0, "startTokens must be >= 0")
-    val packed = packSequences(delta, idCol, textCol, budget, nBuckets)
+    val packed = packSequences(delta, idCol, textCol, budget, nBuckets, tokenCount)
     // undo the delta-local pack arithmetic, re-derive from the global
     // start: global_start = startTokens + local_start
     packed.withColumn("__gstart",

@@ -607,6 +607,58 @@ object Similarity {
       .select("qid", "qlabel", "nid", "nlabel", "rank", "cos")
   }
 
+  /** Staleness gate for a persisted ANN index — closes the serving
+    * loop the persisted-index paths ([[ivfTopKFromIndex]],
+    * [[lshTopKFromIndex]], [[pqTopKFromIndex]]) leave open: centroids
+    * and codebooks are trained once, deltas keep getting ASSIGNED
+    * into the index ([[ivfAssign]]/[[pqIndex]]), and under
+    * distribution drift the old partitioning stops matching where new
+    * vectors actually live — recall decays silently while every tick
+    * succeeds.
+    *
+    * Mechanism: a deterministic sample of the newest delta's vectors
+    * (md5-ordered — reproducible, no RNG) is answered BOTH through
+    * the serving path (`approxTopK`, closing over the persisted
+    * index/model) and by exact brute force over the same corpus;
+    * one row (n_queries, k, recall, stale) comes back. Sampled from
+    * the DELTA on purpose: drift shows up in new data first, and a
+    * gate sampled from the index's own training distribution would
+    * keep passing forever.
+    *
+    * Cost: brute force over sampleN queries — |corpus| × sampleN
+    * codegen'd dots with the corpus never shuffling (the
+    * [[bruteForceTopK]] plan), amortized once per retrain decision,
+    * not per query batch. `stale=true` ⇒ retrain
+    * centroids/codebooks and re-assign; the index tables themselves
+    * stay valid throughout (the gate only reads).
+    */
+  def indexDriftGate(
+      corpus: DataFrame, delta: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      minRecall: Double, sampleN: Int = 64, seed: String = "drift0")(
+      approxTopK: DataFrame => DataFrame): DataFrame = {
+    require(sampleN > 0 && minRecall > 0 && minRecall <= 1,
+      "need sampleN > 0 and 0 < minRecall <= 1")
+    // deterministic probe sample: TakeOrdered by seeded md5, no RNG
+    val probes = delta
+      .orderBy(md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .limit(sampleN)
+      .localCheckpoint(true)
+    // both sides are |probes|×k rows; checkpoint so the recall join
+    // cannot re-execute either top-k pipeline (the ann_recall lesson)
+    val exact = bruteForceTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("qid"), col("nid")).localCheckpoint(true)
+    val approx = approxTopK(probes)
+      .select(col("qid"), col("nid"), lit(1).as("hit")).localCheckpoint(true)
+    exact.join(approx, Seq("qid", "nid"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("recall"))
+      .select(col("n_queries"), lit(k).cast("int").as("k"),
+        round(col("recall"), 4).as("recall"),
+        (col("recall") < minRecall).as("stale"))
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

@@ -296,9 +296,15 @@ object TextAnalysis {
     * Entirely narrow — tokenize, generate window starts, slice — so
     * it scales linearly; contrast [[Packing.packSequences]], which
     * needs a global prefix sum because its windows span documents.
+    *
+    * `tokensOf` swaps the tokenizer: pass [[Bpe.pieces]] (partially
+    * applied) to window in subword pieces; `chunk_text` is then the
+    * space-joined piece sequence (the id-level view — feed it through
+    * [[Bpe.encodePieces]]'s vocab map for ids).
     */
   def chunk(df: DataFrame, idCol: String, textCol: String,
-      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+      chunkSize: Int = 64, stride: Int = 48,
+      tokensOf: Column => Column = tokens): DataFrame = {
     require(chunkSize >= 1 && stride >= 1, "chunkSize and stride must be >= 1")
     val n = size(col("__toks"))
     val windows = transform(
@@ -308,7 +314,7 @@ object TextAnalysis {
         array_join(slice(col("__toks"), i * stride + 1, lit(chunkSize)), " ")
           .as("chunk_text"),
         least(lit(chunkSize), n - i * stride).as("n_tokens")))
-    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol).as("doc_id"), tokensOf(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
       .select(col("doc_id"), explode(windows).as("__c"))
       .select(col("doc_id"), col("__c.chunk_id"), col("__c.chunk_text"),

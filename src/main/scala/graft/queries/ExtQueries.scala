@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, DedupCluster, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, DedupCluster, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
@@ -21,6 +21,62 @@ object ExtQueries {
     idx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS g FROM words),
     sh AS (SELECT DISTINCT doc_id AS doc, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS shingle
            FROM idx)"""
+
+  /** BPE pre-tokenizer regex, shared engine/oracle (no quote chars —
+    * safe to inline in SQL string literals).
+    */
+  private val bpePreTokenRe = Bpe.PreTokenRe
+
+  /** DuckDB frequency-selected subword vocab CTE chain (defines `v`
+    * = (token, n_occ, id)) — mirrors [[Bpe.subwordVocab]] with
+    * topK=200, maxPieceLen=6: enumerate substrings of the
+    * distinct-word histogram, top-200 by (occurrence desc, token).
+    */
+  private val duckSubwordVocab = s"""
+    bw AS (SELECT unnest(regexp_extract_all(text, '$bpePreTokenRe')) AS word
+           FROM documents),
+    bwc AS (SELECT word, count(*) AS c FROM bw GROUP BY 1),
+    bpos AS (SELECT word, c, unnest(generate_series(1, length(word))) AS s
+             FROM bwc),
+    bsub AS (SELECT word, c, s, unnest(generate_series(1, 6)) AS l FROM bpos),
+    bcand AS (SELECT substr(word, s, l) AS token, sum(c) AS n_occ
+              FROM bsub WHERE s + l - 1 <= length(word) GROUP BY 1),
+    v AS (SELECT token, n_occ,
+                 CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS id
+          FROM bcand ORDER BY n_occ DESC, token LIMIT 200)"""
+
+  /** DuckDB recursive greedy longest-match walk (defines `walk`;
+    * requires `v` from [[duckSubwordVocab]] in scope and the WITH to
+    * be RECURSIVE) — replays [[graft.functions.GreedyPieces]] exactly:
+    * per word instance, at position p take the longest vocab token
+    * prefixing the remainder (the length-guarded join per candidate
+    * length makes coalesce pick longest-first), falling back to the
+    * single character. Each recursion step emits one piece and
+    * advances p by its length, so p strictly increases and (wi, p)
+    * orders pieces exactly as the engine emits them.
+    */
+  private val duckPieceWalk = s"""
+    dws AS (SELECT doc_id, regexp_extract_all(text, '$bpePreTokenRe') AS ws
+            FROM documents),
+    dw AS (SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS word
+           FROM dws WHERE len(ws) > 0),
+    walk AS (
+      SELECT doc_id, wi, word, 1 AS p, CAST(NULL AS VARCHAR) AS piece
+      FROM dw
+      UNION ALL
+      SELECT s.doc_id, s.wi, s.word,
+             s.p + length(coalesce(v6.token, v5.token, v4.token, v3.token,
+               v2.token, v1.token, substr(s.word, s.p, 1))) AS p,
+             coalesce(v6.token, v5.token, v4.token, v3.token,
+               v2.token, v1.token, substr(s.word, s.p, 1)) AS piece
+      FROM walk s
+      LEFT JOIN v v6 ON length(v6.token) = 6 AND v6.token = substr(s.word, s.p, 6)
+      LEFT JOIN v v5 ON length(v5.token) = 5 AND v5.token = substr(s.word, s.p, 5)
+      LEFT JOIN v v4 ON length(v4.token) = 4 AND v4.token = substr(s.word, s.p, 4)
+      LEFT JOIN v v3 ON length(v3.token) = 3 AND v3.token = substr(s.word, s.p, 3)
+      LEFT JOIN v v2 ON length(v2.token) = 2 AND v2.token = substr(s.word, s.p, 2)
+      LEFT JOIN v v1 ON length(v1.token) = 1 AND v1.token = substr(s.word, s.p, 1)
+      WHERE s.p <= length(s.word))"""
 
   /** Exact-Jaccard pair SQL shared by the ngram and minhash oracles —
     * LSH with verification returns exactly the exact-Jaccard answer,
@@ -858,6 +914,108 @@ object ExtQueries {
                md5(text) AS content_md5
         FROM documents""") { (s, dir) =>
       Multimodal.featureTable(s, Tables.load(s, dir, "documents"))
+    },
+
+    "text_bpe_vocab" -> QueryDef(
+      doc = "frequency-selected subword vocabulary: top-200 substrings (len 1-6) of pre-tokenized words by corpus occurrence — the substring enumeration runs over the model-sized distinct-word histogram; the corpus pays one word-count shuffle",
+      oracle = s"WITH $duckSubwordVocab SELECT token, CAST(n_occ AS BIGINT) AS n_occ, id FROM v") {
+      (s, dir) =>
+        Bpe.subwordVocab(Tables.load(s, dir, "documents"), "text",
+          topK = 200, maxPieceLen = 6)
+    },
+
+    "text_bpe_encode" -> QueryDef(
+      doc = "greedy longest-match subword encode (the matcher BPE-trained vocabs ship through, hash-verified here against the SQL-derivable frequency vocab): per doc, (pos, piece, token_id); unseen chars → unk=-1. Narrow codegen'd pass; the oracle replays the walk as a recursive CTE",
+      oracle = s"""
+        WITH RECURSIVE $duckSubwordVocab,
+        $duckPieceWalk
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, p) AS INTEGER) AS pos,
+               piece, CAST(coalesce(v.id, -1) AS INTEGER) AS token_id
+        FROM (SELECT doc_id, wi, p, piece FROM walk WHERE piece IS NOT NULL) s
+        LEFT JOIN v ON s.piece = v.token""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Bpe.encodePieces(docs,
+        Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
+          .localCheckpoint(true),
+        "doc_id", "text")
+    },
+
+    "pack_sequences_bpe" -> QueryDef(
+      doc = "sequence packing budgeted in SUBWORD pieces (256/pack) — the token accounting a real pre-training pipeline packs by; same two-phase distributed prefix sum as pack_sequences, only the counting column changes",
+      oracle = s"""
+        WITH RECURSIVE $duckSubwordVocab,
+        $duckPieceWalk,
+        cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                FROM walk WHERE piece IS NOT NULL GROUP BY 1),
+        t AS (SELECT d.doc_id, coalesce(c.n, 0) AS n
+              FROM documents d LEFT JOIN cnt c USING (doc_id)),
+        c2 AS (SELECT doc_id, n,
+                      sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t)
+        SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+               CAST((cum - n) // 256 AS BIGINT) AS pack_id,
+               CAST((cum - n) % 256 AS BIGINT) AS pack_offset
+        FROM c2""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
+        .select(col("token")).collect().map(_.getString(0)).toSeq
+      graft.operators.Packing.packSequences(docs, "doc_id", "text",
+        budget = 256, tokenCount = t => Bpe.pieceCount(t, vocab, 6))
+    },
+
+    "ann_drift_gate" -> QueryDef(
+      doc = "ANN index staleness gate on the serving path: deterministic delta-sampled recall@5 of the persisted IVF index vs brute force — a stationary delta must NOT trip it (drift-injection flip is SimilaritySpec's deterministic-geometry case)",
+      oracle = """
+        SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id < 10) AS BIGINT) AS n_queries,
+               CAST(5 AS INTEGER) AS k, false AS stale""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val delta = e.filter(col("vec_id") < 10)
+      val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+        nCentroids = 16)
+      val index = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+        .localCheckpoint(true)
+      Similarity.indexDriftGate(e, delta, "vec_id", "embedding",
+          k = 5, minRecall = 0.5, sampleN = 10) { q =>
+        Similarity.ivfTopKFromIndex(index, centroids, q,
+          "vec_id", "embedding", k = 5, nProbe = 8)
+      }.drop("recall") // recall's exact value is approximate-path-specific
+    },
+
+    "text_bpe_gate" -> QueryDef(
+      doc = "BPE trainer gate (the merge loop itself is driver-side over the model-sized word histogram, not SQL-expressible — same gate pattern as ann_recall_*): merge #1 must equal the SQL argmax over initial char-pair counts, every doc must round-trip through encode, nothing may hit unk on the training corpus, and the encoding must compress vs characters",
+      oracle = s"""
+        WITH w AS (SELECT unnest(regexp_extract_all(text, '$bpePreTokenRe')) AS word
+                   FROM documents),
+        wc AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+        pos AS (SELECT word, c, unnest(generate_series(1, length(word) - 1)) AS s
+                FROM wc WHERE length(word) >= 2),
+        pairs AS (SELECT substr(word, s, 1) AS l, substr(word, s + 1, 1) AS r,
+                         sum(c) AS n
+                  FROM pos GROUP BY 1, 2)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT l || '|' || r FROM pairs ORDER BY n DESC, l, r LIMIT 1)
+                 AS first_merge,
+               true AS all_roundtrip, true AS no_unk,
+               true AS compresses""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Bpe.train(docs, "text", numMerges = 200)
+      val vocabArr = array(model.vocab.map(lit): _*)
+      val p = Bpe.pieces(col("text"), model.vocab, model.maxPieceLen)
+      val w = Bpe.preTokens(col("text"))
+      docs.select(
+          (array_join(p, "") === array_join(w, "")).as("__rt"),
+          (size(filter(p, x => not(array_contains(vocabArr, x)))) === 0)
+            .as("__known"),
+          size(p).cast("long").as("__np"),
+          length(array_join(w, "")).cast("long").as("__nc"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          expr("bool_and(__rt)").as("all_roundtrip"),
+          expr("bool_and(__known)").as("no_unk"),
+          (sum(col("__np")) < sum(col("__nc"))).as("compresses"))
+        .withColumn("first_merge",
+          lit(model.merges.head.left + "|" + model.merges.head.right))
     }
   )
 }

@@ -150,4 +150,18 @@ class PlanAuditSpec extends SparkSpec {
     // corpus side itself must not hash-partition
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("text_bpe_encode: vocab is a literal — the encode pass is narrow, zero exchanges") {
+    val p = plan("text_bpe_encode")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("Join"), p) // id lookup is a map literal, not a join
+  }
+
+  test("pack_sequences_bpe: piece counting stays inside the two-phase prefix-sum shape") {
+    val p = plan("pack_sequences_bpe")
+    // same contract as pack_sequences: per-bucket windows, never the
+    // single-partition global window
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("graft_subword_pieces"), p) // counting by pieces
+  }
 }

@@ -225,6 +225,62 @@ class SimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 11L, 1, 1), (1L, 12L, 1, 2)))
   }
 
+  test("indexDriftGate: orthogonal drift flips the gate; a stationary delta does not") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // trained distribution: 4 tight clusters along axes e0..e3
+    def trained(id: Long): (Long, Array[Float]) = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.05f)
+      v((id % 4).toInt) = 1f
+      (id, v)
+    }
+    // drifted distribution: a smooth ring through e4/e5 — a subspace
+    // the centroids never saw — plus a SMALL trained-dim component
+    // that pins each vector to cell id%4. Ring angle spacing is
+    // 2π/100, so a query's true top-4 neighbors are ring-adjacent
+    // (Δid = ±1, ±2 → always a DIFFERENT cell mod 4): cos(Δ1) ≈
+    // .988 > cos(Δ2) ≈ .982 > cos(Δ4, same cell, +0.01 dim bonus) ≈
+    // .969. The probed cell therefore contains only the query itself
+    // → recall 1/5, deterministic. (Random noise instead of the
+    // pinned component would couple similarity to assignment —
+    // nearest neighbors would share the query's noise direction and
+    // hence its cell, hiding the drift.)
+    def drifted(id: Long): (Long, Array[Float]) = {
+      val v = Array.fill(dim)(0f)
+      v((id % 4).toInt) = 0.1f
+      val theta = 2 * math.Pi * (id % 100) / 100.0
+      v(4) = math.cos(theta).toFloat
+      v(5) = math.sin(theta).toFloat
+      (id, v)
+    }
+    val corpus = (100L until 400L).map(trained).toDF("vec_id", "embedding")
+    val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding",
+      nCentroids = 4, iters = 5)
+
+    def gate(delta: org.apache.spark.sql.DataFrame) = {
+      // the serving reality: the delta is ASSIGNED into the index with
+      // the OLD centroids; the gate probes that index
+      val all = corpus.unionByName(delta)
+      val index = Similarity.ivfAssign(all, "vec_id", "embedding", centroids)
+        .localCheckpoint(true)
+      Similarity.indexDriftGate(all, delta, "vec_id", "embedding",
+          k = 5, minRecall = 0.6, sampleN = 24) { q =>
+        Similarity.ivfTopKFromIndex(index, centroids, q,
+          "vec_id", "embedding", k = 5, nProbe = 1)
+      }.head()
+    }
+
+    val stale = gate((500L until 600L).map(drifted).toDF("vec_id", "embedding"))
+    assert(stale.getAs[Boolean]("stale"),
+      s"drifted delta must trip the gate (recall=${stale.getAs[Double]("recall")})")
+    assert(stale.getAs[Long]("n_queries") == 24)
+
+    val fresh = gate((500L until 600L).map(trained).toDF("vec_id", "embedding"))
+    assert(!fresh.getAs[Boolean]("stale"),
+      s"stationary delta must pass (recall=${fresh.getAs[Double]("recall")})")
+    assert(fresh.getAs[Double]("recall") > stale.getAs[Double]("recall"))
+  }
+
   test("labelCentroids: hand-computed per-label per-dim means") {
     import spark.implicits._
     val e = Seq(
