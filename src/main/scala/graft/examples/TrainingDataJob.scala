@@ -58,8 +58,35 @@ object TrainingDataJob {
       // still run — they feed the model its features)
       qualityModel: Option[org.apache.spark.ml.classification.LogisticRegressionModel] = None,
       minQualityProb: Double = 0.5,
+      // canonical election within a duplicate cluster: false = min id
+      // (stable, cheapest); true = keep the BEST member by
+      // [[TrainingDataJob.docScore]] (what real curation does — the
+      // least-truncated copy survives, not the accidentally-first one)
+      canonicalByQuality: Boolean = false,
       numShards: Int = 8,
       shuffleSeed: String = "epoch0")
+
+  /** Quality score for canonical election: token count (among
+    * near-identical duplicates the longest member is the
+    * least-truncated copy), ties broken by id inside
+    * [[DedupCluster.electCanonical]]. Swap in `lmScore`'s
+    * avg_logprob or the classifier probability via electCanonical
+    * directly for model-based election.
+    */
+  def docScore(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("double").as("score"))
+
+  /** The canonical set of a clustering under `config`'s election mode
+    * — shared by [[run]] and [[tick]] so batch and incremental can
+    * never diverge on who survives a cluster.
+    */
+  private def canonicalIds(
+      clustered: DataFrame, quality: DataFrame, config: Config): DataFrame =
+    if (config.canonicalByQuality)
+      DedupCluster.electCanonical(clustered, docScore(quality))
+        .filter(col("is_canonical")).select("doc_id")
+    else clustered.filter(col("is_canonical")).select("doc_id")
 
   /** Stage 0: PII redaction — BEFORE any stage reads the text, so
     * nothing downstream (fingerprints, shingles, features, shard
@@ -129,7 +156,7 @@ object TrainingDataJob {
     val clustered = DedupCluster.minHashClusters(
       quality, "doc_id", "text", k = 3, threshold = config.jaccardThreshold)
     val kept = quality.join(
-      clustered.filter(col("is_canonical")).select("doc_id"),
+      canonicalIds(clustered, quality, config),
       Seq("doc_id"), "left_semi")
 
     // 3. benchmark decontamination (broadcast eval shingles)
@@ -223,12 +250,21 @@ object TrainingDataJob {
     val merged = DedupCluster.mergeDelta(priorClusters, deltaPairs,
       oldQuality.select("doc_id").unionByName(qDelta.select("doc_id")))
     sh.unpersist()
-    val canonical = merged.filter(col("is_canonical")).select("doc_id")
+    val canonical = canonicalIds(merged,
+      oldQuality.unionByName(qDelta), config)
     val keptDelta = qDelta.join(canonical, Seq("doc_id"), "left_semi")
-    // old canonicals that a delta bridge demoted → retract downstream
-    val retracted = priorClusters
-      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
-      .join(canonical, Seq("doc_id"), "left_anti")
+    // old canonicals that lost the election (a delta bridge merged
+    // their cluster, or — under quality election — a better delta
+    // copy arrived) → retract downstream. The prior canonical set is
+    // re-derived under the SAME election mode, so batch and
+    // incremental agree on who was shipped.
+    val priorCanonical =
+      if (config.canonicalByQuality)
+        DedupCluster.electCanonical(priorClusters, docScore(oldQuality))
+          .filter(col("is_canonical")).select("doc_id")
+      else priorClusters
+        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val retracted = priorCanonical.join(canonical, Seq("doc_id"), "left_anti")
 
     // 3'–5'. decontaminate + sample + annotate the delta only
     val clean = evalSet match {

@@ -15,14 +15,52 @@ object MySqlDialect {
     "%Y" -> "yyyy", "%m" -> "MM", "%d" -> "dd",
     "%H" -> "HH", "%i" -> "mm", "%s" -> "ss")
 
-  def translate(sql: String): String = {
+  /** @param paramNames declared report parameters. The reference's
+    *        report SQL binds them MySQL stored-procedure style — as
+    *        BARE identifiers (`WHERE p.uuid = person_uuid`, reference
+    *        README.md:296); Spark's parameterized SQL needs `:name`
+    *        markers, so each declared name appearing as an unqualified
+    *        identifier (outside string literals, not already a marker,
+    *        not a `tbl.column` reference) is rewritten to `:name`.
+    */
+  def translate(sql: String, paramNames: Seq[String] = Nil): String = {
     var out = sql
     out = out.replaceAll("(?i)\\bCURDATE\\s*\\(\\s*\\)", "current_date()")
     out = out.replaceAll("(?i)\\bNOW\\s*\\(\\s*\\)", "current_timestamp()")
     // MySQL %-tokens only ever appear inside DATE_FORMAT's literal —
     // rewrite them globally inside single-quoted strings.
     out = rewriteInStringLiterals(out)
+    if (paramNames.nonEmpty) out = outsideStringLiterals(out) { chunk =>
+      paramNames.foldLeft(chunk) { (acc, name) =>
+        acc.replaceAll(
+          "(?<![.:\\w])" + java.util.regex.Pattern.quote(name) + "(?![\\w])",
+          ":" + name)
+      }
+    }
     out
+  }
+
+  /** Apply `f` to the segments of `sql` NOT inside single-quoted
+    * string literals (literals pass through verbatim).
+    */
+  private def outsideStringLiterals(sql: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    val chunk = new StringBuilder
+    var inString = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inString && c == '\'') {
+        sb.append(f(chunk.toString)); chunk.clear()
+        chunk.append(c); inString = true
+      } else if (inString && c == '\'') {
+        chunk.append(c); sb.append(chunk); chunk.clear()
+        inString = false
+      } else chunk.append(c)
+      i += 1
+    }
+    sb.append(if (inString) chunk.toString else f(chunk.toString))
+    sb.toString
   }
 
   private def rewriteInStringLiterals(sql: String): String = {

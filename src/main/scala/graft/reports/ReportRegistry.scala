@@ -36,7 +36,7 @@ final class ReportRegistry(defs: Seq[ReportDefinition]) {
     val missing = d.params.map(_.name).filterNot(params.contains)
     require(missing.isEmpty,
       s"report $id missing params: ${missing.mkString(", ")}")
-    spark.sql(MySqlDialect.translate(d.sqlQuery), params)
+    spark.sql(MySqlDialect.translate(d.sqlQuery, d.params.map(_.name)), params)
   }
 }
 

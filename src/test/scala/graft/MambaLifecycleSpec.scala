@@ -148,4 +148,86 @@ class MambaLifecycleSpec extends SparkSpec {
       Map("etype" -> "ANC", "date_from" -> "2024-01-01"))
     assert(r.as[Long].head() == 2L)
   }
+
+  test("the three VERBATIM reference reports.json entries run end-to-end") {
+    // the reports.json block exactly as the reference README publishes
+    // it (reference README.md:289-330) — MySQL dialect, bare
+    // stored-procedure-style param identifiers and all. This is the
+    // "a MambaETL user pastes their reports.json unchanged" test.
+    val verbatim = """
+    {
+      "report_definitions": [
+        {
+          "report_name": "MCH Mother HIV Status",
+          "report_id": "mother_hiv_status",
+          "report_sql": {
+            "sql_query": "SELECT pm.hiv_test_result AS hiv_test_result FROM mamba_flat_encounter_pmtct_anc pm INNER JOIN mamba_dim_person p ON pm.client_id = p.person_id WHERE p.uuid = person_uuid AND pm.ptracker_id = ptracker_id",
+            "query_params": [
+              { "name": "ptracker_id", "type": "VARCHAR(255)" },
+              { "name": "person_uuid", "type": "VARCHAR(255)" }
+            ]
+          }
+        },
+        {
+          "report_name": "MCH Total Deliveries",
+          "report_id": "total_deliveries",
+          "report_sql": {
+            "sql_query": "SELECT COUNT(*) AS total_deliveries FROM mamba_dim_encounter e inner join mamba_dim_encounter_type et on e.encounter_type = et.encounter_type_id WHERE et.uuid = '6dc5308d-27c9-4d49-b16f-2c5e3c759757' AND DATE(e.encounter_datetime) > CONCAT(YEAR(CURDATE()), '-01-01 00:00:00')",
+            "query_params": []
+          }
+        },
+        {
+          "report_name": "MCH HIV-Exposed Infants",
+          "report_id": "total_hiv_exposed_infants",
+          "report_sql": {
+            "sql_query": "SELECT COUNT(DISTINCT ei.infant_client_id) AS total_hiv_exposed_infants FROM mamba_fact_pmtct_exposedinfants ei INNER JOIN mamba_dim_person p ON ei.infant_client_id = p.person_id WHERE ei.encounter_datetime BETWEEN DATE_FORMAT(NOW(), '%Y-01-01') AND NOW() AND birthdate BETWEEN DATE_FORMAT(NOW(), '%Y-01-01') AND NOW()",
+            "query_params": []
+          }
+        }
+      ]
+    }"""
+    val registry = ReportRegistry.fromJson(verbatim)
+
+    // reference-shaped fixture views with exactly the columns the
+    // verbatim SQL touches; date-sensitive rows pinned to the current
+    // year because the SQL itself anchors on CURDATE()/NOW()
+    val year = java.time.Year.now.getValue
+    def t(s: String) = ts(s"$year-$s")
+    Seq((1L, "p-uuid-1", d(s"${year - 30}-03-04")),
+        (2L, "p-uuid-2", d(s"${year - 25}-07-21")),
+        (10L, "i-uuid-10", d(s"$year-02-01")),   // infant born this year
+        (11L, "i-uuid-11", d(s"${year - 2}-05-05")))
+      .toDF("person_id", "uuid", "birthdate")
+      .createOrReplaceTempView("mamba_dim_person")
+    Seq((1L, "PT-001", "NEGATIVE"), (2L, "PT-002", "POSITIVE"))
+      .toDF("client_id", "ptracker_id", "hiv_test_result")
+      .createOrReplaceTempView("mamba_flat_encounter_pmtct_anc")
+    Seq((7, "6dc5308d-27c9-4d49-b16f-2c5e3c759757"), (8, "other-uuid"))
+      .toDF("encounter_type_id", "uuid")
+      .createOrReplaceTempView("mamba_dim_encounter_type")
+    Seq((100L, 7, t("02-01 09:00:00")),            // delivery, this year
+        (101L, 7, ts(s"${year - 1}-12-31 09:00:00")), // last year → excluded
+        (102L, 8, t("03-01 09:00:00")))            // other type → excluded
+      .toDF("encounter_id", "encounter_type", "encounter_datetime")
+      .createOrReplaceTempView("mamba_dim_encounter")
+    Seq((10L, t("02-10 10:00:00")),                // infant seen this year
+        (11L, t("03-10 10:00:00")),                // born earlier → excluded
+        (10L, t("04-10 10:00:00")))                // same infant → DISTINCT
+      .toDF("infant_client_id", "encounter_datetime")
+      .createOrReplaceTempView("mamba_fact_pmtct_exposedinfants")
+
+    // report 1: bare-identifier params bind through the dialect shim
+    val hiv = registry.run(spark, "mother_hiv_status",
+      Map("ptracker_id" -> "PT-002", "person_uuid" -> "p-uuid-2"))
+    assert(hiv.columns.toSeq == Seq("hiv_test_result"))
+    assert(hiv.as[String].collect().toSeq == Seq("POSITIVE"))
+
+    // report 2: CURDATE()/YEAR()/DATE()/CONCAT through the shim
+    assert(registry.run(spark, "total_deliveries").as[Long].head() == 1L)
+
+    // report 3: DATE_FORMAT(NOW(), '%Y-01-01') %-token rewrite + the
+    // doubly-BETWEEN join, COUNT(DISTINCT) collapsing the repeat visit
+    assert(registry.run(spark, "total_hiv_exposed_infants")
+      .as[Long].head() == 1L)
+  }
 }

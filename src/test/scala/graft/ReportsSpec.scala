@@ -25,6 +25,17 @@ class ReportsSpec extends SparkSpec {
     assert(MySqlDialect.translate("'100%x'") == "'100%x'")
   }
 
+  test("MySqlDialect rewrites bare param identifiers to :markers, nothing else") {
+    val sql = "SELECT a.uuid FROM t a WHERE a.uuid = person_uuid " +
+      "AND a.ptracker_id = ptracker_id AND note = 'person_uuid kept'"
+    assert(MySqlDialect.translate(sql, Seq("person_uuid", "ptracker_id")) ==
+      "SELECT a.uuid FROM t a WHERE a.uuid = :person_uuid " +
+      "AND a.ptracker_id = :ptracker_id AND note = 'person_uuid kept'")
+    // already-marked params and qualified columns are left alone
+    assert(MySqlDialect.translate("WHERE x = :p AND t.p = 1", Seq("p")) ==
+      "WHERE x = :p AND t.p = 1")
+  }
+
   test("registry rejects unknown report ids and missing params") {
     intercept[NoSuchElementException](registry.get("nope"))
     Tables.registerAll(spark, sfDir)

@@ -136,6 +136,43 @@ class TrainingDataJobSpec extends SparkSpec {
     assert(minStart >= bookmark)
   }
 
+  test("canonicalByQuality keeps the longest duplicate; the tick retracts the demoted copy") {
+    // near-dup pair where the LONGER (least-truncated) copy has the
+    // LARGER id: min-id election keeps 1, quality election keeps 2.
+    // Stopwords planted so the quality gate passes (the@11, and@15).
+    val w = (1 to 30).map {
+      case 11 => "the"
+      case 15 => "and"
+      case i => s"w$i"
+    }
+    def txt(lo: Int, hi: Int) = w.slice(lo - 1, hi).mkString(" ")
+    val short = (1L, txt(1, 20), "en")  // 20 words, truncated copy
+    val long = (2L, txt(1, 24), "en")   // 24 words, J = 18/22 ≈ 0.82
+    val docs = Seq(short, long).toDF("doc_id", "text", "lang")
+    val base = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0, jaccardThreshold = 0.7)
+
+    val minId = TrainingDataJob.run(docs, base)
+      .select("doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L), "default election keeps the smallest id")
+    val cfg = base.copy(canonicalByQuality = true)
+    val best = TrainingDataJob.run(docs, cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L), "quality election must keep the longest member")
+
+    // incremental: the short copy shipped alone; the longer copy
+    // arrives as a delta, wins the election, and demotes it
+    val old = Seq(short).toDF("doc_id", "text", "lang")
+    val delta = Seq(long).toDF("doc_id", "text", "lang")
+    val priorClusters = Seq((1L, 1L)).toDF("doc_id", "cluster_id")
+    val bookmark = TrainingDataJob.run(old, cfg)
+      .agg(sum(col("n_tokens").cast("long"))).as[Long].head()
+    val r = TrainingDataJob.tick(old, priorClusters, bookmark, delta, cfg)
+    assert(r.additions.select("doc_id").as[Long].collect().toSet == Set(2L))
+    assert(r.retractedIds.as[Long].collect().toSet == Set(1L),
+      "the demoted shipped copy must be retracted")
+  }
+
   test("repetition gate drops looping boilerplate that passes length gates") {
     val looping = ("the spam " * 40).trim            // dup2 ratio ≈ 1
     val normal = "the quick brown fox jumps over the lazy dog and then " +
