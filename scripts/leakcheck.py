@@ -35,7 +35,7 @@ PATTERNS = {
         r"en\.wikipedia\.org|duckdb\.org|openmrs\.org|docs\.oracle\.com)\S+"),
     "internal-pkg2": re.compile(r"\b(?:com|io|net)\.(?:anthropic|internal)\.\S+"),
     "internal-bucket": re.compile(r"\b(?:s3|gs|s3a|abfss?)://\S+"),
-    "slack-link": re.compile(r"slack\.com|go/[a-z][a-z0-9-]+\b"),
+    "slack-link": re.compile(r"slack\.com|(?<![A-Za-z0-9_/.-])go/[a-z][a-z0-9-]+\b"),
     "api-key": re.compile(
         r"(?:api[_-]?key|secret[_-]?key|bearer\s+[A-Za-z0-9_\-]{20,}|"
         r"sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16})", re.I),

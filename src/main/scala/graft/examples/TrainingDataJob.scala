@@ -250,20 +250,27 @@ object TrainingDataJob {
     val merged = DedupCluster.mergeDelta(priorClusters, deltaPairs,
       oldQuality.select("doc_id").unionByName(qDelta.select("doc_id")))
     sh.unpersist()
-    val canonical = canonicalIds(merged,
-      oldQuality.unionByName(qDelta), config)
-    val keptDelta = qDelta.join(canonical, Seq("doc_id"), "left_semi")
     // old canonicals that lost the election (a delta bridge merged
     // their cluster, or — under quality election — a better delta
     // copy arrived) → retract downstream. The prior canonical set is
     // re-derived under the SAME election mode, so batch and
-    // incremental agree on who was shipped.
-    val priorCanonical =
-      if (config.canonicalByQuality)
-        DedupCluster.electCanonical(priorClusters, docScore(oldQuality))
-          .filter(col("is_canonical")).select("doc_id")
-      else priorClusters
-        .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    // incremental agree on who was shipped. The old corpus's scores
+    // are computed ONCE (checkpointed — an (id, double) frame) and
+    // feed both elections; two independent docScore pipelines would
+    // tokenize the prior corpus twice per tick.
+    val (canonical, priorCanonical) =
+      if (config.canonicalByQuality) {
+        val oldScores = docScore(oldQuality).localCheckpoint(true)
+        (DedupCluster.electCanonical(merged,
+            oldScores.unionByName(docScore(qDelta)))
+          .filter(col("is_canonical")).select("doc_id"),
+         DedupCluster.electCanonical(priorClusters, oldScores)
+          .filter(col("is_canonical")).select("doc_id"))
+      } else (
+        merged.filter(col("is_canonical")).select("doc_id"),
+        priorClusters
+          .filter(col("doc_id") === col("cluster_id")).select("doc_id"))
+    val keptDelta = qDelta.join(canonical, Seq("doc_id"), "left_semi")
     val retracted = priorCanonical.join(canonical, Seq("doc_id"), "left_anti")
 
     // 3'–5'. decontaminate + sample + annotate the delta only

@@ -49,19 +49,25 @@ case class GreedyPieces(child: Expression, vocab: Seq[String], maxPieceLen: Int)
     val out = new java.util.ArrayList[Any]()
     val m = pattern.matcher(text)
     while (m.find()) {
-      val w = m.group()
+      // walk CODE POINTS, not UTF-16 units: candidate lengths must
+      // mean characters (matching the trainer's symbols and DuckDB's
+      // substr) and the unseen-char fallback must never split a
+      // surrogate pair into two invalid lone-surrogate pieces
+      val cps = m.group().codePoints().toArray
       var p = 0
-      while (p < w.length) {
+      while (p < cps.length) {
         var piece: String = null
-        var l = math.min(maxPieceLen, w.length - p)
+        var l = math.min(maxPieceLen, cps.length - p)
         while (piece == null && l >= 1) {
-          val cand = w.substring(p, p + l)
+          val cand = new String(cps, p, l)
           if (set.contains(cand)) piece = cand
           l -= 1
         }
-        if (piece == null) piece = w.substring(p, p + 1) // unseen char
+        var advance = 1
+        if (piece == null) piece = new String(cps, p, 1) // unseen char
+        else advance = piece.codePointCount(0, piece.length)
         out.add(UTF8String.fromString(piece))
-        p += piece.length
+        p += advance
       }
     }
     new GenericArrayData(out.toArray)

@@ -152,13 +152,20 @@ object DedupCluster {
     * exchange carries (cluster, best) pairs, cluster-count-sized.
     *
     * @param labels (idCol, cluster_id, …) from [[connectedComponents]]
-    * @param scores (idCol, scoreCol) — any deterministic quality score
+    * @param scores (idCol, scoreCol) — any deterministic quality
+    *        score. Docs with no score row stay in the labeling (left
+    *        join) but rank below every scored member; an all-unscored
+    *        cluster falls back to min-id election.
     */
   def electCanonical(
       labels: DataFrame, scores: DataFrame,
       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
     val scored = labels.select(col(idCol), col("cluster_id"))
-      .join(scores.select(col(idCol), col(scoreCol).as("__s")), Seq(idCol))
+      .join(scores.select(col(idCol), col(scoreCol).as("__s0")), Seq(idCol),
+        "left")
+      .withColumn("__s",
+        coalesce(col("__s0"), lit(Double.NegativeInfinity)))
+      .drop("__s0")
     val best = scored.groupBy("cluster_id")
       .agg(min(struct((-col("__s")).as("negs"), col(idCol).as("best_id")))
         .as("__b"))

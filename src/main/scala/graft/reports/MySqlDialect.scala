@@ -21,7 +21,11 @@ object MySqlDialect {
     *        README.md:296); Spark's parameterized SQL needs `:name`
     *        markers, so each declared name appearing as an unqualified
     *        identifier (outside string literals, not already a marker,
-    *        not a `tbl.column` reference) is rewritten to `:name`.
+    *        not a `tbl.column` reference, not an `AS alias`) is
+    *        rewritten to `:name`. Limitation (string rewrite, not a
+    *        resolver): a declared param SHADOWS an unqualified column
+    *        of the same name — qualify such columns (`t.name`) in the
+    *        report SQL, as the reference's own examples do.
     */
   def translate(sql: String, paramNames: Seq[String] = Nil): String = {
     var out = sql
@@ -33,7 +37,8 @@ object MySqlDialect {
     if (paramNames.nonEmpty) out = outsideStringLiterals(out) { chunk =>
       paramNames.foldLeft(chunk) { (acc, name) =>
         acc.replaceAll(
-          "(?<![.:\\w])" + java.util.regex.Pattern.quote(name) + "(?![\\w])",
+          "(?<![.:\\w])(?<!(?i:as)\\s)" +
+            java.util.regex.Pattern.quote(name) + "(?![\\w])",
           ":" + name)
       }
     }

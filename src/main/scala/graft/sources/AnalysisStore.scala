@@ -55,8 +55,15 @@ object AnalysisStore {
     val fs = fsOf(spark, path)
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
-    if (!fs.exists(target) && fs.exists(backup)) fs.rename(backup, target)
-    else false
+    if (!fs.exists(target) && fs.exists(backup)) {
+      // a false return (HDFS reports failures as false, not exceptions)
+      // MUST abort: swallowing it would let a retrying incremental
+      // writer see "missing table" and writeFull(delta) over the data
+      // still sitting in the backup — the exact loss recover prevents
+      require(fs.rename(backup, target),
+        s"failed to restore crash backup ${backup} -> ${target}")
+      true
+    } else false
   }
 
   def writeFull(

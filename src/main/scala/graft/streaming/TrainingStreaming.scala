@@ -156,6 +156,11 @@ object TrainingStreaming {
     * poll from startup.
     */
   def readCurated(spark: SparkSession, storeRoot: String): DataFrame = {
+    // a monitor may read between a mid-swap crash and the next tick's
+    // recovery — restore backups here too, or additions reads as an
+    // empty corpus and a missing retractions dir serves demoted docs
+    Seq(addsPath(storeRoot), retractsPath(storeRoot))
+      .foreach(AnalysisStore.recover(spark, _))
     if (!exists(spark, addsPath(storeRoot)))
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType))))

@@ -60,6 +60,14 @@ class BpeSpec extends SparkSpec {
       .as[String].collect().toSet == Set("x", "7", "!"))
     assert(enc.count() == 8)
     assert(enc.select("pos").as[Int].collect().sorted.toSeq == (1 to 8))
+    // unseen NON-BMP char: the fallback must emit the whole code point
+    // (advancing by UTF-16 units would cut the surrogate pair into two
+    // invalid lone-surrogate pieces and break the round-trip)
+    val emoji = new String(Character.toChars(0x1F600))
+    val astral = Seq((2L, s"hugs$emoji")).toDF("doc_id", "text")
+    val ap = astral.select(Bpe.pieces(col("text"), vocab, 4).as("p"))
+      .as[Seq[String]].head()
+    assert(ap == Seq("hugs", emoji), s"got $ap")
   }
 
   test("round-trip: pieces concatenate back to the pre-tokenized words on the training corpus") {

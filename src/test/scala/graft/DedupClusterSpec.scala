@@ -54,6 +54,13 @@ class DedupClusterSpec extends SparkSpec {
     // cluster ids are untouched — only the survivor flag moved
     assert(out.select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
       == labels.as[(Long, Long)].collect().toSet)
+    // unscored members stay in the labeling and rank last; an
+    // all-unscored cluster falls back to min-id election
+    val partial = DedupCluster.electCanonical(labels,
+      Seq((1L, 1.0)).toDF("doc_id", "score"))
+    assert(partial.count() == 6, "no label row may vanish on a score miss")
+    assert(partial.filter(col("is_canonical"))
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 9L))
   }
 
   test("mergeDelta: a delta doc bridging two old clusters merges them") {

@@ -189,13 +189,17 @@ class MambaLifecycleSpec extends SparkSpec {
     val registry = ReportRegistry.fromJson(verbatim)
 
     // reference-shaped fixture views with exactly the columns the
-    // verbatim SQL touches; date-sensitive rows pinned to the current
-    // year because the SQL itself anchors on CURDATE()/NOW()
+    // verbatim SQL touches. The SQL anchors on CURDATE()/NOW(), so
+    // date-sensitive rows must hold on ANY run date: report 2 is
+    // unbounded above and strictly > Jan 1, so Jan 2 of the current
+    // year qualifies year-round; report 3 is [Jan 1, NOW()], so
+    // "today at midnight" qualifies year-round (a fixed Feb date
+    // would fail every January run)
     val year = java.time.Year.now.getValue
-    def t(s: String) = ts(s"$year-$s")
+    val today = java.time.LocalDate.now.toString
     Seq((1L, "p-uuid-1", d(s"${year - 30}-03-04")),
         (2L, "p-uuid-2", d(s"${year - 25}-07-21")),
-        (10L, "i-uuid-10", d(s"$year-02-01")),   // infant born this year
+        (10L, "i-uuid-10", d(today)),              // infant born this year
         (11L, "i-uuid-11", d(s"${year - 2}-05-05")))
       .toDF("person_id", "uuid", "birthdate")
       .createOrReplaceTempView("mamba_dim_person")
@@ -205,14 +209,14 @@ class MambaLifecycleSpec extends SparkSpec {
     Seq((7, "6dc5308d-27c9-4d49-b16f-2c5e3c759757"), (8, "other-uuid"))
       .toDF("encounter_type_id", "uuid")
       .createOrReplaceTempView("mamba_dim_encounter_type")
-    Seq((100L, 7, t("02-01 09:00:00")),            // delivery, this year
+    Seq((100L, 7, ts(s"$year-01-02 09:00:00")),    // delivery, this year
         (101L, 7, ts(s"${year - 1}-12-31 09:00:00")), // last year → excluded
-        (102L, 8, t("03-01 09:00:00")))            // other type → excluded
+        (102L, 8, ts(s"$year-01-02 09:00:00")))    // other type → excluded
       .toDF("encounter_id", "encounter_type", "encounter_datetime")
       .createOrReplaceTempView("mamba_dim_encounter")
-    Seq((10L, t("02-10 10:00:00")),                // infant seen this year
-        (11L, t("03-10 10:00:00")),                // born earlier → excluded
-        (10L, t("04-10 10:00:00")))                // same infant → DISTINCT
+    Seq((10L, ts(s"$today 00:00:00")),             // infant seen this year
+        (11L, ts(s"$today 00:00:00")),             // born earlier → excluded
+        (10L, ts(s"$today 00:30:00")))             // same infant → DISTINCT
       .toDF("infant_client_id", "encounter_datetime")
       .createOrReplaceTempView("mamba_fact_pmtct_exposedinfants")
 
