@@ -63,8 +63,29 @@ object TrainingDataJob {
       // [[TrainingDataJob.docScore]] (what real curation does — the
       // least-truncated copy survives, not the accidentally-first one)
       canonicalByQuality: Boolean = false,
+      // token accounting for n_tokens and pack budgets: None =
+      // whitespace words; Some(vocab) = greedy longest-match subword
+      // pieces over a FROZEN piece vocabulary ([[graft.operators.Bpe
+      // .train]]'s model.vocab or a loaded store table). Frozen on
+      // purpose: the tick's append-only pack contract holds only if
+      // every tick counts tokens identically — retrain the tokenizer
+      // between EPOCHS (full re-runs), never between ticks.
+      subwordVocab: Option[Seq[String]] = None,
       numShards: Int = 8,
       shuffleSeed: String = "epoch0")
+
+  /** The configured token counter — words or subword pieces — used
+    * for BOTH the n_tokens feature and the pack budget, so the
+    * bookmark (Σ n_tokens of shipped rows) always continues the
+    * packing in the same units.
+    */
+  private def tokenCount(config: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    config.subwordVocab match {
+      case Some(v) =>
+        val maxLen = v.iterator.map(_.length).max
+        t => graft.operators.Bpe.pieceCount(t, v, maxLen)
+      case None => Packing.wordCount
+    }
 
   /** Quality score for canonical election: token count (among
     * near-identical duplicates the longest member is the
@@ -176,12 +197,13 @@ object TrainingDataJob {
     // 5. feature annotation for downstream consumers
     val features = TextAnalysis.fingerprints(sampled)
       .withColumn("norm_text", TextAnalysis.normalize(col("text")))
-      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .withColumn("n_tokens", tokenCount(config)(col("text")).cast("int"))
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
 
     // 6. context-window assignment over exactly the shipped rows
     val packed = features.join(
-      Packing.packSequences(sampled, "doc_id", "text", config.packBudget)
+      Packing.packSequences(sampled, "doc_id", "text", config.packBudget,
+          tokenCount = tokenCount(config))
         .select("doc_id", "pack_id", "pack_offset"),
       Seq("doc_id"))
 
@@ -286,13 +308,14 @@ object TrainingDataJob {
       config.langFractions, config.defaultFraction)
     val features = TextAnalysis.fingerprints(sampled)
       .withColumn("norm_text", TextAnalysis.normalize(col("text")))
-      .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      .withColumn("n_tokens", tokenCount(config)(col("text")).cast("int"))
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
 
     // 6'–7'. packs continue from the bookmark; shuffle keys are id-pure
     val packed = features.join(
       Packing.packSequencesDelta(sampled, "doc_id", "text",
-          config.packBudget, tokenBookmark)
+          config.packBudget, tokenBookmark,
+          tokenCount = tokenCount(config))
         .select("doc_id", "pack_id", "pack_offset"),
       Seq("doc_id"))
     TickResult(

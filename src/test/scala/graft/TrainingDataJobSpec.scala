@@ -173,6 +173,48 @@ class TrainingDataJobSpec extends SparkSpec {
       "the demoted shipped copy must be retracted")
   }
 
+  test("subword-denominated pipeline: n_tokens and pack budgets count pieces; tick contract holds") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val model = graft.operators.Bpe.train(docs, "text", numMerges = 60)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5, subwordVocab = Some(model.vocab))
+
+    val out = TrainingDataJob.run(docs, cfg)
+    // n_tokens is the subword piece count, not the word count
+    val sample = out.select("doc_id", "text", "n_tokens").limit(20)
+      .collect()
+    sample.foreach { r =>
+      val pieces = Seq((r.getLong(0), r.getString(1)))
+        .toDF("doc_id", "text")
+        .select(size(graft.operators.Bpe.pieces(col("text"), model.vocab,
+          model.maxPieceLen))).head().getInt(0)
+      assert(r.getInt(2) == pieces,
+        s"doc ${r.getLong(0)}: n_tokens ${r.getInt(2)} != pieces $pieces")
+    }
+
+    // the FROZEN vocab keeps the incremental contract: tick ≡ full
+    // run on shipped ids, packs continue the piece-denominated bookmark
+    val old = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300)
+    val fullIds = out.select("doc_id").as[Long].collect().toSet
+    val priorOut = TrainingDataJob.run(old, cfg)
+    val priorIds = priorOut.select("doc_id").as[Long].collect().toSet
+    val bookmark = priorOut.agg(sum(col("n_tokens").cast("long")))
+      .as[Long].head()
+    val priorClusters = graft.operators.DedupCluster.minHashClusters(
+        TrainingDataJob.curatedQuality(old, cfg), "doc_id", "text",
+        k = 3, threshold = cfg.jaccardThreshold)
+      .select("doc_id", "cluster_id")
+    val r = TrainingDataJob.tick(old, priorClusters, bookmark, delta, cfg)
+    val addIds = r.additions.select("doc_id").as[Long].collect().toSet
+    val retractIds = r.retractedIds.as[Long].collect().toSet
+    assert((priorIds -- retractIds) ++ addIds == fullIds)
+    val minStart = r.additions
+      .agg(min(col("pack_id") * cfg.packBudget + col("pack_offset")))
+      .as[Long].head()
+    assert(minStart >= bookmark)
+  }
+
   test("repetition gate drops looping boilerplate that passes length gates") {
     val looping = ("the spam " * 40).trim            // dup2 ratio ≈ 1
     val normal = "the quick brown fox jumps over the lazy dog and then " +
