@@ -125,6 +125,27 @@ object Bpe {
           .cast("int").as("token_id"))
   }
 
+  /** Tokenizer fitness over a corpus: fertility (pieces per word) and
+    * the share of words encoded as a single piece — the serving-side
+    * staleness signal for a FROZEN vocabulary (the subword analogue
+    * of the ANN index drift gate): as the corpus drifts away from the
+    * training distribution, fertility rises and single-piece coverage
+    * falls, telling the pipeline it is time to retrain between
+    * epochs. One narrow pass + a scalar aggregate; fully
+    * deterministic (integer totals, 4dp ratios) so the driver
+    * hash-verifies it.
+    */
+  def fertility(df: DataFrame, textCol: String,
+      vocab: Seq[String], maxPieceLen: Int): DataFrame =
+    df.select(explode(preTokens(col(textCol))).as("word"))
+      .select(size(pieces(col("word"), vocab, maxPieceLen)).as("__np"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("__np").cast("long")).as("n_pieces"),
+        round(sum(col("__np").cast("long")).cast("double") / count(lit(1)), 4)
+          .as("fertility"),
+        round(sum(when(col("__np") === 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 4).as("single_piece_ratio"))
+
   /** One learned merge: at `rank`, adjacent symbol pair (left, right)
     * fused into `token` (= left + right).
     */

@@ -983,6 +983,25 @@ object ExtQueries {
       }.drop("recall") // recall's exact value is approximate-path-specific
     },
 
+    "text_bpe_fertility" -> QueryDef(
+      doc = "tokenizer fitness gate: fertility (pieces/word) and single-piece coverage of the frozen subword vocab — the retrain-time signal for a served tokenizer (rises as the corpus drifts); oracle replays the per-word walk",
+      oracle = s"""
+        WITH RECURSIVE $duckSubwordVocab,
+        $duckPieceWalk,
+        pw AS (SELECT doc_id, wi, count(*) AS np
+               FROM walk WHERE p <= length(word) GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(np) AS BIGINT) AS n_pieces,
+               round(sum(np) * 1.0 / count(*), 4) AS fertility,
+               round(sum(CASE WHEN np = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                 AS single_piece_ratio
+        FROM pw""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
+        .select(col("token")).collect().map(_.getString(0)).toSeq
+      Bpe.fertility(docs, "text", vocab, 6)
+    },
+
     "text_bpe_gate" -> QueryDef(
       doc = "BPE trainer gate (the merge loop itself is driver-side over the model-sized word histogram, not SQL-expressible — same gate pattern as ann_recall_*): merge #1 must equal the SQL argmax over initial char-pair counts, every doc must round-trip through encode, nothing may hit unk on the training corpus, and the encoding must compress vs characters",
       oracle = s"""

@@ -137,6 +137,23 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq(("hugs hugs hugs", 3), ("hugs", 1)))
   }
 
+  test("fertility rises on a drifted corpus — the frozen-vocab retrain signal") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
+      .select("token").as[String].collect().toSeq
+    val home = Bpe.fertility(docs, "text", vocab, 6).head()
+    // in-distribution text: the frequent whole words sit in the vocab,
+    // so most words encode as a single piece
+    assert(home.getAs[Double]("single_piece_ratio") > 0.5, home.toString)
+    // drifted corpus: vocabulary the tokenizer never saw → words
+    // shatter into pieces and fertility rises
+    val drifted = Seq((1L, "xylophone quixotic jazzberry phantasm"),
+      (2L, "kryptonite mozzarella viaduct")).toDF("doc_id", "text")
+    val away = Bpe.fertility(drifted, "text", vocab, 6).head()
+    assert(away.getAs[Double]("fertility") > home.getAs[Double]("fertility"),
+      s"drifted ${away.getAs[Double]("fertility")} vs home ${home.getAs[Double]("fertility")}")
+  }
+
   test("subword vocab: ids are the (count desc, token) dense ranking") {
     val docs = Tables.load(spark, sfDir, "documents")
     val v = Bpe.subwordVocab(docs, "text", topK = 50, maxPieceLen = 6)
