@@ -129,4 +129,24 @@ object Multimodal {
         }
     }
   }
+
+  /** Cross-document shared frames — segment-level dedup for video/
+    * audio corpora: fingerprints appearing in MORE THAN ONE document
+    * (shared intros/outros/b-roll/watermark cards that should be
+    * deduplicated or masked before training). Composes [[
+    * sampleFrameFeatures]] with one fingerprint-keyed aggregation:
+    * the exchange carries (frame_md5, partial counts), never frame
+    * bytes — at 100 TB of video the shuffled volume is the fingerprint
+    * space, and frames themselves stay in their scan partitions.
+    */
+  def sharedFrames(
+      media: Dataset[MediaRecord],
+      stride: Int = 64, frameLen: Int = 16): DataFrame =
+    sampleFrameFeatures(media, stride, frameLen).toDF()
+      .groupBy("frame_md5")
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") > 1)
 }

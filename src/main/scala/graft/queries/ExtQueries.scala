@@ -415,6 +415,23 @@ object ExtQueries {
         stride = 64, frameLen = 16).toDF()
     },
 
+    "multimodal_frame_dedup" -> QueryDef(
+      doc = "cross-document shared frames (segment-level video dedup): fingerprints in >1 doc with occurrence counts and doc bounds — one fingerprint-keyed agg; frame bytes never shuffle",
+      oracle = """
+        WITH f AS (SELECT doc_id, text,
+                          unnest(generate_series(0, CAST(floor((length(text) - 1) / 64.0) AS INTEGER))) AS fn
+                   FROM documents WHERE length(text) > 0),
+        h AS (SELECT doc_id, md5(substr(text, fn * 64 + 1, 16)) AS frame_md5 FROM f)
+        SELECT frame_md5,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occ,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM h GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""") { (s, dir) =>
+      Multimodal.sharedFrames(
+        Multimodal.asMedia(Tables.load(s, dir, "documents")),
+        stride = 64, frameLen = 16)
+    },
+
     "knn_label_predict" -> QueryDef(
       doc = "kNN label prediction: majority label of the 5 nearest corpus neighbors per query (most votes, then smallest label) — the weak-labeling / embedding-eval primitive",
       oracle = s"""

@@ -54,4 +54,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).frame_md5 == "187ef4436122d1cc2f40dc2b92f0eba0")
     assert(frames.map(_.frame_md5).distinct.length == 3)
   }
+
+  test("sharedFrames finds only fingerprints spanning documents") {
+    import spark.implicits._
+    // stride 4 / frame 2: windows are chars (0,1), (4,5), (8,9)…
+    // docs 1 and 2 share the "ab" window; doc 2 repeats it internally
+    // (repeats within ONE doc must not count as shared); doc 3 is
+    // disjoint
+    val docs = Seq(
+      (1L, "abcdefgh"),        // frames: ab, ef
+      (2L, "abcdabcd"),        // frames: ab, ab
+      (3L, "zzzzyyyy")).toDF("doc_id", "text")
+    val shared = Multimodal.sharedFrames(
+      Multimodal.asMedia(docs), stride = 4, frameLen = 2).collect()
+    assert(shared.length == 1)
+    val r = shared.head
+    assert(r.getAs[String]("frame_md5") == "187ef4436122d1cc2f40dc2b92f0eba0")
+    assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_occ") == 3)
+    assert(r.getAs[Long]("first_doc") == 1 && r.getAs[Long]("last_doc") == 2)
+  }
 }
