@@ -1019,6 +1019,33 @@ object ExtQueries {
       Bpe.fertility(docs, "text", vocab, 6)
     },
 
+    "text_chunk_bpe" -> QueryDef(
+      doc = "sliding-window chunking in SUBWORD tokens (32-piece windows every 24): the context-window prep a subword-budgeted pipeline runs; narrow tokenize+slice, zero exchanges — oracle replays the greedy walk then windows the piece sequence",
+      oracle = s"""
+        WITH RECURSIVE $duckSubwordVocab,
+        $duckPieceWalk,
+        pieces AS (SELECT doc_id, piece,
+                          row_number() OVER (PARTITION BY doc_id ORDER BY wi, p) AS pos
+                   FROM walk WHERE piece IS NOT NULL),
+        n AS (SELECT doc_id, count(*) AS np FROM pieces GROUP BY 1),
+        starts AS (SELECT doc_id,
+                          unnest(generate_series(0, CAST(floor((np - 1) / 24.0) AS INTEGER))) AS cid
+                   FROM n WHERE np > 0),
+        w AS (SELECT s.doc_id, s.cid, p.pos, p.piece
+              FROM starts s JOIN pieces p ON p.doc_id = s.doc_id
+               AND p.pos > s.cid * 24 AND p.pos <= s.cid * 24 + 32)
+        SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+               string_agg(piece, ' ' ORDER BY pos) AS chunk_text,
+               CAST(count(*) AS INTEGER) AS n_tokens
+        FROM w GROUP BY 1, 2""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
+        .select(col("token")).collect().map(_.getString(0)).toSeq
+      TextAnalysis.chunk(docs, "doc_id", "text",
+        chunkSize = 32, stride = 24,
+        tokensOf = t => Bpe.pieces(t, vocab, 6))
+    },
+
     "text_bpe_gate" -> QueryDef(
       doc = "BPE trainer gate (the merge loop itself is driver-side over the model-sized word histogram, not SQL-expressible — same gate pattern as ann_recall_*): merge #1 must equal the SQL argmax over initial char-pair counts, every doc must round-trip through encode, nothing may hit unk on the training corpus, and the encoding must compress vs characters",
       oracle = s"""
