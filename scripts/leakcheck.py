@@ -35,7 +35,10 @@ PATTERNS = {
         r"en\.wikipedia\.org|duckdb\.org|openmrs\.org|docs\.oracle\.com)\S+"),
     "internal-pkg2": re.compile(r"\b(?:com|io|net)\.(?:anthropic|internal)\.\S+"),
     "internal-bucket": re.compile(r"\b(?:s3|gs|s3a|abfss?)://\S+"),
-    "slack-link": re.compile(r"slack\.com|(?<![A-Za-z0-9_/.-])go/[a-z][a-z0-9-]+\b"),
+    # go-links must match in their common URL form (…://go/cc) while
+    # ordinary path segments (cargo/registry, django/…) stay excluded
+    "slack-link": re.compile(
+        r"slack\.com|(?:(?<=//)|(?<![A-Za-z0-9_/.-]))go/[a-z][a-z0-9-]+\b"),
     "api-key": re.compile(
         r"(?:api[_-]?key|secret[_-]?key|bearer\s+[A-Za-z0-9_\-]{20,}|"
         r"sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16})", re.I),

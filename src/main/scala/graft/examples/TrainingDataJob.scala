@@ -82,6 +82,10 @@ object TrainingDataJob {
   private def tokenCount(config: Config): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
     config.subwordVocab match {
       case Some(v) =>
+        // fail HERE with an actionable message — an empty vocab (e.g.
+        // a truncated store table) would otherwise surface as a bare
+        // empty.max deep inside plan construction
+        require(v.nonEmpty, "Config.subwordVocab must be a non-empty vocabulary")
         val maxLen = v.iterator.map(_.length).max
         t => graft.operators.Bpe.pieceCount(t, v, maxLen)
       case None => Packing.wordCount
@@ -98,16 +102,23 @@ object TrainingDataJob {
     df.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("double").as("score"))
 
-  /** The canonical set of a clustering under `config`'s election mode
-    * — shared by [[run]] and [[tick]] so batch and incremental can
-    * never diverge on who survives a cluster.
+  /** The canonical id set of a (doc_id, cluster_id) labeling — THE
+    * single election code path, shared by [[run]] and every election
+    * [[tick]] performs (new and prior state alike), so batch and
+    * incremental can never diverge on who survives a cluster.
+    * `scores = None` is min-id election (works on any labeling —
+    * connectedComponents' is_canonical flag IS id == cluster_id);
+    * `Some(scores)` elects the best-scoring member.
     */
   private def canonicalIds(
-      clustered: DataFrame, quality: DataFrame, config: Config): DataFrame =
-    if (config.canonicalByQuality)
-      DedupCluster.electCanonical(clustered, docScore(quality))
-        .filter(col("is_canonical")).select("doc_id")
-    else clustered.filter(col("is_canonical")).select("doc_id")
+      labels: DataFrame, scores: Option[DataFrame]): DataFrame =
+    scores match {
+      case Some(s) =>
+        DedupCluster.electCanonical(labels, s)
+          .filter(col("is_canonical")).select("doc_id")
+      case None =>
+        labels.filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    }
 
   /** Stage 0: PII redaction — BEFORE any stage reads the text, so
     * nothing downstream (fingerprints, shingles, features, shard
@@ -177,7 +188,8 @@ object TrainingDataJob {
     val clustered = DedupCluster.minHashClusters(
       quality, "doc_id", "text", k = 3, threshold = config.jaccardThreshold)
     val kept = quality.join(
-      canonicalIds(clustered, quality, config),
+      canonicalIds(clustered,
+        if (config.canonicalByQuality) Some(docScore(quality)) else None),
       Seq("doc_id"), "left_semi")
 
     // 3. benchmark decontamination (broadcast eval shingles)
@@ -283,15 +295,10 @@ object TrainingDataJob {
     val (canonical, priorCanonical) =
       if (config.canonicalByQuality) {
         val oldScores = docScore(oldQuality).localCheckpoint(true)
-        (DedupCluster.electCanonical(merged,
-            oldScores.unionByName(docScore(qDelta)))
-          .filter(col("is_canonical")).select("doc_id"),
-         DedupCluster.electCanonical(priorClusters, oldScores)
-          .filter(col("is_canonical")).select("doc_id"))
-      } else (
-        merged.filter(col("is_canonical")).select("doc_id"),
-        priorClusters
-          .filter(col("doc_id") === col("cluster_id")).select("doc_id"))
+        (canonicalIds(merged, Some(oldScores.unionByName(docScore(qDelta)))),
+         canonicalIds(priorClusters, Some(oldScores)))
+      } else
+        (canonicalIds(merged, None), canonicalIds(priorClusters, None))
     val keptDelta = qDelta.join(canonical, Seq("doc_id"), "left_semi")
     val retracted = priorCanonical.join(canonical, Seq("doc_id"), "left_anti")
 

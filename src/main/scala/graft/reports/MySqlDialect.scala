@@ -36,10 +36,21 @@ object MySqlDialect {
     out = rewriteInStringLiterals(out)
     if (paramNames.nonEmpty) out = outsideStringLiterals(out) { chunk =>
       paramNames.foldLeft(chunk) { (acc, name) =>
-        acc.replaceAll(
-          "(?<![.:\\w])(?<!(?i:as)\\s)" +
-            java.util.regex.Pattern.quote(name) + "(?![\\w])",
-          ":" + name)
+        // alias positions are protected by POSITIVELY matching the
+        // optional `AS  <name>` prefix (any amount of whitespace —
+        // a fixed-width lookbehind can't express \s+) and keeping
+        // such matches verbatim; only bare occurrences become markers
+        val m = java.util.regex.Pattern.compile(
+          "(\\b(?i:AS)\\s+)?(?<![.:\\w])" +
+            java.util.regex.Pattern.quote(name) + "(?![\\w])").matcher(acc)
+        val sb = new StringBuffer
+        while (m.find()) {
+          val repl = if (m.group(1) != null) m.group(0) else ":" + name
+          m.appendReplacement(sb,
+            java.util.regex.Matcher.quoteReplacement(repl))
+        }
+        m.appendTail(sb)
+        sb.toString
       }
     }
     out

@@ -56,13 +56,17 @@ object AnalysisStore {
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
     if (!fs.exists(target) && fs.exists(backup)) {
-      // a false return (HDFS reports failures as false, not exceptions)
-      // MUST abort: swallowing it would let a retrying incremental
-      // writer see "missing table" and writeFull(delta) over the data
-      // still sitting in the backup — the exact loss recover prevents
-      require(fs.rename(backup, target),
-        s"failed to restore crash backup ${backup} -> ${target}")
-      true
+      if (fs.rename(backup, target)) true
+      // benign race: a concurrent recover/swap installed the target
+      // between our exists() and rename() — recovered by the other
+      else if (fs.exists(target)) false
+      // a false return with the target STILL missing (HDFS reports
+      // failures as false, not exceptions) MUST abort: swallowing it
+      // would let a retrying incremental writer see "missing table"
+      // and writeFull(delta) over the data still sitting in the
+      // backup — the exact loss recover prevents
+      else throw new IllegalStateException(
+        s"failed to restore crash backup $backup -> $target")
     } else false
   }
 

@@ -155,19 +155,30 @@ object TrainingStreaming {
     * doc_id frame rather than a PATH_NOT_FOUND error, so monitors can
     * poll from startup.
     */
+  /** Where to read a state table RIGHT NOW: the target if present,
+    * else its `__old` backup. A missing target with a live backup is
+    * EITHER a mid-swap crash or a concurrent writer inside its swap
+    * window — a reader cannot tell which, so it must NOT mutate
+    * (renaming the backup back under a live writer would orphan the
+    * writer's staging rename). Reading the backup is always safe:
+    * it is the complete pre-swap table either way. Actual recovery
+    * (the rename) stays with the WRITER path — the next tick.
+    */
+  private def readablePath(spark: SparkSession, p: String): Option[String] =
+    if (exists(spark, p)) Some(p)
+    else if (exists(spark, p + "__old")) Some(p + "__old")
+    else None
+
   def readCurated(spark: SparkSession, storeRoot: String): DataFrame = {
-    // a monitor may read between a mid-swap crash and the next tick's
-    // recovery — restore backups here too, or additions reads as an
-    // empty corpus and a missing retractions dir serves demoted docs
-    Seq(addsPath(storeRoot), retractsPath(storeRoot))
-      .foreach(AnalysisStore.recover(spark, _))
-    if (!exists(spark, addsPath(storeRoot)))
+    val addsAt = readablePath(spark, addsPath(storeRoot))
+    if (addsAt.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(Seq(StructField("doc_id", LongType))))
-    val adds = spark.read.parquet(addsPath(storeRoot))
-    if (exists(spark, retractsPath(storeRoot)))
-      adds.join(spark.read.parquet(retractsPath(storeRoot)),
-        Seq("doc_id"), "left_anti")
-    else adds
+    val adds = spark.read.parquet(addsAt.get)
+    readablePath(spark, retractsPath(storeRoot)) match {
+      case Some(rp) =>
+        adds.join(spark.read.parquet(rp), Seq("doc_id"), "left_anti")
+      case None => adds
+    }
   }
 }

@@ -34,6 +34,12 @@ class ReportsSpec extends SparkSpec {
     // already-marked params and qualified columns are left alone
     assert(MySqlDialect.translate("WHERE x = :p AND t.p = 1", Seq("p")) ==
       "WHERE x = :p AND t.p = 1")
+    // alias guard survives reformatted SQL (multiple spaces after AS)
+    assert(MySqlDialect.translate("SELECT x AS  total FROM t", Seq("total")) ==
+      "SELECT x AS  total FROM t")
+    // …but a word merely ENDING in 'as' must not suppress the rewrite
+    assert(MySqlDialect.translate("WHERE atlas = total", Seq("total")) ==
+      "WHERE atlas = :total")
   }
 
   test("registry rejects unknown report ids and missing params") {
