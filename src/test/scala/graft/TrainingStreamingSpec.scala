@@ -68,6 +68,33 @@ class TrainingStreamingSpec extends SparkSpec {
       "state from before the crash must survive into the next tick")
   }
 
+  test("readCurated during a swap window serves the backup WITHOUT mutating state") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(60)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0)
+    val root = Files.createTempDirectory("midread").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, docs, root, cfg)
+    val before = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    // a writer is inside its swap window on additions: target renamed
+    // away, staging not yet in. A reader must see the full pre-swap
+    // state AND must not rename anything back — restoring under a
+    // live writer would orphan the writer's staging rename
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = new org.apache.hadoop.fs.Path(s"$root/additions")
+    val bak = new org.apache.hadoop.fs.Path(s"$root/additions__old")
+    assert(fs.rename(adds, bak))
+    val during = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(during == before, "reader must serve the pre-swap table")
+    assert(fs.exists(bak) && !fs.exists(adds),
+      "reader must NOT move state out from under a live writer")
+    assert(fs.rename(bak, adds)) // writer completes; state intact
+    assert(TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet == before)
+  }
+
   test("readCurated on an untouched store is an empty frame, not an error") {
     val root = Files.createTempDirectory("fresh").resolve("store").toString
     val out = TrainingStreaming.readCurated(spark, root)
