@@ -137,6 +137,42 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq(("hugs hugs hugs", 3), ("hugs", 1)))
   }
 
+  test("greedy longest-match agrees with canonical merge-replay on the training corpus") {
+    // the engine encodes by greedy longest-match against the final
+    // vocab (deterministic, single-pass, oracle-replayable); canonical
+    // BPE replays merges in rank order. The two CAN diverge on
+    // adversarial vocabularies — this pins that on the actual corpus
+    // they agree everywhere, so the documented divergence is
+    // theoretical, not operative.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val model = Bpe.train(docs, "text", numMerges = 120)
+    def replay(word: String): Seq[String] = {
+      var syms = word.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toSeq
+      for (m <- model.merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == m.left && syms(j + 1) == m.right) {
+            out += m.token; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms
+    }
+    val words = docs
+      .select(explode(Bpe.preTokens(col("text"))).as("w"))
+      .distinct().as[String].collect()
+    assert(words.nonEmpty)
+    val engine = Seq(words.mkString(" ")).toDF("text")
+      .select(Bpe.pieces(col("text"), model.vocab, model.maxPieceLen))
+      .as[Seq[String]].head()
+    val replayed = words.toSeq.flatMap(replay)
+    assert(engine == replayed,
+      s"greedy vs merge-replay diverged: ${engine.take(20)} vs ${replayed.take(20)}")
+  }
+
   test("fertility rises on a drifted corpus — the frozen-vocab retrain signal") {
     val docs = Tables.load(spark, sfDir, "documents")
     val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)

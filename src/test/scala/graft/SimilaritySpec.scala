@@ -279,6 +279,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!fresh.getAs[Boolean]("stale"),
       s"stationary delta must pass (recall=${fresh.getAs[Double]("recall")})")
     assert(fresh.getAs[Double]("recall") > stale.getAs[Double]("recall"))
+
+    // the loop the gate exists to close: stale=true ⇒ RETRAIN on the
+    // current corpus, re-assign, and the same gate passes again —
+    // with extra centroids the drifted ring gets cells of its own
+    val delta = (500L until 600L).map(drifted).toDF("vec_id", "embedding")
+    val all = corpus.unionByName(delta)
+    val retrained = Similarity.trainCentroids(all, "vec_id", "embedding",
+      nCentroids = 12, iters = 10)
+    val index2 = Similarity.ivfAssign(all, "vec_id", "embedding", retrained)
+      .localCheckpoint(true)
+    val after = Similarity.indexDriftGate(all, delta, "vec_id", "embedding",
+        k = 5, minRecall = 0.6, sampleN = 24) { q =>
+      Similarity.ivfTopKFromIndex(index2, retrained, q,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    }.head()
+    assert(!after.getAs[Boolean]("stale"),
+      s"retraining must restore recall (got ${after.getAs[Double]("recall")})")
   }
 
   test("labelCentroids: hand-computed per-label per-dim means") {
