@@ -650,7 +650,9 @@ object Similarity {
       .select(col("qid"), col("nid")).localCheckpoint(true)
     val approx = approxTopK(probes)
       .select(col("qid"), col("nid"), lit(1).as("hit")).localCheckpoint(true)
-    exact.join(approx, Seq("qid", "nid"), "left")
+    // both sides are |probes|×k rows — broadcast beats the sort-merge
+    // the tiny checkpointed stats would otherwise plan
+    exact.join(broadcast(approx), Seq("qid", "nid"), "left")
       .agg(countDistinct(col("qid")).as("n_queries"),
         (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
           .as("recall"))
