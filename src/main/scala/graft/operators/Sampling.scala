@@ -136,6 +136,79 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Token-BUDGET mixture sampling — the data-mixing step of corpus
+    * assembly: each source contributes documents, in seeded-shuffle
+    * order, until its token quota is met (sources without a quota are
+    * excluded). This is how target mixture proportions ("X% web, Y%
+    * code, Z% papers, N tokens total") become an actual document set —
+    * [[stratified]] controls document FRACTIONS, this controls token
+    * VOLUME, which is what training budgets are denominated in.
+    *
+    * Deterministic end-to-end: the per-source order is the seeded md5
+    * shuffle key, so the same seed reproduces the same mixture
+    * anywhere and a quota increase only APPENDS documents (prefix
+    * property — shipped epochs stay valid, like the packing bookmark).
+    * The doc that would cross its source's quota is dropped
+    * (cumulative ≤ quota), as are all later docs of that source.
+    *
+    * Plan shape at scale: the running per-source token sum is the
+    * same two-phase distributed prefix sum as [[Packing
+    * .packSequences]] — per-(source, key-prefix-bucket) totals (one
+    * small agg), driver prefix over the model-sized (source × 256)
+    * grid, then per-bucket windows — NEVER a single partition per
+    * source (a plain per-source window serializes each hot source
+    * through one partition; exactly the skew a web-scale "80% web"
+    * source would hit).
+    */
+  def tokenBudgetMix(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      quotas: Map[String, Long], seed: String,
+      tokenCount: Column => Column = Packing.wordCount): DataFrame = {
+    require(quotas.nonEmpty, "at least one source quota")
+    require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val quotaMap = map(quotas.flatMap { case (s, q) =>
+      Seq(lit(s), lit(q)) }.toIndexedSeq: _*)
+    val counted = df
+      .withColumn("__q", element_at(quotaMap, col(sourceCol)))
+      .filter(col("__q").isNotNull)
+      .withColumn("__n", tokenCount(col(textCol)).cast("long"))
+      .withColumn("__key", shuffleKey(col(idCol), seed))
+      .withColumn("__bkt",
+        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    // per-(source, bucket) token totals → driver prefix sum. Model-
+    // sized by construction: |sources with quotas| × 256 scalars.
+    val totals = counted
+      .groupBy(col(sourceCol).as("__src"), col("__bkt"))
+      .agg(sum(col("__n")).as("__t"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val spark = df.sparkSession
+    val prefixRows = totals.keys.map(_._1).toSeq.distinct.sorted.flatMap { src =>
+      var acc = 0L
+      (0 until 256).map { b =>
+        val p = acc
+        acc += totals.getOrElse((src, b), 0L)
+        org.apache.spark.sql.Row(src, b, p)
+      }
+    }
+    val prefixes = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__src",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("__pbkt",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__prefix",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("__bkt")).orderBy(col("__key"))
+    counted
+      .join(broadcast(prefixes),
+        col(sourceCol) === col("__src") && col("__bkt") === col("__pbkt"))
+      .withColumn("__cum", col("__prefix") + sum(col("__n")).over(w))
+      .filter(col("__cum") <= col("__q"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic train/validation/test split: each row draws a split
     * label as a pure function of its id — reproducible anywhere, and
     * STABLE under corpus growth (a new doc never moves an old doc

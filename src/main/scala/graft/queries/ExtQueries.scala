@@ -415,6 +415,29 @@ object ExtQueries {
         stride = 64, frameLen = 16).toDF()
     },
 
+    "corpus_token_mix" -> QueryDef(
+      doc = "token-budget mixture sampling (the data-mixing step): each source contributes docs in seeded-shuffle order until its TOKEN quota is met; unlisted sources excluded. Engine uses the two-phase per-(source,bucket) prefix sum — never one partition per source; the oracle's single per-source window is the plan that does NOT survive a hot source",
+      oracle = """
+        WITH t AS (SELECT doc_id, source,
+                          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n,
+                          md5('mix1:' || CAST(doc_id AS VARCHAR)) AS key
+                   FROM documents),
+        q AS (SELECT * FROM (VALUES ('src0', 800), ('src1', 400), ('src2', 100000))
+                AS q(source, quota)),
+        c AS (SELECT t.doc_id, t.source, t.n, q.quota,
+                     sum(t.n) OVER (PARTITION BY t.source ORDER BY t.key
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t JOIN q USING (source))
+        SELECT doc_id, source, CAST(n AS INTEGER) AS n_tokens
+        FROM c WHERE cum <= quota""") { (s, dir) =>
+      Sampling.tokenBudgetMix(Tables.load(s, dir, "documents"),
+          idCol = "doc_id", sourceCol = "source", textCol = "text",
+          quotas = Map("src0" -> 800L, "src1" -> 400L, "src2" -> 100000L),
+          seed = "mix1")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("int").as("n_tokens"))
+    },
+
     "multimodal_frame_dedup" -> QueryDef(
       doc = "cross-document shared frames (segment-level video dedup): fingerprints in >1 doc with occurrence counts and doc bounds — one fingerprint-keyed agg; frame bytes never shuffle",
       oracle = """

@@ -157,6 +157,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // id lookup is a map literal, not a join
   }
 
+  test("corpus_token_mix: per-source prefix sum is bucketed — never one partition per source") {
+    val p = plan("corpus_token_mix")
+    assert(!p.contains("SinglePartition"), p)
+    // the running sum windows over (source, key-bucket), prefix rides
+    // in as a broadcast — one hash exchange total
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("pack_sequences_bpe: piece counting stays inside the two-phase prefix-sum shape") {
     val p = plan("pack_sequences_bpe")
     // same contract as pack_sequences: per-bucket windows, never the

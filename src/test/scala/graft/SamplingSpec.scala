@@ -165,4 +165,55 @@ class SamplingSpec extends SparkSpec {
       Sampling.split(docs, "doc_id", Seq("a" -> 0.9, "b" -> 0.2))
     }
   }
+
+  test("tokenBudgetMix: quotas bound tokens greedily in key order; quota growth only appends") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    def nTokens(rows: org.apache.spark.sql.DataFrame) = rows
+      .select(col("source"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("t"))
+      .as[(String, Long)].collect().toMap
+    val quotas = Map("src0" -> 300L, "src1" -> 120L, "src2" -> 100000L)
+    val mix = Sampling.tokenBudgetMix(docs, "doc_id", "source", "text",
+      quotas, seed = "mixA")
+    val kept = nTokens(mix)
+    // only quota'd sources appear, each within its budget
+    assert(kept.keySet.subsetOf(quotas.keySet))
+    kept.foreach { case (s, t) => assert(t <= quotas(s), s"$s: $t") }
+    // src2's quota exceeds the whole source → everything ships
+    assert(kept("src2") == nTokens(docs.filter(col("source") === "src2"))("src2"))
+    // greedy tightness: the NEXT doc in key order would cross the quota
+    val keptIds = mix.select("doc_id").as[Long].collect().toSet
+    val next = docs.filter(col("source") === "src0")
+      .filter(!col("doc_id").isin(keptIds.toSeq: _*))
+      .select(col("doc_id"),
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long").as("n"),
+        Sampling.shuffleKey(col("doc_id"), "mixA").as("k"))
+      .orderBy("k").limit(1).as[(Long, Long, String)].collect()
+    assert(next.nonEmpty &&
+      kept("src0") + next.head._2 > quotas("src0"),
+      "dropping the boundary doc must be necessary, not arbitrary")
+    // determinism + the prefix property: a bigger quota only APPENDS
+    assert(Sampling.tokenBudgetMix(docs, "doc_id", "source", "text",
+      quotas, seed = "mixA").select("doc_id").as[Long].collect().toSet == keptIds)
+    val grown = Sampling.tokenBudgetMix(docs, "doc_id", "source", "text",
+      quotas + ("src0" -> 600L), seed = "mixA")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds.subsetOf(grown) && grown.size > keptIds.size,
+      "raising a quota must keep every previously shipped doc")
+    // two-phase prefix sum ≡ the single-window reference
+    val ref = docs
+      .withColumn("__q", element_at(
+        map(quotas.flatMap { case (s, q) => Seq(lit(s), lit(q)) }.toIndexedSeq: _*),
+        col("source")))
+      .filter(col("__q").isNotNull)
+      .withColumn("__n",
+        size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long"))
+      .withColumn("__cum", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(Sampling.shuffleKey(col("doc_id"), "mixA"))))
+      .filter(col("__cum") <= col("__q"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIds == ref)
+  }
 }
