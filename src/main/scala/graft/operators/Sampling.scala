@@ -209,6 +209,48 @@ object Sampling {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic OVERSAMPLING — mixture multipliers above (or
+    * below) 1: each stratum's documents repeat `multiplier` times in
+    * the assembled corpus, the standard way a small high-quality
+    * source (reference text, curated code) is up-weighted across
+    * training epochs without physically copying bytes upstream.
+    * Fractional parts draw per-document: multiplier 2.5 ⇒ every doc
+    * appears twice and a deterministic half (salted-hash decision,
+    * independent of [[stratified]]'s buckets) appears a third time;
+    * multiplier 0.4 degrades to plain downsampling. Emits an `epoch`
+    * column (0-based copy index) so loaders can interleave copies
+    * instead of replaying a source back-to-back.
+    *
+    * Narrow end-to-end: a case-cascade multiplier, one small
+    * sequence-explode, no shuffle — linear scale-out, and the copy
+    * decision is a pure function of the id (growth-stable,
+    * reproducible anywhere, including the DuckDB oracle).
+    */
+  def oversample(
+      df: DataFrame, idCol: String, strataCol: String,
+      multipliers: Map[String, Double],
+      defaultMultiplier: Double = 1.0): DataFrame = {
+    require((defaultMultiplier +: multipliers.values.toSeq).forall(_ >= 0),
+      "multipliers must be >= 0")
+    val m = multipliers.foldLeft(lit(defaultMultiplier)) {
+      case (acc, (stratum, mult)) =>
+        when(col(strataCol) === lit(stratum), lit(mult)).otherwise(acc)
+    }
+    // salted fractional draw — independent of hashBucket's sampling
+    // decisions so oversampling can't correlate with stratified keeps
+    val fracDraw = pmod(
+      conv(substring(md5(concat(lit("os:"), col(idCol).cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(Basis))
+    val copies = (floor(m).cast("long") +
+      when(fracDraw < round((m - floor(m)) * Basis).cast("long"), 1L)
+        .otherwise(0L)).as("__copies")
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), (col("__copies") - 1).cast("int"))))
+      .drop("__copies")
+  }
+
   /** Deterministic train/validation/test split: each row draws a split
     * label as a pure function of its id — reproducible anywhere, and
     * STABLE under corpus growth (a new doc never moves an old doc

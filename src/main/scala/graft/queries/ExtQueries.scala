@@ -415,6 +415,28 @@ object ExtQueries {
         stride = 64, frameLen = 16).toDF()
     },
 
+    "corpus_oversample" -> QueryDef(
+      doc = "deterministic oversampling (mixture multipliers): src0 ×2.5 (two copies + a salted-hash half), src1 ×0.4 (downsample), rest ×1 — epoch column for loader interleaving; narrow explode, zero shuffles",
+      oracle = """
+        WITH m AS (SELECT doc_id, source,
+                          CASE WHEN source = 'src0' THEN 2.5
+                               WHEN source = 'src1' THEN 0.4
+                               ELSE 1.0 END AS mult,
+                          ('0x' || substr(md5('os:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS draw
+                   FROM documents),
+        c AS (SELECT doc_id, source,
+                     CAST(floor(mult) AS BIGINT) +
+                       (CASE WHEN draw < CAST(round((mult - floor(mult)) * 10000) AS BIGINT)
+                             THEN 1 ELSE 0 END) AS copies
+              FROM m)
+        SELECT doc_id, source, CAST(unnest(generate_series(0, CAST(copies AS INTEGER) - 1)) AS INTEGER) AS epoch
+        FROM c WHERE copies > 0""") { (s, dir) =>
+      Sampling.oversample(Tables.load(s, dir, "documents"),
+          idCol = "doc_id", strataCol = "source",
+          multipliers = Map("src0" -> 2.5, "src1" -> 0.4))
+        .select("doc_id", "source", "epoch")
+    },
+
     "corpus_token_mix" -> QueryDef(
       doc = "token-budget mixture sampling (the data-mixing step): each source contributes docs in seeded-shuffle order until its TOKEN quota is met; unlisted sources excluded. Engine uses the two-phase per-(source,bucket) prefix sum — never one partition per source; the oracle's single per-source window is the plan that does NOT survive a hot source",
       oracle = """

@@ -166,6 +166,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("oversample: integer copies + deterministic fractional draw, contiguous epochs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Sampling.oversample(docs, "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 0.4))
+    val bySrc = out.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("copies"), max("epoch").as("maxe"),
+        min("epoch").as("mine"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getInt(3), r.getInt(4)))
+    // epochs are contiguous 0..copies-1 per doc
+    bySrc.foreach { case (_, id, copies, maxe, mine) =>
+      assert(mine == 0 && maxe == copies - 1, s"doc $id epochs broken") }
+    // ×2.5: every doc at least twice, roughly half three times
+    val src0 = bySrc.filter(_._1 == "src0").map(_._3)
+    assert(src0.forall(c => c == 2 || c == 3))
+    assert(src0.count(_ == 3) > 0 && src0.count(_ == 2) > 0)
+    // ×0.4: a strict deterministic subset, single copy each
+    val src1 = bySrc.filter(_._1 == "src1")
+    assert(src1.forall(_._3 == 1))
+    assert(src1.length > 0 && src1.length < 25)
+    // default ×1: exactly one copy, epoch 0
+    assert(bySrc.filter(_._1 == "src5").forall(t => t._3 == 1 && t._4 == 0))
+    // pure function of the id: rerun is identical
+    assert(Sampling.oversample(docs, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 0.4))
+      .select("doc_id", "epoch").as[(Long, Int)].collect().sorted.toSeq ==
+      out.select("doc_id", "epoch").as[(Long, Int)].collect().sorted.toSeq)
+  }
+
   test("tokenBudgetMix: quotas bound tokens greedily in key order; quota growth only appends") {
     val docs = Tables.load(spark, sfDir, "documents")
     def nTokens(rows: org.apache.spark.sql.DataFrame) = rows
