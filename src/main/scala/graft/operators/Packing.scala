@@ -90,6 +90,90 @@ object Packing {
         (col("start") % budget).as("pack_offset"))
   }
 
+  /** Length-bucketed BATCH assignment — the padding-efficiency twin
+    * of [[packSequences]]: instead of concatenating docs into fixed
+    * windows, group docs of SIMILAR length into fixed-size batches
+    * (dynamic-batching prep for sequence models that pad to the batch
+    * max — batching a 10-token doc with a 500-token doc wastes ~98%
+    * of the batch as padding). Docs are banded by explicit integer
+    * token-count thresholds (exact in any engine — a log2 band would
+    * ride on float rounding at the power-of-two boundaries), then
+    * batched `batchSize` at a time in seeded-shuffle order within
+    * each band.
+    *
+    * Plan shape: the within-band rank is the same two-phase
+    * distributed prefix pattern as [[packSequences]] — per-(band,
+    * key-bucket) counts, driver prefix over the model-sized grid,
+    * per-bucket row_number — never one partition per band (hot bands
+    * hold most of a real corpus).
+    *
+    * @return (idCol, n_tokens int, len_bucket int, batch_id long)
+    *         where batch_id is globally unique ACROSS bands
+    *         (band-major) and every batch except possibly each band's
+    *         last holds exactly `batchSize` docs
+    */
+  def lengthBucketBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, seed: String,
+      bands: Seq[Int] = Seq(16, 32, 64, 128),
+      tokenCount: Column => Column = wordCount): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(bands == bands.sorted && bands.distinct == bands,
+      "bands must be strictly increasing thresholds")
+    val n = tokenCount(col(textCol)).cast("int")
+    // band = number of thresholds <= n (integer compares, engine-exact)
+    val band = bands.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(n >= t, 1).otherwise(0)
+    }.cast("int")
+    val counted = df.select(col(idCol), n.as("n_tokens"), band.as("len_bucket"),
+        Sampling.shuffleKey(col(idCol), seed).as("__key"))
+      .withColumn("__kb",
+        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+    // per-(band, key-bucket) doc counts → driver prefix (model-sized:
+    // (|bands|+1) × 256 scalars)
+    val totals = counted.groupBy("len_bucket", "__kb")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val spark = df.sparkSession
+    val prefixRows = (0 to bands.length).flatMap { b =>
+      var acc = 0L
+      (0 until 256).map { kb =>
+        val p = acc
+        acc += totals.getOrElse((b, kb), 0L)
+        Row(b, kb, p)
+      }
+    }
+    val prefixes = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefixRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pband",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__pkb",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("__prefix",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val w = Window.partitionBy("len_bucket", "__kb").orderBy("__key")
+    counted
+      .join(broadcast(prefixes),
+        col("len_bucket") === col("__pband") && col("__kb") === col("__pkb"))
+      .withColumn("__rank", col("__prefix") + row_number().over(w) - 1)
+      // band-major global batch ids: band b's batches start after every
+      // lower band's (bandDocs/batchSize rounded up) batches
+      .withColumn("__bandStart", {
+        val bandTotals = (0 to bands.length).map { b =>
+          (0 until 256).map(kb => totals.getOrElse((b, kb), 0L)).sum
+        }
+        val starts = bandTotals.scanLeft(0L) { (acc, t) =>
+          acc + (t + batchSize - 1) / batchSize
+        }
+        (0 to bands.length).foldLeft(lit(0L)) { (acc, b) =>
+          when(col("len_bucket") === b, lit(starts(b))).otherwise(acc)
+        }
+      })
+      .select(col(idCol), col("n_tokens"), col("len_bucket"),
+        (col("__bandStart") + expr(s"__rank DIV $batchSize")).as("batch_id"))
+  }
+
   /** Total token count of a packed frame — the scalar BOOKMARK an
     * incremental packing run persists between ticks (alongside the
     * [[graft.operators.Incremental.BookmarkStore]] timestamp).

@@ -415,6 +415,36 @@ object ExtQueries {
         stride = 64, frameLen = 16).toDF()
     },
 
+    "pack_length_batches" -> QueryDef(
+      doc = "length-bucketed batch assignment (dynamic-batching prep): docs band by integer token thresholds (16/32/64/128), batches of 8 in seeded order within band — padding waste bounded by the band width; engine ranks via the two-phase prefix pattern, never one partition per band",
+      oracle = """
+        WITH t AS (SELECT doc_id,
+                          CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n,
+                          md5('batch1:' || CAST(doc_id AS VARCHAR)) AS key
+                   FROM documents),
+        b AS (SELECT doc_id, n, key,
+                     (CASE WHEN n >= 16 THEN 1 ELSE 0 END +
+                      CASE WHEN n >= 32 THEN 1 ELSE 0 END +
+                      CASE WHEN n >= 64 THEN 1 ELSE 0 END +
+                      CASE WHEN n >= 128 THEN 1 ELSE 0 END) AS band
+              FROM t),
+        r AS (SELECT doc_id, n, band,
+                     row_number() OVER (PARTITION BY band ORDER BY key) - 1 AS rk
+              FROM b),
+        bc AS (SELECT band, count(*) AS cnt FROM b GROUP BY 1),
+        starts AS (SELECT band,
+                          coalesce(sum((cnt + 7) // 8) OVER (ORDER BY band
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+                   FROM bc)
+        SELECT r.doc_id, CAST(r.n AS INTEGER) AS n_tokens,
+               CAST(r.band AS INTEGER) AS len_bucket,
+               CAST(s.st + r.rk // 8 AS BIGINT) AS batch_id
+        FROM r JOIN starts s USING (band)""") { (s, dir) =>
+      graft.operators.Packing.lengthBucketBatches(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        batchSize = 8, seed = "batch1")
+    },
+
     "corpus_oversample" -> QueryDef(
       doc = "deterministic oversampling (mixture multipliers): src0 ×2.5 (two copies + a salted-hash half), src1 ×0.4 (downsample), rest ×1 — epoch column for loader interleaving; narrow explode, zero shuffles",
       oracle = """

@@ -74,4 +74,36 @@ class PackingSpec extends SparkSpec {
         .orderBy("doc_id"),
       full.filter(col("doc_id") < 300).orderBy("doc_id"))
   }
+
+  test("lengthBucketBatches: homogeneous full batches, band-exact thresholds, global ids") {
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val out = Packing.lengthBucketBatches(docs, "doc_id", "text",
+      batchSize = 8, seed = "b1").collect()
+    assert(out.length == docs.count())
+    // every doc's band matches its token count against the thresholds
+    out.foreach { r =>
+      val (n, band) = (r.getInt(1), r.getInt(2))
+      val expect = Seq(16, 32, 64, 128).count(n >= _)
+      assert(band == expect, s"n=$n band=$band")
+    }
+    // batches are band-homogeneous; each band's batches are full except
+    // possibly its last; batch ids never collide across bands
+    val byBatch = out.groupBy(_.getLong(3))
+    byBatch.foreach { case (bid, rows) =>
+      assert(rows.map(_.getInt(2)).distinct.length == 1,
+        s"batch $bid mixes length bands")
+    }
+    val byBand = out.groupBy(_.getInt(2))
+    byBand.foreach { case (band, rows) =>
+      val sizes = rows.groupBy(_.getLong(3)).map(_._2.length).toSeq
+      assert(sizes.forall(_ <= 8), s"band $band overfills a batch")
+      assert(sizes.count(_ != 8) <= 1,
+        s"band $band has more than one partial batch: $sizes")
+    }
+    // deterministic rerun
+    val again = Packing.lengthBucketBatches(docs, "doc_id", "text",
+      batchSize = 8, seed = "b1").collect()
+    assert(out.map(_.toSeq).sortBy(_.head.toString).toSeq ==
+      again.map(_.toSeq).sortBy(_.head.toString).toSeq)
+  }
 }
