@@ -150,6 +150,10 @@ object Sampling {
     * property — shipped epochs stay valid, like the packing bookmark).
     * The doc that would cross its source's quota is dropped
     * (cumulative ≤ quota), as are all later docs of that source.
+    * Corpus GROWTH, by contrast, can displace tail documents (a new
+    * doc may sort before a kept one): mixture assembly is an
+    * EPOCH-boundary operation recomputed per epoch, not a tick
+    * operation — unlike packing, which is append-only by id order.
     *
     * Plan shape at scale: the running per-source token sum is the
     * same two-phase distributed prefix sum as [[Packing
