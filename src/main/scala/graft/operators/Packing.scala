@@ -81,8 +81,12 @@ object Packing {
         org.apache.spark.sql.types.StructField("prefix",
           org.apache.spark.sql.types.LongType, nullable = false))))
 
-    // parallel per-bucket running sums + the bucket's global offset
+    // parallel per-bucket running sums + the bucket's global offset.
+    // ROWS frame pinned: ids are unique by contract, but the default
+    // RANGE frame would fold peers together if that contract broke —
+    // fail loudly in results (oracle mismatch), not silently
     val w = Window.partitionBy("bucket").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed.join(broadcast(prefixes), Seq("bucket"))
       .withColumn("start", col("prefix") + sum(col("n")).over(w) - col("n"))
       .select(col(idCol), col("n").cast("int").as("n_tokens"),
@@ -127,31 +131,16 @@ object Packing {
     }.cast("int")
     val counted = df.select(col(idCol), n.as("n_tokens"), band.as("len_bucket"),
         Sampling.shuffleKey(col(idCol), seed).as("__key"))
-      .withColumn("__kb",
-        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__kb", DistributedPrefix.keyBucket(col("__key")))
     // per-(band, key-bucket) doc counts → driver prefix (model-sized:
     // (|bands|+1) × 256 scalars)
     val totals = counted.groupBy("len_bucket", "__kb")
       .agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val spark = df.sparkSession
-    val prefixRows = (0 to bands.length).flatMap { b =>
-      var acc = 0L
-      (0 until 256).map { kb =>
-        val p = acc
-        acc += totals.getOrElse((b, kb), 0L)
-        Row(b, kb, p)
-      }
-    }
-    val prefixes = spark.createDataFrame(
-      spark.sparkContext.parallelize(prefixRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pband",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__pkb",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__prefix",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    import spark.implicits._
+    val prefixes = DistributedPrefix.bucketPrefixes(totals)
+      .toDF("__pband", "__pkb", "__prefix")
     val w = Window.partitionBy("len_bucket", "__kb").orderBy("__key")
     counted
       .join(broadcast(prefixes),
@@ -161,7 +150,8 @@ object Packing {
       // lower band's (bandDocs/batchSize rounded up) batches
       .withColumn("__bandStart", {
         val bandTotals = (0 to bands.length).map { b =>
-          (0 until 256).map(kb => totals.getOrElse((b, kb), 0L)).sum
+          (0 until DistributedPrefix.Buckets)
+            .map(kb => totals.getOrElse((b, kb), 0L)).sum
         }
         val starts = bandTotals.scanLeft(0L) { (acc, t) =>
           acc + (t + batchSize - 1) / batchSize

@@ -164,10 +164,17 @@ object Sampling {
     * through one partition; exactly the skew a web-scale "80% web"
     * source would hit).
     */
+  /** @param withTokenCount append the computed `n_tokens` (int)
+    *        column — the count is already evaluated for the quota
+    *        arithmetic, and downstream consumers (manifests, the
+    *        driver oracle) would otherwise re-tokenize every shipped
+    *        document to recover it
+    */
   def tokenBudgetMix(
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       quotas: Map[String, Long], seed: String,
-      tokenCount: Column => Column = Packing.wordCount): DataFrame = {
+      tokenCount: Column => Column = Packing.wordCount,
+      withTokenCount: Boolean = false): DataFrame = {
     require(quotas.nonEmpty, "at least one source quota")
     require(quotas.values.forall(_ >= 0), "quotas must be >= 0")
     val quotaMap = map(quotas.flatMap { case (s, q) =>
@@ -177,8 +184,7 @@ object Sampling {
       .filter(col("__q").isNotNull)
       .withColumn("__n", tokenCount(col(textCol)).cast("long"))
       .withColumn("__key", shuffleKey(col(idCol), seed))
-      .withColumn("__bkt",
-        conv(substring(col("__key"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__bkt", DistributedPrefix.keyBucket(col("__key")))
     // per-(source, bucket) token totals → driver prefix sum. Model-
     // sized by construction: |sources with quotas| × 256 scalars.
     val totals = counted
@@ -186,31 +192,26 @@ object Sampling {
       .agg(sum(col("__n")).as("__t"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val spark = df.sparkSession
-    val prefixRows = totals.keys.map(_._1).toSeq.distinct.sorted.flatMap { src =>
-      var acc = 0L
-      (0 until 256).map { b =>
-        val p = acc
-        acc += totals.getOrElse((src, b), 0L)
-        org.apache.spark.sql.Row(src, b, p)
-      }
-    }
-    val prefixes = spark.createDataFrame(
-      spark.sparkContext.parallelize(prefixRows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__src",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("__pbkt",
-          org.apache.spark.sql.types.IntegerType, nullable = false),
-        org.apache.spark.sql.types.StructField("__prefix",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    import spark.implicits._
+    val prefixes = DistributedPrefix.bucketPrefixes(totals)
+      .toDF("__src", "__pbkt", "__prefix")
+    // ROWS frame pinned: the default RANGE frame includes key-tied
+    // PEERS in the running sum, diverging from the oracle's (and the
+    // greedy contract's) one-row-at-a-time accumulation if keys ever
+    // collide
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol), col("__bkt")).orderBy(col("__key"))
-    counted
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val kept = counted
       .join(broadcast(prefixes),
         col(sourceCol) === col("__src") && col("__bkt") === col("__pbkt"))
       .withColumn("__cum", col("__prefix") + sum(col("__n")).over(w))
       .filter(col("__cum") <= col("__q"))
-      .select(df.columns.map(col).toIndexedSeq: _*)
+    val base = df.columns.map(col).toIndexedSeq
+    if (withTokenCount)
+      kept.select(base :+ col("__n").cast("int").as("n_tokens"): _*)
+    else kept.select(base: _*)
   }
 
   /** Deterministic OVERSAMPLING — mixture multipliers above (or
@@ -240,11 +241,10 @@ object Sampling {
       case (acc, (stratum, mult)) =>
         when(col(strataCol) === lit(stratum), lit(mult)).otherwise(acc)
     }
-    // salted fractional draw — independent of hashBucket's sampling
-    // decisions so oversampling can't correlate with stratified keeps
-    val fracDraw = pmod(
-      conv(substring(md5(concat(lit("os:"), col(idCol).cast("string"))), 1, 8),
-        16, 10).cast("long"), lit(Basis))
+    // salted fractional draw — the same bucket formula as every other
+    // sampling decision ([[hashBucket]]), over a salted id so
+    // oversampling can't correlate with stratified keeps
+    val fracDraw = hashBucket(concat(lit("os:"), col(idCol).cast("string")))
     val copies = (floor(m).cast("long") +
       when(fracDraw < round((m - floor(m)) * Basis).cast("long"), 1L)
         .otherwise(0L)).as("__copies")

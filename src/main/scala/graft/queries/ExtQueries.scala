@@ -485,9 +485,8 @@ object ExtQueries {
       Sampling.tokenBudgetMix(Tables.load(s, dir, "documents"),
           idCol = "doc_id", sourceCol = "source", textCol = "text",
           quotas = Map("src0" -> 800L, "src1" -> 400L, "src2" -> 100000L),
-          seed = "mix1")
-        .select(col("doc_id"), col("source"),
-          size(TextAnalysis.tokens(col("text"))).cast("int").as("n_tokens"))
+          seed = "mix1", withTokenCount = true)
+        .select("doc_id", "source", "n_tokens")
     },
 
     "multimodal_frame_dedup" -> QueryDef(

@@ -166,6 +166,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("pack_length_batches: within-band rank is bucketed — never one partition per band") {
+    val p = plan("pack_length_batches")
+    assert(!p.contains("SinglePartition"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p) // (band, kb) window
+    assert(p.contains("BroadcastExchange"), p)            // prefix grid
+  }
+
   test("pack_sequences_bpe: piece counting stays inside the two-phase prefix-sum shape") {
     val p = plan("pack_sequences_bpe")
     // same contract as pack_sequences: per-bucket windows, never the
