@@ -142,11 +142,49 @@ object Multimodal {
   def sharedFrames(
       media: Dataset[MediaRecord],
       stride: Int = 64, frameLen: Int = 16): DataFrame =
+    frameIndex(media, stride, frameLen).filter(col("n_docs") > 1)
+
+  /** The full frame-fingerprint index (every fingerprint, shared or
+    * not) — the PERSISTED state the incremental path maintains: write
+    * it once ([[graft.sources.AnalysisStore]], ideally bucketed on
+    * frame_md5), fold each delta in with [[mergeFrameIndex]], read
+    * shared segments off it with a `n_docs > 1` filter.
+    */
+  def frameIndex(
+      media: Dataset[MediaRecord],
+      stride: Int = 64, frameLen: Int = 16): DataFrame =
     sampleFrameFeatures(media, stride, frameLen).toDF()
       .groupBy("frame_md5")
       .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
         count(lit(1)).cast("long").as("n_occ"),
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
-      .filter(col("n_docs") > 1)
+
+  /** Incremental twin: fold a DELTA of new documents into a prior
+    * [[frameIndex]] without re-scanning old payloads. Distinct-doc
+    * counts ADD exactly because delta doc ids are NEW (the same
+    * monotonic-id bookmark contract the span-dedup and packing deltas
+    * rely on) — an id present on both sides would double-count, so
+    * re-deliveries must be deduplicated upstream (the curation tick's
+    * by-key state merges already guarantee that). Shuffle volume is
+    * O(delta frames) + the fingerprint-keyed join against the index.
+    */
+  def mergeFrameIndex(
+      prior: DataFrame, delta: Dataset[MediaRecord],
+      stride: Int = 64, frameLen: Int = 16): DataFrame = {
+    val d = frameIndex(delta, stride, frameLen)
+    prior.select(col("frame_md5"), col("n_docs").as("__an"),
+        col("n_occ").as("__ao"), col("first_doc").as("__af"),
+        col("last_doc").as("__al"))
+      .join(d.select(col("frame_md5"), col("n_docs").as("__bn"),
+        col("n_occ").as("__bo"), col("first_doc").as("__bf"),
+        col("last_doc").as("__bl")), Seq("frame_md5"), "full_outer")
+      .select(col("frame_md5"),
+        (coalesce(col("__an"), lit(0L)) + coalesce(col("__bn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("__ao"), lit(0L)) + coalesce(col("__bo"), lit(0L)))
+          .as("n_occ"),
+        least(col("__af"), col("__bf")).as("first_doc"),
+        greatest(col("__al"), col("__bl")).as("last_doc"))
+  }
 }

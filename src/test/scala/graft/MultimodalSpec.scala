@@ -1,6 +1,9 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Multimodal
+import graft.sources.Tables
 
 /** Multimodal plumbing (ext tier): binary schema, partition-parallel
   * decode shape, stub determinism.
@@ -72,5 +75,21 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getAs[String]("frame_md5") == "187ef4436122d1cc2f40dc2b92f0eba0")
     assert(r.getAs[Long]("n_docs") == 2 && r.getAs[Long]("n_occ") == 3)
     assert(r.getAs[Long]("first_doc") == 1 && r.getAs[Long]("last_doc") == 2)
+  }
+
+  test("mergeFrameIndex: folding a delta equals rebuilding the index from scratch") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300) // new ids only — the bookmark contract
+    val merged = Multimodal.mergeFrameIndex(
+      Multimodal.frameIndex(Multimodal.asMedia(old)),
+      Multimodal.asMedia(delta))
+    val full = Multimodal.frameIndex(Multimodal.asMedia(docs))
+    assertSameRows(merged.orderBy("frame_md5"), full.orderBy("frame_md5"))
+    // and the shared view off the merged index equals the batch op
+    assertSameRows(
+      merged.filter(col("n_docs") > 1).orderBy("frame_md5"),
+      Multimodal.sharedFrames(Multimodal.asMedia(docs)).orderBy("frame_md5"))
   }
 }
