@@ -337,6 +337,61 @@ object Dedup {
         struct(col("doc_id"), col("pos")) === col("__dfirst")))
   }
 
+  /** Maximal duplicated-substring spans — the ExactSubstr flavor of
+    * training-data dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"), at token-window granularity: a
+    * token range is duplicated iff every k-token window inside it
+    * occurs more than once in the corpus (within- OR cross-document —
+    * both are verbatim repetition a trainer would memorize). Emits,
+    * per doc, the maximal merged ranges [span_start, span_end]
+    * (0-based token positions, inclusive) that a removal pass would
+    * cut; [[spanDedup]] is the companion that actually rewrites text,
+    * at coarser fixed-block granularity.
+    *
+    * Plan shape at scale: windows are a narrow slide-explode, hashed
+    * to 60-bit ints IMMEDIATELY so the duplicate-detection shuffle
+    * carries (doc, pos, int64) — not window text (k× the corpus in
+    * bytes). Repeated-hash detection is a groupBy(hash) aggregate +
+    * join back (map-side combine absorbs hot boilerplate windows
+    * before the exchange; a count window partitioned by hash would
+    * put every occurrence of a hot window in one partition — the same
+    * skew argument as [[spanDedup]]). Interval merge is a per-doc
+    * window over only the SURVIVING duplicated windows — doc-granular
+    * keys, uniform. A true suffix array finds character-exact ranges
+    * without the k× window blowup but needs corpus-order global
+    * indexing; hashed fixed-k windows are the standard distributed
+    * approximation (k bounds the finest detectable duplicate).
+    */
+  def duplicatedSubstringSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val wins = graft.operators.TextAnalysis
+      .chunk(df, idCol, textCol, chunkSize = k, stride = 1)
+      .filter(col("n_tokens") === k)
+      .select(col("doc_id"), col("chunk_id").as("pos"),
+        TextAnalysis.tokenHash60(col("chunk_text")).as("__hv"))
+    val repeated = wins.groupBy("__hv").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__hv")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // windows [pos, pos+k-1]: the next one extends the current range
+    // iff its start is within (or adjacent to) the range, i.e.
+    // pos <= prev_pos + k; island id = running count of range breaks
+    wins.join(repeated, Seq("__hv"))
+      .withColumn("__new",
+        coalesce((col("pos") > lag(col("pos"), 1).over(byDoc) + k)
+          .cast("int"), lit(1)))
+      .withColumn("__grp", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "__grp")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(k - 1)).cast("long").as("span_end"),
+        count(lit(1)).cast("long").as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("n_tokens"),
+        col("n_windows"))
+  }
+
   /** Benchmark decontamination: per corpus doc, the fraction of its
     * k-word shingles that appear anywhere in the eval/benchmark set —
     * the train/test-overlap check a training-data pipeline runs before

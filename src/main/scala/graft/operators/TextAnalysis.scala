@@ -255,6 +255,77 @@ object TextAnalysis {
           log(col("__nd").cast("double") / col("__df")), 4).as("tfidf"))
   }
 
+  /** Okapi BM25 weights per (doc, token) — the relevance scoring a
+    * retrieval-augmented pipeline runs over its corpus (and the
+    * lexical half of hybrid dense+sparse search next to the ANN
+    * tier): tf saturates at k1 and is normalized by doc length
+    * against the corpus average (b), idf is the standard
+    * ln(1 + (N − df + 0.5)/(df + 0.5)).
+    *
+    * Plan shape: identical to [[tfidf]] — one explode, one (doc,
+    * token) hash aggregation, document frequency as a count window
+    * over the same rows, and the two corpus scalars (doc count N and
+    * summed doc length, an exact integer sum so avgdl is
+    * deterministic) riding in as a one-row broadcast.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("token"))
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("__c"), first(col("__dl")).as("__dl"))
+    val withDf = tf.withColumn("__df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("token")))
+    val stats = df.agg(
+      countDistinct(col(idCol)).as("__nd"),
+      sum(size(tokens(col(textCol)))).as("__suml"))
+    // dl/avgdl expressed as (dl·N)/Σdl — one double divide, and the
+    // oracle can mirror the exact operation order
+    val lenNorm = col("__dl").cast("double") * col("__nd") / col("__suml")
+    val idf = log(lit(1.0) +
+      (col("__nd") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    withDf
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        round(idf * (col("__c") * lit(k1 + 1)) /
+          (col("__c") + lit(k1) * (lit(1 - b) + lit(b) * lenNorm)), 4)
+          .as("bm25"))
+  }
+
+  /** Pointwise mutual information over adjacent word pairs — the
+    * collocation / phrase-mining statistic (e.g. merging "new york"
+    * into one vocabulary unit before embedding training):
+    * pmi = ln( p(w1,w2) / (p(w1·)·p(·w2)) ) with probabilities over
+    * bigram instances, reported for pairs seen ≥ `minCount` times
+    * (sparse pairs have unstable PMI — the classic cutoff).
+    *
+    * Plan shape at scale: ONE corpus-wide shuffle (the (w1,w2) count
+    * aggregation, Zipf-head pairs absorbed by map-side combine),
+    * checkpointed because four plan branches read it; everything
+    * after operates on the distinct-bigram table (vocab²-bounded,
+    * model-sized next to the corpus). The margin joins are
+    * AQE-skew-splittable, unlike a count window partitioned by a
+    * Zipf-head context word.
+    */
+  def pmiPairs(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val counts = bigramRows(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint(true)
+    val c1 = counts.groupBy("w1").agg(sum(col("n_pair")).as("__c1"))
+    val c2 = counts.groupBy("w2").agg(sum(col("n_pair")).as("__c2"))
+    val total = counts.agg(sum(col("n_pair")).as("__n"))
+    counts.filter(col("n_pair") >= minCount)
+      .join(c1, Seq("w1")).join(c2, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast("double") * col("__n")) /
+          (col("__c1").cast("double") * col("__c2"))), 4).as("pmi"))
+  }
+
   /** PII regexes, kept to the POSIX-safe subset Java regex and RE2
     * (DuckDB) treat identically — no lookaround, no backrefs, no \b.
     * Replacement order matters and is fixed: emails first (their

@@ -660,6 +660,73 @@ object ExtQueries {
       TextAnalysis.tfidf(Tables.load(s, dir, "documents"), "doc_id", "text")
     },
 
+    "text_bm25" -> QueryDef(
+      doc = "Okapi BM25 per (doc, token): saturated tf with doc-length normalization + smoothed idf — the lexical-retrieval half of hybrid search; same 2-exchange plan as text_tfidf",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS dl FROM t),
+        tf AS (SELECT doc_id, token, count(*) AS c, any_value(dl) AS dl
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        st AS (SELECT count(DISTINCT doc_id) AS nd, sum(len(toks)) AS suml FROM t)
+        SELECT doc_id, token,
+               round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+                     (c * (1.2 + 1)) /
+                     (c + 1.2 * ((1 - 0.75) + 0.75 * (dl * 1.0 * nd / suml))), 4)
+                 AS bm25
+        FROM tf JOIN dfreq USING (token) CROSS JOIN st""") { (s, dir) =>
+      TextAnalysis.bm25(Tables.load(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "text_pmi" -> QueryDef(
+      doc = "adjacent-bigram PMI collocations (pairs seen >= 5 times): one corpus shuffle to bigram counts, then margins/total over the model-sized count table — phrase mining for vocabulary merging",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        bg AS (SELECT toks[g] AS w1, toks[g+1] AS w2
+               FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS g
+                     FROM t WHERE len(toks) >= 2)),
+        c AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+        m1 AS (SELECT w1, sum(n_pair) AS c1 FROM c GROUP BY w1),
+        m2 AS (SELECT w2, sum(n_pair) AS c2 FROM c GROUP BY w2),
+        n AS (SELECT sum(n_pair) AS n FROM c)
+        SELECT w1, w2, n_pair,
+               round(ln((n_pair * 1.0 * n) / (c1 * 1.0 * c2)), 4) AS pmi
+        FROM c JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN n
+        WHERE n_pair >= 5""") { (s, dir) =>
+      TextAnalysis.pmiPairs(Tables.load(s, dir, "documents"), "doc_id", "text",
+        minCount = 5L)
+    },
+
+    "dedup_substring" -> QueryDef(
+      doc = "maximal duplicated-substring spans (ExactSubstr flavor, 8-token windows): hashed slide-windows, repeated-hash agg + join back, per-doc interval merge — the verbatim-repetition ranges a removal pass would cut",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        w AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p, toks
+              FROM t WHERE len(toks) >= 8),
+        h AS (SELECT doc_id, p,
+                     ('0x' || substr(md5(array_to_string(toks[p:p+7], ' ')), 1, 15))::BIGINT AS hv
+              FROM w),
+        d AS (SELECT doc_id, p FROM
+                (SELECT doc_id, p, count(*) OVER (PARTITION BY hv) AS c FROM h)
+              WHERE c > 1),
+        g AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+                            OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+                          THEN 1 ELSE 0 END AS nf
+              FROM d),
+        s AS (SELECT doc_id, p, sum(nf) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS UNBOUNDED PRECEDING) AS grp
+              FROM g)
+        SELECT doc_id,
+               CAST(min(p) - 1 AS BIGINT) AS span_start,
+               CAST(max(p) + 6 AS BIGINT) AS span_end,
+               CAST(max(p) + 6 - (min(p) - 1) + 1 AS BIGINT) AS n_tokens,
+               count(*) AS n_windows
+        FROM s GROUP BY doc_id, grp""") { (s, dir) =>
+      Dedup.duplicatedSubstringSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 8)
+    },
+
     "sample_stratified" -> QueryDef(
       doc = "deterministic hash-stratified sampling: keep 50% of 'en' docs, 10% of everything else — md5-bucketed, so reruns and other engines reproduce the exact sample",
       oracle = """

@@ -177,6 +177,24 @@ class DedupSpec extends SparkSpec {
     assert(out == ((1L, 3L, 2L, "p q p")))
   }
 
+  test("duplicatedSubstringSpans merges overlapping dup windows into maximal ranges") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // "a b","b c" shared with doc 2
+      (2L, "x a b c y"),        // same two windows at pos 1,2
+      (3L, "a b z z z a b"))    // within-doc repeats: "a b"×2, "z z"×2
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSubstringSpans(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // doc 1: dup windows at 0,1 → tokens [0,2]
+      (1L, 0L, 2L, 3L, 2L),
+      // doc 2: dup windows at 1,2 → tokens [1,3]
+      (2L, 1L, 3L, 3L, 2L),
+      // doc 3: dup windows 0,2,3,5 chain (gap ≤ k) → whole doc [0,6]
+      (3L, 0L, 6L, 7L, 4L)))
+  }
+
   test("spanDedupDelta ≡ full spanDedup restricted to the delta docs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val old = docs.filter(col("doc_id") < 300)

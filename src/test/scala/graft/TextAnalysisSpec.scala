@@ -290,4 +290,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1)._3 == r4(math.log(pAB)) &&
       out(1)._4 == r4(math.exp(-math.log(pAB))))
   }
+
+  test("bm25 matches the hand-computed Okapi formula") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    // N=2, Σdl=5; df(a)=2, df(b)=df(c)=1
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def score(c: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (2 - df + 0.5) / (df + 0.5))
+      val lenNorm = dl.toDouble * 2 / 5
+      r4(idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * lenNorm)))
+    }
+    val out = TextAnalysis.bm25(df, "doc_id", "text")
+      .orderBy("doc_id", "token").as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", score(2, 2, 3)), (1L, "b", score(1, 1, 3)),
+      (2L, "a", score(1, 2, 2)), (2L, "c", score(1, 1, 2))))
+  }
+
+  test("pmiPairs reports only pairs at minCount with exact PMI") {
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // pairs: (a,b)=3, (b,a)=1, (b,c)=1 → total 5; margins c1(a)=3, c2(b)=3
+    val out = TextAnalysis.pmiPairs(df, "doc_id", "text", minCount = 2L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(("a", "b", 3L, r4(math.log(3.0 * 5 / (3.0 * 3))))))
+  }
 }
