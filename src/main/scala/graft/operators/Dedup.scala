@@ -365,19 +365,35 @@ object Dedup {
   def duplicatedSubstringSpans(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val wins = graft.operators.TextAnalysis
+    val wins = windowHashRows(df, idCol, textCol, k)
+    val repeated = wins.groupBy("__hv").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select("__hv")
+    mergeIslands(wins.join(repeated, Seq("__hv")), k)
+  }
+
+  /** (doc_id, pos, __hv) rows: every k-token slide-window, hashed to
+    * a 60-bit int the moment it exists — downstream shuffles carry
+    * int64s, never window text.
+    */
+  private def windowHashRows(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    graft.operators.TextAnalysis
       .chunk(df, idCol, textCol, chunkSize = k, stride = 1)
       .filter(col("n_tokens") === k)
       .select(col("doc_id"), col("chunk_id").as("pos"),
         TextAnalysis.tokenHash60(col("chunk_text")).as("__hv"))
-    val repeated = wins.groupBy("__hv").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1)
-      .select("__hv")
+
+  /** Merge surviving duplicated windows into maximal per-doc token
+    * ranges. Windows cover [pos, pos+k-1]; the next one extends the
+    * current range iff its start is within (or adjacent to) the
+    * range, i.e. pos <= prev_pos + k; island id = running count of
+    * range breaks. Per-doc window over duplicated windows only —
+    * doc-granular keys, uniform.
+    */
+  private def mergeIslands(dupWins: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // windows [pos, pos+k-1]: the next one extends the current range
-    // iff its start is within (or adjacent to) the range, i.e.
-    // pos <= prev_pos + k; island id = running count of range breaks
-    wins.join(repeated, Seq("__hv"))
+    dupWins
       .withColumn("__new",
         coalesce((col("pos") > lag(col("pos"), 1).over(byDoc) + k)
           .cast("int"), lit(1)))
@@ -390,6 +406,52 @@ object Dedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("n_tokens"),
         col("n_windows"))
+  }
+
+  /** The substring-dedup serving index: (hv, n) occurrence counts of
+    * every k-token window hash — at corpus scale an analysis-store
+    * table bucketed on `hv` so delta probes join it bucket-locally
+    * (the same pattern as [[spanFirstIndex]] and the ANN indexes).
+    */
+  def substringWindowIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    windowHashRows(df, idCol, textCol, k)
+      .groupBy(col("__hv").as("hv")).agg(count(lit(1)).as("n"))
+
+  /** Fold a delta's window counts into the persisted index — counts
+    * add exactly, so merge ≡ rebuild (spec-pinned). One delta-sized
+    * shuffle into the index layout.
+    */
+  def mergeSubstringWindowIndex(
+      index: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    index.unionByName(substringWindowIndex(delta, idCol, textCol, k))
+      .groupBy("hv").agg(sum(col("n")).as("n"))
+
+  /** Incremental [[duplicatedSubstringSpans]]: report spans for DELTA
+    * docs only, against corpus = index ∪ delta. A delta window is
+    * duplicated iff its global occurrence count (indexed + in-delta)
+    * exceeds 1 — exactly the full run's predicate, so the result
+    * equals the full rerun restricted to the delta (spec-pinned).
+    * Old docs' shipped span reports are frozen by contract (new
+    * duplicates don't retroactively grow them — the same
+    * append-only posture as [[spanDedupDelta]]); a periodic full
+    * rebuild picks up old-doc spans newly duplicated by later data.
+    *
+    * Cost tracks |delta|: delta windows probe the (bucketed) index;
+    * nothing corpus-sized moves.
+    */
+  def duplicatedSubstringSpansDelta(
+      index: DataFrame, delta: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val wins = windowHashRows(delta, idCol, textCol, k)
+    val repeated = wins.groupBy("__hv").agg(count(lit(1)).as("__dn"))
+      .join(index.select(col("hv").as("__hv"), col("n").as("__in")),
+        Seq("__hv"), "left")
+      .filter(coalesce(col("__in"), lit(0L)) + col("__dn") > 1)
+      .select("__hv")
+    mergeIslands(wins.join(repeated, Seq("__hv")), k)
   }
 
   /** Benchmark decontamination: per corpus doc, the fraction of its

@@ -53,6 +53,37 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-search combiner (dense ANN + sparse BM25, each
+    * contributing 1/(c + rank), docs absent from a list contribute
+    * 0): rank-based, so the two scorers' incomparable scales never
+    * meet. Inputs are (qid, nid, rank, …) frames — [[bruteForceTopK]]
+    * (or any ANN variant) and [[graft.operators.TextAnalysis
+    * .bm25Search]] both qualify.
+    *
+    * Plan shape: both inputs are top-k lists (|queries| × k rows), so
+    * the full-outer join and the per-query rank window are
+    * batch-sized — nothing corpus-sized moves. The fused score is
+    * pure integer-rank arithmetic (1.0/(c+rank), fixed add order) —
+    * bit-identical in any engine, so ties are broken by id
+    * identically everywhere.
+    */
+  def rrfFuse(dense: DataFrame, sparse: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    require(k >= 1 && c >= 0, "k must be >= 1 and c >= 0")
+    val d = dense.select(col("qid"), col("nid"), col("rank").as("__dr"))
+    val s = sparse.select(col("qid"), col("nid"), col("rank").as("__sr"))
+    val rrf = coalesce(lit(1.0) / (lit(c) + col("__dr")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(c) + col("__sr")), lit(0.0))
+    val w = Window.partitionBy("qid").orderBy(col("__rrf").desc, col("nid"))
+    d.join(s, Seq("qid", "nid"), "full_outer")
+      .withColumn("__rrf", rrf)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("__rrf"), 6).as("rrf"))
+  }
+
   /** Deterministic random hyperplanes: nBits × dim matrix seeded per
     * table, materialized as literals (a few KB) — compiled into
     * codegen, no join, identical on every executor.

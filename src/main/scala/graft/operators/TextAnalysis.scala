@@ -295,6 +295,40 @@ object TextAnalysis {
           .as("bm25"))
   }
 
+  /** Sparse lexical retrieval: BM25 top-k corpus docs per query doc —
+    * the keyword half of hybrid search ([[graft.operators.Similarity
+    * .rrfFuse]] combines it with the dense ANN side). A query scores
+    * each corpus doc by the sum of that doc's [[bm25]] weights over
+    * the query's distinct terms; ties break by neighbor id.
+    *
+    * Plan shape at scale: the corpus-side weight table is the [[bm25]]
+    * plan (2 exchanges); the query batch is broadcast (retrieval
+    * batches are small next to a corpus), so matching is a map-side
+    * join on token followed by one (query, doc) partial-sum shuffle of
+    * MATCH rows only. The rank window partitions by query id —
+    * batch-granular keys. The per-(doc,token) weights and the summed
+    * score are rounded to 4dp so ranking compares engine-reproducible
+    * values (cross-row double sums are order-sensitive in the last
+    * ulp; the id tie-break then pins exact ties identically
+    * everywhere).
+    */
+  def bm25Search(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val weights = bm25(corpus, idCol, textCol, k1, b)
+    val qTerms = queries.select(col(idCol).as("qid"),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val scores = weights.join(broadcast(qTerms), Seq("token"))
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("bm25")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("doc_id"))
+    scores.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id").as("nid"), col("rank"), col("score"))
+  }
+
   /** Pointwise mutual information over adjacent word pairs — the
     * collocation / phrase-mining statistic (e.g. merging "new york"
     * into one vocabulary unit before embedding training):

@@ -284,6 +284,61 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
+    "hybrid_search" -> QueryDef(
+      doc = "hybrid dense+sparse retrieval: brute cosine top-10 and BM25 top-10 fused by reciprocal rank (c=60) to a top-5 — both lists batch-sized, integer-rank fusion arithmetic bit-reproducible",
+      oracle = s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id >= 10),
+        tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS dl FROM t),
+        tf AS (SELECT doc_id, token, count(*) AS c, any_value(dl) AS dl
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        st AS (SELECT count(DISTINCT doc_id) AS nd, sum(len(toks)) AS suml FROM t),
+        bw AS (SELECT doc_id, token,
+                      round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+                            (c * (1.2 + 1)) /
+                            (c + 1.2 * ((1 - 0.75) + 0.75 * (dl * 1.0 * nd / suml))), 4)
+                        AS w
+               FROM tf JOIN dfreq USING (token) CROSS JOIN st),
+        qt AS (SELECT doc_id AS qid, unnest(list_distinct($duckToks)) AS token
+               FROM documents WHERE doc_id < 10),
+        sp AS (SELECT qid, doc_id AS nid, round(sum(w), 4) AS score
+               FROM bw JOIN qt USING (token) GROUP BY qid, doc_id),
+        sptop AS (SELECT qid, nid, sr FROM
+                    (SELECT qid, nid,
+                            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS sr
+                     FROM sp) WHERE sr <= 10),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        cc AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+        den AS (SELECT b.vec_id AS qid, a.vec_id AS nid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                         ORDER BY $duckCosine DESC, a.vec_id) AS dr
+                FROM cc a CROSS JOIN q b),
+        dtop AS (SELECT qid, nid, dr FROM den WHERE dr <= 10),
+        fused AS (SELECT coalesce(d.qid, s.qid) AS qid,
+                         coalesce(d.nid, s.nid) AS nid,
+                         coalesce(1.0 / (60 + d.dr), 0) +
+                         coalesce(1.0 / (60 + s.sr), 0) AS rrf
+                  FROM dtop d FULL OUTER JOIN sptop s
+                    ON d.qid = s.qid AND d.nid = s.nid)
+        SELECT qid, nid, CAST(rank AS INTEGER) AS rank, round(rrf, 6) AS rrf
+        FROM (SELECT qid, nid, rrf,
+                     row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+              FROM fused)
+        WHERE rank <= 5""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val dense = Similarity.bruteForceTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 10)
+      val sparse = TextAnalysis.bm25Search(
+        corpus = docs.filter(col("doc_id") >= 10),
+        queries = docs.filter(col("doc_id") < 10),
+        idCol = "doc_id", textCol = "text", k = 10)
+      Similarity.rrfFuse(dense, sparse, k = 5)
+    },
+
     "corpus_source_mix" -> QueryDef(
       doc = "per-source curation rollup: doc/token volume, quality rate, exact-dup rate, language spread — the keep/reweight decision table a corpus curator reads",
       oracle = s"""

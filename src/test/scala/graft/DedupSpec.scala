@@ -195,6 +195,21 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 6L, 7L, 4L)))
   }
 
+  test("duplicatedSubstringSpansDelta ≡ full run restricted to delta; merge ≡ rebuild") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") < 300)
+    val delta = docs.filter(col("doc_id") >= 300)
+    val index = Dedup.substringWindowIndex(old, "doc_id", "text", k = 5)
+    val incremental = Dedup.duplicatedSubstringSpansDelta(
+      index, delta, "doc_id", "text", k = 5)
+    val full = Dedup.duplicatedSubstringSpans(docs, "doc_id", "text", k = 5)
+      .filter(col("doc_id") >= 300)
+    assertSameRows(incremental, full)
+    assertSameRows(
+      Dedup.mergeSubstringWindowIndex(index, delta, "doc_id", "text", k = 5),
+      Dedup.substringWindowIndex(docs, "doc_id", "text", k = 5))
+  }
+
   test("spanDedupDelta ≡ full spanDedup restricted to the delta docs") {
     val docs = Tables.load(spark, sfDir, "documents")
     val old = docs.filter(col("doc_id") < 300)

@@ -311,4 +311,22 @@ class SimilaritySpec extends SparkSpec {
       (0, 0, 2.0, 2L), (0, 1, 1.0, 2L),
       (1, 0, -1.0, 1L), (1, 1, 5.0, 1L)))
   }
+
+  test("rrfFuse: both-list docs outrank single-list docs; equal rrf ties by id") {
+    val dense = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
+      .toDF("qid", "nid", "rank")
+    val sparse = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 5L, 1))
+      .toDF("qid", "nid", "rank")
+    val out = Similarity.rrfFuse(dense, sparse, k = 3)
+      .orderBy("qid", "rank").as[(Long, Long, Int, Double)].collect().toSeq
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      // q1: 11 in both lists (1/62 + 1/61) beats either single-list doc
+      (1L, 11L, 1, r6(1.0 / 62 + 1.0 / 61)),
+      (1L, 10L, 2, r6(1.0 / 61)),
+      (1L, 12L, 3, r6(1.0 / 62)),
+      // q2: both rank-1 singles score 1/61 exactly → min id first
+      (2L, 5L, 1, r6(1.0 / 61)),
+      (2L, 20L, 2, r6(1.0 / 61))))
+  }
 }

@@ -307,6 +307,22 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "a", score(1, 2, 2)), (2L, "c", score(1, 1, 2))))
   }
 
+  test("bm25Search sums corpus-side weights over query terms and ranks by id-broken score") {
+    val corpus = Seq((10L, "a a b"), (11L, "a c")).toDF("doc_id", "text")
+    val query = Seq((1L, "b c c")).toDF("doc_id", "text")
+    // weights come from the corpus alone (N=2, Σdl=5); query terms {b, c}
+    // hit one doc each, so each score is a single bm25 weight:
+    // doc 11 ("c", dl=2) outscores doc 10 ("b", dl=3) on length norm
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def w(c: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (2 - df + 0.5) / (df + 0.5))
+      r4(idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (dl.toDouble * 2 / 5))))
+    }
+    val out = TextAnalysis.bm25Search(corpus, query, "doc_id", "text", k = 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sortBy(_._3)
+    assert(out == Seq((1L, 11L, 1, w(1, 1, 2)), (1L, 10L, 2, w(1, 1, 3))))
+  }
+
   test("pmiPairs reports only pairs at minCount with exact PMI") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     // pairs: (a,b)=3, (b,a)=1, (b,c)=1 → total 5; margins c1(a)=3, c2(b)=3
