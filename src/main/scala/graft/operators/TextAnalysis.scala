@@ -314,9 +314,18 @@ object TextAnalysis {
     */
   def bm25Search(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int = 5,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    searchWeights(bm25(corpus, idCol, textCol, k1, b),
+      queries, idCol, textCol, k)
+
+  /** The match/rank half of [[bm25Search]], factored out so a
+    * PERSISTED weight table (from [[bm25FromIndex]] over a merged
+    * [[lexicalIndex]]) serves queries without re-deriving weights
+    * from text each batch.
+    */
+  def searchWeights(weights: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val weights = bm25(corpus, idCol, textCol, k1, b)
     val qTerms = queries.select(col(idCol).as("qid"),
       explode(array_distinct(tokens(col(textCol)))).as("token"))
     val scores = weights.join(broadcast(qTerms), Seq("token"))
@@ -327,6 +336,70 @@ object TextAnalysis {
     scores.withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("doc_id").as("nid"), col("rank"), col("score"))
+  }
+
+  /** Lexical postings index — the persisted, incrementally-mergeable
+    * state behind BM25 retrieval: one row per (doc, token) with the
+    * raw term frequency and the doc's token count. Raw counts (not
+    * weights) are the stored form because every corpus-level BM25
+    * input — df per token, N, Σdl — is an exact integer aggregate of
+    * these rows, so a delta merge keeps the whole weight table
+    * corpus-consistent (idf and avgdl shift as the corpus grows;
+    * stored weights would go stale row-by-row).
+    *
+    * One (doc, token) shuffle, map-side combine — the [[tfidf]] /
+    * [[bm25]] tokenize+count subplan, materialized. Docs with zero
+    * tokens have no postings and therefore don't count toward the
+    * indexed corpus's N / avgdl (empty docs carry no lexical signal;
+    * the direct [[bm25]] text path counts them in N, so parity holds
+    * on any corpus without empty docs — spec-pinned).
+    */
+  def lexicalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("dl"))
+
+  /** Fold a delta of docs into a persisted [[lexicalIndex]] with
+    * replace-by-doc semantics: a re-shipped doc id drops its old
+    * postings first, so updates and at-least-once redelivery are
+    * idempotent. Cost tracks |delta|: the anti-join's build side is
+    * the delta's doc ids (broadcast), the only shuffle is the delta's
+    * own tokenize+count. Merge ≡ rebuild is spec-pinned.
+    */
+  def mergeLexicalIndex(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val fresh = lexicalIndex(delta, idCol, textCol)
+    index.join(broadcast(delta.select(col(idCol).as("doc_id")).distinct),
+        Seq("doc_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** BM25 weights recomputed from a [[lexicalIndex]] — the exact
+    * [[bm25]] formula (same operation order, so results are
+    * bit-identical on the same corpus) with tf/dl read from postings
+    * and N / Σdl derived as integer aggregates over them. Run after
+    * each [[mergeLexicalIndex]]; [[searchWeights]] serves from the
+    * result.
+    */
+  def bm25FromIndex(index: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withDf = index.withColumn("__df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("token")))
+    val stats = index.agg(
+      countDistinct(col("doc_id")).as("__nd"),
+      sum(col("tf")).as("__suml"))
+    val lenNorm = col("dl").cast("double") * col("__nd") / col("__suml")
+    val idf = log(lit(1.0) +
+      (col("__nd") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    withDf
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("token"),
+        round(idf * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * lenNorm)), 4)
+          .as("bm25"))
   }
 
   /** Pointwise mutual information over adjacent word pairs — the

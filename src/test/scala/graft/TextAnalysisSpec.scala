@@ -323,6 +323,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((1L, 11L, 1, w(1, 1, 2)), (1L, 10L, 2, w(1, 1, 3))))
   }
 
+  test("bm25FromIndex over lexicalIndex is bit-identical to the text-path bm25") {
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c a")).toDF("doc_id", "text")
+    val direct = TextAnalysis.bm25(df, "doc_id", "text")
+      .orderBy("doc_id", "token").as[(Long, String, Double)].collect().toSeq
+    val viaIndex = TextAnalysis.bm25FromIndex(
+        TextAnalysis.lexicalIndex(df, "doc_id", "text"))
+      .orderBy("doc_id", "token").as[(Long, String, Double)].collect().toSeq
+    assert(viaIndex == direct)
+  }
+
+  test("mergeLexicalIndex equals a rebuild and replaces re-shipped docs") {
+    val part1 = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val part2 = Seq((3L, "b c c")).toDF("doc_id", "text")
+    val full = part1.unionByName(part2)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String, Long, Int)].collect().toSet
+    val merged = TextAnalysis.mergeLexicalIndex(
+      TextAnalysis.lexicalIndex(part1, "doc_id", "text"),
+      part2, "doc_id", "text")
+    assert(rows(merged) == rows(TextAnalysis.lexicalIndex(full, "doc_id", "text")))
+    // an updated doc 2 replaces its postings (no stale "c" row at tf=1)
+    val updated = TextAnalysis.mergeLexicalIndex(
+      merged, Seq((2L, "d d")).toDF("doc_id", "text"), "doc_id", "text")
+    val expected = TextAnalysis.lexicalIndex(
+      Seq((1L, "a a b"), (2L, "d d"), (3L, "b c c")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(rows(updated) == rows(expected))
+  }
+
+  test("searchWeights over a merged index serves the full-corpus bm25Search result") {
+    val part1 = Seq((10L, "a a b")).toDF("doc_id", "text")
+    val part2 = Seq((11L, "a c")).toDF("doc_id", "text")
+    val query = Seq((1L, "b c c")).toDF("doc_id", "text")
+    val weights = TextAnalysis.bm25FromIndex(TextAnalysis.mergeLexicalIndex(
+      TextAnalysis.lexicalIndex(part1, "doc_id", "text"),
+      part2, "doc_id", "text"))
+    val served = TextAnalysis.searchWeights(weights, query, "doc_id", "text", k = 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sortBy(_._3)
+    val direct = TextAnalysis.bm25Search(part1.unionByName(part2), query,
+        "doc_id", "text", k = 2)
+      .as[(Long, Long, Int, Double)].collect().toSeq.sortBy(_._3)
+    assert(served == direct)
+  }
+
   test("pmiPairs reports only pairs at minCount with exact PMI") {
     val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     // pairs: (a,b)=3, (b,a)=1, (b,c)=1 → total 5; margins c1(a)=3, c2(b)=3
