@@ -340,18 +340,28 @@ object Dedup {
   /** Maximal duplicated-substring spans — the ExactSubstr flavor of
     * training-data dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better"), at token-window granularity: a
-    * token range is duplicated iff every k-token window inside it
-    * occurs more than once in the corpus (within- OR cross-document —
-    * both are verbatim repetition a trainer would memorize). Emits,
-    * per doc, the maximal merged ranges [span_start, span_end]
-    * (0-based token positions, inclusive) that a removal pass would
-    * cut; [[spanDedup]] is the companion that actually rewrites text,
-    * at coarser fixed-block granularity.
+    * k-token window is duplicated iff it occurs more than once in the
+    * corpus (within- OR cross-document — both are verbatim repetition
+    * a trainer would memorize). Emits, per doc, the maximal merged
+    * UNION-OF-COVERAGE ranges [span_start, span_end] (0-based token
+    * positions, inclusive) of all duplicated windows — every token in
+    * a reported range is covered by at least one duplicated window,
+    * but two abutting duplicated regions merge into one range even
+    * when the windows straddling their boundary are unique, so a
+    * range is NOT itself a verbatim-repeated substring. That is the
+    * right contract for a removal pass (cut every token that verbatim
+    * repetition covers); [[spanDedup]] is the companion that actually
+    * rewrites text, at coarser fixed-block granularity.
     *
     * Plan shape at scale: windows are a narrow slide-explode, hashed
-    * to 60-bit ints IMMEDIATELY so the duplicate-detection shuffle
-    * carries (doc, pos, int64) — not window text (k× the corpus in
-    * bytes). Repeated-hash detection is a groupBy(hash) aggregate +
+    * to TWO 60-bit ints (the md5 halves) IMMEDIATELY so the
+    * duplicate-detection shuffle carries (doc, pos, int64×2) — not
+    * window text (k× the corpus in bytes). 120 hash bits matter here:
+    * a count>1 predicate turns every hash collision into a false
+    * duplicate, and at ~10^13 windows a single 60-bit key would
+    * fabricate ~10^7 of them (n²/2^61) while 120 bits keeps the
+    * expected count below 10⁻¹⁰ ([[TextAnalysis.tokenHash60b]]).
+    * Repeated-hash detection is a groupBy(hash) aggregate +
     * join back (map-side combine absorbs hot boilerplate windows
     * before the exchange; a count window partitioned by hash would
     * put every occurrence of a hot window in one partition — the same
@@ -366,15 +376,17 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val wins = windowHashRows(df, idCol, textCol, k)
-    val repeated = wins.groupBy("__hv").agg(count(lit(1)).as("__n"))
+    val repeated = wins.groupBy("__hv", "__hv2").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
-      .select("__hv")
-    mergeIslands(wins.join(repeated, Seq("__hv")), k)
+      .select("__hv", "__hv2")
+    mergeIslands(wins.join(repeated, Seq("__hv", "__hv2")), k)
   }
 
-  /** (doc_id, pos, __hv) rows: every k-token slide-window, hashed to
-    * a 60-bit int the moment it exists — downstream shuffles carry
-    * int64s, never window text.
+  /** (doc_id, pos, __hv, __hv2) rows: every k-token slide-window,
+    * hashed to a pair of 60-bit ints (120 bits — see
+    * [[duplicatedSubstringSpans]] for why one half is not enough
+    * here) the moment it exists — downstream shuffles carry int64s,
+    * never window text.
     */
   private def windowHashRows(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -382,7 +394,8 @@ object Dedup {
       .chunk(df, idCol, textCol, chunkSize = k, stride = 1)
       .filter(col("n_tokens") === k)
       .select(col("doc_id"), col("chunk_id").as("pos"),
-        TextAnalysis.tokenHash60(col("chunk_text")).as("__hv"))
+        TextAnalysis.tokenHash60(col("chunk_text")).as("__hv"),
+        TextAnalysis.tokenHash60b(col("chunk_text")).as("__hv2"))
 
   /** Merge surviving duplicated windows into maximal per-doc token
     * ranges. Windows cover [pos, pos+k-1]; the next one extends the
@@ -408,16 +421,19 @@ object Dedup {
         col("n_windows"))
   }
 
-  /** The substring-dedup serving index: (hv, n) occurrence counts of
-    * every k-token window hash — at corpus scale an analysis-store
-    * table bucketed on `hv` so delta probes join it bucket-locally
-    * (the same pattern as [[spanFirstIndex]] and the ANN indexes).
+  /** The substring-dedup serving index: (hv, hv2, n) occurrence
+    * counts of every k-token window's 120-bit hash pair — at corpus
+    * scale an analysis-store table bucketed on `hv` so delta probes
+    * join it bucket-locally (the same pattern as [[spanFirstIndex]]
+    * and the ANN indexes; `hv` alone spreads buckets fine, `hv2`
+    * rides along to keep the count>1 predicate collision-proof).
     */
   def substringWindowIndex(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame =
     windowHashRows(df, idCol, textCol, k)
-      .groupBy(col("__hv").as("hv")).agg(count(lit(1)).as("n"))
+      .groupBy(col("__hv").as("hv"), col("__hv2").as("hv2"))
+      .agg(count(lit(1)).as("n"))
 
   /** Fold a delta's window counts into the persisted index — counts
     * add exactly, so merge ≡ rebuild (spec-pinned). One delta-sized
@@ -427,7 +443,7 @@ object Dedup {
       index: DataFrame, delta: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame =
     index.unionByName(substringWindowIndex(delta, idCol, textCol, k))
-      .groupBy("hv").agg(sum(col("n")).as("n"))
+      .groupBy("hv", "hv2").agg(sum(col("n")).as("n"))
 
   /** Incremental [[duplicatedSubstringSpans]]: report spans for DELTA
     * docs only, against corpus = index ∪ delta. A delta window is
@@ -446,12 +462,13 @@ object Dedup {
       index: DataFrame, delta: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
     val wins = windowHashRows(delta, idCol, textCol, k)
-    val repeated = wins.groupBy("__hv").agg(count(lit(1)).as("__dn"))
-      .join(index.select(col("hv").as("__hv"), col("n").as("__in")),
-        Seq("__hv"), "left")
+    val repeated = wins.groupBy("__hv", "__hv2").agg(count(lit(1)).as("__dn"))
+      .join(index.select(col("hv").as("__hv"), col("hv2").as("__hv2"),
+          col("n").as("__in")),
+        Seq("__hv", "__hv2"), "left")
       .filter(coalesce(col("__in"), lit(0L)) + col("__dn") > 1)
-      .select("__hv")
-    mergeIslands(wins.join(repeated, Seq("__hv")), k)
+      .select("__hv", "__hv2")
+    mergeIslands(wins.join(repeated, Seq("__hv", "__hv2")), k)
   }
 
   /** Benchmark decontamination: per corpus doc, the fraction of its

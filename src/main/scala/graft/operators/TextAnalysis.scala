@@ -269,31 +269,8 @@ object TextAnalysis {
     * deterministic) riding in as a one-row broadcast.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tok = df
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), size(col("__toks")).as("__dl"),
-        explode(col("__toks")).as("token"))
-    val tf = tok.groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("__c"), first(col("__dl")).as("__dl"))
-    val withDf = tf.withColumn("__df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("token")))
-    val stats = df.agg(
-      countDistinct(col(idCol)).as("__nd"),
-      sum(size(tokens(col(textCol)))).as("__suml"))
-    // dl/avgdl expressed as (dl·N)/Σdl — one double divide, and the
-    // oracle can mirror the exact operation order
-    val lenNorm = col("__dl").cast("double") * col("__nd") / col("__suml")
-    val idf = log(lit(1.0) +
-      (col("__nd") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
-    withDf
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"), col("token"),
-        round(idf * (col("__c") * lit(k1 + 1)) /
-          (col("__c") + lit(k1) * (lit(1 - b) + lit(b) * lenNorm)), 4)
-          .as("bm25"))
-  }
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromIndex(lexicalIndex(df, idCol, textCol), k1, b)
 
   /** Sparse lexical retrieval: BM25 top-k corpus docs per query doc —
     * the keyword half of hybrid search ([[graft.operators.Similarity
@@ -348,18 +325,20 @@ object TextAnalysis {
     * stored weights would go stale row-by-row).
     *
     * One (doc, token) shuffle, map-side combine — the [[tfidf]] /
-    * [[bm25]] tokenize+count subplan, materialized. Docs with zero
-    * tokens have no postings and therefore don't count toward the
-    * indexed corpus's N / avgdl (empty docs carry no lexical signal;
-    * the direct [[bm25]] text path counts them in N, so parity holds
-    * on any corpus without empty docs — spec-pinned).
+    * [[bm25]] tokenize+count subplan, materialized. A doc with zero
+    * tokens keeps a PRESENCE row (doc_id, NULL, 0, 0) — explode_outer
+    * + count(token) — so the indexed corpus's N matches the document
+    * set exactly and an update-to-empty (≈ delete of the text) still
+    * counts the doc the way a full text-path rerun would. [[bm25]]
+    * itself delegates here, so served-from-index and direct weights
+    * are one code path, not two kept in sync.
     */
   def lexicalIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).as("__dl"),
-        explode(col("__toks")).as("token"))
+        explode_outer(col("__toks")).as("token"))
       .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("dl"))
+      .agg(count(col("token")).as("tf"), first(col("__dl")).as("dl"))
 
   /** Fold a delta of docs into a persisted [[lexicalIndex]] with
     * replace-by-doc semantics: a re-shipped doc id drops its old
@@ -376,21 +355,28 @@ object TextAnalysis {
       .unionByName(fresh)
   }
 
-  /** BM25 weights recomputed from a [[lexicalIndex]] — the exact
-    * [[bm25]] formula (same operation order, so results are
-    * bit-identical on the same corpus) with tf/dl read from postings
-    * and N / Σdl derived as integer aggregates over them. Run after
-    * each [[mergeLexicalIndex]]; [[searchWeights]] serves from the
-    * result.
+  /** BM25 weights from a [[lexicalIndex]] — THE weight computation
+    * ([[bm25]] is tokenize-then-this): tf/dl read from postings, N
+    * and Σdl derived as exact integer aggregates over them (NULL
+    * presence rows count toward N, add 0 to Σdl, and emit no weight
+    * row). Run after each [[mergeLexicalIndex]]; [[searchWeights]]
+    * serves from the result.
+    *
+    * Plan shape: document frequency as a count window over the
+    * (doc, token) rows, corpus scalars as a one-row broadcast —
+    * 2 exchanges total, same as [[tfidf]].
     */
   def bm25FromIndex(index: DataFrame,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val withDf = index.withColumn("__df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("token")))
+    val withDf = index.filter(col("token").isNotNull)
+      .withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("token")))
     val stats = index.agg(
       countDistinct(col("doc_id")).as("__nd"),
       sum(col("tf")).as("__suml"))
+    // dl/avgdl expressed as (dl·N)/Σdl — one double divide, and the
+    // oracle can mirror the exact operation order
     val lenNorm = col("dl").cast("double") * col("__nd") / col("__suml")
     val idf = log(lit(1.0) +
       (col("__nd") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
@@ -689,6 +675,18 @@ object TextAnalysis {
     */
   def tokenHash60(w: Column): Column =
     conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** Second md5 half (hex chars 17–31) as a 60-bit long. Paired with
+    * [[tokenHash60]] where a single 60-bit key's birthday collisions
+    * would be FALSE POSITIVES rather than tolerable noise (substring
+    * dedup's count>1 predicate): two int64 columns give 120 bits —
+    * ~10^13 windows at 100 TB collide with probability ~n²/2^121 ≈
+    * 4·10⁻¹¹ — while the shuffle key stays fixed-width integers.
+    * SimHash keeps the single half: it is collision-tolerant by
+    * construction (one colliding token barely moves 60 bit-sums).
+    */
+  def tokenHash60b(w: Column): Column =
+    conv(substring(md5(w), 17, 15), 16, 10).cast("long")
 
   val SimhashBits = 60
 

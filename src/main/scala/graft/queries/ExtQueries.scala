@@ -759,10 +759,11 @@ object ExtQueries {
         w AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS p, toks
               FROM t WHERE len(toks) >= 8),
         h AS (SELECT doc_id, p,
-                     ('0x' || substr(md5(array_to_string(toks[p:p+7], ' ')), 1, 15))::BIGINT AS hv
+                     ('0x' || substr(md5(array_to_string(toks[p:p+7], ' ')), 1, 15))::BIGINT AS hv,
+                     ('0x' || substr(md5(array_to_string(toks[p:p+7], ' ')), 17, 15))::BIGINT AS hv2
               FROM w),
         d AS (SELECT doc_id, p FROM
-                (SELECT doc_id, p, count(*) OVER (PARTITION BY hv) AS c FROM h)
+                (SELECT doc_id, p, count(*) OVER (PARTITION BY hv, hv2) AS c FROM h)
               WHERE c > 1),
         g AS (SELECT doc_id, p,
                      CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL

@@ -323,19 +323,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq((1L, 11L, 1, w(1, 1, 2)), (1L, 10L, 2, w(1, 1, 3))))
   }
 
-  test("bm25FromIndex over lexicalIndex is bit-identical to the text-path bm25") {
-    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c a")).toDF("doc_id", "text")
+  test("bm25FromIndex over lexicalIndex is the text-path bm25, empty docs included") {
+    // doc 4 is empty: a presence row in the index, no weight rows, but
+    // it counts toward N — exactly like the text path
+    val df = Seq((1L, "a a b"), (2L, "a c"), (3L, "b b c a"), (4L, ""))
+      .toDF("doc_id", "text")
     val direct = TextAnalysis.bm25(df, "doc_id", "text")
       .orderBy("doc_id", "token").as[(Long, String, Double)].collect().toSeq
     val viaIndex = TextAnalysis.bm25FromIndex(
         TextAnalysis.lexicalIndex(df, "doc_id", "text"))
       .orderBy("doc_id", "token").as[(Long, String, Double)].collect().toSeq
     assert(viaIndex == direct)
+    assert(direct.forall(_._1 != 4L))
+    // N=4 (not 3) flows into every idf; pin one weight to prove it:
+    // doc 2 token "c": df=2, tf=1, dl=2, Σdl=9
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    val w = r4(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * (2.0 * 4 / 9))))
+    assert(direct.find(t => t._1 == 2L && t._2 == "c").map(_._3).contains(w))
   }
 
   test("mergeLexicalIndex equals a rebuild and replaces re-shipped docs") {
     val part1 = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
-    val part2 = Seq((3L, "b c c")).toDF("doc_id", "text")
+    val part2 = Seq((3L, "b c c"), (4L, "")).toDF("doc_id", "text")
     val full = part1.unionByName(part2)
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.as[(Long, String, Long, Int)].collect().toSet
@@ -343,13 +353,16 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.lexicalIndex(part1, "doc_id", "text"),
       part2, "doc_id", "text")
     assert(rows(merged) == rows(TextAnalysis.lexicalIndex(full, "doc_id", "text")))
-    // an updated doc 2 replaces its postings (no stale "c" row at tf=1)
+    // an updated doc 2 replaces its postings (no stale "c" row at
+    // tf=1); an update-to-empty doc 3 keeps its presence row only
     val updated = TextAnalysis.mergeLexicalIndex(
-      merged, Seq((2L, "d d")).toDF("doc_id", "text"), "doc_id", "text")
+      merged, Seq((2L, "d d"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text")
     val expected = TextAnalysis.lexicalIndex(
-      Seq((1L, "a a b"), (2L, "d d"), (3L, "b c c")).toDF("doc_id", "text"),
+      Seq((1L, "a a b"), (2L, "d d"), (3L, ""), (4L, "")).toDF("doc_id", "text"),
       "doc_id", "text")
     assert(rows(updated) == rows(expected))
+    assert(rows(updated).contains((3L, null, 0L, 0)))
   }
 
   test("searchWeights over a merged index serves the full-corpus bm25Search result") {
