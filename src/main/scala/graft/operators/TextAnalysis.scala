@@ -355,6 +355,21 @@ object TextAnalysis {
       .unionByName(fresh)
   }
 
+  /** Drop docs from a persisted [[lexicalIndex]] — the retraction
+    * half of serving-layer maintenance over a curation tick
+    * ([[mergeLexicalIndex]] folds the tick's additions in; this
+    * drops its retracted canonicals, e.g. [[graft.examples
+    * .TrainingDataJob.tick]]'s `retractedIds`). Broadcast anti-join
+    * on the tick-sized id set — nothing corpus-sized moves. The
+    * maintained index tracks the shipped document set exactly
+    * (spec-pinned), so N/idf/avgdl stay consistent with what a
+    * rebuild over the post-tick corpus would compute.
+    */
+  def removeLexicalDocs(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(
+      broadcast(ids.select(col(ids.columns.head).as("doc_id")).distinct),
+      Seq("doc_id"), "left_anti")
+
   /** BM25 weights from a [[lexicalIndex]] — THE weight computation
     * ([[bm25]] is tokenize-then-this): tf/dl read from postings, N
     * and Σdl derived as exact integer aggregates over them (NULL

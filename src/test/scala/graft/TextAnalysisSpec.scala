@@ -365,6 +365,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(updated).contains((3L, null, 0L, 0)))
   }
 
+  test("merge + remove maintain the index at exactly the shipped set across a tick") {
+    val shipped = Seq((1L, "a a b"), (2L, "a c"), (3L, "b c")).toDF("doc_id", "text")
+    val additions = Seq((4L, "c d"), (5L, "")).toDF("doc_id", "text")
+    val retracted = Seq(Tuple1(2L)).toDF("doc_id")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, String, Long, Int)].collect().toSet
+    val maintained = TextAnalysis.removeLexicalDocs(
+      TextAnalysis.mergeLexicalIndex(
+        TextAnalysis.lexicalIndex(shipped, "doc_id", "text"),
+        additions, "doc_id", "text"),
+      retracted)
+    val rebuild = TextAnalysis.lexicalIndex(
+      Seq((1L, "a a b"), (3L, "b c"), (4L, "c d"), (5L, ""))
+        .toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(rows(maintained) == rows(rebuild))
+  }
+
   test("searchWeights over a merged index serves the full-corpus bm25Search result") {
     val part1 = Seq((10L, "a a b")).toDF("doc_id", "text")
     val part2 = Seq((11L, "a c")).toDF("doc_id", "text")
