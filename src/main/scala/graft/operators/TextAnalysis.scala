@@ -269,8 +269,18 @@ object TextAnalysis {
     * deterministic) riding in as a one-row broadcast.
     */
   def bm25(df: DataFrame, idCol: String, textCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25FromIndex(lexicalIndex(df, idCol, textCol), k1, b)
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // corpus scalars from a NARROW second scan of the raw text (one
+    // cheap column-pruned pass) — deriving them from the postings
+    // subplan instead would rebuild the tokenize+explode+shuffle
+    // subtree a second time (Catalyst can't reuse the exchange: the
+    // two consumers prune different columns). Same values as the
+    // index-derived stats — parity is spec-pinned.
+    val stats = df.agg(
+      countDistinct(col(idCol)).as("__nd"),
+      sum(size(tokens(col(textCol)))).as("__suml"))
+    bm25Weights(lexicalIndex(df, idCol, textCol), stats, k1, b)
+  }
 
   /** Sparse lexical retrieval: BM25 top-k corpus docs per query doc —
     * the keyword half of hybrid search ([[graft.operators.Similarity
@@ -370,26 +380,37 @@ object TextAnalysis {
       broadcast(ids.select(col(ids.columns.head).as("doc_id")).distinct),
       Seq("doc_id"), "left_anti")
 
-  /** BM25 weights from a [[lexicalIndex]] — THE weight computation
-    * ([[bm25]] is tokenize-then-this): tf/dl read from postings, N
-    * and Σdl derived as exact integer aggregates over them (NULL
-    * presence rows count toward N, add 0 to Σdl, and emit no weight
-    * row). Run after each [[mergeLexicalIndex]]; [[searchWeights]]
-    * serves from the result.
+  /** BM25 weights from a persisted [[lexicalIndex]] table: tf/dl read
+    * from postings, N and Σdl derived as exact integer aggregates
+    * over them (NULL presence rows count toward N, add 0 to Σdl, and
+    * emit no weight row) — both passes are cheap scans of the stored
+    * postings, nothing re-tokenizes. Run after each
+    * [[mergeLexicalIndex]]; [[searchWeights]] serves from the result.
+    * Same values as [[bm25]] over the corresponding text (spec-pinned
+    * parity, empty docs included).
+    */
+  def bm25FromIndex(index: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Weights(index,
+      index.agg(
+        countDistinct(col("doc_id")).as("__nd"),
+        sum(col("tf")).as("__suml")),
+      k1, b)
+
+  /** THE Okapi weight formula — the single code path both [[bm25]]
+    * and [[bm25FromIndex]] feed (they differ only in where the
+    * corpus scalars come from), so the two can't drift.
     *
     * Plan shape: document frequency as a count window over the
     * (doc, token) rows, corpus scalars as a one-row broadcast —
-    * 2 exchanges total, same as [[tfidf]].
+    * the [[tfidf]] shape.
     */
-  def bm25FromIndex(index: DataFrame,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  private def bm25Weights(index: DataFrame, stats: DataFrame,
+      k1: Double, b: Double): DataFrame = {
     val withDf = index.filter(col("token").isNotNull)
       .withColumn("__df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy("token")))
-    val stats = index.agg(
-      countDistinct(col("doc_id")).as("__nd"),
-      sum(col("tf")).as("__suml"))
     // dl/avgdl expressed as (dl·N)/Σdl — one double divide, and the
     // oracle can mirror the exact operation order
     val lenNorm = col("dl").cast("double") * col("__nd") / col("__suml")

@@ -180,4 +180,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
     assert(p.contains("graft_subword_pieces"), p) // counting by pieces
   }
+
+  test("lexical index: postings pay one (doc, token) exchange; merge anti-join broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val idx = graft.operators.TextAnalysis.lexicalIndex(docs, "doc_id", "text")
+    val pIdx = idx.queryExecution.executedPlan.toString
+    assert(count(pIdx, "Exchange hashpartitioning") == 1, pIdx)
+    // delta merge against a MATERIALIZED index (the deployed shape —
+    // the store table, not a recompute): the corpus-sized index side
+    // must not shuffle — the delta's ids broadcast into the anti-join;
+    // the only hash exchanges are delta-sized (its id-distinct and its
+    // own tokenize+count)
+    val stored = idx.localCheckpoint(true)
+    val merged = graft.operators.TextAnalysis.mergeLexicalIndex(
+      stored, docs.filter(col("doc_id") > 400), "doc_id", "text")
+    val pm = merged.queryExecution.executedPlan.toString
+    assert(pm.contains("BroadcastHashJoin") && pm.contains("LeftAnti"), pm)
+    assert(count(pm, "Exchange hashpartitioning") == 2, pm) // delta distinct + delta build
+  }
 }
