@@ -365,9 +365,14 @@ object Dedup {
     * join back (map-side combine absorbs hot boilerplate windows
     * before the exchange; a count window partitioned by hash would
     * put every occurrence of a hot window in one partition — the same
-    * skew argument as [[spanDedup]]). Interval merge is a per-doc
-    * window over only the SURVIVING duplicated windows — doc-granular
-    * keys, uniform. A true suffix array finds character-exact ranges
+    * skew argument as [[spanDedup]]). The window subtree is
+    * deliberately COMPUTED TWICE (once into the count agg, once as
+    * the probe side the small duplicated-hash set broadcast-joins):
+    * window rows are k× the corpus — far too big to materialize for
+    * reuse — so two narrow passes with one tiny broadcast is the
+    * cheaper plan at every scale that matters. Interval merge is a
+    * per-doc window over only the SURVIVING duplicated windows —
+    * doc-granular keys, uniform. A true suffix array finds character-exact ranges
     * without the k× window blowup but needs corpus-order global
     * indexing; hashed fixed-k windows are the standard distributed
     * approximation (k bounds the finest detectable duplicate).
