@@ -42,6 +42,7 @@ object TrainingStreaming {
   private def clustersPath(root: String) = s"$root/clusters"
   private def addsPath(root: String) = s"$root/additions"
   private def retractsPath(root: String) = s"$root/retractions"
+  private def lexicalPath(root: String) = s"$root/lexical"
 
   /** The path's OWN filesystem — state roots need not live on the
     * cluster's fs.defaultFS.
@@ -71,7 +72,8 @@ object TrainingStreaming {
     */
   private def recoverState(spark: SparkSession, root: String): Unit =
     Seq(docsPath(root), clustersPath(root), addsPath(root),
-      retractsPath(root)).foreach(AnalysisStore.recover(spark, _))
+      retractsPath(root), lexicalPath(root))
+      .foreach(AnalysisStore.recover(spark, _))
 
   /** One curation tick over a batch of new docs, against (and
     * updating) the state rooted at `storeRoot`. Exposed for batch
@@ -136,6 +138,24 @@ object TrainingStreaming {
     AnalysisStore.stageAndSwap(spark, clustersPath(storeRoot)) { staging =>
       clusters.write.parquet(staging)
     }
+    // the serving-layer lexical (BM25) postings track the curated set:
+    // the batch's shipped docs merge replace-by-doc (a redelivered
+    // batch converges — same contract as the docs store), then this
+    // tick's retracted canonicals drop out. The store is write-only
+    // inside the tick, so no before-this-batch read exclusion applies;
+    // a crash between the two writes just re-runs both idempotent
+    // steps on retry.
+    val lexP = lexicalPath(storeRoot)
+    if (!additions.isEmpty)
+      AnalysisStore.writeIncremental(spark,
+        graft.operators.TextAnalysis.lexicalIndex(additions, "doc_id", "text"),
+        lexP, keys = Seq("doc_id"))
+    if (!retracted.isEmpty && exists(spark, lexP))
+      AnalysisStore.stageAndSwap(spark, lexP) { staging =>
+        graft.operators.TextAnalysis
+          .removeLexicalDocs(spark.read.parquet(lexP), retracted)
+          .write.parquet(staging)
+      }
   }
 
   /** Wire a documents stream (e.g. `readStream.schema(s).parquet(dir)`
@@ -168,6 +188,26 @@ object TrainingStreaming {
     if (exists(spark, p)) Some(p)
     else if (exists(spark, p + "__old")) Some(p + "__old")
     else None
+
+  /** The curated corpus's lexical postings as of now
+    * ([[graft.operators.TextAnalysis.lexicalIndex]] layout) — compose
+    * `TextAnalysis.bm25FromIndex` + `TextAnalysis.searchWeights` over
+    * this to serve BM25 / hybrid retrieval from exactly the document
+    * set curation has shipped. Swap-window and untouched-store
+    * behavior match [[readCurated]]: a mid-swap backup is served
+    * without mutating state, and a store no tick has touched reads as
+    * an empty postings frame.
+    */
+  def readLexical(spark: SparkSession, storeRoot: String): DataFrame =
+    readablePath(spark, lexicalPath(storeRoot)) match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("token", org.apache.spark.sql.types.StringType),
+            StructField("tf", LongType),
+            StructField("dl", org.apache.spark.sql.types.IntegerType))))
+    }
 
   def readCurated(spark: SparkSession, storeRoot: String): DataFrame = {
     val addsAt = readablePath(spark, addsPath(storeRoot))

@@ -29,15 +29,24 @@ class TrainingStreamingSpec extends SparkSpec {
       .select("doc_id", "pack_id", "pack_offset", "shard")
       .as[(Long, Long, Long, Long)].collect().toSet
     val once = snapshot()
+    def lexical() = TrainingStreaming.readLexical(spark, root)
+      .as[(Long, String, Long, Int)].collect().toSet
+    val lexOnce = lexical()
     // at-least-once delivery: the same batch arrives again (crash
     // after state writes, before the checkpoint commit)
     TrainingStreaming.tickBatch(spark, drop2, root, cfg)
     assert(snapshot() == once,
       "a redelivered batch must not shift packs or duplicate rows")
+    assert(lexical() == lexOnce,
+      "a redelivered batch must not change the lexical postings")
     // the curated view equals the batch pipeline over everything
     val fullIds = TrainingDataJob.run(docs, cfg)
       .select("doc_id").as[Long].collect().toSet
     assert(snapshot().map(_._1) == fullIds)
+    // the maintained postings equal a rebuild over the curated view
+    assert(lexical() == graft.operators.TextAnalysis.lexicalIndex(
+        TrainingStreaming.readCurated(spark, root), "doc_id", "text")
+      .as[(Long, String, Long, Int)].collect().toSet)
   }
 
   test("mid-swap crash on docs/additions state is recovered at the next tick") {
@@ -149,6 +158,11 @@ class TrainingStreamingSpec extends SparkSpec {
     val fullIds = TrainingDataJob.run(old.unionByName(delta), cfg)
       .select("doc_id").as[Long].collect().toSet
     assert(shipped2 == fullIds)
+    // the retracted canonical's postings dropped out of the lexical
+    // store with it — retrieval serves only what ships
+    val lexDocs = TrainingStreaming.readLexical(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lexDocs == Set(1L), s"lexical store tracks shipped docs, got $lexDocs")
   }
 
   test("two drops converge to the batch run; restart resumes from checkpoint") {
