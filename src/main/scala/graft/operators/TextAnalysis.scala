@@ -373,11 +373,15 @@ object TextAnalysis {
     * on the tick-sized id set — nothing corpus-sized moves. The
     * maintained index tracks the shipped document set exactly
     * (spec-pinned), so N/idf/avgdl stay consistent with what a
-    * rebuild over the post-tick corpus would compute.
+    * rebuild over the post-tick corpus would compute. The id column
+    * is taken from `ids` BY NAME (like [[mergeLexicalIndex]]) — a
+    * frame without it fails analysis instead of silently anti-joining
+    * on whatever column happens to come first.
     */
-  def removeLexicalDocs(index: DataFrame, ids: DataFrame): DataFrame =
+  def removeLexicalDocs(index: DataFrame, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
     index.join(
-      broadcast(ids.select(col(ids.columns.head).as("doc_id")).distinct),
+      broadcast(ids.select(col(idCol).as("doc_id")).distinct),
       Seq("doc_id"), "left_anti")
 
   /** BM25 weights from a persisted [[lexicalIndex]] table: tf/dl read

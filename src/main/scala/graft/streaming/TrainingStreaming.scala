@@ -128,34 +128,60 @@ object TrainingStreaming {
         retractsPath(storeRoot), keys = Seq("doc_id"))
     AnalysisStore.writeIncremental(spark, batch,
       docsPath(storeRoot), keys = Seq("doc_id"))
+    // the serving-layer lexical (BM25) postings track the curated set
+    // (additions minus retractions), maintained as ONE staged write:
+    // fold the batch's shipped docs in replace-by-doc, then anti-join
+    // the CUMULATIVE retractions store — never only this tick's
+    // recomputed `retracted`, which a redelivered batch may recompute
+    // differently once state has moved. One staged write also halves
+    // the write amplification of the old merge-then-remove pair and
+    // closes its serve-merged-but-not-yet-retracted interval. A store
+    // root that predates the lexical dir backfills from the additions
+    // store (the full shipped history, re-tokenized once), not just
+    // this batch.
+    //
+    // ORDERING: this write must precede the clusters swap below. The
+    // swap is the tick's commit point — every state read above
+    // excludes the batch's keys, so a redelivery that crashed
+    // ANYWHERE before the swap recomputes the identical (non-empty)
+    // additions/retracted and re-runs this idempotent write; once the
+    // swap has landed, the lexical store already has too. Were this
+    // write to follow the swap, a crash between them would strand a
+    // stale lexical store forever: the retry would recompute
+    // additions = retracted = ∅ (priorClusters already reflects the
+    // merge) and the guard below would skip the rewrite.
+    val lexP = lexicalPath(storeRoot)
+    if (!additions.isEmpty || !retracted.isEmpty || !exists(spark, lexP)) {
+      val merged =
+        if (exists(spark, lexP))
+          graft.operators.TextAnalysis.mergeLexicalIndex(
+            spark.read.parquet(lexP), additions, "doc_id", "text")
+        else
+          graft.operators.TextAnalysis.lexicalIndex(
+            spark.read.parquet(addsPath(storeRoot)), "doc_id", "text")
+      val lexTarget = readablePath(spark, retractsPath(storeRoot)) match {
+        case Some(rp) => graft.operators.TextAnalysis.removeLexicalDocs(
+          merged, spark.read.parquet(rp))
+        case None => merged
+      }
+      val lexDir = new org.apache.hadoop.fs.Path(lexP)
+      val lexFs = fsOf(spark, lexP)
+      if (!lexFs.exists(lexDir)) lexFs.mkdirs(lexDir)
+      AnalysisStore.stageAndSwap(spark, lexP) { staging =>
+        lexTarget.write.parquet(staging)
+      }
+    }
     // the clustering is replaced whole (two long columns over quality
     // docs) via stage-and-swap — an empty dir is pre-created on the
     // first tick so the swap (and its crash recovery above) covers
-    // every tick the same way
+    // every tick the same way. LAST on purpose: see the ordering note
+    // on the lexical write.
     val cp = new org.apache.hadoop.fs.Path(clustersPath(storeRoot))
     val fs = fsOf(spark, clustersPath(storeRoot))
     if (!fs.exists(cp)) fs.mkdirs(cp)
     AnalysisStore.stageAndSwap(spark, clustersPath(storeRoot)) { staging =>
       clusters.write.parquet(staging)
     }
-    // the serving-layer lexical (BM25) postings track the curated set:
-    // the batch's shipped docs merge replace-by-doc (a redelivered
-    // batch converges — same contract as the docs store), then this
-    // tick's retracted canonicals drop out. The store is write-only
-    // inside the tick, so no before-this-batch read exclusion applies;
-    // a crash between the two writes just re-runs both idempotent
-    // steps on retry.
-    val lexP = lexicalPath(storeRoot)
-    if (!additions.isEmpty)
-      AnalysisStore.writeIncremental(spark,
-        graft.operators.TextAnalysis.lexicalIndex(additions, "doc_id", "text"),
-        lexP, keys = Seq("doc_id"))
-    if (!retracted.isEmpty && exists(spark, lexP))
-      AnalysisStore.stageAndSwap(spark, lexP) { staging =>
-        graft.operators.TextAnalysis
-          .removeLexicalDocs(spark.read.parquet(lexP), retracted)
-          .write.parquet(staging)
-      }
   }
 
   /** Wire a documents stream (e.g. `readStream.schema(s).parquet(dir)`

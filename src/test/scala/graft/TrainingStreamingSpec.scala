@@ -165,6 +165,80 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(lexDocs == Set(1L), s"lexical store tracks shipped docs, got $lexDocs")
   }
 
+  test("lexical retraction survives a crash at either side of the lexical write") {
+    // same bridge fixture as above. The clusters swap is the tick's
+    // COMMIT POINT (last write), so the reachable crash windows leave
+    // the clusters store at its pre-tick content while earlier writes
+    // may or may not have landed. Redelivery then recomputes the same
+    // non-empty retraction set from the un-swapped clusters and must
+    // converge the lexical store — in both windows:
+    //   (a) crash BEFORE the lexical write (lexical stale);
+    //   (b) crash AFTER it (lexical already new — idempotent re-run).
+    val w = (1 to 30).map {
+      case 11 => "the"
+      case 15 => "and"
+      case i => s"w$i"
+    }
+    def txt(lo: Int, hi: Int) = w.slice(lo - 1, hi).mkString(" ")
+    val old = Seq((1L, txt(1, 20), "en"), (2L, txt(11, 30), "en"))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq((3L, txt(6, 25), "en")).toDF("doc_id", "text", "lang")
+    val cfg = TrainingDataJob.Config(jaccardThreshold = 0.5,
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    for (lexicalLanded <- Seq(false, true)) {
+      val root = Files.createTempDirectory("lexcrash").resolve("store").toString
+      TrainingStreaming.tickBatch(spark, old, root, cfg)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val cluP = new org.apache.hadoop.fs.Path(s"$root/clusters")
+      val lexP = new org.apache.hadoop.fs.Path(s"$root/lexical")
+      val savedClu = new org.apache.hadoop.fs.Path(s"$root/clusters_pretick")
+      val savedLex = new org.apache.hadoop.fs.Path(s"$root/lexical_pretick")
+      assert(org.apache.hadoop.fs.FileUtil.copy(fs, cluP, fs, savedClu, false, conf))
+      assert(org.apache.hadoop.fs.FileUtil.copy(fs, lexP, fs, savedLex, false, conf))
+
+      TrainingStreaming.tickBatch(spark, delta, root, cfg)
+      // simulate the crash: the clusters swap (the commit point) never
+      // happened; the lexical write did or didn't, per window
+      assert(fs.delete(cluP, true))
+      assert(fs.rename(savedClu, cluP))
+      if (!lexicalLanded) {
+        assert(fs.delete(lexP, true))
+        assert(fs.rename(savedLex, lexP))
+      } else assert(fs.delete(savedLex, true))
+      // at-least-once: the same batch arrives again
+      TrainingStreaming.tickBatch(spark, delta, root, cfg)
+      val lexDocs = TrainingStreaming.readLexical(spark, root)
+        .select("doc_id").as[Long].collect().toSet
+      assert(lexDocs == Set(1L),
+        s"window lexicalLanded=$lexicalLanded must converge, got $lexDocs")
+      val curated = TrainingStreaming.readCurated(spark, root)
+        .select("doc_id").as[Long].collect().toSet
+      assert(curated == Set(1L))
+    }
+  }
+
+  test("a store root that predates the lexical dir backfills the full shipped history") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5)
+    val root = Files.createTempDirectory("lexbackfill").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, docs.filter(col("doc_id") < 200), root, cfg)
+    // a deployment from before the lexical state dir existed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/lexical"), true))
+    TrainingStreaming.tickBatch(spark, docs.filter(col("doc_id") >= 200), root, cfg)
+    // the next tick indexes the WHOLE shipped set, not just its batch
+    val lex = TrainingStreaming.readLexical(spark, root)
+      .as[(Long, String, Long, Int)].collect().toSet
+    val rebuilt = graft.operators.TextAnalysis.lexicalIndex(
+        TrainingStreaming.readCurated(spark, root), "doc_id", "text")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(lex == rebuilt, "backfill must cover every pre-upgrade doc")
+  }
+
   test("two drops converge to the batch run; restart resumes from checkpoint") {
     val docs = Tables.load(spark, sfDir, "documents")
     val drop1 = docs.filter(col("doc_id") < 300)
