@@ -200,28 +200,60 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5,
       maxTrainRows: Int = 65536): Array[Array[Double]] = {
-    val sample = unitVectors(corpus, idCol, vecCol, "id", "v")
+    val sample = collectUnitSample(corpus, idCol, vecCol, maxTrainRows)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    localSphericalKMeans(sample, nCentroids, iters)
+  }
+
+  /** The deterministic unit-vector training sample every quantizer
+    * trainer draws: first `maxTrainRows` rows by id (TakeOrdered —
+    * per-partition heaps + driver merge, no full sort even at
+    * 100 TB). Shared so composed models ([[trainIvfPq]]) fit their
+    * parts against ONE consistent sample.
+    */
+  private def collectUnitSample(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      maxTrainRows: Int): Array[Array[Double]] =
+    unitVectors(corpus, idCol, vecCol, "id", "v")
       .orderBy(col("id")).limit(maxTrainRows)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+
+  /** First argmax-dot centroid index of `v` — the driver-local twin
+    * of [[nearestCentroid]] (same first-wins tie-break, so local
+    * residual training and the distributed assignment expression
+    * agree on cell membership).
+    */
+  private def localNearest(
+      v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, ct.length)
+      while (i < n) { d += v(i) * ct(i); i += 1 }
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Driver-local spherical k-means over a collected sample (see
+    * [[trainCentroids]] for why local iteration beats distributed for
+    * a model-sized artifact). Deterministic per the contract there.
+    */
+  private def localSphericalKMeans(
+      sample: Array[Array[Double]], nCentroids: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids = sample.take(nCentroids)
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
       val counts = new Array[Long](centroids.length)
       sample.foreach { v =>
-        var best = 0
-        var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < centroids.length) {
-          val ct = centroids(c)
-          var d = 0.0
-          var i = 0
-          val n = math.min(v.length, ct.length)
-          while (i < n) { d += v(i) * ct(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
+        val best = localNearest(v, centroids)
         val s = sums(best)
         var i = 0
         while (i < v.length && i < s.length) { s(i) += v(i); i += 1 }
@@ -410,11 +442,19 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 5,
       maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
-    val sample = unitVectors(corpus, idCol, vecCol, "id", "v")
-      .orderBy(col("id")).limit(maxTrainRows)
-      .select(col("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = collectUnitSample(corpus, idCol, vecCol, maxTrainRows)
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    localSubspaceCodebooks(sample, m, ksub, iters)
+  }
+
+  /** Driver-local per-subspace k-means (the PQ fit) over a collected
+    * sample — shared by [[trainPqCodebooks]] (raw vectors) and
+    * [[trainIvfPq]] (cell residuals). Deterministic per the
+    * [[trainPqCodebooks]] contract.
+    */
+  private def localSubspaceCodebooks(
+      sample: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
@@ -511,21 +551,29 @@ object Similarity {
     val adc = rankTopK(scored, k * oversample)
     rerankWith match {
       case None => adc
-      case Some(corpus) =>
-        // exact rerank of the (|q| × k·oversample)-row candidate list:
-        // the candidates broadcast and the corpus is probed BY ID — at
-        // store scale an id-bucketed layout makes this a bucket-local
-        // fetch, never a corpus shuffle
-        val cand = adc.select(col("qid"), col("nid"))
-        val cvecs = unitVectors(corpus, idCol, vecCol, "nid", "cv")
-          .join(broadcast(cand), Seq("nid"))
-        val exact = cvecs
-          .join(broadcast(unitVectors(queries, idCol, vecCol, "qid", "qv")),
-            Seq("qid"))
-          .withColumn("cos",
-            round(VectorFunctions.dot(col("cv"), col("qv")), 4))
-        rankTopK(exact, k)
+      case Some(corpus) => exactRerank(adc, corpus, queries, idCol, vecCol, k)
     }
+  }
+
+  /** Exact rerank of a (|q| × k·oversample)-row ADC shortlist: the
+    * candidates broadcast and the corpus is probed BY ID — at store
+    * scale an id-bucketed layout makes this a bucket-local fetch,
+    * never a corpus shuffle. Shared by the PQ and IVF-PQ serving
+    * paths (compression decides the shortlist, exact math decides the
+    * ranks).
+    */
+  private def exactRerank(
+      shortlist: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = shortlist.select(col("qid"), col("nid"))
+    val cvecs = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+      .join(broadcast(cand), Seq("nid"))
+    val exact = cvecs
+      .join(broadcast(unitVectors(queries, idCol, vecCol, "qid", "qv")),
+        Seq("qid"))
+      .withColumn("cos",
+        round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+    rankTopK(exact, k)
   }
 
   /** PQ ANN top-k end-to-end: train codebooks, encode the corpus,
@@ -545,6 +593,180 @@ object Similarity {
       codebooks, queries, idCol, vecCol, k, oversample,
       rerankWith = if (oversample > 1) Some(corpus) else None)
   }
+
+  // ─────────────── IVF-PQ (coarse cells + residual product codes) ───────────────
+
+  /** Train the composed IVF-PQ model — the standard billion-scale
+    * serving structure (coarse inverted file to prune the corpus,
+    * product codes over cell RESIDUALS to shrink what remains):
+    * spherical k-means cells as in [[trainCentroids]], then
+    * per-subspace codebooks fitted to v − c(v) over the SAME training
+    * sample. Residuals are what make the composition worth having:
+    * within a cell the residual magnitudes are a fraction of the raw
+    * vectors', so the same ksub codes quantize far finer than
+    * [[trainPqCodebooks]]'s raw-vector fit.
+    *
+    * Deterministic end-to-end (sample, cell fit, local assignment,
+    * subspace fit all inherit the component contracts). Model size:
+    * nCentroids×dim + dim×ksub doubles — kilobytes, codegen literals.
+    */
+  def trainIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      maxTrainRows: Int = 65536): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val sample = collectUnitSample(corpus, idCol, vecCol, maxTrainRows)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    val centroids = localSphericalKMeans(sample, nCentroids, iters)
+    val residuals = sample.map { v =>
+      val ct = centroids(localNearest(v, centroids))
+      Array.tabulate(v.length)(i => v(i) - (if (i < ct.length) ct(i) else 0.0))
+    }
+    (centroids, localSubspaceCodebooks(residuals, m, ksub, iters))
+  }
+
+  /** Residual code of subspace `j` given the row's cell, WITHOUT
+    * materializing a residual array: argmin‖(v_j − c_j) − cb‖² =
+    * argmax(v_j·cb − corr(cid, cb)) where corr = c_j·cb + ½‖cb‖²
+    * depends only on (cell, code) — a plan-time literal table
+    * (nCentroids × ksub doubles per subspace), so the hot loop stays
+    * the same codegen'd [[VectorFunctions.dot]] as the whole ANN
+    * family plus two literal-array lookups.
+    */
+  private def ivfPqCode(unitVec: Column, cid: Column,
+      codebook: Array[Array[Double]], centroids: Array[Array[Double]],
+      j: Int, sub: Int): Column = {
+    val s = slice(unitVec, j * sub + 1, sub)
+    val corr: Seq[Seq[Double]] = centroids.toSeq.map { cell =>
+      codebook.toSeq.map { cb =>
+        var d = 0.0
+        var i = 0
+        while (i < sub && j * sub + i < cell.length) {
+          d += cell(j * sub + i) * cb(i); i += 1
+        }
+        d + 0.5 * cb.map(x => x * x).sum
+      }
+    }
+    val corrRow = get(typedlit(corr), cid)
+    val scores = array(codebook.zipWithIndex.map { case (cb, c) =>
+      VectorFunctions.dot(s, typedlit(cb)) - get(corrRow, lit(c))
+    }: _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /** The IVF-PQ index: (nid, cid, codes array<int> of length m) — one
+    * narrow codegen'd pass over the corpus (cell assignment + residual
+    * codes in the same projection, no shuffle), written once and
+    * probed by every query batch. At 100 TB this row is an int cell id
+    * plus m ints — the structure that lets a query batch read
+    * nProbe/nCentroids of the corpus at 128× compression.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    unitVectors(corpus, idCol, vecCol, "nid", "cv")
+      .withColumn("cid", nearestCentroid(col("cv"), centroids))
+      .select(col("nid"), col("cid"), array((0 until m).map(j =>
+        ivfPqCode(col("cv"), col("cid"), codebooks(j), centroids, j, sub))
+        : _*).as("codes"))
+  }
+
+  /** IVF-PQ search over a PREBUILT index — the composed serving path.
+    * Score decomposition for unit vectors: q·v = q·c(v) + q·r, with
+    * q·c exact (it falls out of the probe-selection dots) and q·r
+    * approximated by the same m table lookups as [[pqTopKFromIndex]]
+    * (the ADC table is built from q alone, because the quantized
+    * residual is a sum of codebook entries — one m·ksub-dot row per
+    * query regardless of nProbe).
+    *
+    * Scale shape: the probe join hits only the query's nProbe cells
+    * (broadcast query side, corpus never shuffles — at store scale
+    * the index is bucketed/partitioned BY cid, so probing reads
+    * nProbe/nCentroids of it, the pruning IVF alone provides), each
+    * candidate scores with m int lookups (the compression PQ alone
+    * provides), and the exact rerank fetches only the
+    * |q|×k·oversample shortlist by id.
+    */
+  def ivfPqTopKFromIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, oversample: Int = 1,
+      rerankWith: Option[DataFrame] = None): DataFrame = {
+    val nCentroids = centroids.length
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val sub = codebooks(0)(0).length
+    val dots = array(centroids.map(ct =>
+      VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
+    val qtab = array((for (j <- 0 until m; c <- codebooks(j)) yield
+      VectorFunctions.dot(slice(col("qv"), j * sub + 1, sub),
+        typedlit(c))): _*)
+    val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .withColumn("qtab", qtab)
+      .withColumn("probe", slice(
+        array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
+          (d, i) => struct((-d).as("negd"), i.as("cid")))),
+        1, nProbe))
+      .select(col("qid"), col("qtab"), explode(col("probe")).as("p"))
+      .select(col("qid"), col("qtab"),
+        col("p.cid").as("cid"), (-col("p.negd")).as("qc"))
+    val scored = index.join(broadcast(q), Seq("cid"))
+      .withColumn("cos", round(col("qc") +
+        (0 until m).map(j => get(col("qtab"),
+          lit(j * ksub) + get(col("codes"), lit(j)))).reduce(_ + _), 4))
+    val adc = rankTopK(scored, k * oversample)
+    rerankWith match {
+      case None => adc
+      case Some(corpus) => exactRerank(adc, corpus, queries, idCol, vecCol, k)
+    }
+  }
+
+  /** IVF-PQ ANN top-k end-to-end: train cells + residual codebooks,
+    * build the composed index, ADC-score an oversampled shortlist
+    * inside the probed cells, exact-rerank it. The serving path
+    * splits these: [[ivfPqIndex]] is written once,
+    * [[ivfPqTopKFromIndex]] runs per query batch.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, iters: Int = 5,
+      oversample: Int = 5): DataFrame = {
+    val (centroids, codebooks) =
+      trainIvfPq(corpus, idCol, vecCol, nCentroids, m, ksub, iters)
+    ivfPqTopKFromIndex(ivfPqIndex(corpus, idCol, vecCol, centroids, codebooks),
+      centroids, codebooks, queries, idCol, vecCol, k, nProbe, oversample,
+      rerankWith = if (oversample > 1) Some(corpus) else None)
+  }
+
+  /** Persist/reload PQ codebooks next to their index table (one row
+    * per (subspace, code) — model-sized, never row data), the
+    * codebook twin of [[saveCentroids]]. Bit-identical on reload, so
+    * probes against a reloaded model equal the in-memory run.
+    */
+  def savePqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      codebooks: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (v, c) => (j, c, v.toSeq) }
+    }.toSeq.toDF("j", "cid", "v")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  def loadPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path)
+      .orderBy("j", "cid").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toArray))
+      .map(_.toArray).toArray
 
   /** kNN label prediction: each query takes the majority label of its
     * k nearest corpus neighbors by cosine (ties: most votes, then

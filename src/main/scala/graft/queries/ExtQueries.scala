@@ -275,6 +275,16 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5, m = 16, ksub = 16)
     },
 
+    "ann_topk_ivfpq" -> QueryDef.noOracle(
+      doc = "IVF-PQ ANN top-5 (16 coarse cells ×8 probes, 16×16 residual codebooks, ADC + exact rerank of a 5× shortlist) — the composed billion-scale serving structure; approximation → rows-only; recall gated in SimilaritySpec and ann_recall_ivfpq") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.ivfPqTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nCentroids = 16, nProbe = 8, m = 16, ksub = 16)
+    },
+
     "ann_topk_sq" -> QueryDef.noOracle(
       doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes) — quantization error → rows-only; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -454,6 +464,11 @@ object ExtQueries {
 
     "ann_recall_pq" -> annRecall("pq", 0.6) { (c, q) =>
       Similarity.pqTopK(c, q, "vec_id", "embedding", 5, m = 16, ksub = 16)
+    },
+
+    "ann_recall_ivfpq" -> annRecall("ivfpq", 0.6) { (c, q) =>
+      Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 8, m = 16, ksub = 16)
     },
 
     "multimodal_frames" -> QueryDef(

@@ -89,6 +89,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ann_topk_ivfpq: probe join broadcasts — ADC heap + rerank heap only") {
+    val p = plan("ann_topk_ivfpq")
+    // two hash exchanges, exactly as ann_topk_pq: the in-cell ADC
+    // shortlist agg and the final reranked top-k agg; the cell-probe
+    // join and the rerank fetch ride broadcasts, so the corpus-side
+    // index never shuffles
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("sample_weighted: pure narrow filter, zero exchanges") {
     val p = plan("sample_weighted")
     assert(count(p, "Exchange hashpartitioning") == 0, p)

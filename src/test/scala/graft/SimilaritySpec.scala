@@ -128,6 +128,74 @@ class SimilaritySpec extends SparkSpec {
     assert(adcRecall <= recall, s"rerank must not lose recall ($adcRecall > $recall)")
   }
 
+  test("ivfPqTopK: composed cells+residual codes — recall, determinism, serving parity") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val (cents, books) = Similarity.trainIvfPq(corpus, "vec_id", "embedding",
+      nCentroids = 8, m = 16, ksub = 16)
+    assert(cents.length == 8 && books.length == 16)
+    assert(books.forall(b => b.nonEmpty && b.length <= 16 && b.forall(_.length == 4)))
+    val (c2, b2) = Similarity.trainIvfPq(corpus, "vec_id", "embedding",
+      nCentroids = 8, m = 16, ksub = 16)
+    cents.zip(c2).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
+    books.zip(b2).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) } }
+
+    // index rows: one cell id + m in-range codes, assigned in ONE
+    // narrow pass (no shuffle in the build plan)
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", cents, books)
+    val row = idx.select("cid", "codes").as[(Int, Seq[Int])].head()
+    assert(row._1 >= 0 && row._1 < 8)
+    assert(row._2.length == 16 && row._2.forall(c => c >= 0 && c < 16))
+    assert(!idx.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // recall through the full recipe (8 probes of 16 cells, 5×
+    // shortlist, exact rerank) on the adversarial near-random corpus
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.ivfPqTopK(corpus, queries, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 8, m = 16, ksub = 16)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivfpq).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-PQ recall $recall < 0.6")
+
+    // residuals are the point: with every cell probed (pruning off),
+    // ADC over residual codes must recover at least what ADC over
+    // raw-vector codes does — the composed quantizer is never coarser
+    val rawBooks = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 16, ksub = 16)
+    val rawAdc = Similarity.pqTopKFromIndex(
+        Similarity.pqIndex(corpus, "vec_id", "embedding", rawBooks),
+        rawBooks, queries, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val resAdc = Similarity.ivfPqTopKFromIndex(idx, cents, books,
+        queries, "vec_id", "embedding", 5, nProbe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val rawR = (exact & rawAdc).size.toDouble / exact.size
+    val resR = (exact & resAdc).size.toDouble / exact.size
+    assert(resR >= rawR, s"residual ADC recall $resR < raw ADC recall $rawR")
+
+    // serving parity: persisted index + reloaded model answer batches
+    // identically to the in-memory run
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq")
+    idx.write.parquet(dir.resolve("idx").toString)
+    Similarity.saveCentroids(spark, cents, dir.resolve("cents").toString)
+    Similarity.savePqCodebooks(spark, books, dir.resolve("books").toString)
+    val loadedBooks = Similarity.loadPqCodebooks(spark, dir.resolve("books").toString)
+    loadedBooks.zip(books).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) } }
+    assertSameRows(
+      Similarity.ivfPqTopKFromIndex(
+        spark.read.parquet(dir.resolve("idx").toString),
+        Similarity.loadCentroids(spark, dir.resolve("cents").toString),
+        loadedBooks, queries, "vec_id", "embedding", 5,
+        nProbe = 4, oversample = 5, rerankWith = Some(corpus)),
+      Similarity.ivfPqTopKFromIndex(idx, cents, books,
+        queries, "vec_id", "embedding", 5,
+        nProbe = 4, oversample = 5, rerankWith = Some(corpus)))
+  }
+
   test("trainCentroids returns unit centroids, deterministic") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val c1 = Similarity.trainCentroids(e, "vec_id", "embedding", 4, iters = 2)
