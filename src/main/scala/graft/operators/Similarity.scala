@@ -200,24 +200,28 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5,
       maxTrainRows: Int = 65536): Array[Array[Double]] = {
-    val sample = collectUnitSample(corpus, idCol, vecCol, maxTrainRows)
-    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
-    localSphericalKMeans(sample, nCentroids, iters)
+    localSphericalKMeans(
+      collectUnitSample(corpus, idCol, vecCol, maxTrainRows),
+      nCentroids, iters)
   }
 
   /** The deterministic unit-vector training sample every quantizer
     * trainer draws: first `maxTrainRows` rows by id (TakeOrdered —
     * per-partition heaps + driver merge, no full sort even at
     * 100 TB). Shared so composed models ([[trainIvfPq]]) fit their
-    * parts against ONE consistent sample.
+    * parts against ONE consistent sample, and the non-empty guard
+    * can't be forgotten by a new trainer.
     */
   private def collectUnitSample(
       corpus: DataFrame, idCol: String, vecCol: String,
-      maxTrainRows: Int): Array[Array[Double]] =
-    unitVectors(corpus, idCol, vecCol, "id", "v")
+      maxTrainRows: Int): Array[Array[Double]] = {
+    val sample = unitVectors(corpus, idCol, vecCol, "id", "v")
       .orderBy(col("id")).limit(maxTrainRows)
       .select(col("v")).collect()
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
+    sample
+  }
 
   /** First argmax-dot centroid index of `v` — the driver-local twin
     * of [[nearestCentroid]] (same first-wins tie-break, so local
@@ -338,21 +342,33 @@ object Similarity {
       index: DataFrame, centroids: Array[Array[Double]],
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val nCentroids = centroids.length
-    // query probes: top-nProbe centroids by dot
-    val dots = array(centroids.map(ct =>
-      VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
-    val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
-      .withColumn("probe", slice(
-        transform(
-          array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
-            (d, i) => struct((-d).as("negd"), i.as("cid")))),
-          s => s.getField("cid")),
-        1, nProbe))
-      .select(col("qid"), col("qv"), explode(col("probe")).as("cid"))
+    val q = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
     val cands = index.join(broadcast(q), Seq("cid"))
       .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
     rankTopK(cands, k)
+  }
+
+  /** Top-nProbe cells per query by centroid dot, as (qid, qv, cid,
+    * qc) rows with qc = the exact q·centroid dot of the probed cell.
+    * Deterministic (dot desc, cid asc tie-break). The ONE probe
+    * selection both the IVF and IVF-PQ serving paths use — a fix to
+    * probe ordering lands on both or neither.
+    */
+  private def probeCells(
+      queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val nCentroids = centroids.length
+    val dots = array(centroids.map(ct =>
+      VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
+    unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .withColumn("probe", slice(
+        array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
+          (d, i) => struct((-d).as("negd"), i.as("cid")))),
+        1, nProbe))
+      .select(col("qid"), col("qv"), explode(col("probe")).as("p"))
+      .select(col("qid"), col("qv"),
+        col("p.cid").as("cid"), (-col("p.negd")).as("qc"))
   }
 
   /** Persist/reload the k×dim centroid model next to the index table
@@ -442,9 +458,9 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16, iters: Int = 5,
       maxTrainRows: Int = 65536): Array[Array[Array[Double]]] = {
-    val sample = collectUnitSample(corpus, idCol, vecCol, maxTrainRows)
-    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
-    localSubspaceCodebooks(sample, m, ksub, iters)
+    localSubspaceCodebooks(
+      collectUnitSample(corpus, idCol, vecCol, maxTrainRows),
+      m, ksub, iters)
   }
 
   /** Driver-local per-subspace k-means (the PQ fit) over a collected
@@ -615,7 +631,6 @@ object Similarity {
       nCentroids: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 5,
       maxTrainRows: Int = 65536): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val sample = collectUnitSample(corpus, idCol, vecCol, maxTrainRows)
-    require(sample.nonEmpty, "cannot train a quantizer on an empty corpus")
     val centroids = localSphericalKMeans(sample, nCentroids, iters)
     val residuals = sample.map { v =>
       val ct = centroids(localNearest(v, centroids))
@@ -695,25 +710,21 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 4, oversample: Int = 1,
       rerankWith: Option[DataFrame] = None): DataFrame = {
-    val nCentroids = centroids.length
     val m = codebooks.length
     val ksub = codebooks(0).length
     val sub = codebooks(0)(0).length
-    val dots = array(centroids.map(ct =>
-      VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("qid"), col("cid"), col("qc"))
+    // the m·ksub ADC table rides its own one-row-per-query broadcast
+    // (joined by qid AFTER the cell-probe join) instead of being
+    // duplicated nProbe× through the probe explode
     val qtab = array((for (j <- 0 until m; c <- codebooks(j)) yield
       VectorFunctions.dot(slice(col("qv"), j * sub + 1, sub),
         typedlit(c))): _*)
-    val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
-      .withColumn("qtab", qtab)
-      .withColumn("probe", slice(
-        array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
-          (d, i) => struct((-d).as("negd"), i.as("cid")))),
-        1, nProbe))
-      .select(col("qid"), col("qtab"), explode(col("probe")).as("p"))
-      .select(col("qid"), col("qtab"),
-        col("p.cid").as("cid"), (-col("p.negd")).as("qc"))
-    val scored = index.join(broadcast(q), Seq("cid"))
+    val qtabs = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .select(col("qid"), qtab.as("qtab"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .join(broadcast(qtabs), Seq("qid"))
       .withColumn("cos", round(col("qc") +
         (0 until m).map(j => get(col("qtab"),
           lit(j * ksub) + get(col("codes"), lit(j)))).reduce(_ + _), 4))

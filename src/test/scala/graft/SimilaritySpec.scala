@@ -96,10 +96,10 @@ class SimilaritySpec extends SparkSpec {
     val queries = e.filter(col("vec_id") < 10)
     val books = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
       m = 16, ksub = 16)
-    // model shape: 16 subspaces × ≤16 centroids × 4 dims, deterministic
+    // model shape: 16 subspaces × exactly 16 centroids × 4 dims
+    // (the sample exceeds ksub, so no subspace may come up short)
     assert(books.length == 16)
-    assert(books.forall(b => b.nonEmpty && b.length <= 16 &&
-      b.forall(_.length == 4)))
+    assert(books.forall(b => b.length == 16 && b.forall(_.length == 4)))
     val again = Similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
       m = 16, ksub = 16)
     books.zip(again).foreach { case (a, b) =>
@@ -135,7 +135,7 @@ class SimilaritySpec extends SparkSpec {
     val (cents, books) = Similarity.trainIvfPq(corpus, "vec_id", "embedding",
       nCentroids = 8, m = 16, ksub = 16)
     assert(cents.length == 8 && books.length == 16)
-    assert(books.forall(b => b.nonEmpty && b.length <= 16 && b.forall(_.length == 4)))
+    assert(books.forall(b => b.length == 16 && b.forall(_.length == 4)))
     val (c2, b2) = Similarity.trainIvfPq(corpus, "vec_id", "embedding",
       nCentroids = 8, m = 16, ksub = 16)
     cents.zip(c2).foreach { case (a, b) => assert(a.toSeq == b.toSeq) }
