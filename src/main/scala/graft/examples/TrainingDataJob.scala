@@ -72,7 +72,23 @@ object TrainingDataJob {
       // between EPOCHS (full re-runs), never between ticks.
       subwordVocab: Option[Seq[String]] = None,
       numShards: Int = 8,
-      shuffleSeed: String = "epoch0")
+      shuffleSeed: String = "epoch0",
+      // dense-vector serving state (streaming tier): when set to the
+      // batch's embedding column name, every [[graft.streaming
+      // .TrainingStreaming.tickBatch]] maintains an IVF vector index
+      // over the curated set as durable state — delta assignment
+      // under the persisted centroid model, with a per-tick
+      // [[graft.operators.Similarity.indexDriftGate]] that retrains
+      // the cells when the old partitioning stops matching where new
+      // vectors live. None = feature off (batches carry no vectors).
+      vectorCol: Option[String] = None,
+      vectorCentroids: Int = 8,
+      vectorIters: Int = 5,
+      vectorProbe: Int = 2,
+      // <= 0 disables the drift gate (pure assignment — a deployment
+      // where retrain decisions run on their own cadence)
+      vectorMinRecall: Double = 0.6,
+      vectorDriftSample: Int = 32)
 
   /** The configured token counter — words or subword pieces — used
     * for BOTH the n_tokens feature and the pack budget, so the

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, sum}
+import org.apache.spark.sql.functions.{col, lit, sum, typedlit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -43,6 +43,7 @@ object TrainingStreaming {
   private def addsPath(root: String) = s"$root/additions"
   private def retractsPath(root: String) = s"$root/retractions"
   private def lexicalPath(root: String) = s"$root/lexical"
+  private def vectorsPath(root: String) = s"$root/vectors"
 
   /** The path's OWN filesystem — state roots need not live on the
     * cluster's fs.defaultFS.
@@ -72,7 +73,7 @@ object TrainingStreaming {
     */
   private def recoverState(spark: SparkSession, root: String): Unit =
     Seq(docsPath(root), clustersPath(root), addsPath(root),
-      retractsPath(root), lexicalPath(root))
+      retractsPath(root), lexicalPath(root), vectorsPath(root))
       .foreach(AnalysisStore.recover(spark, _))
 
   /** One curation tick over a batch of new docs, against (and
@@ -171,6 +172,20 @@ object TrainingStreaming {
         lexTarget.write.parquet(staging)
       }
     }
+    // the dense-vector (IVF) serving index is the lexical store's
+    // twin: same curated-set contract (fold the shipped docs in,
+    // anti-join the cumulative retractions store), same commit-point
+    // ordering (written before the clusters swap, so every reachable
+    // crash window replays the identical idempotent write), plus the
+    // model lifecycle the lexical path doesn't need — cell centroids
+    // are TRAINED state, so the tick gates the old model's recall on
+    // the delta it just assigned and retrains when drift trips it.
+    config.vectorCol.foreach { vc =>
+      require(batch.columns.contains(vc),
+        s"Config.vectorCol '$vc' is not a column of the incoming batch")
+      maintainVectorIndex(spark, storeRoot, batch, additions, retracted,
+        vc, config)
+    }
     // the clustering is replaced whole (two long columns over quality
     // docs) via stage-and-swap — an empty dir is pre-created on the
     // first tick so the swap (and its crash recovery above) covers
@@ -214,6 +229,158 @@ object TrainingStreaming {
     if (exists(spark, p)) Some(p)
     else if (exists(spark, p + "__old")) Some(p + "__old")
     else None
+
+  /** Maintain the curated set's IVF vector index under `storeRoot/
+    * vectors` — index rows (doc_id, cv, cid) in `vectors/index` and
+    * the centroid model in `vectors/model`, written in ONE staged
+    * swap so a serving layer can never read an index against the
+    * wrong model.
+    *
+    * Model lifecycle: the first vector-carrying tick trains the
+    * cells; later ticks ASSIGN their shipped vectors under the
+    * persisted model (a narrow delta-sized pass) and gate the result
+    * with [[Similarity.indexDriftGate]] — sampled recall of the
+    * post-assignment serving path vs brute force over the curated
+    * vectors. A tripped gate retrains the cells on the current
+    * curated set and re-assigns everything (the amortized cost a
+    * retrain decision pays; a 100 TB deployment that finds the
+    * per-tick brute sample too hot runs the gate every Nth tick —
+    * the write path is identical). Store roots that predate the
+    * vectors dir backfill previously shipped vectors from the docs
+    * store, which preserves every batch column including `vc`.
+    *
+    * Retry contract: the prior index is read minus the batch's own
+    * keys and the retraction filter uses the CUMULATIVE retractions
+    * store, so a redelivered batch recomputes byte-identical state
+    * (training is deterministic end-to-end).
+    */
+  private def maintainVectorIndex(
+      spark: SparkSession, storeRoot: String, batch: DataFrame,
+      additions: DataFrame, retracted: DataFrame, vc: String,
+      config: TrainingDataJob.Config): Unit = {
+    import graft.functions.VectorFunctions
+    import graft.operators.Similarity
+    val vecP = vectorsPath(storeRoot)
+    // probe the index subdir, not the bare dir: a crash between the
+    // first tick's mkdirs and its swap leaves an empty target
+    val have = exists(spark, s"$vecP/index")
+    if (additions.isEmpty && retracted.isEmpty && have) return
+    val batchIds = batch.select("doc_id")
+    val retractsAt = readablePath(spark, retractsPath(storeRoot))
+    def minusRetracts(df: DataFrame): DataFrame = retractsAt match {
+      case Some(rp) => df.join(
+        spark.read.parquet(rp).select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    // cast only — NO normalization here: the Similarity entry points
+    // (ivfAssign/trainCentroids/indexDriftGate) each normalize
+    // exactly once internally, and normalizing an already-normalized
+    // vector shifts low-order bits, which would break the maintained
+    // rows' bit-parity with a raw rebuild (and could flip boundary
+    // cell assignments). Cosine is scale-invariant, so mixing raw
+    // batch vectors with the prior index's normalized rows is safe
+    // everywhere these frames are consumed.
+    def vecs(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      VectorFunctions.toDouble(col(vc)).as("cv"))
+    // prior rows as of before this batch; kept = minus retractions.
+    // A pre-vectors store root has no prior index — backfill the
+    // previously shipped vectors from the docs store (cid absent:
+    // that path retrains below, which re-derives every cid anyway)
+    val kept = minusRetracts(
+      if (have)
+        spark.read.parquet(s"$vecP/index")
+          .join(batchIds, Seq("doc_id"), "left_anti")
+      else {
+        val priorShipped = spark.read.parquet(addsPath(storeRoot))
+          .join(batchIds, Seq("doc_id"), "left_anti").select("doc_id")
+        readablePath(spark, docsPath(storeRoot))
+          .map(spark.read.parquet(_))
+          .filter(_.columns.contains(vc))
+          .map(d => vecs(d.join(priorShipped, Seq("doc_id")))
+            .withColumn("cid", lit(-1)))
+          .getOrElse(batch.limit(0).select(col("doc_id"))
+            .withColumn("cv", typedlit(Seq.empty[Double]))
+            .withColumn("cid", lit(-1)))
+      }).localCheckpoint(true)
+    // this tick's shipped vectors — also the drift gate's probe pool
+    val shipped = minusRetracts(
+      vecs(batch.join(additions.select("doc_id"), Seq("doc_id"))))
+      .localCheckpoint(true)
+    val curated = kept.select("doc_id", "cv").unionByName(shipped)
+      .localCheckpoint(true)
+    val oldCents: Array[Array[Double]] =
+      if (have) Similarity.loadCentroids(spark, s"$vecP/model")
+      else Array.empty
+    if (curated.isEmpty) {
+      // everything retracted: serve an empty index (under the old
+      // model if one exists — the next shipped batch retrains anyway)
+      if (have) writeVectorState(spark, vecP, kept.limit(0), oldCents)
+      return
+    }
+    // the assignment-only outcome: what serving would have after this
+    // tick WITHOUT retraining (and the state the drift gate probes)
+    val assigned =
+      if (have && oldCents.nonEmpty)
+        kept.unionByName(
+          Similarity.ivfAssign(shipped, "doc_id", "cv", oldCents)
+            .withColumnRenamed("nid", "doc_id"))
+          .localCheckpoint(true)
+      else kept.limit(0)
+    // vectorMinRecall <= 0 turns the gate off (assignment only —
+    // e.g. when a separate cadence owns retrain decisions)
+    val stale = have && oldCents.nonEmpty && !shipped.isEmpty &&
+      config.vectorMinRecall > 0 && {
+      Similarity.indexDriftGate(curated, shipped, "doc_id", "cv",
+          k = 5, minRecall = config.vectorMinRecall,
+          sampleN = config.vectorDriftSample) { q =>
+        Similarity.ivfTopKFromIndex(
+          assigned.withColumnRenamed("doc_id", "nid"), oldCents,
+          q, "doc_id", "cv", k = 5, nProbe = config.vectorProbe)
+      }.head().getAs[Boolean]("stale")
+    }
+    val (cents, index) =
+      if (!have || oldCents.isEmpty || stale) {
+        val c = Similarity.trainCentroids(curated, "doc_id", "cv",
+          config.vectorCentroids, iters = config.vectorIters)
+        (c, Similarity.ivfAssign(curated, "doc_id", "cv", c)
+          .withColumnRenamed("nid", "doc_id"))
+      } else (oldCents, assigned)
+    writeVectorState(spark, vecP, index, cents)
+  }
+
+  /** One staged swap of `vectors/index` + `vectors/model` together
+    * (pre-creating the target on the first tick, so the swap and its
+    * crash recovery cover every tick the same way — the clusters-dir
+    * pattern).
+    */
+  private def writeVectorState(
+      spark: SparkSession, vecP: String, index: DataFrame,
+      cents: Array[Array[Double]]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(vecP)
+    val fs = fsOf(spark, vecP)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    AnalysisStore.stageAndSwap(spark, vecP) { staging =>
+      index.write.parquet(s"$staging/index")
+      graft.operators.Similarity.saveCentroids(spark, cents, s"$staging/model")
+    }
+  }
+
+  /** The curated corpus's dense-vector index as of now: (index rows
+    * in [[graft.operators.Similarity]]'s (nid, cv, cid) layout, the
+    * centroid model) — compose `Similarity.ivfTopKFromIndex` over the
+    * pair to serve dense (or, with [[readLexical]] + `Similarity
+    * .rrfFuse`, hybrid) retrieval from exactly the curated set. None
+    * until a vector-carrying tick has landed. Swap-window behavior
+    * matches [[readCurated]]: a mid-swap backup is served without
+    * mutating state, and index+model always come from the SAME
+    * snapshot (they swap in one dir).
+    */
+  def readVectors(spark: SparkSession, storeRoot: String)
+      : Option[(DataFrame, Array[Array[Double]])] =
+    readablePath(spark, vectorsPath(storeRoot)).map { p =>
+      (spark.read.parquet(s"$p/index").withColumnRenamed("doc_id", "nid"),
+        graft.operators.Similarity.loadCentroids(spark, s"$p/model"))
+    }
 
   /** The curated corpus's lexical postings as of now
     * ([[graft.operators.TextAnalysis.lexicalIndex]] layout) — compose

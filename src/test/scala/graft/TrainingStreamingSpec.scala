@@ -239,6 +239,189 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(lex == rebuilt, "backfill must cover every pre-upgrade doc")
   }
 
+  test("vector index tracks the curated set; redelivery converges; rebuild parity") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("embedding", array((0 until 8).map(i =>
+        sin(col("doc_id") * lit(0.37 * (i + 1)) + lit(i.toDouble))): _*))
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300)
+    // gate off (vectorMinRecall = 0): this test pins the pure
+    // assignment path — the maintained index must equal a rebuild
+    // under the SAME served model
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5, vectorCol = Some("embedding"),
+      vectorCentroids = 8, vectorMinRecall = 0.0)
+    val root = Files.createTempDirectory("vecstate").resolve("store").toString
+
+    TrainingStreaming.tickBatch(spark, drop1, root, cfg)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    val (idx, cents) = TrainingStreaming.readVectors(spark, root).get
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Seq[Double], Int)].collect().toSet
+    val once = rows(idx.select("nid", "cv", "cid"))
+    // the index covers exactly the curated set
+    val curatedIds = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(once.map(_._1) == curatedIds)
+    // merge ≡ rebuild: assigning the curated vectors under the served
+    // model reproduces the maintained rows bit-for-bit
+    val curatedVecs = docs
+      .join(TrainingStreaming.readCurated(spark, root).select("doc_id"),
+        Seq("doc_id"))
+      .select("doc_id", "embedding")
+    val rebuilt = graft.operators.Similarity.ivfAssign(
+      curatedVecs, "doc_id", "embedding", cents)
+    assert(rows(rebuilt.select("nid", "cv", "cid")) == once)
+    // at-least-once delivery: the same batch lands again
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    val (idx2, cents2) = TrainingStreaming.readVectors(spark, root).get
+    assert(rows(idx2.select("nid", "cv", "cid")) == once,
+      "a redelivered batch must not change the vector index")
+    assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+  }
+
+  test("vector drift trips a retrain; a stationary delta keeps the model") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    // texts: per-doc disjoint word sets (no shared shingles → no
+    // dedup interference) with stopwords planted for the quality gate
+    def syntheticText(id: Long) =
+      ((1 to 18).map(j => s"w${id}x$j") ++ Seq("the", "and")).mkString(" ")
+    // geometry from SimilaritySpec's drift test: trained = 4 tight
+    // axis clusters; drifted = a ring in the unseen e4/e5 subspace
+    // with a small pinned component (similarity independent of what
+    // drives assignment — ring neighbors always land in OTHER cells)
+    def trainedVec(id: Long): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.05f)
+      v((id % 4).toInt) = 1f
+      v
+    }
+    def driftedVec(id: Long): Array[Float] = {
+      val v = Array.fill(dim)(0f)
+      v((id % 4).toInt) = 0.1f
+      val th = 2 * math.Pi * (id % 100) / 100.0
+      v(4) = math.cos(th).toFloat
+      v(5) = math.sin(th).toFloat
+      v
+    }
+    val base = (100L until 400L).map(id =>
+      (id, syntheticText(id), "en", trainedVec(id)))
+      .toDF("doc_id", "text", "lang", "embedding")
+    val statDelta = (400L until 500L).map(id =>
+      (id, syntheticText(id), "en", trainedVec(id)))
+      .toDF("doc_id", "text", "lang", "embedding")
+    val driftDelta = (400L until 500L).map(id =>
+      (id, syntheticText(id), "en", driftedVec(id)))
+      .toDF("doc_id", "text", "lang", "embedding")
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0, vectorCol = Some("embedding"),
+      vectorCentroids = 12, vectorIters = 10, vectorProbe = 3,
+      vectorMinRecall = 0.6, vectorDriftSample = 24)
+
+    // stationary root: the second tick assigns under the tick-1 model
+    val rootA = Files.createTempDirectory("vecstat").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, base, rootA, cfg)
+    val m1 = TrainingStreaming.readVectors(spark, rootA).get._2
+    TrainingStreaming.tickBatch(spark, statDelta, rootA, cfg)
+    val m2 = TrainingStreaming.readVectors(spark, rootA).get._2
+    assert(m2.map(_.toSeq).toSeq == m1.map(_.toSeq).toSeq,
+      "a stationary delta must not retrain the model")
+
+    // drifted root: the gate trips and the tick retrains
+    val rootB = Files.createTempDirectory("vecdrift").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, base, rootB, cfg)
+    val m1b = TrainingStreaming.readVectors(spark, rootB).get._2
+    assert(m1b.map(_.toSeq).toSeq == m1.map(_.toSeq).toSeq,
+      "training is deterministic across roots")
+    TrainingStreaming.tickBatch(spark, driftDelta, rootB, cfg)
+    val (idx3, m3) = TrainingStreaming.readVectors(spark, rootB).get
+    assert(m3.map(_.toSeq).toSeq != m1.map(_.toSeq).toSeq,
+      "a drifted delta must retrain the model")
+    // the loop closes: the retrained serving state passes the same
+    // gate on the same drifted probes
+    val idx3c = idx3.localCheckpoint(true)
+    val curatedVecs = idx3c.select(col("nid").as("doc_id"), col("cv"))
+    val probes = curatedVecs.filter(col("doc_id") >= 400)
+    val after = graft.operators.Similarity.indexDriftGate(
+        curatedVecs, probes, "doc_id", "cv",
+        k = 5, minRecall = 0.6, sampleN = 24) { q =>
+      graft.operators.Similarity.ivfTopKFromIndex(idx3c, m3, q,
+        "doc_id", "cv", k = 5, nProbe = 3)
+    }.head()
+    assert(!after.getAs[Boolean]("stale"),
+      s"retrain must restore recall (got ${after.getAs[Double]("recall")})")
+  }
+
+  test("vector state converges across the reachable crash windows") {
+    // bridge fixture (see the retraction test): tick 2 both ships a
+    // doc and RETRACTS a demoted canonical. The clusters swap is the
+    // commit point, so the reachable windows leave clusters pre-tick
+    // while the vectors write did (true) or didn't (false) land —
+    // redelivery must converge the vector store either way.
+    val w = (1 to 30).map {
+      case 11 => "the"
+      case 15 => "and"
+      case i => s"w$i"
+    }
+    def txt(lo: Int, hi: Int) = w.slice(lo - 1, hi).mkString(" ")
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array(
+        sin(col("doc_id") * lit(0.7)), cos(col("doc_id") * lit(1.3)),
+        lit(0.5)))
+    val old = embed(Seq((1L, txt(1, 20), "en"), (2L, txt(11, 30), "en"))
+      .toDF("doc_id", "text", "lang"))
+    val delta = embed(Seq((3L, txt(6, 25), "en")).toDF("doc_id", "text", "lang"))
+    val cfg = TrainingDataJob.Config(jaccardThreshold = 0.5,
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0,
+      vectorCol = Some("embedding"), vectorCentroids = 2,
+      vectorMinRecall = 0.0)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    for (vectorsLanded <- Seq(false, true)) {
+      val root = Files.createTempDirectory("veccrash").resolve("store").toString
+      TrainingStreaming.tickBatch(spark, old, root, cfg)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val cluP = new org.apache.hadoop.fs.Path(s"$root/clusters")
+      val vecP = new org.apache.hadoop.fs.Path(s"$root/vectors")
+      val savedClu = new org.apache.hadoop.fs.Path(s"$root/clusters_pretick")
+      val savedVec = new org.apache.hadoop.fs.Path(s"$root/vectors_pretick")
+      assert(org.apache.hadoop.fs.FileUtil.copy(fs, cluP, fs, savedClu, false, conf))
+      assert(org.apache.hadoop.fs.FileUtil.copy(fs, vecP, fs, savedVec, false, conf))
+
+      TrainingStreaming.tickBatch(spark, delta, root, cfg)
+      // crash: the commit point (clusters swap) never happened
+      assert(fs.delete(cluP, true))
+      assert(fs.rename(savedClu, cluP))
+      if (!vectorsLanded) {
+        assert(fs.delete(vecP, true))
+        assert(fs.rename(savedVec, vecP))
+      } else assert(fs.delete(savedVec, true))
+
+      // redelivery converges: canonical 1 stays, demoted 2 drops out,
+      // non-canonical 3 never enters
+      TrainingStreaming.tickBatch(spark, delta, root, cfg)
+      val (idx, _) = TrainingStreaming.readVectors(spark, root).get
+      assert(idx.select("nid").as[Long].collect().toSet == Set(1L),
+        s"window vectorsLanded=$vectorsLanded must converge to the shipped set")
+    }
+
+    // and a mid-swap crash on the vectors dir itself: the backup is
+    // served read-only, then the next tick's recovery restores it
+    val root = Files.createTempDirectory("vecmidswap").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, old, root, cfg)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    val vecP = new org.apache.hadoop.fs.Path(s"$root/vectors")
+    val vecOld = new org.apache.hadoop.fs.Path(s"$root/vectors__old")
+    assert(fs.rename(vecP, vecOld))
+    val (served, _) = TrainingStreaming.readVectors(spark, root).get
+    assert(served.select("nid").as[Long].collect().toSet == Set(1L, 2L),
+      "the backup serves during the swap window")
+    assert(!fs.exists(vecP), "a reader must not mutate the swap window")
+    TrainingStreaming.tickBatch(spark, delta, root, cfg)
+    val (recovered, _) = TrainingStreaming.readVectors(spark, root).get
+    assert(recovered.select("nid").as[Long].collect().toSet == Set(1L))
+  }
+
   test("two drops converge to the batch run; restart resumes from checkpoint") {
     val docs = Tables.load(spark, sfDir, "documents")
     val drop1 = docs.filter(col("doc_id") < 300)
