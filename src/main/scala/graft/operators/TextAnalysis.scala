@@ -752,4 +752,78 @@ object TextAnalysis {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), combined.as("simhash"))
   }
+
+  /** Exact heavy hitters over an item stream, routed through a
+    * Misra–Gries sketch ([[graft.functions.MisraGriesAggregator]]):
+    * items whose frequency exceeds `minFreqBp` basis points of the
+    * stream, with their EXACT counts.
+    *
+    * Two passes, neither of which shuffles by item cardinality:
+    * 1. sketch pass — the MG aggregator combines map-side, so the
+    *    exchange carries ≤ k counters per partition (not one row per
+    *    distinct item; n-gram cardinality at 100 TB makes a plain
+    *    `groupBy` exchange corpus-sized). The stream total rides in
+    *    the same aggregation.
+    * 2. rerank pass — only the ≤ k sketch survivors (a guaranteed
+    *    superset of every item above N/(k+1): enforced by the
+    *    `require` below) are exact-counted; the candidate filter is a
+    *    codegen'd literal set probe, so the shuffle carries ≤ k
+    *    distinct keys with map-side combine.
+    *
+    * The sketch's own contents depend on merge order, but the final
+    * answer is the deterministic exact set {item : count·10⁴ >
+    * minFreqBp·N} — hash-verifiable against a plain SQL oracle.
+    */
+  def heavyItems(items: DataFrame, itemCol: String, k: Int,
+      minFreqBp: Int): DataFrame = {
+    require(minFreqBp >= 1 && minFreqBp <= 10000,
+      s"minFreqBp must be in [1, 10000], got $minFreqBp")
+    require(minFreqBp.toLong * (k + 1) >= 10000L,
+      s"superset guarantee needs k+1 >= 10000/minFreqBp " +
+        s"(k=$k too small for minFreqBp=$minFreqBp)")
+    val mg = udaf(graft.functions.MisraGriesAggregator.misraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    val sk = items
+      .agg(mg(col(itemCol)).as("sketch"), count(lit(1)).as("n_total"))
+      .head()
+    val total = sk.getAs[Long]("n_total")
+    val cands = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val empty = items.limit(0).select(col(itemCol))
+      .withColumn("n_occ", lit(0L)).withColumn("n_total", lit(0L))
+    if (total == 0L || cands.isEmpty) empty
+    else items.filter(col(itemCol).isin(cands: _*))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") * 10000L > lit(minFreqBp.toLong) * lit(total))
+      .withColumn("n_total", lit(total))
+      .orderBy(col("n_occ").desc, col(itemCol))
+  }
+
+  /** Heavy-hitter TOKENS of a corpus: [[heavyItems]] over the
+    * whitespace token stream. Defaults give the 1%-of-corpus set.
+    */
+  def heavyTokens(df: DataFrame, textCol: String, k: Int = 99,
+      minFreqBp: Int = 100): DataFrame =
+    heavyItems(df.select(explode(tokens(col(textCol))).as("token")),
+      "token", k, minFreqBp)
+
+  /** Heavy-hitter word n-grams: where the sketch route genuinely
+    * matters — n-gram cardinality grows superlinearly with corpus
+    * size, so the naive `groupBy(gram)` exchange is corpus-sized
+    * while this one stays ≤ k counters per partition. The n-gram
+    * explode is narrow (docs shorter than n are filtered BEFORE the
+    * index `sequence`, which would otherwise run descending).
+    */
+  def heavyNgrams(df: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 667, minFreqBp: Int = 15): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(tokens(col(textCol)).as("__ws"))
+      .where(size(col("__ws")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("__ws")) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("__ws"), i + j + 1)): _*)))
+        .as("gram"))
+    heavyItems(grams, "gram", k, minFreqBp)
+  }
 }

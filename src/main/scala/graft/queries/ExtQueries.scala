@@ -767,6 +767,37 @@ object ExtQueries {
         minCount = 5L)
     },
 
+    "text_heavy_hitters" -> QueryDef(
+      doc = "exact heavy-hitter tokens (>1% of the corpus) routed through a Misra-Gries sketch: the sketch pass ships <= k counters per partition (never one row per distinct token), its survivors are a guaranteed superset of the answer, and an exact rerank over that <= k-key set makes the output deterministic",
+      oracle = s"""
+        WITH tok AS (SELECT unnest($duckToks) AS token FROM documents),
+        n AS (SELECT count(*) AS n_total FROM tok),
+        c AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY 1)
+        SELECT token, CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(n_total AS BIGINT) AS n_total
+        FROM c CROSS JOIN n WHERE n_occ * 10000 > 100 * n_total
+        ORDER BY n_occ DESC, token""") { (s, dir) =>
+      TextAnalysis.heavyTokens(Tables.load(s, dir, "documents"), "text",
+        k = 99, minFreqBp = 100)
+    },
+
+    "text_heavy_ngrams" -> QueryDef(
+      doc = "exact heavy-hitter word bigrams (>0.15% of the gram stream) via the Misra-Gries route — the case where the sketch genuinely matters: n-gram cardinality grows superlinearly with the corpus, so the naive groupBy exchange is corpus-sized while this one stays <= k counters per partition; at sf0.01 the 667-counter sketch really decrements (916 distinct bigrams)",
+      oracle = s"""
+        WITH w AS (SELECT $duckToks AS ws FROM documents),
+        g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM w WHERE len(ws) >= 2)),
+        n AS (SELECT count(*) AS n_total FROM g),
+        c AS (SELECT gram, count(*) AS n_occ FROM g GROUP BY 1)
+        SELECT gram, CAST(n_occ AS BIGINT) AS n_occ,
+               CAST(n_total AS BIGINT) AS n_total
+        FROM c CROSS JOIN n WHERE n_occ * 10000 > 15 * n_total
+        ORDER BY n_occ DESC, gram""") { (s, dir) =>
+      TextAnalysis.heavyNgrams(Tables.load(s, dir, "documents"), "text",
+        n = 2, k = 667, minFreqBp = 15)
+    },
+
     "dedup_substring" -> QueryDef(
       doc = "maximal duplicated-substring spans (ExactSubstr flavor, 8-token windows): hashed slide-windows, repeated-hash agg + join back, per-doc interval merge — the verbatim-repetition ranges a removal pass would cut",
       oracle = s"""

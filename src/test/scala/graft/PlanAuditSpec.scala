@@ -50,6 +50,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)      // scored via broadcast
   }
 
+  test("text_heavy_ngrams: rerank shuffles only candidate keys — one hash exchange, no join") {
+    // the sketch pass already ran (it's collected inside build); the
+    // returned plan is the exact rerank: narrow gram explode → literal
+    // candidate-set probe → one <= k-key aggregation exchange
+    val p = plan("text_heavy_ngrams")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
+  }
+
   test("q27 bloom join: dim broadcasts and its segment filter is pushed") {
     val p = plan("q27_bloom_join")
     assert(p.contains("BroadcastHashJoin"), p)
