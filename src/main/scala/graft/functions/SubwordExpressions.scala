@@ -89,3 +89,96 @@ object GreedyPieces {
     GraftSqlBridge.column(
       GreedyPieces(GraftSqlBridge.expression(text), vocab, maxPieceLen))
 }
+
+/** Viterbi (max-likelihood) subword segmentation against a unigram
+  * piece model ([[graft.operators.Unigram]]) — the SentencePiece-style
+  * decode: per pre-token word, dynamic programming over all
+  * segmentations picks the one maximizing the summed piece
+  * log-probabilities. Greedy longest-match ([[GreedyPieces]]) can be
+  * forced into low-probability pieces by a long dictionary entry; the
+  * DP never is.
+  *
+  * Determinism: candidate lengths iterate longest-first with a strict
+  * improvement test, so score ties break to the longer piece at each
+  * boundary, and double arithmetic runs in one fixed order per word.
+  * A character the model never saw scores `unkLogProb` (strictly below
+  * every real piece), so every word still segments — the round-trip
+  * property holds on any input.
+  *
+  * Same monolithic-expression rationale as [[GreedyPieces]]: one
+  * virtual call per row, O(len × maxPieceLen) map probes per word,
+  * no interpreted higher-order dispatch in the hot path.
+  */
+case class ViterbiPieces(child: Expression, pieces: Seq[(String, Double)],
+    maxPieceLen: Int, unkLogProb: Double)
+    extends UnaryExpression with CodegenFallback {
+
+  require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+  require(pieces.nonEmpty, "ViterbiPieces needs a non-empty model")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_viterbi_pieces"
+
+  @transient private lazy val pattern =
+    java.util.regex.Pattern.compile(GreedyPieces.PreTokenRe)
+  @transient private lazy val logp: java.util.HashMap[String, java.lang.Double] = {
+    val m = new java.util.HashMap[String, java.lang.Double](pieces.size * 2)
+    pieces.foreach { case (t, p) => m.put(t, p) }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new java.util.ArrayList[Any]()
+    val m = pattern.matcher(text)
+    while (m.find()) {
+      // code points, not UTF-16 units (same contract as GreedyPieces)
+      val cps = m.group().codePoints().toArray
+      val n = cps.length
+      val dp = new Array[Double](n + 1)
+      val bk = new Array[Int](n + 1)
+      var i = 1
+      while (i <= n) {
+        var best = Double.NegativeInfinity
+        var bestL = 1
+        var l = math.min(maxPieceLen, i)
+        while (l >= 1) {
+          val cand = new String(cps, i - l, l)
+          val lp = logp.get(cand)
+          val score =
+            if (lp != null) dp(i - l) + lp.doubleValue()
+            else if (l == 1) dp(i - 1) + unkLogProb
+            else Double.NegativeInfinity
+          if (score > best) { best = score; bestL = l }
+          l -= 1
+        }
+        dp(i) = best
+        bk(i) = bestL
+        i += 1
+      }
+      // backtrack, then emit in order
+      val lens = new java.util.ArrayList[Integer]()
+      var p = n
+      while (p > 0) { lens.add(bk(p)); p -= bk(p) }
+      var start = 0
+      var j = lens.size() - 1
+      while (j >= 0) {
+        val l = lens.get(j)
+        out.add(UTF8String.fromString(new String(cps, start, l)))
+        start += l
+        j -= 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ViterbiPieces =
+    copy(child = newChild)
+}
+
+object ViterbiPieces {
+  def column(text: Column, pieces: Seq[(String, Double)], maxPieceLen: Int,
+      unkLogProb: Double): Column =
+    GraftSqlBridge.column(ViterbiPieces(
+      GraftSqlBridge.expression(text), pieces, maxPieceLen, unkLogProb))
+}

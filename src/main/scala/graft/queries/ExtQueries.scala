@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, DedupCluster, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, DedupCluster, Multimodal, Sampling, Similarity, TextAnalysis, Unigram}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
@@ -1322,6 +1322,55 @@ object ExtQueries {
           (sum(col("__np")) < sum(col("__nc"))).as("compresses"))
         .withColumn("first_merge",
           lit(model.merges.head.left + "|" + model.merges.head.right))
+    },
+
+    "text_unigram_roundtrip" -> QueryDef(
+      doc = "unigram-LM (SentencePiece-style) tokenizer end-to-end: train by EM over the word histogram, Viterbi-encode every doc, reassemble the pieces — the reassembly must equal the pre-token stream character-for-character, which the oracle computes directly from the text (hash-verified through the whole train+decode path)",
+      oracle = s"""
+        SELECT doc_id,
+               array_to_string(regexp_extract_all(text, '$bpePreTokenRe'), '')
+                 AS reassembled
+        FROM documents""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Unigram.train(docs, "text")
+      docs.select(col("doc_id"),
+        array_join(Unigram.pieces(col("text"), model), "").as("reassembled"))
+    },
+
+    "text_unigram_gate" -> QueryDef(
+      doc = "unigram trainer gate (EM is driver-side over the model-sized histogram, not SQL-expressible — the text_bpe_gate pattern): the top seed piece must equal the SQL argmax over substring occurrence counts, every doc must round-trip, nothing may hit unk on the training corpus, per-doc Viterbi likelihood must be >= greedy's under the SAME model (the decoder really is max-likelihood), and the piece distribution must normalize",
+      oracle = s"""
+        WITH $duckSubwordVocab
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT token FROM v WHERE id = 1) AS top_seed,
+               true AS all_roundtrip, true AS no_unk,
+               true AS viterbi_ge_greedy, true AS mass_ok""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Unigram.train(docs, "text")
+      val vocab = model.pieces.map(_._1)
+      val vocabArr = array(vocab.map(lit): _*)
+      val lpMap = map(model.pieces.flatMap { case (t, p) =>
+        Seq(lit(t), lit(p)) }.toIndexedSeq: _*)
+      def score(pieces: org.apache.spark.sql.Column) =
+        aggregate(pieces, lit(0.0), (acc, x) =>
+          acc + coalesce(element_at(lpMap, x), lit(model.unkLogProb)))
+      val vit = Unigram.pieces(col("text"), model)
+      val greedy = Bpe.pieces(col("text"), vocab, model.maxPieceLen)
+      val w = Bpe.preTokens(col("text"))
+      val mass = model.pieces.iterator.map(p => math.exp(p._2)).sum
+      val topSeed = Bpe.subwordVocab(docs, "text", topK = 1, maxPieceLen = 6)
+        .head().getString(0)
+      docs.select(
+          (array_join(vit, "") === array_join(w, "")).as("__rt"),
+          (size(filter(vit, x => not(array_contains(vocabArr, x)))) === 0)
+            .as("__known"),
+          (score(vit) >= score(greedy) - lit(1e-9)).as("__ge"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          expr("bool_and(__rt)").as("all_roundtrip"),
+          expr("bool_and(__known)").as("no_unk"),
+          expr("bool_and(__ge)").as("viterbi_ge_greedy"))
+        .withColumn("top_seed", lit(topSeed))
+        .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
     }
   )
 }

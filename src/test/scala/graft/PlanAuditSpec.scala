@@ -59,6 +59,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("Join"), p)
   }
 
+  test("text_unigram_roundtrip: Viterbi encode is narrow — zero exchanges") {
+    // training already ran (driver-side over the histogram, inside
+    // build); the returned plan is the literal-model decode pass
+    val p = plan("text_unigram_roundtrip")
+    assert(count(p, "Exchange") == 0, p)
+  }
+
   test("q27 bloom join: dim broadcasts and its segment filter is pushed") {
     val p = plan("q27_bloom_join")
     assert(p.contains("BroadcastHashJoin"), p)
