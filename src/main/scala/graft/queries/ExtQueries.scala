@@ -1324,6 +1324,19 @@ object ExtQueries {
           lit(model.merges.head.left + "|" + model.merges.head.right))
     },
 
+    "src_jsonl_roundtrip" -> QueryDef(
+      doc = "JSONL ingest source (raw-crawl entry path): documents exported as json-lines, re-ingested through the schema-mandatory permissive reader with corrupt-record quarantine (empty here), must hash-match the parquet original — text+from_json, narrow per-line parse, splittable",
+      oracle = """
+        SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("jsonl_rt")
+        .resolve("docs").toString
+      graft.sources.JsonLines.write(docs, tmp)
+      graft.sources.JsonLines.read(s, tmp,
+        org.apache.spark.sql.types.StructType(docs.schema.fields.toSeq))
+    },
+
     "text_unigram_roundtrip" -> QueryDef(
       doc = "unigram-LM (SentencePiece-style) tokenizer end-to-end: train by EM over the word histogram, Viterbi-encode every doc, reassemble the pieces — the reassembly must equal the pre-token stream character-for-character, which the oracle computes directly from the text (hash-verified through the whole train+decode path)",
       oracle = s"""
