@@ -293,8 +293,12 @@ object TrainingDataJob {
     val oldQuality = curatedQuality(oldDocuments, config)
 
     // 2'. delta probes the (persisted, here recomputed) minhash index
+    // (project to the two columns the index reads BEFORE the union:
+    // a delta that carries columns the old store predates — e.g. an
+    // embedding column enabled mid-stream — must still union)
     val (sh, bands) = Dedup.minHashIndex(
-      oldQuality.unionByName(qDelta), "doc_id", "text", k = 3)
+      oldQuality.select("doc_id", "text")
+        .unionByName(qDelta.select("doc_id", "text")), "doc_id", "text", k = 3)
     val deltaPairs = Dedup.minHashLshDelta(sh, bands,
       qDelta.select("doc_id"), config.jaccardThreshold)
     val merged = DedupCluster.mergeDelta(priorClusters, deltaPairs,

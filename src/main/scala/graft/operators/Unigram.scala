@@ -107,13 +107,17 @@ object Unigram {
       emIters, maxWords)._1
 
   /** [[train]] plus the corpus log-likelihood measured at the START
-    * of each EM round — UnigramSpec asserts the rounds on the final
-    * fixed vocabulary are monotone non-decreasing (the EM guarantee;
-    * rounds that end in a prune may drop).
+    * of each EM round (UnigramSpec asserts the rounds on the final
+    * fixed vocabulary are monotone non-decreasing — the EM guarantee;
+    * rounds that end in a prune may drop) plus the trainer's OWN
+    * top seed piece by (occurrence desc, token) — the gate query
+    * compares it against the SQL substring-count argmax so a
+    * regression in the seed enumeration itself is caught, not just
+    * properties the decode tolerates.
     */
   private[graft] def trainWithLikelihoods(df: DataFrame, textCol: String,
       vocabSize: Int, seedSize: Int, maxPieceLen: Int, emIters: Int,
-      maxWords: Int): (UnigramModel, Seq[Double]) = {
+      maxWords: Int): (UnigramModel, Seq[Double], String) = {
     require(vocabSize >= 1 && seedSize >= vocabSize,
       "need seedSize >= vocabSize >= 1")
     require(maxPieceLen >= 1 && emIters >= 1 && maxWords >= 1,
@@ -146,6 +150,7 @@ object Unigram {
         s += 1
       }
     }
+    val seedTop = subCounts.minBy { case (t, c) => (-c, t) }._1
     val chars: Set[String] =
       subCounts.keysIterator.filter(t => t.codePointCount(0, t.length) == 1).toSet
     def charOf(t: String): Boolean = chars.contains(t)
@@ -247,7 +252,7 @@ object Unigram {
       iter += 1
     }
     val ordered = logp.toArray.sortBy { case (t, p) => (-p, t) }
-    (UnigramModel(ordered.toSeq), likelihoods.toSeq)
+    (UnigramModel(ordered.toSeq), likelihoods.toSeq, seedTop)
   }
 
   /** Persist the model table under `root`; [[loadModel]] reads it

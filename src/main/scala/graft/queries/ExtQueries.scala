@@ -1359,7 +1359,12 @@ object ExtQueries {
                true AS all_roundtrip, true AS no_unk,
                true AS viterbi_ge_greedy, true AS mass_ok""") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
-      val model = Unigram.train(docs, "text")
+      // trainWithLikelihoods exposes the trainer's OWN seed argmax —
+      // comparing Bpe.subwordVocab's would leave the unigram seed
+      // enumeration unchecked (defaults mirrored explicitly)
+      val (model, _, seedTop) = Unigram.trainWithLikelihoods(docs, "text",
+        vocabSize = 120, seedSize = 400, maxPieceLen = 6, emIters = 6,
+        maxWords = 65536)
       val vocab = model.pieces.map(_._1)
       val vocabArr = array(vocab.map(lit): _*)
       val lpMap = map(model.pieces.flatMap { case (t, p) =>
@@ -1371,8 +1376,6 @@ object ExtQueries {
       val greedy = Bpe.pieces(col("text"), vocab, model.maxPieceLen)
       val w = Bpe.preTokens(col("text"))
       val mass = model.pieces.iterator.map(p => math.exp(p._2)).sum
-      val topSeed = Bpe.subwordVocab(docs, "text", topK = 1, maxPieceLen = 6)
-        .head().getString(0)
       docs.select(
           (array_join(vit, "") === array_join(w, "")).as("__rt"),
           (size(filter(vit, x => not(array_contains(vocabArr, x)))) === 0)
@@ -1382,7 +1385,7 @@ object ExtQueries {
           expr("bool_and(__rt)").as("all_roundtrip"),
           expr("bool_and(__known)").as("no_unk"),
           expr("bool_and(__ge)").as("viterbi_ge_greedy"))
-        .withColumn("top_seed", lit(topSeed))
+        .withColumn("top_seed", lit(seedTop))
         .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
     }
   )

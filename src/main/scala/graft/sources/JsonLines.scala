@@ -51,13 +51,22 @@ object JsonLines {
         parsed(schema).as("data"))
   }
 
+  /** Clean ⟺ the parsed struct exists AND carries no corrupt record.
+    * A top-level `null` / non-object line parses to a NULL struct
+    * with no corrupt record attached — without the null-struct test
+    * it would slip through as an all-null "clean" row, exactly the
+    * silent-bias failure this module exists to prevent.
+    */
+  private def isClean: Column =
+    col("data").isNotNull && col(s"data.$CorruptCol").isNull
+
   /** The clean rows of `path` (schema columns only). A well-formed
     * line missing fields parses with nulls — schema drift is data,
     * not corruption.
     */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     readRaw(spark, path, schema)
-      .filter(col(s"data.$CorruptCol").isNull)
+      .filter(isClean)
       .select(schema.fieldNames.map(f => col(s"data.$f").as(f)).toIndexedSeq: _*)
 
   /** The malformed lines of `path`: (raw, src_file) — raw is the
@@ -67,7 +76,7 @@ object JsonLines {
   def quarantine(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     readRaw(spark, path, schema)
-      .filter(col(s"data.$CorruptCol").isNotNull)
+      .filter(!isClean)
       .select(col("value").as("raw"), col("src_file"))
 
   /** Ingest `path`: quarantine the malformed lines under
@@ -103,23 +112,30 @@ object JsonLines {
   }
 
   /** Per-drop ingest loop: each micro-batch is quarantine-split, the
-    * malformed lines land under `quarantineRoot/batch=<id>` (overwrite
-    * — a replayed batch rewrites its own dir, so at-least-once
-    * redelivery never duplicates quarantine rows), and the clean rows
-    * go to `handle` (schema columns only). The batch is checkpointed
-    * once up front: both branches would otherwise re-run the
-    * file-scan+parse subtree. Caller attaches trigger/checkpoint
-    * options and starts the writer.
+    * malformed lines land under `quarantineRoot/query=<qid>/batch=<id>`
+    * (overwrite — a replayed batch rewrites its own dir, so
+    * at-least-once redelivery never duplicates quarantine rows; the
+    * query id is stable across restarts FROM THE SAME CHECKPOINT but
+    * fresh for a new/reset checkpoint, whose batch ids restart at 0 —
+    * without the query scope that restart would clobber previously
+    * quarantined raw lines), and the clean rows go to `handle`
+    * (schema columns only). The batch is checkpointed once up front:
+    * both branches would otherwise re-run the file-scan+parse
+    * subtree. Caller attaches trigger/checkpoint options and starts
+    * the writer.
     */
   def ingestStream(raw: DataFrame, schema: StructType,
       quarantineRoot: String)(handle: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     raw.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val b = batch.localCheckpoint(true)
-      b.filter(col(s"data.$CorruptCol").isNotNull)
+      val qid = Option(b.sparkSession.sparkContext
+        .getLocalProperty("sql.streaming.queryId")).getOrElse("adhoc")
+      b.filter(!isClean)
         .select(col("value").as("raw"), col("src_file"))
-        .write.mode("overwrite").parquet(s"$quarantineRoot/batch=$id")
-      handle(b.filter(col(s"data.$CorruptCol").isNull)
+        .write.mode("overwrite")
+        .parquet(s"$quarantineRoot/query=$qid/batch=$id")
+      handle(b.filter(isClean)
         .select(schema.fieldNames.map(f => col(s"data.$f").as(f)).toIndexedSeq: _*))
     }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, sum, typedlit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -183,8 +183,7 @@ object TrainingStreaming {
     config.vectorCol.foreach { vc =>
       require(batch.columns.contains(vc),
         s"Config.vectorCol '$vc' is not a column of the incoming batch")
-      maintainVectorIndex(spark, storeRoot, batch, additions, retracted,
-        vc, config)
+      maintainVectorIndex(spark, storeRoot, additions, retracted, vc, config)
     }
     // the clustering is replaced whole (two long columns over quality
     // docs) via stage-and-swap — an empty dir is pre-created on the
@@ -241,21 +240,34 @@ object TrainingStreaming {
     * persisted model (a narrow delta-sized pass) and gate the result
     * with [[Similarity.indexDriftGate]] — sampled recall of the
     * post-assignment serving path vs brute force over the curated
-    * vectors. A tripped gate retrains the cells on the current
-    * curated set and re-assigns everything (the amortized cost a
-    * retrain decision pays; a 100 TB deployment that finds the
-    * per-tick brute sample too hot runs the gate every Nth tick —
-    * the write path is identical). Store roots that predate the
-    * vectors dir backfill previously shipped vectors from the docs
-    * store, which preserves every batch column including `vc`.
+    * vectors. A tripped gate retrains the cells and re-assigns
+    * everything (the amortized cost a retrain decision pays; a 100 TB
+    * deployment that finds the per-tick brute sample too hot runs the
+    * gate every Nth tick — the write path is identical).
     *
-    * Retry contract: the prior index is read minus the batch's own
+    * Replace-by-doc is keyed on the tick's ADDITIONS, not the whole
+    * batch (the lexical twin's rule): a redelivered doc that fails
+    * this tick's gate without being retracted stays curated under its
+    * originally shipped row, so it must stay indexed too. Every
+    * retrain/gate-reference input is the RAW curated vector set read
+    * from the additions store (the shipped snapshot — rows whose
+    * shipped version carries no vector, including every pre-vectors
+    * row, simply aren't dense-indexed until re-shipped); prior INDEX
+    * rows are already normalized by `ivfAssign` and are reused only
+    * on the assignment-only path, never re-fed to training — feeding
+    * them back would re-normalize (bit drift) and break the
+    * maintained-equals-rebuilt-from-raw parity the spec pins. A
+    * pre-vectors store root backfills implicitly: its first
+    * vector-carrying tick finds no index and trains on the full raw
+    * curated set.
+    *
+    * Retry contract: all state reads exclude the tick's own addition
     * keys and the retraction filter uses the CUMULATIVE retractions
     * store, so a redelivered batch recomputes byte-identical state
     * (training is deterministic end-to-end).
     */
   private def maintainVectorIndex(
-      spark: SparkSession, storeRoot: String, batch: DataFrame,
+      spark: SparkSession, storeRoot: String,
       additions: DataFrame, retracted: DataFrame, vc: String,
       config: TrainingDataJob.Config): Unit = {
     import graft.functions.VectorFunctions
@@ -265,53 +277,42 @@ object TrainingStreaming {
     // first tick's mkdirs and its swap leaves an empty target
     val have = exists(spark, s"$vecP/index")
     if (additions.isEmpty && retracted.isEmpty && have) return
-    val batchIds = batch.select("doc_id")
+    val addIds = additions.select("doc_id")
     val retractsAt = readablePath(spark, retractsPath(storeRoot))
     def minusRetracts(df: DataFrame): DataFrame = retractsAt match {
       case Some(rp) => df.join(
         spark.read.parquet(rp).select("doc_id"), Seq("doc_id"), "left_anti")
       case None => df
     }
-    // cast only — NO normalization here: the Similarity entry points
-    // (ivfAssign/trainCentroids/indexDriftGate) each normalize
-    // exactly once internally, and normalizing an already-normalized
-    // vector shifts low-order bits, which would break the maintained
-    // rows' bit-parity with a raw rebuild (and could flip boundary
-    // cell assignments). Cosine is scale-invariant, so mixing raw
-    // batch vectors with the prior index's normalized rows is safe
-    // everywhere these frames are consumed.
-    def vecs(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      VectorFunctions.toDouble(col(vc)).as("cv"))
-    // prior rows as of before this batch; kept = minus retractions.
-    // A pre-vectors store root has no prior index — backfill the
-    // previously shipped vectors from the docs store (cid absent:
-    // that path retrains below, which re-derives every cid anyway)
+    // cast only — NO normalization here (the Similarity entry points
+    // normalize exactly once internally); docs whose shipped row has
+    // no vector cannot be indexed and are filtered, not NPE'd
+    def vecs(df: DataFrame): DataFrame = df.filter(col(vc).isNotNull)
+      .select(col("doc_id"), VectorFunctions.toDouble(col(vc)).as("cv"))
+    // this tick's shipped vectors (raw) — also the drift gate probes
+    val shipped = minusRetracts(vecs(additions)).localCheckpoint(true)
+    // prior index rows, replace-by-doc on the additions keys
     val kept = minusRetracts(
       if (have)
         spark.read.parquet(s"$vecP/index")
-          .join(batchIds, Seq("doc_id"), "left_anti")
-      else {
-        val priorShipped = spark.read.parquet(addsPath(storeRoot))
-          .join(batchIds, Seq("doc_id"), "left_anti").select("doc_id")
-        readablePath(spark, docsPath(storeRoot))
-          .map(spark.read.parquet(_))
-          .filter(_.columns.contains(vc))
-          .map(d => vecs(d.join(priorShipped, Seq("doc_id")))
-            .withColumn("cid", lit(-1)))
-          .getOrElse(batch.limit(0).select(col("doc_id"))
-            .withColumn("cv", typedlit(Seq.empty[Double]))
-            .withColumn("cid", lit(-1)))
-      }).localCheckpoint(true)
-    // this tick's shipped vectors — also the drift gate's probe pool
-    val shipped = minusRetracts(
-      vecs(batch.join(additions.select("doc_id"), Seq("doc_id"))))
+          .join(addIds, Seq("doc_id"), "left_anti")
+      else shipped.limit(0).withColumn("cid", lit(-1)))
       .localCheckpoint(true)
-    val curated = kept.select("doc_id", "cv").unionByName(shipped)
-      .localCheckpoint(true)
+    // the RAW curated vector set: prior shipped snapshot (additions
+    // store minus this tick's own keys — the store already holds them
+    // on a retry) + this tick's shipped, minus retractions. This is
+    // what a from-scratch rebuild would read, so training from it
+    // keeps maintained state bit-identical to that rebuild.
+    val priorStore = spark.read.parquet(addsPath(storeRoot))
+      .join(addIds, Seq("doc_id"), "left_anti")
+    val curatedRaw = (
+      if (priorStore.columns.contains(vc)) minusRetracts(vecs(priorStore))
+      else shipped.limit(0))
+      .unionByName(shipped).localCheckpoint(true)
     val oldCents: Array[Array[Double]] =
       if (have) Similarity.loadCentroids(spark, s"$vecP/model")
       else Array.empty
-    if (curated.isEmpty) {
+    if (curatedRaw.isEmpty) {
       // everything retracted: serve an empty index (under the old
       // model if one exists — the next shipped batch retrains anyway)
       if (have) writeVectorState(spark, vecP, kept.limit(0), oldCents)
@@ -330,7 +331,7 @@ object TrainingStreaming {
     // e.g. when a separate cadence owns retrain decisions)
     val stale = have && oldCents.nonEmpty && !shipped.isEmpty &&
       config.vectorMinRecall > 0 && {
-      Similarity.indexDriftGate(curated, shipped, "doc_id", "cv",
+      Similarity.indexDriftGate(curatedRaw, shipped, "doc_id", "cv",
           k = 5, minRecall = config.vectorMinRecall,
           sampleN = config.vectorDriftSample) { q =>
         Similarity.ivfTopKFromIndex(
@@ -340,9 +341,9 @@ object TrainingStreaming {
     }
     val (cents, index) =
       if (!have || oldCents.isEmpty || stale) {
-        val c = Similarity.trainCentroids(curated, "doc_id", "cv",
+        val c = Similarity.trainCentroids(curatedRaw, "doc_id", "cv",
           config.vectorCentroids, iters = config.vectorIters)
-        (c, Similarity.ivfAssign(curated, "doc_id", "cv", c)
+        (c, Similarity.ivfAssign(curatedRaw, "doc_id", "cv", c)
           .withColumnRenamed("nid", "doc_id"))
       } else (oldCents, assigned)
     writeVectorState(spark, vecP, index, cents)

@@ -33,7 +33,9 @@ class JsonLinesSpec extends SparkSpec {
       """{"id": 3, "txt": "gamma", "extra": 7}""", // extra field: fine
       """{"id": 4}""",                             // missing field: drift, not corrupt
       "   ",
-      """{"id": "x5", "txt": "bad type"}"""        // type mismatch: corrupt
+      """{"id": "x5", "txt": "bad type"}""",       // type mismatch: corrupt
+      "null",                                      // null top-level: corrupt
+      "[1, 2]"                                     // non-object top-level: corrupt
     ), "drop.jsonl")
 
     val good = JsonLines.read(spark, path, schema)
@@ -45,10 +47,10 @@ class JsonLinesSpec extends SparkSpec {
     val bad = JsonLines.quarantine(spark, path, schema)
       .select("raw").as[String].collect().toSet
     assert(bad == Set("""{"id": 2 "txt": "broken"}""", "not json at all",
-      """{"id": "x5", "txt": "bad type"}"""),
+      """{"id": "x5", "txt": "bad type"}""", "null", "[1, 2]"),
       s"quarantine keeps the raw lines verbatim, got $bad")
-    // conservation: 6 non-blank lines = 3 good + 3 quarantined
-    assert(good.size + bad.size == 6)
+    // conservation: 8 non-blank lines = 3 good + 5 quarantined
+    assert(good.size + bad.size == 8)
   }
 
   test("ingest writes the quarantine store and returns the clean rows") {

@@ -280,6 +280,65 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
+  test("a redelivered doc that fails the gate stays curated and stays indexed") {
+    // replace-by-doc must key on ADDITIONS, not the whole batch: doc
+    // 105 ships in tick 1, then is redelivered with degraded text
+    // that fails the quality gate — it is neither re-shipped nor
+    // retracted, so it stays curated under its tick-1 row and must
+    // stay in the vector index (the lexical twin's rule)
+    def goodText(id: Long) =
+      ((1 to 18).map(j => s"w${id}x$j") ++ Seq("the", "and")).mkString(" ")
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("embedding", array(
+        sin(col("doc_id") * lit(0.7)), cos(col("doc_id") * lit(1.3)),
+        lit(0.5)))
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0, vectorCol = Some("embedding"),
+      vectorCentroids = 2, vectorMinRecall = 0.0)
+    val root = Files.createTempDirectory("vecregate").resolve("store").toString
+    val tick1 = embed((100L to 110L).map(id => (id, goodText(id), "en"))
+      .toDF("doc_id", "text", "lang"))
+    TrainingStreaming.tickBatch(spark, tick1, root, cfg)
+    // redeliver 105 degraded (fails the gate) + a fresh good doc
+    val tick2 = embed(Seq((105L, "zz", "en"), (200L, goodText(200L), "en"))
+      .toDF("doc_id", "text", "lang"))
+    TrainingStreaming.tickBatch(spark, tick2, root, cfg)
+    val curated = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated.contains(105L), "fixture: 105 must stay curated")
+    val (idx, _) = TrainingStreaming.readVectors(spark, root).get
+    assert(idx.select("nid").as[Long].collect().toSet == curated,
+      "the vector index must track the curated set exactly")
+  }
+
+  test("enabling vectorCol on a pre-vectors store backfills without NPE; null vectors skip") {
+    def goodText(id: Long) =
+      ((1 to 18).map(j => s"w${id}x$j") ++ Seq("the", "and")).mkString(" ")
+    val plainCfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0)
+    val root = Files.createTempDirectory("vecupg").resolve("store").toString
+    // two pre-vector ticks: no embedding column anywhere
+    TrainingStreaming.tickBatch(spark,
+      (100L to 105L).map(id => (id, goodText(id), "en"))
+        .toDF("doc_id", "text", "lang"), root, plainCfg)
+    // vectors on: the batch carries embeddings, one of them null
+    val vecCfg = plainCfg.copy(vectorCol = Some("embedding"),
+      vectorCentroids = 2, vectorMinRecall = 0.0)
+    val batch = (200L to 203L).map(id => (id, goodText(id), "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("embedding",
+        when(col("doc_id") === 203L, lit(null))
+          .otherwise(array(sin(col("doc_id")), cos(col("doc_id")), lit(0.5))))
+    TrainingStreaming.tickBatch(spark, batch, root, vecCfg)
+    val (idx, _) = TrainingStreaming.readVectors(spark, root).get
+    // pre-vector docs have no shipped vector (not dense-indexed until
+    // re-shipped); the null-embedding doc is skipped, not an NPE
+    assert(idx.select("nid").as[Long].collect().toSet == Set(200L, 201L, 202L))
+    val curated = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(curated.contains(203L), "null-vector docs still ship as text")
+  }
+
   test("vector drift trips a retrain; a stationary delta keeps the model") {
     val dim = 8
     val rnd = new scala.util.Random(7)
@@ -337,6 +396,18 @@ class TrainingStreamingSpec extends SparkSpec {
     val (idx3, m3) = TrainingStreaming.readVectors(spark, rootB).get
     assert(m3.map(_.toSeq).toSeq != m1.map(_.toSeq).toSeq,
       "a drifted delta must retrain the model")
+    // retrain parity: the retrained state must be bit-identical to a
+    // from-scratch assignment of the RAW shipped vectors under the
+    // new model (regression: recycling the prior index's normalized
+    // rows into training would re-normalize and drift low-order bits)
+    val rawAll = base.unionByName(driftDelta).select("doc_id", "embedding")
+    val rebuiltRows = graft.operators.Similarity.ivfAssign(
+        rawAll, "doc_id", "embedding", m3)
+      .select("nid", "cv", "cid").as[(Long, Seq[Double], Int)].collect().toSet
+    val gotRows = idx3.select("nid", "cv", "cid")
+      .as[(Long, Seq[Double], Int)].collect().toSet
+    assert(gotRows == rebuiltRows,
+      "retrained index must equal the raw rebuild bit-for-bit")
     // the loop closes: the retrained serving state passes the same
     // gate on the same drifted probes
     val idx3c = idx3.localCheckpoint(true)

@@ -17,12 +17,17 @@ class UnigramSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sfDir, "documents")
 
   test("train is deterministic and rounds on the final vocab are monotone EM") {
-    val (m1, ll1) = Unigram.trainWithLikelihoods(docs, "text",
+    val (m1, ll1, seedTop) = Unigram.trainWithLikelihoods(docs, "text",
       vocabSize = 80, seedSize = 120, maxPieceLen = 6, emIters = 8,
       maxWords = 65536)
-    val (m2, _) = Unigram.trainWithLikelihoods(docs, "text",
+    val (m2, _, _) = Unigram.trainWithLikelihoods(docs, "text",
       vocabSize = 80, seedSize = 120, maxPieceLen = 6, emIters = 8,
       maxWords = 65536)
+    // the trainer's seed argmax must agree with the independently
+    // SQL-gated substring-frequency vocabulary's head
+    assert(seedTop == graft.operators.Bpe
+      .subwordVocab(docs, "text", topK = 1, maxPieceLen = 6)
+      .head().getString(0))
     assert(m1.pieces == m2.pieces, "train twice must be identical")
     // seed 120 shrinks 3/4 per round to the 80-cap in a couple of
     // rounds; the remaining rounds are pure EM on a fixed vocabulary
