@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Dedup, DedupCluster, Multimodal, Sampling, Similarity, TextAnalysis, Unigram}
+import graft.operators.{Bpe, Dedup, DedupCluster, Dsir, Multimodal, Sampling, Similarity, TextAnalysis, Unigram}
 import graft.sources.Tables
 
 /** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
@@ -1387,6 +1387,75 @@ object ExtQueries {
           expr("bool_and(__ge)").as("viterbi_ge_greedy"))
         .withColumn("top_seed", lit(seedTop))
         .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
+    },
+
+    "dsir_scores" -> QueryDef(
+      doc = "DSIR importance scores (Xie et al. NeurIPS'23): log ratio of target (lang='en') vs raw hashed-bigram models per doc — fit pays two bucket-bounded passes, scoring is a zero-exchange literal-probe fold; oracle replays hash, smoothing, and fold in SQL (hash-verified end-to-end)",
+      oracle = s"""
+        WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+        g AS (SELECT doc_id, lang,
+                     unnest(w || list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS g
+              FROM toks),
+        b AS (SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bk
+              FROM g),
+        tc AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bk),
+        rc AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+        model AS (SELECT grid.bk,
+              ln((coalesce(tc.c, 0) + 0.5) /
+                 ((SELECT sum(c) FROM tc) + 0.5 * 1024))
+            - ln((coalesce(rc.c, 0) + 0.5) /
+                 ((SELECT sum(c) FROM rc) + 0.5 * 1024)) AS lr
+          FROM (SELECT unnest(range(0, 1024)) AS bk) grid
+          LEFT JOIN tc ON tc.bk = grid.bk
+          LEFT JOIN rc ON rc.bk = grid.bk),
+        s AS (SELECT t.doc_id, sum(m.lr) AS sc
+              FROM b t JOIN model m ON m.bk = t.bk GROUP BY t.doc_id)
+        SELECT d.doc_id, round(coalesce(s.sc, 0), 4) AS dsir_logw
+        FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Dsir.fit(docs.filter(col("lang") === "en"), docs,
+        "text", buckets = 1024)
+      Dsir.scores(docs, "doc_id", "text", model)
+    },
+
+    "dsir_select" -> QueryDef(
+      doc = "DSIR importance resampling: Gumbel top-k (k=80) over the importance weights — sampling without replacement proportional to target-likeness, seeded md5 uniform so the draw is engine-reproducible; plans as TakeOrderedAndProject (no global sort exchange)",
+      oracle = s"""
+        WITH toks AS (SELECT doc_id, lang, $duckToks AS w FROM documents),
+        g AS (SELECT doc_id, lang,
+                     unnest(w || list_transform(range(1, len(w)),
+                       i -> w[i] || ' ' || w[i+1])) AS g
+              FROM toks),
+        b AS (SELECT doc_id, lang,
+                     CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 1024 AS bk
+              FROM g),
+        tc AS (SELECT bk, count(*) AS c FROM b WHERE lang = 'en' GROUP BY bk),
+        rc AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+        model AS (SELECT grid.bk,
+              ln((coalesce(tc.c, 0) + 0.5) /
+                 ((SELECT sum(c) FROM tc) + 0.5 * 1024))
+            - ln((coalesce(rc.c, 0) + 0.5) /
+                 ((SELECT sum(c) FROM rc) + 0.5 * 1024)) AS lr
+          FROM (SELECT unnest(range(0, 1024)) AS bk) grid
+          LEFT JOIN tc ON tc.bk = grid.bk
+          LEFT JOIN rc ON rc.bk = grid.bk),
+        s AS (SELECT t.doc_id, sum(m.lr) AS sc
+              FROM b t JOIN model m ON m.bk = t.bk GROUP BY t.doc_id),
+        keyed AS (SELECT d.doc_id,
+            round(coalesce(s.sc, 0) + -ln(-ln(
+              (CAST('0x' || substr(md5('dsir-epoch0:' ||
+                 CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
+              / 281474976710656.0)), 4) AS dsir_key
+          FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)
+        SELECT doc_id, dsir_key FROM keyed
+        ORDER BY dsir_key DESC, doc_id LIMIT 80""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val model = Dsir.fit(docs.filter(col("lang") === "en"), docs,
+        "text", buckets = 1024)
+      Dsir.select(docs, "doc_id", "text", model, k = 80,
+        seed = "dsir-epoch0")
     }
   )
 }

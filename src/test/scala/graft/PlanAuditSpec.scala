@@ -33,6 +33,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("dsir: scoring is a zero-exchange narrow pass; select avoids a global sort") {
+    // fit already ran inside build (two model-sized count passes);
+    // the returned scoring plan probes the model literal per row
+    val p = plan("dsir_scores")
+    assert(count(p, "Exchange") == 0, p)
+    val sel = plan("dsir_select")
+    assert(sel.contains("TakeOrderedAndProject"), sel)
+    assert(count(sel, "Exchange hashpartitioning") == 0, sel)
+  }
+
   test("q26: both window families share ONE exchange") {
     val p = plan("q26_window_analytics")
     assert(count(p, "Exchange hashpartitioning") == 1, p)
