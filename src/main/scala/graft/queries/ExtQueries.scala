@@ -1389,6 +1389,35 @@ object ExtQueries {
         .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
     },
 
+    "layout_zorder" -> QueryDef(
+      doc = "Z-order (Morton) clustering key over (o_custkey, o_totalprice): quantize each dim to 8 bits against driver-collected bounds, interleave the bits — the multi-dim data-layout key zorderWrite range-partitions on so parquet min/max pruning serves predicates on either dimension; oracle replays quantization + interleave in SQL (hash-verified)",
+      oracle = {
+        val terms = (for {
+          (b, i) <- Seq("bk", "bp").zipWithIndex
+          bit <- 0 until 8
+        } yield s"((($b >> $bit) & 1) << ${bit * 2 + i})").mkString(" | ")
+        s"""
+        WITH s AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS k0,
+                          max(CAST(o_custkey AS DOUBLE)) AS k1,
+                          min(CAST(o_totalprice AS DOUBLE)) AS p0,
+                          max(CAST(o_totalprice AS DOUBLE)) AS p1
+                   FROM orders),
+        q AS (SELECT o_orderkey,
+            CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - k0)
+              / (k1 - k0) * 256.0), 0), 255) AS BIGINT) AS bk,
+            CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - p0)
+              / (p1 - p0) * 256.0), 0), 255) AS BIGINT) AS bp
+          FROM orders, s)
+        SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM q"""
+      }) { (s, dir) =>
+      import graft.operators.Layout
+      Layout.zorder(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_custkey", "o_totalprice"), bits = 8)
+        .select("o_orderkey", "zval")
+    },
+
     "dsir_scores" -> QueryDef(
       doc = "DSIR importance scores (Xie et al. NeurIPS'23): log ratio of target (lang='en') vs raw hashed-bigram models per doc — fit pays two bucket-bounded passes, scoring is a zero-exchange literal-probe fold; oracle replays hash, smoothing, and fold in SQL (hash-verified end-to-end)",
       oracle = s"""

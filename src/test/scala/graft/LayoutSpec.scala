@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+import graft.sources.Tables
+
+class LayoutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  test("zValue interleaves bits: dim i's bit b lands at b*n + i") {
+    // col0 = 3 (011): bits at z-positions 0, 2 -> 1 + 4 = 5
+    // col1 = 5 (101): bits at z-positions 1, 5 -> 2 + 32 = 34
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), bits = 3).as("z"))
+      .as[Long].head()
+    assert(z == 39L)
+  }
+
+  test("quantize clamps, maps max into the top cell, zero-span degenerates") {
+    val d = Layout.Dim("v", 0.0, 10.0)
+    val got = Seq(-1.0, 0.0, 5.0, 10.0, 11.0).toDF("v")
+      .select(Layout.quantize(col("v"), d, bits = 2).as("q"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 0L, 2L, 3L, 3L))
+    val flat = Seq(7.0).toDF("v")
+      .select(Layout.quantize(col("v"), Layout.Dim("v", 7.0, 7.0), 2).as("q"))
+      .as[Long].head()
+    assert(flat == 0L)
+  }
+
+  test("z-ordered files prune a second-dimension predicate; linear sort cannot") {
+    val dir = Files.createTempDirectory("zorder")
+    val zPath = dir.resolve("z").toString
+    val linPath = dir.resolve("lin").toString
+    val numFiles = 16
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+      bits = 8, numFiles, zPath)
+    // the baseline layout: same file count, sorted on the FIRST dim only
+    orders.repartitionByRange(numFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(linPath)
+
+    // per-file bounding boxes of the second dimension — what parquet
+    // footer min/max pruning sees for a price-only predicate
+    def priceBoxes(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .select("lo", "hi").as[(Double, Double)].collect().toSeq
+
+    val (zBoxes, linBoxes) = (priceBoxes(zPath), priceBoxes(linPath))
+    assert(zBoxes.size == numFiles && linBoxes.size == numFiles)
+    // a mid-range price band: files whose [lo, hi] intersects it must be read
+    val span = orders.agg(min("o_totalprice"), max("o_totalprice"))
+      .as[(Double, Double)].head()
+    val (qLo, qHi) = (span._1 + 0.40 * (span._2 - span._1),
+      span._1 + 0.50 * (span._2 - span._1))
+    def touched(boxes: Seq[(Double, Double)]): Int =
+      boxes.count { case (lo, hi) => hi >= qLo && lo <= qHi }
+    // linear layout: price is uncorrelated with the sort key, so every
+    // file's price box spans ~the full range — nothing prunes
+    assert(touched(linBoxes) >= numFiles - 1,
+      s"fixture: linear layout must not prune, touched ${touched(linBoxes)}")
+    // z-order: contiguous z-ranges have tight price boxes
+    assert(touched(zBoxes) <= numFiles / 2,
+      s"z-order must skip at least half the files, touched ${touched(zBoxes)}")
+    // and the data itself round-trips
+    assert(spark.read.parquet(zPath).count() == orders.count())
+  }
+
+  test("zorder is deterministic") {
+    val a = Layout.zorder(orders, Seq("o_custkey", "o_totalprice"), 8)
+      .select("o_orderkey", "zval").as[(Long, Long)].collect().toSet
+    val b = Layout.zorder(orders, Seq("o_custkey", "o_totalprice"), 8)
+      .select("o_orderkey", "zval").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+}
