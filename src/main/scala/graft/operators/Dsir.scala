@@ -79,22 +79,48 @@ object Dsir {
     * run on the driver over 2×B longs.
     */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
-      buckets: Int = 4096): DsirModel = {
+      buckets: Int = 4096): DsirModel =
+    modelFromCounts(bucketCounts(target, textCol, buckets),
+      bucketCounts(raw, textCol, buckets), buckets)
+
+  /** The model from persisted (bucket, cnt) count tables. Counts are
+    * integer sums, so the incremental tier is exact: maintaining a
+    * counts store with [[mergeCounts]] (+ [[negatedCounts]] for
+    * retractions) and refitting from it yields the SAME model,
+    * bit-for-bit, as a from-scratch [[fit]] over the current corpus —
+    * the delta pays its own gram pass, never a corpus rescan.
+    */
+  def modelFromCounts(targetCounts: DataFrame, rawCounts: DataFrame,
+      buckets: Int): DsirModel = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    def counts(df: DataFrame): Array[Long] = {
+    def gather(df: DataFrame): Array[Long] = {
       val out = Array.fill(buckets)(0L)
-      bucketCounts(df, textCol, buckets).collect()
-        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      df.collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
       out
     }
-    val tc = counts(target)
-    val rc = counts(raw)
+    val tc = gather(targetCounts)
+    val rc = gather(rawCounts)
     val tn = tc.sum.toDouble + 0.5 * buckets
     val rn = rc.sum.toDouble + 0.5 * buckets
     DsirModel(buckets, Array.tabulate(buckets) { b =>
       math.log((tc(b) + 0.5) / tn) - math.log((rc(b) + 0.5) / rn)
     })
   }
+
+  /** Fold a delta's counts into a persisted counts table: sum by
+    * bucket, drop zeroed buckets. Exact (integer) — merge ≡ rebuild.
+    */
+  def mergeCounts(prior: DataFrame, delta: DataFrame): DataFrame =
+    prior.unionByName(delta)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") =!= 0)
+
+  /** Negated counts of retracted documents — feed to [[mergeCounts]]
+    * to subtract them from a maintained counts store.
+    */
+  def negatedCounts(df: DataFrame, textCol: String, buckets: Int): DataFrame =
+    bucketCounts(df, textCol, buckets)
+      .select(col("bucket"), (-col("cnt")).as("cnt"))
 
   /** Unrounded per-document log importance weight: the model array
     * as ONE array literal, probed per gram occurrence inside a

@@ -164,6 +164,34 @@ object AnalysisStore {
     nFiles
   }
 
+  /** Z-order rewrite of a store table — the OPTIMIZE ZORDER
+    * maintenance op: compaction (file count sized to
+    * `targetFileBytes`, the [[compact]] rule) and multi-dimensional
+    * clustering ([[graft.operators.Layout]]) in ONE crash-safe
+    * rewrite, so a table that accumulated tick-sized appends comes
+    * out as few, internally sorted files whose per-file min/max
+    * bounding boxes prune predicates on ANY of `zorderCols`. Same
+    * staging-swap as every other rewrite: readers never see a
+    * half-optimized table, and a crash in the swap window is undone
+    * by [[recover]].
+    *
+    * @return number of files after the rewrite
+    */
+  def optimize(
+      spark: SparkSession, path: String, zorderCols: Seq[String],
+      bits: Int = 8, targetFileBytes: Long = 128L << 20): Int = {
+    val fs = fsOf(spark, path)
+    val totalBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path)).getLength
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    stageAndSwap(spark, path) { staging =>
+      graft.operators.Layout.zorderWrite(
+        read(spark, path), zorderCols, bits, nFiles, staging)
+    }
+    nFiles
+  }
+
   /** Merge `delta` into the table at `path` by key (rows with a key
     * present in delta are replaced; new keys appended). Missing table
     * → plain write. The merged result is staged and swapped so a

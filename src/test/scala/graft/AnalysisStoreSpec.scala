@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.{input_file_name, max, min}
+
 import graft.sources.AnalysisStore
 
 /** Persisted analysis store: full-refresh idempotence and the
@@ -102,6 +104,36 @@ class AnalysisStoreSpec extends SparkSpec {
     // no staging/backup leftovers
     val parent = new java.io.File(dir).getParentFile.list().toSeq
     assert(parent == Seq("frag"), s"leftovers: $parent")
+  }
+
+  test("optimize z-orders a fragmented table: rows intact, boxes tighten") {
+    val dir = Files.createTempDirectory("store").resolve("zopt").toString
+    // two independent uniform dims, fragmented into 16 random files:
+    // every file's bounding box spans ~the full plane
+    val rnd = new scala.util.Random(11)
+    val data = (1 to 4000)
+      .map(i => (i.toLong, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("k", "x", "y")
+    data.repartition(16).write.parquet(dir)
+    // force a multi-file rewrite: tiny target size → ≥ 8 files
+    val n = AnalysisStore.optimize(spark, dir, Seq("x", "y"),
+      bits = 8, targetFileBytes = 8L << 10)
+    assert(n >= 8, s"fixture: want a multi-file rewrite, got $n")
+    assertSameRows(spark.read.parquet(dir), data)
+    // post-optimize, per-file y-boxes must prune: a y-band predicate
+    // touches at most half the files (pre-optimize it touches all).
+    // The band sits INSIDE the first-level z split — a band straddling
+    // the midpoint is the curve's known degenerate case (every half
+    // intersects it) and would prove nothing either way
+    val boxes = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg(min("y").as("lo"), max("y").as("hi"))
+      .select("lo", "hi").as[(Double, Double)].collect().toSeq
+    val touched = boxes.count { case (lo, hi) => hi >= 5.0 && lo <= 15.0 }
+    assert(touched <= boxes.size / 2,
+      s"z-order must localize x: $touched/${boxes.size} files touch the band")
+    val parent = new java.io.File(dir).getParentFile.list().toSeq
+    assert(parent == Seq("zopt"), s"leftovers: $parent")
   }
 
   test("compact keeps a partitioned table's directory layout and pruning") {

@@ -68,6 +68,30 @@ class DsirSpec extends SparkSpec {
       "both draws still concentrate on the high-weight docs")
   }
 
+  test("incremental counts: merge(+delta, -retracted) refits the exact full model") {
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val delta = docs.filter($"doc_id" % 2 === 1)
+    // grow: counts(half) + counts(delta) must refit identically to
+    // fit over the whole corpus (integer counts — exact)
+    val grown = Dsir.mergeCounts(
+      Dsir.bucketCounts(half, "text", 1024),
+      Dsir.bucketCounts(delta, "text", 1024))
+    val viaCounts = Dsir.modelFromCounts(
+      Dsir.mergeCounts(
+        Dsir.bucketCounts(half.filter($"lang" === "en"), "text", 1024),
+        Dsir.bucketCounts(delta.filter($"lang" === "en"), "text", 1024)),
+      grown, 1024)
+    assert(viaCounts.logRatio.toSeq == model.logRatio.toSeq,
+      "maintained counts must refit bit-identically to a full fit")
+    // shrink: subtracting the delta's counts lands exactly on counts(half)
+    val shrunk = Dsir.mergeCounts(grown,
+      Dsir.negatedCounts(delta, "text", 1024))
+      .as[(Long, Long)].collect().toMap
+    val direct = Dsir.bucketCounts(half, "text", 1024)
+      .as[(Long, Long)].collect().toMap
+    assert(shrunk == direct, "retraction must subtract exactly")
+  }
+
   test("save/load round-trips the model bit-for-bit") {
     val root = Files.createTempDirectory("dsir").resolve("model").toString
     Dsir.saveModel(spark, model, root)

@@ -60,8 +60,11 @@ class LayoutSpec extends SparkSpec {
     // a mid-range price band: files whose [lo, hi] intersects it must be read
     val span = orders.agg(min("o_totalprice"), max("o_totalprice"))
       .as[(Double, Double)].head()
-    val (qLo, qHi) = (span._1 + 0.40 * (span._2 - span._1),
-      span._1 + 0.50 * (span._2 - span._1))
+    // the band sits inside the first-level z split: a band straddling
+    // the midpoint is the curve's degenerate case (every half
+    // intersects it) and would prove nothing either way
+    val (qLo, qHi) = (span._1 + 0.10 * (span._2 - span._1),
+      span._1 + 0.20 * (span._2 - span._1))
     def touched(boxes: Seq[(Double, Double)]): Int =
       boxes.count { case (lo, hi) => hi >= qLo && lo <= qHi }
     // linear layout: price is uncorrelated with the sort key, so every
