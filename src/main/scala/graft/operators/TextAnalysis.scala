@@ -826,4 +826,55 @@ object TextAnalysis {
         .as("gram"))
     heavyItems(grams, "gram", k, minFreqBp)
   }
+
+  /** TextRank (Mihalcea & Tarau 2004) over the corpus co-occurrence
+    * graph: tokens are nodes, adjacent-token pairs are undirected
+    * weighted edges (weight = co-occurrence count, symmetrized,
+    * pruned below `minWeight`), ranked by the weighted PageRank
+    * iteration `r(u) = (1−d) + d · Σ_{v∼u} w(v,u)/wdeg(v) · r(v)`
+    * for `iters` rounds from r=1 — the graph-centrality keyword
+    * signal next to tf-idf's frequency signal and PMI's association
+    * signal.
+    *
+    * Scale shape: the corpus pays ONE (w1,w2) exchange for the edge
+    * counts (the [[pmiPairs]] plan, checkpointed); every iteration
+    * after runs on the vocab²-bounded, minWeight-pruned edge table —
+    * one model-sized shuffle per round, lineage truncated per round
+    * (the connected-components discipline) so 10 rounds stay 10
+    * small jobs, not one exponential plan.
+    *
+    * Engine-reproducible: the per-edge contribution keeps one fixed
+    * IEEE shape (`r / wdeg * w`) and damping makes the iteration a
+    * contraction, so cross-engine summation-order drift SHRINKS each
+    * round instead of compounding; the 4dp-rounded ranks hash-match
+    * an oracle that unrolls the same 10 iterations in SQL.
+    */
+  def textrank(df: DataFrame, idCol: String, textCol: String,
+      minWeight: Long = 3L, iters: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val directed = bigramRows(df, idCol, textCol)
+      .filter(col("w1") =!= col("w2"))
+    val edges = directed.select(col("w1").as("u"), col("w2").as("v"))
+      .unionByName(directed.select(col("w2").as("u"), col("w1").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).cast("double").as("wt"))
+      .filter(col("wt") >= lit(minWeight.toDouble))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("u").agg(sum(col("wt")).as("wd"))
+    val nodes = edges.select(col("u").as("node")).distinct()
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(deg, Seq("u"))
+        .join(ranks, col("u") === col("node"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("r") / col("wd") * col("wt")).as("__x"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("__x"), lit(0.0)))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as("token"), round(col("r"), 4).as("tr_score"))
+  }
 }

@@ -1389,6 +1389,37 @@ object ExtQueries {
         .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
     },
 
+    "text_textrank" -> QueryDef(
+      doc = "TextRank keyword centrality (Mihalcea & Tarau 2004): weighted PageRank over the corpus adjacency co-occurrence graph, 10 unrolled iterations, damping 0.85 — the oracle replays the identical iteration as a chained-CTE unroll; damping is a contraction, so cross-engine float-order drift shrinks per round and the 4dp ranks hash-match",
+      oracle = {
+        val base = s"""
+        WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+        idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS g
+                FROM t WHERE len(w) >= 2),
+        dpair AS (SELECT w[g] AS u, w[g+1] AS v FROM idx WHERE w[g] <> w[g+1]),
+        und AS (SELECT u, v FROM dpair UNION ALL SELECT v AS u, u AS v FROM dpair),
+        e AS (SELECT u, v, CAST(count(*) AS DOUBLE) AS wt FROM und
+              GROUP BY u, v HAVING count(*) >= 3),
+        deg AS (SELECT u, sum(wt) AS wd FROM e GROUP BY u),
+        n0 AS (SELECT DISTINCT u AS node FROM e),
+        pr0 AS (SELECT node, 1.0 AS r FROM n0)"""
+        val iterations = (1 to 10).map { k =>
+          s"""
+        pr$k AS (SELECT n.node,
+              (1 - 0.85) + 0.85 * coalesce(s.x, 0) AS r
+            FROM n0 n LEFT JOIN (
+              SELECT e.v AS node, sum(p.r / d.wd * e.wt) AS x
+              FROM e JOIN pr${k - 1} p ON p.node = e.u
+                     JOIN deg d ON d.u = e.u
+              GROUP BY e.v) s ON s.node = n.node)"""
+        }.mkString(",")
+        s"""$base,$iterations
+        SELECT node AS token, round(r, 4) AS tr_score FROM pr10"""
+      }) { (s, dir) =>
+      TextAnalysis.textrank(Tables.load(s, dir, "documents"),
+        "doc_id", "text", minWeight = 3L, iters = 10, damping = 0.85)
+    },
+
     "layout_zorder" -> QueryDef(
       doc = "Z-order (Morton) clustering key over (o_custkey, o_totalprice): quantize each dim to 8 bits against driver-collected bounds, interleave the bits — the multi-dim data-layout key zorderWrite range-partitions on so parquet min/max pruning serves predicates on either dimension; oracle replays quantization + interleave in SQL (hash-verified)",
       oracle = {

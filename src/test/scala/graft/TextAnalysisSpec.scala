@@ -406,4 +406,40 @@ class TextAnalysisSpec extends SparkSpec {
     def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out == Seq(("a", "b", 3L, r4(math.log(3.0 * 5 / (3.0 * 3))))))
   }
+
+  test("textrank one iteration matches the hand-computed update") {
+    // "a b a b a c": symmetric weights w(a,b)=4, w(a,c)=1 →
+    // wdeg a=5, b=4, c=1; from r0=1:
+    //   r1(a) = 0.15 + 0.85*(1/4*4 + 1/1*1) = 1.85
+    //   r1(b) = 0.15 + 0.85*(1/5*4)         = 0.83
+    //   r1(c) = 0.15 + 0.85*(1/5*1)         = 0.32
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.textrank(df, "doc_id", "text",
+      minWeight = 1L, iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 1.85, "b" -> 0.83, "c" -> 0.32))
+  }
+
+  test("textrank: the hub outranks its satellites; reruns agree at 4dp") {
+    // star graph: h co-occurs with each of s1..s4; satellites only
+    // ever touch the hub
+    val df = Seq((1L, "h s1 h s1 h s1"), (2L, "h s2 h s2 h s2"),
+      (3L, "h s3 h s3 h s3"), (4L, "h s4 h s4 h s4"))
+      .toDF("doc_id", "text")
+    val ranks = TextAnalysis.textrank(df, "doc_id", "text", minWeight = 1L)
+      .as[(String, Double)].collect().toMap
+    assert(ranks("h") > ranks("s1") * 2,
+      s"hub must dominate the satellites, got $ranks")
+    val again = TextAnalysis.textrank(df, "doc_id", "text", minWeight = 1L)
+      .as[(String, Double)].collect().toMap
+    assert(ranks == again, "4dp ranks must be rerun-stable")
+  }
+
+  test("textrank prunes edges below minWeight (and their orphaned nodes)") {
+    val df = Seq((1L, "a b a b a b x y")).toDF("doc_id", "text")
+    // w(a,b)=5 survives minWeight=3; w(b,x)=w(x,y)=1 do not
+    val nodes = TextAnalysis.textrank(df, "doc_id", "text", minWeight = 3L)
+      .select("token").as[String].collect().toSet
+    assert(nodes == Set("a", "b"))
+  }
 }
