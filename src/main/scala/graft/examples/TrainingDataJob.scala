@@ -88,7 +88,15 @@ object TrainingDataJob {
       // <= 0 disables the drift gate (pure assignment — a deployment
       // where retrain decisions run on their own cadence)
       vectorMinRecall: Double = 0.6,
-      vectorDriftSample: Int = 32)
+      vectorDriftSample: Int = 32,
+      // DSIR selection-model state (streaming tier): > 0 maintains a
+      // doc-keyed hashed-gram counts store over the curated set
+      // ([[graft.operators.Dsir.docBucketCounts]] layout) as durable
+      // state, so the raw side of an importance model is always
+      // servable without a corpus rescan — fit against any target
+      // corpus's counts via [[graft.streaming.TrainingStreaming
+      // .readDsirModel]]. 0 = feature off.
+      dsirBuckets: Int = 0)
 
   /** The configured token counter — words or subword pieces — used
     * for BOTH the n_tokens feature and the pack budget, so the

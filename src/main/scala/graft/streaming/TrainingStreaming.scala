@@ -44,6 +44,7 @@ object TrainingStreaming {
   private def retractsPath(root: String) = s"$root/retractions"
   private def lexicalPath(root: String) = s"$root/lexical"
   private def vectorsPath(root: String) = s"$root/vectors"
+  private def dsirPath(root: String) = s"$root/dsir"
 
   /** The path's OWN filesystem — state roots need not live on the
     * cluster's fs.defaultFS.
@@ -73,7 +74,8 @@ object TrainingStreaming {
     */
   private def recoverState(spark: SparkSession, root: String): Unit =
     Seq(docsPath(root), clustersPath(root), addsPath(root),
-      retractsPath(root), lexicalPath(root), vectorsPath(root))
+      retractsPath(root), lexicalPath(root), vectorsPath(root),
+      dsirPath(root))
       .foreach(AnalysisStore.recover(spark, _))
 
   /** One curation tick over a batch of new docs, against (and
@@ -170,6 +172,39 @@ object TrainingStreaming {
       if (!lexFs.exists(lexDir)) lexFs.mkdirs(lexDir)
       AnalysisStore.stageAndSwap(spark, lexP) { staging =>
         lexTarget.write.parquet(staging)
+      }
+    }
+    // the DSIR raw-side counts are the selection model's half of the
+    // serving state: same curated-set contract and commit-point
+    // ordering as the lexical postings, kept DOC-KEYED ((doc_id,
+    // bucket, cnt)) on purpose — a redelivered batch REPLACES its
+    // docs' rows instead of double-adding an aggregate delta, and a
+    // retraction subtracts by key instead of trusting a recomputed
+    // negative. Model-sized to serve: the fit groups to ≤ B rows.
+    if (config.dsirBuckets > 0) {
+      val dsirP = dsirPath(storeRoot)
+      if (!additions.isEmpty || !retracted.isEmpty || !exists(spark, dsirP)) {
+        val b = config.dsirBuckets
+        val merged =
+          if (exists(spark, dsirP))
+            spark.read.parquet(dsirP)
+              .join(additions.select("doc_id"), Seq("doc_id"), "left_anti")
+              .unionByName(graft.operators.Dsir.docBucketCounts(
+                additions, "doc_id", "text", b))
+          else graft.operators.Dsir.docBucketCounts(
+            spark.read.parquet(addsPath(storeRoot)), "doc_id", "text", b)
+        val dsirTarget = readablePath(spark, retractsPath(storeRoot)) match {
+          case Some(rp) => merged.join(
+            spark.read.parquet(rp).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+          case None => merged
+        }
+        val dDir = new org.apache.hadoop.fs.Path(dsirP)
+        val dFs = fsOf(spark, dsirP)
+        if (!dFs.exists(dDir)) dFs.mkdirs(dDir)
+        AnalysisStore.stageAndSwap(spark, dsirP) { staging =>
+          dsirTarget.write.parquet(staging)
+        }
       }
     }
     // the dense-vector (IVF) serving index is the lexical store's
@@ -402,6 +437,33 @@ object TrainingStreaming {
             StructField("tf", LongType),
             StructField("dl", org.apache.spark.sql.types.IntegerType))))
     }
+
+  /** The curated corpus's doc-keyed DSIR counts as of now
+    * ([[graft.operators.Dsir.docBucketCounts]] layout). Swap-window
+    * and untouched-store behavior match [[readCurated]].
+    */
+  def readDsirCounts(spark: SparkSession, storeRoot: String): DataFrame =
+    readablePath(spark, dsirPath(storeRoot)) match {
+      case Some(p) => spark.read.parquet(p)
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("bucket", LongType),
+            StructField("cnt", LongType))))
+    }
+
+  /** Fit a DSIR importance model of the CURATED set as the raw side
+    * against `targetCounts` (a (bucket, cnt) table from
+    * [[graft.operators.Dsir.bucketCounts]] over the target corpus) —
+    * no corpus rescan: the maintained store groups to ≤ `buckets`
+    * rows.
+    */
+  def readDsirModel(spark: SparkSession, storeRoot: String,
+      targetCounts: DataFrame, buckets: Int): graft.operators.Dsir.DsirModel =
+    graft.operators.Dsir.modelFromCounts(targetCounts,
+      readDsirCounts(spark, storeRoot)
+        .groupBy("bucket").agg(sum(col("cnt")).as("cnt")),
+      buckets)
 
   def readCurated(spark: SparkSession, storeRoot: String): DataFrame = {
     val addsAt = readablePath(spark, addsPath(storeRoot))

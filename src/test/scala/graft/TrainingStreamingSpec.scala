@@ -280,6 +280,77 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
+  test("dsir counts track the curated set through retraction; redelivery is a no-op") {
+    import graft.operators.Dsir
+    // the bridge fixture: tick 2 retracts doc 2 (demoted canonical)
+    val w = (1 to 30).map {
+      case 11 => "the"
+      case 15 => "and"
+      case i => s"w$i"
+    }
+    def txt(lo: Int, hi: Int) = w.slice(lo - 1, hi).mkString(" ")
+    val old = Seq((1L, txt(1, 20), "en"), (2L, txt(11, 30), "en"))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq((3L, txt(6, 25), "en")).toDF("doc_id", "text", "lang")
+    val cfg = TrainingDataJob.Config(jaccardThreshold = 0.5,
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0,
+      dsirBuckets = 256)
+    val root = Files.createTempDirectory("dsirstate").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, old, root, cfg)
+    TrainingStreaming.tickBatch(spark, delta, root, cfg)
+    def servedTotals() = TrainingStreaming.readDsirCounts(spark, root)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    // parity: the maintained counts ≡ a rebuild over exactly the
+    // curated text (doc 2's grams must be gone with its retraction)
+    val curated = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id", "text")
+    assert(TrainingStreaming.readDsirCounts(spark, root)
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(1L))
+    val rebuilt = Dsir.bucketCounts(curated, "text", 256)
+      .as[(Long, Long)].collect().toMap
+    assert(servedTotals() == rebuilt,
+      "maintained counts must equal a rebuild over the curated set")
+    // redelivery: the same delta again must not change the store
+    TrainingStreaming.tickBatch(spark, delta, root, cfg)
+    assert(servedTotals() == rebuilt, "redelivery must be a no-op")
+    // and the servable model is exactly the from-scratch fit (fresh
+    // frame: the tick above swapped the additions files out from
+    // under the pre-tick plan)
+    val curatedNow = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id", "text")
+    val target = Dsir.bucketCounts(curatedNow, "text", 256)
+    val got = TrainingStreaming.readDsirModel(spark, root, target, 256)
+    val direct = Dsir.modelFromCounts(target, Dsir.bucketCounts(
+      curatedNow, "text", 256), 256)
+    assert(got.logRatio.toSeq == direct.logRatio.toSeq)
+  }
+
+  test("enabling dsirBuckets on a pre-dsir store backfills from the shipped history") {
+    import graft.operators.Dsir
+    def goodText(id: Long) =
+      ((1 to 18).map(j => s"w${id}x$j") ++ Seq("the", "and")).mkString(" ")
+    val plain = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0)
+    val root = Files.createTempDirectory("dsirupg").resolve("store").toString
+    TrainingStreaming.tickBatch(spark,
+      (100L to 105L).map(id => (id, goodText(id), "en"))
+        .toDF("doc_id", "text", "lang"), root, plain)
+    // feature turned on later: the first dsir tick must cover every
+    // previously shipped doc, not just its own batch
+    TrainingStreaming.tickBatch(spark,
+      Seq((200L, goodText(200L), "en")).toDF("doc_id", "text", "lang"),
+      root, plain.copy(dsirBuckets = 128))
+    val curated = TrainingStreaming.readCurated(spark, root)
+      .select("doc_id", "text")
+    val served = TrainingStreaming.readDsirCounts(spark, root)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = Dsir.bucketCounts(curated, "text", 128)
+      .as[(Long, Long)].collect().toMap
+    assert(served == rebuilt, "backfill must equal a full rebuild")
+  }
+
   test("a redelivered doc that fails the gate stays curated and stays indexed") {
     // replace-by-doc must key on ADDITIONS, not the whole batch: doc
     // 105 ships in tick 1, then is redelivered with degraded text
