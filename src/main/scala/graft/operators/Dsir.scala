@@ -142,11 +142,16 @@ object Dsir {
     * replaying the same walk lands on the same double.
     */
   private def rawScore(text: Column, model: DsirModel): Column =
-    aggregate(
-      transform(grams(text), g =>
-        element_at(typedlit(model.logRatio.toSeq),
-          (bucketOf(g, model.buckets) + 1).cast("int"))),
-      lit(0.0), (acc, x) => acc + x)
+    // coalesce: a NULL text has NULL grams and would otherwise score
+    // NULL — the contract (and the SQL oracle's LEFT JOIN) says 0,
+    // and a NULL key in select() could never be sampled
+    coalesce(
+      aggregate(
+        transform(grams(text), g =>
+          element_at(typedlit(model.logRatio.toSeq),
+            (bucketOf(g, model.buckets) + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x),
+      lit(0.0))
 
   /** Per-document scores: (idCol, dsir_logw) — log importance weight
     * rounded to 4dp (the engine-reproducibility contract). An empty

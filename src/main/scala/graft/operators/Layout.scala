@@ -32,7 +32,11 @@ object Layout {
     */
   final case class Dim(name: String, min: Double, max: Double)
 
-  /** One aggregate pass collecting min/max per dimension. */
+  /** One aggregate pass collecting min/max per dimension. An empty
+    * table or all-NULL column yields the degenerate Dim (0, 0) —
+    * [[quantize]] sends everything (but NULL) to bucket 0, so the
+    * write still succeeds instead of crashing the maintenance op.
+    */
   def stats(df: DataFrame, cols: Seq[String]): Seq[Dim] = {
     require(cols.nonEmpty, "need at least one z-order column")
     val aggs = cols.flatMap(c => Seq(
@@ -40,7 +44,8 @@ object Layout {
       max(col(c).cast("double")).as(s"__max_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
-      Dim(c, r.getDouble(2 * i), r.getDouble(2 * i + 1)) }
+      if (r.isNullAt(2 * i)) Dim(c, 0.0, 0.0)
+      else Dim(c, r.getDouble(2 * i), r.getDouble(2 * i + 1)) }
   }
 
   /** Bucket of `v` in [0, 2^bits): floor((v − min) / span * cells),
@@ -52,11 +57,14 @@ object Layout {
   def quantize(v: Column, dim: Dim, bits: Int): Column = {
     require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
     val cells = 1L << bits
+    // greatest/least SKIP nulls (greatest(NULL, 0) = 0), so the
+    // clamp must sit behind an explicit null gate or NULL would
+    // silently land in the minimum cell
     if (dim.max <= dim.min) when(v.isNull, lit(null)).otherwise(lit(0L))
-    else least(greatest(
+    else when(v.isNull, lit(null)).otherwise(least(greatest(
       floor((v.cast("double") - lit(dim.min)) / lit(dim.max - dim.min)
         * lit(cells.toDouble)).cast("long"),
-      lit(0L)), lit(cells - 1))
+      lit(0L)), lit(cells - 1)))
   }
 
   /** Morton interleave of pre-quantized bucket columns: bit `b` of

@@ -853,11 +853,16 @@ object TextAnalysis {
       minWeight: Long = 3L, iters: Int = 10,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // aggregate the DIRECTED counts first (the corpus-sized scan runs
+    // once), then symmetrize the model-sized count table — a union of
+    // the raw bigram rows would re-run the explode subtree per branch
     val directed = bigramRows(df, idCol, textCol)
       .filter(col("w1") =!= col("w2"))
-    val edges = directed.select(col("w1").as("u"), col("w2").as("v"))
-      .unionByName(directed.select(col("w2").as("u"), col("w1").as("v")))
-      .groupBy("u", "v").agg(count(lit(1)).cast("double").as("wt"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val edges = directed.select(col("w1").as("u"), col("w2").as("v"), col("c"))
+      .unionByName(directed.select(col("w2").as("u"), col("w1").as("v"), col("c")))
+      .groupBy("u", "v").agg(sum(col("c")).cast("double").as("wt"))
       .filter(col("wt") >= lit(minWeight.toDouble))
       .localCheckpoint(true)
     val deg = edges.groupBy("u").agg(sum(col("wt")).as("wd"))

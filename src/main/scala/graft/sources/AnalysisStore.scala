@@ -179,15 +179,34 @@ object AnalysisStore {
     */
   def optimize(
       spark: SparkSession, path: String, zorderCols: Seq[String],
-      bits: Int = 8, targetFileBytes: Long = 128L << 20): Int = {
+      bits: Int = 8, targetFileBytes: Long = 128L << 20,
+      partitionBy: Seq[String] = Nil): Int = {
+    // a table left mid-swap by a crash must be healed BEFORE the size
+    // probe, or the maintenance op can never fix the exact state its
+    // crash-safety doc promises to undo (stageAndSwap recovers too,
+    // but getContentSummary runs first)
+    recover(spark, path)
     val fs = fsOf(spark, path)
     val totalBytes = fs.getContentSummary(
       new org.apache.hadoop.fs.Path(path)).getLength
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     stageAndSwap(spark, path) { staging =>
-      graft.operators.Layout.zorderWrite(
-        read(spark, path), zorderCols, bits, nFiles, staging)
+      val src = read(spark, path)
+      // partitioned tables keep their directory layout (the compact()
+      // contract — flattening would orphan rows for dynamic partition
+      // overwrite and silently lose pruning): range-partition on
+      // (partition cols, zval) so each task writes whole dirs with a
+      // contiguous z-range inside each, then re-partitionBy on write
+      import org.apache.spark.sql.functions.col
+      val z = graft.operators.Layout.zorder(src, zorderCols, bits)
+      val keys = partitionBy.map(col) :+ col("zval")
+      val w = z.repartitionByRange(nFiles, keys: _*)
+        .sortWithinPartitions(keys: _*)
+        .drop("zval")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+        .save(staging)
     }
     nFiles
   }

@@ -183,11 +183,21 @@ object TrainingStreaming {
     // negative. Model-sized to serve: the fit groups to ≤ B rows.
     if (config.dsirBuckets > 0) {
       val dsirP = dsirPath(storeRoot)
-      if (!additions.isEmpty || !retracted.isEmpty || !exists(spark, dsirP)) {
-        val b = config.dsirBuckets
+      val b = config.dsirBuckets
+      // the bucket count is part of the store's identity: counts
+      // hashed mod B and mod B' share a 'bucket' column but not a
+      // feature space, so a config change must REBUILD from the
+      // shipped history (the pre-dsir backfill path — convergent),
+      // never merge two hash spaces. Meta rides INSIDE the swapped
+      // dir, so counts and their bucket count can't tear.
+      // the meta-exists guard also covers a dir mkdirs'd by a crashed
+      // first tick that never reached its swap (empty target dir)
+      val compatible = exists(spark, s"$dsirP/meta") &&
+        spark.read.parquet(s"$dsirP/meta").head().getInt(0) == b
+      if (!additions.isEmpty || !retracted.isEmpty || !compatible) {
         val merged =
-          if (exists(spark, dsirP))
-            spark.read.parquet(dsirP)
+          if (compatible)
+            spark.read.parquet(s"$dsirP/counts")
               .join(additions.select("doc_id"), Seq("doc_id"), "left_anti")
               .unionByName(graft.operators.Dsir.docBucketCounts(
                 additions, "doc_id", "text", b))
@@ -203,7 +213,9 @@ object TrainingStreaming {
         val dFs = fsOf(spark, dsirP)
         if (!dFs.exists(dDir)) dFs.mkdirs(dDir)
         AnalysisStore.stageAndSwap(spark, dsirP) { staging =>
-          dsirTarget.write.parquet(staging)
+          dsirTarget.write.parquet(s"$staging/counts")
+          import spark.implicits._
+          Seq(b).toDF("buckets").write.parquet(s"$staging/meta")
         }
       }
     }
@@ -444,8 +456,9 @@ object TrainingStreaming {
     */
   def readDsirCounts(spark: SparkSession, storeRoot: String): DataFrame =
     readablePath(spark, dsirPath(storeRoot)) match {
-      case Some(p) => spark.read.parquet(p)
-      case None =>
+      case Some(p) if exists(spark, s"$p/counts") =>
+        spark.read.parquet(s"$p/counts")
+      case _ =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
           StructType(Seq(StructField("doc_id", LongType),
             StructField("bucket", LongType),

@@ -136,6 +136,23 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(parent == Seq("zopt"), s"leftovers: $parent")
   }
 
+  test("optimize keeps a partitioned table's directory layout") {
+    val dir = Files.createTempDirectory("store").resolve("zpart").toString
+    val rnd = new scala.util.Random(5)
+    val data = (1 to 2000)
+      .map(i => (i.toLong, i % 4, rnd.nextDouble() * 100, rnd.nextDouble() * 100))
+      .toDF("k", "p", "x", "y")
+    data.write.partitionBy("p").parquet(dir)
+    AnalysisStore.optimize(spark, dir, Seq("x", "y"), bits = 8,
+      targetFileBytes = 1L << 30, partitionBy = Seq("p"))
+    // directory layout intact — a later dynamic partition overwrite
+    // would otherwise orphan rows sitting in flat root files
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("p=0", "p=1", "p=2", "p=3"), s"got $dirs")
+    assertSameRows(spark.read.parquet(dir).select("k", "p", "x", "y"), data)
+  }
+
   test("compact keeps a partitioned table's directory layout and pruning") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("store").resolve("fragp").toString

@@ -35,10 +35,17 @@ class DsirSpec extends SparkSpec {
       s"mean en score must clearly exceed mean non-en, got $byLang")
   }
 
-  test("an empty document scores exactly 0") {
-    val s = Dsir.scores(Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
-      "doc_id", "text", model)
-    assert(s.as[(Long, Double)].collect().toSet == Set(1L -> 0.0, 2L -> 0.0))
+  test("empty and NULL documents score exactly 0 (never NULL)") {
+    val df = Seq((1L, Some("")), (2L, Some("   ")), (3L, None))
+      .toDF("doc_id", "text")
+    val s = Dsir.scores(df, "doc_id", "text", model)
+    assert(s.as[(Long, Double)].collect().toSet ==
+      Set(1L -> 0.0, 2L -> 0.0, 3L -> 0.0))
+    // and a NULL-text doc is still sampleable (its key is the pure
+    // Gumbel draw, not NULL-sorted-last)
+    val sel = Dsir.select(df, "doc_id", "text", model, k = 3, "s")
+    assert(sel.filter(col("dsir_key").isNull).count() == 0)
+    assert(sel.count() == 3)
   }
 
   test("select draws k docs, reruns identically, and enriches the target") {

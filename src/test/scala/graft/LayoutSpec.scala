@@ -35,6 +35,27 @@ class LayoutSpec extends SparkSpec {
     assert(flat == 0L)
   }
 
+  test("NULL values stay NULL through quantize and zValue; degenerate stats survive") {
+    // greatest/least SKIP nulls — without the explicit gate a NULL
+    // would land in bucket 0 and z-cluster with real minimum rows
+    val d = Layout.Dim("v", 0.0, 10.0)
+    val q = Seq(Some(5.0), None).toDF("v")
+      .select(Layout.quantize(col("v"), d, bits = 2).as("q"))
+      .as[Option[Long]].collect().toSet
+    assert(q == Set(Some(2L), None))
+    val z = Seq((Some(3L), 5L), (None, 5L)).toDF("a", "b")
+      .select(Layout.zValue(Seq(col("a"), col("b")), 3).as("z"))
+      .as[Option[Long]].collect().toSet
+    assert(z.contains(None), "a NULL bucket must give a NULL zval")
+    // empty table / all-NULL column: stats degenerates instead of
+    // crashing (the maintenance path must survive an emptied store)
+    val dims = Layout.stats(
+      Seq(Option.empty[Double]).toDF("v"), Seq("v"))
+    assert(dims == Seq(Layout.Dim("v", 0.0, 0.0)))
+    assert(Layout.stats(orders.limit(0), Seq("o_custkey")) ==
+      Seq(Layout.Dim("o_custkey", 0.0, 0.0)))
+  }
+
   test("z-ordered files prune a second-dimension predicate; linear sort cannot") {
     val dir = Files.createTempDirectory("zorder")
     val zPath = dir.resolve("z").toString

@@ -351,6 +351,31 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(served == rebuilt, "backfill must equal a full rebuild")
   }
 
+  test("changing dsirBuckets rebuilds the counts store in the new hash space") {
+    import graft.operators.Dsir
+    def goodText(id: Long) =
+      ((1 to 18).map(j => s"w${id}x$j") ++ Seq("the", "and")).mkString(" ")
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0, dsirBuckets = 256)
+    val root = Files.createTempDirectory("dsirrehash").resolve("store").toString
+    TrainingStreaming.tickBatch(spark,
+      (100L to 105L).map(id => (id, goodText(id), "en"))
+        .toDF("doc_id", "text", "lang"), root, cfg)
+    // re-tick under a different bucket count: the store must be
+    // rebuilt whole in the new space, never merged across hash spaces
+    TrainingStreaming.tickBatch(spark,
+      Seq((200L, goodText(200L), "en")).toDF("doc_id", "text", "lang"),
+      root, cfg.copy(dsirBuckets = 64))
+    val served = TrainingStreaming.readDsirCounts(spark, root)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    assert(served.keys.forall(_ < 64), "every bucket lives in the new space")
+    val rebuilt = Dsir.bucketCounts(
+      TrainingStreaming.readCurated(spark, root).select("doc_id", "text"),
+      "text", 64).as[(Long, Long)].collect().toMap
+    assert(served == rebuilt, "rehash must equal a full rebuild at the new B")
+  }
+
   test("a redelivered doc that fails the gate stays curated and stays indexed") {
     // replace-by-doc must key on ADDITIONS, not the whole batch: doc
     // 105 ships in tick 1, then is redelivered with degraded text
