@@ -214,6 +214,48 @@ object Sampling {
     else kept.select(base: _*)
   }
 
+  /** Temperature-based mixture sampling (the `n_s^α` exponential
+    * smoothing of multilingual/multi-source pre-training): allocate a
+    * DOC budget across sources proportionally to `size^alpha`, then
+    * draw each source's quota in seeded shuffle order. `alpha = 1`
+    * is proportional sampling; `alpha < 1` flattens the mixture
+    * toward uniform, upsampling small sources' SHARE (α = 0.5 is the
+    * classic square-root temperature). Selection is without
+    * replacement, so an over-allocated small source caps at its size
+    * — compose with [[oversample]] for true multipliers > 1.
+    *
+    * Plan shape: one model-sized size aggregate (collected), then
+    * exactly [[tokenBudgetMix]]'s two-phase prefix machinery with a
+    * per-doc count of 1 — never one partition per source.
+    *
+    * Engine reproducibility: for `alpha = 0.5` the weights use
+    * `sqrt`, which IEEE-754 requires to be correctly rounded — both
+    * engines compute bit-identical quotas from identical counts (pow
+    * is NOT correctly rounded, so other alphas are Spark-side exact
+    * but carry a theoretical last-ulp quota boundary risk vs an
+    * external SQL oracle; the weight-sum order is pinned to
+    * source-name order for the same reason).
+    */
+  def temperatureMix(
+      df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, budget: Long, seed: String): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val sizes = df.groupBy(col(sourceCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def weight(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    val ordered = sizes.toSeq.sortBy(_._1)
+    val totalW = ordered.iterator.map { case (_, n) => weight(n) }.sum
+    val quotas = ordered.map { case (s, n) =>
+      s -> (if (totalW == 0) 0L
+            else math.floor(budget * weight(n) / totalW).toLong)
+    }.toMap
+    tokenBudgetMix(df, idCol, sourceCol, textCol = idCol, quotas, seed,
+      tokenCount = _ => lit(1))
+  }
+
   /** Deterministic OVERSAMPLING — mixture multipliers above (or
     * below) 1: each stratum's documents repeat `multiplier` times in
     * the assembled corpus, the standard way a small high-quality

@@ -1389,6 +1389,29 @@ object ExtQueries {
         .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
     },
 
+    "corpus_temperature_mix" -> QueryDef(
+      doc = "temperature mixture sampling (n^0.5 exponential smoothing, the multilingual-training mix): doc budget 300 split across sources by sqrt(size) — sqrt is IEEE-correctly-rounded so both engines compute identical quotas; selection is the seeded per-source shuffle-order prefix",
+      oracle = """
+        WITH sizes AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM sizes),
+        q AS (SELECT source,
+                     CAST(floor(300 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+                       AS quota
+              FROM w),
+        keyed AS (SELECT doc_id, source,
+                         md5('tmix0:' || CAST(doc_id AS VARCHAR)) AS k
+                  FROM documents),
+        ranked AS (SELECT doc_id, source,
+                          row_number() OVER (PARTITION BY source ORDER BY k)
+                            AS rn
+                   FROM keyed)
+        SELECT r.doc_id, r.source FROM ranked r
+        JOIN q ON q.source = r.source WHERE r.rn <= q.quota""") { (s, dir) =>
+      Sampling.temperatureMix(
+        Tables.load(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", "source", alpha = 0.5, budget = 300L, seed = "tmix0")
+    },
+
     "text_textrank" -> QueryDef(
       doc = "TextRank keyword centrality (Mihalcea & Tarau 2004): weighted PageRank over the corpus adjacency co-occurrence graph, 10 unrolled iterations, damping 0.85 — the oracle replays the identical iteration as a chained-CTE unroll; damping is a contraction, so cross-engine float-order drift shrinks per round and the 4dp ranks hash-match",
       oracle = {

@@ -245,4 +245,38 @@ class SamplingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptIds == ref)
   }
+
+  test("temperatureMix: alpha=1 is proportional, alpha<1 flattens toward uniform") {
+    // two sources, 9:1 — alpha=1 splits the budget 9:1, alpha=0.5
+    // splits by sqrt sizes 3:1
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++
+      (91 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    def shares(alpha: Double): Map[String, Long] =
+      Sampling.temperatureMix(docs, "doc_id", "source", alpha,
+        budget = 40L, seed = "t0")
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+    val prop = shares(1.0)
+    assert(prop == Map("big" -> 36L, "small" -> 4L), s"got $prop")
+    val sqrtMix = shares(0.5)
+    // weights sqrt(90):sqrt(10) = 3:1 → floor(40*0.75)=30, floor(40*0.25)=10
+    assert(sqrtMix == Map("big" -> 30L, "small" -> 10L), s"got $sqrtMix")
+    // deterministic: the same seed reproduces the same doc set
+    val a = Sampling.temperatureMix(docs, "doc_id", "source", 0.5, 40L, "t0")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(docs, "doc_id", "source", 0.5, 40L, "t0")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("temperatureMix caps an over-allocated source at its size") {
+    // small is 4 docs but sqrt-temperature at a big budget allocates
+    // it more — selection is without replacement, so it caps
+    val docs = ((1 to 96).map(i => (i.toLong, "big")) ++
+      (97 to 100).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val got = Sampling.temperatureMix(docs, "doc_id", "source", 0.5,
+      budget = 60L, seed = "t1")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(got("small") == 4L, s"capped at size, got $got")
+    assert(got("big") <= 50L, "big keeps its own quota only")
+  }
 }
