@@ -84,24 +84,38 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
-  /** `df` plus a `zval` column over `cols` (driver collects the
-    * bounds; one extra aggregate job).
+  /** `df` plus a z-value column (default name `zval`) over `cols`
+    * (driver collects the bounds; one extra aggregate job). Callers
+    * whose data may carry a column of the same name pass their own
+    * `zCol` — `withColumn` would silently REPLACE it.
     */
-  def zorder(df: DataFrame, cols: Seq[String], bits: Int): DataFrame = {
+  def zorder(df: DataFrame, cols: Seq[String], bits: Int,
+      zCol: String = "zval"): DataFrame = {
+    require(!df.columns.contains(zCol),
+      s"z-value column name '$zCol' collides with a data column")
     val dims = stats(df, cols)
-    df.withColumn("zval",
+    df.withColumn(zCol,
       zValue(dims.map(d => quantize(col(d.name), d, bits)), bits))
   }
 
   /** Write `df` z-ordered on `cols` into `numFiles` range-partitioned,
     * internally sorted files: every file owns a contiguous z-range =
-    * a tight multi-dim bounding box for min/max pruning.
+    * a tight multi-dim bounding box for min/max pruning. Partitioned
+    * tables keep their directory layout: ranges run over (partition
+    * cols, z), so each task writes whole dirs with a contiguous
+    * z-range inside each. The internal z column name is
+    * collision-proof against user data.
     */
   def zorderWrite(df: DataFrame, cols: Seq[String], bits: Int,
-      numFiles: Int, path: String): Unit =
-    zorder(df, cols, bits)
-      .repartitionByRange(numFiles, col("zval"))
-      .sortWithinPartitions("zval")
-      .drop("zval")
-      .write.mode("overwrite").parquet(path)
+      numFiles: Int, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val zc = "__graft_zval"
+    val keys = partitionBy.map(col) :+ col(zc)
+    val w = zorder(df, cols, bits, zc)
+      .repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .drop(zc)
+      .write.mode("overwrite").format("parquet")
+    (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+      .save(path)
+  }
 }

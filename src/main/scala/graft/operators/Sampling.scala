@@ -241,9 +241,13 @@ object Sampling {
       alpha: Double, budget: Long, seed: String): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val sizes = df.groupBy(col(sourceCol).cast("string").as("__s"))
+    // NULL sources are excluded, matching tokenBudgetMix (a null can
+    // be neither a map key nor sorted into the weight-sum order)
+    val sizes = df.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("__s"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (sizes.isEmpty) return df.limit(0)
     def weight(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
     val ordered = sizes.toSeq.sortBy(_._1)

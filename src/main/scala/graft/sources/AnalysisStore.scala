@@ -192,21 +192,8 @@ object AnalysisStore {
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     stageAndSwap(spark, path) { staging =>
-      val src = read(spark, path)
-      // partitioned tables keep their directory layout (the compact()
-      // contract — flattening would orphan rows for dynamic partition
-      // overwrite and silently lose pruning): range-partition on
-      // (partition cols, zval) so each task writes whole dirs with a
-      // contiguous z-range inside each, then re-partitionBy on write
-      import org.apache.spark.sql.functions.col
-      val z = graft.operators.Layout.zorder(src, zorderCols, bits)
-      val keys = partitionBy.map(col) :+ col("zval")
-      val w = z.repartitionByRange(nFiles, keys: _*)
-        .sortWithinPartitions(keys: _*)
-        .drop("zval")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-      (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
-        .save(staging)
+      graft.operators.Layout.zorderWrite(
+        read(spark, path), zorderCols, bits, nFiles, staging, partitionBy)
     }
     nFiles
   }

@@ -465,18 +465,35 @@ object TrainingStreaming {
             StructField("cnt", LongType))))
     }
 
+  /** The bucket count the dsir store was maintained under (from its
+    * swapped-in meta), or None for a store no dsir tick has touched.
+    * Hash the TARGET corpus's counts with exactly this B before
+    * calling [[readDsirModel]].
+    */
+  def readDsirBuckets(spark: SparkSession, storeRoot: String): Option[Int] =
+    readablePath(spark, dsirPath(storeRoot))
+      .filter(p => exists(spark, s"$p/meta"))
+      .map(p => spark.read.parquet(s"$p/meta").head().getInt(0))
+
   /** Fit a DSIR importance model of the CURATED set as the raw side
     * against `targetCounts` (a (bucket, cnt) table from
-    * [[graft.operators.Dsir.bucketCounts]] over the target corpus) —
-    * no corpus rescan: the maintained store groups to ≤ `buckets`
-    * rows.
+    * [[graft.operators.Dsir.bucketCounts]] over the target corpus,
+    * hashed with [[readDsirBuckets]]'s B) — no corpus rescan: the
+    * maintained store groups to ≤ B rows. The bucket count comes
+    * from the store's own meta, never the caller: counts hashed
+    * under different Bs share a column name but not a feature space.
     */
   def readDsirModel(spark: SparkSession, storeRoot: String,
-      targetCounts: DataFrame, buckets: Int): graft.operators.Dsir.DsirModel =
+      targetCounts: DataFrame): graft.operators.Dsir.DsirModel = {
+    val b = readDsirBuckets(spark, storeRoot).getOrElse(throw
+      new IllegalStateException(
+        s"no dsir counts store under $storeRoot — run a tick with " +
+          "Config.dsirBuckets > 0 first"))
     graft.operators.Dsir.modelFromCounts(targetCounts,
       readDsirCounts(spark, storeRoot)
         .groupBy("bucket").agg(sum(col("cnt")).as("cnt")),
-      buckets)
+      b)
+  }
 
   def readCurated(spark: SparkSession, storeRoot: String): DataFrame = {
     val addsAt = readablePath(spark, addsPath(storeRoot))

@@ -99,6 +99,22 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == orders.count())
   }
 
+  test("zorder refuses a colliding z-column name; zorderWrite survives user 'zval'") {
+    intercept[IllegalArgumentException] {
+      Layout.zorder(orders.withColumn("zval", lit(1L)),
+        Seq("o_custkey"), 4)
+    }
+    // the write path's internal name cannot collide with user data —
+    // a pre-existing zval column comes back intact
+    val dir = Files.createTempDirectory("zcol").resolve("t").toString
+    val withZval = orders.withColumn("zval", col("o_orderkey") * 2)
+    Layout.zorderWrite(withZval, Seq("o_custkey", "o_totalprice"),
+      bits = 4, numFiles = 2, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.contains("zval"))
+    assert(back.filter(col("zval") =!= col("o_orderkey") * 2).count() == 0)
+  }
+
   test("zorder is deterministic") {
     val a = Layout.zorder(orders, Seq("o_custkey", "o_totalprice"), 8)
       .select("o_orderkey", "zval").as[(Long, Long)].collect().toSet

@@ -268,6 +268,17 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("temperatureMix: NULL sources are excluded; empty input yields empty output") {
+    val docs = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("doc_id", "source")
+    val kept = Sampling.temperatureMix(docs, "doc_id", "source", 0.5,
+      budget = 10L, seed = "t2").select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), "null-source rows never ship")
+    val empty = Sampling.temperatureMix(docs.limit(0), "doc_id", "source",
+      0.5, 10L, "t2")
+    assert(empty.count() == 0, "empty input degrades, not crashes")
+  }
+
   test("temperatureMix caps an over-allocated source at its size") {
     // small is 4 docs but sqrt-temperature at a big budget allocates
     // it more — selection is without replacement, so it caps

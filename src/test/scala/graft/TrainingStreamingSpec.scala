@@ -319,8 +319,10 @@ class TrainingStreamingSpec extends SparkSpec {
     // under the pre-tick plan)
     val curatedNow = TrainingStreaming.readCurated(spark, root)
       .select("doc_id", "text")
+    // the bucket count comes from the store's own meta, not the caller
+    assert(TrainingStreaming.readDsirBuckets(spark, root).contains(256))
     val target = Dsir.bucketCounts(curatedNow, "text", 256)
-    val got = TrainingStreaming.readDsirModel(spark, root, target, 256)
+    val got = TrainingStreaming.readDsirModel(spark, root, target)
     val direct = Dsir.modelFromCounts(target, Dsir.bucketCounts(
       curatedNow, "text", 256), 256)
     assert(got.logRatio.toSeq == direct.logRatio.toSeq)
