@@ -194,6 +194,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p) // id lookup is a map literal, not a join
   }
 
+  test("corpus_temperature_mix rides the same bucketed prefix shape") {
+    val p = plan("corpus_temperature_mix")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("corpus_token_mix: per-source prefix sum is bucketed — never one partition per source") {
     val p = plan("corpus_token_mix")
     assert(!p.contains("SinglePartition"), p)
