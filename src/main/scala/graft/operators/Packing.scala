@@ -116,6 +116,61 @@ object Packing {
     *         (band-major) and every batch except possibly each band's
     *         last holds exactly `batchSize` docs
     */
+  /** Curriculum ordering: assign every document a global training
+    * position — quality phases first (phase 0 = best), a seeded
+    * shuffle within each phase. `thresholds` are strictly DECREASING
+    * score cut-points: phase p = first threshold the score reaches;
+    * docs below every threshold land in the last phase. The position
+    * is 1-based and a permutation of 1..N: phase offsets (cumulative
+    * phase sizes) plus the within-phase seeded rank.
+    *
+    * Plan shape: the rank is the same two-phase distributed prefix as
+    * [[packSequences]] — per-(phase, key-bucket) counts (model-sized:
+    * (|thresholds|+1) × 256 scalars collected), driver prefix, then
+    * per-bucket windows — never one partition per phase. Deterministic
+    * and engine-reproducible (md5 order, integer arithmetic).
+    */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, scoreCol: String,
+      thresholds: Seq[Double], seed: String): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one phase threshold")
+    require(thresholds == thresholds.sorted.reverse &&
+      thresholds.distinct == thresholds,
+      "thresholds must be strictly decreasing")
+    // phase = index of the first threshold the score reaches
+    val phase = thresholds.zipWithIndex.foldRight(
+        lit(thresholds.length)) { case ((t, i), acc) =>
+      when(col(scoreCol) >= t, i).otherwise(acc)
+    }.cast("int")
+    val counted = df.select(col(idCol), phase.as("phase"),
+        Sampling.shuffleKey(col(idCol), seed).as("__key"))
+      .withColumn("__kb", DistributedPrefix.keyBucket(col("__key")))
+    val totals = counted.groupBy("phase", "__kb")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefixes = DistributedPrefix.bucketPrefixes(totals)
+      .toDF("__pphase", "__pkb", "__prefix")
+    // exclusive cumulative phase sizes — the global offset of each
+    // phase's first position (model-sized driver arithmetic)
+    val phaseTotals = (0 to thresholds.length).map { p =>
+      (0 until DistributedPrefix.Buckets)
+        .map(kb => totals.getOrElse((p, kb), 0L)).sum
+    }
+    val offsets = phaseTotals.scanLeft(0L)(_ + _)
+    val offsetCol = (0 to thresholds.length).foldLeft(lit(0L)) { (acc, p) =>
+      when(col("phase") === p, lit(offsets(p))).otherwise(acc)
+    }
+    val w = Window.partitionBy("phase", "__kb").orderBy("__key")
+    counted
+      .join(broadcast(prefixes),
+        col("phase") === col("__pphase") && col("__kb") === col("__pkb"))
+      .withColumn("curriculum_pos",
+        offsetCol + col("__prefix") + row_number().over(w))
+      .select(col(idCol), col("phase"), col("curriculum_pos"))
+  }
+
   def lengthBucketBatches(
       df: DataFrame, idCol: String, textCol: String,
       batchSize: Int, seed: String,

@@ -1389,6 +1389,32 @@ object ExtQueries {
         .withColumn("mass_ok", lit(math.abs(mass - 1.0) < 1e-6))
     },
 
+    "corpus_curriculum" -> QueryDef(
+      doc = "curriculum ordering: quality phases (n_chars >= 300 / >= 150 / rest) first, seeded shuffle within each phase, 1-based global position = phase offsets + bucketed two-phase prefix rank (equivalent to one row_number per phase over the md5 key, which the oracle computes directly)",
+      oracle = """
+        WITH p AS (SELECT doc_id,
+                          CASE WHEN n_chars >= 300 THEN 0
+                               WHEN n_chars >= 150 THEN 1
+                               ELSE 2 END AS phase,
+                          md5('cur0:' || CAST(doc_id AS VARCHAR)) AS k
+                   FROM documents),
+        r AS (SELECT doc_id, phase,
+                     row_number() OVER (PARTITION BY phase ORDER BY k) AS rn
+              FROM p),
+        sizes AS (SELECT phase, count(*) AS n FROM p GROUP BY phase),
+        offs AS (SELECT phase,
+                        coalesce(sum(n) OVER (ORDER BY phase
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS off
+                 FROM sizes)
+        SELECT r.doc_id, CAST(r.phase AS INTEGER) AS phase,
+               CAST(o.off + r.rn AS BIGINT) AS curriculum_pos
+        FROM r JOIN offs o ON o.phase = r.phase""") { (s, dir) =>
+      graft.operators.Packing.curriculumOrder(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", thresholds = Seq(300.0, 150.0), seed = "cur0")
+    },
+
     "corpus_temperature_mix" -> QueryDef(
       doc = "temperature mixture sampling (n^0.5 exponential smoothing, the multilingual-training mix): doc budget 300 split across sources by sqrt(size) — sqrt is IEEE-correctly-rounded so both engines compute identical quotas; selection is the seeded per-source shuffle-order prefix",
       oracle = """

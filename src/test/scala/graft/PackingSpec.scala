@@ -106,4 +106,31 @@ class PackingSpec extends SparkSpec {
     assert(out.map(_.toSeq).sortBy(_.head.toString).toSeq ==
       again.map(_.toSeq).sortBy(_.head.toString).toSeq)
   }
+
+  test("curriculumOrder: phase-major permutation, seeded within-phase shuffle") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, (i % 10).toDouble))
+      .toDF("doc_id", "score")
+    val out = Packing.curriculumOrder(docs, "doc_id", "score",
+      thresholds = Seq(7.0, 4.0), seed = "c0")
+      .as[(Long, Int, Long)].collect()
+    // positions are a 1-based permutation of 1..N
+    assert(out.map(_._3).sorted.toSeq == (1L to 100L).toSeq)
+    // phase-major: every phase-0 position precedes every phase-1, etc.
+    val byPhase = out.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byPhase(0).max < byPhase(1).min && byPhase(1).max < byPhase(2).min)
+    // phase membership follows the thresholds
+    assert(out.filter(_._2 == 0).map(_._1).forall(id => id % 10 >= 7))
+    assert(out.filter(_._2 == 2).map(_._1).forall(id => id % 10 < 4))
+    // same seed reproduces; a fresh seed reshuffles within phases only
+    val again = Packing.curriculumOrder(docs, "doc_id", "score",
+      Seq(7.0, 4.0), "c0").as[(Long, Int, Long)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    val other = Packing.curriculumOrder(docs, "doc_id", "score",
+      Seq(7.0, 4.0), "c1").as[(Long, Int, Long)].collect()
+    assert(other.sortBy(_._1).map(_._2).toSeq ==
+      out.sortBy(_._1).map(_._2).toSeq, "phases are seed-independent")
+    assert(other.sortBy(_._1).map(_._3).toSeq !=
+      out.sortBy(_._1).map(_._3).toSeq, "order within phases reshuffles")
+  }
 }
