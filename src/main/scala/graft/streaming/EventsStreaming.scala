@@ -136,6 +136,39 @@ object EventsStreaming {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Trending items per tumbling window: the Misra–Gries sketch as a
+    * STREAMING aggregation — ≤ k counters of state per open window
+    * regardless of item cardinality, the only budget that survives
+    * "trending content ids on an unbounded feed" (an exact
+    * groupBy(item) holds one row per distinct item per window).
+    * Emits, once the watermark closes a window, the sketch's
+    * candidates with their LOWER-BOUND counts and the window total.
+    *
+    * Contract (the [[graft.functions.MisraGriesAggregator]] bound,
+    * which survives Spark's arbitrary partial-merge trees): the
+    * candidates are a superset of every item with true window
+    * frequency > n_total/(k+1), and est ≤ true ≤ est + n_total/(k+1).
+    * The batch twin ([[graft.operators.TextAnalysis.heavyItems]])
+    * reranks candidates exactly in a second pass; a single-pass
+    * stream has no second pass, so downstream either accepts the
+    * bound or reranks the closed window from cold storage.
+    */
+  def trendingValues(
+      events: DataFrame, itemCol: String, k: Int = 99,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val mg = udaf(graft.functions.MisraGriesAggregator.misraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(mg(col(itemCol).cast("string")).as("sketch"),
+        count(lit(1)).as("n_total"))
+      .select(col("window.start").as("ws"),
+        explode(col("sketch")).as("c"), col("n_total"))
+      .select(col("ws"), col("c.item"), col("c.est"), col("n_total"))
+  }
+
   /** Recommended sink wiring for the aggregations above (documentation
     * +  smoke-tested): append mode emits each window exactly once,
     * after the watermark closes it.

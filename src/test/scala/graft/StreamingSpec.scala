@@ -192,4 +192,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall(!_._3.contains("admin@site.io")),
       "redaction must precede chunking in the stream too")
   }
+
+  test("trendingValues: streaming MG sketch honors the superset + bound contract") {
+    implicit val sqlCtx = spark.sqlContext
+    // one window: hot×40, warm×15, 20 singletons — 22 distinct items
+    // against k=5 counters, so the decrement path really runs
+    val items = Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++
+      (1 to 20).map(i => s"cold$i")
+    val base = ts("2024-01-01 10:00:30").getTime
+    val evRows = items.zipWithIndex.map { case (it, i) =>
+      (i.toLong, new Timestamp(base + i * 1000L), 1L, it, 0.0)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStreaming.trendingValues(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        itemCol = "event_type", k = 5, windowLen = "1 hour",
+        watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trend").start()
+    mem.addData(evRows: _*)
+    q.processAllAvailable()
+    mem.addData((999L, ts("2024-01-02 23:00:00"), 1L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("trend")
+      .filter(col("ws") === ts("2024-01-01 10:00:00"))
+      .select("item", "est", "n_total")
+      .as[(String, Long, Long)].collect()
+    val n = items.size.toLong
+    assert(out.forall(_._3 == n), "window total is exact")
+    val cands = out.map(_._1).toSet
+    // superset guarantee: every item above n/(k+1) must survive
+    assert(cands.contains("hot") && cands.contains("warm"),
+      s"true heavy items must be candidates, got $cands")
+    assert(out.length <= 5, "never more than k counters per window")
+    // lower-bound contract: est <= true <= est + n/(k+1)
+    val slack = n / 6
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (item, est, _) =>
+      val t = truth(item)
+      assert(est <= t && t <= est + slack,
+        s"$item: est=$est true=$t slack=$slack")
+    }
+  }
 }
