@@ -250,6 +250,43 @@ object TrainingDataJob {
       config.numShards)
   }
 
+  /** EPOCH assembly — the mixture and ordering decisions recomputed
+    * per training epoch over a curated corpus ([[run]]/[[tick]]
+    * output), deliberately NOT part of [[run]]: quotas and global
+    * order are corpus-level functions that growth displaces, while
+    * run/tick are append-only (the [[graft.operators.Sampling
+    * .tokenBudgetMix]] epoch-boundary rule). Stages:
+    *
+    *  1. temperature mixture — `size^alpha` doc quotas per source
+    *     ([[graft.operators.Sampling.temperatureMix]])
+    *  2. oversampling — per-source multipliers repeat small
+    *     high-quality sources as distinct copies (`epoch` = copy id)
+    *  3. curriculum — each COPY gets a global training position:
+    *     quality phases (token-count score against `thresholds`)
+    *     first, seeded shuffle within phase; copies rank under a
+    *     composite (doc, copy) key so their order is deterministic
+    *
+    * Deterministic for a given (corpus, epochSeed); a fresh seed is a
+    * fresh epoch (new draw, new order, same distributions).
+    */
+  def assembleEpoch(curated: DataFrame, alpha: Double, docBudget: Long,
+      multipliers: Map[String, Double], thresholds: Seq[Double],
+      epochSeed: String): DataFrame = {
+    val mixed = Sampling.temperatureMix(curated, "doc_id", "source",
+      alpha, docBudget, epochSeed + ":mix")
+    val scores = docScore(mixed)
+    val copies = Sampling.oversample(mixed, "doc_id", "source", multipliers)
+      .withColumn("__cid",
+        concat_ws(":", col("doc_id").cast("string"),
+          col("epoch").cast("string")))
+    val ordered = Packing.curriculumOrder(
+      copies.join(scores, Seq("doc_id")), "__cid", "score",
+      thresholds, epochSeed + ":cur")
+    copies.join(ordered, Seq("__cid"))
+      .select(curated.columns.map(col).toIndexedSeq ++
+        Seq(col("epoch"), col("phase"), col("curriculum_pos")): _*)
+  }
+
   /** [[tick]]'s outputs: what ships, what retracts, and the merged
     * clustering the NEXT tick needs as its prior state.
     */

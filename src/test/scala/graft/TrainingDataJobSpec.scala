@@ -255,4 +255,49 @@ class TrainingDataJobSpec extends SparkSpec {
     // nothing outside it is added
     assert(ids.nonEmpty && ids.subsetOf(withoutEval))
   }
+
+  test("assembleEpoch: mix -> oversample -> curriculum composes deterministically") {
+    def text(id: Long, words: Int) =
+      (1 to words).map(j => s"w${id}x$j").mkString(" ")
+    // big: 64 docs of 8 tokens; rare: 16 docs of 24 tokens (higher
+    // quality score, 2x multiplier)
+    val corpus = ((1L to 64L).map(id => (id, text(id, 8), "big")) ++
+      (101L to 116L).map(id => (id, text(id, 24), "rare")))
+      .toDF("doc_id", "text", "source")
+    val epoch = TrainingDataJob.assembleEpoch(corpus, alpha = 0.5,
+      docBudget = 40L, multipliers = Map("rare" -> 2.0),
+      thresholds = Seq(16.0), epochSeed = "e0")
+      .select("doc_id", "source", "epoch", "phase", "curriculum_pos")
+      .as[(Long, String, Int, Int, Long)].collect()
+    // sqrt quotas: sqrt(64):sqrt(16) = 2:1 -> big 26, rare 13
+    val drawn = epoch.filter(_._3 == 0).map(_._1).distinct
+    val bySource = epoch.filter(_._3 == 0).groupBy(_._2)
+      .view.mapValues(_.map(_._1).distinct.length).toMap
+    assert(bySource == Map("big" -> 26, "rare" -> 13), s"got $bySource")
+    // rare's multiplier doubles it: every rare doc appears twice,
+    // each copy with its own distinct curriculum position
+    val rareCopies = epoch.filter(_._2 == "rare")
+    assert(rareCopies.length == 26 &&
+      rareCopies.map(_._1).distinct.length == 13)
+    assert(epoch.map(_._5).distinct.length == epoch.length,
+      "every copy owns a distinct position")
+    assert(epoch.map(_._5).sorted.toSeq == (1L to epoch.length).toSeq,
+      "positions are a 1-based permutation")
+    // curriculum: 24-token rare docs are phase 0 and lead the order
+    assert(epoch.filter(_._2 == "rare").forall(_._4 == 0))
+    assert(epoch.filter(_._2 == "big").forall(_._4 == 1))
+    assert(epoch.filter(_._4 == 0).map(_._5).max <
+      epoch.filter(_._4 == 1).map(_._5).min)
+    // same seed reproduces, a fresh seed redraws
+    val again = TrainingDataJob.assembleEpoch(corpus, 0.5, 40L,
+      Map("rare" -> 2.0), Seq(16.0), "e0")
+      .select("doc_id", "source", "epoch", "phase", "curriculum_pos")
+      .as[(Long, String, Int, Int, Long)].collect()
+    assert(epoch.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    val fresh = TrainingDataJob.assembleEpoch(corpus, 0.5, 40L,
+      Map("rare" -> 2.0), Seq(16.0), "e1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh != drawn.toSet, "a fresh seed is a fresh draw")
+  }
 }
