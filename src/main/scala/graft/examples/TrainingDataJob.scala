@@ -272,13 +272,21 @@ object TrainingDataJob {
   def assembleEpoch(curated: DataFrame, alpha: Double, docBudget: Long,
       multipliers: Map[String, Double], thresholds: Seq[Double],
       epochSeed: String): DataFrame = {
+    // checkpoint the fan-out points: mixed feeds (scores, copies) and
+    // copies feeds (curriculum input, final join) — without eager
+    // materialization each branch re-runs the whole mix subtree
+    // (plus curriculumOrder's own eager totals pass)
     val mixed = Sampling.temperatureMix(curated, "doc_id", "source",
-      alpha, docBudget, epochSeed + ":mix")
+      alpha, docBudget, epochSeed + ":mix").localCheckpoint(true)
     val scores = docScore(mixed)
-    val copies = Sampling.oversample(mixed, "doc_id", "source", multipliers)
+    // the fractional-copy draw is epoch-seeded: the "new draw" half
+    // of a ×1.5 source must rotate across epochs, not stay fixed
+    val copies = Sampling.oversample(mixed, "doc_id", "source", multipliers,
+        seed = epochSeed)
       .withColumn("__cid",
         concat_ws(":", col("doc_id").cast("string"),
           col("epoch").cast("string")))
+      .localCheckpoint(true)
     val ordered = Packing.curriculumOrder(
       copies.join(scores, Seq("doc_id")), "__cid", "score",
       thresholds, epochSeed + ":cur")

@@ -38,4 +38,19 @@ private[operators] object DistributedPrefix {
         (g, b, p)
       }
     }
+
+  /** A group's grand total over all buckets (driver-side). */
+  def groupTotal[G](totals: Map[(G, Int), Long], g: G): Long =
+    (0 until Buckets).map(b => totals.getOrElse((g, b), 0L)).sum
+
+  /** Exclusive cumulative totals over integer-indexed groups
+    * 0..nGroups — the global offset of each group's first row when
+    * groups are laid out group-major (curriculum phases, length
+    * bands). `perGroup` maps a group's size to its footprint (rows,
+    * batches, …).
+    */
+  def groupOffsets(totals: Map[(Int, Int), Long], nGroups: Int,
+      perGroup: Long => Long = identity): IndexedSeq[Long] =
+    (0 to nGroups).map(g => perGroup(groupTotal(totals, g)))
+      .scanLeft(0L)(_ + _)
 }

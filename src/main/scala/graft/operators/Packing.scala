@@ -116,6 +116,49 @@ object Packing {
     *         (band-major) and every batch except possibly each band's
     *         last holds exactly `batchSize` docs
     */
+  def lengthBucketBatches(
+      df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, seed: String,
+      bands: Seq[Int] = Seq(16, 32, 64, 128),
+      tokenCount: Column => Column = wordCount): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(bands == bands.sorted && bands.distinct == bands,
+      "bands must be strictly increasing thresholds")
+    val n = tokenCount(col(textCol)).cast("int")
+    // band = number of thresholds <= n (integer compares, engine-exact)
+    val band = bands.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(n >= t, 1).otherwise(0)
+    }.cast("int")
+    val counted = df.select(col(idCol), n.as("n_tokens"), band.as("len_bucket"),
+        Sampling.shuffleKey(col(idCol), seed).as("__key"))
+      .withColumn("__kb", DistributedPrefix.keyBucket(col("__key")))
+    // per-(band, key-bucket) doc counts → driver prefix (model-sized:
+    // (|bands|+1) × 256 scalars)
+    val totals = counted.groupBy("len_bucket", "__kb")
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prefixes = DistributedPrefix.bucketPrefixes(totals)
+      .toDF("__pband", "__pkb", "__prefix")
+    val w = Window.partitionBy("len_bucket", "__kb").orderBy("__key")
+    counted
+      .join(broadcast(prefixes),
+        col("len_bucket") === col("__pband") && col("__kb") === col("__pkb"))
+      .withColumn("__rank", col("__prefix") + row_number().over(w) - 1)
+      // band-major global batch ids: band b's batches start after every
+      // lower band's (bandDocs/batchSize rounded up) batches
+      .withColumn("__bandStart", {
+        val starts = DistributedPrefix.groupOffsets(totals, bands.length,
+          t => (t + batchSize - 1) / batchSize)
+        (0 to bands.length).foldLeft(lit(0L)) { (acc, b) =>
+          when(col("len_bucket") === b, lit(starts(b))).otherwise(acc)
+        }
+      })
+      .select(col(idCol), col("n_tokens"), col("len_bucket"),
+        (col("__bandStart") + expr(s"__rank DIV $batchSize")).as("batch_id"))
+  }
+
   /** Curriculum ordering: assign every document a global training
     * position — quality phases first (phase 0 = best), a seeded
     * shuffle within each phase. `thresholds` are strictly DECREASING
@@ -154,11 +197,7 @@ object Packing {
       .toDF("__pphase", "__pkb", "__prefix")
     // exclusive cumulative phase sizes — the global offset of each
     // phase's first position (model-sized driver arithmetic)
-    val phaseTotals = (0 to thresholds.length).map { p =>
-      (0 until DistributedPrefix.Buckets)
-        .map(kb => totals.getOrElse((p, kb), 0L)).sum
-    }
-    val offsets = phaseTotals.scanLeft(0L)(_ + _)
+    val offsets = DistributedPrefix.groupOffsets(totals, thresholds.length)
     val offsetCol = (0 to thresholds.length).foldLeft(lit(0L)) { (acc, p) =>
       when(col("phase") === p, lit(offsets(p))).otherwise(acc)
     }
@@ -169,54 +208,6 @@ object Packing {
       .withColumn("curriculum_pos",
         offsetCol + col("__prefix") + row_number().over(w))
       .select(col(idCol), col("phase"), col("curriculum_pos"))
-  }
-
-  def lengthBucketBatches(
-      df: DataFrame, idCol: String, textCol: String,
-      batchSize: Int, seed: String,
-      bands: Seq[Int] = Seq(16, 32, 64, 128),
-      tokenCount: Column => Column = wordCount): DataFrame = {
-    require(batchSize > 0, "batchSize must be positive")
-    require(bands == bands.sorted && bands.distinct == bands,
-      "bands must be strictly increasing thresholds")
-    val n = tokenCount(col(textCol)).cast("int")
-    // band = number of thresholds <= n (integer compares, engine-exact)
-    val band = bands.foldLeft(lit(0)) { (acc, t) =>
-      acc + when(n >= t, 1).otherwise(0)
-    }.cast("int")
-    val counted = df.select(col(idCol), n.as("n_tokens"), band.as("len_bucket"),
-        Sampling.shuffleKey(col(idCol), seed).as("__key"))
-      .withColumn("__kb", DistributedPrefix.keyBucket(col("__key")))
-    // per-(band, key-bucket) doc counts → driver prefix (model-sized:
-    // (|bands|+1) × 256 scalars)
-    val totals = counted.groupBy("len_bucket", "__kb")
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val spark = df.sparkSession
-    import spark.implicits._
-    val prefixes = DistributedPrefix.bucketPrefixes(totals)
-      .toDF("__pband", "__pkb", "__prefix")
-    val w = Window.partitionBy("len_bucket", "__kb").orderBy("__key")
-    counted
-      .join(broadcast(prefixes),
-        col("len_bucket") === col("__pband") && col("__kb") === col("__pkb"))
-      .withColumn("__rank", col("__prefix") + row_number().over(w) - 1)
-      // band-major global batch ids: band b's batches start after every
-      // lower band's (bandDocs/batchSize rounded up) batches
-      .withColumn("__bandStart", {
-        val bandTotals = (0 to bands.length).map { b =>
-          (0 until DistributedPrefix.Buckets)
-            .map(kb => totals.getOrElse((b, kb), 0L)).sum
-        }
-        val starts = bandTotals.scanLeft(0L) { (acc, t) =>
-          acc + (t + batchSize - 1) / batchSize
-        }
-        (0 to bands.length).foldLeft(lit(0L)) { (acc, b) =>
-          when(col("len_bucket") === b, lit(starts(b))).otherwise(acc)
-        }
-      })
-      .select(col(idCol), col("n_tokens"), col("len_bucket"),
-        (col("__bandStart") + expr(s"__rank DIV $batchSize")).as("batch_id"))
   }
 
   /** Total token count of a packed frame — the scalar BOOKMARK an

@@ -277,10 +277,18 @@ object Sampling {
     * decision is a pure function of the id (growth-stable,
     * reproducible anywhere, including the DuckDB oracle).
     */
+  /** @param seed salts the fractional-copy draw: "" (default) keeps
+    *        the draw a pure function of the id (growth-stable across
+    *        runs), a per-epoch seed re-draws WHICH docs get the extra
+    *        copy each epoch — without it, multiplier 1.5 would give
+    *        the same fixed half of a source its extra copy in every
+    *        epoch, a systematic bias against the other half
+    */
   def oversample(
       df: DataFrame, idCol: String, strataCol: String,
       multipliers: Map[String, Double],
-      defaultMultiplier: Double = 1.0): DataFrame = {
+      defaultMultiplier: Double = 1.0,
+      seed: String = ""): DataFrame = {
     require((defaultMultiplier +: multipliers.values.toSeq).forall(_ >= 0),
       "multipliers must be >= 0")
     val m = multipliers.foldLeft(lit(defaultMultiplier)) {
@@ -290,7 +298,8 @@ object Sampling {
     // salted fractional draw — the same bucket formula as every other
     // sampling decision ([[hashBucket]]), over a salted id so
     // oversampling can't correlate with stratified keeps
-    val fracDraw = hashBucket(concat(lit("os:"), col(idCol).cast("string")))
+    val salt = if (seed.isEmpty) "os:" else s"os:$seed:"
+    val fracDraw = hashBucket(concat(lit(salt), col(idCol).cast("string")))
     val copies = (floor(m).cast("long") +
       when(fracDraw < round((m - floor(m)) * Basis).cast("long"), 1L)
         .otherwise(0L)).as("__copies")

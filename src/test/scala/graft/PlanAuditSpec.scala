@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("corpus_curriculum: within-phase rank is bucketed — never one partition per phase") {
+    val p = plan("corpus_curriculum")
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("corpus_token_mix: per-source prefix sum is bucketed — never one partition per source") {
     val p = plan("corpus_token_mix")
     assert(!p.contains("SinglePartition"), p)

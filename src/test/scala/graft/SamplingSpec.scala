@@ -268,6 +268,24 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("oversample: an epoch seed rotates the fractional-copy draw; default stays fixed") {
+    val docs = (1L to 200L).map(id => (id, "src")).toDF("doc_id", "source")
+    def extraCopyIds(seed: String) =
+      Sampling.oversample(docs, "doc_id", "source", Map("src" -> 1.5),
+        seed = seed)
+        .filter(col("epoch") === 1).select("doc_id")
+        .as[Long].collect().toSet
+    val e0 = extraCopyIds("e0")
+    assert(math.abs(e0.size - 100) < 40, s"~half draw the extra copy: ${e0.size}")
+    assert(extraCopyIds("e0") == e0, "same seed reproduces")
+    assert(extraCopyIds("e1") != e0,
+      "a fresh epoch seed must rotate WHICH docs get the extra copy")
+    // and the unseeded default is the historical pure-function-of-id draw
+    assert(extraCopyIds("") ==
+      Sampling.oversample(docs, "doc_id", "source", Map("src" -> 1.5))
+        .filter(col("epoch") === 1).select("doc_id").as[Long].collect().toSet)
+  }
+
   test("temperatureMix: NULL sources are excluded; empty input yields empty output") {
     val docs = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
       .toDF("doc_id", "source")
