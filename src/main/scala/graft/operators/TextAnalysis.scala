@@ -548,6 +548,58 @@ object TextAnalysis {
     scoreWithBigramModel(model, df, idCol, textCol, addK)
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing KenLM
+    * uses, and a strictly better fluency filter than [[lmScore]]'s
+    * add-k: instead of giving every unseen pair the same uniform
+    * mass, the discount `d` taken from seen bigrams is redistributed
+    * by CONTINUATION probability (how many distinct contexts a word
+    * follows — "francisco" is frequent but only ever follows "san",
+    * so it gets little continuation mass):
+    *
+    *   P(w2|w1) = (max(c(w1,w2) − d, 0) + d · N1+(w1,·) · Pcont(w2))
+    *              / c(w1),  Pcont(w2) = N1+(·,w2) / N1+(·,·)
+    *
+    * Every model term is an integer aggregate of the ONE bigram-count
+    * table (type counts per context, per continuation, and the grand
+    * type total as a driver scalar), so the plan stays the [[lmScore]]
+    * shape: one corpus bigram pass, model-sized joins, one doc agg —
+    * and the fixed formula shape is engine-exact, so the 4dp scores
+    * hash-match an external SQL oracle.
+    *
+    * Scoring the training corpus, every pair is seen; a batch scored
+    * against a PERIODIC model may bring unseen pairs — they fall back
+    * to the continuation term alone (left joins, zero counts), and a
+    * word never seen as a continuation floors at `minProb` instead of
+    * ln(0).
+    */
+  def lmScoreKN(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75, minProb: Double = 1e-10): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"discount must be in (0,1), got $discount")
+    val bigrams = bigramRows(df, idCol, textCol).localCheckpoint(true)
+    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
+    val cg = cb.groupBy("w1").agg(sum(col("__cb")).as("__cg"))
+    val fwd = cb.groupBy("w1").agg(count(lit(1)).as("__fwd"))
+    val back = cb.groupBy("w2").agg(count(lit(1)).as("__back"))
+    val t = cb.count().toDouble
+    val d = lit(discount)
+    val p = (greatest(col("__cb") - d, lit(0.0)) +
+      d * col("__fwd") * (col("__back") / lit(t))) / col("__cg")
+    val ll = log(greatest(
+      coalesce(p, lit(minProb)), lit(minProb)))
+    bigrams
+      .join(cb, Seq("w1", "w2"), "left")
+      .join(cg, Seq("w1"), "left")
+      .join(fwd, Seq("w1"), "left")
+      .join(back, Seq("w2"), "left")
+      .na.fill(0L, Seq("__cb", "__fwd", "__back"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(ll), 4).as("avg_logprob"),
+        round(exp(-avg(ll)), 4).as("ppl"))
+  }
+
   /** Bigram rows (doc_id, w1, w2) — narrow index-generated pairs. */
   private def bigramRows(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {

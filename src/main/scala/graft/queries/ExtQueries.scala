@@ -1166,6 +1166,36 @@ object ExtQueries {
         "doc_id", "text", addK = 0.5)
     },
 
+    "text_lm_kn" -> QueryDef(
+      doc = "interpolated Kneser-Ney bigram scoring (the KenLM smoothing): discounted seen mass + continuation-probability redistribution, every model term an integer aggregate of the one bigram-count table; fixed formula shape is engine-exact, 4dp scores hash-match",
+      oracle = """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                     FROM t WHERE len(ws) >= 2)),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        cg AS (SELECT w1, sum(cb) AS cg FROM cb GROUP BY 1),
+        fwd AS (SELECT w1, count(*) AS f FROM cb GROUP BY 1),
+        back AS (SELECT w2, count(*) AS bk FROM cb GROUP BY 1),
+        tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM cb),
+        sc AS (SELECT g.doc_id,
+                      ln((greatest(cb.cb - 0.75, 0.0) +
+                          0.75 * fwd.f * (back.bk / tt.t)) / cg.cg) AS ll
+               FROM bg g
+               JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
+               JOIN cg ON g.w1 = cg.w1
+               JOIN fwd ON g.w1 = fwd.w1
+               JOIN back ON g.w2 = back.w2
+               CROSS JOIN tt)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ll), 4) AS avg_logprob,
+               round(exp(-avg(ll)), 4) AS ppl
+        FROM sc GROUP BY doc_id""") { (s, dir) =>
+      TextAnalysis.lmScoreKN(Tables.load(s, dir, "documents"),
+        "doc_id", "text")
+    },
+
     "multimodal_features" -> QueryDef(
       doc = "binary media plumbing: bytes → mapPartitions decode (stubbed codec) → typed feature table",
       oracle = """

@@ -407,6 +407,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq(("a", "b", 3L, r4(math.log(3.0 * 5 / (3.0 * 3))))))
   }
 
+  test("lmScoreKN matches the hand-computed interpolated KN formula") {
+    // "a b a b a c": cb ab=2 ba=2 ac=1; cg a=3 b=2; N1+ fwd a=2 b=1;
+    // N1+ back a=1 b=1 c=1; T=3; d=0.75
+    //   P(b|a) = (1.25 + .75*2*(1/3)) / 3
+    //   P(a|b) = (1.25 + .75*1*(1/3)) / 2
+    //   P(c|a) = (0.25 + .75*2*(1/3)) / 3
+    val df = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScoreKN(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect().head
+    val t = 3.0
+    val pba = (1.25 + 0.75 * 2 * (1 / t)) / 3
+    val pab = (1.25 + 0.75 * 1 * (1 / t)) / 2
+    val pca = (0.25 + 0.75 * 2 * (1 / t)) / 3
+    val avg = (2 * math.log(pba) + 2 * math.log(pab) + math.log(pca)) / 5
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((1L, 5L, r4(avg), r4(math.exp(-avg)))))
+  }
+
+  test("lmScoreKN: repeated bigrams outscore singletons; scores stay finite") {
+    val corpus = Seq((1L, "a b a b a b a b"), (2L, "a z"), (3L, "q r"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScoreKN(corpus, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out.values.forall(v => !v.isNaN && !v.isInfinite))
+    assert(out(1L) > out(2L) && out(1L) > out(3L),
+      s"the fluent doc's repeated pairs must outscore singletons, got $out")
+  }
+
   test("textrank one iteration matches the hand-computed update") {
     // "a b a b a c": symmetric weights w(a,b)=4, w(a,c)=1 →
     // wdeg a=5, b=4, c=1; from r0=1:
