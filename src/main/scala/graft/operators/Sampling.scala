@@ -276,8 +276,8 @@ object Sampling {
     * sequence-explode, no shuffle — linear scale-out, and the copy
     * decision is a pure function of the id (growth-stable,
     * reproducible anywhere, including the DuckDB oracle).
-    */
-  /** @param seed salts the fractional-copy draw: "" (default) keeps
+    *
+    * @param seed salts the fractional-copy draw: "" (default) keeps
     *        the draw a pure function of the id (growth-stable across
     *        runs), a per-epoch seed re-draws WHICH docs get the extra
     *        copy each epoch — without it, multiplier 1.5 would give

@@ -573,26 +573,53 @@ object TextAnalysis {
     * ln(0).
     */
   def lmScoreKN(df: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75, minProb: Double = 1e-10): DataFrame = {
+      discount: Double = 0.75, minProb: Double = 1e-10): DataFrame =
+    scoreWithKNModel(trainKNModel(df, idCol, textCol), df, idCol, textCol,
+      discount, minProb)
+
+  /** The persisted half of [[lmScoreKN]] — the KenLM periodic-filter
+    * deployment shape (train once, score every incoming batch), the
+    * KN twin of [[BigramModel]]. `contextStats` fuses the context
+    * token count and the context TYPE count (one aggregation, one
+    * scoring join); `typeTotal` is a single row.
+    */
+  final case class KNModel(
+      bigramCounts: DataFrame,  // (w1, w2, __cb)
+      contextStats: DataFrame,  // (w1, __cg, __fwd)
+      contStats: DataFrame,     // (w2, __back)
+      typeTotal: Double)        // N1+(·,·)
+
+  def trainKNModel(df: DataFrame, idCol: String,
+      textCol: String): KNModel = {
+    val cb = bigramRows(df, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
+      .localCheckpoint(true)
+    KNModel(
+      bigramCounts = cb,
+      contextStats = cb.groupBy("w1").agg(sum(col("__cb")).as("__cg"),
+        count(lit(1)).as("__fwd")),
+      contStats = cb.groupBy("w2").agg(count(lit(1)).as("__back")),
+      typeTotal = cb.count().toDouble)
+  }
+
+  /** Score a batch against a trained KN model. Pairs the model never
+    * saw fall back to the continuation term alone (left joins, zero
+    * counts); a word never seen as a continuation — or a fully
+    * unknown context — floors at `minProb` instead of ln(0).
+    */
+  def scoreWithKNModel(model: KNModel, df: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75,
+      minProb: Double = 1e-10): DataFrame = {
     require(discount > 0 && discount < 1,
       s"discount must be in (0,1), got $discount")
-    val bigrams = bigramRows(df, idCol, textCol).localCheckpoint(true)
-    val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("__cb"))
-      .localCheckpoint(true)
-    val cg = cb.groupBy("w1").agg(sum(col("__cb")).as("__cg"))
-    val fwd = cb.groupBy("w1").agg(count(lit(1)).as("__fwd"))
-    val back = cb.groupBy("w2").agg(count(lit(1)).as("__back"))
-    val t = cb.count().toDouble
     val d = lit(discount)
     val p = (greatest(col("__cb") - d, lit(0.0)) +
-      d * col("__fwd") * (col("__back") / lit(t))) / col("__cg")
-    val ll = log(greatest(
-      coalesce(p, lit(minProb)), lit(minProb)))
-    bigrams
-      .join(cb, Seq("w1", "w2"), "left")
-      .join(cg, Seq("w1"), "left")
-      .join(fwd, Seq("w1"), "left")
-      .join(back, Seq("w2"), "left")
+      d * col("__fwd") * (col("__back") / lit(model.typeTotal))) / col("__cg")
+    val ll = log(greatest(coalesce(p, lit(minProb)), lit(minProb)))
+    bigramRows(df, idCol, textCol)
+      .join(model.bigramCounts, Seq("w1", "w2"), "left")
+      .join(model.contextStats, Seq("w1"), "left")
+      .join(model.contStats, Seq("w2"), "left")
       .na.fill(0L, Seq("__cb", "__fwd", "__back"))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_bigrams"),

@@ -437,6 +437,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"the fluent doc's repeated pairs must outscore singletons, got $out")
   }
 
+  test("KN periodic model: unseen pairs fall back, unknown contexts floor — no ln(0)") {
+    val train = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainKNModel(train, "doc_id", "text")
+    // doc 10: seen pairs; doc 11: seen context a, unseen pair (a,q);
+    // doc 12: fully unknown context — must hit the minProb floor
+    val batch = Seq((10L, "a b"), (11L, "a q"), (12L, "x y"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scoreWithKNModel(model, batch, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got.values.forall(v => !v.isNaN && !v.isInfinite))
+    // (a,q): cb=0 -> pure continuation mass of q = 0 -> floors too;
+    // (a,b): full KN probability — strictly the best
+    assert(got(10L) > got(11L), s"seen must beat unseen, got $got")
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(12L) == r4(math.log(1e-10)),
+      "an unknown context scores exactly the minProb floor")
+  }
+
   test("textrank one iteration matches the hand-computed update") {
     // "a b a b a c": symmetric weights w(a,b)=4, w(a,c)=1 →
     // wdeg a=5, b=4, c=1; from r0=1:
