@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through (no "[info] " prefix):
+// the bench harness json-parses the process output's final line, and a
+// logger prefix would break a strict `json.loads(last_line)`.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time: …" banner, so the
+// bench JSON is the literal last line of the process output.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

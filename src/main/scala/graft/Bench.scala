@@ -96,6 +96,31 @@ object Bench {
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The harness keeps only the LAST ~2000 chars of captured output
+    // (BENCH_r03/r04 both have a 2000-char "tail" with "parsed":
+    // null), and the full line is ~3k chars at 118 queries — so the
+    // stdout line can never be fully inside the tail window. Print a
+    // budgeted variant instead: total + per-query timings in
+    // DESCENDING COST order until ~1700 chars, then an elision
+    // marker. The most expensive queries (the only ones a perf gate
+    // can act on) always survive; the complete map is in
+    // bench_result.json (committed) and in the stderr detail lines.
+    val budgetChars = 1700
+    val byCost = results.sortBy(-_._2)
+    val sb = new StringBuilder
+    var kept = 0
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"queries":{"""
+    val tail0 = s"""},"elided":0,"full":"bench_result.json","sf":"$sfDir"}"""
+    sb.append(head)
+    byCost.foreach { case (k, v) =>
+      val ent = (if (kept > 0) "," else "") + "\"" + k + "\":" + r3(v)
+      if (sb.length + ent.length + tail0.length <= budgetChars) {
+        sb.append(ent); kept += 1
+      }
+    }
+    sb.append("},\"elided\":").append(results.size - kept)
+      .append(""","full":"bench_result.json","sf":"""").append(sfDir).append("\"}")
+    val shortLine = sb.toString
     // belt-and-braces artifact: stdout capture can truncate; the file
     // always carries the complete result line. Atomic (temp + move)
     // so a killed run never leaves a half-written file.
@@ -108,8 +133,14 @@ object Bench {
     // the JSON line in a merged capture and pushes its head out of a
     // tail-window capture (BENCH_r03 lost its first ~11 queries to
     // exactly this). The result line must be the process's last output.
+    // Deliberately NOT printing the full `line` to the console: a
+    // merged stderr+stdout capture would put its (truncated) tail
+    // right before the short line inside the 2000-char window, and a
+    // "first '{' in tail" parser would choke on the mid-token
+    // fragment. Full detail = bench_result.json + the per-query
+    // stderr rows above.
     spark.stop()
-    println(line)
+    println(shortLine)
     Console.out.flush()
   }
 }
