@@ -18,6 +18,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // ...and drop the trailing "[success] Total time: …" banner, so the
 // bench JSON is the literal last line of the process output.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -50,7 +50,41 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.5,
-      maxShingleFreq: Option[Long] = None): DataFrame = {
+      maxShingleFreq: Option[Long] = None): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, k, maxShingleFreq)
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+
+  /** Directional shingle containment: c(A⊆B) = |sh(A)∩sh(B)| / |sh(A)|.
+    * Catches the asymmetric near-dups Jaccard misses — a short doc
+    * quoted wholesale inside a much longer one scores J ≈ |A|/|B| (≈0)
+    * but containment ≈ 1. Same candidate generation as [[ngramJaccard]]
+    * (docs sharing zero shingles score 0), same stop-shingle cap and
+    * AQE-skew posture at 100 TB; only the final arithmetic differs.
+    * Emits both directions per unordered pair (da < db): `c_ab` = how
+    * much of A lies in B, `c_ba` the reverse; kept when either clears
+    * the threshold.
+    */
+  def shingleContainment(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.6,
+      maxShingleFreq: Option[Long] = None): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, k, maxShingleFreq)
+      .withColumn("c_ab", round(col("i").cast("double") / col("na"), 4))
+      .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 4))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select("da", "db", "c_ab", "c_ba")
+
+  /** Shared-shingle pair counts feeding [[ngramJaccard]] and
+    * [[shingleContainment]]: for every doc pair (da < db) sharing ≥1
+    * distinct k-shingle, the intersection size `i` and per-doc shingle
+    * counts `na`/`nb`. One shingle-keyed self-join + one (da, db) agg.
+    */
+  private def sharedShingleCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, maxShingleFreq: Option[Long]): DataFrame = {
     val sh = shingles(df, idCol, textCol, k)
     val shCapped = maxShingleFreq match {
       case None => sh
@@ -59,23 +93,18 @@ object Dedup {
           .select("shingle")
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
-    // sizes from the CAPPED set: Jaccard must be computed over one
+    // sizes from the CAPPED set: scores must be computed over one
     // shingle universe — intersections come from shCapped, so sizes
     // from the uncapped sh would inflate the denominator and
     // systematically underestimate every score
     val sizes = shCapped.groupBy("doc").agg(count(lit(1)).as("n"))
     val a = shCapped.select(col("doc").as("da"), col("shingle"))
     val b = shCapped.select(col("doc").as("db"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("da") < col("db"))
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
-    inter
       .join(sizes.select(col("doc").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc").as("db"), col("n").as("nb")), Seq("db"))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("da", "db", "jaccard")
   }
 
   /** MinHash + banded LSH near-dup pairs, verified.

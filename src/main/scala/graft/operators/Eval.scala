@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality evaluation (ext tier): MRR / recall@k / nDCG@k
+  * over a ranked result set vs a relevance-judgment set — the metrics
+  * loop that closes the ANN/BM25/hybrid serving path ("is the index
+  * still good?" as a number, not a feeling). The ANN recall gates
+  * check approximate-vs-exact agreement; this measures the *exact*
+  * ranking against external ground truth.
+  *
+  * Scale design: everything is keyed by query id. `results` is
+  * O(k · queries) by construction; the only superlinear risk is a
+  * query with a huge judged-relevant set, and that only inflates one
+  * count. Two qid-keyed shuffles total, both over small inputs — the
+  * corpus itself never enters this operator.
+  */
+object Eval {
+
+  /** Per-query rank metrics from binary relevance judgments.
+    *
+    * @param results ranked system output: (qid, nid, rank), rank
+    *                1-based; rows with rank > k are ignored
+    * @param qrels   relevance judgments: (qid, nid) pairs judged
+    *                relevant (binary gain)
+    * @return one row per judged qid: reciprocal rank `rr` (0 when no
+    *         relevant doc in the top k), `recall_at_k` (hits / judged
+    *         relevant), `ndcg_at_k` (binary-gain DCG over the ideal
+    *         DCG of min(n_rel, k) relevant docs at ranks 1..)
+    *
+    * All doubles round to 4dp: each per-query sum has ≤ k terms, so
+    * summation-order ulp drift sits far below the rounding quantum
+    * and the DuckDB oracle hash-matches exactly.
+    */
+  def rankMetrics(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val topk = results.filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"))
+    val rel = qrels.select(col("qid"), col("nid")).distinct()
+    val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val hits = topk.join(rel, Seq("qid", "nid"))
+      .groupBy("qid").agg(
+        min(col("rank")).as("first_hit"),
+        count(lit(1)).as("n_hits"),
+        sum(lit(1.0) / log2(col("rank") + 1)).as("dcg"))
+    // ideal DCG: the best achievable with min(n_rel, k) relevant docs
+    // packed at ranks 1..; sequence+aggregate keeps the summation
+    // order fixed so both engines add the same terms in the same order
+    val idcg = aggregate(
+      sequence(lit(1), least(col("n_rel"), lit(k)).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    nRel.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 4).as("rr"),
+        round(coalesce(col("n_hits").cast("double") / col("n_rel"), lit(0.0)), 4)
+          .as("recall_at_k"),
+        round(coalesce(col("dcg"), lit(0.0)) / idcg, 4).as("ndcg_at_k"))
+  }
+
+  /** Macro-averaged summary of [[rankMetrics]]: one row — mean RR
+    * (= MRR), mean recall@k, mean nDCG@k, query count.
+    */
+  def rankSummary(results: DataFrame, qrels: DataFrame, k: Int): DataFrame =
+    rankMetrics(results, qrels, k).agg(
+      round(avg(col("rr")), 4).as("mrr"),
+      round(avg(col("recall_at_k")), 4).as("mean_recall"),
+      round(avg(col("ndcg_at_k")), 4).as("mean_ndcg"),
+      count(lit(1)).as("n_queries"))
+}

@@ -105,6 +105,62 @@ object TextAnalysis {
           (nStop.cast("double") / safeWords) >= 0.01, lit(false)))
   }
 
+  /** Gopher-rule stopword list (Rae et al. 2021, appendix A1.1): a
+    * doc must contain ≥2 of these to pass the "natural language"
+    * heuristic. Distinct from the language-ID lexicons above — this
+    * is the published 8-word filter set, kept verbatim.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * filter battery FineWeb/RefinedWeb variants start from), as one
+    * narrow pass:
+    *
+    *  - word count within [minWords, maxWords] (published: 50..100k)
+    *  - mean word length within [3, 10]
+    *  - symbol-to-word ratio (`#` and `...` occurrences / words) < 0.1
+    *  - fraction of words containing an alphabetic char > 0.8
+    *  - ≥ 2 distinct hits from the 8-word [[gopherStopwords]] list
+    *
+    * Emits each rule's measurement plus the composite `gopher_pass`,
+    * so downstream curation can re-threshold without recomputing.
+    * Zero shuffles — scales linearly with executors at 100 TB, and
+    * every measurement is integer/ratio arithmetic with a DuckDB
+    * oracle (`text_gopher` query).
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val stats = graft.functions.TokenStats.column(t, Seq(gopherStopwords))
+    val nWords = stats.getField("n_words")
+    val sumWordLen = stats.getField("sum_word_len")
+    val safeWords = when(nWords === 0, lit(null)).otherwise(nWords)
+    val meanLen = sumWordLen.cast("double") / safeWords
+    // symbol occurrences via length deltas (codegen'd string ops, no
+    // regex): '#' count + '...' count (each ellipsis removes 3 chars)
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val symbolRatio = (nHash + nEll).cast("double") / safeWords
+    val alphaWords = size(filter(toks, w => w.rlike("[a-zA-Z]")))
+    val alphaRatio = alphaWords.cast("double") / safeWords
+    // DISTINCT stopword hits: which of the 8 appear at all (the rule
+    // is "contains at least 2 of", not an occurrence count)
+    val stopHits = size(filter(
+      array(gopherStopwords.map(lit): _*), w => array_contains(toks, w)))
+    df.withColumn("word_count", nWords)
+      .withColumn("mean_word_len", round(meanLen, 4))
+      .withColumn("symbol_word_ratio", round(symbolRatio, 4))
+      .withColumn("alpha_word_ratio", round(alphaRatio, 4))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("gopher_pass",
+        coalesce(nWords >= minWords && nWords <= maxWords &&
+          meanLen >= 3.0 && meanLen <= 10.0 &&
+          symbolRatio < 0.1 && alphaRatio > 0.8 && stopHits >= 2,
+          lit(false)))
+  }
+
   /** Exact-content fingerprint (md5 of the raw text) plus an
     * order-insensitive one (md5 of the sorted distinct token set) —
     * the pair distinguishes "identical bytes" from "same bag of

@@ -182,6 +182,40 @@ object ExtQueries {
         "doc_id", "text", k = 3, threshold = 0.5)
     },
 
+    "linkage_blocked" -> QueryDef(
+      doc = "entity resolution: records → distinct-name dictionary (+support) → blocked fuzzy pairs, Levenshtein ≤3 within first-token blocks (length-delta prefilter)",
+      oracle = """
+        WITH d AS (SELECT p_name AS name, count(*) AS n_records FROM part GROUP BY 1),
+        k AS (SELECT name, n_records, split_part(name, ' ', 1) AS block FROM d)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
+               a.n_records AS n_a, b.n_records AS n_b
+        FROM k a JOIN k b
+          ON a.block = b.block AND a.name < b.name
+         AND abs(length(a.name) - length(b.name)) <= 3
+         AND levenshtein(a.name, b.name) <= 3""") { (s, dir) =>
+      graft.operators.Linkage.linkRecords(
+        Tables.load(s, dir, "part"), "p_name", maxDist = 3)
+    },
+
+    "dedup_containment" -> QueryDef(
+      doc = "directional shingle containment ≥0.6 (|A∩B|/|A| and /|B|) — catches short-doc-quoted-in-long-doc near-dups Jaccard's symmetric denominator dilutes",
+      oracle = s"""
+        WITH $duckShingles,
+        sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS da, b.doc AS db, count(*) AS i
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+                  GROUP BY 1, 2)
+        SELECT da, db,
+               round(i * 1.0 / sa.n, 4) AS c_ab,
+               round(i * 1.0 / sb.n, 4) AS c_ba
+        FROM inter JOIN sz sa ON sa.doc = da JOIN sz sb ON sb.doc = db
+        WHERE round(i * 1.0 / sa.n, 4) >= 0.6
+           OR round(i * 1.0 / sb.n, 4) >= 0.6""") { (s, dir) =>
+      Dedup.shingleContainment(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.6)
+    },
+
     "dedup_minhash_lsh" -> QueryDef(
       doc = "MinHash(128)+LSH(32 bands) candidates, exact-Jaccard verified ≥0.7 — scale path, same ground truth as the exact baseline",
       oracle = jaccardOracle(0.7)) { (s, dir) =>
@@ -246,6 +280,42 @@ object ExtQueries {
         corpus = e.filter(col("vec_id") >= 10),
         queries = e.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5)
+    },
+
+    "eval_retrieval" -> QueryDef(
+      doc = "retrieval metrics closing the serving loop: per-query RR / recall@10 / nDCG@10 of exact cosine top-10 vs same-label relevance judgments",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT vec_id, v, label FROM e WHERE vec_id < 10),
+        c AS (SELECT vec_id, v, label FROM e WHERE vec_id >= 10),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b),
+        topk AS (SELECT qid, nid, rank FROM (
+                   SELECT qid, nid,
+                          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                   FROM scored) WHERE rank <= 10),
+        rel AS (SELECT q.vec_id AS qid, c.vec_id AS nid FROM q JOIN c ON q.label = c.label),
+        nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+        hits AS (SELECT t.qid, min(t.rank) AS first_hit, count(*) AS n_hits,
+                        sum(1.0 / log2(t.rank + 1)) AS dcg
+                 FROM topk t JOIN rel r ON t.qid = r.qid AND t.nid = r.nid
+                 GROUP BY 1)
+        SELECT n.qid,
+               round(coalesce(1.0 / first_hit, 0), 4) AS rr,
+               round(coalesce(n_hits * 1.0 / n_rel, 0), 4) AS recall_at_k,
+               round(coalesce(dcg, 0) / list_sum(list_transform(
+                 generate_series(1, CAST(least(n_rel, 10) AS INTEGER)),
+                 i -> 1.0 / log2(i + 1))), 4) AS ndcg_at_k
+        FROM nrel n LEFT JOIN hits h ON n.qid = h.qid""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      val res = Similarity.bruteForceTopK(
+        corpus = c, queries = q, idCol = "vec_id", vecCol = "embedding", k = 10)
+      val qrels = q.select(col("vec_id").as("qid"), col("label"))
+        .join(c.select(col("vec_id").as("nid"), col("label")), Seq("label"))
+        .select("qid", "nid")
+      graft.operators.Eval.rankMetrics(res, qrels, k = 10)
     },
 
     "ann_topk_lsh" -> QueryDef.noOracle(
@@ -653,6 +723,40 @@ object ExtQueries {
       TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"))
         .select("doc_id", "word_count", "avg_word_len", "punct_ratio",
           "stopword_ratio", "is_quality")
+    },
+
+    "text_gopher" -> QueryDef(
+      doc = "Gopher quality-rule battery (Rae et al. 2021 A1.1): word-count bounds, mean word length, symbol ratio, alpha-word fraction, distinct-stopword hits, composite pass",
+      oracle = {
+        val stopArr = TextAnalysis.gopherStopwords
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""
+        WITH t AS (SELECT doc_id, text, $duckToks AS toks FROM documents),
+        m AS (SELECT doc_id, text, toks,
+                     len(toks) AS nw,
+                     CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+                       / nullif(len(toks), 0) AS mean_len,
+                     CAST((length(text) - length(replace(text, '#', '')))
+                          + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+                       / nullif(len(toks), 0) AS sym_ratio,
+                     CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+                       / nullif(len(toks), 0) AS alpha_ratio,
+                     len(list_filter($stopArr, w -> list_contains(toks, w))) AS stop_hits
+              FROM t)
+        SELECT doc_id,
+               CAST(nw AS INTEGER) AS word_count,
+               round(mean_len, 4) AS mean_word_len,
+               round(sym_ratio, 4) AS symbol_word_ratio,
+               round(alpha_ratio, 4) AS alpha_word_ratio,
+               CAST(stop_hits AS INTEGER) AS stop_hits,
+               coalesce(nw >= 50 AND nw <= 100000 AND mean_len >= 3.0
+                 AND mean_len <= 10.0 AND sym_ratio < 0.1
+                 AND alpha_ratio > 0.8 AND stop_hits >= 2, false) AS gopher_pass
+        FROM m"""
+      }) { (s, dir) =>
+      TextAnalysis.gopherRules(Tables.load(s, dir, "documents"))
+        .select("doc_id", "word_count", "mean_word_len", "symbol_word_ratio",
+          "alpha_word_ratio", "stop_hits", "gopher_pass")
     },
 
     "text_langid" -> QueryDef(

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Eval, Linkage, TextAnalysis}
+
+/** Round-5 curation operators: Gopher quality rules, directional
+  * shingle containment, blocked fuzzy record linkage, and retrieval
+  * rank metrics — hand-computed fixtures pinning each formula.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Gopher rules -------------------------------------------------
+
+  test("gopherRules: measurements and composite on a crafted doc") {
+    // 6 words incl. 2 distinct stopwords; '#' and '...' symbols
+    val docs = Seq((1L, "the cat sat with the mat# ...")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, minWords = 5, maxWords = 100)
+      .select("word_count", "mean_word_len", "symbol_word_ratio",
+        "alpha_word_ratio", "stop_hits", "gopher_pass")
+      .as[(Int, Double, Double, Double, Int, Boolean)].head()
+    // tokens: the, cat, sat, with, the, mat#, ... → 7 words
+    assert(r._1 == 7)
+    // symbols: one '#', one '...' → 2/7
+    assert(r._3 == 0.2857)
+    // alpha words: all but "..." → 6/7
+    assert(r._4 == 0.8571)
+    // distinct stopword hits: the, with → 2
+    assert(r._5 == 2)
+    // symbol ratio 0.29 ≥ 0.1 → fails the battery
+    assert(!r._6)
+  }
+
+  test("gopherRules: stop_hits counts DISTINCT list words, not occurrences") {
+    val docs = Seq((1L, "the the the the")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs).select("stop_hits").as[Int].head()
+    assert(r == 1)
+  }
+
+  test("gopherRules: empty doc yields null-safe false, not divide-by-zero") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs)
+      .select("gopher_pass").as[Boolean].head()
+    assert(!r)
+  }
+
+  // ---- Containment --------------------------------------------------
+
+  test("shingleContainment: short doc inside long scores c_ab=1 while Jaccard stays low") {
+    val short = "alpha beta gamma delta"                       // 2 shingles
+    val long = short + " x1 y1 z1 x2 y2 z2 x3 y3 z3 x4 y4 z4"  // 14 shingles
+    val docs = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val c = Dedup.shingleContainment(docs, "doc_id", "text", k = 3, threshold = 0.6)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(c.toSeq == Seq((1L, 2L, 1.0, 0.1429)))
+    // the symmetric baseline on the same pair: J = 2/14 — below any
+    // useful threshold, which is exactly the blind spot containment fills
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.0)
+      .select("jaccard").as[Double].head()
+    assert(j == 0.1429)
+  }
+
+  test("shingleContainment: respects the stop-shingle cap universe") {
+    // one hot shingle shared by all docs; capping removes it so the
+    // pair space collapses
+    val docs = Seq((1L, "a b c q r s"), (2L, "a b c t u v"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.shingleContainment(docs, "doc_id", "text",
+      k = 3, threshold = 0.1)
+    assert(uncapped.count() == 3)
+    val capped = Dedup.shingleContainment(docs, "doc_id", "text",
+      k = 3, threshold = 0.1, maxShingleFreq = Some(2L))
+    assert(capped.count() == 0)
+  }
+
+  // ---- Linkage ------------------------------------------------------
+
+  test("linkRecords: dictionary collapse + blocked pairs with support counts") {
+    val recs = Seq("red widget", "red widget", "red widgat", "red bolt",
+      "blue widget").toDF("name0")
+    val out = Linkage.linkRecords(recs, "name0", maxDist = 2)
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    // "red widgat"~"red widget" dist 1; support: widget×2, widgat×1.
+    // "blue widget" is in another block — never paired despite dist 2
+    // from "red widget"; "red bolt" is dist>2 from both reds.
+    assert(out == Set(("red widgat", "red widget", 1, 1L, 2L)))
+  }
+
+  test("fuzzyNamePairs: oversized blocks are dropped and auditable") {
+    val dict = Seq(("aa x", 1L), ("aa y", 1L), ("aa z", 1L), ("bb x", 1L),
+      ("bb y", 1L)).toDF("name", "n_records")
+    val capped = Linkage.fuzzyNamePairs(dict, maxDist = 2,
+      maxBlockSize = Some(2L))
+    // block "aa" (3 names) dropped; block "bb" (2 names) kept
+    assert(capped.select("name_a").as[String].collect().forall(_.startsWith("bb")))
+    val audit = Linkage.oversizedBlocks(dict, cap = 2L)
+      .as[(String, Long)].collect().toSeq
+    assert(audit == Seq(("aa", 3L)))
+  }
+
+  // ---- Rank metrics -------------------------------------------------
+
+  test("rankMetrics: hand-computed RR / recall / nDCG") {
+    // q1: relevant {10, 11, 12}; system ranks 10 at 2, 12 at 3.
+    //   rr = 1/2; recall@3 = 2/3
+    //   dcg = 1/log2(3) + 1/log2(4) = 0.63093 + 0.5
+    //   idcg (3 rel, k=3) = 1 + 1/log2(3) + 1/log2(4) = 2.13093
+    //   ndcg = 1.13093/2.13093 = 0.5307
+    // q2: relevant {20}; not retrieved → all zeros
+    val results = Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 12L, 3),
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3))
+      .toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L))
+      .toDF("qid", "nid")
+    val m = Eval.rankMetrics(results, qrels, k = 3)
+      .orderBy("qid").as[(Long, Double, Double, Double)].collect()
+    assert(m.toSeq == Seq(
+      (1L, 0.5, 0.6667, 0.5307),
+      (2L, 0.0, 0.0, 0.0)))
+  }
+
+  test("rankMetrics: ideal ranking scores ndcg=1 and rr=1; rows beyond k ignored") {
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 20L, 3))
+      .toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 20L)).toDF("qid", "nid")
+    val m = Eval.rankMetrics(results, qrels, k = 2)
+      .as[(Long, Double, Double, Double)].head()
+    // k=2: rank-3 hit ignored; idcg over min(3,2)=2 ideal slots
+    assert(m == ((1L, 1.0, 0.6667, 1.0)))
+  }
+
+  test("rankSummary: macro averages") {
+    val results = Seq((1L, 10L, 1), (2L, 98L, 1)).toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 10L), (2L, 20L)).toDF("qid", "nid")
+    val s = Eval.rankSummary(results, qrels, k = 1)
+      .as[(Double, Double, Double, Long)].head()
+    assert(s == ((0.5, 0.5, 0.5, 2L)))
+  }
+}
