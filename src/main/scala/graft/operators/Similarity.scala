@@ -504,34 +504,22 @@ object Similarity {
     }
   }
 
-  /** Code of subspace `j`: argmin-L2 centroid, computed as
-    * argmax(dot − ½‖c‖²) so the hot loop is the same codegen'd
-    * [[VectorFunctions.dot]] the rest of the ANN family uses (the
-    * ½‖c‖² terms fold to literals at plan time).
-    */
-  private def pqCode(unitVec: Column, codebook: Array[Array[Double]],
-      j: Int, sub: Int): Column = {
-    val s = slice(unitVec, j * sub + 1, sub)
-    val scores = array(codebook.map(c =>
-      VectorFunctions.dot(s, typedlit(c)) -
-        lit(0.5 * c.map(x => x * x).sum)): _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
-
   /** The PQ index: (nid, codes array<int> of length m) — dim/m-fold
     * smaller than the raw corpus per 8-bit-code subspace (with
     * ksub≤256 a production layout packs codes to bytes; int codes here
     * keep the arithmetic in codegen'd primitives). One narrow pass,
     * no shuffle; written once, scanned by every query batch.
+    *
+    * Encoding is ONE [[graft.functions.PqEncode]] loop expression
+    * (argmax(dot − ½‖c‖²) per subspace, bit-identical to the former
+    * m·ksub unrolled dots, whose generated-source size made janino
+    * compile time dominate every PQ plan — BASELINE.md round-4).
     */
   def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
     unitVectors(corpus, idCol, vecCol, "nid", "cv")
-      .select(col("nid"), array((0 until m).map(j =>
-        pqCode(col("cv"), codebooks(j), j, sub)): _*).as("codes"))
-  }
+      .select(col("nid"),
+        graft.functions.PqEncode.column(col("cv"), codebooks).as("codes"))
 
   /** PQ search over a PREBUILT index — asymmetric distance
     * computation (ADC): each query precomputes its m×ksub table of
@@ -554,12 +542,9 @@ object Similarity {
       rerankWith: Option[DataFrame] = None): DataFrame = {
     val m = codebooks.length
     val ksub = codebooks(0).length
-    val sub = codebooks(0)(0).length
-    val qtab = array((for (j <- 0 until m; c <- codebooks(j)) yield
-      VectorFunctions.dot(slice(col("qv"), j * sub + 1, sub),
-        typedlit(c))): _*)
     val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
-      .select(col("qid"), qtab.as("qtab"))
+      .select(col("qid"),
+        graft.functions.AdcTable.column(col("qv"), codebooks).as("qtab"))
     val scored = index.crossJoin(broadcast(q))
       .withColumn("cos", round(
         (0 until m).map(j => get(col("qtab"),
@@ -639,54 +624,30 @@ object Similarity {
     (centroids, localSubspaceCodebooks(residuals, m, ksub, iters))
   }
 
-  /** Residual code of subspace `j` given the row's cell, WITHOUT
-    * materializing a residual array: argmin‖(v_j − c_j) − cb‖² =
-    * argmax(v_j·cb − corr(cid, cb)) where corr = c_j·cb + ½‖cb‖²
-    * depends only on (cell, code) — a plan-time literal table
-    * (nCentroids × ksub doubles per subspace), so the hot loop stays
-    * the same codegen'd [[VectorFunctions.dot]] as the whole ANN
-    * family plus two literal-array lookups.
-    */
-  private def ivfPqCode(unitVec: Column, cid: Column,
-      codebook: Array[Array[Double]], centroids: Array[Array[Double]],
-      j: Int, sub: Int): Column = {
-    val s = slice(unitVec, j * sub + 1, sub)
-    val corr: Seq[Seq[Double]] = centroids.toSeq.map { cell =>
-      codebook.toSeq.map { cb =>
-        var d = 0.0
-        var i = 0
-        while (i < sub && j * sub + i < cell.length) {
-          d += cell(j * sub + i) * cb(i); i += 1
-        }
-        d + 0.5 * cb.map(x => x * x).sum
-      }
-    }
-    val corrRow = get(typedlit(corr), cid)
-    val scores = array(codebook.zipWithIndex.map { case (cb, c) =>
-      VectorFunctions.dot(s, typedlit(cb)) - get(corrRow, lit(c))
-    }: _*)
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
-
   /** The IVF-PQ index: (nid, cid, codes array<int> of length m) — one
     * narrow codegen'd pass over the corpus (cell assignment + residual
     * codes in the same projection, no shuffle), written once and
     * probed by every query batch. At 100 TB this row is an int cell id
     * plus m ints — the structure that lets a query batch read
     * nProbe/nCentroids of the corpus at 128× compression.
+    *
+    * Residual codes compute WITHOUT materializing a residual array:
+    * argmin‖(v_j − c_j) − cb‖² = argmax(v_j·cb − corr(cid, cb)) where
+    * corr = c_j·cb + ½‖cb‖² depends only on (cell, code) — one
+    * [[graft.functions.IvfPqEncode]] loop expression carrying the
+    * corr table as a reference object (formerly m·ksub unrolled dots
+    * plus per-subspace literal tables, whose janino compile time
+    * dominated the plan — BASELINE.md round-4).
     */
   def ivfPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val sub = codebooks(0)(0).length
+      codebooks: Array[Array[Array[Double]]]): DataFrame =
     unitVectors(corpus, idCol, vecCol, "nid", "cv")
       .withColumn("cid", nearestCentroid(col("cv"), centroids))
-      .select(col("nid"), col("cid"), array((0 until m).map(j =>
-        ivfPqCode(col("cv"), col("cid"), codebooks(j), centroids, j, sub))
-        : _*).as("codes"))
-  }
+      .select(col("nid"), col("cid"),
+        graft.functions.IvfPqEncode.column(col("cv"), col("cid"),
+          codebooks, centroids).as("codes"))
 
   /** IVF-PQ search over a PREBUILT index — the composed serving path.
     * Score decomposition for unit vectors: q·v = q·c(v) + q·r, with
@@ -712,17 +673,14 @@ object Similarity {
       rerankWith: Option[DataFrame] = None): DataFrame = {
     val m = codebooks.length
     val ksub = codebooks(0).length
-    val sub = codebooks(0)(0).length
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
       .select(col("qid"), col("cid"), col("qc"))
     // the m·ksub ADC table rides its own one-row-per-query broadcast
     // (joined by qid AFTER the cell-probe join) instead of being
     // duplicated nProbe× through the probe explode
-    val qtab = array((for (j <- 0 until m; c <- codebooks(j)) yield
-      VectorFunctions.dot(slice(col("qv"), j * sub + 1, sub),
-        typedlit(c))): _*)
     val qtabs = unitVectors(queries, idCol, vecCol, "qid", "qv")
-      .select(col("qid"), qtab.as("qtab"))
+      .select(col("qid"),
+        graft.functions.AdcTable.column(col("qv"), codebooks).as("qtab"))
     val scored = index.join(broadcast(probes), Seq("cid"))
       .join(broadcast(qtabs), Seq("qid"))
       .withColumn("cos", round(col("qc") +
