@@ -973,10 +973,14 @@ object TextAnalysis {
     *
     * Scale shape: the corpus pays ONE (w1,w2) exchange for the edge
     * counts (the [[pmiPairs]] plan, checkpointed); every iteration
-    * after runs on the vocab²-bounded, minWeight-pruned edge table —
-    * one model-sized shuffle per round, lineage truncated per round
-    * (the connected-components discipline) so 10 rounds stay 10
-    * small jobs, not one exponential plan.
+    * after runs on the vocab²-bounded, minWeight-pruned edge table.
+    * When that table fits the model-collect discipline (≤
+    * `localIterThreshold` edges — it is a keyword GRAPH, not corpus
+    * data) the rank iteration runs driver-local in deterministic edge
+    * order; beyond the threshold it falls back to one model-sized
+    * shuffle per round with lineage truncated per round (the
+    * connected-components discipline), so 10 rounds stay 10 small
+    * jobs, not one exponential plan.
     *
     * Engine-reproducible: the per-edge contribution keeps one fixed
     * IEEE shape (`r / wdeg * w`) and damping makes the iteration a
@@ -986,7 +990,7 @@ object TextAnalysis {
     */
   def textrank(df: DataFrame, idCol: String, textCol: String,
       minWeight: Long = 3L, iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, localIterThreshold: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // aggregate the DIRECTED counts first (the corpus-sized scan runs
     // once), then symmetrize the model-sized count table — a union of
@@ -1000,21 +1004,51 @@ object TextAnalysis {
       .groupBy("u", "v").agg(sum(col("c")).cast("double").as("wt"))
       .filter(col("wt") >= lit(minWeight.toDouble))
       .localCheckpoint(true)
-    val deg = edges.groupBy("u").agg(sum(col("wt")).as("wd"))
-    val nodes = edges.select(col("u").as("node")).distinct()
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = edges.join(deg, Seq("u"))
-        .join(ranks, col("u") === col("node"))
-        .groupBy(col("v").as("node"))
-        .agg(sum(col("r") / col("wd") * col("wt")).as("__x"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("__x"), lit(0.0)))
-            .as("r"))
+    // The pruned edge table is vocab²-bounded — MODEL-sized, like the
+    // k-means training samples ([[Similarity.trainPqCodebooks]]) and
+    // the vocab→literal map ([[encode]]). Iterating such a graph as
+    // 10 Spark jobs pays ~0.5s/round of scheduling+codegen on
+    // kilobytes of data (measured 5.3s of a 5.3s query), so when it
+    // fits the model-collect discipline the rank loop runs
+    // driver-local; a corpus with a genuinely huge vocabulary falls
+    // back to the distributed one-job-per-round iteration below.
+    if (edges.count() <= localIterThreshold) {
+      // deterministic summation order: edges sorted by (u, v)
+      val e = edges.orderBy("u", "v").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      val wd = scala.collection.mutable.LinkedHashMap[String, Double]()
+      e.foreach { case (u, _, wt) => wd(u) = wd.getOrElse(u, 0.0) + wt }
+      val nodes = e.map(_._1).distinct.sorted
+      var r = nodes.map(n => n -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.HashMap[String, Double]()
+        e.foreach { case (u, v, wt) =>
+          contrib(v) = contrib.getOrElse(v, 0.0) + r(u) / wd(u) * wt
+        }
+        r = nodes.map(n =>
+          n -> ((1.0 - damping) + damping * contrib.getOrElse(n, 0.0))).toMap
+      }
+      val spark = df.sparkSession
+      import spark.implicits._
+      nodes.map(n => (n, r(n))).toSeq.toDF("token", "__r")
+        .select(col("token"), round(col("__r"), 4).as("tr_score"))
+    } else {
+      val deg = edges.groupBy("u").agg(sum(col("wt")).as("wd"))
+      val nodes = edges.select(col("u").as("node")).distinct()
         .localCheckpoint(true)
+      var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val contrib = edges.join(deg, Seq("u"))
+          .join(ranks, col("u") === col("node"))
+          .groupBy(col("v").as("node"))
+          .agg(sum(col("r") / col("wd") * col("wt")).as("__x"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) + lit(damping) * coalesce(col("__x"), lit(0.0)))
+              .as("r"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("node").as("token"), round(col("r"), 4).as("tr_score"))
     }
-    ranks.select(col("node").as("token"), round(col("r"), 4).as("tr_score"))
   }
 }

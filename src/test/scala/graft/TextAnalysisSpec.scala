@@ -485,6 +485,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ranks == again, "4dp ranks must be rerun-stable")
   }
 
+  test("textrank: driver-local and distributed iteration paths agree at 4dp") {
+    val df = Seq((1L, "h s1 h s1 h s1"), (2L, "h s2 h s2 h s2"),
+      (3L, "a b a b a c d a")).toDF("doc_id", "text")
+    val local = TextAnalysis.textrank(df, "doc_id", "text", minWeight = 1L)
+      .as[(String, Double)].collect().toMap
+    val dist = TextAnalysis.textrank(df, "doc_id", "text", minWeight = 1L,
+      localIterThreshold = 0L)
+      .as[(String, Double)].collect().toMap
+    assert(local == dist)
+  }
+
   test("textrank prunes edges below minWeight (and their orphaned nodes)") {
     val df = Seq((1L, "a b a b a b x y")).toDF("doc_id", "text")
     // w(a,b)=5 survives minWeight=3; w(b,x)=w(x,y)=1 do not
