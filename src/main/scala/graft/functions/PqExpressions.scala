@@ -347,3 +347,75 @@ object AdcTable {
     GraftSqlBridge.column(AdcTable(
       GraftSqlBridge.expression(v.cast("array<double>")), codebooks))
 }
+
+/** Full-vector dots against a k×dim centroid matrix: array<double>
+  * vector → array<double> of k dots (entry c = v·centroid_c, each
+  * accumulated left-to-right over min(len) elements — the
+  * [[DotProduct]] order). Replaces the k unrolled dots the IVF
+  * family's nearest-centroid / probe-selection projections carried.
+  */
+case class CentroidDots(child: Expression,
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+
+  private val k = centroids.length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_centroid_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val len = vec.numElements()
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val ct = centroids(c)
+      val n = math.min(len, ct.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * ct(i); i += 1 }
+      out(c) = s
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cts = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val len = ctx.freshName("len")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val ct = ctx.freshName("ct")
+      s"""
+         |int $len = $a.numElements();
+         |double[] $out = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double[] $ct = $cts[$c];
+         |  int $n = java.lang.Math.min($len, $ct.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $ct[$i]; }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidDots =
+    copy(child = newChild)
+}
+
+object CentroidDots {
+  def column(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(CentroidDots(
+      GraftSqlBridge.expression(v.cast("array<double>")), centroids))
+}

@@ -288,10 +288,12 @@ object Similarity {
     df.select(col(idCol).as(idOut),
       VectorFunctions.l2Normalize(col(vecCol)).as(vecOut))
 
-  /** argmax-dot centroid id of a unit vector (k codegen'd dots). */
+  /** argmax-dot centroid id of a unit vector — one
+    * [[graft.functions.CentroidDots]] loop over the centroid matrix
+    * (formerly k unrolled dots per plan, generated-source bloat).
+    */
   private def nearestCentroid(unitVec: Column, centroids: Array[Array[Double]]): Column = {
-    val dots = array(centroids.map(c =>
-      VectorFunctions.dot(unitVec, typedlit(c))): _*)
+    val dots = graft.functions.CentroidDots.column(unitVec, centroids)
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
@@ -359,8 +361,7 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     val nCentroids = centroids.length
-    val dots = array(centroids.map(ct =>
-      VectorFunctions.dot(col("qv"), typedlit(ct))): _*)
+    val dots = graft.functions.CentroidDots.column(col("qv"), centroids)
     unitVectors(queries, idCol, vecCol, "qid", "qv")
       .withColumn("probe", slice(
         array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
