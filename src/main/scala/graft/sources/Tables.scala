@@ -26,14 +26,19 @@ object Tables {
   val smallDims: Set[String] = Set("region", "nation", "supplier")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) (FIXTURES.md), which the
-    // vectorized reader rejects outright. Read nanos as raw long and
-    // truncate to micros — exactly what DuckDB's reader does, so the
-    // oracle sees identical values. `div` keeps it integer arithmetic
-    // (a double round-trip would lose precision above 2^53 ns).
+    // events.ts has shipped as both parquet TIMESTAMP(NANOS) (earlier
+    // fixture generations — FIXTURES.md) and TIMESTAMP(MICROS). The
+    // vectorized reader rejects NANOS outright, so nanosAsLong stays
+    // set (a no-op for micros files) and the long→timestamp
+    // conversion applies ONLY when the column actually read back as
+    // raw nanos longs. Nanos truncate to micros via integer `div` —
+    // exactly what DuckDB's reader does, so the oracle sees identical
+    // values either way (a double round-trip would lose precision
+    // above 2^53 ns).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
