@@ -129,6 +129,68 @@ object ExtQueries {
   private val duckCosine =
     "round(list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)), 4)"
 
+  /** DuckDB hybrid-retrieval CTE chain (defines `htop` = the
+    * RRF-fused rank list over brute cosine top-10 ⊕ BM25 top-10) —
+    * shared by `hybrid_search` (top-5 projection) and `eval_hybrid`
+    * (rank metrics over the same top-5).
+    */
+  private lazy val duckHybridCtes = s"""
+        t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id >= 10),
+        tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS dl FROM t),
+        tf AS (SELECT doc_id, token, count(*) AS c, any_value(dl) AS dl
+               FROM tok GROUP BY doc_id, token),
+        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        st AS (SELECT count(DISTINCT doc_id) AS nd, sum(len(toks)) AS suml FROM t),
+        bw AS (SELECT doc_id, token,
+                      round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
+                            (c * (1.2 + 1)) /
+                            (c + 1.2 * ((1 - 0.75) + 0.75 * (dl * 1.0 * nd / suml))), 4)
+                        AS w
+               FROM tf JOIN dfreq USING (token) CROSS JOIN st),
+        qt AS (SELECT doc_id AS qid, unnest(list_distinct($duckToks)) AS token
+               FROM documents WHERE doc_id < 10),
+        sp AS (SELECT qid, doc_id AS nid, round(sum(w), 4) AS score
+               FROM bw JOIN qt USING (token) GROUP BY qid, doc_id),
+        sptop AS (SELECT qid, nid, sr FROM
+                    (SELECT qid, nid,
+                            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS sr
+                     FROM sp) WHERE sr <= 10),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        cc AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
+        den AS (SELECT b.vec_id AS qid, a.vec_id AS nid,
+                       row_number() OVER (PARTITION BY b.vec_id
+                         ORDER BY $duckCosine DESC, a.vec_id) AS dr
+                FROM cc a CROSS JOIN q b),
+        dtop AS (SELECT qid, nid, dr FROM den WHERE dr <= 10),
+        fused AS (SELECT coalesce(d.qid, s.qid) AS qid,
+                         coalesce(d.nid, s.nid) AS nid,
+                         coalesce(1.0 / (60 + d.dr), 0) +
+                         coalesce(1.0 / (60 + s.sr), 0) AS rrf
+                  FROM dtop d FULL OUTER JOIN sptop s
+                    ON d.qid = s.qid AND d.nid = s.nid),
+        htop AS (SELECT qid, nid, rrf,
+                        row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
+                 FROM fused)"""
+
+  /** The engine-side hybrid top-5 (dense brute cosine ⊕ sparse BM25,
+    * RRF-fused) — the Spark twin of [[duckHybridCtes]].
+    */
+  private def hybridTop5(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val e = Tables.load(s, dir, "embeddings")
+    val dense = Similarity.bruteForceTopK(
+      corpus = e.filter(col("vec_id") >= 10),
+      queries = e.filter(col("vec_id") < 10),
+      idCol = "vec_id", vecCol = "embedding", k = 10)
+    val sparse = TextAnalysis.bm25Search(
+      corpus = docs.filter(col("doc_id") >= 10),
+      queries = docs.filter(col("doc_id") < 10),
+      idCol = "doc_id", textCol = "text", k = 10)
+    Similarity.rrfFuse(dense, sparse, k = 5)
+  }
+
   /** Driver-visible recall gate for an approximate ANN variant: one
     * Spark job computes recall@5 = |approx ∩ brute| / |brute| (both
     * sides deterministic — seeded planes/centroids, id tie-breaks),
@@ -367,56 +429,39 @@ object ExtQueries {
     "hybrid_search" -> QueryDef(
       doc = "hybrid dense+sparse retrieval: brute cosine top-10 and BM25 top-10 fused by reciprocal rank (c=60) to a top-5 — both lists batch-sized, integer-rank fusion arithmetic bit-reproducible",
       oracle = s"""
-        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents WHERE doc_id >= 10),
-        tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS dl FROM t),
-        tf AS (SELECT doc_id, token, count(*) AS c, any_value(dl) AS dl
-               FROM tok GROUP BY doc_id, token),
-        dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
-        st AS (SELECT count(DISTINCT doc_id) AS nd, sum(len(toks)) AS suml FROM t),
-        bw AS (SELECT doc_id, token,
-                      round(ln(1.0 + (nd - df + 0.5) / (df + 0.5)) *
-                            (c * (1.2 + 1)) /
-                            (c + 1.2 * ((1 - 0.75) + 0.75 * (dl * 1.0 * nd / suml))), 4)
-                        AS w
-               FROM tf JOIN dfreq USING (token) CROSS JOIN st),
-        qt AS (SELECT doc_id AS qid, unnest(list_distinct($duckToks)) AS token
-               FROM documents WHERE doc_id < 10),
-        sp AS (SELECT qid, doc_id AS nid, round(sum(w), 4) AS score
-               FROM bw JOIN qt USING (token) GROUP BY qid, doc_id),
-        sptop AS (SELECT qid, nid, sr FROM
-                    (SELECT qid, nid,
-                            row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS sr
-                     FROM sp) WHERE sr <= 10),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
-        cc AS (SELECT vec_id, v FROM e WHERE vec_id >= 10),
-        den AS (SELECT b.vec_id AS qid, a.vec_id AS nid,
-                       row_number() OVER (PARTITION BY b.vec_id
-                         ORDER BY $duckCosine DESC, a.vec_id) AS dr
-                FROM cc a CROSS JOIN q b),
-        dtop AS (SELECT qid, nid, dr FROM den WHERE dr <= 10),
-        fused AS (SELECT coalesce(d.qid, s.qid) AS qid,
-                         coalesce(d.nid, s.nid) AS nid,
-                         coalesce(1.0 / (60 + d.dr), 0) +
-                         coalesce(1.0 / (60 + s.sr), 0) AS rrf
-                  FROM dtop d FULL OUTER JOIN sptop s
-                    ON d.qid = s.qid AND d.nid = s.nid)
+        WITH $duckHybridCtes
         SELECT qid, nid, CAST(rank AS INTEGER) AS rank, round(rrf, 6) AS rrf
-        FROM (SELECT qid, nid, rrf,
-                     row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS rank
-              FROM fused)
-        WHERE rank <= 5""") { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
+        FROM htop WHERE rank <= 5""") { (s, dir) =>
+      hybridTop5(s, dir)
+    },
+
+    "eval_hybrid" -> QueryDef(
+      doc = "rank metrics over the FUSED serving path: RR / recall@5 / nDCG@5 of the hybrid (RRF) top-5 vs same-label relevance — the eval loop composed onto a composed retriever",
+      oracle = s"""
+        WITH $duckHybridCtes,
+        topk AS (SELECT qid, nid, rank FROM htop WHERE rank <= 5),
+        rel AS (SELECT q2.vec_id AS qid, c2.vec_id AS nid
+                FROM embeddings q2 JOIN embeddings c2 ON q2.label = c2.label
+                WHERE q2.vec_id < 10 AND c2.vec_id >= 10),
+        nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+        hits AS (SELECT t2.qid, min(t2.rank) AS first_hit, count(*) AS n_hits,
+                        sum(1.0 / log2(t2.rank + 1)) AS dcg
+                 FROM topk t2 JOIN rel r ON t2.qid = r.qid AND t2.nid = r.nid
+                 GROUP BY 1)
+        SELECT n.qid,
+               round(coalesce(1.0 / first_hit, 0), 4) AS rr,
+               round(coalesce(n_hits * 1.0 / n_rel, 0), 4) AS recall_at_k,
+               round(coalesce(dcg, 0) / list_sum(list_transform(
+                 generate_series(1, CAST(least(n_rel, 5) AS INTEGER)),
+                 i -> 1.0 / log2(i + 1))), 4) AS ndcg_at_k
+        FROM nrel n LEFT JOIN hits h ON n.qid = h.qid""") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val dense = Similarity.bruteForceTopK(
-        corpus = e.filter(col("vec_id") >= 10),
-        queries = e.filter(col("vec_id") < 10),
-        idCol = "vec_id", vecCol = "embedding", k = 10)
-      val sparse = TextAnalysis.bm25Search(
-        corpus = docs.filter(col("doc_id") >= 10),
-        queries = docs.filter(col("doc_id") < 10),
-        idCol = "doc_id", textCol = "text", k = 10)
-      Similarity.rrfFuse(dense, sparse, k = 5)
+      val qrels = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label"))
+        .join(e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("nid"), col("label")), Seq("label"))
+        .select("qid", "nid")
+      graft.operators.Eval.rankMetrics(hybridTop5(s, dir), qrels, k = 5)
     },
 
     "corpus_source_mix" -> QueryDef(
