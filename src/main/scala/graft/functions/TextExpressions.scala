@@ -205,3 +205,59 @@ object WinnowFingerprint {
   def column(text: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowFingerprint(GraftSqlBridge.expression(text), k, w))
 }
+
+/** Monolithic DSIR log-weight fold: per document, Σ over grams
+  * (unigrams in order, then adjacent bigrams in order — the
+  * `concat(toks, bigrams)` walk) of logRatio[bucket(gram)], where
+  * bucket = first 32 md5 bits mod `buckets` (the
+  * [[graft.operators.Dsir.bucketOf]] construction, byte-for-byte).
+  *
+  * Exists because the Column formulation
+  * (`aggregate(transform(grams, …md5 expr tree…))`) is a higher-order
+  * function — interpreted, one lambda frame + expression-tree walk
+  * per gram — which made the "zero-exchange" scoring pass the hot
+  * part of dsir_scores/dsir_select. Same accumulation order and the
+  * same md5→bucket arithmetic, so scores are bit-identical and the
+  * SQL oracle still matches. CodegenFallback like the other
+  * monolithic text expressions (one virtual call per ROW, not per
+  * gram).
+  */
+case class DsirScore(child: Expression, logRatio: Array[Double], buckets: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dsir_score"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def slot(gram: String): Int = {
+      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = ((d(0) & 255L) << 24) | ((d(1) & 255L) << 16) |
+        ((d(2) & 255L) << 8) | (d(3) & 255L)
+      (v % buckets).toInt
+    }
+    val raw = input.asInstanceOf[UTF8String].toString.split(' ')
+    val toks = new java.util.ArrayList[String](raw.length)
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) toks.add(raw(i)); i += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < toks.size) { acc += logRatio(slot(toks.get(i))); i += 1 }
+    i = 0
+    while (i < toks.size - 1) {
+      acc += logRatio(slot(toks.get(i) + " " + toks.get(i + 1))); i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScore =
+    copy(child = newChild)
+}
+
+object DsirScore {
+  def column(text: Column, logRatio: Array[Double], buckets: Int): Column =
+    GraftSqlBridge.column(DsirScore(GraftSqlBridge.expression(text),
+      logRatio, buckets))
+}

@@ -142,15 +142,15 @@ object Dsir {
     * replaying the same walk lands on the same double.
     */
   private def rawScore(text: Column, model: DsirModel): Column =
-    // coalesce: a NULL text has NULL grams and would otherwise score
-    // NULL — the contract (and the SQL oracle's LEFT JOIN) says 0,
-    // and a NULL key in select() could never be sampled
+    // coalesce: a NULL text would otherwise score NULL — the contract
+    // (and the SQL oracle's LEFT JOIN) says 0, and a NULL key in
+    // select() could never be sampled. The fold itself is the
+    // monolithic [[graft.functions.DsirScore]] expression (the
+    // aggregate(transform(…)) HOF form was interpreted per gram and
+    // dominated the pass); same walk order + md5 arithmetic, scores
+    // bit-identical.
     coalesce(
-      aggregate(
-        transform(grams(text), g =>
-          element_at(typedlit(model.logRatio.toSeq),
-            (bucketOf(g, model.buckets) + 1).cast("int"))),
-        lit(0.0), (acc, x) => acc + x),
+      graft.functions.DsirScore.column(text, model.logRatio, model.buckets),
       lit(0.0))
 
   /** Per-document scores: (idCol, dsir_logw) — log importance weight
