@@ -83,4 +83,26 @@ object Linkage {
       blockKey: Column => Column = firstTokenBlock,
       maxBlockSize: Option[Long] = None): DataFrame =
     fuzzyNamePairs(nameDictionary(df, nameCol), maxDist, blockKey, maxBlockSize)
+
+  /** Entity resolution end-to-end: dictionary → fuzzy pairs →
+    * connected components → canonical entity per fuzzy cluster.
+    * Transitivity is deliberate ("widgat"~"widget"~"widgee" is one
+    * entity even when the endpoints exceed maxDist) — the same
+    * min-label CC engine as near-dup doc clustering
+    * ([[DedupCluster.connectedComponents]] is key-type-agnostic, so
+    * string names propagate lexicographic minima directly; the
+    * entity id IS the cluster's first name in sort order). Returns
+    * (name, entity, is_canonical, n_records).
+    */
+  def resolveEntities(df: DataFrame, nameCol: String, maxDist: Int,
+      blockKey: Column => Column = firstTokenBlock,
+      maxBlockSize: Option[Long] = None): DataFrame = {
+    val dict = nameDictionary(df, nameCol)
+    val pairs = fuzzyNamePairs(dict, maxDist, blockKey, maxBlockSize)
+    DedupCluster.connectedComponents(dict, pairs,
+        idCol = "name", aCol = "name_a", bCol = "name_b")
+      .join(dict, Seq("name"))
+      .select(col("name"), col("cluster_id").as("entity"),
+        col("is_canonical"), col("n_records"))
+  }
 }

@@ -260,6 +260,33 @@ object ExtQueries {
         Tables.load(s, dir, "part"), "p_name", maxDist = 3)
     },
 
+    "linkage_clusters" -> QueryDef(
+      doc = "entity resolution end-to-end: fuzzy name pairs → connected components → canonical entity (min name) per cluster, with record support — transitive closure via the type-agnostic CC engine",
+      oracle = """
+        WITH RECURSIVE
+        dict AS (SELECT p_name AS name, count(*) AS n_records FROM part GROUP BY 1),
+        k AS (SELECT name, n_records, split_part(name, ' ', 1) AS block FROM dict),
+        pairs AS (SELECT a.name AS na, b.name AS nb
+                  FROM k a JOIN k b
+                    ON a.block = b.block AND a.name < b.name
+                   AND abs(length(a.name) - length(b.name)) <= 3
+                   AND levenshtein(a.name, b.name) <= 3),
+        edges AS (SELECT na AS s, nb AS dd FROM pairs
+                  UNION SELECT nb, na FROM pairs),
+        cc(id, label) AS (
+          SELECT DISTINCT s, s FROM edges
+          UNION
+          SELECT e.s, c.label FROM edges e JOIN cc c ON c.id = e.dd),
+        minlab AS (SELECT id, min(label) AS lab FROM cc GROUP BY id)
+        SELECT name,
+               coalesce(m.lab, name) AS entity,
+               name = coalesce(m.lab, name) AS is_canonical,
+               n_records
+        FROM dict LEFT JOIN minlab m ON m.id = dict.name""") { (s, dir) =>
+      graft.operators.Linkage.resolveEntities(
+        Tables.load(s, dir, "part"), "p_name", maxDist = 3)
+    },
+
     "dedup_containment" -> QueryDef(
       doc = "directional shingle containment ≥0.6 (|A∩B|/|A| and /|B|) — catches short-doc-quoted-in-long-doc near-dups Jaccard's symmetric denominator dilutes",
       oracle = s"""

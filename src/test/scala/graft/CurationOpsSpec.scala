@@ -99,6 +99,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(audit == Seq(("aa", 3L)))
   }
 
+  test("resolveEntities: transitive closure across a fuzzy chain, canonical = min name") {
+    // aa abcd ~1~ aa abce ~2~ aa abef, but lev(abcd, abef) = 3 > 2:
+    // one entity only via transitivity; "bb solo" stays a singleton
+    val recs = Seq("aa abcd", "aa abce", "aa abce", "aa abef", "bb solo")
+      .toDF("nm")
+    val out = Linkage.resolveEntities(recs, "nm", maxDist = 2)
+      .as[(String, String, Boolean, Long)].collect().toSet
+    assert(out == Set(
+      ("aa abcd", "aa abcd", true, 1L),
+      ("aa abce", "aa abcd", false, 2L),
+      ("aa abef", "aa abcd", false, 1L),
+      ("bb solo", "bb solo", true, 1L)))
+  }
+
   // ---- Rank metrics -------------------------------------------------
 
   test("rankMetrics: hand-computed RR / recall / nDCG") {
