@@ -246,4 +246,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(pm.contains("BroadcastHashJoin") && pm.contains("LeftAnti"), pm)
     assert(count(pm, "Exchange hashpartitioning") == 2, pm) // delta distinct + delta build
   }
+
+  test("text_gopher: the rule battery is a zero-exchange narrow pass") {
+    val p = plan("text_gopher")
+    assert(count(p, "Exchange") == 0, p)
+  }
+
+  test("linkage: the dictionary pair join broadcasts — no sort-merge, no cartesian") {
+    val p = plan("linkage_blocked")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("dedup_containment: shares the jaccard plan family (same exchange count)") {
+    val pc = plan("dedup_containment")
+    val pj = plan("dedup_ngram_jaccard")
+    assert(count(pc, "Exchange hashpartitioning") ==
+      count(pj, "Exchange hashpartitioning"), pc)
+  }
+
+  test("eval_retrieval: only the brute scorer is an NLJ; metric joins never cartesian") {
+    val p = plan("eval_retrieval")
+    assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
