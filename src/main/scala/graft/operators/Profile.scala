@@ -46,3 +46,73 @@ object Profile {
     wide.select(explode(entries).as("__p")).select("__p.*")
   }
 }
+
+/** Equi-depth score calibration — turn a continuous quality score
+  * into k population-balanced bins (the decile table a curation
+  * threshold is read off of: "keep the top 3 deciles" is an exact
+  * row-count contract, where a fixed score cutoff drifts with the
+  * corpus).
+  *
+  * Scale shape: one range exchange of the score projection +
+  * driver-side partition offsets (model-sized: one count per shuffle
+  * partition) + a narrow per-partition walk — never a global
+  * single-partition window. The bin rule is rank arithmetic,
+  * bin = ((rank−1)·k) div n + 1, identical in SQL, so bins are
+  * engine-exact; rank is boundary-independent (any range split of a
+  * total order yields the same global positions).
+  */
+object Calibrate {
+
+  /** (bin, n_docs, lo, hi) over `scoreCol` — bin = ((rank−1)·k) div n
+    * + 1 over the score total order.
+    *
+    * The bin table is TIE-ORDER independent: bin sizes are fixed by
+    * (n, k) alone, and when a bin boundary falls inside a run of
+    * equal scores both neighboring bins see that score as their
+    * min/max either way — so rows need only be score-sorted (no id
+    * tie-break) and the result is engine-exact against a SQL
+    * row_number replay under ANY tie order.
+    *
+    * Plan: ONE range exchange of the slim score projection,
+    * checkpointed; partition counts collect (model-sized — one long
+    * per shuffle partition) into driver-side rank offsets; a narrow
+    * mapPartitions walks each sorted partition with its offset
+    * (per-partition imperative logic — the sanctioned mapPartitions
+    * case, SURVEY §7.1) and the final bin aggregation shuffles k
+    * rows per task. No window anywhere — in particular never the
+    * empty-partition-spec global window (`ntile` over the whole
+    * frame), which is the WindowExec single-partition anti-pattern.
+    */
+  def equiDepthBins(df: DataFrame, idCol: String, scoreCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // materialize the range exchange once: the offset count pass and
+    // the bin pass must see the SAME partitions
+    val ranged = df.select(col(scoreCol).cast("double").as("__s"))
+      .repartitionByRange(parts, col("__s"))
+      .sortWithinPartitions("__s")
+      .localCheckpoint(true)
+    val counts = ranged.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    val offsets = (0 until parts).scanLeft(0L) {
+      case (acc, p) => acc + counts.getOrElse(p, 0L)
+    }.toArray // index p = global rank offset of partition p
+    val kk = k.toLong
+    ranged.as[Double].mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var rank = offsets(pid)
+      it.map { s =>
+        rank += 1L
+        (((rank - 1L) * kk / n).toInt + 1, s)
+      }
+    }.toDF("bin", "__s")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("__s")), 4).as("lo"),
+        round(max(col("__s")), 4).as("hi"))
+  }
+}

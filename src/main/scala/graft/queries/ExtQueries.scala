@@ -1342,6 +1342,41 @@ object ExtQueries {
         "doc_id", "text", addK = 0.5)
     },
 
+    "corpus_calibrate" -> QueryDef(
+      doc = "equi-depth score calibration: LM fluency score → 10 population-balanced bins (bin = ((rank-1)*10) div n + 1 over the (score, id) total order) with per-bin count and score range — the threshold table curation reads",
+      oracle = """
+        WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                   FROM documents),
+        bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+               FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+                     FROM t WHERE len(ws) >= 2)),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        cg AS (SELECT w1, count(*) AS cg FROM bg GROUP BY 1),
+        v AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(ws) AS w FROM t)),
+        sc AS (SELECT g.doc_id,
+                      ln((cb.cb + 0.5) / (cg.cg + 0.5 * v.v)) AS ll
+               FROM bg g
+               JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2
+               JOIN cg ON g.w1 = cg.w1
+               CROSS JOIN v),
+        scored AS (SELECT doc_id, round(avg(ll), 4) AS s
+                   FROM sc GROUP BY doc_id),
+        r AS (SELECT doc_id, s,
+                     row_number() OVER (ORDER BY s, doc_id) AS rk,
+                     count(*) OVER () AS n
+              FROM scored)
+        SELECT CAST(((rk - 1) * 10) // n + 1 AS INTEGER) AS bin,
+               count(*) AS n_docs,
+               round(min(s), 4) AS lo,
+               round(max(s), 4) AS hi
+        FROM r GROUP BY 1""") { (s, dir) =>
+      val scored = TextAnalysis.lmScore(Tables.load(s, dir, "documents"),
+          "doc_id", "text", addK = 0.5)
+        .select(col("doc_id"), col("avg_logprob"))
+      graft.operators.Calibrate.equiDepthBins(scored, "doc_id", "avg_logprob", 10)
+    },
+
     "text_lm_kn" -> QueryDef(
       doc = "interpolated Kneser-Ney bigram scoring (the KenLM smoothing): discounted seen mass + continuation-probability redistribution, every model term an integer aggregate of the one bigram-count table; fixed formula shape is engine-exact, 4dp scores hash-match",
       oracle = """

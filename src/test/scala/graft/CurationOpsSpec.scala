@@ -113,6 +113,51 @@ class CurationOpsSpec extends SparkSpec {
       ("bb solo", "bb solo", true, 1L)))
   }
 
+  // ---- Calibration --------------------------------------------------
+
+  test("equiDepthBins: balanced bins, ordered ranges, ≡ the single-window rule") {
+    val df = (1 to 23).map(i => (i.toLong, (i * 7 % 23) / 10.0)).toDF("id", "s")
+    val bins = graft.operators.Calibrate.equiDepthBins(df, "id", "s", 4)
+      .orderBy("bin").as[(Int, Long, Double, Double)].collect()
+    assert(bins.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // ((rank-1)*4) div 23: ranks 1..6 → bin 1, 7..12 → 2, 13..18 → 3, 19..23 → 4
+    assert(bins.map(_._2).toSeq == Seq(6L, 6L, 6L, 5L))
+    // equi-depth over a total order: ranges are disjoint and ascending
+    bins.sliding(2).foreach { case Array(a, b) => assert(a._4 <= b._3) }
+    // reference: the same rule through one global row_number
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("rk",
+        row_number().over(Window.orderBy(col("s"), col("id"))))
+      .withColumn("bin", (expr("((rk - 1) * 4) div 23") + 1).cast("int"))
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+        round(min(col("s")), 4).as("lo"), round(max(col("s")), 4).as("hi"))
+    assertSameRows(
+      graft.operators.Calibrate.equiDepthBins(df, "id", "s", 4), ref)
+  }
+
+  test("equiDepthBins: tie runs across a bin boundary don't change the table") {
+    // 10 equal scores, k=3: boundaries fall inside the tie run; the
+    // bin table must match the windowed reference no matter which
+    // tied rows land where
+    val df = (1 to 10).map(i => (i.toLong, 0.5)).toDF("id", "s")
+    val bins = graft.operators.Calibrate.equiDepthBins(df, "id", "s", 3)
+      .orderBy("bin").as[(Int, Long, Double, Double)].collect()
+    assert(bins.map(b => (b._1, b._2)).toSeq ==
+      Seq((1, 4L), (2, 3L), (3, 3L)))
+    assert(bins.forall(b => b._3 == 0.5 && b._4 == 0.5))
+  }
+
+  test("equiDepthBins: no window at all; bin pass rides the checkpointed range partitions") {
+    val df = (1 to 50).map(i => (i.toLong, i / 3.0)).toDF("id", "s")
+    val p = graft.operators.Calibrate.equiDepthBins(df, "id", "s", 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition"), p)
+    // only the model-sized bin aggregation shuffles downstream of the
+    // (checkpointed) range exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("ExistingRDD"), p)
+  }
+
   // ---- Rank metrics -------------------------------------------------
 
   test("rankMetrics: hand-computed RR / recall / nDCG") {
