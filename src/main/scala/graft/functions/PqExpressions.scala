@@ -419,3 +419,76 @@ object CentroidDots {
     GraftSqlBridge.column(CentroidDots(
       GraftSqlBridge.expression(v.cast("array<double>")), centroids))
 }
+
+/** Sign-bit LSH bucket: array<double> vector → long whose bit b is
+  * set iff v·plane_b > 0 (each dot accumulated left-to-right over
+  * min(len) elements — the [[DotProduct]] order, so buckets equal
+  * the former unrolled per-plane formulation bit-for-bit). One loop
+  * over the plane matrix as a reference object, replacing nBits
+  * unrolled dot subtrees per table in every LSH plan.
+  */
+case class SignBits(child: Expression,
+    planes: Array[Array[Double]]) extends UnaryExpression {
+
+  private val k = planes.length
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sign_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val len = vec.numElements()
+    var bits = 0L
+    var b = 0
+    while (b < k) {
+      val p = planes(b)
+      val n = math.min(len, p.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += vec.getDouble(i) * p(i); i += 1 }
+      if (s > 0) bits |= (1L << b)
+      b += 1
+    }
+    bits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ps = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val len = ctx.freshName("len")
+      val bits = ctx.freshName("bits")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val p = ctx.freshName("p")
+      s"""
+         |int $len = $a.numElements();
+         |long $bits = 0L;
+         |for (int $b = 0; $b < $k; $b++) {
+         |  double[] $p = $ps[$b];
+         |  int $n = java.lang.Math.min($len, $p.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $p[$i]; }
+         |  if ($s > 0) $bits |= (1L << $b);
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBits =
+    copy(child = newChild)
+}
+
+object SignBits {
+  def column(v: Column, planes: Array[Array[Double]]): Column =
+    GraftSqlBridge.column(SignBits(
+      GraftSqlBridge.expression(v.cast("array<double>")), planes))
+}

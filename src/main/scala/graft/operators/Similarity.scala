@@ -98,17 +98,12 @@ object Similarity {
     * sign bits, so they share a bucket with probability
     * (1 − θ/π)^nBits per table.
     */
-  def lshBucket(vec: Column, seed: Int, nBits: Int, dim: Int): Column = {
-    val planes = hyperplanes(seed, nBits, dim)
-    (0 until nBits).map { b =>
-      // typedlit: ONE array Literal per plane. array(64 × lit) builds
-      // 64 expressions per plane — the resulting generated classes
-      // (tables × bits × dims of them) took minutes of C2 compiler
-      // time and starved the JIT for unrelated later queries.
-      val plane = typedlit(planes(b))
-      when(VectorFunctions.dot(vec, plane) > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-  }
+  def lshBucket(vec: Column, seed: Int, nBits: Int, dim: Int): Column =
+    // one generated loop over the plane matrix as a reference object
+    // (formerly nBits unrolled dot subtrees per table — same
+    // generated-source-bloat family as the PQ encode, fixed the same
+    // way; bucket values are bit-identical)
+    graft.functions.SignBits.column(vec, hyperplanes(seed, nBits, dim))
 
   /** ANN top-k via multi-table hyperplane LSH: `tables` independent
     * sign-hash tables of `bitsPerTable` bits; candidates = corpus
