@@ -261,3 +261,76 @@ object DsirScore {
     GraftSqlBridge.column(DsirScore(GraftSqlBridge.expression(text),
       logRatio, buckets))
 }
+
+/** Monolithic k-token slide-window hasher for substring dedup: per
+  * document, one struct (pos, hv, hv2) per window of k consecutive
+  * whitespace tokens (stride 1), where hv/hv2 are the two md5-half
+  * 60-bit longs of the window text —
+  * `conv(substring(md5(w), 1, 15), 16, 10)` and hex chars 17–31,
+  * exactly [[graft.operators.TextAnalysis.tokenHash60]]/[[…60b]].
+  *
+  * Replaces the chunk(stride=1) formulation, whose window strings
+  * were built by an INTERPRETED transform() lambda (slice +
+  * array_join per position — one lambda frame per token of the
+  * corpus) before two Column-level md5 walks re-read each string.
+  * Here the token array is walked once and each window's bytes are
+  * hashed once; emitted values are bit-identical, so the
+  * dedup_substring oracle and the persisted window index are
+  * unchanged. CodegenFallback like the other monolithic text
+  * expressions.
+  */
+case class WindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("hv", LongType, nullable = false),
+    StructField("hv2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_window_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString.split(' ')
+    val toks = new java.util.ArrayList[String](raw.length)
+    var i = 0
+    while (i < raw.length) { if (!raw(i).isEmpty) toks.add(raw(i)); i += 1 }
+    val n = toks.size
+    val nw = math.max(0, n - k + 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex60(d: Array[Byte], fromNibble: Int): Long = {
+      var acc = 0L
+      var j = fromNibble
+      while (j < fromNibble + 15) {
+        val b = d(j >> 1)
+        val nib = if ((j & 1) == 0) (b >> 4) & 0xF else b & 0xF
+        acc = (acc << 4) | nib
+        j += 1
+      }
+      acc
+    }
+    val out = new Array[Any](nw)
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (p < nw) {
+      sb.setLength(0)
+      var j = p
+      while (j < p + k) {
+        if (j > p) sb.append(' ')
+        sb.append(toks.get(j))
+        j += 1
+      }
+      val d = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out(p) = InternalRow(p, hex60(d, 0), hex60(d, 16))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+  def column(text: Column, k: Int): Column =
+    GraftSqlBridge.column(WindowHashes(GraftSqlBridge.expression(text), k))
+}

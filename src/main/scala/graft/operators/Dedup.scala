@@ -424,12 +424,14 @@ object Dedup {
     */
   private def windowHashRows(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    graft.operators.TextAnalysis
-      .chunk(df, idCol, textCol, chunkSize = k, stride = 1)
-      .filter(col("n_tokens") === k)
-      .select(col("doc_id"), col("chunk_id").as("pos"),
-        TextAnalysis.tokenHash60(col("chunk_text")).as("__hv"),
-        TextAnalysis.tokenHash60b(col("chunk_text")).as("__hv2"))
+    // one monolithic pass (tokenize, build each window's bytes once,
+    // hash once) — the chunk(stride=1) + two-md5-walks formulation
+    // built every window string through an interpreted transform()
+    // lambda; values are bit-identical (WindowHashes scaladoc)
+    df.select(col(idCol).as("doc_id"),
+        explode(graft.functions.WindowHashes.column(col(textCol), k)).as("__w"))
+      .select(col("doc_id"), col("__w.pos").as("pos"),
+        col("__w.hv").as("__hv"), col("__w.hv2").as("__hv2"))
 
   /** Merge surviving duplicated windows into maximal per-doc token
     * ranges. Windows cover [pos, pos+k-1]; the next one extends the
