@@ -350,4 +350,54 @@ class PropertySpec extends SparkSpec {
       }
     }, minTests = 8)
   }
+
+  test("property: containment bounds — c in (0,1], c_ab ≥ jaccard of the pair") {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val genDoc = Gen.listOfN(8, word).map(_.mkString(" "))
+    check(Prop.forAll(genDoc, genDoc) { (ta, tb) =>
+      val docs = Seq((1L, ta), (2L, tb)).toDF("doc_id", "text")
+      val cont = graft.operators.Dedup
+        .shingleContainment(docs, "doc_id", "text", k = 3, threshold = 0.0)
+        .as[(Long, Long, Double, Double)].collect()
+      val jac = graft.operators.Dedup
+        .ngramJaccard(docs, "doc_id", "text", k = 3, threshold = 0.0)
+        .select("jaccard").as[Double].collect()
+      cont.forall { case (_, _, cab, cba) =>
+        cab > 0 && cab <= 1.0 && cba > 0 && cba <= 1.0 &&
+          jac.forall(j => cab >= j && cba >= j)
+      }
+    }, minTests = 8)
+  }
+
+  test("property: rank metrics land in [0,1] and recall grows with k") {
+    val genRel = Gen.someOf(10L to 20L).map(_.toSet)
+    check(Prop.forAll(genRel) { rel =>
+      val results = (1 to 8).map(r => (1L, 9L + r, r)).toDF("qid", "nid", "rank")
+      val qrels = (if (rel.isEmpty) Set(99L) else rel)
+        .map(n => (1L, n)).toSeq.toDF("qid", "nid")
+      val Seq(m3, m8) = Seq(3, 8).map(k =>
+        graft.operators.Eval.rankMetrics(results, qrels, k)
+          .as[(Long, Double, Double, Double)].head())
+      Seq(m3, m8).forall { m =>
+        m._2 >= 0 && m._2 <= 1 && m._3 >= 0 && m._3 <= 1 &&
+          m._4 >= 0 && m._4 <= 1
+      } && m8._3 >= m3._3 // recall@8 ≥ recall@3 on the same run
+    }, minTests = 8)
+  }
+
+  test("property: equi-depth bins always partition n rows into ≤k bins of balanced size") {
+    val genScores = Gen.nonEmptyListOf(Gen.chooseNum(-5.0, 5.0)).map(_.take(40))
+    val genK = Gen.chooseNum(1, 6)
+    check(Prop.forAll(genScores, genK) { (ss, k) =>
+      val df = ss.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "s")
+      val bins = graft.operators.Calibrate.equiDepthBins(df, "id", "s", k)
+        .as[(Int, Long, Double, Double)].collect()
+      val n = ss.size
+      bins.map(_._2).sum == n &&
+        bins.forall(b => b._1 >= 1 && b._1 <= k) &&
+        // balanced: sizes differ by at most 1 among NON-EMPTY bins
+        (bins.map(_._2).max - bins.map(_._2).min) <= 1
+    }, minTests = 8)
+  }
 }
