@@ -82,9 +82,17 @@ object Bpe {
             sequence(lit(1), least(lit(maxPieceLen), length(col("word")) - s + 1)),
             l => col("word").substr(s, l))))).as("token"))
       .groupBy("token").agg(sum(col("c")).as("n_occ"))
+    // the top slice is MODEL-sized (topK rows): rank on the collected
+    // rows (the model-collect discipline, same as TextAnalysis.vocab)
+    // instead of a global row_number window — which would emit
+    // WindowExec's single-partition warning, indistinguishable in logs
+    // from a genuine corpus-sized sort
+    val spark = df.sparkSession
+    import spark.implicits._
     subs.orderBy(col("n_occ").desc, col("token")).limit(topK)
-      .withColumn("id", row_number().over(
-        Window.orderBy(col("n_occ").desc, col("token"))).cast("int"))
+      .collect()
+      .zipWithIndex.map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
+      .toSeq.toDF("token", "n_occ", "id")
   }
 
   /** Greedy longest-match pieces of `text` against a literal

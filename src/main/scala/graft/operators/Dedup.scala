@@ -61,11 +61,17 @@ object Dedup {
     * Catches the asymmetric near-dups Jaccard misses — a short doc
     * quoted wholesale inside a much longer one scores J ≈ |A|/|B| (≈0)
     * but containment ≈ 1. Same candidate generation as [[ngramJaccard]]
-    * (docs sharing zero shingles score 0), same stop-shingle cap and
-    * AQE-skew posture at 100 TB; only the final arithmetic differs.
-    * Emits both directions per unordered pair (da < db): `c_ab` = how
-    * much of A lies in B, `c_ba` the reverse; kept when either clears
-    * the threshold.
+    * (docs sharing zero shingles score 0), same stop-shingle cap; only
+    * the final arithmetic differs. Emits both directions per unordered
+    * pair (da < db): `c_ab` = how much of A lies in B, `c_ba` the
+    * reverse; kept when either clears the threshold.
+    *
+    * WEAK BY DESIGN at 100 TB: this is the exact baseline riding the
+    * quadratic shared-shingle self-join — [[containmentLsh]] is the
+    * scale path (banded MinHash candidates + signature-derived
+    * containment estimate + exact verification of survivors), gated
+    * against this ground truth by the `dedup_containment_gate` driver
+    * query.
     */
   def shingleContainment(
       df: DataFrame, idCol: String, textCol: String,
@@ -158,6 +164,19 @@ object Dedup {
   def minHashIndex(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 128, bands: Int = 32): (DataFrame, DataFrame) = {
+    val (sh, _, bandRows) = minHashIndexFull(df, idCol, textCol, k, numPerm, bands)
+    (sh, bandRows)
+  }
+
+  /** [[minHashIndex]] plus the raw signature table (doc,
+    * sig=array<long>[numPerm]) — the extra output [[containmentLsh]]
+    * estimates Jaccard (and from it containment) from, without
+    * touching shingle rows until exact verification.
+    */
+  def minHashIndexFull(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 128,
+      bands: Int = 32): (DataFrame, DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val rowsPerBand = numPerm / bands
     // 2^31-1 (Mersenne): with h,a,b < 2^31 the product a*h+b stays
@@ -192,7 +211,7 @@ object Dedup {
       struct(lit(bi).as("band"), xxhash64(cols: _*).as("bkey"))
     }: _*)).as("tb"))
       .select(col("doc"), col("tb.band"), col("tb.bkey"))
-    (sh, bandRows)
+    (sh, sig, bandRows)
   }
 
   /** Incremental near-dup detection — the shape dedup actually runs at
@@ -245,7 +264,32 @@ object Dedup {
     * candidate count, not the corpus.
     */
   private def verifyJaccard(
-      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifiedPairCounts(candidates, sh)
+      .withColumn("jaccard",
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("da", "db", "jaccard")
+
+  /** Exact-containment verification of candidate pairs — the
+    * containment twin of [[verifyJaccard]], same candidate-restricted
+    * cost shape. Output schema matches [[shingleContainment]].
+    */
+  private def verifyContainment(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifiedPairCounts(candidates, sh)
+      .withColumn("c_ab", round(col("i").cast("double") / col("na"), 4))
+      .withColumn("c_ba", round(col("i").cast("double") / col("nb"), 4))
+      .filter(col("c_ab") >= threshold || col("c_ba") >= threshold)
+      .select("da", "db", "c_ab", "c_ba")
+
+  /** Exact intersection/size counts (da, db, i, na, nb) for candidate
+    * pairs only — shingle rows are first semi-joined down to docs that
+    * appear in any candidate, so cost tracks the candidate count, not
+    * the corpus.
+    */
+  private def verifiedPairCounts(
+      candidates: DataFrame, sh: DataFrame): DataFrame = {
     // materialize the candidate pipeline (band self-join + distinct)
     // ONCE: it feeds three plan branches below (docsInPlay → sizes,
     // docsInPlay → inter's semi-join, the pair semi-join itself), and
@@ -268,10 +312,64 @@ object Dedup {
     inter
       .join(sizes.select(col("doc").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc").as("db"), col("n").as("nb")), Seq("db"))
-      .withColumn("jaccard",
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select("da", "db", "jaccard")
+  }
+
+  /** Approximate directional containment — the scale path for
+    * [[shingleContainment]] (which rides the quadratic shared-shingle
+    * self-join and cannot survive 100 TB).
+    *
+    * Three stages, none corpus-quadratic:
+    *  1. CANDIDATES from banded MinHash ([[minHashIndexFull]]) — the
+    *     same tiny band-key self-join as [[minHashLsh]]. Asymmetric
+    *     pairs have LOWER Jaccard than symmetric near-dups (c_ab = 0.6
+    *     with |B| ≫ |A| drives J toward 0), so the default banding is
+    *     FINER than the Jaccard path's: 64 bands × 2 rows ⇒
+    *     P(candidate | J) = 1−(1−J²)^64 ≈ 0.93 at J = 0.2, →1 above
+    *     J ≈ 0.3. Pairs below that Jaccard floor need |B|/|A| ≳ 4 to
+    *     clear a 0.6 containment threshold — the documented recall
+    *     envelope, measured by the `dedup_containment_gate` driver
+    *     query against the exact baseline.
+    *  2. ESTIMATE ĉ from signatures + exact per-doc shingle counts:
+    *     Ĵ = (matching signature components)/numPerm, and since
+    *     i = J·(na+nb)/(1+J) exactly, ĉ(A⊆B) = Ĵ·(na+nb)/((1+Ĵ)·na).
+    *     Candidate pairs with max(ĉ_ab, ĉ_ba) < threshold − margin are
+    *     dropped BEFORE any shingle row is touched — the pair-sized
+    *     signature join is the whole cost (the per-pair zip_with is
+    *     interpreted, but it runs on candidates, not the corpus).
+    *  3. VERIFY survivors exactly ([[verifyContainment]], shingles
+    *     semi-joined to candidate docs) — emitted scores are exact, so
+    *     output rows equal [[shingleContainment]]'s wherever stage-1/2
+    *     recall holds.
+    */
+  def containmentLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.6,
+      numPerm: Int = 128, bands: Int = 64,
+      margin: Double = 0.2): DataFrame = {
+    val (sh, sig, bandRows) =
+      minHashIndexFull(df, idCol, textCol, k, numPerm, bands)
+    val l = bandRows.select(col("doc").as("da"), col("band"), col("bkey"))
+    val r = bandRows.select(col("doc").as("db"), col("band"), col("bkey"))
+    val rawCands = l.join(r, Seq("band", "bkey"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n"))
+    val withSig = rawCands
+      .join(sig.select(col("doc").as("da"), col("sig").as("sa")), Seq("da"))
+      .join(sig.select(col("doc").as("db"), col("sig").as("sb")), Seq("db"))
+      .join(sizes.select(col("doc").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc").as("db"), col("n").as("nb")), Seq("db"))
+    val jHat = aggregate(
+      zip_with(col("sa"), col("sb"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numPerm)
+    val cEst = (den: Column) =>
+      jHat * (col("na") + col("nb")) / ((lit(1.0) + jHat) * den)
+    val cands = withSig
+      .filter(greatest(cEst(col("na")), cEst(col("nb")))
+        >= lit(threshold - margin))
+      .select("da", "db")
+    verifyContainment(cands, sh, threshold)
   }
 
   /** Span-level (C4-style) dedup: docs are cut into consecutive

@@ -32,10 +32,14 @@ object Eval {
     * All doubles round to 4dp: each per-query sum has ≤ k terms, so
     * summation-order ulp drift sits far below the rounding quantum
     * and the DuckDB oracle hash-matches exactly.
+    *
+    * Both inputs are dedup'd defensively: duplicate (qid, nid) rows in
+    * `results` keep their best (minimum) rank, so repeated result rows
+    * cannot inflate n_hits/DCG past the documented [0,1] metric range.
     */
   def rankMetrics(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     val topk = results.filter(col("rank") <= k)
-      .select(col("qid"), col("nid"), col("rank"))
+      .groupBy(col("qid"), col("nid")).agg(min(col("rank")).as("rank"))
     val rel = qrels.select(col("qid"), col("nid")).distinct()
     val nRel = rel.groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val hits = topk.join(rel, Seq("qid", "nid"))

@@ -62,11 +62,10 @@ object Linkage {
       col("n_records").as("n_b"))
     a.join(b,
         col("block_a") === col("block_b") && col("name_a") < col("name_b") &&
-          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist &&
-          levenshtein(col("name_a"), col("name_b")) <= maxDist)
-      .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"),
-        col("n_a"), col("n_b"))
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
   }
 
   /** Blocks whose dictionary population exceeds `cap` — the audit

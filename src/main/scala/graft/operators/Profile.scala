@@ -88,10 +88,17 @@ object Calibrate {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the shuffle-partitions conf can be non-numeric ("auto" under
+    // some AQE configs) — fall back to cluster default parallelism
+    val parts = scala.util.Try(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism).max(1)
     // materialize the range exchange once: the offset count pass and
-    // the bin pass must see the SAME partitions
+    // the bin pass must see the SAME partitions. Null scores (or
+    // non-castable values) have no position in the score total order
+    // and are excluded before the exchange.
     val ranged = df.select(col(scoreCol).cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
       .repartitionByRange(parts, col("__s"))
       .sortWithinPartitions("__s")
       .localCheckpoint(true)

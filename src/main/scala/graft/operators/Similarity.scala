@@ -325,8 +325,11 @@ object Similarity {
     */
   def ivfAssign(
       corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]]): DataFrame =
-    unitVectors(corpus, idCol, vecCol, "nid", "cv")
+      centroids: Array[Array[Double]],
+      keepCols: Seq[String] = Nil): DataFrame =
+    corpus.select(col(idCol).as("nid") +:
+        VectorFunctions.l2Normalize(col(vecCol)).as("cv") +:
+        keepCols.map(col): _*)
       .withColumn("cid", nearestCentroid(col("cv"), centroids))
 
   /** IVF search over a PREBUILT index — the serving path: the corpus
@@ -365,6 +368,129 @@ object Similarity {
       .select(col("qid"), col("qv"), explode(col("probe")).as("p"))
       .select(col("qid"), col("qv"),
         col("p.cid").as("cid"), (-col("p.negd")).as("qc"))
+  }
+
+  /** Metadata-filtered ANN serving with GUARANTEED k — top-k among
+    * index rows satisfying `predicate` (the most common production
+    * retrieval shape: "nearest neighbors WHERE source = x"), from the
+    * persisted IVF index. Plain predicate-then-probe under-delivers:
+    * a selective filter can leave fewer than k qualifying vectors in
+    * the probed cells even when the filtered corpus holds plenty.
+    *
+    * Mechanism: the predicate is FUSED into the probed-cell scan (the
+    * [[hardNegatives]] pattern — at store scale it pushes into the
+    * index scan as partition/file pruning, so the probe pass reads
+    * only qualifying rows of nProbe cells). Queries whose filtered
+    * cell sweep yields fewer than max(k, `minCandidates`) qualifying
+    * candidates then fall back to an exact sweep of the ENTIRE
+    * filtered subset — which the selective predicate that caused the
+    * shortfall has already made small, so the fallback's cost is
+    * bounded by exactly the selectivity that triggers it. Every query
+    * therefore gets min(k, |filtered corpus|) rows: approximate
+    * (probed-cell) answers where the filter is loose, exact answers
+    * where it is tight. `minCandidates` (≈ 4·k is a good default for
+    * recall-sensitive serving) is the adaptive-probing knob: a thin
+    * candidate pool means the filter and the probed cells barely
+    * intersect, which is precisely when ANN answers turn statistically
+    * bad AND when the exact fallback is cheapest.
+    *
+    * Scale shape: the corpus/index never shuffles in either branch
+    * (probes and shortfall queries broadcast); the only exchanges
+    * carry |queries|×k heap rows. The shortfall decision is one
+    * aggregation over the probed top-k (batch-sized).
+    */
+  def ivfTopKFilteredFromIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, predicate: Column, nProbe: Int = 4,
+      minCandidates: Int = 0): DataFrame = {
+    val minCand = math.max(k, minCandidates).toLong
+    val fidx = index.filter(predicate)
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    // ONE aggregation yields both the probed top-k heap AND the
+    // qualifying-candidate count — the shortfall signal costs no
+    // second pass over the cell join
+    val tk = udaf(TopKAggregator.topK(k), Encoders.product[TopKAggregator.Scored])
+    val probed = fidx.join(broadcast(probes), Seq("cid"))
+      .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+      .groupBy(col("qid"))
+      .agg(tk(col("nid"), col("cos")).as("top"), count(lit(1)).as("__cand"))
+      .localCheckpoint(true) // |queries| rows; feeds shortfall + output
+    val short = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .join(probed.select(col("qid"), col("__cand")), Seq("qid"), "left")
+      .filter(coalesce(col("__cand"), lit(0L)) < minCand)
+      .select("qid", "qv")
+      .localCheckpoint(true) // batch-sized; feeds fallback + anti-join
+    val fallback = rankTopK(
+      fidx.crossJoin(broadcast(short))
+        .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4)),
+      k)
+    probed.join(broadcast(short.select("qid")), Seq("qid"), "left_anti")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("s.score").as("cos"))
+      .unionByName(fallback)
+  }
+
+  /** [[ivfTopKFilteredFromIndex]] for the composed IVF-PQ index: the
+    * probe pass ADC-scores qualifying rows of the probed cells;
+    * shortfall queries ADC-sweep the ENTIRE filtered index (every
+    * (query, cell) coarse dot is already on hand from the probe
+    * selection's [[graft.functions.CentroidDots]] row — the sweep just
+    * keeps all nCentroids of them instead of the top nProbe), then
+    * everything reranks exactly against `rerankWith` if given. Same
+    * guarantee: min(k, |filtered index|) rows per query, corpus never
+    * shuffles, shortfall cost bounded by the predicate's selectivity.
+    */
+  def ivfPqTopKFilteredFromIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, predicate: Column, nProbe: Int = 4,
+      oversample: Int = 1, rerankWith: Option[DataFrame] = None,
+      minCandidates: Int = 0): DataFrame = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val minCand = math.max(k * oversample, minCandidates).toLong
+    val fidx = index.filter(predicate)
+    val qtabs = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .select(col("qid"),
+        graft.functions.AdcTable.column(col("qv"), codebooks).as("qtab"))
+      .localCheckpoint(true) // one m·ksub-dot row per query, reused 2×
+    def adcScore(cells: DataFrame): DataFrame =
+      fidx.join(broadcast(cells), Seq("cid"))
+        .join(broadcast(qtabs), Seq("qid"))
+        .withColumn("cos", round(col("qc") +
+          (0 until m).map(j => get(col("qtab"),
+            lit(j * ksub) + get(col("codes"), lit(j)))).reduce(_ + _), 4))
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("qid"), col("cid"), col("qc"))
+    // one aggregation: probed ADC top-k heap + candidate count (the
+    // shortfall signal), same fused shape as the IVF filtered path
+    val tk = udaf(TopKAggregator.topK(k * oversample),
+      Encoders.product[TopKAggregator.Scored])
+    val probed = adcScore(probes)
+      .groupBy(col("qid"))
+      .agg(tk(col("nid"), col("cos")).as("top"), count(lit(1)).as("__cand"))
+      .localCheckpoint(true)
+    val short = probeCells(queries, idCol, vecCol, centroids,
+        centroids.length) // ALL cells: the full-sweep (qid, cid, qc) grid
+      .join(probed.select(col("qid"), col("__cand")), Seq("qid"), "left")
+      .filter(coalesce(col("__cand"), lit(0L)) < minCand)
+      .select("qid", "cid", "qc")
+      .localCheckpoint(true) // |short queries| × nCentroids rows
+    val fallback = rankTopK(adcScore(short), k * oversample)
+    val adc = probed
+      .join(broadcast(short.select("qid").distinct()), Seq("qid"), "left_anti")
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.id").as("nid"),
+        (col("pos") + 1).cast("int").as("rank"), col("s.score").as("cos"))
+      .unionByName(fallback)
+    rerankWith match {
+      case None => adc
+      case Some(corpus) => exactRerank(adc, corpus, queries, idCol, vecCol, k)
+    }
   }
 
   /** Persist/reload the k×dim centroid model next to the index table
@@ -638,12 +764,15 @@ object Similarity {
   def ivfPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]],
-      codebooks: Array[Array[Array[Double]]]): DataFrame =
-    unitVectors(corpus, idCol, vecCol, "nid", "cv")
+      codebooks: Array[Array[Array[Double]]],
+      keepCols: Seq[String] = Nil): DataFrame =
+    corpus.select(col(idCol).as("nid") +:
+        VectorFunctions.l2Normalize(col(vecCol)).as("cv") +:
+        keepCols.map(col): _*)
       .withColumn("cid", nearestCentroid(col("cv"), centroids))
-      .select(col("nid"), col("cid"),
+      .select(col("nid") +: col("cid") +:
         graft.functions.IvfPqEncode.column(col("cv"), col("cid"),
-          codebooks, centroids).as("codes"))
+          codebooks, centroids).as("codes") +: keepCols.map(col): _*)
 
   /** IVF-PQ search over a PREBUILT index — the composed serving path.
     * Score decomposition for unit vectors: q·v = q·c(v) + q·r, with

@@ -745,21 +745,27 @@ object TextAnalysis {
     *
     * Plan shape: one explode + one hash aggregation by token (map-side
     * partial counts absorb Zipf-head tokens before the exchange), then
-    * TakeOrdered for the top slice. The rank window runs AFTER the
-    * limit, over topN rows — a single-partition window over model-
-    * sized data, not corpus-sized.
+    * TakeOrdered for the top slice. The top slice is MODEL-sized (topN
+    * rows), so the rank is assigned on the collected rows (the
+    * sanctioned model-collect discipline) rather than via a global
+    * row_number window — a window would emit WindowExec's "moving all
+    * data to a single partition" warning, indistinguishable in logs
+    * from a genuine corpus-sized single-partition sort.
     */
   def vocab(df: DataFrame, idCol: String, textCol: String,
       topN: Int = 100): DataFrame = {
     require(topN > 0, "topN must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
     val tok = df.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("token"))
     val counts = tok.groupBy("token")
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
-    counts.orderBy(col("n_occ").desc, col("token")).limit(topN)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n_occ").desc, col("token"))).cast("int"))
+    val top = counts.orderBy(col("n_occ").desc, col("token")).limit(topN)
+      .collect() // ≤ topN rows — model-sized by construction
+    top.zipWithIndex.map { case (r, i) =>
+      (r.getString(0), r.getLong(1), r.getLong(2), i + 1)
+    }.toSeq.toDF("token", "n_occ", "n_docs", "rank")
   }
 
   /** Distribution drift per group: Jensen–Shannon divergence between
@@ -986,11 +992,16 @@ object TextAnalysis {
     * IEEE shape (`r / wdeg * w`) and damping makes the iteration a
     * contraction, so cross-engine summation-order drift SHRINKS each
     * round instead of compounding; the 4dp-rounded ranks hash-match
-    * an oracle that unrolls the same 10 iterations in SQL.
+    * an oracle that unrolls the same 10 iterations in SQL. The local
+    * and distributed paths sum edge contributions in different orders,
+    * so they agree only at the 4dp rounding quantum (the contraction
+    * keeps raw drift orders of magnitude below it) — and the default
+    * `localIterThreshold` of 100k edges (~few MB of string-pair rows)
+    * keeps the collected table safely driver-sized.
     */
   def textrank(df: DataFrame, idCol: String, textCol: String,
       minWeight: Long = 3L, iters: Int = 10,
-      damping: Double = 0.85, localIterThreshold: Long = 1000000L): DataFrame = {
+      damping: Double = 0.85, localIterThreshold: Long = 100000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // aggregate the DIRECTED counts first (the corpus-sized scan runs
     // once), then symmetrize the model-sized count table — a union of

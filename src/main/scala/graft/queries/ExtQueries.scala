@@ -92,6 +92,25 @@ object ExtQueries {
     FROM inter JOIN sz sa ON sa.doc = da JOIN sz sb ON sb.doc = db
     WHERE round(i * 1.0 / (sa.n + sb.n - i), 4) >= $threshold"""
 
+  /** Exact directional-containment pair SQL shared by the exact
+    * baseline and the LSH-accelerated path — the LSH path verifies
+    * candidates exactly, so both check against the same ground truth
+    * (recall of the candidate stage is gated separately by
+    * `dedup_containment_gate`).
+    */
+  private def containmentOracle(threshold: Double): String = s"""
+    WITH $duckShingles,
+    sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+    inter AS (SELECT a.doc AS da, b.doc AS db, count(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY 1, 2)
+    SELECT da, db,
+           round(i * 1.0 / sa.n, 4) AS c_ab,
+           round(i * 1.0 / sb.n, 4) AS c_ba
+    FROM inter JOIN sz sa ON sa.doc = da JOIN sz sb ON sb.doc = db
+    WHERE round(i * 1.0 / sa.n, 4) >= $threshold
+       OR round(i * 1.0 / sb.n, 4) >= $threshold"""
+
   /** DuckDB simhash pipeline: 60 generated bit expressions mirroring
     * TextAnalysis.simhash (md5-derived 60-bit token hashes are the
     * cross-engine-reproducible choice).
@@ -288,19 +307,8 @@ object ExtQueries {
     },
 
     "dedup_containment" -> QueryDef(
-      doc = "directional shingle containment ≥0.6 (|A∩B|/|A| and /|B|) — catches short-doc-quoted-in-long-doc near-dups Jaccard's symmetric denominator dilutes",
-      oracle = s"""
-        WITH $duckShingles,
-        sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
-        inter AS (SELECT a.doc AS da, b.doc AS db, count(*) AS i
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
-                  GROUP BY 1, 2)
-        SELECT da, db,
-               round(i * 1.0 / sa.n, 4) AS c_ab,
-               round(i * 1.0 / sb.n, 4) AS c_ba
-        FROM inter JOIN sz sa ON sa.doc = da JOIN sz sb ON sb.doc = db
-        WHERE round(i * 1.0 / sa.n, 4) >= 0.6
-           OR round(i * 1.0 / sb.n, 4) >= 0.6""") { (s, dir) =>
+      doc = "directional shingle containment ≥0.6 (|A∩B|/|A| and /|B|) — catches short-doc-quoted-in-long-doc near-dups Jaccard's symmetric denominator dilutes; EXACT BASELINE (quadratic shared-shingle join, weak-by-design) — dedup_containment_lsh is the scale path",
+      oracle = containmentOracle(0.6)) { (s, dir) =>
       Dedup.shingleContainment(Tables.load(s, dir, "documents"),
         "doc_id", "text", k = 3, threshold = 0.6)
     },
@@ -611,6 +619,69 @@ object ExtQueries {
     "ann_recall_ivfpq" -> annRecall("ivfpq", 0.6) { (c, q) =>
       Similarity.ivfPqTopK(c, q, "vec_id", "embedding", 5,
         nCentroids = 16, nProbe = 8, m = 16, ksub = 16)
+    },
+
+    "ann_topk_filtered" -> QueryDef.noOracle(
+      doc = "metadata-filtered IVF ANN top-5 (label=3 predicate fused into the probed-cell scan; queries whose filtered cells under-deliver fall back to an exact sweep of the filtered subset — guaranteed k) — approximation → rows-only; recall gated in ann_recall_filtered") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val centroids = Similarity.trainCentroids(
+        corpus, "vec_id", "embedding", nCentroids = 16)
+      val index = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        centroids, keepCols = Seq("label"))
+      Similarity.ivfTopKFilteredFromIndex(index, centroids, queries,
+        "vec_id", "embedding", k = 5,
+        predicate = col("label") === 3, nProbe = 8, minCandidates = 20)
+    },
+
+    "ann_recall_filtered" -> QueryDef(
+      doc = "recall@5 of the filtered IVF path vs brute force over the same label=3 predicate (≥0.5 ⇒ recall_ok=1; measured 0.60/0.68 at sf0.01/0.1 — the near-random fixture's IVF ceiling, same as the unfiltered gate's 0.74) — driver-visible regression check for filtered serving",
+      oracle = "SELECT 'ivf_filtered' AS variant, CAST(5 AS INTEGER) AS k, CAST(1 AS INTEGER) AS recall_ok") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(
+          corpus.filter(col("label") === 3), queries,
+          "vec_id", "embedding", 5)
+        .select(col("qid"), col("nid")).localCheckpoint(true)
+      val centroids = Similarity.trainCentroids(
+        corpus, "vec_id", "embedding", nCentroids = 16)
+      val index = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+        centroids, keepCols = Seq("label"))
+      val hits = Similarity.ivfTopKFilteredFromIndex(index, centroids,
+          queries, "vec_id", "embedding", k = 5,
+          predicate = col("label") === 3, nProbe = 8, minCandidates = 20)
+        .select(col("qid"), col("nid"), lit(1).as("hit")).localCheckpoint(true)
+      brute.join(hits, Seq("qid", "nid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select(lit("ivf_filtered").as("variant"), lit(5).cast("int").as("k"),
+          (coalesce(col("recall"), lit(1.0)) >= 0.5).cast("int").as("recall_ok"))
+    },
+
+    "dedup_containment_lsh" -> QueryDef(
+      doc = "approximate directional containment — banded MinHash(128/64) candidates + signature-derived containment estimate prefilter + exact verification; survivor scores are exact, so it shares the exact baseline's oracle where recall holds (and dedup_containment_gate measures that recall)",
+      oracle = containmentOracle(0.6)) { (s, dir) =>
+      Dedup.containmentLsh(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.6)
+    },
+
+    "dedup_containment_gate" -> QueryDef(
+      doc = "agreement gate: recall of containmentLsh's pair set vs exact shingleContainment (≥0.95 ⇒ containment_ok=1) — the driver-visible regression check for the approximate containment path",
+      oracle = "SELECT CAST(1 AS INTEGER) AS containment_ok") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val exact = Dedup.shingleContainment(d, "doc_id", "text",
+          k = 3, threshold = 0.6)
+        .select(col("da"), col("db")).localCheckpoint(true)
+      val lsh = Dedup.containmentLsh(d, "doc_id", "text",
+          k = 3, threshold = 0.6)
+        .select(col("da"), col("db"), lit(1).as("hit")).localCheckpoint(true)
+      exact.join(lsh, Seq("da", "db"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select((coalesce(col("recall"), lit(1.0)) >= 0.95)
+          .cast("int").as("containment_ok"))
     },
 
     "multimodal_frames" -> QueryDef(

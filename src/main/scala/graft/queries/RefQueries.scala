@@ -791,13 +791,38 @@ object RefQueries {
     },
 
     "q21_approx_sketches" -> QueryDef.noOracle(
-      doc = "approximate aggregates (HLL++ distinct, quantile sketch) — engine-specific sketch values, so rows-only here; relative-error bound vs exact asserted in ApproxSpec") { (s, dir) =>
+      doc = "approximate aggregates (HLL++ distinct, quantile sketch) — engine-specific sketch values, so rows-only here; error bounds gated driver-visibly in approx_error_gate (and pinned in ApproxSpec)") { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+    },
+
+    "approx_error_gate" -> QueryDef(
+      doc = "hash-verified error gate for q21's sketches: per group, HLL++ distinct within 10% of exact (5× the 2% rsd), approx percentiles between the exact quantiles at q∓0.01 (10× the sketch's 0.001 rank-error bound) — booleans the literal oracle pins to 1, so a sketch regression flips the hash",
+      oracle = "SELECT CAST(1 AS INTEGER) AS hll_ok, CAST(1 AS INTEGER) AS p50_ok, CAST(1 AS INTEGER) AS p99_ok") { (s, dir) =>
+      // one pass computes sketch AND exact per group: the gate's
+      // cost is q21 + q29 fused, amortized over the same scan
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a_nd"),
+          countDistinct(col("l_orderkey")).as("e_nd"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"),
+          expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+          expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+          expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+          max(col("l_extendedprice")).as("hi99"))
+      g.agg(
+        min((abs(col("a_nd") - col("e_nd")).cast("double") / col("e_nd")
+          <= 0.10).cast("int")).as("hll_ok"),
+        min((col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .cast("int")).as("p50_ok"),
+        min((col("a99") >= col("lo99") && col("a99") <= col("hi99"))
+          .cast("int")).as("p99_ok"))
     },
 
     "q20_rollup" -> QueryDef(

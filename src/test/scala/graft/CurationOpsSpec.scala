@@ -196,4 +196,63 @@ class CurationOpsSpec extends SparkSpec {
       .as[(Double, Double, Double, Long)].head()
     assert(s == ((0.5, 0.5, 0.5, 2L)))
   }
+
+  test("rankMetrics: duplicate result rows keep min rank and cannot push metrics past 1") {
+    // (1,10) appears at ranks 1 AND 2: without dedup n_hits=2 would
+    // inflate recall to 2/1 and dcg past the ideal
+    val results = Seq((1L, 10L, 1), (1L, 10L, 2), (1L, 11L, 3))
+      .toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 10L)).toDF("qid", "nid")
+    val m = Eval.rankMetrics(results, qrels, k = 3)
+      .as[(Long, Double, Double, Double)].head()
+    assert(m == ((1L, 1.0, 1.0, 1.0)))
+  }
+
+  // ---- Approximate containment (the LSH scale path) -----------------
+
+  test("containmentLsh ≡ shingleContainment, including the asymmetric pair") {
+    // doc 1 fully inside doc 2 (c_ab=1) with J=0.5 — the banding
+    // finds J=0.5 pairs with P(miss) ≈ (1-0.25)^64 < 1e-8 under the
+    // FIXED seeded permutations, so this equality is deterministic;
+    // doc 3 shares nothing
+    val short = "alpha beta gamma delta epsilon zeta"           // 4 shingles
+    val long = short + " k1 k2 k3 k4"                           // 8 shingles
+    val docs = Seq((1L, short), (2L, long), (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.shingleContainment(docs, "doc_id", "text",
+      k = 3, threshold = 0.6).as[(Long, Long, Double, Double)].collect().toSet
+    val lsh = Dedup.containmentLsh(docs, "doc_id", "text",
+      k = 3, threshold = 0.6).as[(Long, Long, Double, Double)].collect().toSet
+    assert(exact == Set((1L, 2L, 1.0, 0.5)))
+    assert(lsh == exact) // survivor scores are exact, not estimates
+  }
+
+  test("containmentLsh: estimate prefilter drops sub-threshold candidates before verification") {
+    // docs 1/2 share half their shingles (J=1/3, c=0.5 both ways) —
+    // banding WILL surface them as a candidate, but with threshold
+    // 0.9 and margin 0.1 the signature estimate ĉ≈0.5 < 0.8 kills the
+    // pair before any shingle row is touched, and the exact output is
+    // empty either way
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentLsh(docs, "doc_id", "text",
+      k = 3, threshold = 0.9, margin = 0.1)
+    assert(out.count() == 0)
+    // sanity: at a threshold the pair clears, LSH finds what exact finds
+    val lo = Dedup.containmentLsh(docs, "doc_id", "text", k = 3, threshold = 0.4)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val exactLo = Dedup.shingleContainment(docs, "doc_id", "text",
+      k = 3, threshold = 0.4).as[(Long, Long, Double, Double)].collect().toSet
+    assert(lo == exactLo && lo.nonEmpty)
+  }
+
+  test("equiDepthBins: null scores are excluded, not a runtime crash") {
+    val df = Seq((1L, Some(0.1)), (2L, None), (3L, Some(0.3)), (4L, Some(0.2)),
+      (5L, None)).toDF("id", "s")
+    val bins = graft.operators.Calibrate.equiDepthBins(df, "id", "s", 3)
+      .orderBy("bin").as[(Int, Long, Double, Double)].collect()
+    // 3 non-null scores → 3 bins of 1
+    assert(bins.toSeq == Seq((1, 1L, 0.1, 0.1), (2, 1L, 0.2, 0.2),
+      (3, 1L, 0.3, 0.3)))
+  }
 }

@@ -175,9 +175,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("text_vocab: token agg then TakeOrdered; rank window is post-limit") {
+  test("text_vocab: rank assigned on collected model rows — no window, no single-partition sort") {
+    // the TakeOrdered top slice is collected (model-sized by
+    // construction) and ranked driver-side, so the returned plan is a
+    // LocalTableScan: zero WindowExec, zero warning lines
     val p = plan("text_vocab")
-    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("LocalTableScan"), p)
+    assert(!p.contains("Window"), p)
   }
 
   test("hard_negatives: corpus never shuffles — queries broadcast, heaps exchange") {
@@ -264,6 +268,18 @@ class PlanAuditSpec extends SparkSpec {
     val pj = plan("dedup_ngram_jaccard")
     assert(count(pc, "Exchange hashpartitioning") ==
       count(pj, "Exchange hashpartitioning"), pc)
+  }
+
+  test("dedup_containment_lsh: candidates checkpointed, shingle work candidate-restricted") {
+    val p = plan("dedup_containment_lsh")
+    // the band-key candidate pipeline ran pre-plan into a checkpoint
+    // (the verify stages read it as an ExistingRDD scan) …
+    assert(p.contains("ExistingRDD"), p)
+    // … and every touch of the corpus shingle table is first semi-
+    // joined down to candidate docs (the LeftSemi pair: docsInPlay →
+    // shingles, candidate pairs → intersections) — the exact
+    // baseline's corpus-wide shared-shingle pair agg never appears
+    assert(count(p, "LeftSemi") >= 2, p)
   }
 
   test("eval_retrieval: only the brute scorer is an NLJ; metric joins never cartesian") {

@@ -380,6 +380,74 @@ class SimilaritySpec extends SparkSpec {
       (1, 0, -1.0, 1L), (1, 1, 5.0, 1L)))
   }
 
+  test("filtered IVF serving: guaranteed k, predicate honored, forced fallback ≡ brute") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val pred = col("label") === 3
+    val nFiltered = corpus.filter(pred).count()
+    val nq = queries.count()
+    assert(nFiltered > 0 && nq > 0)
+    val centroids = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16)
+    val index = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      centroids, keepCols = Seq("label"))
+    // nProbe=1 starves the probed cells on purpose: the shortfall
+    // fallback must still deliver min(k, |filtered|) rows per query
+    val out = Similarity.ivfTopKFilteredFromIndex(index, centroids, queries,
+      "vec_id", "embedding", k = 5, predicate = pred, nProbe = 1)
+      .localCheckpoint(true)
+    val perQ = out.groupBy("qid").count().as[(Long, Long)].collect()
+    assert(perQ.length == nq)
+    perQ.foreach { case (_, n) => assert(n == math.min(5L, nFiltered)) }
+    // every returned neighbor satisfies the predicate
+    val wrong = out.join(corpus.select(col("vec_id").as("nid"), col("label")),
+      Seq("nid")).filter(col("label") =!= 3).count()
+    assert(wrong == 0)
+    // minCandidates = ∞ forces every query down the exact fallback:
+    // result must equal brute force over the filtered subset
+    val forced = Similarity.ivfTopKFilteredFromIndex(index, centroids, queries,
+      "vec_id", "embedding", k = 5, predicate = pred, nProbe = 1,
+      minCandidates = Int.MaxValue)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus.filter(pred), queries,
+      "vec_id", "embedding", 5)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(forced == brute)
+  }
+
+  test("filtered IVF-PQ serving: guaranteed shortlist + rerank parity on full sweep") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") >= 10)
+    val queries = e.filter(col("vec_id") < 10)
+    val pred = col("label") === 3
+    val nFiltered = corpus.filter(pred).count()
+    val (centroids, codebooks) = Similarity.trainIvfPq(
+      corpus, "vec_id", "embedding", nCentroids = 8, m = 16, ksub = 16)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      centroids, codebooks, keepCols = Seq("label"))
+    // oversample×k covers the whole filtered subset, so the forced
+    // full-sweep shortlist IS the subset and exact rerank must equal
+    // brute force over it
+    val k = 5
+    val oversample = math.max(2, (nFiltered / k + 1).toInt)
+    val forced = Similarity.ivfPqTopKFilteredFromIndex(index, centroids,
+      codebooks, queries, "vec_id", "embedding", k, predicate = pred,
+      nProbe = 1, oversample = oversample, rerankWith = Some(corpus),
+      minCandidates = Int.MaxValue)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(corpus.filter(pred), queries,
+      "vec_id", "embedding", k)
+      .select("qid", "nid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(forced == brute)
+    // and the adaptive path still honors the predicate end-to-end
+    val out = Similarity.ivfPqTopKFilteredFromIndex(index, centroids,
+      codebooks, queries, "vec_id", "embedding", k, predicate = pred,
+      nProbe = 2)
+    val wrong = out.join(corpus.select(col("vec_id").as("nid"), col("label")),
+      Seq("nid")).filter(col("label") =!= 3).count()
+    assert(wrong == 0)
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs; equal rrf ties by id") {
     val dense = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 20L, 1))
       .toDF("qid", "nid", "rank")
