@@ -96,7 +96,21 @@ object TrainingDataJob {
       // servable without a corpus rescan — fit against any target
       // corpus's counts via [[graft.streaming.TrainingStreaming
       // .readDsirModel]]. 0 = feature off.
-      dsirBuckets: Int = 0)
+      dsirBuckets: Int = 0,
+      // Gopher rule battery (Rae et al. 2021 §A1.1) as an ADDITIONAL
+      // stage-1 gate: word-count window, mean word length, symbol and
+      // alpha ratios, ≥2 stopword hits ([[TextAnalysis.gopherRules]]).
+      // Off by default — the published thresholds target web-scale
+      // docs. Both [[run]] and the streaming [[tick]] gate through
+      // the same code path, so enabling it can never diverge batch
+      // from streaming.
+      gopherGate: Boolean = false,
+      gopherMinWords: Int = 50,
+      gopherMaxWords: Int = 100000,
+      // ≥ this many DISTINCT hits from the published 8-word stopword
+      // list (2 = the published rule; FineWeb-style variants
+      // re-threshold per corpus)
+      gopherMinStopHits: Int = 2)
 
   /** The configured token counter — words or subword pieces — used
     * for BOTH the n_tokens feature and the pack budget, so the
@@ -177,8 +191,8 @@ object TrainingDataJob {
     * the incremental tier can never silently diverge from the batch
     * pipeline's gate.
     */
-  def gate(df: DataFrame, config: Config): DataFrame =
-    config.qualityModel match {
+  def gate(df: DataFrame, config: Config): DataFrame = {
+    val base = config.qualityModel match {
       case Some(model) =>
         df.join(
           QualityModel.score(model,
@@ -188,6 +202,15 @@ object TrainingDataJob {
           Seq("doc_id"), "left_semi")
       case None => ruleGate(df, config)
     }
+    // the Gopher battery stacks on EITHER gate form — another narrow
+    // per-row pass that fuses with the same scan, zero shuffles
+    if (!config.gopherGate) base
+    else TextAnalysis.gopherRules(base, "text",
+        config.gopherMinWords, config.gopherMaxWords,
+        config.gopherMinStopHits)
+      .filter(col("gopher_pass"))
+      .select(base.columns.map(col): _*)
+  }
 
   /** Stages 0+1 composed — the frame the dedup stages cluster over;
     * exposed so incremental callers can reconstruct prior-state

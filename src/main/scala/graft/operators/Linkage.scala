@@ -104,4 +104,78 @@ object Linkage {
       .select(col("name"), col("cluster_id").as("entity"),
         col("is_canonical"), col("n_records"))
   }
+
+  /** Fold a delta's records into a persisted name dictionary —
+    * support counts add exactly, so merge ≡ rebuild (spec-pinned).
+    * One delta-sized shuffle into the dictionary layout.
+    */
+  def mergeDictionary(
+      priorDict: DataFrame, delta: DataFrame, nameCol: String): DataFrame =
+    priorDict.unionByName(nameDictionary(delta, nameCol))
+      .groupBy("name").agg(sum(col("n_records")).as("n_records"))
+
+  /** Incremental entity resolution — the delta twin of
+    * [[resolveEntities]], the same shapes the near-dup loop already
+    * runs at 100 TB: dictionary delta → block-local pairs against the
+    * persisted dictionary → [[DedupCluster.mergeDelta]].
+    *
+    * Only genuinely NEW names can create new pairs (pairs depend on
+    * names, not support counts — a delta record re-shipping a known
+    * name only bumps `n_records`), so the fuzzy step runs with the
+    * delta's new names on one side and the merged dictionary on the
+    * other: cost tracks |delta names| × block hit rate, never
+    * |dictionary|². Prior cluster assignments fold in as edges
+    * (member → its entity), so a new name bridging two old entities
+    * correctly merges them without any old×old pair recomputation.
+    *
+    * Returns the [[resolveEntities]] schema over the UNION corpus;
+    * result ≡ a full rerun (spec-pinned) whenever `maxBlockSize` does
+    * not newly trip — a block pushed over the cap by delta names
+    * drops its pairs in a full rerun but keeps the prior closure
+    * here (the same frozen-history posture as [[Dedup
+    * .spanDedupDelta]]; a periodic full rebuild reconciles).
+    *
+    * @param priorDict   (name, n_records) — persisted dictionary
+    * @param priorLabels (name, entity) from an earlier resolution
+    * @param delta       new records
+    */
+  def linkDelta(
+      priorDict: DataFrame, priorLabels: DataFrame,
+      delta: DataFrame, nameCol: String, maxDist: Int,
+      blockKey: Column => Column = firstTokenBlock,
+      maxBlockSize: Option[Long] = None): DataFrame = {
+    val merged = mergeDictionary(priorDict, delta, nameCol)
+      .localCheckpoint(true) // feeds cap + both join sides + output
+    val newNames = merged.join(priorDict.select("name"), Seq("name"),
+      "left_anti").select("name")
+    val keyed = merged.withColumn("block", blockKey(col("name")))
+    val capped = maxBlockSize match {
+      case None => keyed
+      case Some(cap) =>
+        // cap measured on the MERGED dictionary — the full-rerun rule
+        val hot = keyed.groupBy("block").count().filter(col("count") > cap)
+          .select("block")
+        keyed.join(broadcast(hot), Seq("block"), "left_anti")
+    }
+    val l = capped.join(broadcast(newNames), Seq("name"), "left_semi")
+      .select(col("block").as("block_a"), col("name").as("name_a"))
+    val r = capped.select(col("block").as("block_b"), col("name").as("name_b"))
+    val deltaPairs = l.join(r,
+        col("block_a") === col("block_b") &&
+          col("name_a") =!= col("name_b") &&
+          abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      // new×old pairs surface once, new×new twice — normalize + dedup
+      .select(least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
+      .distinct()
+    DedupCluster.mergeDelta(
+        priorLabels.select(col("name"), col("entity").as("cluster_id")),
+        deltaPairs, merged.select("name"),
+        idCol = "name", aCol = "name_a", bCol = "name_b")
+      .join(merged, Seq("name"))
+      .select(col("name"), col("cluster_id").as("entity"),
+        col("is_canonical"), col("n_records"))
+  }
 }

@@ -130,7 +130,8 @@ object TextAnalysis {
     * oracle (`text_gopher` query).
     */
   def gopherRules(df: DataFrame, textCol: String = "text",
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+      minWords: Int = 50, maxWords: Int = 100000,
+      minStopHits: Int = 2): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
     val stats = graft.functions.TokenStats.column(t, Seq(gopherStopwords))
@@ -157,7 +158,7 @@ object TextAnalysis {
       .withColumn("gopher_pass",
         coalesce(nWords >= minWords && nWords <= maxWords &&
           meanLen >= 3.0 && meanLen <= 10.0 &&
-          symbolRatio < 0.1 && alphaRatio > 0.8 && stopHits >= 2,
+          symbolRatio < 0.1 && alphaRatio > 0.8 && stopHits >= minStopHits,
           lit(false)))
   }
 

@@ -99,6 +99,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(audit == Seq(("aa", 3L)))
   }
 
+  test("linkDelta ≡ full resolveEntities on the union; bridging delta merges old entities") {
+    // old corpus: two entities in block "aa" that sit 3 edits apart
+    // (abcd vs axyz — NOT linkable at maxDist=2), plus a singleton
+    val old = Seq("aa abcd", "aa abcd", "aa axyz", "bb solo").toDF("nm")
+    val priorDict = Linkage.nameDictionary(old, "nm")
+    val prior = Linkage.resolveEntities(old, "nm", maxDist = 2)
+    val priorLabels = prior.select("name", "entity")
+    // delta: "aa abyz" bridges abcd (dist 2) and axyz (dist 1) — the
+    // two OLD entities must merge without recomputing old×old pairs;
+    // plus a re-shipped known name (support bump only) and a brand-new
+    // singleton block
+    val delta = Seq("aa abyz", "bb solo", "cc fresh").toDF("nm")
+    val out = Linkage.linkDelta(priorDict, priorLabels, delta, "nm",
+      maxDist = 2)
+    val full = Linkage.resolveEntities(old.unionByName(delta), "nm",
+      maxDist = 2)
+    val o = out.as[(String, String, Boolean, Long)].collect().toSet
+    val f = full.as[(String, String, Boolean, Long)].collect().toSet
+    assert(o == f)
+    // and the merge actually happened: one entity spans the bridge
+    assert(o.contains(("aa axyz", "aa abcd", false, 1L)))
+    assert(o.contains(("aa abyz", "aa abcd", false, 1L)))
+    // support bump for the re-shipped name, no phantom pair
+    assert(o.contains(("bb solo", "bb solo", true, 2L)))
+    // merged dictionary ≡ rebuilt dictionary
+    val md = Linkage.mergeDictionary(priorDict, delta, "nm")
+      .as[(String, Long)].collect().toSet
+    val rd = Linkage.nameDictionary(old.unionByName(delta), "nm")
+      .as[(String, Long)].collect().toSet
+    assert(md == rd)
+  }
+
   test("resolveEntities: transitive closure across a fuzzy chain, canonical = min name") {
     // aa abcd ~1~ aa abce ~2~ aa abef, but lev(abcd, abef) = 3 > 2:
     // one entity only via transitivity; "bb solo" stays a singleton

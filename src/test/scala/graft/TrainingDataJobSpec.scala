@@ -136,6 +136,49 @@ class TrainingDataJobSpec extends SparkSpec {
     assert(minStart >= bookmark)
   }
 
+  test("gopher gate: a symbol-heavy delta doc never ships; tick ≡ full run") {
+    val base = Tables.load(spark, sfDir, "documents").limit(120)
+    // passes the base quality gate (long enough, English stopwords)
+    // but fails Gopher's symbol-to-word ratio (8 '#' over ~20 words)
+    val badText = "the cat and the dog have been to the # market # with " +
+      "# all # of # that # hash # spam # noise # stuff"
+    val bad = base.limit(1).withColumn("doc_id", lit(990000L))
+      .withColumn("text", lit(badText))
+    val docs = base.unionByName(bad)
+    val cfgOff = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 1.0)
+    // fixture vocabulary carries only "the" from the 8-word list, so
+    // re-threshold stop hits to 1 (the battery's published 2 would
+    // blank the corpus); the bad doc fails on symbol ratio regardless
+    val cfgOn = cfgOff.copy(gopherGate = true, gopherMinWords = 5,
+      gopherMinStopHits = 1)
+    // without the gopher gate the doc ships (it IS base-gate quality)…
+    assert(TrainingDataJob.run(docs, cfgOff)
+      .filter(col("doc_id") === 990000L).count() == 1)
+    // …with it, the batch run drops it and keeps real docs
+    val full = TrainingDataJob.run(docs, cfgOn)
+    val fullIds = full.select("doc_id").as[Long].collect().toSet
+    assert(!fullIds.contains(990000L) && fullIds.nonEmpty)
+    // streaming tier: the bad doc arrives as a DELTA — the tick gates
+    // through the same code path, so it never ships and shipped state
+    // converges to the batch run
+    val old = base.filter(col("doc_id") < 300)
+    val delta = base.filter(col("doc_id") >= 300).unionByName(bad)
+    val priorOut = TrainingDataJob.run(old, cfgOn)
+    val priorIds = priorOut.select("doc_id").as[Long].collect().toSet
+    val bookmark = priorOut.agg(sum(col("n_tokens").cast("long")))
+      .as[Long].head()
+    val priorClusters = graft.operators.DedupCluster.minHashClusters(
+        TrainingDataJob.curatedQuality(old, cfgOn), "doc_id", "text",
+        k = 3, threshold = cfgOn.jaccardThreshold)
+      .select("doc_id", "cluster_id")
+    val r = TrainingDataJob.tick(old, priorClusters, bookmark, delta, cfgOn)
+    val addIds = r.additions.select("doc_id").as[Long].collect().toSet
+    val retractIds = r.retractedIds.as[Long].collect().toSet
+    assert(!addIds.contains(990000L))
+    assert((priorIds -- retractIds) ++ addIds == fullIds)
+  }
+
   test("canonicalByQuality keeps the longest duplicate; the tick retracts the demoted copy") {
     // near-dup pair where the LONGER (least-truncated) copy has the
     // LARGER id: min-id election keeps 1, quality election keeps 2.
