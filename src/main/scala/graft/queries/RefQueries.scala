@@ -803,26 +803,33 @@ object RefQueries {
     "approx_error_gate" -> QueryDef(
       doc = "hash-verified error gate for q21's sketches: per group, HLL++ distinct within 10% of exact (5× the 2% rsd), approx percentiles between the exact quantiles at q∓0.01 (10× the sketch's 0.001 rank-error bound) — booleans the literal oracle pins to 1, so a sketch regression flips the hash",
       oracle = "SELECT CAST(1 AS INTEGER) AS hll_ok, CAST(1 AS INTEGER) AS p50_ok, CAST(1 AS INTEGER) AS p99_ok") { (s, dir) =>
-      // one pass computes sketch AND exact per group: the gate's
-      // cost is q21 + q29 fused, amortized over the same scan
-      val g = t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+      // sketches + exact quantiles in one grouped pass (array-form
+      // percentiles: ONE sort buffer each, not one per quantile), and
+      // the exact distinct count as its OWN two-key aggregation — a
+      // countDistinct mixed into the same agg would Expand-multiply
+      // every lineitem row across the aggregate set (measured 18s vs
+      // ~3s restructured at sf0.1)
+      val li = t(s, dir, "lineitem")
+      val g = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("a_nd"),
-          countDistinct(col("l_orderkey")).as("e_nd"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a50"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a99"),
-          expr("percentile(l_extendedprice, 0.49)").as("lo50"),
-          expr("percentile(l_extendedprice, 0.51)").as("hi50"),
-          expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.99)), lit(1000)).as("aq"),
+          expr("percentile(l_extendedprice, array(0.49D, 0.51D, 0.98D))")
+            .as("eq"),
           max(col("l_extendedprice")).as("hi99"))
-      g.agg(
-        min((abs(col("a_nd") - col("e_nd")).cast("double") / col("e_nd")
-          <= 0.10).cast("int")).as("hll_ok"),
-        min((col("a50") >= col("lo50") && col("a50") <= col("hi50"))
-          .cast("int")).as("p50_ok"),
-        min((col("a99") >= col("lo99") && col("a99") <= col("hi99"))
-          .cast("int")).as("p99_ok"))
+      val d = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("e_nd"))
+      g.join(d, Seq("l_returnflag"))
+        .agg(
+          min((abs(col("a_nd") - col("e_nd")).cast("double") / col("e_nd")
+            <= 0.10).cast("int")).as("hll_ok"),
+          min((element_at(col("aq"), 1) >= element_at(col("eq"), 1) &&
+            element_at(col("aq"), 1) <= element_at(col("eq"), 2))
+            .cast("int")).as("p50_ok"),
+          min((element_at(col("aq"), 2) >= element_at(col("eq"), 3) &&
+            element_at(col("aq"), 2) <= col("hi99"))
+            .cast("int")).as("p99_ok"))
     },
 
     "q20_rollup" -> QueryDef(
