@@ -670,8 +670,10 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs — exact all-pairs above the
-    * diagonal. Quadratic by design (the baseline); the ANN path in
-    * [[Similarity]] is the scale story.
+    * diagonal. Quadratic by design (the EXACT BASELINE, weak at
+    * 100 TB); [[embeddingCosinePairsLsh]] is the bucketed scale path,
+    * gated against this ground truth by the `dedup_semantic_gate`
+    * driver query.
     *
     * Plan shape: BroadcastNestedLoopJoin with the cosine predicate
     * fully codegen'd (the [[VectorFunctions.dot]] native expression —
@@ -692,6 +694,57 @@ object Dedup {
       .repartition(parallelism)
     val b = base.select(col(idCol).as("vb"), col("v").as("xb"), col("n2").as("nb"))
     a.join(b, col("va") < col("vb"))
+      .withColumn("cos",
+        round(VectorFunctions.cosinePre(col("xa"), col("xb"),
+          col("na"), col("nb")), 4))
+      .filter(col("cos") >= threshold)
+      .select("va", "vb", "cos")
+  }
+
+  /** Approximate embedding-cosine near-dup pairs — the scale path for
+    * [[embeddingCosinePairs]]: candidates from multi-table sign-LSH
+    * buckets ([[Similarity.lshAssign]] — the same persisted index the
+    * ANN serving path probes), exact cosine verification restricted to
+    * candidate pairs. Survivor scores are exact, so output rows equal
+    * the exact baseline's wherever candidate recall holds (measured by
+    * the `dedup_semantic_gate` driver query).
+    *
+    * Plan shape: the corpus computes its bucket ids in one codegen'd
+    * narrow pass; candidates come from the (tbl, bucket) self-join —
+    * the only superlinear term, bounded per bucket — and verification
+    * is two id-keyed hash joins over candidate pairs (never an
+    * all-pairs NLJ). Recall tuning is the standard sign-LSH curve,
+    * P(candidate) = 1 − (1 − p^b)^L with p = 1 − θ/π: at a production
+    * dedup threshold (cos ≥ 0.9, p ≈ 0.86) the defaults prune buckets
+    * ~256× with recall ≥ 0.995; the fixture gate runs at the far
+    * harder cos ≥ 0.4 (p ≈ 0.63, near-random 64-dim corpus), which is
+    * why the default here is SHORT tables × many (4 bits × 32 — miss
+    * ≈ 0.4% at exactly 0.4, vanishing above). A corpus whose near-dup
+    * threshold genuinely sits that low gains little from any LSH —
+    * the gate, not the scaladoc, is what says so per corpus.
+    */
+  def embeddingCosinePairsLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bitsPerTable: Int = 4, tables: Int = 32,
+      dim: Int = 64): DataFrame = {
+    val index = graft.operators.Similarity.lshAssign(
+      df, idCol, vecCol, bitsPerTable, tables, dim)
+    val l = index.select(col("nid").as("va"), col("tbl"), col("bucket"))
+    val r = index.select(col("nid").as("vb"), col("tbl"), col("bucket"))
+    // the same pair surfaces from several tables — distinct BEFORE the
+    // vector joins so verification pays each pair once
+    val cands = l.join(r, Seq("tbl", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select("va", "vb").distinct()
+      .localCheckpoint(true)
+    val base = df.select(col(idCol).as("id"),
+        VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("n2", VectorFunctions.normSq(col("v")))
+    cands
+      .join(base.select(col("id").as("va"), col("v").as("xa"),
+        col("n2").as("na")), Seq("va"))
+      .join(base.select(col("id").as("vb"), col("v").as("xb"),
+        col("n2").as("nb")), Seq("vb"))
       .withColumn("cos",
         round(VectorFunctions.cosinePre(col("xa"), col("xb"),
           col("na"), col("nb")), 4))

@@ -350,7 +350,7 @@ object ExtQueries {
     },
 
     "dedup_embedding_cosine" -> QueryDef(
-      doc = "embedding near-dup pairs, exact all-pairs cosine ≥0.4 (quadratic baseline; LSH path = ann_topk_lsh)",
+      doc = "embedding near-dup pairs, exact all-pairs cosine ≥0.4 — EXACT BASELINE (quadratic NLJ, weak-by-design); dedup_semantic_lsh is the bucketed scale path, gated by dedup_semantic_gate",
       oracle = s"""
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS va, b.vec_id AS vb, $duckCosine AS cos
@@ -559,6 +559,29 @@ object ExtQueries {
           idCol = "vec_id", aCol = "va", bCol = "vb")
         .select(col("vec_id"), col("cluster_id"),
           (!col("is_canonical")).as("is_duplicate"))
+    },
+
+    "dedup_semantic_lsh" -> QueryDef.noOracle(
+      doc = "approximate embedding-cosine pairs ≥0.4 — sign-LSH bucket candidates (4 bits × 32 tables, the persisted ANN index layout) + exact verification of candidate pairs; survivor scores are exact but candidate recall < 1 by design (0.983 measured at sf0.01 on the near-random fixture at its adversarial 0.4 threshold) → rows-only; recall gated in dedup_semantic_gate") { (s, dir) =>
+      Dedup.embeddingCosinePairsLsh(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+    },
+
+    "dedup_semantic_gate" -> QueryDef(
+      doc = "agreement gate: recall of the LSH semantic-pair set vs exact all-pairs cosine (≥0.9 ⇒ semantic_ok=1) — the driver-visible regression check for the approximate semantic-dedup path",
+      oracle = "SELECT CAST(1 AS INTEGER) AS semantic_ok") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("va"), col("vb")).localCheckpoint(true)
+      val lsh = Dedup.embeddingCosinePairsLsh(e, "vec_id", "embedding",
+          threshold = 0.4)
+        .select(col("va"), col("vb"), lit(1).as("hit")).localCheckpoint(true)
+      exact.join(lsh, Seq("va", "vb"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select((coalesce(col("recall"), lit(1.0)) >= 0.9)
+          .cast("int").as("semantic_ok"))
     },
 
     "dedup_contamination" -> QueryDef(

@@ -236,4 +236,24 @@ class DedupSpec extends SparkSpec {
       .select("va", "vb").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("embeddingCosinePairsLsh ⊆ exact with identical scores; recall holds on the fixture") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairsLsh(e, "vec_id", "embedding", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    // verification is exact: every emitted pair IS an exact pair,
+    // score included — the approximation can only MISS, never invent
+    assert(lsh.subsetOf(exact))
+    assert(exact.nonEmpty)
+    assert(lsh.size.toDouble / exact.size >= 0.9)
+    // near-identical vectors (the production dedup regime) are found
+    // regardless of bucket luck: cos≈1 agrees on every sign bit
+    val twin = Seq((9001L, Array.fill(64)(0.5f)), (9002L, Array.fill(64)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val t = Dedup.embeddingCosinePairsLsh(twin, "vec_id", "embedding", 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(t == Seq((9001L, 9002L, 1.0)))
+  }
 }

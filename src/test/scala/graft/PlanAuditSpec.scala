@@ -270,6 +270,12 @@ class PlanAuditSpec extends SparkSpec {
       count(pj, "Exchange hashpartitioning"), pc)
   }
 
+  test("dedup_semantic_lsh: verification is pair-restricted hash joins, never an all-pairs NLJ") {
+    val p = plan("dedup_semantic_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("dedup_containment_lsh: candidates checkpointed, shingle work candidate-restricted") {
     val p = plan("dedup_containment_lsh")
     // the band-key candidate pipeline ran pre-plan into a checkpoint
