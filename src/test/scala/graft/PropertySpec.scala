@@ -400,4 +400,79 @@ class PropertySpec extends SparkSpec {
         (bins.map(_._2).max - bins.map(_._2).min) <= 1
     }, minTests = 8)
   }
+
+  test("property: containmentLsh ⊆ exact containment with identical scores") {
+    // the subset relation holds on ANY corpus regardless of banding
+    // luck: candidates can only MISS pairs, and survivors are
+    // exact-verified — the approximation never invents or mis-scores
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val genDoc = Gen.listOfN(10, word).map(_.mkString(" "))
+    val genDocs = Gen.listOfN(4, genDoc)
+    check(Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val exact = graft.operators.Dedup
+        .shingleContainment(docs, "doc_id", "text", k = 3, threshold = 0.3)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      val lsh = graft.operators.Dedup
+        .containmentLsh(docs, "doc_id", "text", k = 3, threshold = 0.3)
+        .as[(Long, Long, Double, Double)].collect().toSet
+      lsh.subsetOf(exact)
+    }, minTests = 8)
+  }
+
+  test("property: filtered IVF always returns min(k, |filtered|) predicate-true rows per query") {
+    val genLabels = Gen.listOfN(24, Gen.chooseNum(0, 2))
+    val genSeed = Gen.chooseNum(1, 1000)
+    check(Prop.forAll(genLabels, genSeed) { (labels, seed) =>
+      // deterministic pseudo-random unit-ish vectors from the seed
+      val rows = labels.zipWithIndex.map { case (lab, i) =>
+        val v = Array.tabulate(8)(d =>
+          math.sin(seed * 31 + i * 7 + d * 13).toFloat)
+        (i.toLong, lab, v)
+      }
+      val df = rows.toDF("vec_id", "label", "embedding")
+      val corpus = df.filter(col("vec_id") >= 4)
+      val queries = df.filter(col("vec_id") < 4)
+      val k = 3
+      val nFiltered = corpus.filter(col("label") === 1).count()
+      val cents = graft.operators.Similarity.trainCentroids(
+        corpus, "vec_id", "embedding", nCentroids = 4, iters = 2)
+      val idx = graft.operators.Similarity.ivfAssign(
+        corpus, "vec_id", "embedding", cents, keepCols = Seq("label"))
+      val out = graft.operators.Similarity.ivfTopKFilteredFromIndex(
+          idx, cents, queries, "vec_id", "embedding", k,
+          predicate = col("label") === 1, nProbe = 1)
+        .join(corpus.select(col("vec_id").as("nid"), col("label")), Seq("nid"))
+        .select(col("qid"), col("label")).as[(Long, Int)].collect()
+      val perQ = out.groupBy(_._1).view.mapValues(_.length).toMap
+      out.forall(_._2 == 1) &&
+        (0L until 4L).forall(q =>
+          perQ.getOrElse(q, 0) == math.min(k.toLong, nFiltered).toInt)
+    }, minTests = 6)
+  }
+
+  test("property: linkDelta ≡ full resolveEntities on the union for random splits") {
+    val name = for {
+      block <- Gen.oneOf("aa", "bb")
+      body <- Gen.listOfN(4, Gen.oneOf('x', 'y', 'z')).map(_.mkString)
+    } yield s"$block $body"
+    val genOld = Gen.nonEmptyListOf(name).map(_.take(8))
+    val genDelta = Gen.nonEmptyListOf(name).map(_.take(5))
+    check(Prop.forAll(genOld, genDelta) { (oldNames, deltaNames) =>
+      val old = oldNames.toDF("nm")
+      val delta = deltaNames.toDF("nm")
+      val priorDict = graft.operators.Linkage.nameDictionary(old, "nm")
+      val priorLabels = graft.operators.Linkage
+        .resolveEntities(old, "nm", maxDist = 2)
+        .select("name", "entity")
+      val out = graft.operators.Linkage
+        .linkDelta(priorDict, priorLabels, delta, "nm", maxDist = 2)
+        .as[(String, String, Boolean, Long)].collect().toSet
+      val full = graft.operators.Linkage
+        .resolveEntities(old.unionByName(delta), "nm", maxDist = 2)
+        .as[(String, String, Boolean, Long)].collect().toSet
+      out == full
+    }, minTests = 6)
+  }
 }
