@@ -235,6 +235,20 @@ object Dedup {
     verifyJaccard(deltaCandidates(indexBands, deltaIds), indexShingles,
       threshold)
 
+  /** Incremental approximate containment — [[containmentLsh]]'s delta
+    * twin, the same probe shape as [[minHashLshDelta]]: the delta's
+    * band rows probe the persisted index, candidates touching the
+    * delta are exact-containment-verified. Build the index with
+    * [[minHashIndexFull]] at [[containmentLsh]]'s finer banding
+    * (64 × 2) so the delta probe inherits the containment path's
+    * recall envelope. Cost tracks |delta| × bucket hit rate.
+    */
+  def containmentLshDelta(
+      indexShingles: DataFrame, indexBands: DataFrame,
+      deltaIds: DataFrame, threshold: Double): DataFrame =
+    verifyContainment(deltaCandidates(indexBands, deltaIds), indexShingles,
+      threshold)
+
   /** The delta probe's candidate join, exposed for plan auditing: when
     * `indexBands` is a store table bucketed on (band, bkey)
     * ([[graft.sources.AnalysisStore.writeBucketed]]), this join plans

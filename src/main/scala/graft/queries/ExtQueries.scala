@@ -690,6 +690,21 @@ object ExtQueries {
         "doc_id", "text", k = 3, threshold = 0.6)
     },
 
+    "ann_topk_filtered_pq" -> QueryDef.noOracle(
+      doc = "metadata-filtered IVF-PQ ANN top-5 (label=3 fused into the probed-cell ADC scan; thin-pool shortfall falls back to a full-ADC sweep of the filtered index, exact rerank of the 5× shortlist) — approximation → rows-only; forced-fallback ≡ brute pinned in SimilaritySpec, mechanism gated in ann_recall_filtered") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 10)
+      val queries = e.filter(col("vec_id") < 10)
+      val (centroids, codebooks) = Similarity.trainIvfPq(
+        corpus, "vec_id", "embedding", nCentroids = 16, m = 16, ksub = 16)
+      val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+        centroids, codebooks, keepCols = Seq("label"))
+      Similarity.ivfPqTopKFilteredFromIndex(index, centroids, codebooks,
+        queries, "vec_id", "embedding", k = 5,
+        predicate = col("label") === 3, nProbe = 8, oversample = 5,
+        rerankWith = Some(corpus), minCandidates = 20)
+    },
+
     "dedup_containment_gate" -> QueryDef(
       doc = "agreement gate: recall of containmentLsh's pair set vs exact shingleContainment (≥0.95 ⇒ containment_ok=1) — the driver-visible regression check for the approximate containment path",
       oracle = "SELECT CAST(1 AS INTEGER) AS containment_ok") { (s, dir) =>

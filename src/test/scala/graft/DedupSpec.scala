@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "test corpus produced no delta-touching pairs")
   }
 
+  test("containmentLshDelta returns exactly the full LSH answer's delta-touching pairs") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val full = Dedup.containmentLsh(docs, "doc_id", "text",
+        k = 3, threshold = 0.4)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val cut = 150L
+    val deltaIds = docs.filter(col("doc_id") >= cut).select(col("doc_id"))
+    // the containment path's finer banding (64 × 2)
+    val (sh, _, bands) = Dedup.minHashIndexFull(docs, "doc_id", "text",
+      k = 3, numPerm = 128, bands = 64)
+    val delta = Dedup.containmentLshDelta(sh, bands, deltaIds,
+        threshold = 0.4)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val expected = full.filter(p => p._1 >= cut || p._2 >= cut)
+    assert(delta == expected,
+      s"missing=${expected -- delta}, extra=${delta -- expected}")
+    assert(expected.nonEmpty, "test corpus produced no delta-touching pairs")
+  }
+
   test("bucketed minhash index: delta probe correct and plans without a full-index shuffle") {
     val docs = Tables.load(spark, sfDir, "documents").limit(200)
     val (sh, bands) = Dedup.minHashIndex(docs, "doc_id", "text", k = 3)
