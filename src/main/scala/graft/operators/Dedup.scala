@@ -765,4 +765,77 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("va", "vb", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-scoped
+    * semantic dedup, the third posture in the embedding-dedup family:
+    * [[embeddingCosinePairs]] is the exact global quadratic,
+    * [[embeddingCosinePairsLsh]] recovers (almost) the same pair set
+    * from sign-LSH buckets, and SemDeDup CHANGES THE SEMANTICS to buy
+    * scale — near-dups are only sought inside k-means clusters, which
+    * is what makes it tractable on billion-doc corpora (the paper
+    * dedups LAION/C4 this way).
+    *
+    * Per cluster: all member pairs with cosine ≥ `threshold` are
+    * duplicate edges; a member is dropped when ANY edge connects it
+    * to a higher-priority member, where priority = FARTHER from the
+    * cluster centroid first (the paper's keep-low-centroid-similarity
+    * choice — retains the cluster's atypical examples), ties by
+    * smaller id. Drops follow edges to higher-priority members
+    * whether or not those survive themselves (the paper's one-pass
+    * rule) — so any surviving pair within a cluster is guaranteed
+    * below `threshold` (`dedup_semdedup_gate` asserts exactly this).
+    *
+    * Output: one row per input doc — (idCol, cluster, centroid_sim,
+    * is_duplicate).
+    *
+    * Plan shape: the k-means model is driver-sized
+    * ([[Similarity.trainCentroids]]); assignment is one narrow
+    * codegen'd pass ([[Similarity.ivfAssign]], checkpointed — three
+    * consumers); the pair join hash-exchanges by cluster id, so the
+    * quadratic term is bounded per cell and AQE skew-splits hot
+    * cells; the drop set and the final join are pair- and
+    * corpus-keyed hash joins. At 100 TB, scale `nClusters` with the
+    * corpus (the paper runs ~10⁴-member clusters) so per-cell work
+    * stays constant.
+    */
+  def semDeDup(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nClusters: Int = 16, iters: Int = 5): DataFrame = {
+    val centroids = graft.operators.Similarity.trainCentroids(
+      df, idCol, vecCol, nClusters, iters)
+    semDeDupAssigned(
+      graft.operators.Similarity.ivfAssign(df, idCol, vecCol, centroids),
+      centroids, idCol, threshold)
+  }
+
+  /** [[semDeDup]] over a PREBUILT (nid, cv, cid) IVF index — the
+    * persisted-assignment path (the ANN serving index doubles as the
+    * SemDeDup clustering, one corpus pass for both).
+    */
+  def semDeDupAssigned(
+      index: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, threshold: Double): DataFrame = {
+    val dots = graft.functions.CentroidDots.column(col("cv"), centroids)
+    val assigned = index
+      .withColumn("cdot", round(element_at(dots, col("cid") + 1), 4))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cid"), col("nid").as("va"),
+      col("cv").as("xa"), col("cdot").as("da"))
+    val b = assigned.select(col("cid"), col("nid").as("vb"),
+      col("cv").as("xb"), col("cdot").as("db"))
+    val edges = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+      .withColumn("cos", round(VectorFunctions.dot(col("xa"), col("xb")), 4))
+      .filter(col("cos") >= threshold)
+    // priority: farther-from-centroid wins; cdot tie → smaller id
+    // (va < vb always, so the tie drops vb)
+    val dropped = edges.select(
+        when(col("da") <= col("db"), col("vb"))
+          .otherwise(col("va")).as("nid"))
+      .distinct()
+      .withColumn("is_duplicate", lit(true))
+    assigned.join(dropped, Seq("nid"), "left")
+      .select(col("nid").as(idCol), col("cid").as("cluster"),
+        col("cdot").as("centroid_sim"),
+        coalesce(col("is_duplicate"), lit(false)).as("is_duplicate"))
+  }
 }

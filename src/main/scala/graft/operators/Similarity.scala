@@ -1008,6 +1008,78 @@ object Similarity {
         (col("recall") < minRecall).as("stale"))
   }
 
+  /** Exact corpus self-kNN graph: each vector's top-k nearest
+    * neighbors by cosine among all OTHER corpus vectors — the
+    * building block of graph-based curation (near-dup pruning,
+    * diversity scoring, label propagation over the neighbor graph).
+    * EXACT BASELINE, weak-by-design: corpus × corpus is the all-pairs
+    * quadratic no plan shape fixes; [[knnGraph]] is the IVF-scaled
+    * path, `knn_graph_gate` measures its recall against this truth.
+    *
+    * Output matches the ANN family: (qid, nid, rank, cos), ties by
+    * corpus id — so the DuckDB oracle replays it exactly.
+    */
+  def knnGraphBrute(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+        VectorFunctions.toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFunctions.normSq(col("cv")))
+    val q = corpus.select(col(idCol).as("qid"),
+        VectorFunctions.toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFunctions.normSq(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.cosinePre(
+        col("cv"), col("qv"), col("cn"), col("qn")), 4))
+    rankTopK(scored, k)
+  }
+
+  /** Approximate corpus self-kNN graph — the scale path for
+    * [[knnGraphBrute]]: every vector is simultaneously an index entry
+    * (its nearest cell) and a query (its `nProbe` nearest cells), so
+    * candidates are cell-local and the quadratic term is bounded per
+    * cell instead of corpus-wide.
+    *
+    * Plan shape differs from the serving paths ON PURPOSE: here the
+    * query side IS the corpus, so nothing is broadcastable — the
+    * probe join hash-exchanges BOTH sides by cell id (the one shuffle
+    * that replaces the all-pairs cross join), then the bounded-heap
+    * top-k aggregation carries n×k result rows. Hot cells are AQE
+    * skew-split like any hash join; at 100 TB you scale `nCentroids`
+    * with the corpus (cells of ~10⁴ vectors, the SemDeDup recipe) so
+    * per-cell work stays constant. Recall < 1 by design → rows-only
+    * driver check; `knn_graph_gate` pins recall vs brute force.
+    */
+  def knnGraph(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 8, iters: Int = 5): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
+    knnGraphFromIndex(ivfAssign(corpus, idCol, vecCol, centroids),
+      centroids, corpus, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[knnGraph]] over a PREBUILT (nid, cv, cid) IVF index — the
+    * refresh path: a corpus snapshot's persisted index serves both
+    * ANN queries and periodic graph rebuilds without re-assignment.
+    */
+  def knnGraphFromIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(corpus, idCol, vecCol, centroids, nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    // both sides are corpus-scale: the shuffle_hash hint pins the
+    // cell-co-partitioned join at EVERY scale (fixture-sized stats
+    // would otherwise tempt Catalyst into broadcasting the probe side
+    // — a plan that ships the whole corpus to every task at 100 TB);
+    // no sort needed on cell id, and AQE still skew-splits hot cells
+    val cands = index.hint("shuffle_hash").join(probes, Seq("cid"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+    rankTopK(cands, k)
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

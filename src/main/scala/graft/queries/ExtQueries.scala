@@ -584,6 +584,105 @@ object ExtQueries {
           .cast("int").as("semantic_ok"))
     },
 
+    "dedup_semdedup" -> QueryDef.noOracle(
+      doc = "SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — k-means cells (16), within-cell cosine >= 0.4 duplicate edges, keep the member farthest from its centroid (ties by id); the semantics that make embedding dedup tractable on billion-doc corpora. k-means is iterative, not SQL-expressible -> rows-only; invariants hash-gated in dedup_semdedup_gate") { (s, dir) =>
+      Dedup.semDeDup(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, nClusters = 16)
+    },
+
+    "dedup_semdedup_gate" -> QueryDef(
+      doc = "SemDeDup invariant gate (k-means not SQL-expressible — the text_bpe_gate pattern): output partitions the corpus exactly; recomputing the drop set from the EXACT all-pairs cosine edges restricted to the operator's clusters reproduces it verbatim; and no surviving same-cluster pair is above threshold",
+      oracle = "SELECT CAST(1 AS INTEGER) AS drops_ok, CAST(1 AS INTEGER) AS no_dup_kept_ok, CAST(1 AS INTEGER) AS partition_ok") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val nCorpus = e.count()
+      val out = Dedup.semDeDup(e, "vec_id", "embedding",
+        threshold = 0.4, nClusters = 16).localCheckpoint(true)
+      val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+        threshold = 0.4).select("va", "vb").localCheckpoint(true)
+      val aSide = out.select(col("vec_id").as("va"), col("cluster").as("ca"),
+        col("centroid_sim").as("da"), col("is_duplicate").as("dup_a"))
+      val bSide = out.select(col("vec_id").as("vb"), col("cluster").as("cb"),
+        col("centroid_sim").as("db"), col("is_duplicate").as("dup_b"))
+      // exact above-threshold edges that fall inside one cluster — the
+      // ground-truth duplicate edges SemDeDup's cluster-local join
+      // must have seen
+      val inCluster = exact.join(aSide, Seq("va")).join(bSide, Seq("vb"))
+        .filter(col("ca") === col("cb")).localCheckpoint(true)
+      val expected = inCluster.select(
+          when(col("da") <= col("db"), col("vb"))
+            .otherwise(col("va")).as("vec_id"))
+        .distinct()
+      val actual = out.filter(col("is_duplicate")).select("vec_id")
+      val cmp = expected.withColumn("e", lit(1))
+        .join(actual.withColumn("a", lit(1)), Seq("vec_id"), "full_outer")
+      val dropsOk = cmp.agg(coalesce(min(
+        (col("e").isNotNull && col("a").isNotNull).cast("int")),
+        lit(1)).as("drops_ok"))
+      val noDupKeptOk = inCluster.agg(coalesce(min(
+        (col("dup_a") || col("dup_b")).cast("int")), lit(1))
+        .as("no_dup_kept_ok"))
+      val partitionOk = out.agg(((count(lit(1)) === nCorpus) &&
+        (countDistinct(col("vec_id")) === nCorpus)).cast("int")
+        .as("partition_ok"))
+      dropsOk.crossJoin(noDupKeptOk).crossJoin(partitionOk)
+    },
+
+    "knn_graph_brute" -> QueryDef(
+      doc = "exact corpus self-kNN graph: every vector's cosine top-5 among all OTHER corpus vectors — the graph-curation primitive (SemDeDup-style pruning, diversity, label propagation); EXACT BASELINE (all-pairs quadratic, weak-by-design) — knn_graph is the cell-local scale path",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT qid, nid, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= 5""") { (s, dir) =>
+      Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5)
+    },
+
+    "knn_graph" -> QueryDef.noOracle(
+      doc = "approximate corpus self-kNN graph — every vector probes its 8 nearest of 16 IVF cells and ranks cell-local candidates; the one shuffle co-partitions index and probes by cell id (nothing broadcasts — the query side IS the corpus), so the quadratic is bounded per cell. Recall < 1 by design -> rows-only; gated in knn_graph_gate") { (s, dir) =>
+      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8)
+    },
+
+    "knn_graph_gate" -> QueryDef(
+      doc = "agreement gate: edge recall of the cell-local kNN graph vs the brute-force graph (>=0.7 => knn_graph_ok=1; measured 0.82/0.81 at sf0.01/0.1 on the near-random fixture) — the driver-visible regression check for the approximate graph path",
+      oracle = "SELECT CAST(1 AS INTEGER) AS knn_graph_ok") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val brute = Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5)
+        .select("qid", "nid").localCheckpoint(true)
+      val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
+          nCentroids = 16, nProbe = 8)
+        .select(col("qid"), col("nid"), lit(1).as("hit"))
+        .localCheckpoint(true)
+      brute.join(broadcast(approx), Seq("qid", "nid"), "left")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1))).as("recall"))
+        .select((coalesce(col("recall"), lit(1.0)) >= 0.7)
+          .cast("int").as("knn_graph_ok"))
+    },
+
+    "quality_model_gate" -> QueryDef(
+      doc = "model-based quality scoring gate (L-BFGS training is iterative, not SQL-expressible — the text_bpe_gate pattern): the classifier trained on the rule gate's weak labels must emit calibrated probabilities in [0,1], separate rule-positive from rule-negative docs by >= 0.2 mean probability, agree with the weak labels on >= 80% of docs, and reach training AUC >= 0.9",
+      oracle = "SELECT CAST(1 AS INTEGER) AS probs_ok, CAST(1 AS INTEGER) AS separable_ok, CAST(1 AS INTEGER) AS agree_ok, CAST(1 AS INTEGER) AS auc_ok") { (s, dir) =>
+      val feats = graft.operators.QualityModel.features(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+        .localCheckpoint(true)
+      val model = graft.operators.QualityModel.train(feats)
+      val aucOk = model.binarySummary.areaUnderROC >= 0.9
+      graft.operators.QualityModel.score(model, feats).agg(
+        min(col("quality_prob").between(0.0, 1.0).cast("int"))
+          .as("probs_ok"),
+        ((avg(when(col("is_quality"), col("quality_prob"))) -
+          avg(when(!col("is_quality"), col("quality_prob")))) >= 0.2)
+          .cast("int").as("separable_ok"),
+        (avg((col("pred_quality") === col("is_quality")).cast("int"))
+          >= 0.8).cast("int").as("agree_ok"))
+        .withColumn("auc_ok", lit(aucOk).cast("int"))
+    },
+
     "dedup_contamination" -> QueryDef(
       doc = "benchmark decontamination: fraction of each corpus doc's 3-gram shingles leaked into the eval split (docs <50) — broadcast eval shingle set, one corpus agg",
       oracle = s"""

@@ -275,4 +275,62 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(t == Seq((9001L, 9002L, 1.0)))
   }
+
+  test("semDeDup: keep-farthest-from-centroid policy on a constructed cluster") {
+    // one cluster (k=1 ⇒ centroid = normalized mean, deterministic):
+    // x at 0°, y at 5°, z at 60°. Mean direction ≈ 20.9°, so x is
+    // FARTHER from the centroid than y (cos 20.9° < cos 15.9°). The
+    // only ≥0.99 pair is (x,y) (cos 5° ≈ 0.9962) — SemDeDup must drop
+    // y (the more-typical member) and keep x and z.
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val docs = Seq((1L, v(0)), (2L, v(5)), (3L, v(60)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(docs, "vec_id", "embedding",
+        threshold = 0.99, nClusters = 1)
+      .select("vec_id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("semDeDup: exact twins dedup to the smaller id; output partitions the corpus") {
+    val twin = Seq(
+      (1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(0.5f)),
+      (3L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDeDup(twin, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 2)
+    val m = out.select("vec_id", "is_duplicate")
+      .as[(Long, Boolean)].collect().toMap
+    assert(m == Map(1L -> false, 2L -> true, 3L -> false))
+    assert(out.count() == 3 && out.select("vec_id").distinct().count() == 3)
+  }
+
+  test("semDeDup invariants on the embeddings fixture: partition, valid drops, no kept in-cluster dup") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val out = Dedup.semDeDup(e, "vec_id", "embedding",
+      threshold = 0.4, nClusters = 16).cache()
+    assert(out.count() == n && out.select("vec_id").distinct().count() == n)
+    // cross-check the drop set against the EXACT pair list restricted
+    // to the operator's own clusters (the dedup_semdedup_gate logic)
+    val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding", 0.4)
+      .select("va", "vb")
+    val a = out.select(col("vec_id").as("va"), col("cluster").as("ca"),
+      col("centroid_sim").as("da"), col("is_duplicate").as("dup_a"))
+    val b = out.select(col("vec_id").as("vb"), col("cluster").as("cb"),
+      col("centroid_sim").as("db"), col("is_duplicate").as("dup_b"))
+    val inCluster = exact.join(a, Seq("va")).join(b, Seq("vb"))
+      .filter(col("ca") === col("cb")).cache()
+    // no surviving same-cluster pair above threshold
+    assert(inCluster.filter(!col("dup_a") && !col("dup_b")).count() == 0)
+    val expected = inCluster.select(
+        when(col("da") <= col("db"), col("vb")).otherwise(col("va"))
+          .as("vec_id")).distinct()
+      .as[Long].collect().toSet
+    val actual = out.filter(col("is_duplicate")).select("vec_id")
+      .as[Long].collect().toSet
+    assert(actual == expected)
+    assert(actual.nonEmpty, "fixture should contain semantic near-dups")
+    out.unpersist(); inCluster.unpersist()
+  }
 }

@@ -293,4 +293,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 1, p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("knn_graph: cell-id hash join, nothing broadcast, no all-pairs NLJ") {
+    val p = plan("knn_graph")
+    // the probe join must co-partition BOTH corpus-scale sides by cid
+    // — a broadcast here would ship the whole corpus to every task
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("dedup_semdedup: cluster-scoped pair join is hash-partitioned, never an NLJ") {
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    // the checkpointed assignment feeds the cid self-join
+    assert(p.contains("ExistingRDD"), p)
+  }
 }

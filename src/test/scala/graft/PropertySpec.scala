@@ -475,4 +475,57 @@ class PropertySpec extends SparkSpec {
       out == full
     }, minTests = 6)
   }
+
+  test("property: knnGraph probing every cell ≡ brute-force graph on random corpora") {
+    // with nProbe = nCentroids the candidate set is the whole corpus,
+    // so the cell-local plan must reproduce the exact graph on ANY
+    // input — banding/centroid luck cannot enter
+    val genSeed = Gen.chooseNum(1, 1000)
+    val genN = Gen.chooseNum(6, 20)
+    check(Prop.forAll(genSeed, genN) { (seed, n) =>
+      val rows = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(6)(d =>
+          math.sin(seed * 17 + i * 5 + d * 11).toFloat))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val brute = graft.operators.Similarity
+        .knnGraphBrute(df, "vec_id", "embedding", k = 3)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      val full = graft.operators.Similarity
+        .knnGraph(df, "vec_id", "embedding", k = 3,
+          nCentroids = 4, nProbe = 4, iters = 2)
+        .as[(Long, Long, Int, Double)].collect().toSet
+      full == brute
+    }, minTests = 6)
+  }
+
+  test("property: semDeDup partitions any corpus and survivors are never in-cluster dups") {
+    val genSeed = Gen.chooseNum(1, 1000)
+    val genN = Gen.chooseNum(5, 16)
+    check(Prop.forAll(genSeed, genN) { (seed, n) =>
+      val rows = (0 until n).map { i =>
+        (i.toLong, Array.tabulate(4)(d =>
+          math.sin(seed * 13 + i * 3 + d * 7).toFloat))
+      }
+      val df = rows.toDF("vec_id", "embedding")
+      val out = graft.operators.Dedup.semDeDup(
+        df, "vec_id", "embedding", threshold = 0.8, nClusters = 3, iters = 2)
+      val collected = out
+        .as[(Long, Int, Double, Boolean)].collect()
+      // exact partition of the corpus
+      val partitionOk = collected.length == n &&
+        collected.map(_._1).distinct.length == n
+      // no two SURVIVING members of one cluster are above threshold
+      val byCluster = collected.filter(!_._4).groupBy(_._2)
+      val exact = graft.operators.Dedup
+        .embeddingCosinePairs(df, "vec_id", "embedding", threshold = 0.8)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2)).toSet
+      val noKeptDup = byCluster.values.forall { members =>
+        val ids = members.map(_._1).sorted
+        ids.combinations(2).forall(p => !exact.contains((p(0), p(1))))
+      }
+      partitionOk && noKeptDup
+    }, minTests = 6)
+  }
 }

@@ -465,4 +465,46 @@ class SimilaritySpec extends SparkSpec {
       (2L, 5L, 1, r6(1.0 / 61)),
       (2L, 20L, 2, r6(1.0 / 61))))
   }
+
+  test("knnGraphBrute: self excluded, exact neighbor order on a constructed corpus") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.8f, 0.6f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraphBrute(corpus, "vec_id", "embedding", k = 2)
+      .orderBy("qid", "rank").as[(Long, Long, Int, Double)].collect().toSeq
+    assert(g.forall(r => r._1 != r._2), "self-edges must be excluded")
+    // node 1 (east): nearest 2 (cos .8) then 3 (cos 0); node 2: 1
+    // (.8) then 3 (.6); node 3 (north): 2 (.6) then 1 (0)
+    assert(g.map(r => (r._1, r._2, r._3)) == Seq(
+      (1L, 2L, 1), (1L, 3L, 2),
+      (2L, 1L, 1), (2L, 3L, 2),
+      (3L, 2L, 1), (3L, 1L, 2)))
+  }
+
+  test("knnGraph with nProbe = nCentroids is exactly the brute-force graph") {
+    // probing every cell makes the candidate set the whole corpus, so
+    // the cell-local plan must reproduce the exact graph edge-for-edge
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Similarity.knnGraphBrute(e, "vec_id", "embedding", 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val full = Similarity.knnGraph(e, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 8)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full == brute)
+  }
+
+  test("knnGraph recall vs brute force on the embeddings fixture") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Similarity.knnGraphBrute(e, "vec_id", "embedding", 5)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.knnGraph(e, "vec_id", "embedding", 5,
+        nCentroids = 16, nProbe = 8)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    // every node still gets a full k edges — probing can degrade
+    // WHICH neighbors surface, never HOW MANY
+    assert(approx.size == brute.size)
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(recall >= 0.7, s"knn graph recall $recall < 0.7")
+  }
 }
