@@ -154,6 +154,32 @@ object Dedup {
     verifyJaccard(candidates, indexShingles, threshold)
   }
 
+  /** Verified near-dup pairs BETWEEN two corpora (ids must be
+    * disjoint): banded MinHash candidates restricted to left×right —
+    * each side builds its own index under the same seeded hash
+    * family, so the band join never generates a within-side pair —
+    * then exact Jaccard verification. The cross twin of
+    * [[minHashLsh]]: same recall behavior per pair, strictly less
+    * candidate work (no left×left / right×right bands survive the
+    * join). This is the scale shape for train/holdout leakage
+    * detection ([[Sampling.splitLeakageGuard]]) and cross-shard
+    * dedup: at 100 TB the smaller side's band rows are the only
+    * thing the bigger side's index is probed with.
+    */
+  def crossJaccardPairs(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5,
+      numPerm: Int = 128, bands: Int = 32): DataFrame = {
+    val (shL, bandL) = minHashIndex(left, idCol, textCol, k, numPerm, bands)
+    val (shR, bandR) = minHashIndex(right, idCol, textCol, k, numPerm, bands)
+    val candidates = bandL.select(col("doc").as("da"), col("band"), col("bkey"))
+      .join(bandR.select(col("doc").as("db"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("da", "db").distinct()
+    verifyJaccard(candidates, shL.unionByName(shR), threshold,
+      ordered = false)
+  }
+
   /** The MinHash index: hashed shingle rows (doc, shingle, h) and LSH
     * band rows (doc, band, bkey). At corpus scale BOTH are analysis-
     * store tables written once (ideally bucketed by their join keys —
@@ -278,8 +304,9 @@ object Dedup {
     * candidate count, not the corpus.
     */
   private def verifyJaccard(
-      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
-    verifiedPairCounts(candidates, sh)
+      candidates: DataFrame, sh: DataFrame, threshold: Double,
+      ordered: Boolean = true): DataFrame =
+    verifiedPairCounts(candidates, sh, ordered)
       .withColumn("jaccard",
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 4))
       .filter(col("jaccard") >= threshold)
@@ -302,8 +329,16 @@ object Dedup {
     * appear in any candidate, so cost tracks the candidate count, not
     * the corpus.
     */
+  /** `ordered = true` (the self-join dedup paths) assumes candidate
+    * pairs satisfy da < db and halves the shared-shingle join early
+    * on that; `ordered = false` (cross-corpus pairs, where the
+    * orientation carries meaning — da is always the left-side doc)
+    * keeps both orders and lets the candidate semi-join pick the
+    * given one.
+    */
   private def verifiedPairCounts(
-      candidates: DataFrame, sh: DataFrame): DataFrame = {
+      candidates: DataFrame, sh: DataFrame,
+      ordered: Boolean = true): DataFrame = {
     // materialize the candidate pipeline (band self-join + distinct)
     // ONCE: it feeds three plan branches below (docsInPlay → sizes,
     // docsInPlay → inter's semi-join, the pair semi-join itself), and
@@ -320,7 +355,7 @@ object Dedup {
     val sizes = shC.groupBy("doc").agg(count(lit(1)).as("n"))
     val inter = shC.select(col("doc").as("da"), col("shingle"))
       .join(shC.select(col("doc").as("db"), col("shingle")), Seq("shingle"))
-      .filter(col("da") < col("db"))
+      .filter(if (ordered) col("da") < col("db") else col("da") =!= col("db"))
       .join(broadcast(cands), Seq("da", "db"), "left_semi")
       .groupBy("da", "db").agg(count(lit(1)).as("i"))
     inter

@@ -334,4 +334,87 @@ object Sampling {
       }
     df.withColumn("split", expr)
   }
+
+  /** Dedup-aware train/holdout split: [[split]] the corpus, then
+    * quarantine every TRAIN doc that is a Jaccard-≥`threshold`
+    * near-duplicate of any holdout doc — the leakage that silently
+    * inflates held-out metrics when train and eval share boilerplate
+    * or outright copies. Holdout docs are never moved; leaked train
+    * docs stay visible under `quarantineLabel` for audit instead of
+    * vanishing.
+    *
+    * Scale shape: the cross-pair detection is
+    * [[Dedup.crossJaccardPairs]] — banded MinHash restricted to
+    * train×holdout (the holdout side is a small fraction, so its
+    * band rows are the probe side), never an all-pairs or
+    * within-train scan. LSH banding at the default (128, 32)
+    * parameters recalls the ≥0.5 band on real near-dups; the
+    * verification is exact, so detected pairs carry true Jaccard.
+    * Output: (id, split) with split ∈ fractions' labels ∪
+    * quarantineLabel.
+    */
+  def splitLeakageGuard(
+      df: DataFrame, idCol: String, textCol: String,
+      fractions: Seq[(String, Double)],
+      k: Int = 3, threshold: Double = 0.5,
+      quarantineLabel: String = "quarantined"): DataFrame = {
+    require(fractions.nonEmpty, "at least one split label")
+    val trainLabel = fractions.head._1
+    val spl = split(df, idCol, fractions)
+    val train = spl.filter(col("split") === trainLabel)
+    val holdout = spl.filter(col("split") =!= trainLabel)
+    val leaked = Dedup.crossJaccardPairs(train, holdout, idCol, textCol,
+        k, threshold)
+      .select(col("da").as(idCol)).distinct()
+      .withColumn("__leaked", lit(1))
+    spl.join(leaked, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__leaked").isNotNull, lit(quarantineLabel))
+          .otherwise(col("split")).as("split"))
+  }
+
+  /** UniMax domain allocation (Chung et al. 2023): spend a token
+    * `budget` as uniformly as possible across domains without
+    * repeating any domain more than `maxEpochs` times. Walking
+    * domains by ascending capacity c_i·maxEpochs, each takes
+    * min(capacity, remaining/domains-left) — small domains cap out,
+    * the freed budget spreads evenly over the rest.
+    *
+    * Scale shape: one domain aggregation (domains are model-sized —
+    * dozens), a driver-local walk over the sorted domain list, and a
+    * literal result frame; the corpus is read once and never
+    * shuffled beyond the domain agg. The walk is deterministic
+    * (ascending capacity, ties by domain name) and its double
+    * arithmetic is replayed operation-for-operation by the DuckDB
+    * oracle's recursive CTE.
+    *
+    * Output per domain: n_tokens, capacity, alloc_tokens (4dp),
+    * epochs = alloc/n_tokens (4dp).
+    */
+  def unimaxAllocation(
+      df: DataFrame, domainCol: String, tokensCol: Column,
+      budget: Double, maxEpochs: Double): DataFrame = {
+    require(budget >= 0 && maxEpochs > 0, "budget >= 0, maxEpochs > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val caps = df.groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokensCol).cast("long").as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .map { case (d, n) => (d, n, n * maxEpochs) }
+      .sortBy { case (d, _, cap) => (cap, d) }
+    val n = caps.length
+    var rem = budget
+    val rows = caps.zipWithIndex.map { case ((d, tok, cap), i) =>
+      val alloc = math.min(cap, rem / (n - i))
+      rem -= alloc
+      (d, tok, cap, alloc, if (tok == 0) 0.0 else alloc / tok)
+    }
+    // round in the FRAME (Spark round == DuckDB round, half-up; the
+    // walk itself stays unrounded so later shares see exact remainders)
+    rows.toSeq.toDF("domain", "n_tokens", "capacity", "alloc_tokens", "epochs")
+      .select(col("domain"), col("n_tokens"), round(col("capacity"), 4).as("capacity"),
+        round(col("alloc_tokens"), 4).as("alloc_tokens"),
+        round(col("epochs"), 4).as("epochs"))
+  }
 }

@@ -562,6 +562,64 @@ object Similarity {
     corpus.select(col(idCol).as("nid"),
       graft.functions.Int8Quantize.column(col(vecCol)).as("codes"))
 
+  // ─────────────── PCA-reduced shortlist (dimension reduction) ───────────────
+
+  /** PCA-reduced ANN top-k: rotate unit vectors onto their top
+    * `nComponents` principal axes (UNCENTERED [[Pca]] — an orthogonal
+    * map, so dots in the kept span lower-approximate full dots
+    * without an origin shift breaking cosine order), shortlist
+    * k·oversample per query by reduced dot, exact-rerank on the
+    * originals — the FAISS `PCAMatrix` pre-transform recipe.
+    *
+    * Scale shape: fit is one narrow moment pass + a driver d×d
+    * eigensolve ([[Pca.fit]]); reduction is one codegen'd affine map
+    * per row; the shortlist scan reads d/nComponents-fold less
+    * vector data than brute force with the same
+    * broadcast-queries/corpus-never-shuffles plan; rerank probes the
+    * corpus by id. Truncated variance ⇒ recall<1 by design
+    * (rows-only driver check, gated by `ann_recall_pca`).
+    */
+  def pcaTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nComponents: Int = 32, oversample: Int = 5): DataFrame = {
+    val units = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+    val model = Pca.fit(units, "cv", nComponents, center = false)
+    pcaTopKFromIndex(pcaIndex(corpus, idCol, vecCol, model), model,
+      queries, idCol, vecCol, k, oversample,
+      rerankWith = if (oversample > 1) Some(corpus) else None)
+  }
+
+  /** The reduced index: (nid, rv array<double> of nComponents) — one
+    * narrow rotate-and-truncate pass, written once, d/nComponents-fold
+    * smaller than the raw corpus.
+    */
+  def pcaIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      model: Pca.Model): DataFrame = {
+    val units = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+    units.select(col("nid"), Pca.projectColumn(col("cv"), model).as("rv"))
+  }
+
+  /** Search over a PREBUILT reduced index — the serving path: scan
+    * the small rotated corpus, heap-shortlist, optionally
+    * exact-rerank against the raw store.
+    */
+  def pcaTopKFromIndex(
+      index: DataFrame, model: Pca.Model, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      oversample: Int = 5, rerankWith: Option[DataFrame] = None): DataFrame = {
+    val q = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .select(col("qid"), Pca.projectColumn(col("qv"), model).as("rq"))
+    val scored = index.crossJoin(broadcast(q))
+      .withColumn("cos", round(VectorFunctions.dot(col("rv"), col("rq")), 4))
+    val shortlist = rankTopK(scored, k * math.max(1, oversample))
+    rerankWith match {
+      case Some(corpus) =>
+        exactRerank(shortlist, corpus, queries, idCol, vecCol, k)
+      case None => shortlist.filter(col("rank") <= k)
+    }
+  }
+
   // ─────────────────────── PQ (product quantization) ───────────────────────
 
   /** Per-subspace k-means codebooks for product quantization, trained

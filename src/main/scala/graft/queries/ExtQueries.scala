@@ -452,6 +452,34 @@ object ExtQueries {
         nCentroids = 16, nProbe = 8, m = 16, ksub = 16)
     },
 
+    "embedding_pca" -> QueryDef.noOracle(
+      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles) — eigensolve not SQL-expressible → rows-only; every model/projection identity hash-gated in pca_gate") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(e, "embedding", k = 16)
+      graft.operators.Pca.project(e, "vec_id", "embedding", model)
+    },
+
+    "pca_gate" -> QueryDef(
+      doc = "PCA internal-consistency gate (the ann_recall_* pattern): axes orthonormal, eigenvalues descending, explained ratio in (0,1], corpus-avg reconstruction error == residual eigen mass (1e-6 rel), per-component projection variance == eigenvalue (1e-6 rel) — the identities that fail if fit, project, or reconstruct drift",
+      oracle = "SELECT CAST(1 AS INTEGER) AS orthonormal_ok, CAST(1 AS INTEGER) AS eigvals_ok, CAST(1 AS INTEGER) AS explained_ok, CAST(1 AS INTEGER) AS recon_ok, CAST(1 AS INTEGER) AS projvar_ok") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val model = graft.operators.Pca.fit(e, "embedding", k = 16)
+      graft.operators.Pca.consistencyGate(e, "embedding", model)
+    },
+
+    "ann_topk_pca" -> QueryDef.noOracle(
+      doc = "PCA-reduced ANN top-5 (uncentered 64→32 rotation — the FAISS PCAMatrix pre-transform — reduced-dot shortlist ×5, exact rerank; the isotropic fixture is PCA's worst case, real embeddings concentrate far more variance) — truncated variance → rows-only; recall gated in ann_recall_pca") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.pcaTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nComponents = 32)
+    },
+
+    "ann_recall_pca" -> annRecall("pca", 0.6) { (c, q) =>
+      Similarity.pcaTopK(c, q, "vec_id", "embedding", 5, nComponents = 32)
+    },
+
     "ann_topk_sq" -> QueryDef.noOracle(
       doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes) — quantization error → rows-only; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
@@ -1315,6 +1343,65 @@ object ExtQueries {
       Sampling.split(Tables.load(s, dir, "documents"), idCol = "doc_id",
           fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split")
+    },
+
+    "split_leakage_guard" -> QueryDef(
+      doc = "dedup-aware split: 80/10/10 deterministic split, then train docs Jaccard-≥0.5 near a valid/test doc are quarantined (banded MinHash cross-pairs train×holdout + exact verification — never a within-train scan); holdout never moves, leaked docs stay auditable",
+      oracle = s"""
+        WITH $duckShingles,
+        spl AS (SELECT doc_id,
+                       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 8000 THEN 'train'
+                            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 9000 THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM documents),
+        sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+        inter AS (SELECT a.doc AS da, b.doc AS db, count(*) AS i
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+                  GROUP BY 1, 2),
+        leak AS (SELECT DISTINCT i.da AS doc_id
+                 FROM inter i
+                 JOIN spl pa ON pa.doc_id = i.da
+                 JOIN spl pb ON pb.doc_id = i.db
+                 JOIN sz sa ON sa.doc = i.da
+                 JOIN sz sb ON sb.doc = i.db
+                 WHERE pa.split = 'train' AND pb.split <> 'train'
+                   AND round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) >= 0.5)
+        SELECT s.doc_id,
+               CASE WHEN l.doc_id IS NOT NULL THEN 'quarantined' ELSE s.split END AS split
+        FROM spl s LEFT JOIN leak l ON s.doc_id = l.doc_id""") { (s, dir) =>
+      Sampling.splitLeakageGuard(Tables.load(s, dir, "documents"),
+        "doc_id", "text",
+        fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+    },
+
+    "corpus_unimax" -> QueryDef(
+      doc = "UniMax budget allocation: spend a 12000-token budget as uniformly as possible across sources, no source repeated past 0.5 epochs (ascending-capacity waterfill — small domains cap out, freed budget spreads over the rest; one domain agg + a driver walk over the model-sized domain list)",
+      oracle = """
+        WITH RECURSIVE caps AS (
+          SELECT source AS domain,
+                 CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1),
+        ord AS (SELECT domain, n_tokens, n_tokens * 0.5 AS capacity,
+                       row_number() OVER (ORDER BY n_tokens * 0.5, domain) AS rn,
+                       count(*) OVER () AS n
+                FROM caps),
+        walk AS (
+          SELECT CAST(0 AS BIGINT) AS rn, CAST(12000 AS DOUBLE) AS rem
+          UNION ALL
+          SELECT o.rn, w.rem - LEAST(o.capacity, w.rem / (o.n - w.rn))
+          FROM walk w JOIN ord o ON o.rn = w.rn + 1),
+        alloc AS (
+          SELECT o.domain, o.n_tokens, o.capacity,
+                 LEAST(o.capacity, w.rem / (o.n - w.rn)) AS alloc
+          FROM ord o JOIN walk w ON w.rn = o.rn - 1)
+        SELECT domain, n_tokens, round(capacity, 4) AS capacity,
+               round(alloc, 4) AS alloc_tokens,
+               round(alloc / n_tokens, 4) AS epochs
+        FROM alloc""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Sampling.unimaxAllocation(d, "source",
+        size(filter(split(col("text"), " "), x => x =!= "")).cast("long"),
+        budget = 12000.0, maxEpochs = 0.5)
     },
 
     "text_vocab" -> QueryDef(

@@ -308,4 +308,93 @@ class SamplingSpec extends SparkSpec {
     assert(got("small") == 4L, s"capped at size, got $got")
     assert(got("big") <= 50L, "big keeps its own quota only")
   }
+
+  test("splitLeakageGuard: quarantine ≡ cross-split restriction of the LSH pair set") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitLeakageGuard(docs, "doc_id", "text", fr)
+      .as[(Long, String)].collect().toMap
+
+    val spl = Sampling.split(docs, "doc_id", fr)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // consistency vs the SAME banded-LSH pair engine run corpus-wide
+    // (exact-Jaccard equality holds wherever the bands recall the
+    // pair — the property the sf0.01 driver oracle hash-checks, same
+    // posture as dedup_minhash_lsh; at this 50-doc fixture a
+    // near-threshold pair can legitimately miss the bands)
+    val lshPairs = graft.operators.Dedup.minHashLsh(docs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select("da", "db").as[(Long, Long)].collect()
+    val lshLeaked = lshPairs.flatMap { case (a, b) =>
+      val (sa, sb) = (spl(a), spl(b))
+      Seq(a).filter(_ => sa == "train" && sb != "train") ++
+        Seq(b).filter(_ => sb == "train" && sa != "train")
+    }.toSet
+    assert(lshLeaked.nonEmpty, "fixture should contain cross-split near-dups")
+
+    got.foreach { case (id, label) =>
+      val want = if (lshLeaked(id)) "quarantined" else spl(id)
+      assert(label == want, s"doc $id: got $label, want $want")
+    }
+    // quarantine only ever hits true exact-Jaccard leaks (soundness:
+    // verification is exact even when candidate recall < 1)
+    val exactPairs = graft.operators.Dedup.ngramJaccard(docs, "doc_id",
+        "text", k = 3, threshold = 0.5)
+      .select("da", "db").as[(Long, Long)].collect()
+    val exactLeaked = exactPairs.flatMap { case (a, b) =>
+      val (sa, sb) = (spl(a), spl(b))
+      Seq(a).filter(_ => sa == "train" && sb != "train") ++
+        Seq(b).filter(_ => sb == "train" && sa != "train")
+    }.toSet
+    val quarantined = got.collect { case (id, "quarantined") => id }.toSet
+    assert(quarantined.subsetOf(exactLeaked), "no false quarantines")
+    // holdout rows keep their labels verbatim
+    spl.filter(_._2 != "train").foreach { case (id, l) =>
+      assert(got(id) == l, s"holdout doc $id moved to ${got(id)}")
+    }
+  }
+
+  test("crossJaccardPairs never emits a within-side pair") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val left = docs.filter(col("doc_id") % 2 === 0)
+    val right = docs.filter(col("doc_id") % 2 =!= 0)
+    val pairs = graft.operators.Dedup.crossJaccardPairs(
+        left, right, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (da, db, j) =>
+      assert(da % 2 == 0 && db % 2 != 0, s"pair ($da,$db) is not cross-side")
+      assert(j >= 0.5)
+    }
+  }
+
+  test("unimaxAllocation: caps respected, budget exhausted or all capped, waterfill uniform") {
+    val docs = Seq(
+      ("a", 100L), ("b", 1000L), ("c", 1000L), ("d", 5000L))
+      .toDF("source", "toks")
+    val got = Sampling.unimaxAllocation(docs, "source", col("toks"),
+        budget = 3000.0, maxEpochs = 1.0)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // ascending caps: a=100 (caps out), then b,c,d share (3000-100)/3
+    assert(got("a")._4 == 100.0, s"a should cap at 100: ${got("a")}")
+    val share = math.rint((3000.0 - 100.0) / 3 * 1e4) / 1e4
+    Seq("b", "c", "d").foreach { d =>
+      assert(math.abs(got(d)._4 - share) < 1e-9, s"$d: ${got(d)._4} vs $share")
+    }
+    // outputs are 4dp-rounded, so the sum re-adds n half-ulps of 1e-4
+    assert(math.abs(got.values.map(_._4).sum - 3000.0) < 1e-3, "budget fully spent")
+    got.values.foreach { case (_, tok, cap, alloc, epochs) =>
+      assert(alloc <= cap + 1e-9, "never exceeds capacity")
+      assert(math.abs(epochs - alloc / tok) < 1e-4)
+    }
+
+    // capacity-starved case: budget > total capacity → every domain caps
+    val starved = Sampling.unimaxAllocation(docs, "source", col("toks"),
+        budget = 100000.0, maxEpochs = 0.5)
+      .as[(String, Long, Double, Double, Double)].collect()
+    starved.foreach { r =>
+      assert(r._4 == r._3, s"${r._1} should be capacity-bound: $r")
+      assert(math.abs(r._5 - 0.5) < 1e-9, "all at maxEpochs")
+    }
+  }
 }
