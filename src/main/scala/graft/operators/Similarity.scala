@@ -1138,6 +1138,52 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** PageRank centrality over a self-kNN graph: rank r(v) =
+    * (1−d) + d·Σ_{u→v} r(u)/outdeg(u) for `iters` rounds from r=1 —
+    * the corpus-cartography signal behind representative-document
+    * selection and influence-aware sampling (central docs anchor
+    * dense semantic regions; peripheral docs are outliers or novel).
+    * Unweighted on purpose: kNN edges carry raw cosines that can be
+    * negative on isotropic corpora, and PageRank's convergence
+    * contract needs non-negative weights.
+    *
+    * Scale shape: the edge frame is corpus-scale (n·k rows), so the
+    * iteration is the DISTRIBUTED discipline from
+    * [[TextAnalysis.textrank]]'s fallback branch — one model-free
+    * hash-join job per round, lineage truncated per round
+    * (localCheckpoint), never a driver collect. Each round's
+    * exchange carries n rank rows, not edges, because the
+    * contribution agg partials combine map-side. Damping is a
+    * contraction, so cross-engine summation-order drift shrinks per
+    * round and the 4dp-rounded ranks hash-match an oracle unrolling
+    * the identical iterations in SQL.
+    *
+    * `edges` is any (qid, nid, …) neighbor frame — [[knnGraphBrute]]
+    * for the exact oracle-replayed path, [[knnGraph]] at corpus
+    * scale.
+    */
+  def knnCentrality(edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85, idOut: String = "vec_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val g = edges.select(col("qid").as("u"), col("nid").as("v"))
+      .localCheckpoint(true)
+    val deg = g.groupBy("u").agg(count(lit(1)).cast("double").as("od"))
+    val nodes = g.select(col("u").as("node")).distinct().localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = g.join(deg, Seq("u"))
+        .join(ranks, col("u") === col("node"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("r") / col("od")).as("__x"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("__x"), lit(0.0)))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node").as(idOut), round(col("r"), 4).as("centrality"))
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

@@ -692,6 +692,39 @@ object ExtQueries {
           .cast("int").as("knn_graph_ok"))
     },
 
+    "corpus_centrality" -> QueryDef(
+      doc = "PageRank centrality over the exact self-kNN graph (k=5, 10 unrolled iterations, damping 0.85) — the corpus-cartography signal for representative-doc selection; one hash-join job per round, rank rows (never edges) in each exchange; at scale the same iteration runs on the approximate knn_graph edges",
+      oracle = {
+        val base = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        g AS (SELECT qid AS u, nid AS v FROM (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                FROM scored) WHERE rank <= 5),
+        deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM g GROUP BY u),
+        n0 AS (SELECT DISTINCT u AS node FROM g),
+        pr0 AS (SELECT node, 1.0 AS r FROM n0)"""
+        val iterations = (1 to 10).map { it =>
+          s"""
+        pr$it AS (SELECT n.node,
+              (1 - 0.85) + 0.85 * coalesce(s.x, 0) AS r
+            FROM n0 n LEFT JOIN (
+              SELECT g.v AS node, sum(p.r / d.od) AS x
+              FROM g JOIN pr${it - 1} p ON p.node = g.u
+                     JOIN deg d ON d.u = g.u
+              GROUP BY g.v) s ON s.node = n.node)"""
+        }.mkString(",")
+        s"""$base,$iterations
+        SELECT node AS vec_id, round(r, 4) AS centrality FROM pr10"""
+      }) { (s, dir) =>
+      Similarity.knnCentrality(
+        Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5),
+        iters = 10, damping = 0.85)
+    },
+
     "quality_model_gate" -> QueryDef(
       doc = "model-based quality scoring gate (L-BFGS training is iterative, not SQL-expressible — the text_bpe_gate pattern): the classifier trained on the rule gate's weak labels must emit calibrated probabilities in [0,1], separate rule-positive from rule-negative docs by >= 0.2 mean probability, agree with the weak labels on >= 80% of docs, and reach training AUC >= 0.9",
       oracle = "SELECT CAST(1 AS INTEGER) AS probs_ok, CAST(1 AS INTEGER) AS separable_ok, CAST(1 AS INTEGER) AS agree_ok, CAST(1 AS INTEGER) AS auc_ok") { (s, dir) =>

@@ -127,6 +127,35 @@ class PcaSpec extends SparkSpec {
     assert(counts.forall(_.getLong(1) == 5))
   }
 
+  test("knnCentrality: matches a driver-side replay on a hand-built graph; mass conserved on the fixture") {
+    // A→{B,C}, B→A, C→A: A aggregates two full ranks, B/C split A's
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("qid", "nid")
+    val got = Similarity.knnCentrality(edges, iters = 10, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    var (a, b, c) = (1.0, 1.0, 1.0)
+    for (_ <- 1 to 10) {
+      val (na, nb, nc) = (0.15 + 0.85 * (b + c), 0.15 + 0.85 * (a / 2),
+        0.15 + 0.85 * (a / 2))
+      a = na; b = nb; c = nc
+    }
+    assert(math.abs(got(1L) - math.rint(a * 1e4) / 1e4) <= 1e-4)
+    assert(math.abs(got(2L) - math.rint(b * 1e4) / 1e4) <= 1e-4)
+    assert(math.abs(got(3L) - math.rint(c * 1e4) / 1e4) <= 1e-4)
+    assert(got(1L) > got(2L), "the doubly-pointed-at node ranks higher")
+
+    // fixture graph: every node has out-degree k, so total rank mass
+    // is conserved at n (within 4dp rounding × n)
+    val g = Similarity.knnGraphBrute(embeddings, "vec_id", "embedding", 5)
+    val ranks = Similarity.knnCentrality(g).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val n = embeddings.count()
+    assert(ranks.size == n, "one rank per vector")
+    assert(ranks.values.forall(_ > 0), "ranks strictly positive")
+    assert(math.abs(ranks.values.sum - n) < n * 1e-3,
+      s"mass ${ranks.values.sum} should stay ~$n")
+  }
+
   test("gramian aggregator is partitioning-invariant (up to fp rounding)") {
     val one = Pca.fit(embeddings.coalesce(1), "embedding", k = 8)
     val many = Pca.fit(embeddings.repartition(7), "embedding", k = 8)
