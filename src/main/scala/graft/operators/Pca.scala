@@ -58,15 +58,53 @@ object Pca {
     * (centering would shift the origin and break cosine ordering).
     */
   def fit(df: DataFrame, vecCol: String, k: Int,
-      center: Boolean = true): Model = {
+      center: Boolean = true): Model =
+    fitFromStats(momentStats(df, vecCol), k, center)
+
+  /** The mergeable sufficient-statistics frame — ONE row (n, s, g) of
+    * count / coordinate sums / packed second moments. This is the
+    * incremental-PCA surface: persist it next to the index
+    * ([[graft.sources.AnalysisStore]] discipline), and a refresh is
+    * `fitFromStats(old stats ∪ delta stats)` — the historical corpus
+    * is NEVER re-scanned, because moment sums are additive (the same
+    * property the aggregation's map-side combine already relies on).
+    */
+  def momentStats(df: DataFrame, vecCol: String): DataFrame = {
     val agg = udaf(GramianAggregator.gramian)
-    val g = df.select(agg(VectorFunctions.toDouble(col(vecCol))).as("g"))
+    df.select(agg(VectorFunctions.toDouble(col(vecCol))).as("g"))
       .selectExpr("g.n AS n", "g.s AS s", "g.g AS g")
-      .head()
-    val n = g.getLong(0)
+  }
+
+  /** Fit from one or more [[momentStats]] rows (a persisted base +
+    * any number of delta rows): rows merge by elementwise addition —
+    * model-sized driver math, identical to the aggregator's own
+    * merge — then the usual eigensolve.
+    */
+  def fitFromStats(stats: DataFrame, k: Int,
+      center: Boolean = true): Model = {
+    val rows = stats.select("n", "s", "g").collect()
+    require(rows.nonEmpty, "pca: no stats rows")
+    var n = 0L
+    var s: Array[Double] = null
+    var tri: Array[Double] = null
+    rows.foreach { r =>
+      val rn = r.getLong(0)
+      if (rn > 0) {
+        val rs = r.getSeq[Double](1).toArray
+        val rg = r.getSeq[Double](2).toArray
+        if (s == null) { s = rs; tri = rg }
+        else {
+          require(s.length == rs.length,
+            s"pca: inconsistent dims ${s.length} vs ${rs.length}")
+          var i = 0
+          while (i < s.length) { s(i) += rs(i); i += 1 }
+          i = 0
+          while (i < tri.length) { tri(i) += rg(i); i += 1 }
+        }
+        n += rn
+      }
+    }
     require(n > 1, s"pca: need at least 2 rows, got $n")
-    val s = g.getSeq[Double](1).toArray
-    val tri = g.getSeq[Double](2).toArray
     val d = s.length
     require(k >= 1 && k <= d, s"pca: k=$k out of range 1..$d")
 

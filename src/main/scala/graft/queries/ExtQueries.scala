@@ -467,6 +467,32 @@ object ExtQueries {
       graft.operators.Pca.consistencyGate(e, "embedding", model)
     },
 
+    "pca_delta_gate" -> QueryDef(
+      doc = "incremental-PCA gate: the model refit from persisted-base + delta moment statistics (additive sufficient stats — the historical corpus is never re-scanned) must match the full-corpus model — eigenvalues to 1e-9 rel, every axis aligned (dot > 1−1e-9), total variance to 1e-9",
+      oracle = "SELECT CAST(1 AS INTEGER) AS eig_ok, CAST(1 AS INTEGER) AS axes_ok, CAST(1 AS INTEGER) AS var_ok") { (s, dir) =>
+      import graft.operators.Pca
+      val e = Tables.load(s, dir, "embeddings")
+      val merged = Pca.fitFromStats(
+        Pca.momentStats(e.filter(col("vec_id") % 5 =!= 0), "embedding")
+          .unionByName(
+            Pca.momentStats(e.filter(col("vec_id") % 5 === 0), "embedding")),
+        k = 16)
+      val full = Pca.fit(e, "embedding", k = 16)
+      val eigOk = merged.eigenvalues.zip(full.eigenvalues).forall {
+        case (a, b) => math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(b))
+      }
+      val axesOk = merged.axes.zip(full.axes).forall { case (ma, fa) =>
+        ma.zip(fa).map { case (x, y) => x * y }.sum > 1 - 1e-9
+      }
+      val varOk =
+        math.abs(merged.totalVariance - full.totalVariance) < 1e-9
+      import s.implicits._
+      Seq((eigOk, axesOk, varOk)).toDF("e", "a", "v")
+        .select(col("e").cast("int").as("eig_ok"),
+          col("a").cast("int").as("axes_ok"),
+          col("v").cast("int").as("var_ok"))
+    },
+
     "ann_topk_pca" -> QueryDef.noOracle(
       doc = "PCA-reduced ANN top-5 (uncentered 64→32 rotation — the FAISS PCAMatrix pre-transform — reduced-dot shortlist ×5, exact rerank; the isotropic fixture is PCA's worst case, real embeddings concentrate far more variance) — truncated variance → rows-only; recall gated in ann_recall_pca") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")

@@ -127,6 +127,23 @@ class PcaSpec extends SparkSpec {
     assert(counts.forall(_.getLong(1) == 5))
   }
 
+  test("incremental fit: merged old+delta moment stats reproduce the full-corpus model") {
+    val old = embeddings.filter(col("vec_id") < 300)
+    val delta = embeddings.filter(col("vec_id") >= 300)
+    val merged = Pca.fitFromStats(
+      Pca.momentStats(old, "embedding")
+        .unionByName(Pca.momentStats(delta, "embedding")), k = 16)
+    val full = Pca.fit(embeddings, "embedding", k = 16)
+    merged.eigenvalues.zip(full.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(b)))
+    }
+    merged.axes.zip(full.axes).foreach { case (ma, fa) =>
+      val dot = ma.zip(fa).map { case (x, y) => x * y }.sum
+      assert(dot > 1 - 1e-9, s"axes diverged: dot=$dot")
+    }
+    assert(math.abs(merged.totalVariance - full.totalVariance) < 1e-9)
+  }
+
   test("knnCentrality: matches a driver-side replay on a hand-built graph; mass conserved on the fixture") {
     // A→{B,C}, B→A, C→A: A aggregates two full ranks, B/C split A's
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
