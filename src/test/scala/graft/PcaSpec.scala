@@ -171,6 +171,15 @@ class PcaSpec extends SparkSpec {
     assert(ranks.values.forall(_ > 0), "ranks strictly positive")
     assert(math.abs(ranks.values.sum - n) < n * 1e-3,
       s"mass ${ranks.values.sum} should stay ~$n")
+
+    // distributed fallback (threshold 0) agrees with the local path
+    // at the 4dp rounding quantum
+    val dist = Similarity.knnCentrality(g, localIterThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ranks.foreach { case (id, v) =>
+      assert(math.abs(dist(id) - v) <= 1e-4 + 1e-9,
+        s"paths diverge at $id: $v vs ${dist(id)}")
+    }
   }
 
   test("gramian aggregator is partitioning-invariant (up to fp rounding)") {
