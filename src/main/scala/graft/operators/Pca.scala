@@ -75,8 +75,22 @@ object Pca {
       .selectExpr("g.n AS n", "g.s AS s", "g.g AS g")
   }
 
+  /** Negated [[momentStats]] rows — the RETRACTION surface: moments
+    * are exactly additive, so removing documents from a fitted corpus
+    * is `fitFromStats(base ∪ negateStats(momentStats(retracted)))` —
+    * no rescan of the survivors, and bit-exact cancellation is not
+    * required because the eigensolve tolerates the fp residue of
+    * (x − x) summed in different orders (≈1e-12 relative, the same
+    * envelope as repartitioning).
+    */
+  def negateStats(stats: DataFrame): DataFrame =
+    stats.select((-col("n")).as("n"),
+      transform(col("s"), x => -x).as("s"),
+      transform(col("g"), x => -x).as("g"))
+
   /** Fit from one or more [[momentStats]] rows (a persisted base +
-    * any number of delta rows): rows merge by elementwise addition —
+    * any number of delta rows, possibly [[negateStats]]-negated
+    * retraction rows): rows merge by elementwise addition —
     * model-sized driver math, identical to the aggregator's own
     * merge — then the usual eigensolve.
     */
@@ -89,7 +103,7 @@ object Pca {
     var tri: Array[Double] = null
     rows.foreach { r =>
       val rn = r.getLong(0)
-      if (rn > 0) {
+      if (rn != 0) {
         val rs = r.getSeq[Double](1).toArray
         val rg = r.getSeq[Double](2).toArray
         if (s == null) { s = rs; tri = rg }

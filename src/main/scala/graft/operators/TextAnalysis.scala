@@ -17,6 +17,38 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= lit(""))
 
+  /** Feature-hashed document embedding in long format: (id, bucket,
+    * tf, weight) — token counts folded into `buckets` md5-derived
+    * slots, L2-normalized per doc. The model-free way to give every
+    * document a dense-comparable vector (the hashing trick /
+    * hashed-TF of DSIR and fastText): downstream cosine over the
+    * long form is a (bucket-keyed) sparse dot, and the long format
+    * is what the oracle hash-compares exactly (an array column would
+    * ride on element-order ulp).
+    *
+    * Scale shape: one narrow explode, ONE (id, bucket) aggregation
+    * with map-side combine (≤ `buckets` rows per doc survive), then
+    * the per-doc norm as a window over the already-aggregated rows —
+    * both exchanges are id-keyed and uniform; the bucket space is
+    * fixed, so state never grows with vocabulary (the
+    * [[Dsir]] discipline). md5-derived buckets, not xxhash64, so any
+    * engine reproduces the embedding bit-for-bit.
+    */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    tf.withColumn("__nrm", sqrt(sum(col("tf") * col("tf")).over(w)))
+      .select(col(idCol), col("bucket").cast("int").as("bucket"),
+        col("tf"), round(col("tf") / col("__nrm"), 4).as("weight"))
+  }
+
   /** Canonical dedup-preprocessing form: lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim — what the
     * dedup family should hash so cosmetic edits don't defeat

@@ -1463,6 +1463,23 @@ object ExtQueries {
         budget = 12000.0, maxEpochs = 0.5)
     },
 
+    "text_hash_embed" -> QueryDef(
+      doc = "feature-hashed document embedding (hashing trick): token counts folded into 256 md5-derived buckets, L2-normalized per doc, long format — the model-free document vector; fixed bucket space, so state never grows with vocabulary",
+      oracle = """
+        WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+                     FROM documents),
+        tf AS (SELECT doc_id,
+                      ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket,
+                      count(*) AS tf
+               FROM tok GROUP BY 1, 2)
+        SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+               CAST(tf AS BIGINT) AS tf,
+               round(tf / sqrt(sum(tf * tf) OVER (PARTITION BY doc_id)), 4) AS weight
+        FROM tf""") { (s, dir) =>
+      TextAnalysis.hashEmbed(Tables.load(s, dir, "documents"),
+        "doc_id", "text", buckets = 256)
+    },
+
     "text_vocab" -> QueryDef(
       doc = "vocabulary builder: top-100 tokens by corpus occurrence count with document frequency and rank (ties by token) — one token aggregation + TakeOrdered; the rank window runs over the model-sized top slice only",
       oracle = """

@@ -142,6 +142,19 @@ class PcaSpec extends SparkSpec {
       assert(dot > 1 - 1e-9, s"axes diverged: dot=$dot")
     }
     assert(math.abs(merged.totalVariance - full.totalVariance) < 1e-9)
+
+    // retraction: base(all) − stats(delta) ≡ fit(old) up to the fp
+    // residue of cancelled sums (~1e-12 rel, the repartition envelope)
+    val retracted = Pca.fitFromStats(
+      Pca.momentStats(embeddings, "embedding").unionByName(
+        Pca.negateStats(Pca.momentStats(delta, "embedding"))), k = 16)
+    val oldOnly = Pca.fit(old, "embedding", k = 16)
+    retracted.eigenvalues.zip(oldOnly.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-7 * math.max(1.0, math.abs(b)))
+    }
+    retracted.axes.zip(oldOnly.axes).foreach { case (ma, fa) =>
+      assert(ma.zip(fa).map { case (x, y) => x * y }.sum > 1 - 1e-7)
+    }
   }
 
   test("knnCentrality: matches a driver-side replay on a hand-built graph; mass conserved on the fixture") {

@@ -528,4 +528,99 @@ class PropertySpec extends SparkSpec {
       partitionOk && noKeptDup
     }, minTests = 6)
   }
+
+  test("property: unimax allocation — caps, budget bound, uniform unbound shares") {
+    val genDomains = Gen.nonEmptyListOf(Gen.chooseNum(1L, 10000L)).map(_.take(12))
+    val genBudget = Gen.chooseNum(0.0, 50000.0)
+    val genEpochs = Gen.oneOf(0.25, 0.5, 1.0, 2.0)
+    check(Prop.forAll(genDomains, genBudget, genEpochs) { (toks, budget, epochs) =>
+      val df = toks.zipWithIndex.map { case (t, i) => (s"d$i", t) }
+        .toDF("source", "toks")
+      val rows = graft.operators.Sampling.unimaxAllocation(
+          df, "source", col("toks"), budget, epochs)
+        .as[(String, Long, Double, Double, Double)].collect()
+      val capsOk = rows.forall(r => r._4 <= r._3 + 1e-6)
+      val spent = rows.map(_._4).sum
+      val totalCap = rows.map(_._3).sum
+      // the walk spends exactly min(budget, total capacity) — the
+      // only slack is the 4dp output rounding, half an ulp per row
+      val budgetOk =
+        math.abs(spent - math.min(budget, totalCap)) <=
+          rows.length * 1e-4 + 1e-6
+      // all domains below capacity got the same share (the waterfill
+      // uniformity invariant), within the 4dp output rounding
+      val unbound = rows.filter(r => r._4 < r._3 - 1e-6).map(_._4)
+      val uniformOk = unbound.isEmpty ||
+        (unbound.max - unbound.min) < 2e-4
+      capsOk && budgetOk && uniformOk
+    }, minTests = 30)
+  }
+
+  test("property: crossJaccardPairs ≡ cross-side restriction of within-corpus LSH pairs") {
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val genDoc = Gen.listOfN(12, word).map(_.mkString(" "))
+    val genDocs = Gen.listOfN(14, genDoc)
+    check(Prop.forAll(genDocs) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val left = docs.filter(col("doc_id") % 2 === 0)
+      val right = docs.filter(col("doc_id") % 2 =!= 0)
+      val cross = graft.operators.Dedup.crossJaccardPairs(
+          left, right, "doc_id", "text", k = 2, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      val whole = graft.operators.Dedup.minHashLsh(
+          docs, "doc_id", "text", k = 2, threshold = 0.5)
+        .as[(Long, Long, Double)].collect()
+        .flatMap { case (a, b, j) =>
+          // reorient to (even, odd); drop within-side pairs
+          if (a % 2 == 0 && b % 2 != 0) Some((a, b) -> j)
+          else if (b % 2 == 0 && a % 2 != 0) Some((b, a) -> j)
+          else None
+        }.toMap
+      cross == whole
+    }, minTests = 8)
+  }
+
+  test("property: PCA projection variance ≡ eigenvalues; energy conserved at full rank") {
+    val genRow = Gen.listOfN(6, Gen.chooseNum(-10.0, 10.0))
+    val genData = Gen.listOfN(25, genRow)
+    check(Prop.forAll(genData) { rows =>
+      val df = rows.map(r => Tuple1(r)).toDF("v")
+      val m = graft.operators.Pca.fit(df, "v", k = 6)
+      val gate = graft.operators.Pca.consistencyGate(df, "v", m).head()
+      gate.toSeq == Seq(1, 1, 1, 1, 1) &&
+        math.abs(m.eigenvalues.sum - m.totalVariance) <
+          1e-9 * math.max(1.0, m.totalVariance)
+    }, minTests = 10)
+  }
+
+  test("property: knnCentrality local ≡ distributed at the rounding quantum; mass conserved") {
+    val genEdges = for {
+      n <- Gen.chooseNum(3, 8)
+      // every node gets one or two out-edges to OTHER nodes
+      es <- Gen.sequence[List[List[(Int, Int)]], List[(Int, Int)]](
+        (0 until n).toList.map { u =>
+          Gen.listOfN(2, Gen.chooseNum(0, n - 2)).map(_.distinct.map { x =>
+            (u, if (x >= u) x + 1 else x)
+          })
+        })
+    } yield es.flatten.distinct
+    check(Prop.forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val df = edges.map { case (u, v) => (u.toLong, v.toLong) }
+          .toDF("qid", "nid")
+        val local = graft.operators.Similarity.knnCentrality(df)
+          .as[(Long, Double)].collect().toMap
+        val dist = graft.operators.Similarity.knnCentrality(
+            df, localIterThreshold = 0L)
+          .as[(Long, Double)].collect().toMap
+        val agree = local.keySet == dist.keySet &&
+          local.forall { case (k, v) => math.abs(dist(k) - v) <= 1e-4 + 1e-9 }
+        // out-degree > 0 for every ranked node ⇒ rank mass stays ~n
+        val n = local.size
+        agree && math.abs(local.values.sum - n) < n * 1e-3
+      }
+    }, minTests = 10)
+  }
 }

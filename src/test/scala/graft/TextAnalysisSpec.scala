@@ -503,4 +503,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select("token").as[String].collect().toSet
     assert(nodes == Set("a", "b"))
   }
+
+  test("hashEmbed: unit-norm per doc, counts conserved, hash-collision fold") {
+    val df = Seq((1L, "a a b"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashEmbed(df, "doc_id", "text", buckets = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    rows.foreach { case (_, b, tf, w) =>
+      assert(b >= 0 && b < 16); assert(tf >= 1); assert(w > 0 && w <= 1)
+    }
+    // token counts conserved per doc
+    val tfSum = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(tfSum == Map(1L -> 3L, 2L -> 1L))
+    // L2 norm ≈ 1 per doc (4dp rounding slack per surviving bucket)
+    rows.groupBy(_._1).values.foreach { docRows =>
+      val n2 = docRows.map(r => r._4 * r._4).sum
+      assert(math.abs(n2 - 1.0) < 1e-3, s"norm² = $n2")
+    }
+    // single-token doc: exactly one bucket at weight 1
+    val solo = rows.filter(_._1 == 2L)
+    assert(solo.length == 1 && solo.head._4 == 1.0)
+
+    // fixture: same invariants at corpus scale, and determinism
+    val docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    val a = TextAnalysis.hashEmbed(docs, "doc_id", "text").collect().toSet
+    val b = TextAnalysis.hashEmbed(docs, "doc_id", "text").collect().toSet
+    assert(a == b)
+    assert(a.map(_.getInt(1)).forall(x => x >= 0 && x < 256))
+  }
 }
