@@ -89,6 +89,14 @@ object TrainingDataJob {
       // where retrain decisions run on their own cadence)
       vectorMinRecall: Double = 0.6,
       vectorDriftSample: Int = 32,
+      // > 0 also maintains an UNCENTERED PCA rotation (that many
+      // components) of the curated unit vectors next to the IVF
+      // state — the dot-preserving pre-transform
+      // [[graft.operators.Similarity.pcaTopKFromIndex]] serves
+      // reduced ANN from. Refit each state write from the same
+      // curated set the drift gate already reads (pure function of
+      // curated state ⇒ retry-convergent). 0 = feature off.
+      vectorPcaComponents: Int = 0,
       // DSIR selection-model state (streaming tier): > 0 maintains a
       // doc-keyed hashed-gram counts store over the curated set
       // ([[graft.operators.Dsir.docBucketCounts]] layout) as durable

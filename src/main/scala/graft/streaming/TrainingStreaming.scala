@@ -361,10 +361,25 @@ object TrainingStreaming {
       else Array.empty
     if (curatedRaw.isEmpty) {
       // everything retracted: serve an empty index (under the old
-      // model if one exists — the next shipped batch retrains anyway)
-      if (have) writeVectorState(spark, vecP, kept.limit(0), oldCents)
+      // model if one exists — the next shipped batch retrains anyway;
+      // no PCA over an empty set)
+      if (have) writeVectorState(spark, vecP, kept.limit(0), oldCents, None)
       return
     }
+    // the PCA rotation is a pure function of the curated set (which
+    // this method already materializes for the drift gate), so simply
+    // refitting on every state write is retry-convergent by
+    // construction — no incremental bookkeeping to tear. Uncentered
+    // on unit vectors: the dot-preserving pre-transform reduced ANN
+    // serving needs (centering would break cosine order).
+    val pcaModel =
+      if (config.vectorPcaComponents > 0 &&
+          curatedRaw.count() > 1)
+        Some(graft.operators.Pca.fit(
+          curatedRaw.select(
+            graft.functions.VectorFunctions.l2Normalize(col("cv")).as("uv")),
+          "uv", k = config.vectorPcaComponents, center = false))
+      else None
     // the assignment-only outcome: what serving would have after this
     // tick WITHOUT retraining (and the state the drift gate probes)
     val assigned =
@@ -393,7 +408,7 @@ object TrainingStreaming {
         (c, Similarity.ivfAssign(curatedRaw, "doc_id", "cv", c)
           .withColumnRenamed("nid", "doc_id"))
       } else (oldCents, assigned)
-    writeVectorState(spark, vecP, index, cents)
+    writeVectorState(spark, vecP, index, cents, pcaModel)
   }
 
   /** One staged swap of `vectors/index` + `vectors/model` together
@@ -403,13 +418,17 @@ object TrainingStreaming {
     */
   private def writeVectorState(
       spark: SparkSession, vecP: String, index: DataFrame,
-      cents: Array[Array[Double]]): Unit = {
+      cents: Array[Array[Double]],
+      pca: Option[graft.operators.Pca.Model]): Unit = {
     val dir = new org.apache.hadoop.fs.Path(vecP)
     val fs = fsOf(spark, vecP)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     AnalysisStore.stageAndSwap(spark, vecP) { staging =>
       index.write.parquet(s"$staging/index")
       graft.operators.Similarity.saveCentroids(spark, cents, s"$staging/model")
+      // inside the same swap: index, centroids, and rotation can't tear
+      pca.foreach(m =>
+        graft.operators.Pca.saveModel(spark, m, s"$staging/pca"))
     }
   }
 
@@ -423,6 +442,22 @@ object TrainingStreaming {
     * mutating state, and index+model always come from the SAME
     * snapshot (they swap in one dir).
     */
+  /** The curated corpus's PCA rotation as of now (uncentered, fitted
+    * on the curated unit vectors at the last state write) — compose
+    * with [[readVectors]]'s index + `Similarity.pcaIndex`/
+    * `pcaTopKFromIndex` to serve reduced ANN from streaming state.
+    * None until a vector tick with `vectorPcaComponents > 0` landed;
+    * same swap-window guarantees as [[readVectors]] (the model swaps
+    * in the SAME dir as index + centroids, so they can't tear).
+    */
+  def readPcaModel(spark: SparkSession,
+      storeRoot: String): Option[graft.operators.Pca.Model] =
+    readablePath(spark, vectorsPath(storeRoot)).flatMap { p =>
+      if (exists(spark, s"$p/pca"))
+        Some(graft.operators.Pca.loadModel(spark, s"$p/pca"))
+      else None
+    }
+
   def readVectors(spark: SparkSession, storeRoot: String)
       : Option[(DataFrame, Array[Array[Double]])] =
     readablePath(spark, vectorsPath(storeRoot)).map { p =>

@@ -280,6 +280,64 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
   }
 
+  test("streaming PCA rotation tracks the curated set; redelivery converges; serving parity") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .withColumn("embedding", array((0 until 8).map(i =>
+        sin(col("doc_id") * lit(0.41 * (i + 1)) + lit(i.toDouble))): _*))
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5, vectorCol = Some("embedding"),
+      vectorCentroids = 8, vectorMinRecall = 0.0,
+      vectorPcaComponents = 4)
+    val root = Files.createTempDirectory("pcastate").resolve("store").toString
+
+    TrainingStreaming.tickBatch(spark, drop1, root, cfg)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    val m = TrainingStreaming.readPcaModel(spark, root).get
+    assert(m.k == 4 && m.mean.isEmpty, "uncentered 4-component rotation")
+
+    // the maintained model is exactly a fit over the curated unit
+    // vectors (pure function of curated state)
+    val curatedVecs = docs
+      .join(TrainingStreaming.readCurated(spark, root).select("doc_id"),
+        Seq("doc_id"))
+      .select(graft.functions.VectorFunctions.l2Normalize(col("embedding"))
+        .as("uv"))
+    val direct = graft.operators.Pca.fit(curatedVecs, "uv", k = 4,
+      center = false)
+    m.eigenvalues.zip(direct.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(b)))
+    }
+    m.axes.zip(direct.axes).foreach { case (ma, fa) =>
+      assert(ma.zip(fa).map { case (x, y) => x * y }.sum > 1 - 1e-9)
+    }
+
+    // redelivery: same batch again → model unchanged (state reads
+    // exclude the batch's own keys, so the refit sees the same set)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    val m2 = TrainingStreaming.readPcaModel(spark, root).get
+    assert(m2.eigenvalues.toSeq == m.eigenvalues.toSeq &&
+      m2.axes.map(_.toSeq).toSeq == m.axes.map(_.toSeq).toSeq,
+      "a redelivered batch must not move the rotation")
+
+    // serving parity: reduced ANN from streaming state ≡ the same
+    // composition over the curated set directly
+    val (idx, _) = TrainingStreaming.readVectors(spark, root).get
+    val queries = docs.limit(5).select(col("doc_id"), col("embedding"))
+    val fromState = graft.operators.Similarity.pcaTopKFromIndex(
+      graft.operators.Similarity.pcaIndex(
+        idx.withColumnRenamed("nid", "doc_id"), "doc_id", "cv", m),
+      m, queries, "doc_id", "embedding", k = 3, oversample = 1)
+    val curated = docs.join(
+        TrainingStreaming.readCurated(spark, root).select("doc_id"),
+        Seq("doc_id"))
+    val direct2 = graft.operators.Similarity.pcaTopKFromIndex(
+      graft.operators.Similarity.pcaIndex(curated, "doc_id", "embedding", m),
+      m, queries, "doc_id", "embedding", k = 3, oversample = 1)
+    assertSameRows(fromState, direct2)
+  }
+
   test("dsir counts track the curated set through retraction; redelivery is a no-op") {
     import graft.operators.Dsir
     // the bridge fixture: tick 2 retracts doc 2 (demoted canonical)
