@@ -120,7 +120,10 @@ object Pca {
     }
     require(n > 1, s"pca: need at least 2 rows, got $n")
     val d = s.length
-    require(k >= 1 && k <= d, s"pca: k=$k out of range 1..$d")
+    // k <= 0 means "full rank" — callers that need every axis (the
+    // OPQ rotation) without knowing d up front
+    val kk = if (k <= 0) d else k
+    require(kk <= d, s"pca: k=$kk out of range 1..$d")
 
     val mean = if (center) s.map(_ / n) else new Array[Double](d)
     // cov(i,j) = E[x_i x_j] − mean_i mean_j  (population covariance;
@@ -143,7 +146,7 @@ object Pca {
     // order descending by eigenvalue (stable: ties keep Jacobi order),
     // then fix each axis's sign: largest-|coordinate| entry positive.
     val order = eigVals.zipWithIndex.sortBy { case (v, idx) => (-v, idx) }
-      .map(_._2).take(k)
+      .map(_._2).take(kk)
     val axes = order.map { c =>
       val axis = Array.tabulate(d)(r => eigVecs(r)(c))
       var best = 0
@@ -246,6 +249,44 @@ object Pca {
         lit(explainedOk).cast("int").as("explained_ok"),
         (abs(col("avg_err") - residual) <= relTol).cast("int").as("recon_ok"),
         (col("max_var_dev") <= relTol).cast("int").as("projvar_ok"))
+  }
+
+  /** Parametric-OPQ eigenvalue allocation (Ge et al. 2013): permute a
+    * FULL-RANK rotation's axes so each of the `m` product-quantizer
+    * subspaces receives a balanced share of the spectrum — process
+    * axes by descending eigenvalue, each joining the subspace with
+    * the smallest log-eigenvalue product so far (first index on
+    * ties). A raw PCA order would pile all the energy into subspace
+    * 0 and leave the last codebooks quantizing noise; balanced
+    * subspaces quantize comparable energy, which is the whole point
+    * of rotating before PQ. Pure driver-side model math, fully
+    * deterministic.
+    */
+  def opqEigenAllocation(model: Model, m: Int): Model = {
+    val d = model.k
+    require(model.dim == d, s"opq needs a full-rank rotation, got $d of ${model.dim}")
+    require(m >= 1 && d % m == 0, s"m=$m must divide d=$d")
+    val sub = d / m
+    val slots = Array.fill(m)(scala.collection.mutable.ListBuffer.empty[Int])
+    val logProd = new Array[Double](m)
+    // LEVEL-CONSTRAINED greedy: only minimum-count subspaces are
+    // eligible each step. The unconstrained min-product rule
+    // degenerates whenever eigenvalues sit below 1 (an empty bucket's
+    // product is 1 — the maximum — so the first bucket hoards the
+    // whole head of the spectrum); level-filling keeps the rule
+    // scale-invariant: within each round the next-largest eigenvalue
+    // joins the subspace with the smallest product so far.
+    for (i <- 0 until d) {
+      val minCount = slots.map(_.size).min
+      var best = -1
+      for (b <- 0 until m if slots(b).size == minCount && slots(b).size < sub)
+        if (best < 0 || logProd(b) < logProd(best)) best = b
+      slots(best) += i
+      logProd(best) += math.log(math.max(model.eigenvalues(i), 1e-12))
+    }
+    val order = slots.flatMap(_.toList)
+    Model(model.mean, order.map(model.axes),
+      order.map(model.eigenvalues), model.totalVariance)
   }
 
   /** Persist/reload a fitted model next to the index it serves (the

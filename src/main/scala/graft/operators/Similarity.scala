@@ -620,6 +620,36 @@ object Similarity {
     }
   }
 
+  /** OPQ-style rotated product quantization (Ge et al. 2013,
+    * parametric variant): a FULL-RANK uncentered PCA rotation with
+    * [[Pca.opqEigenAllocation]]-balanced subspaces, then the standard
+    * [[pqTopK]] ADC + exact-rerank pipeline in rotated space. The
+    * rotation is orthogonal, so rotated-space cosines equal the
+    * originals exactly — what changes is that each codebook now
+    * quantizes a balanced share of the spectrum instead of subspace
+    * 0 hoarding all the energy.
+    *
+    * Scale shape: identical to [[pqTopK]] plus one narrow codegen'd
+    * affine map per row on each side; the rotation model is k·d
+    * driver doubles. Gains are data-dependent (nil on an isotropic
+    * corpus, large on the correlated embeddings real encoders emit)
+    * — recall is gated like every approximate path.
+    */
+  def opqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 16, ksub: Int = 16, iters: Int = 5,
+      oversample: Int = 5): DataFrame = {
+    val units = unitVectors(corpus, idCol, vecCol, "nid", "cv")
+    val rot = Pca.opqEigenAllocation(
+      Pca.fit(units, "cv", k = -1, center = false), m)
+    val rc = units.select(col("nid").as("id"),
+      Pca.projectColumn(col("cv"), rot).as("rv"))
+    val rq = unitVectors(queries, idCol, vecCol, "qid", "qv")
+      .select(col("qid").as("id"), Pca.projectColumn(col("qv"), rot).as("rv"))
+    pqTopK(rc, rq, "id", "rv", k, m, ksub, iters, oversample)
+  }
+
   // ─────────────────────── PQ (product quantization) ───────────────────────
 
   /** Per-subspace k-means codebooks for product quantization, trained

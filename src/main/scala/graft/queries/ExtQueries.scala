@@ -506,6 +506,19 @@ object ExtQueries {
       Similarity.pcaTopK(c, q, "vec_id", "embedding", 5, nComponents = 32)
     },
 
+    "ann_topk_opq" -> QueryDef.noOracle(
+      doc = "OPQ-style rotated PQ top-5 (full-rank uncentered PCA rotation with eigenvalue-allocation-balanced subspaces — the parametric OPQ recipe — then 16×16 ADC + exact rerank): each codebook quantizes a balanced spectrum share; rotated cosines equal originals exactly — approximation → rows-only; recall gated in ann_recall_opq") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.opqTopK(
+        corpus = e.filter(col("vec_id") >= 10),
+        queries = e.filter(col("vec_id") < 10),
+        idCol = "vec_id", vecCol = "embedding", k = 5, m = 16, ksub = 16)
+    },
+
+    "ann_recall_opq" -> annRecall("opq", 0.6) { (c, q) =>
+      Similarity.opqTopK(c, q, "vec_id", "embedding", 5, m = 16, ksub = 16)
+    },
+
     "ann_topk_sq" -> QueryDef.noOracle(
       doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes) — quantization error → rows-only; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")

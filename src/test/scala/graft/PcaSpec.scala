@@ -195,6 +195,42 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("opqEigenAllocation balances the spectrum; opqTopK keeps exact cosines and recall") {
+    // synthetic descending spectrum: the greedy allocation must give
+    // each subspace exactly sub slots and spread the big eigenvalues
+    val base = Pca.fit(embeddings, "embedding", k = -1, center = false)
+    assert(base.k == 64, "full-rank fit via k = -1")
+    val rot = Pca.opqEigenAllocation(base, m = 16)
+    assert(rot.k == 64)
+    // same axes, permuted
+    assert(rot.axes.map(_.toSeq).toSet == base.axes.map(_.toSeq).toSet)
+    // the 16 largest eigenvalues land in 16 DISTINCT subspaces
+    val subOf = rot.eigenvalues.zipWithIndex.map { case (ev, i) => (ev, i / 4) }
+    val top16 = base.eigenvalues.take(16).toSet
+    val topSubs = subOf.filter(p => top16.contains(p._1)).map(_._2)
+    assert(topSubs.distinct.length == 16,
+      s"top eigenvalues must spread across subspaces, got $topSubs")
+
+    val corpus = embeddings.filter(col("vec_id") >= 10)
+    val queries = embeddings.filter(col("vec_id") < 10)
+    val got = Similarity.opqTopK(corpus, queries,
+      "vec_id", "embedding", 5, m = 16, ksub = 16)
+    val brute = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", 5)
+    val b = brute.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val g = got.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = b.intersect(g).size.toDouble / b.size
+    assert(recall >= 0.6, s"opq recall@5 = $recall")
+    // rotated-space cosines are the original cosines (orthogonal map)
+    val bm = brute.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    got.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bm.get(key).foreach(c =>
+        assert(math.abs(r.getDouble(3) - c) <= 1e-4 + 1e-9,
+          s"cos drifted for $key"))
+    }
+  }
+
   test("gramian aggregator is partitioning-invariant (up to fp rounding)") {
     val one = Pca.fit(embeddings.coalesce(1), "embedding", k = 8)
     val many = Pca.fit(embeddings.repartition(7), "embedding", k = 8)

@@ -311,4 +311,50 @@ class PlanAuditSpec extends SparkSpec {
     // the checkpointed assignment feeds the cid self-join
     assert(p.contains("ExistingRDD"), p)
   }
+
+  test("embedding_pca: the projection is a zero-exchange narrow pass") {
+    // fit already ran inside build (the one-pass moment aggregation);
+    // the RETURNED plan is the per-row affine map — nothing shuffles
+    val p = plan("embedding_pca")
+    assert(count(p, "Exchange") == 0, p)
+    assert(p.contains("graft_affine"), p)
+  }
+
+  test("pca moment aggregation partial-aggregates map-side") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val agg = org.apache.spark.sql.functions.udaf(
+      graft.functions.GramianAggregator.gramian)
+    val p = e.select(agg(
+        graft.functions.VectorFunctions.toDouble(col("embedding"))))
+      .queryExecution.executedPlan.toString
+    // two-phase agg: partial before the exchange, the exchange
+    // carries ONE buffer per partition (SinglePartition is fine — the
+    // combined state is one ~17 KB row, not data)
+    assert(count(p, "ObjectHashAggregate|SortAggregate|HashAggregate") >= 2, p)
+  }
+
+  test("ann_topk_pca: reduced shortlist rides the brute plan family (broadcast queries, one NLJ)") {
+    val p = plan("ann_topk_pca")
+    assert(count(p, "BroadcastNestedLoopJoin|CartesianProduct") == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("split_leakage_guard: band joins are hash joins; no shared-shingle self-join NLJ") {
+    val p = plan("split_leakage_guard")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("text_hash_embed: one (id, bucket) aggregation + one id-keyed window exchange") {
+    val p = plan("text_hash_embed")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("corpus_unimax: one domain aggregation feeds the driver walk — result is a literal frame") {
+    val p = plan("corpus_unimax")
+    // the returned frame is the collected walk result
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"), p)
+  }
 }
