@@ -49,6 +49,61 @@ object TextAnalysis {
         col("tf"), round(col("tf") / col("__nrm"), 4).as("weight"))
   }
 
+  /** Dense form of [[hashEmbed]]: (id, vec array<double>[buckets]) —
+    * the model-free document vector the clustering/ANN entry points
+    * consume. The scatter from long rows to a fixed-width array is
+    * one map_from_entries + sequence lookup per doc (interpreted
+    * HOFs, but once per document on ≤`buckets` entries — not a join
+    * hot path). Docs with zero tokens have no long rows and are
+    * excluded (they carry no signal to embed).
+    */
+  def hashEmbedDense(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 256): DataFrame =
+    hashEmbed(df, idCol, textCol, buckets)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(
+        struct(col("bucket"), col("weight")))).as("__m"))
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(buckets - 1)),
+          b => coalesce(element_at(col("__m"), b), lit(0.0))).as("vec"))
+
+  /** Corpus topic map — the cartography summary next to
+    * [[Similarity.knnCentrality]]: hashed doc vectors → spherical
+    * k-means cells ([[Similarity.trainCentroids]], the IVF trainer)
+    * → each topic labeled by its top TF-IDF terms. Output one row
+    * per (topic, term): (topic, n_docs, term, rank, score).
+    *
+    * Scale shape: the embedding is [[hashEmbed]]'s two id-keyed
+    * exchanges; training collects the usual driver-side sample;
+    * assignment is a narrow codegen'd argmax per doc; the term
+    * aggregation is one (topic, term) exchange whose output is
+    * topics × vocab — vocab-bounded MODEL data (the textrank edge
+    * posture), so the per-topic rank window over it is skew-safe.
+    * k-means is iterative → rows-only driver check;
+    * `corpus_topics_gate` pins the partition/rank/order invariants.
+    */
+  def corpusTopics(df: DataFrame, idCol: String, textCol: String,
+      nTopics: Int = 8, topTerms: Int = 5, buckets: Int = 256): DataFrame = {
+    val vecs = hashEmbedDense(df, idCol, textCol, buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = Similarity.trainCentroids(vecs, idCol, "vec", nTopics)
+    val assigned = Similarity.ivfAssign(vecs, idCol, "vec", cents)
+      .select(col("nid").as("doc_id"), col("cid"))
+    val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_docs"))
+    val termScore = tfidf(df, idCol, textCol)
+      .join(assigned, Seq("doc_id"))
+      .groupBy("cid", "token")
+      .agg(round(sum(col("tfidf")), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(desc("score"), asc("token"))
+    termScore.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topTerms)
+      .join(broadcast(sizes), Seq("cid"))
+      .select(col("cid").cast("int").as("topic"), col("n_docs"),
+        col("token").as("term"), col("rank").cast("int").as("rank"),
+        col("score"))
+  }
+
   /** Canonical dedup-preprocessing form: lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim — what the
     * dedup family should hash so cosmetic edits don't defeat

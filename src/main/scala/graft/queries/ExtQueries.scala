@@ -1476,6 +1476,40 @@ object ExtQueries {
         budget = 12000.0, maxEpochs = 0.5)
     },
 
+    "corpus_topics" -> QueryDef.noOracle(
+      doc = "corpus topic map (cartography): hashed doc vectors → 8 spherical k-means cells → top-5 TF-IDF terms per topic, one row per (topic, n_docs, term, rank, score) — k-means is iterative, not SQL-expressible → rows-only; partition/rank/order invariants hash-gated in corpus_topics_gate") { (s, dir) =>
+      TextAnalysis.corpusTopics(Tables.load(s, dir, "documents"),
+        "doc_id", "text", nTopics = 8, topTerms = 5)
+    },
+
+    "corpus_topics_gate" -> QueryDef(
+      doc = "topic-map invariant gate (k-means not SQL-expressible — the text_bpe_gate pattern): topic sizes sum to the embedded-doc count (every doc in exactly one topic), ranks are contiguous 1..topTerms per topic, scores non-increasing in rank; term membership holds by construction (terms come from the topic's own docs' tf-idf join)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS partition_ok, CAST(1 AS INTEGER) AS ranks_ok, CAST(1 AS INTEGER) AS order_ok") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val topics = TextAnalysis.corpusTopics(d, "doc_id", "text",
+        nTopics = 8, topTerms = 5).localCheckpoint(true)
+      val nEmbedded = TextAnalysis.hashEmbedDense(d, "doc_id", "text")
+        .count()
+      val perTopic = topics.groupBy("topic").agg(
+        first(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_terms"),
+        max(col("rank")).as("max_rank"),
+        min(col("rank")).as("min_rank"))
+      val orderOk = topics.select(col("topic"), col("rank"), col("score"))
+        .withColumn("prev", lag(col("score"), 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("topic").orderBy("rank")))
+        .agg(coalesce(min((col("prev").isNull ||
+          col("prev") >= col("score")).cast("int")), lit(1)).as("order_ok"))
+      val partitionOk = perTopic.agg(
+        ((sum(col("n_docs")) === nEmbedded) &&
+          (count(lit(1)) <= 8)).cast("int").as("partition_ok"))
+      val ranksOk = perTopic.agg(coalesce(min(
+        ((col("min_rank") === 1) && (col("max_rank") === col("n_terms")))
+          .cast("int")), lit(1)).as("ranks_ok"))
+      partitionOk.crossJoin(ranksOk).crossJoin(orderOk)
+    },
+
     "text_hash_embed" -> QueryDef(
       doc = "feature-hashed document embedding (hashing trick): token counts folded into 256 md5-derived buckets, L2-normalized per doc, long format — the model-free document vector; fixed bucket space, so state never grows with vocabulary",
       oracle = """

@@ -530,4 +530,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_.getInt(1)).forall(x => x >= 0 && x < 256))
   }
+
+  test("hashEmbedDense scatters the long rows into unit vectors") {
+    val df = Seq((1L, "a a b"), (2L, "")).toDF("doc_id", "text")
+    val dense = TextAnalysis.hashEmbedDense(df, "doc_id", "text", buckets = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    // the empty doc has no tokens — excluded, not a zero vector
+    assert(dense.keySet == Set(1L))
+    val v = dense(1L)
+    assert(v.length == 16)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3)
+    // entries match the long form exactly
+    val long = TextAnalysis.hashEmbed(df, "doc_id", "text", buckets = 16)
+      .as[(Long, Int, Long, Double)].collect()
+    long.foreach { case (_, bucket, _, w) => assert(v(bucket) == w) }
+  }
+
+  test("corpusTopics: docs with shared vocabulary cluster together; invariants hold") {
+    // two planted vocabularies: docs 0-9 talk fruit, 10-19 talk metal
+    val fruit = "apple banana cherry plum grape"
+    val metal = "iron copper zinc nickel cobalt"
+    val docs = ((0 until 10).map(i => (i.toLong, s"$fruit token$i")) ++
+      (10 until 20).map(i => (i.toLong, s"$metal token$i"))).toDF("doc_id", "text")
+    val topics = TextAnalysis.corpusTopics(docs, "doc_id", "text",
+      nTopics = 2, topTerms = 3, buckets = 64)
+      .as[(Int, Long, String, Int, Double)].collect()
+    // both topics populated, sizes sum to 20
+    val sizes = topics.groupBy(_._1).map { case (t, rows) => t -> rows.head._2 }
+    assert(sizes.values.sum == 20L, s"sizes: $sizes")
+    assert(sizes.size == 2)
+    // the two planted vocabularies do not mix within a topic's terms
+    val byTopic = topics.groupBy(_._1).map { case (t, rows) =>
+      t -> rows.map(_._3).toSet
+    }
+    val fruitSet = fruit.split(" ").toSet
+    val metalSet = metal.split(" ").toSet
+    byTopic.values.foreach { terms =>
+      assert(!(terms.exists(fruitSet) && terms.exists(metalSet)),
+        s"mixed topic terms: $terms")
+    }
+    // ranks contiguous and scores non-increasing
+    topics.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi._5 >= lo._5)
+        case _ =>
+      }
+    }
+  }
 }
