@@ -1245,6 +1245,90 @@ object Similarity {
     }
   }
 
+  /** Iterative label propagation over a self-kNN graph: seeds keep
+    * their labels forever; every unlabeled node takes the most common
+    * label among its OUT-neighbors' current labels each round
+    * (unlabeled neighbors abstain; ties break by smallest label;
+    * nodes whose neighborhood is entirely unlabeled stay unlabeled
+    * that round). The semi-supervised labeling primitive that turns
+    * a few curated labels into corpus-wide weak labels — [[knnPredict]]
+    * is its single-hop special case, this reaches nodes with no
+    * labeled direct neighbor.
+    *
+    * Deterministic by construction (argmax over integer counts, total
+    * tie order), so the DuckDB oracle replays the exact iteration.
+    * Same execution split as [[knnCentrality]]: driver-local under
+    * `localIterThreshold` edges, one hash-join job per round with
+    * per-round lineage truncation beyond it.
+    *
+    * `edges`: (qid, nid, …); `seeds`: (id, label) — ids must be a
+    * subset of the graph's nodes. Output: (id, label, is_seed) with
+    * label null where propagation never reached.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      idCol: String, labelCol: String, iters: Int = 5,
+      localIterThreshold: Long = 100000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val g = edges.select(col("qid").as("u"), col("nid").as("v"))
+      .localCheckpoint(true)
+    val seed = seeds.select(col(idCol).as("node"),
+      col(labelCol).cast("int").as("seed_label")).localCheckpoint(true)
+    if (g.count() <= localIterThreshold) {
+      val e = g.orderBy("u", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val seedMap = seed.collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val nodes = e.map(_._1).distinct.sorted
+      var lab: Map[Long, Option[Int]] =
+        nodes.map(n => n -> seedMap.get(n)).toMap
+      for (_ <- 1 to iters) {
+        val byNode = e.groupBy(_._1)
+        lab = nodes.map { n =>
+          n -> (seedMap.get(n) match {
+            case some @ Some(_) => some
+            case None =>
+              val votes = byNode.getOrElse(n, Array.empty)
+                .flatMap(p => lab(p._2)).groupBy(identity)
+                .map { case (l, xs) => (l, xs.length) }
+              if (votes.isEmpty) lab(n)
+              else Some(votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+          })
+        }.toMap
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.map(n => (n, lab(n), seedMap.contains(n))).toSeq
+        .toDF(idCol, labelCol, "is_seed")
+    } else {
+      val nodes = g.select(col("u").as("node")).distinct()
+        .localCheckpoint(true)
+      var lab = nodes.join(seed, Seq("node"), "left")
+        .select(col("node"), col("seed_label").as("lbl"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val votes = g.join(lab.withColumnRenamed("node", "v")
+            .withColumnRenamed("lbl", "vl"), Seq("v"))
+          .filter(col("vl").isNotNull)
+          .groupBy(col("u").as("node"), col("vl"))
+          .agg(count(lit(1)).as("c"))
+        val winner = votes
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("node")
+              .orderBy(desc("c"), asc("vl"))))
+          .filter(col("rk") === 1)
+          .select(col("node"), col("vl").as("win"))
+        lab = lab.join(winner, Seq("node"), "left")
+          .join(seed, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("seed_label"), col("win"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      lab.join(seed, Seq("node"), "left")
+        .select(col("node").as(idCol), col("lbl").as(labelCol),
+          col("seed_label").isNotNull.as("is_seed"))
+    }
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

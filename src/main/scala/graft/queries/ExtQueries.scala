@@ -764,6 +764,49 @@ object ExtQueries {
         iters = 10, damping = 0.85)
     },
 
+    "graph_label_prop" -> QueryDef(
+      doc = "label propagation over the exact self-kNN graph (k=5, 5 rounds): seeds (vec_id<100) keep their labels, unlabeled nodes take the most common label among their neighbors each round (ties by smallest label, all-unlabeled neighborhoods abstain) — turns 20% curated labels into corpus-wide weak labels, reaching nodes knn_label_predict's single hop cannot; deterministic integer argmax → the oracle replays the exact iteration",
+      oracle = {
+        val base = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        g AS (SELECT qid AS u, nid AS v FROM (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                FROM scored) WHERE rank <= 5),
+        n0 AS (SELECT DISTINCT u AS node FROM g),
+        seed AS (SELECT vec_id AS node, CAST(label AS INTEGER) AS seed_label
+                 FROM embeddings WHERE vec_id < 100),
+        l0 AS (SELECT n.node, s.seed_label AS lbl
+               FROM n0 n LEFT JOIN seed s ON s.node = n.node)"""
+        val iterations = (1 to 5).map { it =>
+          s"""
+        l$it AS (SELECT n.node, coalesce(s.seed_label, w.win, p.lbl) AS lbl
+            FROM n0 n
+            LEFT JOIN l${it - 1} p ON p.node = n.node
+            LEFT JOIN seed s ON s.node = n.node
+            LEFT JOIN (
+              SELECT node, win FROM (
+                SELECT g.u AS node, p2.lbl AS win,
+                       row_number() OVER (PARTITION BY g.u
+                         ORDER BY count(*) DESC, p2.lbl) AS rk
+                FROM g JOIN l${it - 1} p2 ON p2.node = g.v
+                WHERE p2.lbl IS NOT NULL
+                GROUP BY g.u, p2.lbl) WHERE rk = 1) w ON w.node = n.node)"""
+        }.mkString(",")
+        s"""$base,$iterations
+        SELECT l.node AS vec_id, l.lbl AS label,
+               (s.node IS NOT NULL) AS is_seed
+        FROM l5 l LEFT JOIN seed s ON s.node = l.node"""
+      }) { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      Similarity.labelPropagation(
+        Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5),
+        seeds = e.filter(col("vec_id") < 100),
+        idCol = "vec_id", labelCol = "label", iters = 5)
+    },
+
     "quality_model_gate" -> QueryDef(
       doc = "model-based quality scoring gate (L-BFGS training is iterative, not SQL-expressible — the text_bpe_gate pattern): the classifier trained on the rule gate's weak labels must emit calibrated probabilities in [0,1], separate rule-positive from rule-negative docs by >= 0.2 mean probability, agree with the weak labels on >= 80% of docs, and reach training AUC >= 0.9",
       oracle = "SELECT CAST(1 AS INTEGER) AS probs_ok, CAST(1 AS INTEGER) AS separable_ok, CAST(1 AS INTEGER) AS agree_ok, CAST(1 AS INTEGER) AS auc_ok") { (s, dir) =>

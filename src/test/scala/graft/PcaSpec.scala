@@ -231,6 +231,49 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation: seeds immutable, hops reach beyond direct neighbors, local ≡ distributed") {
+    // chain 1→2→3→4 (each points at the next and previous): seed only
+    // node 1 with label 7 — after 3 rounds it must reach node 4,
+    // which has NO labeled direct neighbor at round 1
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+      .toDF("qid", "nid")
+    val seeds = Seq((1L, 7)).toDF("vec_id", "label")
+    val got = Similarity.labelPropagation(edges, seeds, "vec_id", "label",
+      iters = 3).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        r.getBoolean(2))).toMap
+    assert(got(1L) == (Some(7), true))
+    assert(got(2L) == (Some(7), false))
+    assert(got(3L) == (Some(7), false))
+    assert(got(4L) == (Some(7), false), "label must hop the chain")
+
+    // tie rule: node 10 sees labels {1, 2} one vote each → smallest
+    val e2 = Seq((10L, 11L), (10L, 12L), (11L, 10L), (12L, 10L)).toDF("qid", "nid")
+    val s2 = Seq((11L, 2), (12L, 1)).toDF("vec_id", "label")
+    val t = Similarity.labelPropagation(e2, s2, "vec_id", "label", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(t(10L) == 1, s"tie must break to the smallest label: $t")
+
+    // fixture: local ≡ distributed, seeds immutable, coverage grows
+    val g = Similarity.knnGraphBrute(embeddings, "vec_id", "embedding", 5)
+      .localCheckpoint(true)
+    val seedsF = embeddings.filter(col("vec_id") < 100)
+    val local = Similarity.labelPropagation(g, seedsF, "vec_id", "label",
+      iters = 5).collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    val dist = Similarity.labelPropagation(g, seedsF, "vec_id", "label",
+      iters = 5, localIterThreshold = 0L).collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(local == dist, "execution paths must agree exactly")
+    val seedLabels = seedsF.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    seedLabels.foreach { case (id, l) =>
+      assert(local(id) == l, s"seed $id moved")
+    }
+    val labeled = local.count(_._2 >= 0)
+    assert(labeled > seedLabels.size, "propagation must label non-seeds")
+  }
+
   test("gramian aggregator is partitioning-invariant (up to fp rounding)") {
     val one = Pca.fit(embeddings.coalesce(1), "embedding", k = 8)
     val many = Pca.fit(embeddings.repartition(7), "embedding", k = 8)
