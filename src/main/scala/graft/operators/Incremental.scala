@@ -38,6 +38,30 @@ object Incremental {
       .unionByName(incoming, allowMissingColumns = true)
   }
 
+  /** Snapshot diff — what changed between two corpus versions, by id
+    * and content hash: (id, status ∈ added | removed | modified |
+    * unchanged). The audit surface for corpus releases ("what moved
+    * between v3 and v4") and the input a delta pipeline derives its
+    * additions/retractions from when the upstream ships full
+    * snapshots instead of deltas.
+    *
+    * Scale shape: one id-keyed full-outer hash join of (id, md5)
+    * projections — each side is scanned once and reduced to two
+    * narrow columns before the exchange; uniform keys, no skew.
+    */
+  def snapshotDiff(
+      old: DataFrame, current: DataFrame,
+      idCol: String, contentCol: String): DataFrame = {
+    val o = old.select(col(idCol), md5(col(contentCol)).as("__oh"))
+    val c = current.select(col(idCol), md5(col(contentCol)).as("__ch"))
+    o.join(c, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__ch").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__ch"), lit("modified"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Change detection between ticks: rows whose latest audit timestamp
     * is past the bookmark (reference's date_created/date_changed
     * columns, SURVEY §2.7 T3 [inferred]). The predicate is a plain

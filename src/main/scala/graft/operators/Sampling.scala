@@ -397,9 +397,18 @@ object Sampling {
     require(budget >= 0 && maxEpochs > 0, "budget >= 0, maxEpochs > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val caps = df.groupBy(col(domainCol).as("domain"))
+    // domains are model-sized by contract (sources/datasets, not
+    // docs); the guard turns a mistaken doc-grain column into a
+    // clear error instead of a driver OOM
+    val maxDomains = 100000
+    val agg = df.groupBy(col(domainCol).as("domain"))
       .agg(sum(tokensCol).cast("long").as("n_tokens"))
+      .limit(maxDomains + 1)
       .collect()
+    require(agg.length <= maxDomains,
+      s"unimax: > $maxDomains distinct '$domainCol' values — this is a " +
+        "per-DOMAIN allocation; pass the dataset/source column, not a doc key")
+    val caps = agg
       .map(r => (r.getString(0), r.getLong(1)))
       .map { case (d, n) => (d, n, n * maxEpochs) }
       .sortBy { case (d, _, cap) => (cap, d) }

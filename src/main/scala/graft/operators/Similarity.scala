@@ -1279,10 +1279,10 @@ object Similarity {
       val seedMap = seed.collect()
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       val nodes = e.map(_._1).distinct.sorted
+      val byNode = e.groupBy(_._1)
       var lab: Map[Long, Option[Int]] =
         nodes.map(n => n -> seedMap.get(n)).toMap
       for (_ <- 1 to iters) {
-        val byNode = e.groupBy(_._1)
         lab = nodes.map { n =>
           n -> (seedMap.get(n) match {
             case some @ Some(_) => some

@@ -84,6 +84,10 @@ object TextAnalysis {
     */
   def corpusTopics(df: DataFrame, idCol: String, textCol: String,
       nTopics: Int = 8, topTerms: Int = 5, buckets: Int = 256): DataFrame = {
+    // persisted because it feeds BOTH the training sample collect and
+    // the assignment scan (the minHashIndex posture: the persist
+    // serves one pass's branches; callers that materialize the topic
+    // map should unpersist via spark.catalog.clearCache at batch end)
     val vecs = hashEmbedDense(df, idCol, textCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = Similarity.trainCentroids(vecs, idCol, "vec", nTopics)

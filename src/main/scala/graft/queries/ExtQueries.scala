@@ -1489,6 +1489,30 @@ object ExtQueries {
         fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
     },
 
+    "corpus_snapshot_diff" -> QueryDef(
+      doc = "snapshot diff between two corpus versions (old = docs 50-449 with 100-149's text uppercased; new = docs 100-499): (doc_id, added|removed|modified|unchanged) by id + content hash — the release-audit surface, and the delta source when upstream ships full snapshots; one id-keyed full-outer join of (id, md5) projections",
+      oracle = """
+        WITH o AS (SELECT doc_id, md5(CASE WHEN doc_id BETWEEN 100 AND 149
+                                           THEN upper(text) ELSE text END) AS oh
+                   FROM documents WHERE doc_id >= 50 AND doc_id < 450),
+        c AS (SELECT doc_id, md5(text) AS ch
+              FROM documents WHERE doc_id >= 100),
+        j AS (SELECT coalesce(o.doc_id, c.doc_id) AS doc_id, oh, ch
+              FROM o FULL OUTER JOIN c ON o.doc_id = c.doc_id)
+        SELECT doc_id,
+               CASE WHEN oh IS NULL THEN 'added'
+                    WHEN ch IS NULL THEN 'removed'
+                    WHEN oh <> ch THEN 'modified'
+                    ELSE 'unchanged' END AS status
+        FROM j""") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val old = d.filter(col("doc_id") >= 50 && col("doc_id") < 450)
+        .withColumn("text", when(col("doc_id").between(100, 149),
+          upper(col("text"))).otherwise(col("text")))
+      val cur = d.filter(col("doc_id") >= 100)
+      graft.operators.Incremental.snapshotDiff(old, cur, "doc_id", "text")
+    },
+
     "corpus_unimax" -> QueryDef(
       doc = "UniMax budget allocation: spend a 12000-token budget as uniformly as possible across sources, no source repeated past 0.5 epochs (ascending-capacity waterfill — small domains cap out, freed budget spreads over the rest; one domain agg + a driver walk over the model-sized domain list)",
       oracle = """

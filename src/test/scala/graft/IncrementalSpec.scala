@@ -81,4 +81,18 @@ class IncrementalSpec extends SparkSpec {
     store.write(ts("2024-06-06 01:02:03")) // overwrite
     assert(store.read().contains(ts("2024-06-06 01:02:03")))
   }
+
+  test("snapshotDiff classifies every id exactly once, all four ways") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val cur = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("id", "text")
+    val got = Incremental.snapshotDiff(old, cur, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+    // self-diff: everything unchanged
+    val self = Incremental.snapshotDiff(cur, cur, "id", "text")
+      .as[(Long, String)].collect()
+    assert(self.forall(_._2 == "unchanged") && self.length == 3)
+  }
 }
