@@ -62,6 +62,117 @@ object Incremental {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** SCD Type-2 history: collapse an attribute-change event stream
+    * into versioned dimension rows — (key, attribute value,
+    * valid_from, valid_to, is_current, n_events). The warehouse twin
+    * of [[merge]]: where merge OVERWRITES the latest value, SCD2
+    * keeps every value with its validity interval, which is what
+    * point-in-time joins ([[AsOfJoin]]) and "state as of date X"
+    * reports need (the reference's dim tables carry only
+    * current-state rows — README.md:296 — so this is the standard
+    * extension every warehouse eventually bolts on).
+    *
+    * Consecutive events carrying the SAME attribute value extend the
+    * current version (n_events counts them); a change opens a new one.
+    * valid_to is the next version's valid_from (half-open intervals,
+    * adjacent versions chain with no gaps); the last version per key
+    * has valid_to null and is_current true. `ordCol` breaks same-
+    * timestamp ties deterministically (an event id / sequence number).
+    *
+    * Scale shape: two windows and one groupBy, all partitioned by the
+    * dimension key — uniform grain, map-side combine on the groupBy,
+    * no global ordering anywhere. At 100 TB this runs per-key
+    * independently across executors; skew only if one key carries a
+    * pathological share of events, which a dimension key by
+    * construction does not.
+    */
+  def scd2History(
+      events: DataFrame, keyCol: String, tsCol: String, ordCol: String,
+      attrCol: String): DataFrame = {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    val runs = events
+      .withColumn("__chg",
+        coalesce((col(attrCol) =!= lag(col(attrCol), 1).over(byKey))
+          .cast("int"), lit(1)))
+      .withColumn("__run", sum(col("__chg")).over(
+        byKey.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col(keyCol), col("__run"))
+      .agg(first(col(attrCol)).as(attrCol), // constant within a run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val versions = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("valid_from"), col("__run"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(versions))
+      .select(col(keyCol), col(attrCol),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_events"))
+  }
+
+  /** Incremental SCD2 — [[scd2History]]'s delta twin: fold a tick of
+    * NEW events (per key, all later than every event already folded —
+    * the bookmark contract [[changedSince]] enforces) into persisted
+    * history without touching unaffected keys.
+    *
+    * Mechanics: keys absent from the delta pass through untouched, as
+    * do CLOSED versions of affected keys (delta events are later, so
+    * closed intervals cannot change). Each affected key's OPEN
+    * version is lowered back to a single pseudo-event at its
+    * valid_from carrying its event count as weight; the pseudo-event
+    * plus the key's delta events re-collapse through the same
+    * run-versioning as the full build (the pseudo-event sorts first
+    * via a null order key, and weights make n_events add exactly), so
+    * merge ≡ full rerun on the union stream (spec- and
+    * driver-oracle-pinned).
+    *
+    * Scale shape: one broadcast anti/semi join pair splits history by
+    * the delta's key set; the windows run over (affected open
+    * versions + delta) only — cost tracks |delta|, never |history|.
+    */
+  def scd2Merge(
+      history: DataFrame, delta: DataFrame,
+      keyCol: String, tsCol: String, ordCol: String,
+      attrCol: String): DataFrame = {
+    val deltaKeys = broadcast(delta.select(keyCol).distinct())
+    val untouched = history.join(deltaKeys, Seq(keyCol), "left_anti")
+    val affected = history.join(deltaKeys, Seq(keyCol), "left_semi")
+      .localCheckpoint(true) // feeds the closed + open branches
+    val closed = affected.filter(!col("is_current"))
+    val ordType = delta.schema(delta.schema.fieldIndex(ordCol)).dataType
+    val tailEvents = affected.filter(col("is_current"))
+      .select(col(keyCol), col("valid_from").as(tsCol),
+        lit(null).cast(ordType).as(ordCol), col(attrCol),
+        col("n_events").as("__w"))
+      .unionByName(delta.select(col(keyCol), col(tsCol), col(ordCol),
+        col(attrCol), lit(1L).as("__w")))
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(ordCol).asc_nulls_first)
+    val runs = tailEvents
+      .withColumn("__chg",
+        coalesce((col(attrCol) =!= lag(col(attrCol), 1).over(byKey))
+          .cast("int"), lit(1)))
+      .withColumn("__run", sum(col("__chg")).over(
+        byKey.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col(keyCol), col("__run"))
+      .agg(first(col(attrCol)).as(attrCol),
+        min(col(tsCol)).as("valid_from"),
+        sum(col("__w")).as("n_events"))
+    val versions = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("valid_from"), col("__run"))
+    val recomputed = runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(versions))
+      .select(col(keyCol), col(attrCol),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_events"))
+    untouched.unionByName(closed).unionByName(recomputed)
+  }
+
   /** Change detection between ticks: rows whose latest audit timestamp
     * is past the bookmark (reference's date_created/date_changed
     * columns, SURVEY §2.7 T3 [inferred]). The predicate is a plain

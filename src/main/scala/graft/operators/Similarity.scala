@@ -1329,6 +1329,67 @@ object Similarity {
     }
   }
 
+  /** Local clustering coefficient over a self-kNN graph — how
+    * tightly each node's neighborhood interconnects (triangles /
+    * possible neighbor pairs). On a corpus kNN graph this separates
+    * docs sitting inside dense semantic clusters (coeff → 1: near-dup
+    * regions, boilerplate families — prime dedup targets) from
+    * bridge/outlier docs (coeff → 0) — the structural companion to
+    * [[knnCentrality]]'s influence signal.
+    *
+    * Works on the UNDIRECTED projection: an unordered pair is an edge
+    * if either direction appears. degree = distinct undirected
+    * neighbors; n_triangles = neighbor pairs that are themselves
+    * edges; coeff = 2·tri / (deg·(deg−1)), 0 below degree 2.
+    *
+    * Scale shape: every join is key-partitioned hash — no corpus²
+    * term anywhere. The wedge self-join on the center node fans out
+    * deg(v)²/2 rows; OUT-degree is fixed at k but IN-degree
+    * concentrates on central docs, so hub nodes are the one skew
+    * risk: AQE skew-splits the wedge join, and `maxDegree` is the
+    * drop-and-audit cap (the [[Linkage.fuzzyNamePairs]] posture) —
+    * nodes above it are excluded from the output entirely (their
+    * neighborhood is by definition not a tight cluster; audit them
+    * from the degree table). Triangle verification is one
+    * (x, y)-keyed semi-join against the edge set — uniform keys.
+    *
+    * `edges` is any (qid, nid, …) neighbor frame — [[knnGraphBrute]]
+    * for the exact oracle-replayed path, [[knnGraph]] at corpus
+    * scale. Output: (idOut, degree, n_triangles, clustering_coeff).
+    */
+  def knnClusteringCoeff(edges: DataFrame, idOut: String = "vec_id",
+      maxDegree: Option[Long] = None): DataFrame = {
+    // sym feeds three branches (adj twice, the triangle probe) —
+    // truncate so the upstream kNN job runs once
+    val sym = edges.select(least(col("qid"), col("nid")).as("a"),
+        greatest(col("qid"), col("nid")).as("b"))
+      .distinct().localCheckpoint(true)
+    val adj = sym.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(sym.select(col("b").as("v"), col("a").as("w")))
+    val deg = adj.groupBy("v").agg(count(lit(1)).as("degree"))
+    val degKept = maxDegree match {
+      case None => deg
+      case Some(cap) => deg.filter(col("degree") <= cap)
+    }
+    val adjKept = maxDegree match {
+      case None => adj
+      case Some(_) => adj.join(degKept.select("v"), Seq("v"), "left_semi")
+    }
+    val tri = adjKept.select(col("v"), col("w").as("x"))
+      .join(adjKept.select(col("v"), col("w").as("y")), Seq("v"))
+      .filter(col("x") < col("y"))
+      .join(sym.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_semi")
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    degKept.join(tri, Seq("v"), "left")
+      .select(col("v").as(idOut), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - lit(1))))
+          .otherwise(lit(0.0)), 4).as("clustering_coeff"))
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

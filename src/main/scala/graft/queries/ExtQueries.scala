@@ -807,6 +807,34 @@ object ExtQueries {
         idCol = "vec_id", labelCol = "label", iters = 5)
     },
 
+    "graph_clustering" -> QueryDef(
+      doc = "local clustering coefficient over the exact self-kNN graph (k=5, undirected projection): triangles / possible neighbor pairs per node — separates docs inside dense semantic clusters (dedup targets) from bridges/outliers; all key-partitioned hash joins, wedge fan-out bounded by degree², hub skew AQE-split with a drop-and-audit maxDegree cap for true hubs",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        g AS (SELECT qid, nid FROM (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                FROM scored) WHERE rank <= 5),
+        sym AS (SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b FROM g),
+        adj AS (SELECT a AS v, b AS w FROM sym UNION ALL SELECT b AS v, a AS w FROM sym),
+        deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v),
+        tri AS (SELECT w.v, count(*) AS n_triangles
+                FROM (SELECT l.v AS v, l.w AS x, r.w AS y
+                      FROM adj l JOIN adj r ON l.v = r.v AND l.w < r.w) w
+                JOIN sym s ON w.x = s.a AND w.y = s.b GROUP BY w.v)
+        SELECT d.v AS vec_id, d.degree AS degree,
+               coalesce(t.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+               round(CASE WHEN d.degree >= 2
+                 THEN 2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1))
+                 ELSE 0.0 END, 4) AS clustering_coeff
+        FROM deg d LEFT JOIN tri t ON t.v = d.v""") { (s, dir) =>
+      Similarity.knnClusteringCoeff(
+        Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5))
+    },
+
     "quality_model_gate" -> QueryDef(
       doc = "model-based quality scoring gate (L-BFGS training is iterative, not SQL-expressible — the text_bpe_gate pattern): the classifier trained on the rule gate's weak labels must emit calibrated probabilities in [0,1], separate rule-positive from rule-negative docs by >= 0.2 mean probability, agree with the weak labels on >= 80% of docs, and reach training AUC >= 0.9",
       oracle = "SELECT CAST(1 AS INTEGER) AS probs_ok, CAST(1 AS INTEGER) AS separable_ok, CAST(1 AS INTEGER) AS agree_ok, CAST(1 AS INTEGER) AS auc_ok") { (s, dir) =>

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, BloomJoin, Flatten, Incremental, Melt, RangeJoin, Sessionize, SkewJoin}
+import graft.operators.{AsOfJoin, BloomJoin, Flatten, Incremental, Melt, RangeJoin, Sessionize, SketchState, SkewJoin}
 import graft.reports.ReportRegistry
 import graft.sources.Tables
 
@@ -20,6 +20,33 @@ import graft.sources.Tables
 object RefQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Shared by q43 (full build) and q44 (incremental merge): the
+    * merge's oracle is the FULL-rerun SQL — hash equality is the
+    * merge ≡ rebuild proof.
+    */
+  private val scd2OracleSql = """
+    WITH runs0 AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = lag(event_type)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             THEN 0 ELSE 1 END AS chg
+      FROM events),
+    runs1 AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run
+      FROM runs0),
+    runs AS (
+      SELECT user_id, run, any_value(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs1 GROUP BY user_id, run)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+             ORDER BY valid_from, run) AS valid_to,
+           (lead(valid_from) OVER (PARTITION BY user_id
+             ORDER BY valid_from, run) IS NULL) AS is_current,
+           n_events
+    FROM runs"""
 
   private lazy val reports: ReportRegistry = {
     val in = getClass.getResourceAsStream("/reports.json")
@@ -830,6 +857,68 @@ object RefQueries {
           min((element_at(col("aq"), 2) >= element_at(col("eq"), 3) &&
             element_at(col("aq"), 2) <= col("hi99"))
             .cast("int")).as("p99_ok"))
+    },
+
+    "sketch_rollup" -> QueryDef.noOracle(
+      doc = "persisted mergeable HLL sketch state (Datasketches, lgK=12): distinct users per event_type answered from (event_type, day)-grain sketch rows by union+estimate — at 100 TB the monthly-uniques question never rescans raw events; engine-specific estimates → rows-only, accuracy and merge≡rebuild hash-gated in sketch_error_gate") { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      SketchState.estimateRollup(
+          SketchState.distinctSketches(ev, Seq("event_type", "day"), "user_id"),
+          Seq("event_type"))
+        .select(col("event_type"),
+          col("approx_distinct").cast("long").as("approx_distinct"),
+          col("n_rows"))
+    },
+
+    "sketch_error_gate" -> QueryDef(
+      doc = "hash-verified gate for the sketch state: per event_type, the rolled-up HLL estimate within 10% of exact distinct users (6× the lgK=12 rsd of 1.6%); an even/odd event_id split rebuilt as two partial states and merged yields the IDENTICAL rollup (register-max associativity — merge ≡ rebuild exactly, not within-error); merged n_rows bookkeeping exact — booleans the literal oracle pins to 1",
+      oracle = "SELECT CAST(1 AS INTEGER) AS est_ok, CAST(1 AS INTEGER) AS merge_eq_ok, CAST(1 AS INTEGER) AS rows_ok") { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        .localCheckpoint(true) // feeds 4 state builds + the exact sides
+      val grain = Seq("event_type", "day")
+      def state(d: org.apache.spark.sql.DataFrame) =
+        SketchState.distinctSketches(d, grain, "user_id")
+      val rebuilt = SketchState.estimateRollup(state(ev), Seq("event_type"))
+      val merged = SketchState.estimateRollup(
+        SketchState.mergeSketches(
+          state(ev.filter(pmod(col("event_id"), lit(2)) === 0)),
+          state(ev.filter(pmod(col("event_id"), lit(2)) =!= 0)), grain),
+        Seq("event_type"))
+      val exact = ev.select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("e_nd"))
+      val exactRows = ev.groupBy("event_type").agg(count(lit(1)).as("e_n"))
+      rebuilt.select(col("event_type"), col("approx_distinct").as("r_est"))
+        .join(merged.select(col("event_type"), col("approx_distinct").as("m_est"),
+          col("n_rows").as("m_rows")), Seq("event_type"))
+        .join(exact, Seq("event_type"))
+        .join(exactRows, Seq("event_type"))
+        .agg(
+          min((abs(col("r_est") - col("e_nd")) / col("e_nd") <= 0.10)
+            .cast("int")).as("est_ok"),
+          min((col("m_est") === col("r_est")).cast("int")).as("merge_eq_ok"),
+          min((col("m_rows") === col("e_n")).cast("int")).as("rows_ok"))
+    },
+
+    "q43_scd2_history" -> QueryDef(
+      doc = "SCD Type-2 dimension history: the per-user event_type change stream collapsed into versioned rows with half-open [valid_from, valid_to) intervals, is_current on the open version — the point-in-time dimension the reference's current-state dims lack; two key-partitioned windows + one groupBy, uniform grain",
+      oracle = scd2OracleSql) { (s, dir) =>
+      Incremental.scd2History(t(s, dir, "events"),
+        keyCol = "user_id", tsCol = "ts", ordCol = "event_id",
+        attrCol = "event_type")
+    },
+
+    "q44_scd2_merge" -> QueryDef(
+      doc = "incremental SCD2: history built from the first half-month of events, then the second half folded in as a delta (untouched keys pass through, affected keys re-collapse only their open version + delta) — the oracle is the FULL-rerun SQL, so the hash match IS the merge ≡ rebuild proof; cost tracks |delta|, never |history|",
+      oracle = scd2OracleSql) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val history = Incremental.scd2History(ev.filter(col("ts") < split),
+        "user_id", "ts", "event_id", "event_type")
+      Incremental.scd2Merge(history, ev.filter(col("ts") >= split),
+        "user_id", "ts", "event_id", "event_type")
     },
 
     "q20_rollup" -> QueryDef(

@@ -169,6 +169,34 @@ object EventsStreaming {
       .select(col("ws"), col("c.item"), col("c.est"), col("n_total"))
   }
 
+  /** Streaming distinct-user sketches — the streaming producer for
+    * [[graft.operators.SketchState]]: per closed tumbling window per
+    * event_type, one Datasketches HLL row in the state-table layout
+    * (group cols, sketch, n_rows). State per open window is one 2^lgK
+    * register array — constant regardless of user cardinality (an
+    * exact streaming COUNT(DISTINCT) would hold one state row per
+    * distinct user per window, which is exactly what dies on an
+    * unbounded stream). Sink the append-mode output to the persisted
+    * sketch table; any "uniques over [range]" question is then
+    * [[graft.operators.SketchState.estimateRollup]] over state rows —
+    * the raw stream is never replayed. Merge ≡ rebuild exactly
+    * (register-max associativity), so micro-batch boundaries never
+    * change any downstream estimate — spec-pinned against the batch
+    * build.
+    */
+  def uniqueUserSketches(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+      lgK: Int = 12): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("sketch"), col("n_rows"))
+
   /** Recommended sink wiring for the aggregations above (documentation
     * +  smoke-tested): append mode emits each window exactly once,
     * after the watermark closes it.

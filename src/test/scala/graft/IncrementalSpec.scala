@@ -95,4 +95,68 @@ class IncrementalSpec extends SparkSpec {
       .as[(Long, String)].collect()
     assert(self.forall(_._2 == "unchanged") && self.length == 3)
   }
+
+  test("scd2History: runs collapse, intervals chain half-open, last is current") {
+    val ev = Seq(
+      // user 1: A,A → B → A  (three versions; first counts 2 events)
+      (1L, ts("2024-01-01 00:00:00"), 10L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 11L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 12L, "B"),
+      (1L, ts("2024-01-04 00:00:00"), 13L, "A"),
+      // user 2: a single event — one open version
+      (2L, ts("2024-02-01 00:00:00"), 20L, "X")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Incremental.scd2History(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Long)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(got.toSeq == Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false, 2L),
+      (1L, "B", ts("2024-01-03 00:00:00"), Some(ts("2024-01-04 00:00:00")), false, 1L),
+      (1L, "A", ts("2024-01-04 00:00:00"), None, true, 1L),
+      (2L, "X", ts("2024-02-01 00:00:00"), None, true, 1L)))
+    // intervals chain with no gaps: each valid_to == next valid_from
+    // (asserted by the literal rows above); exactly one current per key
+    assert(got.count(_._5) == 2)
+  }
+
+  test("scd2Merge ≡ full rerun: extend, change, untouched and new keys") {
+    val early = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "A"), // open version A, n=2
+      (2L, ts("2024-01-03 00:00:00"), 3L, "X"), // untouched by delta
+      (3L, ts("2024-01-04 00:00:00"), 4L, "P"),
+      (3L, ts("2024-01-05 00:00:00"), 5L, "Q")  // closed P + open Q
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val late = Seq(
+      (1L, ts("2024-02-01 00:00:00"), 6L, "A"), // extends 1's open A
+      (1L, ts("2024-02-02 00:00:00"), 7L, "B"), // then changes it
+      (3L, ts("2024-02-03 00:00:00"), 8L, "Q"), // extends 3's open Q
+      (4L, ts("2024-02-04 00:00:00"), 9L, "N")  // brand-new key
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val history = Incremental.scd2History(early,
+      "user_id", "ts", "event_id", "event_type")
+    val merged = Incremental.scd2Merge(history, late,
+      "user_id", "ts", "event_id", "event_type")
+    val full = Incremental.scd2History(early.unionByName(late),
+      "user_id", "ts", "event_id", "event_type")
+    assertSameRows(merged, full)
+  }
+
+  test("scd2History breaks same-timestamp ties by the order column") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val ev = Seq(
+      (1L, t0, 2L, "B"), (1L, t0, 1L, "A"), // event 1 (A) precedes 2 (B)
+      (1L, ts("2024-01-02 00:00:00"), 3L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Incremental.scd2History(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Long)]
+      .collect().sortBy(r => (r._3.getTime, r._2))
+    // A opens at t0; B starts at t0 too (same-ts change) and, with the
+    // 01-02 event extending the same value, runs open with 2 events
+    assert(got.toSeq == Seq(
+      (1L, "A", t0, Some(t0), false, 1L),
+      (1L, "B", t0, None, true, 2L)))
+  }
 }

@@ -357,4 +357,36 @@ class PlanAuditSpec extends SparkSpec {
     // the returned frame is the collected walk result
     assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"), p)
   }
+
+  test("q43 scd2: both windows and the run groupBy share ONE key exchange") {
+    // hashpartitioning(user_id) satisfies the (user_id, __run) groupBy
+    // clustering and both window partitionings — the whole history
+    // build is a single shuffle of the event stream
+    val p = plan("q43_scd2_history")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q44 scd2 merge: delta key-split is broadcast; nothing history-sized sorts") {
+    val p = plan("q44_scd2_merge")
+    // the anti/semi split joins build on the broadcast delta key set
+    assert(count(p, "BroadcastExchange") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("sketch state: build + rollup are two key exchanges, no single partition") {
+    val p = plan("sketch_rollup")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    // partial sketch merge happens map-side before the exchange
+    assert(count(p, "HashAggregate") >= 4, p)
+  }
+
+  test("graph_clustering: every join is key-partitioned hash — no all-pairs NLJ") {
+    val p = plan("graph_clustering")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
 }

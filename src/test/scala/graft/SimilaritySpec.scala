@@ -507,4 +507,33 @@ class SimilaritySpec extends SparkSpec {
     val recall = (brute & approx).size.toDouble / brute.size
     assert(recall >= 0.7, s"knn graph recall $recall < 0.7")
   }
+
+  test("knnClusteringCoeff: hand-computed triangle/pendant graph") {
+    // triangle 1-2-3 plus pendant 4 hanging off 3 (directed kNN edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("qid", "nid")
+    val got = Similarity.knnClusteringCoeff(edges)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1.0),              // both neighbors connected
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 0.3333),           // 1 of 3 neighbor pairs
+      (4L, 1L, 0L, 0.0)))             // degree < 2 → 0 by contract
+  }
+
+  test("knnClusteringCoeff: reciprocal edges collapse; maxDegree drops hubs only") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("qid", "nid")
+    val base = Similarity.knnClusteringCoeff(edges)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // (1,2)+(2,1) are ONE undirected edge — same graph as above
+    assert(base.map(r => (r._1, r._2)).toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 3L), (4L, 1L)))
+    val capped = Similarity.knnClusteringCoeff(edges, maxDegree = Some(2L))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // hub 3 (degree 3) dropped from the OUTPUT; survivors' triangles
+    // still verify against the FULL edge set, so 1 and 2 keep coeff 1
+    assert(capped.toSeq == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 2L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
+  }
 }

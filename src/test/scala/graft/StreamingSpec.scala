@@ -235,4 +235,39 @@ class StreamingSpec extends SparkSpec {
         s"$item: est=$est true=$t slack=$slack")
     }
   }
+
+  test("uniqueUserSketches: closed-window HLL rows roll up to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    // two windows of clicks with overlapping users (u1 in both), one view
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 2L, "click", 0.0),
+      (3L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0), // dup user in-window
+      (4L, ts("2024-01-01 11:05:00"), 1L, "click", 0.0), // u1 again, next window
+      (5L, ts("2024-01-01 11:10:00"), 3L, "click", 0.0),
+      (6L, ts("2024-01-01 11:15:00"), 4L, "view", 0.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStreaming.uniqueUserSketches(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        windowLen = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("usk").start()
+    // split across micro-batches mid-window: partial sketches must merge
+    mem.addData(evRows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(2): _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-02 23:00:00"), 9L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // the emitted rows ARE SketchState state rows at (event_type, ws)
+    // grain: roll up to event_type and compare against the batch exact
+    // distinct (sparse-mode HLL is exact at this cardinality)
+    val state = spark.table("usk").filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("ws"), col("sketch"), col("n_rows"))
+    val rolled = graft.operators.SketchState.estimateRollup(state, Seq("event_type"))
+      .select(col("event_type"), col("approx_distinct").cast("long"), col("n_rows"))
+    // click: users {1,2,3} over 5 events; view: {4} over 1
+    assertSameRows(rolled, Seq(("click", 3L, 5L), ("view", 1L, 1L)).toDF())
+  }
 }
