@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality rules — the contract gate a warehouse
+  * runs on every load before downstream trusts it (the Deequ-style
+  * "unit tests for data" surface): row-level constraints evaluated in
+  * ONE aggregation pass, plus the two dataset-level checks that
+  * cannot be row predicates (uniqueness, referential integrity), all
+  * emitting the same (rule, n_rows, n_violations, pass_rate, passed)
+  * report schema so reports union and persist uniformly.
+  *
+  * [[Profile.profile]] answers "what does this data look like";
+  * this module answers "does it satisfy the contract" — the check a
+  * scheduler wires in front of [[graft.examples.MambaEtlJob]]-style
+  * flattening so a bad drop fails loudly instead of flowing into
+  * reports.
+  *
+  * Scale shape: [[check]] is one narrow pass — every rule folds into
+  * the same global aggregate, partial sums combine map-side, and the
+  * one exchange carries a single partial row per task. Violation
+  * counts are ADDITIVE, so per-partition / per-delta check reports
+  * merge exactly ([[mergeReports]]) — the incremental posture: check
+  * each ingestion delta as it lands, fold counts into the persisted
+  * report, never re-scan history. [[unique]] pays the one exact
+  * groupBy its semantics require (the [[Dedup.exact]] shuffle shape;
+  * at 100 TB run the [[SketchState]] HLL comparison first and fall
+  * back to exact only on suspicion); [[referential]] is an FK-keyed
+  * join with the parent side broadcast when dim-sized.
+  */
+object DataQuality {
+
+  /** One named row-level constraint. A row violates the rule when the
+    * predicate is false OR null (SQL three-valued logic would
+    * otherwise let `col > 0` silently pass null rows — a null that
+    * should fail a constraint must be excluded explicitly via
+    * [[notNull]]-style coalesce, which the builders below do).
+    */
+  final case class Rule(name: String, predicate: Column)
+
+  def notNull(c: String): Rule =
+    Rule(s"not_null($c)", col(c).isNotNull)
+
+  def inRange(c: String, lo: Double, hi: Double): Rule =
+    Rule(s"in_range($c)", coalesce(col(c).between(lo, hi), lit(false)))
+
+  def inSet(c: String, values: Seq[String]): Rule =
+    Rule(s"in_set($c)", coalesce(col(c).isin(values: _*), lit(false)))
+
+  def matches(c: String, regex: String): Rule =
+    Rule(s"matches($c)", coalesce(col(c).rlike(regex), lit(false)))
+
+  def nonNegative(c: String): Rule =
+    Rule(s"non_negative($c)", coalesce(col(c) >= 0, lit(false)))
+
+  /** Evaluate every rule in ONE pass: (rule, n_rows, n_violations,
+    * pass_rate, passed). `minPassRate` = 1.0 is the strict contract;
+    * lower it for advisory rules ("≤ 0.1% bad rows tolerated").
+    */
+  def check(df: DataFrame, rules: Seq[Rule],
+      minPassRate: Double = 1.0): DataFrame = {
+    require(rules.nonEmpty, "check needs at least one rule")
+    val aggs = rules.map { r =>
+      // coalesce the sum too: a zero-row input (an empty delta is
+      // legal) aggregates sum to null, and the report must still say
+      // 0 violations / vacuous pass
+      coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L)
+        .otherwise(1L)), lit(0L)).as(s"__v_${r.name}")
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = array(rules.map { r =>
+      struct(lit(r.name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_${r.name}").as("n_violations"))
+    }: _*)
+    finish(wide.select(explode(entries).as("__e")).select("__e.*"),
+      minPassRate)
+  }
+
+  /** Uniqueness of a key tuple: n_violations = rows carrying a
+    * duplicated key (so a key seen k>1 times contributes k, matching
+    * "rows you could not safely join through"). One exact groupBy —
+    * the semantics' irreducible shuffle.
+    */
+  def unique(df: DataFrame, keyCols: Seq[String],
+      minPassRate: Double = 1.0): DataFrame = {
+    val dupRows = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__k"))
+      .agg(count(lit(1)).as("__groups"),
+        coalesce(sum(when(col("__k") > 1, col("__k"))), lit(0L)).as("__dup"),
+        coalesce(sum(col("__k")), lit(0L)).as("__n"))
+    finish(dupRows.select(
+      lit(s"unique(${keyCols.mkString(",")})").as("rule"),
+      col("__n").as("n_rows"), col("__dup").as("n_violations")), minPassRate)
+  }
+
+  /** Referential integrity: child rows whose FK value is non-null but
+    * absent from the parent key set are orphans (null FKs are
+    * legitimately optional — constrain them separately with
+    * [[notNull]]). Parent side reduces to its distinct key column
+    * before the join and broadcasts when dim-sized.
+    */
+  def referential(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String,
+      minPassRate: Double = 1.0): DataFrame = {
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+    val counts = child.select(col(childKey).as("__fk"))
+      .join(pk, col("__fk") === col("__pk"), "left")
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("__orphans"))
+    finish(counts.select(
+      lit(s"referential($childKey->$parentKey)").as("rule"),
+      col("__n").as("n_rows"), col("__orphans").as("n_violations")),
+      minPassRate)
+  }
+
+  /** Fold per-delta (or per-partition) check reports: counts are
+    * additive, so merge ≡ rebuild exactly — check each ingestion
+    * delta as it lands and fold, never re-scan history. Only valid
+    * for reports whose rules are row-local ([[check]]): uniqueness
+    * and referential violations are NOT additive across deltas (a
+    * dup pair can straddle the boundary) — re-derive those from
+    * their persisted indexes instead.
+    */
+  def mergeReports(prior: DataFrame, delta: DataFrame,
+      minPassRate: Double = 1.0): DataFrame =
+    finish(prior.select("rule", "n_rows", "n_violations")
+      .unionByName(delta.select("rule", "n_rows", "n_violations"))
+      .groupBy("rule")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_violations")).as("n_violations")), minPassRate)
+
+  /** Derive pass_rate / passed from raw counts (4dp-rounded so the
+    * DuckDB oracle hashes identically; empty input passes vacuously).
+    */
+  private def finish(counts: DataFrame, minPassRate: Double): DataFrame =
+    counts.select(col("rule"), col("n_rows"), col("n_violations"),
+      when(col("n_rows") === 0, 1.0)
+        .otherwise(round((col("n_rows") - col("n_violations"))
+          .cast("double") / col("n_rows"), 4)).as("pass_rate"))
+      .withColumn("passed", col("pass_rate") >= minPassRate)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, BloomJoin, Flatten, Incremental, Melt, RangeJoin, Sessionize, SketchState, SkewJoin}
+import graft.operators.{AsOfJoin, BloomJoin, DataQuality, Flatten, Incremental, Melt, RangeJoin, Sessionize, SketchState, SkewJoin}
 import graft.reports.ReportRegistry
 import graft.sources.Tables
 
@@ -20,6 +20,39 @@ import graft.sources.Tables
 object RefQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** The row-local rule battery shared by dq_checks (full scan) and
+    * dq_checks_merge (two parity deltas folded): the merge's oracle
+    * is the full-scan SQL, so hash equality is the merge ≡ rebuild
+    * proof. The discount range is deliberately tighter than the
+    * data's [0, 0.1] so one rule FAILS (pass_rate ≈ 0.5 < 0.9) and
+    * the report's failing path is driver-exercised.
+    */
+  private def dqRowRules = Seq(
+    graft.operators.DataQuality.notNull("l_shipdate"),
+    graft.operators.DataQuality.inRange("l_discount", 0.0, 0.05),
+    graft.operators.DataQuality.inSet("l_returnflag", Seq("A", "N", "R")),
+    graft.operators.DataQuality.nonNegative("l_quantity"))
+
+  private val dqRowRulesSql = {
+    val rules = Seq(
+      "not_null(l_shipdate)" -> "l_shipdate IS NOT NULL",
+      "in_range(l_discount)" -> "coalesce(l_discount BETWEEN 0.0 AND 0.05, FALSE)",
+      "in_set(l_returnflag)" -> "coalesce(l_returnflag IN ('A','N','R'), FALSE)",
+      "non_negative(l_quantity)" -> "coalesce(l_quantity >= 0, FALSE)")
+    rules.map { case (name, pred) =>
+      s"""
+        SELECT '$name' AS rule,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_violations,
+               round((count(*) - sum(CASE WHEN $pred THEN 0 ELSE 1 END)) * 1.0
+                 / count(*), 4) AS pass_rate,
+               round((count(*) - sum(CASE WHEN $pred THEN 0 ELSE 1 END)) * 1.0
+                 / count(*), 4) >= 0.9 AS passed
+        FROM lineitem"""
+    }.mkString(" UNION ALL ")
+  }
 
   /** Shared by q43 (full build) and q44 (incremental merge): the
     * merge's oracle is the FULL-rerun SQL — hash equality is the
@@ -919,6 +952,54 @@ object RefQueries {
         "user_id", "ts", "event_id", "event_type")
       Incremental.scd2Merge(history, ev.filter(col("ts") >= split),
         "user_id", "ts", "event_id", "event_type")
+    },
+
+    "dq_checks" -> QueryDef(
+      doc = "declarative data-quality contract over lineitem (Deequ-style 'unit tests for data'): four row-level rules in ONE narrow agg pass + key uniqueness (the semantics' one exact groupBy) + referential integrity to orders (FK join, parent reduced to distinct keys) — uniform (rule, n_rows, n_violations, pass_rate, passed) report; the discount range rule is deliberately tighter than the data so a failing rule is exercised",
+      oracle = dqRowRulesSql + """
+        UNION ALL
+        SELECT 'unique(l_orderkey,l_linenumber)' AS rule,
+               CAST(sum(k) AS BIGINT) AS n_rows,
+               CAST(coalesce(sum(CASE WHEN k > 1 THEN k END), 0) AS BIGINT) AS n_violations,
+               round((sum(k) - coalesce(sum(CASE WHEN k > 1 THEN k END), 0)) * 1.0
+                 / sum(k), 4) AS pass_rate,
+               round((sum(k) - coalesce(sum(CASE WHEN k > 1 THEN k END), 0)) * 1.0
+                 / sum(k), 4) >= 0.9 AS passed
+        FROM (SELECT count(*) AS k FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'referential(l_orderkey->o_orderkey)' AS rule,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+                 AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violations,
+               round((count(*) - sum(CASE WHEN l.l_orderkey IS NOT NULL
+                 AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)) * 1.0
+                 / count(*), 4) AS pass_rate,
+               round((count(*) - sum(CASE WHEN l.l_orderkey IS NOT NULL
+                 AND o.o_orderkey IS NULL THEN 1 ELSE 0 END)) * 1.0
+                 / count(*), 4) >= 0.9 AS passed
+        FROM lineitem l LEFT JOIN
+          (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey""") { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      DataQuality.check(li, dqRowRules, minPassRate = 0.9)
+        .unionByName(DataQuality.unique(li,
+          Seq("l_orderkey", "l_linenumber"), minPassRate = 0.9))
+        .unionByName(DataQuality.referential(li, t(s, dir, "orders"),
+          "l_orderkey", "o_orderkey", minPassRate = 0.9))
+    },
+
+    "dq_checks_merge" -> QueryDef(
+      doc = "incremental data quality: lineitem split into two deltas by line-number parity, each checked independently, reports folded with mergeReports (violation counts are additive) — the oracle is the FULL-scan row-rule SQL, so the hash match IS the merge ≡ rebuild proof; at 100 TB each ingestion delta is checked as it lands and history is never re-scanned",
+      oracle = dqRowRulesSql) { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      DataQuality.mergeReports(
+        DataQuality.check(li.filter(col("l_linenumber") % 2 === 0),
+          dqRowRules, minPassRate = 0.9),
+        DataQuality.check(li.filter(col("l_linenumber") % 2 =!= 0),
+          dqRowRules, minPassRate = 0.9),
+        minPassRate = 0.9)
     },
 
     "q20_rollup" -> QueryDef(

@@ -65,6 +65,75 @@ object EtlStreaming {
       .select("r.*")
   }
 
+  /** Wire an attribute-change event stream into a persisted SCD2
+    * dimension history ([[graft.operators.Incremental.scd2History]]
+    * semantics, maintained by [[graft.operators.Incremental
+    * .scd2Merge]] per tick — cost tracks the tick, never the
+    * history).
+    *
+    * Crash/redelivery safety: foreachBatch is at-least-once, and an
+    * SCD2 fold is NOT naturally idempotent (re-folding a batch
+    * double-counts n_events), so the store carries its fold
+    * high-water mark — max `ordCol` folded — as a constant column
+    * (`__max_ord`) on every history row: mark and history swap in ONE
+    * [[AnalysisStore.stageAndSwap]] rename, so they cannot tear, and
+    * a redelivered batch (all ords ≤ mark) filters to empty and
+    * no-ops. Contract: `ordCol` is a monotonically increasing event
+    * id across batches (the append-only event-log contract — the
+    * same ordering [[graft.operators.Incremental.changedSince]]'s
+    * bookmark assumes), which also discharges scd2Merge's
+    * later-than-history requirement.
+    */
+  def scd2Ticks(
+      eventsDelta: DataFrame,
+      storePath: String,
+      keyCol: String, tsCol: String, ordCol: String, attrCol: String,
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    eventsDelta.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = rawBatch.sparkSession
+        // materialize once: the batch feeds the filter, the merge and
+        // the new mark (un-materialized foreachBatch frames re-read
+        // the source per action)
+        val batch = rawBatch.localCheckpoint(true)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+        val (history, mark) =
+          if (exists) {
+            val st = spark.read.parquet(storePath)
+            (st.drop("__max_ord"),
+              st.agg(max(col("__max_ord"))).head().getLong(0))
+          } else (batch.limit(0), Long.MinValue)
+        val fresh = batch.filter(col(ordCol) > mark).localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          val folded =
+            if (exists)
+              graft.operators.Incremental.scd2Merge(history, fresh,
+                keyCol, tsCol, ordCol, attrCol)
+            else
+              graft.operators.Incremental.scd2History(fresh,
+                keyCol, tsCol, ordCol, attrCol)
+          val newMark = fresh.agg(max(col(ordCol))).head().getLong(0)
+          val stamped = folded.withColumn("__max_ord", lit(newMark))
+          if (exists)
+            // the staging write reads the still-intact store, then a
+            // rename swap — a tick that dies mid-write never
+            // half-destroys the history (and mark + rows move in the
+            // same rename, so they cannot tear)
+            AnalysisStore.stageAndSwap(spark, storePath) { staging =>
+              stamped.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(staging)
+            }
+          else
+            stamped.write.parquet(storePath)
+        }
+      }
+
   /** Wire a changed-obs stream into an incrementally-maintained flat
     * table at `storePath`. Caller starts/stops the returned writer
     * (attach `.trigger(...)`/checkpoint options as deployment needs).

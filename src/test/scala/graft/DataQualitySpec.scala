@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DataQuality
+import graft.operators.DataQuality.Rule
+
+/** Declarative data-quality rules: null rows FAIL constraints (no
+  * three-valued-logic pass-through), uniqueness counts every row of a
+  * duplicated key, null FKs are not orphans, and row-local reports
+  * merge exactly across deltas.
+  */
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // (id, score, tag): one null score, one negative, one bad tag
+  private def planted = Seq(
+    (1L, Some(0.5), "a"), (2L, Some(0.9), "b"), (3L, None, "a"),
+    (4L, Some(-0.1), "zz"), (5L, Some(0.3), "b")
+  ).toDF("id", "score", "tag")
+
+  test("check: nulls violate range/set rules; counts and pass_rate exact") {
+    val got = DataQuality.check(planted, Seq(
+        DataQuality.notNull("score"),
+        DataQuality.inRange("score", 0.0, 1.0),
+        DataQuality.inSet("tag", Seq("a", "b"))), minPassRate = 0.8)
+      .as[(String, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      // null (row 3) + out-of-range (row 4) both violate the range rule
+      ("in_range(score)", 5L, 2L, 0.6, false),
+      ("in_set(tag)", 5L, 1L, 0.8, true),
+      ("not_null(score)", 5L, 1L, 0.8, true)))
+  }
+
+  test("check on an empty delta: zero violations, vacuous pass") {
+    val got = DataQuality.check(planted.filter(col("id") > 100),
+        Seq(DataQuality.notNull("score")))
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(got == (("not_null(score)", 0L, 0L, 1.0, true)))
+  }
+
+  test("unique counts every row of a duplicated key") {
+    val df = Seq((1L, 1), (1L, 1), (1L, 1), (2L, 1), (3L, 2))
+      .toDF("k1", "k2")
+    val got = DataQuality.unique(df, Seq("k1", "k2"))
+      .as[(String, Long, Long, Double, Boolean)].head()
+    // key (1,1) appears 3× → 3 violating rows of 5
+    assert(got == (("unique(k1,k2)", 5L, 3L, 0.4, false)))
+  }
+
+  test("referential: non-null missing FKs are orphans, null FKs are not") {
+    val child = Seq(Some(10L), Some(10L), Some(99L), None)
+      .toDF("fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val got = DataQuality.referential(child, parent, "fk", "pk",
+        minPassRate = 0.9)
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(got == (("referential(fk->pk)", 4L, 1L, 0.75, false)))
+  }
+
+  test("mergeReports ≡ one full check across any delta split") {
+    val rules = Seq(
+      DataQuality.notNull("score"),
+      DataQuality.inRange("score", 0.0, 1.0),
+      Rule("custom", coalesce(col("id") =!= 4L, lit(false))))
+    val full = DataQuality.check(planted, rules, minPassRate = 0.8)
+    val merged = DataQuality.mergeReports(
+      DataQuality.check(planted.filter(col("id") % 2 === 0), rules, 0.8),
+      DataQuality.check(planted.filter(col("id") % 2 =!= 0), rules, 0.8),
+      minPassRate = 0.8)
+    assertSameRows(merged, full)
+  }
+}

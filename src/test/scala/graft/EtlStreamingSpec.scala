@@ -25,6 +25,8 @@ class EtlStreamingSpec extends SparkSpec {
   private type ObsRow = (Long, Long, Long, Option[Double], Option[String],
     Option[Timestamp], Option[String], Timestamp, Int)
 
+  private type Ev = (Long, Timestamp, Long, String)
+
   private def toObs(rows: Seq[ObsRow]): DataFrame =
     rows.toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
       "value_text", "value_datetime", "value_coded", "obs_datetime", "voided")
@@ -100,6 +102,52 @@ class EtlStreamingSpec extends SparkSpec {
       val siblings = new java.io.File(storePath).getParentFile.list().toSeq
       assert(siblings == Seq("flat"), s"leftovers: $siblings")
     } finally q.stop()
+  }
+
+  test("scd2Ticks: streamed history ≡ full batch build; redelivery no-ops") {
+    val batch1: Seq[Ev] = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 10:00:00"), 2L, "A"),
+      (2L, ts("2024-01-03 10:00:00"), 3L, "X"))
+    val batch2: Seq[Ev] = Seq(
+      (1L, ts("2024-02-01 10:00:00"), 4L, "B"), // change for user 1
+      (2L, ts("2024-02-02 10:00:00"), 5L, "X"), // extends user 2's open run
+      (3L, ts("2024-02-03 10:00:00"), 6L, "N")) // new key
+    val storePath = Files.createTempDirectory("scd2stream")
+      .resolve("scd2").toString
+    implicit val sqlCtx = spark.sqlContext
+    def toEv(rows: Seq[Ev]): DataFrame =
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+
+    val mem = MemoryStream[Ev]
+    val q = EtlStreaming.scd2Ticks(
+      mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      storePath, "user_id", "ts", "event_id", "event_type",
+      interval = "0 seconds").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val full = graft.operators.Incremental.scd2History(
+      toEv(batch1 ++ batch2), "user_id", "ts", "event_id", "event_type")
+    assertSameRows(spark.read.parquet(storePath).drop("__max_ord"), full)
+
+    // redelivery: a NEW stream (fresh checkpoint) replays batch2 —
+    // every ord ≤ the stored mark, so the tick must not re-fold
+    // (n_events would double) and the store must stay byte-stable
+    val before = spark.read.parquet(storePath).collect().toSet
+    val mem2 = MemoryStream[Ev]
+    val q2 = EtlStreaming.scd2Ticks(
+      mem2.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      storePath, "user_id", "ts", "event_id", "event_type",
+      interval = "0 seconds").start()
+    try { mem2.addData(batch2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(spark.read.parquet(storePath).collect().toSet == before)
+    // crash-safe swap leaves no staging/backup dirs behind
+    val siblings = new java.io.File(storePath).getParentFile.list().toSeq
+    assert(siblings == Seq("scd2"), s"leftovers: $siblings")
   }
 
   test("partitioned store: a tick rewrites only the months its encounters touch") {
