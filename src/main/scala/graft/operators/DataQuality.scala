@@ -115,6 +115,58 @@ object DataQuality {
       minPassRate)
   }
 
+  /** Per-group rule evaluation — the same one-pass battery as
+    * [[check]] but at (groupCols…) grain: (group…, rule, n_rows,
+    * n_violations, pass_rate, passed). The shape of "pass rate per
+    * ingestion day / per source" monitoring: one uniform groupBy
+    * exchange (partial sums map-side), violations localized to the
+    * partition that shipped them instead of diluted corpus-wide.
+    */
+  def checkByGroup(df: DataFrame, groupCols: Seq[String], rules: Seq[Rule],
+      minPassRate: Double = 1.0): DataFrame = {
+    require(rules.nonEmpty, "checkByGroup needs at least one rule")
+    val aggs = rules.map { r =>
+      coalesce(sum(when(coalesce(r.predicate, lit(false)), 0L)
+        .otherwise(1L)), lit(0L)).as(s"__v_${r.name}")
+    }
+    val wide = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), aggs: _*)
+    val entries = array(rules.map { r =>
+      struct(lit(r.name).as("rule"), col("__n").as("n_rows"),
+        col(s"__v_${r.name}").as("n_violations"))
+    }: _*)
+    finish(wide.select(groupCols.map(col) :+ explode(entries).as("__e"): _*)
+      .select(groupCols.map(col) :+ col("__e.*"): _*), minPassRate)
+      .select(groupCols.map(col) ++ Seq(col("rule"), col("n_rows"),
+        col("n_violations"), col("pass_rate"), col("passed")): _*)
+  }
+
+  /** The 100 TB uniqueness posture: HLL distinct estimate vs exact
+    * row count, NO key-grain shuffle at all (one global aggregate,
+    * sketch registers merge map-side — [[SketchState]]'s machinery as
+    * a quality check). n_violations = estimated duplicated rows
+    * max(0, n − distinct-estimate); at lgK=12 the estimate carries
+    * ~1.6% rsd, so `minPassRate` must budget for it (e.g. 0.95 — a
+    * screen, not a proof: run [[unique]] exactly on tables the screen
+    * flags). Report schema matches [[unique]] with an `approx_`
+    * rule-name prefix so both can coexist in one persisted report.
+    */
+  def uniqueApprox(df: DataFrame, keyCols: Seq[String],
+      minPassRate: Double = 0.95, lgK: Int = 12): DataFrame = {
+    // xxhash64 over the tuple: type- and null-aware multi-column key
+    // in one codegen'd expression (a string concat would alias
+    // ("ab","c") with ("a","bc")); the 2^-64 hash-collision mass is
+    // noise next to the sketch's own rsd
+    val counts = df.agg(count(lit(1)).as("__n"),
+      hll_sketch_estimate(
+        hll_sketch_agg(xxhash64(keyCols.map(col): _*), lit(lgK))).as("__nd"))
+    finish(counts.select(
+      lit(s"approx_unique(${keyCols.mkString(",")})").as("rule"),
+      col("__n").as("n_rows"),
+      greatest(col("__n") - col("__nd").cast("long"), lit(0L))
+        .as("n_violations")), minPassRate)
+  }
+
   /** Fold per-delta (or per-partition) check reports: counts are
     * additive, so merge ≡ rebuild exactly — check each ingestion
     * delta as it lands and fold, never re-scan history. Only valid
@@ -135,9 +187,9 @@ object DataQuality {
     * DuckDB oracle hashes identically; empty input passes vacuously).
     */
   private def finish(counts: DataFrame, minPassRate: Double): DataFrame =
-    counts.select(col("rule"), col("n_rows"), col("n_violations"),
-      when(col("n_rows") === 0, 1.0)
+    counts
+      .withColumn("pass_rate", when(col("n_rows") === 0, 1.0)
         .otherwise(round((col("n_rows") - col("n_violations"))
-          .cast("double") / col("n_rows"), 4)).as("pass_rate"))
+          .cast("double") / col("n_rows"), 4)))
       .withColumn("passed", col("pass_rate") >= minPassRate)
 }

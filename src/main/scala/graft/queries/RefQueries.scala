@@ -1002,6 +1002,55 @@ object RefQueries {
         minPassRate = 0.9)
     },
 
+    "dq_checks_by_day" -> QueryDef(
+      doc = "per-ingestion-day quality monitoring: the rule battery at (day) grain — violations localized to the partition that shipped them instead of diluted corpus-wide; one uniform groupBy exchange, partial sums map-side; the value range and the event_type set are deliberately tighter than the data so per-day pass rates genuinely vary",
+      oracle = Seq(
+        "'in_range(value)'" -> "coalesce(value BETWEEN 0.0 AND 200.0, FALSE)",
+        "'in_set(event_type)'" ->
+          "coalesce(event_type IN ('click','view','purchase','signup'), FALSE)")
+        .map { case (name, pred) =>
+          s"""
+          SELECT strftime(ts, '%Y-%m-%d') AS day, $name AS rule,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_violations,
+                 round((count(*) - sum(CASE WHEN $pred THEN 0 ELSE 1 END))
+                   * 1.0 / count(*), 4) AS pass_rate,
+                 round((count(*) - sum(CASE WHEN $pred THEN 0 ELSE 1 END))
+                   * 1.0 / count(*), 4) >= 0.7 AS passed
+          FROM events GROUP BY 1"""
+        }.mkString(" UNION ALL ")) { (s, dir) =>
+      DataQuality.checkByGroup(
+        t(s, dir, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd")),
+        Seq("day"),
+        Seq(DataQuality.inRange("value", 0.0, 200.0),
+          DataQuality.inSet("event_type",
+            Seq("click", "view", "purchase", "signup"))),
+        minPassRate = 0.7)
+    },
+
+    "dq_unique_gate" -> QueryDef(
+      doc = "agreement gate for the 100 TB uniqueness screen: exact unique() and the shuffle-free HLL uniqueApprox() must agree on a genuinely-unique key (orders.o_orderkey — both pass) AND on a duplicated one (lineitem's (l_orderkey, l_linenumber), ~24% dup rows in this fixture — both trip); booleans the literal oracle pins to 1",
+      oracle = "SELECT CAST(1 AS INTEGER) AS clean_exact_ok, CAST(1 AS INTEGER) AS clean_approx_ok, CAST(1 AS INTEGER) AS dirty_exact_trips, CAST(1 AS INTEGER) AS dirty_approx_trips") { (s, dir) =>
+      val ord = t(s, dir, "orders").select("o_orderkey")
+      val li = t(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      DataQuality.unique(ord, Seq("o_orderkey"))
+        .select(col("passed").as("p1"))
+        .crossJoin(DataQuality.uniqueApprox(ord, Seq("o_orderkey"),
+          minPassRate = 0.95).select(col("passed").as("p2")))
+        .crossJoin(DataQuality.unique(li,
+          Seq("l_orderkey", "l_linenumber"), minPassRate = 0.9)
+          .select(col("passed").as("p3")))
+        .crossJoin(DataQuality.uniqueApprox(li,
+          Seq("l_orderkey", "l_linenumber"), minPassRate = 0.9)
+          .select(col("passed").as("p4")))
+        .select(col("p1").cast("int").as("clean_exact_ok"),
+          col("p2").cast("int").as("clean_approx_ok"),
+          (!col("p3")).cast("int").as("dirty_exact_trips"),
+          (!col("p4")).cast("int").as("dirty_approx_trips"))
+    },
+
     "q20_rollup" -> QueryDef(
       doc = "ROLLUP hierarchy totals: (region, nation), (region), () in one pass (SURVEY §2.4 'grouping sets come free')",
       oracle = """

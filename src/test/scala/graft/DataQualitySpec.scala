@@ -58,6 +58,38 @@ class DataQualitySpec extends SparkSpec {
     assert(got == (("referential(fk->pk)", 4L, 1L, 0.75, false)))
   }
 
+  test("checkByGroup localizes violations to their group") {
+    val df = Seq(("d1", Some(0.5)), ("d1", Some(0.6)), ("d2", None),
+      ("d2", Some(2.0)), ("d2", Some(0.1))).toDF("day", "score")
+    val got = DataQuality.checkByGroup(df, Seq("day"),
+        Seq(DataQuality.inRange("score", 0.0, 1.0)), minPassRate = 0.5)
+      .as[(String, String, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("d1", "in_range(score)", 2L, 0L, 1.0, true),
+      // null + out-of-range both violate, and only d2 pays for them
+      ("d2", "in_range(score)", 3L, 2L, 0.3333, false)))
+  }
+
+  test("uniqueApprox agrees with exact on clean and duplicated keys") {
+    val clean = spark.range(0, 20000).select(col("id").as("k"))
+    val dirty = clean.unionByName(clean.limit(10000))
+    val ce = DataQuality.unique(clean, Seq("k")).select("passed")
+      .as[Boolean].head()
+    val ca = DataQuality.uniqueApprox(clean, Seq("k"), minPassRate = 0.95)
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(ce && ca._5, s"clean side must pass both, approx=$ca")
+    assert(ca._1 == "approx_unique(k)")
+    val de = DataQuality.unique(dirty, Seq("k")).select("passed")
+      .as[Boolean].head()
+    val da = DataQuality.uniqueApprox(dirty, Seq("k"), minPassRate = 0.9)
+      .as[(String, Long, Long, Double, Boolean)].head()
+    // 10k of 30k rows are dup pairs → exact pass_rate 1/3; approx
+    // estimates ~20k distinct of 30k rows → ~10k violations
+    assert(!de && !da._5, s"dirty side must trip both, approx=$da")
+    assert(math.abs(da._3 - 10000L) <= 1500, s"approx violations ${da._3}")
+  }
+
   test("mergeReports ≡ one full check across any delta split") {
     val rules = Seq(
       DataQuality.notNull("score"),

@@ -623,4 +623,122 @@ class PropertySpec extends SparkSpec {
       }
     }, minTests = 10)
   }
+
+  test("property: scd2 invariants + merge ≡ rebuild at any split point") {
+    val genEvents = for {
+      n <- Gen.chooseNum(2, 20)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.chooseNum(1, 3)
+        attr <- Gen.oneOf("A", "B", "C")
+      } yield (key.toLong, attr))
+    } yield rows
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    check(Prop.forAll(genEvents, Gen.chooseNum(0.0, 1.0)) { (rows, frac) =>
+      // ts monotone in the event id, so ANY id split satisfies the
+      // delta-later-than-history contract
+      val ev = rows.zipWithIndex.map { case ((k, a), i) =>
+        (k, new java.sql.Timestamp(base + i * 1000L), i.toLong, a)
+      }.toDF("user_id", "ts", "event_id", "event_type")
+      val hist = graft.operators.Incremental.scd2History(
+        ev, "user_id", "ts", "event_id", "event_type")
+      val got = hist.as[(Long, String, java.sql.Timestamp,
+        Option[java.sql.Timestamp], Boolean, Long)].collect()
+      val conserved = got.map(_._6).sum == rows.size
+      val oneCurrent = got.groupBy(_._1)
+        .forall { case (_, vs) => vs.count(_._5) == 1 }
+      val chained = got.groupBy(_._1).forall { case (_, vs) =>
+        val sorted = vs.sortBy(v => (v._3.getTime, v._4.map(_.getTime)
+          .getOrElse(Long.MaxValue)))
+        sorted.init.zip(sorted.tail).forall { case (a, b) =>
+          a._4.contains(b._3) } && sorted.last._4.isEmpty
+      }
+      val noStutter = got.groupBy(_._1).forall { case (_, vs) =>
+        val sorted = vs.sortBy(_._3.getTime)
+        sorted.init.zip(sorted.tail).forall { case (a, b) => a._2 != b._2 }
+      }
+      val cut = (rows.size * frac).toInt
+      val merged = graft.operators.Incremental.scd2Merge(
+        graft.operators.Incremental.scd2History(
+          ev.filter(col("event_id") < cut),
+          "user_id", "ts", "event_id", "event_type"),
+        ev.filter(col("event_id") >= cut),
+        "user_id", "ts", "event_id", "event_type")
+        .as[(Long, String, java.sql.Timestamp,
+          Option[java.sql.Timestamp], Boolean, Long)].collect()
+      conserved && oneCurrent && chained && noStutter &&
+        merged.toSet == got.toSet
+    }, minTests = 10)
+  }
+
+  test("property: HLL sketch state merge ≡ rebuild on any split") {
+    val genRows = Gen.listOf(for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.chooseNum(0L, 50L)
+    } yield (g, v)).map(_.take(40))
+    check(Prop.forAll(genRows, Gen.chooseNum(1L, 7L)) { (rows, mod) =>
+      rows.isEmpty || {
+        val df = rows.zipWithIndex.map { case ((g, v), i) =>
+          (g, v, i.toLong) }.toDF("g", "v", "i")
+        val grain = Seq("g")
+        val rebuilt = graft.operators.SketchState.estimateRollup(
+          graft.operators.SketchState.distinctSketches(df, grain, "v"),
+          grain).as[(String, Double, Long)].collect().toSet
+        val merged = graft.operators.SketchState.estimateRollup(
+          graft.operators.SketchState.mergeSketches(
+            graft.operators.SketchState.distinctSketches(
+              df.filter(col("i") % mod === 0), grain, "v"),
+            graft.operators.SketchState.distinctSketches(
+              df.filter(col("i") % mod =!= 0), grain, "v"),
+            grain), grain).as[(String, Double, Long)].collect().toSet
+        // sparse-mode HLL is exact at this cardinality, so the
+        // estimate must equal the true distinct count too
+        val truth = rows.groupBy(_._1).map { case (g, vs) =>
+          (g, vs.map(_._2).distinct.size.toDouble, vs.size.toLong) }.toSet
+        merged == rebuilt && rebuilt == truth
+      }
+    }, minTests = 10)
+  }
+
+  test("property: quality reports merge exactly; rates bounded") {
+    val genRows = Gen.nonEmptyListOf(for {
+      v <- Gen.option(Gen.chooseNum(-2.0, 2.0))
+      t <- Gen.oneOf("a", "b", "zz")
+    } yield (v, t)).map(_.take(30))
+    val rules = Seq(
+      graft.operators.DataQuality.notNull("score"),
+      graft.operators.DataQuality.inRange("score", 0.0, 1.0),
+      graft.operators.DataQuality.inSet("tag", Seq("a", "b")))
+    check(Prop.forAll(genRows, Gen.chooseNum(1L, 5L)) { (rows, mod) =>
+      val df = rows.zipWithIndex.map { case ((v, t), i) =>
+        (v, t, i.toLong) }.toDF("score", "tag", "i")
+      val full = graft.operators.DataQuality.check(df, rules, 0.8)
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+      val merged = graft.operators.DataQuality.mergeReports(
+        graft.operators.DataQuality.check(
+          df.filter(col("i") % mod === 0), rules, 0.8),
+        graft.operators.DataQuality.check(
+          df.filter(col("i") % mod =!= 0), rules, 0.8), 0.8)
+        .as[(String, Long, Long, Double, Boolean)].collect().toSet
+      merged == full && full.forall { case (_, n, v, r, _) =>
+        v <= n && r >= 0.0 && r <= 1.0 }
+    }, minTests = 10)
+  }
+
+  test("property: clustering coefficient bounded; direction-blind") {
+    val genEdges = Gen.nonEmptyListOf(for {
+      a <- Gen.chooseNum(0, 5)
+      b <- Gen.chooseNum(0, 5)
+      if a != b
+    } yield (a.toLong, b.toLong)).map(_.take(15))
+    check(Prop.forAll(genEdges) { edges =>
+      val df = edges.toDF("qid", "nid")
+      val fwd = graft.operators.Similarity.knnClusteringCoeff(df)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val rev = graft.operators.Similarity.knnClusteringCoeff(
+          df.select(col("nid").as("qid"), col("qid").as("nid")))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      fwd == rev && fwd.forall { case (_, deg, tri, c) =>
+        c >= 0.0 && c <= 1.0 && 2 * tri <= deg * (deg - 1).max(0) }
+    }, minTests = 10)
+  }
 }
