@@ -58,13 +58,18 @@ object RefQueries {
     * merge's oracle is the FULL-rerun SQL — hash equality is the
     * merge ≡ rebuild proof.
     */
-  private val scd2OracleSql = """
+  private val scd2OracleSql = scd2OracleSqlOver("events")
+
+  /** The SCD2 build as SQL over any source relation/subquery —
+    * q45's oracle rebuilds history over the non-purchase stream.
+    */
+  private def scd2OracleSqlOver(src: String) = s"""
     WITH runs0 AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN event_type = lag(event_type)
                OVER (PARTITION BY user_id ORDER BY ts, event_id)
              THEN 0 ELSE 1 END AS chg
-      FROM events),
+      FROM $src),
     runs1 AS (
       SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS run
@@ -952,6 +957,37 @@ object RefQueries {
         "user_id", "ts", "event_id", "event_type")
       Incremental.scd2Merge(history, ev.filter(col("ts") >= split),
         "user_id", "ts", "event_id", "event_type")
+    },
+
+    "q45_scd2_pointintime" -> QueryDef(
+      doc = "point-in-time dimension lookup — the query SCD2 exists FOR: each purchase event enriched with the user's activity-state version valid AT purchase time (history built from the non-purchase stream, zero-length same-instant versions excluded per half-open [from, to) semantics); composes scd2History with the as-of log-merge join — one key exchange each, no per-row range probe",
+      oracle = {
+        val hist = scd2OracleSqlOver(
+          "(SELECT * FROM events WHERE event_type <> 'purchase')")
+        s"""
+        WITH hist AS ($hist),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts, h.state
+        FROM p ASOF LEFT JOIN (
+          SELECT user_id, valid_from, event_type AS state FROM hist
+          WHERE valid_to IS NULL OR valid_from < valid_to) h
+          ON p.user_id = h.user_id AND p.ts >= h.valid_from"""
+      }) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val hist = Incremental.scd2History(
+          ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "ts", "event_id", "event_type")
+        // zero-length versions (same-instant change) are never
+        // "current at" any instant — dropping them also makes the
+        // as-of probe's per-key valid_from strictly increasing
+        .filter(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+        .select(col("user_id"), col("valid_from"),
+          col("event_type").as("state"))
+      AsOfJoin.asOf(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        hist, keys = Seq("user_id"), leftTs = "ts", rightTs = "valid_from")
     },
 
     "dq_checks" -> QueryDef(

@@ -383,6 +383,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 4, p)
   }
 
+  test("q45 point-in-time: two key exchanges, zero join operators, filters pushed") {
+    // history build (one exchange) + the as-of log-merge (one
+    // exchange) — the interval lookup never becomes a join node, let
+    // alone a per-row range probe
+    val p = plan("q45_scd2_pointintime")
+    assert(count(p, "Exchange hashpartitioning") == 2, p)
+    assert(count(p, "Join") == 0, p)
+    assert(count(p, "PushedFilters: \\[[^\\]]") == 2, p)
+  }
+
   test("graph_clustering: every join is key-partitioned hash — no all-pairs NLJ") {
     val p = plan("graph_clustering")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
