@@ -91,10 +91,15 @@ object Incremental {
       attrCol: String): DataFrame = {
     val byKey = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol), col(ordCol))
+    // null-safe change detection: a nullable tracked attribute must
+    // collapse consecutive nulls into ONE version (null is a value in
+    // SCD2), not open a version per row the way `=!=`'s three-valued
+    // logic would. A key's first row: attr <=> lag-null is true only
+    // when attr itself is null — run ids then start at 0 instead of
+    // 1, which changes nothing (runs only partition rows).
     val runs = events
       .withColumn("__chg",
-        coalesce((col(attrCol) =!= lag(col(attrCol), 1).over(byKey))
-          .cast("int"), lit(1)))
+        (!(col(attrCol) <=> lag(col(attrCol), 1).over(byKey))).cast("int"))
       .withColumn("__run", sum(col("__chg")).over(
         byKey.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
@@ -153,8 +158,8 @@ object Incremental {
       .orderBy(col(tsCol), col(ordCol).asc_nulls_first)
     val runs = tailEvents
       .withColumn("__chg",
-        coalesce((col(attrCol) =!= lag(col(attrCol), 1).over(byKey))
-          .cast("int"), lit(1)))
+        // null-safe, matching scd2History (nullable attr contract)
+        (!(col(attrCol) <=> lag(col(attrCol), 1).over(byKey))).cast("int"))
       .withColumn("__run", sum(col("__chg")).over(
         byKey.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window

@@ -143,6 +143,25 @@ class IncrementalSpec extends SparkSpec {
     assertSameRows(merged, full)
   }
 
+  test("scd2History: nullable attribute — consecutive nulls are ONE version") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some("A")),
+      (1L, ts("2024-01-02 00:00:00"), 2L, None),
+      (1L, ts("2024-01-03 00:00:00"), 3L, None), // extends the null run
+      (1L, ts("2024-01-04 00:00:00"), 4L, Some("A")),
+      (2L, ts("2024-01-05 00:00:00"), 5L, None)  // null-first key
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Incremental.scd2History(ev, "user_id", "ts", "event_id",
+        "event_type")
+      .as[(Long, Option[String], Timestamp, Option[Timestamp], Boolean, Long)]
+      .collect().sortBy(r => (r._1, r._3.getTime))
+    assert(got.toSeq == Seq(
+      (1L, Some("A"), ts("2024-01-01 00:00:00"), Some(ts("2024-01-02 00:00:00")), false, 1L),
+      (1L, None, ts("2024-01-02 00:00:00"), Some(ts("2024-01-04 00:00:00")), false, 2L),
+      (1L, Some("A"), ts("2024-01-04 00:00:00"), None, true, 1L),
+      (2L, None, ts("2024-01-05 00:00:00"), None, true, 1L)))
+  }
+
   test("scd2History breaks same-timestamp ties by the order column") {
     val t0 = ts("2024-01-01 00:00:00")
     val ev = Seq(
