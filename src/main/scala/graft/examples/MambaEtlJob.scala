@@ -89,6 +89,47 @@ object MambaEtlJob {
       flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Map[String, DataFrame] =
     pipeline(config, src, encounterTypeIds, flatConfigs).run(spark)
 
+  /** Source-contract pre-flight — the [[graft.operators.DataQuality]]
+    * battery over exactly the assumptions the ETL silently leans on:
+    * obs rows must carry their keys (a null encounter_id obs would
+    * vanish from every flat table without a trace), voided must be a
+    * 0/1 flag (the soft-delete filters test `=== 0`), encounter ids
+    * must be unique (a dup would double its wide row after the pivot
+    * join), and every obs must point at a real encounter (orphans
+    * never surface in any output — silent data loss). One narrow agg
+    * pass + the two dataset checks; report rows share the uniform
+    * quality schema so they persist next to any other dq report.
+    */
+  def preflight(src: Sources): DataFrame = {
+    import graft.operators.DataQuality
+    DataQuality.check(src.obs, Seq(
+        DataQuality.notNull("obs_id"),
+        DataQuality.notNull("encounter_id"),
+        DataQuality.notNull("concept_id"),
+        DataQuality.inRange("voided", 0, 1)))
+      .unionByName(DataQuality.unique(src.encounter, Seq("encounter_id")))
+      .unionByName(DataQuality.referential(src.obs, src.encounter,
+        "encounter_id", "encounter_id"))
+  }
+
+  /** [[run]] behind the pre-flight gate: a failed contract rule stops
+    * the deployment loudly (listing the failing rules and their
+    * violation counts) BEFORE any store table is touched — the
+    * failure mode this buys out of is a bad drop flowing silently
+    * into reports.
+    */
+  def runChecked(spark: SparkSession, config: EtlConfig, src: Sources,
+      encounterTypeIds: Seq[Int],
+      flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Map[String, DataFrame] = {
+    val failed = preflight(src).filter(!col("passed"))
+      .select("rule", "n_violations").collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "source contract violated: " + failed.map(r =>
+          s"${r.getString(0)} (${r.getLong(1)} violations)").mkString("; "))
+    run(spark, config, src, encounterTypeIds, flatConfigs)
+  }
+
   /** Month partition column for a flat store table — coarse enough
     * that partition counts stay bounded, fine enough that a tick's
     * rewrite is a sliver of the table (SURVEY §9.1).

@@ -234,4 +234,30 @@ class MambaLifecycleSpec extends SparkSpec {
     assert(registry.run(spark, "total_hiv_exposed_infants")
       .as[Long].head() == 1L)
   }
+
+  test("pre-flight gate: clean sources deploy; a corrupt drop stops loudly") {
+    // the fixture satisfies the source contract
+    val checked = MambaEtlJob.runChecked(
+      spark, EtlConfig("/src", "/out"), sources, Seq(7))
+    assert(checked("mamba_flat_encounter_7").count() == 2)
+
+    // corrupt drop: an orphan obs (encounter 99 doesn't exist) and a
+    // duplicated encounter id — both must be named in the failure
+    val bad = sources.copy(
+      encounter = sources.encounter.unionByName(
+        Seq((10L, "e-10b", 7, 2L, ts("2024-02-05 09:00:00"), 0))
+          .toDF("encounter_id", "uuid", "encounter_type", "patient_id",
+            "encounter_datetime", "voided")),
+      obs = sources.obs.unionByName(
+        Seq((7L, 99L, 100L, Some(50.0), None: Option[String],
+          None: Option[String], ts("2024-02-05 09:05:00"), 0))
+          .toDF("obs_id", "encounter_id", "concept_id", "value_numeric",
+            "value_text", "value_coded", "obs_datetime", "voided")))
+    val e = intercept[IllegalStateException] {
+      MambaEtlJob.runChecked(spark, EtlConfig("/src", "/out"), bad, Seq(7))
+    }
+    assert(e.getMessage.contains("unique(encounter_id)"), e.getMessage)
+    assert(e.getMessage.contains("referential(encounter_id->encounter_id)"),
+      e.getMessage)
+  }
 }
