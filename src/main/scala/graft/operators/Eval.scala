@@ -70,4 +70,49 @@ object Eval {
       round(avg(col("recall_at_k")), 4).as("mean_recall"),
       round(avg(col("ndcg_at_k")), 4).as("mean_ndcg"),
       count(lit(1)).as("n_queries"))
+
+  /** Per-class classification metrics from (true, pred) pairs — the
+    * evaluation companion to the label predictors ([[Similarity
+    * .knnPredict]], [[Similarity.labelPropagation]], the quality
+    * classifier): one row per class appearing on EITHER side with
+    * support, predicted count, true positives, precision, recall and
+    * F1. Integer-ratio formulations throughout (F1 = 2·tp /
+    * (n_pred + n_true) — algebraically 2PR/(P+R) without the
+    * intermediate divisions), so a SQL oracle hash-matches exactly;
+    * zero-denominator conventions: a class never predicted has
+    * precision 0, never true has recall 0.
+    *
+    * Scale shape: three class-grain aggregations over the prediction
+    * rows (partial counts map-side — the exchanges carry one row per
+    * class per task) joined on the model-sized class key. Micro
+    * accuracy is `sum(tp) / sum(n_true)` over this output; macro-F1
+    * is `avg(f1)`.
+    */
+  def classificationMetrics(
+      preds: DataFrame, trueCol: String, predCol: String): DataFrame = {
+    // three aggregation branches consume the predictions; without
+    // truncation each re-executes the upstream predictor (for kNN
+    // that is 3× the brute scoring pass) — the checkpoint holds
+    // prediction-count rows, tiny at any scale
+    val pr = preds.select(col(trueCol), col(predCol)).localCheckpoint(true)
+    val t = pr.groupBy(col(trueCol).as("class"))
+      .agg(count(lit(1)).as("n_true"))
+    val p = pr.groupBy(col(predCol).as("class"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = pr.filter(col(trueCol) === col(predCol))
+      .groupBy(col(trueCol).as("class")).agg(count(lit(1)).as("tp"))
+    t.join(p, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") === 0, 0.0)
+        .otherwise(round(col("tp").cast("double") / col("n_pred"), 4)))
+      .withColumn("recall", when(col("n_true") === 0, 0.0)
+        .otherwise(round(col("tp").cast("double") / col("n_true"), 4)))
+      .withColumn("f1", when(col("n_pred") + col("n_true") === 0, 0.0)
+        .otherwise(round(lit(2.0) * col("tp") /
+          (col("n_pred") + col("n_true")), 4)))
+  }
 }

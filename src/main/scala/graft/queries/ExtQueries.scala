@@ -1122,6 +1122,52 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5)
     },
 
+    "eval_classification" -> QueryDef(
+      doc = "per-class precision/recall/F1 of the kNN label predictor over a 100-query split — the evaluation companion to the label predictors; integer-ratio F1 (2·tp/(n_pred+n_true)) so the SQL oracle hash-matches exactly; three class-grain aggregations, exchanges carry one row per class per task",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 100),
+        c AS (SELECT * FROM e WHERE vec_id >= 100),
+        scored AS (SELECT b.vec_id AS qid, b.label AS true_label,
+                          a.label AS nlabel, a.vec_id AS nid, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+                   FROM scored),
+        votes AS (SELECT qid, true_label, nlabel, count(*) AS n
+                  FROM ranked WHERE rk <= 5 GROUP BY qid, true_label, nlabel),
+        pred AS (SELECT qid, true_label, nlabel AS pred_label
+                 FROM (SELECT qid, true_label, nlabel,
+                              row_number() OVER (PARTITION BY qid ORDER BY n DESC, nlabel) AS vr
+                       FROM votes) WHERE vr = 1),
+        t AS (SELECT true_label AS class, count(*) AS n_true FROM pred GROUP BY 1),
+        p AS (SELECT pred_label AS class, count(*) AS n_pred FROM pred GROUP BY 1),
+        tpc AS (SELECT true_label AS class, count(*) AS tp FROM pred
+                WHERE true_label = pred_label GROUP BY 1)
+        SELECT CAST(coalesce(t.class, p.class) AS INTEGER) AS class,
+               CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+               CAST(coalesce(p.n_pred, 0) AS BIGINT) AS n_pred,
+               CAST(coalesce(tpc.tp, 0) AS BIGINT) AS tp,
+               CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(tpc.tp, 0) * 1.0 / p.n_pred, 4)
+               END AS precision,
+               CASE WHEN coalesce(t.n_true, 0) = 0 THEN 0.0
+                    ELSE round(coalesce(tpc.tp, 0) * 1.0 / t.n_true, 4)
+               END AS recall,
+               CASE WHEN coalesce(p.n_pred, 0) + coalesce(t.n_true, 0) = 0 THEN 0.0
+                    ELSE round(2.0 * coalesce(tpc.tp, 0)
+                      / (coalesce(p.n_pred, 0) + coalesce(t.n_true, 0)), 4)
+               END AS f1
+        FROM t FULL OUTER JOIN p ON t.class = p.class
+        LEFT JOIN tpc ON coalesce(t.class, p.class) = tpc.class""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      graft.operators.Eval.classificationMetrics(
+        Similarity.knnPredict(
+          corpus = e.filter(col("vec_id") >= 100),
+          queries = e.filter(col("vec_id") < 100),
+          idCol = "vec_id", vecCol = "embedding", labelCol = "label", k = 5),
+        "true_label", "pred_label")
+    },
+
     "hard_negatives" -> QueryDef(
       doc = "hard-negative mining for contrastive training: each query's 3 nearest corpus vectors with a DIFFERENT label (same no-corpus-shuffle plan as brute top-k, mismatch predicate fused into the scored join)",
       oracle = s"""

@@ -287,4 +287,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(bins.toSeq == Seq((1, 1L, 0.1, 0.1), (2, 1L, 0.2, 0.2),
       (3, 1L, 0.3, 0.3)))
   }
+
+  test("classificationMetrics: hand-computed confusion, one-sided classes") {
+    // true: A A A B B C ; pred: A B A B B D
+    val preds = Seq(("A", "A"), ("A", "B"), ("A", "A"),
+      ("B", "B"), ("B", "B"), ("C", "D")).toDF("t", "p")
+    val m = Eval.classificationMetrics(preds, "t", "p")
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(m.toSeq == Seq(
+      // A: support 3, predicted 2, tp 2 → P=1.0 R=0.6667 F1=2·2/5=0.8
+      ("A", 3L, 2L, 2L, 1.0, 0.6667, 0.8),
+      // B: support 2, predicted 3, tp 2 → P=0.6667 R=1.0 F1=0.8
+      ("B", 2L, 3L, 2L, 0.6667, 1.0, 0.8),
+      // C: never predicted → precision 0 by convention
+      ("C", 1L, 0L, 0L, 0.0, 0.0, 0.0),
+      // D: never true → recall 0 by convention
+      ("D", 0L, 1L, 0L, 0.0, 0.0, 0.0)))
+    // micro accuracy = Σtp / Σn_true
+    assert(m.map(_._4).sum.toDouble / m.map(_._2).sum == 4.0 / 6.0)
+  }
 }
