@@ -234,6 +234,37 @@ object TrainingDataJob {
     * @param evalSet held-out benchmark docs (doc_id, text) to
     *                decontaminate against; None skips the stage
     */
+  /** Corpus-drop contract pre-flight — [[graft.operators
+    * .DataQuality]] over what the curation pipeline silently leans
+    * on: doc_id must be present and UNIQUE (every state dir in the
+    * streaming tier is replace-by-doc — a duplicated id silently
+    * overwrites a different document's state), text must be present
+    * (a null text doc would ride through the gates as an empty doc
+    * instead of failing loudly). Same uniform report schema as
+    * [[MambaEtlJob.preflight]]; callers that accept the drop fold
+    * the report into their persisted quality history.
+    */
+  def preflight(rawDocuments: DataFrame): DataFrame = {
+    import graft.operators.DataQuality
+    DataQuality.check(rawDocuments, Seq(
+        DataQuality.notNull("doc_id"), DataQuality.notNull("text")))
+      .unionByName(DataQuality.unique(rawDocuments, Seq("doc_id")))
+  }
+
+  /** [[run]] behind [[preflight]] — a drop violating the doc
+    * contract stops loudly before any curation work runs.
+    */
+  def runChecked(rawDocuments: DataFrame, config: Config = Config(),
+      evalSet: Option[DataFrame] = None): DataFrame = {
+    val failed = preflight(rawDocuments).filter(!col("passed"))
+      .select("rule", "n_violations").collect()
+    if (failed.nonEmpty)
+      throw new IllegalStateException(
+        "corpus contract violated: " + failed.map(r =>
+          s"${r.getString(0)} (${r.getLong(1)} violations)").mkString("; "))
+    run(rawDocuments, config, evalSet)
+  }
+
   def run(rawDocuments: DataFrame, config: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
     val documents = redact(rawDocuments, config)

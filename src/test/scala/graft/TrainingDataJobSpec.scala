@@ -343,4 +343,15 @@ class TrainingDataJobSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(fresh != drawn.toSet, "a fresh seed is a fresh draw")
   }
+
+  test("pre-flight gate: a clean drop curates; a dup-id drop stops loudly") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    assert(TrainingDataJob.runChecked(docs).count() > 0)
+    // duplicated doc_id: the replace-by-doc state contract is void
+    val dup = docs.unionByName(docs.limit(1))
+    val e = intercept[IllegalStateException] {
+      TrainingDataJob.runChecked(dup)
+    }
+    assert(e.getMessage.contains("unique(doc_id)"), e.getMessage)
+  }
 }
