@@ -1390,6 +1390,92 @@ object Similarity {
           .otherwise(lit(0.0)), 4).as("clustering_coeff"))
   }
 
+  /** k-core membership over a self-kNN graph — iterative peeling on
+    * the undirected projection: each round drops nodes with fewer
+    * than `k` surviving undirected neighbors, and what remains after
+    * convergence is the k-core (the unique maximal subgraph of
+    * minimum degree k). On a corpus graph this is the density tier
+    * BELOW [[knnClusteringCoeff]]'s triangle signal: core members
+    * sit inside large mutually-connected regions (boilerplate
+    * families, template floods — candidates for aggressive dedup or
+    * downsampling), peeled nodes are the long tail.
+    *
+    * `rounds` is a FIXED iteration count (the [[knnCentrality]]
+    * oracle discipline: the SQL oracle unrolls exactly `rounds`
+    * CTEs, so the output hash-matches whether or not the peel has
+    * converged — peeling converges in a handful of rounds on kNN
+    * graphs, and `in_kcore` is exact once stable). Same execution
+    * split as the other graph iterations: driver-local below
+    * `localIterThreshold` edges, one degree-aggregation job per
+    * round (lineage truncated) beyond it.
+    *
+    * Output: (idOut, in_kcore, drop_round) — one row per node of the
+    * undirected graph; drop_round = the peel round (1-based) that
+    * removed the node, 0 for core members. Peel depth is the useful
+    * scalar even when the core is empty: an isotropic corpus (this
+    * fixture) has NO dense core — everything cascades out in a few
+    * rounds — and how LONG a node survives the cascade still orders
+    * nodes by local embedding density.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 10,
+      idOut: String = "vec_id",
+      localIterThreshold: Long = 100000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = edges.select(least(col("qid"), col("nid")).as("a"),
+        greatest(col("qid"), col("nid")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    if (sym.count() <= localIterThreshold) {
+      val e = sym.orderBy("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+      var alive = nodes.toSet
+      val dropRound = scala.collection.mutable.HashMap[Long, Int]()
+      for (i <- 1 to rounds) {
+        val deg = scala.collection.mutable.HashMap[Long, Int]()
+        e.foreach { case (a, b) =>
+          if (alive(a) && alive(b)) {
+            deg(a) = deg.getOrElse(a, 0) + 1
+            deg(b) = deg.getOrElse(b, 0) + 1
+          }
+        }
+        val next = alive.filter(n => deg.getOrElse(n, 0) >= k)
+        (alive -- next).foreach(n => dropRound(n) = i)
+        alive = next
+      }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      nodes.map(n => (n, alive(n), dropRound.getOrElse(n, 0))).toSeq
+        .toDF(idOut, "in_kcore", "drop_round")
+    } else {
+      // one degree aggregation per round over the surviving subgraph;
+      // newly-peeled nodes accumulate with their round — every frame
+      // in play is (id, int)-narrow, lineage truncated per round
+      val adj = sym.select(col("a").as("v"), col("b").as("w"))
+        .unionByName(sym.select(col("b").as("v"), col("a").as("w")))
+        .localCheckpoint(true)
+      val nodes = adj.select("v").distinct().localCheckpoint(true)
+      var alive = nodes
+      var dropped = nodes.limit(0).withColumn("drop_round", lit(0))
+      for (i <- 1 to rounds) {
+        val next = adj
+          .join(alive, Seq("v"), "left_semi")
+          .join(alive.select(col("v").as("w")), Seq("w"), "left_semi")
+          .groupBy("v").agg(count(lit(1)).as("__d"))
+          .filter(col("__d") >= k).select("v")
+          .localCheckpoint(true)
+        dropped = dropped.unionByName(
+          alive.join(next, Seq("v"), "left_anti")
+            .withColumn("drop_round", lit(i)))
+          .localCheckpoint(true)
+        alive = next
+      }
+      nodes.join(dropped, Seq("v"), "left")
+        .select(col("v").as(idOut),
+          col("drop_round").isNull.as("in_kcore"),
+          coalesce(col("drop_round"), lit(0)).as("drop_round"))
+    }
+  }
+
   /** Per-label embedding centroids in long format (label, dim, mean) —
     * the embedding-analytics primitive behind classifier
     * initialization, per-domain corpus embeddings, and drift checks

@@ -835,6 +835,44 @@ object ExtQueries {
           "vec_id", "embedding", k = 5))
     },
 
+    "graph_kcore" -> QueryDef(
+      doc = "k-core peel over the exact self-kNN graph (k=6, 10 fixed rounds): per node, core membership and the peel round that removed it — peel depth orders nodes by local embedding density even when (as on this isotropic fixture) the cascade empties the core; fixed rounds so the oracle unrolls the identical iteration (MATERIALIZED CTEs — each step references its predecessor twice)",
+      oracle = {
+        val steps = (1 to 10).map { i =>
+          s"""
+        s$i AS MATERIALIZED (SELECT l.v FROM adj l
+             JOIN s${i - 1} x ON l.v = x.v
+             JOIN s${i - 1} y ON l.w = y.v
+             GROUP BY l.v HAVING count(*) >= 6)"""
+        }.mkString(",")
+        val present = (1 to 10).map(i =>
+          s"(CASE WHEN s$i.v IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+        val joins = (1 to 10).map(i =>
+          s"LEFT JOIN s$i ON n0.v = s$i.v").mkString(" ")
+        s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        g AS MATERIALIZED (SELECT qid, nid FROM (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                FROM scored) WHERE rank <= 5),
+        sym AS MATERIALIZED (SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b FROM g),
+        adj AS MATERIALIZED (SELECT a AS v, b AS w FROM sym UNION ALL SELECT b AS v, a AS w FROM sym),
+        n0 AS MATERIALIZED (SELECT DISTINCT v FROM adj),
+        s0 AS MATERIALIZED (SELECT v FROM n0),$steps
+        SELECT n0.v AS vec_id,
+               ($present) = 10 AS in_kcore,
+               CAST(CASE WHEN ($present) = 10 THEN 0
+                    ELSE ($present) + 1 END AS INTEGER) AS drop_round
+        FROM n0 $joins"""
+      }) { (s, dir) =>
+      Similarity.kCore(
+        Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 5),
+        k = 6, rounds = 10)
+    },
+
     "quality_model_gate" -> QueryDef(
       doc = "model-based quality scoring gate (L-BFGS training is iterative, not SQL-expressible — the text_bpe_gate pattern): the classifier trained on the rule gate's weak labels must emit calibrated probabilities in [0,1], separate rule-positive from rule-negative docs by >= 0.2 mean probability, agree with the weak labels on >= 80% of docs, and reach training AUC >= 0.9",
       oracle = "SELECT CAST(1 AS INTEGER) AS probs_ok, CAST(1 AS INTEGER) AS separable_ok, CAST(1 AS INTEGER) AS agree_ok, CAST(1 AS INTEGER) AS auc_ok") { (s, dir) =>

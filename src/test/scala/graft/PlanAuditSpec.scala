@@ -393,6 +393,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(count(p, "PushedFilters: \\[[^\\]]") == 2, p)
   }
 
+  test("dq_checks_by_day: the whole battery rides ONE group exchange") {
+    val p = plan("dq_checks_by_day")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("eval_classification: predictor runs once — metrics read the checkpoint, no NLJ") {
+    val p = plan("eval_classification")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 5, p)
+  }
+
   test("graph_clustering: every join is key-partitioned hash — no all-pairs NLJ") {
     val p = plan("graph_clustering")
     assert(!p.contains("BroadcastNestedLoopJoin") &&

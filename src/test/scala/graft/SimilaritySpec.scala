@@ -521,6 +521,22 @@ class SimilaritySpec extends SparkSpec {
       (4L, 1L, 0L, 0.0)))             // degree < 2 → 0 by contract
   }
 
+  test("kCore: cascade peel on a hand-built graph; local ≡ distributed") {
+    // triangle 1-2-3 (the 2-core) + path 3-4-5 (peels outside-in)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("qid", "nid")
+    val local = Similarity.kCore(edges, k = 2, rounds = 5)
+      .as[(Long, Boolean, Int)].collect().sortBy(_._1)
+    assert(local.toSeq == Seq(
+      (1L, true, 0), (2L, true, 0), (3L, true, 0),
+      (4L, false, 2),   // degree 2 until 5 peels, then cascades
+      (5L, false, 1)))  // degree 1 from the start
+    val dist = Similarity.kCore(edges, k = 2, rounds = 5,
+        localIterThreshold = 0L)
+      .as[(Long, Boolean, Int)].collect().sortBy(_._1)
+    assert(dist.toSeq == local.toSeq)
+  }
+
   test("knnClusteringCoeff: reciprocal edges collapse; maxDegree drops hubs only") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 4L))
       .toDF("qid", "nid")
