@@ -71,6 +71,51 @@ object Eval {
       round(avg(col("ndcg_at_k")), 4).as("mean_ndcg"),
       count(lit(1)).as("n_queries"))
 
+  /** Graded-relevance rank metrics — the TREC-style extension of
+    * [[rankMetrics]]: judgments carry an integer gain (2 = highly
+    * relevant, 1 = partially, unjudged = 0) instead of a binary
+    * flag, and nDCG weights each hit by its gain. Per judged qid:
+    * `dcg_at_k` = Σ gain/log2(rank+1) over the top-k hits,
+    * `ndcg_at_k` against the ideal ordering (all judged docs sorted
+    * by gain descending, packed at ranks 1..k), `n_rel` = judged
+    * docs. Same qid-keyed scale shape and 4dp-rounding discipline as
+    * the binary metrics (≤ k terms per sum keeps cross-engine ulp
+    * drift below the quantum); duplicate inputs dedup defensively —
+    * results to best rank, judgments to max gain.
+    */
+  def rankMetricsGraded(
+      results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    def log2(c: org.apache.spark.sql.Column) =
+      log(c) / log(lit(2.0))
+    val topk = results.filter(col("rank") <= k)
+      .groupBy(col("qid"), col("nid")).agg(min(col("rank")).as("rank"))
+    val rel = qrels.groupBy(col("qid"), col("nid"))
+      .agg(max(col("gain")).as("gain"))
+      .localCheckpoint(true) // feeds the ideal AND the hit join
+    val ideal = rel.groupBy("qid")
+      .agg(count(lit(1)).as("n_rel"),
+        // fixed summation order: sort gains desc, walk the first k
+        aggregate(
+          slice(reverse(array_sort(collect_list(
+            col("gain").cast("double")))), 1, k),
+          struct(lit(0.0).as("s"), lit(1).as("i")),
+          (acc, g) => struct(
+            (acc.getField("s") + g /
+              log2(acc.getField("i").cast("double") + 1)).as("s"),
+            (acc.getField("i") + 1).as("i")),
+          acc => acc.getField("s")).as("idcg"))
+    val hits = topk.join(rel, Seq("qid", "nid"))
+      .groupBy("qid")
+      .agg(sum(col("gain").cast("double") /
+        log2(col("rank").cast("double") + 1)).as("dcg"))
+    ideal.join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        round(coalesce(col("dcg"), lit(0.0)), 4).as("dcg_at_k"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4)
+          .as("ndcg_at_k"),
+        col("n_rel"))
+  }
+
   /** Per-class classification metrics from (true, pred) pairs — the
     * evaluation companion to the label predictors ([[Similarity
     * .knnPredict]], [[Similarity.labelPropagation]], the quality

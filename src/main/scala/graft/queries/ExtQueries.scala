@@ -415,6 +415,48 @@ object ExtQueries {
       graft.operators.Eval.rankMetrics(res, qrels, k = 10)
     },
 
+    "eval_retrieval_graded" -> QueryDef(
+      doc = "graded-relevance nDCG@10 (TREC-style): judgments carry gain 2 for same-label corpus docs and 1 for same-coarse-class (label mod 5), so highly-relevant hits at the top are worth more than partial matches — the metric binary recall can't see; same qid-keyed shape as eval_retrieval",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        q AS (SELECT vec_id, v, label FROM e WHERE vec_id < 10),
+        c AS (SELECT vec_id, v, label FROM e WHERE vec_id >= 10),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b),
+        topk AS (SELECT qid, nid, rank FROM (
+                   SELECT qid, nid,
+                          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                   FROM scored) WHERE rank <= 10),
+        rel AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                       CASE WHEN q.label = c.label THEN 2 ELSE 1 END AS gain
+                FROM q JOIN c ON (q.label % 5) = (c.label % 5)),
+        nrel AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+        ideal AS (SELECT qid, sum(gain * 1.0 / log2(rn + 1)) AS idcg FROM (
+                    SELECT qid, gain,
+                           row_number() OVER (PARTITION BY qid ORDER BY gain DESC, nid) AS rn
+                    FROM rel) WHERE rn <= 10 GROUP BY 1),
+        hits AS (SELECT t.qid, sum(r.gain * 1.0 / log2(t.rank + 1)) AS dcg
+                 FROM topk t JOIN rel r ON t.qid = r.qid AND t.nid = r.nid
+                 GROUP BY 1)
+        SELECT n.qid,
+               round(coalesce(h.dcg, 0), 4) AS dcg_at_k,
+               round(coalesce(h.dcg, 0) / i.idcg, 4) AS ndcg_at_k,
+               CAST(n.n_rel AS BIGINT) AS n_rel
+        FROM nrel n JOIN ideal i ON n.qid = i.qid
+        LEFT JOIN hits h ON n.qid = h.qid""") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val c = e.filter(col("vec_id") >= 10)
+      val res = Similarity.bruteForceTopK(
+        corpus = c, queries = q, idCol = "vec_id", vecCol = "embedding", k = 10)
+      val qrels = q.select(col("vec_id").as("qid"), col("label").as("ql"))
+        .join(c.select(col("vec_id").as("nid"), col("label").as("cl")),
+          col("ql") % 5 === col("cl") % 5)
+        .select(col("qid"), col("nid"),
+          when(col("ql") === col("cl"), 2).otherwise(1).as("gain"))
+      graft.operators.Eval.rankMetricsGraded(res, qrels, k = 10)
+    },
+
     "ann_topk_lsh" -> QueryDef.noOracle(
       doc = "LSH-bucketed ANN top-5 (8-bit hyperplane buckets, multi-probe) — recall<1 by design; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")

@@ -288,6 +288,27 @@ class CurationOpsSpec extends SparkSpec {
       (3, 1L, 0.3, 0.3)))
   }
 
+  test("rankMetricsGraded: hand-computed graded DCG; ideal ranking scores 1") {
+    // q1: judged {(10, gain 2), (11, gain 1), (12, gain 2)}; system
+    // ranks 11 (gain 1) first, then 10 (gain 2) — a binary metric
+    // sees two hits either way, graded nDCG penalizes the order
+    val results = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 99L, 3),
+      (2L, 20L, 1)).toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 10L, 2), (1L, 11L, 1), (1L, 12L, 2),
+      (2L, 20L, 2)).toDF("qid", "nid", "gain")
+    val m = Eval.rankMetricsGraded(results, qrels, k = 3)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    val log2 = (x: Double) => math.log(x) / math.log(2.0)
+    // q1 dcg = 1/log2(2) + 2/log2(3); idcg = 2 + 2/log2(3) + 1/log2(4)
+    val dcg1 = 1.0 / log2(2) + 2.0 / log2(3)
+    val idcg1 = 2.0 + 2.0 / log2(3) + 1.0 / log2(4)
+    assert(m(0)._1 == 1L && m(0)._4 == 3L)
+    assert(math.abs(m(0)._2 - dcg1) < 1e-3 &&
+      math.abs(m(0)._3 - dcg1 / idcg1) < 1e-3, m(0).toString)
+    // q2: the single judged doc at rank 1 — perfect graded ranking
+    assert(m(1) == ((2L, 2.0, 1.0, 1L)))
+  }
+
   test("classificationMetrics: hand-computed confusion, one-sided classes") {
     // true: A A A B B C ; pred: A B A B B D
     val preds = Seq(("A", "A"), ("A", "B"), ("A", "A"),
