@@ -117,6 +117,19 @@ object Incremental {
         col("valid_to").isNull.as("is_current"), col("n_events"))
   }
 
+  /** Dimension state as of instant `at` — the half-open interval
+    * filter over an SCD2 history ([[scd2History]] output): the
+    * version with valid_from ≤ at < valid_to (open versions match
+    * any at ≥ valid_from). Zero-length versions (valid_from ==
+    * valid_to, a same-instant change) never match, consistent with
+    * [[graft.queries.RefQueries]] q45's as-of lookup. One narrow
+    * filter — at scale this is a partition-prunable predicate when
+    * the history is stored partitioned by a valid_from coarsening.
+    */
+  def scd2At(history: DataFrame, at: java.sql.Timestamp): DataFrame =
+    history.filter(col("valid_from") <= lit(at) &&
+      (col("valid_to").isNull || col("valid_to") > lit(at)))
+
   /** Incremental SCD2 — [[scd2History]]'s delta twin: fold a tick of
     * NEW events (per key, all later than every event already folded —
     * the bookmark contract [[changedSince]] enforces) into persisted

@@ -143,6 +143,25 @@ class IncrementalSpec extends SparkSpec {
     assertSameRows(merged, full)
   }
 
+  test("scd2At: snapshot picks exactly one version per key; edges half-open") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 2L, "B"),
+      (2L, ts("2024-01-05 00:00:00"), 3L, "X")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val hist = Incremental.scd2History(ev, "user_id", "ts", "event_id",
+      "event_type")
+    def stateAt(s: String) = Incremental.scd2At(hist, ts(s))
+      .select("user_id", "event_type").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(stateAt("2024-01-02 00:00:00") == Seq((1L, "A")))
+    // boundary instant: the NEW version owns it (half-open intervals)
+    assert(stateAt("2024-01-03 00:00:00") == Seq((1L, "B")))
+    assert(stateAt("2024-01-06 00:00:00") == Seq((1L, "B"), (2L, "X")))
+    // before any event: empty state
+    assert(stateAt("2023-12-31 00:00:00").isEmpty)
+  }
+
   test("scd2History: nullable attribute — consecutive nulls are ONE version") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1L, Some("A")),
