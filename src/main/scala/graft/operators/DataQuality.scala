@@ -86,8 +86,7 @@ object DataQuality {
       minPassRate: Double = 1.0): DataFrame = {
     val dupRows = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__k"))
-      .agg(count(lit(1)).as("__groups"),
-        coalesce(sum(when(col("__k") > 1, col("__k"))), lit(0L)).as("__dup"),
+      .agg(coalesce(sum(when(col("__k") > 1, col("__k"))), lit(0L)).as("__dup"),
         coalesce(sum(col("__k")), lit(0L)).as("__n"))
     finish(dupRows.select(
       lit(s"unique(${keyCols.mkString(",")})").as("rule"),
@@ -153,13 +152,18 @@ object DataQuality {
     */
   def uniqueApprox(df: DataFrame, keyCols: Seq[String],
       minPassRate: Double = 0.95, lgK: Int = 12): DataFrame = {
-    // xxhash64 over the tuple: type- and null-aware multi-column key
-    // in one codegen'd expression (a string concat would alias
-    // ("ab","c") with ("a","bc")); the 2^-64 hash-collision mass is
-    // noise next to the sketch's own rsd
+    // xxhash64 over the tuple: type-aware multi-column key in one
+    // codegen'd expression (a string concat would alias ("ab","c")
+    // with ("a","bc")). xxhash64 SKIPS null inputs, so keys differing
+    // only in which column is null — ('a',null) vs (null,'a') — would
+    // collide; the per-column isnull flags (booleans, never null)
+    // restore the distinction exact unique() makes. The 2^-64
+    // hash-collision mass is noise next to the sketch's own rsd.
     val counts = df.agg(count(lit(1)).as("__n"),
       hll_sketch_estimate(
-        hll_sketch_agg(xxhash64(keyCols.map(col): _*), lit(lgK))).as("__nd"))
+        hll_sketch_agg(xxhash64(
+          (keyCols.map(col) ++ keyCols.map(c => isnull(col(c)))): _*),
+          lit(lgK))).as("__nd"))
     finish(counts.select(
       lit(s"approx_unique(${keyCols.mkString(",")})").as("rule"),
       col("__n").as("n_rows"),

@@ -111,7 +111,10 @@ object Eval {
     ideal.join(hits, Seq("qid"), "left")
       .select(col("qid"),
         round(coalesce(col("dcg"), lit(0.0)), 4).as("dcg_at_k"),
-        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 4)
+        // idcg=0 is legal input (TREC qrels routinely carry queries
+        // whose judged rows are all gain 0): ndcg is 0, not null
+        round(when(col("idcg") === 0, lit(0.0))
+          .otherwise(coalesce(col("dcg"), lit(0.0)) / col("idcg")), 4)
           .as("ndcg_at_k"),
         col("n_rel"))
   }

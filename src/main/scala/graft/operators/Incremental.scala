@@ -205,7 +205,7 @@ object Incremental {
       case Some(ts) =>
         val latest =
           if (tsCols.size == 1) col(tsCols.head)
-          else greatest(tsCols.map(c => coalesce(col(c), lit(null))): _*)
+          else greatest(tsCols.map(col): _*)
         df.filter(latest > lit(ts))
     }
 
@@ -236,7 +236,8 @@ final class BookmarkStore(path: String) {
     } else None
 
   def write(ts: java.sql.Timestamp): Unit = {
-    Files.createDirectories(p.getParent)
+    // a bare relative filename has a null getParent — nothing to create
+    Option(p.getParent).foreach(Files.createDirectories(_))
     Files.write(p, ts.toString.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }

@@ -495,10 +495,12 @@ object ExtQueries {
     },
 
     "embedding_pca" -> QueryDef.noOracle(
-      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles) — eigensolve not SQL-expressible → rows-only; every model/projection identity hash-gated in pca_gate") { (s, dir) =>
+      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles) — eigensolve not SQL-expressible → rows-only; every model/projection identity hash-gated in pca_gate. Output is posexploded to scalar (vec_id, component, value) rows — a driver checker can sort/hash scalars but not array columns") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val model = graft.operators.Pca.fit(e, "embedding", k = 16)
       graft.operators.Pca.project(e, "vec_id", "embedding", model)
+        .select(col("vec_id"),
+          posexplode(col("pca")).as(Seq("component", "value")))
     },
 
     "pca_gate" -> QueryDef(

@@ -105,10 +105,15 @@ object EtlStreaming {
         val (history, mark) =
           if (exists) {
             val st = spark.read.parquet(storePath)
+            // cast-to-long on BOTH mark reads: an IntegerType order
+            // column (a plain int event id) would otherwise throw
+            // ClassCastException in getLong and kill the stream at
+            // the first tick
             (st.drop("__max_ord"),
-              st.agg(max(col("__max_ord"))).head().getLong(0))
+              st.agg(max(col("__max_ord").cast("long"))).head().getLong(0))
           } else (batch.limit(0), Long.MinValue)
-        val fresh = batch.filter(col(ordCol) > mark).localCheckpoint(true)
+        val fresh = batch.filter(col(ordCol).cast("long") > mark)
+          .localCheckpoint(true)
         if (!fresh.isEmpty) {
           val folded =
             if (exists)
@@ -117,7 +122,8 @@ object EtlStreaming {
             else
               graft.operators.Incremental.scd2History(fresh,
                 keyCol, tsCol, ordCol, attrCol)
-          val newMark = fresh.agg(max(col(ordCol))).head().getLong(0)
+          val newMark =
+            fresh.agg(max(col(ordCol).cast("long"))).head().getLong(0)
           val stamped = folded.withColumn("__max_ord", lit(newMark))
           if (exists)
             // the staging write reads the still-intact store, then a

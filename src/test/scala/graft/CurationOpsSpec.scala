@@ -309,6 +309,17 @@ class CurationOpsSpec extends SparkSpec {
     assert(m(1) == ((2L, 2.0, 1.0, 1L)))
   }
 
+  test("rankMetricsGraded: all-gain-0 query yields ndcg 0, not null") {
+    // TREC qrels routinely carry judged-nonrelevant gain-0 rows; a
+    // query where EVERY judged row is gain 0 has idcg=0 — ndcg must
+    // come back 0 (the divide-by-zero guard), never null
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "nid", "rank")
+    val qrels = Seq((1L, 10L, 0), (1L, 11L, 0)).toDF("qid", "nid", "gain")
+    val m = Eval.rankMetricsGraded(results, qrels, k = 3)
+      .as[(Long, Double, Double, Long)].collect().toSeq
+    assert(m == Seq((1L, 0.0, 0.0, 2L)))
+  }
+
   test("classificationMetrics: hand-computed confusion, one-sided classes") {
     // true: A A A B B C ; pred: A B A B B D
     val preds = Seq(("A", "A"), ("A", "B"), ("A", "A"),

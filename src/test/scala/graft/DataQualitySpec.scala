@@ -90,6 +90,22 @@ class DataQualitySpec extends SparkSpec {
     assert(math.abs(da._3 - 10000L) <= 1500, s"approx violations ${da._3}")
   }
 
+  test("uniqueApprox distinguishes keys differing only in null position") {
+    // regression: xxhash64 skips null inputs, so ('a',null) and
+    // (null,'a') hashed identically and deflated the estimate; the
+    // per-column isnull flags restore the distinction exact unique()
+    // makes. 4000 rows of each pattern, all distinct pairwise →
+    // distinct ≈ 8000, violations ≈ 0 (within sketch rsd).
+    val nullish = spark.range(0, 4000)
+      .select(concat(lit("v"), col("id")).as("a"), lit(null: String).as("b"))
+      .unionByName(spark.range(0, 4000)
+        .select(lit(null: String).as("a"), concat(lit("v"), col("id")).as("b")))
+    val r = DataQuality.uniqueApprox(nullish, Seq("a", "b"), minPassRate = 0.9)
+      .as[(String, Long, Long, Double, Boolean)].head()
+    assert(r._5, s"null-position keys must not collide: $r")
+    assert(r._3 <= 800, s"violations ${r._3} exceed sketch noise")
+  }
+
   test("mergeReports ≡ one full check across any delta split") {
     val rules = Seq(
       DataQuality.notNull("score"),

@@ -150,6 +150,29 @@ class EtlStreamingSpec extends SparkSpec {
     assert(siblings == Seq("scd2"), s"leftovers: $siblings")
   }
 
+  test("scd2Ticks: IntegerType order column survives the mark round-trip") {
+    // regression: the mark reads used getLong directly, which threw
+    // ClassCastException on an int event id at the FIRST STORE READ
+    // (tick 2) — both mark aggregates now cast to long first
+    val storePath = Files.createTempDirectory("scd2int")
+      .resolve("scd2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Int, String)]
+    val q = EtlStreaming.scd2Ticks(
+      mem.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      storePath, "user_id", "ts", "event_id", "event_type",
+      interval = "0 seconds").start()
+    try {
+      mem.addData((1L, ts("2024-01-01 10:00:00"), 1, "A"))
+      q.processAllAvailable()
+      mem.addData((1L, ts("2024-02-01 10:00:00"), 2, "B"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = spark.read.parquet(storePath)
+    assert(hist.count() == 2 &&
+      hist.filter(col("is_current")).count() == 1)
+  }
+
   test("partitioned store: a tick rewrites only the months its encounters touch") {
     // 100 TB shape: flat store partitioned by visit month; tick 2
     // changes only January encounters, so February's directory must

@@ -80,6 +80,12 @@ class IncrementalSpec extends SparkSpec {
     assert(store.read().contains(ts("2024-05-05 12:34:56")))
     store.write(ts("2024-06-06 01:02:03")) // overwrite
     assert(store.read().contains(ts("2024-06-06 01:02:03")))
+    // bare relative filename: getParent is null — write must not NPE
+    val bare = new BookmarkStore("graft-bm-bare.txt")
+    try {
+      bare.write(ts("2024-07-07 00:00:00"))
+      assert(bare.read().contains(ts("2024-07-07 00:00:00")))
+    } finally Files.deleteIfExists(java.nio.file.Paths.get("graft-bm-bare.txt"))
   }
 
   test("snapshotDiff classifies every id exactly once, all four ways") {
