@@ -21,11 +21,40 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
-  /** Default blocking key: the name's first whitespace token. Real
-    * deployments swap in soundex/prefix/sorted-neighborhood keys via
-    * the `blockKey` parameter — the plan shape is identical.
-    */
+  /** First blocking key: the name's first whitespace token. */
   def firstTokenBlock(name: Column): Column = split(name, " ").getItem(0)
+
+  /** Second blocking key: the first token MINUS its first character —
+    * the standard skip-char key that recovers pairs a typo in char 1
+    * hides from [[firstTokenBlock]] ("Widget Corp" / "Qidget Corp"
+    * share "idget"). Chosen over soundex because it is exactly
+    * replayable in ANSI SQL (the driver oracle's contract) with the
+    * same recall mechanism: any single-edit on char 1 lands both
+    * names in one block.
+    */
+  def skipFirstCharBlock(name: Column): Column =
+    substring(split(name, " ").getItem(0), 2, Int.MaxValue)
+
+  /** Default blocking: both keys unioned (each name is exploded into
+    * one candidate block per key; pairs found under several keys
+    * dedupe). Real deployments swap in soundex/prefix/sorted-
+    * neighborhood keys via the `blockKeys` parameter — the plan shape
+    * is identical for any key count.
+    */
+  val defaultBlocking: Seq[Column => Column] =
+    Seq(firstTokenBlock, skipFirstCharBlock)
+
+  /** One row per (name, blocking key): block values are namespaced by
+    * key index ("0:red", "1:ed") so distinct keys can never merge
+    * blocks by colliding values; a null key value (empty name)
+    * becomes the key's empty block rather than a dropped row.
+    */
+  private def explodeBlocks(
+      dict: DataFrame, blockKeys: Seq[Column => Column]): DataFrame =
+    dict.withColumn("block", explode(array(
+      blockKeys.zipWithIndex.map { case (k, i) =>
+        concat(lit(s"$i:"), coalesce(k(col("name")), lit("")))
+      }: _*)))
 
   /** Distinct-name dictionary with record support counts: (name,
     * n_records). The exact-match collapse that makes the fuzzy step's
@@ -35,20 +64,24 @@ object Linkage {
     df.groupBy(col(nameCol).as("name")).agg(count(lit(1)).as("n_records"))
 
   /** Fuzzy candidate pairs over the name dictionary: within each
-    * blocking-key group, all name pairs (name_a < name_b) with
-    * Levenshtein distance ≤ `maxDist`. A length-difference prefilter
-    * (|len a − len b| ≤ maxDist, a lower bound on edit distance) runs
-    * inside the join condition before the O(len²) Levenshtein does.
+    * blocking-key group (every key in `blockKeys`, unioned), all name
+    * pairs (name_a < name_b) with Levenshtein distance ≤ `maxDist`;
+    * a pair surfacing under several keys appears once. A length-
+    * difference prefilter (|len a − len b| ≤ maxDist, a lower bound
+    * on edit distance) runs inside the join condition before the
+    * O(len²) Levenshtein does.
     *
     * Blocks larger than `maxBlockSize` are dropped entirely (emitted
-    * by [[oversizedBlocks]] for audit): an unbounded hot block — think
-    * "" or "inc" — is the one way this plan goes quadratic at scale.
+    * by [[oversizedBlocks]] for audit), per key independently: an
+    * unbounded hot block — think "" or "inc" — is the one way this
+    * plan goes quadratic at scale, and one key's hot block must not
+    * sink the other key's coverage.
     */
   def fuzzyNamePairs(
       dict: DataFrame, maxDist: Int,
-      blockKey: Column => Column = firstTokenBlock,
+      blockKeys: Seq[Column => Column] = defaultBlocking,
       maxBlockSize: Option[Long] = None): DataFrame = {
-    val keyed = dict.withColumn("block", blockKey(col("name")))
+    val keyed = explodeBlocks(dict, blockKeys)
     val capped = maxBlockSize match {
       case None => keyed
       case Some(cap) =>
@@ -66,22 +99,25 @@ object Linkage {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("name_a"), col("name_b"), col("dist"), col("n_a"), col("n_b"))
+      .distinct() // dist/n_a/n_b are pair-determined → exact dedup
   }
 
   /** Blocks whose dictionary population exceeds `cap` — the audit
-    * output for [[fuzzyNamePairs]]' drop-and-log posture.
+    * output for [[fuzzyNamePairs]]' drop-and-log posture. Block
+    * values are key-index-namespaced ("0:inc", "1:nc") so the audit
+    * names which key went hot.
     */
   def oversizedBlocks(dict: DataFrame, cap: Long,
-      blockKey: Column => Column = firstTokenBlock): DataFrame =
-    dict.withColumn("block", blockKey(col("name")))
+      blockKeys: Seq[Column => Column] = defaultBlocking): DataFrame =
+    explodeBlocks(dict, blockKeys)
       .groupBy("block").agg(count(lit(1)).as("n_names"))
       .filter(col("n_names") > cap)
 
   /** End-to-end: records → dictionary → blocked fuzzy pairs. */
   def linkRecords(df: DataFrame, nameCol: String, maxDist: Int,
-      blockKey: Column => Column = firstTokenBlock,
+      blockKeys: Seq[Column => Column] = defaultBlocking,
       maxBlockSize: Option[Long] = None): DataFrame =
-    fuzzyNamePairs(nameDictionary(df, nameCol), maxDist, blockKey, maxBlockSize)
+    fuzzyNamePairs(nameDictionary(df, nameCol), maxDist, blockKeys, maxBlockSize)
 
   /** Entity resolution end-to-end: dictionary → fuzzy pairs →
     * connected components → canonical entity per fuzzy cluster.
@@ -94,10 +130,10 @@ object Linkage {
     * (name, entity, is_canonical, n_records).
     */
   def resolveEntities(df: DataFrame, nameCol: String, maxDist: Int,
-      blockKey: Column => Column = firstTokenBlock,
+      blockKeys: Seq[Column => Column] = defaultBlocking,
       maxBlockSize: Option[Long] = None): DataFrame = {
     val dict = nameDictionary(df, nameCol)
-    val pairs = fuzzyNamePairs(dict, maxDist, blockKey, maxBlockSize)
+    val pairs = fuzzyNamePairs(dict, maxDist, blockKeys, maxBlockSize)
     DedupCluster.connectedComponents(dict, pairs,
         idCol = "name", aCol = "name_a", bCol = "name_b")
       .join(dict, Seq("name"))
@@ -142,13 +178,13 @@ object Linkage {
   def linkDelta(
       priorDict: DataFrame, priorLabels: DataFrame,
       delta: DataFrame, nameCol: String, maxDist: Int,
-      blockKey: Column => Column = firstTokenBlock,
+      blockKeys: Seq[Column => Column] = defaultBlocking,
       maxBlockSize: Option[Long] = None): DataFrame = {
     val merged = mergeDictionary(priorDict, delta, nameCol)
       .localCheckpoint(true) // feeds cap + both join sides + output
     val newNames = merged.join(priorDict.select("name"), Seq("name"),
       "left_anti").select("name")
-    val keyed = merged.withColumn("block", blockKey(col("name")))
+    val keyed = explodeBlocks(merged, blockKeys)
     val capped = maxBlockSize match {
       case None => keyed
       case Some(cap) =>

@@ -264,11 +264,13 @@ object ExtQueries {
     },
 
     "linkage_blocked" -> QueryDef(
-      doc = "entity resolution: records → distinct-name dictionary (+support) → blocked fuzzy pairs, Levenshtein ≤3 within first-token blocks (length-delta prefilter)",
+      doc = "entity resolution: records → distinct-name dictionary (+support) → blocked fuzzy pairs, Levenshtein ≤3 within the UNION of two blocking keys — first token AND first-token-minus-first-char (the skip-char key that recovers char-1-typo pairs the first key can never see), pairs deduped across keys (length-delta prefilter inside the join)",
       oracle = """
         WITH d AS (SELECT p_name AS name, count(*) AS n_records FROM part GROUP BY 1),
-        k AS (SELECT name, n_records, split_part(name, ' ', 1) AS block FROM d)
-        SELECT a.name AS name_a, b.name AS name_b,
+        k AS (SELECT name, n_records, '0:' || split_part(name, ' ', 1) AS block FROM d
+              UNION ALL
+              SELECT name, n_records, '1:' || substr(split_part(name, ' ', 1), 2) AS block FROM d)
+        SELECT DISTINCT a.name AS name_a, b.name AS name_b,
                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist,
                a.n_records AS n_a, b.n_records AS n_b
         FROM k a JOIN k b
@@ -284,8 +286,10 @@ object ExtQueries {
       oracle = """
         WITH RECURSIVE
         dict AS (SELECT p_name AS name, count(*) AS n_records FROM part GROUP BY 1),
-        k AS (SELECT name, n_records, split_part(name, ' ', 1) AS block FROM dict),
-        pairs AS (SELECT a.name AS na, b.name AS nb
+        k AS (SELECT name, n_records, '0:' || split_part(name, ' ', 1) AS block FROM dict
+              UNION ALL
+              SELECT name, n_records, '1:' || substr(split_part(name, ' ', 1), 2) AS block FROM dict),
+        pairs AS (SELECT DISTINCT a.name AS na, b.name AS nb
                   FROM k a JOIN k b
                     ON a.block = b.block AND a.name < b.name
                    AND abs(length(a.name) - length(b.name)) <= 3

@@ -86,6 +86,45 @@ object RefQueries {
            n_events
     FROM runs"""
 
+  /** The reference README's reports.json block EXACTLY as published
+    * (reference README.md:289-330) — MySQL dialect, bare
+    * stored-procedure-style param identifiers and all; also quoted in
+    * MambaLifecycleSpec. report_verbatim serves it from a persisted
+    * analysis store.
+    */
+  private val verbatimReportsJson = """
+    {
+      "report_definitions": [
+        {
+          "report_name": "MCH Mother HIV Status",
+          "report_id": "mother_hiv_status",
+          "report_sql": {
+            "sql_query": "SELECT pm.hiv_test_result AS hiv_test_result FROM mamba_flat_encounter_pmtct_anc pm INNER JOIN mamba_dim_person p ON pm.client_id = p.person_id WHERE p.uuid = person_uuid AND pm.ptracker_id = ptracker_id",
+            "query_params": [
+              { "name": "ptracker_id", "type": "VARCHAR(255)" },
+              { "name": "person_uuid", "type": "VARCHAR(255)" }
+            ]
+          }
+        },
+        {
+          "report_name": "MCH Total Deliveries",
+          "report_id": "total_deliveries",
+          "report_sql": {
+            "sql_query": "SELECT COUNT(*) AS total_deliveries FROM mamba_dim_encounter e inner join mamba_dim_encounter_type et on e.encounter_type = et.encounter_type_id WHERE et.uuid = '6dc5308d-27c9-4d49-b16f-2c5e3c759757' AND DATE(e.encounter_datetime) > CONCAT(YEAR(CURDATE()), '-01-01 00:00:00')",
+            "query_params": []
+          }
+        },
+        {
+          "report_name": "MCH HIV-Exposed Infants",
+          "report_id": "total_hiv_exposed_infants",
+          "report_sql": {
+            "sql_query": "SELECT COUNT(DISTINCT ei.infant_client_id) AS total_hiv_exposed_infants FROM mamba_fact_pmtct_exposedinfants ei INNER JOIN mamba_dim_person p ON ei.infant_client_id = p.person_id WHERE ei.encounter_datetime BETWEEN DATE_FORMAT(NOW(), '%Y-01-01') AND NOW() AND birthdate BETWEEN DATE_FORMAT(NOW(), '%Y-01-01') AND NOW()",
+            "query_params": []
+          }
+        }
+      ]
+    }"""
+
   private lazy val reports: ReportRegistry = {
     val in = getClass.getResourceAsStream("/reports.json")
     val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -988,6 +1027,115 @@ object RefQueries {
         ev.filter(col("event_type") === "purchase")
           .select("event_id", "user_id", "ts"),
         hist, keys = Seq("user_id"), leftTs = "ts", rightTs = "valid_from")
+    },
+
+    "q46_scd2_snapshot" -> QueryDef(
+      doc = "dimension snapshot AT an instant — scd2At's half-open interval filter over the full SCD2 history (version with valid_from ≤ at < valid_to; open versions match any at ≥ valid_from): the warehouse 'state of the world as of' query; one narrow filter over the history build, partition-prunable on a valid_from coarsening at scale",
+      oracle = s"""
+        WITH hist AS ($scd2OracleSql)
+        SELECT * FROM hist
+        WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+          AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00')""") { (s, dir) =>
+      Incremental.scd2At(
+        Incremental.scd2History(t(s, dir, "events"),
+          "user_id", "ts", "event_id", "event_type"),
+        java.sql.Timestamp.valueOf("2024-01-20 00:00:00"))
+    },
+
+    "report_verbatim" -> QueryDef(
+      doc = "the reference's three PUBLISHED reports.json entries (README.md:289-330, MySQL dialect and bare stored-procedure params untouched) run against a PERSISTED analysis store: OpenMRS-shaped dims/flat/fact derived from events, written through AnalysisStore.writeFull, read back from parquet, registered, then served by ReportRegistry — the full E3 deploy-then-serve path as one driver row. Date-anchored rows are derived relative to current_date on BOTH engines (stable within a run day), so CURDATE()/NOW() anchoring stays deterministic",
+      oracle = """
+        WITH enc AS (
+          SELECT event_id AS encounter_id,
+                 CASE WHEN event_type = 'click' THEN 7 ELSE 8 END AS encounter_type,
+                 CAST(current_date - CAST(date_diff('day', CAST(ts AS DATE),
+                   DATE '2024-02-01') AS INTEGER) AS TIMESTAMP) AS encounter_datetime,
+                 event_type, user_id
+          FROM events),
+        persons AS (
+          SELECT DISTINCT user_id AS person_id,
+                 'p-' || CAST(user_id AS VARCHAR) AS uuid,
+                 CASE WHEN user_id % 3 = 0 THEN current_date - 1
+                      ELSE DATE '1990-01-15' END AS birthdate
+          FROM events),
+        anc AS (
+          SELECT DISTINCT user_id AS client_id,
+                 'PT-' || CAST(user_id AS VARCHAR) AS ptracker_id,
+                 CASE WHEN user_id % 2 = 0 THEN 'POSITIVE'
+                      ELSE 'NEGATIVE' END AS hiv_test_result
+          FROM events),
+        infants AS (
+          SELECT user_id AS infant_client_id, encounter_datetime
+          FROM enc WHERE event_type = 'purchase'),
+        r1 AS (
+          SELECT pm.hiv_test_result
+          FROM anc pm JOIN persons p ON pm.client_id = p.person_id
+          WHERE p.uuid = 'p-7' AND pm.ptracker_id = 'PT-7'),
+        r2 AS (
+          SELECT CAST(count(*) AS BIGINT) AS total_deliveries
+          FROM enc e JOIN (VALUES (7, '6dc5308d-27c9-4d49-b16f-2c5e3c759757'),
+                                  (8, 'other-uuid')) et(encounter_type_id, uuid)
+            ON e.encounter_type = et.encounter_type_id
+          WHERE et.uuid = '6dc5308d-27c9-4d49-b16f-2c5e3c759757'
+            AND e.encounter_datetime > CAST(make_date(CAST(year(current_date) AS INTEGER), 1, 1) AS TIMESTAMP)),
+        r3 AS (
+          SELECT CAST(count(DISTINCT ei.infant_client_id) AS BIGINT) AS total_hiv_exposed_infants
+          FROM infants ei JOIN persons p ON ei.infant_client_id = p.person_id
+          WHERE ei.encounter_datetime BETWEEN
+              CAST(make_date(CAST(year(current_date) AS INTEGER), 1, 1) AS TIMESTAMP) AND now()
+            AND p.birthdate BETWEEN
+              make_date(CAST(year(current_date) AS INTEGER), 1, 1) AND now())
+        SELECT * FROM r1, r2, r3""") { (s, dir) =>
+      import graft.sources.AnalysisStore
+      val ev = t(s, dir, "events")
+      // shift the fixture's fixed January-2024 window to "the ~31
+      // days ending the day before the run": CURDATE()/NOW()-anchored
+      // report predicates then bite identically in Spark and the
+      // same-day DuckDB replay
+      val shiftN = datediff(
+        lit(java.sql.Date.valueOf("2024-02-01")), to_date(col("ts")))
+      val enc = ev.select(
+        col("event_id").as("encounter_id"),
+        when(col("event_type") === "click", lit(7)).otherwise(lit(8))
+          .as("encounter_type"),
+        date_sub(current_date(), shiftN).cast("timestamp")
+          .as("encounter_datetime"),
+        col("event_type"), col("user_id"))
+      val persons = ev.select("user_id").distinct().select(
+        col("user_id").as("person_id"),
+        concat(lit("p-"), col("user_id")).as("uuid"),
+        when(col("user_id") % 3 === 0, date_sub(current_date(), 1))
+          .otherwise(lit(java.sql.Date.valueOf("1990-01-15"))).as("birthdate"))
+      val anc = ev.select("user_id").distinct().select(
+        col("user_id").as("client_id"),
+        concat(lit("PT-"), col("user_id")).as("ptracker_id"),
+        when(col("user_id") % 2 === 0, lit("POSITIVE"))
+          .otherwise(lit("NEGATIVE")).as("hiv_test_result"))
+      val encTypes = s.sql(
+        "SELECT 7 AS encounter_type_id, '6dc5308d-27c9-4d49-b16f-2c5e3c759757' AS uuid " +
+        "UNION ALL SELECT 8, 'other-uuid'")
+      val infants = enc.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("infant_client_id"),
+          col("encounter_datetime"))
+      // deploy: persist every table through the store, then serve the
+      // reports from the READ-BACK parquet (never the in-memory frames)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-verbatim-store").toString
+      Seq(
+        "mamba_dim_encounter" -> enc.drop("event_type", "user_id"),
+        "mamba_dim_person" -> persons,
+        "mamba_flat_encounter_pmtct_anc" -> anc,
+        "mamba_dim_encounter_type" -> encTypes,
+        "mamba_fact_pmtct_exposedinfants" -> infants
+      ).foreach { case (name, df) =>
+        AnalysisStore.writeFull(df, s"$store/$name")
+        AnalysisStore.read(s, s"$store/$name").createOrReplaceTempView(name)
+      }
+      val registry = ReportRegistry.fromJson(verbatimReportsJson)
+      registry.run(s, "mother_hiv_status",
+          Map("ptracker_id" -> "PT-7", "person_uuid" -> "p-7"))
+        .crossJoin(registry.run(s, "total_deliveries"))
+        .crossJoin(registry.run(s, "total_hiv_exposed_infants"))
     },
 
     "dq_checks" -> QueryDef(

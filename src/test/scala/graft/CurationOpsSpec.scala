@@ -92,11 +92,27 @@ class CurationOpsSpec extends SparkSpec {
       ("bb y", 1L)).toDF("name", "n_records")
     val capped = Linkage.fuzzyNamePairs(dict, maxDist = 2,
       maxBlockSize = Some(2L))
-    // block "aa" (3 names) dropped; block "bb" (2 names) kept
+    // blocks "0:aa"/"1:a" (3 names each) dropped; "0:bb"/"1:b" kept —
+    // the aa names fall out of BOTH keys' blocks, bb pairs dedupe
+    // across the two keys that both find them
     assert(capped.select("name_a").as[String].collect().forall(_.startsWith("bb")))
     val audit = Linkage.oversizedBlocks(dict, cap = 2L)
-      .as[(String, Long)].collect().toSeq
-    assert(audit == Seq(("aa", 3L)))
+      .as[(String, Long)].collect().toSeq.sorted
+    assert(audit == Seq(("0:aa", 3L), ("1:a", 3L)))
+  }
+
+  test("second blocking key links names a first-character typo separates") {
+    // "Widget Corp" / "Qidget Corp": dist 1, but first tokens differ
+    // in char 1 — the first-token key alone can NEVER pair them; the
+    // skip-first-char key puts both in block "idget"
+    val recs = Seq("Widget Corp", "Qidget Corp", "Widget Corp").toDF("name0")
+    val out = Linkage.linkRecords(recs, "name0", maxDist = 2)
+      .as[(String, String, Int, Long, Long)].collect().toSet
+    assert(out == Set(("Qidget Corp", "Widget Corp", 1, 1L, 2L)))
+    // and with only the first-token key, the pair is (by design) missed
+    val firstOnly = Linkage.linkRecords(recs, "name0", maxDist = 2,
+      blockKeys = Seq(Linkage.firstTokenBlock))
+    assert(firstOnly.isEmpty)
   }
 
   test("linkDelta ≡ full resolveEntities on the union; bridging delta merges old entities") {
