@@ -105,6 +105,17 @@ object TrainingDataJob {
       // corpus's counts via [[graft.streaming.TrainingStreaming
       // .readDsirModel]]. 0 = feature off.
       dsirBuckets: Int = 0,
+      // Topic-map state (streaming tier): > 0 maintains the corpus
+      // topic cartography ([[graft.operators.TextAnalysis
+      // .corpusTopics]]'s (topic, n_docs, term, rank, score) table)
+      // over the curated set as durable state — per-doc hashed
+      // vectors merge delta-only (the embedding is doc-local), and
+      // the map refits each tick as a pure function of the curated
+      // set under the same stage-and-swap commit point as the
+      // lexical/vector stores. 0 = feature off.
+      topicCount: Int = 0,
+      topicTerms: Int = 5,
+      topicBuckets: Int = 256,
       // Gopher rule battery (Rae et al. 2021 §A1.1) as an ADDITIONAL
       // stage-1 gate: word-count window, mean word length, symbol and
       // alpha ratios, ≥2 stopword hits ([[TextAnalysis.gopherRules]]).

@@ -357,10 +357,22 @@ object Similarity {
     */
   private def probeCells(
       queries: DataFrame, idCol: String, vecCol: String,
-      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame =
+    probesOfUnit(unitVectors(queries, idCol, vecCol, "qid", "qv"),
+      centroids, nProbe)
+
+  /** [[probeCells]] over ALREADY-normalized (qid, qv) rows — the
+    * entry point for index-resident vectors ([[knnGraphDelta]]):
+    * skipping the redundant renormalize keeps qv bit-identical to the
+    * full path's single l2Normalize, so 4dp-rounded cosines cannot
+    * drift across a rounding boundary between delta and full builds.
+    */
+  private def probesOfUnit(
+      unit: DataFrame, centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
     val nCentroids = centroids.length
     val dots = graft.functions.CentroidDots.column(col("qv"), centroids)
-    unitVectors(queries, idCol, vecCol, "qid", "qv")
+    unit
       .withColumn("probe", slice(
         array_sort(zip_with(dots, sequence(lit(0), lit(nCentroids - 1)),
           (d, i) => struct((-d).as("negd"), i.as("cid")))),
@@ -1166,6 +1178,86 @@ object Similarity {
       .filter(col("nid") =!= col("qid"))
       .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
     rankTopK(cands, k)
+  }
+
+  /** Incremental self-kNN graph — [[knnGraphFromIndex]]'s delta twin,
+    * the [[Dedup.minHashLshDelta]] pattern for the graph family: a
+    * tick of NEW vectors refreshes the maintained graph without
+    * re-running the corpus×corpus probe join. Result ≡ a full
+    * [[knnGraphFromIndex]] rebuild over the maintained index
+    * (spec-pinned), because top-k(C_full) = top-k(top-k(C_old) ∪
+    * C_delta) — the prior edges ARE top-k(C_old), and the delta
+    * candidates are exactly C_full's new members.
+    *
+    * Three delta-bounded pieces replace the full rebuild's
+    * corpus-scale shuffle:
+    *  1. new-query edges: the delta's probes BROADCAST against the
+    *     index (the serving-path plan — delta-sized probe, the
+    *     corpus never shuffles);
+    *  2. old-query updates: one NARROW corpus pass recomputes probe
+    *     cells (nCentroids dots/row, no exchange), keeps only rows
+    *     probing a cell the delta touched, and broadcast-joins the
+    *     delta-sized new index rows — emitting exactly the
+    *     delta-touching candidate pairs;
+    *  3. merge: affected queries re-rank (prior top-k ∪ new
+    *     candidates); untouched queries pass through by anti-join.
+    * Cost tracks |delta| × cell hit rate plus one narrow corpus
+    * scan — never |corpus|² and never a corpus-wide exchange.
+    *
+    * @param index      maintained FULL (nid, cv, cid) IVF index,
+    *                   delta rows already folded in (maintain first,
+    *                   probe second — the minHashLshDelta contract)
+    * @param priorEdges (qid, nid, rank, cos) graph before the tick
+    * @param deltaIds   one-column frame of the new vectors' ids
+    */
+  def knnGraphDelta(
+      index: DataFrame, centroids: Array[Array[Double]],
+      priorEdges: DataFrame, deltaIds: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val dIds = deltaIds.toDF("__did").localCheckpoint(true)
+    val deltaIndex = index
+      .join(broadcast(dIds), col("nid") === col("__did"), "left_semi")
+      .localCheckpoint(true) // feeds probes, cells, and candidates
+    val deltaCells = deltaIndex.select("cid").distinct()
+
+    // 1. the delta's own neighbor lists: delta-sized probes broadcast
+    // against the index — the ivfTopKFromIndex serving plan
+    val newProbes = probesOfUnit(
+      deltaIndex.select(col("nid").as("qid"), col("cv").as("qv")),
+      centroids, nProbe).select(col("qid"), col("qv"), col("cid"))
+    val newEdges = rankTopK(
+      index.join(broadcast(newProbes), Seq("cid"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cos",
+          round(VectorFunctions.dot(col("cv"), col("qv")), 4)),
+      k)
+
+    // 2. delta-touching candidates for OLD queries: recompute probe
+    // cells in one narrow pass, keep rows landing in a delta cell,
+    // pair with the broadcast delta index rows of that cell
+    val oldProbes = probesOfUnit(
+      index.join(broadcast(dIds), col("nid") === col("__did"), "left_anti")
+        .select(col("nid").as("qid"), col("cv").as("qv")),
+      centroids, nProbe)
+    val affCands = oldProbes
+      .join(broadcast(deltaCells), Seq("cid"))
+      .join(broadcast(deltaIndex.select(col("nid"), col("cid"), col("cv"))),
+        Seq("cid"))
+      .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+      .select(col("qid"), col("nid"), col("cos"))
+      .localCheckpoint(true) // feeds the affected-key split + merge
+
+    // 3. re-rank affected queries over (prior top-k ∪ new candidates);
+    // everything else passes through untouched
+    val affected = affCands.select("qid").distinct()
+    val merged = rankTopK(
+      priorEdges.join(affected, Seq("qid"), "left_semi")
+        .select(col("qid"), col("nid"), col("cos"))
+        .unionByName(affCands),
+      k)
+    priorEdges.join(affected, Seq("qid"), "left_anti")
+      .unionByName(merged)
+      .unionByName(newEdges)
   }
 
   /** PageRank centrality over a self-kNN graph: rank r(v) =

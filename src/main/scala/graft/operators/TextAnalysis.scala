@@ -90,6 +90,19 @@ object TextAnalysis {
     // map should unpersist via spark.catalog.clearCache at batch end)
     val vecs = hashEmbedDense(df, idCol, textCol, buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusTopicsFromVecs(df, vecs, idCol, textCol, nTopics, topTerms)
+  }
+
+  /** [[corpusTopics]] over PREBUILT (id, vec) document vectors — the
+    * streaming-maintenance entry point ([[graft.streaming
+    * .TrainingStreaming]] keeps the per-doc hashed vectors as durable
+    * state because [[hashEmbed]] is doc-local, so only a tick's delta
+    * ever re-embeds; the topic map refit is then a pure function of
+    * (vecs, docs) and byte-matches [[corpusTopics]] on the same set).
+    */
+  def corpusTopicsFromVecs(df: DataFrame, vecs: DataFrame,
+      idCol: String, textCol: String,
+      nTopics: Int = 8, topTerms: Int = 5): DataFrame = {
     val cents = Similarity.trainCentroids(vecs, idCol, "vec", nTopics)
     val assigned = Similarity.ivfAssign(vecs, idCol, "vec", cents)
       .select(col("nid").as("doc_id"), col("cid"))

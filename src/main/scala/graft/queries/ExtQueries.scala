@@ -779,6 +779,32 @@ object ExtQueries {
           .cast("int").as("knn_graph_ok"))
     },
 
+    "knn_graph_delta_gate" -> QueryDef(
+      doc = "incremental-graph gate: the graph maintained by knnGraphDelta (old corpus's prior edges + a 1-in-7 delta folded through delta-bounded probes) must EQUAL a full knnGraphFromIndex rebuild over the maintained index — edge-set equality both directions, plus a non-vacuity check that the delta actually changed the graph; the merge ≡ rebuild proof for the graph family",
+      oracle = "SELECT CAST(1 AS INTEGER) AS delta_eq_full, CAST(1 AS INTEGER) AS delta_changed_graph") { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val old = e.filter(col("vec_id") % 7 =!= 0)
+      val delta = e.filter(col("vec_id") % 7 === 0)
+      val centroids = Similarity.trainCentroids(old, "vec_id", "embedding",
+        nCentroids = 16, iters = 5)
+      val oldIndex = Similarity.ivfAssign(old, "vec_id", "embedding",
+        centroids).localCheckpoint(true)
+      val prior = Similarity.knnGraphFromIndex(oldIndex, centroids, old,
+        "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint(true)
+      val fullIndex = Similarity.ivfAssign(e, "vec_id", "embedding",
+        centroids).localCheckpoint(true)
+      val got = Similarity.knnGraphDelta(fullIndex, centroids, prior,
+        delta.select("vec_id"), k = 5, nProbe = 8).localCheckpoint(true)
+      val want = Similarity.knnGraphFromIndex(fullIndex, centroids, e,
+        "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint(true)
+      val eq = (got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      val changed = !prior.exceptAll(want).isEmpty || !want.exceptAll(prior).isEmpty
+      val spark = s
+      import spark.implicits._
+      Seq((if (eq) 1 else 0, if (changed) 1 else 0))
+        .toDF("delta_eq_full", "delta_changed_graph")
+    },
+
     "corpus_centrality" -> QueryDef(
       doc = "PageRank centrality over the exact self-kNN graph (k=5, 10 unrolled iterations, damping 0.85) — the corpus-cartography signal for representative-doc selection; one hash-join job per round, rank rows (never edges) in each exchange; at scale the same iteration runs on the approximate knn_graph edges",
       oracle = {

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.examples.TrainingDataJob
 import graft.sources.AnalysisStore
@@ -45,6 +45,8 @@ object TrainingStreaming {
   private def lexicalPath(root: String) = s"$root/lexical"
   private def vectorsPath(root: String) = s"$root/vectors"
   private def dsirPath(root: String) = s"$root/dsir"
+  private def topicVecsPath(root: String) = s"$root/topicvecs"
+  private def topicsPath(root: String) = s"$root/topics"
 
   /** The path's OWN filesystem — state roots need not live on the
     * cluster's fs.defaultFS.
@@ -219,6 +221,14 @@ object TrainingStreaming {
         }
       }
     }
+    // the topic map is the third serving-state sibling: per-doc
+    // hashed vectors merge DELTA-ONLY (hashEmbed is doc-local — the
+    // one expensive narrow pass never re-reads history), then the
+    // (topic, n_docs, term, rank, score) table refits as a pure
+    // function of the curated set — retry-convergent by construction
+    // — under the same commit-point ordering as the lexical write
+    if (config.topicCount > 0)
+      maintainTopics(spark, storeRoot, additions, retracted, config)
     // the dense-vector (IVF) serving index is the lexical store's
     // twin: same curated-set contract (fold the shipped docs in,
     // anti-join the cumulative retractions store), same commit-point
@@ -313,6 +323,96 @@ object TrainingStreaming {
     * store, so a redelivered batch recomputes byte-identical state
     * (training is deterministic end-to-end).
     */
+  /** Per-tick topic-map maintenance: the curated corpus's topic
+    * cartography as durable state.
+    *
+    *  - `topicvecs`: per-doc hashed document vectors
+    *    ([[graft.operators.TextAnalysis.hashEmbedDense]] layout),
+    *    merged replace-by-doc with only THIS tick's additions
+    *    embedded — the tokenize+hash pass is doc-local, so history
+    *    never re-embeds. A re-shipped doc whose new text tokenizes
+    *    to nothing correctly LOSES its row (the merge drops all
+    *    addition keys first), matching what a from-scratch embed of
+    *    the curated set would produce.
+    *  - `topics`: the (topic, n_docs, term, rank, score) table,
+    *    refit each tick from (stored vecs, curated docs) via
+    *    [[graft.operators.TextAnalysis.corpusTopicsFromVecs]] — a
+    *    pure function of the curated set (crash + redelivery
+    *    recompute the identical table), swapped whole like the
+    *    lexical store. The TF-IDF term pass is corpus-scale per tick
+    *    by necessity (document frequencies are global); k-means
+    *    training collects only its model-sized sample.
+    *
+    * Maintained ≡ direct [[graft.operators.TextAnalysis
+    * .corpusTopics]] rebuild over [[readCurated]] (spec-pinned),
+    * because the stored vectors are bit-identical to what the
+    * rebuild would embed.
+    */
+  private def maintainTopics(
+      spark: SparkSession, storeRoot: String,
+      additions: DataFrame, retracted: DataFrame,
+      config: TrainingDataJob.Config): Unit = {
+    import graft.operators.TextAnalysis
+    val tvP = topicVecsPath(storeRoot)
+    val tmP = topicsPath(storeRoot)
+    val have = exists(spark, tmP)
+    if (additions.isEmpty && retracted.isEmpty && have) return
+    val addIds = additions.select("doc_id").localCheckpoint(true)
+    // 1. delta-only embedding, merged replace-by-doc (addition keys
+    // dropped first so a doc re-shipped without tokens loses its row)
+    val deltaVecs = TextAnalysis.hashEmbedDense(
+      additions, "doc_id", "text", config.topicBuckets)
+      .localCheckpoint(true)
+    AnalysisStore.recover(spark, tvP)
+    if (!exists(spark, tvP)) {
+      if (!deltaVecs.isEmpty) AnalysisStore.writeFull(deltaVecs, tvP)
+    } else AnalysisStore.stageAndSwap(spark, tvP) { staging =>
+      spark.read.parquet(tvP).join(addIds, Seq("doc_id"), "left_anti")
+        .unionByName(deltaVecs)
+        .write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+    // 2. refit the map from the curated set (vecs minus retractions,
+    // docs from the just-merged additions store minus retractions)
+    val retractsAt = readablePath(spark, retractsPath(storeRoot))
+    def minusRetracts(df: DataFrame): DataFrame = retractsAt match {
+      case Some(rp) => df.join(
+        spark.read.parquet(rp).select("doc_id"), Seq("doc_id"), "left_anti")
+      case None => df
+    }
+    val curatedVecs =
+      (if (exists(spark, tvP)) minusRetracts(spark.read.parquet(tvP))
+       else deltaVecs.limit(0)).localCheckpoint(true)
+    val dir = new org.apache.hadoop.fs.Path(tmP)
+    val fs = fsOf(spark, tmP)
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val map =
+      if (curatedVecs.isEmpty)
+        // everything retracted: serve an empty map with the schema
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("topic", IntegerType), StructField("n_docs", LongType),
+            StructField("term", StringType), StructField("rank", IntegerType),
+            StructField("score", DoubleType))))
+      else TextAnalysis.corpusTopicsFromVecs(
+        minusRetracts(spark.read.parquet(addsPath(storeRoot))),
+        curatedVecs, "doc_id", "text",
+        nTopics = config.topicCount, topTerms = config.topicTerms)
+          .localCheckpoint(true)
+    AnalysisStore.stageAndSwap(spark, tmP) { staging =>
+      map.write.mode(SaveMode.Overwrite).parquet(staging)
+    }
+  }
+
+  /** The curated corpus's topic map as of now — (topic, n_docs,
+    * term, rank, score), equal to a direct [[graft.operators
+    * .TextAnalysis.corpusTopics]] run over [[readCurated]]. None
+    * until a topic-carrying tick has landed; mid-swap backups are
+    * served like every other state read.
+    */
+  def readTopics(spark: SparkSession, storeRoot: String): Option[DataFrame] =
+    readablePath(spark, topicsPath(storeRoot))
+      .map(p => spark.read.parquet(p))
+
   private def maintainVectorIndex(
       spark: SparkSession, storeRoot: String,
       additions: DataFrame, retracted: DataFrame, vc: String,

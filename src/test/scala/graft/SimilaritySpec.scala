@@ -366,6 +366,35 @@ class SimilaritySpec extends SparkSpec {
       s"retraining must restore recall (got ${after.getAs[Double]("recall")})")
   }
 
+  test("knnGraphDelta ≡ full knnGraphFromIndex rebuild on the maintained index") {
+    // serving reality: centroids trained on the OLD corpus, the delta
+    // ASSIGNED into the index with those centroids (maintain first,
+    // probe second); the delta twin must reproduce the full rebuild
+    // EXACTLY — new queries get lists, affected old queries re-rank,
+    // untouched old queries pass through
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val old = e.filter(col("vec_id") % 7 =!= 0)
+    val delta = e.filter(col("vec_id") % 7 === 0)
+    val centroids = Similarity.trainCentroids(old, "vec_id", "embedding",
+      nCentroids = 8, iters = 5)
+    val oldIndex = Similarity.ivfAssign(old, "vec_id", "embedding", centroids)
+      .localCheckpoint(true)
+    val prior = Similarity.knnGraphFromIndex(oldIndex, centroids, old,
+      "vec_id", "embedding", k = 5, nProbe = 4).localCheckpoint(true)
+    val fullIndex = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      .localCheckpoint(true)
+    val got = Similarity.knnGraphDelta(fullIndex, centroids, prior,
+        delta.select("vec_id"), k = 5, nProbe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val want = Similarity.knnGraphFromIndex(fullIndex, centroids, e,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == want,
+      s"delta-maintained graph drifted: +${(got -- want).take(5)} -${(want -- got).take(5)}")
+    // the delta actually touched something (the parity is not vacuous)
+    assert(prior.as[(Long, Long, Int, Double)].collect().toSet != want)
+  }
+
   test("labelCentroids: hand-computed per-label per-dim means") {
     import spark.implicits._
     val e = Seq(

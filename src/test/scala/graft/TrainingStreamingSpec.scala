@@ -338,6 +338,64 @@ class TrainingStreamingSpec extends SparkSpec {
     assertSameRows(fromState, direct2)
   }
 
+  test("topic map tracks the curated set; redelivery converges; rebuild parity") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sfDir, "documents")
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300)
+    val cfg = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5, topicCount = 4, topicBuckets = 64)
+    val root = Files.createTempDirectory("topics").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, drop1, root, cfg)
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    def served() = TrainingStreaming.readTopics(spark, root).get
+      .as[(Int, Long, String, Int, Double)].collect().toSet
+    val once = served()
+    assert(once.nonEmpty)
+    // maintained ≡ a direct corpusTopics rebuild over the curated set
+    // (the delta-merged vectors are bit-identical to a fresh embed,
+    // so the refit cannot drift)
+    val direct = TextAnalysis.corpusTopics(
+        TrainingStreaming.readCurated(spark, root), "doc_id", "text",
+        nTopics = 4, topTerms = 5, buckets = 64)
+      .as[(Int, Long, String, Int, Double)].collect().toSet
+    assert(once == direct,
+      s"maintained map drifted from rebuild: +${(once -- direct).take(3)} -${(direct -- once).take(3)}")
+    // at-least-once: the same batch again must not change the map
+    TrainingStreaming.tickBatch(spark, drop2, root, cfg)
+    assert(served() == once, "redelivery must be a no-op")
+  }
+
+  test("topic map drops a retracted doc's terms (bridge retraction fixture)") {
+    import graft.operators.TextAnalysis
+    val w = (1 to 30).map {
+      case 11 => "the"
+      case 15 => "and"
+      case i => s"w$i"
+    }
+    def txt(lo: Int, hi: Int) = w.slice(lo - 1, hi).mkString(" ")
+    val old = Seq((1L, txt(1, 20), "en"), (2L, txt(11, 30), "en"))
+      .toDF("doc_id", "text", "lang")
+    val delta = Seq((3L, txt(6, 25), "en")).toDF("doc_id", "text", "lang")
+    val cfg = TrainingDataJob.Config(jaccardThreshold = 0.5,
+      langFractions = Map("en" -> 1.0), defaultFraction = 1.0,
+      topicCount = 2, topicBuckets = 64)
+    val root = Files.createTempDirectory("topicsret").resolve("store").toString
+    TrainingStreaming.tickBatch(spark, old, root, cfg)
+    TrainingStreaming.tickBatch(spark, delta, root, cfg)
+    // doc 2 was retracted (demoted canonical): the refit map must
+    // equal a rebuild over exactly the curated survivors
+    val served = TrainingStreaming.readTopics(spark, root).get
+      .as[(Int, Long, String, Int, Double)].collect().toSet
+    val direct = TextAnalysis.corpusTopics(
+        TrainingStreaming.readCurated(spark, root), "doc_id", "text",
+        nTopics = 2, topTerms = 5, buckets = 64)
+      .as[(Int, Long, String, Int, Double)].collect().toSet
+    assert(served == direct)
+    assert(served.map(_._2).sum < 3 * 5,
+      "retracted doc must not count toward topic sizes")
+  }
+
   test("dsir counts track the curated set through retraction; redelivery is a no-op") {
     import graft.operators.Dsir
     // the bridge fixture: tick 2 retracts doc 2 (demoted canonical)
