@@ -766,18 +766,29 @@ object Dedup {
     * P(candidate) = 1 − (1 − p^b)^L with p = 1 − θ/π: at a production
     * dedup threshold (cos ≥ 0.9, p ≈ 0.86) the defaults prune buckets
     * ~256× with recall ≥ 0.995; the fixture gate runs at the far
-    * harder cos ≥ 0.4 (p ≈ 0.63, near-random 64-dim corpus), which is
-    * why the default here is SHORT tables × many (4 bits × 32 — miss
-    * ≈ 0.4% at exactly 0.4, vanishing above). A corpus whose near-dup
-    * threshold genuinely sits that low gains little from any LSH —
-    * the gate, not the scaladoc, is what says so per corpus.
+    * harder cos ≥ 0.4 (p ≈ 0.63, near-random 64-dim corpus). A corpus
+    * whose near-dup threshold genuinely sits that low gains little
+    * from any LSH — the gate, not the scaladoc, is what says so per
+    * corpus.
+    *
+    * bitsPerTable/tables default to 0 = AUTO: [[signLshPlan]] sizes
+    * both from the corpus count and the threshold. Frozen geometry is
+    * the one way this path goes quadratic (measured 142× wall on a
+    * 10× corpus with the old fixed 4×32 before the plan existed);
+    * auto keeps growth at the LSH-theoretic n^(1+ρ),
+    * ρ = ln(1/p₁)/ln 2 — ≈0.22 (near-linear) at cos ≥ 0.9, ≈0.66 at
+    * the adversarial 0.4. For the truly linear semantic-dedup path at
+    * ANY threshold, [[semDeDup]] is the semantics built for it.
     */
   def embeddingCosinePairsLsh(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bitsPerTable: Int = 4, tables: Int = 32,
+      threshold: Double, bitsPerTable: Int = 0, tables: Int = 0,
       dim: Int = 64): DataFrame = {
+    val (b, t) =
+      if (bitsPerTable > 0 && tables > 0) (bitsPerTable, tables)
+      else signLshPlan(df.select(idCol).count(), threshold)
     val index = graft.operators.Similarity.lshAssign(
-      df, idCol, vecCol, bitsPerTable, tables, dim)
+      df, idCol, vecCol, b, t, dim)
     val l = index.select(col("nid").as("va"), col("tbl"), col("bucket"))
     val r = index.select(col("nid").as("vb"), col("tbl"), col("bucket"))
     // the same pair surfaces from several tables — distinct BEFORE the
@@ -800,6 +811,49 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("va", "vb", "cos")
   }
+
+  /** Sign-LSH geometry for a corpus of `n` vectors at a cosine
+    * `threshold`: bits sized so buckets hold ~`targetBucket` vectors
+    * (random-pair collisions per table then stay ≈ n·targetBucket/2,
+    * linear in n), tables sized from the single-table hit rate
+    * p₁ = (1 − θ/π)^bits so candidate recall for true pairs AT the
+    * threshold is ≥ `recall` (pairs above it survive more). This is
+    * the standard (b, L) curve solved for the corpus instead of
+    * frozen at tuning scale; growth is n^(1+ρ) with
+    * ρ = ln(1/p₁-per-bit)/ln 2 — the LSH exponent no parameter
+    * choice beats. At the sf0.01 fixture (n = 2000, threshold 0.4)
+    * this reproduces 4 bits and ~30 tables — the hand-tuned 4×32
+    * geometry, derived.
+    */
+  def signLshPlan(n: Long, threshold: Double,
+      targetBucket: Long = 125, recall: Double = 0.99,
+      minBits: Int = 4, maxBits: Int = 20,
+      maxTables: Int = 1024): (Int, Int) = {
+    val bits = math.min(maxBits, math.max(minBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt))
+    val pBit = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val p1 = math.pow(pBit, bits)
+    val tables = math.min(maxTables, math.max(1,
+      math.ceil(math.log(1.0 / (1.0 - recall)) / p1).toInt))
+    (bits, tables)
+  }
+
+  /** Expected fraction of RANDOM (orthogonal) pairs that survive a
+    * sign-LSH plan as candidates: 1 − (1 − 2^−bits)^tables — the
+    * degeneracy diagnostic for [[embeddingCosinePairsLsh]]. Near 0,
+    * LSH prunes (cos ≥ 0.9 plans sit ≈ 0.001); near 1, ~every pair
+    * is a candidate and the "approximate" path costs MORE than
+    * [[embeddingCosinePairs]]' exact join (measured at the fixture's
+    * adversarial threshold 0.4: p₁/p_rand = 0.63/0.5 per bit is too
+    * thin a gap for ANY (bits, tables) to hold recall 0.99 without
+    * keeping ≥ half of all pairs — sf1 wall 440s vs semDeDup's 3.2s).
+    * A pipeline whose threshold puts this fraction high should run
+    * [[semDeDup]] — cluster-scoped semantics, linear at every
+    * threshold — not a bigger LSH.
+    */
+  def signLshDegeneracy(bits: Int, tables: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(0.5, bits), tables)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-scoped
     * semantic dedup, the third posture in the embedding-dedup family:
@@ -835,9 +889,16 @@ object Dedup {
     */
   def semDeDup(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nClusters: Int = 16, iters: Int = 5): DataFrame = {
+      threshold: Double, nClusters: Int = 0, iters: Int = 5): DataFrame = {
+    // nClusters = 0 → cells scale with the corpus (Similarity
+    // .autoCells): fixed-count cells make the in-cell pair join
+    // quadratic (measured 18× wall on a 10× corpus); constant-
+    // population cells are the paper's own billion-doc recipe
+    val nc =
+      if (nClusters > 0) nClusters
+      else graft.operators.Similarity.autoCells(df.select(idCol).count())
     val centroids = graft.operators.Similarity.trainCentroids(
-      df, idCol, vecCol, nClusters, iters)
+      df, idCol, vecCol, nc, iters)
     semDeDupAssigned(
       graft.operators.Similarity.ivfAssign(df, idCol, vecCol, centroids),
       centroids, idCol, threshold)

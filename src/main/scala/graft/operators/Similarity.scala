@@ -191,6 +191,25 @@ object Similarity {
     * first argmax-dot on ties; update = id-ordered sequential mean,
     * renormalized; empty cluster keeps its centroid.
     */
+  /** Cell count for a corpus of `n` vectors at a target per-cell
+    * population — THE knob that keeps every cell-scoped quadratic
+    * (self-kNN graph candidates, SemDeDup in-cell pairs) LINEAR in
+    * corpus size: cells of a fixed ~`target` population mean in-cell
+    * work per vector is constant, so total work is n·target instead
+    * of n²/nCells with a frozen cell count. Measured before this rule
+    * existed (sf0.1→sf1 on the 10× fixture, fixed 16 cells):
+    * knn_graph 21.6×, dedup_semdedup 18× — the quadratic the
+    * scaladocs promised to avoid. target=125 reproduces the tuned
+    * fixture geometry exactly at sf0.01 (2000 vecs → 16 cells), so
+    * gate results are unchanged there. The cap bounds centroid-model
+    * size (the assignment expression carries nCells×dim literals
+    * through codegen).
+    */
+  def autoCells(n: Long, target: Long = 125,
+      minCells: Int = 16, maxCells: Int = 4096): Int =
+    math.min(maxCells,
+      math.max(minCells, math.ceil(n.toDouble / target).toInt))
+
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nCentroids: Int, iters: Int = 5,
@@ -1153,8 +1172,15 @@ object Similarity {
     */
   def knnGraph(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 8, iters: Int = 5): DataFrame = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nCentroids, iters)
+      nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 5): DataFrame = {
+    // nCentroids = 0 → scale cells with the corpus ([[autoCells]]):
+    // a frozen cell count turns the cell-local candidate join
+    // quadratic the moment the corpus outgrows it (measured 21.6×
+    // wall on a 10× corpus)
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else autoCells(corpus.select(idCol).count())
+    val centroids = trainCentroids(corpus, idCol, vecCol, nc, iters)
     knnGraphFromIndex(ivfAssign(corpus, idCol, vecCol, centroids),
       centroids, corpus, idCol, vecCol, k, nProbe)
   }

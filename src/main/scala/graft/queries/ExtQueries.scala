@@ -677,7 +677,7 @@ object ExtQueries {
     },
 
     "dedup_semantic_lsh" -> QueryDef.noOracle(
-      doc = "approximate embedding-cosine pairs ≥0.4 — sign-LSH bucket candidates (4 bits × 32 tables, the persisted ANN index layout) + exact verification of candidate pairs; survivor scores are exact but candidate recall < 1 by design (0.983 measured at sf0.01 on the near-random fixture at its adversarial 0.4 threshold) → rows-only; recall gated in dedup_semantic_gate") { (s, dir) =>
+      doc = "approximate embedding-cosine pairs ≥0.4 — sign-LSH bucket candidates under the corpus-derived (bits, tables) plan (Dedup.signLshPlan: 4×30 at sf0.01, the persisted ANN index layout) + exact verification of candidate pairs; survivor scores are exact but candidate recall < 1 by design (≈0.98 measured at sf0.01 on the near-random fixture at its adversarial 0.4 threshold) → rows-only; recall gated in dedup_semantic_gate") { (s, dir) =>
       Dedup.embeddingCosinePairsLsh(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)
     },
@@ -700,9 +700,9 @@ object ExtQueries {
     },
 
     "dedup_semdedup" -> QueryDef.noOracle(
-      doc = "SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — k-means cells (16), within-cell cosine >= 0.4 duplicate edges, keep the member farthest from its centroid (ties by id); the semantics that make embedding dedup tractable on billion-doc corpora. k-means is iterative, not SQL-expressible -> rows-only; invariants hash-gated in dedup_semdedup_gate") { (s, dir) =>
+      doc = "SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — corpus-scaled k-means cells (autoCells: 16 at sf0.01), within-cell cosine >= 0.4 duplicate edges, keep the member farthest from its centroid (ties by id); the semantics that make embedding dedup tractable on billion-doc corpora. k-means is iterative, not SQL-expressible -> rows-only; invariants hash-gated in dedup_semdedup_gate") { (s, dir) =>
       Dedup.semDeDup(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4, nClusters = 16)
+        "vec_id", "embedding", threshold = 0.4)
     },
 
     "dedup_semdedup_gate" -> QueryDef(
@@ -711,7 +711,7 @@ object ExtQueries {
       val e = Tables.load(s, dir, "embeddings")
       val nCorpus = e.count()
       val out = Dedup.semDeDup(e, "vec_id", "embedding",
-        threshold = 0.4, nClusters = 16).localCheckpoint(true)
+        threshold = 0.4).localCheckpoint(true)
       val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
         threshold = 0.4).select("va", "vb").localCheckpoint(true)
       val aSide = out.select(col("vec_id").as("va"), col("cluster").as("ca"),
@@ -757,9 +757,9 @@ object ExtQueries {
     },
 
     "knn_graph" -> QueryDef.noOracle(
-      doc = "approximate corpus self-kNN graph — every vector probes its 8 nearest of 16 IVF cells and ranks cell-local candidates; the one shuffle co-partitions index and probes by cell id (nothing broadcasts — the query side IS the corpus), so the quadratic is bounded per cell. Recall < 1 by design -> rows-only; gated in knn_graph_gate") { (s, dir) =>
+      doc = "approximate corpus self-kNN graph — every vector probes its 8 nearest IVF cells (cell count scales with the corpus, Similarity.autoCells: 16 at sf0.01) and ranks cell-local candidates; the one shuffle co-partitions index and probes by cell id (nothing broadcasts — the query side IS the corpus), so the quadratic is bounded per cell. Recall < 1 by design -> rows-only; gated in knn_graph_gate") { (s, dir) =>
       Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 8)
+        "vec_id", "embedding", k = 5, nProbe = 8)
     },
 
     "knn_graph_gate" -> QueryDef(
@@ -769,7 +769,7 @@ object ExtQueries {
       val brute = Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5)
         .select("qid", "nid").localCheckpoint(true)
       val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
-          nCentroids = 16, nProbe = 8)
+          nProbe = 8)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
         .localCheckpoint(true)
       brute.join(broadcast(approx), Seq("qid", "nid"), "left")

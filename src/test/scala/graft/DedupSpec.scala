@@ -276,6 +276,24 @@ class DedupSpec extends SparkSpec {
     assert(t == Seq((9001L, 9002L, 1.0)))
   }
 
+  test("signLshPlan: corpus-derived geometry; degeneracy falls with threshold") {
+    // sf0.01 fixture regime: reproduces the hand-tuned 4-bit geometry
+    assert(Dedup.signLshPlan(500, 0.4) == ((4, 30)))
+    // 10x corpus: bits grow with n (buckets hold ~constant population),
+    // tables grow to hold recall at the SAME threshold
+    val (b1, t1) = Dedup.signLshPlan(20000, 0.4)
+    assert(b1 == 8 && t1 > 30)
+    // production threshold (cos >= 0.9): the per-bit gap p1/p_rand =
+    // 0.86/0.5 is wide, so random pairs are pruned hard...
+    val (b9, t9) = Dedup.signLshPlan(20000, 0.9)
+    assert(Dedup.signLshDegeneracy(b9, t9) < 0.1,
+      s"production plan must prune: ${Dedup.signLshDegeneracy(b9, t9)}")
+    // ...while the adversarial 0.4 threshold is DEGENERATE at scale:
+    // no plan holds recall 0.99 without keeping ~half of all pairs —
+    // the documented 'use semDeDup here' regime
+    assert(Dedup.signLshDegeneracy(b1, t1) > 0.4)
+  }
+
   test("semDeDup: keep-farthest-from-centroid policy on a constructed cluster") {
     // one cluster (k=1 ⇒ centroid = normalized mean, deterministic):
     // x at 0°, y at 5°, z at 60°. Mean direction ≈ 20.9°, so x is
