@@ -684,6 +684,65 @@ object Dedup {
       .withColumn("is_contaminated", col("overlap_ratio") >= threshold)
   }
 
+  /** Benchmark decontamination, Bloom-filter scale path: same
+    * per-doc leaked-shingle ratio as [[contamination]], but the eval
+    * side ships as a BLOOM FILTER instead of its exact distinct
+    * shingle set. [[contamination]]'s broadcast set is fine while the
+    * benchmark suite is thousands of docs; a full eval-suite library
+    * (hundreds of benchmarks, tens of millions of shingles) broadcasts
+    * GiB as an exact set vs ~1.2·log2(1/fpp) BITS per shingle as a
+    * Bloom filter (~12 MiB at 10M shingles / 1% fpp) — that is the
+    * artifact you pin alongside a 100 TB run and re-use every tick.
+    *
+    * Mechanics: eval shingles hash to 64-bit (xxhash64), a distributed
+    * [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
+    * builds the filter (optimal bit count for the measured shingle
+    * cardinality at `fpp`), and the corpus probes it with the codegen'd
+    * `BloomFilterMightContain` — the exact expression pair Spark's own
+    * runtime-filter injection uses, so build/probe hashing agree by
+    * construction. Union-of-benchmarks composes: Bloom bitsets OR.
+    *
+    * Guarantee: NO false negatives (every leaked shingle is counted),
+    * so the flagged set is a SUPERSET of [[contamination]]'s and
+    * per-doc `overlap_ratio` is ≥ the exact ratio; false positives
+    * inflate ratios by ~fpp. Approximation → the driver query is
+    * rows-only; `contamination_bloom_gate` pins superset-ness and the
+    * FP excess bound against the exact path.
+    */
+  def contaminationBloom(
+      corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.5, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+
+    val evalHashes = shingles(eval, idCol, textCol, k)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    // benchmark-sized count; optimal m = -n·ln(fpp)/ln²2 bits
+    val n = math.max(evalHashes.count(), 1L)
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomBytes = evalHashes
+      .agg(GraftSqlBridge.column(new BloomFilterAggregate(
+          GraftSqlBridge.expression(col("h")),
+          Literal(n), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+    val mightContain = GraftSqlBridge.column(new BloomFilterMightContain(
+      Literal.create(bloomBytes,
+        org.apache.spark.sql.types.BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("shingle")))))
+    shingles(corpus, idCol, textCol, k)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n"),
+        sum(mightContain.cast("int")).as("h"))
+      .select(col("doc").as(idCol),
+        round(col("h").cast("double") / col("n"), 4).as("overlap_ratio"))
+      .withColumn("is_contaminated", col("overlap_ratio") >= threshold)
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming.
     *
     * Pigeonhole-exact blocking: the 60-bit simhash splits into

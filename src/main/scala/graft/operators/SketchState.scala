@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted mergeable distinct-count sketch state — the incremental
@@ -81,4 +82,177 @@ object SketchState {
       .agg(hll_sketch_estimate(
           hll_union_agg(col("sketch"), lit(false))).as("approx_distinct"),
         sum(col("n_rows")).as("n_rows"))
+
+  // ------------------------------------------------------------------
+  // Count-Min frequency-sketch state (Cormode–Muthukrishnan 2005)
+  // ------------------------------------------------------------------
+
+  /** 60-bit hash pair for double hashing (Kirsch–Mitzenmacher): two
+    * disjoint 15-hex-char windows of md5, each `('0x'||hex)::BIGINT`-
+    * replayable in the DuckDB oracle — the same cross-engine recipe
+    * the minhash/simhash oracles established. Row i probes bucket
+    * (h1 + i·h2) mod width; h1,h2 < 2^60 and i ≤ depth-1 keeps the sum
+    * overflow-free in BOTH engines (DuckDB errors on BIGINT overflow,
+    * so wrap semantics must never be relied on).
+    */
+  private def md5Window(c: Column, from: Int): Column =
+    conv(substring(md5(c.cast("string").cast("binary")), from, 15), 16, 10)
+      .cast("long")
+
+  /** Build the Count-Min frequency-sketch state table: one row per
+    * occupied (groupCols…, cm_row, cm_bucket) cell carrying its count.
+    * Point-lookup guarantee after [[estimateFreq]]: estimate ≥ true
+    * count always (every occurrence increments all `depth` cells), and
+    * estimate ≤ true + e·N/width with probability ≥ 1 − e^-depth per
+    * key (N = total items in the rolled-up grain).
+    *
+    * Why a RELATIONAL sparse representation rather than an opaque
+    * array blob: cells are plain (int, int, long) rows, so merge is
+    * `groupBy.sum` (counts are additive — merge ≡ rebuild EXACTLY,
+    * not within-error), rollups to coarser grains are the same sum,
+    * the state stays oracle-replayable row-for-row, and unoccupied
+    * cells cost nothing. Scale shape: one uniform groupBy exchange of
+    * ≤ depth·width rows per group with map-side partial counts —
+    * "how often does token X occur" at 100 TB without a
+    * corpus-cardinality token exchange ([[MisraGriesAggregator]] finds
+    * WHICH keys are heavy; this answers point queries about ANY key
+    * from O(depth·width) state).
+    */
+  def freqSketches(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    val rows = df
+      .select((groupCols.map(col) :+
+        md5Window(col(valueCol), 1).as("__h1") :+
+        md5Window(col(valueCol), 16).as("__h2")): _*)
+      .withColumn("cm_row", explode(sequence(lit(0), lit(depth - 1))))
+    rows
+      .withColumn("cm_bucket",
+        ((col("__h1") + col("cm_row") * col("__h2")) % width).cast("int"))
+      .groupBy((groupCols.map(col) :+ col("cm_row") :+ col("cm_bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a delta's partial CMS state into the persisted state — cell
+    * counts are additive, so this is an exact merge (ingestion order
+    * can never change any estimate). One state-table-sized shuffle.
+    */
+  def mergeFreqSketches(
+      prior: DataFrame, delta: DataFrame, groupCols: Seq[String]): DataFrame =
+    prior.unionByName(delta)
+      .groupBy((groupCols.map(col) :+ col("cm_row") :+ col("cm_bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `probes` (a key column) from state
+    * alone, rolled up across ALL state groups (pre-filter the state to
+    * estimate within one grain): estimate = min over sketch rows of
+    * the key's cell count, an unoccupied cell reading as 0. The raw
+    * data is never touched; the rolled-up cell table is model-sized
+    * (≤ depth·width rows) and BROADCASTS to the probe side.
+    */
+  def estimateFreq(
+      state: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val cells = state
+      .groupBy(col("cm_row"), col("cm_bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    probes
+      .select(col(keyCol),
+        md5Window(col(keyCol), 1).as("__h1"),
+        md5Window(col(keyCol), 16).as("__h2"))
+      .withColumn("cm_row", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cm_bucket",
+        ((col("__h1") + col("cm_row") * col("__h2")) % width).cast("int"))
+      .join(broadcast(cells), Seq("cm_row", "cm_bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  // ------------------------------------------------------------------
+  // Quantile-sketch state (decimal two-significant-digit histogram)
+  // ------------------------------------------------------------------
+
+  /** Log-scale bucket lower bound for a non-negative integral value:
+    * 0–9 keep their exact value (singleton buckets); larger values
+    * keep their first TWO decimal digits with the rest zeroed
+    * (`rpad(substr(str,1,2), digits, '0')`) — so every bucket
+    * [m·10^(d-2), (m+1)·10^(d-2)) with m ∈ [10,99] has relative width
+    * ≤ 1/10. Pure integer/string arithmetic: no floating log, so the
+    * bucket id is bit-identical in Spark and the DuckDB oracle (the
+    * reason this variant is used instead of DDSketch's γ-log buckets,
+    * whose libm rounding may disagree at bucket boundaries).
+    */
+  private def decimalBucket(v: Column): Column = {
+    val s = v.cast("string")
+    when(v < 10, v).otherwise(
+      call_function("rpad", substring(s, 1, 2), length(s), lit("0"))
+        .cast("long"))
+  }
+
+  /** Build the quantile-sketch state table: one row per occupied
+    * (groupCols…, q_lb, cnt) bucket of the non-negative integral
+    * `valueCol` (nulls are ignored, negatives rejected loudly — a
+    * quantile over mixed-sign data needs an explicit offset, not a
+    * silent wrong bucket). This is the mergeable-quantile member of
+    * the sketch-state family (HLL = distinct, CMS = frequency,
+    * Misra–Gries = heavy hitters): counts are additive, so merge and
+    * rollup are `groupBy.sum` — EXACTLY merge ≡ rebuild — and any
+    * quantile of any rollup grain is answered from O(buckets) state
+    * (≤ 10 + 90·decades rows per group) without rescanning raw data,
+    * with ≤ 10% relative value error from the bucket width.
+    */
+  def quantileSketches(
+      df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val checked = when(v < 0, raise_error(concat(
+        lit(s"quantileSketches: negative $valueCol: "), v.cast("string"))))
+      .otherwise(v)
+    df.filter(v.isNotNull)
+      .groupBy((groupCols.map(col) :+
+        decimalBucket(checked).as("q_lb")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a delta's partial quantile state into the persisted state —
+    * additive counts, exact merge, one state-table-sized shuffle.
+    */
+  def mergeQuantileSketches(
+      prior: DataFrame, delta: DataFrame, groupCols: Seq[String]): DataFrame =
+    prior.unionByName(delta)
+      .groupBy((groupCols.map(col) :+ col("q_lb")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Answer quantiles at a coarser grain from state alone: re-sum to
+    * the rollup grain, cumulate buckets in value order, and for each
+    * requested q report the lower bound of the bucket holding the
+    * ceil(q·n)-th value (the classic inverse-CDF position; estimate ≤
+    * true < 1.1 × estimate from the bucket geometry). The windows run
+    * over STATE rows (≤ 10 + 90·decades per group) — never raw data.
+    * Output: (rollupCols…, n, one `p<q>` column per requested q).
+    */
+  def quantileRollup(
+      state: DataFrame, rollupCols: Seq[String],
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0,1], got $qs")
+    require(qs.map(q => (q * 100).round).distinct.size == qs.size,
+      s"quantiles must map to distinct p<q> column names, got $qs")
+    val grain = rollupCols.map(col)
+    val g = state.groupBy((grain :+ col("q_lb")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val c = g
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(grain: _*).orderBy(col("q_lb"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(grain: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val pCols = qs.map { q =>
+      min(when(col("cum") >= ceil(col("n") * q), col("q_lb")))
+        .as(s"p${(q * 100).round}")
+    }
+    c.groupBy(grain: _*)
+      .agg(max(col("n")).as("n"), pCols: _*)
+  }
 }

@@ -5,5 +5,6 @@ package graft.queries
   * implemented.
   */
 object Registry {
-  val all: Map[String, QueryDef] = RefQueries.defs ++ ExtQueries.defs
+  val all: Map[String, QueryDef] = RefQueries.defs ++ ExtQueries.defs ++
+    StateQueries.defs
 }

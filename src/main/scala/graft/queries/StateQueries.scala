@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, SketchState, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-7 sketch-state + Bloom-decontamination queries: the
+  * Count-Min frequency family and the decimal quantile family extend
+  * the persisted mergeable-state tier (HLL = distinct, Misra–Gries =
+  * heavy hitters) with point-frequency and quantile answers from
+  * O(state) rows; the Bloom path is [[Dedup.contamination]]'s
+  * benchmark-suite-scale variant. Both sketch families use pure
+  * integer/md5 arithmetic, so their state tables and read paths are
+  * hash-oracled row-for-row in DuckDB; the Bloom filter is opaque
+  * bits, so its query is rows-only behind a hash-verified
+  * superset/FP gate.
+  */
+object StateQueries {
+
+  private val duckToks =
+    "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  /** DuckDB CTE chain replaying [[SketchState.freqSketches]] over
+    * per-source document tokens (depth 4, width 512): defines `cells`
+    * = (source, cm_row, cm_bucket, cnt).
+    */
+  private val duckCmsCells = s"""
+    t AS (SELECT source, unnest($duckToks) AS token FROM documents),
+    h AS (SELECT source,
+                 ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+                 ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+          FROM t),
+    r AS (SELECT source, h1, h2, unnest(generate_series(0, 3)) AS cm_row
+          FROM h),
+    cells AS (SELECT source, CAST(cm_row AS INTEGER) AS cm_row,
+                     CAST((h1 + cm_row * h2) % 512 AS INTEGER) AS cm_bucket,
+                     count(*) AS cnt
+              FROM r GROUP BY 1, 2, 3)"""
+
+  /** DuckDB CTE chain replaying [[SketchState.quantileSketches]] over
+    * per-lang document token counts: defines `qstate` =
+    * (lang, q_lb, cnt).
+    */
+  private val duckQState = s"""
+    qt AS (SELECT lang, len($duckToks) AS n FROM documents),
+    qb AS (SELECT lang,
+                  CASE WHEN n < 10 THEN n
+                       ELSE CAST(rpad(substr(CAST(n AS VARCHAR), 1, 2),
+                                      CAST(length(CAST(n AS VARCHAR)) AS INTEGER),
+                                      '0') AS BIGINT)
+                  END AS q_lb
+           FROM qt),
+    qstate AS (SELECT lang, q_lb, count(*) AS cnt FROM qb GROUP BY 1, 2)"""
+
+  /** Per-source document tokens, one row per occurrence. */
+  private def tokenRows(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .select(col("source"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+
+  /** Per-lang token counts (the quantile sketch's metric column). */
+  private def tokenCounts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        size(TextAnalysis.tokens(col("text"))).as("n_tokens"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "cms_state" -> QueryDef(
+      doc = "Count-Min frequency-sketch state table over per-source document tokens (depth 4 × width 512, md5 double hashing): relational sparse cells, groupBy.sum-mergeable, hash-oracled row-for-row — the point-frequency member of the persisted sketch-state tier",
+      oracle = s"""
+        WITH $duckCmsCells
+        SELECT source, cm_row, cm_bucket, cnt FROM cells""") { (s, dir) =>
+      SketchState.freqSketches(tokenRows(s, dir), Seq("source"), "token")
+    },
+
+    "cms_estimate" -> QueryDef(
+      doc = "point-frequency estimates from CMS state alone (rolled up across sources — raw tokens never rescanned): probe set = tokens with true global count ≥ 40; the model-sized cell table broadcasts to the probe side",
+      oracle = s"""
+        WITH $duckCmsCells,
+        g AS (SELECT cm_row, cm_bucket, sum(cnt) AS cnt
+              FROM cells GROUP BY 1, 2),
+        probes AS (SELECT token FROM (
+                     SELECT unnest($duckToks) AS token FROM documents)
+                   GROUP BY 1 HAVING count(*) >= 40),
+        ph AS (SELECT token,
+                      ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+                      ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+               FROM probes),
+        pr AS (SELECT token, h1, h2, unnest(generate_series(0, 3)) AS cm_row
+               FROM ph),
+        px AS (SELECT p.token,
+                      coalesce(g.cnt, 0) AS cell
+               FROM pr p LEFT JOIN g
+                 ON g.cm_row = p.cm_row
+                AND g.cm_bucket = CAST((p.h1 + p.cm_row * p.h2) % 512 AS INTEGER)
+               )
+        SELECT token, min(cell) AS est FROM px GROUP BY 1""") { (s, dir) =>
+      val toks = tokenRows(s, dir)
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 40)
+        .select("token")
+      SketchState.estimateFreq(
+        SketchState.freqSketches(toks, Seq("source"), "token"),
+        probes, "token")
+    },
+
+    "cms_error_gate" -> QueryDef(
+      doc = "CMS guarantees, measured over EVERY distinct token: estimates never underestimate (structural one-sided error), ≥98% of keys within the Cormode–Muthukrishnan e·N/width envelope (theory bound: ≥ 1 − e^-depth ≈ 98.2%), and split-state merge ≡ direct build cell-for-cell",
+      oracle = "SELECT CAST(1 AS INTEGER) AS cms_noworse_ok, " +
+        "CAST(1 AS INTEGER) AS cms_bound_ok, " +
+        "CAST(1 AS INTEGER) AS cms_merge_ok") { (s, dir) =>
+      val toks = tokenRows(s, dir).localCheckpoint(true)
+      val state = SketchState.freqSketches(toks, Seq("source"), "token")
+        .localCheckpoint(true)
+      val truth = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val est = SketchState.estimateFreq(state, truth.select("token"), "token")
+      val n = toks.count()
+      val eps = math.E / 512
+      val bound = math.ceil(eps * n).toLong
+      val checks = truth.join(est, "token")
+        .agg(
+          (sum(when(col("est") < col("true_cnt"), 1).otherwise(0)) === 0)
+            .cast("int").as("cms_noworse_ok"),
+          (avg(when(col("est") <= col("true_cnt") + bound, 1.0).otherwise(0.0))
+            >= 0.98).cast("int").as("cms_bound_ok"))
+      // merge ≡ rebuild: state from two disjoint halves folded with
+      // mergeFreqSketches equals the direct build, cell-for-cell
+      val half1 = toks.filter(xxhash64(col("token")) % 2 === 0)
+      val half2 = toks.filter(xxhash64(col("token")) % 2 =!= 0)
+      val merged = SketchState.mergeFreqSketches(
+        SketchState.freqSketches(half1, Seq("source"), "token"),
+        SketchState.freqSketches(half2, Seq("source"), "token"),
+        Seq("source"))
+      val mergeOk = merged.exceptAll(state).count() == 0 &&
+        state.exceptAll(merged).count() == 0
+      checks.withColumn("cms_merge_ok", lit(mergeOk).cast("int"))
+    },
+
+    "qsketch_state" -> QueryDef(
+      doc = "mergeable quantile-sketch state over per-lang token counts: decimal two-significant-digit buckets (a base-10 DDSketch variant with integer-only bucketing — no floating log, so the state is exactly replayable cross-engine), ≤ 10% relative value error",
+      oracle = s"""
+        WITH $duckQState
+        SELECT lang, q_lb, cnt FROM qstate""") { (s, dir) =>
+      SketchState.quantileSketches(tokenCounts(s, dir), Seq("lang"), "n_tokens")
+    },
+
+    "qsketch_quantiles" -> QueryDef(
+      doc = "p50/p90/p99 of per-doc token counts per lang answered from quantile-sketch state alone (cumulative walk over ≤ 10+90·decades state rows — raw docs never rescanned); inverse-CDF position ceil(q·n), estimate = bucket lower bound",
+      oracle = s"""
+        WITH $duckQState,
+        c AS (SELECT lang, q_lb, cnt,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY q_lb) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM qstate)
+        SELECT lang, max(n) AS n,
+               min(CASE WHEN cum >= ceil(n * 0.5) THEN q_lb END) AS p50,
+               min(CASE WHEN cum >= ceil(n * 0.9) THEN q_lb END) AS p90,
+               min(CASE WHEN cum >= ceil(n * 0.99) THEN q_lb END) AS p99
+        FROM c GROUP BY 1""") { (s, dir) =>
+      SketchState.quantileRollup(
+        SketchState.quantileSketches(tokenCounts(s, dir), Seq("lang"),
+          "n_tokens"),
+        Seq("lang"))
+    },
+
+    "qsketch_error_gate" -> QueryDef(
+      doc = "quantile-sketch guarantees vs the exact order statistics, per lang × {p50,p90,p99}: estimate ≤ true ≤ 1.1×estimate (the two-significant-digit bucket envelope), and split-state merge ≡ direct build bucket-for-bucket",
+      oracle = "SELECT CAST(1 AS INTEGER) AS q_envelope_ok, " +
+        "CAST(1 AS INTEGER) AS q_merge_ok") { (s, dir) =>
+      val counts = tokenCounts(s, dir).localCheckpoint(true)
+      val state = SketchState.quantileSketches(counts, Seq("lang"), "n_tokens")
+        .localCheckpoint(true)
+      val est = SketchState.quantileRollup(state, Seq("lang"))
+      // exact order statistic at the same inverse-CDF position
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      val ranked = counts
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      val exact = ranked.groupBy(col("lang")).agg(
+        min(when(col("rk") >= ceil(col("n") * 0.5), col("n_tokens")))
+          .as("x50"),
+        min(when(col("rk") >= ceil(col("n") * 0.9), col("n_tokens")))
+          .as("x90"),
+        min(when(col("rk") >= ceil(col("n") * 0.99), col("n_tokens")))
+          .as("x99"))
+      val envOk = est.join(exact, "lang")
+        .select(
+          (col("p50") <= col("x50") && col("x50") <= col("p50") * 1.1 &&
+           col("p90") <= col("x90") && col("x90") <= col("p90") * 1.1 &&
+           col("p99") <= col("x99") && col("x99") <= col("p99") * 1.1)
+            .as("ok"))
+        .agg((sum(when(col("ok"), 0).otherwise(1)) === 0).cast("int")
+          .as("q_envelope_ok"))
+      val merged = SketchState.mergeQuantileSketches(
+        SketchState.quantileSketches(
+          counts.filter(col("n_tokens") % 2 === 0), Seq("lang"), "n_tokens"),
+        SketchState.quantileSketches(
+          counts.filter(col("n_tokens") % 2 =!= 0), Seq("lang"), "n_tokens"),
+        Seq("lang"))
+      val mergeOk = merged.exceptAll(state).count() == 0 &&
+        state.exceptAll(merged).count() == 0
+      envOk.withColumn("q_merge_ok", lit(mergeOk).cast("int"))
+    },
+
+    "dedup_contamination_bloom" -> QueryDef.noOracle(
+      doc = "benchmark decontamination via a broadcast Bloom filter of eval shingle hashes (the benchmark-suite-scale variant of dedup_contamination: ~12 bits/shingle instead of the exact distinct set; no false negatives, ~1% FP ratio inflation) — opaque filter bits → rows-only; superset-ness and the FP bound are hash-gated in contamination_bloom_gate") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Dedup.contaminationBloom(
+        corpus = d.filter(col("doc_id") >= 50),
+        eval = d.filter(col("doc_id") < 50),
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.5)
+    },
+
+    "contamination_bloom_gate" -> QueryDef(
+      doc = "Bloom-decontamination guarantees vs the exact path, per doc: flagged set is a superset (no false negatives — every exact-contaminated doc stays flagged), per-doc overlap_ratio never shrinks, and the FP inflation stays within 2× the configured fpp on both flags and mean ratio",
+      oracle = "SELECT CAST(1 AS INTEGER) AS bloom_superset_ok, " +
+        "CAST(1 AS INTEGER) AS bloom_ratio_ok, " +
+        "CAST(1 AS INTEGER) AS bloom_fp_ok") { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") >= 50)
+      val eval = d.filter(col("doc_id") < 50)
+      val exact = Dedup.contamination(corpus, eval, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .select(col("doc_id"), col("overlap_ratio").as("r_exact"),
+          col("is_contaminated").as("c_exact"))
+        .localCheckpoint(true)
+      val bloom = Dedup.contaminationBloom(corpus, eval, "doc_id", "text",
+          k = 3, threshold = 0.5, fpp = 0.01)
+        .select(col("doc_id"), col("overlap_ratio").as("r_bloom"),
+          col("is_contaminated").as("c_bloom"))
+        .localCheckpoint(true)
+      exact.join(bloom, "doc_id").agg(
+        (sum(when(col("c_exact") && !col("c_bloom"), 1).otherwise(0)) === 0)
+          .cast("int").as("bloom_superset_ok"),
+        (sum(when(col("r_bloom") < col("r_exact"), 1).otherwise(0)) === 0)
+          .cast("int").as("bloom_ratio_ok"),
+        ((avg((col("c_bloom") && !col("c_exact")).cast("int")) <= 0.02) &&
+         (avg(col("r_bloom") - col("r_exact")) <= 0.02))
+          .cast("int").as("bloom_fp_ok"))
+    }
+  )
+}

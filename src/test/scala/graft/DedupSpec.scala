@@ -174,6 +174,31 @@ class DedupSpec extends SparkSpec {
     assert(out(1)._2 == 0.0 && !out(1)._3)
   }
 
+  test("contaminationBloom: superset of exact flags; exact on this fixture") {
+    val eval = Seq((100L, "the quick brown fox jumps over dogs"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high today"),
+      (2L, "completely unrelated training content here"),
+      (3L, "ab"))
+      .toDF("doc_id", "text")
+    // tiny fixture + 1% fpp → zero false positives: bloom output must
+    // EQUAL the exact path here; superset-ness at scale is what the
+    // driver gate (contamination_bloom_gate) pins on real data
+    assertSameRows(
+      Dedup.contaminationBloom(corpus, eval, "doc_id", "text",
+        k = 3, threshold = 0.5),
+      Dedup.contamination(corpus, eval, "doc_id", "text",
+        k = 3, threshold = 0.5))
+    // ratio monotonicity is structural (no false negatives): a doc
+    // fully inside the eval set reads 1.0 regardless of fpp
+    val leaked = Dedup.contaminationBloom(
+      Seq((9L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text"),
+      eval, "doc_id", "text", k = 3, threshold = 0.5)
+      .as[(Long, Double, Boolean)].head()
+    assert(leaked._2 == 1.0 && leaked._3)
+  }
+
   test("spanDedup keeps first occurrence by (doc, pos) and reassembles") {
     val docs = Seq(
       (1L, "a b c d"),  // both spans first occurrences

@@ -80,4 +80,99 @@ class SketchStateSpec extends SparkSpec {
       SketchState.distinctSketches(planted, Seq("g"), "v"), Seq("g"))
     assertSameRows(fine, coarse)
   }
+
+  // ---------------- Count-Min frequency-sketch state ----------------
+
+  /** (g, item) with known multiplicities: x appears 5× in g1, y 3×,
+    * z 1×; g2 carries x 2×.
+    */
+  private def items = Seq.fill(5)(("g1", "x")) ++ Seq.fill(3)(("g1", "y")) ++
+    Seq(("g1", "z")) ++ Seq.fill(2)(("g2", "x"))
+
+  private def itemsDf = items.toDF("g", "item")
+
+  test("CMS point estimates never underestimate and are exact when sparse") {
+    val state = SketchState.freqSketches(itemsDf, Seq("g"), "item")
+    val probes = Seq("x", "y", "z", "never-seen").toDF("item")
+    val est = SketchState.estimateFreq(state, probes, "item")
+    // width=512, 4 distinct keys: collisions impossible to matter at
+    // depth 4 — estimates are exact, absent key reads 0
+    assertSameRows(est,
+      Seq(("x", 7L), ("y", 3L), ("z", 1L), ("never-seen", 0L)).toDF())
+  }
+
+  test("CMS merge ≡ rebuild exactly (additive cells)") {
+    val (a, b) = items.splitAt(4)
+    val merged = SketchState.mergeFreqSketches(
+      SketchState.freqSketches(a.toDF("g", "item"), Seq("g"), "item"),
+      SketchState.freqSketches(b.toDF("g", "item"), Seq("g"), "item"),
+      Seq("g"))
+    assertSameRows(merged, SketchState.freqSketches(itemsDf, Seq("g"), "item"))
+  }
+
+  test("CMS estimate upper bound holds under forced collisions") {
+    // width=2 forces heavy collisions: estimate must still be ≥ true
+    // and ≤ true + N (the trivial bound at width 2 is loose; the
+    // invariant under test is one-sided error)
+    val state = SketchState.freqSketches(itemsDf.filter(col("g") === "g1"),
+      Seq("g"), "item", depth = 4, width = 2)
+    val est = SketchState.estimateFreq(state,
+      Seq("x", "y", "z").toDF("item"), "item", depth = 4, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = Map("x" -> 5L, "y" -> 3L, "z" -> 1L)
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"$k underestimated: ${est(k)} < $t")
+      assert(est(k) <= t + 9L, s"$k above trivial bound: ${est(k)}")
+    }
+  }
+
+  // ---------------- quantile-sketch state ----------------
+
+  test("quantile buckets: exact below 10, two significant digits above") {
+    val df = Seq(("g", 0L), ("g", 9L), ("g", 10L), ("g", 19L), ("g", 20L),
+      ("g", 123L), ("g", 129L), ("g", 4567L)).toDF("g", "v")
+    val state = SketchState.quantileSketches(df, Seq("g"), "v")
+    // ≤ 2-digit values are singleton buckets (two significant digits
+    // IS the value); 3+ digits zero the tail: 123,129 → 120
+    assertSameRows(state.select("q_lb", "cnt"),
+      Seq((0L, 1L), (9L, 1L), (10L, 1L), (19L, 1L), (20L, 1L), (120L, 2L),
+        (4500L, 1L)).toDF())
+  }
+
+  test("quantile estimates: exact on singleton buckets, ≤10% rel above") {
+    val vals = (1L to 200L) // p50=100, p90=180, p99=198
+    val state = SketchState.quantileSketches(
+      vals.map(("g", _)).toDF("g", "v"), Seq("g"), "v")
+    val r = SketchState.quantileRollup(state, Seq("g")).head()
+    assert(r.getAs[Long]("n") == 200L)
+    val (p50, p90, p99) = (r.getAs[Long]("p50"), r.getAs[Long]("p90"),
+      r.getAs[Long]("p99"))
+    Seq((p50, 100L), (p90, 180L), (p99, 198L)).foreach { case (est, t) =>
+      assert(est <= t && t < est * 1.1 + 10,
+        s"estimate $est out of bucket envelope for true $t")
+    }
+  }
+
+  test("quantile merge ≡ rebuild; rollup from finer grain matches direct") {
+    val df = (1L to 50L).map(v => ("g", (v % 3).toInt, v)).toDF("g", "part", "v")
+    val merged = SketchState.mergeQuantileSketches(
+      SketchState.quantileSketches(df.filter(col("v") <= 25), Seq("g"), "v"),
+      SketchState.quantileSketches(df.filter(col("v") > 25), Seq("g"), "v"),
+      Seq("g"))
+    assertSameRows(merged, SketchState.quantileSketches(df, Seq("g"), "v"))
+    // state built at (g, part), quantiles rolled to (g) ≡ built at (g)
+    val fine = SketchState.quantileRollup(
+      SketchState.quantileSketches(df, Seq("g", "part"), "v"), Seq("g"))
+    val direct = SketchState.quantileRollup(
+      SketchState.quantileSketches(df, Seq("g"), "v"), Seq("g"))
+    assertSameRows(fine, direct)
+  }
+
+  test("quantile sketch rejects negative values loudly") {
+    val e = intercept[Exception] {
+      SketchState.quantileSketches(
+        Seq(("g", -1L)).toDF("g", "v"), Seq("g"), "v").collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
