@@ -114,6 +114,34 @@ object DataQuality {
       minPassRate)
   }
 
+  /** k-anonymity / l-diversity audit — the privacy screen a corpus
+    * passes before training data ships: every quasi-identifier
+    * combination must be shared by ≥ k rows (re-identification
+    * resistance) and carry ≥ l distinct values of the sensitive
+    * column (attribute-disclosure resistance; Machanavajjhala et al.
+    * 2007 — k-anonymity alone fails when a k-group is sensitive-value
+    * homogeneous). Output: one row per occupied quasi-tuple with
+    * (n_rows, l_distinct, k_anonymous, l_diverse) — the flagged rows
+    * ARE the suppression/generalization worklist.
+    *
+    * Scale shape: one uniform groupBy exchange on the quasi columns
+    * with map-side partial (count, distinct-set) aggregation; the
+    * result is equivalence-class-sized, not corpus-sized. Exact
+    * count_distinct is intentional — a privacy gate must not
+    * under-count diversity; at 100 TB the quasi grid is bounded by
+    * the generalization hierarchy, not the corpus.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int = 5, l: Int = 2): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi column")
+    require(k >= 1 && l >= 1, s"k and l must be >= 1, got k=$k l=$l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+  }
+
   /** Per-group rule evaluation — the same one-pass battery as
     * [[check]] but at (groupCols…) grain: (group…, rule, n_rows,
     * n_violations, pass_rate, passed). The shape of "pass rate per

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, SketchState, TextAnalysis}
+import graft.operators.{DataQuality, Dedup, SketchState, TextAnalysis}
 import graft.sources.Tables
 
 /** Round-7 sketch-state + Bloom-decontamination queries: the
@@ -204,6 +204,65 @@ object StateQueries {
       val mergeOk = merged.exceptAll(state).count() == 0 &&
         state.exceptAll(merged).count() == 0
       envOk.withColumn("q_merge_ok", lit(mergeOk).cast("int"))
+    },
+
+    "cms_heavy_drift" -> QueryDef(
+      doc = "heavy-changer detection from CMS state ALONE: the per-source state table splits into two cohorts (src0-9 vs src10-19), each side's cells re-sum per cohort and the heavy probe set (true global count ≥ 40) reads both — per-token |est_a − est_b| from O(depth·width) state rows, never a raw rescan (the sketch-tier twin of corpus_drift's exact JSD)",
+      oracle = s"""
+        WITH $duckCmsCells,
+        probes AS (SELECT token FROM (
+                     SELECT unnest($duckToks) AS token FROM documents)
+                   GROUP BY 1 HAVING count(*) >= 40),
+        ph AS (SELECT token,
+                      ('0x' || substr(md5(token), 1, 15))::BIGINT AS h1,
+                      ('0x' || substr(md5(token), 16, 15))::BIGINT AS h2
+               FROM probes),
+        pr AS (SELECT token, h1, h2, unnest(generate_series(0, 3)) AS cm_row
+               FROM ph),
+        ga AS (SELECT cm_row, cm_bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM cells WHERE length(source) = 4 GROUP BY 1, 2),
+        gb AS (SELECT cm_row, cm_bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM cells WHERE length(source) = 5 GROUP BY 1, 2),
+        ea AS (SELECT p.token, min(coalesce(ga.cnt, 0)) AS est_a
+               FROM pr p LEFT JOIN ga
+                 ON ga.cm_row = p.cm_row
+                AND ga.cm_bucket = CAST((p.h1 + p.cm_row * p.h2) % 512 AS INTEGER)
+               GROUP BY 1),
+        eb AS (SELECT p.token, min(coalesce(gb.cnt, 0)) AS est_b
+               FROM pr p LEFT JOIN gb
+                 ON gb.cm_row = p.cm_row
+                AND gb.cm_bucket = CAST((p.h1 + p.cm_row * p.h2) % 512 AS INTEGER)
+               GROUP BY 1)
+        SELECT ea.token, est_a, est_b, abs(est_a - est_b) AS drift
+        FROM ea JOIN eb ON ea.token = eb.token""") { (s, dir) =>
+      val toks = tokenRows(s, dir)
+      val state = SketchState.freqSketches(toks, Seq("source"), "token")
+        .localCheckpoint(true)
+      val probes = toks.groupBy(col("token"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") >= 40)
+        .select("token")
+      val estA = SketchState.estimateFreq(
+          state.filter(length(col("source")) === 4), probes, "token")
+        .withColumnRenamed("est", "est_a")
+      val estB = SketchState.estimateFreq(
+          state.filter(length(col("source")) === 5), probes, "token")
+        .withColumnRenamed("est", "est_b")
+      estA.join(estB, "token")
+        .withColumn("drift", abs(col("est_a") - col("est_b")))
+    },
+
+    "dq_kanonymity" -> QueryDef(
+      doc = "k-anonymity / l-diversity privacy audit before a corpus ships: every (nation, market-segment) quasi-identifier class must hold ≥ 5 customers and ≥ 2 distinct balances; flagged classes are the suppression worklist — one uniform groupBy, equivalence-class-sized output",
+      oracle = """
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS n_rows,
+               count(DISTINCT c_acctbal) AS l_distinct,
+               count(*) >= 5 AS k_anonymous,
+               count(DISTINCT c_acctbal) >= 2 AS l_diverse
+        FROM customer GROUP BY 1, 2""") { (s, dir) =>
+      DataQuality.kAnonymity(Tables.load(s, dir, "customer"),
+        quasiCols = Seq("c_nationkey", "c_mktsegment"),
+        sensitiveCol = "c_acctbal", k = 5, l = 2)
     },
 
     "dedup_contamination_bloom" -> QueryDef.noOracle(

@@ -197,6 +197,52 @@ object EventsStreaming {
       .select(col("window.start").as("ws"), col("event_type"),
         col("sketch"), col("n_rows"))
 
+  /** Count-Min frequency-sketch cells per closed event-time window —
+    * the streaming twin of [[graft.operators.SketchState.freqSketches]]
+    * with the window as the (only) group column. Output rows
+    * (ws, cm_row, cm_bucket, cnt) ARE CMS state rows: any
+    * "how often did key X occur over [range]" question is
+    * [[graft.operators.SketchState.estimateFreq]] over the state rows
+    * of that range — the raw stream is never replayed.
+    *
+    * Idempotence story (same as [[uniqueUserSketches]]): cell counts
+    * are ADDITIVE, so a naive per-tick `mergeFreqSketches` fold would
+    * double-count a redelivered batch. Keying the state by the CLOSED
+    * window instead makes every (ws, cm_row, cm_bucket) row final on
+    * first emission — append mode emits it exactly once — so
+    * [[sketchStateTicks]] with `keys = Seq("ws","cm_row","cm_bucket")`
+    * persists it as a replace-by-key upsert and replays are
+    * value-stable.
+    */
+  def freqSketchWindows(
+      events: DataFrame, keyCol: String = "user_id",
+      windowLen: String = "1 hour", watermarkDelay: String = "2 hours",
+      depth: Int = 4, width: Int = 512): DataFrame =
+    graft.operators.SketchState.freqSketches(
+      events.withWatermark("ts", watermarkDelay)
+        .select(window(col("ts"), windowLen).as("__w"), col(keyCol)),
+      Seq("__w"), keyCol, depth, width)
+      .select(col("__w.start").as("ws"), col("cm_row"), col("cm_bucket"),
+        col("cnt"))
+
+  /** Quantile-sketch buckets per closed event-time window — the
+    * streaming twin of
+    * [[graft.operators.SketchState.quantileSketches]]; output rows
+    * (ws, q_lb, cnt) are quantile state: any "p99 of X over [range]"
+    * is [[graft.operators.SketchState.quantileRollup]] over the range's
+    * state rows. Same closed-window idempotence contract as
+    * [[freqSketchWindows]]; persist with `keys = Seq("ws","q_lb")`.
+    */
+  def quantileSketchWindows(
+      events: DataFrame, valueCol: String,
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    graft.operators.SketchState.quantileSketches(
+      events.withWatermark("ts", watermarkDelay)
+        .select(window(col("ts"), windowLen).as("__w"), col(valueCol)),
+      Seq("__w"), valueCol)
+      .select(col("__w.start").as("ws"), col("q_lb"), col("cnt"))
+
   /** Persist the closed-window sketch rows of [[uniqueUserSketches]]
     * into a [[graft.operators.SketchState]] state table, maintained
     * per tick. Idempotence comes free from the window grain: append

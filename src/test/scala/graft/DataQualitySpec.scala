@@ -118,4 +118,22 @@ class DataQualitySpec extends SparkSpec {
       minPassRate = 0.8)
     assertSameRows(merged, full)
   }
+
+  test("kAnonymity flags small classes and sensitive-homogeneous classes") {
+    // class (30,"a"): 3 rows, 2 balances → k=3-anonymous, l=2-diverse
+    // class (30,"b"): 1 row → fails k; trivially fails l=2
+    // class (40,"a"): 3 rows but ONE balance → k ok, fails l
+    //                 (the homogeneity attack k-anonymity misses)
+    val people = Seq(
+      (30, "a", 10.0), (30, "a", 10.0), (30, "a", 20.0),
+      (30, "b", 30.0),
+      (40, "a", 50.0), (40, "a", 50.0), (40, "a", 50.0))
+      .toDF("age_band", "segment", "balance")
+    val out = DataQuality.kAnonymity(people, Seq("age_band", "segment"),
+      "balance", k = 3, l = 2)
+    assertSameRows(out,
+      Seq((30, "a", 3L, 2L, true, true),
+        (30, "b", 1L, 1L, false, false),
+        (40, "a", 3L, 1L, true, false)).toDF())
+  }
 }

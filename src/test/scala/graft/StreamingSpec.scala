@@ -271,6 +271,78 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(rolled, Seq(("click", 3L, 5L), ("view", 1L, 1L)).toDF())
   }
 
+  test("freqSketchWindows: closed-window CMS cells answer point queries") {
+    implicit val sqlCtx = spark.sqlContext
+    // u1 ×3 across two windows, u2 ×2 in one, u3 ×1
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:10:00"), 2L, "click", 0.0),
+      (3L, ts("2024-01-01 10:20:00"), 1L, "click", 0.0),
+      (4L, ts("2024-01-01 11:05:00"), 1L, "click", 0.0),
+      (5L, ts("2024-01-01 11:10:00"), 2L, "click", 0.0),
+      (6L, ts("2024-01-01 11:15:00"), 3L, "view", 0.0))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStreaming.freqSketchWindows(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        windowLen = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cmsw").start()
+    // split mid-window: partial cell counts must merge in state
+    mem.addData(evRows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(2): _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-02 23:00:00"), 9L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    // emitted rows ARE CMS state rows at window grain: estimates over
+    // the two closed windows equal the exact per-user counts (few
+    // keys at width 512 — collisions can't matter)
+    val state = spark.table("cmsw")
+      .filter(col("ws") < ts("2024-01-01 12:00:00"))
+    val est = graft.operators.SketchState.estimateFreq(
+      state, Seq("1", "2", "3", "404").toDF("user_id"), "user_id")
+    assertSameRows(est,
+      Seq(("1", 3L), ("2", 2L), ("3", 1L), ("404", 0L)).toDF())
+    // ...and the batch rebuild over the same rows is cell-identical
+    val batch = graft.operators.SketchState.freqSketches(
+      evRows.take(6).toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(window(col("ts"), "1 hour")("start").as("ws"),
+          col("user_id")),
+      Seq("ws"), "user_id")
+    assertSameRows(state.select("ws", "cm_row", "cm_bucket", "cnt"), batch)
+  }
+
+  test("quantileSketchWindows: closed-window buckets answer quantiles") {
+    implicit val sqlCtx = spark.sqlContext
+    val evRows = (1 to 100).map { i =>
+      (i.toLong, ts(s"2024-01-01 10:${10 + i % 40}:00"), 1L, "m", i.toDouble)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStreaming.quantileSketchWindows(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        valueCol = "value", windowLen = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qsw").start()
+    mem.addData(evRows.take(50): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(50): _*)
+    q.processAllAvailable()
+    mem.addData((999L, ts("2024-01-02 23:00:00"), 9L, "m", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.table("qsw")
+      .filter(col("ws") < ts("2024-01-01 12:00:00"))
+    val r = graft.operators.SketchState.quantileRollup(state, Seq("ws"))
+      .head()
+    // values 1..100: p50 true 50 (singleton/2-digit buckets exact),
+    // p90 true 90, p99 true 99
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("p50") == 50L)
+    assert(r.getAs[Long]("p90") == 90L)
+    assert(r.getAs[Long]("p99") == 99L)
+  }
+
   test("sketchStateTicks: persisted window sketches; replay is byte-stable") {
     implicit val sqlCtx = spark.sqlContext
     val evRows = Seq(
