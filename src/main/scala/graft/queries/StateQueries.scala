@@ -251,6 +251,19 @@ object StateQueries {
         .withColumn("drift", abs(col("est_a") - col("est_b")))
     },
 
+    "src_csv_roundtrip" -> QueryDef(
+      doc = "line-oriented CSV ingest source (tabular deliveries: labels, metadata, vendor drops): documents exported as csv, re-ingested through the schema-mandatory permissive reader with corrupt-record quarantine (empty here), must hash-match the parquet original — text+from_csv, narrow per-line parse, splittable (the jsonl path's tabular sibling)",
+      oracle = """
+        SELECT doc_id, text, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents""") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("csv_rt")
+        .resolve("docs").toString
+      graft.sources.CsvLines.write(docs, tmp)
+      graft.sources.CsvLines.read(s, tmp,
+        org.apache.spark.sql.types.StructType(docs.schema.fields.toSeq))
+    },
+
     "dq_kanonymity" -> QueryDef(
       doc = "k-anonymity / l-diversity privacy audit before a corpus ships: every (nation, market-segment) quasi-identifier class must hold ≥ 5 customers and ≥ 2 distinct balances; flagged classes are the suppression worklist — one uniform groupBy, equivalence-class-sized output",
       oracle = """
