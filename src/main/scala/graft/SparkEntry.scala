@@ -22,7 +22,17 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    Registry.all.collect { case (name, QueryDef(_, Some(sql), _)) =>
-      name -> sql.trim
+    Registry.all.collect {
+      case (name, d) if d.oracle.isDefined => name -> d.oracle.get.trim
+    }
+
+  /** Static oracles plus the data-dependent ones rendered for `dir`
+    * (QueryDef.oracleGen — model literals inlined). [[Verify]] dumps
+    * this so the driver's oracle_sql.json is complete.
+    */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    oracleSql ++ Registry.all.collect {
+      case (name, d) if d.oracleGen.isDefined =>
+        name -> d.oracleGen.get.apply(spark, dir).trim
     }
 }

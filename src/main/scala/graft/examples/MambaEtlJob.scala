@@ -57,17 +57,26 @@ object MambaEtlJob {
     })
 
     encounterTypeIds.foreach { et =>
-      p.register(Stage(s"mamba_flat_encounter_$et", Seq("mamba_dim_encounter")) {
-        (_, deps) =>
-          val cfg = flatConfigs.getOrElse(et,
-            Flatten.autoConfig(src.obs, src.encounter, src.concept, et,
-              locale = Some(config.locale)))
-          val encIds = deps("mamba_dim_encounter")
-            .filter(col("encounter_type") === et)
-            .select("encounter_id", "patient_id", "encounter_datetime")
-          Flatten.flattenObs(src.obs, cfg)
-            .join(encIds, Seq("encounter_id"), "inner")
-      })
+      // config resolved at pipeline-construction (one metadata scan,
+      // not one per run) because the WIDTH decides the stage list:
+      // a >cap encounter type emits continuation-table stages
+      // `…_<et>`, `…_<et>_1`, … (EtlConfig.columns, reference
+      // README.md:130-131), each an independent chunked pivot
+      // (Flatten.flattenObsSplit's shuffle argument)
+      val cfg = flatConfigs.getOrElse(et,
+        Flatten.autoConfig(src.obs, src.encounter, src.concept, et,
+          locale = Some(config.locale)))
+      Flatten.flattenObsSplit(src.obs,
+          cfg.copy(tableName = s"mamba_flat_encounter_$et"), config.columns)
+        .foreach { case (tableName, flat) =>
+          p.register(Stage(tableName, Seq("mamba_dim_encounter")) {
+            (_, deps) =>
+              val encIds = deps("mamba_dim_encounter")
+                .filter(col("encounter_type") === et)
+                .select("encounter_id", "patient_id", "encounter_datetime")
+              flat.join(encIds, Seq("encounter_id"), "inner")
+          })
+        }
     }
 
     p.register(Stage("mamba_fact_encounter_counts",

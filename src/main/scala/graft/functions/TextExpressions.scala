@@ -96,6 +96,7 @@ case class TokenStats(child: Expression, lexicons: Seq[Seq[String]])
   override def dataType: DataType = StructType(Seq(
     StructField("n_words", IntegerType, nullable = false),
     StructField("sum_word_len", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
     StructField("scores", ArrayType(IntegerType, containsNull = false),
       nullable = false)))
   override def prettyName: String = "graft_token_stats"
@@ -111,13 +112,27 @@ case class TokenStats(child: Expression, lexicons: Seq[Seq[String]])
     val toks = input.asInstanceOf[UTF8String].toString.split(' ')
     var nWords = 0
     var sumLen = 0
+    var nPunct = 0
     val scores = new Array[Int](sets.length)
     var i = 0
     while (i < toks.length) {
       val t = toks(i)
       if (!t.isEmpty) {
         nWords += 1
-        sumLen += t.codePointCount(0, t.length) // = Spark length() semantics
+        val cp = t.codePointCount(0, t.length) // = Spark length() semantics
+        sumLen += cp
+        // code points outside [a-z0-9] — spaces are split away, so
+        // summing per token equals the whole-string count; [a-z0-9]
+        // are single code units, so cp − keep counts a multi-unit
+        // code point once (regexp semantics, per code point)
+        var keep = 0
+        var c = 0
+        while (c < t.length) {
+          val ch = t.charAt(c)
+          if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) keep += 1
+          c += 1
+        }
+        nPunct += cp - keep
         var l = 0
         while (l < sets.length) {
           if (sets(l).contains(t)) scores(l) += 1
@@ -126,7 +141,7 @@ case class TokenStats(child: Expression, lexicons: Seq[Seq[String]])
       }
       i += 1
     }
-    InternalRow(nWords, sumLen,
+    InternalRow(nWords, sumLen, nPunct,
       new GenericArrayData(scores.map(x => x: Any)))
   }
 
@@ -170,31 +185,76 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     if (nWins <= 0) return new GenericArrayData(Array.empty[Any])
     val md = java.security.MessageDigest.getInstance("MD5")
     val hashes = new Array[Long](nGrams)
+    val out16 = new Array[Byte](16)
+    // per-gram digests run over ONE shared UTF-8 buffer with a
+    // char→byte offset index (md.update(buf, off, len) + a reused
+    // output buffer) — the substring(i,i+k).getBytes form allocated a
+    // String + two byte[] PER CHARACTER of every document, and was
+    // this pass's dominant cost at sf1. Falls back to per-gram
+    // substrings for text with surrogate pairs, where a char-indexed
+    // byte window can't reproduce String.substring's lone-surrogate
+    // replacement byte-for-byte.
+    val bytes = text.getBytes("UTF-8")
+    val ascii7 = bytes.length == text.length
+    val offs: Array[Int] =
+      if (ascii7) null
+      else if (!hasSurrogates(text)) {
+        val o = new Array[Int](text.length + 1)
+        var bi = 0
+        var ci = 0
+        while (ci < text.length) {
+          o(ci) = bi
+          val c = text.charAt(ci)
+          bi += (if (c < 0x80) 1 else if (c < 0x800) 2 else 3)
+          ci += 1
+        }
+        o(text.length) = bi
+        o
+      } else null
     var i = 0
     while (i < nGrams) {
-      val d = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+      if (ascii7) md.update(bytes, i, k)
+      else if (offs != null) md.update(bytes, offs(i), offs(i + k) - offs(i))
+      else md.update(text.substring(i, i + k).getBytes("UTF-8"))
+      md.digest(out16, 0, 16)
       // top 15 hex chars = 60 bits, matching TextAnalysis.tokenHash60
       var h = 0L
       var b = 0
-      while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      while (b < 8) { h = (h << 8) | (out16(b) & 0xffL); b += 1 }
       hashes(i) = h >>> 4 // 64 - 60
-      md.reset()
       i += 1
     }
-    val fps = new java.util.TreeSet[java.lang.Long]
+    // window minima → sort + unique on primitives (the TreeSet form
+    // boxed every fingerprint); output stays ascending-distinct
+    val minima = new Array[Long](nWins)
     i = 0
     while (i < nWins) {
       var m = hashes(i)
       var j = i + 1
       while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
-      fps.add(m)
+      minima(i) = m
       i += 1
     }
-    val out = new Array[Any](fps.size)
-    val it = fps.iterator()
+    java.util.Arrays.sort(minima)
+    var n = 0
     i = 0
-    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    while (i < nWins) {
+      if (i == 0 || minima(i) != minima(i - 1)) { minima(n) = minima(i); n += 1 }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = minima(i); i += 1 }
     new GenericArrayData(out)
+  }
+
+  private def hasSurrogates(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) return true
+      i += 1
+    }
+    false
   }
 
   override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =

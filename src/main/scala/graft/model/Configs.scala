@@ -13,13 +13,24 @@ import org.json4s.jackson.JsonMethods
   *                        (reference README.md:127-128)
   * @param etlIntervalSeconds recurring-run cadence
   *                        (reference README.md:139-140)
+  * @param columns         flat-table width cap: an encounter type
+  *                        whose column set exceeds this splits into
+  *                        continuation tables `t`, `t_1`, … sharing
+  *                        `encounter_id` (reference README.md:130-131
+  *                        `mambaetl.analysis.columns=40`; README.md:154
+  *                        documents the >160-column failure the cap
+  *                        exists for). Parquet has no MySQL row-size
+  *                        limit, so the Spark-side cap defaults high;
+  *                        set 40 to mirror the reference layout
+  *                        exactly, or Int.MaxValue to disable.
   */
 final case class EtlConfig(
     sourceDir: String,
     analysisDir: String,
     incrementalMode: Int = 0,
     locale: String = "en",
-    etlIntervalSeconds: Long = 1800L)
+    etlIntervalSeconds: Long = 1800L,
+    columns: Int = 40)
 
 /** One flat-table output column: label + which concept feeds it +
   * the concept datatype that picks the typed value_* source column
@@ -33,7 +44,25 @@ final case class FlatColumn(label: String, conceptId: Long, datatype: String)
 final case class FlatTableConfig(
     tableName: String,
     encounterTypeId: Int,
-    columns: Seq[FlatColumn])
+    columns: Seq[FlatColumn]) {
+
+  /** Continuation-table split (reference README.md:130-131,154): when
+    * the column set exceeds `maxColumns`, the config splits into
+    * `tableName`, `tableName_1`, `tableName_2`, … — each ≤ maxColumns
+    * columns in the original order, all keyed by `encounter_id`. A
+    * config already within the cap returns itself unchanged, so
+    * callers can apply the split unconditionally.
+    */
+  def split(maxColumns: Int): Seq[FlatTableConfig] = {
+    require(maxColumns > 0, s"column cap must be positive, got $maxColumns")
+    if (columns.size <= maxColumns) Seq(this)
+    else columns.grouped(maxColumns).zipWithIndex.map { case (chunk, i) =>
+      FlatTableConfig(
+        if (i == 0) tableName else s"${tableName}_$i",
+        encounterTypeId, chunk)
+    }.toSeq
+  }
+}
 
 object FlatTableConfig {
   implicit private val formats: Formats = DefaultFormats

@@ -118,8 +118,10 @@ object Bpe {
     */
   def encodePieces(df: DataFrame, vocabDf: DataFrame, idCol: String,
       textCol: String, unkId: Int = -1): DataFrame = {
-    val entries = vocabDf.select(col("token"), col("id").cast("int"))
-      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val entries = ModelCollect.bounded(
+        vocabDf.select(col("token"), col("id").cast("int")),
+        ModelCollect.MaxModelRows, "encodePieces vocabulary")
+      .map(r => r.getString(0) -> r.getInt(1))
     require(entries.nonEmpty, "encodePieces needs a non-empty vocabulary")
     val maxLen = entries.map(_._1.length).max
     val idMap = map(entries.flatMap { case (t, i) =>
@@ -276,11 +278,14 @@ object Bpe {
   }
 
   def loadModel(spark: SparkSession, root: String): BpeModel = {
-    val merges = spark.read.parquet(s"$root/merges")
-      .orderBy("rank").collect()
+    val merges = ModelCollect.bounded(
+        spark.read.parquet(s"$root/merges").orderBy("rank"),
+        ModelCollect.MaxModelRows, "loadModel merges")
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
-    val vocab = spark.read.parquet(s"$root/vocab")
-      .orderBy("id").collect().map(_.getString(0))
+    val vocab = ModelCollect.bounded(
+        spark.read.parquet(s"$root/vocab").orderBy("id"),
+        ModelCollect.MaxModelRows, "loadModel vocab")
+      .map(_.getString(0))
     BpeModel(merges.toSeq, vocab.toSeq)
   }
 }

@@ -693,6 +693,12 @@ object Dedup {
     * GiB as an exact set vs ~1.2·log2(1/fpp) BITS per shingle as a
     * Bloom filter (~12 MiB at 10M shingles / 1% fpp) — that is the
     * artifact you pin alongside a 100 TB run and re-use every tick.
+    * At that scale the session's runtime-Bloom caps must be raised
+    * first (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`,
+    * default 4M, and `.maxNumBits`, default 64M ≈ what 10M shingles
+    * need at 1% fpp): Spark clamps to them silently, so this builder
+    * VALIDATES the requested size against the session conf and
+    * refuses to build a clamped (fpp-violating) filter.
     *
     * Mechanics: eval shingles hash to 64-bit (xxhash64), a distributed
     * [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]]
@@ -724,6 +730,22 @@ object Dedup {
     val n = math.max(evalHashes.count(), 1L)
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Spark's BloomFilterAggregate SILENTLY clamps both arguments to
+    // the runtime-filter session caps (defaults: 4M items / 64M bits).
+    // A clamped build still has no false negatives, but the realized
+    // FP rate exceeds the requested fpp — which would quietly void the
+    // 2×fpp bound contamination_bloom_gate pins. Fail loudly and name
+    // the conf to raise instead of letting the clamp degrade the gate.
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(n <= maxItems && numBits <= maxBits,
+      s"eval set needs $n items / $numBits bits but the session caps are " +
+      s"$maxItems / $maxBits; raise spark.sql.optimizer.runtime.bloomFilter" +
+      s".maxNumItems/.maxNumBits (or accept a larger fpp) — proceeding " +
+      "would silently clamp the filter and void the fpp guarantee")
     val bloomBytes = evalHashes
       .agg(GraftSqlBridge.column(new BloomFilterAggregate(
           GraftSqlBridge.expression(col("h")),

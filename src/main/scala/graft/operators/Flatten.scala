@@ -27,9 +27,12 @@ import graft.model.{FlatColumn, FlatTableConfig}
   *    highest id) via a `row_number` window. The window shares the
   *    same `entity` hash partitioning as the final aggregation, so AQE
   *    plans window+agg inside one exchange.
-  *  - '''No 40-column vertical partitioning.''' MySQL's row-width cap
+  *  - '''Width cap is opt-in, not structural.''' MySQL's row-width cap
   *    (reference README.md:130-131,154) doesn't exist in columnar
-  *    Parquet — one wide table, intentional divergence (SURVEY §1.4).
+  *    Parquet, so the default path emits one wide table (SURVEY §1.4);
+  *    [[flattenObsSplit]] implements the reference's
+  *    `mambaetl.analysis.columns` continuation-table layout for
+  *    deployments that mirror it ([[graft.model.EtlConfig.columns]]).
   */
 object Flatten {
 
@@ -81,6 +84,47 @@ object Flatten {
       attrCol = "concept_id",
       labels = labels,
       tieBreak = Seq(col("obs_datetime").desc, col("obs_id").desc))
+  }
+
+  /** Width-capped flattening — the reference's
+    * `mambaetl.analysis.columns` continuation-table layout (reference
+    * README.md:130-131: wide encounter types split at the cap;
+    * README.md:154: the >160-column hard failure the cap prevents).
+    * One `(tableName, wide rows)` pair per continuation table, all
+    * keyed by `encounter_id` in the SAME order as the config, so
+    * `t ⋈ t_1 ⋈ …` on the key losslessly reconstructs the unsplit
+    * [[flattenObs]] output (spec-pinned).
+    *
+    * Key-set invariant: every continuation table carries the SAME
+    * encounter set as the unsplit table — an encounter whose only
+    * obs land in other chunks still gets an (all-null) row here,
+    * because a vertical partition that drops rows isn't a partition
+    * (the rejoin above would silently lose those encounters). Each
+    * chunk pivot is left-joined onto the full config's key set.
+    *
+    * Scale shape — chunked pivots, NOT pivot-once-project-N: separate
+    * table writes are separate Spark jobs, and jobs don't share plan
+    * results, so a shared full-width pivot would re-execute per table
+    * (or force a corpus-sized cache). Instead each chunk runs its own
+    * [[flattenObs]], whose `concept_id IN (chunk)` filter sits BEFORE
+    * the shuffle: every obs row belongs to exactly one chunk, so the
+    * total shuffled volume across all chunks ≈ the unsplit pivot's
+    * plus one key-column distinct per chunk; keys, pivot, and join all
+    * hash-partition by `encounter_id`, so the join adds no exchange.
+    */
+  def flattenObsSplit(
+      obs: DataFrame, config: FlatTableConfig,
+      maxColumns: Int): Seq[(String, DataFrame)] = {
+    val chunks = config.split(maxColumns)
+    if (chunks.size == 1) Seq(config.tableName -> flattenObs(obs, config))
+    else {
+      val keys = obs.filter(col("voided") === 0 &&
+          col("concept_id").isin(config.columns.map(_.conceptId): _*))
+        .select("encounter_id").distinct()
+      chunks.map(c =>
+        c.tableName -> keys.join(flattenObs(obs, c),
+          Seq("encounter_id"), "left"))
+    }
   }
 
   /** Incremental flattening — the reference's mode 1 ("only add/modify

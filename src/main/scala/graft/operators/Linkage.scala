@@ -29,8 +29,14 @@ object Linkage {
     * hides from [[firstTokenBlock]] ("Widget Corp" / "Qidget Corp"
     * share "idget"). Chosen over soundex because it is exactly
     * replayable in ANSI SQL (the driver oracle's contract) with the
-    * same recall mechanism: any single-edit on char 1 lands both
-    * names in one block.
+    * same recall mechanism: a char-1 SUBSTITUTION lands both names in
+    * one block. Char-1 insertions/deletions are NOT recovered —
+    * "Widget"→"idget" puts the original's skip key and the typo's
+    * first-token key at the same VALUE but under different key-index
+    * namespaces ("1:idget" vs "0:idget"), and the namespacing is
+    * deliberate (distinct keys must never merge blocks by colliding
+    * values); recovering indels needs a dedicated deletion-
+    * neighborhood key, not a namespace drop.
     */
   def skipFirstCharBlock(name: Column): Column =
     substring(split(name, " ").getItem(0), 2, Int.MaxValue)

@@ -67,8 +67,10 @@ object Packing {
       expr(s"($idCol - ${lo}L) DIV ${span}L"))
 
     // per-bucket totals → driver prefix sum (nBuckets scalars, never rows)
-    val totals = bucketed.groupBy("bucket").agg(sum("n").as("t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totals = ModelCollect.bounded(
+        bucketed.groupBy("bucket").agg(sum("n").as("t")),
+        nBuckets + 1, "packSequences per-bucket totals")
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val prefixRows = (0L until (hi - lo) / span + 1).scanLeft((0L, 0L)) {
       case ((_, acc), b) => (b, acc + totals.getOrElse(b - 1, 0L))
     }.drop(1).map { case (b, p) => Row(b, p) }
@@ -134,9 +136,11 @@ object Packing {
       .withColumn("__kb", DistributedPrefix.keyBucket(col("__key")))
     // per-(band, key-bucket) doc counts → driver prefix (model-sized:
     // (|bands|+1) × 256 scalars)
-    val totals = counted.groupBy("len_bucket", "__kb")
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals = ModelCollect.bounded(
+        counted.groupBy("len_bucket", "__kb").agg(count(lit(1)).as("__c")),
+        (bands.length + 1) * DistributedPrefix.Buckets,
+        "lengthGroupedShards per-(band,bucket) counts")
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val spark = df.sparkSession
     import spark.implicits._
     val prefixes = DistributedPrefix.bucketPrefixes(totals)
@@ -188,9 +192,11 @@ object Packing {
     val counted = df.select(col(idCol), phase.as("phase"),
         Sampling.shuffleKey(col(idCol), seed).as("__key"))
       .withColumn("__kb", DistributedPrefix.keyBucket(col("__key")))
-    val totals = counted.groupBy("phase", "__kb")
-      .agg(count(lit(1)).as("__c"))
-      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val totals = ModelCollect.bounded(
+        counted.groupBy("phase", "__kb").agg(count(lit(1)).as("__c")),
+        (thresholds.length + 1) * DistributedPrefix.Buckets,
+        "curriculumOrder per-(phase,bucket) counts")
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     val spark = df.sparkSession
     import spark.implicits._
     val prefixes = DistributedPrefix.bucketPrefixes(totals)

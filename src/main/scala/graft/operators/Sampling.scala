@@ -186,11 +186,14 @@ object Sampling {
       .withColumn("__key", shuffleKey(col(idCol), seed))
       .withColumn("__bkt", DistributedPrefix.keyBucket(col("__key")))
     // per-(source, bucket) token totals → driver prefix sum. Model-
-    // sized by construction: |sources with quotas| × 256 scalars.
-    val totals = counted
-      .groupBy(col(sourceCol).as("__src"), col("__bkt"))
-      .agg(sum(col("__n")).as("__t"))
-      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // sized by construction: |sources with quotas| × 256 scalars —
+    // and the bound is exactly that, so a construction bug trips it.
+    val totals = ModelCollect.bounded(
+        counted.groupBy(col(sourceCol).as("__src"), col("__bkt"))
+          .agg(sum(col("__n")).as("__t")),
+        quotas.size * DistributedPrefix.Buckets,
+        "tokenBudgetMix per-(source,bucket) totals")
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val spark = df.sparkSession
     import spark.implicits._
     val prefixes = DistributedPrefix.bucketPrefixes(totals)
@@ -243,10 +246,14 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     // NULL sources are excluded, matching tokenBudgetMix (a null can
     // be neither a map key nor sorted into the weight-sum order)
-    val sizes = df.filter(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol).cast("string").as("__s"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sources are model-sized by contract (the unimax guard's rule):
+    // 100k distinct values means a doc-grain column was passed
+    val sizes = ModelCollect.bounded(
+        df.filter(col(sourceCol).isNotNull)
+          .groupBy(col(sourceCol).cast("string").as("__s"))
+          .agg(count(lit(1)).as("__n")),
+        100000, s"temperatureMix per-'$sourceCol' sizes")
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     if (sizes.isEmpty) return df.limit(0)
     def weight(n: Long): Double =
       if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
@@ -401,13 +408,10 @@ object Sampling {
     // docs); the guard turns a mistaken doc-grain column into a
     // clear error instead of a driver OOM
     val maxDomains = 100000
-    val agg = df.groupBy(col(domainCol).as("domain"))
-      .agg(sum(tokensCol).cast("long").as("n_tokens"))
-      .limit(maxDomains + 1)
-      .collect()
-    require(agg.length <= maxDomains,
-      s"unimax: > $maxDomains distinct '$domainCol' values — this is a " +
-        "per-DOMAIN allocation; pass the dataset/source column, not a doc key")
+    val agg = ModelCollect.bounded(
+      df.groupBy(col(domainCol).as("domain"))
+        .agg(sum(tokensCol).cast("long").as("n_tokens")),
+      maxDomains, s"unimax per-'$domainCol' allocation (domain column, not a doc key)")
     val caps = agg
       .map(r => (r.getString(0), r.getLong(1)))
       .map { case (d, n) => (d, n, n * maxEpochs) }

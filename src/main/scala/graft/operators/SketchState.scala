@@ -171,6 +171,146 @@ object SketchState {
   }
 
   // ------------------------------------------------------------------
+  // Mergeable Misra–Gries heavy-hitter state (Agarwal, Cormode,
+  // Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012)
+  // ------------------------------------------------------------------
+
+  /** Build the heavy-hitter summary state: per `groupCols` tuple, at
+    * most k rows (item, est) forming a VALID Misra–Gries(k) summary —
+    * est ≤ true count ≤ est + n_group/(k+1) for EVERY item of the
+    * group, including the dropped ones (whose est reads as 0).
+    *
+    * Construction is the ORDER-INDEPENDENT batch form (not the
+    * streaming counter walk, whose output depends on arrival order
+    * and so could never be oracle-replayed): exact per-item counts,
+    * subtract the (k+1)-th largest count t from everything, keep the
+    * positive survivors (plus the rank-1 row at est = 0 when the whole
+    * group ties — see [[compress]]; it carries `n_rows` so merge
+    * totals never lose a group's mass). Validity: every dropped item has cnt ≤ t, so
+    * its error is ≤ t; every kept item's error is exactly t; and the
+    * top k+1 items each count ≥ t, so n ≥ (k+1)·t ⇒ t ≤ n/(k+1).
+    * Ties at the boundary break by item ascending — fully
+    * deterministic, pure integer arithmetic, DuckDB-replayable
+    * row-for-row (the reason this joins the relational sketch tier
+    * next to CMS/quantile state).
+    *
+    * `n_rows` (the group's exact item total) rides along per row: the
+    * merge bound needs Σn, and exact bookkeeping audits the sketch —
+    * same discipline as the HLL state table.
+    *
+    * Scale shape: one uniform groupBy exchange for the exact counts
+    * (map-side combined), then a per-group top-(k+1) window over the
+    * already-aggregated (group, item) rows. State is ≤ k rows/group.
+    */
+  def heavyHitterSketches(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df
+      .groupBy((groupCols.map(col) :+
+        col(valueCol).cast("string").as("item")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      // the group's exact total rides on the (already state-sized)
+      // count rows — the bound column and the audit column in one
+      .withColumn("__n",
+        sum(col("cnt")).over(Window.partitionBy(groupCols.map(col): _*)))
+    compress(counts, groupCols, k)
+  }
+
+  /** Fold a delta's partial summaries into the persisted state — the
+    * PODS'12 merge: add counters item-wise, then re-compress with the
+    * combined (k+1)-th largest. Each compress subtracts its own t,
+    * and the subtractions telescope: merged error stays ≤ Σn/(k+1)
+    * over everything folded in (the mergeability theorem) — the gate
+    * pins that bound, NOT exact merge ≡ rebuild (unlike CMS/quantile
+    * state, an MG summary is lossy; equal-within-bound is the
+    * contract). `n_rows` is a per-GROUP total (constant across the
+    * group's rows), so totals combine per group — never per item,
+    * which would drop the mass of items absent from one side.
+    */
+  def mergeHeavyHitters(
+      prior: DataFrame, delta: DataFrame, groupCols: Seq[String],
+      k: Int = 16): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mergeHeavyHitters needs group columns; a global fold is heavyHittersRollup(state, Seq())")
+    val grain = groupCols.map(col)
+    def totals(s: DataFrame, as: String) =
+      s.groupBy(grain: _*).agg(max(col("n_rows")).as(as))
+    val nTot = totals(prior, "__np").join(totals(delta, "__nd"),
+        groupCols, "full_outer")
+      .select((grain :+ (coalesce(col("__np"), lit(0L)) +
+        coalesce(col("__nd"), lit(0L))).as("__n")): _*)
+    val summed = prior.unionByName(delta)
+      .groupBy((grain :+ col("item")): _*)
+      .agg(sum(col("est")).as("cnt"))
+      .join(nTot, groupCols)
+    compress(summed, groupCols, k)
+  }
+
+  /** Answer "heavy items over [range]" from state alone: re-sum the
+    * range's summary rows to the rollup grain and re-compress — one
+    * pass over O(windows × k) state rows, the raw stream never
+    * replays. Every state column outside (rollupCols, item, est,
+    * n_rows) is treated as constituent-summary identity (e.g. the
+    * window column), so the range total is the sum of each
+    * constituent's group total counted ONCE. Output (rollupCols…,
+    * item, est, n_rows) with the telescoped bound
+    * est ≤ true ≤ est + n_rows/(k+1).
+    */
+  def heavyHittersRollup(
+      state: DataFrame, rollupCols: Seq[String], k: Int = 16): DataFrame = {
+    val grain = rollupCols.map(col)
+    val winCols = state.columns.toSeq
+      .diff(rollupCols ++ Seq("item", "est", "n_rows"))
+    val nTot = state
+      .groupBy((rollupCols ++ winCols).map(col): _*)
+      .agg(max(col("n_rows")).as("__wn"))
+      .groupBy(grain: _*).agg(sum(col("__wn")).as("__n"))
+    val summed = state
+      .groupBy((grain :+ col("item")): _*)
+      .agg(sum(col("est")).as("cnt"))
+    // a grain-less rollup ("heavy over the whole range") joins the
+    // single total row by broadcast; the global rank in compress then
+    // runs single-partition BY DESIGN over O(windows × k) STATE rows,
+    // never raw data — same posture as estimateFreq's global cell sum
+    val joined =
+      if (rollupCols.isEmpty) summed.crossJoin(broadcast(nTot))
+      else summed.join(nTot, rollupCols)
+    compress(joined, rollupCols, k)
+  }
+
+  /** The shared (k+1)-th-largest compress over (groupCols…, item,
+    * cnt, __n) rows: rank counts desc (ties by item asc), t = the
+    * (k+1)-th value (0 when the group holds ≤ k items), keep rank ≤ k
+    * with est = cnt − t > 0; `__n` passes through as `n_rows`.
+    *
+    * The rank-1 row is kept even at est = 0 (every count tied with
+    * the (k+1)-th): est = 0 claims nothing — validity is untouched —
+    * but the row carries the group's `n_rows`, without which a fully
+    * tied group would VANISH from the state and its mass would
+    * silently drop out of every downstream merge/rollup total (the
+    * merged bound would then understate n and the "≤ n/(k+1)"
+    * guarantee would be fiction). A nonempty group therefore always
+    * keeps ≥ 1 state row.
+    */
+  private def compress(
+      counts: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val grain = groupCols.map(col)
+    val w = Window.partitionBy(grain: _*)
+      .orderBy(col("cnt").desc, col("item").asc)
+    val t = max(when(row_number().over(w) === k + 1, col("cnt")))
+      .over(Window.partitionBy(grain: _*))
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__t", coalesce(t, lit(0L)))
+      .filter(col("__rk") <= k &&
+        (col("cnt") - col("__t") > 0 || col("__rk") === 1))
+      .select((grain :+ col("item") :+
+        (col("cnt") - col("__t")).as("est") :+
+        col("__n").as("n_rows")): _*)
+  }
+
+  // ------------------------------------------------------------------
   // Quantile-sketch state (decimal two-significant-digit histogram)
   // ------------------------------------------------------------------
 

@@ -188,7 +188,10 @@ object TextAnalysis {
     val nChars = length(t)
     val nWords = stats.getField("n_words")
     val sumWordLen = stats.getField("sum_word_len")
-    val nPunct = nChars - length(regexp_replace(t, "[^a-z0-9 ]", ""))
+    // counted inside the TokenStats walk — the regexp_replace form
+    // rewrote (allocated) every document once per row just to take a
+    // length, and was the dominant per-row cost of this pass at sf1
+    val nPunct = stats.getField("n_punct")
     val nStop = element_at(stats.getField("scores"), 1)
     // empty docs exist in real corpora: zero denominators become NULL
     // (ratio undefined) instead of an ANSI DIVIDE_BY_ZERO that kills

@@ -14,6 +14,27 @@ import graft.sources.Tables
   */
 object ExtQueries {
 
+  /** Memoized per-sfDir PCA fit: embedding_pca's build and its
+    * generated oracle MUST share one model object — refitting on each
+    * side would let the moment aggregation's ~1e-12 summation-order
+    * drift (Pca scaladoc) produce two slightly different literal sets.
+    */
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pca.Model]
+  private def pcaModelFor(
+      s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.Pca.Model =
+    pcaModels.computeIfAbsent(dir, _ =>
+      graft.operators.Pca.fit(Tables.load(s, dir, "embeddings"),
+        "embedding", k = 16))
+
+  /** Round-trip-exact double literal for SQL (Scala's Double.toString
+    * is shortest-round-trip; DuckDB parses it back to the same bits).
+    */
+  private def fmtD(v: Double): String =
+    if (v.isNaN || v.isInfinite)
+      throw new IllegalStateException(s"non-finite model weight: $v")
+    else v.toString
+
   /** DuckDB-side distinct 3-word shingles CTE (mirrors Dedup.shingles). */
   private val duckShingles = """
     words AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -498,13 +519,35 @@ object ExtQueries {
         nCentroids = 16, nProbe = 8, m = 16, ksub = 16)
     },
 
-    "embedding_pca" -> QueryDef.noOracle(
-      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles) — eigensolve not SQL-expressible → rows-only; every model/projection identity hash-gated in pca_gate. Output is posexploded to scalar (vec_id, component, value) rows — a driver checker can sort/hash scalars but not array columns") { (s, dir) =>
+    "embedding_pca" -> QueryDef.dynamicOracle(
+      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles), posexploded to scalar (vec_id, component, value) rows at 4dp. The eigensolve isn't SQL-expressible, but the fitted model IS model-sized — the oracle inlines the axes/mean as literal tables (memoized, so query and oracle replay the identical fit) and DuckDB replays the affine projection over the embeddings table; 4dp absorbs summation-order ulp. Model identities additionally hash-gated in pca_gate") {
+      (s, dir) =>
+        val m = pcaModelFor(s, dir)
+        val d = m.dim
+        val mean = if (m.mean.isEmpty) new Array[Double](d) else m.mean
+        val muRows = mean.zipWithIndex
+          .map { case (v, i) => s"($i, ${fmtD(v)})" }.mkString(", ")
+        val axRows = m.axes.zipWithIndex.flatMap { case (row, c) =>
+          row.zipWithIndex.map { case (w, i) => s"($c, $i, ${fmtD(w)})" }
+        }.mkString(", ")
+        s"""
+        WITH mu(dim, m) AS (VALUES $muRows),
+        ax(component, dim, w) AS (VALUES $axRows),
+        e AS (SELECT vec_id, d.dim,
+                     CAST(embedding[d.dim + 1] AS DOUBLE) AS x
+              FROM embeddings
+              CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS dim) d)
+        SELECT e.vec_id, CAST(a.component AS INTEGER) AS component,
+               round(sum(a.w * (e.x - m.m)), 4) AS value
+        FROM e JOIN mu m USING (dim) JOIN ax a USING (dim)
+        GROUP BY 1, 2"""
+    } { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val model = graft.operators.Pca.fit(e, "embedding", k = 16)
-      graft.operators.Pca.project(e, "vec_id", "embedding", model)
+      graft.operators.Pca.project(e, "vec_id", "embedding",
+          pcaModelFor(s, dir))
         .select(col("vec_id"),
           posexplode(col("pca")).as(Seq("component", "value")))
+        .withColumn("value", round(col("value"), 4))
     },
 
     "pca_gate" -> QueryDef(

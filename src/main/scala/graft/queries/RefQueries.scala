@@ -245,6 +245,57 @@ object RefQueries {
         tieBreak = Nil)
     },
 
+    // ── §2.7 T2: width-capped continuation tables (README.md:130-131) ──
+    "q47_flatten_continuation" -> QueryDef(
+      doc = "width cap mambaetl.analysis.columns: a 5-concept EAV (orders melted; o_orderkey is unique so the collision rule is moot) splits at cap=2 into mamba-style continuation tables (t, t_1, t_2) sharing encounter_id; the query rejoins them on the key, and hash-equality with the UNSPLIT pivot's SQL is the losslessness proof (SURVEY T2, reference README.md:130-131,154)",
+      oracle = """
+        WITH eav AS (
+          SELECT o_orderkey AS encounter_id, 1 AS concept_id,
+                 round(o_totalprice, 2) AS value_numeric,
+                 CAST(NULL AS VARCHAR) AS value_text,
+                 CAST(NULL AS TIMESTAMP) AS value_datetime FROM orders
+          UNION ALL SELECT o_orderkey, 2, CAST(o_custkey AS DOUBLE), NULL, NULL FROM orders
+          UNION ALL SELECT o_orderkey, 3, CAST(NULL AS DOUBLE), o_orderstatus, NULL FROM orders
+          UNION ALL SELECT o_orderkey, 4, CAST(NULL AS DOUBLE), o_orderpriority, NULL FROM orders
+          UNION ALL SELECT o_orderkey, 5, CAST(NULL AS DOUBLE), NULL, o_orderdate FROM orders)
+        SELECT encounter_id,
+               max(CASE WHEN concept_id = 1 THEN value_numeric END) AS totalprice,
+               max(CASE WHEN concept_id = 2 THEN value_numeric END) AS custkey,
+               max(CASE WHEN concept_id = 3 THEN value_text END) AS orderstatus,
+               max(CASE WHEN concept_id = 4 THEN value_text END) AS orderpriority,
+               max(CASE WHEN concept_id = 5 THEN value_datetime END) AS orderdate
+        FROM eav GROUP BY encounter_id""") { (s, dir) =>
+      val o = t(s, dir, "orders")
+      // obs-shaped rows (voided flag + tiebreak audit columns) so the
+      // split runs through the REAL flattenObs path, not pivotLatest
+      def obsRows(cid: Int, numC: Option[Column], txtC: Option[Column],
+          dtC: Option[Column] = None) =
+        o.select(col("o_orderkey").as("encounter_id"),
+          lit(cid).as("concept_id"),
+          numC.getOrElse(lit(null).cast("double")).as("value_numeric"),
+          txtC.getOrElse(lit(null).cast("string")).as("value_text"),
+          dtC.getOrElse(lit(null).cast("timestamp")).as("value_datetime"),
+          lit(0).as("voided"),
+          lit("2000-01-01").cast("timestamp").as("obs_datetime"),
+          col("o_orderkey").as("obs_id"))
+      val obs = obsRows(1, Some(round(col("o_totalprice"), 2)), None)
+        .unionByName(obsRows(2, Some(col("o_custkey").cast("double")), None))
+        .unionByName(obsRows(3, None, Some(col("o_orderstatus"))))
+        .unionByName(obsRows(4, None, Some(col("o_orderpriority"))))
+        .unionByName(obsRows(5, None, None, Some(col("o_orderdate"))))
+      val cfg = graft.model.FlatTableConfig("mamba_flat_encounter_9", 9, Seq(
+        graft.model.FlatColumn("totalprice", 1L, "Numeric"),
+        graft.model.FlatColumn("custkey", 2L, "Numeric"),
+        graft.model.FlatColumn("orderstatus", 3L, "Text"),
+        graft.model.FlatColumn("orderpriority", 4L, "Text"),
+        graft.model.FlatColumn("orderdate", 5L, "Datetime")))
+      val tables = Flatten.flattenObsSplit(obs, cfg, maxColumns = 2)
+      assert(tables.map(_._1) == Seq("mamba_flat_encounter_9",
+        "mamba_flat_encounter_9_1", "mamba_flat_encounter_9_2"),
+        "continuation naming contract")
+      tables.map(_._2).reduce(_.join(_, Seq("encounter_id")))
+    },
+
     // ── melt (inverse of A3; SURVEY §5b round-trip partner) ──
     "q6_melt_unpivot" -> QueryDef(
       doc = "unpivot wide → EAV long via stack() (narrow, no shuffle)",

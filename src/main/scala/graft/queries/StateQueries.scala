@@ -54,6 +54,28 @@ object StateQueries {
            FROM qt),
     qstate AS (SELECT lang, q_lb, count(*) AS cnt FROM qb GROUP BY 1, 2)"""
 
+  /** DuckDB CTE chain replaying [[SketchState.heavyHitterSketches]]
+    * over per-day event users (k = 32): defines `mg` =
+    * (ws, item, est, n_rows) — the order-independent batch MG
+    * construction (exact counts minus the 33rd-largest, positive
+    * survivors, ties by item asc).
+    */
+  private val duckMgDays = """
+    mt AS (SELECT CAST(ts AS DATE) AS ws, CAST(user_id AS VARCHAR) AS item
+           FROM events),
+    mc AS (SELECT ws, item, count(*) AS cnt FROM mt GROUP BY 1, 2),
+    mr AS (SELECT ws, item, cnt,
+                  row_number() OVER (PARTITION BY ws
+                    ORDER BY cnt DESC, item ASC) AS rk,
+                  CAST(sum(cnt) OVER (PARTITION BY ws) AS BIGINT) AS n
+           FROM mc),
+    mth AS (SELECT ws, coalesce(max(CASE WHEN rk = 33 THEN cnt END),
+                                CAST(0 AS BIGINT)) AS t
+            FROM mr GROUP BY 1),
+    mg AS (SELECT mr.ws, mr.item, mr.cnt - mth.t AS est, mr.n AS n_rows
+           FROM mr JOIN mth USING (ws)
+           WHERE rk <= 32 AND (mr.cnt - mth.t > 0 OR rk = 1))"""
+
   /** Per-source document tokens, one row per occurrence. */
   private def tokenRows(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
@@ -80,7 +102,7 @@ object StateQueries {
       doc = "point-frequency estimates from CMS state alone (rolled up across sources — raw tokens never rescanned): probe set = tokens with true global count ≥ 40; the model-sized cell table broadcasts to the probe side",
       oracle = s"""
         WITH $duckCmsCells,
-        g AS (SELECT cm_row, cm_bucket, sum(cnt) AS cnt
+        g AS (SELECT cm_row, cm_bucket, CAST(sum(cnt) AS BIGINT) AS cnt
               FROM cells GROUP BY 1, 2),
         probes AS (SELECT token FROM (
                      SELECT unnest($duckToks) AS token FROM documents)
@@ -105,6 +127,50 @@ object StateQueries {
       SketchState.estimateFreq(
         SketchState.freqSketches(toks, Seq("source"), "token"),
         probes, "token")
+    },
+
+    "cms_window_range" -> QueryDef(
+      doc = "range frequency from PERSISTED windowed CMS state: per-day (ws, cm_row, cm_bucket, cnt) cells — the exact at-rest layout EventsStreaming.freqSketchWindows + sketchStateTicks maintain — written to a store dir, read back, filtered to a 7-day window range, and answered through estimateFreq for every distinct user; the raw events are scanned once at build time and never re-read for the range question (cells are additive, so a range rollup is a groupBy.sum over ≤ days×depth×width state rows)",
+      oracle = """
+        WITH t AS (SELECT CAST(ts AS DATE) AS ws, user_id FROM events
+                   WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03'
+                                              AND DATE '2024-01-09'),
+        h AS (SELECT ws,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+                     ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15))::BIGINT AS h2
+              FROM t),
+        r AS (SELECT ws, h1, h2, unnest(generate_series(0, 3)) AS cm_row
+              FROM h),
+        g AS (SELECT CAST(cm_row AS INTEGER) AS cm_row,
+                     CAST((h1 + cm_row * h2) % 512 AS INTEGER) AS cm_bucket,
+                     count(*) AS cnt
+              FROM r GROUP BY 1, 2),
+        probes AS (SELECT DISTINCT user_id FROM events),
+        ph AS (SELECT user_id,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+                      ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15))::BIGINT AS h2
+               FROM probes),
+        pr AS (SELECT user_id, h1, h2, unnest(generate_series(0, 3)) AS cm_row
+               FROM ph),
+        px AS (SELECT p.user_id, coalesce(g.cnt, CAST(0 AS BIGINT)) AS cell
+               FROM pr p LEFT JOIN g
+                 ON g.cm_row = p.cm_row
+                AND g.cm_bucket = CAST((p.h1 + p.cm_row * p.h2) % 512 AS INTEGER))
+        SELECT user_id, min(cell) AS est FROM px GROUP BY 1""") { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val state = SketchState.freqSketches(
+        events.select(to_date(col("ts")).as("ws"), col("user_id")),
+        Seq("ws"), "user_id")
+      // persist + read back: the query answers from the state DIR,
+      // exactly as a serving layer reads what sketchStateTicks wrote
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-cms-windows").toString
+      state.write.mode("overwrite").parquet(store)
+      val persisted = s.read.parquet(store)
+        .filter(col("ws").between(
+          lit("2024-01-03").cast("date"), lit("2024-01-09").cast("date")))
+      SketchState.estimateFreq(persisted,
+        events.select("user_id").distinct(), "user_id")
     },
 
     "cms_error_gate" -> QueryDef(
@@ -140,6 +206,93 @@ object StateQueries {
       checks.withColumn("cms_merge_ok", lit(mergeOk).cast("int"))
     },
 
+    "mg_state" -> QueryDef(
+      doc = "mergeable Misra-Gries heavy-hitter state (Agarwal et al., Mergeable Summaries, PODS'12): per-day <=32-row user summaries via the ORDER-INDEPENDENT batch construction (exact counts minus the 33rd-largest, positive survivors + the rank-1 row so a fully tied day still carries its n_rows mass; ties by item asc) - deterministic pure-integer state, hash-oracled row-for-row like its CMS/quantile siblings; est <= true <= est + n_day/33 for EVERY user including dropped ones",
+      oracle = s"""
+        WITH $duckMgDays
+        SELECT strftime(ws, '%Y-%m-%d') AS ws, item, est, n_rows
+        FROM mg""") { (s, dir) =>
+      // ws rendered ISO-string: a DATE output column round-trips as
+      // python date from Spark parquet but Timestamp from DuckDB, and
+      // the driver's comparator treats those as distinct types
+      SketchState.heavyHitterSketches(
+        Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("ws"), col("user_id")),
+        Seq("ws"), "user_id", k = 32)
+        .withColumn("ws", date_format(col("ws"), "yyyy-MM-dd"))
+    },
+
+    "mg_window_range" -> QueryDef(
+      doc = "range heavy hitters from PERSISTED windowed MG state: the per-day summaries written to a store dir, read back, filtered to the same 7-day range as cms_window_range, and re-compressed by the PODS'12 merge (sum ests item-wise, subtract the combined 33rd-largest) - O(days x k) state rows answer the range question, raw events never replay; the telescoped bound est <= true <= est + n_range/33 is mg_error_gate's contract",
+      oracle = s"""
+        WITH $duckMgDays,
+        rng AS (SELECT * FROM mg WHERE ws BETWEEN DATE '2024-01-03'
+                                             AND DATE '2024-01-09'),
+        ntot AS (SELECT CAST(sum(wn) AS BIGINT) AS n FROM (
+                   SELECT ws, max(n_rows) AS wn FROM rng GROUP BY 1)),
+        s2 AS (SELECT item, CAST(sum(est) AS BIGINT) AS cnt
+               FROM rng GROUP BY 1),
+        r2 AS (SELECT item, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, item ASC) AS rk
+               FROM s2),
+        t2 AS (SELECT coalesce(max(CASE WHEN rk = 33 THEN cnt END),
+                               CAST(0 AS BIGINT)) AS t FROM r2)
+        SELECT item, r2.cnt - t2.t AS est, ntot.n AS n_rows
+        FROM r2 CROSS JOIN t2 CROSS JOIN ntot
+        WHERE rk <= 32 AND (r2.cnt - t2.t > 0 OR rk = 1)""") { (s, dir) =>
+      val state = SketchState.heavyHitterSketches(
+        Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("ws"), col("user_id")),
+        Seq("ws"), "user_id", k = 32)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-mg-windows").toString
+      state.write.mode("overwrite").parquet(store)
+      SketchState.heavyHittersRollup(
+        s.read.parquet(store).filter(col("ws").between(
+          lit("2024-01-03").cast("date"), lit("2024-01-09").cast("date"))),
+        Seq(), k = 32)
+    },
+
+    "mg_error_gate" -> QueryDef(
+      doc = "MG guarantees over the range, checked for EVERY user (dropped users read est=0): no overestimate (est <= true), the mergeability-theorem bound true <= est + n_range/(k+1) (PODS'12: merging preserves the n/(k+1) envelope — the compress subtractions are absorbed by counters that already underestimate), and the rolled-up state answer within the same envelope of the direct one-shot summary over the range",
+      oracle = "SELECT CAST(1 AS INTEGER) AS mg_noover_ok, " +
+        "CAST(1 AS INTEGER) AS mg_bound_ok, " +
+        "CAST(1 AS INTEGER) AS mg_direct_ok") { (s, dir) =>
+      val k = 32
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("ws"), col("user_id"))
+        .filter(col("ws").between(
+          lit("2024-01-03").cast("date"), lit("2024-01-09").cast("date")))
+        .localCheckpoint(true)
+      val state = SketchState.heavyHitterSketches(ev, Seq("ws"), "user_id", k)
+      val rolled = SketchState.heavyHittersRollup(state, Seq(), k)
+        .localCheckpoint(true)
+      val truth = ev.groupBy(col("user_id").cast("string").as("item"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val n = ev.count()
+      val bound = n / (k + 1) + 1 // telescoped compress mass, ceil'd
+      val checks = truth.join(rolled.select("item", "est"), Seq("item"), "left")
+        .withColumn("est", coalesce(col("est"), lit(0L)))
+        .agg(
+          (sum(when(col("est") > col("true_cnt"), 1).otherwise(0)) === 0)
+            .cast("int").as("mg_noover_ok"),
+          (sum(when(col("true_cnt") > col("est") + bound, 1).otherwise(0))
+            === 0).cast("int").as("mg_bound_ok"))
+      // rolled (per-day summaries merged) vs direct (one-shot over the
+      // range): both valid MG(k) summaries of the same stream, so each
+      // item's two estimates differ by at most the bound
+      val direct = SketchState.heavyHitterSketches(
+        ev.withColumn("__one", lit(1)), Seq("__one"), "user_id", k)
+        .select(col("item"), col("est").as("d_est"))
+      val directOk = rolled.select("item", "est")
+        .join(direct, Seq("item"), "full_outer")
+        .select(coalesce(col("est"), lit(0L)).as("a"),
+          coalesce(col("d_est"), lit(0L)).as("b"))
+        .agg((sum(when(abs(col("a") - col("b")) > bound, 1).otherwise(0))
+          === 0).cast("int").as("mg_direct_ok"))
+      checks.crossJoin(directOk)
+    },
+
     "qsketch_state" -> QueryDef(
       doc = "mergeable quantile-sketch state over per-lang token counts: decimal two-significant-digit buckets (a base-10 DDSketch variant with integer-only bucketing — no floating log, so the state is exactly replayable cross-engine), ≤ 10% relative value error",
       oracle = s"""
@@ -153,8 +306,10 @@ object StateQueries {
       oracle = s"""
         WITH $duckQState,
         c AS (SELECT lang, q_lb, cnt,
-                     sum(cnt) OVER (PARTITION BY lang ORDER BY q_lb) AS cum,
-                     sum(cnt) OVER (PARTITION BY lang) AS n
+                     CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY q_lb)
+                          AS BIGINT) AS cum,
+                     CAST(sum(cnt) OVER (PARTITION BY lang)
+                          AS BIGINT) AS n
               FROM qstate)
         SELECT lang, max(n) AS n,
                min(CASE WHEN cum >= ceil(n * 0.5) THEN q_lb END) AS p50,

@@ -34,15 +34,23 @@ import graft.model.QueryParam
   * Error contract: 400 missing/mistyped `report_id` or params,
   * 404 unknown report, 405 non-GET, 500 execution failure; all error
   * bodies are JSON `{"error": msg}`.
+  *
+  * Exposure: the server carries NO authentication (the reference's
+  * equivalent sits behind the EMR's authenticated webservice layer),
+  * so it binds LOOPBACK by default — every registered report would
+  * otherwise be readable by any network peer. Deployments that front
+  * it with an authenticating proxy opt into a wider bind explicitly
+  * via `host` (e.g. "0.0.0.0").
   */
 final class ReportHttpServer(
     spark: SparkSession,
     registry: ReportRegistry,
     port: Int = 0,
-    maxRows: Int = 10000) {
+    maxRows: Int = 10000,
+    host: String = "127.0.0.1") {
 
   private val server: HttpServer = {
-    val s = HttpServer.create(new InetSocketAddress(port), 0)
+    val s = HttpServer.create(new InetSocketAddress(host, port), 0)
     s.createContext("/ws/rest/v1/mamba/report", new ReportHandler)
     s.setExecutor(Executors.newFixedThreadPool(4))
     s

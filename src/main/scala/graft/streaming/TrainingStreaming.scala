@@ -330,7 +330,12 @@ object TrainingStreaming {
     *    ([[graft.operators.TextAnalysis.hashEmbedDense]] layout),
     *    merged replace-by-doc with only THIS tick's additions
     *    embedded — the tokenize+hash pass is doc-local, so history
-    *    never re-embeds. A re-shipped doc whose new text tokenizes
+    *    never re-embeds. Exception: a store root that predates the
+    *    topicvecs dir backfills by embedding the FULL additions
+    *    store once (the lexical/dsir rule), so enabling topicCount
+    *    on an existing corpus — or losing the vecs dir — cannot
+    *    silently shrink the map to recent ticks. A re-shipped doc
+    *    whose new text tokenizes
     *    to nothing correctly LOSES its row (the merge drops all
     *    addition keys first), matching what a from-scratch embed of
     *    the curated set would produce.
@@ -365,7 +370,18 @@ object TrainingStreaming {
       .localCheckpoint(true)
     AnalysisStore.recover(spark, tvP)
     if (!exists(spark, tvP)) {
-      if (!deltaVecs.isEmpty) AnalysisStore.writeFull(deltaVecs, tvP)
+      // backfill, not delta: a store root that predates the topicvecs
+      // dir (topicCount enabled later, or the dir lost) already holds
+      // curated docs in the additions store — embed the FULL shipped
+      // history (the lexical/dsir backfill rule), not just this
+      // tick's additions, or the refit map would silently exclude
+      // every pre-existing doc. The additions store has already
+      // absorbed this tick's rows by this point, so one pass covers
+      // both history and delta.
+      val fullVecs = TextAnalysis.hashEmbedDense(
+        spark.read.parquet(addsPath(storeRoot)),
+        "doc_id", "text", config.topicBuckets)
+      if (!fullVecs.isEmpty) AnalysisStore.writeFull(fullVecs, tvP)
     } else AnalysisStore.stageAndSwap(spark, tvP) { staging =>
       spark.read.parquet(tvP).join(addIds, Seq("doc_id"), "left_anti")
         .unionByName(deltaVecs)

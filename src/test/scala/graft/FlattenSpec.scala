@@ -55,6 +55,66 @@ class FlattenSpec extends SparkSpec {
     assert(e2.getAs[Timestamp]("visit_date") == ts("2024-01-02 00:00:00"))
   }
 
+  test("continuation split: naming, cap, key-sharing, lossless rejoin") {
+    // cap 2 over 4 columns → t (weight, hiv_result), t_1 (note,
+    // visit_date) — reference README.md:130-131 layout
+    val split = config.split(2)
+    assert(split.map(_.tableName) ==
+      Seq("mamba_flat_encounter_anc", "mamba_flat_encounter_anc_1"))
+    assert(split.map(_.columns.map(_.label)) ==
+      Seq(Seq("weight", "hiv_result"), Seq("note", "visit_date")))
+    assert(split.forall(_.encounterTypeId == config.encounterTypeId))
+    // within-cap config passes through untouched
+    assert(config.split(10) == Seq(config))
+
+    val tables = Flatten.flattenObsSplit(obsFixture, config, maxColumns = 2)
+    tables.foreach { case (_, df) =>
+      assert(df.columns.length <= 3, // encounter_id + ≤cap columns
+        s"table exceeds cap: ${df.columns.mkString(",")}")
+      assert(df.columns.head == "encounter_id", "shared key present")
+    }
+    // rejoining on the shared key reconstructs the unsplit flatten
+    val rejoined = tables.map(_._2).reduce(_.join(_, Seq("encounter_id")))
+      .select("encounter_id", "weight", "hiv_result", "note", "visit_date")
+    val unsplit = Flatten.flattenObs(obsFixture, config)
+      .select("encounter_id", "weight", "hiv_result", "note", "visit_date")
+    assert(rejoined.exceptAll(unsplit).isEmpty &&
+      unsplit.exceptAll(rejoined).isEmpty,
+      "continuation split must be lossless")
+  }
+
+  test("pipeline emits continuation stages when autoconfig width exceeds EtlConfig.columns") {
+    import graft.examples.MambaEtlJob
+    // 3 used concepts (100, 200, 400 — 300 is voided in every obs) at
+    // cap 2 → stages mamba_flat_encounter_7 and …_7_1
+    val concept = Seq((100L, "Weight", "Numeric"), (200L, "HIV Result", "Coded"),
+        (400L, "Visit Date", "Datetime"))
+      .toDF("concept_id", "name", "datatype")
+    val encounter = Seq((1L, 7, 10L, ts("2024-01-01 10:00:00"), 0, "u1"),
+        (2L, 7, 11L, ts("2024-01-02 09:00:00"), 0, "u2"))
+      .toDF("encounter_id", "encounter_type", "patient_id",
+        "encounter_datetime", "voided", "uuid")
+    val person = Seq((10L, "pa", "F", ts("1990-01-01 00:00:00"), 0),
+        (11L, "pb", "M", ts("1991-01-01 00:00:00"), 0))
+      .toDF("person_id", "uuid", "gender", "birthdate", "voided")
+    val encounterType = Seq((7, "et7", "ANC")).toDF(
+      "encounter_type_id", "uuid", "name")
+    val src = MambaEtlJob.Sources(obs = obsFixture, encounter = encounter,
+      concept = concept, person = person, encounterType = encounterType)
+    val cfg = graft.model.EtlConfig("unused", "unused", columns = 2)
+    val results = MambaEtlJob.run(spark, cfg, src, Seq(7))
+    assert(results.contains("mamba_flat_encounter_7") &&
+      results.contains("mamba_flat_encounter_7_1"),
+      s"expected continuation stages, got ${results.keys.toSeq.sorted}")
+    // each flat stage: encounter_id + ≤cap concept cols + the 2 encIds cols
+    assert(results("mamba_flat_encounter_7").columns.count(
+      c => !Seq("encounter_id", "patient_id", "encounter_datetime").contains(c)) <= 2)
+    // both continuation tables key the same encounters
+    val a = results("mamba_flat_encounter_7").select("encounter_id")
+    val b = results("mamba_flat_encounter_7_1").select("encounter_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("pivotLatest with tieBreak=Nil skips the window pass") {
     val eav = Seq((1L, "a", 10.0), (1L, "b", 20.0), (2L, "a", 30.0))
       .toDF("id", "attr", "v")

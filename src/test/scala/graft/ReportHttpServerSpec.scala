@@ -49,6 +49,15 @@ class ReportHttpServerSpec extends SparkSpec {
         .GET().build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("server binds loopback by default (no-auth surface must not face the network)") {
+    val f = classOf[ReportHttpServer].getDeclaredField("server")
+    f.setAccessible(true)
+    val addr = f.get(server).asInstanceOf[com.sun.net.httpserver.HttpServer]
+      .getAddress.getAddress
+    assert(addr.isLoopbackAddress,
+      s"default bind must be loopback, got $addr")
+  }
+
   test("parameterized report over HTTP: typed URL params reach the plan") {
     val r = get("/ws/rest/v1/mamba/report?report_id=client_lookup" +
       "&p_region=east&min_total=5")

@@ -126,6 +126,87 @@ class SketchStateSpec extends SparkSpec {
     }
   }
 
+  // ---------------- Misra–Gries heavy-hitter state ----------------
+
+  /** (g, item-ish value): group "x" has a planted skew — item 1 × 10,
+    * item 2 × 6, items 3..12 × 1 each (n = 26).
+    */
+  private def mgPlanted = {
+    val rows = Seq.fill(10)(("x", 1L)) ++ Seq.fill(6)(("x", 2L)) ++
+      (3L to 12L).map(("x", _)) ++ Seq.fill(4)(("y", 7L))
+    rows.toDF("g", "v")
+  }
+
+  test("MG summary: order-independent construction, est/bound per item") {
+    val k = 2
+    val st = SketchState.heavyHitterSketches(mgPlanted, Seq("g"), "v", k)
+      .as[(String, String, Long, Long)].collect().toSet
+    // group x: counts 10, 6, 1×10 → 3rd largest t = 1; keep (1, 10-1),
+    // (2, 6-1); n = 26. group y: single item, t = 0, est exact.
+    assert(st == Set(("x", "1", 9L, 26L), ("x", "2", 5L, 26L),
+      ("y", "7", 4L, 4L)), s"state: $st")
+    // validity: est ≤ true ≤ est + n/(k+1) for EVERY item (dropped → 0)
+    val n = 26L
+    val bound = n / (k + 1)
+    val ests = st.filter(_._1 == "x").map(r => r._2 -> r._3).toMap
+    val truth = Map("1" -> 10L, "2" -> 6L) ++
+      (3L to 12L).map(i => i.toString -> 1L)
+    truth.foreach { case (item, t) =>
+      val e = ests.getOrElse(item, 0L)
+      assert(e <= t && t <= e + bound, s"item $item: est=$e true=$t")
+    }
+  }
+
+  test("MG merge: telescoped bound holds; totals combine per group, not per item") {
+    val k = 2
+    val h1 = mgPlanted.filter(col("v") <= 2 || col("v") % 2 === 1)
+    val h2 = mgPlanted.exceptAll(h1)
+    val merged = SketchState.mergeHeavyHitters(
+      SketchState.heavyHitterSketches(h1, Seq("g"), "v", k),
+      SketchState.heavyHitterSketches(h2, Seq("g"), "v", k),
+      Seq("g"), k)
+    // the merged n_rows must equal the FULL group's total — a per-item
+    // total sum would understate it whenever an item misses one side
+    val nX = merged.filter(col("g") === "x").select("n_rows")
+      .distinct().as[Long].collect().toSeq
+    assert(nX == Seq(26L), s"merged totals: $nX")
+    // telescoped validity vs exact counts of the union
+    val ests = merged.filter(col("g") === "x")
+      .select("item", "est").as[(String, Long)].collect().toMap
+    val truth = Map("1" -> 10L, "2" -> 6L) ++
+      (3L to 12L).map(i => i.toString -> 1L)
+    val bound = 26L / (k + 1)
+    truth.foreach { case (item, t) =>
+      val e = ests.getOrElse(item, 0L)
+      assert(e <= t && t <= e + bound, s"item $item: est=$e true=$t")
+    }
+  }
+
+  test("MG rollup from windowed state ≡ within-bound of the direct summary") {
+    val k = 8
+    val ev = spark.range(0, 3000).select(
+      (col("id") % 5).cast("int").as("w"),
+      // zipf-ish: value j with frequency ∝ 3000/(j+1)
+      (col("id") % 20 * col("id") % 17 % 15).as("v"))
+      .localCheckpoint(true)
+    val rolled = SketchState.heavyHittersRollup(
+      SketchState.heavyHitterSketches(ev, Seq("w"), "v", k), Seq(), k)
+    val truth = ev.groupBy(col("v").cast("string").as("item"))
+      .agg(count(lit(1)).as("t"))
+      .as[(String, Long)].collect().toMap
+    val n = 3000L
+    val bound = n / (k + 1)
+    val ests = rolled.select("item", "est").as[(String, Long)].collect().toMap
+    assert(ests.nonEmpty)
+    truth.foreach { case (item, t) =>
+      val e = ests.getOrElse(item, 0L)
+      assert(e <= t && t <= e + bound, s"item $item: est=$e true=$t")
+    }
+    // n_rows: each window's total counted once
+    val nr = rolled.select("n_rows").distinct().as[Long].collect().toSeq
+    assert(nr == Seq(3000L), s"rollup totals: $nr")
+  }
+
   // ---------------- quantile-sketch state ----------------
 
   test("quantile buckets: exact below 10, two significant digits above") {

@@ -366,6 +366,37 @@ class TrainingStreamingSpec extends SparkSpec {
     assert(served() == once, "redelivery must be a no-op")
   }
 
+  test("topic map backfills pre-existing curated docs when topicCount is enabled late") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, sfDir, "documents")
+    val drop1 = docs.filter(col("doc_id") < 300)
+    val drop2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val off = TrainingDataJob.Config(langFractions = Map("en" -> 1.0),
+      defaultFraction = 0.5)
+    val on = off.copy(topicCount = 4, topicBuckets = 64)
+    val root = Files.createTempDirectory("topicslate").resolve("store")
+      .toString
+    // tick 1 runs WITHOUT topics; tick 2 enables them on the existing
+    // store root — the first topic tick must embed the full shipped
+    // history, not just its own delta, or drop1's docs vanish from
+    // the map (regression: delta-only first write)
+    TrainingStreaming.tickBatch(spark, drop1, root, off)
+    TrainingStreaming.tickBatch(spark, drop2, root, on)
+    val served = TrainingStreaming.readTopics(spark, root).get
+      .as[(Int, Long, String, Int, Double)].collect().toSet
+    val direct = TextAnalysis.corpusTopics(
+        TrainingStreaming.readCurated(spark, root), "doc_id", "text",
+        nTopics = 4, topTerms = 5, buckets = 64)
+      .as[(Int, Long, String, Int, Double)].collect().toSet
+    assert(served == direct,
+      s"late-enabled map must equal full rebuild: +${(served -- direct).take(3)} -${(direct -- served).take(3)}")
+    // independent of rebuild parity: the map's doc mass must exceed
+    // tick 2's own contribution — proof the history was embedded
+    val topicMass = served.groupBy(_._1).map(_._2.head._2).sum
+    assert(topicMass > drop2.count(),
+      s"topic mass $topicMass covers only the delta — history not backfilled")
+  }
+
   test("topic map drops a retracted doc's terms (bridge retraction fixture)") {
     import graft.operators.TextAnalysis
     val w = (1 to 30).map {
