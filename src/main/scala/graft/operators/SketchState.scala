@@ -395,4 +395,250 @@ object SketchState {
     c.groupBy(grain: _*)
       .agg(max(col("n")).as("n"), pCols: _*)
   }
+
+  // ------------------------------------------------------------------
+  // Bottom-k sample state (KMV / AKMV: Bar-Yossef et al. 2002;
+  // Beyer, Haas, Reinwald, Sismanis, Gemulla — "On Synopses for
+  // Distinct-Value Estimation Under Multiset Operations", SIGMOD'07)
+  // ------------------------------------------------------------------
+
+  /** 2^60 as double — exact (power of two), the KMV hash-space size
+    * for normalizing a 60-bit md5 window key into (0,1].
+    */
+  private val HashSpace = 1.152921504606846976e18
+
+  /** Build the bottom-k sample state: per `groupCols` tuple, the k
+    * DISTINCT items with the SMALLEST 60-bit md5 key (ties by item
+    * asc), each with its EXACT occurrence count — the AKMV synopsis.
+    * This is the sample member of the sketch-state tier (HLL =
+    * distinct count, CMS = frequency, Misra–Gries = heavy hitters,
+    * decimal buckets = quantiles): a statistically uniform
+    * without-replacement sample of the group's distinct items that is
+    * deterministic (hash order, no RNG — the reason it is
+    * DuckDB-replayable row-for-row and delta-stable), mergeable, and
+    * doubles as a distinct-count estimator ([[estimateDistinctKmv]]).
+    *
+    * Why merge/rollup ≡ rebuild EXACTLY (stronger than Misra–Gries'
+    * within-bound): each item's key is a fixed function of the item,
+    * so bottom-k of a union of constituent bottom-k's equals bottom-k
+    * of the union — any item in the true union bottom-k has key ≤ the
+    * union's k-th smallest ≤ every constituent's k-th smallest (a
+    * constituent samples FEWER items, so its threshold is no smaller),
+    * hence survived in every constituent where it appeared. The same
+    * argument makes the summed `cnt` of every surviving item exact
+    * (no constituent ever dropped it) — Beyer et al.'s AKMV closure.
+    *
+    * `n_rows` (the group's exact occurrence total) rides along per
+    * row for audit, the [[heavyHitterSketches]] discipline. A group
+    * with < k distinct items keeps ALL of them — the sample is then
+    * the exact distinct set (exact mode, flagged by
+    * [[estimateDistinctKmv]] reading row count < k).
+    *
+    * Scale shape: one uniform groupBy exchange for the exact
+    * per-(group, item) counts (map-side combined), then a per-group
+    * top-k window over already-aggregated rows; state is ≤ k
+    * rows/group.
+    */
+  def sampleSketches(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val counts = df
+      .groupBy((groupCols.map(col) :+
+        col(valueCol).cast("string").as("item")): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("__n",
+        sum(col("cnt")).over(Window.partitionBy(groupCols.map(col): _*)))
+      .withColumn("hkey", md5Window(col("item"), 1))
+    sampleCompress(counts, groupCols, k)
+  }
+
+  /** Fold a delta's partial samples into the persisted state: sum
+    * counts item-wise (exact for every item that survives — AKMV
+    * closure, scaladoc above), combine per-GROUP totals (the
+    * [[mergeHeavyHitters]] rule: per-constituent max, never per-item
+    * sum), re-take bottom-k. Merge ≡ rebuild exactly; spec-pinned.
+    */
+  def mergeSampleSketches(
+      prior: DataFrame, delta: DataFrame, groupCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    require(groupCols.nonEmpty,
+      "mergeSampleSketches needs group columns; a global fold is sampleRollup(state, Seq())")
+    val grain = groupCols.map(col)
+    def totals(s: DataFrame, as: String) =
+      s.groupBy(grain: _*).agg(max(col("n_rows")).as(as))
+    val nTot = totals(prior, "__np").join(totals(delta, "__nd"),
+        groupCols, "full_outer")
+      .select((grain :+ (coalesce(col("__np"), lit(0L)) +
+        coalesce(col("__nd"), lit(0L))).as("__n")): _*)
+    val summed = prior.unionByName(delta)
+      .groupBy((grain :+ col("item")): _*)
+      .agg(sum(col("cnt")).as("cnt"), min(col("hkey")).as("hkey"))
+      .join(nTot, groupCols)
+    sampleCompress(summed, groupCols, k)
+  }
+
+  /** Re-grain the sample state: bottom-k over the union of the
+    * range's constituent samples — exactly the bottom-k sample of the
+    * underlying union (merge argument above), with exact survivor
+    * counts. Columns outside (rollupCols, item, hkey, cnt, n_rows)
+    * are constituent-summary identity (e.g. the window column), so
+    * each constituent's group total counts ONCE toward the range
+    * total ([[heavyHittersRollup]]'s rule). A grain-less rollup's
+    * global top-k window runs single-partition BY DESIGN over
+    * O(windows × k) STATE rows, never raw data.
+    */
+  def sampleRollup(
+      state: DataFrame, rollupCols: Seq[String], k: Int = 64): DataFrame = {
+    val grain = rollupCols.map(col)
+    val winCols = state.columns.toSeq
+      .diff(rollupCols ++ Seq("item", "hkey", "cnt", "n_rows"))
+    val nTot = state
+      .groupBy((rollupCols ++ winCols).map(col): _*)
+      .agg(max(col("n_rows")).as("__wn"))
+      .groupBy(grain: _*).agg(sum(col("__wn")).as("__n"))
+    val summed = state
+      .groupBy((grain :+ col("item")): _*)
+      .agg(sum(col("cnt")).as("cnt"), min(col("hkey")).as("hkey"))
+    val joined =
+      if (rollupCols.isEmpty) summed.crossJoin(broadcast(nTot))
+      else summed.join(nTot, rollupCols)
+    sampleCompress(joined, rollupCols, k)
+  }
+
+  /** Distinct-count estimate per rollup grain from sample state
+    * alone: with < k sample rows the sample IS the distinct set
+    * (exact); otherwise the KMV unbiased estimator (k−1)/U₍k₎ with
+    * U₍k₎ = k-th smallest key normalized into (0,1] — relative
+    * standard error ≈ 1/√(k−2) (Beyer et al. §4). The arithmetic is
+    * one exact double multiply (k−1 times a power of two) and one
+    * IEEE division of values both engines derive from the same
+    * BIGINT, so the estimate is bit-reproducible cross-engine —
+    * unlike HLL's engine-specific composite estimator, THIS
+    * approximate distinct count hash-oracles directly.
+    * Output: (rollupCols…, est_distinct, n_sample, n_rows).
+    */
+  def estimateDistinctKmv(
+      state: DataFrame, rollupCols: Seq[String], k: Int = 64): DataFrame = {
+    val rolled = sampleRollup(state, rollupCols, k)
+    val grain = rollupCols.map(col)
+    rolled
+      .groupBy(grain: _*)
+      .agg(count(lit(1)).as("n_sample"),
+        max(col("hkey")).as("__uk"),
+        max(col("n_rows")).as("n_rows"))
+      .withColumn("est_distinct",
+        when(col("n_sample") < k, col("n_sample").cast("double"))
+          .otherwise(lit((k - 1) * HashSpace) /
+            greatest(col("__uk"), lit(1L)).cast("double")))
+      .select((grain :+ col("est_distinct") :+ col("n_sample") :+
+        col("n_rows")): _*)
+  }
+
+  /** Fixed-threshold sample state — the Theta-sketch SAMPLING mode
+    * (Datasketches' θ-sketch with a pinned θ rather than an adaptive
+    * one): per group, ALL distinct items whose normalized 60-bit key
+    * falls below `theta`, with exact occurrence counts. Expected state
+    * size is θ·D per group (D = distinct items); the estimator
+    * [[estimateDistinctTheta]] reads |S|/θ.
+    *
+    * Why this exists NEXT TO [[sampleSketches]]: bottom-k needs a
+    * rank window, which Structured Streaming aggregation cannot run —
+    * a fixed θ turns the sample into a plain filter + groupBy count,
+    * which streams ([[graft.streaming.EventsStreaming
+    * .sampleSketchWindows]]) and merges by `groupBy.sum`. The filter
+    * runs BEFORE the aggregation exchange, so only the θ-fraction of
+    * the stream ever shuffles — at 100 TB that is the difference
+    * between sampling the firehose and aggregating it.
+    *
+    * Bottom-k reads recover from θ-state via [[sampleFromTheta]]:
+    * the state holds EVERY item under the threshold, so its k
+    * hash-smallest are the TRUE bottom-k whenever ≥ k state rows
+    * exist for the grain (the k-th smallest key is then provably
+    * < θ·2^60). Counts are exact outright (nothing under the
+    * threshold is ever dropped — no compress, stronger than AKMV
+    * closure).
+    */
+  def thetaSketches(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      theta: Double = 0.0625): DataFrame = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0,1], got $theta")
+    val threshold = (theta * HashSpace).toLong
+    df.select((groupCols.map(col) :+
+        col(valueCol).cast("string").as("item")): _*)
+      .withColumn("hkey", md5Window(col("item"), 1))
+      .filter(col("hkey") < threshold)
+      .groupBy((groupCols.map(col) :+ col("item") :+ col("hkey")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a delta's θ-state into the persisted state — same fixed
+    * threshold on both sides, so the union filtered set is the
+    * filtered union and counts add exactly.
+    */
+  def mergeThetaSketches(
+      prior: DataFrame, delta: DataFrame, groupCols: Seq[String]): DataFrame =
+    prior.unionByName(delta)
+      .groupBy((groupCols.map(col) :+ col("item") :+ col("hkey")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Bottom-k sample per rollup grain from θ-state alone: re-sum the
+    * range's rows item-wise, keep the k hash-smallest, and flag
+    * validity — `complete` is true iff the grain held ≥ k θ-state
+    * rows, which proves the result IS the true bottom-k of the
+    * underlying distinct set (scaladoc on [[thetaSketches]]); an
+    * incomplete grain returns everything under the threshold (a valid
+    * uniform θ-sample, just not a guaranteed bottom-k).
+    * Output: (rollupCols…, item, hkey, cnt, complete).
+    */
+  def sampleFromTheta(
+      state: DataFrame, rollupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grain = rollupCols.map(col)
+    val summed = state
+      .groupBy((grain :+ col("item") :+ col("hkey")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+    val w = Window.partitionBy(grain: _*)
+      .orderBy(col("hkey").asc, col("item").asc)
+    summed
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__avail", count(lit(1)).over(Window.partitionBy(grain: _*)))
+      .filter(col("__rk") <= k)
+      .select((grain :+ col("item") :+ col("hkey") :+ col("cnt") :+
+        (col("__avail") >= k).as("complete")): _*)
+  }
+
+  /** Distinct-count estimate per rollup grain from θ-state: every
+    * distinct item is kept iff its fixed key lands under θ, so
+    * |kept|/θ estimates D with RSE ≈ √((1−θ)/(θ·D)). Deterministic
+    * arithmetic (BIGINT count ÷ exact-double θ) — hash-oracles like
+    * [[estimateDistinctKmv]]. Output: (rollupCols…, est_distinct,
+    * n_kept).
+    */
+  def estimateDistinctTheta(
+      state: DataFrame, rollupCols: Seq[String], theta: Double): DataFrame = {
+    require(theta > 0 && theta <= 1, s"theta must be in (0,1], got $theta")
+    val grain = rollupCols.map(col)
+    state
+      .groupBy((grain :+ col("item")): _*).agg(lit(1).as("__one"))
+      .groupBy(grain: _*).agg(count(lit(1)).as("n_kept"))
+      .withColumn("est_distinct", col("n_kept").cast("double") / theta)
+      .select((grain :+ col("est_distinct") :+ col("n_kept")): _*)
+  }
+
+  /** The shared bottom-k compress over (groupCols…, item, hkey, cnt,
+    * __n) rows: rank keys ascending (ties by item asc), keep rank ≤ k;
+    * `__n` passes through as `n_rows`.
+    */
+  private def sampleCompress(
+      counts: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
+    val grain = groupCols.map(col)
+    val w = Window.partitionBy(grain: _*)
+      .orderBy(col("hkey").asc, col("item").asc)
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select((grain :+ col("item") :+ col("hkey") :+ col("cnt") :+
+        col("__n").as("n_rows")): _*)
+  }
 }

@@ -76,6 +76,34 @@ object StateQueries {
            FROM mr JOIN mth USING (ws)
            WHERE rk <= 32 AND (mr.cnt - mth.t > 0 OR rk = 1))"""
 
+  /** One row per (lang, doc, DISTINCT 3-shingle) — the KMV family's
+    * item stream: cnt per (lang, item) is the shingle's doc frequency.
+    */
+  private def langShingleRows(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        explode(graft.functions.WordShingles.column(col("text"), 3)).as("item"))
+
+  /** DuckDB CTE chain replaying [[SketchState.sampleSketches]] over
+    * per-lang distinct-shingle doc frequencies at bottom-`k`: defines
+    * `kmv` = (lang, item, hkey, cnt, n_rows).
+    */
+  private def duckKmvShingles(k: Int) = s"""
+    kw AS (SELECT lang, doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+    ki AS (SELECT lang, doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS g FROM kw),
+    ks AS (SELECT DISTINCT lang, doc_id, ws[g] || ' ' || ws[g+1] || ' ' || ws[g+2] AS item
+           FROM ki),
+    kc AS (SELECT lang, item, count(*) AS cnt FROM ks GROUP BY 1, 2),
+    kh AS (SELECT lang, item, cnt,
+                  ('0x' || substr(md5(item), 1, 15))::BIGINT AS hkey,
+                  CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+           FROM kc),
+    kr AS (SELECT lang, item, hkey, cnt, n, row_number() OVER (
+             PARTITION BY lang ORDER BY hkey ASC, item ASC) AS rk
+           FROM kh),
+    kmv AS (SELECT lang, item, hkey, cnt, n AS n_rows FROM kr WHERE rk <= $k)"""
+
   /** Per-source document tokens, one row per occurrence. */
   private def tokenRows(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
@@ -468,6 +496,152 @@ object StateQueries {
         ((avg((col("c_bloom") && !col("c_exact")).cast("int")) <= 0.02) &&
          (avg(col("r_bloom") - col("r_exact")) <= 0.02))
           .cast("int").as("bloom_fp_ok"))
+    },
+
+    "kmv_state" -> QueryDef(
+      doc = "bottom-k sample state (KMV/AKMV: Bar-Yossef'02, Beyer SIGMOD'07): per-lang, the 64 distinct 3-shingles with the smallest 60-bit md5 keys, each with its EXACT doc frequency - a deterministic (hash-ordered, no RNG) uniform sample of the distinct-shingle space that merges EXACTLY (bottom-k of a union of bottom-k's = bottom-k of the union) and doubles as the kmv_distinct estimator's state; hash-oracled row-for-row like its CMS/MG/quantile siblings",
+      oracle = s"""
+        WITH ${duckKmvShingles(64)}
+        SELECT lang, item, hkey, cnt, n_rows FROM kmv""") { (s, dir) =>
+      SketchState.sampleSketches(langShingleRows(s, dir),
+        Seq("lang"), "item", k = 64)
+    },
+
+    "kmv_distinct" -> QueryDef(
+      doc = "approximate distinct-shingle count per lang from KMV state alone at k=256: (k-1)/U_k over the k-th smallest normalized hash (Beyer et al. SIGMOD'07 unbiased estimator, RSE ~ 1/sqrt(k-2) ~ 6%), exact fall-through below k rows. Unlike HLL's engine-specific composite estimator this approximate count is BIT-REPRODUCIBLE cross-engine (one exact double multiply + one IEEE division of identically-derived values) - the estimate itself hash-oracles, envelope gated in kmv_error_gate",
+      oracle = s"""
+        WITH ${duckKmvShingles(256)}
+        SELECT lang,
+               round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                          ELSE 255 * 1152921504606846976.0 /
+                               greatest(max(hkey), 1) END, 4) AS est_distinct,
+               count(*) AS n_sample, max(n_rows) AS n_rows
+        FROM kmv GROUP BY 1""") { (s, dir) =>
+      SketchState.estimateDistinctKmv(
+        SketchState.sampleSketches(langShingleRows(s, dir),
+          Seq("lang"), "item", k = 256),
+        Seq("lang"), k = 256)
+        .withColumn("est_distinct", round(col("est_distinct"), 4))
+    },
+
+    "kmv_window_range" -> QueryDef(
+      doc = "range sample from PERSISTED windowed KMV state: per-day bottom-16 user samples written to a store dir, read back, filtered to the same 7-day range as its cms/mg siblings, and re-compressed by one bottom-k pass over O(days x k) state rows - EXACTLY the bottom-16 sample of the range's distinct users with exact per-user event counts (AKMV closure: a survivor of the merged sample survived in every constituent day it appeared, so summed counts are exact), raw events never replay",
+      oracle = """
+        WITH t AS (SELECT CAST(ts AS DATE) AS ws,
+                          CAST(user_id AS VARCHAR) AS item FROM events),
+        dc AS (SELECT ws, item, count(*) AS cnt FROM t GROUP BY 1, 2),
+        dh AS (SELECT ws, item, cnt,
+                      ('0x' || substr(md5(item), 1, 15))::BIGINT AS hkey,
+                      CAST(sum(cnt) OVER (PARTITION BY ws) AS BIGINT) AS n
+               FROM dc),
+        dr AS (SELECT ws, item, hkey, cnt, n, row_number() OVER (
+                 PARTITION BY ws ORDER BY hkey ASC, item ASC) AS rk
+               FROM dh),
+        st AS (SELECT ws, item, hkey, cnt, n AS n_rows FROM dr
+               WHERE rk <= 16),
+        rng AS (SELECT * FROM st WHERE ws BETWEEN DATE '2024-01-03'
+                                             AND DATE '2024-01-09'),
+        ntot AS (SELECT CAST(sum(wn) AS BIGINT) AS n FROM (
+                   SELECT ws, max(n_rows) AS wn FROM rng GROUP BY 1)),
+        s2 AS (SELECT item, CAST(sum(cnt) AS BIGINT) AS cnt,
+                      min(hkey) AS hkey
+               FROM rng GROUP BY 1),
+        r2 AS (SELECT item, hkey, cnt, row_number() OVER (
+                 ORDER BY hkey ASC, item ASC) AS rk FROM s2)
+        SELECT item, hkey, cnt, ntot.n AS n_rows
+        FROM r2 CROSS JOIN ntot WHERE rk <= 16""") { (s, dir) =>
+      val state = SketchState.sampleSketches(
+        Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("ws"), col("user_id")),
+        Seq("ws"), "user_id", k = 16)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-kmv-windows").toString
+      state.write.mode("overwrite").parquet(store)
+      SketchState.sampleRollup(
+        s.read.parquet(store).filter(col("ws").between(
+          lit("2024-01-03").cast("date"), lit("2024-01-09").cast("date"))),
+        Seq(), k = 16)
+    },
+
+    "theta_window_sample" -> QueryDef(
+      doc = "bottom-k read from PERSISTED fixed-theta window state (the Theta-sketch sampling mode, the STREAMING-SHAPED twin of kmv_window_range): per-day rows keep every user whose fixed 60-bit key lands under theta=1/4 - a plain filter + count aggregation, the form sampleSketchWindows streams because bottom-k's rank window cannot; the filter drops the (1-theta) mass BEFORE the shuffle. The batch read re-sums the 7-day range item-wise and takes the k=8 hash-smallest, provably the TRUE bottom-8 of the range's distinct users because >= k state rows exist (complete flag); counts exact outright (nothing under the threshold is ever dropped)",
+      oracle = """
+        WITH t AS (SELECT CAST(ts AS DATE) AS ws,
+                          CAST(user_id AS VARCHAR) AS item FROM events),
+        h AS (SELECT ws, item,
+                     ('0x' || substr(md5(item), 1, 15))::BIGINT AS hkey
+              FROM t),
+        f AS (SELECT ws, item, hkey, count(*) AS cnt FROM h
+              WHERE hkey < 288230376151711744 GROUP BY 1, 2, 3),
+        rng AS (SELECT * FROM f WHERE ws BETWEEN DATE '2024-01-03'
+                                            AND DATE '2024-01-09'),
+        s2 AS (SELECT item, hkey, CAST(sum(cnt) AS BIGINT) AS cnt
+               FROM rng GROUP BY 1, 2),
+        r2 AS (SELECT item, hkey, cnt,
+                      row_number() OVER (ORDER BY hkey ASC, item ASC) AS rk,
+                      count(*) OVER () AS avail
+               FROM s2)
+        SELECT item, hkey, cnt, avail >= 8 AS complete
+        FROM r2 WHERE rk <= 8""") { (s, dir) =>
+      val state = SketchState.thetaSketches(
+        Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("ws"), col("user_id")),
+        Seq("ws"), "user_id", theta = 0.25)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-theta-windows").toString
+      state.write.mode("overwrite").parquet(store)
+      SketchState.sampleFromTheta(
+        s.read.parquet(store).filter(col("ws").between(
+          lit("2024-01-03").cast("date"), lit("2024-01-09").cast("date"))),
+        Seq(), k = 8)
+    },
+
+    "kmv_error_gate" -> QueryDef(
+      doc = "KMV guarantees: split-corpus merge == direct build BIT-EXACTLY (row-set equality both directions - stronger than the MG/HLL within-bound contracts, because the hash order is a fixed function of the item), every surviving sample row's count exact vs ground truth (AKMV closure), per-lang windowed state rolled up == direct global build exactly, and the k=256 distinct estimate within 4 RSE (25%) of the true distinct count",
+      oracle = "SELECT CAST(1 AS INTEGER) AS kmv_merge_ok, " +
+        "CAST(1 AS INTEGER) AS kmv_counts_ok, " +
+        "CAST(1 AS INTEGER) AS kmv_rollup_ok, " +
+        "CAST(1 AS INTEGER) AS kmv_est_ok") { (s, dir) =>
+      val k = 64
+      val rows = langShingleRows(s, dir).localCheckpoint(true)
+      val direct = SketchState.sampleSketches(rows, Seq("lang"), "item", k)
+        .localCheckpoint(true)
+      // doc-parity split: occurrences of one item land on BOTH sides,
+      // so surviving counts being exact exercises the AKMV closure,
+      // not just disjoint-item bookkeeping
+      val merged = SketchState.mergeSampleSketches(
+        SketchState.sampleSketches(
+          rows.filter(col("doc_id") % 2 === 0), Seq("lang"), "item", k),
+        SketchState.sampleSketches(
+          rows.filter(col("doc_id") % 2 === 1), Seq("lang"), "item", k),
+        Seq("lang"), k)
+      val mergeOk = merged.exceptAll(direct).isEmpty &&
+        direct.exceptAll(merged).isEmpty
+      val truth = rows.groupBy(col("lang"), col("item"))
+        .agg(count(lit(1)).as("true_cnt"))
+      val countsOk = direct.join(truth, Seq("lang", "item"), "left")
+        .agg((sum(when(col("cnt") =!= col("true_cnt"), 1).otherwise(0)) === 0)
+          .cast("int")).first().getInt(0) == 1
+      // per-lang windowed state → global rollup ≡ direct global build
+      val rolledGlobal = SketchState.sampleRollup(direct, Seq(), k)
+      val directGlobal = SketchState.sampleSketches(
+        rows.select(col("item")), Seq(), "item", k)
+      val rollupOk = rolledGlobal.exceptAll(directGlobal).isEmpty &&
+        directGlobal.exceptAll(rolledGlobal).isEmpty
+      val est = SketchState.estimateDistinctKmv(
+        SketchState.sampleSketches(rows, Seq("lang"), "item", 256),
+        Seq("lang"), 256)
+      val estOk = est
+        .join(truth.groupBy("lang").agg(
+          count(lit(1)).cast("double").as("true_d")), "lang")
+        .agg((sum(when(
+          abs(col("est_distinct") / col("true_d") - 1) > 0.25, 1)
+          .otherwise(0)) === 0).cast("int")).first().getInt(0) == 1
+      s.range(1).select(
+        lit(if (mergeOk) 1 else 0).as("kmv_merge_ok"),
+        lit(if (countsOk) 1 else 0).as("kmv_counts_ok"),
+        lit(if (rollupOk) 1 else 0).as("kmv_rollup_ok"),
+        lit(if (estOk) 1 else 0).as("kmv_est_ok"))
     }
   )
 }

@@ -233,6 +233,29 @@ object EventsStreaming {
     * state rows. Same closed-window idempotence contract as
     * [[freqSketchWindows]]; persist with `keys = Seq("ws","q_lb")`.
     */
+  /** Fixed-θ sample rows per closed event-time window — the streaming
+    * twin of the bottom-k sample state. Bottom-k itself needs a rank
+    * window (not streamable), so the streaming side keeps EVERY key
+    * whose fixed 60-bit hash lands under θ
+    * ([[graft.operators.SketchState.thetaSketches]] — a plain filter +
+    * count aggregation, and the filter drops the (1−θ) mass BEFORE
+    * the shuffle); batch reads recover true bottom-k samples and
+    * distinct estimates from the state rows via
+    * [[graft.operators.SketchState.sampleFromTheta]] /
+    * `estimateDistinctTheta`. Same closed-window idempotence contract
+    * as [[freqSketchWindows]]; persist with `keys = Seq("ws","item")`.
+    */
+  def sampleSketchWindows(
+      events: DataFrame, keyCol: String = "user_id",
+      windowLen: String = "1 hour", watermarkDelay: String = "2 hours",
+      theta: Double = 0.0625): DataFrame =
+    graft.operators.SketchState.thetaSketches(
+      events.withWatermark("ts", watermarkDelay)
+        .select(window(col("ts"), windowLen).as("__w"), col(keyCol)),
+      Seq("__w"), keyCol, theta)
+      .select(col("__w.start").as("ws"), col("item"), col("hkey"),
+        col("cnt"))
+
   def quantileSketchWindows(
       events: DataFrame, valueCol: String,
       windowLen: String = "1 hour",

@@ -256,4 +256,127 @@ class SketchStateSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  // ---------------- bottom-k (KMV/AKMV) sample state ----------------
+
+  /** 400 occurrences of 100 distinct items in group "x" (item i
+    * appears i%7+1 times), plus a 3-distinct-item group "y".
+    */
+  private def kmvPlanted = {
+    val x = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(("x", s"it$i")))
+    val y = Seq(("y", "a"), ("y", "b"), ("y", "b"), ("y", "c"))
+    (x ++ y).toDF("g", "v")
+  }
+
+  test("KMV state: k hash-smallest distinct items, exact counts, exact-mode below k") {
+    val k = 16
+    val st = SketchState.sampleSketches(kmvPlanted, Seq("g"), "v", k)
+      .as[(String, String, Long, Long, Long)].collect()
+    val x = st.filter(_._1 == "x")
+    assert(x.length == k)
+    // the kept set IS the k smallest hashes over the true distinct set
+    val allKeys = SketchState.sampleSketches(
+        kmvPlanted.filter(col("g") === "x"), Seq("g"), "v", 1000)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(allKeys.length == 100)
+    val expect = allKeys.sortBy(r => (r._3, r._2)).take(k).map(_._2).toSet
+    assert(x.map(_._2).toSet == expect)
+    // counts exact: it_i appears i%7+1 times
+    x.foreach { case (_, item, _, cnt, n) =>
+      assert(cnt == item.drop(2).toInt % 7 + 1, s"$item count $cnt")
+      assert(n == (1 to 100).map(_ % 7 + 1).sum, s"n_rows $n")
+    }
+    // group y has 3 < k distinct items: sample IS the distinct set
+    val y = st.filter(_._1 == "y").sortBy(_._2)
+    assert(y.map(r => (r._2, r._4)).toSeq == Seq(("a", 1L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("KMV merge ≡ rebuild BIT-EXACTLY; occurrence-level split keeps counts exact") {
+    val k = 16
+    val withId = kmvPlanted.withColumn("i",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("g"), col("v"))))
+    val direct = SketchState.sampleSketches(kmvPlanted, Seq("g"), "v", k)
+    val merged = SketchState.mergeSampleSketches(
+      SketchState.sampleSketches(withId.filter(col("i") % 2 === 0), Seq("g"), "v", k),
+      SketchState.sampleSketches(withId.filter(col("i") % 2 === 1), Seq("g"), "v", k),
+      Seq("g"), k)
+    assertSameRows(merged, direct)
+  }
+
+  test("KMV rollup from windowed state ≡ direct build; estimator within 4·RSE") {
+    val k = 64
+    val ev = spark.range(0, 5000).select(
+      (col("id") % 5).cast("int").as("w"),
+      concat(lit("u"), (col("id") % 1997).cast("string")).as("v"))
+      .localCheckpoint(true)
+    val state = SketchState.sampleSketches(ev, Seq("w"), "v", k)
+    val rolled = SketchState.sampleRollup(state, Seq(), k)
+    val direct = SketchState.sampleSketches(ev.select("v"), Seq(), "v", k)
+    assertSameRows(rolled, direct)
+    // 1997 distinct values ≫ k: estimator mode, RSE ≈ 1/√(k−2)
+    val est = SketchState.estimateDistinctKmv(state, Seq(), k)
+      .select("est_distinct", "n_sample", "n_rows")
+      .as[(Double, Long, Long)].head()
+    assert(est._2 == k && est._3 == 5000L)
+    val rse = 1.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est._1 / 1997.0 - 1) <= 4 * rse,
+      s"estimate ${est._1} vs true 1997 outside 4·RSE")
+  }
+
+  test("theta state: exactly the under-threshold slice of the distinct set, exact counts") {
+    val theta = 0.5
+    val st = SketchState.thetaSketches(kmvPlanted, Seq("g"), "v", theta)
+      .select("g", "item", "hkey", "cnt")
+    // ground truth: the FULL keyed distinct set (bottom-∞), filtered
+    val full = SketchState.sampleSketches(kmvPlanted, Seq("g"), "v", 1000)
+      .filter(col("hkey") < (theta * 1.152921504606846976e18).toLong)
+      .select("g", "item", "hkey", "cnt")
+    assertSameRows(st, full)
+    assert(st.count() > 0)
+  }
+
+  test("sampleFromTheta: true bottom-k when enough rows, flagged incomplete otherwise") {
+    val k = 8
+    val state = SketchState.thetaSketches(kmvPlanted, Seq("g"), "v", 0.5)
+      .withColumn("ws", lit(0)) // pretend windowed state
+    val got = SketchState.sampleFromTheta(
+      state.select("ws", "g", "item", "hkey", "cnt"), Seq("g"), k)
+    // group x: 100 distinct, ~50 under θ=0.5 ≫ k → complete, and the
+    // result is EXACTLY the unrestricted bottom-k
+    val direct = SketchState.sampleSketches(
+      kmvPlanted.filter(col("g") === "x"), Seq("g"), "v", k)
+      .select("g", "item", "hkey", "cnt")
+    assertSameRows(
+      got.filter(col("g") === "x" && col("complete"))
+        .select("g", "item", "hkey", "cnt"),
+      direct)
+    // group y: 3 distinct — fewer than k available → incomplete flag
+    val y = got.filter(col("g") === "y").select("complete")
+      .distinct().as[Boolean].collect().toSeq
+    assert(y.forall(_ == false), s"y completeness: $y")
+  }
+
+  test("estimateDistinctTheta: |kept|/theta lands near the true distinct count") {
+    val theta = 0.25
+    val df = spark.range(0, 1997)
+      .select(concat(lit("u"), col("id")).as("v"), lit("g").as("g"))
+    val est = SketchState.estimateDistinctTheta(
+      SketchState.thetaSketches(df, Seq("g"), "v", theta), Seq("g"), theta)
+      .select("est_distinct", "n_kept").as[(Double, Long)].head()
+    // RSE = sqrt((1-θ)/(θ·D)) ≈ 3.9% at θ=0.25, D=1997; allow 4·RSE
+    val rse = math.sqrt((1 - theta) / (theta * 1997))
+    assert(math.abs(est._1 / 1997.0 - 1) <= 4 * rse,
+      s"estimate ${est._1} vs 1997 outside 4·RSE (kept ${est._2})")
+  }
+
+  test("KMV estimator exact fall-through below k sample rows") {
+    val est = SketchState.estimateDistinctKmv(
+      SketchState.sampleSketches(kmvPlanted, Seq("g"), "v", 256),
+      Seq("g"), 256)
+      .select("g", "est_distinct", "n_sample")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(est.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("x", 100.0, 100L), ("y", 3.0, 3L)))
+  }
 }

@@ -343,6 +343,51 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("p99") == 99L)
   }
 
+  test("sampleSketchWindows: closed-window theta rows match the batch build; bottom-k reads recover") {
+    implicit val sqlCtx = spark.sqlContext
+    // 40 distinct users across two windows; θ=0.5 keeps ~half,
+    // deterministically (fixed md5 keys)
+    val evRows = (1 to 60).map { i =>
+      (i.toLong, ts(s"2024-01-01 ${if (i % 2 == 0) 10 else 11}:${10 + i % 40}:00"),
+        (i % 40).toLong, "click", 0.0)
+    }
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventsStreaming.sampleSketchWindows(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        windowLen = "1 hour", watermarkDelay = "1 hour", theta = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssw").start()
+    mem.addData(evRows.take(25): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(25): _*)
+    q.processAllAvailable()
+    mem.addData((999L, ts("2024-01-02 23:00:00"), 9L, "tick", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.table("ssw")
+      .filter(col("ws") < ts("2024-01-01 12:00:00"))
+    // parity: streamed closed-window rows ≡ the batch theta build
+    val batch = graft.operators.SketchState.thetaSketches(
+      evRows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(window(col("ts"), "1 hour")("start").as("ws"),
+          col("user_id")),
+      Seq("ws"), "user_id", theta = 0.5)
+      .select("ws", "item", "hkey", "cnt")
+    assertSameRows(state.select("ws", "item", "hkey", "cnt"), batch)
+    // a bottom-k read from the θ-state is the TRUE bottom-k (enough
+    // rows under θ), matching the unrestricted batch bottom-k sample
+    val k = 5
+    val got = graft.operators.SketchState.sampleFromTheta(state, Seq(), k)
+    assert(got.select("complete").distinct().as[Boolean].collect().toSeq
+      == Seq(true))
+    val direct = graft.operators.SketchState.sampleSketches(
+      evRows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .select(col("user_id")),
+      Seq(), "user_id", k)
+      .select("item", "hkey", "cnt")
+    assertSameRows(got.select("item", "hkey", "cnt"), direct)
+  }
+
   test("sketchStateTicks: persisted window sketches; replay is byte-stable") {
     implicit val sqlCtx = spark.sqlContext
     val evRows = Seq(
