@@ -535,6 +535,57 @@ object SketchState {
         col("n_rows")): _*)
   }
 
+  /** Pairwise set-overlap estimates between groups, from sample state
+    * ALONE — the multiset-operations payoff AKMV was designed for
+    * (Beyer et al. SIGMOD'07 §5): for every unordered group pair, the
+    * combined bottom-k L of the two samples is a valid KMV synopsis
+    * of the UNION (merge argument on [[sampleSketches]]), and the
+    * fraction ρ of L's items present in BOTH samples is an unbiased
+    * Jaccard estimator (each of L's items is a uniform draw from the
+    * union, and membership flags are exact — a sampled item missing
+    * from a sample is provably absent from that set). Outputs per
+    * pair: `jaccard_est` = ρ, `union_est` (KMV estimate over L, exact
+    * below k), `inter_est` = ρ·union — "how much do two corpora
+    * overlap" answered at 4-significant-digit determinism without
+    * ever rescanning (or even retaining) the raw corpora.
+    *
+    * Error: ρ has binomial deviation ≤ 1/(2√k'); the union estimate
+    * adds its own 1/√(k−2) RSE — gate-pinned.
+    *
+    * Scale shape: pairs × 2k state rows — intended for corpus-level
+    * grains (langs, sources, snapshot versions) where the group count
+    * is model-sized; the pair frame broadcasts. Raw data never moves.
+    */
+  def jaccardFromSamples(
+      state: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val groups = state.select(col(groupCol)).distinct()
+    val pairs = groups.select(col(groupCol).as("ga"))
+      .crossJoin(groups.select(col(groupCol).as("gb")))
+      .filter(col("ga") < col("gb"))
+    val cand = state.join(broadcast(pairs),
+        col(groupCol) === col("ga") || col(groupCol) === col("gb"))
+      .groupBy(col("ga"), col("gb"), col("item"), col("hkey"))
+      .agg(max(when(col(groupCol) === col("ga"), 1).otherwise(0)).as("ina"),
+        max(when(col(groupCol) === col("gb"), 1).otherwise(0)).as("inb"))
+    val w = Window.partitionBy(col("ga"), col("gb"))
+      .orderBy(col("hkey").asc, col("item").asc)
+    val l = cand.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+    l.groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("__kk"),
+        sum(col("ina") * col("inb")).cast("long").as("__both"),
+        max(col("hkey")).as("__uk"))
+      .withColumn("__j", col("__both").cast("double") / col("__kk").cast("double"))
+      .withColumn("__u",
+        when(col("__kk") < k, col("__kk").cast("double"))
+          .otherwise(lit((k - 1) * HashSpace) /
+            greatest(col("__uk"), lit(1L)).cast("double")))
+      .select(col("ga"), col("gb"),
+        round(col("__j"), 4).as("jaccard_est"),
+        round(col("__u"), 4).as("union_est"),
+        round(col("__j") * col("__u"), 4).as("inter_est"))
+  }
+
   /** Fixed-threshold sample state — the Theta-sketch SAMPLING mode
     * (Datasketches' θ-sketch with a pinned θ rather than an adaptive
     * one): per group, ALL distinct items whose normalized 60-bit key

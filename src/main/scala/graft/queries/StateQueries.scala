@@ -563,6 +563,77 @@ object StateQueries {
         Seq(), k = 16)
     },
 
+    "kmv_jaccard" -> QueryDef(
+      doc = "pairwise corpus overlap from sample state ALONE (Beyer SIGMOD'07 multiset operations): for every lang pair, the combined bottom-256 of the two shingle samples is a valid KMV synopsis of the UNION, and the fraction of its items present in BOTH samples is an unbiased Jaccard estimator (membership flags are exact: an item of the combined bottom-k that belongs to a set is provably in that set's sample) - 'how much do two corpora overlap' at 4-digit determinism without rescanning or even retaining the raw corpora; envelopes gated in kmv_jaccard_gate",
+      oracle = s"""
+        WITH ${duckKmvShingles(256)},
+        gs AS (SELECT DISTINCT lang FROM kmv),
+        pairs AS (SELECT a.lang AS ga, b.lang AS gb
+                  FROM gs a JOIN gs b ON a.lang < b.lang),
+        cand AS (SELECT p.ga, p.gb, s.item, s.hkey,
+                        max(CASE WHEN s.lang = p.ga THEN 1 ELSE 0 END) AS ina,
+                        max(CASE WHEN s.lang = p.gb THEN 1 ELSE 0 END) AS inb
+                 FROM pairs p JOIN kmv s ON s.lang IN (p.ga, p.gb)
+                 GROUP BY 1, 2, 3, 4),
+        r AS (SELECT ga, gb, ina, inb, hkey, row_number() OVER (
+                PARTITION BY ga, gb ORDER BY hkey ASC, item ASC) AS rk
+              FROM cand),
+        t AS (SELECT ga, gb, count(*) AS kk,
+                     CAST(sum(ina * inb) AS BIGINT) AS nboth,
+                     max(hkey) AS uk
+              FROM r WHERE rk <= 256 GROUP BY 1, 2)
+        SELECT ga, gb,
+               round(CAST(nboth AS DOUBLE) / CAST(kk AS DOUBLE), 4)
+                 AS jaccard_est,
+               round(CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                          ELSE 255 * 1152921504606846976.0 /
+                               greatest(uk, 1) END, 4) AS union_est,
+               round((CAST(nboth AS DOUBLE) / CAST(kk AS DOUBLE)) *
+                     CASE WHEN kk < 256 THEN CAST(kk AS DOUBLE)
+                          ELSE 255 * 1152921504606846976.0 /
+                               greatest(uk, 1) END, 4) AS inter_est
+        FROM t""") { (s, dir) =>
+      SketchState.jaccardFromSamples(
+        SketchState.sampleSketches(langShingleRows(s, dir),
+          Seq("lang"), "item", k = 256),
+        "lang", k = 256)
+    },
+
+    "kmv_jaccard_gate" -> QueryDef(
+      doc = "overlap-estimate envelopes, every lang pair vs EXACT distinct-shingle set arithmetic: |jaccard_est - J| <= 0.125 (4x the binomial sigma <= 1/(2*sqrt(256))) and union_est within 25% (4x the KMV RSE) - and non-vacuity: the fixture's lang shingle sets genuinely overlap (some pair with J > 0)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS kmv_j_ok, " +
+        "CAST(1 AS INTEGER) AS kmv_u_ok, " +
+        "CAST(1 AS INTEGER) AS kmv_nonvacuous") { (s, dir) =>
+      val k = 256
+      val rows = langShingleRows(s, dir)
+        .select(col("lang"), col("item")).distinct().localCheckpoint(true)
+      val est = SketchState.jaccardFromSamples(
+        SketchState.sampleSketches(rows, Seq("lang"), "item", k), "lang", k)
+      val sz = rows.groupBy("lang").agg(count(lit(1)).as("n"))
+      val inter = rows.select(col("lang").as("ga"), col("item"))
+        .join(rows.select(col("lang").as("gb"), col("item")), "item")
+        .filter(col("ga") < col("gb"))
+        .groupBy("ga", "gb").agg(count(lit(1)).as("ni"))
+      val truth = inter
+        .join(sz.select(col("lang").as("ga"), col("n").as("na")), "ga")
+        .join(sz.select(col("lang").as("gb"), col("n").as("nb")), "gb")
+        .select(col("ga"), col("gb"),
+          (col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double")).as("j_true"),
+          (col("na") + col("nb") - col("ni")).cast("double").as("u_true"))
+      est.join(truth, Seq("ga", "gb"), "full_outer")
+        .select(coalesce(col("jaccard_est"), lit(0.0)).as("je"),
+          coalesce(col("union_est"), lit(0.0)).as("ue"),
+          coalesce(col("j_true"), lit(0.0)).as("jt"),
+          coalesce(col("u_true"), lit(0.0)).as("ut"))
+        .agg(
+          (sum(when(abs(col("je") - col("jt")) > 0.125, 1).otherwise(0)) === 0)
+            .cast("int").as("kmv_j_ok"),
+          (sum(when(abs(col("ue") / col("ut") - 1) > 0.25, 1).otherwise(0))
+            === 0).cast("int").as("kmv_u_ok"),
+          (max(col("jt")) > 0).cast("int").as("kmv_nonvacuous"))
+    },
+
     "theta_window_sample" -> QueryDef(
       doc = "bottom-k read from PERSISTED fixed-theta window state (the Theta-sketch sampling mode, the STREAMING-SHAPED twin of kmv_window_range): per-day rows keep every user whose fixed 60-bit key lands under theta=1/4 - a plain filter + count aggregation, the form sampleSketchWindows streams because bottom-k's rank window cannot; the filter drops the (1-theta) mass BEFORE the shuffle. The batch read re-sums the 7-day range item-wise and takes the k=8 hash-smallest, provably the TRUE bottom-8 of the range's distinct users because >= k state rows exist (complete flag); counts exact outright (nothing under the threshold is ever dropped)",
       oracle = """

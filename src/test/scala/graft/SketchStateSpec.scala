@@ -370,6 +370,33 @@ class SketchStateSpec extends SparkSpec {
       s"estimate ${est._1} vs 1997 outside 4·RSE (kept ${est._2})")
   }
 
+  test("jaccardFromSamples: exact below k, estimator near truth above, flags exact") {
+    // three sets with known overlaps; k=1000 > all sizes ⇒ the combined
+    // bottom-k IS the union and every estimate is EXACT
+    val sets = (1 to 60).map(i => ("A", s"s$i")) ++
+      (31 to 90).map(i => ("B", s"s$i")) ++
+      (200 to 209).map(i => ("C", s"s$i"))
+    val st = SketchState.sampleSketches(sets.toDF("g", "v"), Seq("g"), "v", 1000)
+    val j = SketchState.jaccardFromSamples(st, "g", 1000)
+      .select("ga", "gb", "jaccard_est", "union_est", "inter_est")
+      .as[(String, String, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // A∩B = {31..60} = 30, union 90 → J = 1/3
+    assert(math.abs(j(("A", "B"))._1 - 30.0 / 90) < 1e-4)
+    assert(j(("A", "B"))._2 == 90.0 && math.abs(j(("A", "B"))._3 - 30.0) < 0.01)
+    // C is disjoint from both
+    assert(j(("A", "C"))._1 == 0.0 && j(("B", "C"))._1 == 0.0)
+    // estimator mode: two 2000-element sets sharing 1000 (J = 1/3) at k=256
+    val big = (1 to 2000).map(i => ("X", s"e$i")) ++
+      (1001 to 3000).map(i => ("Y", s"e$i"))
+    val je = SketchState.jaccardFromSamples(
+      SketchState.sampleSketches(big.toDF("g", "v"), Seq("g"), "v", 256),
+      "g", 256)
+      .select("jaccard_est", "union_est").as[(Double, Double)].head()
+    assert(math.abs(je._1 - 1.0 / 3) <= 0.125, s"J est ${je._1}")
+    assert(math.abs(je._2 / 3000 - 1) <= 0.25, s"union est ${je._2}")
+  }
+
   test("KMV estimator exact fall-through below k sample rows") {
     val est = SketchState.estimateDistinctKmv(
       SketchState.sampleSketches(kmvPlanted, Seq("g"), "v", 256),
