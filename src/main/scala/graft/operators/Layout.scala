@@ -118,4 +118,81 @@ object Layout {
     (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
       .save(path)
   }
+
+  /** An inclusive range predicate `lo <= col <= hi` for
+    * [[prunedRead]]. NULL rows never match a range, so files whose
+    * indexed column is entirely NULL are safe to skip.
+    */
+  final case class Range(column: String, lo: Double, hi: Double)
+
+  /** Per-file min/max index over `cols` — the read-side half of the
+    * layout story: [[zorderWrite]] gives every file a tight
+    * multi-dimensional bounding box, and this table records the boxes
+    * so [[prunedRead]] can skip whole files WITHOUT opening them
+    * (parquet's own footer pruning still opens every footer; at
+    * ~800k footer reads per 100 TB, an external index is the
+    * difference between a metadata storm and one small-table filter —
+    * the same design as Delta/Iceberg file statistics).
+    *
+    * One distributed scan of the indexed columns only (schema
+    * pruning keeps it narrow); output is one row per file
+    * (`file`, `n_rows`, `min_<c>`/`max_<c>` per dimension) — ~1 row
+    * per 128 MB of data, which a caller persists next to the table
+    * and maintains incrementally on append (new files ⇒ new rows:
+    * an append-only index; rewrites re-scan the rewritten files
+    * only). min/max skip NULLs, so an all-NULL file indexes as
+    * (NULL, NULL) and is pruned by every range — correct, because
+    * NULL never satisfies a range predicate.
+    */
+  def fileIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one indexed column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Read only the files whose bounding box intersects EVERY range —
+    * file-level data skipping driven by a [[fileIndex]] table. The
+    * survival filter runs distributed over the index; only the
+    * surviving paths come to the driver, through
+    * [[ModelCollect.bounded]] with a caller-set ceiling (`maxFiles`).
+    * A selective predicate over a [[zorderWrite]] layout survives a
+    * handful of files even on a second or third z-dimension — that is
+    * the point of the curve; if more than `maxFiles` survive, the
+    * predicate was not selective enough for skipping to pay, and the
+    * caller should fall back to the plain filtered scan (the failure
+    * message says exactly that) rather than ship a giant file list
+    * into one scan node.
+    *
+    * Correctness does not depend on the index being tight — only on
+    * it being SOUND (true min/max per file): the residual range
+    * filter is re-applied to the surviving rows, so the result is
+    * row-identical to the full filtered scan. Asserted end-to-end by
+    * the layout_skip driver query (hash vs a full-scan oracle) and
+    * the layout_skip_gate non-vacuity/superiority gate.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      index: DataFrame, ranges: Seq[Range],
+      maxFiles: Int = 65536): DataFrame = {
+    require(ranges.nonEmpty, "need at least one range predicate")
+    val survive = ranges.map(r =>
+        col(s"max_${r.column}") >= r.lo && col(s"min_${r.column}") <= r.hi)
+      .reduce(_ && _)
+    val files = ModelCollect.bounded(
+        index.filter(survive).select(col("file")), maxFiles,
+        "surviving file list (predicate too broad for file skipping — " +
+          "fall back to the plain filtered scan)")
+      .map(_.getString(0))
+    val residual = ranges.map(r =>
+        col(r.column) >= r.lo && col(r.column) <= r.hi)
+      .reduce(_ && _)
+    val base = spark.read.parquet(path)
+    if (files.isEmpty) base.filter(lit(false))
+    else spark.read.schema(base.schema).parquet(files: _*).filter(residual)
+  }
 }

@@ -2453,6 +2453,65 @@ object ExtQueries {
         .select("o_orderkey", "zval")
     },
 
+    "layout_skip" -> QueryDef(
+      doc = "file-level data skipping end-to-end (the read-side half of layout_zorder): zorderWrite orders into 16 range-partitioned files, build the per-file min/max index (one narrow scan, one row per file - the Delta/Iceberg-statistics design, because at 100 TB even parquet footer pruning is ~800k metadata reads), then answer a SECOND-z-dimension band predicate through prunedRead, which opens only the files whose bounding box intersects the band. Soundness, not tightness, carries correctness: the residual filter re-applies to surviving rows, so the result is row-identical to a full filtered scan - which is exactly what the oracle runs; the skipping itself (and its superiority over a linear sort) is gated in layout_skip_gate",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice BETWEEN 100000 AND 150000""") { (s, dir) =>
+      import graft.operators.Layout
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-zskip").toString
+      Layout.zorderWrite(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_custkey", "o_totalprice"), bits = 8,
+        numFiles = 16, path = tmp)
+      Layout.prunedRead(s, tmp,
+        Layout.fileIndex(s, tmp, Seq("o_custkey", "o_totalprice")),
+        Seq(Layout.Range("o_totalprice", 100000.0, 150000.0)))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    "layout_skip_gate" -> QueryDef(
+      doc = "data-skipping guarantees: (1) losslessness - prunedRead's row set EQUALS the full filtered scan's, both directions, for a second-dimension band (soundness of the index + residual filter); (2) non-vacuity - the band's surviving file set is at most HALF the 16 files (the z-curve's bounding boxes are genuinely tight on dimension 2); (3) superiority - the same 16-file budget sorted linearly on the FIRST dimension alone skips (almost) nothing for the same predicate (>= 15 of 16 files touched), which is the multi-dimensional-clustering claim made quantitative. Band = the [0.10, 0.20] span quantiles of o_totalprice, away from the curve's degenerate midpoint split",
+      oracle = "SELECT CAST(1 AS INTEGER) AS skip_lossless, " +
+        "CAST(1 AS INTEGER) AS skip_nonvacuous, " +
+        "CAST(1 AS INTEGER) AS skip_beats_linear") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val numFiles = 16
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft-zskipg")
+      val (zPath, linPath) =
+        (root.resolve("z").toString, root.resolve("lin").toString)
+      Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+        bits = 8, numFiles, zPath)
+      orders.repartitionByRange(numFiles, col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(linPath)
+      val span = orders.agg(
+          min(col("o_totalprice")), max(col("o_totalprice")))
+        .as[(Double, Double)].head()
+      val (lo, hi) = (span._1 + 0.10 * (span._2 - span._1),
+        span._1 + 0.20 * (span._2 - span._1))
+      def survivors(path: String): Long =
+        Layout.fileIndex(s, path, Seq("o_totalprice"))
+          .filter(col("max_o_totalprice") >= lo &&
+            col("min_o_totalprice") <= hi).count()
+      val pruned = Layout.prunedRead(s, zPath,
+        Layout.fileIndex(s, zPath, Seq("o_custkey", "o_totalprice")),
+        Seq(Layout.Range("o_totalprice", lo, hi)))
+      val full = orders.filter(
+        col("o_totalprice") >= lo && col("o_totalprice") <= hi)
+      val lossless = pruned.exceptAll(full).count() == 0 &&
+        full.exceptAll(pruned).count() == 0
+      Seq((if (lossless) 1 else 0,
+        if (survivors(zPath) <= numFiles / 2) 1 else 0,
+        if (survivors(linPath) >= numFiles - 1) 1 else 0))
+        .toDF("skip_lossless", "skip_nonvacuous", "skip_beats_linear")
+    },
+
     "dsir_scores" -> QueryDef(
       doc = "DSIR importance scores (Xie et al. NeurIPS'23): log ratio of target (lang='en') vs raw hashed-bigram models per doc — fit pays two bucket-bounded passes, scoring is a zero-exchange literal-probe fold; oracle replays hash, smoothing, and fold in SQL (hash-verified end-to-end)",
       oracle = s"""

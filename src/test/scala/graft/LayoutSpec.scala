@@ -99,6 +99,93 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zPath).count() == orders.count())
   }
 
+  test("fileIndex is sound and complete: one row per file, exact boxes, n_rows totals") {
+    val path = Files.createTempDirectory("zidx").resolve("t").toString
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+      bits = 8, numFiles = 8, path = path)
+    val idx = Layout.fileIndex(spark, path, Seq("o_custkey", "o_totalprice"))
+      .cache()
+    // completeness: every written file indexed, all rows accounted for
+    // input_file_name() and _metadata.file_path render the scheme
+    // differently (file:/ vs file:///) — normalize before comparing
+    def norm(f: String): String = f.replaceFirst("^file:/+", "/")
+    val truth = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"), min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (norm(r._1), (r._2, r._3, r._4))).toMap
+    val rows = idx.select("file", "n_rows", "min_o_totalprice",
+        "max_o_totalprice")
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => (norm(r._1), r._2, r._3, r._4))
+    assert(rows.length == truth.size && rows.length == 8)
+    rows.foreach { case (f, n, lo, hi) =>
+      val (tn, tlo, thi) = truth(f)
+      assert(n == tn && lo == tlo && hi == thi, s"box mismatch for $f")
+    }
+    assert(rows.map(_._2).sum == orders.count())
+  }
+
+  test("prunedRead: lossless vs full scan, empty-band edge, multi-range AND") {
+    val path = Files.createTempDirectory("zread").resolve("t").toString
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+      bits = 8, numFiles = 8, path = path)
+    val idx = Layout.fileIndex(spark, path, Seq("o_custkey", "o_totalprice"))
+      .cache()
+    def full(rs: Seq[Layout.Range]) = orders.filter(
+      rs.map(r => col(r.column) >= r.lo && col(r.column) <= r.hi)
+        .reduce(_ && _))
+    for (rs <- Seq(
+        Seq(Layout.Range("o_totalprice", 50000.0, 120000.0)),
+        Seq(Layout.Range("o_custkey", 10.0, 60.0),
+          Layout.Range("o_totalprice", 0.0, 200000.0)))) {
+      val got = Layout.prunedRead(spark, path, idx, rs)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      assert(got.exceptAll(full(rs)).count() == 0 &&
+        full(rs).exceptAll(got).count() == 0, s"lossy for $rs")
+    }
+    // a band beyond the data: zero files survive, schema intact, no crash
+    val none = Layout.prunedRead(spark, path, idx,
+      Seq(Layout.Range("o_totalprice", 1e12, 2e12)))
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("o_orderkey", "o_custkey", "o_totalprice"))
+  }
+
+  test("prunedRead skips all-NULL files correctly; maxFiles trips loudly") {
+    val path = Files.createTempDirectory("znull").resolve("t").toString
+    // file 0: real values; file 1: all-NULL metric — min/max index as
+    // (NULL, NULL) there, and a range predicate must skip it (NULL
+    // never matches a range), with no rows lost
+    val df = Seq((1L, Some(10.0)), (2L, Some(20.0)))
+      .toDF("id", "v").repartition(1)
+    val nulls = Seq((3L, Option.empty[Double]), (4L, Option.empty[Double]))
+      .toDF("id", "v").repartition(1)
+    df.write.parquet(path)
+    nulls.write.mode("append").parquet(path)
+    val idx = Layout.fileIndex(spark, path, Seq("v"))
+    assert(idx.count() == 2)
+    val got = Layout.prunedRead(spark, path, idx,
+      Seq(Layout.Range("v", 0.0, 100.0))).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L))
+    val err = intercept[IllegalArgumentException] {
+      Layout.prunedRead(spark, path, idx,
+        Seq(Layout.Range("v", 0.0, 100.0)), maxFiles = 0)
+    }
+    assert(err.getMessage.contains("maxRows must be positive"))
+    // maxFiles = 1 with a 2-file predicate... only one real file here,
+    // so widen: both files survive only if the index kept the null
+    // file — it must not, so maxFiles = 1 passes; force the trip with
+    // an index that keeps both
+    val err2 = intercept[IllegalArgumentException] {
+      Layout.prunedRead(spark, path,
+        idx.withColumn("min_v", lit(0.0)).withColumn("max_v", lit(50.0)),
+        Seq(Layout.Range("v", 0.0, 100.0)), maxFiles = 1)
+    }
+    assert(err2.getMessage.contains("fall back to the plain filtered scan"))
+  }
+
   test("zorder refuses a colliding z-column name; zorderWrite survives user 'zval'") {
     intercept[IllegalArgumentException] {
       Layout.zorder(orders.withColumn("zval", lit(1L)),
