@@ -1206,6 +1206,34 @@ object Similarity {
     rankTopK(cands, k)
   }
 
+  /** Bipartite cross-corpus top-k where BOTH sides are corpus-scale —
+    * the [[knnGraph]] plan shape applied to two different corpora
+    * (X queries into Y's IVF index). [[bruteForceTopK]] and
+    * [[ivfTopKFromIndex]] broadcast the query side, which is right
+    * for serving batches and fatal for corpus×corpus workloads
+    * (bitext mining, cross-corpus dedup): here the probe join
+    * hash-exchanges both sides on cell id (shuffle_hash pinned — a
+    * broadcast of a corpus-sized probe side must never win on stale
+    * stats), cell count scales with |Y| via [[autoCells]], and the
+    * result carries |X|×k rows. Same (qid, nid, rank, cos) contract
+    * as every other top-k, cos at 4dp, ties by nid.
+    */
+  def ivfCrossTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 0, nProbe: Int = 8, iters: Int = 5): DataFrame = {
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else autoCells(corpus.select(idCol).count())
+    val centroids = trainCentroids(corpus, idCol, vecCol, nc, iters)
+    val index = ivfAssign(corpus, idCol, vecCol, centroids)
+    val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val cands = index.hint("shuffle_hash").join(probes, Seq("cid"))
+      .withColumn("cos", round(VectorFunctions.dot(col("cv"), col("qv")), 4))
+    rankTopK(cands, k)
+  }
+
   /** Incremental self-kNN graph — [[knnGraphFromIndex]]'s delta twin,
     * the [[Dedup.minHashLshDelta]] pattern for the graph family: a
     * tick of NEW vectors refreshes the maintained graph without

@@ -2512,6 +2512,80 @@ object ExtQueries {
         .toDF("skip_lossless", "skip_nonvacuous", "skip_beats_linear")
     },
 
+    "bitext_margin" -> QueryDef(
+      doc = "margin-based bitext mining (Artetxe & Schwenk ACL'19, the CCMatrix/LASER recipe): corpora X (even vec_id) and Y (odd) aligned by ratio margin = cos / (mean of each side's top-4 cross-corpus neighborhood, averaged) - cancels hubness, which is why raw-cosine thresholds fail at web scale; INTERSECTION strategy keeps mutual-best pairs with margin >= 1.0. EXACT BASELINE (brute bipartite kNN both directions, weak-by-design quadratic) replayed fully in SQL: cosines at 4dp, neighborhood averages kept as EXACT rationals (order-independent integer sums / k*1e4 - re-rounding them lands on decimal half-boundaries where engines' round() semantics split), margin at 4dp, denominator clamped at 1e-6 - every step one identical IEEE expression shape in both engines; bitext_ivf_gate pins the scale path",
+      oracle = s"""
+        WITH e AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        fk AS MATERIALIZED (
+          SELECT xid, yid, cos FROM (
+            SELECT b.vec_id AS xid, a.vec_id AS yid, $duckCosine AS cos,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY $duckCosine DESC, a.vec_id) AS rk
+            FROM e a CROSS JOIN e b
+            WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0) WHERE rk <= 4),
+        bk AS MATERIALIZED (
+          SELECT xid, yid, cos FROM (
+            SELECT a.vec_id AS xid, b.vec_id AS yid, $duckCosine AS cos,
+                   row_number() OVER (PARTITION BY b.vec_id
+                     ORDER BY $duckCosine DESC, a.vec_id) AS rk
+            FROM e a CROSS JOIN e b
+            WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1) WHERE rk <= 4),
+        ax AS (SELECT xid,
+                 CAST(sum(CAST(round(cos * 10000, 0) AS BIGINT))
+                   AS DOUBLE) / (count(*) * 10000.0) AS ax
+               FROM fk GROUP BY xid),
+        ay AS (SELECT yid,
+                 CAST(sum(CAST(round(cos * 10000, 0) AS BIGINT))
+                   AS DOUBLE) / (count(*) * 10000.0) AS ay
+               FROM bk GROUP BY yid),
+        sf AS (SELECT fk.xid, fk.yid, fk.cos,
+                      round(fk.cos / greatest((ax.ax + ay.ay) / 2, 1e-6), 4)
+                        AS margin
+               FROM fk JOIN ax USING (xid) JOIN ay USING (yid)),
+        sb AS (SELECT bk.xid, bk.yid,
+                      round(bk.cos / greatest((ax.ax + ay.ay) / 2, 1e-6), 4)
+                        AS margin
+               FROM bk JOIN ax USING (xid) JOIN ay USING (yid)),
+        bf AS (SELECT xid, yid, cos, margin FROM (
+                 SELECT sf.*, row_number() OVER (PARTITION BY xid
+                   ORDER BY margin DESC, yid) AS rk FROM sf) WHERE rk = 1),
+        bb AS (SELECT xid, yid FROM (
+                 SELECT sb.*, row_number() OVER (PARTITION BY yid
+                   ORDER BY margin DESC, xid) AS rk FROM sb) WHERE rk = 1)
+        SELECT bf.xid AS src_id, bf.yid AS tgt_id, bf.cos, bf.margin
+        FROM bf JOIN bb USING (xid, yid) WHERE margin >= 1.0""") { (s, dir) =>
+      import graft.operators.Bitext
+      val e = Tables.load(s, dir, "embeddings")
+      Bitext.mineBrute(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+    },
+
+    "bitext_ivf_gate" -> QueryDef(
+      doc = "bitext scale-path gate: pairs mined by mineIvf (two ivfCrossTopK bipartite probes - cell-co-partitioned shuffle-hash joins, NEITHER corpus broadcast, cells scaled with the indexed side) vs the brute miner: pair agreement >= 0.5 (approximate neighborhoods shift both candidates AND margin normalizers, so mutual-best survival is the honest metric - measured ~0.9 at sf0.01 on the isotropic fixture) and non-vacuity (brute mines > 0 pairs)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS bitext_agree_ok, " +
+        "CAST(1 AS INTEGER) AS bitext_nonvacuous") { (s, dir) =>
+      import graft.operators.Bitext
+      val e = Tables.load(s, dir, "embeddings")
+      val (x, y) = (e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+      val brute = Bitext.mineBrute(x, y, "vec_id", "embedding",
+        k = 4, minMargin = 1.0).select("src_id", "tgt_id")
+        .localCheckpoint(true)
+      val ivf = Bitext.mineIvf(x, y, "vec_id", "embedding",
+        k = 4, minMargin = 1.0).select(col("src_id"), col("tgt_id"),
+          lit(1).as("hit"))
+        .localCheckpoint(true)
+      brute.join(broadcast(ivf), Seq("src_id", "tgt_id"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("hit"), lit(0))).as("agree"))
+        .select(
+          (coalesce(col("agree").cast("double") / col("n"), lit(1.0))
+            >= 0.5).cast("int").as("bitext_agree_ok"),
+          (col("n") > 0).cast("int").as("bitext_nonvacuous"))
+    },
+
     "dsir_scores" -> QueryDef(
       doc = "DSIR importance scores (Xie et al. NeurIPS'23): log ratio of target (lang='en') vs raw hashed-bigram models per doc — fit pays two bucket-bounded passes, scoring is a zero-exchange literal-probe fold; oracle replays hash, smoothing, and fold in SQL (hash-verified end-to-end)",
       oracle = s"""
