@@ -195,4 +195,103 @@ object Layout {
     if (files.isEmpty) base.filter(lit(false))
     else spark.read.schema(base.schema).parquet(files: _*).filter(residual)
   }
+
+  /** Scheme-normalized file URI — `_metadata.file_path`,
+    * `input_file_name()` and Hadoop listings disagree on the number
+    * of slashes after `file:`; index joins must not.
+    */
+  def normFile(f: String): String = f.replaceFirst("^file:/+", "/")
+
+  /** Incremental [[fileIndex]] maintenance — the merge ≡ rebuild
+    * twin for the layout family: stat rows for ONLY the files not yet
+    * in `existing`, so a daily append of new files costs one narrow
+    * scan of the new data, never a rescan of the table. The file
+    * listing and the existing file set are both index-sized (one
+    * entry per file — bounded via [[ModelCollect]] like the index
+    * itself); `existing UNION delta` equals a full [[fileIndex]]
+    * rebuild exactly, because per-file stats are independent —
+    * spec-pinned, and driven by layout_index_delta_gate.
+    */
+  def fileIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String], existing: DataFrame,
+      maxFiles: Int = 1 << 20): DataFrame = {
+    val have = ModelCollect.bounded(existing.select(col("file")),
+        maxFiles, "existing file-index entries")
+      .map(r => normFile(r.getString(0))).toSet
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.listStatus(hp).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .filterNot(f => have.contains(normFile(f)))
+    require(fresh.size <= maxFiles,
+      s"fileIndexDelta: ${fresh.size} new files exceed the $maxFiles cap")
+    val base = spark.read.parquet(path)
+    if (fresh.isEmpty)
+      fileIndex(spark, path, cols).filter(lit(false))
+    else {
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"min_$c"),
+        max(col(c).cast("double")).as(s"max_$c")))
+      spark.read.schema(base.schema).parquet(fresh: _*)
+        .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
+        .groupBy(col("file"))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** What [[compactTo]] did: input file count, well-sized files kept
+    * (byte-copied), small files packed, and the number of packed
+    * output bins.
+    */
+  final case class Compaction(nIn: Int, kept: Int, packed: Int, bins: Int)
+
+  /** Small-file compaction — the lakehouse maintenance op that keeps
+    * a 100 TB table readable after months of streaming appends
+    * (thousands of KB-sized tick files turn every scan into a task-
+    * scheduling storm and every footer pass into a metadata storm).
+    * Files at or above `targetBytes / 2` are KEPT — byte-identical
+    * copies, never re-encoded (at scale this is a storage-layer
+    * rename/copy, not a compute job; rewriting the 90% of a table
+    * that is already well-sized is the classic compaction mistake).
+    * Smaller files are read once and re-packed into
+    * `ceil(smallBytes / targetBytes)` bins.
+    *
+    * Row-level content is preserved exactly (kept files are
+    * byte-identical, packed files hold the same rows re-grouped) —
+    * hash-asserted end-to-end by layout_compact; the file-count
+    * arithmetic and kept-file byte-identity are layout_compact_gate's
+    * contract. Compaction invalidates nothing: a [[fileIndex]] over
+    * the destination is rebuilt by [[fileIndexDelta]] against an
+    * empty index at exactly the per-file scan cost.
+    */
+  def compactTo(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, targetBytes: Long,
+      maxFiles: Int = 1 << 20): Compaction = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = src.getFileSystem(conf)
+    val files = fs.listStatus(src).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.size <= maxFiles,
+      s"compactTo: ${files.size} input files exceed the $maxFiles cap")
+    val (ok, small) = files.partition(_.getLen >= targetBytes / 2)
+    fs.mkdirs(dst)
+    ok.foreach(f => org.apache.hadoop.fs.FileUtil.copy(
+      fs, f.getPath, fs, new org.apache.hadoop.fs.Path(dst, f.getPath.getName),
+      false, conf))
+    val bins =
+      if (small.isEmpty) 0
+      else {
+        val n = math.max(1, math.ceil(
+          small.map(_.getLen).sum.toDouble / targetBytes).toInt)
+        spark.read.parquet(small.map(_.getPath.toString): _*)
+          .repartition(n)
+          .write.mode("append").parquet(dstPath)
+        n
+      }
+    Compaction(files.size, ok.size, small.size, bins)
+  }
 }

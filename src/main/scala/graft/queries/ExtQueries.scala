@@ -2512,6 +2512,84 @@ object ExtQueries {
         .toDF("skip_lossless", "skip_nonvacuous", "skip_beats_linear")
     },
 
+    "layout_compact" -> QueryDef(
+      doc = "small-file compaction end-to-end: orders deliberately fragmented into 48 tiny files (the streaming-append pathology - every scan a task storm, every footer pass a metadata storm), compactTo re-packs them into ceil(bytes/target) bins while files already at >= target/2 would be byte-copied untouched (never re-encoded - rewriting the well-sized 90% of a 100 TB table is the classic compaction mistake); the read-back must be ROW-IDENTICAL to the original table, which is exactly what the oracle states; the file-count arithmetic and kept-file byte-identity are layout_compact_gate's contract",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""") { (s, dir) =>
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft-compact")
+      val (src, dst) = (root.resolve("src").toString, root.resolve("dst").toString)
+      orders.repartition(48).write.parquet(src)
+      Layout.compactTo(s, src, dst, targetBytes = 1L << 20)
+      s.read.parquet(dst)
+    },
+
+    "layout_compact_gate" -> QueryDef(
+      doc = "compaction guarantees on a mixed layout (40 fragments + one well-sized file, target = the big file's own length so the split is size-relative and holds at every sf): (1) counts - 1 kept, 40 packed, dst holds exactly kept + bins files; (2) the kept file is preserved at its exact byte length (copied, never re-encoded); (3) rows - dst row count equals src's (both copies of orders), nothing lost or duplicated by the re-pack",
+      oracle = "SELECT CAST(1 AS INTEGER) AS compact_counts_ok, " +
+        "CAST(1 AS INTEGER) AS compact_kept_bytes_ok, " +
+        "CAST(1 AS INTEGER) AS compact_rows_ok") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft-compactg")
+      val (src, dst) = (root.resolve("src").toString, root.resolve("dst").toString)
+      orders.repartition(40).write.parquet(src)
+      orders.repartition(1).write.mode("append").parquet(src)
+      val conf = s.sparkContext.hadoopConfiguration
+      val sp = new org.apache.hadoop.fs.Path(src)
+      val fs = sp.getFileSystem(conf)
+      def parquetFiles(p: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val big = parquetFiles(src).maxBy(_.getLen)
+      val st = Layout.compactTo(s, src, dst, targetBytes = big.getLen)
+      val dstFiles = parquetFiles(dst)
+      val countsOk = st.kept == 1 && st.packed == 40 && st.nIn == 41 &&
+        dstFiles.size == st.kept + st.bins
+      val keptOk = dstFiles.exists(f =>
+        f.getPath.getName == big.getPath.getName && f.getLen == big.getLen)
+      val rowsOk = s.read.parquet(dst).count() == 2 * orders.count()
+      Seq((if (countsOk) 1 else 0, if (keptOk) 1 else 0,
+        if (rowsOk) 1 else 0))
+        .toDF("compact_counts_ok", "compact_kept_bytes_ok", "compact_rows_ok")
+    },
+
+    "layout_index_delta_gate" -> QueryDef(
+      doc = "incremental file-index maintenance (merge == rebuild for the layout family): index a 8-file orders layout, append 4 more files, fileIndexDelta must stat ONLY the 4 new files, and existing UNION delta must equal a full fileIndex rebuild EXACTLY (per-file stats are independent, so the incremental path is lossless) - plus the empty-delta edge: a second delta against the merged index is 0 rows",
+      oracle = "SELECT CAST(1 AS INTEGER) AS idx_delta_only_new, " +
+        "CAST(1 AS INTEGER) AS idx_merge_eq_rebuild, " +
+        "CAST(1 AS INTEGER) AS idx_empty_delta") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft-idxdelta")
+        .resolve("t").toString
+      orders.filter(col("o_orderkey") % 3 =!= 0)
+        .repartition(8).write.parquet(path)
+      val before = Layout.fileIndex(s, path, Seq("o_totalprice"))
+        .localCheckpoint(true)
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .repartition(4).write.mode("append").parquet(path)
+      val delta = Layout.fileIndexDelta(s, path, Seq("o_totalprice"), before)
+        .localCheckpoint(true)
+      val merged = before.unionByName(delta)
+      val full = Layout.fileIndex(s, path, Seq("o_totalprice"))
+      val onlyNew = delta.count() == 4 &&
+        delta.join(before, Seq("file"), "left_semi").count() == 0
+      val mergeEq = merged.exceptAll(full).count() == 0 &&
+        full.exceptAll(merged).count() == 0
+      val emptyDelta = Layout.fileIndexDelta(s, path, Seq("o_totalprice"),
+        merged).count() == 0
+      Seq((if (onlyNew) 1 else 0, if (mergeEq) 1 else 0,
+        if (emptyDelta) 1 else 0))
+        .toDF("idx_delta_only_new", "idx_merge_eq_rebuild", "idx_empty_delta")
+    },
+
     "bitext_margin" -> QueryDef(
       doc = "margin-based bitext mining (Artetxe & Schwenk ACL'19, the CCMatrix/LASER recipe): corpora X (even vec_id) and Y (odd) aligned by ratio margin = cos / (mean of each side's top-4 cross-corpus neighborhood, averaged) - cancels hubness, which is why raw-cosine thresholds fail at web scale; INTERSECTION strategy keeps mutual-best pairs with margin >= 1.0. EXACT BASELINE (brute bipartite kNN both directions, weak-by-design quadratic) replayed fully in SQL: cosines at 4dp, neighborhood averages kept as EXACT rationals (order-independent integer sums / k*1e4 - re-rounding them lands on decimal half-boundaries where engines' round() semantics split), margin at 4dp, denominator clamped at 1e-6 - every step one identical IEEE expression shape in both engines; bitext_ivf_gate pins the scale path",
       oracle = s"""

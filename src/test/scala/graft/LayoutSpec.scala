@@ -186,6 +186,56 @@ class LayoutSpec extends SparkSpec {
     assert(err2.getMessage.contains("fall back to the plain filtered scan"))
   }
 
+  test("compactTo: keeps big files byte-identical, packs small ones, preserves rows") {
+    val root = Files.createTempDirectory("compact")
+    val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
+    // 6 tiny fragments + 1 big file (the full table again)
+    orders.repartition(6).write.parquet(src)
+    orders.repartition(1).write.mode("append").parquet(src)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val big = files(src).maxBy(_.getLen)
+    val st = Layout.compactTo(spark, src, dst, targetBytes = big.getLen)
+    // per-file encoding overhead makes 6 fragments of the table sum
+    // to slightly MORE than the single-file encoding of it → 1-2 bins
+    assert(st.nIn == 7 && st.kept == 1 && st.packed == 6 &&
+      st.bins >= 1 && st.bins <= 2, s"unexpected $st")
+    val out = files(dst)
+    assert(out.size == 1 + st.bins)
+    val kept = out.find(_.getPath.getName == big.getPath.getName)
+    assert(kept.exists(_.getLen == big.getLen), "big file must be byte-copied")
+    // row multiset preserved (two copies of orders in, two out)
+    val read = spark.read.parquet(dst)
+    assert(read.count() == 2 * orders.count())
+    assert(read.exceptAll(orders.unionAll(orders)).count() == 0)
+  }
+
+  test("fileIndexDelta: only new files, union == rebuild, empty delta, cap trips") {
+    val path = Files.createTempDirectory("idxd").resolve("t").toString
+    orders.limit(500).repartition(3).write.parquet(path)
+    val before = Layout.fileIndex(spark, path, Seq("o_custkey"))
+      .localCheckpoint(true)
+    orders.limit(200).repartition(2).write.mode("append").parquet(path)
+    val delta = Layout.fileIndexDelta(spark, path, Seq("o_custkey"), before)
+      .localCheckpoint(true)
+    assert(delta.count() == 2)
+    assert(delta.join(before, Seq("file"), "left_semi").count() == 0)
+    val merged = before.unionByName(delta)
+    val full = Layout.fileIndex(spark, path, Seq("o_custkey"))
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0)
+    assert(Layout.fileIndexDelta(spark, path, Seq("o_custkey"), merged)
+      .count() == 0)
+    val err = intercept[IllegalArgumentException] {
+      Layout.fileIndexDelta(spark, path, Seq("o_custkey"),
+        before.limit(0), maxFiles = 3)
+    }
+    assert(err.getMessage.contains("exceed"))
+  }
+
   test("zorder refuses a colliding z-column name; zorderWrite survives user 'zval'") {
     intercept[IllegalArgumentException] {
       Layout.zorder(orders.withColumn("zval", lit(1L)),
