@@ -219,6 +219,93 @@ object Incremental {
     df.agg(max(latest)).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
   }
+
+  /** One maintained aggregate column for the IVM family: `out` =
+    * `fn(in)` with fn ∈ count | sum | min | max (the distributive
+    * aggregates — exactly the set whose per-group summaries merge
+    * losslessly; avg is served as sum/count at read time, never
+    * maintained directly). `in` is ignored for count. Integer-typed
+    * measures keep the whole family EXACT (and hash-reproducible) —
+    * for money-like doubles, integerize first (cents), the same
+    * discipline as the decimal-quantile sketch state.
+    */
+  final case class AggCol(out: String, fn: String, in: String) {
+    require(Seq("count", "sum", "min", "max").contains(fn),
+      s"unsupported aggregate '$fn' (distributive only: count/sum/min/max)")
+  }
+
+  /** The aggregate view itself: one row per key combination. */
+  def aggView(df: DataFrame, keys: Seq[String], specs: Seq[AggCol]): DataFrame = {
+    require(specs.nonEmpty, "need at least one aggregate column")
+    val aggs = specs.map {
+      case AggCol(out, "count", _) => count(lit(1)).as(out)
+      case AggCol(out, "sum", in)  => sum(col(in)).as(out)
+      case AggCol(out, "min", in)  => min(col(in)).as(out)
+      case AggCol(out, "max", in)  => max(col(in)).as(out)
+    }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two aggregate views — associative, commutative, and exact
+    * for the distributive set: count/sum add, min/max take the
+    * extreme; a key present on one side only passes through. The
+    * mergeable-summaries contract (merge ≡ rebuild) that makes the
+    * view maintainable from per-tick partial aggregates, spec- and
+    * gate-pinned like the sketch-state families.
+    */
+  def mergeAggViews(a: DataFrame, b: DataFrame, keys: Seq[String],
+      specs: Seq[AggCol]): DataFrame = {
+    val av = a.select((keys.map(col) ++
+      specs.map(s => col(s.out).as(s"__a_${s.out}"))): _*)
+    val bv = b.select((keys.map(col) ++
+      specs.map(s => col(s.out).as(s"__b_${s.out}"))): _*)
+    val joined = av.join(bv, keys, "full_outer")
+    val combined = specs.map { s =>
+      val (x, y) = (col(s"__a_${s.out}"), col(s"__b_${s.out}"))
+      val m = s.fn match {
+        case "count" | "sum" => when(x.isNull, y).when(y.isNull, x)
+          .otherwise(x + y)
+        case "min" => when(x.isNull, y).when(y.isNull, x)
+          .otherwise(least(x, y))
+        case "max" => when(x.isNull, y).when(y.isNull, x)
+          .otherwise(greatest(x, y))
+      }
+      m.as(s.out)
+    }
+    joined.select(keys.map(col) ++ combined: _*)
+  }
+
+  /** Incremental view maintenance, insert-only fast path: fold a
+    * tick of new base rows into the maintained view WITHOUT touching
+    * stored history — `view ⊕ aggView(delta)`. The delta aggregates
+    * map-side down to |delta keys| rows before the one key-hash
+    * exchange against the view; at 100 TB the view refresh costs the
+    * tick, never the table. Result ≡ a full [[aggView]] rebuild over
+    * base ∪ delta (the ivm_user_stats driver hash replays exactly
+    * that equality cross-engine).
+    */
+  def maintainAgg(view: DataFrame, delta: DataFrame, keys: Seq[String],
+      specs: Seq[AggCol]): DataFrame =
+    mergeAggViews(view, aggView(delta, keys, specs), keys, specs)
+
+  /** Delete handling — the honest half of IVM: count/sum could take
+    * retractions algebraically, but min/max are NOT subtractable (a
+    * deleted minimum says nothing about the next-smallest), so this
+    * recomputes DIRTY KEYS ONLY from the post-delete base: untouched
+    * view rows pass through an anti-join; dirty keys re-aggregate
+    * from a key-pruned scan (left_semi — pushes the key filter to
+    * the base scan). Keys whose base rows all vanished drop out of
+    * the view, as a rebuild would. Cost scales with the dirty-key
+    * footprint, not the table; ≡ full rebuild, gate-pinned
+    * (ivm_delete_gate).
+    */
+  def recomputeKeys(view: DataFrame, base: DataFrame,
+      dirtyKeys: DataFrame, keys: Seq[String],
+      specs: Seq[AggCol]): DataFrame = {
+    val dk = broadcast(dirtyKeys.select(keys.map(col): _*).distinct())
+    view.join(dk, keys, "left_anti")
+      .unionByName(aggView(base.join(dk, keys, "left_semi"), keys, specs))
+  }
 }
 
 /** Driver-side persisted high-water mark between scheduled runs —

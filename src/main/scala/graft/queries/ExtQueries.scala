@@ -2590,6 +2590,66 @@ object ExtQueries {
         .toDF("idx_delta_only_new", "idx_merge_eq_rebuild", "idx_empty_delta")
     },
 
+    "ivm_user_stats" -> QueryDef(
+      doc = "incremental view maintenance for distributive aggregates (count/sum/min/max - exactly the set whose per-group summaries merge losslessly; avg is served as sum/count): a (user_id, event_type) stats view built over 80% of events then MAINTAINED with the remaining tick via maintainAgg - the tick aggregates map-side to |delta keys| rows before one key-hash exchange against the view, so at 100 TB a refresh costs the tick, never the table. The oracle replays the FULL REBUILD over all events, so the driver hash IS the merge == rebuild proof cross-engine. Measures integerized to cents (the decimal-quantile discipline) so every merge is exact",
+      oracle = """
+        SELECT user_id, event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM events GROUP BY user_id, event_type""") { (s, dir) =>
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("sum_cents", "sum", "vc"), AggCol("min_cents", "min", "vc"),
+        AggCol("max_cents", "max", "vc"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val view = Incremental.aggView(
+        ev.filter(col("event_id") % 5 =!= 0), keys, specs)
+      Incremental.maintainAgg(view,
+        ev.filter(col("event_id") % 5 === 0), keys, specs)
+    },
+
+    "ivm_delete_gate" -> QueryDef(
+      doc = "the honest half of IVM - deletes: count/sum could take retractions algebraically but min/max are NOT subtractable (a deleted minimum says nothing about the next-smallest), so recomputeKeys re-aggregates DIRTY KEYS ONLY from the post-delete base (anti-join passes untouched view rows through; left_semi pushes the dirty-key filter into the base scan) - cost scales with the dirty footprint, never the table. Gate: maintained == full rebuild both directions after deleting every 11th event, AND non-vacuity - some dirty key's min or max actually moved (the recompute did work retraction algebra could not)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS ivm_delete_eq_rebuild, " +
+        "CAST(1 AS INTEGER) AS ivm_extremes_moved") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("sum_cents", "sum", "vc"), AggCol("min_cents", "min", "vc"),
+        AggCol("max_cents", "max", "vc"))
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .localCheckpoint(true)
+      val view = Incremental.aggView(ev, keys, specs).localCheckpoint(true)
+      val deletes = ev.filter(col("event_id") % 11 === 0)
+      val after = ev.filter(col("event_id") % 11 =!= 0)
+      val maintained = Incremental.recomputeKeys(view, after,
+        deletes, keys, specs).localCheckpoint(true)
+      val rebuilt = Incremental.aggView(after, keys, specs)
+      val eq = maintained.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(maintained).count() == 0
+      val moved = maintained
+        .join(view.select(col("user_id"), col("event_type"),
+          col("min_cents").as("om"), col("max_cents").as("ox")), keys)
+        .filter(col("min_cents") =!= col("om") ||
+          col("max_cents") =!= col("ox"))
+        .count() > 0
+      Seq((if (eq) 1 else 0, if (moved) 1 else 0))
+        .toDF("ivm_delete_eq_rebuild", "ivm_extremes_moved")
+    },
+
     "bitext_margin" -> QueryDef(
       doc = "margin-based bitext mining (Artetxe & Schwenk ACL'19, the CCMatrix/LASER recipe): corpora X (even vec_id) and Y (odd) aligned by ratio margin = cos / (mean of each side's top-4 cross-corpus neighborhood, averaged) - cancels hubness, which is why raw-cosine thresholds fail at web scale; INTERSECTION strategy keeps mutual-best pairs with margin >= 1.0. EXACT BASELINE (brute bipartite kNN both directions, weak-by-design quadratic) replayed fully in SQL: cosines at 4dp, neighborhood averages kept as EXACT rationals (order-independent integer sums / k*1e4 - re-rounding them lands on decimal half-boundaries where engines' round() semantics split), margin at 4dp, denominator clamped at 1e-6 - every step one identical IEEE expression shape in both engines; bitext_ivf_gate pins the scale path",
       oracle = s"""

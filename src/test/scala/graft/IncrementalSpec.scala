@@ -203,4 +203,59 @@ class IncrementalSpec extends SparkSpec {
       (1L, "A", t0, Some(t0), false, 1L),
       (1L, "B", t0, None, true, 2L)))
   }
+  test("mergeAggViews: disjoint keys pass through, shared keys combine per fn") {
+    import graft.operators.Incremental.AggCol
+    val specs = Seq(AggCol("cnt", "count", ""), AggCol("s", "sum", "v"),
+      AggCol("mn", "min", "v"), AggCol("mx", "max", "v"))
+    val a = Incremental.aggView(
+      Seq(("x", 1L), ("x", 5L), ("y", 7L)).toDF("k", "v"), Seq("k"), specs)
+    val b = Incremental.aggView(
+      Seq(("x", -2L), ("z", 9L)).toDF("k", "v"), Seq("k"), specs)
+    val m = Incremental.mergeAggViews(a, b, Seq("k"), specs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(m("x") == ((3L, 4L, -2L, 5L)))   // combined
+    assert(m("y") == ((1L, 7L, 7L, 7L)))    // a-only passes through
+    assert(m("z") == ((1L, 9L, 9L, 9L)))    // b-only passes through
+    // associativity/commutativity: (a+b) == (b+a)
+    val m2 = Incremental.mergeAggViews(b, a, Seq("k"), specs)
+    assert(m2.exceptAll(Incremental.mergeAggViews(a, b, Seq("k"), specs))
+      .count() == 0)
+  }
+
+  test("maintainAgg over ticks == one rebuild; recomputeKeys handles vanish and min-shift") {
+    import graft.operators.Incremental.AggCol
+    val specs = Seq(AggCol("cnt", "count", ""), AggCol("mn", "min", "v"))
+    val base = Seq(("x", 3L), ("x", 8L), ("y", 1L), ("y", 2L), ("z", 5L))
+      .toDF("k", "v")
+    val t1 = Seq(("x", 1L), ("w", 4L)).toDF("k", "v")
+    val all = base.unionAll(t1)
+    val maintained = Incremental.maintainAgg(
+      Incremental.aggView(base, Seq("k"), specs), t1, Seq("k"), specs)
+    val rebuilt = Incremental.aggView(all, Seq("k"), specs)
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+    // delete x's minimum (1) and ALL of z: min must shift back to 3,
+    // z must vanish -- neither is expressible by retraction algebra
+    val deletes = Seq(("x", 1L), ("z", 5L)).toDF("k", "v")
+    val after = all.exceptAll(deletes)
+    val fixed = Incremental.recomputeKeys(rebuilt, after, deletes,
+      Seq("k"), specs)
+    val fm = fixed.as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fm("x") == ((2L, 3L)) && !fm.contains("z") &&
+      fm("y") == ((2L, 1L)) && fm("w") == ((1L, 4L)))
+    val fullAfter = Incremental.aggView(after, Seq("k"), specs)
+    assert(fixed.exceptAll(fullAfter).count() == 0 &&
+      fullAfter.exceptAll(fixed).count() == 0)
+  }
+
+  test("AggCol rejects non-distributive aggregates") {
+    import graft.operators.Incremental.AggCol
+    val err = intercept[IllegalArgumentException] {
+      AggCol("a", "avg", "v")
+    }
+    assert(err.getMessage.contains("distributive only"))
+  }
+
 }
