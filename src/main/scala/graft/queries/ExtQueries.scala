@@ -2590,6 +2590,45 @@ object ExtQueries {
         .toDF("idx_delta_only_new", "idx_merge_eq_rebuild", "idx_empty_delta")
     },
 
+    "wap_gate" -> QueryDef(
+      doc = "write-audit-publish (the Iceberg WAP pattern): a table write stages OFF the serving path, every audit runs against the STAGED data, and only a clean bill swaps it live - atomicity OF the quality gate, the third leg next to stage-and-swap crash atomicity and the DataQuality checks themselves. Gate: (1) a clean write publishes and serves; (2) a write with planted negative prices is REJECTED by the composed DataQuality audits and the published v1 stays byte-untouched (readers can never observe failing data, not even transiently; staging cleaned up); (3) the result names exactly the failing audit",
+      oracle = "SELECT CAST(1 AS INTEGER) AS wap_publishes, " +
+        "CAST(1 AS INTEGER) AS wap_rejects_preserves_v1, " +
+        "CAST(1 AS INTEGER) AS wap_names_failed_audit") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.DataQuality
+      import graft.sources.AnalysisStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft-wap")
+        .resolve("t").toString
+      def clean(rule: graft.operators.DataQuality.Rule)(
+          df: org.apache.spark.sql.DataFrame): Boolean =
+        DataQuality.check(df, Seq(rule)).filter(!col("passed")).isEmpty
+      val audits = Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+        "key_not_null" -> clean(DataQuality.notNull("o_orderkey")) _,
+        "price_non_negative" ->
+          clean(DataQuality.nonNegative("o_totalprice")) _)
+      val r1 = AnalysisStore.writeAuditPublish(s, path, audits)(
+        st => orders.write.parquet(st))
+      val publishes = r1.published &&
+        s.read.parquet(path).count() == orders.count()
+      val bad = orders.withColumn("o_totalprice",
+        when(col("o_orderkey") % 10 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      val r2 = AnalysisStore.writeAuditPublish(s, path, audits)(
+        st => bad.write.parquet(st))
+      val served = s.read.parquet(path)
+      val preserves = !r2.published &&
+        served.filter(col("o_totalprice") < 0).count() == 0 &&
+        served.count() == orders.count()
+      val names = r2.failed == Seq("price_non_negative")
+      Seq((if (publishes) 1 else 0, if (preserves) 1 else 0,
+        if (names) 1 else 0))
+        .toDF("wap_publishes", "wap_rejects_preserves_v1",
+          "wap_names_failed_audit")
+    },
+
     "ivm_user_stats" -> QueryDef(
       doc = "incremental view maintenance for distributive aggregates (count/sum/min/max - exactly the set whose per-group summaries merge losslessly; avg is served as sum/count): a (user_id, event_type) stats view built over 80% of events then MAINTAINED with the remaining tick via maintainAgg - the tick aggregates map-side to |delta keys| rows before one key-hash exchange against the view, so at 100 TB a refresh costs the tick, never the table. The oracle replays the FULL REBUILD over all events, so the driver hash IS the merge == rebuild proof cross-engine. Measures integerized to cents (the decimal-quantile discipline) so every merge is exact",
       oracle = """

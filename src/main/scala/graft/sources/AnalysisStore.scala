@@ -125,6 +125,59 @@ object AnalysisStore {
     fs.delete(backup, true)
   }
 
+  /** Outcome of [[writeAuditPublish]]: whether the staged data went
+    * live, and which audits rejected it if not.
+    */
+  final case class WapResult(published: Boolean, failed: Seq[String])
+
+  /** Write-audit-publish (the Iceberg WAP pattern, Spark-native):
+    * stage the full write OFF the serving path, run every audit
+    * against the STAGED data, and only a clean bill swaps it live —
+    * a failed audit deletes the staging dir and leaves the published
+    * table byte-untouched, so consumers can never observe data that
+    * failed its checks, not even transiently. This is the missing
+    * third leg next to [[stageAndSwap]] (crash atomicity) and
+    * `DataQuality` (the checks themselves): atomicity OF the quality
+    * gate.
+    *
+    * Audits are named predicates over the staged frame — compose
+    * them from `DataQuality.check`/`unique`/`referential` or any
+    * domain rule; names of failing audits come back in
+    * [[WapResult]] (and drive the caller's alerting). Audit cost is
+    * a read of the staged data only; the swap itself is two renames.
+    * Crash-safe like every swap here: a crash inside the window is
+    * healed by [[recover]] on the next touch.
+    */
+  def writeAuditPublish(
+      spark: SparkSession, path: String,
+      audits: Seq[(String, DataFrame => Boolean)],
+      format: String = "parquet")(
+      write: String => Unit): WapResult = {
+    require(audits.nonEmpty, "write-audit-publish with no audits is" +
+      " just a write — call stageAndSwap/writeFull instead")
+    val fs = fsOf(spark, path)
+    recover(spark, path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val staging = new org.apache.hadoop.fs.Path(path + "__staging")
+    fs.delete(staging, true)
+    write(staging.toString)
+    val staged = read(spark, staging.toString, format)
+    val failed = audits.collect {
+      case (name, check) if !check(staged) => name
+    }
+    if (failed.nonEmpty) {
+      fs.delete(staging, true)
+      WapResult(published = false, failed)
+    } else {
+      val backup = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(backup, true)
+      if (fs.exists(target)) fs.rename(target, backup)
+      fs.rename(staging, target)
+      fs.delete(backup, true)
+      WapResult(published = true, Nil)
+    }
+  }
+
   /** Compact a store table's files to ~`targetFileBytes` each — the
     * small-files remedy. Incremental ticks and streaming foreachBatch
     * writes accumulate files far smaller than a scan split; at 100 TB

@@ -330,4 +330,47 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(spark.read.parquet(dir).select("id").as[Long].collect().toSeq
       == Seq(3L))
   }
+  test("writeAuditPublish: publishes on pass, rejects preserve v1, staging cleaned") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("wap").resolve("t").toString
+    val audits = Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+      "positive" -> (df => df.filter(col("v") < 0).isEmpty),
+      "nonempty" -> (df => !df.isEmpty))
+    val v1 = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val r1 = AnalysisStore.writeAuditPublish(spark, path, audits)(
+      st => v1.write.parquet(st))
+    assert(r1 == AnalysisStore.WapResult(published = true, Nil))
+    assert(spark.read.parquet(path).count() == 2)
+    // v2 fails BOTH audits on the STAGED data (not the live table)
+    val r2 = AnalysisStore.writeAuditPublish(spark, path, audits)(
+      st => Seq((3L, -5L)).toDF("k", "v").limit(0).write.parquet(st))
+    assert(!r2.published && r2.failed == Seq("nonempty"))
+    val r3 = AnalysisStore.writeAuditPublish(spark, path, audits)(
+      st => Seq((3L, -5L)).toDF("k", "v").write.parquet(st))
+    assert(!r3.published && r3.failed == Seq("positive"))
+    // v1 still served, staging gone
+    val served = spark.read.parquet(path).as[(Long, Long)].collect().sorted
+    assert(served.toSeq == Seq((1L, 10L), (2L, 20L)))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__staging")))
+    // no audits is a loud error, not a silent unguarded write
+    val err = intercept[IllegalArgumentException] {
+      AnalysisStore.writeAuditPublish(spark, path,
+        Seq.empty[(String, org.apache.spark.sql.DataFrame => Boolean)])(
+        st => v1.write.parquet(st))
+    }
+    assert(err.getMessage.contains("no audits"))
+  }
+
+  test("writeAuditPublish: first publish onto a missing table works") {
+    import org.apache.spark.sql.functions.col
+    val path = Files.createTempDirectory("wap2").resolve("t").toString
+    val r = AnalysisStore.writeAuditPublish(spark, path,
+      Seq[(String, org.apache.spark.sql.DataFrame => Boolean)](
+        "nonempty" -> (df => !df.isEmpty)))(
+      st => Seq((1L, 1L)).toDF("k", "v").write.parquet(st))
+    assert(r.published && spark.read.parquet(path).count() == 1)
+  }
+
 }
