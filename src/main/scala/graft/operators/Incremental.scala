@@ -288,6 +288,29 @@ object Incremental {
       specs: Seq[AggCol]): DataFrame =
     mergeAggViews(view, aggView(delta, keys, specs), keys, specs)
 
+  /** Fold MANY per-window view rows down to one row per key — the
+    * range-serving read over persisted windowed views ([[aggView]]
+    * state written per day/tick): because every maintained aggregate
+    * is distributive, the fold is ONE re-aggregation of the state
+    * (count and sum add, min/max take the extreme) over
+    * windows × keys rows; the raw table never replays. N-ary
+    * [[mergeAggViews]] in a single groupBy (≡ a pairwise fold,
+    * spec-pinned; the ivm_window_range driver hash proves the fold
+    * equals the direct aggregate cross-engine).
+    */
+  def foldAggViews(views: DataFrame, keys: Seq[String],
+      specs: Seq[AggCol]): DataFrame = {
+    require(specs.nonEmpty, "need at least one aggregate column")
+    val aggs = specs.map { s =>
+      s.fn match {
+        case "count" | "sum" => sum(col(s.out)).as(s.out)
+        case "min"           => min(col(s.out)).as(s.out)
+        case "max"           => max(col(s.out)).as(s.out)
+      }
+    }
+    views.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Delete handling — the honest half of IVM: count/sum could take
     * retractions algebraically, but min/max are NOT subtractable (a
     * deleted minimum says nothing about the next-smallest), so this

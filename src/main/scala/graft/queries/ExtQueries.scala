@@ -2656,6 +2656,51 @@ object ExtQueries {
         ev.filter(col("event_id") % 5 === 0), keys, specs)
     },
 
+    "ivm_window_range" -> QueryDef(
+      doc = "range stats from PERSISTED per-day aggregate views (the IVM family's windowed-state read, sibling of cms/mg/kmv_window_range): daily (ws, user_id) count/sum/min/max views written to a store dir, read back, filtered to the same 7-day range, and FOLDED by one re-aggregation of the state (every maintained aggregate is distributive: counts and sums add, extremes take the extreme) - days x users state rows answer the range question, raw events never replay; the oracle runs the DIRECT aggregate over the range, so the driver hash is the fold == direct proof cross-engine",
+      oracle = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-09'
+        GROUP BY user_id""") { (s, dir) =>
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("sum_cents", "sum", "vc"), AggCol("min_cents", "min", "vc"),
+        AggCol("max_cents", "max", "vc"))
+      val ev = Tables.load(s, dir, "events")
+        .select(to_date(col("ts")).as("ws"), col("user_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+      val daily = Incremental.aggView(ev, Seq("ws", "user_id"), specs)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-ivm-windows").toString
+      daily.write.mode("overwrite").parquet(store)
+      Incremental.foldAggViews(
+        s.read.parquet(store).filter(col("ws").between(
+          lit("2024-01-03").cast("date"), lit("2024-01-09").cast("date"))),
+        Seq("user_id"), specs)
+    },
+
+    "src_orc_roundtrip" -> QueryDef(
+      doc = "ORC as a first-class store format: orders written through AnalysisStore.writeFull(format=orc) and read back through the same format-honoring read path - the store layer is format-agnostic (parquet/orc/json by parameter), and the round-trip must be row-identical to the source, which is exactly what the oracle states",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders""") { (s, dir) =>
+      import graft.sources.AnalysisStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft-orc")
+        .resolve("t").toString
+      AnalysisStore.writeFull(orders, path, format = "orc")
+      AnalysisStore.read(s, path, format = "orc")
+    },
+
     "ivm_delete_gate" -> QueryDef(
       doc = "the honest half of IVM - deletes: count/sum could take retractions algebraically but min/max are NOT subtractable (a deleted minimum says nothing about the next-smallest), so recomputeKeys re-aggregates DIRTY KEYS ONLY from the post-delete base (anti-join passes untouched view rows through; left_semi pushes the dirty-key filter into the base scan) - cost scales with the dirty footprint, never the table. Gate: maintained == full rebuild both directions after deleting every 11th event, AND non-vacuity - some dirty key's min or max actually moved (the recompute did work retraction algebra could not)",
       oracle = "SELECT CAST(1 AS INTEGER) AS ivm_delete_eq_rebuild, " +

@@ -258,4 +258,21 @@ class IncrementalSpec extends SparkSpec {
     assert(err.getMessage.contains("distributive only"))
   }
 
+  test("foldAggViews == iterated pairwise mergeAggViews") {
+    import graft.operators.Incremental.AggCol
+    val specs = Seq(AggCol("cnt", "count", ""), AggCol("s", "sum", "v"),
+      AggCol("mn", "min", "v"), AggCol("mx", "max", "v"))
+    val days = Seq(
+      Seq(("x", 3L), ("y", 1L)), Seq(("x", -4L), ("z", 2L)),
+      Seq(("y", 9L), ("y", 0L)))
+      .map(rows => Incremental.aggView(rows.toDF("k", "v"), Seq("k"), specs)
+        .withColumn("d", lit(1)))
+    val stacked = days.reduce(_ unionByName _)
+    val folded = Incremental.foldAggViews(stacked.drop("d"), Seq("k"), specs)
+    val pairwise = days.map(_.drop("d"))
+      .reduce(Incremental.mergeAggViews(_, _, Seq("k"), specs))
+    assert(folded.exceptAll(pairwise).count() == 0 &&
+      pairwise.exceptAll(folded).count() == 0)
+  }
+
 }
