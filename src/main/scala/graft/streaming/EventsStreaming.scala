@@ -245,6 +245,32 @@ object EventsStreaming {
     * `estimateDistinctTheta`. Same closed-window idempotence contract
     * as [[freqSketchWindows]]; persist with `keys = Seq("ws","item")`.
     */
+  /** Per-closed-window aggregate views — the streaming twin of
+    * [[graft.operators.Incremental.aggView]], completing the IVM
+    * family's batch/stream parity (every sketch-state family has
+    * one): count/sum/min/max are all natively streamable
+    * aggregations, so the per-window view rows emit in append mode
+    * the moment the watermark closes a window, and the at-rest
+    * layout (ws, keys, aggregates) is EXACTLY what
+    * [[graft.operators.Incremental.foldAggViews]] range-serves
+    * (ivm_window_range) — the raw stream is reduced map-side before
+    * the one window×key exchange and never stored.
+    */
+  def aggViewWindows(
+      events: DataFrame, keys: Seq[String],
+      specs: Seq[graft.operators.Incremental.AggCol],
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val ins = specs.collect { case s if s.fn != "count" => s.in }.distinct
+    graft.operators.Incremental.aggView(
+      events.withWatermark("ts", watermarkDelay)
+        .select(window(col("ts"), windowLen).as("__w") +:
+          (keys ++ ins).map(col): _*),
+      "__w" +: keys, specs)
+      .select(col("__w.start").as("ws") +:
+        (keys ++ specs.map(_.out)).map(col): _*)
+  }
+
   def sampleSketchWindows(
       events: DataFrame, keyCol: String = "user_id",
       windowLen: String = "1 hour", watermarkDelay: String = "2 hours",

@@ -313,6 +313,47 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(state.select("ws", "cm_row", "cm_bucket", "cnt"), batch)
   }
 
+  test("aggViewWindows: closed-window IVM views match the batch build and range-fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Incremental
+    import graft.operators.Incremental.AggCol
+    val specs = Seq(AggCol("cnt", "count", ""), AggCol("s", "sum", "vc"),
+      AggCol("mn", "min", "vc"), AggCol("mx", "max", "vc"))
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 1L, "click", 7L),
+      (2L, ts("2024-01-01 10:10:00"), 1L, "click", -2L),
+      (3L, ts("2024-01-01 10:20:00"), 2L, "click", 5L),
+      (4L, ts("2024-01-01 11:05:00"), 1L, "click", 9L))
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Long)]
+    val q = EventsStreaming.aggViewWindows(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "vc"),
+        Seq("user_id"), specs,
+        windowLen = "1 hour", watermarkDelay = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ivmw").start()
+    // split MID-window: partial aggregates must merge in state
+    mem.addData(evRows.take(1): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(1): _*)
+    q.processAllAvailable()
+    mem.addData((99L, ts("2024-01-02 23:00:00"), 9L, "tick", 0L))
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.table("ivmw")
+      .filter(col("ws") < ts("2024-01-01 12:00:00"))
+    val batch = Incremental.aggView(
+      evRows.toDF("event_id", "ts", "user_id", "event_type", "vc")
+        .select(window(col("ts"), "1 hour")("start").as("ws"),
+          col("user_id"), col("vc")),
+      Seq("ws", "user_id"), specs)
+    assertSameRows(state, batch)
+    // and the persisted-state range fold serves the 2-window range
+    val folded = Incremental.foldAggViews(state, Seq("user_id"), specs)
+    assertSameRows(folded,
+      Seq((1L, 3L, 14L, -2L, 9L), (2L, 1L, 5L, 5L, 5L))
+        .toDF("user_id", "cnt", "s", "mn", "mx"))
+  }
+
   test("quantileSketchWindows: closed-window buckets answer quantiles") {
     implicit val sqlCtx = spark.sqlContext
     val evRows = (1 to 100).map { i =>
