@@ -193,7 +193,11 @@ object Layout {
       .reduce(_ && _)
     val base = spark.read.parquet(path)
     if (files.isEmpty) base.filter(lit(false))
-    else spark.read.schema(base.schema).parquet(files: _*).filter(residual)
+    // basePath keeps partition-directory columns alive when reading
+    // an explicit file list — without it a partitioned table's
+    // partition values silently vanish from the pruned read
+    else spark.read.option("basePath", path).schema(base.schema)
+      .parquet(files: _*).filter(residual)
   }
 
   /** Scheme-normalized file URI — `_metadata.file_path`,

@@ -186,6 +186,21 @@ class LayoutSpec extends SparkSpec {
     assert(err2.getMessage.contains("fall back to the plain filtered scan"))
   }
 
+  test("prunedRead keeps partition columns alive on a partitioned z-ordered table") {
+    val path = Files.createTempDirectory("zpart").resolve("t").toString
+    val df = orders.withColumn("p", (col("o_orderkey") % 2).cast("int"))
+    Layout.zorderWrite(df, Seq("o_custkey", "o_totalprice"), bits = 8,
+      numFiles = 8, path = path, partitionBy = Seq("p"))
+    val idx = Layout.fileIndex(spark, path, Seq("o_totalprice"))
+    val got = Layout.prunedRead(spark, path, idx,
+      Seq(Layout.Range("o_totalprice", 50000.0, 120000.0)))
+    assert(got.columns.contains("p"), "partition column lost in pruned read")
+    val full = df.filter(
+      col("o_totalprice") >= 50000.0 && col("o_totalprice") <= 120000.0)
+    assert(got.select(df.columns.map(col): _*).exceptAll(full).count() == 0 &&
+      full.exceptAll(got.select(df.columns.map(col): _*)).count() == 0)
+  }
+
   test("compactTo: keeps big files byte-identical, packs small ones, preserves rows") {
     val root = Files.createTempDirectory("compact")
     val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
