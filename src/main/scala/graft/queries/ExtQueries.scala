@@ -2688,6 +2688,24 @@ object ExtQueries {
         Seq("user_id"), specs)
     },
 
+    "src_schema_drift" -> QueryDef(
+      doc = "schema-drift report for evolving ingest (the contract layer in front of merge's allowMissingColumns tolerance: additions/removals are null-fill-tolerated but must be KNOWN, and a retyped column must never slide through - null-filled unions mask it until readers cast, which at 100 TB means a quarter of the table's files disagreeing about a type before anyone notices): an orders tick that drops o_custkey, retypes o_totalprice to DECIMAL(12,2) and adds o_comment, diffed against the stored schema; pure driver-side metadata work, deterministic by construction",
+      oracle = """
+        SELECT * FROM (VALUES
+          ('o_orderkey', 'unchanged', 'BIGINT', 'BIGINT'),
+          ('o_custkey', 'removed', 'BIGINT', ''),
+          ('o_totalprice', 'retyped', 'DOUBLE', 'DECIMAL(12,2)'),
+          ('o_comment', 'added', '', 'STRING'))
+          AS t(col_name, status, old_type, new_type)""") { (s, dir) =>
+      import graft.sources.SchemaDrift
+      val stored = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tick = stored.drop("o_custkey")
+        .withColumn("o_totalprice", col("o_totalprice").cast("decimal(12,2)"))
+        .withColumn("o_comment", lit("note"))
+      SchemaDrift.report(s, stored.schema, tick.schema)
+    },
+
     "src_orc_roundtrip" -> QueryDef(
       doc = "ORC as a first-class store format: orders written through AnalysisStore.writeFull(format=orc) and read back through the same format-honoring read path - the store layer is format-agnostic (parquet/orc/json by parameter), and the round-trip must be row-identical to the source, which is exactly what the oracle states",
       oracle = """
