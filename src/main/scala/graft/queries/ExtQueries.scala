@@ -2688,6 +2688,38 @@ object ExtQueries {
         Seq("user_id"), specs)
     },
 
+    "store_versioned_gate" -> QueryDef(
+      doc = "versioned serving store (time travel + rollback + vacuum with plain parquet dirs - the Delta/Iceberg snapshot idea reduced to its load-bearing parts: immutable v=N dirs + an atomically-renamed one-line pointer, so a publish can never tear a running scan and rollback is a data-free pointer flip): (1) two publishes - current serves v2 while v1 stays byte-intact for time travel; (2) rollback flips to v1 and a subsequent publish NEVER reuses a live version number; (3) vacuum keeps the newest N but never deletes the pointer target",
+      oracle = "SELECT CAST(1 AS INTEGER) AS ver_travel_ok, " +
+        "CAST(1 AS INTEGER) AS ver_rollback_ok, " +
+        "CAST(1 AS INTEGER) AS ver_vacuum_ok") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.VersionedStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft-vstore")
+        .resolve("t").toString
+      val full = orders.count()
+      VersionedStore.publish(s, path, orders)
+      VersionedStore.publish(s, path,
+        orders.filter(col("o_orderkey") % 2 === 0))
+      val travel = VersionedStore.read(s, path).count() < full &&
+        VersionedStore.read(s, path, Some(1)).count() == full
+      VersionedStore.rollback(s, path, 1)
+      val v3 = VersionedStore.publish(s, path,
+        orders.filter(col("o_orderkey") % 3 === 0))
+      val rollback = VersionedStore.current(s, path).contains(3) &&
+        v3 == 3 && VersionedStore.versions(s, path) == Seq(1, 2, 3)
+      VersionedStore.rollback(s, path, 1)
+      val gone = VersionedStore.vacuum(s, path, keep = 1)
+      val vacuum = gone == Seq(2) &&
+        VersionedStore.versions(s, path) == Seq(1, 3) &&
+        VersionedStore.read(s, path).count() == full
+      Seq((if (travel) 1 else 0, if (rollback) 1 else 0,
+        if (vacuum) 1 else 0))
+        .toDF("ver_travel_ok", "ver_rollback_ok", "ver_vacuum_ok")
+    },
+
     "src_schema_drift" -> QueryDef(
       doc = "schema-drift report for evolving ingest (the contract layer in front of merge's allowMissingColumns tolerance: additions/removals are null-fill-tolerated but must be KNOWN, and a retyped column must never slide through - null-filled unions mask it until readers cast, which at 100 TB means a quarter of the table's files disagreeing about a type before anyone notices): an orders tick that drops o_custkey, retypes o_totalprice to DECIMAL(12,2) and adds o_comment, diffed against the stored schema; pure driver-side metadata work, deterministic by construction",
       oracle = """

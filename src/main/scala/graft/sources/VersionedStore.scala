@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table store — time travel, rollback, and audit history
+  * with plain parquet directories (the Delta/Iceberg snapshot idea
+  * reduced to its load-bearing parts): every publish writes a NEW
+  * immutable version directory `v=N` and then atomically flips a
+  * one-line `_current` pointer; readers resolve the pointer once and
+  * scan an immutable dir, so a publish can never tear a running scan
+  * (the old version stays byte-intact until vacuumed). Rollback is a
+  * pointer flip to an older N — instant, data-free, and itself
+  * auditable.
+  *
+  * Pointer atomicity: written to `_current.tmp` then renamed over
+  * `_current` (HDFS/POSIX rename semantics — readers see the old or
+  * the new pointer, never a torn one). A crash between the version
+  * write and the pointer flip leaves an unreferenced `v=N` dir that
+  * the next publish overwrites or [[vacuum]] removes — never a
+  * corrupt table.
+  *
+  * 100 TB shape: versions share nothing (full snapshots) — right for
+  * published ANALYSIS tables (reports, views, indexes: small relative
+  * to the base data, re-derived each publish), wrong for the raw
+  * corpus itself (use the incremental stores + SCD2 history there;
+  * this class is the serving-side complement). [[vacuum]] bounds the
+  * storage multiplier to `keep` versions.
+  */
+object VersionedStore {
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_current")
+
+  private def versionDir(path: String, v: Int) =
+    new org.apache.hadoop.fs.Path(path, s"v=$v")
+
+  /** Current version number, if any publish completed. */
+  def current(spark: SparkSession, path: String): Option[Int] = {
+    val fs = fsOf(spark, path)
+    val p = pointer(path)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        if (s.isEmpty) None else Some(s.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** All version numbers physically present (referenced or not),
+    * ascending.
+    */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
+  }
+
+  /** Publish a new version: write `df` to the next `v=N`, flip the
+    * pointer. Returns N. The previous version stays readable (time
+    * travel) until vacuumed.
+    */
+  def publish(spark: SparkSession, path: String, df: DataFrame): Int = {
+    val fs = fsOf(spark, path)
+    // next = one past the highest version that EXISTS or is pointed
+    // at — publishing after a rollback must never overwrite a live
+    // (or time-travelable) number
+    val next = (current(spark, path).toSeq ++ versions(spark, path))
+      .maxOption.getOrElse(0) + 1
+    val dir = versionDir(path, next)
+    fs.delete(dir, true) // an unreferenced crash leftover, if any
+    df.write.parquet(dir.toString)
+    setPointer(spark, path, next)
+    next
+  }
+
+  /** Flip the pointer to an EXISTING version — rollback (or
+    * roll-forward). Instant and data-free.
+    */
+  def rollback(spark: SparkSession, path: String, v: Int): Unit = {
+    require(versions(spark, path).contains(v),
+      s"version $v does not exist under $path")
+    setPointer(spark, path, v)
+  }
+
+  private def setPointer(spark: SparkSession, path: String, v: Int): Unit = {
+    val fs = fsOf(spark, path)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(pointer(path), false)
+    if (!fs.rename(tmp, pointer(path)))
+      throw new IllegalStateException(s"pointer flip failed for $path -> v=$v")
+  }
+
+  /** Read the current version, or a specific one (time travel). */
+  def read(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(current(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no published version under $path"))
+    require(versions(spark, path).contains(v),
+      s"version $v does not exist under $path (vacuumed?)")
+    spark.read.parquet(versionDir(path, v).toString)
+  }
+
+  /** Drop all but the newest `keep` versions — never the current one
+    * (the pointer target survives regardless of age). Returns the
+    * versions removed.
+    */
+  def vacuum(spark: SparkSession, path: String, keep: Int): Seq[Int] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = fsOf(spark, path)
+    val cur = current(spark, path)
+    val all = versions(spark, path)
+    val doomed = all.dropRight(keep).filterNot(cur.contains)
+    doomed.foreach(v => fs.delete(versionDir(path, v), true))
+    doomed
+  }
+}

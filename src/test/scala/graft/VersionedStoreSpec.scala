@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedStore
+
+class VersionedStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("publish/read/time-travel/rollback/vacuum lifecycle") {
+    val path = Files.createTempDirectory("vstore").resolve("t").toString
+    assert(VersionedStore.current(spark, path).isEmpty)
+    intercept[IllegalStateException] { VersionedStore.read(spark, path) }
+
+    val v1 = VersionedStore.publish(spark, path, Seq(1L, 2L).toDF("x"))
+    val v2 = VersionedStore.publish(spark, path, Seq(3L).toDF("x"))
+    assert(v1 == 1 && v2 == 2)
+    assert(VersionedStore.current(spark, path).contains(2))
+    assert(VersionedStore.read(spark, path).as[Long].collect().toSeq == Seq(3L))
+    // time travel: v1 still byte-intact
+    assert(VersionedStore.read(spark, path, Some(1)).as[Long].collect()
+      .sorted.toSeq == Seq(1L, 2L))
+
+    VersionedStore.rollback(spark, path, 1)
+    assert(VersionedStore.current(spark, path).contains(1))
+    assert(VersionedStore.read(spark, path).as[Long].collect()
+      .sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      VersionedStore.rollback(spark, path, 99)
+    }
+
+    // publish after rollback continues from the highest EXISTING
+    // version, never reusing a live number
+    val v3 = VersionedStore.publish(spark, path, Seq(4L).toDF("x"))
+    assert(v3 == 3 && VersionedStore.versions(spark, path) == Seq(1, 2, 3))
+
+    // vacuum keeps the newest `keep` but never deletes the current
+    VersionedStore.rollback(spark, path, 1)
+    val gone = VersionedStore.vacuum(spark, path, keep = 1)
+    assert(gone == Seq(2), s"vacuum removed $gone")
+    assert(VersionedStore.versions(spark, path) == Seq(1, 3))
+    assert(VersionedStore.read(spark, path).as[Long].collect()
+      .sorted.toSeq == Seq(1L, 2L))
+    intercept[IllegalArgumentException] {
+      VersionedStore.read(spark, path, Some(2))
+    }
+  }
+
+  test("publish is readable mid-history and pointer flip is all-or-nothing") {
+    val path = Files.createTempDirectory("vstore2").resolve("t").toString
+    (1 to 4).foreach(i =>
+      VersionedStore.publish(spark, path, Seq(i.toLong).toDF("x")))
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2, 3, 4))
+    (1 to 4).foreach(i =>
+      assert(VersionedStore.read(spark, path, Some(i)).as[Long].head() == i))
+    // pointer file contains exactly the current version
+    assert(VersionedStore.current(spark, path).contains(4))
+  }
+}
