@@ -200,6 +200,108 @@ object Layout {
       .parquet(files: _*).filter(residual)
   }
 
+  /** Hilbert-curve index over two pre-quantized bucket columns — the
+    * stronger sibling of [[zValue]] for 2-dimensional clustering
+    * (the same trade Delta's liquid clustering makes): the Hilbert
+    * curve visits every cell of the 2^bits × 2^bits grid through
+    * ADJACENT cells only, so consecutive index ranges are compact
+    * blobs rather than Morton's corner-jumping Z shapes — file
+    * bounding boxes come out tighter on both dimensions for the same
+    * file count. Morton stays the choice for 3+ dimensions (cheap
+    * interleave at any d); Hilbert's advantage is greatest exactly at
+    * d = 2, where most layout keys live (time × entity).
+    *
+    * Implementation: the classic per-level rotate-and-accumulate
+    * (Hamilton's xy2d as popularized, e.g., in Wikipedia's
+    * pseudocode), unrolled over `bits` levels as a CHAINED PROJECTION
+    * (one withColumn stage per level) — expression growth stays
+    * linear and whole-stage codegen fuses the chain into one pass of
+    * integer arithmetic; a single nested Column would grow ~3^bits
+    * nodes and blow past codegen limits. Pure integer ops ⇒ the SQL
+    * oracle replays the identical per-level chain as CTEs
+    * (layout_hilbert, hash-verified), and the map is a BIJECTION on
+    * the grid (gate-pinned) — no two cells share an index, so range
+    * partitioning on it is lossless.
+    */
+  def withHilbert(df: DataFrame, xBucket: String, yBucket: String,
+      bits: Int, out: String): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    require(!df.columns.contains(out),
+      s"hilbert column name '$out' collides with a data column")
+    val (hx, hy, hd) = ("__h_x", "__h_y", "__h_d")
+    var cur = df.withColumn(hx, col(xBucket).cast("long"))
+      .withColumn(hy, col(yBucket).cast("long"))
+      .withColumn(hd, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when(col(hx).bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(col(hy).bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      cur = cur
+        .withColumn("__h_rx", rx).withColumn("__h_ry", ry)
+        .withColumn(hd, col(hd) +
+          lit(s * s) * (lit(3L) * col("__h_rx")).bitwiseXOR(col("__h_ry")))
+        // rotate the frame: when ry = 0, (flip when rx = 1, then swap)
+        .withColumn("__h_nx",
+          when(col("__h_ry") === 0,
+            when(col("__h_rx") === 1, lit(s - 1) - col(hy))
+              .otherwise(col(hy)))
+            .otherwise(col(hx)))
+        .withColumn("__h_ny",
+          when(col("__h_ry") === 0,
+            when(col("__h_rx") === 1, lit(s - 1) - col(hx))
+              .otherwise(col(hx)))
+            .otherwise(col(hy)))
+        .withColumn(hx, col("__h_nx")).withColumn(hy, col("__h_ny"))
+        .drop("__h_rx", "__h_ry", "__h_nx", "__h_ny")
+    }
+    cur.withColumn(out, col(hd)).drop(hx, hy, hd)
+  }
+
+  /** [[zorderWrite]] with the Hilbert index as the clustering key —
+    * two dimensions, quantized like z-order, range-partitioned into
+    * internally sorted files with tighter boxes than Morton.
+    */
+  def hilbertWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      numFiles: Int, path: String): Unit = {
+    val dims = stats(df, Seq(xCol, yCol))
+    val hc = "__graft_hval"
+    val withBuckets = df
+      .withColumn("__h_bx", quantize(col(xCol), dims(0), bits))
+      .withColumn("__h_by", quantize(col(yCol), dims(1), bits))
+    withHilbert(withBuckets, "__h_bx", "__h_by", bits, hc)
+      .drop("__h_bx", "__h_by")
+      .repartitionByRange(numFiles, col(hc))
+      .sortWithinPartitions(col(hc))
+      .drop(hc)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** The DuckDB CTE chain replaying [[withHilbert]] level-for-level —
+    * generated from the same loop so the two engines cannot drift.
+    * `src` must expose integer columns `hx`, `hy` (the quantized
+    * buckets) plus pass-through columns `carry`; yields a relation
+    * `h$bits` with (carry, d).
+    */
+  def hilbertOracleCtes(src: String, carry: Seq[String], bits: Int): String = {
+    val cols = carry.mkString(", ")
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, lvl) =>
+      val s = 1L << i
+      val prev = if (lvl == 0) src else s"h$lvl"
+      s"""h${lvl + 1} AS (
+        SELECT $cols,
+               d + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+                                  (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+               CASE WHEN (hy & $s) = 0 THEN
+                 CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hy ELSE hy END
+               ELSE hx END AS hx,
+               CASE WHEN (hy & $s) = 0 THEN
+                 CASE WHEN (hx & $s) > 0 THEN ${s - 1} - hx ELSE hx END
+               ELSE hy END AS hy
+        FROM $prev)"""
+    }
+    steps.mkString(",\n        ")
+  }
+
   /** Scheme-normalized file URI — `_metadata.file_path`,
     * `input_file_name()` and Hadoop listings disagree on the number
     * of slashes after `file:`; index joins must not.

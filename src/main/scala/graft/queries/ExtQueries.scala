@@ -2453,6 +2453,39 @@ object ExtQueries {
         .select("o_orderkey", "zval")
     },
 
+    "layout_hilbert" -> QueryDef(
+      doc = "Hilbert-curve clustering key over (o_custkey, o_totalprice) at 8 bits - the stronger 2-D sibling of layout_zorder (the Delta liquid-clustering trade): the curve visits the 256x256 grid through ADJACENT cells only, so consecutive index ranges are compact blobs rather than Morton's corner-jumping Z shapes and file boxes come out tighter on both dimensions; engine side is the classic per-level rotate-and-accumulate unrolled as a CHAINED PROJECTION (linear codegen, one fused integer pass), and the oracle replays the IDENTICAL per-level chain as generated CTEs - generated from the same Scala loop, so the engines cannot drift; bijectivity and pruning are gate/spec-pinned",
+      oracle = {
+        val chain = graft.operators.Layout.hilbertOracleCtes(
+          "src", Seq("o_orderkey"), bits = 8)
+        s"""
+        WITH s AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS k0,
+                          max(CAST(o_custkey AS DOUBLE)) AS k1,
+                          min(CAST(o_totalprice AS DOUBLE)) AS p0,
+                          max(CAST(o_totalprice AS DOUBLE)) AS p1
+                   FROM orders),
+        src AS (SELECT o_orderkey,
+            CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - k0)
+              / (k1 - k0) * 256.0), 0), 255) AS BIGINT) AS hx,
+            CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - p0)
+              / (p1 - p0) * 256.0), 0), 255) AS BIGINT) AS hy,
+            CAST(0 AS BIGINT) AS d
+          FROM orders, s),
+        $chain
+        SELECT o_orderkey, d AS hval FROM h8"""
+      }) { (s, dir) =>
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val dims = Layout.stats(orders, Seq("o_custkey", "o_totalprice"))
+      Layout.withHilbert(
+        orders
+          .withColumn("__bx", Layout.quantize(col("o_custkey"), dims(0), 8))
+          .withColumn("__by", Layout.quantize(col("o_totalprice"), dims(1), 8)),
+        "__bx", "__by", bits = 8, out = "hval")
+        .select("o_orderkey", "hval")
+    },
+
     "layout_skip" -> QueryDef(
       doc = "file-level data skipping end-to-end (the read-side half of layout_zorder): zorderWrite orders into 16 range-partitioned files, build the per-file min/max index (one narrow scan, one row per file - the Delta/Iceberg-statistics design, because at 100 TB even parquet footer pruning is ~800k metadata reads), then answer a SECOND-z-dimension band predicate through prunedRead, which opens only the files whose bounding box intersects the band. Soundness, not tightness, carries correctness: the residual filter re-applies to surviving rows, so the result is row-identical to a full filtered scan - which is exactly what the oracle runs; the skipping itself (and its superiority over a linear sort) is gated in layout_skip_gate",
       oracle = """

@@ -201,6 +201,45 @@ class LayoutSpec extends SparkSpec {
       full.exceptAll(got.select(df.columns.map(col): _*)).count() == 0)
   }
 
+  test("withHilbert: bijection on the grid and unit-step adjacency (the Hilbert property)") {
+    val bits = 3
+    val n = 1 << bits
+    val grid = spark.range(n.toLong).select(col("id").as("x"))
+      .crossJoin(spark.range(n.toLong).select(col("id").as("y")))
+    val h = Layout.withHilbert(grid, "x", "y", bits, "d")
+      .select("d", "x", "y").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // bijection: every index 0..n²-1 hit exactly once
+    assert(h.map(_._1).toSeq == (0L until (n.toLong * n)).toSeq)
+    // adjacency: consecutive indexes are grid neighbors (|Δ| = 1 in
+    // exactly one coordinate) — false for Morton, the entire point
+    h.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("hilbertWrite files prune a second-dimension band at least as well as z-order") {
+    val dir = Files.createTempDirectory("hilbert")
+    val (hPath, zPath) = (dir.resolve("h").toString, dir.resolve("z").toString)
+    val numFiles = 16
+    Layout.hilbertWrite(orders, "o_custkey", "o_totalprice",
+      bits = 8, numFiles, hPath)
+    Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+      bits = 8, numFiles, zPath)
+    def touched(path: String, qLo: Double, qHi: Double): Int =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .filter(col("hi") >= qLo && col("lo") <= qHi).count().toInt
+    val span = orders.agg(min("o_totalprice"), max("o_totalprice"))
+      .as[(Double, Double)].head()
+    val (qLo, qHi) = (span._1 + 0.10 * (span._2 - span._1),
+      span._1 + 0.20 * (span._2 - span._1))
+    assert(touched(hPath, qLo, qHi) <= numFiles / 2,
+      "hilbert layout must prune the second dimension")
+    assert(spark.read.parquet(hPath).count() == orders.count())
+  }
+
   test("compactTo: keeps big files byte-identical, packs small ones, preserves rows") {
     val root = Files.createTempDirectory("compact")
     val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
