@@ -120,4 +120,24 @@ object Bitext {
       Similarity.ivfCrossTopK(y, x, idCol, vecCol, k, nProbe = nProbe),
       Similarity.ivfCrossTopK(x, y, idCol, vecCol, k, nProbe = nProbe),
       minMargin)
+
+  /** Serving-path miner over two PERSISTED IVF indexes (one per
+    * corpus, each with its centroids) — re-mine after either corpus
+    * ticks without re-training or re-assigning anything: the weekly
+    * bitext refresh reads two stored (nid, cv, cid) tables and pays
+    * only the probe joins + margin algebra. Given the same centroids
+    * this is IDENTICAL to [[mineIvf]] (deterministic plan, no RNG) —
+    * the equality is bitext_index_gate's contract.
+    */
+  def mineFromIndexes(
+      xIndex: DataFrame, xCentroids: Array[Array[Double]],
+      yIndex: DataFrame, yCentroids: Array[Array[Double]],
+      x: DataFrame, y: DataFrame, idCol: String, vecCol: String,
+      k: Int, minMargin: Double, nProbe: Int = 8): DataFrame =
+    minePairs(
+      Similarity.ivfCrossTopKFromIndex(yIndex, yCentroids, x,
+        idCol, vecCol, k, nProbe),
+      Similarity.ivfCrossTopKFromIndex(xIndex, xCentroids, y,
+        idCol, vecCol, k, nProbe),
+      minMargin)
 }

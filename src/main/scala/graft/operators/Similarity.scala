@@ -1226,7 +1226,22 @@ object Similarity {
       if (nCentroids > 0) nCentroids
       else autoCells(corpus.select(idCol).count())
     val centroids = trainCentroids(corpus, idCol, vecCol, nc, iters)
-    val index = ivfAssign(corpus, idCol, vecCol, centroids)
+    ivfCrossTopKFromIndex(ivfAssign(corpus, idCol, vecCol, centroids),
+      centroids, queries, idCol, vecCol, k, nProbe)
+  }
+
+  /** [[ivfCrossTopK]] over a PREBUILT (nid, cv, cid) index — the
+    * serving/refresh path: a corpus snapshot's persisted index feeds
+    * periodic cross-corpus sweeps (bitext re-mining, cross-corpus
+    * dedup refreshes) without re-training or re-assigning anything.
+    * Same non-broadcast shuffle-hash probe join as the from-scratch
+    * build; given the same centroids the result is IDENTICAL
+    * (gate-pinned via bitext_index_gate).
+    */
+  def ivfCrossTopKFromIndex(
+      index: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 8): DataFrame = {
     val probes = probeCells(queries, idCol, vecCol, centroids, nProbe)
       .select(col("qid"), col("qv"), col("cid"))
     val cands = index.hint("shuffle_hash").join(probes, Seq("cid"))

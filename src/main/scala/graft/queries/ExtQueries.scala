@@ -2867,6 +2867,39 @@ object ExtQueries {
         "vec_id", "embedding", k = 4, minMargin = 1.0)
     },
 
+    "bitext_index_gate" -> QueryDef(
+      doc = "bitext serving path: mineFromIndexes over two PERSISTED IVF indexes (written to parquet stores and read back - the weekly re-mine reads stored (nid, cv, cid) tables and pays only probe joins + margin algebra, no re-training/re-assignment) must EQUAL mineIvf's from-scratch build both directions (deterministic centroids, no RNG - the FromIndex == rebuild proof, the knn_graph_delta_gate pattern for the bitext family), plus non-vacuity",
+      oracle = "SELECT CAST(1 AS INTEGER) AS bitext_index_eq, " +
+        "CAST(1 AS INTEGER) AS bitext_index_nonvacuous") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Bitext, Similarity}
+      val e = Tables.load(s, dir, "embeddings")
+      val (x, y) = (e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+      val (ncx, ncy) = (Similarity.autoCells(x.count()),
+        Similarity.autoCells(y.count()))
+      val cx = Similarity.trainCentroids(x, "vec_id", "embedding", ncx, 5)
+      val cy = Similarity.trainCentroids(y, "vec_id", "embedding", ncy, 5)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-bitext-idx")
+      Similarity.ivfAssign(x, "vec_id", "embedding", cx)
+        .write.parquet(store.resolve("x").toString)
+      Similarity.ivfAssign(y, "vec_id", "embedding", cy)
+        .write.parquet(store.resolve("y").toString)
+      val served = Bitext.mineFromIndexes(
+        s.read.parquet(store.resolve("x").toString), cx,
+        s.read.parquet(store.resolve("y").toString), cy,
+        x, y, "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .localCheckpoint(true)
+      val scratch = Bitext.mineIvf(x, y, "vec_id", "embedding",
+        k = 4, minMargin = 1.0).localCheckpoint(true)
+      val eq = served.exceptAll(scratch).count() == 0 &&
+        scratch.exceptAll(served).count() == 0
+      val nonvac = served.count() > 0
+      Seq((if (eq) 1 else 0, if (nonvac) 1 else 0))
+        .toDF("bitext_index_eq", "bitext_index_nonvacuous")
+    },
+
     "bitext_ivf_gate" -> QueryDef(
       doc = "bitext scale-path gate: pairs mined by mineIvf (two ivfCrossTopK bipartite probes - cell-co-partitioned shuffle-hash joins, NEITHER corpus broadcast, cells scaled with the indexed side) vs the brute miner: pair agreement >= 0.5 (approximate neighborhoods shift both candidates AND margin normalizers, so mutual-best survival is the honest metric - measured ~0.9 at sf0.01 on the isotropic fixture) and non-vacuity (brute mines > 0 pairs)",
       oracle = "SELECT CAST(1 AS INTEGER) AS bitext_agree_ok, " +

@@ -69,4 +69,27 @@ class BitextSpec extends SparkSpec {
       .select("src_id", "tgt_id").as[(Long, Long)].collect().toSet
     assert(bi == Set((0L, 1L), (2L, 3L)))
   }
+  test("mineFromIndexes over persisted indexes equals mineIvf") {
+    val e = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val (x, y) = (e.filter(col("vec_id") % 2 === 0).limit(120),
+      e.filter(col("vec_id") % 2 === 1).limit(120))
+    val cx = Similarity.trainCentroids(x, "vec_id", "embedding", 2, 3)
+    val cy = Similarity.trainCentroids(y, "vec_id", "embedding", 2, 3)
+    val served = Bitext.mineFromIndexes(
+      Similarity.ivfAssign(x, "vec_id", "embedding", cx), cx,
+      Similarity.ivfAssign(y, "vec_id", "embedding", cy), cy,
+      x, y, "vec_id", "embedding", k = 3, minMargin = 0.0)
+    // mineIvf with matching geometry (nProbe covers both cells)
+    val fwd = Similarity.ivfCrossTopKFromIndex(
+      Similarity.ivfAssign(y, "vec_id", "embedding", cy), cy,
+      x, "vec_id", "embedding", 3)
+    val bwd = Similarity.ivfCrossTopKFromIndex(
+      Similarity.ivfAssign(x, "vec_id", "embedding", cx), cx,
+      y, "vec_id", "embedding", 3)
+    val direct = Bitext.minePairs(fwd, bwd, 0.0)
+    assert(served.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(served).count() == 0)
+    assert(served.count() > 0)
+  }
+
 }
