@@ -112,6 +112,24 @@ object VersionedStore {
     spark.read.parquet(versionDir(path, v).toString)
   }
 
+  /** Audit view of the store: one row per physical version —
+    * (version, n_files, bytes, modified_ms, is_current). Driver-side
+    * listing (version count is model-sized by [[vacuum]]'s contract);
+    * `modified_ms` is the version dir's newest file mtime, i.e. when
+    * the publish finished writing.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    val cur = current(spark, path)
+    versions(spark, path).map { v =>
+      val files = fs.listStatus(versionDir(path, v)).filter(_.isFile)
+      (v, files.length, files.map(_.getLen).sum,
+        if (files.isEmpty) 0L else files.map(_.getModificationTime).max,
+        cur.contains(v))
+    }.toDF("version", "n_files", "bytes", "modified_ms", "is_current")
+  }
+
   /** Drop all but the newest `keep` versions — never the current one
     * (the pointer target survives regardless of age). Returns the
     * versions removed.

@@ -57,4 +57,18 @@ class VersionedStoreSpec extends SparkSpec {
     // pointer file contains exactly the current version
     assert(VersionedStore.current(spark, path).contains(4))
   }
+  test("history reports every physical version and flags the current one") {
+    val path = Files.createTempDirectory("vstore3").resolve("t").toString
+    VersionedStore.publish(spark, path, Seq(1L).toDF("x"))
+    VersionedStore.publish(spark, path, Seq(2L, 3L).toDF("x"))
+    VersionedStore.rollback(spark, path, 1)
+    val h = VersionedStore.history(spark, path)
+      .select("version", "is_current")
+      .as[(Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(h == Seq((1, true), (2, false)))
+    val bytes = VersionedStore.history(spark, path)
+      .select("bytes").as[Long].collect()
+    assert(bytes.forall(_ > 0))
+  }
+
 }
