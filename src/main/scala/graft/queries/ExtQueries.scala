@@ -2662,6 +2662,25 @@ object ExtQueries {
           "wap_names_failed_audit")
     },
 
+    "events_cohort_retention" -> QueryDef(
+      doc = "cohort retention matrix (the standard product-analytics surface): users cohorted by the Monday week of their FIRST event; (cohort, week-offset) cells count distinct returning users, rate against the cohort's own offset-0 size at 4dp. Scale shape: the event stream reduces map-side to distinct (user, week) pairs BEFORE any exchange - the per-user x per-period grain is the computation's natural ceiling, nothing larger ever shuffles; cohort join is |users| rows on uniform keys. Deterministic integer date arithmetic, weeks rendered ISO",
+      oracle = """
+        WITH act AS (SELECT DISTINCT user_id AS u,
+                            CAST(date_trunc('week', ts) AS DATE) AS p
+                     FROM events),
+        coh AS (SELECT u, min(p) AS c FROM act GROUP BY u),
+        m AS (SELECT c,
+                     CAST(datediff('day', c, p) // 7 AS INTEGER) AS week_offset,
+                     count(DISTINCT u) AS n_active
+              FROM act JOIN coh USING (u) GROUP BY 1, 2),
+        sz AS (SELECT c, n_active AS size FROM m WHERE week_offset = 0)
+        SELECT strftime(m.c, '%Y-%m-%d') AS cohort, week_offset, n_active,
+               round(CAST(n_active AS DOUBLE) / size, 4) AS rate
+        FROM m JOIN sz USING (c)""") { (s, dir) =>
+      graft.operators.Cohorts.retentionRate(
+        Tables.load(s, dir, "events"), "user_id", "ts", weekly = true)
+    },
+
     "ivm_user_stats" -> QueryDef(
       doc = "incremental view maintenance for distributive aggregates (count/sum/min/max - exactly the set whose per-group summaries merge losslessly; avg is served as sum/count): a (user_id, event_type) stats view built over 80% of events then MAINTAINED with the remaining tick via maintainAgg - the tick aggregates map-side to |delta keys| rows before one key-hash exchange against the view, so at 100 TB a refresh costs the tick, never the table. The oracle replays the FULL REBUILD over all events, so the driver hash IS the merge == rebuild proof cross-engine. Measures integerized to cents (the decimal-quantile discipline) so every merge is exact",
       oracle = """
