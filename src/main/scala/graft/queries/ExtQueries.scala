@@ -2662,6 +2662,31 @@ object ExtQueries {
           "wap_names_failed_audit")
     },
 
+    "events_resample_ff" -> QueryDef(
+      doc = "time-series regularization with forward-fill (LOCF): each user's irregular event values projected onto their own [first, last]-day grid (sequence-explode per key - keys x span-days rows, the OUTPUT size; no global calendar cross join), gaps carry value = NULL next to the filled value_ff (a filled cell stays distinguishable from an observed one), fill is one last(ignoreNulls) running window per key - the LOCF's irreducible exchange+sort on uniform keys. Daily bucket = max(value) (deterministic under duplicate timestamps); the oracle replays grid, bucket, and IGNORE NULLS window exactly",
+      oracle = """
+        WITH obs AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                            max(value) AS v
+                     FROM events GROUP BY 1, 2),
+        sp AS (SELECT user_id, min(d) AS lo, max(d) AS hi
+               FROM obs GROUP BY 1),
+        grid AS (SELECT user_id,
+                        CAST(unnest(generate_series(lo, hi,
+                          INTERVAL 1 DAY)) AS DATE) AS d
+                 FROM sp),
+        j AS (SELECT g.user_id, g.d, o.v
+              FROM grid g LEFT JOIN obs o
+                ON o.user_id = g.user_id AND o.d = g.d)
+        SELECT user_id, strftime(d, '%Y-%m-%d') AS day, v AS value,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_ff
+        FROM j""") { (s, dir) =>
+      graft.operators.TimeSeries.resampleDailyFF(
+        Tables.load(s, dir, "events"), "user_id", "ts", "value")
+    },
+
     "events_cohort_retention" -> QueryDef(
       doc = "cohort retention matrix (the standard product-analytics surface): users cohorted by the Monday week of their FIRST event; (cohort, week-offset) cells count distinct returning users, rate against the cohort's own offset-0 size at 4dp. Scale shape: the event stream reduces map-side to distinct (user, week) pairs BEFORE any exchange - the per-user x per-period grain is the computation's natural ceiling, nothing larger ever shuffles; cohort join is |users| rows on uniform keys. Deterministic integer date arithmetic, weeks rendered ISO",
       oracle = """
