@@ -2662,6 +2662,37 @@ object ExtQueries {
           "wap_names_failed_audit")
     },
 
+    "events_funnel" -> QueryDef(
+      doc = "ordered funnel conversion (signup -> click -> purchase within 14 days of the signup anchor): strict event-ORDER semantics, not co-occurrence - step i counts only events strictly after the user's step-(i-1) time, so a purchase before the signup does not convert; one user-keyed join + earliest-qualifying-time reduction per step (the cohort only shrinks, nothing wider than (user, anchor) carries between steps), rates against step 1 at 4dp; the oracle replays the chain step-for-step",
+      oracle = """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS t, min(ts) AS t1
+                    FROM events WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t, s1.t1
+               FROM events e JOIN s1 ON e.user_id = s1.u
+               WHERE e.event_type = 'click' AND e.ts > s1.t
+                 AND e.ts <= s1.t1 + INTERVAL 14 DAY
+               GROUP BY 1, 3),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t, s2.t1
+               FROM events e JOIN s2 ON e.user_id = s2.u
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                 AND e.ts <= s2.t1 + INTERVAL 14 DAY
+               GROUP BY 1, 3),
+        c AS (SELECT 1 AS step_idx, 'signup' AS step,
+                     CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+        SELECT step_idx, step, n_users,
+               round(CAST(n_users AS DOUBLE) /
+                 max(CASE WHEN step_idx = 1 THEN n_users END) OVER (), 4)
+                 AS rate
+        FROM c""") { (s, dir) =>
+      graft.operators.Funnel.conversion(
+        Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("signup", "click", "purchase"), withinDays = Some(14))
+    },
+
     "events_resample_ff" -> QueryDef(
       doc = "time-series regularization with forward-fill (LOCF): each user's irregular event values projected onto their own [first, last]-day grid (sequence-explode per key - keys x span-days rows, the OUTPUT size; no global calendar cross join), gaps carry value = NULL next to the filled value_ff (a filled cell stays distinguishable from an observed one), fill is one last(ignoreNulls) running window per key - the LOCF's irreducible exchange+sort on uniform keys. Daily bucket = max(value) (deterministic under duplicate timestamps); the oracle replays grid, bucket, and IGNORE NULLS window exactly",
       oracle = """
