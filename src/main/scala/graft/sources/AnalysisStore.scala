@@ -120,7 +120,9 @@ object AnalysisStore {
     write(staging.toString)
     val backup = new org.apache.hadoop.fs.Path(path + "__old")
     fs.delete(backup, true)
-    fs.rename(target, backup)
+    // first-ever publish: nothing to back up (local FS rename of a
+    // missing source throws rather than returning false)
+    if (fs.exists(target)) fs.rename(target, backup)
     fs.rename(staging, target)
     fs.delete(backup, true)
   }
