@@ -97,9 +97,15 @@ object VersionedStore {
     val tmp = new org.apache.hadoop.fs.Path(path, "_current.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(pointer(path), false)
-    if (!fs.rename(tmp, pointer(path)))
-      throw new IllegalStateException(s"pointer flip failed for $path -> v=$v")
+    // atomic OVERWRITE rename (FileContext, not FileSystem.rename):
+    // delete-then-rename would open a crash window with NO pointer at
+    // all — the store would look unpublished while every version dir
+    // is intact. With the overwrite rename a reader sees the old
+    // pointer or the new one, never neither.
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, pointer(path),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read the current version, or a specific one (time travel). */

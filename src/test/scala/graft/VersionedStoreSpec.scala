@@ -71,4 +71,20 @@ class VersionedStoreSpec extends SparkSpec {
     assert(bytes.forall(_ > 0))
   }
 
+  test("pointer flip survives a stale tmp file; flip is overwrite-atomic") {
+    val path = Files.createTempDirectory("vstore4").resolve("t").toString
+    VersionedStore.publish(spark, path, Seq(1L).toDF("x"))
+    // plant a stale tmp (a crash BEFORE the rename): next flip must
+    // overwrite it and land correctly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_current.tmp")
+    val out = fs.create(tmp, true)
+    out.write("999".getBytes("UTF-8")); out.close()
+    VersionedStore.publish(spark, path, Seq(2L).toDF("x"))
+    assert(VersionedStore.current(spark, path).contains(2))
+    // the pointer always exists between flips (no delete window)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_current")))
+  }
+
 }
