@@ -326,7 +326,13 @@ object Layout {
       .map(r => normFile(r.getString(0))).toSet
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = fs.listStatus(hp).toSeq
+    // RECURSIVE listing: partitioned tables nest their files under
+    // key=value dirs — a flat listStatus would see no parquet files
+    // and return a silently-empty delta (caught by spec)
+    val it = fs.listFiles(hp, true)
+    val listed = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    val fresh = listed
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString)
       .filterNot(f => have.contains(normFile(f)))
@@ -339,7 +345,8 @@ object Layout {
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
         min(col(c).cast("double")).as(s"min_$c"),
         max(col(c).cast("double")).as(s"max_$c")))
-      spark.read.schema(base.schema).parquet(fresh: _*)
+      spark.read.option("basePath", path).schema(base.schema)
+        .parquet(fresh: _*)
         .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
         .groupBy(col("file"))
         .agg(aggs.head, aggs.tail: _*)

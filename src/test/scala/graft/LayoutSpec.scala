@@ -290,6 +290,25 @@ class LayoutSpec extends SparkSpec {
     assert(err.getMessage.contains("exceed"))
   }
 
+  test("fileIndexDelta sees files nested under partition dirs") {
+    val path = Files.createTempDirectory("idxp").resolve("t").toString
+    val df = orders.withColumn("p", (col("o_orderkey") % 2).cast("int"))
+    df.filter(col("o_orderkey") % 3 =!= 0)
+      .write.partitionBy("p").parquet(path)
+    val before = Layout.fileIndex(spark, path, Seq("o_totalprice"))
+      .localCheckpoint(true)
+    assert(before.count() > 0)
+    df.filter(col("o_orderkey") % 3 === 0)
+      .write.mode("append").partitionBy("p").parquet(path)
+    val delta = Layout.fileIndexDelta(spark, path, Seq("o_totalprice"), before)
+      .localCheckpoint(true)
+    assert(delta.count() > 0, "delta must find the appended partitioned files")
+    val merged = before.unionByName(delta)
+    val full = Layout.fileIndex(spark, path, Seq("o_totalprice"))
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0)
+  }
+
   test("zorder refuses a colliding z-column name; zorderWrite survives user 'zval'") {
     intercept[IllegalArgumentException] {
       Layout.zorder(orders.withColumn("zval", lit(1L)),
