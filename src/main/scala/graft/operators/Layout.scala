@@ -386,8 +386,15 @@ object Layout {
     val src = new org.apache.hadoop.fs.Path(srcPath)
     val dst = new org.apache.hadoop.fs.Path(dstPath)
     val fs = src.getFileSystem(conf)
-    val files = fs.listStatus(src).toSeq
+    val entries = fs.listStatus(src).toSeq
+    val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    // a partitioned layout must be compacted PER PARTITION DIR (how
+    // real table formats do it too — bins must not mix partitions);
+    // silently seeing zero files here would report a successful no-op
+    require(files.nonEmpty || entries.forall(!_.isDirectory),
+      s"compactTo: $srcPath holds partition directories, not files — " +
+        "compact each partition dir separately")
     require(files.size <= maxFiles,
       s"compactTo: ${files.size} input files exceed the $maxFiles cap")
     val (ok, small) = files.partition(_.getLen >= targetBytes / 2)

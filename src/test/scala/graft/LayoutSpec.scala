@@ -290,6 +290,17 @@ class LayoutSpec extends SparkSpec {
     assert(err.getMessage.contains("exceed"))
   }
 
+  test("compactTo refuses a partitioned layout loudly instead of no-opping") {
+    val root = Files.createTempDirectory("compactp")
+    val src = root.resolve("s").toString
+    orders.withColumn("p", (col("o_orderkey") % 2).cast("int"))
+      .write.partitionBy("p").parquet(src)
+    val err = intercept[IllegalArgumentException] {
+      Layout.compactTo(spark, src, root.resolve("d").toString, 1L << 20)
+    }
+    assert(err.getMessage.contains("partition directories"))
+  }
+
   test("fileIndexDelta sees files nested under partition dirs") {
     val path = Files.createTempDirectory("idxp").resolve("t").toString
     val df = orders.withColumn("p", (col("o_orderkey") % 2).cast("int"))
