@@ -2486,6 +2486,50 @@ object ExtQueries {
         .select("o_orderkey", "hval")
     },
 
+    "layout_hilbert_gate" -> QueryDef(
+      doc = "Hilbert-curve guarantees, driver-checked: (1) BIJECTION - on the full 64x64 grid every index 0..4095 is hit exactly once (no two cells share an index, so range partitioning on it is lossless); (2) ADJACENCY - consecutive indexes are grid neighbors (|dx|+|dy| = 1), the defining Hilbert property that is FALSE for Morton and the reason its boxes are tighter; (3) hilbertWrite files prune a second-dimension band at least as hard as the z-order bound (<= half of 16 files) while round-tripping every row",
+      oracle = "SELECT CAST(1 AS INTEGER) AS hilbert_bijective, " +
+        "CAST(1 AS INTEGER) AS hilbert_adjacent, " +
+        "CAST(1 AS INTEGER) AS hilbert_prunes") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val bits = 6
+      val n = 1L << bits
+      val grid = s.range(n).select(col("id").as("x"))
+        .crossJoin(s.range(n).select(col("id").as("y")))
+      val h = Layout.withHilbert(grid, "x", "y", bits, "d")
+        .select("d", "x", "y").localCheckpoint(true)
+      val bijective = h.select("d").distinct().count() == n * n &&
+        h.agg(min("d"), max("d")).as[(Long, Long)].head() ==
+          ((0L, n * n - 1))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      val adjacent = h
+        .select(col("d"), col("x"), col("y"),
+          lag("x", 1).over(w).as("px"), lag("y", 1).over(w).as("py"))
+        .filter(col("px").isNotNull)
+        .filter(abs(col("x") - col("px")) + abs(col("y") - col("py")) =!= 1)
+        .count() == 0
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft-hilb")
+        .resolve("t").toString
+      val numFiles = 16
+      Layout.hilbertWrite(orders, "o_custkey", "o_totalprice",
+        bits = 8, numFiles, path)
+      val span = orders.agg(min("o_totalprice"), max("o_totalprice"))
+        .as[(Double, Double)].head()
+      val (qLo, qHi) = (span._1 + 0.10 * (span._2 - span._1),
+        span._1 + 0.20 * (span._2 - span._1))
+      val touched = Layout.fileIndex(s, path, Seq("o_totalprice"))
+        .filter(col("max_o_totalprice") >= qLo &&
+          col("min_o_totalprice") <= qHi).count()
+      val prunes = touched <= numFiles / 2 &&
+        s.read.parquet(path).count() == orders.count()
+      Seq((if (bijective) 1 else 0, if (adjacent) 1 else 0,
+        if (prunes) 1 else 0))
+        .toDF("hilbert_bijective", "hilbert_adjacent", "hilbert_prunes")
+    },
+
     "layout_skip" -> QueryDef(
       doc = "file-level data skipping end-to-end (the read-side half of layout_zorder): zorderWrite orders into 16 range-partitioned files, build the per-file min/max index (one narrow scan, one row per file - the Delta/Iceberg-statistics design, because at 100 TB even parquet footer pruning is ~800k metadata reads), then answer a SECOND-z-dimension band predicate through prunedRead, which opens only the files whose bounding box intersects the band. Soundness, not tightness, carries correctness: the residual filter re-applies to surviving rows, so the result is row-identical to a full filtered scan - which is exactly what the oracle runs; the skipping itself (and its superiority over a linear sort) is gated in layout_skip_gate",
       oracle = """
