@@ -586,6 +586,50 @@ object SketchState {
         round(col("__j") * col("__u"), 4).as("inter_est"))
   }
 
+  /** Equi-join OUTPUT-SIZE estimate from two GLOBAL sample states
+    * alone (Beyer et al. SIGMOD'07 §5's aggregate-over-union
+    * estimator applied to g(v) = cA(v)·cB(v)) — the query-planning
+    * payoff of the AKMV family: "how many rows would A ⋈ B on this
+    * key produce" (equivalently, how hard a self-join explodes)
+    * answered BEFORE running the join, from two ≤ k-row state tables,
+    * never touching the raw sides. The combined bottom-k L of the two
+    * samples is a KMV synopsis of the key-space UNION; each of L's
+    * items is a uniform draw from it, membership flags and ride-along
+    * multiplicities are EXACT (AKMV closure), so
+    * D̂_union × mean over L of (v ∈ A∩B ? cA(v)·cB(v) : 0) is the
+    * unbiased join-size estimator. Exact fall-through: fewer than k
+    * combined rows means both samples were complete and the output is
+    * the exact Σ cA·cB.
+    *
+    * Determinism: exact long products, one double multiply + divide
+    * of identically-derived values — the estimate itself
+    * hash-oracles, like [[estimateDistinctKmv]]. The union frame is
+    * ≤ 2k rows, so the single-partition rank window is model-sized by
+    * construction. Error scales with the product distribution's
+    * spread (heavy key skew needs larger k) — envelope pinned
+    * empirically in kmv_joinsize_gate.
+    */
+  def estimateJoinSize(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val av = a.select(col("item"), col("hkey"), col("cnt").as("__ca"))
+    val bv = b.select(col("item"), col("hkey"), col("cnt").as("__cb"))
+    val u = av.join(bv, Seq("item", "hkey"), "full_outer")
+    val w = Window.orderBy(col("hkey").asc, col("item").asc)
+    u.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .agg(count(lit(1)).as("__kk"), max(col("hkey")).as("__uk"),
+        sum(when(col("__ca").isNotNull && col("__cb").isNotNull,
+          col("__ca") * col("__cb")).otherwise(lit(0L)))
+          .cast("long").as("__g"))
+      .select(
+        when(col("__kk") < k, col("__g").cast("double"))
+          .otherwise(round(
+            (lit((k - 1) * HashSpace) /
+              greatest(col("__uk"), lit(1L)).cast("double")) *
+              (col("__g").cast("double") / col("__kk").cast("double")), 4))
+          .as("join_size_est"),
+        col("__kk").cast("long").as("n_sample"))
+  }
+
   /** Fixed-threshold sample state — the Theta-sketch SAMPLING mode
     * (Datasketches' θ-sketch with a pinned θ rather than an adaptive
     * one): per group, ALL distinct items whose normalized 60-bit key

@@ -406,4 +406,27 @@ class SketchStateSpec extends SparkSpec {
     assert(est.map(r => (r._1, r._2, r._3)).toSeq ==
       Seq(("x", 100.0, 100L), ("y", 3.0, 3L)))
   }
+  test("estimateJoinSize: exact below k, unbiased-estimator mode near truth above") {
+    // exact mode: tiny key spaces are complete samples
+    val a = (1 to 10).flatMap(i => Seq.fill(i)(("k" + i)))
+      .toDF("v") // key i has multiplicity i
+    val b = (5 to 15).flatMap(i => Seq.fill(2)(("k" + i))).toDF("v")
+    val sa = SketchState.sampleSketches(a, Seq(), "v", 64)
+    val sb = SketchState.sampleSketches(b, Seq(), "v", 64)
+    val exact = SketchState.estimateJoinSize(sa, sb, 64)
+      .as[(Double, Long)].head()
+    // truth: keys 5..10 match, sum i*2 = 2*(5+..+10) = 90
+    assert(exact == ((90.0, 15L)))
+    // estimator mode: 2000 shared keys, multiplicities 1 and 3,
+    // sampled at k = 256 -> truth 6000, estimate within ~4 RSE
+    val bigA = (1 to 2000).map(i => s"e$i").toDF("v")
+    val bigB = (1 to 2000).flatMap(i => Seq.fill(3)(s"e$i")).toDF("v")
+    val est = SketchState.estimateJoinSize(
+      SketchState.sampleSketches(bigA, Seq(), "v", 256),
+      SketchState.sampleSketches(bigB, Seq(), "v", 256), 256)
+      .as[(Double, Long)].head()
+    assert(est._2 == 256L)
+    assert(math.abs(est._1 / 6000.0 - 1) <= 0.25, s"join est ${est._1}")
+  }
+
 }
