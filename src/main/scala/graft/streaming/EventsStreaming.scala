@@ -96,6 +96,69 @@ object EventsStreaming {
       }
   }
 
+  /** One funnel event on the wire. */
+  final case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** An emitted advancement: user reached `step_idx` at `ts`. */
+  final case class FunnelAdvance(user_id: Long, step_idx: Int,
+      step: String, ts: java.sql.Timestamp)
+
+  /** Internal per-user funnel state (public for the encoder). */
+  final case class FunnelProgress(step: Int, anchorMs: Long,
+      prevMs: Long)
+
+  /** Streaming funnel — [[graft.operators.Funnel.conversion]]'s
+    * stateful twin, and the `flatMapGroupsWithState` pattern (0..n
+    * output rows per update — mapGroups can't express "emit one row
+    * per step ADVANCED this batch"): per-user state is just (step
+    * reached, anchor time, last advance time) — three scalars per
+    * live user regardless of event volume — advanced greedily over
+    * the batch's events in event-time order. Greedy-in-order is
+    * EXACTLY the batch semantics (first step-1 event is min(t1);
+    * scanning forward, the first step-i event after the step-(i−1)
+    * advance is the earliest qualifying one), so closed-state
+    * advancement counts per step equal the batch conversion counts —
+    * spec-pinned.
+    *
+    * Honesty note on late data: an event arriving AFTER a later-step
+    * event already advanced the user cannot retro-improve the path
+    * (state keeps no event history — that is what makes it three
+    * scalars). In-order feeds (or per-user ordered sources) match
+    * batch exactly; disordered feeds converge to a superset-in-time
+    * approximation, the standard streaming-funnel trade.
+    */
+  def funnelTicks(events: Dataset[FunnelEvent], steps: Seq[String],
+      withinDays: Option[Int] = None): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val deadlineMs = withinDays.map(_ * 86400000L)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[FunnelEvent],
+            state: GroupState[FunnelProgress]) =>
+          var st = state.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+            if (st.step < steps.size && e.event_type == steps(st.step)) {
+              val t = e.ts.getTime
+              val ordered = st.step == 0 || t > st.prevMs
+              val inWindow = st.step == 0 ||
+                deadlineMs.forall(d => t <= st.anchorMs + d)
+              if (ordered && inWindow) {
+                val anchor = if (st.step == 0) t else st.anchorMs
+                st = FunnelProgress(st.step + 1, anchor, t)
+                out += FunnelAdvance(user, st.step, steps(st.step - 1), e.ts)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream interval join: each click joins the views by the
     * same user within the preceding `horizon` — attribution at stream
     * time. Both sides are watermarked and the join condition bounds

@@ -313,6 +313,48 @@ class StreamingSpec extends SparkSpec {
     assertSameRows(state.select("ws", "cm_row", "cm_bucket", "cnt"), batch)
   }
 
+  test("funnelTicks: per-step advancements across batches match batch Funnel counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Funnel
+    // FunnelSpec's planted users: u1 full convert, u2 order
+    // violation at purchase, u3 click outside the 14-day window
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-02 10:00:00"), "click"),
+      (2L, ts("2024-01-02 09:00:00"), "purchase"),
+      (2L, ts("2024-01-02 10:00:00"), "click"),
+      (1L, ts("2024-01-03 10:00:00"), "purchase"),
+      (3L, ts("2024-01-20 10:00:00"), "click"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStreaming.funnelTicks(
+        mem.toDF().toDF("user_id", "ts", "event_type")
+          .as[EventsStreaming.FunnelEvent],
+        Seq("signup", "click", "purchase"), withinDays = Some(14))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnelw").start()
+    // split MID-funnel: state must carry progress across batches
+    mem.addData(evRows.take(4): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val adv = spark.table("funnelw")
+      .as[(Long, Int, String, Timestamp)].collect()
+    // u2's out-of-order purchase and u3's late click never advance
+    assert(adv.map(a => (a._1, a._2)).toSet ==
+      Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (3L, 1)))
+    // streaming advancement counts per step == batch conversion counts
+    val streamCounts = adv.groupBy(_._2).view.mapValues(_.length).toMap
+    val batch = Funnel.conversion(
+      evRows.toDF("user_id", "ts", "event_type"), "user_id", "ts",
+      "event_type", Seq("signup", "click", "purchase"), Some(14))
+      .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
+    assert(batch == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+    assert(streamCounts.map { case (k, v) => k -> v.toLong } == batch)
+  }
+
   test("aggViewWindows: closed-window IVM views match the batch build and range-fold") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Incremental
