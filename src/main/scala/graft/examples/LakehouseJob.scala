@@ -40,7 +40,10 @@ object LakehouseJob {
   final case class TickReport(
       admitted: Boolean, driftViolations: Seq[SchemaDrift.Drift],
       published: Boolean, failedAudits: Seq[String],
-      optimizedToFiles: Option[Int], indexedNewFiles: Long,
+      optimizedToFiles: Option[Int],
+      // count of ALL files in the rebuilt index (step 4 is a full
+      // rebuild — this job's publish rewrites every file), not a delta
+      indexedFiles: Long,
       snapshotVersion: Option[Int])
 
   /** One maintenance tick. `zorderCols` are the serving predicate

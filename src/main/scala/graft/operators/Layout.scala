@@ -390,10 +390,19 @@ object Layout {
     val files = entries
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     // a partitioned layout must be compacted PER PARTITION DIR (how
-    // real table formats do it too — bins must not mix partitions);
-    // silently seeing zero files here would report a successful no-op
-    require(files.nonEmpty || entries.forall(!_.isDirectory),
-      s"compactTo: $srcPath holds partition directories, not files — " +
+    // real table formats do it too — bins must not mix partitions).
+    // ANY non-hidden subdirectory is rejected, even alongside
+    // top-level files: a mixed layout would silently drop the
+    // subdirectories' rows from dst (row loss if a caller swaps dst
+    // for src). Hidden entries (_SUCCESS-style markers, .crc dirs)
+    // are layout metadata, not data.
+    val dataDirs = entries.filter(e => e.isDirectory && {
+      val n = e.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    require(dataDirs.isEmpty,
+      s"compactTo: $srcPath holds partition directories " +
+        s"(${dataDirs.map(_.getPath.getName).take(3).mkString(", ")}…) — " +
         "compact each partition dir separately")
     require(files.size <= maxFiles,
       s"compactTo: ${files.size} input files exceed the $maxFiles cap")

@@ -555,10 +555,22 @@ object SketchState {
     * Scale shape: pairs × 2k state rows — intended for corpus-level
     * grains (langs, sources, snapshot versions) where the group count
     * is model-sized; the pair frame broadcasts. Raw data never moves.
+    *
+    * CONTRACT: `k` must be ≤ the k the state was BUILT with
+    * ([[sampleSketches]]'s k). A larger k silently voids the
+    * exact-membership argument (an item absent from a truncated
+    * sample is no longer provably absent from the set → biased
+    * Jaccard/union). The state does not carry its build k, so pass it
+    * via `buildK` to get a loud guard; left at the default the
+    * contract is documentation-only.
     */
   def jaccardFromSamples(
-      state: DataFrame, groupCol: String, k: Int): DataFrame = {
+      state: DataFrame, groupCol: String, k: Int,
+      buildK: Int = Int.MaxValue): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    require(k <= buildK,
+      s"jaccardFromSamples: k=$k exceeds the state's build k=$buildK — " +
+        "estimates over a coarser state than requested would be biased")
     val groups = state.select(col(groupCol)).distinct()
     val pairs = groups.select(col(groupCol).as("ga"))
       .crossJoin(groups.select(col(groupCol).as("gb")))
@@ -608,9 +620,18 @@ object SketchState {
     * construction. Error scales with the product distribution's
     * spread (heavy key skew needs larger k) — envelope pinned
     * empirically in kmv_joinsize_gate.
+    *
+    * CONTRACT: `k` must be ≤ BOTH states' build k (same argument as
+    * [[jaccardFromSamples]] — membership/count exactness over the
+    * combined bottom-k needs both samples un-truncated at rank k).
+    * Pass `buildK` = min of the two build k's for a loud guard.
     */
-  def estimateJoinSize(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+  def estimateJoinSize(a: DataFrame, b: DataFrame, k: Int,
+      buildK: Int = Int.MaxValue): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    require(k <= buildK,
+      s"estimateJoinSize: k=$k exceeds the states' build k=$buildK — " +
+        "the exact-membership/exact-count argument no longer holds")
     val av = a.select(col("item"), col("hkey"), col("cnt").as("__ca"))
     val bv = b.select(col("item"), col("hkey"), col("cnt").as("__cb"))
     val u = av.join(bv, Seq("item", "hkey"), "full_outer")

@@ -520,7 +520,7 @@ object ExtQueries {
     },
 
     "embedding_pca" -> QueryDef.dynamicOracle(
-      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles), posexploded to scalar (vec_id, component, value) rows at 4dp. The eigensolve isn't SQL-expressible, but the fitted model IS model-sized — the oracle inlines the axes/mean as literal tables (memoized, so query and oracle replay the identical fit) and DuckDB replays the affine projection over the embeddings table; 4dp absorbs summation-order ulp. Model identities additionally hash-gated in pca_gate") {
+      doc = "distributed PCA: rotate embeddings onto their top-16 principal axes (one-pass Gramian aggregation + driver d×d Jacobi eigensolve + codegen'd affine projection, corpus never shuffles), posexploded to scalar (vec_id, component, value) rows at 4dp. The eigensolve isn't SQL-expressible, but the fitted model IS model-sized — the oracle inlines the axes/mean as literal tables (memoized, so query and oracle replay the identical fit) and DuckDB replays the affine projection over the embeddings table; 4dp absorbs summation-order ulp, and the oracle adds `+ 0.0` so DuckDB's sign-preserving round can't emit -0.0 where Spark's BigDecimal HALF_UP normalizes to +0.0. Model identities additionally hash-gated in pca_gate") {
       (s, dir) =>
         val m = pcaModelFor(s, dir)
         val d = m.dim
@@ -538,7 +538,7 @@ object ExtQueries {
               FROM embeddings
               CROSS JOIN (SELECT unnest(generate_series(0, ${d - 1})) AS dim) d)
         SELECT e.vec_id, CAST(a.component AS INTEGER) AS component,
-               round(sum(a.w * (e.x - m.m)), 4) AS value
+               round(sum(a.w * (e.x - m.m)), 4) + 0.0 AS value
         FROM e JOIN mu m USING (dim) JOIN ax a USING (dim)
         GROUP BY 1, 2"""
     } { (s, dir) =>
@@ -1782,10 +1782,17 @@ object ExtQueries {
       doc = "topic-map invariant gate (k-means not SQL-expressible — the text_bpe_gate pattern): topic sizes sum to the embedded-doc count (every doc in exactly one topic), ranks are contiguous 1..topTerms per topic, scores non-increasing in rank; term membership holds by construction (terms come from the topic's own docs' tf-idf join)",
       oracle = "SELECT CAST(1 AS INTEGER) AS partition_ok, CAST(1 AS INTEGER) AS ranks_ok, CAST(1 AS INTEGER) AS order_ok") { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val topics = TextAnalysis.corpusTopics(d, "doc_id", "text",
-        nTopics = 8, topTerms = 5).localCheckpoint(true)
-      val nEmbedded = TextAnalysis.hashEmbedDense(d, "doc_id", "text")
-        .count()
+      // embed ONCE and share the persisted frame between the topic
+      // fit and the doc count — the previous second hashEmbedDense
+      // call relied on CacheManager plan-matching to avoid a full
+      // re-embed, which is a hope, not a contract (round-8 floor
+      // adjudication measured it 2-3x adrift)
+      val vecs = TextAnalysis.hashEmbedDense(d, "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val topics = TextAnalysis.corpusTopicsFromVecs(d, vecs,
+        "doc_id", "text", nTopics = 8, topTerms = 5).localCheckpoint(true)
+      val nEmbedded = vecs.count()
+      vecs.unpersist()
       val perTopic = topics.groupBy("topic").agg(
         first(col("n_docs")).as("n_docs"),
         count(lit(1)).as("n_terms"),
@@ -2847,8 +2854,14 @@ object ExtQueries {
         "CAST(1 AS INTEGER) AS ver_vacuum_ok") { (s, dir) =>
       import s.implicits._
       import graft.sources.VersionedStore
+      // deterministic SLICE, not the full table: the gate's contract
+      // is pointer/version semantics (counts relative to what was
+      // published), not write throughput — publishing the full
+      // projection three times made the timed path pure disk IO with
+      // a 9x run-to-run spread (round-8 floor adjudication)
       val orders = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000)
       val path = java.nio.file.Files.createTempDirectory("graft-vstore")
         .resolve("t").toString
       val full = orders.count()

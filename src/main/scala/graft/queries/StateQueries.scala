@@ -596,7 +596,7 @@ object StateQueries {
       SketchState.jaccardFromSamples(
         SketchState.sampleSketches(langShingleRows(s, dir),
           Seq("lang"), "item", k = 256),
-        "lang", k = 256)
+        "lang", k = 256, buildK = 256)
     },
 
     "kmv_jaccard_gate" -> QueryDef(
@@ -608,7 +608,8 @@ object StateQueries {
       val rows = langShingleRows(s, dir)
         .select(col("lang"), col("item")).distinct().localCheckpoint(true)
       val est = SketchState.jaccardFromSamples(
-        SketchState.sampleSketches(rows, Seq("lang"), "item", k), "lang", k)
+        SketchState.sampleSketches(rows, Seq("lang"), "item", k), "lang",
+        k, buildK = k)
       val sz = rows.groupBy("lang").agg(count(lit(1)).as("n"))
       val inter = rows.select(col("lang").as("ga"), col("item"))
         .join(rows.select(col("lang").as("gb"), col("item")), "item")
@@ -677,7 +678,7 @@ object StateQueries {
           ev.filter(col("event_id") % 2 === 0), Seq(), "key", 256),
         SketchState.sampleSketches(
           ev.filter(col("event_id") % 2 === 1), Seq(), "key", 256),
-        k = 256)
+        k = 256, buildK = 256)
     },
 
     "kmv_joinsize_gate" -> QueryDef(
@@ -696,7 +697,8 @@ object StateQueries {
           b: org.apache.spark.sql.DataFrame): Double =
         SketchState.estimateJoinSize(
           SketchState.sampleSketches(a, Seq(), "key", 256),
-          SketchState.sampleSketches(b, Seq(), "key", 256), 256)
+          SketchState.sampleSketches(b, Seq(), "key", 256), 256,
+          buildK = 256)
           .select("join_size_est").as[Double].head()
       val ev = Tables.load(s, dir, "events").localCheckpoint(true)
       val fine = ev.select(col("event_id"), concat_ws(":",

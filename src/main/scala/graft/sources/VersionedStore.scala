@@ -68,19 +68,48 @@ object VersionedStore {
   /** Publish a new version: write `df` to the next `v=N`, flip the
     * pointer. Returns N. The previous version stays readable (time
     * travel) until vacuumed.
+    *
+    * Concurrency contract: ONE writer at a time per store. The
+    * version number is claimed with an exclusive marker create, so
+    * two concurrent publishers that compute the same N collide on the
+    * claim and the loser fails LOUDLY (`IllegalStateException`)
+    * instead of silently overwriting the winner's data or racing the
+    * pointer flip. Readers are never affected either way (they only
+    * ever see complete, pointed-at versions). A crashed publish's
+    * leftover `v=N` dir is never reclaimed — `next` counts every
+    * physical dir, so numbering skips it and [[vacuum]] sweeps it.
     */
   def publish(spark: SparkSession, path: String, df: DataFrame): Int = {
-    val fs = fsOf(spark, path)
     // next = one past the highest version that EXISTS or is pointed
     // at — publishing after a rollback must never overwrite a live
     // (or time-travelable) number
     val next = (current(spark, path).toSeq ++ versions(spark, path))
       .maxOption.getOrElse(0) + 1
-    val dir = versionDir(path, next)
-    fs.delete(dir, true) // an unreferenced crash leftover, if any
-    df.write.parquet(dir.toString)
-    setPointer(spark, path, next)
+    publishAs(spark, path, df, next)
     next
+  }
+
+  /** Publish `df` as the SPECIFIC version `v` — [[publish]]'s write
+    * path, package-visible so the claim collision is directly
+    * testable (two racers computing the same `next` meet here).
+    */
+  private[graft] def publishAs(
+      spark: SparkSession, path: String, df: DataFrame, v: Int): Unit = {
+    val fs = fsOf(spark, path)
+    val dir = versionDir(path, v)
+    val claim = new org.apache.hadoop.fs.Path(dir, "_claim")
+    val out =
+      try fs.create(claim, false) // exclusive: throws if already claimed
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"concurrent publish detected: $dir is already claimed — " +
+            "VersionedStore supports a single writer per store", e)
+      }
+    out.close()
+    // append mode: the dir exists (it holds the claim marker, hidden
+    // from parquet readers by its underscore prefix)
+    df.write.mode("append").parquet(dir.toString)
+    setPointer(spark, path, v)
   }
 
   /** Flip the pointer to an EXISTING version — rollback (or
@@ -122,14 +151,17 @@ object VersionedStore {
     * (version, n_files, bytes, modified_ms, is_current). Driver-side
     * listing (version count is model-sized by [[vacuum]]'s contract);
     * `modified_ms` is the version dir's newest file mtime, i.e. when
-    * the publish finished writing.
+    * the publish finished writing. Counts DATA files only — hidden
+    * markers (`_claim`, `_SUCCESS`) are layout metadata.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val fs = fsOf(spark, path)
     val cur = current(spark, path)
     versions(spark, path).map { v =>
-      val files = fs.listStatus(versionDir(path, v)).filter(_.isFile)
+      val files = fs.listStatus(versionDir(path, v)).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
       (v, files.length, files.map(_.getLen).sum,
         if (files.isEmpty) 0L else files.map(_.getModificationTime).max,
         cur.contains(v))

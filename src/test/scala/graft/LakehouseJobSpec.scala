@@ -34,7 +34,7 @@ class LakehouseJobSpec extends SparkSpec {
     val r1 = LakehouseJob.tick(spark, p, tickDf(1 to 500, 100.0),
       Seq("k", "price"), audits)
     assert(r1.admitted && r1.published && r1.snapshotVersion.contains(1))
-    assert(r1.indexedNewFiles > 0)
+    assert(r1.indexedFiles > 0)
     val r2 = LakehouseJob.tick(spark, p, tickDf(501 to 1000, 200.0),
       Seq("k", "price"), audits)
     assert(r2.published && r2.snapshotVersion.contains(2))

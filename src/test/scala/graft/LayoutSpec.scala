@@ -301,6 +301,20 @@ class LayoutSpec extends SparkSpec {
     assert(err.getMessage.contains("partition directories"))
   }
 
+  test("compactTo refuses a MIXED layout (top-level files AND subdirs) — no silent row loss") {
+    val root = Files.createTempDirectory("compactm")
+    val src = root.resolve("s")
+    // top-level files …
+    orders.limit(10).coalesce(1).write.parquet(src.toString)
+    // … plus a data subdirectory whose rows a flat compact would drop
+    orders.limit(5).coalesce(1).write.parquet(src.resolve("p=1").toString)
+    val err = intercept[IllegalArgumentException] {
+      Layout.compactTo(spark, src.toString, root.resolve("d").toString,
+        1L << 20)
+    }
+    assert(err.getMessage.contains("partition directories"))
+  }
+
   test("fileIndexDelta sees files nested under partition dirs") {
     val path = Files.createTempDirectory("idxp").resolve("t").toString
     val df = orders.withColumn("p", (col("o_orderkey") % 2).cast("int"))

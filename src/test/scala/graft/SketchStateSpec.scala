@@ -429,4 +429,20 @@ class SketchStateSpec extends SparkSpec {
     assert(math.abs(est._1 / 6000.0 - 1) <= 0.25, s"join est ${est._1}")
   }
 
+  test("pairwise estimators refuse k above the declared build k") {
+    val st = SketchState.sampleSketches(
+      (1 to 50).map(i => ("g" + i % 2, "v" + i)).toDF("g", "v"),
+      Seq("g"), "v", k = 16)
+    val e1 = intercept[IllegalArgumentException] {
+      SketchState.jaccardFromSamples(st, "g", k = 64, buildK = 16)
+    }
+    assert(e1.getMessage.contains("build k"))
+    val e2 = intercept[IllegalArgumentException] {
+      SketchState.estimateJoinSize(st, st, k = 64, buildK = 16)
+    }
+    assert(e2.getMessage.contains("build k"))
+    // k <= build k passes
+    SketchState.jaccardFromSamples(st, "g", k = 16, buildK = 16).collect()
+  }
+
 }

@@ -87,4 +87,32 @@ class VersionedStoreSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_current")))
   }
 
+  test("concurrent publish of the same version number fails loudly on the claim") {
+    val path = Files.createTempDirectory("vstore5").resolve("t").toString
+    VersionedStore.publish(spark, path, Seq(1L).toDF("x"))
+    // two racers that both computed next=2: the first claims and
+    // publishes; the second collides on the exclusive claim create
+    VersionedStore.publishAs(spark, path, Seq(2L).toDF("x"), 2)
+    val e = intercept[IllegalStateException] {
+      VersionedStore.publishAs(spark, path, Seq(99L).toDF("x"), 2)
+    }
+    assert(e.getMessage.contains("concurrent publish"))
+    // the loser never wrote data or flipped the pointer — the winner's
+    // v=2 is intact and current
+    assert(VersionedStore.current(spark, path).contains(2))
+    assert(VersionedStore.read(spark, path).as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("crashed-publish leftover dir is skipped by numbering, not reclaimed") {
+    val path = Files.createTempDirectory("vstore6").resolve("t").toString
+    VersionedStore.publish(spark, path, Seq(1L).toDF("x"))
+    // a claim with no pointer flip = crash mid-publish of v=2
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, "v=2/_claim"), false).close()
+    val v = VersionedStore.publish(spark, path, Seq(3L).toDF("x"))
+    assert(v == 3) // never overwrites the leftover
+    assert(VersionedStore.read(spark, path).as[Long].collect().toSeq == Seq(3L))
+  }
+
 }
