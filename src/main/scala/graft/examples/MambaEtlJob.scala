@@ -131,7 +131,8 @@ object MambaEtlJob {
       encounterTypeIds: Seq[Int],
       flatConfigs: Map[Int, FlatTableConfig] = Map.empty): Map[String, DataFrame] = {
     val failed = preflight(src).filter(!col("passed"))
-      .select("rule", "n_violations").collect()
+      .select("rule", "n_violations")
+      .collect() // collect-bound: one row per configured audit rule
     if (failed.nonEmpty)
       throw new IllegalStateException(
         "source contract violated: " + failed.map(r =>

@@ -268,7 +268,8 @@ object TrainingDataJob {
   def runChecked(rawDocuments: DataFrame, config: Config = Config(),
       evalSet: Option[DataFrame] = None): DataFrame = {
     val failed = preflight(rawDocuments).filter(!col("passed"))
-      .select("rule", "n_violations").collect()
+      .select("rule", "n_violations")
+      .collect() // collect-bound: one row per configured audit rule
     if (failed.nonEmpty)
       throw new IllegalStateException(
         "corpus contract violated: " + failed.map(r =>

@@ -89,6 +89,7 @@ object Bpe {
     // from a genuine corpus-sized sort
     val spark = df.sparkSession
     import spark.implicits._
+    // collect-bound: limit(topK) — structurally ≤ topK rows
     subs.orderBy(col("n_occ").desc, col("token")).limit(topK)
       .collect()
       .zipWithIndex.map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
@@ -197,6 +198,8 @@ object Bpe {
   def train(df: DataFrame, textCol: String,
       numMerges: Int = 200, maxWords: Int = 65536): BpeModel = {
     require(numMerges >= 1 && maxWords >= 1, "numMerges/maxWords must be >= 1")
+    // collect-bound: limit(maxWords) — truncation is the training
+    // contract (fit on the maxWords most frequent words)
     val hist = wordCounts(df, textCol)
       .orderBy(col("c").desc, col("word")).limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1))

@@ -109,7 +109,8 @@ object Dsir {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     def gather(df: DataFrame): Array[Long] = {
       val out = Array.fill(buckets)(0L)
-      df.collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      ModelCollect.bounded(df, buckets, "dsir bucket counts")
+        .foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
       out
     }
     val tc = gather(targetCounts)
@@ -201,7 +202,9 @@ object Dsir {
   }
 
   def loadModel(spark: SparkSession, root: String): DsirModel = {
-    val rows = spark.read.parquet(root).orderBy("bucket").collect()
+    val rows = ModelCollect.bounded(
+      spark.read.parquet(root).orderBy("bucket"),
+      ModelCollect.MaxModelRows, "dsir model load")
     DsirModel(rows.length, rows.map(_.getDouble(1)))
   }
 }

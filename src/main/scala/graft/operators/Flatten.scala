@@ -229,10 +229,11 @@ object Flatten {
     val usedConcepts = obs.filter(col("voided") === 0)
       .join(encIds, Seq("encounter_id"), "left_semi")
       .select("concept_id").distinct()
-    val cols = usedConcepts
-      .join(broadcast(conceptDim), Seq("concept_id"))
-      .select(col("concept_id"), col("name"), col("datatype"))
-      .collect()
+    val cols = ModelCollect.bounded(
+      usedConcepts
+        .join(broadcast(conceptDim), Seq("concept_id"))
+        .select(col("concept_id"), col("name"), col("datatype")),
+      ModelCollect.MaxModelRows, "flatten concept columns")
       .map { r =>
         FlatColumn(
           label = r.getString(1).toLowerCase.replaceAll("[^a-z0-9]+", "_"),

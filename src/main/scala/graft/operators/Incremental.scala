@@ -216,6 +216,7 @@ object Incremental {
     // greatest() requires ≥2 args — single-column bookmarks are legal
     val latest =
       if (tsCols.size == 1) col(tsCols.head) else greatest(tsCols.map(col): _*)
+    // collect-bound: global agg — exactly one row by construction
     df.agg(max(latest)).collect().headOption
       .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[java.sql.Timestamp]))
   }

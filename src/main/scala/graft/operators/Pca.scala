@@ -96,7 +96,9 @@ object Pca {
     */
   def fitFromStats(stats: DataFrame, k: Int,
       center: Boolean = true): Model = {
-    val rows = stats.select("n", "s", "g").collect()
+    val rows = graft.operators.ModelCollect.bounded(
+      stats.select("n", "s", "g"),
+      graft.operators.ModelCollect.MaxModelRows, "pca stats merge")
     require(rows.nonEmpty, "pca: no stats rows")
     var n = 0L
     var s: Array[Double] = null
@@ -308,7 +310,9 @@ object Pca {
 
   def loadModel(spark: org.apache.spark.sql.SparkSession,
       path: String): Model = {
-    val rows = spark.read.parquet(path).orderBy("rank").collect()
+    val rows = graft.operators.ModelCollect.bounded(
+      spark.read.parquet(path).orderBy("rank"),
+      graft.operators.ModelCollect.MaxModelRows, "pca model load")
     val (meta, axes) = rows.partition(_.getInt(0) < 0)
     require(meta.length == 1, s"pca model at $path: missing meta row")
     Model(

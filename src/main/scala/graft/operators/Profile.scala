@@ -102,8 +102,10 @@ object Calibrate {
       .repartitionByRange(parts, col("__s"))
       .sortWithinPartitions("__s")
       .localCheckpoint(true)
-    val counts = ranged.groupBy(spark_partition_id().as("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = ModelCollect.bounded(
+        ranged.groupBy(spark_partition_id().as("__pid")).count(),
+        parts + 1, "profile partition counts")
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val n = counts.values.sum
     val offsets = (0 until parts).scanLeft(0L) {
       case (acc, p) => acc + counts.getOrElse(p, 0L)

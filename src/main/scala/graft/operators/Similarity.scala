@@ -229,6 +229,8 @@ object Similarity {
   private def collectUnitSample(
       corpus: DataFrame, idCol: String, vecCol: String,
       maxTrainRows: Int): Array[Array[Double]] = {
+    // collect-bound: limit(maxTrainRows) — truncation IS the
+    // sampling contract (train on a bounded sample by design)
     val sample = unitVectors(corpus, idCol, vecCol, "id", "v")
       .orderBy(col("id")).limit(maxTrainRows)
       .select(col("v")).collect()
@@ -542,8 +544,8 @@ object Similarity {
 
   def loadCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(path)
-      .orderBy("cid").collect()
+    ModelCollect.bounded(spark.read.parquet(path).orderBy("cid"),
+        ModelCollect.MaxModelRows, "loadCentroids")
       .map(_.getSeq[Double](1).toArray)
 
   /** Scalar-quantized (int8) exact-scan top-k: the corpus index holds
@@ -975,8 +977,8 @@ object Similarity {
   def loadPqCodebooks(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Array[Array[Array[Double]]] =
-    spark.read.parquet(path)
-      .orderBy("j", "cid").collect()
+    ModelCollect.bounded(spark.read.parquet(path).orderBy("j", "cid"),
+        ModelCollect.MaxModelRows, "loadPqCodebooks")
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.map(_.getSeq[Double](2).toArray))
       .map(_.toArray).toArray
@@ -1369,7 +1371,8 @@ object Similarity {
     // damping contraction keeps raw drift orders of magnitude below
     // it — the property the hash-verified oracle leans on too).
     if (g.count() <= localIterThreshold) {
-      val e = g.orderBy("u", "v").collect()
+      val e = ModelCollect.bounded(g.orderBy("u", "v"),
+          localIterThreshold.toInt, "knnPageRank local edges")
         .map(r => (r.getLong(0), r.getLong(1)))
       val od = scala.collection.mutable.HashMap[Long, Double]()
       e.foreach { case (u, _) => od(u) = od.getOrElse(u, 0.0) + 1.0 }
@@ -1435,9 +1438,11 @@ object Similarity {
     val seed = seeds.select(col(idCol).as("node"),
       col(labelCol).cast("int").as("seed_label")).localCheckpoint(true)
     if (g.count() <= localIterThreshold) {
-      val e = g.orderBy("u", "v").collect()
+      val e = ModelCollect.bounded(g.orderBy("u", "v"),
+          localIterThreshold.toInt, "labelPropagation local edges")
         .map(r => (r.getLong(0), r.getLong(1)))
-      val seedMap = seed.collect()
+      val seedMap = ModelCollect.bounded(seed,
+          ModelCollect.MaxModelRows, "labelPropagation seeds")
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
       val nodes = e.map(_._1).distinct.sorted
       val byNode = e.groupBy(_._1)
@@ -1586,7 +1591,8 @@ object Similarity {
         greatest(col("qid"), col("nid")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
     if (sym.count() <= localIterThreshold) {
-      val e = sym.orderBy("a", "b").collect()
+      val e = ModelCollect.bounded(sym.orderBy("a", "b"),
+          localIterThreshold.toInt, "kCore local edges")
         .map(r => (r.getLong(0), r.getLong(1)))
       val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
       var alive = nodes.toSet

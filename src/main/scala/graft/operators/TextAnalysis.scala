@@ -869,8 +869,9 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("token"))
     val counts = tok.groupBy("token")
       .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+    // collect-bound: limit(topN) — structurally ≤ topN rows
     val top = counts.orderBy(col("n_occ").desc, col("token")).limit(topN)
-      .collect() // ≤ topN rows — model-sized by construction
+      .collect()
     top.zipWithIndex.map { case (r, i) =>
       (r.getString(0), r.getLong(1), r.getLong(2), i + 1)
     }.toSeq.toDF("token", "n_occ", "n_docs", "rank")
@@ -944,8 +945,10 @@ object TextAnalysis {
     */
   def encode(df: DataFrame, vocabDf: DataFrame, idCol: String,
       textCol: String, unkId: Int = -1): DataFrame = {
-    val entries = vocabDf.select(col("token"), col("rank").cast("int"))
-      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val entries = ModelCollect.bounded(
+        vocabDf.select(col("token"), col("rank").cast("int")),
+        ModelCollect.MaxModelRows, "encode vocabulary")
+      .map(r => r.getString(0) -> r.getInt(1))
     require(entries.nonEmpty, "encode needs a non-empty vocabulary")
     val vocabMap = map(entries.flatMap { case (t, r) =>
       Seq(lit(t), lit(r)) }.toIndexedSeq: _*)
@@ -1133,7 +1136,8 @@ object TextAnalysis {
     // back to the distributed one-job-per-round iteration below.
     if (edges.count() <= localIterThreshold) {
       // deterministic summation order: edges sorted by (u, v)
-      val e = edges.orderBy("u", "v").collect()
+      val e = ModelCollect.bounded(edges.orderBy("u", "v"),
+          localIterThreshold.toInt, "textrank local edges")
         .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
       val wd = scala.collection.mutable.LinkedHashMap[String, Double]()
       e.foreach { case (u, _, wt) => wd(u) = wd.getOrElse(u, 0.0) + wt }

@@ -126,6 +126,8 @@ object Unigram {
       .select(explode(Bpe.preTokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("word")).limit(maxWords)
+      // collect-bound: limit(maxWords) — truncation is the training
+      // contract
       .collect().map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1) // fixed EM iteration order
     require(hist.nonEmpty, "cannot train a unigram model on an empty corpus")
@@ -263,7 +265,8 @@ object Unigram {
       model.piecesDf(spark), s"$root/pieces")
 
   def loadModel(spark: SparkSession, root: String): UnigramModel =
-    UnigramModel(spark.read.parquet(s"$root/pieces")
-      .orderBy("id").collect()
+    UnigramModel(graft.operators.ModelCollect.bounded(
+        spark.read.parquet(s"$root/pieces").orderBy("id"),
+        graft.operators.ModelCollect.MaxModelRows, "unigram model load")
       .map(r => r.getString(0) -> r.getDouble(1)).toSeq)
 }

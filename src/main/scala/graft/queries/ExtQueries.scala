@@ -2181,7 +2181,9 @@ object ExtQueries {
         FROM c2""") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
-        .select(col("token")).collect().map(_.getString(0)).toSeq
+        .select(col("token"))
+        .collect() // collect-bound: subwordVocab caps at topK rows
+        .map(_.getString(0)).toSeq
       graft.operators.Packing.packSequences(docs, "doc_id", "text",
         budget = 256, tokenCount = t => Bpe.pieceCount(t, vocab, 6))
     },
@@ -2220,7 +2222,9 @@ object ExtQueries {
         FROM pw""") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
-        .select(col("token")).collect().map(_.getString(0)).toSeq
+        .select(col("token"))
+        .collect() // collect-bound: subwordVocab caps at topK rows
+        .map(_.getString(0)).toSeq
       Bpe.fertility(docs, "text", vocab, 6)
     },
 
@@ -2245,7 +2249,9 @@ object ExtQueries {
         FROM w GROUP BY 1, 2""") { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val vocab = Bpe.subwordVocab(docs, "text", topK = 200, maxPieceLen = 6)
-        .select(col("token")).collect().map(_.getString(0)).toSeq
+        .select(col("token"))
+        .collect() // collect-bound: subwordVocab caps at topK rows
+        .map(_.getString(0)).toSeq
       TextAnalysis.chunk(docs, "doc_id", "text",
         chunkSize = 32, stride = 24,
         tokensOf = t => Bpe.pieces(t, vocab, 6))
@@ -2742,6 +2748,56 @@ object ExtQueries {
       graft.operators.Funnel.conversion(
         Tables.load(s, dir, "events"), "user_id", "ts", "event_type",
         Seq("signup", "click", "purchase"), withinDays = Some(14))
+    },
+
+    "events_funnel_ticks" -> QueryDef(
+      doc = "streaming-funnel twin driven through PERSISTED per-tick state (the cms_window_range treatment for flatMapGroupsWithState): the 30-day event log replays as FIVE weekly ticks through funnelTickBatch - prior per-user state (three scalars) cogroups with the tick's events and each group runs advanceFunnel, the SAME closure the streaming query executes - advancement rows persist per tick, state carries across tick boundaries (users who sign up one week and click the next convert ONLY if the fold is stateful), and the final per-step counts are answered from the advancement LOG alone. The oracle replays the batch conversion chain, so the driver hash IS fold-over-ticks == streaming-semantics == batch proof",
+      oracle = """
+        WITH s1 AS (SELECT user_id AS u, min(ts) AS t, min(ts) AS t1
+                    FROM events WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT e.user_id AS u, min(e.ts) AS t, s1.t1
+               FROM events e JOIN s1 ON e.user_id = s1.u
+               WHERE e.event_type = 'click' AND e.ts > s1.t
+                 AND e.ts <= s1.t1 + INTERVAL 14 DAY
+               GROUP BY 1, 3),
+        s3 AS (SELECT e.user_id AS u, min(e.ts) AS t, s2.t1
+               FROM events e JOIN s2 ON e.user_id = s2.u
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                 AND e.ts <= s2.t1 + INTERVAL 14 DAY
+               GROUP BY 1, 3),
+        c AS (SELECT 1 AS step_idx, 'signup' AS step,
+                     CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+        SELECT step_idx, step, n_users FROM c""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.EventsStreaming
+      import graft.streaming.EventsStreaming.{FunnelEvent, FunnelUserState}
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          floor(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")) / 7).cast("int").as("tick"))
+        .localCheckpoint(true)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-funnel-ticks").toString
+      var state = s.emptyDataset[FunnelUserState]
+      (0 to 4).foreach { t =>
+        val tickEv = ev.filter(col("tick") === t)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .as[FunnelEvent]
+        val out = EventsStreaming.funnelTickBatch(state, tickEv,
+          Seq("signup", "click", "purchase"), withinDays = Some(14))
+          .localCheckpoint(true)
+        out.flatMap(_.advances)
+          .write.mode("overwrite").parquet(s"$store/tick=$t")
+        state = out.map(_.state)
+      }
+      // the per-step question answered from the advancement log alone
+      s.read.parquet(store)
+        .groupBy(col("step_idx"), col("step"))
+        .agg(count(lit(1)).as("n_users"))
     },
 
     "events_resample_ff" -> QueryDef(

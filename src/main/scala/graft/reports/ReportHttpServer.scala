@@ -101,6 +101,7 @@ final class ReportHttpServer(
             reply(ex, 400, errJson(e.getMessage)); return
         }
       val rows = registry.run(spark, id, typed).limit(maxRows)
+        // collect-bound: limit(maxRows) — structurally capped payload
         .toJSON.collect()
       val body = s"""{"report_id":${jsonStr(id)},""" +
         s""""row_count":${rows.length},""" +

@@ -320,17 +320,22 @@ object AnalysisStore {
       return
     }
     import org.apache.spark.sql.functions.{broadcast, col, lit}
-    val deltaParts = delta.select(partitionBy.map(col): _*).distinct().collect()
+    val deltaParts = graft.operators.ModelCollect.bounded(
+      delta.select(partitionBy.map(col): _*).distinct(),
+      graft.operators.ModelCollect.MaxModelRows, "delta partition values")
     // rows being removed may live in partitions the delta no longer
     // writes to — locate them so their partitions are rewritten too
     val removedParts = removeKeys match {
       case None => Array.empty[org.apache.spark.sql.Row]
       case Some(rk) =>
-        spark.read.parquet(path)
-          .select((keys ++ partitionBy).map(col): _*)
-          .join(broadcast(rk.select(keys.map(col): _*).distinct()),
-            keys, "left_semi")
-          .select(partitionBy.map(col): _*).distinct().collect()
+        graft.operators.ModelCollect.bounded(
+          spark.read.parquet(path)
+            .select((keys ++ partitionBy).map(col): _*)
+            .join(broadcast(rk.select(keys.map(col): _*).distinct()),
+              keys, "left_semi")
+            .select(partitionBy.map(col): _*).distinct(),
+          graft.operators.ModelCollect.MaxModelRows,
+          "removed partition values")
     }
     val touched = (deltaParts ++ removedParts).distinct
     if (touched.isEmpty) return

@@ -82,7 +82,7 @@ object CsvLines {
         .select(stringCols.map(c =>
           coalesce(col(c).contains("\n") || col(c).contains("\r"),
             lit(false)).as(c)): _*)
-        .collect()
+        .collect() // collect-bound: limit(1) — structurally <= 1 row
       val offenders = flagged.headOption.toSeq.flatMap(r =>
         stringCols.filter(c => r.getAs[Boolean](c)))
       require(offenders.isEmpty,

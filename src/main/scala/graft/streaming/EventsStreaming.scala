@@ -139,24 +139,81 @@ object EventsStreaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[FunnelEvent],
             state: GroupState[FunnelProgress]) =>
-          var st = state.getOption.getOrElse(FunnelProgress(0, 0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
-            if (st.step < steps.size && e.event_type == steps(st.step)) {
-              val t = e.ts.getTime
-              val ordered = st.step == 0 || t > st.prevMs
-              val inWindow = st.step == 0 ||
-                deadlineMs.forall(d => t <= st.anchorMs + d)
-              if (ordered && inWindow) {
-                val anchor = if (st.step == 0) t else st.anchorMs
-                st = FunnelProgress(st.step + 1, anchor, t)
-                out += FunnelAdvance(user, st.step, steps(st.step - 1), e.ts)
-              }
-            }
-          }
+          val (st, out) = advanceFunnel(
+            state.getOption.getOrElse(FunnelProgress(0, 0L, 0L)),
+            batch, steps, deadlineMs)
           state.update(st)
           out.iterator
       }
+  }
+
+  /** The greedy per-user funnel update — the SINGLE definition of the
+    * advance semantics, shared by [[funnelTicks]] (streaming) and
+    * [[funnelTickBatch]] (persisted-state batch fold) so the twins
+    * cannot drift. Returns (closed state, advancements emitted).
+    */
+  private[graft] def advanceFunnel(st0: FunnelProgress,
+      events: Iterator[FunnelEvent], steps: Seq[String],
+      deadlineMs: Option[Long]): (FunnelProgress, Seq[FunnelAdvance]) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer[FunnelAdvance]()
+    events.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+      if (st.step < steps.size && e.event_type == steps(st.step)) {
+        val t = e.ts.getTime
+        val ordered = st.step == 0 || t > st.prevMs
+        val inWindow = st.step == 0 ||
+          deadlineMs.forall(d => t <= st.anchorMs + d)
+        if (ordered && inWindow) {
+          val anchor = if (st.step == 0) t else st.anchorMs
+          st = FunnelProgress(st.step + 1, anchor, t)
+          out += FunnelAdvance(e.user_id, st.step, steps(st.step - 1), e.ts)
+        }
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  /** Per-user funnel state AT REST — [[FunnelProgress]] keyed by user,
+    * the three-scalar row a tick fold persists between runs.
+    */
+  final case class FunnelUserState(user_id: Long, step: Int,
+      anchorMs: Long, prevMs: Long)
+
+  /** One tick's combined output: the user's closed state plus the
+    * advancement rows emitted this tick — a single frame so the
+    * cogroup below runs ONCE per fold step (callers checkpoint it and
+    * project state/advances separately).
+    */
+  final case class FunnelTickOut(state: FunnelUserState,
+      advances: Seq[FunnelAdvance])
+
+  /** BATCH replay of one funnel tick against PERSISTED state — the
+    * at-rest twin of [[funnelTicks]], for schedulers that fold a
+    * tick-partitioned event log instead of keeping a streaming query
+    * up (the EtlPipeline.runLoop posture). Prior state cogroups with
+    * the tick's events on user id — one key-hash exchange per side,
+    * state is three scalars per ever-seen user regardless of event
+    * volume — and each group replays [[advanceFunnel]], the SAME
+    * closure the streaming query runs, so fold-over-ticks ≡ streaming
+    * ≡ batch [[graft.operators.Funnel.conversion]] counts
+    * (spec-pinned row-for-row; events_funnel_ticks is the driver's
+    * hash-green witness).
+    */
+  def funnelTickBatch(state: Dataset[FunnelUserState],
+      tick: Dataset[FunnelEvent], steps: Seq[String],
+      withinDays: Option[Int] = None): Dataset[FunnelTickOut] = {
+    import state.sparkSession.implicits._
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val deadlineMs = withinDays.map(_ * 86400000L)
+    state.groupByKey(_.user_id).cogroup(tick.groupByKey(_.user_id)) {
+      (user, sIt, eIt) =>
+        val st0 = sIt.toSeq.headOption
+          .map(s => FunnelProgress(s.step, s.anchorMs, s.prevMs))
+          .getOrElse(FunnelProgress(0, 0L, 0L))
+        val (st, out) = advanceFunnel(st0, eIt, steps, deadlineMs)
+        Iterator.single(FunnelTickOut(
+          FunnelUserState(user, st.step, st.anchorMs, st.prevMs), out))
+    }
   }
 
   /** Stream-stream interval join: each click joins the views by the

@@ -353,6 +353,26 @@ class StreamingSpec extends SparkSpec {
       .select("step_idx", "n_users").as[(Int, Long)].collect().toMap
     assert(batch == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
     assert(streamCounts.map { case (k, v) => k -> v.toLong } == batch)
+
+    // persisted-state batch fold over the SAME tick split emits the
+    // identical advancement rows (the funnelTickBatch twin) and its
+    // closed state records each user's depth
+    val steps = Seq("signup", "click", "purchase")
+    val t1 = evRows.take(4).toDF("user_id", "ts", "event_type")
+      .as[EventsStreaming.FunnelEvent]
+    val t2 = evRows.drop(4).toDF("user_id", "ts", "event_type")
+      .as[EventsStreaming.FunnelEvent]
+    val o1 = EventsStreaming.funnelTickBatch(
+      spark.emptyDataset[EventsStreaming.FunnelUserState], t1, steps,
+      Some(14)).localCheckpoint(true)
+    val o2 = EventsStreaming.funnelTickBatch(
+      o1.map(_.state), t2, steps, Some(14)).localCheckpoint(true)
+    val foldAdv = (o1.flatMap(_.advances) union o2.flatMap(_.advances))
+      .collect().map(a => (a.user_id, a.step_idx, a.step, a.ts)).toSet
+    assert(foldAdv == adv.map(a => (a._1, a._2, a._3, a._4)).toSet)
+    val depth = o2.map(_.state).collect()
+      .map(st => st.user_id -> st.step).toMap
+    assert(depth == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
   test("aggViewWindows: closed-window IVM views match the batch build and range-fold") {
