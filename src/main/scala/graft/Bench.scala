@@ -66,27 +66,37 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getName.contains("CodeHeap")).map(_.getUsage.getUsed).sum / (1 << 20)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val cpu0 = osBean.getProcessCpuTime
-      val gc0 = gcMillis
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_REPEAT=n → run the (filtered) set n times in THIS
+    // JVM and report the per-query MINIMUM — the floor-adjudication
+    // tool: a fresh-JVM solo run pays first-touch JIT/codegen that
+    // full-sweep floors (warmed by 200 earlier queries) never see, so
+    // cold singles aren't floor-comparable; the min over warm repeats
+    // is. Default 1 = the driver contract, unchanged.
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    val results = (1 to repeat).flatMap { round =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val cpu0 = osBean.getProcessCpuTime
+        val gc0 = gcMillis
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+        System.err.println(f"[bench] $name%-28s wall=$dt%8.2fs cpu=$cpuS%8.1fs " +
+          f"(${cpuS / dt}%4.1f cores) gc=${(gcMillis - gc0) / 1000.0}%6.1fs " +
+          f"codecache=${codeCacheUsedMb}%4dMB")
+        // isolate queries: drop persisted blocks an operator may have
+        // left behind (e.g. minhash's shingle cache) so later timings
+        // don't pay its memory pressure
+        spark.catalog.clearCache()
+        name -> dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
-      System.err.println(f"[bench] $name%-28s wall=$dt%8.2fs cpu=$cpuS%8.1fs " +
-        f"(${cpuS / dt}%4.1f cores) gc=${(gcMillis - gc0) / 1000.0}%6.1fs " +
-        f"codecache=${codeCacheUsedMb}%4dMB")
-      // isolate queries: drop persisted blocks an operator may have
-      // left behind (e.g. minhash's shingle cache) so later timings
-      // don't pay its memory pressure
-      spark.catalog.clearCache()
-      name -> dt
-    }
+    }.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }
+      .toSeq.sortBy(_._1)
     // millisecond precision keeps the line short (full-precision
     // doubles tripled its length and got the capture truncated)
     def r3(v: Double): String = BigDecimal(v)

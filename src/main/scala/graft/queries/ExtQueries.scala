@@ -3055,6 +3055,16 @@ object ExtQueries {
         "vec_id", "embedding", k = 4, minMargin = 1.0)
     },
 
+    "bitext_ivf" -> QueryDef.noOracle(
+      doc = "bitext mining PRODUCTION path alone (mineIvf: two ivfCrossTopK cell-co-partitioned bipartite probes, neither corpus broadcasts) - the query that carries the scale claim: the decade-step curve must stay ~linear here while bitext_ivf_gate's wall is dominated by the weak-by-design brute baseline it compares against (bipartite n^2, ~100x work per decade). Approximation -> rows-only; pair agreement vs brute is bitext_ivf_gate's hash-green contract") { (s, dir) =>
+      import graft.operators.Bitext
+      val e = Tables.load(s, dir, "embeddings")
+      Bitext.mineIvf(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+    },
+
     "bitext_index_gate" -> QueryDef(
       doc = "bitext serving path: mineFromIndexes over two PERSISTED IVF indexes (written to parquet stores and read back - the weekly re-mine reads stored (nid, cv, cid) tables and pays only probe joins + margin algebra, no re-training/re-assignment) must EQUAL mineIvf's from-scratch build both directions (deterministic centroids, no RNG - the FromIndex == rebuild proof, the knn_graph_delta_gate pattern for the bitext family), plus non-vacuity",
       oracle = "SELECT CAST(1 AS INTEGER) AS bitext_index_eq, " +
