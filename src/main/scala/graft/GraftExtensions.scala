@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ =>
       graft.plans.AutoBroadcastDims(graft.sources.Tables.smallDims))
+    // materialized-view routing: distributive aggregations over a
+    // registered base table are answered from its IVM-maintained
+    // summary (AggViewCatalog, no-op while empty)
+    ext.injectOptimizerRule(session => graft.plans.AggViewRewrite(session))
   }
 }
 

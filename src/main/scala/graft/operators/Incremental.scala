@@ -330,6 +330,141 @@ object Incremental {
     view.join(dk, keys, "left_anti")
       .unionByName(aggView(base.join(dk, keys, "left_semi"), keys, specs))
   }
+
+  /** Key-pruned scan: only `base` rows whose key appears in `delta`
+    * survive — the broadcast-semi-join prune every incremental term
+    * below leans on (tick keys are tick-sized by contract, so the
+    * broadcast is cheap and the base scan's key filter pushes down).
+    */
+  private def pruneToKeysOf(base: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    base.join(broadcast(delta.select(keys.map(col): _*).distinct()),
+      keys, "left_semi")
+
+  /** Incremental view maintenance for an INNER equi-JOIN view
+    * V = A ⋈ B — the other classic IVM shape next to [[maintainAgg]]
+    * (Griffin & Libkin's delta rules reduced to the insert case):
+    *
+    *   ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    *
+    * With the first term joining against the NEW B, the cross term
+    * ΔA ⋈ ΔB lands exactly once. Both terms join a TICK against a
+    * key-PRUNED base scan (the tick's distinct keys broadcast, the
+    * other side left_semi-filtered before the join), so a refresh
+    * shuffles O(|Δ| + matching base rows) — at 100 TB the view
+    * update costs the tick's key neighborhood, never a base × base
+    * join. Result ≡ a full (A ∪ ΔA) ⋈ (B ∪ ΔB) rebuild — the
+    * ivm_join_view driver hash replays exactly that equality
+    * cross-engine.
+    */
+  def maintainJoinView(view: DataFrame,
+      aOld: DataFrame, deltaA: DataFrame,
+      bOld: DataFrame, deltaB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "join view needs at least one key column")
+    val bNew = bOld.unionByName(deltaB)
+    view
+      .unionByName(deltaA.join(pruneToKeysOf(bNew, deltaA, keys), keys))
+      .unionByName(pruneToKeysOf(aOld, deltaB, keys).join(deltaB, keys))
+  }
+
+  /** Delete handling for join views — the [[recomputeKeys]] posture
+    * (row-granular deletes on either side can't be anti-joined away
+    * from the view because one surviving base row may still pair
+    * with others): rows with DIRTY keys leave the view wholesale,
+    * then re-join from the post-delete bases restricted to those
+    * keys (left_semi prune on BOTH sides). Cost scales with the
+    * dirty-key footprint; ≡ full rebuild, gate-pinned
+    * (ivm_join_delete_gate).
+    */
+  def recomputeJoinKeys(view: DataFrame,
+      aNew: DataFrame, bNew: DataFrame,
+      dirtyKeys: DataFrame, keys: Seq[String]): DataFrame = {
+    val dk = broadcast(dirtyKeys.select(keys.map(col): _*).distinct())
+    view.join(dk, keys, "left_anti")
+      .unionByName(aNew.join(dk, keys, "left_semi")
+        .join(bNew.join(dk, keys, "left_semi"), keys))
+  }
+
+  /** CDC apply — fold a change feed carrying an operation marker and
+    * a sequence number into a keyed table: the missing step between
+    * [[graft.streaming.EtlStreaming.fromCdcJson]] (decode) and the
+    * store. Semantics are the log-compaction contract every CDC sink
+    * (Debezium → table) implements:
+    *
+    *   - per key, only the change with the HIGHEST `seqCol` speaks —
+    *     a connector may deliver a key's changes out of order within
+    *     a tick, and replays may re-deliver stale ones; both are
+    *     absorbed by the same reduction;
+    *   - if that winning change is a delete (`opCol` = "d"), the key
+    *     leaves the table — a HARD delete (no tombstone row), which
+    *     is what [[merge]]'s replace-only semantics cannot express;
+    *   - otherwise its after-image upserts ([[merge]] semantics,
+    *     schema evolution included).
+    *
+    * Stale guard: a change older than what the table already folded
+    * must NOT regress the row, so the table carries the winning
+    * sequence as `seqCol` (analysis tables version rows anyway; the
+    * column doubles as the fold high-water mark per key) and the
+    * stored row competes in the same max_by reduction as the tick's
+    * changes. Fold-of-any-IN-ORDER-tick-split ≡ one-shot fold of the
+    * whole log, and redelivering the latest tick(s) is a no-op
+    * (at-least-once foreachBatch crash-replay) — both gate-pinned,
+    * cdc_apply_gate. Contracts: (1) `seqCol` strictly orders each
+    * key's changes (ties between a stored row and a change would
+    * decide arbitrarily); (2) tick REDELIVERY is in-order — hard
+    * deletes keep no tombstone, so a tick replayed from BEFORE a
+    * later delete would resurrect the key through its old upsert
+    * (the standard CDC-sink trade; blocking it needs tombstone
+    * retention à la Delta's change feed, at the cost of the table
+    * carrying its deletes forever). The hazard is real and
+    * demonstrated, not hidden: cdc_apply_gate's stale_cross_delete
+    * field plants exactly that replay and observes the resurrection.
+    *
+    * Scale shape: the tick reduces map-side to one row per touched
+    * key (max_by partials combine before the exchange); untouched
+    * table rows pass through a broadcast anti-join and only the
+    * touched keys' stored rows (broadcast left_semi) re-enter the
+    * reduction — a tick shuffles |touched keys|, never the table.
+    *
+    * @param changes after-image columns + `opCol` ("c"/"u"/"r"
+    *                upsert, "d" delete) + `seqCol` (monotone change
+    *                id: Debezium ts_ms + per-ts tiebreak, a binlog
+    *                offset, …)
+    */
+  def applyChanges(existing: DataFrame, changes: DataFrame,
+      keys: Seq[String], opCol: String = "op",
+      seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "applyChanges needs at least one key column")
+    val isData = (c: String) => !keys.contains(c) && c != opCol
+    val changeCols = changes.columns.filter(isData).toSeq
+    // a winning STORED row keeps columns the feed stopped carrying
+    // (schema evolution both ways: union null-fills, the struct spans
+    // both sides' data columns)
+    val allCols = (existing.columns.filter(isData) ++ changeCols)
+      .distinct.toSeq
+    // latest change per touched key: one max_by(struct) aggregation —
+    // map-side partials, single key exchange, no rank window
+    val latest = changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col(opCol) +: changeCols.map(col): _*),
+        col(seqCol)).as("__w"))
+      .select(keys.map(col) ++ (opCol +: changeCols)
+        .map(c => col(s"__w.$c").as(c)): _*)
+    val touched = broadcast(latest.select(keys.map(col): _*).distinct())
+    // stored rows of touched keys compete at their persisted seq (so
+    // a stale change loses to them); everything else passes through
+    val contested = existing.join(touched, keys, "left_semi")
+      .withColumn(opCol, lit("r"))
+      .unionByName(latest, allowMissingColumns = true)
+      .groupBy(keys.map(col): _*)
+      .agg(max_by(struct(col(opCol) +: allCols.map(col): _*),
+        col(seqCol)).as("__w"))
+      .select(keys.map(col) ++ (opCol +: allCols)
+        .map(c => col(s"__w.$c").as(c)): _*)
+      .filter(col(opCol) =!= "d").drop(opCol)
+    existing.join(touched, keys, "left_anti")
+      .unionByName(contested, allowMissingColumns = true)
+  }
 }
 
 /** Driver-side persisted high-water mark between scheduled runs —

@@ -423,4 +423,135 @@ object Layout {
       }
     Compaction(files.size, ok.size, small.size, bins)
   }
+
+  /** Column form of [[normFile]] — deletion-vector joins normalize
+    * the file URI on BOTH sides with this one expression, so
+    * `_metadata.file_path`'s slash count can never unmatch a listing.
+    */
+  private def normFileCol(c: Column): Column =
+    regexp_replace(c, "^file:/+", "/")
+
+  /** Deletion vector for `predicate` over the table at `path` — the
+    * Delta/Iceberg row-level-delete design: instead of rewriting
+    * every file that holds a matching row (a point delete in a 1 GB
+    * file rewrites 1 GB — the write-amplification that makes GDPR
+    * erasure expensive), record the matching rows' PHYSICAL addresses
+    * `(file, pos)` via the parquet scan's `_metadata.file_path` /
+    * `_metadata.row_index` columns. The delete then costs one
+    * filtered scan plus a |deleted-rows| write; data files stay
+    * immutable (so [[fileIndex]] stats, compaction copies, and
+    * running scans are all undisturbed).
+    *
+    * Contract: addresses bind to IMMUTABLE files — rewriting a file
+    * invalidates its vector rows ([[materializeDv]] does exactly
+    * that, atomically swapping both sides). DVs are the point-delete
+    * tool; a delete that hits most rows should rewrite files instead
+    * (the vector itself would approach table size).
+    */
+  def deletionVector(spark: org.apache.spark.sql.SparkSession,
+      path: String, predicate: Column): DataFrame =
+    spark.read.parquet(path)
+      .select(normFileCol(col("_metadata.file_path")).as("file"),
+        col("_metadata.row_index").as("pos"),
+        col("*"))
+      .filter(predicate)
+      .select("file", "pos")
+
+  /** Union of deletion vectors (successive delete operations
+    * accumulate; re-deleting an already-vectored row is a no-op) —
+    * vector-sized work.
+    */
+  def mergeDv(existing: DataFrame, delta: DataFrame): DataFrame =
+    existing.select("file", "pos")
+      .unionByName(delta.select("file", "pos")).distinct()
+
+  /** Read the table MINUS its deletion vector: rows whose physical
+    * address appears in `dv` are filtered by one broadcast anti-join
+    * on `(file, pos)` — the DV is point-delete-sized by contract, so
+    * the big side never shuffles and the scan itself stays pruned /
+    * pushed-down as usual. Row-identical to a table that had the
+    * deleted rows rewritten away ([[materializeDv]] ≡, gate-pinned by
+    * layout_dv_gate).
+    */
+  def readWithDv(spark: org.apache.spark.sql.SparkSession,
+      path: String, dv: DataFrame): DataFrame = {
+    val table = spark.read.parquet(path)
+    val cols = table.columns.toSeq
+    table
+      .select(normFileCol(col("_metadata.file_path")).as("__dv_file"),
+        col("_metadata.row_index").as("__dv_pos"), col("*"))
+      .join(broadcast(dv.select(col("file").as("__dv_file"),
+        col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"),
+        "left_anti")
+      .select(cols.map(col): _*)
+  }
+
+  /** What [[materializeDv]] did: input files, files kept byte-
+    * identical (no vectored rows), files rewritten, and vectored
+    * rows dropped.
+    */
+  final case class DvMaterialize(
+      nIn: Int, kept: Int, rewritten: Int, dropped: Long)
+
+  /** Fold a deletion vector back into the data — the maintenance op
+    * that keeps the read-side anti-join small: files with NO vectored
+    * rows are byte-identical copies (the [[compactTo]] rule — never
+    * re-encode the clean majority), files with vectored rows are
+    * rewritten without their deleted positions, and the destination
+    * needs no vector at all. Flat layouts only (partitioned tables
+    * materialize per partition dir, like compaction).
+    */
+  def materializeDv(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dv: DataFrame, dstPath: String,
+      maxFiles: Int = 1 << 20): DvMaterialize = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val dst = new org.apache.hadoop.fs.Path(dstPath)
+    val fs = src.getFileSystem(conf)
+    val entries = fs.listStatus(src).toSeq
+    val dataDirs = entries.filter(e => e.isDirectory && {
+      val n = e.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    })
+    require(dataDirs.isEmpty,
+      s"materializeDv: $srcPath holds partition directories — " +
+        "materialize each partition dir separately")
+    val files = entries
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    require(files.size <= maxFiles,
+      s"materializeDv: ${files.size} input files exceed the $maxFiles cap")
+    // dirty-file set is DV-sized → vector-bounded driver materialization
+    val dirty = ModelCollect.bounded(dv.select(col("file")).distinct(),
+        maxFiles, "deletion-vector file entries")
+      .map(r => normFile(r.getString(0))).toSet
+    val known = files.map(f => normFile(f.getPath.toString)).toSet
+    val alien = dirty.filterNot(known.contains)
+    require(alien.isEmpty,
+      s"materializeDv: vector names files absent from $srcPath " +
+        s"(${alien.take(3).mkString(", ")}…) — stale vector?")
+    val (hit, clean) = files.partition(f =>
+      dirty.contains(normFile(f.getPath.toString)))
+    fs.mkdirs(dst)
+    clean.foreach(f => org.apache.hadoop.fs.FileUtil.copy(
+      fs, f.getPath, fs, new org.apache.hadoop.fs.Path(dst, f.getPath.getName),
+      false, conf))
+    if (hit.nonEmpty) {
+      val schema = spark.read.parquet(srcPath).schema
+      val hitDf = spark.read.schema(schema)
+        .parquet(hit.map(_.getPath.toString): _*)
+      val survivors = hitDf
+        .select(normFileCol(col("_metadata.file_path")).as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"), col("*"))
+        .join(broadcast(dv.select(col("file").as("__dv_file"),
+          col("pos").as("__dv_pos"))), Seq("__dv_file", "__dv_pos"),
+          "left_anti")
+        .select(schema.fieldNames.toSeq.map(col): _*)
+      survivors.write.mode("append").parquet(dstPath)
+    }
+    // every (distinct) vector row addresses a real row of a hit file
+    // (alien-file vectors rejected above; honest vectors come from a
+    // scan of the same immutable files)
+    val dropped = dv.select("file", "pos").distinct().count()
+    DvMaterialize(files.size, clean.size, hit.size, dropped)
+  }
 }

@@ -2680,6 +2680,66 @@ object ExtQueries {
         .toDF("idx_delta_only_new", "idx_merge_eq_rebuild", "idx_empty_delta")
     },
 
+    "layout_dv" -> QueryDef(
+      doc = "row-level deletes via deletion vectors (the Delta/Iceberg design): deleting o_custkey % 10 = 3 from a 4-file orders table records the matching rows' PHYSICAL addresses (_metadata.file_path, _metadata.row_index) as a |deleted|-row vector instead of rewriting every touched file - a point delete costs one filtered scan + a tiny write, data files stay immutable (file-index stats, compaction copies, running scans all undisturbed). The read path subtracts the vector by ONE broadcast anti-join on (file, pos) - the big side never shuffles, scan pruning/pushdown intact. The oracle states the semantic contract directly: the DV read IS the table without the deleted rows; materialization equivalence and byte-identity of clean files are layout_dv_gate's contract",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey % 10 <> 3""") { (s, dir) =>
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val src = java.nio.file.Files.createTempDirectory("graft-dv")
+        .resolve("t").toString
+      orders.repartition(4).write.parquet(src)
+      val dv = Layout.deletionVector(s, src, col("o_custkey") % 10 === 3)
+      Layout.readWithDv(s, src, dv)
+    },
+
+    "layout_dv_gate" -> QueryDef(
+      doc = "deletion-vector maintenance guarantees: (1) mat_eq - materializeDv's output table == the DV-subtracted read of the source, both directions (folding the vector into the data changes nothing a reader can see); (2) clean_bytes - files with NO vectored rows are byte-identical copies in the destination (the compactTo rule: never re-encode the clean majority - source files are range-partitioned on the delete key so the point delete dirties SOME files, not all); (3) dv_sized - the vector holds exactly the deleted-row count (write amplification is |deleted|, not |touched files|); (4) both kept and rewritten files exist (non-vacuity: the selective path actually divided the layout); (5) merge_noop - re-merging an already-applied vector adds nothing (re-deletes are idempotent)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS mat_eq, " +
+        "CAST(1 AS INTEGER) AS clean_bytes, " +
+        "CAST(1 AS INTEGER) AS dv_sized, " +
+        "CAST(1 AS INTEGER) AS split_nonvacuous, " +
+        "CAST(1 AS INTEGER) AS merge_noop") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft-dvg")
+      val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
+      orders.repartitionByRange(4, col("o_orderkey")).write.parquet(src)
+      val lo = orders.agg(min("o_orderkey")).head().getLong(0)
+      val pred = col("o_orderkey") <= lo + 100
+      val dv = Layout.deletionVector(s, src, pred).localCheckpoint(true)
+      val st = Layout.materializeDv(s, src, dv, dst)
+      val want = Layout.readWithDv(s, src, dv).localCheckpoint(true)
+      val out = s.read.parquet(dst)
+      val matEq = out.exceptAll(want).count() == 0 &&
+        want.exceptAll(out).count() == 0
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def parquetFiles(p: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => f.getPath.getName -> f.getLen).toMap
+      val srcFiles = parquetFiles(src)
+      val keptFiles = parquetFiles(dst)
+        .filter { case (n, _) => srcFiles.contains(n) }
+      val cleanBytes = keptFiles.size == st.kept &&
+        keptFiles.forall { case (n, len) => len == srcFiles(n) }
+      val dvSized = st.dropped == orders.filter(pred).count() &&
+        dv.count() == st.dropped
+      val split = st.kept >= 1 && st.rewritten >= 1 &&
+        st.kept + st.rewritten == st.nIn
+      val mergeNoop = Layout.mergeDv(dv, dv).count() == dv.count()
+      Seq((if (matEq) 1 else 0, if (cleanBytes) 1 else 0,
+        if (dvSized) 1 else 0, if (split) 1 else 0,
+        if (mergeNoop) 1 else 0))
+        .toDF("mat_eq", "clean_bytes", "dv_sized", "split_nonvacuous",
+          "merge_noop")
+    },
+
     "wap_gate" -> QueryDef(
       doc = "write-audit-publish (the Iceberg WAP pattern): a table write stages OFF the serving path, every audit runs against the STAGED data, and only a clean bill swaps it live - atomicity OF the quality gate, the third leg next to stage-and-swap crash atomicity and the DataQuality checks themselves. Gate: (1) a clean write publishes and serves; (2) a write with planted negative prices is REJECTED by the composed DataQuality audits and the published v1 stays byte-untouched (readers can never observe failing data, not even transiently; staging cleaned up); (3) the result names exactly the failing audit",
       oracle = "SELECT CAST(1 AS INTEGER) AS wap_publishes, " +
@@ -2903,6 +2963,34 @@ object ExtQueries {
         Seq("user_id"), specs)
     },
 
+    "store_cdf" -> QueryDef(
+      doc = "change data feed between PUBLISHED STORE VERSIONS (the Iceberg/Delta CDF read recovered for full-snapshot stores): two versions of a keyed orders projection publish into a VersionedStore - v2 drops every %3 key, gains the %7 keys v1 lacked, and doubles prices on %5 keys - and changesBetween(v1, v2) classifies every surviving key added/removed/modified/unchanged by diffing the two IMMUTABLE version dirs (snapshotDiff: one id-keyed full-outer join of (id, md5) projections, each version scanned once and reduced to two narrow columns before the exchange; the pointer is never consulted, so the feed is stable under concurrent publishes and works backward for rollback audits). The oracle replays the membership/content algebra directly from the orders table - the driver hash proves the store-level diff equals the semantic ground truth",
+      oracle = """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'removed'
+                    WHEN o_orderkey % 7 = 0 THEN 'added'
+                    WHEN o_orderkey % 5 = 0 THEN 'modified'
+                    ELSE 'unchanged' END AS status
+        FROM orders
+        WHERE o_orderkey % 7 <> 0 OR o_orderkey % 3 <> 0""") { (s, dir) =>
+      import graft.sources.VersionedStore
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("string").as("content"))
+      val path = java.nio.file.Files.createTempDirectory("graft-cdf")
+        .resolve("t").toString
+      val v1 = VersionedStore.publish(s, path,
+        orders.filter(col("o_orderkey") % 7 =!= 0))
+      val v2 = VersionedStore.publish(s, path,
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .withColumn("content",
+            when(col("o_orderkey") % 5 === 0,
+              (col("content").cast("double") * 2).cast("string"))
+              .otherwise(col("content"))))
+      VersionedStore.changesBetween(s, path, v1, v2,
+        "o_orderkey", "content")
+    },
+
     "store_versioned_gate" -> QueryDef(
       doc = "versioned serving store (time travel + rollback + vacuum with plain parquet dirs - the Delta/Iceberg snapshot idea reduced to its load-bearing parts: immutable v=N dirs + an atomically-renamed one-line pointer, so a publish can never tear a running scan and rollback is a data-free pointer flip): (1) two publishes - current serves v2 while v1 stays byte-intact for time travel; (2) rollback flips to v1 and a subsequent publish NEVER reuses a live version number; (3) vacuum keeps the newest N but never deletes the pointer target",
       oracle = "SELECT CAST(1 AS INTEGER) AS ver_travel_ok, " +
@@ -3003,6 +3091,342 @@ object ExtQueries {
         .count() > 0
       Seq((if (eq) 1 else 0, if (moved) 1 else 0))
         .toDF("ivm_delete_eq_rebuild", "ivm_extremes_moved")
+    },
+
+    "ivm_join_view" -> QueryDef(
+      doc = "incremental view maintenance for an INNER equi-JOIN view V = orders |><| lineitem (Griffin-Libkin delta rule, insert case: dV = dA |><| (B u dB) UNION A |><| dB - the first term joins the NEW B so the dA |><| dB cross term lands exactly once): the base view is built over early orders (o_orderkey % 5 != 0) and early lines (l_linenumber < 4), then maintained with BOTH a new-orders tick AND a late-lines tick - the splits cut across the join key so all three delta families (new order x old lines, old order x late lines, new order x late lines) are genuinely exercised. Each term joins a tick against a key-PRUNED base scan (tick keys broadcast, other side left_semi-filtered), so the refresh shuffles the tick's key neighborhood, never base x base. The oracle replays the FULL join rebuild, so the driver hash IS the delta-rule == rebuild proof cross-engine",
+      oracle = """
+        SELECT o.o_orderkey, l.l_linenumber, o.o_custkey,
+               l.l_extendedprice
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""") {
+      (s, dir) =>
+      import graft.operators.Incremental
+      val keys = Seq("o_orderkey")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).localCheckpoint(true)
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")).localCheckpoint(true)
+      val (aOld, deltaA) = (orders.filter(col("o_orderkey") % 5 =!= 0),
+        orders.filter(col("o_orderkey") % 5 === 0))
+      val (bOld, deltaB) = (lines.filter(col("l_linenumber") < 4),
+        lines.filter(col("l_linenumber") >= 4))
+      val view = aOld.join(bOld, keys)
+      Incremental.maintainJoinView(view, aOld, deltaA, bOld, deltaB, keys)
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+          col("l_extendedprice"))
+    },
+
+    "ivm_join_delete_gate" -> QueryDef(
+      doc = "delete handling for JOIN views - the recomputeKeys posture (a row-granular delete on either side cannot be anti-joined away: a surviving base row may still pair with others on the same key): dirty-key view rows leave wholesale, then re-join from the post-delete bases restricted to those keys (left_semi prune BOTH sides). Gate: maintained == full post-delete rebuild both directions after deleting every 7th lineitem row, AND non-vacuity - some dirty key still has surviving pairs (the recompute re-created rows a pure anti-join would have lost)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS ivm_jd_eq_rebuild, " +
+        "CAST(1 AS INTEGER) AS ivm_jd_nonvacuous") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Incremental
+      val keys = Seq("o_orderkey")
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")).localCheckpoint(true)
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          monotonically_increasing_id().as("__rid"))
+        .localCheckpoint(true)
+      val view = orders.join(lines, keys).localCheckpoint(true)
+      val doomed = lines.filter(col("__rid") % 7 === 0)
+      val bNew = lines.filter(col("__rid") % 7 =!= 0)
+      val maintained = Incremental.recomputeJoinKeys(view, orders, bNew,
+        doomed, keys).localCheckpoint(true)
+      val rebuilt = orders.join(bNew, keys)
+      val eq = maintained.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(maintained).count() == 0
+      // non-vacuity: a dirty key that kept OTHER pairs after the
+      // delete — the case where anti-join-only maintenance is wrong
+      val survivors = maintained
+        .join(broadcast(doomed.select(keys.map(col): _*).distinct()),
+          keys, "left_semi").count() > 0
+      Seq((if (eq) 1 else 0, if (survivors) 1 else 0))
+        .toDF("ivm_jd_eq_rebuild", "ivm_jd_nonvacuous")
+    },
+
+    "ivm_rewrite" -> QueryDef(
+      doc = "materialized-view ROUTING (the optimizer half of IVM, via SparkSessionExtensions + a Catalyst Rule - the Spark-native reading of 'reports read mamba_fact_*, never re-scan obs', generalized to lakehouse MV routing): a cents-integerized curated events table and its (user_id, event_type) aggView both persist to parquet, the view registers in AggViewCatalog, and then a ROLLUP-grain report (per user only) aggregates THE BASE TABLE - the injected AggViewRewrite rule reroutes the plan to re-aggregate the |keys|-row view instead (counts/sums add, min/max take the extreme; exact for the distributive set). The oracle replays the aggregation over raw events, so the driver hash proves the routed answer equals the ground truth; that the scan actually MOVED is ivm_rewrite_gate's contract",
+      oracle = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS sum_cents,
+               CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS min_cents,
+               CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS max_cents
+        FROM events GROUP BY 1""") { (s, dir) =>
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      import graft.plans.{AggViewCatalog, MaterializedAggView}
+      val root = java.nio.file.Files.createTempDirectory("graft-mv-a")
+      val basePath = root.resolve("curated_events_a").toString
+      val viewPath = root.resolve("curated_view_a").toString
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .write.parquet(basePath)
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("sum_cents", "sum", "vc"), AggCol("min_cents", "min", "vc"),
+        AggCol("max_cents", "max", "vc"))
+      Incremental.aggView(s.read.parquet(basePath), keys, specs)
+        .write.parquet(viewPath)
+      AggViewCatalog.register(MaterializedAggView("/curated_events_a",
+        viewPath, keys, Map(("count", "") -> "cnt",
+          ("sum", "vc") -> "sum_cents", ("min", "vc") -> "min_cents",
+          ("max", "vc") -> "max_cents")))
+      // the report: aggregate the BASE — the rule reroutes it (lazily,
+      // at the driver's write action, so the registration must outlive
+      // this lambda; entries key by path suffix and are re-registered
+      // idempotently on replay)
+      s.read.parquet(basePath).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"),
+          min("vc").as("min_cents"), max("vc").as("max_cents"))
+    },
+
+    "ivm_rewrite_gate" -> QueryDef(
+      doc = "the non-vacuity half of ivm_rewrite: (1) rewrite_fired - the optimized plan's scan is the VIEW parquet and the base table is gone from the plan (otherwise the hash-green twin would be trivially true of a non-firing rule); (2) rewrite_eq - the routed result equals the direct aggregation computed with the catalog cleared, both directions; (3) filter_guard - a NON-key filter declines (the view has no row detail to filter)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS rewrite_fired, " +
+        "CAST(1 AS INTEGER) AS rewrite_eq, " +
+        "CAST(1 AS INTEGER) AS filter_guard") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      import graft.plans.{AggViewCatalog, MaterializedAggView}
+      def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+      val root = java.nio.file.Files.createTempDirectory("graft-mv-g")
+      val basePath = root.resolve("curated_events_g").toString
+      val viewPath = root.resolve("curated_view_g").toString
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .write.parquet(basePath)
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("sum_cents", "sum", "vc"))
+      Incremental.aggView(s.read.parquet(basePath), keys, specs)
+        .write.parquet(viewPath)
+      AggViewCatalog.register(MaterializedAggView("/curated_events_g",
+        viewPath, keys,
+        Map(("count", "") -> "cnt", ("sum", "vc") -> "sum_cents")))
+      def report() = s.read.parquet(basePath).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"))
+      val routed = report()
+      val routedScans = scansOf(routed)
+      val fired = routedScans.exists(_.contains("curated_view_g")) &&
+        !routedScans.exists(_.contains("curated_events_g"))
+      val routedRows = routed.localCheckpoint(true)
+      val guarded = scansOf(s.read.parquet(basePath)
+        .filter(col("vc") > 100).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt")))
+        .exists(_.contains("curated_events_g"))
+      AggViewCatalog.clear()
+      val direct = report()
+      val eq = routedRows.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(routedRows).count() == 0
+      Seq((if (fired) 1 else 0, if (eq) 1 else 0, if (guarded) 1 else 0))
+        .toDF("rewrite_fired", "rewrite_eq", "filter_guard")
+    },
+
+    "ivm_lattice_gate" -> QueryDef(
+      doc = "rollup-lattice view selection (the BigQuery/Databricks MV-routing refinement of ivm_rewrite): TWO materialized grains of the same curated events base coexist in the catalog - (user_id, event_type) and the 8x-smaller (user_id) rollup - and the rule must route each report to the COARSEST adequate grain: (1) coarse_wins - a per-user report scans the (user_id) view (fewest groups = least state re-aggregated), base and fine view absent from the plan; (2) fine_serves - a per-(user, type) report falls through to the fine view (the coarse grain cannot serve it); (3) both routed answers equal the direct aggregations with the catalog cleared",
+      oracle = "SELECT CAST(1 AS INTEGER) AS coarse_wins, " +
+        "CAST(1 AS INTEGER) AS fine_serves, " +
+        "CAST(1 AS INTEGER) AS lattice_eq") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      import graft.plans.{AggViewCatalog, MaterializedAggView}
+      def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            lr.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.map(_.toString)
+              case _ => Seq.empty[String]
+            }
+        }.flatten
+      val root = java.nio.file.Files.createTempDirectory("graft-mv-l")
+      val basePath = root.resolve("curated_events_l").toString
+      val finePath = root.resolve("fine_view_l").toString
+      val coarsePath = root.resolve("coarse_view_l").toString
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .write.parquet(basePath)
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("sum_cents", "sum", "vc"))
+      val measures = Map[(String, String), String](
+        ("count", "") -> "cnt", ("sum", "vc") -> "sum_cents")
+      Incremental.aggView(s.read.parquet(basePath),
+        Seq("user_id", "event_type"), specs).write.parquet(finePath)
+      Incremental.aggView(s.read.parquet(basePath),
+        Seq("user_id"), specs).write.parquet(coarsePath)
+      AggViewCatalog.register(MaterializedAggView("/curated_events_l",
+        finePath, Seq("user_id", "event_type"), measures))
+      AggViewCatalog.register(MaterializedAggView("/curated_events_l",
+        coarsePath, Seq("user_id"), measures))
+      def perUser() = s.read.parquet(basePath).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"))
+      def perUserType() = s.read.parquet(basePath)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"))
+      val (u, ut) = (perUser(), perUserType())
+      val coarseWins = scansOf(u).exists(_.contains("coarse_view_l")) &&
+        !scansOf(u).exists(p => p.contains("curated_events_l") ||
+          p.contains("fine_view_l"))
+      val fineServes = scansOf(ut).exists(_.contains("fine_view_l")) &&
+        !scansOf(ut).exists(p => p.contains("curated_events_l") ||
+          p.contains("coarse_view_l"))
+      val (uRows, utRows) = (u.localCheckpoint(true), ut.localCheckpoint(true))
+      AggViewCatalog.clear()
+      val eq = uRows.exceptAll(perUser()).count() == 0 &&
+        perUser().exceptAll(uRows).count() == 0 &&
+        utRows.exceptAll(perUserType()).count() == 0 &&
+        perUserType().exceptAll(utRows).count() == 0
+      Seq((if (coarseWins) 1 else 0, if (fineServes) 1 else 0,
+        if (eq) 1 else 0))
+        .toDF("coarse_wins", "fine_serves", "lattice_eq")
+    },
+
+    "store_bucketed_gate" -> QueryDef(
+      doc = "bucketed co-located join (AnalysisStore.writeBucketed made driver-visible): orders and lineitem bucket-sorted by the join key into catalog tables - the write pays ONE shuffle so every later equi-join/aggregation ON THE BUCKET KEY between co-bucketed tables plans with NO shuffle exchange at all (the 100 TB answer to 'this join runs every tick': the store owns the shuffle, not each query). The join is merge-hinted so fixture-sized stats can't flip a broadcast and mask the co-location claim. Gate: (1) no_shuffle - the bucketed join + per-key aggregate's physical plan contains ZERO shuffle exchanges, while (2) plain_shuffles - the IDENTICAL query over plain parquet plans >= 2 (both join sides repartition: the cost the bucketed store amortized); (3) bucketed_eq - both produce the same rows, so co-location changed the plan and nothing else",
+      oracle = "SELECT CAST(1 AS INTEGER) AS no_shuffle, " +
+        "CAST(1 AS INTEGER) AS plain_shuffles, " +
+        "CAST(1 AS INTEGER) AS bucketed_eq") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.AnalysisStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkt_lines")
+      AnalysisStore.writeBucketed(orders, "graft_bkt_orders",
+        Seq("o_orderkey"), nBuckets = 8)
+      AnalysisStore.writeBucketed(lines, "graft_bkt_lines",
+        Seq("o_orderkey"), nBuckets = 8)
+      // per-order-key aggregate AFTER the join: key-grain work stays
+      // inside the bucket partitioning end-to-end
+      def joined(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.hint("merge").join(b, Seq("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(max("o_custkey").as("cust"), sum("l_quantity").as("qty"))
+      def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+        ("Exchange (hashpartitioning|rangepartitioning|SinglePartition" +
+          "|RoundRobinPartitioning)").r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      val bucketed = joined(s.table("graft_bkt_orders"),
+        s.table("graft_bkt_lines"))
+      val plain = joined(orders, lines)
+      val noShuffle = shuffles(bucketed) == 0
+      val plainShuffles = shuffles(plain) >= 2
+      val eq = bucketed.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(bucketed).count() == 0
+      Seq((if (noShuffle) 1 else 0, if (plainShuffles) 1 else 0,
+        if (eq) 1 else 0))
+        .toDF("no_shuffle", "plain_shuffles", "bucketed_eq")
+    },
+
+    "cdc_apply" -> QueryDef(
+      doc = "CDC apply (the missing step between fromCdcJson's decode and the store - the log-compaction contract every Debezium->table sink implements): a keyed profile table built from the early event log (latest row per k = event_id % 1500 below id 6000) absorbs the late log as a change feed (op = 'd' when event_type='error', else 'u'; seq = event_id). Per key only the HIGHEST-seq change speaks (one max_by(struct) aggregation - map-side partials, no rank window); a winning delete removes the key HARD (no tombstone - what merge's replace-only semantics cannot express); untouched table rows pass through a broadcast anti-join, so a tick shuffles |touched keys|, never the table. Because event ids strictly increase, the final state is 'globally latest row per key, gone if that row is a late error-typed change' - which is exactly what the oracle's one window replay computes; the stale-guard and tick-split algebra are cdc_apply_gate's contract",
+      oracle = """
+        WITH base AS (
+          SELECT event_id % 1500 AS k, event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                 event_id AS seq
+          FROM events),
+        w AS (
+          SELECT k, event_type, cents, seq,
+                 row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM base)
+        SELECT k, event_type, cents, seq FROM w
+        WHERE rn = 1 AND (seq < 6000 OR event_type <> 'error')""") {
+      (s, dir) =>
+      import graft.operators.Incremental
+      val base = Tables.load(s, dir, "events")
+        .select((col("event_id") % 1500).as("k"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id").as("seq"))
+      val existing = base.filter(col("seq") < 6000).groupBy("k")
+        .agg(max_by(struct("event_type", "cents", "seq"), col("seq"))
+          .as("__w"))
+        .select(col("k"), col("__w.event_type").as("event_type"),
+          col("__w.cents").as("cents"), col("__w.seq").as("seq"))
+      val changes = base.filter(col("seq") >= 6000)
+        .withColumn("op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+      Incremental.applyChanges(existing, changes, Seq("k"))
+    },
+
+    "cdc_apply_gate" -> QueryDef(
+      doc = "the CDC-apply algebra the hash query cannot see: (1) tick_fold - the late log split into three seq-range ticks folds to EXACTLY the one-shot apply (out-of-order histories straddle tick boundaries, so the per-tick max_by + stored-seq stale guard genuinely compose); (2) replay_noop - REdelivering the LAST tick leaves the table bit-identical (the at-least-once foreachBatch crash-replay case: every redelivered change loses or ties-identical against the stored seq); (3) delete_nonvacuous - keys present in the base table are gone from the final state (hard deletes actually fired); (4) revive_nonvacuous - some deleted-then-reinserted key survives (seq order, not op order, decides); (5) stale_cross_delete - replaying the FIRST tick after the third RESURRECTS some key deleted in between (hard deletes keep no tombstone, so out-of-order tick redelivery is the documented hazard - this field proves the scaladoc's warning is real, not theoretical)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS tick_fold, " +
+        "CAST(1 AS INTEGER) AS replay_noop, " +
+        "CAST(1 AS INTEGER) AS delete_nonvacuous, " +
+        "CAST(1 AS INTEGER) AS revive_nonvacuous, " +
+        "CAST(1 AS INTEGER) AS stale_cross_delete") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Incremental
+      val base = Tables.load(s, dir, "events")
+        .select((col("event_id") % 400).as("k"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"),
+          col("event_id").as("seq")).localCheckpoint(true)
+      val existing = base.filter(col("seq") < 4000).groupBy("k")
+        .agg(max_by(struct("event_type", "cents", "seq"), col("seq"))
+          .as("__w"))
+        .select(col("k"), col("__w.event_type").as("event_type"),
+          col("__w.cents").as("cents"), col("__w.seq").as("seq"))
+        .localCheckpoint(true)
+      val changes = base.filter(col("seq") >= 4000)
+        .withColumn("op",
+          when(col("event_type") === "error", "d").otherwise("u"))
+        .localCheckpoint(true)
+      val oneShot = Incremental.applyChanges(existing, changes, Seq("k"))
+        .localCheckpoint(true)
+      val t1 = changes.filter(col("seq") < 6000)
+      val t2 = changes.filter(col("seq") >= 6000 && col("seq") < 8000)
+      val t3 = changes.filter(col("seq") >= 8000)
+      val f1 = Incremental.applyChanges(existing, t1, Seq("k"))
+      val f2 = Incremental.applyChanges(f1, t2, Seq("k"))
+      val f3 = Incremental.applyChanges(f2, t3, Seq("k"))
+        .localCheckpoint(true)
+      val tickFold = f3.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(f3).count() == 0
+      val replayed = Incremental.applyChanges(f3, t3, Seq("k"))
+      val replayNoop = replayed.exceptAll(f3).count() == 0 &&
+        f3.exceptAll(replayed).count() == 0
+      val deleted = existing.join(oneShot, Seq("k"), "left_anti").count() > 0
+      // a key whose late history is delete-then-upsert: alive at the
+      // end with the post-delete image
+      val revived = changes.filter(col("op") === "d")
+        .select("k").distinct()
+        .join(oneShot.filter(col("seq") >= 4000), Seq("k"), "left_semi")
+        .count() > 0
+      // the documented hazard: a key upserted in t1, deleted in t2/t3,
+      // gone from f3 — replaying t1 OUT OF ORDER resurrects it (no
+      // tombstone survives a hard delete to defend the key)
+      val outOfOrder = Incremental.applyChanges(f3, t1, Seq("k"))
+      val staleCross = outOfOrder.join(f3, Seq("k"), "left_anti").count() > 0
+      Seq((if (tickFold) 1 else 0, if (replayNoop) 1 else 0,
+        if (deleted) 1 else 0, if (revived) 1 else 0,
+        if (staleCross) 1 else 0))
+        .toDF("tick_fold", "replay_noop", "delete_nonvacuous",
+          "revive_nonvacuous", "stale_cross_delete")
     },
 
     "bitext_margin" -> QueryDef(

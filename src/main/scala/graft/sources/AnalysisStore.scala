@@ -96,6 +96,17 @@ object AnalysisStore {
       df: DataFrame, table: String,
       bucketCols: Seq[String], nBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val spark = df.sparkSession
+    // A fresh catalog (new metastore per JVM) may not know `table`
+    // while its prior warehouse dir survives on disk; saveAsTable
+    // refuses to CREATE over a non-empty location, so Overwrite mode
+    // must clear the orphan itself.
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      fsOf(spark, loc.toString).delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

@@ -147,6 +147,26 @@ object VersionedStore {
     spark.read.parquet(versionDir(path, v).toString)
   }
 
+  /** Change data feed between two published versions — what moved
+    * between `vFrom` and `vTo`, by id and content hash: the CDF read
+    * Iceberg/Delta serve from commit logs, recovered here for
+    * full-snapshot stores by diffing the two IMMUTABLE version dirs
+    * ([[graft.operators.Incremental.snapshotDiff]]: one id-keyed
+    * full-outer join of (id, md5) projections — each version scanned
+    * once, reduced to two narrow columns before the exchange).
+    * Because version dirs are immutable and the pointer is not
+    * consulted, the feed is stable under concurrent publishes and
+    * readable for any un-vacuumed pair — including BACKWARD feeds
+    * (vFrom newer than vTo), which is how a rollback's blast radius
+    * is audited before flipping the pointer.
+    */
+  def changesBetween(spark: SparkSession, path: String,
+      vFrom: Int, vTo: Int, idCol: String,
+      contentCol: String): DataFrame =
+    graft.operators.Incremental.snapshotDiff(
+      read(spark, path, Some(vFrom)), read(spark, path, Some(vTo)),
+      idCol, contentCol)
+
   /** Audit view of the store: one row per physical version —
     * (version, n_files, bytes, modified_ms, is_current). Driver-side
     * listing (version count is model-sized by [[vacuum]]'s contract);

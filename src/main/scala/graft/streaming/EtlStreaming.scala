@@ -140,6 +140,188 @@ object EtlStreaming {
         }
       }
 
+  /** Wire a decoded CDC stream ([[fromCdcJson]]'s output shape plus
+    * `opCol`/`seqCol`) into a continuously-maintained keyed table at
+    * `storePath` — the streaming twin of [[graft.operators
+    * .Incremental.applyChanges]] (same fold per tick, so the twins
+    * cannot drift; tick-split ≡ one-shot is the batch gate's pinned
+    * algebra, cdc_apply_gate).
+    *
+    * Unlike [[scd2Ticks]], NO high-water mark column is needed:
+    * applyChanges is idempotent under redelivery by construction
+    * (a redelivered change loses to the stored row's equal-or-higher
+    * seq in the same max_by reduction), so at-least-once foreachBatch
+    * delivery is safe with zero extra state — foreachBatch replays
+    * are always the LATEST batch, which is exactly the in-order
+    * redelivery applyChanges' no-tombstone contract requires. Store swaps are
+    * rename-atomic ([[AnalysisStore.stageAndSwap]]): a tick that dies
+    * mid-write never half-destroys the table.
+    */
+  def cdcApplyTicks(
+      changes: DataFrame,
+      storePath: String,
+      keys: Seq[String],
+      opCol: String = "op", seqCol: String = "seq",
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+          if (exists) {
+            val folded = graft.operators.Incremental.applyChanges(
+              spark.read.parquet(storePath), batch, keys, opCol, seqCol)
+            AnalysisStore.stageAndSwap(spark, storePath) { staging =>
+              folded.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(staging)
+            }
+          } else {
+            // first tick: fold against an empty table of the change
+            // shape (minus op) — inserts land, deletes of absent keys
+            // no-op, exactly the batch semantics
+            val empty = batch.drop(opCol).limit(0)
+            graft.operators.Incremental
+              .applyChanges(empty, batch, keys, opCol, seqCol)
+              .write.parquet(storePath)
+          }
+        }
+      }
+
+  /** Wire a stream of DELETE-REQUEST KEYS (the GDPR-erasure feed)
+    * into a continuously-maintained deletion-vector store for the
+    * table at `tablePath` — the streaming twin of
+    * [[graft.operators.Layout.deletionVector]]. Per tick: one
+    * broadcast-semi-pruned scan of the table finds the requested
+    * keys' physical addresses, and [[graft.operators.Layout.mergeDv]]
+    * folds them into the persisted vector (re-requested keys are
+    * no-ops — erasure feeds redeliver). The data files are NEVER
+    * rewritten by a tick; [[graft.operators.Layout.materializeDv]]
+    * is the scheduled maintenance that folds the vector in.
+    *
+    * Readers compose [[graft.operators.Layout.readWithDv]] with the
+    * vector store; a tick costs one pruned scan + a vector-sized
+    * write, so erasure latency is minutes without touching a single
+    * data file — the point of the DV design.
+    */
+  def dvTicks(
+      deleteKeys: DataFrame,
+      tablePath: String,
+      dvPath: String,
+      keys: Seq[String],
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    deleteKeys.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          val keyCols = keys.map(col)
+          val hit = spark.read.parquet(tablePath)
+            .select(col("_metadata.file_path").as("__raw_file"),
+              col("_metadata.row_index").as("pos"), col("*"))
+            .join(broadcast(batch.select(keyCols: _*).distinct()),
+              keys, "left_semi")
+            .select(regexp_replace(col("__raw_file"), "^file:/+", "/")
+              .as("file"), col("pos"))
+          val fs = new org.apache.hadoop.fs.Path(dvPath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new org.apache.hadoop.fs.Path(dvPath))) {
+            val merged = graft.operators.Layout.mergeDv(
+              spark.read.parquet(dvPath), hit)
+            AnalysisStore.stageAndSwap(spark, dvPath) { staging =>
+              merged.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(staging)
+            }
+          } else hit.distinct().write.parquet(dvPath)
+        }
+      }
+
+  /** Maintain an INNER-JOIN view V = A ⋈ B from a MULTIPLEXED insert
+    * feed — the streaming twin of [[graft.operators.Incremental
+    * .maintainJoinView]], completing stream/batch parity for the
+    * second IVM shape (aggregate views have [[EventsStreaming
+    * .aggViewWindows]]). The stream carries both sides on one topic
+    * (how multi-table CDC actually lands): `sideCol` ∈ "a" | "b"
+    * tags each row, `aCols`/`bCols` project each side's columns
+    * (the other side's are null — ignored by the projection).
+    *
+    * Per tick the Griffin–Libkin insert deltas fold against the
+    * PERSISTED bases, and all four state tables — a, b, view, and
+    * the fold high-water mark — live under ONE store dir and swap in
+    * ONE rename ([[AnalysisStore.stageAndSwap]]): a crash between
+    * tick and checkpoint can never leave bases and view disagreeing,
+    * and a redelivered batch (all `ordCol` ≤ mark, the scd2Ticks
+    * discipline — join folds are NOT naturally idempotent) filters
+    * to empty and no-ops. Insert feed only by contract: deletes go
+    * through [[graft.operators.Incremental.recomputeJoinKeys]] in a
+    * maintenance pass, exactly like the batch family.
+    */
+  def joinViewTicks(
+      tagged: DataFrame,
+      storePath: String,
+      keys: Seq[String],
+      aCols: Seq[String], bCols: Seq[String],
+      sideCol: String = "side", ordCol: String = "ord",
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    tagged.writeStream
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions._
+        val spark = rawBatch.sparkSession
+        val batch = rawBatch.localCheckpoint(true)
+        val fs = new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(new org.apache.hadoop.fs.Path(storePath))
+        val mark =
+          if (exists)
+            spark.read.parquet(s"$storePath/mark")
+              .agg(max(col("mark").cast("long"))).head().getLong(0)
+          else Long.MinValue
+        val fresh = batch.filter(col(ordCol).cast("long") > mark)
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          val dA = fresh.filter(col(sideCol) === "a")
+            .select(aCols.map(col): _*)
+          val dB = fresh.filter(col(sideCol) === "b")
+            .select(bCols.map(col): _*)
+          val (aOld, bOld) =
+            if (exists) (spark.read.parquet(s"$storePath/a"),
+              spark.read.parquet(s"$storePath/b"))
+            else (dA.limit(0), dB.limit(0))
+          val view =
+            if (exists) spark.read.parquet(s"$storePath/view")
+            else aOld.join(bOld, keys)
+          // no checkpoint needed: the staging write reads the still-
+          // intact old store (stageAndSwap renames only afterwards),
+          // so state never has to fit in memory
+          val newView = graft.operators.Incremental.maintainJoinView(
+            view, aOld, dA, bOld, dB, keys)
+          val aNew = aOld.unionByName(dA)
+          val bNew = bOld.unionByName(dB)
+          val newMark =
+            fresh.agg(max(col(ordCol).cast("long"))).head().getLong(0)
+          import spark.implicits._
+          val write = (staging: String) => {
+            aNew.write.parquet(s"$staging/a")
+            bNew.write.parquet(s"$staging/b")
+            newView.write.parquet(s"$staging/view")
+            Seq(newMark).toDF("mark").write.parquet(s"$staging/mark")
+          }
+          if (exists) AnalysisStore.stageAndSwap(spark, storePath)(write)
+          else write(storePath)
+        }
+      }
+
   /** Wire a changed-obs stream into an incrementally-maintained flat
     * table at `storePath`. Caller starts/stops the returned writer
     * (attach `.trigger(...)`/checkpoint options as deployment needs).

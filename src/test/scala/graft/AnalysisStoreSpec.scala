@@ -24,6 +24,26 @@ class AnalysisStoreSpec extends SparkSpec {
     assert(back.columns.contains("d")) // partition column readable
   }
 
+  test("writeBucketed clears an orphaned warehouse dir (fresh-catalog rerun)") {
+    // A new JVM's catalog forgets the table while its warehouse dir
+    // survives on disk; Overwrite must not die on LOCATION_ALREADY_EXISTS.
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+    AnalysisStore.writeBucketed(df, "b_orphan", Seq("k"), nBuckets = 2)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier("b_orphan")))
+    // simulate the fresh catalog: drop the catalog entry only, keep files
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keep = new org.apache.hadoop.fs.Path(loc.toString + "__keep")
+    fs.rename(loc, keep)
+    spark.sql("DROP TABLE IF EXISTS b_orphan")
+    fs.rename(keep, loc)
+    assert(!spark.catalog.tableExists("b_orphan") && fs.exists(loc))
+    AnalysisStore.writeBucketed(df, "b_orphan", Seq("k"), nBuckets = 2)
+    assert(spark.table("b_orphan").count() == 2)
+    spark.sql("DROP TABLE IF EXISTS b_orphan")
+  }
+
   test("co-bucketed tables join with no exchange and prune partitions") {
     import org.apache.spark.sql.functions._
     // two tables bucketed the same way on the join key: the sort-merge

@@ -150,6 +150,121 @@ class EtlStreamingSpec extends SparkSpec {
     assert(siblings == Seq("scd2"), s"leftovers: $siblings")
   }
 
+  test("cdcApplyTicks: streamed folds ≡ one-shot applyChanges; redelivery no-ops without a mark") {
+    // change rows: (k, v, op, seq)
+    val batch1: Seq[(Long, String, String, Long)] = Seq(
+      (1L, "a", "c", 10L), (2L, "b", "c", 11L), (3L, "c", "c", 12L))
+    val batch2: Seq[(Long, String, String, Long)] = Seq(
+      (2L, "B2", "u", 21L), (2L, "B1", "u", 20L), // out of order in-tick
+      (3L, "dead", "d", 22L),                     // hard delete
+      (4L, "d4", "c", 23L))
+    val storePath = Files.createTempDirectory("cdcstream")
+      .resolve("cdc").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val q = EtlStreaming.cdcApplyTicks(
+      mem.toDF().toDF("k", "v", "op", "seq"), storePath, Seq("k"),
+      interval = "0 seconds").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val changes = (batch1 ++ batch2).toDF("k", "v", "op", "seq")
+    val oneShot = graft.operators.Incremental.applyChanges(
+      changes.drop("op").limit(0), changes, Seq("k"))
+    assertSameRows(spark.read.parquet(storePath), oneShot)
+
+    // at-least-once: a fresh stream replays batch2 — every change
+    // loses (or ties with identical image) against the stored seq, so
+    // the store is value-stable with NO high-water column at all
+    val before = spark.read.parquet(storePath).collect().toSet
+    val mem2 = MemoryStream[(Long, String, String, Long)]
+    val q2 = EtlStreaming.cdcApplyTicks(
+      mem2.toDF().toDF("k", "v", "op", "seq"), storePath, Seq("k"),
+      interval = "0 seconds").start()
+    try { mem2.addData(batch2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(spark.read.parquet(storePath).collect().toSet == before)
+    val siblings = new java.io.File(storePath).getParentFile.list().toSeq
+    assert(siblings == Seq("cdc"), s"leftovers: $siblings")
+  }
+
+  test("dvTicks: streamed delete keys maintain the vector; data files untouched; redelivery no-ops") {
+    val root = Files.createTempDirectory("dvticks")
+    val tablePath = root.resolve("t").toString
+    val dvPath = root.resolve("dv").toString
+    val table = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    table.repartition(3).write.parquet(tablePath)
+    val fsPath = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles() = fs.listStatus(fsPath).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    val before = dataFiles()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = EtlStreaming.dvTicks(mem.toDF().toDF("k"), tablePath, dvPath,
+      Seq("k"), interval = "0 seconds").start()
+    try {
+      mem.addData(7L, 13L); q.processAllAvailable()
+      assert(spark.read.parquet(dvPath).count() == 2)
+      mem.addData(13L, 42L); q.processAllAvailable() // 13 redelivered
+    } finally q.stop()
+    assert(spark.read.parquet(dvPath).count() == 3)
+    val read = graft.operators.Layout.readWithDv(
+      spark, tablePath, spark.read.parquet(dvPath))
+    assertSameRows(read, table.filter(!col("k").isin(7L, 13L, 42L)))
+    // the erasure path never rewrites a data file
+    assert(dataFiles() == before)
+  }
+
+  test("joinViewTicks: multiplexed insert feed; view ≡ full rebuild; trio swaps atomically; redelivery no-ops") {
+    // tagged rows: (side, k, av, bv, ord) — av null for b-rows, bv for a-rows
+    val b1: Seq[(String, Long, String, String, Long)] = Seq(
+      ("a", 1L, "a1", null, 1L), ("a", 2L, "a2", null, 2L),
+      ("b", 1L, null, "b1", 3L), ("b", 3L, null, "b3e", 4L))
+    val b2: Seq[(String, Long, String, String, Long)] = Seq(
+      ("a", 3L, "a3", null, 5L),                      // late order meets early line
+      ("b", 2L, null, "b2", 6L), ("b", 3L, null, "b3l", 7L),
+      ("b", 9L, null, "b9", 8L))                      // unmatched key
+    val storePath = Files.createTempDirectory("jvticks")
+      .resolve("jv").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long, String, String, Long)]
+    val q = EtlStreaming.joinViewTicks(
+      mem.toDF().toDF("side", "k", "av", "bv", "ord"), storePath,
+      Seq("k"), aCols = Seq("k", "av"), bCols = Seq("k", "bv"),
+      interval = "0 seconds").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def allRows(rows: Seq[(String, Long, String, String, Long)], side: String, c: String) = rows
+      .filter(_._1 == side)
+      .map(r => (r._2, if (side == "a") r._3 else r._4))
+      .toDF("k", c)
+    val aFull = allRows(b1 ++ b2, "a", "av")
+    val bFull = allRows(b1 ++ b2, "b", "bv")
+    assertSameRows(spark.read.parquet(s"$storePath/view"),
+      aFull.join(bFull, Seq("k")))
+    assertSameRows(spark.read.parquet(s"$storePath/a"), aFull)
+    assertSameRows(spark.read.parquet(s"$storePath/b"), bFull)
+    // redelivery on a fresh stream: all ords ≤ mark → byte-stable
+    val before = spark.read.parquet(s"$storePath/view").collect().toSet
+    val mem2 = MemoryStream[(String, Long, String, String, Long)]
+    val q2 = EtlStreaming.joinViewTicks(
+      mem2.toDF().toDF("side", "k", "av", "bv", "ord"), storePath,
+      Seq("k"), aCols = Seq("k", "av"), bCols = Seq("k", "bv"),
+      interval = "0 seconds").start()
+    try { mem2.addData(b2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    assert(spark.read.parquet(s"$storePath/view").collect().toSet == before)
+    // one-rename swap leaves no staging/backup siblings
+    val siblings = new java.io.File(storePath).getParentFile.list().toSeq
+    assert(siblings == Seq("jv"), s"leftovers: $siblings")
+  }
+
   test("scd2Ticks: IntegerType order column survives the mark round-trip") {
     // regression: the mark reads used getLong directly, which threw
     // ClassCastException on an int event id at the FIRST STORE READ

@@ -258,6 +258,107 @@ class IncrementalSpec extends SparkSpec {
     assert(err.getMessage.contains("distributive only"))
   }
 
+  test("maintainJoinView: all three delta families land exactly once; == rebuild") {
+    val aOld = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val dA = Seq((3L, "a3")).toDF("k", "av")
+    val bOld = Seq((1L, "b1"), (3L, "b3e")).toDF("k", "bv") // 3: early line of a LATE order
+    val dB = Seq((2L, "b2"), (3L, "b3l"), (9L, "b9")).toDF("k", "bv")
+    val view = aOld.join(bOld, Seq("k"))
+    val maintained = Incremental.maintainJoinView(
+      view, aOld, dA, bOld, dB, Seq("k"))
+    val rebuilt = aOld.unionByName(dA).join(bOld.unionByName(dB), Seq("k"))
+    // covers: dA x bOld (3,a3,b3e), aOld x dB (2,a2,b2),
+    // dA x dB (3,a3,b3l) — each exactly once; unmatched dB key 9 drops
+    assert(maintained.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(maintained).count() == 0)
+    assert(maintained.count() == 4)
+  }
+
+  test("recomputeJoinKeys: row-granular delete keeps the key's surviving pairs") {
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
+    val b = Seq((1L, "b1"), (1L, "b1x"), (2L, "b2")).toDF("k", "bv")
+    val view = a.join(b, Seq("k"))
+    // delete ONE of key 1's two b-rows: an anti-join-only fix would
+    // lose (1, a1, b1x); the recompute must keep it
+    val doomed = Seq((1L, "b1")).toDF("k", "bv")
+    val bNew = b.exceptAll(doomed)
+    val fixed = Incremental.recomputeJoinKeys(view, a, bNew, doomed, Seq("k"))
+    val rebuilt = a.join(bNew, Seq("k"))
+    assert(fixed.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(fixed).count() == 0)
+    assert(fixed.filter($"k" === 1L).count() == 1)
+  }
+
+  test("applyChanges: upsert/delete/out-of-order in one tick; untouched rows never shuffle in") {
+    val existing = Seq((1L, "a", 10L), (2L, "b", 11L), (3L, "c", 12L))
+      .toDF("k", "v", "seq")
+    val changes = Seq(
+      (2L, "B-new", "u", 21L), (2L, "B-mid", "u", 20L), // out of order: 21 wins
+      (3L, "dead", "d", 22L),                           // hard delete
+      (4L, "d4", "c", 23L),                             // insert
+      (5L, "ghost", "d", 24L)                           // delete of absent key: no-op
+    ).toDF("k", "v", "op", "seq")
+    val out = Incremental.applyChanges(existing, changes, Seq("k"))
+      .orderBy("k").select("k", "v", "seq").as[(Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "B-new", 21L), (4L, "d4", 23L)))
+  }
+
+  test("applyChanges: stale change loses to the stored row; delete-then-reinsert by seq") {
+    val existing = Seq((1L, "fresh", 50L)).toDF("k", "v", "seq")
+    // a replayed old update (seq 40 < stored 50) must not regress
+    val stale = Seq((1L, "old", "u", 40L)).toDF("k", "v", "op", "seq")
+    val kept = Incremental.applyChanges(existing, stale, Seq("k"))
+      .as[(Long, String, Long)].collect()
+    assert(kept.toSeq == Seq((1L, "fresh", 50L)))
+    // delete at 60 then re-insert at 61: the key survives with the new image
+    val dr = Seq((1L, null.asInstanceOf[String], "d", 60L), (1L, "re", "c", 61L))
+      .toDF("k", "v", "op", "seq")
+    val re = Incremental.applyChanges(existing, dr, Seq("k"))
+      .as[(Long, String, Long)].collect()
+    assert(re.toSeq == Seq((1L, "re", 61L)))
+    // ... and with the delete winning (re-insert replayed stale) the key is gone
+    val dw = Seq((1L, "re", "c", 55L), (1L, null.asInstanceOf[String], "d", 60L))
+      .toDF("k", "v", "op", "seq")
+    assert(Incremental.applyChanges(existing, dw, Seq("k")).count() == 0)
+  }
+
+  test("applyChanges: N tick splits == one-shot fold; redelivery idempotent") {
+    val existing = Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "v", "seq")
+    val log = Seq(
+      (1L, "a2", "u", 10L), (2L, "x", "d", 11L), (3L, "c", "c", 12L),
+      (1L, "a3", "u", 13L), (3L, "y", "d", 14L), (4L, "d4", "c", 15L))
+      .toDF("k", "v", "op", "seq")
+    val oneShot = Incremental.applyChanges(existing, log, Seq("k"))
+    // split mid-key-history (key 1's and 3's changes straddle ticks)
+    val t1 = log.filter($"seq" <= 12L)
+    val t2 = log.filter($"seq" > 12L)
+    val folded = Incremental.applyChanges(
+      Incremental.applyChanges(existing, t1, Seq("k")), t2, Seq("k"))
+    assert(folded.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(folded).count() == 0)
+    // at-least-once: re-applying the last tick is a no-op
+    val again = Incremental.applyChanges(folded, t2, Seq("k"))
+    assert(again.exceptAll(folded).count() == 0 &&
+      folded.exceptAll(again).count() == 0)
+  }
+
+  test("applyChanges: schema evolution both ways — stored-only column survives a stored win") {
+    // table carries `x` the feed stopped carrying; feed carries `w`
+    // the table predates
+    val existing = Seq((1L, "a", "keepme", 50L), (2L, "b", "x2", 2L))
+      .toDF("k", "v", "x", "seq")
+    val changes = Seq(
+      (1L, "stale", "late-w", "u", 40L),  // loses: stored x must survive
+      (2L, "b2", "w2", "u", 60L))         // wins: x nulls, w lands
+      .toDF("k", "v", "w", "op", "seq")
+    val out = Incremental.applyChanges(existing, changes, Seq("k"))
+      .orderBy("k").select("k", "v", "x", "w", "seq")
+      .as[(Long, String, Option[String], Option[String], Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, "a", Some("keepme"), None, 50L),
+      (2L, "b2", None, Some("w2"), 60L)))
+  }
+
   test("foldAggViews == iterated pairwise mergeAggViews") {
     import graft.operators.Incremental.AggCol
     val specs = Seq(AggCol("cnt", "count", ""), AggCol("s", "sum", "v"),

@@ -357,4 +357,85 @@ class LayoutSpec extends SparkSpec {
       .select("o_orderkey", "zval").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("deletion vector: readWithDv == predicate-filtered table; empty vector reads all") {
+    val src = Files.createTempDirectory("dv").resolve("t").toString
+    orders.repartition(4).write.parquet(src)
+    val pred = col("o_custkey") % 10 === 3
+    val dv = Layout.deletionVector(spark, src, pred).localCheckpoint(true)
+    assert(dv.count() > 0 &&
+      dv.count() == orders.filter(pred).count())
+    val read = Layout.readWithDv(spark, src, dv)
+    val want = orders.filter(!pred)
+    assert(read.exceptAll(want).count() == 0 &&
+      want.exceptAll(read).count() == 0)
+    assert(read.columns.toSeq == orders.columns.toSeq,
+      "address columns must not leak")
+    val empty = dv.filter(lit(false))
+    assert(Layout.readWithDv(spark, src, empty).count() == orders.count())
+  }
+
+  test("mergeDv accumulates; re-deleting an already-vectored row is a no-op") {
+    val src = Files.createTempDirectory("dvm").resolve("t").toString
+    orders.repartition(3).write.parquet(src)
+    val dv1 = Layout.deletionVector(spark, src, col("o_orderkey") % 7 === 0)
+    val dv2 = Layout.deletionVector(spark, src, col("o_orderkey") % 7 === 1)
+    val merged = Layout.mergeDv(dv1, dv2)
+    assert(merged.count() == dv1.count() + dv2.count())
+    // overlap: dv1 re-merged changes nothing
+    assert(Layout.mergeDv(merged, dv1).count() == merged.count())
+    val read = Layout.readWithDv(spark, src, merged)
+    val want = orders.filter(col("o_orderkey") % 7 > 1)
+    assert(read.exceptAll(want).count() == 0 &&
+      want.exceptAll(read).count() == 0)
+  }
+
+  test("materializeDv: clean files byte-identical, dst == readWithDv, counts honest") {
+    val root = Files.createTempDirectory("dvmat")
+    val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
+    // isolate the vectored rows in SOME files: write key-partitioned
+    // ranges so a key-range predicate dirties only its files
+    orders.repartitionByRange(4, col("o_orderkey")).write.parquet(src)
+    val lo = orders.agg(min("o_orderkey")).head().getLong(0)
+    val pred = col("o_orderkey") <= lo + 50
+    val dv = Layout.deletionVector(spark, src, pred).localCheckpoint(true)
+    val st = Layout.materializeDv(spark, src, dv, dst)
+    assert(st.nIn == 4 && st.rewritten >= 1 && st.kept >= 1 &&
+      st.kept + st.rewritten == 4, s"unexpected $st")
+    assert(st.dropped == dv.count())
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> f.getLen).toMap
+    val srcFiles = files(src)
+    val kept = files(dst).filter { case (n, _) => srcFiles.contains(n) }
+    assert(kept.size == st.kept)
+    kept.foreach { case (n, len) =>
+      assert(len == srcFiles(n), s"clean file $n must be byte-copied") }
+    val out = spark.read.parquet(dst)
+    val want = Layout.readWithDv(spark, src, dv)
+    assert(out.exceptAll(want).count() == 0 &&
+      want.exceptAll(out).count() == 0)
+  }
+
+  test("materializeDv refuses stale vectors and partitioned layouts loudly") {
+    val root = Files.createTempDirectory("dvbad")
+    val src = root.resolve("s").toString
+    orders.repartition(2).write.parquet(src)
+    val alien = Seq(("/nowhere/else.parquet", 0L)).toDF("file", "pos")
+    val e1 = intercept[IllegalArgumentException] {
+      Layout.materializeDv(spark, src, alien, root.resolve("d1").toString)
+    }
+    assert(e1.getMessage.contains("stale vector"))
+    val part = root.resolve("p").toString
+    orders.withColumn("b", col("o_orderkey") % 2)
+      .write.partitionBy("b").parquet(part)
+    val e2 = intercept[IllegalArgumentException] {
+      Layout.materializeDv(spark, part,
+        alien.filter(lit(false)), root.resolve("d2").toString)
+    }
+    assert(e2.getMessage.contains("partition"))
+  }
 }

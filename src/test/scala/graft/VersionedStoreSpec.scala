@@ -115,4 +115,28 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.read(spark, path).as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("changesBetween classifies by id+content; backward feed flips added/removed") {
+    val path = Files.createTempDirectory("vcdf").resolve("t").toString
+    val v1 = VersionedStore.publish(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "content"))
+    val v2 = VersionedStore.publish(spark, path,
+      Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("id", "content"))
+    val fwd = VersionedStore.changesBetween(spark, path, v1, v2,
+      "id", "content")
+      .as[(Long, String)].collect().toMap
+    assert(fwd == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+    // backward: the rollback-audit read — adds and removes swap roles
+    val bwd = VersionedStore.changesBetween(spark, path, v2, v1,
+      "id", "content")
+      .as[(Long, String)].collect().toMap
+    assert(bwd == Map(1L -> "added", 2L -> "unchanged",
+      3L -> "modified", 4L -> "removed"))
+    // the feed reads version DIRS, not the pointer: rolling back
+    // changes nothing about an already-computed pair
+    VersionedStore.rollback(spark, path, v1)
+    assert(VersionedStore.changesBetween(spark, path, v1, v2,
+      "id", "content").as[(Long, String)].collect().toMap == fwd)
+  }
+
 }
