@@ -353,6 +353,104 @@ object Layout {
     }
   }
 
+  /** Record-level point index: key → the sorted set of files holding
+    * that key — the lookup structure min/max skipping CANNOT be for a
+    * high-cardinality key scattered across files (every file's
+    * [min, max] spans every probe, so [[fileIndex]] prunes nothing;
+    * the layout_pointindex_gate measures exactly that). The Hudi
+    * record-index / database secondary-index design recovered as a
+    * derived TABLE: |distinct keys| rows, built by one distributed
+    * scan of (key, file) pairs and maintained like any other table —
+    * it is never collected; only a probe's surviving file list
+    * (≤ |probe| × files-per-key) ever reaches the driver, bounded.
+    *
+    * At 100 TB this is the needle-in-haystack answer: a point lookup
+    * opens the handful of files that CONTAIN the key instead of
+    * scanning (or even footer-reading) the table. File paths are
+    * [[normFile]]-normalized and the array sorted, so
+    * [[mergeKeyIndex]] over [[keyIndexDelta]] equals a rebuild
+    * exactly.
+    */
+  def keyIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      key: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col(key), normFileCol(col("_metadata.file_path")).as("f"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_set(col("f"))).as("files"))
+
+  /** Index rows for ONLY the files `existing` has not seen — the
+    * append-maintenance twin of [[keyIndex]] (same contract as
+    * [[fileIndexDelta]]: a daily append costs one narrow scan of the
+    * new files). Fold with [[mergeKeyIndex]]; merge ≡ rebuild is
+    * gate-pinned by layout_pointindex_gate.
+    */
+  def keyIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: String, existing: DataFrame,
+      maxFiles: Int = 1 << 20): DataFrame = {
+    val have = ModelCollect.bounded(
+        existing.select(explode(col("files")).as("f")).distinct(),
+        maxFiles, "existing key-index file entries")
+      .map(r => normFile(r.getString(0))).toSet
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    val listed = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    val fresh = listed
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString)
+      .filterNot(f => have.contains(normFile(f)))
+    require(fresh.size <= maxFiles,
+      s"keyIndexDelta: ${fresh.size} new files exceed the $maxFiles cap")
+    val base = spark.read.parquet(path)
+    if (fresh.isEmpty) keyIndex(spark, path, key).filter(lit(false))
+    else spark.read.option("basePath", path).schema(base.schema)
+      .parquet(fresh: _*)
+      .select(col(key), normFileCol(col("_metadata.file_path")).as("f"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_set(col("f"))).as("files"))
+  }
+
+  /** Fold a [[keyIndexDelta]] into an existing [[keyIndex]]: one
+    * key-hash exchange over index-sized inputs; re-sorting the
+    * distinct union keeps the array canonical, so the fold is
+    * associative, idempotent per file, and bit-equal to a rebuild.
+    */
+  def mergeKeyIndex(existing: DataFrame, delta: DataFrame): DataFrame = {
+    val keyCols = existing.columns.filterNot(_ == "files").map(col)
+    existing.unionByName(delta)
+      .groupBy(keyCols: _*)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("files")))))
+        .as("files"))
+  }
+
+  /** Answer `key IN values` by opening ONLY the files the index names
+    * for those keys. The index filter runs distributed; the surviving
+    * file list comes to the driver through [[ModelCollect.bounded]]
+    * (its size is probe-bounded, not table-bounded). The residual
+    * IN-filter re-applies to the opened rows, so the result is
+    * row-identical to a full filtered scan even against a stale-
+    * superset index — soundness carries correctness, the index only
+    * carries IO. Driven end-to-end by layout_pointindex (hash vs the
+    * full-scan oracle).
+    */
+  def pointLookup(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, key: String, values: Seq[Any],
+      maxFiles: Int = 65536): DataFrame = {
+    require(values.nonEmpty, "point lookup needs at least one probe")
+    val files = ModelCollect.bounded(
+        index.filter(col(key).isin(values: _*))
+          .select(explode(col("files")).as("f")).distinct(),
+        maxFiles,
+        "point-lookup file list (probe too broad for a point index — " +
+          "fall back to the plain filtered scan)")
+      .map(_.getString(0))
+    val base = spark.read.parquet(path)
+    if (files.isEmpty) base.filter(lit(false))
+    else spark.read.option("basePath", path).schema(base.schema)
+      .parquet(files: _*).filter(col(key).isin(values: _*))
+  }
+
   /** What [[compactTo]] did: input file count, well-sized files kept
     * (byte-copied), small files packed, and the number of packed
     * output bins.
@@ -422,6 +520,93 @@ object Layout {
         n
       }
     Compaction(files.size, ok.size, small.size, bins)
+  }
+
+  /** What [[compactPartitioned]] did across a partitioned layout:
+    * leaf partition dirs visited, dirs compacted (had enough small
+    * files to pack), dirs skipped (byte-copied whole — the selective-
+    * maintenance rule applied at partition granularity), and the
+    * summed per-file [[Compaction]] stats.
+    */
+  final case class PartCompaction(partitions: Int, compacted: Int,
+      skippedDirs: Int, files: Compaction)
+
+  /** [[compactTo]] for hive-partitioned layouts — compaction recurses
+    * per PARTITION DIR (bins must never mix partitions: a packed file
+    * carries its partition values in the DIRECTORY name, so a
+    * cross-partition bin would corrupt reads). Each leaf dir gets the
+    * selective-compaction treatment at two granularities: a dir with
+    * fewer than `minSmallFiles` small files is byte-copied whole
+    * (nothing worth packing — the months-old cold partitions that
+    * dominate a 100 TB table cost a storage copy, never a compute
+    * job), and inside a compacted dir well-sized files are still
+    * byte-copied by [[compactTo]]'s own rule.
+    *
+    * Layout contract: every data file must live under `k=v` partition
+    * dirs — mixed layouts (top-level parquet next to partition dirs,
+    * or non-hive subdirs) are rejected loudly, the same row-loss
+    * guard [[compactTo]] applies to the flat case. Multi-level
+    * partitioning recurses; dir names are preserved verbatim so the
+    * destination reads with identical partition values.
+    *
+    * Driver loop is partition-count-sized (the table's dir tree, not
+    * its rows); at scale a maintenance tick bounds it by compacting
+    * only the partitions a [[fileIndexDelta]]-style listing flags as
+    * fragmented — `minSmallFiles` is that knob's local form.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String, targetBytes: Long,
+      minSmallFiles: Int = 2, maxFiles: Int = 1 << 20): PartCompaction = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcPath).getFileSystem(conf)
+    def walk(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): PartCompaction = {
+      val entries = fs.listStatus(src).toSeq
+        .filterNot { e =>
+          val n = e.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+      val (dirs, files) = entries.partition(_.isDirectory)
+      if (dirs.isEmpty) {
+        // leaf partition: selective — byte-copy cold dirs whole
+        val parquet = files.filter(_.getPath.getName.endsWith(".parquet"))
+        val small = parquet.count(_.getLen < targetBytes / 2)
+        if (small < minSmallFiles) {
+          fs.mkdirs(dst)
+          parquet.foreach(f => org.apache.hadoop.fs.FileUtil.copy(
+            fs, f.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, f.getPath.getName),
+            false, conf))
+          PartCompaction(1, 0, 1,
+            Compaction(parquet.size, parquet.size, 0, 0))
+        } else PartCompaction(1, 1, 0,
+          compactTo(spark, src.toString, dst.toString, targetBytes,
+            maxFiles))
+      } else {
+        require(files.forall(!_.getPath.getName.endsWith(".parquet")),
+          s"compactPartitioned: $src mixes top-level parquet files " +
+            "with partition directories — a compacted copy would " +
+            "lose rows on swap")
+        require(dirs.forall(_.getPath.getName.contains("=")),
+          s"compactPartitioned: $src holds non-hive subdirectories " +
+            s"(${dirs.map(_.getPath.getName).filterNot(_.contains("="))
+              .take(3).mkString(", ")}…)")
+        dirs.map(d => walk(d.getPath,
+            new org.apache.hadoop.fs.Path(dst, d.getPath.getName)))
+          .foldLeft(PartCompaction(0, 0, 0, Compaction(0, 0, 0, 0))) {
+            (a, b) => PartCompaction(
+              a.partitions + b.partitions, a.compacted + b.compacted,
+              a.skippedDirs + b.skippedDirs,
+              Compaction(a.files.nIn + b.files.nIn,
+                a.files.kept + b.files.kept,
+                a.files.packed + b.files.packed,
+                a.files.bins + b.files.bins))
+          }
+      }
+    }
+    walk(new org.apache.hadoop.fs.Path(srcPath),
+      new org.apache.hadoop.fs.Path(dstPath))
   }
 
   /** Column form of [[normFile]] — deletion-vector joins normalize

@@ -50,4 +50,56 @@ object TimeSeries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("value_ff"))
   }
+
+  /** Rolling z-score anomaly flags over each key's daily series — the
+    * monitoring primitive next to [[resampleDailyFF]]: a day is
+    * anomalous when its total deviates from the key's own trailing
+    * baseline by more than `k` standard deviations. The baseline is
+    * the `n` PRECEDING observed days (`ROWS BETWEEN n PRECEDING AND 1
+    * PRECEDING`) — excluding the current point, so an outlier never
+    * pollutes its own yardstick, and warm-up days (fewer than `n`
+    * prior observations) never flag.
+    *
+    * Exactness: the z-test is decided in INTEGER algebra. With S and
+    * SS the window's sum and sum of squares over cents,
+    * |x − S/n| > k·σ rearranges (multiplying through by n²(n−1), all
+    * positive) to
+    *   (n−1)·(n·x − S)² > k²·n·(n·SS − S²)
+    * — no sqrt, no division, every term BIGINT, so the flag is
+    * bit-deterministic cross-engine (the events_anomaly oracle
+    * replays the same inequality). Overflow envelope: per-key daily
+    * cents |x| ≤ ~10^6 with n ≤ 30 keeps every term under 2^63;
+    * per-USER grouping keeps magnitudes in that envelope at any
+    * corpus scale (growth adds keys, not cents — the same argument
+    * as the IVM cents-integerization).
+    *
+    * Scale shape: one map-side daily reduction, then one running
+    * window per key over that key's observed days — the exchange is
+    * on uniform key ids and each partition is span-bounded, the
+    * resample family's contract.
+    */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, n: Int = 7, k: Int = 3): DataFrame = {
+    require(n >= 2, "baseline needs at least two points")
+    val daily = df.select(col(keyCol).as("__k"),
+        to_date(col(tsCol)).as("__d"),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+      .groupBy(col("__k"), col("__d")).agg(sum(col("__c")).as("cents"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__d"))
+      .rowsBetween(-n, -1)
+    val nn = lit(n.toLong)
+    val stat = daily.select(col("__k"), col("__d"), col("cents"),
+      count(col("cents")).over(w).as("__n"),
+      sum(col("cents")).over(w).as("__s"),
+      sum(col("cents") * col("cents")).over(w).as("__ss"))
+    val dev = nn * col("cents") - col("__s")
+    val flag = when(col("__n") < n, lit(0))
+      .when((nn - 1L) * dev * dev >
+        lit(k.toLong * k) * nn * (nn * col("__ss") - col("__s") * col("__s")),
+        lit(1))
+      .otherwise(lit(0))
+    stat.select(col("__k").as(keyCol),
+      date_format(col("__d"), "yyyy-MM-dd").as("day"),
+      col("cents"), flag.as("is_anomaly"))
+  }
 }

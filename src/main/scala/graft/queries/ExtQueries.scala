@@ -2648,6 +2648,97 @@ object ExtQueries {
         .toDF("compact_counts_ok", "compact_kept_bytes_ok", "compact_rows_ok")
     },
 
+    "layout_compact_part" -> QueryDef(
+      doc = "partitioned compaction end-to-end: orders partitioned by bucket = o_custkey % 4, each bucket dir fragmented into ~10 small files plus one well-sized file, compacted per PARTITION DIR (bins never mix partitions - a packed file's partition values live in its directory name, so a cross-partition bin would corrupt reads); the compacted copy reads row-identically with the partition column intact, which is what this hash asserts against the raw source table. The selective rules compose at two granularities (cold dirs byte-copied whole, well-sized files inside hot dirs byte-copied) - layout_compact_part_gate's contract",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(o_custkey % 4 AS INTEGER) AS bucket
+        FROM orders""") { (s, dir) =>
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("bucket", (col("o_custkey") % 4).cast("int"))
+      val root = java.nio.file.Files.createTempDirectory("graft-cpart")
+      val (src, dst) =
+        (root.resolve("src").toString, root.resolve("dst").toString)
+      orders.repartition(10).write.partitionBy("bucket").parquet(src)
+      Layout.compactPartitioned(s, src, dst,
+        targetBytes = 1L << 21, minSmallFiles = 2)
+      s.read.parquet(dst)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("bucket").cast("int").as("bucket"))
+    },
+
+    "layout_compact_part_gate" -> QueryDef(
+      doc = "partitioned-compaction guarantees: four fragmented bucket dirs (10 smalls + 1 well-sized each, target = the big file's own length so the split is size-relative) plus one COLD single-file dir (bucket=9). (1) counts - 5 leaf dirs visited, 4 compacted, the cold dir skipped (byte-copied whole, never read as a compute job - the selective-maintenance rule at partition granularity); (2) clean_bytes - every kept file preserved at its exact byte length IN ITS OWN partition dir (never re-encoded, never moved across partitions); (3) packed per dir - each hot dir's file count shrinks and dst holds exactly kept+bins files per dir, bins never mix partitions; (4) rows - dst reads row-identical to src including partition values; (5) mixed layouts (top-level parquet next to partition dirs) rejected loudly",
+      oracle = "SELECT CAST(1 AS INTEGER) AS part_counts_ok, " +
+        "CAST(1 AS INTEGER) AS part_clean_bytes_ok, " +
+        "CAST(1 AS INTEGER) AS part_bins_ok, " +
+        "CAST(1 AS INTEGER) AS part_rows_ok, " +
+        "CAST(1 AS INTEGER) AS part_mixed_rejected") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft-cpartg")
+      val (src, dst) =
+        (root.resolve("src").toString, root.resolve("dst").toString)
+      val hot = orders.withColumn("bucket", (col("o_custkey") % 4).cast("int"))
+      hot.repartition(10).write.partitionBy("bucket").parquet(src)
+      hot.repartition(1).write.mode("append").partitionBy("bucket")
+        .parquet(src)
+      // the cold partition: one file, nothing to pack
+      orders.limit(500).withColumn("bucket", lit(9))
+        .repartition(1).write.mode("append").partitionBy("bucket")
+        .parquet(src)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      def leafFiles(p: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      def dirs(p: String) =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+          .filter(e => e.isDirectory && e.getPath.getName.contains("="))
+          .map(_.getPath.getName).sorted
+      val target = dirs(src).flatMap(d => leafFiles(s"$src/$d"))
+        .map(_.getLen).max
+      val st = Layout.compactPartitioned(s, src, dst,
+        targetBytes = target, minSmallFiles = 2)
+      val countsOk = st.partitions == 5 && st.compacted == 4 &&
+        st.skippedDirs == 1 && st.files.kept == 4 + 1 &&
+        st.files.packed == 40
+      val cleanOk = dirs(src).forall { d =>
+        val srcKept = leafFiles(s"$src/$d")
+          .filter(f => d == "bucket=9" || f.getLen >= target / 2)
+          .map(f => f.getPath.getName -> f.getLen).toMap
+        val dstFs = leafFiles(s"$dst/$d")
+          .map(f => f.getPath.getName -> f.getLen).toMap
+        srcKept.forall { case (n, len) => dstFs.get(n).contains(len) }
+      }
+      val binsOk = dirs(src).filterNot(_ == "bucket=9").forall { d =>
+        leafFiles(s"$dst/$d").size < leafFiles(s"$src/$d").size
+      } && dirs(src) == dirs(dst)
+      val srcRead = s.read.parquet(src)
+      val dstRead = s.read.parquet(dst)
+      val rowsOk = dstRead.exceptAll(srcRead).count() == 0 &&
+        srcRead.exceptAll(dstRead).count() == 0
+      val mixed = root.resolve("mixed").toString
+      orders.limit(10).withColumn("bucket", lit(1))
+        .write.partitionBy("bucket").parquet(mixed)
+      orders.limit(10).write.mode("append").parquet(mixed)
+      val rejected = try {
+        Layout.compactPartitioned(s, mixed,
+          root.resolve("mdst").toString, target)
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("mixes") }
+      Seq((if (countsOk) 1 else 0, if (cleanOk) 1 else 0,
+        if (binsOk) 1 else 0, if (rowsOk) 1 else 0,
+        if (rejected) 1 else 0))
+        .toDF("part_counts_ok", "part_clean_bytes_ok", "part_bins_ok",
+          "part_rows_ok", "part_mixed_rejected")
+    },
+
     "layout_index_delta_gate" -> QueryDef(
       doc = "incremental file-index maintenance (merge == rebuild for the layout family): index a 8-file orders layout, append 4 more files, fileIndexDelta must stat ONLY the 4 new files, and existing UNION delta must equal a full fileIndex rebuild EXACTLY (per-file stats are independent, so the incremental path is lossless) - plus the empty-delta edge: a second delta against the merged index is 0 rows",
       oracle = "SELECT CAST(1 AS INTEGER) AS idx_delta_only_new, " +
@@ -2738,6 +2829,149 @@ object ExtQueries {
         if (mergeNoop) 1 else 0))
         .toDF("mat_eq", "clean_bytes", "dv_sized", "split_nonvacuous",
           "merge_noop")
+    },
+
+    "layout_dpp_gate" -> QueryDef(
+      doc = "dynamic partition pruning driver-visible (the star-schema scan killer at 100 TB: the selective predicate lives on the DIM, so static pruning cannot see it, and without runtime pruning the partitioned fact scans WHOLE): lineitem written partitioned by ship month (~83 dirs), joined on the partition column to a month-dim whose YEAR attribute comes out of an AGGREGATE (max over the group - semantically the month's year, but opaque to InferFiltersFromConstraints, which would otherwise rewrite a plain substring alias into a STATIC fact filter and make the runtime claim vacuous) filtered to 1997. Gate: (1) dpp_planned - the executed fact scan carries a dynamicpruningexpression partition filter; (2) dpp_pruned - the scan's numPartitions metric records 12 of the ~83 partitions actually listed (runtime pruning, not plan cosmetics; scans found by recursing through AQE QueryStageExec wrappers, which plain collect misses); (3) rows_eq - the identical query with spark.sql.optimizer.dynamicPartitionPruning.enabled=false returns the same rows AND its fact scan lists ALL ~83 partitions (proving no static rewrite exists and the knob changed IO, nothing else)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS dpp_planned, " +
+        "CAST(1 AS INTEGER) AS dpp_pruned, " +
+        "CAST(1 AS INTEGER) AS rows_eq") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      val root = java.nio.file.Files.createTempDirectory("graft-dpp")
+      val factPath = root.resolve("fact").toString
+      graft.sources.AnalysisStore.writeFull(
+        lines, factPath, partitionBy = Seq("ship_month"))
+      val fact = s.read.parquet(factPath)
+      // month dim built from the SOURCE table (not the partitioned
+      // store) so its scan shares no files with the fact side; the
+      // year attribute hides behind max() so constraint propagation
+      // cannot turn the dim filter into a static fact filter
+      val dim = lines.groupBy(col("ship_month"))
+        .agg(max(substring(col("ship_month"), 1, 4)).as("ship_year"))
+      def q() = fact
+        .join(dim.filter(col("ship_year") === "1997"), Seq("ship_month"))
+        .groupBy("ship_month")
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+      // After execution the fact scan sits inside AQE QueryStageExec
+      // wrappers, which plain collect/collectWithSubqueries do NOT
+      // descend into — recurse through stage plans explicitly.
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+        val direct = p.collectWithSubqueries {
+          case f: FileSourceScanExec => f }
+        val nested = p.collectWithSubqueries {
+          case qs: QueryStageExec => qs.plan
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+        }.filterNot(_ eq p).flatMap(allScans)
+        direct ++ nested
+      }
+      def run(df: org.apache.spark.sql.DataFrame) = {
+        val qe = df.queryExecution
+        qe.toRdd.count() // execute: finalizes AQE, fills scan metrics
+        val factScans = allScans(qe.executedPlan).distinct.filter(
+          _.relation.location.rootPaths
+            .exists(_.toString.contains("graft-dpp")))
+        val partsRead = factScans
+          .flatMap(_.metrics.get("numPartitions").map(_.value)).sum
+        (partsRead, qe.executedPlan.toString)
+      }
+      val (onParts, onPlan) = run(q())
+      val onRows = q().localCheckpoint(true) // DPP-on result, pinned
+      val fs = new org.apache.hadoop.fs.Path(factPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val totalParts = fs
+        .listStatus(new org.apache.hadoop.fs.Path(factPath)).toSeq
+        .count(st => st.isDirectory && st.getPath.getName.contains("="))
+      val planned = onPlan.contains("dynamicpruningexpression")
+      val pruned = totalParts > 24 && onParts == 12
+      val prev = s.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      val rowsEq = try {
+        val offDf = q()
+        val (offParts, offPlan) = run(offDf)
+        val off = offDf.localCheckpoint(true)
+        !offPlan.contains("dynamicpruningexpression") &&
+          offParts == totalParts && // full scan: no static rewrite
+          onRows.exceptAll(off).count() == 0 &&
+          off.exceptAll(onRows).count() == 0
+      } finally s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+      Seq((if (planned) 1 else 0, if (pruned) 1 else 0,
+        if (rowsEq) 1 else 0))
+        .toDF("dpp_planned", "dpp_pruned", "rows_eq")
+    },
+
+    "layout_pointindex" -> QueryDef(
+      doc = "record-level point index end-to-end (the Hudi record-index / secondary-index design): orders hash-scattered into 16 files on o_custkey, so o_orderkey - high-cardinality, scattered - is exactly the key min/max skipping CANNOT serve (every file's [min,max] spans every probe; the gate measures that). keyIndex builds the key -> sorted-file-set table in one distributed scan (|keys| rows, a TABLE, never collected); pointLookup answers o_orderkey % 997 = 0 by opening only the files the index names for those keys - the needle-in-haystack read at 100 TB. The residual IN-filter re-applies, so the result is row-identical to the full scan the oracle runs; soundness carries correctness, the index only carries IO",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 997 = 0""") { (s, dir) =>
+      import graft.operators.{Layout, ModelCollect}
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pidx")
+        .resolve("t").toString
+      orders.repartition(16, col("o_custkey")).write.parquet(tmp)
+      val idx = Layout.keyIndex(s, tmp, "o_orderkey")
+      val probes = ModelCollect.bounded(
+          orders.filter(col("o_orderkey") % 997 === 0)
+            .select("o_orderkey").distinct(),
+          4096, "point-lookup probe keys")
+        .map(_.getLong(0))
+      Layout.pointLookup(s, tmp, idx, "o_orderkey", probes)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    "layout_pointindex_gate" -> QueryDef(
+      doc = "point-index guarantees: (1) lookup_eq - pointLookup's row set EQUALS the full filtered scan's, both directions (sound index + residual filter); (2) beats_minmax - for a single probe key the index names at most a handful of files while the min/max fileIndex prunes (almost) NOTHING on the hash-scattered layout (>= 12 of 16 files survive its range check) - the quantitative case for a record-level index where bounding boxes are useless; (3) delta_merge - after appending new files, mergeKeyIndex(old, keyIndexDelta) equals a full keyIndex rebuild EXACTLY (sorted-array canonical form makes the fold bit-equal), so append maintenance costs one narrow scan of the new files, never a table rescan",
+      oracle = "SELECT CAST(1 AS INTEGER) AS lookup_eq, " +
+        "CAST(1 AS INTEGER) AS beats_minmax, " +
+        "CAST(1 AS INTEGER) AS delta_merge") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Layout, ModelCollect}
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pidxg")
+        .resolve("t").toString
+      orders.repartition(16, col("o_custkey")).write.parquet(tmp)
+      val idx0 = Layout.keyIndex(s, tmp, "o_orderkey")
+        .localCheckpoint(true)
+      val probes = ModelCollect.bounded(
+          orders.filter(col("o_orderkey") % 997 === 0)
+            .select("o_orderkey").distinct(),
+          4096, "point-lookup probe keys")
+        .map(_.getLong(0))
+      val looked = Layout.pointLookup(s, tmp, idx0, "o_orderkey", probes)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val full = orders.filter(col("o_orderkey") % 997 === 0)
+      val lookupEq = looked.exceptAll(full).count() == 0 &&
+        full.exceptAll(looked).count() == 0
+      // one probe: the largest key — its min/max survivors vs index files
+      val probe = probes.max
+      val pointFiles = idx0.filter(col("o_orderkey") === probe)
+        .select(explode(col("files"))).count()
+      val minmaxSurvivors = Layout.fileIndex(s, tmp, Seq("o_orderkey"))
+        .filter(col("min_o_orderkey") <= probe &&
+          col("max_o_orderkey") >= probe).count()
+      val beats = pointFiles <= 2 && minmaxSurvivors >= 12 &&
+        pointFiles < minmaxSurvivors
+      // append two more files, then fold the delta against idx0
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .repartition(2).write.mode("append").parquet(tmp)
+      val delta = Layout.keyIndexDelta(s, tmp, "o_orderkey", idx0)
+      val merged = Layout.mergeKeyIndex(idx0, delta)
+      val rebuilt = Layout.keyIndex(s, tmp, "o_orderkey")
+      val deltaMerge = merged.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(merged).count() == 0
+      Seq((if (lookupEq) 1 else 0, if (beats) 1 else 0,
+        if (deltaMerge) 1 else 0))
+        .toDF("lookup_eq", "beats_minmax", "delta_merge")
     },
 
     "wap_gate" -> QueryDef(
@@ -2860,6 +3094,51 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    "events_sessionize_ticks" -> QueryDef(
+      doc = "stateful sessionization driven through PERSISTED per-tick state (the funnelTickBatch treatment for q14): the 30-day event log replays as FIVE weekly ticks through sessionTickBatch - prior OPEN-session state (five scalars per active user) cogroups with the tick's events, each group replays advanceSessions (the SAME closure the flatMapGroupsWithState twin runs) - closed sessions persist per tick, a session spanning a tick boundary stays OPEN in state and closes in whichever later tick breaks the 30-minute gap, and the final answer is the closed log UNION the flushed open tail. The oracle is q14's batch sessionization verbatim, so the driver hash IS fold-over-ticks == streaming-semantics == batch; bounds carried in epoch micros, so timestamps survive bit-exact",
+      oracle = """
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+          SELECT user_id, ts,
+                 CAST(sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id""") { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.EventsStreaming
+      import graft.streaming.EventsStreaming.{SessionEvent, SessionUserState}
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")) / 7).cast("int").as("tick"))
+        .localCheckpoint(true)
+      val store = java.nio.file.Files
+        .createTempDirectory("graft-sess-ticks").toString
+      var state = s.emptyDataset[SessionUserState]
+      (0 to 4).foreach { t =>
+        val tickEv = ev.filter(col("tick") === t)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .as[SessionEvent]
+        val out = EventsStreaming.sessionTickBatch(state, tickEv)
+          .localCheckpoint(true)
+        out.flatMap(_.closed)
+          .write.mode("overwrite").parquet(s"$store/tick=$t")
+        state = out.map(_.state)
+      }
+      val open = state.map(st => EventsStreaming.SessionRow(
+        st.user_id, st.session_id, st.n,
+        EventsStreaming.microsToTs(st.startUs),
+        EventsStreaming.microsToTs(st.endUs)))
+      s.read.parquet(store).drop("tick").unionByName(open.toDF())
+    },
+
     "events_resample_ff" -> QueryDef(
       doc = "time-series regularization with forward-fill (LOCF): each user's irregular event values projected onto their own [first, last]-day grid (sequence-explode per key - keys x span-days rows, the OUTPUT size; no global calendar cross join), gaps carry value = NULL next to the filled value_ff (a filled cell stays distinguishable from an observed one), fill is one last(ignoreNulls) running window per key - the LOCF's irreducible exchange+sort on uniform keys. Daily bucket = max(value) (deterministic under duplicate timestamps); the oracle replays grid, bucket, and IGNORE NULLS window exactly",
       oracle = """
@@ -2883,6 +3162,33 @@ object ExtQueries {
         FROM j""") { (s, dir) =>
       graft.operators.TimeSeries.resampleDailyFF(
         Tables.load(s, dir, "events"), "user_id", "ts", "value")
+    },
+
+    "events_anomaly" -> QueryDef(
+      doc = "rolling z-score anomaly detection over each user's daily spend (the monitoring primitive next to LOCF resampling): a day flags when its cents total deviates from the user's own trailing 7-observed-day baseline by more than 3 sigma, baseline EXCLUDING the current point (an outlier never pollutes its own yardstick), warm-up days never flag. The z-test is decided in integer algebra - (n-1)(nx-S)^2 > 9n(nSS-S^2) over BIGINT cents, no sqrt, no division - so the flag is bit-deterministic cross-engine and the oracle replays the same inequality verbatim. One map-side daily reduction, one per-key running window over observed days: the exchange is on uniform user ids, each partition span-bounded",
+      oracle = """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT user_id, d, cents,
+                 count(cents) OVER win AS n,
+                 sum(cents) OVER win AS s,
+                 sum(cents * cents) OVER win AS ss
+          FROM daily
+          WINDOW win AS (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        SELECT user_id, strftime(d, '%Y-%m-%d') AS day, cents,
+               CAST(CASE WHEN n < 7 THEN 0
+                    WHEN (n - 1) * (7 * cents - s) * (7 * cents - s) >
+                         9 * 7 * (7 * ss - s * s) THEN 1
+                    ELSE 0 END AS INTEGER) AS is_anomaly
+        FROM w""") { (s, dir) =>
+      graft.operators.TimeSeries.rollingAnomalies(
+        Tables.load(s, dir, "events"), "user_id", "ts", "value",
+        n = 7, k = 3)
     },
 
     "events_cohort_retention" -> QueryDef(
@@ -2989,6 +3295,115 @@ object ExtQueries {
               .otherwise(col("content"))))
       VersionedStore.changesBetween(s, path, v1, v2,
         "o_orderkey", "content")
+    },
+
+    "store_catalog_tx" -> QueryDef(
+      doc = "multi-table transactional catalog (the Nessie/'multi-table transaction' gap in first-generation lakehouse formats): tx1 commits a customer dim AND a per-customer order summary in ONE transaction, tx2 republishes only the summary (high-value orders) - the dim carries forward at its tx1 version in the new catalog map. A reader resolves the catalog pointer ONCE into a snapshot and joins the tx2 summary to the tx1 dim off that one resolution; the oracle replays both table definitions directly over the raw tables, so the driver hash proves catalog-resolved cross-table reads equal the semantic ground truth. Atomicity, isolation, time travel, and the claim protocol are store_catalog_gate's contract",
+      oracle = """
+        SELECT f.o_custkey, f.n_orders, f.total_cents,
+               d.c_name, d.c_acctbal
+        FROM (
+          SELECT o_custkey, count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                   AS BIGINT) AS total_cents
+          FROM orders WHERE o_totalprice > 50000 GROUP BY o_custkey
+        ) f JOIN (
+          SELECT c_custkey, c_name, c_acctbal FROM customer
+        ) d ON f.o_custkey = d.c_custkey""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      val root = java.nio.file.Files.createTempDirectory("graft-cattx")
+        .toString
+      def summary(min: Double) = orders
+        .filter(col("o_totalprice") > min)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("total_cents"))
+      CatalogStore.commit(s, root,
+        Map("dim_customer" -> customer, "fact_summary" -> summary(0.0)))
+      CatalogStore.commit(s, root,
+        Map("fact_summary" -> summary(50000.0)))
+      val snap = CatalogStore.snapshot(s, root) // resolved ONCE
+      CatalogStore.read(s, root, "fact_summary", snap)
+        .join(CatalogStore.read(s, root, "dim_customer", snap),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_custkey", "n_orders", "total_cents",
+          "c_name", "c_acctbal")
+    },
+
+    "store_catalog_gate" -> QueryDef(
+      doc = "catalog transaction guarantees: (1) tx_atomic - a two-table commit whose SECOND table fails its audit rolls back BOTH staged tables and the claim (pointer, catalog map, versions, and every serving byte unchanged - a reader can never observe new-A next to old-B, not even transiently); (2) tx_snapshot - catalog time travel: AS OF catalog v1, BOTH tables read their tx1 content even after tx2 republished one of them; (3) tx_carry - the table tx2 did not touch serves its v1 bytes through the v2 catalog (map carry-forward names only complete versions); (4) tx_claim - a same-number racer collides on the exclusive catalog claim and fails loudly BEFORE writing any data; (5) tx_mvcc - reads off a snapshot resolved BEFORE a later commit still see their transaction's content (snapshot isolation: the pointer is resolved once, immutable dirs do the rest)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS tx_atomic, " +
+        "CAST(1 AS INTEGER) AS tx_snapshot, " +
+        "CAST(1 AS INTEGER) AS tx_carry, " +
+        "CAST(1 AS INTEGER) AS tx_claim, " +
+        "CAST(1 AS INTEGER) AS tx_mvcc") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      import graft.sources.CatalogStore.Audit
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-catg")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      val a1 = orders.filter(col("o_orderkey") % 2 === 0)
+      val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+      CatalogStore.commit(s, root, Map("a" -> a1, "b" -> b1))
+      // (1) atomicity: a passes, b fails → everything rolls back
+      val bad = CatalogStore.commit(s, root,
+        Map("a" -> orders.limit(10), "b" -> orders.limit(5)),
+        audits = Seq(Audit("a_ok", "a", _.count() > 0),
+          Audit("b_min_rows", "b", _.count() >= 100)))
+      val snapAfterFail = CatalogStore.snapshot(s, root)
+      val atomic = bad == CatalogStore.CatalogTx(None, Some("b_min_rows")) &&
+        snapAfterFail.version == 1 &&
+        CatalogStore.catalogVersions(s, root) == Seq(1) &&
+        eq(CatalogStore.read(s, root, "a", snapAfterFail), a1.toDF()) &&
+        eq(CatalogStore.read(s, root, "b", snapAfterFail), b1.toDF())
+      // tx2 republishes only `a`
+      val a2 = orders.filter(col("o_orderkey") % 2 === 1)
+      CatalogStore.commit(s, root, Map("a" -> a2))
+      val snap2 = CatalogStore.snapshot(s, root)
+      // (2) catalog time travel to tx1
+      val snap1 = CatalogStore.snapshot(s, root, Some(1))
+      val travel = snap1.tables == Map("a" -> 1, "b" -> 1) &&
+        eq(CatalogStore.read(s, root, "a", snap1), a1.toDF()) &&
+        eq(CatalogStore.read(s, root, "b", snap1), b1.toDF())
+      // (3) carry-forward through the v2 catalog
+      val carry = snap2.tables == Map("a" -> 2, "b" -> 1) &&
+        eq(CatalogStore.read(s, root, "b", snap2), b1.toDF())
+      // (4) claim collision, loudly, before any data moves (two
+      // racers computing the SAME next meet at the exclusive create)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=3"),
+        false).close()
+      val claim = try {
+        CatalogStore.commitAs(s, root, Map("a" -> orders.limit(1)),
+          Seq.empty, 3)
+        false
+      } catch { case e: IllegalStateException =>
+        e.getMessage.contains("concurrent commit") &&
+          CatalogStore.snapshot(s, root).version == 2
+      } finally fs.delete(
+        new org.apache.hadoop.fs.Path(root, "_cat/c=3"), false)
+      // (5) MVCC: a snapshot resolved now survives a later commit
+      val pinned = CatalogStore.snapshot(s, root)
+      CatalogStore.commit(s, root,
+        Map("a" -> orders.limit(7), "b" -> orders.limit(7)))
+      val mvcc = eq(CatalogStore.read(s, root, "a", pinned), a2.toDF()) &&
+        eq(CatalogStore.read(s, root, "b", pinned), b1.toDF()) &&
+        CatalogStore.snapshot(s, root).tables.values.toSet == Set(3)
+      Seq((if (atomic) 1 else 0, if (travel) 1 else 0,
+        if (carry) 1 else 0, if (claim) 1 else 0, if (mvcc) 1 else 0))
+        .toDF("tx_atomic", "tx_snapshot", "tx_carry", "tx_claim",
+          "tx_mvcc")
     },
 
     "store_versioned_gate" -> QueryDef(

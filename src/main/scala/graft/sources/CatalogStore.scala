@@ -1,0 +1,235 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multi-table transactional catalog — the cross-TABLE atomicity
+  * layer [[VersionedStore]] (one table) and
+  * [[AnalysisStore.writeAuditPublish]] (one write) stop short of:
+  * one commit publishes N tables and a reader can NEVER observe a
+  * mix of old-A with new-B (the Nessie/"multi-table transaction"
+  * gap in first-generation lakehouse formats — a report joining a
+  * fact to its freshly-republished dim across a torn boundary is
+  * wrong in a way no per-table guarantee can catch).
+  *
+  * Layout — immutability everywhere, one mutable pointer:
+  * {{{
+  * root/
+  *   _cat/c=N        one immutable catalog file per transaction:
+  *                   line 1 "N", then "table<TAB>version" rows
+  *   _cat_current    one line "N" — THE pointer, rename-flipped
+  *   <table>/v=M/    immutable table snapshots (M = the catalog
+  *                   version whose transaction wrote them)
+  * }}}
+  *
+  * The commit protocol: claim `_cat/c=next` with an exclusive create
+  * (two racers computing the same `next` collide HERE, before any
+  * data moves — the loser fails loudly, transaction-granular, same
+  * contract as VersionedStore's per-version claim), write every
+  * table's `v=next` dir, run the audits against the STAGED dirs
+  * (write-audit-publish at transaction granularity: one failing
+  * audit rolls back every table's staging), complete the catalog
+  * file, rename-flip the pointer. A crash anywhere before the flip
+  * leaves unreferenced dirs and an unreferenced catalog file —
+  * readers keep resolving the old catalog; all-old or all-new,
+  * never torn.
+  *
+  * Reads resolve the pointer ONCE into an immutable [[Snapshot]]
+  * (catalog version + table→version map); every table read off one
+  * snapshot is mutually consistent no matter how many commits land
+  * meanwhile — MVCC snapshot isolation, catalog-versioned time
+  * travel included (resolve an OLD catalog version and every table
+  * reads as of that transaction). Tables untouched by a commit carry
+  * their entry forward, so the catalog map always names a complete,
+  * existing version per table.
+  *
+  * 100 TB shape: the catalog file is |tables| lines and the commit's
+  * data cost is exactly the tables it rewrites — right for the
+  * serving tier's analysis tables (VersionedStore's contract), with
+  * consistency now spanning the whole report surface.
+  */
+object CatalogStore {
+
+  /** Resolved catalog state: reads off one snapshot are mutually
+    * consistent (pointer resolved exactly once).
+    */
+  final case class Snapshot(version: Int, tables: Map[String, Int])
+
+  /** What a [[commit]] did: the new catalog version on success, or
+    * the failing audit's name with every staged byte rolled back.
+    */
+  final case class CatalogTx(version: Option[Int],
+      failedAudit: Option[String]) {
+    def committed: Boolean = version.isDefined
+  }
+
+  /** A named audit against one STAGED table of the transaction. */
+  final case class Audit(name: String, table: String,
+      check: DataFrame => Boolean)
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def pointer(root: String) =
+    new org.apache.hadoop.fs.Path(root, "_cat_current")
+
+  private def catFile(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, s"_cat/c=$v")
+
+  private def tableDir(root: String, name: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
+
+  private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(
+      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    finally in.close()
+  }
+
+  /** Current catalog version, if any commit completed. */
+  def currentVersion(spark: SparkSession, root: String): Option[Int] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(pointer(root))) None
+    else Some(readSmall(fs, pointer(root)).trim).filter(_.nonEmpty)
+      .map(_.toInt)
+  }
+
+  /** All catalog versions physically present, ascending (committed
+    * ones; a crashed commit's claim file holds no parseable content
+    * and is skipped by [[snapshot]]'s require on the body).
+    */
+  def catalogVersions(spark: SparkSession, root: String): Seq[Int] = {
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(root, "_cat")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("c="))
+      .map(_.getPath.getName.stripPrefix("c=").toInt).sorted
+  }
+
+  /** Resolve the catalog ONCE — current, or an old version (catalog
+    * time travel: every table then reads as of that transaction).
+    */
+  def snapshot(spark: SparkSession, root: String,
+      version: Option[Int] = None): Snapshot = {
+    val fs = fsOf(spark, root)
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no committed catalog under $root"))
+    val body = readSmall(fs, catFile(root, v))
+    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.toInt == v,
+      s"catalog file c=$v is incomplete (crashed commit?)")
+    Snapshot(v, lines.tail.map { l =>
+      val Array(n, tv) = l.split("\t")
+      n -> tv.toInt
+    }.toMap)
+  }
+
+  /** Read one table off a resolved snapshot — N reads off the SAME
+    * snapshot are the consistency guarantee; resolving per-read
+    * would reopen the torn-boundary window commits exist to close.
+    */
+  def read(spark: SparkSession, root: String, name: String,
+      snap: Snapshot): DataFrame = {
+    val v = snap.tables.getOrElse(name, throw new IllegalArgumentException(
+      s"table $name is not in catalog version ${snap.version} " +
+        s"(has: ${snap.tables.keys.toSeq.sorted.mkString(", ")})"))
+    spark.read.parquet(tableDir(root, name, v).toString)
+  }
+
+  /** Convenience: resolve the current snapshot and read one table.
+    * For MULTI-table reads that must agree, resolve [[snapshot]]
+    * once and pass it to [[read]] per table instead.
+    */
+  def readCurrent(spark: SparkSession, root: String,
+      name: String): DataFrame =
+    read(spark, root, name, snapshot(spark, root))
+
+  /** Atomically publish `tables` as one transaction; tables not in
+    * the map carry their current version forward. Audits run against
+    * the STAGED dirs; the first failure rolls back every staged
+    * table AND the claim, leaving the store byte-identical to the
+    * pre-commit state. Concurrency: the exclusive catalog-file claim
+    * makes the loser of a same-`next` race fail loudly before
+    * writing any data.
+    */
+  def commit(spark: SparkSession, root: String,
+      tables: Map[String, DataFrame],
+      audits: Seq[Audit] = Seq.empty): CatalogTx = {
+    val next = (currentVersion(spark, root).toSeq ++
+      catalogVersions(spark, root)).maxOption.getOrElse(0) + 1
+    commitAs(spark, root, tables, audits, next)
+  }
+
+  /** [[commit]]'s write path at a SPECIFIC version — package-visible
+    * so the claim collision is directly testable (two racers
+    * computing the same `next` meet here; going through [[commit]]
+    * a pre-planted claim file just bumps `next` past it).
+    */
+  private[graft] def commitAs(spark: SparkSession, root: String,
+      tables: Map[String, DataFrame],
+      audits: Seq[Audit], next: Int): CatalogTx = {
+    require(tables.nonEmpty, "a transaction must publish at least one table")
+    audits.foreach(a => require(tables.contains(a.table),
+      s"audit ${a.name} names ${a.table}, not in this transaction " +
+        "(committed tables are immutable — audit them at their own commit)"))
+    val fs = fsOf(spark, root)
+    val prior = currentVersion(spark, root)
+      .map(v => snapshot(spark, root, Some(v)).tables)
+      .getOrElse(Map.empty)
+    // claim the transaction number FIRST — racers fail here, loudly
+    val claim = catFile(root, next)
+    val out =
+      try fs.create(claim, false)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"concurrent commit detected: catalog version $next is " +
+            "already claimed — CatalogStore supports a single writer " +
+            "per store", e)
+      }
+    out.close()
+    def rollbackStaged(): Unit = {
+      tables.keys.foreach(n =>
+        fs.delete(tableDir(root, n, next), true))
+      fs.delete(claim, false)
+    }
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("errorifexists")
+          .parquet(tableDir(root, name, next).toString)
+      }
+      val failed = audits.find(a => !a.check(
+        spark.read.parquet(tableDir(root, a.table, next).toString)))
+      failed match {
+        case Some(a) =>
+          rollbackStaged()
+          CatalogTx(None, Some(a.name))
+        case None =>
+          val map = prior ++ tables.keys.map(_ -> next)
+          val body = (next.toString +: map.toSeq.sortBy(_._1)
+            .map { case (n, v) => s"$n\t$v" }).mkString("\n")
+          val tmp = new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp")
+          val o = fs.create(tmp, true)
+          try o.write(body.getBytes("UTF-8")) finally o.close()
+          org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+              spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, claim,
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          // the pointer flip is the commit point
+          val ptmp = new org.apache.hadoop.fs.Path(root, "_cat_current.tmp")
+          val po = fs.create(ptmp, true)
+          try po.write(next.toString.getBytes("UTF-8")) finally po.close()
+          org.apache.hadoop.fs.FileContext.getFileContext(ptmp.toUri,
+              spark.sparkContext.hadoopConfiguration)
+            .rename(ptmp, pointer(root),
+              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          CatalogTx(Some(next), None)
+      }
+    } catch {
+      case e: Throwable =>
+        rollbackStaged()
+        throw e
+    }
+  }
+}

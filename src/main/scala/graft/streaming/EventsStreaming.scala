@@ -216,6 +216,177 @@ object EventsStreaming {
     }
   }
 
+  /** One event for the session fold: ordering within a tick is
+    * (ts, event_id) — the SAME total order [[graft.operators
+    * .Sessionize.sessions]]'s windows use, so ties are deterministic.
+    */
+  final case class SessionEvent(user_id: Long,
+      ts: java.sql.Timestamp, event_id: Long)
+
+  /** A user's OPEN session at rest: running id (1-based, the batch
+    * row-numbering), bounds in epoch MICROseconds (timestamp-exact:
+    * epoch millis would silently truncate a micros-precision fixture
+    * and split the hash against the oracle's min/max(ts)), and event
+    * count — five scalars per active user, the whole state a
+    * sessionization fold persists.
+    */
+  final case class SessionUserState(user_id: Long, session_id: Long,
+      startUs: Long, endUs: Long, n: Long)
+
+  private[graft] def tsToMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private[graft] def microsToTs(us: Long): java.sql.Timestamp = {
+    val sec = Math.floorDiv(us, 1000000L)
+    val ts = new java.sql.Timestamp(sec * 1000L)
+    ts.setNanos(((us - sec * 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** A CLOSED session — identical shape to the batch
+    * [[graft.operators.Sessionize.sessions]] output row.
+    */
+  final case class SessionRow(user_id: Long, session_id: Long,
+      n_events: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp)
+
+  /** One session-fold tick's output: the user's open state plus the
+    * sessions this tick CLOSED (one frame, one cogroup — the
+    * [[FunnelTickOut]] posture).
+    */
+  final case class SessionTickOut(state: SessionUserState,
+      closed: Seq[SessionRow])
+
+  /** The greedy per-user session update — the single definition of
+    * the gap semantics, shared by [[sessionTicks]] (streaming) and
+    * [[sessionTickBatch]] (persisted-state fold) so the twins cannot
+    * drift. Gap compares at SECOND granularity (`epoch`), exactly the
+    * batch operator's `unix_timestamp` comparison: strictly more than
+    * `gapSeconds` between consecutive events splits.
+    */
+  private[graft] def advanceSessions(st0: Option[SessionUserState],
+      user: Long, events: Iterator[SessionEvent], gapSeconds: Long)
+      : (Option[SessionUserState], Seq[SessionRow]) = {
+    def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
+    def row(s: SessionUserState): SessionRow = SessionRow(
+      s.user_id, s.session_id, s.n,
+      microsToTs(s.startUs), microsToTs(s.endUs))
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer[SessionRow]()
+    events.toSeq.sortBy(e => (tsToMicros(e.ts), e.event_id)).foreach { e =>
+      val t = tsToMicros(e.ts)
+      st match {
+        case Some(s) if sec(t) - sec(s.endUs) <= gapSeconds =>
+          st = Some(s.copy(endUs = math.max(s.endUs, t), n = s.n + 1))
+        case Some(s) =>
+          out += row(s)
+          st = Some(SessionUserState(user, s.session_id + 1, t, t, 1L))
+        case None =>
+          st = Some(SessionUserState(user, 1L, t, t, 1L))
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  /** Streaming sessionization with EXPLICIT state — the
+    * flatMapGroupsWithState twin of [[sessionWindows]] for consumers
+    * that need the batch surface (running per-user session ids, exact
+    * (ts, event_id) tie order) rather than `session_window`'s
+    * window-keyed rows. Emits a session when a later event CLOSES it;
+    * the open tail stays in state (five scalars per active user).
+    * In-order feeds match [[graft.operators.Sessionize.sessions]]
+    * exactly (spec-pinned); the driver witness is the persisted fold
+    * below.
+    */
+  def sessionTicks(events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionUserState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[SessionEvent],
+            state: GroupState[SessionUserState]) =>
+          val (st, closed) =
+            advanceSessions(state.getOption, user, batch, gapSeconds)
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** [[sessionTicks]] with an EVENT-TIME timeout flush — the
+    * production variant: an open session whose user goes idle would
+    * otherwise sit in state forever (NoTimeout) and its row would
+    * never reach the sink. Here each update arms a timeout at
+    * `endUs + gapSeconds` in EVENT time; when the WATERMARK (set by
+    * the caller via `withWatermark` on ts, delay `delay`) passes it,
+    * the group fires with an empty iterator, the open session emits,
+    * and its state is removed — state size tracks ACTIVE users, the
+    * unbounded-stream requirement.
+    *
+    * Semantics note: a flush is correct exactly because the watermark
+    * bounds lateness — any event that could still extend the session
+    * would be within `delay` of the max seen ts, and the timeout fires
+    * only once watermark > end + gap. Late-beyond-watermark events
+    * start a NEW session (with a fresh running id) rather than
+    * corrupting a closed one — the same trade every watermarked
+    * streaming agg makes.
+    */
+  def sessionTicksFlushed(events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L,
+      delay: String = "1 hour"): Dataset[SessionRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionUserState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[SessionEvent],
+            state: GroupState[SessionUserState]) =>
+          if (state.hasTimedOut) {
+            val flushed = state.getOption.map(s => SessionRow(
+              s.user_id, s.session_id, s.n,
+              microsToTs(s.startUs), microsToTs(s.endUs)))
+            state.remove()
+            flushed.iterator
+          } else {
+            val (st, closed) =
+              advanceSessions(state.getOption, user, batch, gapSeconds)
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.endUs, 1000L) + gapSeconds * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** BATCH replay of one sessionization tick against PERSISTED state
+    * — the [[funnelTickBatch]] treatment for sessions: prior open
+    * state cogroups with the tick's events on user id (one key-hash
+    * exchange per side, state five scalars per active user), each
+    * group replays [[advanceSessions]] — the same closure the
+    * streaming query runs. Ticks cut on event time (the in-order
+    * contract); a session spanning a tick boundary stays OPEN in
+    * state and closes in whichever later tick breaks the gap, so
+    * fold-over-ticks ∪ final open state ≡ the one-shot batch
+    * [[graft.operators.Sessionize.sessions]] EXACTLY —
+    * events_sessionize_ticks hashes that identity against the q14
+    * oracle.
+    */
+  def sessionTickBatch(state: Dataset[SessionUserState],
+      tick: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L): Dataset[SessionTickOut] = {
+    import state.sparkSession.implicits._
+    state.groupByKey(_.user_id).cogroup(tick.groupByKey(_.user_id)) {
+      (user, sIt, eIt) =>
+        val (st, closed) =
+          advanceSessions(sIt.toSeq.headOption, user, eIt, gapSeconds)
+        st.map(s => SessionTickOut(s, closed)).iterator
+    }
+  }
+
   /** Stream-stream interval join: each click joins the views by the
     * same user within the preceding `horizon` — attribution at stream
     * time. Both sides are watermarked and the join condition bounds

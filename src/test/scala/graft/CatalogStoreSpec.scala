@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CatalogStore
+import graft.sources.CatalogStore.{Audit, Snapshot}
+import graft.sources.Tables
+
+class CatalogStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  test("commit/read lifecycle: carry-forward, snapshot time travel") {
+    val root = Files.createTempDirectory("cat").toString
+    val a1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val b1 = orders.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+    val tx1 = CatalogStore.commit(spark, root, Map("a" -> a1, "b" -> b1))
+    assert(tx1 == CatalogStore.CatalogTx(Some(1), None))
+    // tx2 touches only `a`; `b` carries forward at v1
+    val a2 = orders.filter(col("o_orderkey") % 2 === 1)
+    assert(CatalogStore.commit(spark, root, Map("a" -> a2))
+      .version.contains(2))
+    val snap = CatalogStore.snapshot(spark, root)
+    assert(snap == Snapshot(2, Map("a" -> 2, "b" -> 1)))
+    assertSameRows(CatalogStore.read(spark, root, "a", snap), a2.toDF())
+    assertSameRows(CatalogStore.read(spark, root, "b", snap), b1.toDF())
+    // catalog time travel: AS OF tx1 every table reads as of tx1
+    val old = CatalogStore.snapshot(spark, root, Some(1))
+    assert(old == Snapshot(1, Map("a" -> 1, "b" -> 1)))
+    assertSameRows(CatalogStore.read(spark, root, "a", old), a1.toDF())
+    // unknown table / unresolved catalog fail loudly
+    intercept[IllegalArgumentException] {
+      CatalogStore.read(spark, root, "nope", snap)
+    }
+    intercept[IllegalStateException] {
+      CatalogStore.snapshot(spark, Files.createTempDirectory("e").toString)
+    }
+  }
+
+  test("failing audit rolls back EVERY staged table and the claim") {
+    val root = Files.createTempDirectory("catw").toString
+    CatalogStore.commit(spark, root, Map(
+      "a" -> orders.limit(100), "b" -> orders.limit(50)))
+    val pre = CatalogStore.snapshot(spark, root)
+    // second tx: `a` passes its audit, `b` fails — ALL of it rolls back
+    val tx = CatalogStore.commit(spark, root,
+      Map("a" -> orders.limit(10), "b" -> orders.limit(5)),
+      audits = Seq(
+        Audit("a_nonempty", "a", _.count() > 0),
+        Audit("b_big_enough", "b", _.count() >= 50)))
+    assert(tx == CatalogStore.CatalogTx(None, Some("b_big_enough")))
+    // pointer, catalog map, and table bytes all unchanged
+    assert(CatalogStore.snapshot(spark, root) == pre)
+    assert(CatalogStore.catalogVersions(spark, root) == Seq(1))
+    assert(CatalogStore.read(spark, root, "a", pre).count() == 100)
+    // staged dirs gone: the next commit reuses the number cleanly
+    assert(CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+      .version.contains(2))
+    // audits may only name tables in the transaction
+    intercept[IllegalArgumentException] {
+      CatalogStore.commit(spark, root, Map("a" -> orders.limit(1)),
+        audits = Seq(Audit("x", "b", _ => true)))
+    }
+  }
+
+  test("same-version racers collide on the claim, loudly") {
+    val root = Files.createTempDirectory("catr").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    // simulate the loser: the winner's claim for c=2 already exists
+    // (through commit() a planted claim just bumps `next` past it —
+    // the race is two writers computing the SAME next, so meet there)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=2"), false).close()
+    val e = intercept[IllegalStateException] {
+      CatalogStore.commitAs(spark, root, Map("a" -> orders.limit(5)),
+        Seq.empty, 2)
+    }
+    assert(e.getMessage.contains("concurrent commit"))
+    // the loser rolled nothing back that the winner staged: claim intact
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/c=2")))
+    // readers are unaffected throughout
+    assert(CatalogStore.snapshot(spark, root).version == 1)
+  }
+}

@@ -420,6 +420,98 @@ class LayoutSpec extends SparkSpec {
       want.exceptAll(out).count() == 0)
   }
 
+  test("keyIndex + pointLookup: row-identical to the full filtered scan") {
+    val root = Files.createTempDirectory("pidx")
+    val tmp = root.resolve("t").toString
+    // hash-scatter on the OTHER key so every file spans the probe key
+    orders.repartition(4, col("o_custkey")).write.parquet(tmp)
+    val idx = Layout.keyIndex(spark, tmp, "o_orderkey")
+    // index is a TABLE keyed by o_orderkey with a sorted file array
+    assert(idx.columns.toSeq == Seq("o_orderkey", "files"))
+    assert(idx.count() == orders.select("o_orderkey").distinct().count())
+    val probes = orders.filter(col("o_orderkey") % 101 === 0)
+      .select("o_orderkey").distinct().collect().map(_.getLong(0)).toSeq
+    val got = Layout.pointLookup(spark, tmp, idx, "o_orderkey", probes)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val want = orders.filter(col("o_orderkey").isin(probes: _*))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    // a probe no row carries returns empty, not an error
+    assert(Layout.pointLookup(spark, tmp, idx, "o_orderkey",
+      Seq(-1L)).count() == 0)
+    // empty probe set is a contract violation, loudly
+    intercept[IllegalArgumentException] {
+      Layout.pointLookup(spark, tmp, idx, "o_orderkey", Seq.empty)
+    }
+  }
+
+  test("compactPartitioned: per-dir bins, cold-dir byte copy, multi-level " +
+      "recursion, loud mixed/non-hive rejection") {
+    val root = Files.createTempDirectory("cpart")
+    val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
+    // two-level partitioning: a=0/b=0, a=0/b=1, a=1/b=0 fragmented;
+    // a=1/b=1 written once (cold)
+    val base = orders.withColumn("a", (col("o_orderkey") % 2).cast("int"))
+      .withColumn("b", (col("o_custkey") % 2).cast("int"))
+    base.filter(col("a") === 0 || col("b") === 0)
+      .repartition(6).write.partitionBy("a", "b").parquet(src)
+    base.filter(col("a") === 1 && col("b") === 1)
+      .repartition(1).write.mode("append").partitionBy("a", "b")
+      .parquet(src)
+    val st = Layout.compactPartitioned(spark, src, dst,
+      targetBytes = 1L << 21, minSmallFiles = 2)
+    assert(st.partitions == 4 && st.compacted == 3 &&
+      st.skippedDirs == 1, s"unexpected $st")
+    assert(st.files.nIn == st.files.kept + st.files.packed)
+    // cold leaf byte-copied: same name, same length
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p)).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.getName -> f.getLen).toMap
+    assert(files(s"$dst/a=1/b=1") == files(s"$src/a=1/b=1"))
+    // row-identical read, partition values intact
+    val (sr, dr) = (spark.read.parquet(src), spark.read.parquet(dst))
+    assert(dr.exceptAll(sr).count() == 0 && sr.exceptAll(dr).count() == 0)
+    // hot dirs shrank
+    assert(files(s"$dst/a=0/b=0").size < files(s"$src/a=0/b=0").size)
+    // non-hive subdir rejected
+    val bad = root.resolve("bad").toString
+    orders.limit(5).repartition(1).write.parquet(s"$bad/notapartition")
+    val e = intercept[IllegalArgumentException] {
+      Layout.compactPartitioned(spark, bad, root.resolve("bd").toString,
+        1L << 21)
+    }
+    assert(e.getMessage.contains("non-hive"))
+  }
+
+  test("keyIndexDelta folds through mergeKeyIndex to exactly a rebuild") {
+    val root = Files.createTempDirectory("pidxd")
+    val tmp = root.resolve("t").toString
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .repartition(3, col("o_custkey")).write.parquet(tmp)
+    val idx0 = Layout.keyIndex(spark, tmp, "o_orderkey")
+      .localCheckpoint(true)
+    // nothing new → empty delta with the index schema
+    val none = Layout.keyIndexDelta(spark, tmp, "o_orderkey", idx0)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("o_orderkey", "files"))
+    // append files carrying BOTH fresh keys and keys the index knows
+    // (odd keys are new; re-appended even keys must union file sets)
+    orders.filter(col("o_orderkey") % 3 === 0)
+      .repartition(2).write.mode("append").parquet(tmp)
+    val delta = Layout.keyIndexDelta(spark, tmp, "o_orderkey", idx0)
+    val merged = Layout.mergeKeyIndex(idx0, delta)
+    val rebuilt = Layout.keyIndex(spark, tmp, "o_orderkey")
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0)
+    // idempotent: folding the same delta twice changes nothing
+    val again = Layout.mergeKeyIndex(merged, delta)
+    assert(again.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(again).count() == 0)
+  }
+
   test("materializeDv refuses stale vectors and partitioned layouts loudly") {
     val root = Files.createTempDirectory("dvbad")
     val src = root.resolve("s").toString

@@ -375,6 +375,90 @@ class StreamingSpec extends SparkSpec {
     assert(depth == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("sessionTicks + sessionTickBatch: fold ∪ open tail equals batch sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sessionize
+    import graft.streaming.EventsStreaming.{SessionEvent, SessionRow, SessionUserState}
+    // u1: 10:00+10:20 (one session), 11:30+11:40 (a second, split
+    // ACROSS ticks so state must carry the open session); u2: one
+    // event; u3: two same-timestamp events (tie broken by event_id)
+    val evRows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:20:00"), 2L),
+      (2L, ts("2024-01-01 10:05:00"), 3L),
+      (3L, ts("2024-01-01 09:00:00"), 5L),
+      (3L, ts("2024-01-01 09:00:00"), 4L),
+      // tick 2
+      (1L, ts("2024-01-01 11:30:00"), 6L),
+      (1L, ts("2024-01-01 11:40:00"), 7L))
+    val batch = Sessionize.sessions(
+        evRows.toDF("user_id", "ts", "event_id"))
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+    // streaming twin: emits a session only when a later event CLOSES it
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventsStreaming.sessionTicks(
+        mem.toDF().toDF("user_id", "ts", "event_id").as[SessionEvent])
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessw").start()
+    mem.addData(evRows.take(5): _*)
+    q.processAllAvailable()
+    mem.addData(evRows.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessw")
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+    // exactly u1's first session closed; every open tail is withheld
+    assert(closed == batch.filter(r => r._1 == 1L && r._2 == 1L))
+    // persisted-state fold over the SAME split: closed ∪ flushed open
+    // state is the one-shot batch result exactly
+    def tick(rows: Seq[(Long, Timestamp, Long)]) =
+      rows.toDF("user_id", "ts", "event_id").as[SessionEvent]
+    val o1 = EventsStreaming.sessionTickBatch(
+      spark.emptyDataset[SessionUserState], tick(evRows.take(5)))
+      .localCheckpoint(true)
+    val o2 = EventsStreaming.sessionTickBatch(
+      o1.map(_.state), tick(evRows.drop(5))).localCheckpoint(true)
+    val open = o2.map(_.state).collect().map(st => SessionRow(
+      st.user_id, st.session_id, st.n,
+      EventsStreaming.microsToTs(st.startUs),
+      EventsStreaming.microsToTs(st.endUs)))
+    val folded = ((o1.flatMap(_.closed) union o2.flatMap(_.closed))
+      .collect() ++ open)
+      .map(r => (r.user_id, r.session_id, r.n_events,
+        r.session_start, r.session_end)).toSet
+    assert(folded == batch)
+    // u3's same-timestamp pair landed in ONE session of 2 events
+    assert(folded.count(_._1 == 3L) == 1 &&
+      folded.find(_._1 == 3L).get._3 == 2L)
+  }
+
+  test("sessionTicksFlushed: watermark-passed idle sessions emit and leave state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStreaming.SessionEvent
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventsStreaming.sessionTicksFlushed(
+        mem.toDF().toDF("user_id", "ts", "event_id").as[SessionEvent],
+        gapSeconds = 1800L, delay = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessf").start()
+    // u1's pair is one open session; u2 is a watermark mover
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L))
+    q.processAllAvailable()
+    assert(spark.table("sessf").count() == 0) // open: nothing emitted
+    // push the watermark past 10:10 + 30min gap + 10min delay
+    mem.addData((2L, ts("2024-01-01 12:00:00"), 3L))
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-01 12:00:01"), 4L)) // tick to fire timeout
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessf")
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSet
+    // u1's idle session flushed with its true bounds; u2 still open
+    assert(rows == Set((1L, 1L, 2L,
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))))
+  }
+
   test("aggViewWindows: closed-window IVM views match the batch build and range-fold") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Incremental
