@@ -2907,6 +2907,140 @@ object ExtQueries {
         .toDF("dpp_planned", "dpp_pruned", "rows_eq")
     },
 
+    "runtime_bloom_gate" -> QueryDef(
+      doc = "runtime bloom-filter join pruning driver-visible (the row-level sibling of layout_dpp_gate's partition pruning: the selective predicate lives on the DIM and is NOT on the join key - round(o_totalprice) % 17 - so neither static pushdown nor constraint inference can shrink the fact side; Spark injects a bloom sketch of the filtered dim keys into the fact scan's shuffle input). Gate: (1) bloom_planned - the executed plan carries might_contain AND the bloom-off twin does not; (2) bloom_prunes - total shuffle recordsRead with the filter on is < 1/4 of the off run (the fact side sheds ~16/17 of its rows BEFORE the join exchange - at 100 TB that is the difference between shuffling a table and shuffling a match set); (3) rows_eq - on == off row-for-row, the knob changed IO and nothing else. Thresholds are set in-query (the 10 GB application-side default exists to protect small scans; the semantics are scale-free) and restored",
+      oracle = "SELECT CAST(1 AS INTEGER) AS bloom_planned, " +
+        "CAST(1 AS INTEGER) AS bloom_prunes, " +
+        "CAST(1 AS INTEGER) AS rows_eq") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val direct = p.collectWithSubqueries { case n => n }
+        val nested = p.collectWithSubqueries {
+          case qs: QueryStageExec => qs.plan
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+        }.filterNot(_ eq p).flatMap(allNodes)
+        direct ++ nested
+      }
+      val lineitem = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+      def q() = lineitem.join(
+          orders.filter(round(col("o_totalprice")) % 17 === 0),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
+      def run() = {
+        val qe = q().queryExecution
+        qe.toRdd.count()
+        val records = allNodes(qe.executedPlan).distinct.collect {
+          case e: ShuffleExchangeExec =>
+            e.metrics.get("recordsRead").map(_.value).getOrElse(0L)
+        }.sum
+        (records, qe.executedPlan.toString, q().localCheckpoint(true))
+      }
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "0")
+        s.conf.set(keys(1), "100MB")
+        s.conf.set(keys(2), "-1") // broadcast would bypass the shuffle
+        s.conf.set(keys(3), "true")
+        val (onRec, onPlan, onRows) = run()
+        s.conf.set(keys(3), "false")
+        val (offRec, offPlan, offRows) = run()
+        val planned = onPlan.contains("might_contain") &&
+          !offPlan.contains("might_contain")
+        val prunes = onRec > 0 && offRec > 0 && onRec * 4 < offRec
+        val rowsEq = onRows.exceptAll(offRows).count() == 0 &&
+          offRows.exceptAll(onRows).count() == 0
+        Seq((if (planned) 1 else 0, if (prunes) 1 else 0,
+          if (rowsEq) 1 else 0))
+          .toDF("bloom_planned", "bloom_prunes", "rows_eq")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    },
+
+    "runtime_skew_gate" -> QueryDef(
+      doc = "AQE skew-join splitting driver-visible (the third leg of the runtime-replan family next to layout_dpp_gate and runtime_bloom_gate): a fact with ~40% of its rows on ONE key (plus a high-entropy payload so lz4 shuffle compression cannot erase the byte skew - the hot partition is a run of identical keys and compresses away without it) sort-merge-joins a tiny dim; the hot shuffle partition must SPLIT into map-chunk ranges with the dim partition duplicated per split. Self-calibrating and scale-free: a skew-OFF baseline run measures the stage's per-partition bytes, then advisory = hot/4 and a 1KB floor threshold let the x2-median factor criterion decide - the same gate passes at sf0.001 and sf1. The fact is pre-repartitioned to widen the MAP side: a single-mapper stage yields one indivisible chunk per reduce partition and the rule correctly declines (found the hard way - the probe's single parquet file scanned as one task). Gate: (1) skew_planned - SortMergeJoin(skew=true) + an 'AQEShuffleRead ... skewed' node in the ON plan, neither in the OFF plan; (2) skew_split - the skewed read materializes MORE partitions than the baseline (real splits, not a plan annotation); (3) rows_eq - on == off",
+      oracle = "SELECT CAST(1 AS INTEGER) AS skew_planned, " +
+        "CAST(1 AS INTEGER) AS skew_split, " +
+        "CAST(1 AS INTEGER) AS rows_eq") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec, ShuffleQueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val direct = p.collectWithSubqueries { case n => n }
+        val nested = p.collectWithSubqueries {
+          case qs: QueryStageExec => qs.plan
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+        }.filterNot(_ eq p).flatMap(allNodes)
+        direct ++ nested
+      }
+      val fact = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .withColumn("k", when(col("l_orderkey") % 5 < 2, 0L)
+          .otherwise(col("l_orderkey") % 97))
+        .withColumn("payload", md5(col("l_orderkey").cast("string")))
+        .repartition(8) // widen the map side: splits are map-chunk-granular
+        .localCheckpoint(true)
+      val dim = fact.select("k").distinct()
+        .withColumn("attr", col("k") * 2).localCheckpoint(true)
+      def q() = fact.join(dim.hint("merge"), Seq("k"))
+        .agg(sum(col("l_quantity") * col("attr")).as("t"),
+          count(lit(1)).as("n"), max(length(col("payload"))).as("w"))
+      def run() = {
+        val qe = q().queryExecution
+        qe.toRdd.count()
+        val nodes = allNodes(qe.executedPlan).distinct
+        // real splits: the hot reduce partition materializes as
+        // several PartialReducerPartitionSpec map-chunk ranges
+        val splits = nodes.collect { case r: AQEShuffleReadExec =>
+          r.partitionSpecs.count(
+            _.getClass.getSimpleName == "PartialReducerPartitionSpec") }
+        val stageBytes = nodes.collect {
+          case st: ShuffleQueryStageExec =>
+            st.mapStats.map(_.bytesByPartitionId.toSeq).getOrElse(Seq.empty)
+        }
+        (qe.executedPlan.toString, splits, stageBytes,
+          q().localCheckpoint(true))
+      }
+      val keys = Seq(
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      try {
+        s.conf.set(keys(0), "false")
+        val (offPlan, offSplits, offBytes, offRows) = run()
+        // calibrate: the k-partitioned join stage is the one whose
+        // max partition dwarfs its median — take the global max
+        val hot = offBytes.flatMap(_.maxOption).maxOption.getOrElse(0L)
+        s.conf.set(keys(0), "true")
+        s.conf.set(keys(1), "1KB") // floor; the factor criterion decides
+        s.conf.set(keys(2), "2.0")
+        s.conf.set(keys(3), math.max(1024L, hot / 4).toString)
+        val (onPlan, onSplits, _, onRows) = run()
+        val planned = onPlan.contains("skew=true") &&
+          onPlan.contains("skewed") && !offPlan.contains("skew=true")
+        val split = onSplits.maxOption.getOrElse(0) >= 2 &&
+          offSplits.forall(_ == 0)
+        val rowsEq = onRows.exceptAll(offRows).count() == 0 &&
+          offRows.exceptAll(onRows).count() == 0
+        Seq((if (planned) 1 else 0, if (split) 1 else 0,
+          if (rowsEq) 1 else 0))
+          .toDF("skew_planned", "skew_split", "rows_eq")
+      } finally saved.foreach { case (k, v) =>
+        v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    },
+
     "layout_pointindex" -> QueryDef(
       doc = "record-level point index end-to-end (the Hudi record-index / secondary-index design): orders hash-scattered into 16 files on o_custkey, so o_orderkey - high-cardinality, scattered - is exactly the key min/max skipping CANNOT serve (every file's [min,max] spans every probe; the gate measures that). keyIndex builds the key -> sorted-file-set table in one distributed scan (|keys| rows, a TABLE, never collected); pointLookup answers o_orderkey % 997 = 0 by opening only the files the index names for those keys - the needle-in-haystack read at 100 TB. The residual IN-filter re-applies, so the result is row-identical to the full scan the oracle runs; soundness carries correctness, the index only carries IO",
       oracle = """
