@@ -3891,6 +3891,101 @@ object ExtQueries {
         .toDF("no_shuffle", "plain_shuffles", "bucketed_eq")
     },
 
+    "store_bucketed_append_gate" -> QueryDef(
+      doc = "bucketed APPEND (AnalysisStore.appendBucketed): a daily delta lands in per-bucket files at |delta| cost - the table's earlier files are never touched - and the zero-shuffle bucket-key join SURVIVES the append. Gate: (1) rows_eq - appended table == base UNION delta; (2) still_no_shuffle - the merge-hinted join + per-key aggregate against a co-bucketed table still plans ZERO exchanges after the append; (3) bucket_honest - EVERY row (old and new) sits in the file whose name-embedded bucket id equals pmod(murmur3(key), n) - the physical invariant the no-shuffle plan silently RELIES on (scan-side bucket pruning and co-located joins are wrong the moment one row strays); (4) spec_guarded - an append claiming a DIFFERENT bucket count is rejected loudly (Spark itself would accept it and scatter rows outside their claimed bucket)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS rows_eq, " +
+        "CAST(1 AS INTEGER) AS still_no_shuffle, " +
+        "CAST(1 AS INTEGER) AS bucket_honest, " +
+        "CAST(1 AS INTEGER) AS spec_guarded") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.AnalysisStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey")
+      val lines = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      s.sql("DROP TABLE IF EXISTS graft_bkta_orders")
+      s.sql("DROP TABLE IF EXISTS graft_bkta_lines")
+      AnalysisStore.writeBucketed(
+        orders.filter(col("o_orderkey") % 3 =!= 0),
+        "graft_bkta_orders", Seq("o_orderkey"), nBuckets = 8)
+      AnalysisStore.writeBucketed(lines, "graft_bkta_lines",
+        Seq("o_orderkey"), nBuckets = 8)
+      AnalysisStore.appendBucketed(
+        orders.filter(col("o_orderkey") % 3 === 0),
+        "graft_bkta_orders", Seq("o_orderkey"), nBuckets = 8)
+      val tbl = s.table("graft_bkta_orders")
+      val rowsEq = tbl.exceptAll(orders).count() == 0 &&
+        orders.exceptAll(tbl).count() == 0
+      val joined = tbl.hint("merge")
+        .join(s.table("graft_bkta_lines"), Seq("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(max("o_custkey").as("cust"), sum("l_quantity").as("qty"))
+      val noShuffle =
+        ("Exchange (hashpartitioning|rangepartitioning|SinglePartition" +
+          "|RoundRobinPartitioning)").r
+          .findAllIn(joined.queryExecution.executedPlan.toString)
+          .isEmpty
+      // physical honesty: file-name bucket id == pmod(murmur3(key), 8)
+      // for every row, old files and appended alike
+      val strays = tbl
+        .withColumn("fileb", regexp_extract(
+          col("_metadata.file_path"), "_(\\d{5})\\.c", 1).cast("int"))
+        .filter(col("fileb") =!= pmod(hash(col("o_orderkey")), lit(8)))
+        .count()
+      val guarded = try {
+        AnalysisStore.appendBucketed(orders.limit(1),
+          "graft_bkta_orders", Seq("o_orderkey"), nBuckets = 16)
+        false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("bucket spec") }
+      Seq((if (rowsEq) 1 else 0, if (noShuffle) 1 else 0,
+        if (strays == 0) 1 else 0, if (guarded) 1 else 0))
+        .toDF("rows_eq", "still_no_shuffle", "bucket_honest",
+          "spec_guarded")
+    },
+
+    "store_catalog_ticks" -> QueryDef(
+      doc = "transactional tick publishing (the CatalogStore treatment for a scheduled ETL: each tick of the 30-day event log commits BOTH derived tables - per-user stats and per-type stats - in ONE atomic transaction, five ticks, ten table versions, five catalog versions; a report reader can never see tick-t users next to tick-(t-1) types). The query answers from the STORE alone: current per-type stats UNION a catalog-TIME-TRAVELED read of per-user stats AS OF the second tick - the oracle replays both aggregates with the tick cutoffs inlined, so the driver hash proves tick-folded transactional snapshots equal the semantic ground truth at BOTH points in history. Cents-integerized sums (the IVM rule) keep the fold bit-exact",
+      oracle = """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                 CAST(floor(datediff('day', DATE '2024-01-01',
+                   CAST(ts AS DATE)) / 7) AS INTEGER) AS tick
+          FROM events)
+        SELECT 'asof_t1' AS src, CAST(user_id AS VARCHAR) AS k,
+               count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        FROM ev WHERE tick <= 1 GROUP BY user_id
+        UNION ALL
+        SELECT 'current' AS src, event_type AS k,
+               count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        FROM ev GROUP BY event_type""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          floor(datediff(to_date(col("ts")),
+            lit("2024-01-01").cast("date")) / 7).cast("int").as("tick"))
+        .localCheckpoint(true)
+      val root = java.nio.file.Files.createTempDirectory("graft-catt")
+        .toString
+      (0 to 4).foreach { t =>
+        val upTo = ev.filter(col("tick") <= t)
+        CatalogStore.commit(s, root, Map(
+          "user_stats" -> upTo.groupBy(col("user_id").cast("string").as("k"))
+            .agg(count(lit(1)).as("n"), sum("cents").as("cents")),
+          "type_stats" -> upTo.groupBy(col("event_type").as("k"))
+            .agg(count(lit(1)).as("n"), sum("cents").as("cents"))))
+      }
+      val asOf = CatalogStore.snapshot(s, root, Some(2)) // after tick 1
+      val cur = CatalogStore.snapshot(s, root)
+      CatalogStore.read(s, root, "user_stats", asOf)
+        .select(lit("asof_t1").as("src"), col("k"), col("n"), col("cents"))
+        .unionByName(CatalogStore.read(s, root, "type_stats", cur)
+          .select(lit("current").as("src"), col("k"), col("n"),
+            col("cents")))
+    },
+
     "cdc_apply" -> QueryDef(
       doc = "CDC apply (the missing step between fromCdcJson's decode and the store - the log-compaction contract every Debezium->table sink implements): a keyed profile table built from the early event log (latest row per k = event_id % 1500 below id 6000) absorbs the late log as a change feed (op = 'd' when event_type='error', else 'u'; seq = event_id). Per key only the HIGHEST-seq change speaks (one max_by(struct) aggregation - map-side partials, no rank window); a winning delete removes the key HARD (no tombstone - what merge's replace-only semantics cannot express); untouched table rows pass through a broadcast anti-join, so a tick shuffles |touched keys|, never the table. Because event ids strictly increase, the final state is 'globally latest row per key, gone if that row is a late error-typed change' - which is exactly what the oracle's one window replay computes; the stale-guard and tick-split algebra are cdc_apply_gate's contract",
       oracle = """

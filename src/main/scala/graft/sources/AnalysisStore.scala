@@ -114,6 +114,41 @@ object AnalysisStore {
       .saveAsTable(table)
   }
 
+  /** Append into an EXISTING bucketed table, preserving the bucket
+    * contract: new rows land in per-bucket files (cost = |delta|, one
+    * delta-sized shuffle), and every later bucket-key join stays
+    * exchange-free — the append never re-touches existing data. The
+    * spec guard is load-bearing: Spark would happily append with a
+    * DIFFERENT bucket count/columns and every subsequent "no-shuffle"
+    * join would silently return wrong results (rows outside their
+    * claimed bucket) — mismatches fail loudly here instead.
+    *
+    * 100 TB shape: a daily delta append costs the delta, not the
+    * table; the trade is file-count growth per bucket (scan-side
+    * union, bounded by append cadence — the compaction story), never
+    * a correctness or shuffle regression.
+    */
+  def appendBucketed(
+      df: DataFrame, table: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    require(spark.catalog.tableExists(table),
+      s"appendBucketed: $table does not exist — writeBucketed first")
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    require(spec.exists(s => s.numBuckets == nBuckets &&
+        s.bucketColumnNames == bucketCols),
+      s"appendBucketed: $table has bucket spec $spec, caller claims " +
+        s"($bucketCols, $nBuckets) — a mismatched append would scatter " +
+        "rows outside their claimed bucket and corrupt every " +
+        "no-shuffle join")
+    df.write.mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   /** Crash-safe table rewrite: materialize the new contents into a
     * staging dir (the source stays intact and readable throughout),
     * then swap via renames. Shared by every path that rewrites a

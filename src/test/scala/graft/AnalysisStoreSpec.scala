@@ -44,6 +44,42 @@ class AnalysisStoreSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orphan")
   }
 
+  test("appendBucketed: delta lands bucketed, join stays exchange-free, " +
+      "spec mismatch and missing table rejected") {
+    import org.apache.spark.sql.functions._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+    val delta = Seq((4L, "d"), (5L, "e")).toDF("k", "name")
+    val dims = Seq((1L, 10.0), (4L, 40.0), (5L, 50.0)).toDF("k", "v")
+    spark.sql("DROP TABLE IF EXISTS b_app")
+    spark.sql("DROP TABLE IF EXISTS b_app_dims")
+    AnalysisStore.writeBucketed(base, "b_app", Seq("k"), nBuckets = 4)
+    AnalysisStore.writeBucketed(dims, "b_app_dims", Seq("k"), nBuckets = 4)
+    AnalysisStore.appendBucketed(delta, "b_app", Seq("k"), nBuckets = 4)
+    assertSameRows(spark.table("b_app"), base.union(delta))
+    // appended rows participate in the exchange-free co-located join
+    val j = spark.table("b_app").hint("merge")
+      .join(spark.table("b_app_dims"), Seq("k"))
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+      "append must preserve the zero-shuffle join")
+    assert(j.count() == 3)
+    // every row's file-embedded bucket id matches pmod(murmur3(k), 4)
+    val strays = spark.table("b_app")
+      .withColumn("fb", regexp_extract(
+        col("_metadata.file_path"), "_(\\d{5})\\.c", 1).cast("int"))
+      .filter(col("fb") =!= pmod(hash(col("k")), lit(4))).count()
+    assert(strays == 0)
+    // guards: wrong spec, absent table
+    val e = intercept[IllegalArgumentException] {
+      AnalysisStore.appendBucketed(delta, "b_app", Seq("k"), nBuckets = 8)
+    }
+    assert(e.getMessage.contains("bucket spec"))
+    intercept[IllegalArgumentException] {
+      AnalysisStore.appendBucketed(delta, "b_app_missing", Seq("k"), 4)
+    }
+    spark.sql("DROP TABLE IF EXISTS b_app")
+    spark.sql("DROP TABLE IF EXISTS b_app_dims")
+  }
+
   test("co-bucketed tables join with no exchange and prune partitions") {
     import org.apache.spark.sql.functions._
     // two tables bucketed the same way on the join key: the sort-merge
