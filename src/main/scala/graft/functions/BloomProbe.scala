@@ -65,3 +65,50 @@ object BloomProbe {
   def column(key: Column, filter: BloomFilter): Column =
     GraftSqlBridge.column(BloomProbe(GraftSqlBridge.expression(key), filter))
 }
+
+/** [[BloomProbe]]'s inverse orientation: the SKETCH is column data
+  * (one serialized bloom per row — the per-file bloom index shape,
+  * [[graft.operators.Layout.bloomIndex]]) and the probe values are
+  * the literal. True when ANY probe value might be contained.
+  *
+  * Deliberately interpreted (CodegenFallback): the input is an INDEX
+  * table — one row per data FILE, never per data row — so the
+  * per-row filter deserialization is file-count-sized work; codegen
+  * would buy nothing and cost a generated-code path to maintain. One
+  * deserialization per row probes ALL values.
+  */
+case class BloomContainsAny(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains_any"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary bloom, array<bigint> probes), " +
+          s"got (${l.catalogString}, ${r.catalogString})")
+    }
+  }
+
+  override protected def nullSafeEval(bloom: Any, values: Any): Any = {
+    val bf = BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloom.asInstanceOf[Array[Byte]]))
+    values.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray().exists(bf.mightContainLong)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomContainsAny =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomContainsAny {
+  def column(bloom: Column, values: Column): Column =
+    GraftSqlBridge.column(BloomContainsAny(
+      GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(values)))
+}

@@ -391,6 +391,23 @@ object Layout {
         existing.select(explode(col("files")).as("f")).distinct(),
         maxFiles, "existing key-index file entries")
       .map(r => normFile(r.getString(0))).toSet
+    val fresh = listFresh(spark, path, have, maxFiles, "keyIndexDelta")
+    val base = spark.read.parquet(path)
+    if (fresh.isEmpty) keyIndex(spark, path, key).filter(lit(false))
+    else spark.read.option("basePath", path).schema(base.schema)
+      .parquet(fresh: _*)
+      .select(col(key), normFileCol(col("_metadata.file_path")).as("f"))
+      .groupBy(col(key))
+      .agg(sort_array(collect_set(col("f"))).as("files"))
+  }
+
+  /** Data files under `path` the caller has not indexed yet —
+    * the shared discovery step of every append-maintenance delta
+    * (file listing is dir-tree-sized; the cap guards the driver).
+    */
+  private def listFresh(spark: org.apache.spark.sql.SparkSession,
+      path: String, have: Set[String], maxFiles: Int,
+      what: String): Seq[String] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(hp, true)
@@ -401,14 +418,8 @@ object Layout {
       .map(_.getPath.toString)
       .filterNot(f => have.contains(normFile(f)))
     require(fresh.size <= maxFiles,
-      s"keyIndexDelta: ${fresh.size} new files exceed the $maxFiles cap")
-    val base = spark.read.parquet(path)
-    if (fresh.isEmpty) keyIndex(spark, path, key).filter(lit(false))
-    else spark.read.option("basePath", path).schema(base.schema)
-      .parquet(fresh: _*)
-      .select(col(key), normFileCol(col("_metadata.file_path")).as("f"))
-      .groupBy(col(key))
-      .agg(sort_array(collect_set(col("f"))).as("files"))
+      s"$what: ${fresh.size} new files exceed the $maxFiles cap")
+    fresh
   }
 
   /** Fold a [[keyIndexDelta]] into an existing [[keyIndex]]: one
@@ -443,6 +454,98 @@ object Layout {
           .select(explode(col("files")).as("f")).distinct(),
         maxFiles,
         "point-lookup file list (probe too broad for a point index — " +
+          "fall back to the plain filtered scan)")
+      .map(_.getString(0))
+    val base = spark.read.parquet(path)
+    if (files.isEmpty) base.filter(lit(false))
+    else spark.read.option("basePath", path).schema(base.schema)
+      .parquet(files: _*).filter(col(key).isin(values: _*))
+  }
+
+  /** Per-file bloom index — the probabilistic middle rung of the
+    * skipping ladder: min/max ([[fileIndex]]) is free but useless for
+    * a high-cardinality key scattered across files (every range spans
+    * every probe), the record index ([[keyIndex]]) is exact but
+    * key-cardinality-sized; a per-FILE bloom is file-count rows of
+    * ~1.2 bytes/key at 1% fpp — the Parquet/Delta bloom-skipping
+    * design as a derived TABLE: (file, serialized sketch). Built in
+    * one distributed pass — each file's keys stream through its own
+    * group's sketch (mapGroups: a single-pass fold, nothing buffers).
+    *
+    * False positives only ever ADD files to a lookup's read set —
+    * [[bloomLookup]] re-applies the exact residual filter, so
+    * correctness never depends on the sketch (the BloomJoin rule).
+    * Integral keys only (the probe hashes longs); per-file sketches
+    * are DETERMINISTIC (seeded murmur, no RNG), so an append delta
+    * ([[bloomIndexDelta]]) unions with the old index to exactly a
+    * rebuild.
+    */
+  def bloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      key: String, expectedPerFile: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame =
+    bloomIndexOver(spark,
+      spark.read.parquet(path)
+        .select(normFileCol(col("_metadata.file_path")).as("f"),
+          col(key).cast("long").as("k")),
+      expectedPerFile, fpp)
+
+  private def bloomIndexOver(spark: org.apache.spark.sql.SparkSession,
+      fileKeys: DataFrame, expectedPerFile: Long,
+      fpp: Double): DataFrame = {
+    import spark.implicits._
+    fileKeys.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .create(expectedPerFile, fpp)
+        it.foreach(r => bf.putLong(r._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (file, bos.toByteArray)
+      }.toDF("file", "bloom")
+  }
+
+  /** Bloom rows for ONLY the files `existing` has not seen — same
+    * append contract as [[keyIndexDelta]]/[[fileIndexDelta]]; fold is
+    * a plain union (per-file rows are independent) and equals a
+    * rebuild exactly because the sketches are deterministic.
+    */
+  def bloomIndexDelta(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: String, existing: DataFrame,
+      expectedPerFile: Long = 1L << 20, fpp: Double = 0.01,
+      maxFiles: Int = 1 << 20): DataFrame = {
+    val have = ModelCollect.bounded(existing.select("file"),
+        maxFiles, "existing bloom-index file entries")
+      .map(r => normFile(r.getString(0))).toSet
+    val fresh = listFresh(spark, path, have, maxFiles, "bloomIndexDelta")
+    val base = spark.read.parquet(path)
+    if (fresh.isEmpty)
+      bloomIndex(spark, path, key, expectedPerFile, fpp).filter(lit(false))
+    else bloomIndexOver(spark,
+      spark.read.option("basePath", path).schema(base.schema)
+        .parquet(fresh: _*)
+        .select(normFileCol(col("_metadata.file_path")).as("f"),
+          col(key).cast("long").as("k")),
+      expectedPerFile, fpp)
+  }
+
+  /** Answer `key IN values` through the bloom index: the sketch
+    * filter runs DISTRIBUTED over the index table (one
+    * deserialization per FILE row probes every value —
+    * [[graft.functions.BloomContainsAny]]); only surviving paths
+    * reach the driver, probe- and fpp-bounded. The residual IN-filter
+    * re-applies to the opened rows, so false positives cost IO,
+    * never correctness.
+    */
+  def bloomLookup(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, key: String, values: Seq[Long],
+      maxFiles: Int = 65536): DataFrame = {
+    require(values.nonEmpty, "bloom lookup needs at least one probe")
+    val files = ModelCollect.bounded(
+        index.filter(graft.functions.BloomContainsAny.column(
+          col("bloom"), lit(values.toArray))).select("file"),
+        maxFiles,
+        "bloom-lookup file list (probe too broad for a bloom index — " +
           "fall back to the plain filtered scan)")
       .map(_.getString(0))
     val base = spark.read.parquet(path)

@@ -2739,6 +2739,75 @@ object ExtQueries {
           "part_rows_ok", "part_mixed_rejected")
     },
 
+    "layout_bloomindex" -> QueryDef(
+      doc = "per-file bloom index end-to-end - the probabilistic middle rung of the skipping ladder: min/max is free but useless for a scattered high-cardinality key, the record-level point index is exact but KEY-cardinality-sized, the per-FILE bloom is file-count rows of ~1.2 bytes/key at 1% fpp (the Parquet/Delta bloom-skipping design as a derived table). orders hash-scattered into 16 files on o_custkey; bloomLookup answers o_orderkey % 997 = 0 by probing each file's sketch distributed (one deserialization per INDEX row probes all values - the graft_bloom_contains_any interpreted expression, justified by the index-sized input) and opening only survivors. False positives only ADD files; the exact residual filter makes the result row-identical to the oracle's full scan - fpp trades IO, never correctness",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_orderkey % 997 = 0""") { (s, dir) =>
+      import graft.operators.{Layout, ModelCollect}
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bidx")
+        .resolve("t").toString
+      orders.repartition(16, col("o_custkey")).write.parquet(tmp)
+      val perFile = math.max(1024L, orders.count() / 16)
+      val idx = Layout.bloomIndex(s, tmp, "o_orderkey", perFile)
+      val probes = ModelCollect.bounded(
+          orders.filter(col("o_orderkey") % 997 === 0)
+            .select("o_orderkey").distinct(),
+          4096, "bloom-lookup probe keys")
+        .map(_.getLong(0))
+      Layout.bloomLookup(s, tmp, idx, "o_orderkey", probes)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    "layout_bloomindex_gate" -> QueryDef(
+      doc = "bloom-index guarantees: (1) lookup_eq - bloomLookup's row set EQUALS the full filtered scan's both directions (false positives open files, the residual filter closes them); (2) skips - for a single probe the sketch keeps <= 4 of 16 hash-scattered files (expected 1 + 15 x fpp at 1%) while min/max keeps >= 12 AND the sketch strictly beats min/max - the quantitative case for the probabilistic rung; (3) delta_merge - after appending files, existing UNION bloomIndexDelta equals a full rebuild BIT-exactly (per-file sketches are deterministic seeded murmur, no RNG) - append maintenance costs one narrow scan of the new files",
+      oracle = "SELECT CAST(1 AS INTEGER) AS lookup_eq, " +
+        "CAST(1 AS INTEGER) AS skips, " +
+        "CAST(1 AS INTEGER) AS delta_merge") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Layout, ModelCollect}
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bidxg")
+        .resolve("t").toString
+      orders.repartition(16, col("o_custkey")).write.parquet(tmp)
+      val perFile = math.max(1024L, orders.count() / 16)
+      val idx0 = Layout.bloomIndex(s, tmp, "o_orderkey", perFile)
+        .localCheckpoint(true)
+      val probes = ModelCollect.bounded(
+          orders.filter(col("o_orderkey") % 997 === 0)
+            .select("o_orderkey").distinct(),
+          4096, "bloom-lookup probe keys")
+        .map(_.getLong(0))
+      val looked = Layout.bloomLookup(s, tmp, idx0, "o_orderkey", probes)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val full = orders.filter(col("o_orderkey") % 997 === 0)
+      val lookupEq = looked.exceptAll(full).count() == 0 &&
+        full.exceptAll(looked).count() == 0
+      val probe = probes.max
+      val bloomFiles = idx0.filter(
+        graft.functions.BloomContainsAny.column(
+          col("bloom"), lit(Array(probe)))).count()
+      val minmaxSurvivors = Layout.fileIndex(s, tmp, Seq("o_orderkey"))
+        .filter(col("min_o_orderkey") <= probe &&
+          col("max_o_orderkey") >= probe).count()
+      val skips = bloomFiles <= 4 && minmaxSurvivors >= 12 &&
+        bloomFiles < minmaxSurvivors
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .repartition(2).write.mode("append").parquet(tmp)
+      val delta = Layout.bloomIndexDelta(s, tmp, "o_orderkey", idx0,
+        perFile)
+      val merged = idx0.unionByName(delta)
+      val rebuilt = Layout.bloomIndex(s, tmp, "o_orderkey", perFile)
+      val deltaMerge = merged.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(merged).count() == 0
+      Seq((if (lookupEq) 1 else 0, if (skips) 1 else 0,
+        if (deltaMerge) 1 else 0))
+        .toDF("lookup_eq", "skips", "delta_merge")
+    },
+
     "layout_index_delta_gate" -> QueryDef(
       doc = "incremental file-index maintenance (merge == rebuild for the layout family): index a 8-file orders layout, append 4 more files, fileIndexDelta must stat ONLY the 4 new files, and existing UNION delta must equal a full fileIndex rebuild EXACTLY (per-file stats are independent, so the incremental path is lossless) - plus the empty-delta edge: a second delta against the merged index is 0 rows",
       oracle = "SELECT CAST(1 AS INTEGER) AS idx_delta_only_new, " +

@@ -512,6 +512,46 @@ class LayoutSpec extends SparkSpec {
       rebuilt.exceptAll(again).count() == 0)
   }
 
+  test("bloomIndex + bloomLookup: exact results, append delta unions to " +
+      "a rebuild, loud empty-probe") {
+    val root = Files.createTempDirectory("bidx")
+    val tmp = root.resolve("t").toString
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .repartition(4, col("o_custkey")).write.parquet(tmp)
+    val nPerFile = math.max(1024L, orders.count() / 4)
+    val idx = Layout.bloomIndex(spark, tmp, "o_orderkey", nPerFile)
+      .localCheckpoint(true)
+    assert(idx.columns.toSeq == Seq("file", "bloom") && idx.count() == 4)
+    val probes = orders.filter(col("o_orderkey") % 101 === 0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val got = Layout.bloomLookup(spark, tmp, idx, "o_orderkey", probes)
+    val want = orders.filter(col("o_orderkey") % 2 === 0 &&
+      col("o_orderkey").isin(probes: _*))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    // absent key: residual filter guarantees zero ROWS regardless of
+    // which files a false positive opens
+    assert(Layout.bloomLookup(spark, tmp, idx, "o_orderkey",
+      Seq(-1L)).count() == 0)
+    intercept[IllegalArgumentException] {
+      Layout.bloomLookup(spark, tmp, idx, "o_orderkey", Seq.empty)
+    }
+    // append maintenance: delta covers ONLY new files; deterministic
+    // sketches make union ≡ rebuild BIT-exact
+    val none = Layout.bloomIndexDelta(spark, tmp, "o_orderkey", idx,
+      nPerFile)
+    assert(none.count() == 0)
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .repartition(2).write.mode("append").parquet(tmp)
+    val delta = Layout.bloomIndexDelta(spark, tmp, "o_orderkey", idx,
+      nPerFile)
+    assert(delta.count() == 2)
+    val merged = idx.unionByName(delta)
+    val rebuilt = Layout.bloomIndex(spark, tmp, "o_orderkey", nPerFile)
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0)
+  }
+
   test("materializeDv refuses stale vectors and partitioned layouts loudly") {
     val root = Files.createTempDirectory("dvbad")
     val src = root.resolve("s").toString
