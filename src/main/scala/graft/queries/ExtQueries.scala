@@ -3110,6 +3110,79 @@ object ExtQueries {
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     },
 
+    "salted_adaptive" -> QueryDef(
+      doc = "adaptive (hot-key-only) salted join end-to-end: the lineitem-derived fact puts ~40% of its rows on ONE key; SkewJoin.adaptiveSaltedJoin detects the hot set in one Misra-Gries pass (PODS'82 superset guarantee: every key with frequency > N/k survives the sketch - the SAFE direction, since salting a cold key by mistake costs factor-1 small rows while missing a hot one stalls a stage), salts ONLY those rows across 8 sub-keys, and replicates ONLY the dim's hot rows - the differentiated form every production skew fix converges on, vs blanket salting's factor x |dim| shuffle. The hash proves the salted join's per-key aggregate EQUALS the oracle's plain-join replay: salting changed the partition histogram, not one row of the answer. Cents-integerized products keep the sum exact cross-engine",
+      oracle = """
+        WITH fact AS (
+          SELECT CASE WHEN l_orderkey % 5 < 2 THEN 0
+                      ELSE l_orderkey % 97 END AS k,
+                 CAST(round(l_quantity * 100, 0) AS BIGINT) AS cents
+          FROM lineitem),
+        d AS (SELECT DISTINCT k, k * 2 AS attr FROM fact)
+        SELECT f.k, count(*) AS n,
+               CAST(sum(f.cents * d.attr) AS BIGINT) AS total
+        FROM fact f JOIN d ON f.k = d.k
+        GROUP BY f.k""") { (s, dir) =>
+      import graft.operators.SkewJoin
+      val fact = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .withColumn("k", when(col("l_orderkey") % 5 < 2, 0L)
+          .otherwise(col("l_orderkey") % 97))
+        .select(col("k"),
+          round(col("l_quantity") * 100, 0).cast("long").as("cents"))
+      val dim = fact.select("k").distinct()
+        .withColumn("attr", col("k") * 2)
+      SkewJoin.adaptiveSaltedJoin(fact, dim, Seq("k"), factor = 8)
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents") * col("attr")).as("total"))
+    },
+
+    "salted_adaptive_gate" -> QueryDef(
+      doc = "the adaptive-salting cost/shape claims the hash query cannot see: (1) hot_found - the planted hot key (~40% of rows) is IN the MG-detected hot set and the set is k-bounded; (2) histogram_flattened - after salting, the largest (key, salt) group is <= 1/4 of the unsalted hot-key group (the reducer-stall fix actually fired; 8 salts give ~1/8, 1/4 is the determinism slack); (3) replication_cheap - the replicated dim row count is EXACTLY |dim| + |hot| x (factor - 1), independent of the dim's cold mass (blanket salting would pay factor x |dim|); (4) cold_untouched - every cold row keeps salt 0 (no spurious scatter of well-behaved keys)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS hot_found, " +
+        "CAST(1 AS INTEGER) AS histogram_flattened, " +
+        "CAST(1 AS INTEGER) AS replication_cheap, " +
+        "CAST(1 AS INTEGER) AS cold_untouched") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.SkewJoin
+      val fact = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"))
+        .withColumn("k", when(col("l_orderkey") % 5 < 2, 0L)
+          .otherwise(col("l_orderkey") % 97))
+        .select("k", "l_orderkey")
+      val dim = fact.select("k").distinct()
+        .withColumn("attr", col("k") * 2).localCheckpoint(true)
+      val k = 64
+      val factor = 8
+      val hot = SkewJoin.hotKeys(fact, Seq("k"), k)
+      val hotFound = hot.contains("0") && hot.size <= k
+      // replay the operator's salting to measure the histogram
+      val salted = fact.withColumn("__salt",
+        when(col("k").cast("string").isin(hot: _*),
+          pmod(xxhash64(col("k"), col("l_orderkey")), lit(factor)))
+          .otherwise(lit(0)).cast("int"))
+      val unsaltedMax = fact.groupBy("k").count()
+        .agg(max("count")).head.getLong(0)
+      val saltedMax = salted.groupBy("k", "__salt").count()
+        .agg(max("count")).head.getLong(0)
+      val flattened = saltedMax * 4 <= unsaltedMax
+      val replicated = dim.withColumn("__salt",
+        explode(when(col("k").cast("string").isin(hot: _*),
+          sequence(lit(0), lit(factor - 1)))
+          .otherwise(array(lit(0))))).count()
+      val hotInDim = dim.filter(
+        col("k").cast("string").isin(hot: _*)).count()
+      val cheap = replicated == dim.count() + hotInDim * (factor - 1)
+      val coldZero = salted.filter(
+        !col("k").cast("string").isin(hot: _*) &&
+          col("__salt") =!= 0).count() == 0
+      Seq((if (hotFound) 1 else 0, if (flattened) 1 else 0,
+        if (cheap) 1 else 0, if (coldZero) 1 else 0))
+        .toDF("hot_found", "histogram_flattened", "replication_cheap",
+          "cold_untouched")
+    },
+
     "layout_pointindex" -> QueryDef(
       doc = "record-level point index end-to-end (the Hudi record-index / secondary-index design): orders hash-scattered into 16 files on o_custkey, so o_orderkey - high-cardinality, scattered - is exactly the key min/max skipping CANNOT serve (every file's [min,max] spans every probe; the gate measures that). keyIndex builds the key -> sorted-file-set table in one distributed scan (|keys| rows, a TABLE, never collected); pointLookup answers o_orderkey % 997 = 0 by opening only the files the index names for those keys - the needle-in-haystack read at 100 TB. The residual IN-filter re-applies, so the result is row-identical to the full scan the oracle runs; soundness carries correctness, the index only carries IO",
       oracle = """

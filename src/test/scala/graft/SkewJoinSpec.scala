@@ -30,6 +30,32 @@ class SkewJoinSpec extends SparkSpec {
       SkewJoin.saltedJoin(large, small, Seq("k"), 4, joinType = "full"))
   }
 
+  test("adaptiveSaltedJoin equals plain join (inner + left) and detects " +
+      "the planted hot key") {
+    val skewed = ((1 to 500).map(i => (7L, s"hot$i")) ++
+      (1 to 50).map(i => ((i % 10).toLong, s"cold$i")))
+      .toDF("k", "lv")
+    val dim = (0L to 10L).map(k => (k, s"d$k")).toDF("k", "sv")
+    assertSameRows(
+      SkewJoin.adaptiveSaltedJoin(skewed, dim, Seq("k"), factor = 4, k = 4),
+      skewed.join(dim, Seq("k"), "inner"))
+    // left join keeps unmatched large rows exactly once
+    val dimSparse = Seq((7L, "only")).toDF("k", "sv")
+    assertSameRows(
+      SkewJoin.adaptiveSaltedJoin(skewed, dimSparse, Seq("k"),
+        factor = 4, k = 4, joinType = "left"),
+      skewed.join(dimSparse, Seq("k"), "left"))
+    // MG superset: the 90%-hot key always survives a k=4 sketch
+    val hot = SkewJoin.hotKeys(skewed, Seq("k"), k = 4)
+    assert(hot.contains("7") && hot.size <= 4)
+    // empty input falls through without salting machinery
+    assert(SkewJoin.adaptiveSaltedJoin(skewed.limit(0), dim,
+      Seq("k"), factor = 4).count() == 0)
+    intercept[IllegalArgumentException](
+      SkewJoin.adaptiveSaltedJoin(skewed, dim, Seq("k"), 4,
+        joinType = "full"))
+  }
+
   test("salt actually scatters a hot key across sub-keys") {
     val hot = (1 to 1000).map(i => (1L, s"row$i")).toDF("k", "lv")
     val salts = hot.withColumn("__salt",
