@@ -435,6 +435,36 @@ object Layout {
         .as("files"))
   }
 
+  /** Repair a [[keyIndex]] after a FILE-LEVEL rewrite (compaction,
+    * [[materializeDv]], erasure): entries for vanished files DROP,
+    * entries for surviving files are kept verbatim, and only the NEW
+    * files are scanned ([[keyIndexDelta]]) — the full-rescan a naive
+    * rebuild would pay is avoided for exactly the files the rewrite
+    * byte-copied, which selective compaction makes the vast majority.
+    * Correctness argument: a (key, file) pair belongs in the index
+    * iff the file exists and contains the key; present∩old pairs are
+    * unchanged (files are immutable), vanished files can contribute
+    * nothing, new files are delta-scanned ⇒ repair ≡ rebuild exactly
+    * (gate-pinned by store_erasure_gate). The file listing is
+    * dir-tree-sized and joins DISTRIBUTED against the exploded index
+    * — no index-sized literal ever builds on the driver.
+    */
+  def repairKeyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: String, existing: DataFrame,
+      maxFiles: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val present = listFresh(spark, path, Set.empty, maxFiles,
+      "repairKeyIndex").map(normFile)
+    val presentDf = present.toDF("f")
+    val kept = existing
+      .select(col(key), explode(col("files")).as("f"))
+      .join(presentDf, Seq("f"), "left_semi")
+      .groupBy(col(key))
+      .agg(sort_array(collect_set(col("f"))).as("files"))
+    mergeKeyIndex(kept, keyIndexDelta(spark, path, key, existing,
+      maxFiles))
+  }
+
   /** Answer `key IN values` by opening ONLY the files the index names
     * for those keys. The index filter runs distributed; the surviving
     * file list comes to the driver through [[ModelCollect.bounded]]

@@ -3573,6 +3573,59 @@ object ExtQueries {
         "o_orderkey", "content")
     },
 
+    "store_erasure_gate" -> QueryDef(
+      doc = "the right-to-erasure flow at 100 TB, composed from the lakehouse layers: delete every row of ONE customer from an 8-file orders table via deletion vector (addresses recorded by one filtered scan), materialize through stageAndSwap (crash-safe in-place rewrite: clean files byte-copied under their own names, only the customer's file re-encodes), then REPAIR the record-level key index - vanished-file entries drop, surviving-file entries keep verbatim, only rewritten files rescan (repairKeyIndex; a naive rebuild rescans the table). Gate: (1) erase_applied - the DV was non-empty and the swapped table holds ZERO rows of the customer; (2) others_intact - every other row survives byte-for-row (both exceptAll directions); (3) selective - exactly 1 of 8 files re-encoded (the customer's hash file), 7 byte-copied under stageAndSwap; (4) index_repaired - repair == full rebuild EXACTLY, the erased orders are UNFINDABLE through pointLookup, and a surviving probe still resolves - the index layer forgets the customer too, which naive erasure flows miss",
+      oracle = "SELECT CAST(1 AS INTEGER) AS erase_applied, " +
+        "CAST(1 AS INTEGER) AS others_intact, " +
+        "CAST(1 AS INTEGER) AS selective, " +
+        "CAST(1 AS INTEGER) AS index_repaired") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Layout, ModelCollect}
+      import graft.sources.AnalysisStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val src = java.nio.file.Files.createTempDirectory("graft-erase")
+        .resolve("t").toString
+      orders.repartition(8, col("o_custkey")).write.parquet(src)
+      val idx0 = Layout.keyIndex(s, src, "o_orderkey")
+        .localCheckpoint(true)
+      val target = orders.agg(min("o_custkey")).head.getLong(0)
+      val erasedKeys = ModelCollect.bounded(
+          orders.filter(col("o_custkey") === target)
+            .select("o_orderkey"),
+          4096, "erased order keys")
+        .map(_.getLong(0))
+      val dv = Layout.deletionVector(s, src,
+        col("o_custkey") === target).localCheckpoint(true)
+      var st: Layout.DvMaterialize = null
+      AnalysisStore.stageAndSwap(s, src) { staging =>
+        st = Layout.materializeDv(s, src, dv, staging)
+      }
+      val after = s.read.parquet(src)
+      val eraseApplied = dv.count() == erasedKeys.size &&
+        erasedKeys.nonEmpty &&
+        after.filter(col("o_custkey") === target).count() == 0
+      val want = orders.filter(col("o_custkey") =!= target)
+      val othersIntact = after.exceptAll(want).count() == 0 &&
+        want.exceptAll(after).count() == 0
+      val selective = st.nIn == 8 && st.rewritten == 1 && st.kept == 7
+      val idx1 = Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
+        .localCheckpoint(true)
+      val rebuilt = Layout.keyIndex(s, src, "o_orderkey")
+      val repairEq = idx1.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(idx1).count() == 0
+      val unfindable = Layout.pointLookup(s, src, idx1, "o_orderkey",
+        erasedKeys).count() == 0
+      val survivorKey = after.agg(max("o_orderkey")).head.getLong(0)
+      val survivorFound = Layout.pointLookup(s, src, idx1, "o_orderkey",
+        Seq(survivorKey)).count() >= 1
+      val indexRepaired = repairEq && unfindable && survivorFound
+      Seq((if (eraseApplied) 1 else 0, if (othersIntact) 1 else 0,
+        if (selective) 1 else 0, if (indexRepaired) 1 else 0))
+        .toDF("erase_applied", "others_intact", "selective",
+          "index_repaired")
+    },
+
     "store_catalog_tx" -> QueryDef(
       doc = "multi-table transactional catalog (the Nessie/'multi-table transaction' gap in first-generation lakehouse formats): tx1 commits a customer dim AND a per-customer order summary in ONE transaction, tx2 republishes only the summary (high-value orders) - the dim carries forward at its tx1 version in the new catalog map. A reader resolves the catalog pointer ONCE into a snapshot and joins the tx2 summary to the tx1 dim off that one resolution; the oracle replays both table definitions directly over the raw tables, so the driver hash proves catalog-resolved cross-table reads equal the semantic ground truth. Atomicity, isolation, time travel, and the claim protocol are store_catalog_gate's contract",
       oracle = """

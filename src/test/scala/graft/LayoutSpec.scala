@@ -552,6 +552,35 @@ class LayoutSpec extends SparkSpec {
       rebuilt.exceptAll(merged).count() == 0)
   }
 
+  test("repairKeyIndex after an in-place rewrite: drop vanished, keep " +
+      "survivors, scan only new — equals a rebuild") {
+    val root = Files.createTempDirectory("kidxrep")
+    val tmp = root.resolve("t").toString
+    // 40 fragments + one well-sized file; compaction keeps the big
+    // one under its own name and re-packs the rest
+    orders.repartition(40).write.parquet(tmp)
+    orders.repartition(1).write.mode("append").parquet(tmp)
+    val idx0 = Layout.keyIndex(spark, tmp, "o_orderkey")
+      .localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val big = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .maxBy(_.getLen)
+    graft.sources.AnalysisStore.stageAndSwap(spark, tmp) { staging =>
+      Layout.compactTo(spark, tmp, staging, targetBytes = big.getLen)
+    }
+    val repaired = Layout.repairKeyIndex(spark, tmp, "o_orderkey", idx0)
+    val rebuilt = Layout.keyIndex(spark, tmp, "o_orderkey")
+    assert(repaired.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(repaired).count() == 0)
+    // the kept file's entries really survived the repair verbatim
+    val keptName = big.getPath.getName
+    assert(repaired.filter(array_contains(col("files"),
+      Layout.normFile(big.getPath.toString))).count() > 0,
+      s"kept file $keptName must still be indexed")
+  }
+
   test("materializeDv refuses stale vectors and partitioned layouts loudly") {
     val root = Files.createTempDirectory("dvbad")
     val src = root.resolve("s").toString
