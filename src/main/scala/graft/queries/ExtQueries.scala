@@ -3735,6 +3735,55 @@ object ExtQueries {
           "tx_mvcc")
     },
 
+    "store_catalog_vacuum_gate" -> QueryDef(
+      doc = "catalog GC with carry-forward refcounting (the lifecycle leg that bounds the transactional store's storage): vacuum keeps the newest N catalog versions (never the pointer target) and drops every table version NO kept catalog references - the subtlety being that liveness is a REFCOUNT over kept catalog maps, not an age cutoff: a dim committed once rides through every later transaction's carry-forward, so after many commits that never touched it, vacuum(keep=1) must KEEP the dim's original version dir while sweeping the fact's superseded ones. Gate: (1) trimmed - only the newest catalog survives and the fact's old versions are gone from disk; (2) carry_survives - the dim's original version dir still exists and reads row-identically through the kept snapshot (the case an age-based GC deletes and corrupts); (3) dropped_unreadable - time travel to a vacuumed catalog fails loudly; (4) idempotent - a second vacuum removes nothing",
+      oracle = "SELECT CAST(1 AS INTEGER) AS trimmed, " +
+        "CAST(1 AS INTEGER) AS carry_survives, " +
+        "CAST(1 AS INTEGER) AS dropped_unreadable, " +
+        "CAST(1 AS INTEGER) AS idempotent") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000)
+      val root = java.nio.file.Files.createTempDirectory("graft-catv")
+        .toString
+      val dim = orders.filter(col("o_orderkey") % 3 === 0)
+      CatalogStore.commit(s, root, Map("dim" -> dim,
+        "fact" -> orders.filter(col("o_orderkey") % 2 === 0)))
+      CatalogStore.commit(s, root,
+        Map("fact" -> orders.filter(col("o_orderkey") % 2 === 1)))
+      val factFinal = orders.filter(col("o_orderkey") % 5 === 0)
+      CatalogStore.commit(s, root, Map("fact" -> factFinal))
+      val vac = CatalogStore.vacuum(s, root, keep = 1)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dirExists(t: String, v: Int) = fs.exists(
+        new org.apache.hadoop.fs.Path(root, s"$t/v=$v"))
+      val trimmed = vac.catalogs == Seq(1, 2) &&
+        vac.tableVersions == Map("fact" -> Seq(1, 2)) &&
+        CatalogStore.catalogVersions(s, root) == Seq(3) &&
+        !dirExists("fact", 1) && !dirExists("fact", 2) &&
+        dirExists("fact", 3)
+      val snap = CatalogStore.snapshot(s, root)
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      val carry = dirExists("dim", 1) &&
+        snap.tables == Map("dim" -> 1, "fact" -> 3) &&
+        eq(CatalogStore.read(s, root, "dim", snap), dim.toDF()) &&
+        eq(CatalogStore.read(s, root, "fact", snap), factFinal.toDF())
+      val unreadable = try {
+        CatalogStore.snapshot(s, root, Some(1)); false
+      } catch { case _: Exception => true }
+      val again = CatalogStore.vacuum(s, root, keep = 1)
+      val idem = again.catalogs.isEmpty && again.tableVersions.isEmpty
+      Seq((if (trimmed) 1 else 0, if (carry) 1 else 0,
+        if (unreadable) 1 else 0, if (idem) 1 else 0))
+        .toDF("trimmed", "carry_survives", "dropped_unreadable",
+          "idempotent")
+    },
+
     "store_versioned_gate" -> QueryDef(
       doc = "versioned serving store (time travel + rollback + vacuum with plain parquet dirs - the Delta/Iceberg snapshot idea reduced to its load-bearing parts: immutable v=N dirs + an atomically-renamed one-line pointer, so a publish can never tear a running scan and rollback is a data-free pointer flip): (1) two publishes - current serves v2 while v1 stays byte-intact for time travel; (2) rollback flips to v1 and a subsequent publish NEVER reuses a live version number; (3) vacuum keeps the newest N but never deletes the pointer target",
       oracle = "SELECT CAST(1 AS INTEGER) AS ver_travel_ok, " +

@@ -146,6 +146,56 @@ object CatalogStore {
       name: String): DataFrame =
     read(spark, root, name, snapshot(spark, root))
 
+  /** What [[vacuum]] removed: catalog versions dropped, and table
+    * versions dropped per table.
+    */
+  final case class CatalogVacuum(catalogs: Seq[Int],
+      tableVersions: Map[String, Seq[Int]])
+
+  /** Drop all but the newest `keep` catalog versions — never the
+    * pointer target — and every table version NO kept catalog
+    * references. The subtlety carry-forward creates: a table version
+    * can be referenced by MANY catalog versions (a dim committed once
+    * rides through every later transaction's map), so table-version
+    * liveness is a REFCOUNT over the kept catalogs' maps, not an
+    * age cutoff — vacuum(keep = 1) after 100 commits that never
+    * touched the dim must keep the dim's original v=1 dir. Runs under
+    * the store's single-writer contract (no in-flight commit), so
+    * unparseable claim files OLDER than the kept range are crashed
+    * commits and are swept with their staged dirs.
+    */
+  def vacuum(spark: SparkSession, root: String,
+      keep: Int): CatalogVacuum = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val fs = fsOf(spark, root)
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed catalog under $root"))
+    val all = catalogVersions(spark, root)
+    val keepSet = all.takeRight(keep).toSet + cur
+    def snapOpt(v: Int): Option[Snapshot] =
+      try Some(snapshot(spark, root, Some(v)))
+      catch { case _: Exception => None } // crashed claim: no map
+    val referenced: Set[(String, Int)] = keepSet.toSeq
+      .flatMap(v => snapOpt(v).toSeq.flatMap(_.tables.toSeq)).toSet
+    val doomedCats = all.filterNot(keepSet.contains)
+    doomedCats.foreach(v => fs.delete(catFile(root, v), false))
+    val tables = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .toSeq.filter(e => e.isDirectory &&
+        !e.getPath.getName.startsWith("_") &&
+        !e.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    val droppedTv = tables.map { t =>
+      val vs = fs.listStatus(
+          new org.apache.hadoop.fs.Path(root, t)).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
+      val doomed = vs.filterNot(v => referenced.contains((t, v)))
+      doomed.foreach(v => fs.delete(tableDir(root, t, v), true))
+      t -> doomed
+    }.filter(_._2.nonEmpty).toMap
+    CatalogVacuum(doomedCats, droppedTv)
+  }
+
   /** Atomically publish `tables` as one transaction; tables not in
     * the map carry their current version forward. Audits run against
     * the STAGED dirs; the first failure rolls back every staged

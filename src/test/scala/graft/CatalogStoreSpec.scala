@@ -69,6 +69,34 @@ class CatalogStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum: refcounted over kept catalogs — carried-forward table " +
+      "versions survive, unreferenced ones and old catalogs go") {
+    val root = Files.createTempDirectory("catv").toString
+    val b1 = orders.limit(50)
+    CatalogStore.commit(spark, root, Map(
+      "a" -> orders.limit(100), "b" -> b1))          // cat 1: a1, b1
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(80))) // 2
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(60))) // 3
+    val vac = CatalogStore.vacuum(spark, root, keep = 1)
+    assert(vac.catalogs == Seq(1, 2))
+    // a's superseded versions go; b's v1 is CARRIED by catalog 3 and
+    // must survive although catalog 1 (its commit) was dropped
+    assert(vac.tableVersions == Map("a" -> Seq(1, 2)))
+    assert(CatalogStore.catalogVersions(spark, root) == Seq(3))
+    val snap = CatalogStore.snapshot(spark, root)
+    assert(snap.tables == Map("a" -> 3, "b" -> 1))
+    assert(CatalogStore.read(spark, root, "a", snap).count() == 60)
+    assertSameRows(CatalogStore.read(spark, root, "b", snap), b1.toDF())
+    // dropped history is unreadable, loudly
+    intercept[Exception] {
+      CatalogStore.snapshot(spark, root, Some(1))
+    }
+    // the pointer target always survives, even with keep = 1 after
+    // a rollback-like state; and vacuum is idempotent
+    val again = CatalogStore.vacuum(spark, root, keep = 1)
+    assert(again.catalogs.isEmpty && again.tableVersions.isEmpty)
+  }
+
   test("same-version racers collide on the claim, loudly") {
     val root = Files.createTempDirectory("catr").toString
     CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
