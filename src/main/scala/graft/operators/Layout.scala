@@ -559,6 +559,25 @@ object Layout {
       expectedPerFile, fpp)
   }
 
+  /** [[repairKeyIndex]]'s sibling for the bloom index — simpler
+    * because rows are PER FILE: keep rows whose file still exists
+    * (distributed semi-join against the listing), delta-scan only
+    * the new files. Repair ≡ rebuild for the same immutability
+    * reason, deterministic sketches included.
+    */
+  def repairBloomIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, key: String, existing: DataFrame,
+      expectedPerFile: Long = 1L << 20, fpp: Double = 0.01,
+      maxFiles: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val present = listFresh(spark, path, Set.empty, maxFiles,
+      "repairBloomIndex").map(normFile)
+    val kept = existing.join(present.toDF("file"), Seq("file"),
+      "left_semi")
+    kept.unionByName(bloomIndexDelta(spark, path, key, existing,
+      expectedPerFile, fpp, maxFiles))
+  }
+
   /** Answer `key IN values` through the bloom index: the sketch
     * filter runs DISTRIBUTED over the index table (one
     * deserialization per FILE row probes every value —

@@ -581,6 +581,29 @@ class LayoutSpec extends SparkSpec {
       s"kept file $keptName must still be indexed")
   }
 
+  test("repairBloomIndex after a rewrite equals a rebuild bit-exactly") {
+    val root = Files.createTempDirectory("bidxrep")
+    val tmp = root.resolve("t").toString
+    orders.repartition(6).write.parquet(tmp)
+    orders.limit(2000).repartition(1).write.mode("append").parquet(tmp)
+    val nPerFile = math.max(1024L, orders.count() / 4)
+    val idx0 = Layout.bloomIndex(spark, tmp, "o_orderkey", nPerFile)
+      .localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val big = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .maxBy(_.getLen)
+    graft.sources.AnalysisStore.stageAndSwap(spark, tmp) { staging =>
+      Layout.compactTo(spark, tmp, staging, targetBytes = big.getLen)
+    }
+    val repaired = Layout.repairBloomIndex(spark, tmp, "o_orderkey",
+      idx0, nPerFile)
+    val rebuilt = Layout.bloomIndex(spark, tmp, "o_orderkey", nPerFile)
+    assert(repaired.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(repaired).count() == 0)
+  }
+
   test("materializeDv refuses stale vectors and partitioned layouts loudly") {
     val root = Files.createTempDirectory("dvbad")
     val src = root.resolve("s").toString
