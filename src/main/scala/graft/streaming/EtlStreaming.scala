@@ -391,4 +391,65 @@ object EtlStreaming {
           AnalysisStore.writeFull(Flatten.flattenObs(affected, config), storePath)
         }
       }
+
+  /** One transactional-publishing tick against a [[graft.sources
+    * .CatalogStore]] — the body of [[catalogTicks]], visible so the
+    * at-least-once guard is directly testable. `derive` builds the
+    * tick's table set; it may read the CURRENT snapshot from `root`
+    * to fold cumulative state (the usual shape). foreachBatch can
+    * REPLAY a batch after a crash, and replaying a fold double-counts
+    * — so the committed batch id rides in the transaction as the
+    * one-row `tick_meta` table and a replay whose id is not newer is
+    * a NO-OP (the standard foreachBatch idempotence pattern, here
+    * with the guard and the data flipping in the SAME atomic commit
+    * — a crash between them is impossible by construction).
+    * Returns true when the tick committed.
+    */
+  def catalogTickBatch(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, batchId: Long,
+      derive: DataFrame => Map[String, DataFrame]): Boolean = {
+    import spark.implicits._
+    import graft.sources.CatalogStore
+    val last: Long =
+      try {
+        val snap = CatalogStore.snapshot(spark, root)
+        if (snap.tables.contains("tick_meta"))
+          CatalogStore.read(spark, root, "tick_meta", snap)
+            .select("batch_id").head.getLong(0)
+        else -1L
+      } catch { case _: IllegalStateException => -1L } // empty store
+    if (batchId <= last) false
+    else {
+      val tables = derive(batch)
+      require(!tables.contains("tick_meta"),
+        "tick_meta is reserved for the replay guard")
+      CatalogStore.commit(spark, root,
+        tables + ("tick_meta" -> Seq(batchId).toDF("batch_id")))
+      true
+    }
+  }
+
+  /** Streaming twin of the transactional catalog: each non-empty
+    * micro-batch derives N tables and commits them ATOMICALLY —
+    * readers resolving the catalog see every tick's table set flip
+    * all-or-nothing (the store_catalog_ticks semantics driven by a
+    * real stream). Replay-safe via [[catalogTickBatch]]'s tick_meta
+    * guard.
+    */
+  def catalogTicks(
+      events: DataFrame, root: String,
+      derive: DataFrame => Map[String, DataFrame],
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch = rawBatch.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          catalogTickBatch(batch.sparkSession, root, batch, batchId,
+            derive)
+          ()
+        }
+      }
 }

@@ -189,6 +189,61 @@ class EtlStreamingSpec extends SparkSpec {
     assert(siblings == Seq("cdc"), s"leftovers: $siblings")
   }
 
+  test("catalogTicks: per-tick atomic multi-table commits; replay guard no-ops") {
+    import graft.sources.CatalogStore
+    val root = Files.createTempDirectory("catticks").toString
+    // derive folds CUMULATIVE per-key counts: read prior state from
+    // the store, add the tick's rows — the usual transactional shape
+    def derive(batch: DataFrame): Map[String, DataFrame] = {
+      val tick = batch.groupBy("k").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val prior =
+        try CatalogStore.readCurrent(spark, root, "counts")
+        catch { case _: Exception => tick.limit(0) }
+      val counts = prior.unionByName(tick).groupBy("k")
+        .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      Map("counts" -> counts,
+        "latest" -> batch.groupBy("k").agg(
+          org.apache.spark.sql.functions.max("v").as("v")))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = EtlStreaming.catalogTicks(
+      mem.toDF().toDF("k", "v"), root, derive,
+      interval = "0 seconds").start()
+    try {
+      mem.addData((1L, 10L), (1L, 11L), (2L, 20L)); q.processAllAvailable()
+      mem.addData((1L, 12L), (3L, 30L)); q.processAllAvailable()
+    } finally q.stop()
+    val snap = CatalogStore.snapshot(spark, root)
+    // both tables committed atomically per tick + the guard table
+    assert(snap.tables.keySet == Set("counts", "latest", "tick_meta"))
+    assertSameRows(CatalogStore.read(spark, root, "counts", snap),
+      Seq((1L, 3L), (2L, 1L), (3L, 1L)).toDF("k", "n"))
+    assertSameRows(CatalogStore.read(spark, root, "latest", snap),
+      Seq((1L, 12L), (3L, 30L)).toDF("k", "v"))
+    // time travel: tick 1 alone
+    val v1 = CatalogStore.snapshot(spark, root, Some(1))
+    assertSameRows(CatalogStore.read(spark, root, "counts", v1),
+      Seq((1L, 2L), (2L, 1L)).toDF("k", "n"))
+    // replay guard: re-folding the SAME batch id is a no-op — the
+    // cumulative fold would otherwise double-count
+    val replay = Seq((1L, 12L), (3L, 30L)).toDF("k", "v")
+    assert(!EtlStreaming.catalogTickBatch(spark, root, replay, 1L, derive))
+    assert(CatalogStore.snapshot(spark, root) == snap)
+    // a NEWER id commits, and tick_meta is reserved
+    assert(EtlStreaming.catalogTickBatch(spark, root, replay, 7L, derive))
+    assert(CatalogStore.read(spark, root, "counts",
+      CatalogStore.snapshot(spark, root))
+      .filter(org.apache.spark.sql.functions.col("k") === 1L)
+      .head.getLong(1) == 4L)
+    intercept[IllegalArgumentException] {
+      EtlStreaming.catalogTickBatch(spark, root, replay, 99L,
+        b => Map("tick_meta" -> b))
+    }
+  }
+
   test("dvTicks: streamed delete keys maintain the vector; data files untouched; redelivery no-ops") {
     val root = Files.createTempDirectory("dvticks")
     val tablePath = root.resolve("t").toString
