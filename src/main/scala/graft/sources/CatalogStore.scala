@@ -66,6 +66,17 @@ object CatalogStore {
   final case class Audit(name: String, table: String,
       check: DataFrame => Boolean)
 
+  /** Thrown when the exclusive catalog-file claim finds the version
+    * already taken — i.e. another writer committed between our
+    * version read and our claim. Retryable by design: the loser's
+    * data hasn't been written yet, so re-reading the new current and
+    * re-claiming the next number is a clean optimistic retry.
+    */
+  final class CommitContentionException(version: Int,
+      cause: Throwable) extends IllegalStateException(
+    s"concurrent commit detected: catalog version $version is " +
+      "already claimed", cause)
+
   private def fsOf(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -79,12 +90,49 @@ object CatalogStore {
   private def tableDir(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
 
+  /** Atomically create an empty file, failing if it exists — THE
+    * exclusive-claim primitive. HDFS's `create(p, overwrite=false)`
+    * is atomic at the NameNode; RawLocalFileSystem's is
+    * check-then-create, so two local racers can both "win" — for
+    * `file://` go through NIO's createFile (O_CREAT|O_EXCL, atomic
+    * at the syscall).
+    */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      java.nio.file.Files.createDirectories(local.getParent)
+      try java.nio.file.Files.createFile(local)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new java.io.IOException(s"$p already claimed", e)
+      }
+    } else fs.create(p, false).close()
+  }
+
+  /** Read a small catalog/pointer file. ChecksumFileSystem renames
+    * the data file and its .crc sidecar as two operations, so a read
+    * concurrent with a rename-flip can observe new bytes under the
+    * old checksum — a transient torn state, not corruption. Retry it
+    * a few times before giving up.
+    */
   private def readSmall(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(p)
+        try return new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      } catch {
+        case e: org.apache.hadoop.fs.ChecksumException =>
+          attempt += 1
+          if (attempt > 20) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Current catalog version, if any commit completed. */
@@ -97,15 +145,22 @@ object CatalogStore {
 
   /** All catalog versions physically present, ascending (committed
     * ones; a crashed commit's claim file holds no parseable content
-    * and is skipped by [[snapshot]]'s require on the body).
+    * and is skipped by [[snapshot]]'s require on the body). Only
+    * names matching `c=<digits>` count: a leftover `c=N.tmp` from a
+    * crash between the tmp create and its rename must not brick
+    * every later commit/vacuum with a NumberFormatException.
     */
   def catalogVersions(spark: SparkSession, root: String): Seq[Int] = {
     val fs = fsOf(spark, root)
     val dir = new org.apache.hadoop.fs.Path(root, "_cat")
+    val numbered = "^c=(\\d+)$".r
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("c="))
-      .map(_.getPath.getName.stripPrefix("c=").toInt).sorted
+      .filter(_.isFile)
+      .flatMap(s => s.getPath.getName match {
+        case numbered(n) => Some(n.toInt)
+        case _           => None
+      }).sorted
   }
 
   /** Resolve the catalog ONCE — current, or an old version (catalog
@@ -171,12 +226,18 @@ object CatalogStore {
     val cur = currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no committed catalog under $root"))
     val all = catalogVersions(spark, root)
-    val keepSet = all.takeRight(keep).toSet + cur
-    def snapOpt(v: Int): Option[Snapshot] =
-      try Some(snapshot(spark, root, Some(v)))
-      catch { case _: Exception => None } // crashed claim: no map
+    val snaps: Map[Int, Option[Snapshot]] = all.map(v => v ->
+      (try Some(snapshot(spark, root, Some(v)))
+       catch { case _: Exception => None })).toMap // crashed claim: no map
+    // `keep` counts COMMITTED catalogs; under vacuum's no-in-flight
+    // contract every unparseable catalog file is a crashed commit's
+    // claim and is swept regardless of age — a crashed claim at
+    // current+1 would otherwise block every future sequential commit
+    val committed = all.filter(v => snaps(v).isDefined)
+    val keepSet = committed.takeRight(keep).toSet + cur
     val referenced: Set[(String, Int)] = keepSet.toSeq
-      .flatMap(v => snapOpt(v).toSeq.flatMap(_.tables.toSeq)).toSet
+      .flatMap(v => snaps.get(v).flatten.toSeq.flatMap(_.tables.toSeq))
+      .toSet
     val doomedCats = all.filterNot(keepSet.contains)
     doomedCats.foreach(v => fs.delete(catFile(root, v), false))
     val tables = fs.listStatus(new org.apache.hadoop.fs.Path(root))
@@ -201,15 +262,38 @@ object CatalogStore {
     * the STAGED dirs; the first failure rolls back every staged
     * table AND the claim, leaving the store byte-identical to the
     * pre-commit state. Concurrency: the exclusive catalog-file claim
-    * makes the loser of a same-`next` race fail loudly before
-    * writing any data.
+    * is still the mechanism — the loser of a same-`next` race fails
+    * the claim before writing any data — but the loss is handled by
+    * a bounded optimistic retry: re-read current, recompute `next`,
+    * re-claim, with backoff until `contentionTimeoutMs`. Claims are
+    * STRICTLY SEQUENTIAL (`next` = committed current + 1, never
+    * skipping an in-flight claim): version N+1's carry-forward map
+    * must build on N's FINAL map, so a writer finding N+1 claimed
+    * waits for the holder to flip rather than claiming N+2 against a
+    * stale prior (which would silently drop the in-flight commit's
+    * tables from the carry-forward — the lost-update anomaly).
+    * A claim whose holder crashed blocks commits until the timeout
+    * (loudly — [[CommitContentionException]]), and [[vacuum]] sweeps
+    * it; sustained live contention past the timeout means the store
+    * needs a queue, not more blind retries.
     */
   def commit(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
-      audits: Seq[Audit] = Seq.empty): CatalogTx = {
-    val next = (currentVersion(spark, root).toSeq ++
-      catalogVersions(spark, root)).maxOption.getOrElse(0) + 1
-    commitAs(spark, root, tables, audits, next)
+      audits: Seq[Audit] = Seq.empty,
+      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+    val deadline = System.currentTimeMillis + contentionTimeoutMs
+    var attempt = 0
+    while (true) {
+      val next = currentVersion(spark, root).getOrElse(0) + 1
+      try return commitAs(spark, root, tables, audits, next)
+      catch {
+        case e: CommitContentionException =>
+          attempt += 1
+          if (System.currentTimeMillis > deadline) throw e
+          Thread.sleep(math.min(500L, 25L * attempt))
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** [[commit]]'s write path at a SPECIFIC version — package-visible
@@ -225,26 +309,32 @@ object CatalogStore {
       s"audit ${a.name} names ${a.table}, not in this transaction " +
         "(committed tables are immutable — audit them at their own commit)"))
     val fs = fsOf(spark, root)
-    val prior = currentVersion(spark, root)
-      .map(v => snapshot(spark, root, Some(v)).tables)
-      .getOrElse(Map.empty)
     // claim the transaction number FIRST — racers fail here, loudly
     val claim = catFile(root, next)
-    val out =
-      try fs.create(claim, false)
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"concurrent commit detected: catalog version $next is " +
-            "already claimed — CatalogStore supports a single writer " +
-            "per store", e)
-      }
-    out.close()
+    try createExclusive(fs, claim)
+    catch {
+      case e: java.io.IOException =>
+        throw new CommitContentionException(next, e)
+    }
     def rollbackStaged(): Unit = {
       tables.keys.foreach(n =>
         fs.delete(tableDir(root, n, next), true))
+      // the catalog-body tmp too: a survivor would shadow nothing
+      // (catalogVersions skips it) but costs a confusing listing
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp"),
+        false)
+      fs.delete(new org.apache.hadoop.fs.Path(root,
+        s"_cat_current.tmp.$next"), false)
       fs.delete(claim, false)
     }
     try {
+      // prior map AFTER the claim: a commit that completed between
+      // our version read and our claim is now visible, so the
+      // carry-forward builds on the latest committed state
+      val priorV = currentVersion(spark, root)
+      val prior = priorV
+        .map(v => snapshot(spark, root, Some(v)).tables)
+        .getOrElse(Map.empty)
       tables.foreach { case (name, df) =>
         df.write.mode("errorifexists")
           .parquet(tableDir(root, name, next).toString)
@@ -266,8 +356,25 @@ object CatalogStore {
               spark.sparkContext.hadoopConfiguration)
             .rename(tmp, claim,
               org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          // the pointer flip is the commit point
-          val ptmp = new org.apache.hadoop.fs.Path(root, "_cat_current.tmp")
+          // the pointer flip is the commit point — and it must only
+          // move FORWARD: if an overlapping writer claimed a later
+          // number after us but flipped first (it read a prior map
+          // that predates our still-in-flight transaction), flipping
+          // back to `next` would silently drop its commit. Treat
+          // that overlap as contention: roll back (including our
+          // completed catalog file) and let the retry rebuild on the
+          // latest state. Plain-filesystem rename is not CAS, so a
+          // flip racing inside this check's window remains the
+          // documented residual; the claim ordering makes it require
+          // two writers interleaving at sub-rename granularity.
+          if (currentVersion(spark, root).exists(_ > next)) {
+            // the outer catch rolls back claim + staged dirs + tmp
+            throw new CommitContentionException(next, null)
+          }
+          // per-transaction tmp name: a SHARED tmp would let two
+          // overlapping flips delete each other's staging mid-rename
+          val ptmp = new org.apache.hadoop.fs.Path(root,
+            s"_cat_current.tmp.$next")
           val po = fs.create(ptmp, true)
           try po.write(next.toString.getBytes("UTF-8")) finally po.close()
           org.apache.hadoop.fs.FileContext.getFileContext(ptmp.toUri,

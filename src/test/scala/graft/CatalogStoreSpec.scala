@@ -101,7 +101,7 @@ class CatalogStoreSpec extends SparkSpec {
     val root = Files.createTempDirectory("catr").toString
     CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
     // simulate the loser: the winner's claim for c=2 already exists
-    // (through commit() a planted claim just bumps `next` past it —
+    // (through commit() a planted claim is waited on, then times out —
     // the race is two writers computing the SAME next, so meet there)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -115,5 +115,87 @@ class CatalogStoreSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/c=2")))
     // readers are unaffected throughout
     assert(CatalogStore.snapshot(spark, root).version == 1)
+  }
+
+  test("racer loser retries: both commits land, history linear") {
+    val root = Files.createTempDirectory("catrr").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    // two genuinely concurrent writers of disjoint tables; the claim
+    // serializes them, the loser's bounded retry re-reads and re-claims
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq(
+      ("b", orders.limit(20)), ("c", orders.limit(30))).map {
+      case (name, df) => new Thread(() =>
+        try CatalogStore.commit(spark, root, Map(name -> df))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"a racer failed: ${errs}")
+    // linear history: 3 committed catalogs, final map has all tables
+    assert(CatalogStore.catalogVersions(spark, root) == Seq(1, 2, 3))
+    val snap = CatalogStore.snapshot(spark, root)
+    assert(snap.version == 3)
+    assert(snap.tables.keySet == Set("a", "b", "c"))
+    assert(CatalogStore.read(spark, root, "b", snap).count() == 20)
+    assert(CatalogStore.read(spark, root, "c", snap).count() == 30)
+  }
+
+  test("a crashed commit's leftover c=N.tmp does not brick the store") {
+    val root = Files.createTempDirectory("cattmp").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a JVM crash between the tmp create and its rename
+    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=2.tmp"), false)
+      .close()
+    assert(CatalogStore.catalogVersions(spark, root) == Seq(1))
+    assert(CatalogStore.commit(spark, root, Map("a" -> orders.limit(5)))
+      .version.contains(2))
+    assert(CatalogStore.vacuum(spark, root, keep = 1).catalogs == Seq(1))
+  }
+
+  test("crashed claim: commits block loudly, vacuum sweeps it, then " +
+      "the sequence resumes at the freed number") {
+    val root = Files.createTempDirectory("catcr").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a dead writer's claim at current+1 — plus its staged dir
+    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=2"), false)
+      .close()
+    orders.limit(3).write.parquet(s"$root/a/v=2")
+    intercept[CatalogStore.CommitContentionException] {
+      CatalogStore.commit(spark, root, Map("a" -> orders.limit(5)),
+        contentionTimeoutMs = 200L)
+    }
+    val vac = CatalogStore.vacuum(spark, root, keep = 5)
+    assert(vac.catalogs == Seq(2)) // the crashed claim, despite keep=5
+    assert(vac.tableVersions == Map("a" -> Seq(2))) // its staged dir
+    assert(CatalogStore.commit(spark, root, Map("a" -> orders.limit(5)))
+      .version.contains(2))
+    assert(CatalogStore.read(spark, root, "a",
+      CatalogStore.snapshot(spark, root)).count() == 5)
+  }
+
+  test("pointer only moves forward: a stale writer rolls back as " +
+      "contention instead of dropping newer commits") {
+    val root = Files.createTempDirectory("catfwd").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(20)))
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(30)))
+    CatalogStore.vacuum(spark, root, keep = 1) // frees claim number 2
+    val pre = CatalogStore.snapshot(spark, root)
+    // a writer that somehow claims a number BELOW the pointer (the
+    // overlap where a later claimer flipped first) must not flip back
+    intercept[CatalogStore.CommitContentionException] {
+      CatalogStore.commitAs(spark, root, Map("a" -> orders.limit(5)),
+        Seq.empty, 2)
+    }
+    assert(CatalogStore.snapshot(spark, root) == pre)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // its claim, staged dir, and catalog file all rolled back
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/c=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "a/v=2")))
   }
 }
