@@ -239,7 +239,10 @@ object Incremental {
   def aggView(df: DataFrame, keys: Seq[String], specs: Seq[AggCol]): DataFrame = {
     require(specs.nonEmpty, "need at least one aggregate column")
     val aggs = specs.map {
-      case AggCol(out, "count", _) => count(lit(1)).as(out)
+      case AggCol(out, "count", "") => count(lit(1)).as(out)
+      // non-null count of a column — the denominator AVG routing
+      // needs when the averaged column is nullable; merges like sum
+      case AggCol(out, "count", in) => count(col(in)).as(out)
       case AggCol(out, "sum", in)  => sum(col(in)).as(out)
       case AggCol(out, "min", in)  => min(col(in)).as(out)
       case AggCol(out, "max", in)  => max(col(in)).as(out)

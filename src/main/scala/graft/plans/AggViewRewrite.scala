@@ -1,24 +1,33 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Coalesce, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** One registered materialized aggregate view: the IVM-maintained
   * summary ([[graft.operators.Incremental.aggView]] persisted at
   * `viewPath`) that can answer distributive aggregations over the
-  * base table matched by `basePathSuffix`.
+  * base table at `basePath`.
+  *
+  * `basePath` is the base table's FULL path (any Hadoop-qualifiable
+  * form — `/tmp/t`, `file:/tmp/t`, `hdfs://nn/t`); [[AggViewRewrite]]
+  * matches scans by qualified-URI EQUALITY, never by suffix — a
+  * suffix match would silently rewrite aggregates over any OTHER
+  * table whose path happens to end the same way (`…/backup/orders`
+  * vs `…/orders`), serving them from the wrong view.
   *
   * `measures` maps the base-side aggregate form to the view column
-  * that carries its partial: `("count","")` → the view's count
-  * column, `("sum", in)` / `("min", in)` / `("max", in)` → the
-  * column holding that aggregate of base column `in`.
+  * that carries its partial: `("count","")` → the view's row-count
+  * column, `("sum", in)` / `("min", in)` / `("max", in)` / a
+  * non-null `("count", in)` → the column holding that aggregate of
+  * base column `in`.
   */
 final case class MaterializedAggView(
-    basePathSuffix: String,
+    basePath: String,
     viewPath: String,
     keys: Seq[String],
     measures: Map[(String, String), String])
@@ -38,7 +47,7 @@ object AggViewCatalog {
     */
   def register(v: MaterializedAggView): Unit = synchronized {
     entries = entries.filterNot(e =>
-      e.basePathSuffix == v.basePathSuffix && e.keys == v.keys) :+ v
+      e.basePath == v.basePath && e.keys == v.keys) :+ v
   }
   def clear(): Unit = synchronized { entries = Nil }
   def all: Seq[MaterializedAggView] = entries
@@ -57,44 +66,88 @@ object AggViewCatalog {
   * ONLY view key columns) at a scan of a registered base path, the
   * grouping keys are a SUBSET of the view's grain (re-aggregation is
   * exact for the distributive set: counts and sums add, min/max take
-  * the extreme), and every aggregate expression is a registered
-  * measure. The rewritten Aggregate re-aggregates the view — a
-  * |view|-row scan, never the base table — while key-only Filters
-  * replay against the view's key columns.
+  * the extreme), and every aggregate expression is servable. Beyond
+  * the plain distributive measures, two derived routes (the
+  * reference's own report #3 shape — AVG + COUNT(DISTINCT uuid),
+  * reference README.md:321):
+  *
+  *  - AVG(x) = Sum(view sum of x) / Sum(view count) — algebraic, not
+  *    distributive, but derivable from two registered partials. The
+  *    denominator must count NON-NULL x: a registered ("count", x)
+  *    measure always serves; the plain row count ("count","") serves
+  *    only when x is provably non-nullable in the base schema.
+  *  - COUNT(DISTINCT x) where x is IN the view grain: the view keeps
+  *    (at least) one row per surviving grain combination, so a
+  *    distinct-count over the VIEW's x column re-aggregates exactly —
+  *    a |view|-row scan replaces a full base shuffle. (x outside the
+  *    grain declines: partials cannot recover lost distinctness.)
+  *
+  * The rewritten Aggregate re-aggregates the view — a |view|-row
+  * scan, never the base table — while key-only Filters replay
+  * against the view's key columns.
   *
   * Output attributes keep their ORIGINAL exprIds (aliases pin them),
   * so parent operators are untouched. count(*) rewrites to
   * coalesce(sum(cnt), 0) — sum is nullable where count was not, and
   * the coalesce restores the contract. The rule never fires on its
   * own output (the view path is not a registered base). Result
-  * equivalence is hash-proven by ivm_rewrite; the-scan-actually-
-  * moved is ivm_rewrite_gate's contract.
+  * equivalence is hash-proven by ivm_rewrite / ivm_rewrite_distinct;
+  * the-scan-actually-moved is ivm_rewrite_gate's contract.
   */
+object AggViewRewrite {
+  /** How one output expression of the Aggregate routes to the view. */
+  private sealed trait Routed
+  private final case class KeyCol(ar: AttributeReference) extends Routed
+  private final case class ViaMeasure(al: Alias, fn: String,
+      viewCol: String) extends Routed
+  private final case class ViaAvg(al: Alias, sumCol: String,
+      cntCol: String) extends Routed
+  private final case class ViaCountDistinct(al: Alias,
+      key: String) extends Routed
+}
+
 case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
-  /** Walk Project/alias/key-only-Filter wrappers down to a scan of
-    * `suffix`; returns the collected Filter conditions (outermost
-    * first) when the chain matches.
+  /** Fully-qualified URI form of a path, so `/tmp/t` and
+    * `file:/tmp/t` compare equal while `.../backup/t` never matches
+    * `.../t` (the suffix foot-gun).
     */
-  private def matchBase(plan: LogicalPlan, suffix: String,
+  private def qualify(p: String): (String, String, String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val u = hp.getFileSystem(session.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toUri
+    // null vs empty authority spell the same location (file:/x vs
+    // file:///x) — normalize both to ""
+    (Option(u.getScheme).getOrElse(""),
+      Option(u.getAuthority).getOrElse(""), u.getPath)
+  }
+
+  /** Walk Project/alias/key-only-Filter wrappers down to a scan whose
+    * every root path IS `basePath` (qualified equality); returns the
+    * collected Filter conditions (outermost first) when the chain
+    * matches.
+    */
+  private def matchBase(plan: LogicalPlan, basePath: String,
       keys: Set[String]): Option[Seq[Expression]] = plan match {
-    case SubqueryAlias(_, child) => matchBase(child, suffix, keys)
+    case SubqueryAlias(_, child) => matchBase(child, basePath, keys)
     case Project(ps, child) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-      matchBase(child, suffix, keys)
+      matchBase(child, basePath, keys)
     case Filter(cond, child)
         if cond.references.forall(a => keys.contains(a.name)) =>
-      matchBase(child, suffix, keys).map(cond +: _)
+      matchBase(child, basePath, keys).map(cond +: _)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation
-          if fs.location.rootPaths.exists(_.toString.endsWith(suffix)) =>
+          if fs.location.rootPaths.nonEmpty &&
+            fs.location.rootPaths.forall(
+              rp => qualify(rp.toString) == qualify(basePath)) =>
         Some(Seq.empty)
       case _ => None
     }
     case _ => None
   }
 
-  /** The (fn, input-column) form of a supported aggregate function,
-    * or None when the rule must not fire.
+  /** The (fn, input-column) form of a supported plain distributive
+    * aggregate, or None when it isn't one.
     */
   private def measureOf(fn: Expression): Option[(String, String)] = fn match {
     case Count(Seq(Literal(_, _))) => Some(("count", ""))
@@ -114,6 +167,8 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  import AggViewRewrite._
+
   private def rewriteOne(a: Aggregate, v: MaterializedAggView): Option[LogicalPlan] = {
     val keySet = v.keys.toSet
     // grouping must be bare key columns within the view's grain
@@ -122,19 +177,48 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
     if (groupKeys.exists(_.isEmpty)) return None
-    val filters = matchBase(a.child, v.basePathSuffix, keySet) match {
+    val filters = matchBase(a.child, v.basePath, keySet) match {
       case None => return None
       case Some(fs) => fs
     }
-    // every output is a grouped key or a registered measure
-    val planned = a.aggregateExpressions.map {
+    // every output is a grouped key or a servable aggregate
+    val planned: Seq[Routed] = a.aggregateExpressions.map {
       case ar: AttributeReference if keySet.contains(ar.name) =>
-        Left(ar)
-      case al @ Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        measureOf(ae.aggregateFunction) match {
-          case Some(m) if v.measures.contains(m) => Right((al, m))
+        KeyCol(ar)
+      case al @ Alias(ae: AggregateExpression, _) if ae.filter.isEmpty =>
+        if (ae.isDistinct) ae.aggregateFunction match {
+          case Count(Seq(ar: AttributeReference))
+              if keySet.contains(ar.name) =>
+            ViaCountDistinct(al, ar.name)
           case _ => return None
+        } else ae.aggregateFunction match {
+          // COUNT(x): a registered non-null count serves directly;
+          // the row count serves when x is provably non-nullable
+          case Count(Seq(ar: AttributeReference)) =>
+            if (v.measures.contains(("count", ar.name)))
+              ViaMeasure(al, "count", v.measures(("count", ar.name)))
+            else if (!ar.nullable && v.measures.contains(("count", "")))
+              ViaMeasure(al, "count", v.measures(("count", "")))
+            else return None
+          case av: Average => av.child match {
+            case ar: AttributeReference if al.dataType == DoubleType =>
+              val cntM =
+                if (v.measures.contains(("count", ar.name)))
+                  Some(("count", ar.name))
+                else if (!ar.nullable && v.measures.contains(("count", "")))
+                  Some(("count", ""))
+                else None
+              (v.measures.get(("sum", ar.name)), cntM) match {
+                case (Some(s), Some(c)) => ViaAvg(al, s, v.measures(c))
+                case _ => return None
+              }
+            case _ => return None
+          }
+          case fn => measureOf(fn) match {
+            case Some(m) if v.measures.contains(m) =>
+              ViaMeasure(al, m._1, v.measures(m))
+            case _ => return None
+          }
         }
       case _ => return None
     }
@@ -154,19 +238,30 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     val newGrouping = a.groupingExpressions.map {
       case ar: AttributeReference => viewAttr(ar.name)
     }
+    def reAgg(fnName: String, vcol: Attribute): Expression = fnName match {
+      case "count" => Coalesce(Seq(
+        Sum(vcol).toAggregateExpression(), Literal(0L)))
+      case "sum" => Sum(vcol).toAggregateExpression()
+      case "min" => Min(vcol).toAggregateExpression()
+      case "max" => Max(vcol).toAggregateExpression()
+    }
     val newAggs: Seq[NamedExpression] = planned.map {
-      case Left(ar) =>
+      case KeyCol(ar) =>
         Alias(viewAttr(ar.name), ar.name)(exprId = ar.exprId)
-      case Right((al, m @ (fnName, _))) =>
-        val vcol = viewAttr(v.measures(m))
-        val expr: Expression = fnName match {
-          case "count" => Coalesce(Seq(
-            Sum(vcol).toAggregateExpression(), Literal(0L)))
-          case "sum" => Sum(vcol).toAggregateExpression()
-          case "min" => Min(vcol).toAggregateExpression()
-          case "max" => Max(vcol).toAggregateExpression()
-        }
-        Alias(expr, al.name)(exprId = al.exprId)
+      case ViaMeasure(al, fnName, vcol) =>
+        Alias(reAgg(fnName, viewAttr(vcol)), al.name)(exprId = al.exprId)
+      case ViaAvg(al, sumCol, cntCol) =>
+        // Average's own final step: cast both partial sums to double
+        // and divide (LEGACY: null on /0, though a group implies
+        // count >= 1). Non-null-count denominator semantics are
+        // guaranteed by the planning guard above.
+        val sumE = Sum(viewAttr(sumCol)).toAggregateExpression()
+        val cntE = Sum(viewAttr(cntCol)).toAggregateExpression()
+        Alias(Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType),
+          EvalMode.LEGACY), al.name)(exprId = al.exprId)
+      case ViaCountDistinct(al, key) =>
+        Alias(Count(Seq(viewAttr(key))).toAggregateExpression(
+          isDistinct = true), al.name)(exprId = al.exprId)
     }
     Some(a.copy(groupingExpressions = newGrouping,
       aggregateExpressions = newAggs, child = newChild))
@@ -177,7 +272,8 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
     * prefer the COARSEST adequate grain: fewer keys ⇒ fewer groups ⇒
     * the smallest state to re-aggregate. A coarser view that cannot
     * serve (grouping or filter outside its grain, unregistered
-    * measure) simply fails to match and the next-finer one is tried.
+    * measure, distinct column outside its grain) simply fails to
+    * match and the next-finer one is tried.
     */
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val views = AggViewCatalog.all

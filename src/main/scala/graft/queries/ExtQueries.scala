@@ -3969,24 +3969,60 @@ object ExtQueries {
         AggCol("max_cents", "max", "vc"))
       Incremental.aggView(s.read.parquet(basePath), keys, specs)
         .write.parquet(viewPath)
-      AggViewCatalog.register(MaterializedAggView("/curated_events_a",
+      AggViewCatalog.register(MaterializedAggView(basePath,
         viewPath, keys, Map(("count", "") -> "cnt",
           ("sum", "vc") -> "sum_cents", ("min", "vc") -> "min_cents",
           ("max", "vc") -> "max_cents")))
       // the report: aggregate the BASE — the rule reroutes it (lazily,
       // at the driver's write action, so the registration must outlive
-      // this lambda; entries key by path suffix and are re-registered
+      // this lambda; entries key by qualified base path and are re-registered
       // idempotently on replay)
       s.read.parquet(basePath).groupBy("user_id")
         .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"),
           min("vc").as("min_cents"), max("vc").as("max_cents"))
     },
 
+    "ivm_rewrite_distinct" -> QueryDef(
+      doc = "MV routing for the reference's own report #3 shape (README.md:321 runs COUNT(DISTINCT ei.infant_client_id) alongside plain aggregates): two routes beyond the distributive set - (a) COUNT(DISTINCT x) with x IN the view grain re-aggregates the finer view exactly (the view keeps one row per surviving grain combination, so distinctness is preserved; a |view|-row scan replaces the full base shuffle), and (b) AVG(x) routes ALGEBRAICALLY as Sum(view sum)/Sum(view non-null count) - the denominator must be the registered count-of-x measure, never the row count, or null inputs would dilute the average. The oracle replays both over raw events; the scan-actually-moved legs live in ivm_rewrite_gate",
+      oracle = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / CAST(count(CAST(round(value * 100, 0) AS BIGINT))
+                        AS DOUBLE) AS avg_cents
+        FROM events GROUP BY 1""") { (s, dir) =>
+      import graft.operators.Incremental
+      import graft.operators.Incremental.AggCol
+      import graft.plans.{AggViewCatalog, MaterializedAggView}
+      val root = java.nio.file.Files.createTempDirectory("graft-mv-d")
+      val basePath = root.resolve("curated_events_d").toString
+      val viewPath = root.resolve("curated_view_d").toString
+      Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .write.parquet(basePath)
+      val keys = Seq("user_id", "event_type")
+      val specs = Seq(AggCol("cnt", "count", ""),
+        AggCol("cntv", "count", "vc"), AggCol("sum_cents", "sum", "vc"))
+      Incremental.aggView(s.read.parquet(basePath), keys, specs)
+        .write.parquet(viewPath)
+      AggViewCatalog.register(MaterializedAggView(basePath,
+        viewPath, keys, Map(("count", "") -> "cnt",
+          ("count", "vc") -> "cntv", ("sum", "vc") -> "sum_cents")))
+      s.read.parquet(basePath).groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct("user_id").as("users"),
+          avg("vc").as("avg_cents"))
+    },
+
     "ivm_rewrite_gate" -> QueryDef(
-      doc = "the non-vacuity half of ivm_rewrite: (1) rewrite_fired - the optimized plan's scan is the VIEW parquet and the base table is gone from the plan (otherwise the hash-green twin would be trivially true of a non-firing rule); (2) rewrite_eq - the routed result equals the direct aggregation computed with the catalog cleared, both directions; (3) filter_guard - a NON-key filter declines (the view has no row detail to filter)",
+      doc = "the non-vacuity half of ivm_rewrite (+_distinct): (1) rewrite_fired - the optimized plan's scan is the VIEW parquet and the base table is gone from the plan (otherwise the hash-green twin would be trivially true of a non-firing rule); (2) rewrite_eq - the routed result equals the direct aggregation computed with the catalog cleared, both directions; (3) filter_guard - a NON-key filter declines (the view has no row detail to filter); (4) distinct_fired / (5) distinct_eq - the COUNT(DISTINCT in-grain)+AVG report ALSO routes to the view and equals the direct answer (the ivm_rewrite_distinct shapes, scan-moved-proven)",
       oracle = "SELECT CAST(1 AS INTEGER) AS rewrite_fired, " +
         "CAST(1 AS INTEGER) AS rewrite_eq, " +
-        "CAST(1 AS INTEGER) AS filter_guard") { (s, dir) =>
+        "CAST(1 AS INTEGER) AS filter_guard, " +
+        "CAST(1 AS INTEGER) AS distinct_fired, " +
+        "CAST(1 AS INTEGER) AS distinct_eq") { (s, dir) =>
       import s.implicits._
       import graft.operators.Incremental
       import graft.operators.Incremental.AggCol
@@ -4009,19 +4045,27 @@ object ExtQueries {
         .write.parquet(basePath)
       val keys = Seq("user_id", "event_type")
       val specs = Seq(AggCol("cnt", "count", ""),
-        AggCol("sum_cents", "sum", "vc"))
+        AggCol("cntv", "count", "vc"), AggCol("sum_cents", "sum", "vc"))
       Incremental.aggView(s.read.parquet(basePath), keys, specs)
         .write.parquet(viewPath)
-      AggViewCatalog.register(MaterializedAggView("/curated_events_g",
+      AggViewCatalog.register(MaterializedAggView(basePath,
         viewPath, keys,
-        Map(("count", "") -> "cnt", ("sum", "vc") -> "sum_cents")))
+        Map(("count", "") -> "cnt", ("count", "vc") -> "cntv",
+          ("sum", "vc") -> "sum_cents")))
       def report() = s.read.parquet(basePath).groupBy("user_id")
         .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"))
+      def dreport() = s.read.parquet(basePath).groupBy("event_type")
+        .agg(countDistinct("user_id").as("users"),
+          avg("vc").as("avg_cents"))
       val routed = report()
       val routedScans = scansOf(routed)
       val fired = routedScans.exists(_.contains("curated_view_g")) &&
         !routedScans.exists(_.contains("curated_events_g"))
       val routedRows = routed.localCheckpoint(true)
+      val droutedScans = scansOf(dreport())
+      val dfired = droutedScans.exists(_.contains("curated_view_g")) &&
+        !droutedScans.exists(_.contains("curated_events_g"))
+      val droutedRows = dreport().localCheckpoint(true)
       val guarded = scansOf(s.read.parquet(basePath)
         .filter(col("vc") > 100).groupBy("user_id")
         .agg(count(lit(1)).as("cnt")))
@@ -4030,8 +4074,13 @@ object ExtQueries {
       val direct = report()
       val eq = routedRows.exceptAll(direct).count() == 0 &&
         direct.exceptAll(routedRows).count() == 0
-      Seq((if (fired) 1 else 0, if (eq) 1 else 0, if (guarded) 1 else 0))
-        .toDF("rewrite_fired", "rewrite_eq", "filter_guard")
+      val ddirect = dreport()
+      val deq = droutedRows.exceptAll(ddirect).count() == 0 &&
+        ddirect.exceptAll(droutedRows).count() == 0
+      Seq((if (fired) 1 else 0, if (eq) 1 else 0, if (guarded) 1 else 0,
+        if (dfired) 1 else 0, if (deq) 1 else 0))
+        .toDF("rewrite_fired", "rewrite_eq", "filter_guard",
+          "distinct_fired", "distinct_eq")
     },
 
     "ivm_lattice_gate" -> QueryDef(
@@ -4068,9 +4117,9 @@ object ExtQueries {
         Seq("user_id", "event_type"), specs).write.parquet(finePath)
       Incremental.aggView(s.read.parquet(basePath),
         Seq("user_id"), specs).write.parquet(coarsePath)
-      AggViewCatalog.register(MaterializedAggView("/curated_events_l",
+      AggViewCatalog.register(MaterializedAggView(basePath,
         finePath, Seq("user_id", "event_type"), measures))
-      AggViewCatalog.register(MaterializedAggView("/curated_events_l",
+      AggViewCatalog.register(MaterializedAggView(basePath,
         coarsePath, Seq("user_id"), measures))
       def perUser() = s.read.parquet(basePath).groupBy("user_id")
         .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"))

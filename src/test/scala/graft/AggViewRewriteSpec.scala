@@ -60,7 +60,7 @@ class AggViewRewriteSpec extends SparkSpec {
 
   test("rollup-grain aggregation routes to the view; results identical") {
     val (basePath, viewPath) = setup()
-    val entry = MaterializedAggView("/base_tbl", viewPath,
+    val entry = MaterializedAggView(basePath, viewPath,
       Seq("k1", "k2"), measures)
     val got = withRule(entry) {
       val q = spark.read.parquet(basePath).groupBy("k1")
@@ -81,7 +81,7 @@ class AggViewRewriteSpec extends SparkSpec {
 
   test("exact-grain aggregation with a key-only filter replays the filter on the view") {
     val (basePath, viewPath) = setup()
-    val entry = MaterializedAggView("/base_tbl", viewPath,
+    val entry = MaterializedAggView(basePath, viewPath,
       Seq("k1", "k2"), measures)
     val got = withRule(entry) {
       val q = spark.read.parquet(basePath)
@@ -99,20 +99,18 @@ class AggViewRewriteSpec extends SparkSpec {
     assertSameRows(got, direct)
   }
 
-  test("the rule declines what it cannot prove: non-key filter, avg, distinct, alien table") {
+  test("the rule declines what it cannot prove: non-key filter, " +
+      "non-grain distinct, alien table, colliding path suffix") {
     val (basePath, viewPath) = setup()
-    val entry = MaterializedAggView("/base_tbl", viewPath,
+    val entry = MaterializedAggView(basePath, viewPath,
       Seq("k1", "k2"), measures)
     withRule(entry) {
       // filter on a NON-key column — the view has no row detail
       val f = spark.read.parquet(basePath).filter(col("vc") > 10)
         .groupBy("k1").agg(count(lit(1)).as("cnt"))
       assert(scansOf(f).exists(_.contains("base_tbl")))
-      // avg is not distributive-registered
-      val av = spark.read.parquet(basePath).groupBy("k1")
-        .agg(avg("vc").as("a"))
-      assert(scansOf(av).exists(_.contains("base_tbl")))
-      // count(DISTINCT) must not be served by plain partials
+      // count(DISTINCT x) with x OUTSIDE the view grain: partials
+      // cannot recover lost distinctness
       val cd = spark.read.parquet(basePath).groupBy("k1")
         .agg(countDistinct("vc").as("d"))
       assert(scansOf(cd).exists(_.contains("base_tbl")))
@@ -123,7 +121,92 @@ class AggViewRewriteSpec extends SparkSpec {
       val o = spark.read.parquet(other).groupBy("k1")
         .agg(count(lit(1)).as("cnt"))
       assert(scansOf(o).exists(_.contains("other_tbl")))
+      // the suffix foot-gun: a SECOND table whose path merely ENDS
+      // with /base_tbl (a backup copy) must not be served from the
+      // registered base's view — matching is full-path equality
+      val backup = Files.createTempDirectory("aggvr4")
+        .resolve("backup").resolve("base_tbl").toString
+      Seq(("k0", "t0", 999L), ("k0", "t1", 1L))
+        .toDF("k1", "k2", "vc").write.parquet(backup)
+      val b = spark.read.parquet(backup).groupBy("k1")
+        .agg(count(lit(1)).as("cnt"), sum("vc").as("s"))
+      assert(scansOf(b).exists(_.contains("backup")),
+        s"colliding suffix was rewritten: ${scansOf(b)}")
+      assert(b.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq == Seq(("k0", 2L, 1000L)))
     }
+  }
+
+  test("avg routes as sum/count; count(DISTINCT key) re-aggregates " +
+      "the finer view") {
+    val (basePath, viewPath0) = setup()
+    // parquet reads force nullability, so avg needs an explicit
+    // non-null count measure — the realistic registration posture
+    val viewPath = viewPath0 + "_avg"
+    Incremental.aggView(spark.read.parquet(basePath), Seq("k1", "k2"),
+      specs :+ AggCol("cntv", "count", "vc")).write.parquet(viewPath)
+    val entry = MaterializedAggView(basePath, viewPath,
+      Seq("k1", "k2"), measures + (("count", "vc") -> "cntv"))
+    val got = withRule(entry) {
+      // k2 is in the grain, so distinct-count
+      // re-aggregates the view's k2 column exactly
+      val q = spark.read.parquet(basePath).groupBy("k1")
+        .agg(avg("vc").as("a"), countDistinct("k2").as("d"),
+          sum("vc").as("s"))
+      val scans = scansOf(q)
+      assert(scans.exists(_.contains("view_tbl")), s"not routed: $scans")
+      assert(!scans.exists(_.contains("base_tbl")),
+        s"base still scanned: $scans")
+      q.collect()
+      q
+    }
+    val direct = spark.read.parquet(basePath).groupBy("k1")
+      .agg(avg("vc").as("a"), countDistinct("k2").as("d"),
+        sum("vc").as("s"))
+    assertSameRows(got, direct)
+  }
+
+  test("avg over a NULLABLE column requires a non-null count measure") {
+    val root = Files.createTempDirectory("aggvrn")
+    val basePath = root.resolve("base_tbl").toString
+    val viewPath = root.resolve("view_tbl").toString
+    val viewPath2 = root.resolve("view_tbl2").toString
+    (1 to 300).map(i => ("k" + i % 5, (i % 40).toLong))
+      .toDF("k1", "raw")
+      .withColumn("vcn", when(col("raw") > 10, col("raw")))
+      .drop("raw")
+      .write.parquet(basePath)
+    // view WITHOUT a count-of-vcn measure: the plain row count
+    // over-counts null inputs, so avg must DECLINE
+    Incremental.aggView(spark.read.parquet(basePath), Seq("k1"),
+      Seq(AggCol("cnt", "count", ""), AggCol("s", "sum", "vcn")))
+      .write.parquet(viewPath)
+    val weak = MaterializedAggView(basePath, viewPath, Seq("k1"),
+      Map(("count", "") -> "cnt", ("sum", "vcn") -> "s"))
+    withRule(weak) {
+      val q = spark.read.parquet(basePath).groupBy("k1")
+        .agg(avg("vcn").as("a"))
+      assert(scansOf(q).exists(_.contains("base_tbl")),
+        "nullable avg must not route via the row count")
+    }
+    // view WITH count(vcn): routes, and matches the direct answer
+    Incremental.aggView(spark.read.parquet(basePath), Seq("k1"),
+      Seq(AggCol("cnt", "count", ""), AggCol("cntv", "count", "vcn"),
+        AggCol("s", "sum", "vcn")))
+      .write.parquet(viewPath2)
+    val strong = MaterializedAggView(basePath, viewPath2, Seq("k1"),
+      Map(("count", "") -> "cnt", ("count", "vcn") -> "cntv",
+        ("sum", "vcn") -> "s"))
+    val got = withRule(strong) {
+      val q = spark.read.parquet(basePath).groupBy("k1")
+        .agg(avg("vcn").as("a"), count(col("vcn")).as("nn"))
+      assert(scansOf(q).exists(_.contains("view_tbl2")))
+      assert(!scansOf(q).exists(_.contains("base_tbl")))
+      q.collect()
+      q
+    }
+    assertSameRows(got, spark.read.parquet(basePath).groupBy("k1")
+      .agg(avg("vcn").as("a"), count(col("vcn")).as("nn")))
   }
 
   test("lattice selection: the coarsest adequate view wins; inadequate coarse view passes over") {
@@ -134,9 +217,9 @@ class AggViewRewriteSpec extends SparkSpec {
     Incremental.aggView(spark.read.parquet(basePath),
       Seq("k1"), specs).write.parquet(coarsePath)
     spark.experimental.extraOptimizations = Seq(AggViewRewrite(spark))
-    AggViewCatalog.register(MaterializedAggView("/base_tbl", viewPath,
+    AggViewCatalog.register(MaterializedAggView(basePath, viewPath,
       Seq("k1", "k2"), measures))
-    AggViewCatalog.register(MaterializedAggView("/base_tbl", coarsePath,
+    AggViewCatalog.register(MaterializedAggView(basePath, coarsePath,
       Seq("k1"), measures))
     try {
       // both grains coexist in the catalog (register must not evict)
@@ -168,7 +251,7 @@ class AggViewRewriteSpec extends SparkSpec {
 
   test("grouping outside the view grain declines; view stays current after maintenance") {
     val (basePath, viewPath) = setup()
-    val entry = MaterializedAggView("/base_tbl", viewPath,
+    val entry = MaterializedAggView(basePath, viewPath,
       Seq("k1", "k2"), measures)
     withRule(entry) {
       // vc is not a view key: grouping by it cannot be served
@@ -187,7 +270,7 @@ class AggViewRewriteSpec extends SparkSpec {
     val v2 = root.resolve("view_tbl2").toString
     maintained.write.parquet(v2)
     tick.write.mode("append").parquet(basePath)
-    val entry2 = MaterializedAggView("/base_tbl", v2,
+    val entry2 = MaterializedAggView(basePath, v2,
       Seq("k1", "k2"), measures)
     val got = withRule(entry2) {
       val q = spark.read.parquet(basePath).groupBy("k1")
