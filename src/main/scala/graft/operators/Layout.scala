@@ -505,19 +505,42 @@ object Layout {
     * False positives only ever ADD files to a lookup's read set —
     * [[bloomLookup]] re-applies the exact residual filter, so
     * correctness never depends on the sketch (the BloomJoin rule).
-    * Integral keys only (the probe hashes longs); per-file sketches
-    * are DETERMINISTIC (seeded murmur, no RNG), so an append delta
-    * ([[bloomIndexDelta]]) unions with the old index to exactly a
-    * rebuild.
+    * Key canonicalization: integral keys feed the sketch as longs
+    * directly; any OTHER type (the reference's point probes are UUID
+    * strings — reference README.md:296 `person_uuid`) goes through
+    * xxhash64 on BOTH the build and probe sides, so the ladder's
+    * middle rung covers string keys at the same ~1.2 bytes/key (a
+    * 64-bit-hash collision only ever adds a false-positive file, and
+    * the residual filter already absorbs those). Per-file sketches
+    * are DETERMINISTIC (seeded murmur + seeded xxhash64, no RNG), so
+    * an append delta ([[bloomIndexDelta]]) unions with the old index
+    * to exactly a rebuild.
     */
   def bloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       key: String, expectedPerFile: Long = 1L << 20,
-      fpp: Double = 0.01): DataFrame =
+      fpp: Double = 0.01): DataFrame = {
+    val base = spark.read.parquet(path)
     bloomIndexOver(spark,
-      spark.read.parquet(path)
+      base
         .select(normFileCol(col("_metadata.file_path")).as("f"),
-          col(key).cast("long").as("k")),
+          canonKey(col(key), base.schema(key).dataType).as("k")),
       expectedPerFile, fpp)
+  }
+
+  /** The bloom sketch's long form of a key column: integral types
+    * cast (value-preserving, back-compatible with existing indexes);
+    * everything else hashes through xxhash64 — the same expression
+    * MUST canonicalize build and probe, which [[bloomLookup]]
+    * guarantees by evaluating probes through this very function.
+    */
+  private def canonKey(c: Column,
+      dt: org.apache.spark.sql.types.DataType): Column = dt match {
+    case _: org.apache.spark.sql.types.ByteType |
+         _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.IntegerType |
+         _: org.apache.spark.sql.types.LongType => c.cast("long")
+    case _ => xxhash64(c)
+  }
 
   private def bloomIndexOver(spark: org.apache.spark.sql.SparkSession,
       fileKeys: DataFrame, expectedPerFile: Long,
@@ -555,7 +578,7 @@ object Layout {
       spark.read.option("basePath", path).schema(base.schema)
         .parquet(fresh: _*)
         .select(normFileCol(col("_metadata.file_path")).as("f"),
-          col(key).cast("long").as("k")),
+          canonKey(col(key), base.schema(key).dataType).as("k")),
       expectedPerFile, fpp)
   }
 
@@ -587,20 +610,38 @@ object Layout {
     * never correctness.
     */
   def bloomLookup(spark: org.apache.spark.sql.SparkSession,
-      path: String, index: DataFrame, key: String, values: Seq[Long],
+      path: String, index: DataFrame, key: String, values: Seq[Any],
       maxFiles: Int = 65536): DataFrame = {
-    require(values.nonEmpty, "bloom lookup needs at least one probe")
-    val files = ModelCollect.bounded(
-        index.filter(graft.functions.BloomContainsAny.column(
-          col("bloom"), lit(values.toArray))).select("file"),
-        maxFiles,
-        "bloom-lookup file list (probe too broad for a bloom index — " +
-          "fall back to the plain filtered scan)")
-      .map(_.getString(0))
+    val files = bloomProbeFiles(spark, path, index, key, values, maxFiles)
     val base = spark.read.parquet(path)
     if (files.isEmpty) base.filter(lit(false))
     else spark.read.option("basePath", path).schema(base.schema)
       .parquet(files: _*).filter(col(key).isin(values: _*))
+  }
+
+  /** The files a probe set would open — [[bloomLookup]]'s IO half,
+    * exposed so the skipping gates can assert on file counts
+    * directly. Probes canonicalize through the SAME [[canonKey]]
+    * expression the build used (one 1-row job — probe-count-sized,
+    * never a scan).
+    */
+  def bloomProbeFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, key: String, values: Seq[Any],
+      maxFiles: Int = 65536): Seq[String] = {
+    require(values.nonEmpty, "bloom lookup needs at least one probe")
+    require(values.forall(_ != null), "bloom probes must be non-null")
+    val dt = spark.read.parquet(path).schema(key).dataType
+    val probeRow = spark.range(1).select(values.zipWithIndex.map {
+      case (v, i) => canonKey(lit(v), dt).as(s"p$i")
+    }: _*).head()
+    val probes = (0 until values.size).map(probeRow.getLong).toArray
+    ModelCollect.bounded(
+        index.filter(graft.functions.BloomContainsAny.column(
+          col("bloom"), lit(probes))).select("file"),
+        maxFiles,
+        "bloom-lookup file list (probe too broad for a bloom index — " +
+          "fall back to the plain filtered scan)")
+      .map(_.getString(0))
   }
 
   /** What [[compactTo]] did: input file count, well-sized files kept
@@ -835,8 +876,8 @@ object Layout {
     * rows are byte-identical copies (the [[compactTo]] rule — never
     * re-encode the clean majority), files with vectored rows are
     * rewritten without their deleted positions, and the destination
-    * needs no vector at all. Flat layouts only (partitioned tables
-    * materialize per partition dir, like compaction).
+    * needs no vector at all. Flat layouts only —
+    * [[materializeDvPartitioned]] is the hive-partitioned form.
     */
   def materializeDv(spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dv: DataFrame, dstPath: String,
@@ -890,5 +931,100 @@ object Layout {
     // scan of the same immutable files)
     val dropped = dv.select("file", "pos").distinct().count()
     DvMaterialize(files.size, clean.size, hit.size, dropped)
+  }
+
+  /** What [[materializeDvPartitioned]] did: leaf partitions seen,
+    * partitions holding vectored rows (selectively rewritten), and
+    * the aggregated file-level stats — untouched partitions count
+    * whole into `files.kept`.
+    */
+  final case class DvPartMaterialize(partitions: Int, touched: Int,
+      files: DvMaterialize)
+
+  /** [[materializeDv]] for hive-partitioned layouts — the layout a
+    * 100 TB table actually HAS ([[graft.sources.AnalysisStore]]'s
+    * `partitionBy` posture), so the erasure flow must run here, not
+    * just on flat dirs. The partition-dir tree recurses exactly like
+    * [[compactPartitioned]]; which partitions are dirty is known
+    * from the VECTOR'S OWN file list (vector-sized, never a table
+    * scan), so COLD partitions byte-copy whole without a Spark job
+    * and only dirty partitions run the flat selective
+    * materialization against their prefix-sliced piece of the
+    * vector. Dir names are preserved verbatim, so the destination
+    * reads with identical partition values; repair-not-rebuild index
+    * maintenance composes unchanged ([[repairKeyIndex]] lists
+    * recursively). Gate-pinned by store_erasure_part_gate with the
+    * same four-leg contract as the flat flow.
+    */
+  def materializeDvPartitioned(spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dv: DataFrame, dstPath: String,
+      maxFiles: Int = 1 << 20): DvPartMaterialize = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcRoot = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = srcRoot.getFileSystem(conf)
+    val dirtyFiles = ModelCollect.bounded(
+        dv.select(col("file")).distinct(), maxFiles,
+        "deletion-vector file entries")
+      .map(r => normFile(r.getString(0)))
+    val srcNorm = normFile(fs.makeQualified(srcRoot).toString)
+    val alien = dirtyFiles.filterNot(_.startsWith(srcNorm + "/"))
+    require(alien.isEmpty,
+      s"materializeDvPartitioned: vector names files outside $srcPath " +
+        s"(${alien.take(3).mkString(", ")}…) — stale vector?")
+    val dirtyDirs = dirtyFiles.map(f => f.substring(0, f.lastIndexOf('/')))
+      .toSet
+    def hidden(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): DvPartMaterialize = {
+      val entries = fs.listStatus(src).toSeq
+        .filterNot(e => hidden(e.getPath.getName))
+      val (dirs, files) = entries.partition(_.isDirectory)
+      if (dirs.isEmpty) {
+        val leafNorm = normFile(fs.makeQualified(src).toString)
+        if (dirtyDirs.contains(leafNorm)) {
+          val slice = dv.filter(col("file").startsWith(leafNorm + "/"))
+          DvPartMaterialize(1, 1,
+            materializeDv(spark, src.toString, slice, dst.toString,
+              maxFiles))
+        } else {
+          // cold partition: whole-dir byte copy, no Spark job
+          val parquet = files.filter(_.getPath.getName.endsWith(".parquet"))
+          fs.mkdirs(dst)
+          parquet.foreach(f => org.apache.hadoop.fs.FileUtil.copy(
+            fs, f.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, f.getPath.getName),
+            false, conf))
+          DvPartMaterialize(1, 0,
+            DvMaterialize(parquet.size, parquet.size, 0, 0L))
+        }
+      } else {
+        require(files.forall(!_.getPath.getName.endsWith(".parquet")),
+          s"materializeDvPartitioned: $src mixes top-level parquet " +
+            "files with partition directories — a materialized copy " +
+            "would lose rows on swap")
+        require(dirs.forall(_.getPath.getName.contains("=")),
+          s"materializeDvPartitioned: $src holds non-hive " +
+            s"subdirectories (${dirs.map(_.getPath.getName)
+              .filterNot(_.contains("=")).take(3).mkString(", ")}…)")
+        dirs.map(d => walk(d.getPath,
+            new org.apache.hadoop.fs.Path(dst, d.getPath.getName)))
+          .foldLeft(DvPartMaterialize(0, 0,
+            DvMaterialize(0, 0, 0, 0L))) { (a, b) =>
+            DvPartMaterialize(a.partitions + b.partitions,
+              a.touched + b.touched,
+              DvMaterialize(a.files.nIn + b.files.nIn,
+                a.files.kept + b.files.kept,
+                a.files.rewritten + b.files.rewritten,
+                a.files.dropped + b.files.dropped))
+          }
+      }
+    }
+    val top = fs.listStatus(srcRoot).toSeq
+      .filterNot(e => hidden(e.getPath.getName))
+    if (!top.exists(_.isDirectory))
+      // flat layout after all — delegate, same stats shape
+      DvPartMaterialize(1, if (dirtyFiles.nonEmpty) 1 else 0,
+        materializeDv(spark, srcPath, dv, dstPath, maxFiles))
+    else walk(srcRoot, new org.apache.hadoop.fs.Path(dstPath))
   }
 }

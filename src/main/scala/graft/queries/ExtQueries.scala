@@ -2840,6 +2840,79 @@ object ExtQueries {
         .toDF("idx_delta_only_new", "idx_merge_eq_rebuild", "idx_empty_delta")
     },
 
+    "layout_bloomindex_str" -> QueryDef(
+      doc = "string-keyed bloom index - the reference's point probes are UUID STRINGS (README.md:296 person_uuid), so the skipping ladder's middle rung must cover non-integral keys: build and probe both canonicalize through xxhash64 (the SAME Catalyst expression on both sides - Layout.canonKey), integral keys keep their value-preserving cast path. A deterministic uuid-ish key ('ord-' || o_orderkey) over a 12-file orders table; bloomLookup probes 8 uuids and opens only sketch-surviving files; a 64-bit-hash collision only ever ADDS a false-positive file and the exact residual filter closes it - row-identical to the oracle's full scan. Delta-merge == rebuild for string sketches is layout_bloomindex_str_gate's contract",
+      oracle = """
+        SELECT 'ord-' || CAST(o_orderkey AS VARCHAR) AS o_uuid,
+               o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 1499 = 0""") { (s, dir) =>
+      import graft.operators.{Layout, ModelCollect}
+      val orders = Tables.load(s, dir, "orders")
+        .select(concat(lit("ord-"), col("o_orderkey").cast("string"))
+            .as("o_uuid"),
+          col("o_custkey"), col("o_totalprice"),
+          col("o_orderkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bstr")
+        .resolve("t").toString
+      orders.drop("o_orderkey")
+        .repartition(12, col("o_custkey")).write.parquet(tmp)
+      val perFile = math.max(1024L, orders.count() / 12)
+      val idx = Layout.bloomIndex(s, tmp, "o_uuid", perFile)
+      val probes = ModelCollect.bounded(
+          orders.filter(col("o_orderkey") % 1499 === 0)
+            .select("o_uuid").distinct(),
+          4096, "bloom-lookup probe uuids")
+        .map(_.getString(0))
+      Layout.bloomLookup(s, tmp, idx, "o_uuid", probes)
+        .select("o_uuid", "o_custkey", "o_totalprice")
+    },
+
+    "layout_bloomindex_str_gate" -> QueryDef(
+      doc = "string-bloom guarantees (the layout_bloomindex_gate legs replayed for the xxhash64 canonicalization): (1) str_lookup_eq - the uuid lookup equals the full filtered scan, both exceptAll directions; (2) str_skips - a single uuid probe keeps <= 4 of 12 hash-scattered files (1 + 11 x fpp expected at 1%); min/max pruning is no competition for scattered uuids; (3) str_delta_merge - after an append, existing UNION bloomIndexDelta equals a full rebuild BIT-exactly (xxhash64 is seeded, sketches deterministic) - so string-keyed append maintenance costs one narrow scan of the new files too. Fixture is a <=9000-key slice (semantics, not IO)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS str_lookup_eq, " +
+        "CAST(1 AS INTEGER) AS str_skips, " +
+        "CAST(1 AS INTEGER) AS str_delta_merge") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Layout, ModelCollect}
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 9000) // slice: semantics, not IO
+        .select(concat(lit("ord-"), col("o_orderkey").cast("string"))
+            .as("o_uuid"),
+          col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bstrg")
+        .resolve("t").toString
+      orders.drop("o_orderkey")
+        .repartition(12, col("o_custkey")).write.parquet(tmp)
+      val perFile = math.max(1024L, orders.count() / 12)
+      val idx0 = Layout.bloomIndex(s, tmp, "o_uuid", perFile)
+        .localCheckpoint(true)
+      val probes = ModelCollect.bounded(
+          orders.filter(col("o_orderkey") % 499 === 0)
+            .select("o_uuid").distinct(),
+          4096, "bloom-lookup probe uuids")
+        .map(_.getString(0))
+      val looked = Layout.bloomLookup(s, tmp, idx0, "o_uuid", probes)
+        .select("o_uuid", "o_custkey", "o_totalprice")
+      val full = s.read.parquet(tmp).filter(col("o_uuid").isin(probes: _*))
+        .select("o_uuid", "o_custkey", "o_totalprice")
+      val lookupEq = looked.exceptAll(full).count() == 0 &&
+        full.exceptAll(looked).count() == 0
+      val oneProbe = probes.max
+      val bloomFiles = Layout.bloomProbeFiles(s, tmp, idx0, "o_uuid",
+        Seq(oneProbe)).size
+      val skips = bloomFiles <= 4
+      orders.drop("o_orderkey").filter(col("o_custkey") % 7 === 0)
+        .repartition(2).write.mode("append").parquet(tmp)
+      val delta = Layout.bloomIndexDelta(s, tmp, "o_uuid", idx0, perFile)
+      val merged = idx0.unionByName(delta)
+      val rebuilt = Layout.bloomIndex(s, tmp, "o_uuid", perFile)
+      val deltaEq = merged.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(merged).count() == 0
+      Seq((if (lookupEq) 1 else 0, if (skips) 1 else 0,
+        if (deltaEq) 1 else 0))
+        .toDF("str_lookup_eq", "str_skips", "str_delta_merge")
+    },
+
     "layout_dv" -> QueryDef(
       doc = "row-level deletes via deletion vectors (the Delta/Iceberg design): deleting o_custkey % 10 = 3 from a 4-file orders table records the matching rows' PHYSICAL addresses (_metadata.file_path, _metadata.row_index) as a |deleted|-row vector instead of rewriting every touched file - a point delete costs one filtered scan + a tiny write, data files stay immutable (file-index stats, compaction copies, running scans all undisturbed). The read path subtracts the vector by ONE broadcast anti-join on (file, pos) - the big side never shuffles, scan pruning/pushdown intact. The oracle states the semantic contract directly: the DV read IS the table without the deleted rows; materialization equivalence and byte-identity of clean files are layout_dv_gate's contract",
       oracle = """
@@ -3609,6 +3682,68 @@ object ExtQueries {
       val othersIntact = after.exceptAll(want).count() == 0 &&
         want.exceptAll(after).count() == 0
       val selective = st.nIn == 8 && st.rewritten == 1 && st.kept == 7
+      val idx1 = Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
+        .localCheckpoint(true)
+      val rebuilt = Layout.keyIndex(s, src, "o_orderkey")
+      val repairEq = idx1.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(idx1).count() == 0
+      val unfindable = Layout.pointLookup(s, src, idx1, "o_orderkey",
+        erasedKeys).count() == 0
+      val survivorKey = after.agg(max("o_orderkey")).head.getLong(0)
+      val survivorFound = Layout.pointLookup(s, src, idx1, "o_orderkey",
+        Seq(survivorKey)).count() >= 1
+      val indexRepaired = repairEq && unfindable && survivorFound
+      Seq((if (eraseApplied) 1 else 0, if (othersIntact) 1 else 0,
+        if (selective) 1 else 0, if (indexRepaired) 1 else 0))
+        .toDF("erase_applied", "others_intact", "selective",
+          "index_repaired")
+    },
+
+    "store_erasure_part_gate" -> QueryDef(
+      doc = "the erasure flow on the layout a 100 TB table actually HAS - hive-partitioned (writeFull's partitionBy posture): delete one customer from a 4-partition x 2-file orders table via deletion vector, materialize through stageAndSwap with materializeDvPartitioned (COLD partitions byte-copy whole without a Spark job - dirtiness is known from the vector's own file list; dirty partitions rewrite only their hit files), then repair the record-level key index across the partition tree. Same four-leg contract as the flat store_erasure_gate: (1) erase_applied - DV non-empty and the swapped table holds ZERO rows of the customer; (2) others_intact - every other row survives, both exceptAll directions, partition column included; (3) selective - exactly 1 of 4 partitions touched and 1 of 8 files re-encoded; (4) index_repaired - repair == full rebuild exactly, erased orders unfindable via pointLookup, surviving probe resolves. Fixture is a deterministic <=6000-key slice (semantics, not IO)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS erase_applied, " +
+        "CAST(1 AS INTEGER) AS others_intact, " +
+        "CAST(1 AS INTEGER) AS selective, " +
+        "CAST(1 AS INTEGER) AS index_repaired") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.{Layout, ModelCollect}
+      import graft.sources.AnalysisStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val withB = orders.withColumn("b", col("o_custkey") % 4)
+      val src = java.nio.file.Files.createTempDirectory("graft-erasep")
+        .resolve("t").toString
+      withB.repartition(2, col("o_custkey"))
+        .write.partitionBy("b").parquet(src)
+      val idx0 = Layout.keyIndex(s, src, "o_orderkey")
+        .localCheckpoint(true)
+      val target = orders.agg(min("o_custkey")).head.getLong(0)
+      val erasedKeys = ModelCollect.bounded(
+          orders.filter(col("o_custkey") === target)
+            .select("o_orderkey"),
+          4096, "erased order keys")
+        .map(_.getLong(0))
+      val dv = Layout.deletionVector(s, src,
+        col("o_custkey") === target).localCheckpoint(true)
+      var st: Layout.DvPartMaterialize = null
+      AnalysisStore.stageAndSwap(s, src) { staging =>
+        st = Layout.materializeDvPartitioned(s, src, dv, staging)
+      }
+      val after = s.read.parquet(src)
+      val eraseApplied = dv.count() == erasedKeys.size &&
+        erasedKeys.nonEmpty &&
+        after.filter(col("o_custkey") === target).count() == 0
+      val want = withB.filter(col("o_custkey") =!= target)
+      // partition-dir inference reads b back as INT; align to the
+      // source frame's LONG before the row comparison
+      val afterAligned = after.withColumn("b", col("b").cast("long"))
+        .select(want.columns.map(col): _*)
+      val othersIntact = afterAligned.exceptAll(want).count() == 0 &&
+        want.exceptAll(afterAligned).count() == 0
+      val selective = st.partitions == 4 && st.touched == 1 &&
+        st.files.nIn == 8 && st.files.rewritten == 1 &&
+        st.files.kept == 7
       val idx1 = Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
         .localCheckpoint(true)
       val rebuilt = Layout.keyIndex(s, src, "o_orderkey")

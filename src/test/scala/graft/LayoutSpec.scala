@@ -604,6 +604,96 @@ class LayoutSpec extends SparkSpec {
       rebuilt.exceptAll(repaired).count() == 0)
   }
 
+  test("bloomIndex on STRING keys: xxhash64 canonicalization both " +
+      "sides, lookup == full scan, delta == rebuild") {
+    val root = Files.createTempDirectory("bstr")
+    val src = root.resolve("t").toString
+    orders.select(concat(lit("u-"), col("o_orderkey").cast("string"))
+        .as("k"), col("o_custkey"))
+      .repartition(6, col("o_custkey")).write.parquet(src)
+    val idx = Layout.bloomIndex(spark, src, "k", 4096).localCheckpoint(true)
+    val probeKeys = orders.limit(5).collect() // collect-bound: 5 rows
+      .map(r => "u-" + r.getLong(0)).toSeq
+    val got = Layout.bloomLookup(spark, src, idx, "k", probeKeys)
+    val want = spark.read.parquet(src).filter(col("k").isin(probeKeys: _*))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    assert(got.count() == 5)
+    // a single probe opens far fewer than all 6 files
+    assert(Layout.bloomProbeFiles(spark, src, idx, "k",
+      Seq(probeKeys.head)).size <= 2)
+    // absent probe: sketch may false-positive files, residual filter
+    // still returns zero rows
+    assert(Layout.bloomLookup(spark, src, idx, "k",
+      Seq("u-no-such-key")).count() == 0)
+    // append delta folds to exactly a rebuild (deterministic hash)
+    orders.select(concat(lit("v-"), col("o_orderkey").cast("string"))
+        .as("k"), col("o_custkey"))
+      .limit(100).repartition(1).write.mode("append").parquet(src)
+    val merged = idx.unionByName(
+      Layout.bloomIndexDelta(spark, src, "k", idx, 4096))
+    val rebuilt = Layout.bloomIndex(spark, src, "k", 4096)
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0)
+  }
+
+  test("materializeDvPartitioned: cold partitions byte-copy whole, " +
+      "dirty ones rewrite selectively, dst == readWithDv") {
+    val root = Files.createTempDirectory("dvpart")
+    val (src, dst) = (root.resolve("s").toString, root.resolve("d").toString)
+    // hive-partitioned on a derived bucket; 2 files per partition so
+    // selectivity is visible WITHIN a dirty partition too
+    orders.withColumn("b", col("o_custkey") % 4)
+      .repartitionByRange(2, col("o_orderkey"))
+      .write.partitionBy("b").parquet(src)
+    val target = orders.agg(min("o_custkey")).head().getLong(0)
+    val dv = Layout.deletionVector(spark, src,
+      col("o_custkey") === target).localCheckpoint(true)
+    assert(dv.count() > 0)
+    val st = Layout.materializeDvPartitioned(spark, src, dv, dst)
+    assert(st.partitions == 4, s"unexpected $st")
+    assert(st.touched == 1, s"one customer lives in one bucket: $st")
+    assert(st.files.dropped == dv.count())
+    assert(st.files.kept + st.files.rewritten == st.files.nIn)
+    // cold partitions are byte-identical copies
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .toSeq.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> f.getLen).toMap
+    val coldBuckets = (0L until 4L)
+      .filterNot(_ == target % 4)
+    coldBuckets.foreach { b =>
+      assert(files(s"$src/b=$b") == files(s"$dst/b=$b"),
+        s"cold partition b=$b must byte-copy")
+    }
+    // result == the vector-subtracted read, partition column included
+    val out = spark.read.parquet(dst)
+    val want = Layout.readWithDv(spark, src, dv)
+    assert(out.columns.sorted.toSeq == want.columns.sorted.toSeq)
+    val o = out.select(want.columns.map(col): _*)
+    assert(o.exceptAll(want).count() == 0 &&
+      want.exceptAll(o).count() == 0)
+    assert(out.filter(col("o_custkey") === target).count() == 0)
+    // a flat layout delegates instead of refusing
+    val flatSrc = root.resolve("f").toString
+    val flatDst = root.resolve("fd").toString
+    orders.repartition(2).write.parquet(flatSrc)
+    val fdv = Layout.deletionVector(spark, flatSrc,
+      col("o_custkey") === target).localCheckpoint(true)
+    val fst = Layout.materializeDvPartitioned(spark, flatSrc, fdv, flatDst)
+    assert(fst.partitions == 1 && fst.touched == 1)
+    assert(spark.read.parquet(flatDst)
+      .filter(col("o_custkey") === target).count() == 0)
+    // stale vectors refuse loudly here too
+    val alien = Seq(("/nowhere/else.parquet", 0L)).toDF("file", "pos")
+    val e = intercept[IllegalArgumentException] {
+      Layout.materializeDvPartitioned(spark, src, alien,
+        root.resolve("d2").toString)
+    }
+    assert(e.getMessage.contains("stale vector"))
+  }
+
   test("materializeDv refuses stale vectors and partitioned layouts loudly") {
     val root = Files.createTempDirectory("dvbad")
     val src = root.resolve("s").toString
