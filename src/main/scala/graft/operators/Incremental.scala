@@ -328,8 +328,9 @@ object Incremental {
     */
   def recomputeKeys(view: DataFrame, base: DataFrame,
       dirtyKeys: DataFrame, keys: Seq[String],
-      specs: Seq[AggCol]): DataFrame = {
-    val dk = broadcast(dirtyKeys.select(keys.map(col): _*).distinct())
+      specs: Seq[AggCol],
+      maxTickKeys: Long = DefaultMaxTickKeys): DataFrame = {
+    val dk = tickKeys(dirtyKeys, keys, maxTickKeys, "recomputeKeys")
     view.join(dk, keys, "left_anti")
       .unionByName(aggView(base.join(dk, keys, "left_semi"), keys, specs))
   }
@@ -339,9 +340,34 @@ object Incremental {
     * below leans on (tick keys are tick-sized by contract, so the
     * broadcast is cheap and the base scan's key filter pushes down).
     */
+  /** Default ceiling for a broadcast tick key set — ~4M keys is
+    * already generous for "a tick" and still comfortably inside
+    * executor broadcast budgets at typical key widths.
+    */
+  val DefaultMaxTickKeys: Long = 4L << 20
+
+  /** The delta's distinct keys, materialized, COUNTED against the
+    * tick-size contract, and only then broadcast — the ModelCollect
+    * posture for broadcasts: a misused table-sized "delta" must fail
+    * with this contract message, not as a generic executor/driver
+    * broadcast OOM three stages later.
+    */
+  private def tickKeys(delta: DataFrame, keys: Seq[String],
+      maxTickKeys: Long, what: String): DataFrame = {
+    val dk = delta.select(keys.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val n = dk.count()
+    require(n <= maxTickKeys,
+      s"$what: delta carries $n distinct keys (cap $maxTickKeys) — " +
+        "the tick-sized broadcast contract is violated; a table-sized " +
+        "'delta' must refresh through a full rebuild or shuffled join " +
+        "instead of key-pruned incremental maintenance")
+    broadcast(dk)
+  }
+
   private def pruneToKeysOf(base: DataFrame, delta: DataFrame,
-      keys: Seq[String]): DataFrame =
-    base.join(broadcast(delta.select(keys.map(col): _*).distinct()),
+      keys: Seq[String], maxTickKeys: Long, what: String): DataFrame =
+    base.join(tickKeys(delta, keys, maxTickKeys, what),
       keys, "left_semi")
 
   /** Incremental view maintenance for an INNER equi-JOIN view
@@ -363,12 +389,17 @@ object Incremental {
   def maintainJoinView(view: DataFrame,
       aOld: DataFrame, deltaA: DataFrame,
       bOld: DataFrame, deltaB: DataFrame,
-      keys: Seq[String]): DataFrame = {
+      keys: Seq[String],
+      maxTickKeys: Long = DefaultMaxTickKeys): DataFrame = {
     require(keys.nonEmpty, "join view needs at least one key column")
     val bNew = bOld.unionByName(deltaB)
     view
-      .unionByName(deltaA.join(pruneToKeysOf(bNew, deltaA, keys), keys))
-      .unionByName(pruneToKeysOf(aOld, deltaB, keys).join(deltaB, keys))
+      .unionByName(deltaA.join(
+        pruneToKeysOf(bNew, deltaA, keys, maxTickKeys,
+          "maintainJoinView(deltaA)"), keys))
+      .unionByName(
+        pruneToKeysOf(aOld, deltaB, keys, maxTickKeys,
+          "maintainJoinView(deltaB)").join(deltaB, keys))
   }
 
   /** Delete handling for join views — the [[recomputeKeys]] posture
@@ -382,8 +413,9 @@ object Incremental {
     */
   def recomputeJoinKeys(view: DataFrame,
       aNew: DataFrame, bNew: DataFrame,
-      dirtyKeys: DataFrame, keys: Seq[String]): DataFrame = {
-    val dk = broadcast(dirtyKeys.select(keys.map(col): _*).distinct())
+      dirtyKeys: DataFrame, keys: Seq[String],
+      maxTickKeys: Long = DefaultMaxTickKeys): DataFrame = {
+    val dk = tickKeys(dirtyKeys, keys, maxTickKeys, "recomputeJoinKeys")
     view.join(dk, keys, "left_anti")
       .unionByName(aNew.join(dk, keys, "left_semi")
         .join(bNew.join(dk, keys, "left_semi"), keys))

@@ -184,11 +184,16 @@ object EtlStreaming {
           } else {
             // first tick: fold against an empty table of the change
             // shape (minus op) — inserts land, deletes of absent keys
-            // no-op, exactly the batch semantics
+            // no-op, exactly the batch semantics. Staged like every
+            // later tick: existence must imply completeness
             val empty = batch.drop(opCol).limit(0)
-            graft.operators.Incremental
+            val first = graft.operators.Incremental
               .applyChanges(empty, batch, keys, opCol, seqCol)
-              .write.parquet(storePath)
+            AnalysisStore.stageAndSwap(spark, storePath) { staging =>
+              first.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(staging)
+            }
           }
         }
       }
@@ -241,7 +246,16 @@ object EtlStreaming {
                 .mode(org.apache.spark.sql.SaveMode.Overwrite)
                 .parquet(staging)
             }
-          } else hit.distinct().write.parquet(dvPath)
+          } else {
+            // first vector: staged too — a half-written DV store
+            // must never exist for the next tick to merge against
+            val first = hit.distinct()
+            AnalysisStore.stageAndSwap(spark, dvPath) { staging =>
+              first.write
+                .mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(staging)
+            }
+          }
         }
       }
 
@@ -317,8 +331,11 @@ object EtlStreaming {
             newView.write.parquet(s"$staging/view")
             Seq(newMark).toDF("mark").write.parquet(s"$staging/mark")
           }
-          if (exists) AnalysisStore.stageAndSwap(spark, storePath)(write)
-          else write(storePath)
+          // first tick included: stageAndSwap handles a missing
+          // target (no backup leg), so store existence always
+          // implies a COMPLETE tick — a crash mid-first-write must
+          // not leave a partial root the next tick trusts
+          AnalysisStore.stageAndSwap(spark, storePath)(write)
         }
       }
 

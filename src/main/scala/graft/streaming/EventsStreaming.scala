@@ -354,8 +354,17 @@ object EventsStreaming {
               advanceSessions(state.getOption, user, batch, gapSeconds)
             st.foreach { s =>
               state.update(s)
+              // advanceSessions merges at SECOND granularity
+              // (sec(t) - sec(endUs) <= gap), so an event anywhere in
+              // the last mergeable second — up to (sec(endUs) + gap)
+              // .999999 — must still find the session open: arm the
+              // timeout one full second past that boundary, not at
+              // the raw endUs + gap (which would flush early and
+              // split sub-second-boundary arrivals off into a new
+              // session, diverging from the batch twin)
               state.setTimeoutTimestamp(
-                Math.floorDiv(s.endUs, 1000L) + gapSeconds * 1000L)
+                (Math.floorDiv(s.endUs, 1000000L) + gapSeconds + 1L)
+                  * 1000L)
             }
             closed.iterator
           }

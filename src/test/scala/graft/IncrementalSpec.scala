@@ -274,6 +274,36 @@ class IncrementalSpec extends SparkSpec {
     assert(maintained.count() == 4)
   }
 
+  test("tick-sized broadcast contract: an oversized delta fails with " +
+      "the contract message, not an executor OOM") {
+    val base = (1L to 40L).map(k => (k, s"a$k")).toDF("k", "av")
+    val bSide = (1L to 40L).map(k => (k, s"b$k")).toDF("k", "bv")
+    val bigDelta = (1L to 30L).map(k => (k, s"d$k")).toDF("k", "av")
+    val view = base.join(bSide, Seq("k"))
+    val e1 = intercept[IllegalArgumentException] {
+      Incremental.maintainJoinView(view, base, bigDelta,
+        bSide, bSide.limit(0), Seq("k"), maxTickKeys = 10L)
+    }
+    assert(e1.getMessage.contains("tick-sized broadcast contract"))
+    assert(e1.getMessage.contains("30 distinct keys"))
+    val e2 = intercept[IllegalArgumentException] {
+      Incremental.recomputeJoinKeys(view, base, bSide, bigDelta,
+        Seq("k"), maxTickKeys = 10L)
+    }
+    assert(e2.getMessage.contains("recomputeJoinKeys"))
+    val e3 = intercept[IllegalArgumentException] {
+      Incremental.recomputeKeys(view.select("k", "av"), base, bigDelta,
+        Seq("k"), Seq(Incremental.AggCol("cnt", "count", "")),
+        maxTickKeys = 10L)
+    }
+    assert(e3.getMessage.contains("recomputeKeys"))
+    // within the cap everything still flows
+    val ok = Incremental.recomputeJoinKeys(view, base, bSide,
+      bigDelta.limit(5).select(col("k"), col("av")), Seq("k"),
+      maxTickKeys = 10L)
+    assert(ok.count() > 0)
+  }
+
   test("recomputeJoinKeys: row-granular delete keeps the key's surviving pairs") {
     val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "av")
     val b = Seq((1L, "b1"), (1L, "b1x"), (2L, "b2")).toDF("k", "bv")

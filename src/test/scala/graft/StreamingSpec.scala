@@ -459,6 +459,41 @@ class StreamingSpec extends SparkSpec {
       ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"))))
   }
 
+  test("sessionTicksFlushed: timeout covers the FULL last mergeable " +
+      "second — a sub-second boundary event merges, never splits") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventsStreaming.SessionEvent
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventsStreaming.sessionTicksFlushed(
+        mem.toDF().toDF("user_id", "ts", "event_id").as[SessionEvent],
+        gapSeconds = 1800L, delay = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessb").start()
+    mem.addData((1L, ts("2024-01-01 10:00:00"), 1L),
+      (1L, ts("2024-01-01 10:10:00"), 2L))
+    q.processAllAvailable()
+    // advanceSessions merges at second granularity: an event through
+    // 10:40:00.999 still merges with end=10:10:00. Park the
+    // watermark INSIDE that second (10:40:00.4) — arming the timeout
+    // at raw end+gap (10:40:00.0) would flush and split here
+    mem.addData((2L, Timestamp.valueOf("2024-01-01 10:50:00.4"), 3L))
+    q.processAllAvailable()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 10:40:00.9"), 4L))
+    q.processAllAvailable()
+    // now genuinely idle: push the watermark far past and tick twice
+    mem.addData((2L, ts("2024-01-01 15:00:00"), 5L))
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-01 15:00:01"), 6L))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("sessb")
+      .as[(Long, Long, Long, Timestamp, Timestamp)].collect()
+      .filter(_._1 == 1L)
+    assert(u1.length == 1, s"boundary event split the session: ${u1.toSeq}")
+    assert(u1.head._3 == 3L &&
+      u1.head._5 == Timestamp.valueOf("2024-01-01 10:40:00.9"))
+  }
+
   test("aggViewWindows: closed-window IVM views match the batch build and range-fold") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Incremental
