@@ -2981,9 +2981,14 @@ object ExtQueries {
       import s.implicits._
       import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
       import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      val lines = Tables.load(s, dir, "lineitem")
+      val linesAll = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity"),
           date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      // deterministic 1-in-5 slice for the WRITTEN fact: every ship
+      // month keeps rows, so the ~83-dir layout and the 12-of-83
+      // pruning claim are unchanged — the gate proves SEMANTICS, not
+      // IO volume
+      val lines = linesAll.filter(col("l_orderkey") % 5 === 0)
       val root = java.nio.file.Files.createTempDirectory("graft-dpp")
       val factPath = root.resolve("fact").toString
       graft.sources.AnalysisStore.writeFull(
@@ -2993,10 +2998,16 @@ object ExtQueries {
       // store) so its scan shares no files with the fact side; the
       // year attribute hides behind max() so constraint propagation
       // cannot turn the dim filter into a static fact filter
-      val dim = lines.groupBy(col("ship_month"))
+      val dim = linesAll.groupBy(col("ship_month"))
         .agg(max(substring(col("ship_month"), 1, 4)).as("ship_year"))
+      // the dim side carries the explicit broadcast hint (the star-
+      // schema posture): with the dieted fact the size-estimate
+      // toss-up could otherwise broadcast the FACT, leaving no dim
+      // broadcast for reuseBroadcastOnly DPP to ride —
+      // dynamicpruningexpression(true), 83 partitions listed
       def q() = fact
-        .join(dim.filter(col("ship_year") === "1997"), Seq("ship_month"))
+        .join(broadcast(dim.filter(col("ship_year") === "1997")),
+          Seq("ship_month"))
         .groupBy("ship_month")
         .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
       // After execution the fact scan sits inside AQE QueryStageExec
@@ -3012,17 +3023,19 @@ object ExtQueries {
         direct ++ nested
       }
       def run(df: org.apache.spark.sql.DataFrame) = {
+        // ONE execution pins the rows AND finalizes AQE + scan
+        // metrics on the same queryExecution — re-running the query
+        // for a separate checkpoint would double the gate's cost
+        val pinned = df.localCheckpoint(true)
         val qe = df.queryExecution
-        qe.toRdd.count() // execute: finalizes AQE, fills scan metrics
         val factScans = allScans(qe.executedPlan).distinct.filter(
           _.relation.location.rootPaths
             .exists(_.toString.contains("graft-dpp")))
         val partsRead = factScans
           .flatMap(_.metrics.get("numPartitions").map(_.value)).sum
-        (partsRead, qe.executedPlan.toString)
+        (partsRead, qe.executedPlan.toString, pinned)
       }
-      val (onParts, onPlan) = run(q())
-      val onRows = q().localCheckpoint(true) // DPP-on result, pinned
+      val (onParts, onPlan, onRows) = run(q())
       val fs = new org.apache.hadoop.fs.Path(factPath)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val totalParts = fs
@@ -3035,9 +3048,7 @@ object ExtQueries {
       s.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
       val rowsEq = try {
-        val offDf = q()
-        val (offParts, offPlan) = run(offDf)
-        val off = offDf.localCheckpoint(true)
+        val (offParts, offPlan, off) = run(q())
         !offPlan.contains("dynamicpruningexpression") &&
           offParts == totalParts && // full scan: no static rewrite
           onRows.exceptAll(off).count() == 0 &&
@@ -3285,17 +3296,28 @@ object ExtQueries {
       import s.implicits._
       import graft.operators.{Layout, ModelCollect}
       val orders = Tables.load(s, dir, "orders")
+        // deterministic half-slice: the gate proves index SEMANTICS
+        // (soundness, skipping, delta==rebuild), which are row-count
+        // free — the full-table IO path is layout_pointindex's job
+        .filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val tmp = java.nio.file.Files.createTempDirectory("graft-pidxg")
         .resolve("t").toString
       orders.repartition(16, col("o_custkey")).write.parquet(tmp)
       val idx0 = Layout.keyIndex(s, tmp, "o_orderkey")
         .localCheckpoint(true)
-      val probes = ModelCollect.bounded(
+      val probes0 = ModelCollect.bounded(
           orders.filter(col("o_orderkey") % 997 === 0)
             .select("o_orderkey").distinct(),
           4096, "point-lookup probe keys")
         .map(_.getLong(0))
+      // the slice thins %997 hits; tiny fixtures fall back to the
+      // smallest keys so the probe set is never empty
+      val probes =
+        if (probes0.nonEmpty) probes0
+        else ModelCollect.bounded(
+          orders.select("o_orderkey").orderBy(col("o_orderkey")).limit(5),
+          8, "fallback probe keys").map(_.getLong(0))
       val looked = Layout.pointLookup(s, tmp, idx0, "o_orderkey", probes)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val full = orders.filter(col("o_orderkey") % 997 === 0)
@@ -3656,6 +3678,10 @@ object ExtQueries {
       import graft.operators.{Layout, ModelCollect}
       import graft.sources.AnalysisStore
       val orders = Tables.load(s, dir, "orders")
+        // deterministic 1-in-3 slice: the erasure contract (DV, swap,
+        // selective rewrite, index repair) is row-count free; the
+        // store_versioned_gate fixture-diet treatment
+        .filter(col("o_orderkey") % 3 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val src = java.nio.file.Files.createTempDirectory("graft-erase")
         .resolve("t").toString
