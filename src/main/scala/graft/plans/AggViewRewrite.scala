@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, EvalMode, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -81,6 +81,9 @@ object AggViewCatalog {
   *    distinct-count over the VIEW's x column re-aggregates exactly —
   *    a |view|-row scan replaces a full base shuffle. (x outside the
   *    grain declines: partials cannot recover lost distinctness.)
+  *    approx_count_distinct(x) routes under the same grain condition:
+  *    HLL is duplicate-insensitive, so the view-side sketch is
+  *    bit-identical to the base-side one.
   *
   * The rewritten Aggregate re-aggregates the view — a |view|-row
   * scan, never the base table — while key-only Filters replay
@@ -104,6 +107,8 @@ object AggViewRewrite {
       cntCol: String) extends Routed
   private final case class ViaCountDistinct(al: Alias,
       key: String) extends Routed
+  private final case class ViaHll(al: Alias, key: String,
+      relativeSD: Double) extends Routed
 }
 
 case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
@@ -214,6 +219,15 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
               }
             case _ => return None
           }
+          // approx_count_distinct(x) with x IN the grain: HLL is
+          // duplicate-insensitive, and the view's x column spans the
+          // SAME value set per output group as the base's — the
+          // sketch (and so the estimate) is bit-identical
+          case h: HyperLogLogPlusPlus => h.child match {
+            case ar: AttributeReference if keySet.contains(ar.name) =>
+              ViaHll(al, ar.name, h.relativeSD)
+            case _ => return None
+          }
           case fn => measureOf(fn) match {
             case Some(m) if v.measures.contains(m) =>
               ViaMeasure(al, m._1, v.measures(m))
@@ -262,6 +276,9 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case ViaCountDistinct(al, key) =>
         Alias(Count(Seq(viewAttr(key))).toAggregateExpression(
           isDistinct = true), al.name)(exprId = al.exprId)
+      case ViaHll(al, key, rsd) =>
+        Alias(HyperLogLogPlusPlus(viewAttr(key), relativeSD = rsd)
+          .toAggregateExpression(), al.name)(exprId = al.exprId)
     }
     Some(a.copy(groupingExpressions = newGrouping,
       aggregateExpressions = newAggs, child = newChild))

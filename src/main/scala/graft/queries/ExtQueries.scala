@@ -3194,6 +3194,57 @@ object ExtQueries {
         v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
     },
 
+    "runtime_coalesce_gate" -> QueryDef(
+      doc = "AQE shuffle-partition coalescing driver-visible (the fourth leg of the runtime-replan family next to layout_dpp_gate / runtime_bloom_gate / runtime_skew_gate, and the one that fires on EVERY query: spark.sql.shuffle.partitions is a static guess - 32 here, thousands on a cluster - and post-shuffle data volume is only known at runtime; without coalescing a small aggregate schedules 32 near-empty reduce tasks, which at 100 TB cluster scale is the task-scheduling storm that makes small stages slower than their data). Gate: (1) coalesce_planned - the executed plan carries an 'AQEShuffleRead coalesced' node and the off-knob twin does not; (2) coalesce_shrinks - the coalesced read materializes STRICTLY FEWER partitions than the stage's map output was computed for (real runtime re-plan, not cosmetics: mapStats still shows all 32 reduce buckets); (3) rows_eq - on == off row-for-row, the knob changed scheduling and nothing else",
+      oracle = "SELECT CAST(1 AS INTEGER) AS coalesce_planned, " +
+        "CAST(1 AS INTEGER) AS coalesce_shrinks, " +
+        "CAST(1 AS INTEGER) AS rows_eq") { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec, ShuffleQueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+        val direct = p.collectWithSubqueries { case n => n }
+        val nested = p.collectWithSubqueries {
+          case qs: QueryStageExec => qs.plan
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+        }.filterNot(_ eq p).flatMap(allNodes)
+        direct ++ nested
+      }
+      val fact = Tables.load(s, dir, "lineitem")
+        .select((col("l_orderkey") % 911).as("k"), col("l_quantity"))
+      def q() = fact.groupBy("k")
+        .agg(sum("l_quantity").as("qty"), count(lit(1)).as("n"))
+      def run() = {
+        val df = q()
+        val rows = df.localCheckpoint(true) // executes; AQE finalizes
+        val nodes = allNodes(df.queryExecution.executedPlan).distinct
+        val readParts = nodes.collect { case r: AQEShuffleReadExec =>
+          r.partitionSpecs.size }.sum
+        val mapParts = nodes.collect { case st: ShuffleQueryStageExec =>
+          st.mapStats.map(_.bytesByPartitionId.length).getOrElse(0)
+        }.maxOption.getOrElse(0)
+        (df.queryExecution.executedPlan.toString, readParts, mapParts,
+          rows)
+      }
+      val key = "spark.sql.adaptive.coalescePartitions.enabled"
+      val saved = s.conf.getOption(key)
+      try {
+        s.conf.set(key, "true")
+        val (onPlan, onReadParts, onMapParts, onRows) = run()
+        s.conf.set(key, "false")
+        val (offPlan, _, _, offRows) = run()
+        val planned = onPlan.contains("coalesced") &&
+          !offPlan.contains("coalesced")
+        val shrinks = onReadParts > 0 && onMapParts > 0 &&
+          onReadParts < onMapParts
+        val rowsEq = onRows.exceptAll(offRows).count() == 0 &&
+          offRows.exceptAll(onRows).count() == 0
+        Seq((if (planned) 1 else 0, if (shrinks) 1 else 0,
+          if (rowsEq) 1 else 0))
+          .toDF("coalesce_planned", "coalesce_shrinks", "rows_eq")
+      } finally saved.fold(s.conf.unset(key))(s.conf.set(key, _))
+    },
+
     "salted_adaptive" -> QueryDef(
       doc = "adaptive (hot-key-only) salted join end-to-end: the lineitem-derived fact puts ~40% of its rows on ONE key; SkewJoin.adaptiveSaltedJoin detects the hot set in one Misra-Gries pass (PODS'82 superset guarantee: every key with frequency > N/k survives the sketch - the SAFE direction, since salting a cold key by mistake costs factor-1 small rows while missing a hot one stalls a stage), salts ONLY those rows across 8 sub-keys, and replicates ONLY the dim's hot rows - the differentiated form every production skew fix converges on, vs blanket salting's factor x |dim| shuffle. The hash proves the salted join's per-key aggregate EQUALS the oracle's plain-join replay: salting changed the partition histogram, not one row of the answer. Cents-integerized products keep the sum exact cross-engine",
       oracle = """
@@ -4178,7 +4229,7 @@ object ExtQueries {
     },
 
     "ivm_rewrite_gate" -> QueryDef(
-      doc = "the non-vacuity half of ivm_rewrite (+_distinct): (1) rewrite_fired - the optimized plan's scan is the VIEW parquet and the base table is gone from the plan (otherwise the hash-green twin would be trivially true of a non-firing rule); (2) rewrite_eq - the routed result equals the direct aggregation computed with the catalog cleared, both directions; (3) filter_guard - a NON-key filter declines (the view has no row detail to filter); (4) distinct_fired / (5) distinct_eq - the COUNT(DISTINCT in-grain)+AVG report ALSO routes to the view and equals the direct answer (the ivm_rewrite_distinct shapes, scan-moved-proven)",
+      doc = "the non-vacuity half of ivm_rewrite (+_distinct): (1) rewrite_fired - the optimized plan's scan is the VIEW parquet and the base table is gone from the plan (otherwise the hash-green twin would be trivially true of a non-firing rule); (2) rewrite_eq - the routed result equals the direct aggregation computed with the catalog cleared, both directions; (3) filter_guard - a NON-key filter declines (the view has no row detail to filter); (4) distinct_fired / (5) distinct_eq - the COUNT(DISTINCT in-grain)+AVG+approx_count_distinct report ALSO routes to the view and equals the direct answer (the ivm_rewrite_distinct shapes, scan-moved-proven; the HLL column is duplicate-insensitive so the routed sketch is bit-identical - same-engine equality, exactly what exceptAll checks)",
       oracle = "SELECT CAST(1 AS INTEGER) AS rewrite_fired, " +
         "CAST(1 AS INTEGER) AS rewrite_eq, " +
         "CAST(1 AS INTEGER) AS filter_guard, " +
@@ -4217,7 +4268,10 @@ object ExtQueries {
         .agg(count(lit(1)).as("cnt"), sum("vc").as("sum_cents"))
       def dreport() = s.read.parquet(basePath).groupBy("event_type")
         .agg(countDistinct("user_id").as("users"),
-          avg("vc").as("avg_cents"))
+          avg("vc").as("avg_cents"),
+          // HLL is duplicate-insensitive → the routed sketch over the
+          // view's user_id column is bit-identical to the base's
+          approx_count_distinct("user_id").as("approx_users"))
       val routed = report()
       val routedScans = scansOf(routed)
       val fired = routedScans.exists(_.contains("curated_view_g")) &&

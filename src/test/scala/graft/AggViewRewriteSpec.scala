@@ -164,6 +164,25 @@ class AggViewRewriteSpec extends SparkSpec {
       .agg(avg("vc").as("a"), countDistinct("k2").as("d"),
         sum("vc").as("s"))
     assertSameRows(got, direct)
+    // approx_count_distinct routes under the same grain rule (HLL is
+    // duplicate-insensitive: the view-side sketch is bit-identical),
+    // and declines off-grain
+    val entry2 = MaterializedAggView(basePath, viewPath,
+      Seq("k1", "k2"), measures + (("count", "vc") -> "cntv"))
+    val gotH = withRule(entry2) {
+      val q = spark.read.parquet(basePath).groupBy("k1")
+        .agg(approx_count_distinct("k2").as("ad"))
+      assert(scansOf(q).exists(_.contains("view_tbl")) &&
+        !scansOf(q).exists(_.contains("base_tbl")))
+      val off = spark.read.parquet(basePath).groupBy("k1")
+        .agg(approx_count_distinct("vc").as("ad"))
+      assert(scansOf(off).exists(_.contains("base_tbl")),
+        "off-grain approx distinct must decline")
+      q.collect()
+      q
+    }
+    assertSameRows(gotH, spark.read.parquet(basePath).groupBy("k1")
+      .agg(approx_count_distinct("k2").as("ad")))
   }
 
   test("avg over a NULLABLE column requires a non-null count measure") {
