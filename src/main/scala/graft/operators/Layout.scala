@@ -121,9 +121,18 @@ object Layout {
 
   /** An inclusive range predicate `lo <= col <= hi` for
     * [[prunedRead]]. NULL rows never match a range, so files whose
-    * indexed column is entirely NULL are safe to skip.
+    * indexed column is entirely NULL are safe to skip. [[Range]] is
+    * the numeric form (bounds compare against the index's double
+    * min/max); [[StrRange]] the lexicographic STRING form — date
+    * strings (`yyyy-MM-dd`) and id prefixes order lexicographically
+    * exactly as their values do, which is what makes string zone
+    * maps pay at 100 TB.
     */
+  sealed trait Band { def column: String }
   final case class Range(column: String, lo: Double, hi: Double)
+      extends Band
+  final case class StrRange(column: String, lo: String, hi: String)
+      extends Band
 
   /** Per-file min/max index over `cols` — the read-side half of the
     * layout story: [[zorderWrite]] gives every file a tight
@@ -147,14 +156,27 @@ object Layout {
   def fileIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one indexed column")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c")))
+    val schema = spark.read.parquet(path).schema
     spark.read.parquet(path)
       .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)
       .groupBy(col("file"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(boxAggs(schema, cols).head, boxAggs(schema, cols).tail: _*)
   }
+
+  /** The per-file bounding-box aggregates [[fileIndex]] and
+    * [[fileIndexDelta]] share (delta ≡ rebuild needs ONE definition):
+    * numeric/temporal columns keep the historical double box; STRING
+    * columns index natively — lexicographic min/max is the sound box
+    * for a string range, and a double cast would null it.
+    */
+  private def boxAggs(schema: org.apache.spark.sql.types.StructType,
+      cols: Seq[String]): Seq[Column] =
+    count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      val native = schema(c).dataType ==
+        org.apache.spark.sql.types.StringType
+      val keyed = if (native) col(c) else col(c).cast("double")
+      Seq(min(keyed).as(s"min_$c"), max(keyed).as(s"max_$c"))
+    }
 
   /** Read only the files whose bounding box intersects EVERY range —
     * file-level data skipping driven by a [[fileIndex]] table. The
@@ -177,20 +199,26 @@ object Layout {
     * the layout_skip_gate non-vacuity/superiority gate.
     */
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
-      index: DataFrame, ranges: Seq[Range],
+      index: DataFrame, ranges: Seq[Band],
       maxFiles: Int = 65536): DataFrame = {
     require(ranges.nonEmpty, "need at least one range predicate")
-    val survive = ranges.map(r =>
-        col(s"max_${r.column}") >= r.lo && col(s"min_${r.column}") <= r.hi)
-      .reduce(_ && _)
+    def bounds(b: Band): (Column, Column) = b match {
+      case Range(_, lo, hi)    => (lit(lo), lit(hi))
+      case StrRange(_, lo, hi) => (lit(lo), lit(hi))
+    }
+    val survive = ranges.map { r =>
+      val (lo, hi) = bounds(r)
+      col(s"max_${r.column}") >= lo && col(s"min_${r.column}") <= hi
+    }.reduce(_ && _)
     val files = ModelCollect.bounded(
         index.filter(survive).select(col("file")), maxFiles,
         "surviving file list (predicate too broad for file skipping — " +
           "fall back to the plain filtered scan)")
       .map(_.getString(0))
-    val residual = ranges.map(r =>
-        col(r.column) >= r.lo && col(r.column) <= r.hi)
-      .reduce(_ && _)
+    val residual = ranges.map { r =>
+      val (lo, hi) = bounds(r)
+      col(r.column) >= lo && col(r.column) <= hi
+    }.reduce(_ && _)
     val base = spark.read.parquet(path)
     if (files.isEmpty) base.filter(lit(false))
     // basePath keeps partition-directory columns alive when reading
@@ -342,9 +370,7 @@ object Layout {
     if (fresh.isEmpty)
       fileIndex(spark, path, cols).filter(lit(false))
     else {
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"min_$c"),
-        max(col(c).cast("double")).as(s"max_$c")))
+      val aggs = boxAggs(base.schema, cols)
       spark.read.option("basePath", path).schema(base.schema)
         .parquet(fresh: _*)
         .select(col("_metadata.file_path").as("file") +: cols.map(col): _*)

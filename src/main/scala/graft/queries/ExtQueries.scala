@@ -2562,6 +2562,28 @@ object ExtQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
     },
 
+    "layout_skip_str" -> QueryDef(
+      doc = "STRING-column data skipping (a 100 TB table's most common band predicate is a DATE-STRING range - 'yyyy-MM-dd' orders lexicographically exactly as its dates do, so a lexicographic min/max box is sound): orders written range-partitioned on the day string into 8 files with tight per-file day boxes, fileIndex keeps the string column NATIVE (the numeric double cast would null a string box and skip nothing), and prunedRead answers a one-year StrRange by opening only the files whose [min_d, max_d] intersects it. Soundness + residual filter = row-identical to the oracle's full scan; the skipped-file count is asserted in LayoutSpec (strictly fewer than the file count)",
+      oracle = """
+        SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+               o_orderkey, o_totalprice
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m-%d')
+              BETWEEN '1997-01-01' AND '1997-12-31'""") { (s, dir) =>
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+          col("o_orderkey"), col("o_totalprice"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-strskip").resolve("t").toString
+      orders.repartitionByRange(8, col("d"))
+        .sortWithinPartitions("d").write.parquet(tmp)
+      Layout.prunedRead(s, tmp,
+        Layout.fileIndex(s, tmp, Seq("d")),
+        Seq(Layout.StrRange("d", "1997-01-01", "1997-12-31")))
+        .select("d", "o_orderkey", "o_totalprice")
+    },
+
     "layout_skip_gate" -> QueryDef(
       doc = "data-skipping guarantees: (1) losslessness - prunedRead's row set EQUALS the full filtered scan's, both directions, for a second-dimension band (soundness of the index + residual filter); (2) non-vacuity - the band's surviving file set is at most HALF the 16 files (the z-curve's bounding boxes are genuinely tight on dimension 2); (3) superiority - the same 16-file budget sorted linearly on the FIRST dimension alone skips (almost) nothing for the same predicate (>= 15 of 16 files touched), which is the multi-dimensional-clustering claim made quantitative. Band = the [0.10, 0.20] span quantiles of o_totalprice, away from the curve's degenerate midpoint split",
       oracle = "SELECT CAST(1 AS INTEGER) AS skip_lossless, " +

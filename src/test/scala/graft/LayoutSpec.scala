@@ -604,6 +604,41 @@ class LayoutSpec extends SparkSpec {
       rebuilt.exceptAll(repaired).count() == 0)
   }
 
+  test("fileIndex on STRING columns: native lexicographic boxes, " +
+      "pruned read lossless and non-vacuous, delta == rebuild") {
+    val root = Files.createTempDirectory("strskip")
+    val src = root.resolve("t").toString
+    val days = orders.select(
+      concat(lit("199"), (col("o_orderkey") % 5).cast("string"),
+        lit("-06-15")).as("d"),
+      col("o_orderkey"), col("o_totalprice"))
+    days.repartitionByRange(5, col("d")).write.parquet(src)
+    val idx = Layout.fileIndex(spark, src, Seq("d"))
+      .localCheckpoint(true)
+    // the string column indexes natively — a double cast would null it
+    assert(idx.schema("min_d").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(idx.filter(col("min_d").isNull).count() == 0)
+    val band = Seq(Layout.StrRange("d", "1991-01-01", "1992-12-31"))
+    val got = Layout.prunedRead(spark, src, idx, band)
+    val want = days.filter(col("d") >= "1991-01-01" &&
+      col("d") <= "1992-12-31")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    // non-vacuous: the two-year band keeps fewer than all files
+    val survivors = idx.filter(col("max_d") >= "1991-01-01" &&
+      col("min_d") <= "1992-12-31").count()
+    assert(survivors < 5 && survivors >= 1, s"survivors=$survivors")
+    // append maintenance agrees with a rebuild on the string box
+    days.filter(col("o_orderkey") % 7 === 0).repartition(1)
+      .write.mode("append").parquet(src)
+    val merged = idx.unionByName(
+      Layout.fileIndexDelta(spark, src, Seq("d"), idx))
+    val rebuilt = Layout.fileIndex(spark, src, Seq("d"))
+    assert(merged.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(merged).count() == 0)
+  }
+
   test("bloomIndex on STRING keys: xxhash64 canonicalization both " +
       "sides, lookup == full scan, delta == rebuild") {
     val root = Files.createTempDirectory("bstr")
