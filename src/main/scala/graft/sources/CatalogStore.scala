@@ -90,26 +90,6 @@ object CatalogStore {
   private def tableDir(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
 
-  /** Atomically create an empty file, failing if it exists — THE
-    * exclusive-claim primitive. HDFS's `create(p, overwrite=false)`
-    * is atomic at the NameNode; RawLocalFileSystem's is
-    * check-then-create, so two local racers can both "win" — for
-    * `file://` go through NIO's createFile (O_CREAT|O_EXCL, atomic
-    * at the syscall).
-    */
-  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Unit = {
-    if (fs.getScheme == "file") {
-      val local = java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
-      java.nio.file.Files.createDirectories(local.getParent)
-      try java.nio.file.Files.createFile(local)
-      catch {
-        case e: java.nio.file.FileAlreadyExistsException =>
-          throw new java.io.IOException(s"$p already claimed", e)
-      }
-    } else fs.create(p, false).close()
-  }
-
   /** Read a small catalog/pointer file. ChecksumFileSystem renames
     * the data file and its .crc sidecar as two operations, so a read
     * concurrent with a rename-flip can observe new bytes under the
@@ -311,7 +291,7 @@ object CatalogStore {
     val fs = fsOf(spark, root)
     // claim the transaction number FIRST — racers fail here, loudly
     val claim = catFile(root, next)
-    try createExclusive(fs, claim)
+    try FsAtomic.createExclusive(fs, claim)
     catch {
       case e: java.io.IOException =>
         throw new CommitContentionException(next, e)

@@ -38,18 +38,34 @@ object VersionedStore {
   private def versionDir(path: String, v: Int) =
     new org.apache.hadoop.fs.Path(path, s"v=$v")
 
-  /** Current version number, if any publish completed. */
+  /** Current version number, if any publish completed.
+    * ChecksumFileSystem renames the data file and its .crc sidecar
+    * as two operations, so a read concurrent with a pointer flip can
+    * observe new bytes under the old checksum — a transient torn
+    * state, retried, not corruption.
+    */
   def current(spark: SparkSession, path: String): Option[Int] = {
     val fs = fsOf(spark, path)
     val p = pointer(path)
     if (!fs.exists(p)) None
     else {
-      val in = fs.open(p)
-      try {
-        val s = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
-        if (s.isEmpty) None else Some(s.toInt)
-      } finally in.close()
+      var attempt = 0
+      while (true) {
+        try {
+          val in = fs.open(p)
+          try {
+            val s = new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+            return if (s.isEmpty) None else Some(s.toInt)
+          } finally in.close()
+        } catch {
+          case e: org.apache.hadoop.fs.ChecksumException =>
+            attempt += 1
+            if (attempt > 20) throw e
+            Thread.sleep(5L * attempt)
+        }
+      }
+      sys.error("unreachable")
     }
   }
 
@@ -69,24 +85,43 @@ object VersionedStore {
     * pointer. Returns N. The previous version stays readable (time
     * travel) until vacuumed.
     *
-    * Concurrency contract: ONE writer at a time per store. The
-    * version number is claimed with an exclusive marker create, so
-    * two concurrent publishers that compute the same N collide on the
-    * claim and the loser fails LOUDLY (`IllegalStateException`)
-    * instead of silently overwriting the winner's data or racing the
-    * pointer flip. Readers are never affected either way (they only
-    * ever see complete, pointed-at versions). A crashed publish's
-    * leftover `v=N` dir is never reclaimed — `next` counts every
-    * physical dir, so numbering skips it and [[vacuum]] sweeps it.
+    * Concurrency contract: the version number is claimed with a
+    * TRULY exclusive marker create ([[FsAtomic.createExclusive]] —
+    * atomic on file:// and HDFS alike), so two concurrent publishers
+    * that compute the same N collide on the claim; the loser RETRIES
+    * against the winner's new numbering (versions are independent
+    * snapshots — no carry-forward map, so a retried publish is
+    * always safe) for up to `maxRetries` straight collisions, then
+    * fails loudly. Readers are never affected either way (they only
+    * ever see complete, pointed-at versions); note last-flip-wins
+    * pointer semantics between overlapping publishers — both
+    * versions exist and time-travel, [[rollback]] re-points freely.
+    * A crashed publish's leftover `v=N` dir is never reclaimed —
+    * `next` counts every physical dir, so numbering skips it and
+    * [[vacuum]] sweeps it.
     */
-  def publish(spark: SparkSession, path: String, df: DataFrame): Int = {
-    // next = one past the highest version that EXISTS or is pointed
-    // at — publishing after a rollback must never overwrite a live
-    // (or time-travelable) number
-    val next = (current(spark, path).toSeq ++ versions(spark, path))
-      .maxOption.getOrElse(0) + 1
-    publishAs(spark, path, df, next)
-    next
+  def publish(spark: SparkSession, path: String, df: DataFrame,
+      maxRetries: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      // next = one past the highest version that EXISTS or is pointed
+      // at — publishing after a rollback must never overwrite a live
+      // (or time-travelable) number
+      val next = (current(spark, path).toSeq ++ versions(spark, path))
+        .maxOption.getOrElse(0) + 1
+      try {
+        publishAs(spark, path, df, next)
+        return next
+      } catch {
+        case e: IllegalStateException
+            if e.getMessage != null &&
+              e.getMessage.contains("concurrent publish") =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(25L * attempt)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Publish `df` as the SPECIFIC version `v` — [[publish]]'s write
@@ -98,14 +133,12 @@ object VersionedStore {
     val fs = fsOf(spark, path)
     val dir = versionDir(path, v)
     val claim = new org.apache.hadoop.fs.Path(dir, "_claim")
-    val out =
-      try fs.create(claim, false) // exclusive: throws if already claimed
-      catch {
-        case e: java.io.IOException => throw new IllegalStateException(
-          s"concurrent publish detected: $dir is already claimed — " +
-            "VersionedStore supports a single writer per store", e)
-      }
-    out.close()
+    try FsAtomic.createExclusive(fs, claim) // throws if already claimed
+    catch {
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"concurrent publish detected: $dir is already claimed — " +
+          "the loser retries through publish()", e)
+    }
     // append mode: the dir exists (it holds the claim marker, hidden
     // from parquet readers by its underscore prefix)
     df.write.mode("append").parquet(dir.toString)
@@ -123,7 +156,9 @@ object VersionedStore {
 
   private def setPointer(spark: SparkSession, path: String, v: Int): Unit = {
     val fs = fsOf(spark, path)
-    val tmp = new org.apache.hadoop.fs.Path(path, "_current.tmp")
+    // per-version tmp name: a SHARED tmp would let two overlapping
+    // flips delete each other's staging mid-rename
+    val tmp = new org.apache.hadoop.fs.Path(path, s"_current.tmp.$v")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     // atomic OVERWRITE rename (FileContext, not FileSystem.rename):

@@ -103,6 +103,30 @@ class VersionedStoreSpec extends SparkSpec {
     assert(VersionedStore.read(spark, path).as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("concurrent publishers through publish(): loser retries, both " +
+      "versions land, pointer names a complete one") {
+    val path = Files.createTempDirectory("vstore7").resolve("t").toString
+    VersionedStore.publish(spark, path, Seq(1L).toDF("x"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = Seq(Seq(10L, 11L), Seq(20L, 21L)).map { xs =>
+      new Thread(() =>
+        try VersionedStore.publish(spark, path, xs.toDF("x"))
+        catch { case t: Throwable => errs.add(t) })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"a publisher failed: $errs")
+    assert(VersionedStore.versions(spark, path) == Seq(1, 2, 3))
+    // last flip wins; whichever it is, it reads complete
+    val cur = VersionedStore.current(spark, path).get
+    assert(cur == 2 || cur == 3)
+    val rows = VersionedStore.read(spark, path).as[Long].collect().toSet
+    assert(rows == Set(10L, 11L) || rows == Set(20L, 21L))
+    // and BOTH publishes time-travel completely
+    val all = Set(2, 3).map(v =>
+      VersionedStore.read(spark, path, Some(v)).as[Long].collect().toSet)
+    assert(all == Set(Set(10L, 11L), Set(20L, 21L)))
+  }
+
   test("crashed-publish leftover dir is skipped by numbering, not reclaimed") {
     val path = Files.createTempDirectory("vstore6").resolve("t").toString
     VersionedStore.publish(spark, path, Seq(1L).toDF("x"))
