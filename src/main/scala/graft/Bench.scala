@@ -39,7 +39,33 @@ object Bench {
         .localCheckpoint(true)
       graft.operators.Dedup.minHashLsh(d, "doc_id", "text", 3, 0.7)
         .write.format("noop").mode("overwrite").save()
-      // frees the minhash shingle persist; the two 200-row checkpoint
+      // warmup 3: the remaining cold-JIT block a first sweep pays
+      // (measured 2-3x on the alphabetically-early ann_* rows and on
+      // the MLlib/diff paths): k-means + IVF assign/probe, the PQ
+      // encode/ADC expressions, the md5 full-outer diff, and one tiny
+      // MLlib LR fit (its classloading alone is seconds, cold)
+      graft.operators.Similarity.ivfTopK(
+          e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+          e.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 3, nCentroids = 4, nProbe = 2, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Similarity.pqTopK(
+          e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+          e.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 3, m = 4, ksub = 4, iters = 2)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Incremental.snapshotDiff(
+          d.select("doc_id", "text"), d.select("doc_id", "text"),
+          "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      val feats = graft.operators.QualityModel.features(d, "doc_id", "text")
+        .withColumn("is_quality",
+          (org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+            .cast("int"))
+      graft.operators.QualityModel.score(
+          graft.operators.QualityModel.train(feats), feats)
+        .write.format("noop").mode("overwrite").save()
+      // frees the minhash shingle persist; the tiny checkpoint
       // blocks are below noise and die with RDD GC
       spark.catalog.clearCache()
     } catch { case _: Throwable => () }
