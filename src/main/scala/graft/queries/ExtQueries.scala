@@ -3945,7 +3945,7 @@ object ExtQueries {
       // racers computing the SAME next meet at the exclusive create)
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=3"),
+      fs.create(new org.apache.hadoop.fs.Path(root, "_cat/claim=3"),
         false).close()
       val claim = try {
         CatalogStore.commitAs(s, root, Map("a" -> orders.limit(1)),
@@ -3955,7 +3955,7 @@ object ExtQueries {
         e.getMessage.contains("concurrent commit") &&
           CatalogStore.snapshot(s, root).version == 2
       } finally fs.delete(
-        new org.apache.hadoop.fs.Path(root, "_cat/c=3"), false)
+        new org.apache.hadoop.fs.Path(root, "_cat/claim=3"), false)
       // (5) MVCC: a snapshot resolved now survives a later commit
       val pinned = CatalogStore.snapshot(s, root)
       CatalogStore.commit(s, root,

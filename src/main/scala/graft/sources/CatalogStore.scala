@@ -16,12 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * root/
   *   _cat/c=N        one immutable catalog file per transaction:
   *                   line 1 "N", then "table<TAB>version" rows
+  *   _cat/claim=N    transient exclusive-claim marker (separate from
+  *                   the catalog file — see [[claimFile]]); deleted
+  *                   after the pointer flip, swept by vacuum if its
+  *                   commit died
   *   _cat_current    one line "N" — THE pointer, rename-flipped
   *   <table>/v=M/    immutable table snapshots (M = the catalog
   *                   version whose transaction wrote them)
   * }}}
   *
-  * The commit protocol: claim `_cat/c=next` with an exclusive create
+  * The commit protocol: claim `_cat/claim=next` with an exclusive create
   * (two racers computing the same `next` collide HERE, before any
   * data moves — the loser fails loudly, transaction-granular, same
   * contract as VersionedStore's per-version claim), write every
@@ -87,6 +91,20 @@ object CatalogStore {
   private def catFile(root: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"_cat/c=$v")
 
+  /** The exclusive-claim marker is a SEPARATE file from the catalog
+    * file on purpose: completing a commit by renaming the catalog
+    * body OVER the claim (the original design) transiently DELETES
+    * the claim inside the overwrite-rename, and a spinning retrier
+    * can atomically re-claim the number in that window — the loser
+    * then fails its completion rename and rolls back the NEW
+    * claimant's staging. With a separate marker the claim file is
+    * never touched between claim and post-flip cleanup, and the
+    * catalog file is created by a NO-overwrite rename (it either
+    * appears complete or not at all — no torn-body handling needed).
+    */
+  private def claimFile(root: String, v: Int) =
+    new org.apache.hadoop.fs.Path(root, s"_cat/claim=$v")
+
   private def tableDir(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
 
@@ -115,19 +133,34 @@ object CatalogStore {
     sys.error("unreachable")
   }
 
-  /** Current catalog version, if any commit completed. */
+  /** Current catalog version, if any commit completed. The pointer's
+    * overwrite-rename is delete-then-rename on the local filesystem,
+    * so a read concurrent with a flip can observe NO pointer for a
+    * moment — if complete catalog files exist, a missing pointer is
+    * retried before concluding the store is unpublished (a writer
+    * that believed "unpublished" mid-flip would compute next = 1 and
+    * collide with history).
+    */
   def currentVersion(spark: SparkSession, root: String): Option[Int] = {
     val fs = fsOf(spark, root)
-    if (!fs.exists(pointer(root))) None
-    else Some(readSmall(fs, pointer(root)).trim).filter(_.nonEmpty)
-      .map(_.toInt)
+    var attempt = 0
+    while (true) {
+      if (fs.exists(pointer(root)))
+        return Some(readSmall(fs, pointer(root)).trim).filter(_.nonEmpty)
+          .map(_.toInt)
+      if (catalogVersions(spark, root).isEmpty) return None
+      attempt += 1
+      if (attempt > 20) return None // genuinely crashed pre-first-flip
+      Thread.sleep(5L * attempt)
+    }
+    sys.error("unreachable")
   }
 
-  /** All catalog versions physically present, ascending (committed
-    * ones; a crashed commit's claim file holds no parseable content
-    * and is skipped by [[snapshot]]'s require on the body). Only
-    * names matching `c=<digits>` count: a leftover `c=N.tmp` from a
-    * crash between the tmp create and its rename must not brick
+  /** All catalog versions physically present, ascending — COMPLETE
+    * catalog files only (the no-overwrite completion rename means a
+    * c=N either exists whole or not at all). Only names matching
+    * `c=<digits>` count: claim markers and a leftover `c=N.tmp` from
+    * a crash between the tmp create and its rename must not brick
     * every later commit/vacuum with a NumberFormatException.
     */
   def catalogVersions(spark: SparkSession, root: String): Seq[Int] = {
@@ -208,18 +241,28 @@ object CatalogStore {
     val all = catalogVersions(spark, root)
     val snaps: Map[Int, Option[Snapshot]] = all.map(v => v ->
       (try Some(snapshot(spark, root, Some(v)))
-       catch { case _: Exception => None })).toMap // crashed claim: no map
-    // `keep` counts COMMITTED catalogs; under vacuum's no-in-flight
-    // contract every unparseable catalog file is a crashed commit's
-    // claim and is swept regardless of age — a crashed claim at
-    // current+1 would otherwise block every future sequential commit
-    val committed = all.filter(v => snaps(v).isDefined)
+       catch { case _: Exception => None })).toMap // torn file: no map
+    // `keep` counts COMMITTED catalogs (complete AND at-or-below the
+    // pointer); under vacuum's no-in-flight contract everything else
+    // in _cat is a dead commit's leftover — claim markers and
+    // above-pointer catalog files would otherwise block the
+    // sequential `next` forever
+    val committed = all.filter(v => v <= cur && snaps(v).isDefined)
     val keepSet = committed.takeRight(keep).toSet + cur
     val referenced: Set[(String, Int)] = keepSet.toSeq
       .flatMap(v => snaps.get(v).flatten.toSeq.flatMap(_.tables.toSeq))
       .toSet
     val doomedCats = all.filterNot(keepSet.contains)
     doomedCats.foreach(v => fs.delete(catFile(root, v), false))
+    val claimRe = "^claim=(\\d+)$".r
+    val deadClaims = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "_cat")).toSeq
+      .filter(_.isFile)
+      .flatMap(s => s.getPath.getName match {
+        case claimRe(n) => Some(n.toInt)
+        case _          => None
+      })
+    deadClaims.foreach(v => fs.delete(claimFile(root, v), false))
     val tables = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .toSeq.filter(e => e.isDirectory &&
         !e.getPath.getName.startsWith("_") &&
@@ -234,7 +277,7 @@ object CatalogStore {
       doomed.foreach(v => fs.delete(tableDir(root, t, v), true))
       t -> doomed
     }.filter(_._2.nonEmpty).toMap
-    CatalogVacuum(doomedCats, droppedTv)
+    CatalogVacuum((doomedCats ++ deadClaims).distinct.sorted, droppedTv)
   }
 
   /** Atomically publish `tables` as one transaction; tables not in
@@ -290,19 +333,22 @@ object CatalogStore {
         "(committed tables are immutable — audit them at their own commit)"))
     val fs = fsOf(spark, root)
     // claim the transaction number FIRST — racers fail here, loudly
-    val claim = catFile(root, next)
+    val claim = claimFile(root, next)
     try FsAtomic.createExclusive(fs, claim)
     catch {
       case e: java.io.IOException =>
         throw new CommitContentionException(next, e)
     }
+    // set ONLY after the completion rename succeeds: rollback must
+    // never delete a c=next it did not create (it could be a real
+    // committed catalog this writer collided with)
+    var completedCat = false
     def rollbackStaged(): Unit = {
       tables.keys.foreach(n =>
         fs.delete(tableDir(root, n, next), true))
-      // the catalog-body tmp too: a survivor would shadow nothing
-      // (catalogVersions skips it) but costs a confusing listing
       fs.delete(new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp"),
         false)
+      if (completedCat) fs.delete(catFile(root, next), false)
       fs.delete(new org.apache.hadoop.fs.Path(root,
         s"_cat_current.tmp.$next"), false)
       fs.delete(claim, false)
@@ -332,10 +378,19 @@ object CatalogStore {
           val tmp = new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp")
           val o = fs.create(tmp, true)
           try o.write(body.getBytes("UTF-8")) finally o.close()
-          org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+          // NO-overwrite rename: we hold the claim, so an existing
+          // c=next means our `next` was stale (a committed catalog we
+          // raced, or a dead commit's leftover) — contention, never
+          // something to rename over or delete
+          try org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
               spark.sparkContext.hadoopConfiguration)
-            .rename(tmp, claim,
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            .rename(tmp, catFile(root, next),
+              org.apache.hadoop.fs.Options.Rename.NONE)
+          catch {
+            case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              throw new CommitContentionException(next, e)
+          }
+          completedCat = true
           // the pointer flip is the commit point — and it must only
           // move FORWARD: if an overlapping writer claimed a later
           // number after us but flipped first (it read a prior map
@@ -361,6 +416,8 @@ object CatalogStore {
               spark.sparkContext.hadoopConfiguration)
             .rename(ptmp, pointer(root),
               org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          // committed: the claim marker has done its job
+          fs.delete(claim, false)
           CatalogTx(Some(next), None)
       }
     } catch {

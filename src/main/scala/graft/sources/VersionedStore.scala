@@ -165,11 +165,25 @@ object VersionedStore {
     // delete-then-rename would open a crash window with NO pointer at
     // all — the store would look unpublished while every version dir
     // is intact. With the overwrite rename a reader sees the old
-    // pointer or the new one, never neither.
-    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(tmp, pointer(path),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // pointer or the new one, never neither. Local fs still
+    // implements the overwrite as delete+rename internally, so TWO
+    // concurrent flips can race each other's window — the loser sees
+    // FileAlreadyExists and retries (last flip wins by contract).
+    var attempt = 0
+    while (true) {
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+            spark.sparkContext.hadoopConfiguration)
+          .rename(tmp, pointer(path),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        return
+      } catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt > 20) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
   }
 
   /** Read the current version, or a specific one (time travel). */

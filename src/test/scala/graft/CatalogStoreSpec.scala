@@ -100,19 +100,19 @@ class CatalogStoreSpec extends SparkSpec {
   test("same-version racers collide on the claim, loudly") {
     val root = Files.createTempDirectory("catr").toString
     CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
-    // simulate the loser: the winner's claim for c=2 already exists
+    // simulate the loser: the winner's claim marker for 2 already exists
     // (through commit() a planted claim is waited on, then times out —
     // the race is two writers computing the SAME next, so meet there)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=2"), false).close()
+    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/claim=2"), false).close()
     val e = intercept[IllegalStateException] {
       CatalogStore.commitAs(spark, root, Map("a" -> orders.limit(5)),
         Seq.empty, 2)
     }
     assert(e.getMessage.contains("concurrent commit"))
     // the loser rolled nothing back that the winner staged: claim intact
-    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/c=2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2")))
     // readers are unaffected throughout
     assert(CatalogStore.snapshot(spark, root).version == 1)
   }
@@ -161,7 +161,7 @@ class CatalogStoreSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a dead writer's claim at current+1 — plus its staged dir
-    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/c=2"), false)
+    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/claim=2"), false)
       .close()
     orders.limit(3).write.parquet(s"$root/a/v=2")
     intercept[CatalogStore.CommitContentionException] {
@@ -196,6 +196,7 @@ class CatalogStoreSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // its claim, staged dir, and catalog file all rolled back
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/c=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "a/v=2")))
   }
 }
