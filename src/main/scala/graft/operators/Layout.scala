@@ -649,7 +649,12 @@ object Layout {
     * exposed so the skipping gates can assert on file counts
     * directly. Probes canonicalize through the SAME [[canonKey]]
     * expression the build used (one 1-row job — probe-count-sized,
-    * never a scan).
+    * never a scan). Each probe literal is first CAST to the column's
+    * type: the build side hashes typed column values, so a probe
+    * whose Scala literal type differs (Int against a string key,
+    * Double against Float) would otherwise feed xxhash64 different
+    * bytes and silently SKIP matching files — a false negative,
+    * where the bloom contract only ever allows false positives.
     */
   def bloomProbeFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, index: DataFrame, key: String, values: Seq[Any],
@@ -658,8 +663,11 @@ object Layout {
     require(values.forall(_ != null), "bloom probes must be non-null")
     val dt = spark.read.parquet(path).schema(key).dataType
     val probeRow = spark.range(1).select(values.zipWithIndex.map {
-      case (v, i) => canonKey(lit(v), dt).as(s"p$i")
+      case (v, i) => canonKey(lit(v).cast(dt), dt).as(s"p$i")
     }: _*).head()
+    val unrep = values.indices.filter(probeRow.isNullAt)
+    require(unrep.isEmpty, "bloom probes not representable as the " +
+      s"key's type $dt: ${unrep.map(values).take(3).mkString(", ")}")
     val probes = (0 until values.size).map(probeRow.getLong).toArray
     ModelCollect.bounded(
         index.filter(graft.functions.BloomContainsAny.column(
@@ -876,9 +884,34 @@ object Layout {
     * pushed-down as usual. Row-identical to a table that had the
     * deleted rows rewritten away ([[materializeDv]] ≡, gate-pinned by
     * layout_dv_gate).
+    *
+    * STALE-VECTOR GUARD: DV addresses bind to IMMUTABLE files, so a
+    * vector naming files absent from `path`'s listing means the table
+    * was rewritten (compaction / materialization) after the vector
+    * was taken — the anti-join would then match NOTHING and silently
+    * resurrect every "deleted" row, which on the GDPR-erasure path is
+    * a compliance failure, not a perf bug. The same vector-sized
+    * alien-file check [[materializeDv]] runs at write time therefore
+    * also guards the READ path: it fails loudly instead. Cost is one
+    * vector-bounded collect plus a driver file listing — DV-sized by
+    * the point-delete contract, never a scan.
     */
   def readWithDv(spark: org.apache.spark.sql.SparkSession,
-      path: String, dv: DataFrame): DataFrame = {
+      path: String, dv: DataFrame, maxFiles: Int = 1 << 20): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    val known = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => normFile(f.getPath.toString)).toSet
+    val dirty = ModelCollect.bounded(dv.select(col("file")).distinct(),
+        maxFiles, "deletion-vector file entries")
+      .map(r => normFile(r.getString(0))).toSet
+    val alien = dirty.filterNot(known.contains)
+    require(alien.isEmpty,
+      s"readWithDv: vector names files absent from $path " +
+        s"(${alien.take(3).mkString(", ")}…) — stale vector? A " +
+        "rewritten table needs a fresh deletionVector, not the old one")
     val table = spark.read.parquet(path)
     val cols = table.columns.toSeq
     table

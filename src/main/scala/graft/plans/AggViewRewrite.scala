@@ -265,13 +265,19 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
       case ViaMeasure(al, fnName, vcol) =>
         Alias(reAgg(fnName, viewAttr(vcol)), al.name)(exprId = al.exprId)
       case ViaAvg(al, sumCol, cntCol) =>
-        // Average's own final step: cast both partial sums to double
-        // and divide (LEGACY: null on /0, though a group implies
-        // count >= 1). Non-null-count denominator semantics are
-        // guaranteed by the planning guard above.
-        val sumE = Sum(viewAttr(sumCol)).toAggregateExpression()
+        // Mirror Average's accumulation: the sum side casts to double
+        // BEFORE the outer Sum — for integral base columns the view's
+        // partials are LongType, and a long-typed re-Sum could
+        // overflow (ANSI: exception; legacy: wraparound → wrong
+        // average) where native Average, which accumulates the sum in
+        // DoubleType, returns a finite result. The divide is
+        // Average's own final step (LEGACY: null on /0, though a
+        // group implies count >= 1); non-null-count denominator
+        // semantics are guaranteed by the planning guard above.
+        val sumE = Sum(Cast(viewAttr(sumCol), DoubleType))
+          .toAggregateExpression()
         val cntE = Sum(viewAttr(cntCol)).toAggregateExpression()
-        Alias(Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType),
+        Alias(Divide(sumE, Cast(cntE, DoubleType),
           EvalMode.LEGACY), al.name)(exprId = al.exprId)
       case ViaCountDistinct(al, key) =>
         Alias(Count(Seq(viewAttr(key))).toAggregateExpression(

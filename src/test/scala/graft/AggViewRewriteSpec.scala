@@ -301,4 +301,35 @@ class AggViewRewriteSpec extends SparkSpec {
     assertSameRows(got, spark.read.parquet(basePath).groupBy("k1")
       .agg(count(lit(1)).as("cnt"), sum("vc").as("s")))
   }
+
+  test("avg route mirrors Average's DOUBLE accumulation: huge long " +
+      "partials re-sum without overflow") {
+    val root = Files.createTempDirectory("aggvro")
+    val basePath = root.resolve("base_tbl").toString
+    val viewPath = root.resolve("view_tbl").toString
+    // four grain cells whose long partials are each fine, but whose
+    // LONG re-sum would overflow (ANSI: exception; legacy: wraparound
+    // → a wrong, negative average) — native Average accumulates the
+    // sum as a double and returns a finite result, so the route must
+    // cast BEFORE the outer Sum to stay result-equivalent
+    val big = Long.MaxValue / 2
+    (0 until 4).map(i => ("a", "t" + i, big)).toDF("k1", "k2", "vc")
+      .write.parquet(basePath)
+    Incremental.aggView(spark.read.parquet(basePath), Seq("k1", "k2"),
+      Seq(AggCol("cnt", "count", ""), AggCol("cntv", "count", "vc"),
+        AggCol("s", "sum", "vc"))).write.parquet(viewPath)
+    val entry = MaterializedAggView(basePath, viewPath, Seq("k1", "k2"),
+      Map(("count", "") -> "cnt", ("count", "vc") -> "cntv",
+        ("sum", "vc") -> "s"))
+    val got = withRule(entry) {
+      val q = spark.read.parquet(basePath).groupBy("k1")
+        .agg(avg("vc").as("a"))
+      assert(scansOf(q).exists(_.contains("view_tbl")) &&
+        !scansOf(q).exists(_.contains("base_tbl")), "route must fire")
+      q.collect() // a long-typed re-sum of the partials would die here
+      q
+    }
+    assertSameRows(got, spark.read.parquet(basePath).groupBy("k1")
+      .agg(avg("vc").as("a")))
+  }
 }

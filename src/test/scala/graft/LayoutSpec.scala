@@ -747,4 +747,52 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("partition"))
   }
+
+  test("readWithDv refuses a stale vector after the table was rewritten " +
+      "— no silent resurrection of erased rows") {
+    val src = Files.createTempDirectory("dvstale").resolve("t").toString
+    orders.repartition(3).write.parquet(src)
+    val pred = col("o_custkey") % 10 === 3
+    val dv = Layout.deletionVector(spark, src, pred).localCheckpoint(true)
+    assert(dv.count() > 0)
+    // rewrite the table in place: same rows, NEW file names — the
+    // vector's (file, pos) addresses now bind to nothing
+    graft.sources.AnalysisStore.stageAndSwap(spark, src) { staging =>
+      spark.read.parquet(src).repartition(2).write.parquet(staging)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Layout.readWithDv(spark, src, dv)
+    }
+    assert(e.getMessage.contains("stale vector"))
+    // a FRESH vector over the rewritten table reads correctly
+    val fresh = Layout.deletionVector(spark, src, pred)
+    assert(Layout.readWithDv(spark, src, fresh).count() ==
+      orders.filter(!pred).count())
+  }
+
+  test("bloom probes cast to the key's type: a mismatched literal type " +
+      "cannot false-negative; unrepresentable probes fail loudly") {
+    val root = Files.createTempDirectory("bidxt")
+    val tmp = root.resolve("t").toString
+    orders.limit(2000)
+      .withColumn("ks", col("o_orderkey").cast("string"))
+      .repartition(3).write.parquet(tmp)
+    val idx = Layout.bloomIndex(spark, tmp, "ks", 4096)
+      .localCheckpoint(true)
+    val keys = spark.read.parquet(tmp).select("o_orderkey")
+      .limit(5).collect().map(_.getLong(0)).toSeq
+    // LONG probes against the STRING key: the build hashed "5", a raw
+    // lit(5L) hashes different bytes — the cast makes them identical,
+    // so every matching row must come back
+    val got = Layout.bloomLookup(spark, tmp, idx, "ks", keys)
+    assert(got.count() == keys.size.toLong,
+      s"typed probes must not skip matching files (got ${got.count()})")
+    // a probe the key's type cannot represent fails loudly (ANSI cast
+    // error or the explicit representability check) instead of
+    // silently probing garbage bytes
+    val idxL = Layout.bloomIndex(spark, tmp, "o_orderkey", 4096)
+    intercept[Exception] {
+      Layout.bloomProbeFiles(spark, tmp, idxL, "o_orderkey", Seq("abc"))
+    }
+  }
 }
