@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // registered base table are answered from its IVM-maintained
     // summary (AggViewCatalog, no-op while empty)
     ext.injectOptimizerRule(session => graft.plans.AggViewRewrite(session))
+    // publish-time table statistics → join planning (ScanStatsCatalog,
+    // no-op while empty): path-based scans of ANALYZEd tables carry
+    // rowCount/sizeInBytes/column stats like metastore tables would
+    ext.injectOptimizerRule(session => graft.plans.ScanStatsRule(session))
   }
 }
 

@@ -115,17 +115,11 @@ case class AggViewRewrite(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** Fully-qualified URI form of a path, so `/tmp/t` and
     * `file:/tmp/t` compare equal while `.../backup/t` never matches
-    * `.../t` (the suffix foot-gun).
+    * `.../t` (the suffix foot-gun) — shared with [[ScanStatsRule]]
+    * through [[PathEq]].
     */
-  private def qualify(p: String): (String, String, String) = {
-    val hp = new org.apache.hadoop.fs.Path(p)
-    val u = hp.getFileSystem(session.sparkContext.hadoopConfiguration)
-      .makeQualified(hp).toUri
-    // null vs empty authority spell the same location (file:/x vs
-    // file:///x) — normalize both to ""
-    (Option(u.getScheme).getOrElse(""),
-      Option(u.getAuthority).getOrElse(""), u.getPath)
-  }
+  private def qualify(p: String): (String, String, String) =
+    PathEq.qualify(session, p)
 
   /** Walk Project/alias/key-only-Filter wrappers down to a scan whose
     * every root path IS `basePath` (qualified equality); returns the

@@ -4018,6 +4018,111 @@ object ExtQueries {
           "idempotent")
     },
 
+    "stats_join_order_gate" -> QueryDef(
+      doc = "publish-time statistics feed Catalyst's join planning (the CBO gap a path-based lakehouse has vs metastore tables: a bare parquet scan estimates ONLY file bytes, so build/broadcast-side selection runs blind until AQE's runtime re-plan - one shuffle too late at 100 TB): CatalogStore.analyze profiles each committed table once (rowCount/NDV/nulls/min-max via Profile, bytes from the listing), persists a sidecar INSIDE the immutable version dir, and ScanStatsRule attaches them to matching scans as catalog statistics. Gate legs: (1) stats_injected - a catalog read's optimized plan carries the ANALYZEd sizeInBytes, not the raw file estimate; (2) honest_broadcasts_dim - with truthful stats the star join broadcasts the 40-row dim; (3) flipped_broadcasts_fact - re-registering LYING stats (fact claimed tiny, dim claimed huge) flips the broadcast side: the planner provably follows the registered stats, the q39-style build-side decision is stats-driven; (4) rows_eq - both plans return identical rows (stats steer scheduling, never results)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS stats_injected, " +
+        "CAST(1 AS INTEGER) AS honest_broadcasts_dim, " +
+        "CAST(1 AS INTEGER) AS flipped_broadcasts_fact, " +
+        "CAST(1 AS INTEGER) AS rows_eq") { (s, dir) =>
+      import s.implicits._
+      import graft.plans.{ScanStatsCatalog, TableStats}
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") % 40).as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val dim = s.range(40).select(col("id").as("k"),
+        concat(lit("seg"), col("id") % 5).as("segment"))
+      val root = java.nio.file.Files.createTempDirectory("graft-stats")
+        .toString
+      try {
+        CatalogStore.commit(s, root,
+          Map("fact_sales" -> orders, "dim_seg" -> dim))
+        val snap = CatalogStore.snapshot(s, root)
+        val ts = CatalogStore.analyze(s, root, snap)
+        val factRead = CatalogStore.read(s, root, "fact_sales", snap)
+        val dimRead = CatalogStore.read(s, root, "dim_seg", snap)
+        val injected = factRead.queryExecution.optimizedPlan.stats
+          .sizeInBytes == BigInt(ts("fact_sales").sizeInBytes) &&
+          ts("fact_sales").rowCount > ts("dim_seg").rowCount
+        def broadcastLeaves(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+          import org.apache.spark.sql.execution.SparkPlan
+          import org.apache.spark.sql.execution.FileSourceScanExec
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+          def expand(p: SparkPlan): Seq[SparkPlan] = {
+            val direct = p.collect { case n => n }
+            direct ++ direct.flatMap {
+              case qs: QueryStageExec => expand(qs.plan)
+              case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+              case _ => Seq.empty
+            }
+          }
+          df.localCheckpoint(true) // one execution: rows AND final plan
+          expand(df.queryExecution.executedPlan)
+            .collect { case b: BroadcastExchangeExec => b }
+            .flatMap(expand)
+            .collect { case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString) }.flatten
+        }
+        def q() = factRead.join(dimRead, "k").groupBy("segment")
+          .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+        val honest = q()
+        val honestSides = broadcastLeaves(honest)
+        val honestDim = honestSides.exists(_.contains("dim_seg")) &&
+          !honestSides.exists(_.contains("fact_sales"))
+        val honestRows = honest.localCheckpoint(true)
+        // the lie, for the gate: stats now claim the fact is tiny and
+        // the dim is huge — a stats-driven planner MUST flip sides
+        val factPath = s"$root/fact_sales/v=1"
+        val dimPath = s"$root/dim_seg/v=1"
+        ScanStatsCatalog.register(factPath,
+          TableStats(40L, 2048L, Map.empty))
+        ScanStatsCatalog.register(dimPath,
+          TableStats(5000000L, 500L << 20, Map.empty))
+        val flipped = q()
+        val flippedSides = broadcastLeaves(flipped)
+        val flippedFact = flippedSides.exists(_.contains("fact_sales")) &&
+          !flippedSides.exists(_.contains("dim_seg"))
+        val rowsEq = flipped.exceptAll(honestRows).count() == 0 &&
+          honestRows.exceptAll(flipped).count() == 0
+        Seq((if (injected) 1 else 0, if (honestDim) 1 else 0,
+          if (flippedFact) 1 else 0, if (rowsEq) 1 else 0))
+          .toDF("stats_injected", "honest_broadcasts_dim",
+            "flipped_broadcasts_fact", "rows_eq")
+      } finally ScanStatsCatalog.clear()
+    },
+
+    "report_time_travel" -> QueryDef(
+      doc = "time-travel SQL surface over the transactional catalog: tx1 publishes the month-level order fact, tx2 republishes it FILTERED (a bad upstream drop) - registerSnapshotViews(AS OF v1) re-registers every table of the v1 snapshot as temp views under its plain name, so the report layer's verbatim SQL replays against history with ZERO query rewrite (the reports.json posture: SQL names tables, the catalog decides which immutable version dirs those names mean). The result is the report AT v1; the oracle recomputes it from the raw orders table, so the driver hash proves the historical replay equals the semantic ground truth, not just 'some rows'",
+      oracle = """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey < 6000
+        GROUP BY 1""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-tt")
+        .toString
+      CatalogStore.commit(s, root, Map("orders_hist" -> orders))
+      // tx2: the regrettable republish time travel must see PAST
+      CatalogStore.commit(s, root,
+        Map("orders_hist" -> orders.filter(col("o_orderkey") % 7 === 0)))
+      try {
+        CatalogStore.registerSnapshotViews(s, root, version = Some(1))
+        s.sql("""
+          SELECT month, count(*) AS n_orders,
+                 CAST(sum(cents) AS BIGINT) AS cents
+          FROM orders_hist GROUP BY month""").localCheckpoint(true)
+      } finally s.catalog.dropTempView("orders_hist")
+    },
+
     "store_versioned_gate" -> QueryDef(
       doc = "versioned serving store (time travel + rollback + vacuum with plain parquet dirs - the Delta/Iceberg snapshot idea reduced to its load-bearing parts: immutable v=N dirs + an atomically-renamed one-line pointer, so a publish can never tear a running scan and rollback is a data-free pointer flip): (1) two publishes - current serves v2 while v1 stays byte-intact for time travel; (2) rollback flips to v1 and a subsequent publish NEVER reuses a live version number; (3) vacuum keeps the newest N but never deletes the pointer target",
       oracle = "SELECT CAST(1 AS INTEGER) AS ver_travel_ok, " +

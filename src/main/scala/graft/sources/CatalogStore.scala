@@ -23,19 +23,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   _cat_current    one line "N" — THE pointer, rename-flipped
   *   <table>/v=M/    immutable table snapshots (M = the catalog
   *                   version whose transaction wrote them)
+  *   <table>/.stage=<txid>/  tx-private staging, written once per
+  *                   transaction and RENAMED to v=N at publish —
+  *                   contention retries are metadata-only
   * }}}
   *
-  * The commit protocol: claim `_cat/claim=next` with an exclusive create
-  * (two racers computing the same `next` collide HERE, before any
-  * data moves — the loser fails loudly, transaction-granular, same
-  * contract as VersionedStore's per-version claim), write every
-  * table's `v=next` dir, run the audits against the STAGED dirs
-  * (write-audit-publish at transaction granularity: one failing
-  * audit rolls back every table's staging), complete the catalog
-  * file, rename-flip the pointer. A crash anywhere before the flip
-  * leaves unreferenced dirs and an unreferenced catalog file —
-  * readers keep resolving the old catalog; all-old or all-new,
-  * never torn.
+  * The commit protocol, stage-once / metadata-retry: write every
+  * table's data ONCE to a tx-unique `.stage=<txid>` dir and run the
+  * audits against it (write-audit-publish at transaction
+  * granularity: one failing audit deletes every staging dir without
+  * ever claiming a version or blocking another writer); then the
+  * metadata-only publish — claim `_cat/claim=next` with an exclusive
+  * create (two racers computing the same `next` collide HERE; the
+  * loser retries METADATA only, never re-running the job that
+  * computed the data), rename each staging dir to `v=next`, complete
+  * the catalog file with a no-overwrite rename, and flip the pointer
+  * forward-only through [[FsAtomic.putIfMatch]]. `next` comes from
+  * the [[frontier]] walk: a version whose catalog file is complete
+  * but unflipped is built upon immediately (its map is final), so
+  * concurrent committers overlap on everything except the tiny
+  * metadata step. A crash before the catalog file completes leaves
+  * unreferenced dirs a later [[vacuum]] age-sweeps; a crash after it
+  * is rolled FORWARD by the next commit's frontier walk (or
+  * age-swept — either resolution of an unacknowledged transaction is
+  * valid). Readers keep resolving the old catalog throughout:
+  * all-old or all-new, never torn.
   *
   * Reads resolve the pointer ONCE into an immutable [[Snapshot]]
   * (catalog version + table→version map); every table read off one
@@ -214,6 +226,126 @@ object CatalogStore {
       name: String): DataFrame =
     read(spark, root, name, snapshot(spark, root))
 
+  /** Register every table of a snapshot as a TEMP VIEW — the
+    * time-travel SQL surface: reports.json SQL (or any spark.sql)
+    * names plain tables, so registering a HISTORICAL snapshot's
+    * tables under those names replays the whole report layer as of
+    * that transaction, no query rewrite. `suffix` lets histories
+    * coexist (`orders` now vs `orders_at_v3`); empty suffix is the
+    * replay posture. Views are path-bound to the snapshot's IMMUTABLE
+    * version dirs, so later commits (or pointer flips) cannot tear
+    * them — the registered surface stays mutually consistent for the
+    * session's lifetime or until re-registered.
+    */
+  def registerSnapshotViews(spark: SparkSession, root: String,
+      version: Option[Int] = None, suffix: String = ""): Snapshot = {
+    val snap = snapshot(spark, root, version)
+    snap.tables.foreach { case (name, v) =>
+      spark.read.parquet(tableDir(root, name, v).toString)
+        .createOrReplaceTempView(name + suffix)
+    }
+    snap
+  }
+
+  private def statsFile(root: String, name: String, v: Int) =
+    new org.apache.hadoop.fs.Path(tableDir(root, name, v),
+      "_graft_stats.tsv")
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** ANALYZE a snapshot: one profiling pass per table (row count,
+    * per-column NDV sketch / null count / min-max via
+    * [[graft.operators.Profile]], on-disk bytes from the listing),
+    * persisted as an underscore-prefixed sidecar INSIDE the immutable
+    * version dir (parquet readers skip it; vacuum drops it with its
+    * version) and registered into [[graft.plans.ScanStatsCatalog]]
+    * so the optimizer rule feeds them to join planning. Run it after
+    * commit like ANALYZE TABLE after a load; tables whose version
+    * already carries a sidecar are NOT re-profiled (stats bind to
+    * immutable data — re-analysis can never disagree).
+    */
+  def analyze(spark: SparkSession, root: String,
+      snap: Snapshot): Map[String, graft.plans.TableStats] = {
+    val fs = fsOf(spark, root)
+    val out = snap.tables.map { case (name, v) =>
+      val sf = statsFile(root, name, v)
+      val ts = if (fs.exists(sf)) readStats(fs, sf) else {
+        val dir = tableDir(root, name, v)
+        val bytes = fs.listStatus(dir).filter(_.isFile)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        val df = spark.read.parquet(dir.toString)
+        val prof = graft.operators.Profile
+          .profile(df, df.columns.toSeq, approxDistinct = true)
+          .collect() // |columns| rows — driver-bounded by schema width
+        val rows = prof.headOption.map(_.getLong(1)).getOrElse(0L)
+        val cols = prof.map { r =>
+          r.getString(0) -> graft.plans.ColStats(
+            ndv = r.getLong(3), nulls = r.getLong(2),
+            min = Option(r.getString(4)), max = Option(r.getString(5)))
+        }.toMap
+        val ts0 = graft.plans.TableStats(rows, math.max(1L, bytes), cols)
+        val body = (Seq(s"rows\t${ts0.rowCount}",
+          s"bytes\t${ts0.sizeInBytes}") ++
+          ts0.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+            s"col\t${enc(c)}\t${cs.ndv}\t${cs.nulls}\t" +
+              s"${cs.min.map(enc).getOrElse("-")}\t" +
+              s"${cs.max.map(enc).getOrElse("-")}"
+          }).mkString("\n")
+        val o = fs.create(sf, true)
+        try o.write(body.getBytes("UTF-8")) finally o.close()
+        ts0
+      }
+      graft.plans.ScanStatsCatalog.register(
+        tableDir(root, name, v).toString, ts)
+      name -> ts
+    }
+    out
+  }
+
+  private def readStats(fs: org.apache.hadoop.fs.FileSystem,
+      sf: org.apache.hadoop.fs.Path): graft.plans.TableStats = {
+    val lines = readSmall(fs, sf).split("\n").map(_.trim)
+      .filter(_.nonEmpty)
+    var rows = 0L; var bytes = 1L
+    val cols = scala.collection.mutable.Map[String, graft.plans.ColStats]()
+    lines.foreach { l =>
+      l.split("\t", -1) match {
+        case Array("rows", n) => rows = n.toLong
+        case Array("bytes", b) => bytes = b.toLong
+        case Array("col", c, ndv, nulls, mn, mx) =>
+          cols(dec(c)) = graft.plans.ColStats(ndv.toLong, nulls.toLong,
+            if (mn == "-") None else Some(dec(mn)),
+            if (mx == "-") None else Some(dec(mx)))
+        case _ => ()
+      }
+    }
+    graft.plans.TableStats(rows, bytes, cols.toMap)
+  }
+
+  /** Load previously-persisted sidecar stats for a snapshot into the
+    * optimizer registry WITHOUT profiling — the session-startup path
+    * (stats were computed once at publish; every later reader just
+    * registers them). Tables without a sidecar are skipped.
+    */
+  def registerStats(spark: SparkSession, root: String,
+      snap: Snapshot): Map[String, graft.plans.TableStats] = {
+    val fs = fsOf(spark, root)
+    snap.tables.flatMap { case (name, v) =>
+      val sf = statsFile(root, name, v)
+      if (!fs.exists(sf)) None
+      else {
+        val ts = readStats(fs, sf)
+        graft.plans.ScanStatsCatalog.register(
+          tableDir(root, name, v).toString, ts)
+        Some(name -> ts)
+      }
+    }
+  }
+
   /** What [[vacuum]] removed: catalog versions dropped, and table
     * versions dropped per table.
     */
@@ -227,102 +359,221 @@ object CatalogStore {
     * rides through every later transaction's map), so table-version
     * liveness is a REFCOUNT over the kept catalogs' maps, not an
     * age cutoff — vacuum(keep = 1) after 100 commits that never
-    * touched the dim must keep the dim's original v=1 dir. Runs under
-    * the store's single-writer contract (no in-flight commit), so
-    * unparseable claim files OLDER than the kept range are crashed
-    * commits and are swept with their staged dirs.
+    * touched the dim must keep the dim's original v=1 dir.
+    *
+    * Crashed-commit sweep, AGE-GATED: claim markers and complete
+    * catalog files ABOVE the pointer can be a live in-flight commit,
+    * not just a dead one — deleting a LIVE claim would let a second
+    * writer re-claim the number and the resulting collision rollback
+    * could delete the first writer's staged data (silent cross-writer
+    * deletion). So above-pointer leftovers (claims, catalog files,
+    * `.stage=` dirs, `c=N.tmp`) are swept only when older than
+    * `claimAgeMs` — default the commit contention timeout, by which
+    * time a live writer would have flipped or given up. An operator
+    * who KNOWS no commit is in flight passes `claimAgeMs = 0` for an
+    * immediate sweep. Claims at or below the pointer are provably
+    * dead (their version already committed) and sweep regardless.
+    *
+    * NO-POINTER RECOVERY: when no commit ever flipped the pointer (a
+    * crash during the FIRST commit leaves `claim=1`, possibly `c=1`,
+    * and no pointer — a state where every later commit computes
+    * `next = 1` forever and collides), vacuum runs a claims-only
+    * sweep of everything age-expired instead of refusing, returning
+    * the store to cleanly unpublished. (A crashed-but-COMPLETE first
+    * catalog is also recoverable forward: the next [[commit]]'s
+    * frontier walk builds on it — whichever runs first wins, and both
+    * outcomes are valid resolutions of an unacknowledged transaction.)
     */
   def vacuum(spark: SparkSession, root: String,
-      keep: Int): CatalogVacuum = {
+      keep: Int, claimAgeMs: Long = 60000L): CatalogVacuum = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     val fs = fsOf(spark, root)
-    val cur = currentVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed catalog under $root"))
+    val now = System.currentTimeMillis
+    def aged(p: org.apache.hadoop.fs.Path): Boolean =
+      !fs.exists(p) || now - fs.getFileStatus(p).getModificationTime >=
+        claimAgeMs
+    val curOpt = currentVersion(spark, root)
     val all = catalogVersions(spark, root)
     val snaps: Map[Int, Option[Snapshot]] = all.map(v => v ->
       (try Some(snapshot(spark, root, Some(v)))
        catch { case _: Exception => None })).toMap // torn file: no map
     // `keep` counts COMMITTED catalogs (complete AND at-or-below the
-    // pointer); under vacuum's no-in-flight contract everything else
-    // in _cat is a dead commit's leftover — claim markers and
-    // above-pointer catalog files would otherwise block the
-    // sequential `next` forever
-    val committed = all.filter(v => v <= cur && snaps(v).isDefined)
-    val keepSet = committed.takeRight(keep).toSet + cur
-    val referenced: Set[(String, Int)] = keepSet.toSeq
+    // pointer)
+    val cur = curOpt.getOrElse(0)
+    val committed = all.filter(v => curOpt.isDefined && v <= cur &&
+      snaps(v).isDefined)
+    val keepSet = committed.takeRight(keep).toSet ++ curOpt.toSet
+    // above-pointer catalog files: dead commits when aged, possibly
+    // live (pre-flip or awaiting roll-forward) when young — young
+    // ones survive AND pin their referenced table versions
+    val (doomedAbove, liveAbove) = all.filter(_ > cur)
+      .partition(v => aged(catFile(root, v)))
+    val doomedCats = all.filter(v => v <= cur && !keepSet.contains(v)) ++
+      doomedAbove
+    doomedCats.foreach(v => fs.delete(catFile(root, v), false))
+    val referenced: Set[(String, Int)] = (keepSet ++ liveAbove).toSeq
       .flatMap(v => snaps.get(v).flatten.toSeq.flatMap(_.tables.toSeq))
       .toSet
-    val doomedCats = all.filterNot(keepSet.contains)
-    doomedCats.foreach(v => fs.delete(catFile(root, v), false))
+    val catDir = new org.apache.hadoop.fs.Path(root, "_cat")
     val claimRe = "^claim=(\\d+)$".r
-    val deadClaims = fs.listStatus(
-        new org.apache.hadoop.fs.Path(root, "_cat")).toSeq
-      .filter(_.isFile)
+    val tmpRe = "^c=\\d+\\.tmp$".r
+    val catEntries = if (fs.exists(catDir))
+      fs.listStatus(catDir).toSeq.filter(_.isFile) else Seq.empty
+    // claims ≤ pointer: dead. Claims above: only when aged.
+    val (deadClaims, liveClaims) = catEntries
       .flatMap(s => s.getPath.getName match {
         case claimRe(n) => Some(n.toInt)
         case _          => None
       })
+      .partition(v => v <= cur || aged(claimFile(root, v)))
     deadClaims.foreach(v => fs.delete(claimFile(root, v), false))
+    // crashed tmp bodies (between create and completion rename)
+    catEntries.filter(s => tmpRe.findFirstIn(s.getPath.getName).isDefined)
+      .filter(s => now - s.getModificationTime >= claimAgeMs)
+      .foreach(s => fs.delete(s.getPath, false))
     val tables = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .toSeq.filter(e => e.isDirectory &&
         !e.getPath.getName.startsWith("_") &&
         !e.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
+    // a table version is protected by a kept/live catalog's map OR by
+    // a surviving (young) claim — its writer may be mid-publish with
+    // data already renamed to v=N
+    val liveClaimSet = liveClaims.toSet
     val droppedTv = tables.map { t =>
-      val vs = fs.listStatus(
-          new org.apache.hadoop.fs.Path(root, t)).toSeq
-        .filter(e => e.isDirectory && e.getPath.getName.startsWith("v="))
+      val entries = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, t)).toSeq.filter(_.isDirectory)
+      // aged crashed staging dirs sweep silently
+      entries.filter(e => e.getPath.getName.startsWith(".stage="))
+        .filter(e => now - e.getModificationTime >= claimAgeMs)
+        .foreach(e => fs.delete(e.getPath, true))
+      val vs = entries.filter(_.getPath.getName.startsWith("v="))
         .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
-      val doomed = vs.filterNot(v => referenced.contains((t, v)))
+      val doomed = vs.filterNot(v => referenced.contains((t, v)) ||
+        liveClaimSet.contains(v) || liveAbove.contains(v))
       doomed.foreach(v => fs.delete(tableDir(root, t, v), true))
       t -> doomed
     }.filter(_._2.nonEmpty).toMap
     CatalogVacuum((doomedCats ++ deadClaims).distinct.sorted, droppedTv)
   }
 
+  private def stageDir(root: String, name: String, txid: String) =
+    new org.apache.hadoop.fs.Path(root, s"$name/.stage=$txid")
+
+  /** The frontier a new transaction builds on: the latest map in the
+    * chain of COMPLETE catalog files, starting from the pointer and
+    * rolling FORWARD over complete-but-unflipped catalogs above it.
+    * A complete `c=v` is a transaction whose data is fully staged at
+    * its version dirs and whose audits passed — only its pointer flip
+    * is outstanding — so building `v+1`'s carry-forward on its FINAL
+    * map (instead of waiting for the flip) lets concurrent commits
+    * land without blocking on each other, Iceberg-style, while never
+    * reading a STALE prior (the lost-update anomaly needs an
+    * in-flight claim to be skipped against a map that predates it —
+    * rolling forward over complete catalogs is the opposite: each
+    * step reads the immutable final map).
+    */
+  private def frontier(spark: SparkSession,
+      root: String): (Map[String, Int], Int) = {
+    val fs = fsOf(spark, root)
+    var v = currentVersion(spark, root).getOrElse(0)
+    var prior: Map[String, Int] =
+      if (v == 0) Map.empty else snapshot(spark, root, Some(v)).tables
+    var walking = true
+    while (walking) {
+      if (fs.exists(catFile(root, v + 1))) {
+        // complete by construction (no-overwrite completion rename);
+        // the catch covers a concurrent vacuum deleting it mid-read
+        try { prior = snapshot(spark, root, Some(v + 1)).tables; v += 1 }
+        catch { case _: Exception => walking = false }
+      } else walking = false
+    }
+    (prior, v + 1)
+  }
+
   /** Atomically publish `tables` as one transaction; tables not in
-    * the map carry their current version forward. Audits run against
-    * the STAGED dirs; the first failure rolls back every staged
-    * table AND the claim, leaving the store byte-identical to the
-    * pre-commit state. Concurrency: the exclusive catalog-file claim
-    * is still the mechanism — the loser of a same-`next` race fails
-    * the claim before writing any data — but the loss is handled by
-    * a bounded optimistic retry: re-read current, recompute `next`,
-    * re-claim, with backoff until `contentionTimeoutMs`. Claims are
-    * STRICTLY SEQUENTIAL (`next` = committed current + 1, never
-    * skipping an in-flight claim): version N+1's carry-forward map
-    * must build on N's FINAL map, so a writer finding N+1 claimed
-    * waits for the holder to flip rather than claiming N+2 against a
-    * stale prior (which would silently drop the in-flight commit's
-    * tables from the carry-forward — the lost-update anomaly).
-    * A claim whose holder crashed blocks commits until the timeout
-    * (loudly — [[CommitContentionException]]), and [[vacuum]] sweeps
-    * it; sustained live contention past the timeout means the store
-    * needs a queue, not more blind retries.
+    * the map carry their current version forward.
+    *
+    * STAGE ONCE: every table's data is written exactly once, to a
+    * tx-unique staging dir (`<table>/.stage=<txid>`), BEFORE any
+    * version number is claimed — so audits run (and fail) without
+    * blocking other writers, and a contention retry re-runs only
+    * METADATA (claim, per-table dir renames, catalog file, pointer),
+    * never the upstream job that computed the data. A failing audit
+    * rolls back by deleting the staging dirs, leaving the store
+    * byte-identical to the pre-commit state.
+    *
+    * Concurrency: the exclusive claim on `_cat/claim=next` still
+    * serializes same-number racers, but `next` comes from the
+    * [[frontier]] walk — a writer that finds version N complete but
+    * unflipped builds on N's final map and claims N+1 immediately,
+    * so two committers (disjoint or not: table-level last-writer-wins
+    * either way, in claim order) overlap on everything except the
+    * claim+rename+flip metadata step. The pointer flip goes through
+    * [[FsAtomic.putIfMatch]] and only ever moves FORWARD; a writer
+    * whose flip is refused because the pointer already passed its
+    * version is INCLUDED (the only way the pointer passes a claimed
+    * version is through a chain built on that writer's own complete
+    * catalog file) and reports success without flipping.
+    *
+    * Crash ambiguity: a crash (or IO failure) AFTER the catalog file
+    * completes but BEFORE the flip leaves a transaction that a later
+    * commit's frontier walk rolls FORWARD, while an aged [[vacuum]]
+    * sweeps it — either resolution of an unacknowledged transaction
+    * is valid; callers that saw no success ack must re-check before
+    * re-submitting. A claim whose holder crashed pre-completion
+    * blocks commits until the timeout (loudly —
+    * [[CommitContentionException]]); [[vacuum]] sweeps it once aged.
     */
   def commit(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
       audits: Seq[Audit] = Seq.empty,
       contentionTimeoutMs: Long = 60000L): CatalogTx = {
-    val deadline = System.currentTimeMillis + contentionTimeoutMs
-    var attempt = 0
-    while (true) {
-      val next = currentVersion(spark, root).getOrElse(0) + 1
-      try return commitAs(spark, root, tables, audits, next)
-      catch {
-        case e: CommitContentionException =>
-          attempt += 1
-          if (System.currentTimeMillis > deadline) throw e
-          Thread.sleep(math.min(500L, 25L * attempt))
+    require(tables.nonEmpty, "a transaction must publish at least one table")
+    audits.foreach(a => require(tables.contains(a.table),
+      s"audit ${a.name} names ${a.table}, not in this transaction " +
+        "(committed tables are immutable — audit them at their own commit)"))
+    val fs = fsOf(spark, root)
+    val txid = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("errorifexists")
+          .parquet(stageDir(root, name, txid).toString)
       }
+      val failed = audits.find(a => !a.check(
+        spark.read.parquet(stageDir(root, a.table, txid).toString)))
+      failed match {
+        case Some(a) => CatalogTx(None, Some(a.name))
+        case None =>
+          val deadline = System.currentTimeMillis + contentionTimeoutMs
+          var attempt = 0
+          var out: Option[CatalogTx] = None
+          while (out.isEmpty) {
+            val (prior, next) = frontier(spark, root)
+            try out = Some(publishStaged(spark, root,
+              tables.keys.toSeq.sorted, txid, prior, next))
+            catch {
+              case e: CommitContentionException =>
+                attempt += 1
+                if (System.currentTimeMillis > deadline) throw e
+                Thread.sleep(math.min(500L, 25L * attempt))
+            }
+          }
+          out.get
+      }
+    } finally {
+      // renamed-away dirs are gone; this clears audit-failure and
+      // terminal-contention staging
+      tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
     }
-    sys.error("unreachable")
   }
 
   /** [[commit]]'s write path at a SPECIFIC version — package-visible
     * so the claim collision is directly testable (two racers
-    * computing the same `next` meet here; going through [[commit]]
-    * a pre-planted claim file just bumps `next` past it).
+    * computing the same `next` meet at the exclusive claim; going
+    * through [[commit]] a pre-planted claim is waited on until the
+    * contention timeout).
     */
   private[graft] def commitAs(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
@@ -332,97 +583,133 @@ object CatalogStore {
       s"audit ${a.name} names ${a.table}, not in this transaction " +
         "(committed tables are immutable — audit them at their own commit)"))
     val fs = fsOf(spark, root)
-    // claim the transaction number FIRST — racers fail here, loudly
+    val txid = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    try {
+      tables.foreach { case (name, df) =>
+        df.write.mode("errorifexists")
+          .parquet(stageDir(root, name, txid).toString)
+      }
+      val failed = audits.find(a => !a.check(
+        spark.read.parquet(stageDir(root, a.table, txid).toString)))
+      failed match {
+        case Some(a) => CatalogTx(None, Some(a.name))
+        case None =>
+          val prior =
+            (try Some(snapshot(spark, root, Some(next - 1)).tables)
+             catch { case _: Exception => None })
+              .orElse(currentVersion(spark, root)
+                .map(v => snapshot(spark, root, Some(v)).tables))
+              .getOrElse(Map.empty)
+          publishStaged(spark, root, tables.keys.toSeq.sorted, txid,
+            prior, next)
+      }
+    } finally {
+      tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
+    }
+  }
+
+  /** Test seam: runs after the catalog file completes, before the
+    * pointer flip — lets the concurrency specs hold a writer in the
+    * window where its transaction is complete but unflipped.
+    */
+  private[graft] var beforeFlip: Int => Unit = _ => ()
+
+  /** The METADATA-ONLY publish of already-staged data at a specific
+    * version: claim, per-table rename into `v=next`, catalog file,
+    * pointer flip. Throws [[CommitContentionException]] (with every
+    * rename undone, so the staging dirs are intact for a retry) when
+    * the version was lost to another writer; never touches data it
+    * did not stage.
+    */
+  private def publishStaged(spark: SparkSession, root: String,
+      names: Seq[String], txid: String,
+      prior: Map[String, Int], next: Int): CatalogTx = {
+    val fs = fsOf(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
     val claim = claimFile(root, next)
     try FsAtomic.createExclusive(fs, claim)
     catch {
       case e: java.io.IOException =>
         throw new CommitContentionException(next, e)
     }
-    // set ONLY after the completion rename succeeds: rollback must
-    // never delete a c=next it did not create (it could be a real
-    // committed catalog this writer collided with)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp")
+    var renamed = List.empty[String]
     var completedCat = false
-    def rollbackStaged(): Unit = {
-      tables.keys.foreach(n =>
-        fs.delete(tableDir(root, n, next), true))
-      fs.delete(new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp"),
-        false)
-      if (completedCat) fs.delete(catFile(root, next), false)
-      fs.delete(new org.apache.hadoop.fs.Path(root,
-        s"_cat_current.tmp.$next"), false)
-      fs.delete(claim, false)
-    }
     try {
-      // prior map AFTER the claim: a commit that completed between
-      // our version read and our claim is now visible, so the
-      // carry-forward builds on the latest committed state
-      val priorV = currentVersion(spark, root)
-      val prior = priorV
-        .map(v => snapshot(spark, root, Some(v)).tables)
-        .getOrElse(Map.empty)
-      tables.foreach { case (name, df) =>
-        df.write.mode("errorifexists")
-          .parquet(tableDir(root, name, next).toString)
+      // stale-claim guard: a claim at or below the pointer (vacuum
+      // freed the number, or a caller-provided historical version)
+      // must never complete — the pointer only moves forward, so the
+      // transaction could not land; fail before any rename
+      if (currentVersion(spark, root).exists(_ >= next))
+        throw new CommitContentionException(next, null)
+      // c=next existing while we hold a FRESH claim means version
+      // `next` fully committed between our frontier walk and our
+      // claim (its writer flipped and released) — rewalk, don't touch
+      if (fs.exists(catFile(root, next)))
+        throw new CommitContentionException(next, null)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new org.apache.hadoop.fs.Path(root).toUri, conf)
+      names.foreach { n =>
+        fc.rename(stageDir(root, n, txid), tableDir(root, n, next),
+          org.apache.hadoop.fs.Options.Rename.NONE)
+        renamed ::= n
       }
-      val failed = audits.find(a => !a.check(
-        spark.read.parquet(tableDir(root, a.table, next).toString)))
-      failed match {
-        case Some(a) =>
-          rollbackStaged()
-          CatalogTx(None, Some(a.name))
-        case None =>
-          val map = prior ++ tables.keys.map(_ -> next)
-          val body = (next.toString +: map.toSeq.sortBy(_._1)
-            .map { case (n, v) => s"$n\t$v" }).mkString("\n")
-          val tmp = new org.apache.hadoop.fs.Path(root, s"_cat/c=$next.tmp")
-          val o = fs.create(tmp, true)
-          try o.write(body.getBytes("UTF-8")) finally o.close()
-          // NO-overwrite rename: we hold the claim, so an existing
-          // c=next means our `next` was stale (a committed catalog we
-          // raced, or a dead commit's leftover) — contention, never
-          // something to rename over or delete
-          try org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
-              spark.sparkContext.hadoopConfiguration)
-            .rename(tmp, catFile(root, next),
-              org.apache.hadoop.fs.Options.Rename.NONE)
-          catch {
-            case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-              throw new CommitContentionException(next, e)
-          }
-          completedCat = true
-          // the pointer flip is the commit point — and it must only
-          // move FORWARD: if an overlapping writer claimed a later
-          // number after us but flipped first (it read a prior map
-          // that predates our still-in-flight transaction), flipping
-          // back to `next` would silently drop its commit. Treat
-          // that overlap as contention: roll back (including our
-          // completed catalog file) and let the retry rebuild on the
-          // latest state. Plain-filesystem rename is not CAS, so a
-          // flip racing inside this check's window remains the
-          // documented residual; the claim ordering makes it require
-          // two writers interleaving at sub-rename granularity.
-          if (currentVersion(spark, root).exists(_ > next)) {
-            // the outer catch rolls back claim + staged dirs + tmp
-            throw new CommitContentionException(next, null)
-          }
-          // per-transaction tmp name: a SHARED tmp would let two
-          // overlapping flips delete each other's staging mid-rename
-          val ptmp = new org.apache.hadoop.fs.Path(root,
-            s"_cat_current.tmp.$next")
-          val po = fs.create(ptmp, true)
-          try po.write(next.toString.getBytes("UTF-8")) finally po.close()
-          org.apache.hadoop.fs.FileContext.getFileContext(ptmp.toUri,
-              spark.sparkContext.hadoopConfiguration)
-            .rename(ptmp, pointer(root),
-              org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-          // committed: the claim marker has done its job
-          fs.delete(claim, false)
-          CatalogTx(Some(next), None)
+      val map = prior ++ names.map(_ -> next)
+      val body = (next.toString +: map.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"$n\t$v" }).mkString("\n")
+      val o = fs.create(tmp, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+      // NO-overwrite completion rename: belt-and-braces — under the
+      // claim discipline nobody else can complete `next`
+      try fc.rename(tmp, catFile(root, next),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          throw new CommitContentionException(next, e)
       }
+      completedCat = true
+      beforeFlip(next)
+      // the pointer flip is the commit point, FORWARD-ONLY through
+      // the CAS seam (in-process races fully closed by the lock;
+      // cross-JVM on plain filesystems the rename residual remains —
+      // see FsAtomic.putIfMatch). A refused flip means the pointer
+      // already passed `next` — and the only way it can do that is
+      // through a frontier chain built on OUR complete c=next (the
+      // stale-claim guard rejected pointers ≥ next before we
+      // completed), so the transaction is already included in the
+      // newer catalog's carry-forward: success, and rolling back
+      // would delete data that catalog references.
+      FsAtomic.putIfMatch(fs, conf, pointer(root),
+        new org.apache.hadoop.fs.Path(root, s"_cat_current.tmp.$next"),
+        next.toString,
+        () => currentVersion(spark, root).map(_.toString),
+        cur => cur.forall(_.trim.toInt < next))
+      fs.delete(claim, false)
+      CatalogTx(Some(next), None)
     } catch {
       case e: Throwable =>
-        rollbackStaged()
+        if (!completedCat) {
+          // undo to exactly "staged, unclaimed": renames reversed so
+          // a retry stays metadata-only; never delete a v-dir we did
+          // not stage
+          renamed.foreach { n =>
+            try org.apache.hadoop.fs.FileContext.getFileContext(
+                new org.apache.hadoop.fs.Path(root).toUri, conf)
+              .rename(tableDir(root, n, next), stageDir(root, n, txid),
+                org.apache.hadoop.fs.Options.Rename.NONE)
+            catch { case _: Exception => () } // vacuum sweeps leftovers
+          }
+          fs.delete(tmp, false)
+          fs.delete(claim, false)
+        } else {
+          // after the catalog file completes, NOTHING rolls back — a
+          // concurrent frontier walk may already have built on it;
+          // the transaction either flips here on a later attempt
+          // (there is none — completion is final), rolls forward via
+          // the next commit, or ages out to vacuum
+          fs.delete(claim, false)
+        }
         throw e
     }
   }

@@ -168,13 +168,161 @@ class CatalogStoreSpec extends SparkSpec {
       CatalogStore.commit(spark, root, Map("a" -> orders.limit(5)),
         contentionTimeoutMs = 200L)
     }
-    val vac = CatalogStore.vacuum(spark, root, keep = 5)
+    // claimAgeMs = 0: the operator asserts the no-in-flight contract,
+    // so the just-planted claim sweeps immediately
+    val vac = CatalogStore.vacuum(spark, root, keep = 5, claimAgeMs = 0L)
     assert(vac.catalogs == Seq(2)) // the crashed claim, despite keep=5
     assert(vac.tableVersions == Map("a" -> Seq(2))) // its staged dir
     assert(CatalogStore.commit(spark, root, Map("a" -> orders.limit(5)))
       .version.contains(2))
     assert(CatalogStore.read(spark, root, "a",
       CatalogStore.snapshot(spark, root)).count() == 5)
+  }
+
+  test("stage-once: contention retries are metadata-only — the table's " +
+      "data is computed and written exactly once") {
+    val root = Files.createTempDirectory("cats1").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hold version 2 with a foreign claim so the committer spins
+    val claim = new org.apache.hadoop.fs.Path(root, "_cat/claim=2")
+    fs.create(claim, false).close()
+    StageCounter.n.set(0L)
+    val counted = udf((x: Long) => {
+      StageCounter.n.incrementAndGet(); x
+    }).asNondeterministic()
+    val df = spark.range(100).select(counted(col("id")).as("k"))
+    val res = new java.util.concurrent.atomic.AtomicReference[CatalogStore.CatalogTx]
+    val t = new Thread(() => res.set(CatalogStore.commit(spark, root,
+      Map("b" -> df), contentionTimeoutMs = 20000L)))
+    t.start()
+    // wait for staging to finish (the _SUCCESS marker), then hold the
+    // claim long enough that the loop must fail at least one attempt
+    // (attempt backoff caps at 500ms)
+    val stagedBy = System.currentTimeMillis + 30000
+    def stageDone(): Boolean = {
+      val bDir = new org.apache.hadoop.fs.Path(root, "b")
+      fs.exists(bDir) && fs.listStatus(bDir).exists(d =>
+        d.getPath.getName.startsWith(".stage=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_SUCCESS")))
+    }
+    while (!stageDone() && System.currentTimeMillis < stagedBy)
+      Thread.sleep(20)
+    assert(stageDone(), "staging never appeared")
+    Thread.sleep(700)
+    fs.delete(claim, false)
+    t.join(30000)
+    assert(res.get != null && res.get.version.contains(2), s"got ${res.get}")
+    // the whole point: contention retried the METADATA, not the job
+    assert(StageCounter.n.get == 100L,
+      s"data evaluated ${StageCounter.n.get} times — restaged on retry?")
+    assert(CatalogStore.read(spark, root, "b",
+      CatalogStore.snapshot(spark, root)).count() == 100)
+  }
+
+  test("a complete-but-unflipped commit does not block others: the " +
+      "frontier walk lands past it and the held writer is INCLUDED") {
+    val root = Files.createTempDirectory("catfw").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    val completed = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    CatalogStore.beforeFlip = v => if (v == 2) {
+      completed.countDown()
+      release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+      ()
+    }
+    try {
+      val aRes = new java.util.concurrent.atomic.AtomicReference[CatalogStore.CatalogTx]
+      val tA = new Thread(() => aRes.set(CatalogStore.commit(spark, root,
+        Map("b" -> orders.limit(20)))))
+      tA.start()
+      assert(completed.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never reached the flip window")
+      // A's transaction is complete at version 2 but unflipped; B must
+      // land WITHOUT waiting for A (no timeout-bounded blocking)
+      val tB = CatalogStore.commit(spark, root,
+        Map("c" -> orders.limit(30)), contentionTimeoutMs = 8000L)
+      assert(tB.version.contains(3), s"B got $tB")
+      assert(CatalogStore.currentVersion(spark, root).contains(3))
+      assert(tA.isAlive, "B must not have needed A's flip to land")
+      release.countDown()
+      tA.join(30000)
+      // A's refused flip is INCLUSION, not failure: B's carry-forward
+      // built on A's complete catalog
+      assert(aRes.get != null && aRes.get.version.contains(2),
+        s"A got ${aRes.get}")
+      val snap = CatalogStore.snapshot(spark, root)
+      assert(snap.version == 3 &&
+        snap.tables == Map("a" -> 1, "b" -> 2, "c" -> 3))
+      assert(CatalogStore.read(spark, root, "b", snap).count() == 20)
+      assert(CatalogStore.read(spark, root, "c", snap).count() == 30)
+    } finally {
+      CatalogStore.beforeFlip = _ => ()
+      release.countDown()
+    }
+  }
+
+  test("first-commit crash is recoverable in-repo: vacuum's no-pointer " +
+      "sweep frees a dead claim; a complete catalog rolls FORWARD") {
+    // (a) crash BEFORE the catalog file: claim=1, no pointer — commits
+    // collide forever; the no-pointer vacuum sweeps and the store is
+    // cleanly unpublished again
+    val rootA = Files.createTempDirectory("catfc").toString
+    val fsA = new org.apache.hadoop.fs.Path(rootA)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsA.mkdirs(new org.apache.hadoop.fs.Path(rootA, "_cat"))
+    fsA.create(new org.apache.hadoop.fs.Path(rootA, "_cat/claim=1"),
+      false).close()
+    intercept[CatalogStore.CommitContentionException] {
+      CatalogStore.commit(spark, rootA, Map("a" -> orders.limit(5)),
+        contentionTimeoutMs = 300L)
+    }
+    val vac = CatalogStore.vacuum(spark, rootA, keep = 1, claimAgeMs = 0L)
+    assert(vac.catalogs == Seq(1))
+    assert(CatalogStore.commit(spark, rootA, Map("a" -> orders.limit(5)))
+      .version.contains(1))
+    assert(CatalogStore.snapshot(spark, rootA).version == 1)
+    // (b) crash AFTER the catalog file completed but before the flip:
+    // the next commit's frontier walk builds on it — the crashed
+    // transaction lands
+    val rootB = Files.createTempDirectory("catfd").toString
+    val fsB = new org.apache.hadoop.fs.Path(rootB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    orders.limit(7).write.parquet(s"$rootB/a/v=1")
+    fsB.create(new org.apache.hadoop.fs.Path(rootB, "_cat/claim=1"),
+      false).close()
+    val o = fsB.create(new org.apache.hadoop.fs.Path(rootB, "_cat/c=1"),
+      false)
+    try o.write("1\na\t1".getBytes("UTF-8")) finally o.close()
+    val tx = CatalogStore.commit(spark, rootB, Map("b" -> orders.limit(3)))
+    assert(tx.version.contains(2))
+    val snap = CatalogStore.snapshot(spark, rootB)
+    assert(snap.tables == Map("a" -> 1, "b" -> 2))
+    assert(CatalogStore.read(spark, rootB, "a", snap).count() == 7)
+  }
+
+  test("vacuum never sweeps a YOUNG above-pointer claim or its staged " +
+      "data — a live in-flight commit survives; claimAgeMs=0 overrides") {
+    val root = Files.createTempDirectory("catlv").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an in-flight commit mid-publish: fresh claim, data
+    // already renamed to its version dir
+    fs.create(new org.apache.hadoop.fs.Path(root, "_cat/claim=2"), false)
+      .close()
+    orders.limit(3).write.parquet(s"$root/a/v=2")
+    val vac = CatalogStore.vacuum(spark, root, keep = 5)
+    assert(!vac.catalogs.contains(2),
+      "a young claim must survive the default-age vacuum")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "a/v=2")),
+      "the live commit's staged version dir must survive")
+    // the operator asserting no-in-flight sweeps immediately
+    val hard = CatalogStore.vacuum(spark, root, keep = 5, claimAgeMs = 0L)
+    assert(hard.catalogs == Seq(2))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "a/v=2")))
   }
 
   test("pointer only moves forward: a stale writer rolls back as " +
@@ -199,4 +347,12 @@ class CatalogStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "a/v=2")))
   }
+}
+
+/** Executor-side write counter for the stage-once spec — a top-level
+  * object so the udf closure re-resolves the SAME static on
+  * deserialization (local mode still serializes task closures).
+  */
+object StageCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong(0L)
 }
