@@ -12,6 +12,21 @@ import org.apache.spark.sql.SparkSession
   * aren't dominated by first-touch classloading.
   */
 object Bench {
+
+  /** Free the RDD blocks `clearCache()` cannot: `localCheckpoint`
+    * persists its blocks at the RDD level (not the SQL cache), and
+    * they are released only when the ContextCleaner GCs the RDD
+    * reference — across a 253-query sweep (161 checkpoint call sites)
+    * that deferred release accumulates into the long-JVM drift the
+    * round-10 floor protocol measured (per-sweep totals 268 → 374 s).
+    * Between queries every checkpointed frame is dead by construction
+    * (queries are independent), so an explicit unpersist of whatever
+    * is still registered returns each query to a clean block manager.
+    */
+  private[graft] def releaseBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -65,9 +80,19 @@ object Bench {
       graft.operators.QualityModel.score(
           graft.operators.QualityModel.train(feats), feats)
         .write.format("noop").mode("overwrite").save()
+      // warmup 4: the corpus_topics/tfidf/hashEmbed HOF block (the
+      // round-10 warmup moved the cold-JIT cost HERE from the ann_*
+      // rows; corpusTopics covers hashEmbedDense + spherical k-means
+      // + the tf-idf join, pmiPairs the bigram HOF family)
+      graft.operators.TextAnalysis.corpusTopics(d, "doc_id", "text",
+          nTopics = 2, topTerms = 2)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.TextAnalysis.pmiPairs(d, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
       // frees the minhash shingle persist; the tiny checkpoint
       // blocks are below noise and die with RDD GC
       spark.catalog.clearCache()
+      releaseBlocks(spark)
     } catch { case _: Throwable => () }
 
     // SPARK_GRAFT_ONLY=q1_pricing_summary,q8_star_join → bench a
@@ -99,6 +124,7 @@ object Bench {
     // cold singles aren't floor-comparable; the min over warm repeats
     // is. Default 1 = the driver contract, unchanged.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    var sinceGc = 0
     val results = (1 to repeat).flatMap { round =>
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
@@ -117,8 +143,14 @@ object Bench {
           f"codecache=${codeCacheUsedMb}%4dMB")
         // isolate queries: drop persisted blocks an operator may have
         // left behind (e.g. minhash's shingle cache) so later timings
-        // don't pay its memory pressure
+        // don't pay its memory pressure — including the checkpoint
+        // blocks clearCache alone never frees (the long-JVM drift)
         spark.catalog.clearCache()
+        releaseBlocks(spark)
+        // let the ContextCleaner reap dead shuffle files / broadcast
+        // blocks periodically instead of at heap pressure
+        sinceGc += 1
+        if (sinceGc >= 25) { sinceGc = 0; System.gc() }
         name -> dt
       }
     }.groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).min }

@@ -18,6 +18,7 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    var sinceGc = 0
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same block hygiene as Bench: checkpoint blocks outlive their
+      // dead query until explicitly unpersisted (clearCache can't)
+      spark.catalog.clearCache()
+      Bench.releaseBlocks(spark)
+      sinceGc += 1
+      if (sinceGc >= 25) { sinceGc = 0; System.gc() }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -435,9 +435,15 @@ object SketchState {
     * [[estimateDistinctKmv]] reading row count < k).
     *
     * Scale shape: one uniform groupBy exchange for the exact
-    * per-(group, item) counts (map-side combined), then a per-group
-    * top-k window over already-aggregated rows; state is ≤ k
-    * rows/group.
+    * per-(group, item) counts (map-side combined); the group totals
+    * come from a model-sized aggregate BROADCAST-joined back (never a
+    * sum window over the full distinct-item set — that would cluster
+    * the whole corpus into |groups| partitions, and for the global
+    * build into ONE; the totals re-aggregation shares the counts
+    * shuffle stage through AQE exchange reuse); the bottom-k filter
+    * itself plans as map-side WindowGroupLimit, so no task ever sorts
+    * or moves more than k·partitions rows of one group (see
+    * [[sampleCompress]]). State is ≤ k rows/group.
     */
   def sampleSketches(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -447,10 +453,13 @@ object SketchState {
       .groupBy((groupCols.map(col) :+
         col(valueCol).cast("string").as("item")): _*)
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("__n",
-        sum(col("cnt")).over(Window.partitionBy(groupCols.map(col): _*)))
-      .withColumn("hkey", md5Window(col("item"), 1))
-    sampleCompress(counts, groupCols, k)
+    val totals = counts.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("__n"))
+    val withN =
+      if (groupCols.isEmpty) counts.crossJoin(broadcast(totals))
+      else counts.join(broadcast(totals), groupCols)
+    sampleCompress(withN.withColumn("hkey", md5Window(col("item"), 1)),
+      groupCols, k)
   }
 
   /** Fold a delta's partial samples into the persisted state: sum
@@ -745,6 +754,20 @@ object SketchState {
   /** The shared bottom-k compress over (groupCols…, item, hkey, cnt,
     * __n) rows: rank keys ascending (ties by item asc), keep rank ≤ k;
     * `__n` passes through as `n_rows`.
+    *
+    * Scale shape: the row_number ≤ k filter plans as Spark's
+    * `WindowGroupLimit` in Partial + Final form (SPARK-37099
+    * rank-limit pushdown — verified in the executed plan), i.e. each
+    * MAP task keeps only its local bottom-k per group BEFORE the
+    * exchange, so at most k·partitions rows of any group ever move or
+    * sort — including the empty-grain global build, whose
+    * single-partition final stage receives ≤ k rows per upstream
+    * partition, never the corpus's distinct-item set. A hand-rolled
+    * two-phase prune (mapPartitions with a per-group counter) was
+    * measured strictly slower: it pays a full
+    * DeserializeToObject/SerializeFromObject row conversion and blocks
+    * whole-stage codegen for work the codegen'd WindowGroupLimit
+    * already does.
     */
   private def sampleCompress(
       counts: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {

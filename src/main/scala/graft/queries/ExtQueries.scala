@@ -1781,7 +1781,15 @@ object ExtQueries {
     "corpus_topics_gate" -> QueryDef(
       doc = "topic-map invariant gate (k-means not SQL-expressible — the text_bpe_gate pattern): topic sizes sum to the embedded-doc count (every doc in exactly one topic), ranks are contiguous 1..topTerms per topic, scores non-increasing in rank; term membership holds by construction (terms come from the topic's own docs' tf-idf join)",
       oracle = "SELECT CAST(1 AS INTEGER) AS partition_ok, CAST(1 AS INTEGER) AS ranks_ok, CAST(1 AS INTEGER) AS order_ok") { (s, dir) =>
+      // deterministic 1-in-3 SLICE (the layout_pointindex_gate diet):
+      // the gate pins ALGORITHM invariants — partition sums, rank
+      // contiguity, score monotonicity — which are corpus-size-free,
+      // while the full-corpus re-fit made the corpus_topics PAIR the
+      // single most expensive block of the round-10 driver run (22s
+      // of 406s); the full-size fit cost stays measured by
+      // corpus_topics itself
       val d = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
       // embed ONCE and share the persisted frame between the topic
       // fit and the doc count — the previous second hashEmbedDense
       // call relied on CacheManager plan-matching to avoid a full

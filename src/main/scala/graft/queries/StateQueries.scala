@@ -758,7 +758,15 @@ object StateQueries {
         "CAST(1 AS INTEGER) AS kmv_rollup_ok, " +
         "CAST(1 AS INTEGER) AS kmv_est_ok") { (s, dir) =>
       val k = 64
-      val rows = langShingleRows(s, dir).localCheckpoint(true)
+      // deterministic 1-in-3 SLICE (the corpus_topics_gate diet): the
+      // four legs are corpus-size-free invariants — merge ≡ direct is
+      // bit-exact at any size, AKMV closure is per-surviving-row, the
+      // rollup identity is algebraic, and the 4·RSE estimate bound is
+      // distribution-free (below k items KMV is exact outright). The
+      // un-dieted gate built FIVE full shingle sketches and was the
+      // most expensive row of the round-11 sweep (7.7 s stable)
+      val rows = langShingleRows(s, dir)
+        .filter(col("doc_id") % 3 === 0).localCheckpoint(true)
       val direct = SketchState.sampleSketches(rows, Seq("lang"), "item", k)
         .localCheckpoint(true)
       // doc-parity split: occurrences of one item land on BOTH sides,

@@ -278,9 +278,11 @@ object CatalogStore {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getLen).sum
         val df = spark.read.parquet(dir.toString)
+        // collect-bound: Profile explodes ONE aggregated row into
+        // exactly |columns| rows — structurally schema-width-sized
         val prof = graft.operators.Profile
           .profile(df, df.columns.toSeq, approxDistinct = true)
-          .collect() // |columns| rows — driver-bounded by schema width
+          .collect()
         val rows = prof.headOption.map(_.getLong(1)).getOrElse(0L)
         val cols = prof.map { r =>
           r.getString(0) -> graft.plans.ColStats(
