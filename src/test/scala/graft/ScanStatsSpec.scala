@@ -123,6 +123,38 @@ class ScanStatsSpec extends SparkSpec {
     }
   }
 
+  test("column stats drive CBO selectivity: a range filter's row " +
+      "estimate scales with the min/max band instead of defaulting") {
+    val path = Files.createTempDirectory("ssel").resolve("t").toString
+    // uniform 1..10000 — FilterEstimation's interpolation on a
+    // (min, max, ndv) column is exact for a range predicate
+    spark.range(1, 10001).select(col("id").as("k"),
+      (col("id") % 97).as("v")).write.parquet(path)
+    val savedCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    withRule {
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        ScanStatsCatalog.register(path, TableStats(
+          rowCount = 10000L, sizeInBytes = 1L << 20,
+          cols = Map("k" -> ColStats(10000L, 0L,
+            Some("1"), Some("10000")))))
+        def estimate(upper: Long): BigInt =
+          spark.read.parquet(path).filter(col("k") <= upper)
+            .queryExecution.optimizedPlan.stats.rowCount
+            .getOrElse(BigInt(-1))
+        val tenth = estimate(1000L)
+        val half = estimate(5000L)
+        assert(tenth > 0 && half > 0, s"estimates absent: $tenth, $half")
+        // the estimator must track the band, not emit a constant
+        // default: ~10% and ~50% of the registered row count
+        assert(tenth >= 500 && tenth <= 1500, s"10% band estimated $tenth")
+        assert(half >= 4000 && half <= 6000, s"50% band estimated $half")
+        assert(half > tenth * 3, s"selectivity not tracking: $tenth vs $half")
+      } finally savedCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+    }
+  }
+
   test("CatalogStore.analyze persists sidecars; registerStats reloads " +
       "them without re-profiling; injected stats ride CatalogStore.read") {
     val root = Files.createTempDirectory("scat").toString
