@@ -4131,6 +4131,26 @@ object ExtQueries {
       } finally s.catalog.dropTempView("orders_hist")
     },
 
+    "store_catalog_history" -> QueryDef(
+      doc = "DESCRIBE-HISTORY surface over the transactional catalog: one row per (catalog version, table) across every complete catalog file, with the pointer's current version flagged - the audit query 'when did table X last change and what rode in that transaction'. Two fixed commits (tx1 publishes dim+fact, tx2 republishes only the fact) make the full history table DETERMINISTIC, so the driver hash pins carry-forward bookkeeping exactly: the untouched dim rides through tx2's map at its tx1 version, and only the newest catalog is current. Metadata-sized by design (catalog files are |versions| x |tables| lines)",
+      oracle = """
+        SELECT * FROM (VALUES
+          (1, 0, 'dim_h', 1), (1, 0, 'fact_h', 1),
+          (2, 1, 'dim_h', 1), (2, 1, 'fact_h', 2))
+          AS t(cat_version, is_current, table_name, table_version)""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 3000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-hist")
+        .toString
+      CatalogStore.commit(s, root, Map(
+        "dim_h" -> orders.limit(20), "fact_h" -> orders))
+      CatalogStore.commit(s, root,
+        Map("fact_h" -> orders.filter(col("o_orderkey") % 2 === 0)))
+      CatalogStore.history(s, root)
+    },
+
     "store_versioned_gate" -> QueryDef(
       doc = "versioned serving store (time travel + rollback + vacuum with plain parquet dirs - the Delta/Iceberg snapshot idea reduced to its load-bearing parts: immutable v=N dirs + an atomically-renamed one-line pointer, so a publish can never tear a running scan and rollback is a data-free pointer flip): (1) two publishes - current serves v2 while v1 stays byte-intact for time travel; (2) rollback flips to v1 and a subsequent publish NEVER reuses a live version number; (3) vacuum keeps the newest N but never deletes the pointer target",
       oracle = "SELECT CAST(1 AS INTEGER) AS ver_travel_ok, " +

@@ -247,6 +247,28 @@ object CatalogStore {
     snap
   }
 
+  /** The DESCRIBE-HISTORY surface: one row per (catalog version,
+    * table) across every COMPLETE catalog file — which transaction
+    * published which table version, and which catalog the pointer
+    * currently serves. Registered as a temp view (or joined to
+    * [[VersionedStore.versions]]-style listings) this is the audit
+    * query "when did table X last change and what rode in that
+    * transaction". Driver-built by design: catalog files are
+    * |versions| metadata files of |tables| lines each — model-sized,
+    * never data-sized.
+    */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(spark, root)
+    catalogVersions(spark, root).flatMap { v =>
+      (try Some(snapshot(spark, root, Some(v)))
+       catch { case _: Exception => None }).toSeq
+        .flatMap(sn => sn.tables.toSeq.sorted.map { case (t, tv) =>
+          (v, if (cur.contains(v)) 1 else 0, t, tv)
+        })
+    }.toDF("cat_version", "is_current", "table_name", "table_version")
+  }
+
   private def statsFile(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(tableDir(root, name, v),
       "_graft_stats.tsv")

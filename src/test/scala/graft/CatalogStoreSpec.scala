@@ -179,6 +179,20 @@ class CatalogStoreSpec extends SparkSpec {
       CatalogStore.snapshot(spark, root)).count() == 5)
   }
 
+  test("history: one row per (catalog, table) with carry-forward " +
+      "versions and the pointer flagged current") {
+    val root = Files.createTempDirectory("cath").toString
+    CatalogStore.commit(spark, root, Map(
+      "a" -> orders.limit(10), "b" -> orders.limit(5)))
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(3)))
+    val h = CatalogStore.history(spark, root)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
+        r.getInt(3))).toSet
+    assert(h == Set(
+      (1, 0, "a", 1), (1, 0, "b", 1),
+      (2, 1, "a", 2), (2, 1, "b", 1)))
+  }
+
   test("stage-once: contention retries are metadata-only — the table's " +
       "data is computed and written exactly once") {
     val root = Files.createTempDirectory("cats1").toString
