@@ -83,11 +83,20 @@ object Bench {
       // warmup 4: the corpus_topics/tfidf/hashEmbed HOF block (the
       // round-10 warmup moved the cold-JIT cost HERE from the ann_*
       // rows; corpusTopics covers hashEmbedDense + spherical k-means
-      // + the tf-idf join, pmiPairs the bigram HOF family)
+      // + the tf-idf join, pmiPairs the bigram HOF family) + the
+      // drift-gate recall-join path (the last ann_* first-touch row)
       graft.operators.TextAnalysis.corpusTopics(d, "doc_id", "text",
           nTopics = 2, topTerms = 2)
         .write.format("noop").mode("overwrite").save()
       graft.operators.TextAnalysis.pmiPairs(d, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Similarity.indexDriftGate(
+          e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+          e.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+          "vec_id", "embedding", 3, minRecall = 0.01, sampleN = 4)(
+          probes => graft.operators.Similarity.bruteForceTopK(
+            e.filter(org.apache.spark.sql.functions.col("vec_id") >= 10),
+            probes, "vec_id", "embedding", 3))
         .write.format("noop").mode("overwrite").save()
       // frees the minhash shingle persist; the tiny checkpoint
       // blocks are below noise and die with RDD GC
