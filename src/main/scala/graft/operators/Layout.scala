@@ -228,6 +228,173 @@ object Layout {
       .parquet(files: _*).filter(residual)
   }
 
+  /** One extracted skipping bound: an inclusive lo/hi pair (either
+    * side open) against one indexed column, in the index's own key
+    * space (double for numeric dimensions, native for strings).
+    */
+  private[graft] final case class Bound(column: String,
+      lo: Option[Column], hi: Option[Column])
+
+  /** Derive sound file-skipping bounds from an ARBITRARY predicate —
+    * the step that turns the explicit [[prunedRead]] band API into
+    * what Delta's data skipping does: the caller writes a normal
+    * `WHERE`, and the engine extracts whatever min/max bounds the
+    * predicate implies. Extraction rules, all CONSERVATIVE:
+    *
+    *  - the predicate splits on top-level AND only; each conjunct
+    *    that is `col <op> literal` (or flipped) with op ∈
+    *    {=, <, <=, >, >=} over an INDEXED column contributes a bound
+    *    (strict ops widen to inclusive — file min/max cannot witness
+    *    strictness);
+    *  - everything else (OR trees, function calls, IN, columns not
+    *    in the index, non-numeric/non-string literals, NULL
+    *    literals) contributes NOTHING — dropping a conjunct only
+    *    enlarges the surviving file set, never shrinks it;
+    *  - numeric bounds compare in the index's double key space
+    *    (the literal casts the way [[boxAggs]] cast the data);
+    *    string bounds compare natively.
+    *
+    * Correctness therefore never depends on extraction coverage: the
+    * FULL original predicate re-applies to surviving rows in
+    * [[autoPrunedRead]], so a predicate the extractor understands
+    * nothing of degrades to the plain filtered scan — row-identical,
+    * just unpruned. Pinned end-to-end by layout_autoskip (hash vs a
+    * full-scan oracle) and layout_autoskip_gate (residual-correct
+    * with an unextractable conjunct, one-sided bounds prune,
+    * extraction-free predicates skip nothing falsely).
+    */
+  private[graft] def extractBounds(index: DataFrame,
+      data: DataFrame, predicate: Column): Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical
+    // Spark 4's Column builds UNRESOLVED nodes (`fn(">=")`), so the
+    // extractor matches the ANALYZED filter condition instead: real
+    // comparison classes, names resolved, type coercion applied.
+    // Coercion wraps literals in foldable casts (folded here by
+    // eval) and may wrap the ATTRIBUTE side instead — which simply
+    // yields no bound, the conservative direction.
+    val cond = data.filter(predicate).queryExecution.analyzed
+      .collectFirst { case f: logical.Filter => f.condition }
+      .getOrElse(return Seq.empty)
+    val indexed = index.columns
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def keyLit(c: String, e: Expression): Option[Column] = {
+      if (!e.foldable) return None
+      // ANSI can make a coercion cast THROW at fold time (e.g.
+      // 'x' cast to bigint inside an IN list) — an unconvertible
+      // literal is "no bound", never a crash
+      val v = try e.eval(
+        org.apache.spark.sql.catalyst.InternalRow.empty)
+      catch { case _: Exception => return None }
+      if (v == null) return None
+      val strIndex = index.schema(s"min_$c").dataType ==
+        org.apache.spark.sql.types.StringType
+      (v, e.dataType) match {
+        case (u: org.apache.spark.unsafe.types.UTF8String, _)
+          if strIndex => Some(lit(u.toString))
+        case (_, _: org.apache.spark.sql.types.NumericType)
+          if !strIndex => Some(lit(v.toString.toDouble))
+        case _ => None // type/keyspace mismatch: no bound, sound
+      }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).flatMap {
+      case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
+        val (c, v, flip) = (attr(cmp.left), attr(cmp.right)) match {
+          case (Some(a), None) if indexed(a) =>
+            (Some(a), keyLit(a, cmp.right), false)
+          case (None, Some(a)) if indexed(a) =>
+            (Some(a), keyLit(a, cmp.left), true)
+          case _ => (None, None, false)
+        }
+        (c, v) match {
+          case (Some(a), Some(k)) => cmp match {
+            case _: EqualTo => Some(Bound(a, Some(k), Some(k)))
+            case _: GreaterThan | _: GreaterThanOrEqual =>
+              if (!flip) Some(Bound(a, Some(k), None))
+              else Some(Bound(a, None, Some(k)))
+            case _: LessThan | _: LessThanOrEqual =>
+              if (!flip) Some(Bound(a, None, Some(k)))
+              else Some(Bound(a, Some(k), None))
+            case _ => None
+          }
+          case _ => None
+        }
+      // IN-list: sound as the [min, max] envelope of the list — a
+      // file whose box misses the envelope can hold no listed value.
+      // Every element must convert in the index's keyspace, else the
+      // conjunct contributes nothing (one unconvertible element could
+      // lie outside the partial envelope).
+      case In(a, list) if attr(a).exists(indexed) && list.nonEmpty =>
+        val c = attr(a).get
+        val ks = list.map(keyLit(c, _))
+        if (ks.exists(_.isEmpty)) None
+        else Some(Bound(c,
+          Some(ks.flatten.reduce(least(_, _))),
+          Some(ks.flatten.reduce(greatest(_, _)))))
+      case _ => None
+    }
+  }
+
+  /** The surviving file list for [[autoPrunedRead]]'s predicate —
+    * exposed separately (like [[bloomProbeFiles]]) so callers and
+    * gates can SEE the skipping. Returns None when the predicate
+    * yields no usable bounds (nothing extractable over indexed
+    * columns): the caller must fall back to the plain filtered scan
+    * rather than mistake "no extraction" for "no surviving files".
+    */
+  def autoPruneFiles(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, predicate: Column,
+      maxFiles: Int = 65536): Option[Seq[String]] = {
+    val bounds = extractBounds(index, spark.read.parquet(path),
+      predicate)
+    if (bounds.isEmpty) None
+    else {
+      val survive = bounds.map { b =>
+        val loOk = b.lo.map(col(s"max_${b.column}") >= _)
+          .getOrElse(lit(true))
+        val hiOk = b.hi.map(col(s"min_${b.column}") <= _)
+          .getOrElse(lit(true))
+        loOk && hiOk
+      }.reduce(_ && _)
+      Some(ModelCollect.bounded(
+          index.filter(survive).select(col("file")), maxFiles,
+          "surviving file list (predicate too broad for file " +
+            "skipping — fall back to the plain filtered scan)")
+        .map(_.getString(0)))
+    }
+  }
+
+  /** Predicate-driven data skipping: a plain `WHERE`-shaped Column
+    * answers through the file index with no band plumbing — bounds
+    * are extracted by [[extractBounds]], files pruned, and the FULL
+    * original predicate re-applied to the survivors, so the result
+    * is row-identical to `spark.read.parquet(path).filter(predicate)`
+    * whatever the extractor managed to understand. The 100 TB story
+    * is [[prunedRead]]'s (the index replaces ~800k footer reads with
+    * one small-table filter); this entry point makes it the DEFAULT
+    * read path for filtered scans instead of an expert API.
+    */
+  def autoPrunedRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, index: DataFrame, predicate: Column,
+      maxFiles: Int = 65536): DataFrame = {
+    val base = spark.read.parquet(path)
+    autoPruneFiles(spark, path, index, predicate, maxFiles) match {
+      case None => base.filter(predicate)
+      case Some(Seq()) => base.filter(lit(false))
+      case Some(files) =>
+        spark.read.option("basePath", path).schema(base.schema)
+          .parquet(files: _*).filter(predicate)
+    }
+  }
+
   /** Hilbert-curve index over two pre-quantized bucket columns — the
     * stronger sibling of [[zValue]] for 2-dimensional clustering
     * (the same trade Delta's liquid clustering makes): the Hilbert

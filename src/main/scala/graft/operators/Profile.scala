@@ -20,19 +20,42 @@ import org.apache.spark.sql.functions._
   * min/max compare as strings (cast once, per the oracle's CAST) so
   * one schema covers every column type; numeric-order min/max of a
   * specific column is a one-liner the caller can do directly.
+  *
+  * `typedMinMax` flips the min/max to NATIVE column order, stringified
+  * AFTER the aggregate (`min(c) cast string`, not `min(cast c)`).
+  * The default lexicographic form is what the long-format report (and
+  * its VARCHAR oracle) promises, but it is NOT a sound numeric bound:
+  * over {9, 10} the string min is "10", over 1..100 the string max is
+  * "99". Anything feeding those values to the optimizer or to a
+  * metadata-only aggregate ([[graft.sources.CatalogStore.analyze]],
+  * `metaAgg`) must pass `typedMinMax = true` — an optimizer bound
+  * that excludes live values is silently unsound, not just loose.
   */
 object Profile {
 
   def profile(df: DataFrame, columns: Seq[String],
-      approxDistinct: Boolean = false): DataFrame = {
+      approxDistinct: Boolean = false,
+      typedMinMax: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
     val aggs = columns.flatMap { c =>
+      // typed min/max needs an ORDERABLE type (a map column has no
+      // native order); unorderable columns record no bounds rather
+      // than fail the whole profile — a missing bound is loose, a
+      // lexicographic one is unsound
+      val orderable = org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(df.schema(c).dataType)
+      val (mn, mx) =
+        if (typedMinMax && orderable)
+          (min(col(c)).cast("string"), max(col(c)).cast("string"))
+        else if (typedMinMax)
+          (lit(null).cast("string"), lit(null).cast("string"))
+        else (min(col(c).cast("string")), max(col(c).cast("string")))
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         (if (approxDistinct) approx_count_distinct(col(c))
          else countDistinct(col(c))).as(s"__nd_$c"),
-        min(col(c).cast("string")).as(s"__min_$c"),
-        max(col(c).cast("string")).as(s"__max_$c"))
+        mn.as(s"__min_$c"),
+        mx.as(s"__max_$c"))
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val entries = array(columns.map { c =>

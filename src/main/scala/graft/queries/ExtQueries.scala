@@ -2592,6 +2592,76 @@ object ExtQueries {
         .select("d", "o_orderkey", "o_totalprice")
     },
 
+    "layout_autoskip" -> QueryDef(
+      doc = "predicate-driven data skipping (the explicit prunedRead band API promoted to what Delta ships: the caller writes a plain WHERE and the engine extracts whatever file-level bounds it implies): a mixed predicate - a two-sided band on one z-dimension, a one-sided > on the other, and a modulo conjunct NO extractor can use - answers through autoPrunedRead, which prunes files on the extractable conjuncts only and re-applies the FULL predicate to survivors. Correctness never depends on extraction coverage (dropping a conjunct only widens the file set); the hash pins row-identity to the oracle's full scan, and layout_autoskip_gate pins that the pruning is real",
+      oracle = """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice >= 100000 AND o_totalprice <= 150000
+          AND o_custkey > 100 AND o_orderkey % 3 = 0""") { (s, dir) =>
+      import graft.operators.Layout
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-autoskip").toString
+      Layout.zorderWrite(
+        Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+        Seq("o_custkey", "o_totalprice"), bits = 8,
+        numFiles = 16, path = tmp)
+      Layout.autoPrunedRead(s, tmp,
+        Layout.fileIndex(s, tmp, Seq("o_custkey", "o_totalprice")),
+        col("o_totalprice") >= 100000 && col("o_totalprice") <= 150000 &&
+          col("o_custkey") > 100 && col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    },
+
+    "layout_autoskip_gate" -> QueryDef(
+      doc = "predicate-extraction guarantees for autoPrunedRead: (1) auto_lossless - a predicate mixing extractable bounds with an unextractable modulo conjunct returns EXACTLY the plain filtered scan's rows, both directions (the full predicate re-applies to survivors, so extraction coverage is a perf knob, never a correctness one); (2) auto_prunes - the extractable band + equality actually skip files (surviving list strictly under half the 16-file budget); (3) auto_one_sided - a single one-sided >= bound alone both prunes and stays row-identical (no silent requirement for two-sided bands); (4) auto_no_extract_safe - a predicate made ONLY of unextractable conjuncts yields no bounds at all (None, not 'zero files survive') and autoPrunedRead degrades to the plain filtered scan - the failure mode where no-extraction reads as empty-result is the one that silently loses rows",
+      oracle = "SELECT CAST(1 AS INTEGER) AS auto_lossless, " +
+        "CAST(1 AS INTEGER) AS auto_prunes, " +
+        "CAST(1 AS INTEGER) AS auto_one_sided, " +
+        "CAST(1 AS INTEGER) AS auto_no_extract_safe") { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Layout
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-autoskipg").toString
+      Layout.zorderWrite(orders, Seq("o_custkey", "o_totalprice"),
+        bits = 8, numFiles = 16, path = tmp)
+      val idx = Layout.fileIndex(s, tmp,
+        Seq("o_custkey", "o_totalprice")).localCheckpoint(true)
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      def plain(p: org.apache.spark.sql.Column) =
+        s.read.parquet(tmp).filter(p)
+      val mixed = col("o_totalprice") >= 100000 &&
+        col("o_totalprice") <= 150000 && col("o_orderkey") % 3 === 0
+      val lossless = eq(Layout.autoPrunedRead(s, tmp, idx, mixed),
+        plain(mixed))
+      val banded = Layout.autoPruneFiles(s, tmp, idx, mixed)
+      val midKey = orders.agg(
+        percentile_approx(col("o_custkey"), lit(0.5), lit(100)))
+        .head().getLong(0)
+      val eqPred = col("o_custkey") === midKey &&
+        col("o_totalprice") <= 120000
+      val eqFiles = Layout.autoPruneFiles(s, tmp, idx, eqPred)
+      val prunes = banded.exists(_.size <= 8) &&
+        eqFiles.exists(_.size < 8) &&
+        eq(Layout.autoPrunedRead(s, tmp, idx, eqPred), plain(eqPred))
+      val oneSided = col("o_totalprice") >= 400000
+      val oneOk = Layout.autoPruneFiles(s, tmp, idx, oneSided)
+        .exists(_.size < 16) &&
+        eq(Layout.autoPrunedRead(s, tmp, idx, oneSided), plain(oneSided))
+      val noExtract = col("o_orderkey") % 2 === 0
+      val safe = Layout.autoPruneFiles(s, tmp, idx, noExtract).isEmpty &&
+        eq(Layout.autoPrunedRead(s, tmp, idx, noExtract),
+          plain(noExtract))
+      Seq((if (lossless) 1 else 0, if (prunes) 1 else 0,
+        if (oneOk) 1 else 0, if (safe) 1 else 0))
+        .toDF("auto_lossless", "auto_prunes", "auto_one_sided",
+          "auto_no_extract_safe")
+    },
+
     "layout_skip_gate" -> QueryDef(
       doc = "data-skipping guarantees: (1) losslessness - prunedRead's row set EQUALS the full filtered scan's, both directions, for a second-dimension band (soundness of the index + residual filter); (2) non-vacuity - the band's surviving file set is at most HALF the 16 files (the z-curve's bounding boxes are genuinely tight on dimension 2); (3) superiority - the same 16-file budget sorted linearly on the FIRST dimension alone skips (almost) nothing for the same predicate (>= 15 of 16 files touched), which is the multi-dimensional-clustering claim made quantitative. Band = the [0.10, 0.20] span quantiles of o_totalprice, away from the curve's degenerate midpoint split",
       oracle = "SELECT CAST(1 AS INTEGER) AS skip_lossless, " +
@@ -4149,6 +4219,118 @@ object ExtQueries {
       CatalogStore.commit(s, root,
         Map("fact_h" -> orders.filter(col("o_orderkey") % 2 === 0)))
       CatalogStore.history(s, root)
+    },
+
+    "store_schema_evolve_gate" -> QueryDef(
+      doc = "commit-time schema contract on the transactional catalog (the enforcement/evolution split Delta ships and a bare-path lakehouse lacks - at 100 TB the common failure is an upstream job silently growing a column and every consumer discovering it in prod): (1) enforced - a commit that widens a committed table's schema WITHOUT the explicit evolve flag is rejected loudly (message names the column and the fix) BEFORE any metadata moves: version, dirs, and claim all byte-identical after the rejection; (2) evolved - the same commit with evolve=true lands, and the current read serves the new column; (3) travel_schema - time travel to v1 reads exactly the OLD columns (each version serves its own schema; evolution never rewrites history); (4) immutable_types - dropping or retyping a committed column is rejected even under evolve (a rename/retype is a new table, not an evolution)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS enforced, " +
+        "CAST(1 AS INTEGER) AS evolved, " +
+        "CAST(1 AS INTEGER) AS travel_schema, " +
+        "CAST(1 AS INTEGER) AS immutable_types") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val base = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-schev")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      CatalogStore.commit(s, root, Map("t" -> base))
+      val widened = base.withColumn("channel",
+        concat(lit("c"), col("o_custkey") % 3))
+      // (1) enforcement is the default: silent widening fails loudly
+      // and the store is byte-identical (no claim, no v=2 dir)
+      val enforced = (try {
+        CatalogStore.commit(s, root, Map("t" -> widened)); false
+      } catch {
+        case e: CatalogStore.SchemaEvolutionException =>
+          e.getMessage.contains("channel") &&
+            e.getMessage.contains("evolve = true")
+      }) && CatalogStore.snapshot(s, root).version == 1 &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "t/v=2")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2"))
+      // (2) explicit evolution lands and serves the new column
+      val tx2 = CatalogStore.commit(s, root, Map("t" -> widened),
+        evolve = true)
+      val snap2 = CatalogStore.snapshot(s, root)
+      val evolved = tx2.version.contains(2) &&
+        eq(CatalogStore.read(s, root, "t", snap2), widened.toDF())
+      // (3) each version serves its OWN schema: v1 has no `channel`
+      val snap1 = CatalogStore.snapshot(s, root, Some(1))
+      val travel = CatalogStore.read(s, root, "t", snap1)
+        .columns.toSeq == base.columns.toSeq &&
+        eq(CatalogStore.read(s, root, "t", snap1), base.toDF())
+      // (4) drop and retype are rejected EVEN under evolve
+      val dropRejected = try {
+        CatalogStore.commit(s, root,
+          Map("t" -> widened.drop("o_custkey")), evolve = true); false
+      } catch { case _: CatalogStore.SchemaEvolutionException => true }
+      val retypeRejected = try {
+        CatalogStore.commit(s, root,
+          Map("t" -> widened.withColumn("channel",
+            col("o_custkey") * 1.0)), evolve = true); false
+      } catch { case _: CatalogStore.SchemaEvolutionException => true }
+      val immutable = dropRejected && retypeRejected &&
+        CatalogStore.snapshot(s, root).version == 2
+      Seq((if (enforced) 1 else 0, if (evolved) 1 else 0,
+        if (travel) 1 else 0, if (immutable) 1 else 0))
+        .toDF("enforced", "evolved", "travel_schema", "immutable_types")
+    },
+
+    "stats_metadata_agg_gate" -> QueryDef(
+      doc = "metadata-only aggregates from the publish-time stats sidecar (what Delta/Iceberg answer from the manifest and a bare-path lakehouse re-scans for - at 100 TB the dashboard's SELECT count(*), max(event_time) is one small-file read, not an ~800k-file scan): CatalogStore.metaAgg serves COUNT(*)/null-counts/MIN/MAX from the sidecar CatalogStore.analyze wrote into the immutable version dir. Legs: (1) meta_counts - row count and per-column null counts equal the full-scan aggregates; (2) meta_bounds - min/max equal the full-scan values IN THE COLUMN'S TYPE, and the gate proves the lexicographic trap is real and dodged (the string-order max of the key differs from the typed max - a sidecar recording report-form strings would serve a bound that excludes live values); (3) meta_local - the optimized plan is a LocalRelation: zero scans, the answer is constant-folded from metadata; (4) meta_strings - string-column min/max (where lexicographic IS the right order) also match the scan",
+      oracle = "SELECT CAST(1 AS INTEGER) AS meta_counts, " +
+        "CAST(1 AS INTEGER) AS meta_bounds, " +
+        "CAST(1 AS INTEGER) AS meta_local, " +
+        "CAST(1 AS INTEGER) AS meta_strings") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val df = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price"),
+          when(col("o_orderkey") % 7 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("clerk"))
+      val root = java.nio.file.Files.createTempDirectory("graft-meta")
+        .toString
+      CatalogStore.commit(s, root, Map("t" -> df))
+      val snap = CatalogStore.snapshot(s, root)
+      CatalogStore.analyze(s, root, snap)
+      val ma = CatalogStore.metaAgg(s, root, snap, "t",
+        Seq("k", "price", "clerk"))
+      val local = ma.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+      // collect-bound: metaAgg is ONE metadata row by construction
+      val m = ma.collect()(0)
+      val sc = CatalogStore.read(s, root, "t", snap)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("clerk").isNull, 1L).otherwise(0L)).as("nc"),
+          min("k").as("mink"), max("k").as("maxk"),
+          min("price").as("minp"), max("price").as("maxp"),
+          min("clerk").as("minc"), max("clerk").as("maxc"),
+          max(col("k").cast("string")).as("lexmaxk"))
+        // collect-bound: global aggregate — exactly one row
+        .collect()(0)
+      def same(metaCol: String, scanCol: String) =
+        String.valueOf(m.getAs[Any](metaCol)) ==
+          String.valueOf(sc.getAs[Any](scanCol))
+      val counts = m.getAs[Long]("row_count") == sc.getAs[Long]("n") &&
+        m.getAs[Long]("nulls_clerk") == sc.getAs[Long]("nc") &&
+        m.getAs[Long]("nulls_k") == 0L
+      val bounds = same("min_k", "mink") && same("max_k", "maxk") &&
+        same("min_price", "minp") && same("max_price", "maxp") &&
+        // non-vacuity: the lexicographic max DIFFERS on this data, so
+        // the typed sidecar is load-bearing, not coincidental
+        String.valueOf(m.getAs[Any]("max_k")) !=
+          sc.getAs[String]("lexmaxk")
+      val strings = same("min_clerk", "minc") && same("max_clerk", "maxc")
+      Seq((if (counts) 1 else 0, if (bounds) 1 else 0,
+        if (local) 1 else 0, if (strings) 1 else 0))
+        .toDF("meta_counts", "meta_bounds", "meta_local", "meta_strings")
     },
 
     "store_versioned_gate" -> QueryDef(

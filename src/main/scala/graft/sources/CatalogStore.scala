@@ -93,6 +93,14 @@ object CatalogStore {
     s"concurrent commit detected: catalog version $version is " +
       "already claimed", cause)
 
+  /** Thrown when a commit's staged schema is incompatible with the
+    * table's committed schema (the prior version it builds on).
+    * NOT retryable — the data is wrong-shaped, not contended; the
+    * commit rolls back to a byte-identical store.
+    */
+  final class SchemaEvolutionException(msg: String)
+    extends IllegalStateException(msg)
+
   private def fsOf(spark: SparkSession, root: String) =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -300,10 +308,13 @@ object CatalogStore {
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getLen).sum
         val df = spark.read.parquet(dir.toString)
-        // collect-bound: Profile explodes ONE aggregated row into
-        // exactly |columns| rows — structurally schema-width-sized
-        val prof = graft.operators.Profile
-          .profile(df, df.columns.toSeq, approxDistinct = true)
+        // typedMinMax: the sidecar's min/max are OPTIMIZER BOUNDS
+        // (and metaAgg answers), so they must be native-order — the
+        // report form's lexicographic min over {9, 10} is "10", a
+        // bound that excludes a live value
+        // collect-bound: ONE aggregated row, |columns| rows exploded
+        val prof = graft.operators.Profile.profile(df,
+          df.columns.toSeq, approxDistinct = true, typedMinMax = true)
           .collect()
         val rows = prof.headOption.map(_.getLong(1)).getOrElse(0L)
         val cols = prof.map { r =>
@@ -368,6 +379,59 @@ object CatalogStore {
         Some(name -> ts)
       }
     }
+  }
+
+  /** Metadata-only aggregates: COUNT(*) / COUNT(col) / MIN / MAX
+    * answered from the publish-time stats sidecar WITHOUT touching a
+    * data file — the query Delta/Iceberg serve from their manifest
+    * and a bare-path lakehouse re-scans for. At 100 TB that is the
+    * difference between one small-file read and an ~800k-file scan
+    * for a dashboard's `SELECT count(*), max(event_time)`.
+    *
+    * Soundness: the sidecar is written ONCE per immutable version dir
+    * by [[analyze]] with native-order (typed) min/max — never the
+    * long-format report's lexicographic strings — and version dirs
+    * never mutate, so the sidecar cannot go stale. min/max cast back
+    * through the column's own type (Spark's string forms round-trip);
+    * an all-NULL or empty column serves typed NULL, exactly what the
+    * scan aggregate returns. NDV is deliberately NOT served: analyze
+    * records a sketch (approx_count_distinct), and a metadata answer
+    * must never silently swap exact for approximate.
+    *
+    * Output: one row — `row_count`, then per requested column
+    * `nulls_<c>`, `min_<c>`, `max_<c>` in the column's type. Built as
+    * a LOCAL relation (constant-folded literals): the optimized plan
+    * contains no scan, which the stats_metadata_agg_gate pins.
+    */
+  def metaAgg(spark: SparkSession, root: String, snap: Snapshot,
+      table: String, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val v = snap.tables.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table $table not in catalog v${snap.version}"))
+    val fs = fsOf(spark, root)
+    val sf = statsFile(root, table, v)
+    require(fs.exists(sf),
+      s"no stats sidecar for $table v$v — metadata aggregates need " +
+        "a publish-time CatalogStore.analyze on this snapshot")
+    val ts = readStats(fs, sf)
+    // footer-only read: schema, never data
+    val schema = spark.read
+      .parquet(tableDir(root, table, v).toString).schema
+    val out = lit(ts.rowCount).as("row_count") +: cols.flatMap { c =>
+      require(schema.fieldNames.contains(c),
+        s"column $c not in $table v$v")
+      val cs = ts.cols.getOrElse(c, throw new IllegalStateException(
+        s"stats sidecar for $table v$v lacks column $c — " +
+          "re-run analyze"))
+      val dt = schema(c).dataType
+      def typed(s: Option[String]) =
+        s.map(x => lit(x).cast(dt)).getOrElse(lit(null).cast(dt))
+      Seq(lit(cs.nulls).as(s"nulls_$c"),
+        typed(cs.min).as(s"min_$c"), typed(cs.max).as(s"max_$c"))
+    }
+    import spark.implicits._
+    Seq(1).toDF("__one").select(out: _*)
   }
 
   /** What [[vacuum]] removed: catalog versions dropped, and table
@@ -552,7 +616,8 @@ object CatalogStore {
   def commit(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
       audits: Seq[Audit] = Seq.empty,
-      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+      contentionTimeoutMs: Long = 60000L,
+      evolve: Boolean = false): CatalogTx = {
     require(tables.nonEmpty, "a transaction must publish at least one table")
     audits.foreach(a => require(tables.contains(a.table),
       s"audit ${a.name} names ${a.table}, not in this transaction " +
@@ -576,7 +641,7 @@ object CatalogStore {
           while (out.isEmpty) {
             val (prior, next) = frontier(spark, root)
             try out = Some(publishStaged(spark, root,
-              tables.keys.toSeq.sorted, txid, prior, next))
+              tables.keys.toSeq.sorted, txid, prior, next, evolve))
             catch {
               case e: CommitContentionException =>
                 attempt += 1
@@ -601,7 +666,8 @@ object CatalogStore {
     */
   private[graft] def commitAs(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
-      audits: Seq[Audit], next: Int): CatalogTx = {
+      audits: Seq[Audit], next: Int,
+      evolve: Boolean = false): CatalogTx = {
     require(tables.nonEmpty, "a transaction must publish at least one table")
     audits.foreach(a => require(tables.contains(a.table),
       s"audit ${a.name} names ${a.table}, not in this transaction " +
@@ -626,7 +692,7 @@ object CatalogStore {
                 .map(v => snapshot(spark, root, Some(v)).tables))
               .getOrElse(Map.empty)
           publishStaged(spark, root, tables.keys.toSeq.sorted, txid,
-            prior, next)
+            prior, next, evolve)
       }
     } finally {
       tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
@@ -646,11 +712,69 @@ object CatalogStore {
     * the version was lost to another writer; never touches data it
     * did not stage.
     */
+  /** Commit-time schema contract, checked against the EXACT prior
+    * map a publish attempt builds on (a contention retry re-checks
+    * against the new frontier — the table it stacks on may have
+    * evolved underneath it). Rules, Delta-shaped:
+    *
+    *  - dropping or retyping a committed column is ALWAYS rejected —
+    *    history is immutable and readers resolve columns by name, so
+    *    a rename/retype is a new table, not an evolution;
+    *  - adding columns is allowed only under an explicit
+    *    `evolve = true` (schema ENFORCEMENT is the default: the
+    *    common 100 TB failure is an upstream job silently growing a
+    *    column and every downstream consumer discovering it in prod);
+    *  - column order and nullability are not contractual
+    *    (`catalogString` comparison): parquet resolves by name, and
+    *    each catalog version serves its OWN files only (no
+    *    cross-version file merge), so a nullability flip cannot
+    *    corrupt a read.
+    *
+    * Runs BEFORE the claim — a wrong-shaped commit never blocks
+    * another writer, and the rollback leaves the store
+    * byte-identical. Footer reads only (schema, never data).
+    */
+  private def checkSchemas(spark: SparkSession, root: String,
+      names: Seq[String], txid: String, prior: Map[String, Int],
+      evolve: Boolean): Unit =
+    names.foreach { n =>
+      prior.get(n).foreach { pv =>
+        val staged = spark.read
+          .parquet(stageDir(root, n, txid).toString).schema
+        val committed = spark.read
+          .parquet(tableDir(root, n, pv).toString).schema
+        val sT = staged.fields
+          .map(f => f.name -> f.dataType.catalogString).toMap
+        val cT = committed.fields
+          .map(f => f.name -> f.dataType.catalogString).toMap
+        val dropped = (cT.keySet -- sT.keySet).toSeq.sorted
+        if (dropped.nonEmpty) throw new SchemaEvolutionException(
+          s"commit drops committed column(s) ${dropped.mkString(", ")} " +
+            s"of table $n (v$pv) — dropping or renaming a column is a " +
+            "new table, not an evolution")
+        val retyped = cT.keys.toSeq.sorted
+          .flatMap(k => sT.get(k).filter(_ != cT(k)).map(t =>
+            s"$k: ${cT(k)} -> $t"))
+        if (retyped.nonEmpty) throw new SchemaEvolutionException(
+          s"commit retypes committed column(s) of table $n (v$pv): " +
+            s"${retyped.mkString("; ")} — a type change is a new " +
+            "table, not an evolution")
+        val added = (sT.keySet -- cT.keySet).toSeq.sorted
+        if (added.nonEmpty && !evolve)
+          throw new SchemaEvolutionException(
+            s"commit adds column(s) ${added.mkString(", ")} to table " +
+              s"$n (v$pv) under schema enforcement — additive " +
+              "evolution must be explicit: pass evolve = true")
+      }
+    }
+
   private def publishStaged(spark: SparkSession, root: String,
       names: Seq[String], txid: String,
-      prior: Map[String, Int], next: Int): CatalogTx = {
+      prior: Map[String, Int], next: Int,
+      evolve: Boolean = false): CatalogTx = {
     val fs = fsOf(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
+    checkSchemas(spark, root, names, txid, prior, evolve)
     val claim = claimFile(root, next)
     try FsAtomic.createExclusive(fs, claim)
     catch {

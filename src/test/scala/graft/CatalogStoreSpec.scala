@@ -361,6 +361,101 @@ class CatalogStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "a/v=2")))
   }
+
+  test("schema enforcement: silent widening rejected, explicit evolve " +
+      "lands, drop/retype always rejected, order not contractual") {
+    val root = Files.createTempDirectory("catsch").toString
+    val base = orders.limit(50)
+    CatalogStore.commit(spark, root, Map("t" -> base))
+    val widened = base.withColumn("flag", lit(1))
+    // default = enforcement: the silently-grown upstream job fails
+    val e = intercept[CatalogStore.SchemaEvolutionException] {
+      CatalogStore.commit(spark, root, Map("t" -> widened))
+    }
+    assert(e.getMessage.contains("evolve = true") &&
+      e.getMessage.contains("flag"))
+    // rejected BEFORE any metadata moved: store byte-identical
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(CatalogStore.snapshot(spark, root).version == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "t/v=2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_cat/claim=2")))
+    // explicit evolution lands; each version serves its OWN schema
+    assert(CatalogStore.commit(spark, root, Map("t" -> widened),
+      evolve = true).version.contains(2))
+    val v1 = CatalogStore.snapshot(spark, root, Some(1))
+    assert(CatalogStore.read(spark, root, "t", v1).columns.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshot(spark, root)).columns.contains("flag"))
+    // dropping a committed column: rejected even under evolve
+    intercept[CatalogStore.SchemaEvolutionException] {
+      CatalogStore.commit(spark, root,
+        Map("t" -> widened.drop("o_custkey")), evolve = true)
+    }
+    // retyping a committed column: rejected even under evolve
+    intercept[CatalogStore.SchemaEvolutionException] {
+      CatalogStore.commit(spark, root,
+        Map("t" -> widened.withColumn("flag", lit("x"))), evolve = true)
+    }
+    assert(CatalogStore.snapshot(spark, root).version == 2)
+    // column ORDER is not contractual (parquet resolves by name)
+    assert(CatalogStore.commit(spark, root, Map("t" -> widened
+      .select("flag", "o_totalprice", "o_custkey", "o_orderkey")))
+      .version.contains(3))
+    // a table the transaction does not touch is never checked
+    assert(CatalogStore.commit(spark, root,
+      Map("other" -> base.select("o_orderkey"))).version.contains(4))
+  }
+
+  test("metaAgg serves count/nulls/min/max from the sidecar: typed " +
+      "bounds (no lexicographic trap), typed NULL for all-null, no scan") {
+    val root = Files.createTempDirectory("catmeta").toString
+    // 9/10/100 is the lexicographic trap: string min = "10", string
+    // max = "99"-shaped; typed stats must record 9 and 100
+    val df = Seq[(Int, Option[String], Option[Double])](
+        (9, Some("b"), None), (10, Some("a"), None), (100, None, None))
+      .toDF("k", "name", "empty")
+    CatalogStore.commit(spark, root, Map("t" -> df))
+    val snap = CatalogStore.snapshot(spark, root)
+    CatalogStore.analyze(spark, root, snap)
+    val ma = CatalogStore.metaAgg(spark, root, snap, "t",
+      Seq("k", "name", "empty"))
+    // metadata-only: the plan is a local relation, zero scans
+    assert(ma.queryExecution.optimizedPlan.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val r = ma.collect()(0)
+    assert(r.getAs[Long]("row_count") == 3L)
+    assert(r.getAs[Long]("nulls_k") == 0L &&
+      r.getAs[Long]("nulls_name") == 1L &&
+      r.getAs[Long]("nulls_empty") == 3L)
+    assert(r.getAs[Int]("min_k") == 9 && r.getAs[Int]("max_k") == 100)
+    assert(r.getAs[String]("min_name") == "a" &&
+      r.getAs[String]("max_name") == "b")
+    assert(r.isNullAt(r.fieldIndex("min_empty")) &&
+      r.isNullAt(r.fieldIndex("max_empty")))
+    // answers ≡ the full-scan aggregates, column types included
+    val scan = CatalogStore.read(spark, root, "t", snap)
+      .agg(count(lit(1)).as("row_count"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("nulls_k"),
+        sum(when(col("name").isNull, 1L).otherwise(0L)).as("nulls_name"),
+        sum(when(col("empty").isNull, 1L).otherwise(0L)).as("nulls_empty"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        min("name").as("min_name"), max("name").as("max_name"),
+        min("empty").as("min_empty"), max("empty").as("max_empty"))
+    assertSameRows(ma.selectExpr(scan.columns.map(c =>
+      s"CAST($c AS STRING) AS $c").toIndexedSeq: _*),
+      scan.selectExpr(scan.columns.map(c =>
+        s"CAST($c AS STRING) AS $c").toIndexedSeq: _*))
+    // unanalyzed snapshot fails loudly, naming the fix
+    val root2 = Files.createTempDirectory("catmeta2").toString
+    CatalogStore.commit(spark, root2, Map("t" -> df))
+    val e = intercept[IllegalArgumentException] {
+      CatalogStore.metaAgg(spark, root2,
+        CatalogStore.snapshot(spark, root2), "t", Seq("k"))
+    }
+    assert(e.getMessage.contains("analyze"))
+  }
 }
 
 /** Executor-side write counter for the stage-once spec — a top-level

@@ -795,4 +795,70 @@ class LayoutSpec extends SparkSpec {
       Layout.bloomProbeFiles(spark, tmp, idxL, "o_orderkey", Seq("abc"))
     }
   }
+
+  test("autoPrunedRead: extraction is conservative and residual-correct " +
+      "(mixed/one-sided/string/flipped/no-extraction predicates)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("autoskip").resolve("t").toString
+    val df = spark.range(1000).select(
+      col("id").as("k"),
+      (col("id") % 97).cast("double").as("v"),
+      date_format(
+        date_add(lit("2024-01-01").cast("date"),
+          (col("id") % 365).cast("int")), "yyyy-MM-dd").as("d"))
+    df.repartitionByRange(10, col("k")).write.parquet(tmp)
+    val idx = Layout.fileIndex(spark, tmp, Seq("k", "d"))
+      .localCheckpoint(true)
+    def plain(p: org.apache.spark.sql.Column) =
+      spark.read.parquet(tmp).filter(p)
+    def same(p: org.apache.spark.sql.Column): Unit = {
+      val a = Layout.autoPrunedRead(spark, tmp, idx, p)
+      assert(a.exceptAll(plain(p)).count() == 0 &&
+        plain(p).exceptAll(a).count() == 0, s"row drift for $p")
+    }
+    // two-sided numeric band on the range-partitioned key: prunes hard
+    val band = col("k") >= 100 && col("k") <= 199
+    assert(Layout.autoPruneFiles(spark, tmp, idx, band).exists(_.size <= 2))
+    same(band)
+    // flipped operand order (lit < col) extracts the same lo-bound
+    val flipped = lit(900L) < col("k")
+    assert(Layout.autoPruneFiles(spark, tmp, idx, flipped).exists(_.size <= 2))
+    same(flipped)
+    // string bounds compare natively (date strings order like dates)
+    val str = col("d") >= "2024-12-01" && col("d") <= "2024-12-31"
+    assert(Layout.autoPruneFiles(spark, tmp, idx, str).isDefined)
+    same(str)
+    // unextractable conjunct rides along: pruning from `k` only,
+    // modulo re-applied on survivors
+    same(col("k") >= 100 && col("k") <= 199 && col("k") % 7 === 0)
+    // equality
+    same(col("k") === 500L)
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("k") === 500L).exists(_.size == 1))
+    // IN-list: the [min, max] envelope prunes; rows exact either way
+    same(col("k").isin(5L, 900L, 907L))
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("k").isin(905L, 907L)).exists(_.size == 1))
+    // IN-list with an unconvertible element contributes nothing
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("k").isin(905L, "x")).isEmpty)
+    // nothing extractable: None (NOT empty-file-list), plain scan
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("v") > 50.0 || col("k") < 10).isEmpty) // top-level OR
+    same(col("v") > 50.0 || col("k") < 10)
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("k") % 2 === 0).isEmpty)
+    // unindexed column contributes nothing; indexed one still prunes
+    val mixedCols = col("v") <= 10.0 && col("k") >= 900
+    assert(Layout.autoPruneFiles(spark, tmp, idx, mixedCols)
+      .exists(_.size <= 2))
+    same(mixedCols)
+    // coercion wrapping the ATTRIBUTE side (string column compared
+    // as numeric) yields no bound — the conservative direction
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("d") >= 5).isEmpty)
+    // disjoint band: zero survivors, empty result (k is never null)
+    assert(Layout.autoPrunedRead(spark, tmp, idx,
+      col("k") > 5000L).count() == 0)
+  }
 }
