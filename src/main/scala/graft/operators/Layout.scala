@@ -232,8 +232,33 @@ object Layout {
     * side open) against one indexed column, in the index's own key
     * space (double for numeric dimensions, native for strings).
     */
-  private[graft] final case class Bound(column: String,
-      lo: Option[Column], hi: Option[Column])
+  /** Bound values are driver-side scalars in the index's keyspace —
+    * java.lang.Double for numeric dimensions, String for native
+    * string dimensions — so the same extraction serves both the
+    * DataFrame pruning path ([[autoPruneFiles]] lifts them to
+    * literals) and the FileIndex listing path (driver-side box
+    * evaluation with no Spark job at all).
+    */
+  final case class Bound(column: String,
+      lo: Option[Any], hi: Option[Any])
+
+  /** Does a file's [mn, mx] box (nullable — an all-NULL file indexes
+    * as (null, null) and never satisfies a range) intersect `b`?
+    * Mixed-type boxes never match a wrong-typed bound — conservative
+    * would be WRONG here (a dropped check would widen, fine, but a
+    * mistyped comparison could exclude) so the types must line up by
+    * construction: bounds were built against this index's keyspace.
+    */
+  def boxIntersects(mn: Any, mx: Any,
+      b: Bound): Boolean = {
+    if (mn == null || mx == null) return false
+    def ge(a: Any, x: Any): Boolean = (a, x) match {
+      case (a: java.lang.Double, x: java.lang.Double) => a >= x
+      case (a: String, x: String) => a >= x
+      case _ => true // type drift: no exclusion without a sound compare
+    }
+    b.lo.forall(x => ge(mx, x)) && b.hi.forall(x => ge(x, mn))
+  }
 
   /** Derive sound file-skipping bounds from an ARBITRARY predicate —
     * the step that turns the explicit [[prunedRead]] band API into
@@ -265,7 +290,6 @@ object Layout {
     */
   private[graft] def extractBounds(index: DataFrame,
       data: DataFrame, predicate: Column): Seq[Bound] = {
-    import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical
     // Spark 4's Column builds UNRESOLVED nodes (`fn(">=")`), so the
     // extractor matches the ANALYZED filter condition instead: real
@@ -276,13 +300,27 @@ object Layout {
     val cond = data.filter(predicate).queryExecution.analyzed
       .collectFirst { case f: logical.Filter => f.condition }
       .getOrElse(return Seq.empty)
-    val indexed = index.columns
-      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+    val strKey = index.columns.filter(_.startsWith("min_"))
+      .map(c => c.stripPrefix("min_") ->
+        (index.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType)).toMap
+    boundsOf(Seq(cond), strKey)
+  }
+
+  /** The shared bound extractor over RESOLVED conjuncts — also the
+    * entry point for the FileIndex listing path, whose `dataFilters`
+    * arrive exactly in this form. `strKey` maps each indexed column
+    * to its keyspace (true = native string, false = double).
+    */
+  def boundsOf(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      strKey: Map[String, Boolean]): Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions._
     def attr(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
-    def keyLit(c: String, e: Expression): Option[Column] = {
+    def keyLit(c: String, e: Expression): Option[Any] = {
       if (!e.foldable) return None
       // ANSI can make a coercion cast THROW at fold time (e.g.
       // 'x' cast to bigint inside an IN list) — an unconvertible
@@ -291,13 +329,11 @@ object Layout {
         org.apache.spark.sql.catalyst.InternalRow.empty)
       catch { case _: Exception => return None }
       if (v == null) return None
-      val strIndex = index.schema(s"min_$c").dataType ==
-        org.apache.spark.sql.types.StringType
       (v, e.dataType) match {
         case (u: org.apache.spark.unsafe.types.UTF8String, _)
-          if strIndex => Some(lit(u.toString))
+          if strKey(c) => Some(u.toString)
         case (_, _: org.apache.spark.sql.types.NumericType)
-          if !strIndex => Some(lit(v.toString.toDouble))
+          if !strKey(c) => Some(Double.box(v.toString.toDouble))
         case _ => None // type/keyspace mismatch: no bound, sound
       }
     }
@@ -305,12 +341,24 @@ object Layout {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    conjuncts(cond).flatMap {
+    def vMin(a: Any, b: Any): Any = (a, b) match {
+      case (a: java.lang.Double, b: java.lang.Double) =>
+        Double.box(math.min(a, b))
+      case (a: String, b: String) => if (a <= b) a else b
+      case _ => a
+    }
+    def vMax(a: Any, b: Any): Any = (a, b) match {
+      case (a: java.lang.Double, b: java.lang.Double) =>
+        Double.box(math.max(a, b))
+      case (a: String, b: String) => if (a >= b) a else b
+      case _ => a
+    }
+    exprs.flatMap(conjuncts).flatMap {
       case cmp: BinaryComparison if !cmp.isInstanceOf[EqualNullSafe] =>
         val (c, v, flip) = (attr(cmp.left), attr(cmp.right)) match {
-          case (Some(a), None) if indexed(a) =>
+          case (Some(a), None) if strKey.contains(a) =>
             (Some(a), keyLit(a, cmp.right), false)
-          case (None, Some(a)) if indexed(a) =>
+          case (None, Some(a)) if strKey.contains(a) =>
             (Some(a), keyLit(a, cmp.left), true)
           case _ => (None, None, false)
         }
@@ -332,15 +380,54 @@ object Layout {
       // Every element must convert in the index's keyspace, else the
       // conjunct contributes nothing (one unconvertible element could
       // lie outside the partial envelope).
-      case In(a, list) if attr(a).exists(indexed) && list.nonEmpty =>
+      case In(a, list) if attr(a).exists(strKey.contains) &&
+          list.nonEmpty =>
         val c = attr(a).get
         val ks = list.map(keyLit(c, _))
         if (ks.exists(_.isEmpty)) None
         else Some(Bound(c,
-          Some(ks.flatten.reduce(least(_, _))),
-          Some(ks.flatten.reduce(greatest(_, _)))))
+          Some(ks.flatten.reduce(vMin)),
+          Some(ks.flatten.reduce(vMax))))
+      // prefix LIKE over a native-string dimension — THE report
+      // predicate over date strings (`d LIKE '2024-07%'`). Sound as
+      // [prefix, successor(prefix)): every prefix-matching string is
+      // >= the prefix and < the prefix with its last char incremented
+      // (U+FFFF tails drop the hi side rather than guess). The
+      // analyzed plan carries Like; the optimized plan (the
+      // FileIndex's dataFilters) rewrites it to StartsWith — match
+      // both so the API and SQL paths prune identically.
+      case like: Like if attr(like.left).exists(c =>
+          strKey.get(c).contains(true)) && like.right.foldable =>
+        val c = attr(like.left).get
+        Option(like.right.eval(
+          org.apache.spark.sql.catalyst.InternalRow.empty))
+          .map(_.toString)
+          .filter(p => p.endsWith("%") &&
+            !p.dropRight(1).exists("%_\\".contains(_)))
+          .map(_.dropRight(1))
+          .flatMap(prefixBound(c, _))
+      case sw: StartsWith if attr(sw.left).exists(c =>
+          strKey.get(c).contains(true)) && sw.right.foldable =>
+        val c = attr(sw.left).get
+        Option(sw.right.eval(
+          org.apache.spark.sql.catalyst.InternalRow.empty))
+          .map(_.toString).flatMap(prefixBound(c, _))
       case _ => None
     }
+  }
+
+  /** [prefix, successor(prefix)] bound for prefix-matching strings:
+    * lo = the prefix itself, hi = the prefix with its last non-U+FFFF
+    * char incremented and the U+FFFF tail dropped (an EXCLUSIVE
+    * successor used inclusively — wider, so sound). An empty prefix
+    * yields nothing; an all-U+FFFF prefix keeps only the lo side.
+    */
+  private def prefixBound(c: String, p: String): Option[Bound] = {
+    if (p.isEmpty) return None
+    val cut = p.lastIndexWhere(_ != '\uFFFF')
+    val hi = if (cut < 0) None
+    else Some(p.substring(0, cut) + (p.charAt(cut) + 1).toChar)
+    Some(Bound(c, Some(p), hi))
   }
 
   /** The surviving file list for [[autoPrunedRead]]'s predicate —

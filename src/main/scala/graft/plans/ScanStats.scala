@@ -26,13 +26,29 @@ object PathEq {
   }
 }
 
+/** One equi-height histogram bin: [lo, hi] value range holding
+  * ~height rows with `ndv` distinct values (sketched).
+  */
+final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+/** Equi-height histogram over a numeric column — what separates
+  * "min/max + uniformity" selectivity from the truth on SKEWED
+  * columns (a hot value holding 90% of rows makes the uniform
+  * interpolation off by ~10x in either direction). `height` = rows
+  * per bin; bins carry their own NDV so equality estimates inside a
+  * bin divide by local, not global, distinctness — the same shape
+  * Spark's own ANALYZE … FOR COLUMNS persists.
+  */
+final case class Hist(height: Double, bins: Seq[HistBin])
+
 /** Per-column statistics a publish-time ANALYZE records: exact or
-  * sketched distinct count, null count, and min/max in external
-  * string form (numeric columns only feed the optimizer's min/max —
-  * see [[ScanStatsRule]]).
+  * sketched distinct count, null count, min/max in external string
+  * form, and an optional equi-height histogram (numeric columns only
+  * feed the optimizer's min/max/histogram — see [[ScanStatsRule]]).
   */
 final case class ColStats(ndv: Long, nulls: Long,
-    min: Option[String], max: Option[String])
+    min: Option[String], max: Option[String],
+    hist: Option[Hist] = None)
 
 /** Table-level statistics: row count, on-disk bytes, per-column
   * detail. The sizeInBytes is what flips join build/broadcast sides
@@ -98,10 +114,17 @@ case class ScanStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
     val colStats = ts.cols.flatMap { case (c, cs) =>
       byName.get(c).map { dt =>
         val mm = if (numeric(dt)) (cs.min, cs.max) else (None, None)
+        val hist = if (numeric(dt)) cs.hist.map(h =>
+          org.apache.spark.sql.catalyst.plans.logical.Histogram(
+            h.height, h.bins.map(b =>
+              org.apache.spark.sql.catalyst.plans.logical
+                .HistogramBin(b.lo, b.hi, b.ndv)).toArray))
+        else None
         c -> CatalogColumnStat(
           distinctCount = Some(BigInt(cs.ndv)),
           min = mm._1, max = mm._2,
-          nullCount = Some(BigInt(cs.nulls)))
+          nullCount = Some(BigInt(cs.nulls)),
+          histogram = hist)
       }
     }
     CatalogTable(

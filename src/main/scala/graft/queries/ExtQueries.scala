@@ -4333,6 +4333,179 @@ object ExtQueries {
         .toDF("meta_counts", "meta_bounds", "meta_local", "meta_strings")
     },
 
+    "stats_histogram_gate" -> QueryDef(
+      doc = "equi-height histograms complete the publish-time CBO feed (min/max + uniformity is off by ~the skew factor on a hot-value column - the estimate that picks the wrong join order at 100 TB): analyze(histCols) computes percentile-boundary bins with per-bin sketched NDV in one boundary pass + one group-by-bin pass, persists them in the same immutable stats sidecar, and ScanStatsRule attaches them as catalog histogram stats. Legs on a 90%-one-value fixture where the tail predicate's truth is ~5% and the uniform interpolation says ~50%: (1) hist_persisted - sidecar round-trips the histogram (reload == analyze, nothing recomputed); (2) hist_crowds - equi-HEIGHT boundaries crowd at the hot value (most bins are zero-width at it), which is the property equi-width lacks; (3) hist_sharpens - under spark.sql.cbo.enabled the optimizer's row estimate with the histogram is >=3x smaller than the same stats without it and lands near the truth; (4) rows_eq - estimates steer planning, never results",
+      oracle = "SELECT CAST(1 AS INTEGER) AS hist_persisted, " +
+        "CAST(1 AS INTEGER) AS hist_crowds, " +
+        "CAST(1 AS INTEGER) AS hist_sharpens, " +
+        "CAST(1 AS INTEGER) AS rows_eq") { (s, dir) =>
+      import s.implicits._
+      import graft.plans.ScanStatsCatalog
+      import graft.sources.CatalogStore
+      // 90% of rows hold k = 0; the tail is uniform over 1..1000
+      val skew = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000) // slice: semantics, not IO
+        .select(
+          when(col("o_orderkey") % 10 =!= 0, lit(0L))
+            .otherwise((col("o_orderkey") / 10) % 1000 + 1).as("k"),
+          col("o_orderkey"))
+      val root = java.nio.file.Files.createTempDirectory("graft-hist2")
+        .toString
+      CatalogStore.commit(s, root, Map("skewed" -> skew))
+      val snap = CatalogStore.snapshot(s, root)
+      val ts = CatalogStore.analyze(s, root, snap,
+        histCols = Map("skewed" -> Seq("k")), histBins = 32)
+      val h = ts("skewed").cols("k").hist
+      ScanStatsCatalog.clear()
+      val persisted = h.isDefined && h.get.bins.size == 32 &&
+        CatalogStore.registerStats(s, root, snap) == ts
+      val crowds = h.exists(_.bins.count(b =>
+        b.lo == 0.0 && b.hi == 0.0) >= 16)
+      val path = CatalogStore.tablePath(root, "skewed", snap)
+      val savedCbo = s.conf.getOption("spark.sql.cbo.enabled")
+      val (sharpens, rowsEq) = try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        def q() = CatalogStore.read(s, root, "skewed", snap)
+          .filter(col("k") >= 500L)
+        def est(): BigInt = q().queryExecution.optimizedPlan.stats
+          .rowCount.getOrElse(BigInt(-1))
+        ScanStatsCatalog.register(path, ts("skewed"))
+        val withHist = est()
+        val histRows = q().count()
+        ScanStatsCatalog.register(path, ts("skewed").copy(
+          cols = ts("skewed").cols.map { case (c, cs) =>
+            c -> cs.copy(hist = None) }))
+        val uniform = est()
+        val plainRows = q().count()
+        (withHist > 0 && uniform > 0 && withHist * 3 <= uniform &&
+          // near the truth: within 4x of the actual tail count
+          withHist <= BigInt(histRows * 4) &&
+          BigInt(histRows) <= withHist * 4,
+          histRows == plainRows)
+      } finally {
+        ScanStatsCatalog.clear()
+        savedCbo.fold(s.conf.unset("spark.sql.cbo.enabled"))(
+          s.conf.set("spark.sql.cbo.enabled", _))
+      }
+      Seq((if (persisted) 1 else 0, if (crowds) 1 else 0,
+        if (sharpens) 1 else 0, if (rowsEq) 1 else 0))
+        .toDF("hist_persisted", "hist_crowds", "hist_sharpens",
+          "rows_eq")
+    },
+
+    "store_readwhere_gate" -> QueryDef(
+      doc = "catalog-integrated data skipping (the layout tier's file index promoted to the catalog's DEFAULT filtered-read path): indexTable persists a per-file min/max box index INSIDE the immutable version dir (underscore-hidden like _SUCCESS, dropped by vacuum with its version, a second call is a no-op because the bytes cannot change), and readWhere answers any WHERE-shaped predicate through autoPrunedRead - extractable bounds prune files against the persisted index, the FULL predicate re-applies to survivors. Legs: (1) rw_lossless - readWhere == read().filter for a band + unextractable-modulo predicate, both directions; (2) rw_prunes - the band survives at most 2 of the 8 range-partitioned files (the index is doing real IO work, not riding along); (3) rw_invisible - the sidecar never changes what a plain read returns (the underscore-hiding contract the whole design leans on); (4) rw_unindexed_safe - a table without an index degrades to the plain filtered read, row-identical",
+      oracle = "SELECT CAST(1 AS INTEGER) AS rw_lossless, " +
+        "CAST(1 AS INTEGER) AS rw_prunes, " +
+        "CAST(1 AS INTEGER) AS rw_invisible, " +
+        "CAST(1 AS INTEGER) AS rw_unindexed_safe") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 12000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-rw")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      CatalogStore.commit(s, root, Map("t" ->
+        orders.repartitionByRange(8, col("o_orderkey"))))
+      val snap = CatalogStore.snapshot(s, root)
+      val nPlain = CatalogStore.read(s, root, "t", snap).count()
+      CatalogStore.indexTable(s, root, snap, "t", Seq("o_orderkey"))
+      val invisible =
+        CatalogStore.read(s, root, "t", snap).count() == nPlain
+      val hi = orders.agg(percentile_approx(col("o_orderkey"),
+        lit(0.12), lit(1000))).head().getLong(0)
+      val pred = col("o_orderkey") <= hi && col("o_custkey") % 2 === 0
+      val lossless = eq(
+        CatalogStore.readWhere(s, root, "t", snap, pred),
+        CatalogStore.read(s, root, "t", snap).filter(pred))
+      val prunes = graft.operators.Layout.autoPruneFiles(s,
+        CatalogStore.tablePath(root, "t", snap),
+        CatalogStore.fileIndexOf(s, root, snap, "t").get, pred)
+        .exists(_.size <= 2)
+      CatalogStore.commit(s, root, Map("u" -> orders.limit(200)))
+      val snap2 = CatalogStore.snapshot(s, root)
+      val unindexed = eq(
+        CatalogStore.readWhere(s, root, "u", snap2,
+          col("o_orderkey") % 3 === 0),
+        CatalogStore.read(s, root, "u", snap2)
+          .filter(col("o_orderkey") % 3 === 0))
+      Seq((if (lossless) 1 else 0, if (prunes) 1 else 0,
+        if (invisible) 1 else 0, if (unindexed) 1 else 0))
+        .toDF("rw_lossless", "rw_prunes", "rw_invisible",
+          "rw_unindexed_safe")
+    },
+
+    "store_sql_skipping_gate" -> QueryDef(
+      doc = "SQL-transparent data skipping (the readWhere behavior promoted under Spark's own scan planning, the Delta design: a custom FileIndex consults the persisted per-file boxes inside FileSourceStrategy's listing, so plain text SQL - the reports.json surface - prunes files without naming any graft API): registerSkippingView builds a LogicalRelation over GraftSkippingIndex for one immutable snapshot version. Soundness is load-bearing: file-level listing is NOT re-checked downstream (a wrongly dropped file is silent row loss), so the index prunes only on provable box misses and keeps everything else. Legs: (1) sql_lossless - the view's WHERE-band rows equal the unregistered scan's, both directions; (2) sql_prunes - the scan node's own numFiles metric opens <=2 of the 8 range-partitioned files where the plain scan opens all 8; (3) sql_or_safe - an OR predicate (unextractable) opens ALL files and returns identical rows - no false pruning; (4) sql_unregistered_loud - registering a view over an unindexed table fails loudly naming indexTable (a silently-plain view would read as 'skipping works' in a benchmark that never skipped)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS sql_lossless, " +
+        "CAST(1 AS INTEGER) AS sql_prunes, " +
+        "CAST(1 AS INTEGER) AS sql_or_safe, " +
+        "CAST(1 AS INTEGER) AS sql_unregistered_loud") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 12000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlsk")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.localCheckpoint(true) // one execution: rows AND final plan
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def expand(p: SparkPlan): Seq[SparkPlan] = {
+          val direct = p.collect { case n => n }
+          direct ++ direct.flatMap {
+            case qs: QueryStageExec => expand(qs.plan)
+            case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
+            case _ => Seq.empty
+          }
+        }
+        expand(df.queryExecution.executedPlan)
+          .collectFirst { case sc: FileSourceScanExec =>
+            sc.metrics("numFiles").value }
+          .getOrElse(-1L)
+      }
+      CatalogStore.commit(s, root, Map("t" ->
+        orders.repartitionByRange(8, col("o_orderkey"))))
+      val snap = CatalogStore.snapshot(s, root)
+      val loud = try {
+        CatalogStore.registerSkippingView(s, root, "t", snap,
+          "t_sqlsk"); false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("indexTable")
+      }
+      CatalogStore.indexTable(s, root, snap, "t", Seq("o_orderkey"))
+      CatalogStore.registerSkippingView(s, root, "t", snap, "t_sqlsk")
+      val plain = CatalogStore.read(s, root, "t", snap)
+      val hi = orders.agg(percentile_approx(col("o_orderkey"),
+        lit(0.12), lit(1000))).head().getLong(0)
+      val band = s.sql(s"SELECT * FROM t_sqlsk WHERE o_orderkey <= $hi")
+      val wantBand = plain.filter(col("o_orderkey") <= hi)
+      val lossless = eq(band, wantBand)
+      val prunes = scanFiles(
+        s.sql(s"SELECT * FROM t_sqlsk WHERE o_orderkey <= $hi")) <= 2L &&
+        scanFiles(plain.filter(col("o_orderkey") <= hi)) == 8L
+      val orq = s.sql(s"SELECT * FROM t_sqlsk WHERE o_orderkey <= " +
+        s"$hi OR o_custkey % 2 = 0")
+      val orSafe = eq(orq, plain.filter(col("o_orderkey") <= hi ||
+        col("o_custkey") % 2 === 0)) &&
+        scanFiles(s.sql(s"SELECT * FROM t_sqlsk WHERE o_orderkey <= " +
+          s"$hi OR o_custkey % 2 = 0")) == 8L
+      s.catalog.dropTempView("t_sqlsk")
+      Seq((if (lossless) 1 else 0, if (prunes) 1 else 0,
+        if (orSafe) 1 else 0, if (loud) 1 else 0))
+        .toDF("sql_lossless", "sql_prunes", "sql_or_safe",
+          "sql_unregistered_loud")
+    },
+
     "store_versioned_gate" -> QueryDef(
       doc = "versioned serving store (time travel + rollback + vacuum with plain parquet dirs - the Delta/Iceberg snapshot idea reduced to its load-bearing parts: immutable v=N dirs + an atomically-renamed one-line pointer, so a publish can never tear a running scan and rollback is a data-free pointer flip): (1) two publishes - current serves v2 while v1 stays byte-intact for time travel; (2) rollback flips to v1 and a subsequent publish NEVER reuses a live version number; (3) vacuum keeps the newest N but never deletes the pointer target",
       oracle = "SELECT CAST(1 AS INTEGER) AS ver_travel_ok, " +

@@ -234,6 +234,102 @@ object CatalogStore {
       name: String): DataFrame =
     read(spark, root, name, snapshot(spark, root))
 
+  /** The physical location a snapshot serves `name` from — the
+    * immutable `<table>/v=N` dir. Public so layout-tier tooling
+    * (file indexes, skipping audits) can address the same bytes the
+    * catalog reads; treat it as read-only.
+    */
+  def tablePath(root: String, name: String, snap: Snapshot): String = {
+    val v = snap.tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table $name is not in catalog version ${snap.version}"))
+    tableDir(root, name, v).toString
+  }
+
+  private def fileIndexDir(root: String, name: String, v: Int) =
+    new org.apache.hadoop.fs.Path(tableDir(root, name, v),
+      "_graft_fileindex")
+
+  /** Persist a per-file min/max box index ([[graft.operators.Layout
+    * .fileIndex]]) INSIDE the table's immutable version dir — the
+    * publish-time half of catalog-integrated data skipping. Like the
+    * stats sidecar, the index binds to immutable bytes (a rebuild can
+    * never disagree, so a second call is a no-op) and vacuum drops it
+    * with its version. The underscore prefix keeps it invisible to
+    * every plain read of the version dir (Spark's default path filter
+    * hides `_`/`.` entries — the same contract `_SUCCESS` relies on).
+    *
+    * At 100 TB this is the Delta/Iceberg file-statistics design: one
+    * narrow indexed-columns scan at publish, and every later filtered
+    * read prunes files through a model-sized index instead of ~800k
+    * parquet footer reads.
+    */
+  def indexTable(spark: SparkSession, root: String, snap: Snapshot,
+      name: String, cols: Seq[String]): Unit = {
+    val v = snap.tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table $name is not in catalog version ${snap.version}"))
+    val fs = fsOf(spark, root)
+    val dst = fileIndexDir(root, name, v)
+    if (fs.exists(dst)) return // immutable data: rebuild ≡ existing
+    graft.operators.Layout
+      .fileIndex(spark, tableDir(root, name, v).toString, cols)
+      .write.parquet(dst.toString)
+  }
+
+  /** The persisted file index of a snapshot's table version, or None
+    * when [[indexTable]] never ran for it.
+    */
+  def fileIndexOf(spark: SparkSession, root: String, snap: Snapshot,
+      name: String): Option[DataFrame] = {
+    val v = snap.tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table $name is not in catalog version ${snap.version}"))
+    val p = fileIndexDir(root, name, v)
+    if (fsOf(spark, root).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** Filtered catalog read WITH automatic data skipping: when the
+    * snapshot's version carries a persisted file index, the predicate
+    * answers through [[graft.operators.Layout.autoPrunedRead]]
+    * (extractable bounds prune files, the FULL predicate re-applies
+    * to survivors); without one it degrades to the plain filtered
+    * read. Either way the result is row-identical to
+    * `read(...).filter(predicate)` — the index is an IO plan, never
+    * a semantic input — which is exactly what store_readwhere_gate
+    * pins.
+    */
+  def readWhere(spark: SparkSession, root: String, name: String,
+      snap: Snapshot, predicate: org.apache.spark.sql.Column,
+      maxFiles: Int = 65536): DataFrame =
+    fileIndexOf(spark, root, snap, name) match {
+      case Some(idx) => graft.operators.Layout.autoPrunedRead(
+        spark, tablePath(root, name, snap), idx, predicate, maxFiles)
+      case None => read(spark, root, name, snap).filter(predicate)
+    }
+
+  /** Register a snapshot's table as a SQL temp view whose SCANS skip
+    * files through the persisted [[indexTable]] boxes — the
+    * [[readWhere]] behavior promoted under the SQL surface, so
+    * reports.json-style text queries prune without naming any graft
+    * API ([[org.apache.spark.sql.graft.GraftSkippingIndex]] plugs the
+    * box map into Spark's own FileIndex listing). Requires a
+    * persisted index (loud otherwise — a silent plain view would
+    * read as "skipping works" in a benchmark that never skipped).
+    */
+  def registerSkippingView(spark: SparkSession, root: String,
+      name: String, snap: Snapshot, viewName: String,
+      maxFiles: Int = 65536): Unit = {
+    val idx = fileIndexOf(spark, root, snap, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $name v${snap.tables(name)} has no persisted file " +
+          "index — run CatalogStore.indexTable at publish first"))
+    org.apache.spark.sql.graft.GraftSkippingIndex.registerView(
+      spark, tablePath(root, name, snap), idx, viewName, maxFiles)
+  }
+
   /** Register every table of a snapshot as a TEMP VIEW — the
     * time-travel SQL surface: reports.json SQL (or any spark.sql)
     * names plain tables, so registering a HISTORICAL snapshot's
@@ -297,13 +393,14 @@ object CatalogStore {
     * already carries a sidecar are NOT re-profiled (stats bind to
     * immutable data — re-analysis can never disagree).
     */
-  def analyze(spark: SparkSession, root: String,
-      snap: Snapshot): Map[String, graft.plans.TableStats] = {
+  def analyze(spark: SparkSession, root: String, snap: Snapshot,
+      histCols: Map[String, Seq[String]] = Map.empty,
+      histBins: Int = 32): Map[String, graft.plans.TableStats] = {
     val fs = fsOf(spark, root)
     val out = snap.tables.map { case (name, v) =>
       val sf = statsFile(root, name, v)
-      val ts = if (fs.exists(sf)) readStats(fs, sf) else {
-        val dir = tableDir(root, name, v)
+      val dir = tableDir(root, name, v)
+      val base = if (fs.exists(sf)) readStats(fs, sf) else {
         val bytes = fs.listStatus(dir).filter(_.isFile)
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getLen).sum
@@ -322,23 +419,87 @@ object CatalogStore {
             ndv = r.getLong(3), nulls = r.getLong(2),
             min = Option(r.getString(4)), max = Option(r.getString(5)))
         }.toMap
-        val ts0 = graft.plans.TableStats(rows, math.max(1L, bytes), cols)
-        val body = (Seq(s"rows\t${ts0.rowCount}",
-          s"bytes\t${ts0.sizeInBytes}") ++
-          ts0.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+        graft.plans.TableStats(rows, math.max(1L, bytes), cols)
+      }
+      // requested histograms the sidecar doesn't carry yet: compute
+      // and merge (immutable data — the rewrite can never disagree
+      // with the prior sidecar, it only ADDS detail)
+      val wanted = histCols.getOrElse(name, Nil)
+        .filter(c => base.cols.contains(c) &&
+          base.cols(c).hist.isEmpty)
+      val ts = if (wanted.isEmpty) base else {
+        val df = spark.read.parquet(dir.toString)
+        val merged = wanted.foldLeft(base.cols) { (m, c) =>
+          equiHeightHist(df, c, histBins) match {
+            case Some(h) => m + (c -> m(c).copy(hist = Some(h)))
+            case None => m
+          }
+        }
+        base.copy(cols = merged)
+      }
+      if (!fs.exists(sf) || ts != base) {
+        val body = (Seq(s"rows\t${ts.rowCount}",
+          s"bytes\t${ts.sizeInBytes}") ++
+          ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
             s"col\t${enc(c)}\t${cs.ndv}\t${cs.nulls}\t" +
               s"${cs.min.map(enc).getOrElse("-")}\t" +
               s"${cs.max.map(enc).getOrElse("-")}"
+          } ++
+          ts.cols.toSeq.sortBy(_._1).flatMap { case (c, cs) =>
+            cs.hist.map(h => s"hist\t${enc(c)}\t${h.height}\t" +
+              h.bins.map(b => s"${b.lo}:${b.hi}:${b.ndv}")
+                .mkString(","))
           }).mkString("\n")
         val o = fs.create(sf, true)
         try o.write(body.getBytes("UTF-8")) finally o.close()
-        ts0
       }
-      graft.plans.ScanStatsCatalog.register(
-        tableDir(root, name, v).toString, ts)
+      graft.plans.ScanStatsCatalog.register(dir.toString, ts)
       name -> ts
     }
     out
+  }
+
+  /** Equi-height histogram over a numeric column — `bins` buckets of
+    * ~equal row count between the approx-percentile boundaries, each
+    * with a sketched per-bin NDV. The skew story: min/max + a uniform
+    * assumption estimates a hot-value column's range selectivity off
+    * by ~the skew factor; equi-height boundaries CROWD around the hot
+    * values, so the optimizer sees where the rows actually live.
+    * One boundary aggregate + one group-by-bin pass over the single
+    * column; returns None for all-NULL/empty columns. Bin assignment
+    * counts boundaries strictly below the value, so rows AT a
+    * repeated (hot) boundary land in its first bin — Spark's own
+    * equi-height shape, duplicate boundaries become zero-width bins.
+    */
+  private def equiHeightHist(df: DataFrame, c: String,
+      bins: Int): Option[graft.plans.Hist] = {
+    import org.apache.spark.sql.functions._
+    require(bins >= 2 && bins <= 254, s"bins must be in [2, 254]: $bins")
+    val v = col(c).cast("double")
+    val qs = (0 to bins).map(_.toDouble / bins)
+    // collect-bound: one row carrying bins+1 percentile boundaries
+    val bRow = df.agg(percentile_approx(v, typedLit(qs),
+      lit(100000)).as("b")).collect()(0)
+    if (bRow.isNullAt(0)) return None
+    val bounds = bRow.getSeq[Double](0)
+    if (bounds.isEmpty) return None
+    val binCol = bounds.tail.init
+      .map(b => when(v > lit(b), 1).otherwise(0))
+      .foldLeft(lit(0))(_ + _)
+    val perBin = df.filter(v.isNotNull)
+      .groupBy(binCol.as("__b"))
+      .agg(count(lit(1)).as("__n"),
+        approx_count_distinct(v).as("__nd"))
+      // collect-bound: ≤ bins rows by construction of the group key
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val n = perBin.values.map(_._1).sum
+    if (n == 0L) return None
+    val hb = (0 until bins).map { i =>
+      graft.plans.HistBin(bounds(i), bounds(i + 1),
+        math.max(1L, perBin.get(i).map(_._2).getOrElse(0L)))
+    }
+    Some(graft.plans.Hist(n.toDouble / bins, hb))
   }
 
   private def readStats(fs: org.apache.hadoop.fs.FileSystem,
@@ -347,6 +508,7 @@ object CatalogStore {
       .filter(_.nonEmpty)
     var rows = 0L; var bytes = 1L
     val cols = scala.collection.mutable.Map[String, graft.plans.ColStats]()
+    val hists = scala.collection.mutable.Map[String, graft.plans.Hist]()
     lines.foreach { l =>
       l.split("\t", -1) match {
         case Array("rows", n) => rows = n.toLong
@@ -355,8 +517,17 @@ object CatalogStore {
           cols(dec(c)) = graft.plans.ColStats(ndv.toLong, nulls.toLong,
             if (mn == "-") None else Some(dec(mn)),
             if (mx == "-") None else Some(dec(mx)))
+        case Array("hist", c, h, bs) =>
+          hists(dec(c)) = graft.plans.Hist(h.toDouble,
+            bs.split(",").filter(_.nonEmpty).toSeq.map { s =>
+              val Array(lo, hi, nd) = s.split(":")
+              graft.plans.HistBin(lo.toDouble, hi.toDouble, nd.toLong)
+            })
         case _ => ()
       }
+    }
+    hists.foreach { case (c, h) =>
+      cols.get(c).foreach(cs => cols(c) = cs.copy(hist = Some(h)))
     }
     graft.plans.TableStats(rows, bytes, cols.toMap)
   }

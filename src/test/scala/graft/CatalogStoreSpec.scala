@@ -456,6 +456,59 @@ class CatalogStoreSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("analyze"))
   }
+
+  test("indexTable + readWhere: catalog-integrated data skipping is " +
+      "lossless, actually prunes, leaves plain reads untouched, and " +
+      "is idempotent on the immutable version") {
+    val root = Files.createTempDirectory("catidx").toString
+    // range-partitioned write → tight per-file key boxes, so the
+    // band predicate genuinely skips files
+    CatalogStore.commit(spark, root, Map("t" ->
+      orders.repartitionByRange(8, col("o_orderkey"))))
+    val snap = CatalogStore.snapshot(spark, root)
+    val plainBefore = CatalogStore.read(spark, root, "t", snap)
+    val nBefore = plainBefore.count()
+    CatalogStore.indexTable(spark, root, snap, "t", Seq("o_orderkey"))
+    // the underscore sidecar is INVISIBLE to the plain read
+    assert(CatalogStore.read(spark, root, "t", snap).count() == nBefore)
+    val idx = CatalogStore.fileIndexOf(spark, root, snap, "t")
+    assert(idx.isDefined && idx.get.count() == 8)
+    // a band in the low key range + an unextractable conjunct
+    val hi = orders.agg(percentile_approx(col("o_orderkey"),
+      lit(0.12), lit(1000))).head().getLong(0)
+    val pred = col("o_orderkey") <= hi && col("o_custkey") % 2 === 0
+    val got = CatalogStore.readWhere(spark, root, "t", snap, pred)
+    val want = CatalogStore.read(spark, root, "t", snap).filter(pred)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    // and it actually pruned: ≤ 2 of the 8 files survive the band
+    assert(graft.operators.Layout.autoPruneFiles(spark,
+      CatalogStore.tablePath(root, "t", snap), idx.get, pred)
+      .exists(_.size <= 2))
+    // idempotent on immutable data: second call rewrites nothing
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecar = new org.apache.hadoop.fs.Path(root,
+      "t/v=1/_graft_fileindex")
+    def listing() = fs.listStatus(sidecar)
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    val before = listing()
+    CatalogStore.indexTable(spark, root, snap, "t", Seq("o_orderkey"))
+    assert(listing() == before)
+    // a table with NO index degrades to the plain filtered read
+    CatalogStore.commit(spark, root, Map("u" -> orders.limit(100)))
+    val snap2 = CatalogStore.snapshot(spark, root)
+    val gotU = CatalogStore.readWhere(spark, root, "u", snap2,
+      col("o_orderkey") % 3 === 0)
+    val wantU = CatalogStore.read(spark, root, "u", snap2)
+      .filter(col("o_orderkey") % 3 === 0)
+    assert(gotU.exceptAll(wantU).count() == 0 &&
+      wantU.exceptAll(gotU).count() == 0)
+    // stats sidecar and file index coexist in the same version dir
+    CatalogStore.analyze(spark, root, snap2)
+    assert(CatalogStore.metaAgg(spark, root, snap2, "u",
+      Seq("o_orderkey")).head().getAs[Long]("row_count") == 100L)
+  }
 }
 
 /** Executor-side write counter for the stage-once spec — a top-level

@@ -857,6 +857,17 @@ class LayoutSpec extends SparkSpec {
     // as numeric) yields no bound — the conservative direction
     assert(Layout.autoPruneFiles(spark, tmp, idx,
       col("d") >= 5).isEmpty)
+    // prefix LIKE on the string dimension: [prefix, successor) bound,
+    // rows exact (the successor is exclusive-used-inclusively)
+    same(col("d").like("2024-07%"))
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("d").like("2024-07%")).isDefined)
+    // non-prefix patterns (leading %, inner _ wildcard) contribute
+    // nothing — a guessed bound on those would be UNsound
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("d").like("%07-01")).isEmpty)
+    assert(Layout.autoPruneFiles(spark, tmp, idx,
+      col("d").like("2024_07%")).isEmpty)
     // disjoint band: zero survivors, empty result (k is never null)
     assert(Layout.autoPrunedRead(spark, tmp, idx,
       col("k") > 5000L).count() == 0)

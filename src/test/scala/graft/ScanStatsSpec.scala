@@ -155,6 +155,62 @@ class ScanStatsSpec extends SparkSpec {
     }
   }
 
+  test("equi-height histograms sharpen SKEWED-column selectivity: " +
+      "analyze persists them, reload round-trips, the estimate " +
+      "tracks tail mass instead of the uniform interpolation") {
+    val root = Files.createTempDirectory("shist").toString
+    // 90% of rows hold k = 0; the 10% tail is uniform over 1..1000.
+    // True selectivity of k >= 500 is ~5%; min/max + uniformity
+    // estimates ~50% — off by 10x, exactly the skew failure mode
+    val skew = spark.range(10000).select(
+      when(col("id") % 10 =!= 0, lit(0L))
+        .otherwise((col("id") / 10) % 1000 + 1).as("k"),
+      col("id").as("payload"))
+    CatalogStore.commit(spark, root, Map("s" -> skew))
+    val snap = CatalogStore.snapshot(spark, root)
+    val ts = CatalogStore.analyze(spark, root, snap,
+      histCols = Map("s" -> Seq("k")), histBins = 32)
+    val h = ts("s").cols("k").hist
+    assert(h.isDefined && h.get.bins.size == 32 &&
+      math.abs(h.get.height - 10000.0 / 32) < 1.0)
+    // most boundaries crowd at the hot value: equi-height, not width
+    assert(h.get.bins.count(b => b.lo == 0.0 && b.hi == 0.0) >= 20,
+      s"hot-value bins missing: ${h.get.bins.take(5)}")
+    // sidecar round-trip: histogram included, nothing recomputed
+    ScanStatsCatalog.clear()
+    assert(CatalogStore.registerStats(spark, root, snap) == ts)
+    // idempotent: a second analyze with the same request re-reads
+    assert(CatalogStore.analyze(spark, root, snap,
+      histCols = Map("s" -> Seq("k"))) == ts)
+    val path = CatalogStore.tablePath(root, "s", snap)
+    val savedCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+    withRule {
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        def est(): BigInt = CatalogStore.read(spark, root, "s", snap)
+          .filter(col("k") >= 500L)
+          .queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(BigInt(-1))
+        ScanStatsCatalog.register(path, ts("s"))
+        val withHist = est()
+        // same stats, histogram stripped → uniform interpolation
+        ScanStatsCatalog.register(path, ts("s").copy(
+          cols = ts("s").cols.map { case (c, cs) =>
+            c -> cs.copy(hist = None) }))
+        val uniform = est()
+        assert(uniform >= 3500 && uniform <= 6500,
+          s"uniform baseline should estimate ~50%: $uniform")
+        assert(withHist >= 100 && withHist <= 1800,
+          s"histogram estimate should be near the ~500-row truth: " +
+            s"$withHist")
+        assert(withHist * 3 <= uniform,
+          s"histogram must sharpen the skew estimate: " +
+            s"$withHist vs $uniform")
+      } finally savedCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+        spark.conf.set("spark.sql.cbo.enabled", _))
+    }
+  }
+
   test("CatalogStore.analyze persists sidecars; registerStats reloads " +
       "them without re-profiling; injected stats ride CatalogStore.read") {
     val root = Files.createTempDirectory("scat").toString
