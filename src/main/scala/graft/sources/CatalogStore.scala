@@ -272,9 +272,27 @@ object CatalogStore {
     val fs = fsOf(spark, root)
     val dst = fileIndexDir(root, name, v)
     if (fs.exists(dst)) return // immutable data: rebuild ≡ existing
+    // stage-and-swap: a crash mid-write must never leave a torn dir
+    // under the FINAL name (fileIndexOf would read it forever — the
+    // exists() check doubles as "already built"). The tmp name is
+    // underscore-hidden like the index itself; a crashed leftover is
+    // dead weight, not a correctness hazard, and the no-overwrite
+    // rename makes concurrent builders converge on one winner.
+    val tmp = new org.apache.hadoop.fs.Path(tableDir(root, name, v),
+      "_graft_fileindex.tmp." + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12))
     graft.operators.Layout
       .fileIndex(spark, tableDir(root, name, v).toString, cols)
-      .write.parquet(dst.toString)
+      .write.parquet(tmp.toString)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.io.IOException if fs.exists(dst) =>
+        fs.delete(tmp, true) // a concurrent builder won: equivalent
+    }
   }
 
   /** The persisted file index of a snapshot's table version, or None
@@ -342,11 +360,20 @@ object CatalogStore {
     * session's lifetime or until re-registered.
     */
   def registerSnapshotViews(spark: SparkSession, root: String,
-      version: Option[Int] = None, suffix: String = ""): Snapshot = {
+      version: Option[Int] = None, suffix: String = "",
+      skipping: Boolean = false): Snapshot = {
     val snap = snapshot(spark, root, version)
     snap.tables.foreach { case (name, v) =>
-      spark.read.parquet(tableDir(root, name, v).toString)
-        .createOrReplaceTempView(name + suffix)
+      // skipping = true upgrades every INDEXED table's view to the
+      // file-skipping relation (plain SQL prunes through the
+      // persisted boxes); unindexed tables stay plain — per-table
+      // best effort, identical rows either way
+      if (skipping && fsOf(spark, root)
+          .exists(fileIndexDir(root, name, v)))
+        registerSkippingView(spark, root, name, snap, name + suffix)
+      else
+        spark.read.parquet(tableDir(root, name, v).toString)
+          .createOrReplaceTempView(name + suffix)
     }
     snap
   }

@@ -91,10 +91,20 @@ object GraftSkippingIndex {
     }.toMap
     val baseIdx = new InMemoryFileIndex(classic,
       Seq(new Path(path)), Map.empty, None)
-    val dataSchema = classic.read.parquet(path).schema
+    // hive-partitioned layouts: partition columns come from the DIR
+    // structure, not the files — registering them as data columns
+    // (or dropping them) silently loses the column from every read,
+    // the same foot-gun prunedRead's basePath handling closes.
+    // Partition-column predicates keep flowing through the BASE
+    // index's native partition pruning (they arrive as
+    // partitionFilters, not dataFilters).
+    val partSchema = baseIdx.partitionSchema
+    val fullSchema = classic.read.parquet(path).schema
+    val dataSchema = StructType(fullSchema
+      .filterNot(f => partSchema.fieldNames.contains(f.name)))
     val rel = HadoopFsRelation(
       new GraftSkippingIndex(baseIdx, boxes, strKey),
-      new StructType(), dataSchema, None,
+      partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(classic)
     org.apache.spark.sql.classic.Dataset
       .ofRows(classic, LogicalRelation(rel))

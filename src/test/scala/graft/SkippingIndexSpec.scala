@@ -123,4 +123,67 @@ class SkippingIndexSpec extends SparkSpec {
     assert(scanFiles(plain.filter(col("d").like("1997-03%"))) == 8L)
     spark.catalog.dropTempView("t_like")
   }
+
+  test("registered view over a HIVE-PARTITIONED layout: partition " +
+      "columns survive, partition pruning composes with box skipping") {
+    val dir = Files.createTempDirectory("sqlpart").resolve("t").toString
+    import org.apache.spark.sql.graft.GraftSkippingIndex
+    import graft.operators.Layout
+    // 3 partitions x 4 range files each on the data column
+    spark.range(1200).select(
+      (col("id") % 3).as("p"), col("id").as("k"),
+      (col("id") * 2).as("v"))
+      .repartitionByRange(4, col("k"))
+      .write.partitionBy("p").parquet(dir)
+    val idx = Layout.fileIndex(spark, dir, Seq("k"))
+      .localCheckpoint(true)
+    GraftSkippingIndex.registerView(spark, dir, idx, "t_part")
+    val plain = spark.read.parquet(dir)
+    // partition column is readable and correct through the view
+    val all = spark.sql("SELECT p, k, v FROM t_part")
+    assert(all.exceptAll(plain.select("p", "k", "v")).count() == 0 &&
+      plain.select("p", "k", "v").exceptAll(all).count() == 0)
+    // box skipping on the data column still prunes under partitioning
+    val band = spark.sql("SELECT p, k FROM t_part WHERE k < 100")
+    val wantBand = plain.filter(col("k") < 100).select("p", "k")
+    assert(band.exceptAll(wantBand).count() == 0 &&
+      wantBand.exceptAll(band).count() == 0)
+    assert(scanFiles(spark.sql(
+      "SELECT p, k FROM t_part WHERE k < 100")) <= 4L)
+    // partition predicate composes: native partition pruning + boxes
+    val both = spark.sql(
+      "SELECT p, k FROM t_part WHERE p = 1 AND k < 100")
+    val wantBoth = plain.filter(col("p") === 1 && col("k") < 100)
+      .select("p", "k")
+    assert(both.exceptAll(wantBoth).count() == 0 &&
+      wantBoth.exceptAll(both).count() == 0)
+    spark.catalog.dropTempView("t_part")
+  }
+
+  test("registerSnapshotViews(skipping = true): indexed tables " +
+      "upgrade to skipping views, unindexed stay plain, rows exact") {
+    val root = Files.createTempDirectory("svskip").toString
+    CatalogStore.commit(spark, root, Map(
+      "big" -> orders.repartitionByRange(8, col("o_orderkey")),
+      "dim" -> orders.limit(50)))
+    val snap = CatalogStore.snapshot(spark, root)
+    CatalogStore.indexTable(spark, root, snap, "big",
+      Seq("o_orderkey"))
+    CatalogStore.registerSnapshotViews(spark, root, suffix = "_sv",
+      skipping = true)
+    val hi = orders.agg(percentile_approx(col("o_orderkey"),
+      lit(0.12), lit(1000))).head().getLong(0)
+    val sql = spark.sql(s"SELECT * FROM big_sv WHERE o_orderkey <= $hi")
+    val want = CatalogStore.read(spark, root, "big", snap)
+      .filter(col("o_orderkey") <= hi)
+    assert(sql.exceptAll(want).count() == 0 &&
+      want.exceptAll(sql).count() == 0)
+    assert(scanFiles(spark.sql(
+      s"SELECT * FROM big_sv WHERE o_orderkey <= $hi")) <= 2L)
+    // the unindexed dim registered plain and reads exactly
+    assert(spark.sql("SELECT count(*) AS n FROM dim_sv").head()
+      .getLong(0) == 50L)
+    spark.catalog.dropTempView("big_sv")
+    spark.catalog.dropTempView("dim_sv")
+  }
 }
