@@ -815,15 +815,20 @@ object CatalogStore {
       tables: Map[String, DataFrame],
       audits: Seq[Audit] = Seq.empty,
       contentionTimeoutMs: Long = 60000L,
-      evolve: Boolean = false): CatalogTx = {
+      evolve: Boolean = false,
+      indexCols: Map[String, Seq[String]] = Map.empty,
+      analyzeStats: Boolean = false): CatalogTx = {
     require(tables.nonEmpty, "a transaction must publish at least one table")
     audits.foreach(a => require(tables.contains(a.table),
       s"audit ${a.name} names ${a.table}, not in this transaction " +
         "(committed tables are immutable — audit them at their own commit)"))
+    indexCols.keys.foreach(n => require(tables.contains(n),
+      s"indexCols names $n, not in this transaction (committed " +
+        "versions are immutable — indexTable them directly)"))
     val fs = fsOf(spark, root)
     val txid = java.util.UUID.randomUUID().toString.replace("-", "")
       .take(12)
-    try {
+    val tx = try {
       tables.foreach { case (name, df) =>
         df.write.mode("errorifexists")
           .parquet(stageDir(root, name, txid).toString)
@@ -854,6 +859,20 @@ object CatalogStore {
       // terminal-contention staging
       tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
     }
+    // maintenance rides the commit: file indexes and stats sidecars
+    // for the JUST-published versions, so downstream readers never
+    // depend on a separate job remembering to run. After the flip by
+    // design — the dirs are immutable, both builders are idempotent
+    // (stage-and-swap / sidecar-exists), and a crash here degrades to
+    // "index missing" (plain reads), never a torn transaction.
+    // Carried-forward tables keep their existing sidecars untouched.
+    if (tx.committed && (indexCols.nonEmpty || analyzeStats)) {
+      val snap = snapshot(spark, root, tx.version)
+      indexCols.foreach { case (n, cols) =>
+        indexTable(spark, root, snap, n, cols) }
+      if (analyzeStats) analyze(spark, root, snap)
+    }
+    tx
   }
 
   /** [[commit]]'s write path at a SPECIFIC version — package-visible

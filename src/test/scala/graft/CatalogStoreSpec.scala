@@ -509,6 +509,44 @@ class CatalogStoreSpec extends SparkSpec {
     assert(CatalogStore.metaAgg(spark, root, snap2, "u",
       Seq("o_orderkey")).head().getAs[Long]("row_count") == 100L)
   }
+
+  test("maintenance rides the commit: indexCols + analyzeStats " +
+      "publish the file index and stats sidecar with the transaction") {
+    val root = Files.createTempDirectory("catmaint").toString
+    val fact = orders.repartitionByRange(8, col("o_orderkey"))
+    val tx = CatalogStore.commit(spark, root,
+      Map("f" -> fact, "d" -> orders.limit(30)),
+      indexCols = Map("f" -> Seq("o_orderkey")), analyzeStats = true)
+    assert(tx.committed)
+    val snap = CatalogStore.snapshot(spark, root)
+    // index on the requested table only; stats on every table
+    assert(CatalogStore.fileIndexOf(spark, root, snap, "f").isDefined)
+    assert(CatalogStore.fileIndexOf(spark, root, snap, "d").isEmpty)
+    assert(CatalogStore.metaAgg(spark, root, snap, "d",
+      Seq("o_orderkey")).head().getAs[Long]("row_count") == 30L)
+    // and the skipping read works immediately, no separate job
+    val hi = orders.agg(percentile_approx(col("o_orderkey"),
+      lit(0.12), lit(1000))).head().getLong(0)
+    val got = CatalogStore.readWhere(spark, root, "f", snap,
+      col("o_orderkey") <= hi)
+    val want = CatalogStore.read(spark, root, "f", snap)
+      .filter(col("o_orderkey") <= hi)
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0)
+    // a republish WITHOUT maintenance serves plain (no stale index
+    // rides forward onto the new version)
+    CatalogStore.commit(spark, root, Map("f" -> fact.limit(500)))
+    val snap2 = CatalogStore.snapshot(spark, root)
+    assert(CatalogStore.fileIndexOf(spark, root, snap2, "f").isEmpty)
+    // the OLD version keeps its index (time travel still prunes)
+    assert(CatalogStore.fileIndexOf(spark, root,
+      CatalogStore.snapshot(spark, root, Some(1)), "f").isDefined)
+    // indexCols naming a table outside the transaction is rejected
+    intercept[IllegalArgumentException] {
+      CatalogStore.commit(spark, root, Map("d" -> orders.limit(5)),
+        indexCols = Map("f" -> Seq("o_orderkey")))
+    }
+  }
 }
 
 /** Executor-side write counter for the stage-once spec — a top-level
