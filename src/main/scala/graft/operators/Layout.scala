@@ -252,9 +252,27 @@ object Layout {
   def boxIntersects(mn: Any, mx: Any,
       b: Bound): Boolean = {
     if (mn == null || mx == null) return false
+    // these driver-side comparisons MUST mirror Spark's executor
+    // ordering — in the FileIndex listing path a wrong exclusion is
+    // silent row loss:
+    //  - doubles: NaN is GREATEST and -0.0 == 0.0 (Spark's
+    //    nanSafeCompareDoubles); raw Java >= gets NaN wrong (a file
+    //    whose max is NaN because it HOLDS NaN rows would fail every
+    //    lo-bound), raw Double.compare gets +-0 wrong;
+    //  - strings: UTF8String binary order; Java UTF-16 code-unit
+    //    order disagrees above the surrogate range (supplementary
+    //    chars sort below U+E000..U+FFFF in UTF-16 but above
+    //    everything in UTF-8).
+    def dge(a: Double, x: Double): Boolean =
+      if (a.isNaN) true
+      else if (x.isNaN) false
+      else a >= x
+    def u8(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
     def ge(a: Any, x: Any): Boolean = (a, x) match {
-      case (a: java.lang.Double, x: java.lang.Double) => a >= x
-      case (a: String, x: String) => a >= x
+      case (a: java.lang.Double, x: java.lang.Double) =>
+        dge(a.doubleValue, x.doubleValue)
+      case (a: String, x: String) => u8(a).compareTo(u8(x)) >= 0
       case _ => true // type drift: no exclusion without a sound compare
     }
     b.lo.forall(x => ge(mx, x)) && b.hi.forall(x => ge(x, mn))
@@ -333,7 +351,19 @@ object Layout {
         case (u: org.apache.spark.unsafe.types.UTF8String, _)
           if strKey(c) => Some(u.toString)
         case (_, _: org.apache.spark.sql.types.NumericType)
-          if !strKey(c) => Some(Double.box(v.toString.toDouble))
+          if !strKey(c) =>
+          // widen the way boxAggs' cast does, NOT via decimal string
+          // parsing: "1.1f".toString.toDouble = 1.1000000000000001d
+          // while cast(1.1f as double) = 1.100000023841858d — a bound
+          // built from the former EXCLUDES the file holding exactly
+          // the latter (silent row loss on float equality)
+          v match {
+            case dec: org.apache.spark.sql.types.Decimal =>
+              Some(Double.box(dec.toDouble))
+            case n: java.lang.Number =>
+              Some(Double.box(n.doubleValue))
+            case _ => None
+          }
         case _ => None // type/keyspace mismatch: no bound, sound
       }
     }
@@ -341,16 +371,28 @@ object Layout {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
+    // envelope order must match the executor's (UTF8 binary for
+    // strings — see boxIntersects) or a driver-picked envelope could
+    // exclude a listed value on supplementary characters
+    def u8le(a: String, b: String): Boolean =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b)) <= 0
+    // NaN is GREATEST in Spark's ordering — math.min would pick NaN
+    // as the envelope's LOW bound for `f IN (5.0, double('NaN'))`
+    // and exclude the files holding 5.0
     def vMin(a: Any, b: Any): Any = (a, b) match {
       case (a: java.lang.Double, b: java.lang.Double) =>
-        Double.box(math.min(a, b))
-      case (a: String, b: String) => if (a <= b) a else b
+        if (a.isNaN) b else if (b.isNaN) a
+        else Double.box(math.min(a, b))
+      case (a: String, b: String) => if (u8le(a, b)) a else b
       case _ => a
     }
     def vMax(a: Any, b: Any): Any = (a, b) match {
       case (a: java.lang.Double, b: java.lang.Double) =>
-        Double.box(math.max(a, b))
-      case (a: String, b: String) => if (a >= b) a else b
+        if (a.isNaN) a else if (b.isNaN) b
+        else Double.box(math.max(a, b))
+      case (a: String, b: String) => if (u8le(b, a)) a else b
       case _ => a
     }
     exprs.flatMap(conjuncts).flatMap {
@@ -396,8 +438,13 @@ object Layout {
       // analyzed plan carries Like; the optimized plan (the
       // FileIndex's dataFilters) rewrites it to StartsWith — match
       // both so the API and SQL paths prune identically.
+      // a custom ESCAPE char changes what the pattern body MEANS
+      // ('ab##cd%' ESCAPE '#' matches literal 'ab#cd…') — extracting
+      // the raw body as a prefix would prune files holding matching
+      // rows, so only the default escape is understood
       case like: Like if attr(like.left).exists(c =>
-          strKey.get(c).contains(true)) && like.right.foldable =>
+          strKey.get(c).contains(true)) && like.right.foldable &&
+          like.escapeChar == '\\' =>
         val c = attr(like.left).get
         Option(like.right.eval(
           org.apache.spark.sql.catalyst.InternalRow.empty))
@@ -417,14 +464,22 @@ object Layout {
   }
 
   /** [prefix, successor(prefix)] bound for prefix-matching strings:
-    * lo = the prefix itself, hi = the prefix with its last non-U+FFFF
-    * char incremented and the U+FFFF tail dropped (an EXCLUSIVE
-    * successor used inclusively — wider, so sound). An empty prefix
-    * yields nothing; an all-U+FFFF prefix keeps only the lo side.
+    * lo = the prefix itself, hi = the prefix truncated after its last
+    * char below the surrogate range with that char incremented (an
+    * EXCLUSIVE successor used inclusively — wider, so sound). A
+    * prefix with no such char keeps only the lo side; an empty
+    * prefix yields nothing.
     */
   private def prefixBound(c: String, p: String): Option[Bound] = {
     if (p.isEmpty) return None
-    val cut = p.lastIndexWhere(_ != '\uFFFF')
+    // increment only a char BELOW the surrogate range: down there
+    // UTF-16 code-unit, code-point, and UTF-8 byte order all agree,
+    // so the successor upper-bounds every p-prefixed string under
+    // BOTH the driver's comparison and the executor's UTF8String
+    // order; incrementing into/past a surrogate could build a string
+    // whose UTF-8 order disagrees (or isn't valid UTF-16) \u2014 drop the
+    // hi side there instead (wider, sound)
+    val cut = p.lastIndexWhere(ch => ch < 0xD7FF.toChar)
     val hi = if (cut < 0) None
     else Some(p.substring(0, cut) + (p.charAt(cut) + 1).toChar)
     Some(Bound(c, Some(p), hi))
@@ -439,9 +494,14 @@ object Layout {
     */
   def autoPruneFiles(spark: org.apache.spark.sql.SparkSession,
       path: String, index: DataFrame, predicate: Column,
-      maxFiles: Int = 65536): Option[Seq[String]] = {
-    val bounds = extractBounds(index, spark.read.parquet(path),
-      predicate)
+      maxFiles: Int = 65536): Option[Seq[String]] =
+    autoPruneFilesOf(spark.read.parquet(path), index, predicate,
+      maxFiles)
+
+  private[graft] def autoPruneFilesOf(base: DataFrame,
+      index: DataFrame, predicate: Column,
+      maxFiles: Int): Option[Seq[String]] = {
+    val bounds = extractBounds(index, base, predicate)
     if (bounds.isEmpty) None
     else {
       val survive = bounds.map { b =>
@@ -472,8 +532,11 @@ object Layout {
   def autoPrunedRead(spark: org.apache.spark.sql.SparkSession,
       path: String, index: DataFrame, predicate: Column,
       maxFiles: Int = 65536): DataFrame = {
+    // one schema inference for the whole call: the base frame feeds
+    // predicate resolution, the fallback read, and the survivors'
+    // explicit schema — at ~800k files a second listing is real money
     val base = spark.read.parquet(path)
-    autoPruneFiles(spark, path, index, predicate, maxFiles) match {
+    autoPruneFilesOf(base, index, predicate, maxFiles) match {
       case None => base.filter(predicate)
       case Some(Seq()) => base.filter(lit(false))
       case Some(files) =>

@@ -4455,24 +4455,8 @@ object ExtQueries {
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
         a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
-      def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
-        df.localCheckpoint(true) // one execution: rows AND final plan
-        import org.apache.spark.sql.execution.SparkPlan
-        import org.apache.spark.sql.execution.FileSourceScanExec
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        def expand(p: SparkPlan): Seq[SparkPlan] = {
-          val direct = p.collect { case n => n }
-          direct ++ direct.flatMap {
-            case qs: QueryStageExec => expand(qs.plan)
-            case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-            case _ => Seq.empty
-          }
-        }
-        expand(df.queryExecution.executedPlan)
-          .collectFirst { case sc: FileSourceScanExec =>
-            sc.metrics("numFiles").value }
-          .getOrElse(-1L)
-      }
+      def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+        graft.plans.PlanMetrics.scanFiles(df)
       CatalogStore.commit(s, root, Map("t" ->
         orders.repartitionByRange(8, col("o_orderkey"))))
       val snap = CatalogStore.snapshot(s, root)

@@ -465,20 +465,37 @@ object CatalogStore {
         base.copy(cols = merged)
       }
       if (!fs.exists(sf) || ts != base) {
+        // min/max field: "=<enc(value)>" — URLEncoder leaves "-"
+        // unencoded, so a bare "-" sentinel COLLIDES with a real
+        // string value of "-" (the dash-for-missing dataset) and
+        // metaAgg would serve NULL for a live value; the "=" marker
+        // can never appear in enc output ("=" encodes as %3D)
+        def mm(v: Option[String]) = v.map("=" + enc(_)).getOrElse("-")
         val body = (Seq(s"rows\t${ts.rowCount}",
           s"bytes\t${ts.sizeInBytes}") ++
           ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
             s"col\t${enc(c)}\t${cs.ndv}\t${cs.nulls}\t" +
-              s"${cs.min.map(enc).getOrElse("-")}\t" +
-              s"${cs.max.map(enc).getOrElse("-")}"
+              s"${mm(cs.min)}\t${mm(cs.max)}"
           } ++
           ts.cols.toSeq.sortBy(_._1).flatMap { case (c, cs) =>
             cs.hist.map(h => s"hist\t${enc(c)}\t${h.height}\t" +
               h.bins.map(b => s"${b.lo}:${b.hi}:${b.ndv}")
                 .mkString(","))
           }).mkString("\n")
-        val o = fs.create(sf, true)
+        // stage-and-swap like indexTable: the histogram-merge path
+        // REWRITES a live sidecar, and truncate-then-write would show
+        // concurrent readers a torn file (and a crash would leave it
+        // torn forever behind the exists() check)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          "_graft_stats.tsv.tmp." + java.util.UUID.randomUUID()
+            .toString.replace("-", "").take(12))
+        val o = fs.create(tmp, true)
         try o.write(body.getBytes("UTF-8")) finally o.close()
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          new org.apache.hadoop.fs.Path(root).toUri,
+          spark.sparkContext.hadoopConfiguration)
+        fc.rename(tmp, sf,
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       }
       graft.plans.ScanStatsCatalog.register(dir.toString, ts)
       name -> ts
@@ -541,9 +558,15 @@ object CatalogStore {
         case Array("rows", n) => rows = n.toLong
         case Array("bytes", b) => bytes = b.toLong
         case Array("col", c, ndv, nulls, mn, mx) =>
+          // "=<enc>" = value (unambiguous: enc never emits '='),
+          // "-" = none; a bare legacy value (pre-marker sidecars)
+          // still decodes
+          def mm(s: String): Option[String] =
+            if (s == "-") None
+            else if (s.startsWith("=")) Some(dec(s.drop(1)))
+            else Some(dec(s))
           cols(dec(c)) = graft.plans.ColStats(ndv.toLong, nulls.toLong,
-            if (mn == "-") None else Some(dec(mn)),
-            if (mx == "-") None else Some(dec(mx)))
+            mm(mn), mm(mx))
         case Array("hist", c, h, bs) =>
           hists(dec(c)) = graft.plans.Hist(h.toDouble,
             bs.split(",").filter(_.nonEmpty).toSeq.map { s =>
@@ -822,9 +845,17 @@ object CatalogStore {
     audits.foreach(a => require(tables.contains(a.table),
       s"audit ${a.name} names ${a.table}, not in this transaction " +
         "(committed tables are immutable — audit them at their own commit)"))
-    indexCols.keys.foreach(n => require(tables.contains(n),
-      s"indexCols names $n, not in this transaction (committed " +
-        "versions are immutable — indexTable them directly)"))
+    indexCols.foreach { case (n, cols) =>
+      require(tables.contains(n),
+        s"indexCols names $n, not in this transaction (committed " +
+          "versions are immutable — indexTable them directly)")
+      // validate COLUMNS before anything stages: a typo'd column
+      // failing after the pointer flip would throw a committed
+      // transaction's CatalogTx away and bait a double-publish retry
+      cols.foreach(c => require(tables(n).schema.fieldNames
+        .contains(c),
+        s"indexCols names column $c, not in table $n's schema"))
+    }
     val fs = fsOf(spark, root)
     val txid = java.util.UUID.randomUUID().toString.replace("-", "")
       .take(12)
@@ -866,11 +897,20 @@ object CatalogStore {
     // (stage-and-swap / sidecar-exists), and a crash here degrades to
     // "index missing" (plain reads), never a torn transaction.
     // Carried-forward tables keep their existing sidecars untouched.
-    if (tx.committed && (indexCols.nonEmpty || analyzeStats)) {
+    if (tx.committed && (indexCols.nonEmpty || analyzeStats)) try {
       val snap = snapshot(spark, root, tx.version)
       indexCols.foreach { case (n, cols) =>
         indexTable(spark, root, snap, n, cols) }
       if (analyzeStats) analyze(spark, root, snap)
+    } catch {
+      // the transaction IS committed — losing its CatalogTx to a
+      // maintenance failure would bait a retry into double-publishing
+      // the same data; degrade loudly to "no index / no stats"
+      // (plain scans) instead
+      case e: Exception => System.err.println(
+        s"[catalog] post-commit maintenance failed for " +
+          s"v${tx.version.get} (transaction committed; readers " +
+          s"degrade to plain scans / no stats): ${e.getMessage}")
     }
     tx
   }

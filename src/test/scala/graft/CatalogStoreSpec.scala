@@ -546,6 +546,31 @@ class CatalogStoreSpec extends SparkSpec {
       CatalogStore.commit(spark, root, Map("d" -> orders.limit(5)),
         indexCols = Map("f" -> Seq("o_orderkey")))
     }
+    // ... and a typo'd COLUMN is rejected BEFORE anything stages —
+    // failing after the flip would throw away a committed tx's
+    // CatalogTx and bait a double-publish retry
+    val vBefore = CatalogStore.snapshot(spark, root).version
+    intercept[IllegalArgumentException] {
+      CatalogStore.commit(spark, root, Map("d" -> orders.limit(5)),
+        indexCols = Map("d" -> Seq("typo_col")))
+    }
+    assert(CatalogStore.snapshot(spark, root).version == vBefore)
+  }
+
+  test("stats sidecar: a real string value of \"-\" round-trips (the " +
+      "None sentinel cannot collide) and metaAgg serves it") {
+    val root = Files.createTempDirectory("catdash").toString
+    // "-" as a live value is the dash-for-missing dataset; it is also
+    // lexicographically tiny, so it IS the min — the old bare "-"
+    // sentinel decoded it to NULL
+    val df = Seq((1, "-"), (2, "x"), (3, "y")).toDF("k", "s")
+    CatalogStore.commit(spark, root, Map("t" -> df))
+    val snap = CatalogStore.snapshot(spark, root)
+    CatalogStore.analyze(spark, root, snap)
+    val m = CatalogStore.metaAgg(spark, root, snap, "t", Seq("s"))
+      .head()
+    assert(m.getAs[String]("min_s") == "-" &&
+      m.getAs[String]("max_s") == "y")
   }
 }
 

@@ -872,4 +872,68 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.autoPrunedRead(spark, tmp, idx,
       col("k") > 5000L).count() == 0)
   }
+
+  test("pruning soundness edges: NaN boxes, float-literal widening, " +
+      "custom LIKE escape, non-BMP string order") {
+    val root = Files.createTempDirectory("soundskip")
+    val tmp = root.resolve("t").toString
+    // file A: plain doubles; file B: holds NaN, so its max box is NaN
+    Seq((1L, 2.0f, 5.0), (2L, 1.1f, 8.0)).toDF("id", "f", "v")
+      .repartition(1).write.parquet(tmp)
+    Seq((3L, 9.5f, Double.NaN), (4L, 3.3f, 7.0)).toDF("id", "f", "v")
+      .repartition(1).write.mode("append").parquet(tmp)
+    val idx = Layout.fileIndex(spark, tmp, Seq("f", "v"))
+      .localCheckpoint(true)
+    def plain(p: org.apache.spark.sql.Column) =
+      spark.read.parquet(tmp).filter(p)
+    def same(p: org.apache.spark.sql.Column): Unit = {
+      val a = Layout.autoPrunedRead(spark, tmp, idx, p)
+      assert(a.exceptAll(plain(p)).count() == 0 &&
+        plain(p).exceptAll(a).count() == 0, s"row drift for $p")
+    }
+    // a NaN-max box must not fail lo-bounds (NaN is GREATEST in
+    // Spark's order): v >= 6 matches rows in BOTH files — before the
+    // fix, Java NaN >= 6.0 = false dropped file B and lost row 4
+    same(col("v") >= 6.0)
+    assert(Layout.autoPruneFiles(spark, tmp, idx, col("v") >= 6.0)
+      .exists(_.size == 2))
+    // NaN literal equality matches exactly the NaN rows
+    same(col("v") === lit(Double.NaN))
+    // float literal widens like the cast (1.1f -> 1.100000023841858),
+    // NOT via decimal string parsing (1.1000000000000001) — the
+    // string-parsed bound excluded the file holding exactly 1.1f
+    same(col("f") === 1.1f)
+    assert(Layout.autoPruneFiles(spark, tmp, idx, col("f") === 1.1f)
+      .exists(_.size == 1))
+
+    val tmp2 = root.resolve("s").toString
+    Seq((1L, "ab#cdX"), (2L, "ab#cdY")).toDF("id", "s")
+      .repartition(1).write.parquet(tmp2)
+    Seq((3L, "zz"), (4L, "😀hi")).toDF("id", "s")
+      .repartition(1).write.mode("append").parquet(tmp2)
+    val idx2 = Layout.fileIndex(spark, tmp2, Seq("s"))
+      .localCheckpoint(true)
+    def plain2(p: org.apache.spark.sql.Column) =
+      spark.read.parquet(tmp2).filter(p)
+    def same2(p: org.apache.spark.sql.Column): Unit = {
+      val a = Layout.autoPrunedRead(spark, tmp2, idx2, p)
+      assert(a.exceptAll(plain2(p)).count() == 0 &&
+        plain2(p).exceptAll(a).count() == 0, s"row drift for $p")
+    }
+    // a custom ESCAPE char changes the pattern's meaning: the raw
+    // body is NOT a prefix ('ab##cd%' ESCAPE '#' matches 'ab#cd…'),
+    // so extraction must yield nothing and rows stay exact
+    val esc = expr("s LIKE 'ab##cd%' ESCAPE '#'")
+    assert(Layout.autoPruneFiles(spark, tmp2, idx2, esc).isEmpty)
+    same2(esc)
+    // non-BMP: supplementary chars sort ABOVE U+FFFD in UTF-8 (the
+    // executor's order) but BELOW it in UTF-16 — the Java-order
+    // driver compare dropped the emoji file on s >= '�'
+    same2(col("s") >= "�")
+    assert(Layout.autoPruneFiles(spark, tmp2, idx2,
+      col("s") >= "�").exists(_.nonEmpty))
+    // a prefix ending in surrogates keeps only the lo side — and
+    // stays row-exact
+    same2(col("s").like("😀%"))
+  }
 }

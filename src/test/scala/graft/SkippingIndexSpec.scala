@@ -20,24 +20,8 @@ class SkippingIndexSpec extends SparkSpec {
   private lazy val orders = Tables.load(spark, sfDir, "orders")
     .select("o_orderkey", "o_custkey", "o_totalprice")
 
-  private def scanFiles(df: DataFrame): Long = {
-    df.localCheckpoint(true) // one execution: rows AND final plan
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def expand(p: SparkPlan): Seq[SparkPlan] = {
-      val direct = p.collect { case n => n }
-      direct ++ direct.flatMap {
-        case qs: QueryStageExec => expand(qs.plan)
-        case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-        case _ => Seq.empty
-      }
-    }
-    expand(df.queryExecution.executedPlan)
-      .collectFirst { case s: FileSourceScanExec =>
-        s.metrics("numFiles").value }
-      .getOrElse(-1L)
-  }
+  private def scanFiles(df: DataFrame): Long =
+    graft.plans.PlanMetrics.scanFiles(df)
 
   test("registered view: SQL WHERE skips files, rows identical, " +
       "unextractable predicates never prune") {
