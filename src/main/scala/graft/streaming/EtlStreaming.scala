@@ -425,7 +425,9 @@ object EtlStreaming {
   def catalogTickBatch(
       spark: org.apache.spark.sql.SparkSession, root: String,
       batch: DataFrame, batchId: Long,
-      derive: DataFrame => Map[String, DataFrame]): Boolean = {
+      derive: DataFrame => Map[String, DataFrame],
+      indexCols: Map[String, Seq[String]] = Map.empty,
+      analyzeStats: Boolean = false): Boolean = {
     import spark.implicits._
     import graft.sources.CatalogStore
     val last: Long =
@@ -441,8 +443,15 @@ object EtlStreaming {
       val tables = derive(batch)
       require(!tables.contains("tick_meta"),
         "tick_meta is reserved for the replay guard")
+      // maintenance rides the tick like any commit: the curated
+      // tables come out skippable (file index) / CBO-visible (stats)
+      // with no separate job, and the per-tick cost is one narrow
+      // indexed-column pass over tick-sized tables
       CatalogStore.commit(spark, root,
-        tables + ("tick_meta" -> Seq(batchId).toDF("batch_id")))
+        tables + ("tick_meta" -> Seq(batchId).toDF("batch_id")),
+        indexCols = indexCols.filter { case (n, _) =>
+          tables.contains(n) },
+        analyzeStats = analyzeStats)
       true
     }
   }

@@ -242,6 +242,22 @@ class EtlStreamingSpec extends SparkSpec {
       EtlStreaming.catalogTickBatch(spark, root, replay, 99L,
         b => Map("tick_meta" -> b))
     }
+    // maintenance rides the tick: the curated table comes out with a
+    // file index (skippable) and stats (metaAgg-servable) in the SAME
+    // commit — no separate job; indexCols for tables the tick did not
+    // derive are ignored per-tick, not an error
+    assert(EtlStreaming.catalogTickBatch(spark, root, replay, 100L,
+      derive, indexCols = Map("latest" -> Seq("k"),
+        "not_derived_this_tick" -> Seq("x")),
+      analyzeStats = true))
+    val snapM = CatalogStore.snapshot(spark, root)
+    assert(CatalogStore.fileIndexOf(spark, root, snapM, "latest")
+      .isDefined)
+    assert(CatalogStore.metaAgg(spark, root, snapM, "latest",
+      Seq("k")).head.getAs[Long]("row_count") == 2L)
+    val rw = CatalogStore.readWhere(spark, root, "latest", snapM,
+      org.apache.spark.sql.functions.col("k") >= 3L)
+    assertSameRows(rw, Seq((3L, 30L)).toDF("k", "v"))
   }
 
   test("dvTicks: streamed delete keys maintain the vector; data files untouched; redelivery no-ops") {
