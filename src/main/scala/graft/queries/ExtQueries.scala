@@ -4123,26 +4123,8 @@ object ExtQueries {
         val injected = factRead.queryExecution.optimizedPlan.stats
           .sizeInBytes == BigInt(ts("fact_sales").sizeInBytes) &&
           ts("fact_sales").rowCount > ts("dim_seg").rowCount
-        def broadcastLeaves(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-          import org.apache.spark.sql.execution.SparkPlan
-          import org.apache.spark.sql.execution.FileSourceScanExec
-          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-          import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-          def expand(p: SparkPlan): Seq[SparkPlan] = {
-            val direct = p.collect { case n => n }
-            direct ++ direct.flatMap {
-              case qs: QueryStageExec => expand(qs.plan)
-              case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-              case _ => Seq.empty
-            }
-          }
-          df.localCheckpoint(true) // one execution: rows AND final plan
-          expand(df.queryExecution.executedPlan)
-            .collect { case b: BroadcastExchangeExec => b }
-            .flatMap(expand)
-            .collect { case f: FileSourceScanExec =>
-              f.relation.location.rootPaths.map(_.toString) }.flatten
-        }
+        def broadcastLeaves(df: org.apache.spark.sql.DataFrame): Seq[String] =
+          graft.plans.PlanMetrics.broadcastLeafPaths(df)
         def q() = factRead.join(dimRead, "k").groupBy("segment")
           .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
         val honest = q()

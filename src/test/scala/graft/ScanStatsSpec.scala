@@ -68,27 +68,8 @@ class ScanStatsSpec extends SparkSpec {
     spark.range(40).select(col("id").as("k"),
       concat(lit("seg"), col("id") % 5).as("segment"))
       .write.parquet(dimP)
-    def broadcastLeafPaths(df: org.apache.spark.sql.DataFrame): Seq[String] = {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      def expand(p: SparkPlan): Seq[SparkPlan] = {
-        val direct = p.collect { case n => n }
-        direct ++ direct.flatMap {
-          case qs: QueryStageExec => expand(qs.plan)
-          case a: AdaptiveSparkPlanExec => expand(a.executedPlan)
-          case _ => Seq.empty
-        }
-      }
-      df.localCheckpoint(true) // execute; AQE finalizes
-      expand(df.queryExecution.executedPlan)
-        .collect { case b: BroadcastExchangeExec => b }
-        .flatMap(expand)
-        .collect { case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.map(_.toString) }
-        .flatten
-    }
+    def broadcastLeafPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      graft.plans.PlanMetrics.broadcastLeafPaths(df)
     // cents-integerized sum: the two plans aggregate in different
     // orders, and a double sum's ulps would differ
     def q() = spark.read.parquet(factP)
