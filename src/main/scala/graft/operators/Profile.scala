@@ -35,7 +35,8 @@ object Profile {
 
   def profile(df: DataFrame, columns: Seq[String],
       approxDistinct: Boolean = false,
-      typedMinMax: Boolean = false): DataFrame = {
+      typedMinMax: Boolean = false,
+      lengths: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "profile needs at least one column")
     val aggs = columns.flatMap { c =>
       // typed min/max needs an ORDERABLE type (a map column has no
@@ -50,21 +51,38 @@ object Profile {
         else if (typedMinMax)
           (lit(null).cast("string"), lit(null).cast("string"))
         else (min(col(c).cast("string")), max(col(c).cast("string")))
+      // byte lengths only where they VARY (string/binary); fixed-width
+      // types get their size from the type itself downstream
+      val varWidth = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _ => false
+      }
+      val (al, ml) =
+        if (lengths && varWidth)
+          (ceil(avg(length(col(c)))).cast("long"),
+            max(length(col(c))).cast("long"))
+        else (lit(null).cast("long"), lit(null).cast("long"))
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         (if (approxDistinct) approx_count_distinct(col(c))
          else countDistinct(col(c))).as(s"__nd_$c"),
         mn.as(s"__min_$c"),
-        mx.as(s"__max_$c"))
+        mx.as(s"__max_$c")) ++
+        (if (lengths) Seq(al.as(s"__al_$c"), ml.as(s"__ml_$c"))
+         else Seq.empty)
     }
     val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val entries = array(columns.map { c =>
-      struct(lit(c).as("col_name"),
+      val basic = Seq(lit(c).as("col_name"),
         col("__n").as("n_rows"),
         (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
         col(s"__nd_$c").as("n_distinct"),
         col(s"__min_$c").as("min_value"),
         col(s"__max_$c").as("max_value"))
+      struct(basic ++ (if (lengths)
+        Seq(col(s"__al_$c").as("avg_len"),
+          col(s"__ml_$c").as("max_len")) else Seq.empty): _*)
     }: _*)
     wide.select(explode(entries).as("__p")).select("__p.*")
   }

@@ -48,7 +48,8 @@ final case class Hist(height: Double, bins: Seq[HistBin])
   */
 final case class ColStats(ndv: Long, nulls: Long,
     min: Option[String], max: Option[String],
-    hist: Option[Hist] = None)
+    hist: Option[Hist] = None,
+    avgLen: Option[Long] = None, maxLen: Option[Long] = None)
 
 /** Table-level statistics: row count, on-disk bytes, per-column
   * detail. The sizeInBytes is what flips join build/broadcast sides
@@ -124,6 +125,10 @@ case class ScanStatsRule(session: SparkSession) extends Rule[LogicalPlan] {
           distinctCount = Some(BigInt(cs.ndv)),
           min = mm._1, max = mm._2,
           nullCount = Some(BigInt(cs.nulls)),
+          // var-width byte lengths (string/binary): the row-width
+          // feed for CBO's intermediate-size estimates; fixed-width
+          // types default from the type itself
+          avgLen = cs.avgLen, maxLen = cs.maxLen,
           histogram = hist)
       }
     }

@@ -438,13 +438,17 @@ object CatalogStore {
         // bound that excludes a live value
         // collect-bound: ONE aggregated row, |columns| rows exploded
         val prof = graft.operators.Profile.profile(df,
-          df.columns.toSeq, approxDistinct = true, typedMinMax = true)
+          df.columns.toSeq, approxDistinct = true, typedMinMax = true,
+          lengths = true)
           .collect()
         val rows = prof.headOption.map(_.getLong(1)).getOrElse(0L)
         val cols = prof.map { r =>
+          def optLong(i: Int) =
+            if (r.isNullAt(i)) None else Some(r.getLong(i))
           r.getString(0) -> graft.plans.ColStats(
             ndv = r.getLong(3), nulls = r.getLong(2),
-            min = Option(r.getString(4)), max = Option(r.getString(5)))
+            min = Option(r.getString(4)), max = Option(r.getString(5)),
+            avgLen = optLong(6), maxLen = optLong(7))
         }.toMap
         graft.plans.TableStats(rows, math.max(1L, bytes), cols)
       }
@@ -471,11 +475,13 @@ object CatalogStore {
         // metaAgg would serve NULL for a live value; the "=" marker
         // can never appear in enc output ("=" encodes as %3D)
         def mm(v: Option[String]) = v.map("=" + enc(_)).getOrElse("-")
+        def ol(v: Option[Long]) = v.map(_.toString).getOrElse("-")
         val body = (Seq(s"rows\t${ts.rowCount}",
           s"bytes\t${ts.sizeInBytes}") ++
           ts.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
             s"col\t${enc(c)}\t${cs.ndv}\t${cs.nulls}\t" +
-              s"${mm(cs.min)}\t${mm(cs.max)}"
+              s"${mm(cs.min)}\t${mm(cs.max)}\t" +
+              s"${ol(cs.avgLen)}\t${ol(cs.maxLen)}"
           } ++
           ts.cols.toSeq.sortBy(_._1).flatMap { case (c, cs) =>
             cs.hist.map(h => s"hist\t${enc(c)}\t${h.height}\t" +
@@ -557,16 +563,24 @@ object CatalogStore {
       l.split("\t", -1) match {
         case Array("rows", n) => rows = n.toLong
         case Array("bytes", b) => bytes = b.toLong
-        case Array("col", c, ndv, nulls, mn, mx) =>
+        case Array("col", rest @ _*) if rest.size == 5 ||
+            rest.size == 7 =>
           // "=<enc>" = value (unambiguous: enc never emits '='),
           // "-" = none; a bare legacy value (pre-marker sidecars)
-          // still decodes
+          // still decodes. 5 fields = pre-length sidecars, 7 adds
+          // avg/max byte length for var-width columns.
           def mm(s: String): Option[String] =
             if (s == "-") None
             else if (s.startsWith("=")) Some(dec(s.drop(1)))
             else Some(dec(s))
+          def ol(s: String): Option[Long] =
+            if (s == "-") None else Some(s.toLong)
+          val Seq(c, ndv, nulls, mn, mx) = rest.take(5)
+          val (al, ml) =
+            if (rest.size == 7) (ol(rest(5)), ol(rest(6)))
+            else (None, None)
           cols(dec(c)) = graft.plans.ColStats(ndv.toLong, nulls.toLong,
-            mm(mn), mm(mx))
+            mm(mn), mm(mx), avgLen = al, maxLen = ml)
         case Array("hist", c, h, bs) =>
           hists(dec(c)) = graft.plans.Hist(h.toDouble,
             bs.split(",").filter(_.nonEmpty).toSeq.map { s =>

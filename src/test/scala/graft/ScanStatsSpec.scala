@@ -223,6 +223,33 @@ class ScanStatsSpec extends SparkSpec {
     assert(CatalogStore.analyze(spark, root, snap) == ts)
   }
 
+  test("var-width byte lengths ride analyze into CatalogColumnStat " +
+      "(CBO's row-width feed); fixed-width columns default from type") {
+    val root = Files.createTempDirectory("slen").toString
+    val df = Seq((1L, "aa"), (2L, "bbbb")).toDF("k", "s")
+    CatalogStore.commit(spark, root, Map("t" -> df))
+    val snap = CatalogStore.snapshot(spark, root)
+    val ts = CatalogStore.analyze(spark, root, snap)
+    assert(ts("t").cols("s").avgLen.contains(3L) && // ceil((2+4)/2)
+      ts("t").cols("s").maxLen.contains(4L))
+    assert(ts("t").cols("k").avgLen.isEmpty &&
+      ts("t").cols("k").maxLen.isEmpty)
+    // sidecar round-trips the lengths
+    ScanStatsCatalog.clear()
+    assert(CatalogStore.registerStats(spark, root, snap) == ts)
+    // and the rule attaches them to the scan's catalog stats
+    withRule {
+      val lr = CatalogStore.read(spark, root, "t", snap)
+        .queryExecution.optimizedPlan.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l
+        }
+      val cst = lr.get.catalogTable.get.stats.get.colStats("s")
+      assert(cst.avgLen.contains(3L) && cst.maxLen.contains(4L))
+      ScanStatsCatalog.clear()
+    }
+  }
+
   test("registerSnapshotViews: reports.json-style SQL replays history " +
       "at a pinned version; suffixed views coexist with current") {
     val root = Files.createTempDirectory("stt").toString
