@@ -4263,6 +4263,525 @@ object ExtQueries {
         .toDF("enforced", "evolved", "travel_schema", "immutable_types")
     },
 
+    "store_branch_wap_gate" -> QueryDef(
+      doc = "named-ref branches on the transactional catalog - write-audit-publish at BRANCH granularity (the Nessie/Iceberg-refs tier: stage whole multi-table transactions on a movable ref, inspect them with full engine SQL, publish to main as one metadata-only merge): (1) isolated - commits to the branch never move the main pointer and main readers never observe branch data, even transiently; (2) branch_reads - snapshotRef serves the branch's own commits PLUS main's untouched tables carried forward (the branch is a complete world, not a diff); (3) audited_merge - a failing audit on the branch blocks nothing on main and costs main nothing; after a fixing branch commit, mergeBranch publishes the branch's tables to main ATOMICALLY; (4) zero_copy - the merged main map POINTS at the branch's immutable version dir (same physical path, zero bytes rewritten - Nessie's merge model, which is what makes branch workflows affordable at 100 TB)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS isolated, " +
+        "CAST(1 AS INTEGER) AS branch_reads, " +
+        "CAST(1 AS INTEGER) AS audited_merge, " +
+        "CAST(1 AS INTEGER) AS zero_copy") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-brw")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      val dim = orders.filter(col("o_orderkey") % 3 === 0)
+      CatalogStore.commit(s, root, Map("dim" -> dim)) // main v1
+      CatalogStore.createBranch(s, root, "load")
+      // the branch stages a BAD fact (too few rows) - on main:
+      // nothing happens, ever
+      val bad = orders.limit(5)
+      CatalogStore.commit(s, root, Map("fact" -> bad), ref = "load")
+      val isolated =
+        CatalogStore.currentVersion(s, root).contains(1) &&
+        CatalogStore.snapshot(s, root).tables == Map("dim" -> 1)
+      // the branch world: its fact plus main's dim carried forward
+      val bSnap = CatalogStore.snapshotRef(s, root, "load")
+      val branchReads = bSnap.tables.keySet == Set("dim", "fact") &&
+        eq(CatalogStore.read(s, root, "dim", bSnap), dim.toDF()) &&
+        eq(CatalogStore.read(s, root, "fact", bSnap), bad.toDF())
+      // audit ON the branch (full engine SQL over the staged world)
+      // fails -> fix with another branch commit -> merge publishes
+      val auditFailed = CatalogStore
+        .read(s, root, "fact", bSnap).count() < 100
+      val good = orders.filter(col("o_orderkey") % 2 === 0)
+      CatalogStore.commit(s, root, Map("fact" -> good), ref = "load")
+      val factVer = CatalogStore.snapshotRef(s, root, "load")
+        .tables("fact")
+      val merge = CatalogStore.mergeBranch(s, root, "load")
+      val mainSnap = CatalogStore.snapshot(s, root)
+      val auditedMerge = auditFailed && merge.tables == Seq("fact") &&
+        mainSnap.tables == Map("dim" -> 1, "fact" -> factVer) &&
+        eq(CatalogStore.read(s, root, "fact", mainSnap), good.toDF())
+      // zero-copy: main serves the branch's PHYSICAL dir
+      val zeroCopy = CatalogStore.tablePath(root, "fact", mainSnap) ==
+        s"$root/fact/v=$factVer" && merge.fastForward
+      Seq((if (isolated) 1 else 0, if (branchReads) 1 else 0,
+        if (auditedMerge) 1 else 0, if (zeroCopy) 1 else 0))
+        .toDF("isolated", "branch_reads", "audited_merge", "zero_copy")
+    },
+
+    "store_branch_merge_gate" -> QueryDef(
+      doc = "divergent-history merges on the catalog's named refs: (1) disjoint_merged - branch changed table B while main changed table A; the merge commit combines BOTH (main's A at main's version, branch's B at the branch's version) with no fast-forward and no data copy; (2) conflict_loud - when the SAME table changed on both sides since the fork, mergeBranch refuses with the table named (a silent last-writer-wins here is how a 100 TB lakehouse loses a day of writes) and main is byte-unchanged by the refused merge; (3) force_wins - force=true is the explicit override: branch wins at table granularity; (4) numbers_shared - version numbers are one claim namespace across refs, yet main's frontier NEVER adopts a branch catalog: a branch commit between two main commits leaves main's history linear and its map free of branch tables",
+      oracle = "SELECT CAST(1 AS INTEGER) AS disjoint_merged, " +
+        "CAST(1 AS INTEGER) AS conflict_loud, " +
+        "CAST(1 AS INTEGER) AS force_wins, " +
+        "CAST(1 AS INTEGER) AS numbers_shared") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-brm")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      CatalogStore.commit(s, root, Map(
+        "a" -> orders.limit(10), "b" -> orders.limit(10)))
+      CatalogStore.createBranch(s, root, "wip")
+      val bBranch = orders.filter(col("o_orderkey") % 5 === 0)
+      CatalogStore.commit(s, root, Map("b" -> bBranch), ref = "wip")
+      val aMain = orders.limit(22)
+      CatalogStore.commit(s, root, Map("a" -> aMain))
+      // (4) numbers shared, histories separate: the branch took a
+      // number between main's commits; main's map must not know it
+      val preMerge = CatalogStore.snapshot(s, root)
+      val numbersShared = !preMerge.tables.values.toSet
+        .contains(2) /* branch's number */ &&
+        CatalogStore.catMeta(s, root, preMerge.version).ref == "main"
+      // (1) disjoint merge: both sides' changes land in one commit
+      val m = CatalogStore.mergeBranch(s, root, "wip")
+      val postMerge = CatalogStore.snapshot(s, root)
+      val disjoint = !m.fastForward && m.tables == Seq("b") &&
+        eq(CatalogStore.read(s, root, "a", postMerge), aMain.toDF()) &&
+        eq(CatalogStore.read(s, root, "b", postMerge), bBranch.toDF())
+      // (2) conflict: both sides change b since the new fork
+      CatalogStore.createBranch(s, root, "wip2")
+      CatalogStore.commit(s, root, Map("b" -> orders.limit(7)),
+        ref = "wip2")
+      CatalogStore.commit(s, root, Map("b" -> orders.limit(9)))
+      val snapBefore = CatalogStore.snapshot(s, root)
+      val conflictLoud = (try {
+        CatalogStore.mergeBranch(s, root, "wip2"); false
+      } catch {
+        case e: CatalogStore.MergeConflictException =>
+          e.tables == Seq("b")
+      }) && CatalogStore.snapshot(s, root) == snapBefore
+      // (3) the explicit override: branch wins at table granularity
+      CatalogStore.mergeBranch(s, root, "wip2", force = true)
+      val forceWins = CatalogStore.read(s, root, "b",
+        CatalogStore.snapshot(s, root)).count() == 7
+      Seq((if (disjoint) 1 else 0, if (conflictLoud) 1 else 0,
+        if (forceWins) 1 else 0, if (numbersShared) 1 else 0))
+        .toDF("disjoint_merged", "conflict_loud", "force_wins",
+          "numbers_shared")
+    },
+
+    "store_tag_gate" -> QueryDef(
+      doc = "immutable tags on the transactional catalog (release names for time travel: 'the eval ran against v2024.1' must stay answerable for as long as the tag lives, whatever vacuum does meanwhile): (1) tag_read - snapshotRef by tag name serves the tagged catalog's exact content after later commits superseded it; (2) immutable - re-creating an existing tag fails loudly, and committing TO a tag is rejected with the branch/tag distinction named; (3) vacuum_pins - vacuum(keep=1) that would drop the tagged catalog keeps it AND every table version its map references (an age/keep-based GC alone deletes the bytes a compliance replay needs); (4) drop_sweeps - dropTag ends the pin: the next vacuum reclaims the catalog and its now-unreferenced table versions, and time travel to it fails loudly",
+      oracle = "SELECT CAST(1 AS INTEGER) AS tag_read, " +
+        "CAST(1 AS INTEGER) AS immutable, " +
+        "CAST(1 AS INTEGER) AS vacuum_pins, " +
+        "CAST(1 AS INTEGER) AS drop_sweeps") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-tag")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      val rel = orders.filter(col("o_orderkey") % 4 === 0)
+      CatalogStore.commit(s, root, Map("t" -> rel)) // v1
+      CatalogStore.createTag(s, root, "v2024.1")
+      CatalogStore.commit(s, root, Map("t" -> orders.limit(60)))
+      CatalogStore.commit(s, root, Map("t" -> orders.limit(70)))
+      val tagged = CatalogStore.snapshotRef(s, root, "v2024.1")
+      val tagRead = tagged.version == 1 &&
+        eq(CatalogStore.read(s, root, "t", tagged), rel.toDF())
+      val immutable = (try {
+        CatalogStore.createTag(s, root, "v2024.1"); false
+      } catch { case _: IllegalArgumentException => true }) &&
+        (try {
+          CatalogStore.commit(s, root, Map("t" -> rel), ref = "v2024.1")
+          false
+        } catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("TAG") })
+      // vacuum would drop catalog 1 - the tag pins it and t/v=1
+      val vac = CatalogStore.vacuum(s, root, keep = 1, claimAgeMs = 0L)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val vacuumPins = vac.catalogs == Seq(2) &&
+        vac.tableVersions == Map("t" -> Seq(2)) &&
+        fs.exists(new org.apache.hadoop.fs.Path(root, "t/v=1")) &&
+        eq(CatalogStore.read(s, root, "t",
+          CatalogStore.snapshotRef(s, root, "v2024.1")), rel.toDF())
+      CatalogStore.dropTag(s, root, "v2024.1")
+      val vac2 = CatalogStore.vacuum(s, root, keep = 1, claimAgeMs = 0L)
+      val dropSweeps = vac2.catalogs == Seq(1) &&
+        vac2.tableVersions == Map("t" -> Seq(1)) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "t/v=1")) &&
+        (try { CatalogStore.snapshot(s, root, Some(1)); false }
+         catch { case _: Exception => true })
+      Seq((if (tagRead) 1 else 0, if (immutable) 1 else 0,
+        if (vacuumPins) 1 else 0, if (dropSweeps) 1 else 0))
+        .toDF("tag_read", "immutable", "vacuum_pins", "drop_sweeps")
+    },
+
+    "report_branch_audit" -> QueryDef(
+      doc = "the branch-audit REPORT: a staging branch carries the next load of the month-level order fact while main still serves the previous one - the auditor's query (month, orders, cents off snapshotRef) runs with full engine SQL against the BRANCH world before anything reaches a consumer. The oracle recomputes the report from the raw orders table, so the driver hash proves a branch read equals the semantic ground truth (not just 'some rows'); the main world is asserted untouched inside the build (its pointer version is folded into a column the oracle also pins)",
+      oracle = """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cents,
+               CAST(1 AS INTEGER) AS main_version
+        FROM orders WHERE o_orderkey < 6000
+        GROUP BY 1""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      // main serves a PARTIAL load; the branch stages the full one
+      val root = java.nio.file.Files.createTempDirectory("graft-bra")
+        .toString
+      CatalogStore.commit(s, root,
+        Map("fact" -> orders.filter(col("o_orderkey") % 11 === 0)))
+      CatalogStore.createBranch(s, root, "staging")
+      CatalogStore.commit(s, root,
+        Map("fact" -> orders.filter(col("o_orderkey") < 6000)),
+        ref = "staging")
+      val bSnap = CatalogStore.snapshotRef(s, root, "staging")
+      // main must still be the partial v1 world while we audit
+      val mainV = CatalogStore.currentVersion(s, root).getOrElse(-1)
+      CatalogStore.read(s, root, "fact", bSnap)
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("cents").cast("long").as("cents"))
+        .withColumn("main_version", lit(mainV).cast("int"))
+        .localCheckpoint(true)
+    },
+
+    "store_constraint_gate" -> QueryDef(
+      doc = "declarative catalog-persisted constraints (Delta's ADD CONSTRAINT tier: the contract lives IN the catalog and outlives the pipeline that declared it - the 100 TB failure it closes is the second writer, or the human with a notebook, publishing the same table without the first pipeline's checks): (1) add_validates - ADD CONSTRAINT over data that already violates it is rejected (a contract nobody validated is worse than none) and the catalog records nothing; (2) enforced - after a clean add, a violating commit is rejected BEFORE any metadata moves (claim, version dirs, pointer all byte-identical) with the constraint, kind, and an offending row named; (3) carried - the constraint rides the catalog's carry-forward: still enforced after unrelated commits, and dropConstraint ends enforcement; (4) unique_key - UNIQUE over the order key rejects a duplicated load and passes the deduplicated one (one aggregation per commit, the documented cost); (5) merge_gated - a branch that forked BEFORE the constraint existed stages violating data; mergeBranch enforces MAIN's set on the merged tables and refuses - the WAP close",
+      oracle = "SELECT CAST(1 AS INTEGER) AS add_validates, " +
+        "CAST(1 AS INTEGER) AS enforced, " +
+        "CAST(1 AS INTEGER) AS carried, " +
+        "CAST(1 AS INTEGER) AS unique_key, " +
+        "CAST(1 AS INTEGER) AS merge_gated") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      import graft.sources.CatalogStore.{Constraint,
+        ConstraintViolationException}
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-cns")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      CatalogStore.commit(s, root, Map("t" -> orders.limit(50)))
+      // (1) the ADD validates existing data: a bound the data already
+      // breaks is rejected and nothing is recorded
+      val addValidates = (try {
+        CatalogStore.addConstraints(s, root, Seq(
+          Constraint.check("t", "tiny", "o_totalprice < 1"))); false
+      } catch { case _: ConstraintViolationException => true }) &&
+        CatalogStore.constraintsOf(s, root,
+          CatalogStore.snapshot(s, root)).isEmpty
+      // a clean add lands as a metadata-only commit
+      CatalogStore.addConstraints(s, root, Seq(
+        Constraint.check("t", "price_pos", "o_totalprice >= 0")))
+      val preBad = CatalogStore.snapshot(s, root)
+      // (2) violating commit rejected pre-claim, store byte-identical
+      val bad = orders.limit(20).withColumn("o_totalprice", lit(-1.0))
+      val enforced = (try {
+        CatalogStore.commit(s, root, Map("t" -> bad)); false
+      } catch { case e: ConstraintViolationException =>
+        e.constraint == "price_pos" && e.getMessage.contains("CHECK")
+      }) && CatalogStore.snapshot(s, root) == preBad &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root,
+          s"t/v=${preBad.version + 1}")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root,
+          s"_cat/claim=${preBad.version + 1}"))
+      // (3) carried: unrelated commits later, the same bad data still
+      // rejects; drop ends enforcement
+      CatalogStore.commit(s, root, Map("other" -> orders.limit(5)))
+      val stillRejected = try {
+        CatalogStore.commit(s, root, Map("t" -> bad)); false
+      } catch { case _: ConstraintViolationException => true }
+      CatalogStore.dropConstraint(s, root, "t", "price_pos")
+      val carried = stillRejected &&
+        CatalogStore.commit(s, root, Map("t" -> bad)).committed
+      // (4) UNIQUE: the double-loaded fact rejects, the dedup passes
+      CatalogStore.addConstraints(s, root, Seq(
+        Constraint.unique("t", Seq("o_orderkey"))))
+      val dup = orders.limit(30).unionAll(orders.limit(10))
+      val uniqueKey = (try {
+        CatalogStore.commit(s, root, Map("t" -> dup)); false
+      } catch { case e: ConstraintViolationException =>
+        e.getMessage.contains("UNIQUE")
+      }) && CatalogStore.commit(s, root,
+        Map("t" -> dup.dropDuplicates("o_orderkey"))).committed
+      // (5) merge gate: a branch forked before the constraint existed
+      // carries violating data; main's set refuses the merge
+      CatalogStore.addConstraints(s, root, Seq(
+        Constraint.check("t", "key_pos", "o_orderkey >= 0")))
+      CatalogStore.createBranch(s, root, "old",
+        at = Some(1)) // pre-constraint fork
+      CatalogStore.commit(s, root, Map("t" -> orders.limit(8)
+        .withColumn("o_orderkey", lit(-5L))), ref = "old")
+      val preMergeSnap = CatalogStore.snapshot(s, root)
+      val mergeGated = (try {
+        CatalogStore.mergeBranch(s, root, "old", force = true); false
+      } catch { case e: ConstraintViolationException =>
+        e.constraint == "key_pos"
+      }) && CatalogStore.snapshot(s, root) == preMergeSnap
+      Seq((if (addValidates) 1 else 0, if (enforced) 1 else 0,
+        if (carried) 1 else 0, if (uniqueKey) 1 else 0,
+        if (mergeGated) 1 else 0))
+        .toDF("add_validates", "enforced", "carried", "unique_key",
+          "merge_gated")
+    },
+
+    "store_upsert" -> QueryDef(
+      doc = "MERGE INTO on the transactional catalog (the DML tier over the commit protocol: publish = INSERT OVERWRITE, this = row-level upsert with copy-on-write at version granularity): base fact committed, then an update batch whose keys half-overlap - matched keys REPLACE, new keys APPEND, untouched rows carry. The oracle replays the merge algebra (updates UNION ALL base WHERE NOT EXISTS matching update) over the raw orders table, so the driver hash proves catalog MERGE semantics equal the relational ground truth; the derived-CAS loop (re-derive when a concurrent writer moves the base version - the lost-update race) is CatalogDmlSpec's contract",
+      oracle = """
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM orders WHERE o_orderkey < 4000),
+        upd AS (
+          SELECT o_orderkey AS k,
+                 CAST(round(o_totalprice * 100, 0) AS BIGINT) + 7 AS cents
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 5000)
+        SELECT k, cents FROM upd
+        UNION ALL
+        SELECT b.k, b.cents FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.k = b.k)""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ups")
+        .toString
+      CatalogStore.commit(s, root,
+        Map("fact" -> orders.filter(col("k") < 4000)))
+      CatalogStore.upsertTable(s, root, "fact",
+        orders.filter(col("k") >= 2000 && col("k") < 5000)
+          .withColumn("cents", col("cents") + 7),
+        keys = Seq("k"))
+      CatalogStore.readCurrent(s, root, "fact").localCheckpoint(true)
+    },
+
+    "store_catalog_cdf" -> QueryDef(
+      doc = "change data feed between CATALOG versions - 'what did that transaction change', composed with the DML tier: tx1 publishes the keyed fact, tx2 UPSERTs a half-overlapping batch (matched keys modify, new keys add), tx3 DELETEs the low keys - changesBetween(cat 1, cat 3) diffs the two immutable table versions those catalogs reference (snapshotDiff's one id-keyed join of (id, md5) projections; carried-forward identical versions short-circuit to a join-free unchanged projection). The oracle replays the upsert+delete membership algebra from the raw orders table, so the driver hash proves the catalog-level feed equals the semantic ground truth across a realistic DML history",
+      oracle = """
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey < 500 THEN 'removed'
+                    WHEN o_orderkey < 2000 THEN 'unchanged'
+                    WHEN o_orderkey < 4000 THEN 'modified'
+                    ELSE 'added' END AS status
+        FROM orders WHERE o_orderkey < 5000""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long")
+            .cast("string").as("content"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ccdf")
+        .toString
+      CatalogStore.commit(s, root,
+        Map("fact" -> orders.filter(col("k") < 4000)))
+      CatalogStore.upsertTable(s, root, "fact",
+        orders.filter(col("k") >= 2000 && col("k") < 5000)
+          .withColumn("content", concat(col("content"), lit("x"))),
+        keys = Seq("k"))
+      CatalogStore.deleteWhere(s, root, "fact", col("k") < 500)
+      CatalogStore.changesBetween(s, root, "fact", 1, 3,
+        "k", "content").localCheckpoint(true)
+    },
+
+    "store_rename_gate" -> QueryDef(
+      doc = "column rename WITHOUT rewrite (the Iceberg field-mapping answer, recovered as a version-stamped rename chain in the catalog metadata - closing the schema contract's 'a rename is a new table' with the feature real lakehouses ship; at 100 TB a rename that rewrites the table is a day of cluster time, this is one metadata file): (1) metadata_only - renameColumn lands a data-free catalog commit: no new table version, the old version's files byte-identical, yet the current read serves the NEW name over the OLD bytes; (2) travel_names - time travel to the pre-rename catalog serves the OLD name (old catalogs simply don't carry the mapping); (3) chained_generations - a post-rename commit writes the new name physically and a SECOND rename maps BOTH physical generations; upsert reads and writes the logical name across them; (4) guarded - renaming a constraint-referenced column is refused with the constraint named (the stored expression would silently stop matching); renaming onto an existing column is refused",
+      oracle = "SELECT CAST(1 AS INTEGER) AS metadata_only, " +
+        "CAST(1 AS INTEGER) AS travel_names, " +
+        "CAST(1 AS INTEGER) AS chained_generations, " +
+        "CAST(1 AS INTEGER) AS guarded") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      import graft.sources.CatalogStore.Constraint
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("k") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-ren")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      CatalogStore.commit(s, root, Map("t" -> orders))
+      val filesBefore = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "t/v=1"))
+        .filter(_.isFile)
+        .map(f => f.getPath.getName -> f.getLen).toMap
+      CatalogStore.renameColumn(s, root, "t", "cents", "amount")
+      val snap = CatalogStore.snapshot(s, root)
+      val metadataOnly = snap.tables == Map("t" -> 1) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(root, "t/v=2")) &&
+        fs.listStatus(new org.apache.hadoop.fs.Path(root, "t/v=1"))
+          .filter(_.isFile)
+          .map(f => f.getPath.getName -> f.getLen).toMap == filesBefore &&
+        eq(CatalogStore.read(s, root, "t", snap),
+          orders.withColumnRenamed("cents", "amount"))
+      val travelNames = CatalogStore.read(s, root, "t",
+        CatalogStore.snapshot(s, root, Some(1)))
+        .columns.toSeq == Seq("k", "cents")
+      // a new physical generation under the new name, then a second
+      // rename spanning both generations, then DML over it
+      CatalogStore.commit(s, root,
+        Map("t" -> orders.withColumnRenamed("cents", "amount")
+          .filter(col("k") % 2 === 0)))
+      CatalogStore.renameColumn(s, root, "t", "amount", "amt")
+      CatalogStore.upsertTable(s, root, "t",
+        orders.withColumnRenamed("cents", "amt")
+          .filter(col("k") % 2 === 1), Seq("k"))
+      val chained = eq(CatalogStore.read(s, root, "t",
+        CatalogStore.snapshot(s, root)),
+        orders.withColumnRenamed("cents", "amt")) &&
+        // generation 1 (physical `cents`) through the chain at the
+        // mid catalog: logical `amount`
+        CatalogStore.read(s, root, "t",
+          CatalogStore.snapshot(s, root, Some(2)))
+          .columns.toSeq == Seq("k", "amount")
+      CatalogStore.addConstraints(s, root, Seq(
+        Constraint.check("t", "amt_pos", "amt >= 0")))
+      val guarded = (try {
+        CatalogStore.renameColumn(s, root, "t", "amt", "x"); false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("amt_pos")
+      }) && (try {
+        CatalogStore.renameColumn(s, root, "t", "k", "amt"); false
+      } catch { case _: IllegalArgumentException => true })
+      Seq((if (metadataOnly) 1 else 0, if (travelNames) 1 else 0,
+        if (chained) 1 else 0, if (guarded) 1 else 0))
+        .toDF("metadata_only", "travel_names", "chained_generations",
+          "guarded")
+    },
+
+    "store_dml_gate" -> QueryDef(
+      doc = "the DML tier's guarantees: (1) delete_sql - deleteWhere removes exactly the rows where the predicate is TRUE; FALSE and NULL rows stay (SQL DELETE semantics - a naive filter(!p) silently deletes every NULL row too); (2) upsert_checked - the persisted constraints gate the MERGED result: a violating update batch rejects pre-claim and the store is byte-identical; (3) no_lost_update - the derived-CAS loop: a concurrent commit landing between an upsert's read and its claim triggers RE-derivation against the new version, so the concurrent writer's rows survive into the merged result (the optimistic-concurrency conflict Delta surfaces as ConcurrentModificationException, closed here by replay); (4) history - every pre-DML version still serves its own bytes (DML writes new versions, never rewrites history)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS delete_sql, " +
+        "CAST(1 AS INTEGER) AS upsert_checked, " +
+        "CAST(1 AS INTEGER) AS no_lost_update, " +
+        "CAST(1 AS INTEGER) AS history") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      import graft.sources.CatalogStore.{Constraint,
+        ConstraintViolationException}
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      val root = java.nio.file.Files.createTempDirectory("graft-dml")
+        .toString
+      // (1) DELETE semantics over a NULL-bearing column
+      val base = Seq((1, Some(5L)), (2, Some(-5L)),
+        (3, None: Option[Long])).toDF("k", "v")
+      CatalogStore.commit(s, root, Map("t" -> base))
+      CatalogStore.deleteWhere(s, root, "t", col("v") < 0)
+      val deleteSql = eq(CatalogStore.readCurrent(s, root, "t"),
+        Seq((1, Some(5L)), (3, None: Option[Long])).toDF("k", "v"))
+      // (2) constraints gate the merged result
+      CatalogStore.addConstraints(s, root, Seq(
+        Constraint.check("t", "v_pos", "v >= 0")))
+      val pre = CatalogStore.snapshot(s, root)
+      val upsertChecked = (try {
+        CatalogStore.upsertTable(s, root, "t",
+          Seq((1, Some(-9L))).toDF("k", "v"), Seq("k")); false
+      } catch { case e: ConstraintViolationException =>
+        e.constraint == "v_pos"
+      }) && CatalogStore.snapshot(s, root) == pre
+      // (3) the lost-update race, closed: interfere mid-derivation
+      var interfered = false
+      CatalogStore.commitDerived(s, root, "t", "main",
+        contentionTimeoutMs = 60000L, evolve = false,
+        enforce = false) { (bv, _, dst) =>
+        if (!interfered) {
+          interfered = true
+          CatalogStore.commit(s, root,
+            Map("t" -> Seq((1, Some(5L)), (9, Some(90L)))
+              .toDF("k", "v")))
+        }
+        s.read.parquet(s"$root/t/v=${bv.get}")
+          .withColumn("v", col("v") * 2)
+          .write.mode("errorifexists").parquet(dst)
+      }
+      // the concurrent writer's k=9 row survived, doubled — a stale
+      // derivation of the pre-interference version would have lost it
+      val noLostUpdate = eq(CatalogStore.readCurrent(s, root, "t"),
+        Seq((1, Some(10L)), (9, Some(180L))).toDF("k", "v"))
+      // (4) history: v1 still serves the original three rows
+      val history = eq(CatalogStore.read(s, root, "t",
+        CatalogStore.snapshot(s, root, Some(1))), base.toDF())
+      Seq((if (deleteSql) 1 else 0, if (upsertChecked) 1 else 0,
+        if (noLostUpdate) 1 else 0, if (history) 1 else 0))
+        .toDF("delete_sql", "upsert_checked", "no_lost_update",
+          "history")
+    },
+
+    "store_optimize_gate" -> QueryDef(
+      doc = "catalog-integrated OPTIMIZE (Delta OPTIMIZE / Iceberg rewrite_data_files as a TRANSACTION - maintenance that can never tear a reader): (1) compacted - 16 deliberately tiny files (the streaming-append shape that turns every 100 TB scan into a task storm) land as a new version with fewer files via the claim protocol; (2) rows_eq - the optimized version is row-identical to the base, both directions; (3) travel_intact - the PRE-optimize version keeps its exact file count and rows (optimize writes a new version; history is immutable until vacuum); (4) zorder_clusters - the zorder mode plus ride-along indexCols: the persisted file index on the clustered version prunes a narrow key band to <= 2 files while the SAME index columns on the unclustered version keep all 16 (random partitioning makes every file span the full key range - clustering is what turns min/max boxes into real IO pruning)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS compacted, " +
+        "CAST(1 AS INTEGER) AS rows_eq, " +
+        "CAST(1 AS INTEGER) AS travel_intact, " +
+        "CAST(1 AS INTEGER) AS zorder_clusters") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.CatalogStore
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .filter(col("o_orderkey") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-opt")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      def nFiles(v: Int) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, s"t/v=$v"))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      CatalogStore.commit(s, root, Map("t" -> orders.repartition(16)),
+        indexCols = Map("t" -> Seq("o_orderkey")))
+      val tx = CatalogStore.optimizeTable(s, root, "t", targetMb = 128)
+      val compacted = tx.version.contains(2) && nFiles(2) < 16
+      val snap2 = CatalogStore.snapshot(s, root)
+      val rowsEq = eq(CatalogStore.read(s, root, "t", snap2),
+        orders.toDF())
+      val travelIntact = nFiles(1) == 16 &&
+        eq(CatalogStore.read(s, root, "t",
+          CatalogStore.snapshot(s, root, Some(1))), orders.toDF())
+      // (4) clustering turns the file index into real pruning: the
+      // same narrow band survives <= 2 clustered files vs all 16
+      // random ones
+      CatalogStore.optimizeTable(s, root, "t",
+        zorderCols = Seq("o_orderkey"), zorderFiles = Some(8),
+        indexCols = Seq("o_orderkey"))
+      val snap3 = CatalogStore.snapshot(s, root)
+      def band(idx: org.apache.spark.sql.DataFrame) = idx
+        .filter(col("min_o_orderkey") <= 1100 &&
+          col("max_o_orderkey") >= 1000)
+        .count()
+      val idx1 = CatalogStore.fileIndexOf(s, root,
+        CatalogStore.snapshot(s, root, Some(1)), "t").get
+      val zorderClusters =
+        band(CatalogStore.fileIndexOf(s, root, snap3, "t").get) <= 2 &&
+        band(idx1) >= 12 &&
+        eq(CatalogStore.read(s, root, "t", snap3), orders.toDF())
+      Seq((if (compacted) 1 else 0, if (rowsEq) 1 else 0,
+        if (travelIntact) 1 else 0, if (zorderClusters) 1 else 0))
+        .toDF("compacted", "rows_eq", "travel_intact",
+          "zorder_clusters")
+    },
+
     "stats_metadata_agg_gate" -> QueryDef(
       doc = "metadata-only aggregates from the publish-time stats sidecar (what Delta/Iceberg answer from the manifest and a bare-path lakehouse re-scans for - at 100 TB the dashboard's SELECT count(*), max(event_time) is one small-file read, not an ~800k-file scan): CatalogStore.metaAgg serves COUNT(*)/null-counts/MIN/MAX from the sidecar CatalogStore.analyze wrote into the immutable version dir. Legs: (1) meta_counts - row count and per-column null counts equal the full-scan aggregates; (2) meta_bounds - min/max equal the full-scan values IN THE COLUMN'S TYPE, and the gate proves the lexicographic trap is real and dodged (the string-order max of the key differs from the typed max - a sidecar recording report-form strings would serve a bound that excludes live values); (3) meta_local - the optimized plan is a LocalRelation: zero scans, the answer is constant-folded from metadata; (4) meta_strings - string-column min/max (where lexicographic IS the right order) also match the scan",
       oracle = "SELECT CAST(1 AS INTEGER) AS meta_counts, " +
@@ -4926,6 +5445,51 @@ object ExtQueries {
         if (strays == 0) 1 else 0, if (guarded) 1 else 0))
         .toDF("rows_eq", "still_no_shuffle", "bucket_honest",
           "spec_guarded")
+    },
+
+    "store_upsert_ticks" -> QueryDef(
+      doc = "streaming MERGE INTO the transactional catalog (the Kafka-CDC-to-lakehouse flow: per-key state upserts arriving as micro-batches, exactly-once): the event log replays as three ts-ordered ticks through EtlStreaming.upsertTickBatch - each tick dedupes to one row per user (latest by ts, event_id) and MERGEs into the user_state table with the tick_meta replay guard riding in the SAME atomic commit (a replayed batch id no-ops; guard and data cannot diverge by construction - EtlStreamingSpec drives the MemoryStream twin and the replay). Because ticks partition by time, per-key last-tick-wins composes to the global latest state, which is exactly what the oracle's window over the raw events computes - the driver hash proves the folded streaming upserts equal the one-shot batch answer",
+      oracle = """
+        WITH e AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, event_type AS last_type,
+               CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+        FROM e WHERE rn = 1""") { (s, dir) =>
+      import graft.sources.CatalogStore
+      import graft.streaming.EtlStreaming
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id"))
+      // three ts-ordered ticks at the approx tertiles (deterministic
+      // for a fixed fixture)
+      // collect-bound: one row carrying 2 boundaries
+      val b = ev.agg(percentile_approx(unix_micros(col("ts").cast("timestamp")),
+        typedLit(Seq(1.0 / 3, 2.0 / 3)), lit(10000)).as("b"))
+        .collect()(0).getSeq[Long](0)
+      val root = java.nio.file.Files.createTempDirectory("graft-upt")
+        .toString
+      val latestPerKey: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame = { batch =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_type"),
+            unix_micros(col("ts").cast("timestamp")).as("last_ts_us"))
+      }
+      def tick(cond: org.apache.spark.sql.Column, id: Long): Unit =
+        EtlStreaming.upsertTickBatch(s, root, ev.filter(cond), id,
+          "user_state", Seq("user_id"), latestPerKey)
+      val us = unix_micros(col("ts").cast("timestamp"))
+      tick(us < b(0), 0L)
+      tick(us >= b(0) && us < b(1), 1L)
+      tick(us >= b(1), 2L)
+      CatalogStore.readCurrent(s, root, "user_state")
+        .localCheckpoint(true)
     },
 
     "store_catalog_ticks" -> QueryDef(

@@ -66,9 +66,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object CatalogStore {
 
   /** Resolved catalog state: reads off one snapshot are mutually
-    * consistent (pointer resolved exactly once).
+    * consistent (pointer resolved exactly once). `renames` is the
+    * catalog's column-mapping metadata ([[renameColumn]]) — carried
+    * here so [[read]] can apply it without re-reading the catalog
+    * file per table.
     */
-  final case class Snapshot(version: Int, tables: Map[String, Int])
+  final case class Snapshot(version: Int, tables: Map[String, Int],
+      renames: Seq[Rename] = Seq.empty)
+
+  /** One column rename, recorded at catalog version `atVersion`: it
+    * applies to every table version WRITTEN BEFORE it (physical
+    * column names are the logical names at write time; versions
+    * committed after the rename already carry the new name in their
+    * bytes). Iceberg solves this with per-file field ids; the
+    * version-stamped rename chain is the same algebra over this
+    * store's immutable version dirs — rename is METADATA-ONLY, no
+    * rewrite, and time travel to a pre-rename catalog serves the old
+    * name because old catalogs simply don't carry the rename.
+    */
+  final case class Rename(atVersion: Int, table: String,
+      from: String, to: String)
 
   /** What a [[commit]] did: the new catalog version on success, or
     * the failing audit's name with every staged byte rolled back.
@@ -81,6 +98,55 @@ object CatalogStore {
   /** A named audit against one STAGED table of the transaction. */
   final case class Audit(name: String, table: String,
       check: DataFrame => Boolean)
+
+  /** A DECLARATIVE, catalog-persisted data contract on one table —
+    * the Delta `ALTER TABLE ADD CONSTRAINT` tier a bare-path
+    * lakehouse lacks. Unlike an [[Audit]] (a one-shot closure the
+    * CALLER must remember to pass on every commit), a constraint
+    * lives IN the catalog metadata, carries forward through every
+    * transaction, and is enforced on every later commit, merge, and
+    * constraint-add automatically — the 100 TB failure it closes is
+    * the second pipeline (or the human with a notebook) that writes
+    * the same table without the first pipeline's checks.
+    *
+    * Kinds:
+    *  - `check`: `expr` is a BOOLEAN Spark SQL expression over the
+    *    table's columns; a row violates only when it evaluates FALSE
+    *    (NULL passes — ANSI CHECK semantics, `notNull` closes nulls
+    *    explicitly);
+    *  - `unique`: `expr` is a comma-separated column list; violated
+    *    when any key value appears more than once. Enforcement costs
+    *    one aggregation of the staged table per commit — documented,
+    *    and still cheaper than the downstream join that silently
+    *    double-counts.
+    *
+    * Soundness invariant: every (constraint, table version) pair a
+    * catalog references was validated either when the table version
+    * committed (staged data checked against the then-current set) or
+    * when the constraint was added ([[addConstraints]] scans current
+    * data) — immutable version dirs make that a proof, not a hope.
+    */
+  final case class Constraint(table: String, name: String,
+      kind: String, expr: String)
+
+  object Constraint {
+    def check(table: String, name: String, expr: String): Constraint =
+      Constraint(table, name, "check", expr)
+    def notNull(table: String, column: String): Constraint =
+      Constraint(table, s"${column}_not_null", "check",
+        s"$column IS NOT NULL")
+    def unique(table: String, columns: Seq[String]): Constraint =
+      Constraint(table, "unique_" + columns.mkString("_"), "unique",
+        columns.mkString(","))
+  }
+
+  /** Thrown when staged/merged/current data violates a persisted
+    * [[Constraint]]. NOT retryable — the data is wrong, not
+    * contended; the commit rolls back to a byte-identical store.
+    */
+  final class ConstraintViolationException(val table: String,
+      val constraint: String, msg: String)
+    extends IllegalStateException(msg)
 
   /** Thrown when the exclusive catalog-file claim finds the version
     * already taken — i.e. another writer committed between our
@@ -128,6 +194,156 @@ object CatalogStore {
   private def tableDir(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
 
+  private def refFile(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_cat/ref=$name")
+
+  private def tagFile(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_cat/tag=$name")
+
+  private def validateRefName(name: String): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
+      s"ref name '$name' must be [A-Za-z0-9][A-Za-z0-9._-]{0,63}")
+    require(name != "main", "'main' is the pointer itself — it cannot " +
+      "be created or dropped")
+  }
+
+  /** Write a small ref/tag file exclusively (tmp + no-overwrite
+    * rename: the file appears complete or not at all; two racing
+    * creators converge on ONE winner, the loser fails loudly).
+    */
+  private def createRefExclusive(spark: SparkSession, root: String,
+      dst: org.apache.hadoop.fs.Path, v: Int, kind: String,
+      name: String): Unit = {
+    val fs = fsOf(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"_cat/.$kind=$name.tmp." + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_cat"))
+    val o = fs.create(tmp, true)
+    try o.write(v.toString.getBytes("UTF-8")) finally o.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      new org.apache.hadoop.fs.Path(root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE)
+    catch {
+      case e: Exception =>
+        fs.delete(tmp, false)
+        throw new IllegalArgumentException(
+          s"$kind $name already exists under $root", e)
+    }
+  }
+
+  /** Create a branch at `at` (default: the current main version; 0 on
+    * an unpublished store — the branch-first WAP posture). Branches
+    * are MOVABLE refs: [[commit]] with `ref = name` advances them via
+    * compare-and-swap, main never sees their history until
+    * [[mergeBranch]]. Returns the fork version.
+    */
+  def createBranch(spark: SparkSession, root: String, name: String,
+      at: Option[Int] = None): Int = {
+    validateRefName(name)
+    val fs = fsOf(spark, root)
+    require(!fs.exists(tagFile(root, name)),
+      s"a tag named $name exists — branch and tag names share one " +
+        "namespace")
+    val v = at.orElse(currentVersion(spark, root)).getOrElse(0)
+    if (v > 0) snapshot(spark, root, Some(v)) // must exist, complete
+    createRefExclusive(spark, root, refFile(root, name), v, "branch",
+      name)
+    v
+  }
+
+  /** Create an IMMUTABLE tag at `at` (default: current main). Tags
+    * name a committed catalog forever: time travel by name, and
+    * [[vacuum]] pins the tagged catalog and every table version it
+    * references until [[dropTag]].
+    */
+  def createTag(spark: SparkSession, root: String, name: String,
+      at: Option[Int] = None): Int = {
+    validateRefName(name)
+    val fs = fsOf(spark, root)
+    require(!fs.exists(refFile(root, name)),
+      s"a branch named $name exists — branch and tag names share one " +
+        "namespace")
+    val v = at.orElse(currentVersion(spark, root)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed catalog under $root to tag"))
+    snapshot(spark, root, Some(v)) // a tag must name a real catalog
+    createRefExclusive(spark, root, tagFile(root, name), v, "tag", name)
+    v
+  }
+
+  /** Drop a branch ref. The branch's catalogs and table versions
+    * become unreferenced; the next aged [[vacuum]] reclaims them. A
+    * commit racing the drop fails its ref CAS and reports the branch
+    * unknown — loud, never silent. Returns whether the ref existed.
+    */
+  def dropBranch(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    validateRefName(name)
+    fsOf(spark, root).delete(refFile(root, name), false)
+  }
+
+  /** Drop a tag; its pin on the tagged catalog ends. */
+  def dropTag(spark: SparkSession, root: String,
+      name: String): Boolean = {
+    validateRefName(name)
+    fsOf(spark, root).delete(tagFile(root, name), false)
+  }
+
+  /** Resolve any ref name to its catalog version: "main" → the
+    * pointer, else the branch head, else the tag target. None when no
+    * such ref exists (for "main": no commit ever flipped).
+    */
+  def refVersion(spark: SparkSession, root: String,
+      name: String): Option[Int] = {
+    if (name == "main") currentVersion(spark, root)
+    else {
+      val fs = fsOf(spark, root)
+      val rf = refFile(root, name)
+      val tf = tagFile(root, name)
+      if (fs.exists(rf)) Some(readSmall(fs, rf).trim.toInt)
+      else if (fs.exists(tf)) Some(readSmall(fs, tf).trim.toInt)
+      else None
+    }
+  }
+
+  /** [[snapshot]] addressed by ref name — `snapshotRef(_, _, "audit")`
+    * reads the branch's world, `snapshotRef(_, _, "v2024.1")` a
+    * tagged release, with the same mutual-consistency guarantee.
+    */
+  def snapshotRef(spark: SparkSession, root: String,
+      name: String): Snapshot = {
+    val v = refVersion(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(s"unknown ref $name under $root"))
+    require(v > 0, s"ref $name points at version 0 — no commits yet")
+    snapshot(spark, root, Some(v))
+  }
+
+  /** One row per named ref: (ref_name, kind, version). The SHOW
+    * REFERENCES surface; "main" rides along when a pointer exists.
+    * Metadata-sized by construction.
+    */
+  def refs(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(root, "_cat")
+    val branchRe = "^ref=(.+)$".r
+    val tagRe = "^tag=(.+)$".r
+    val named = if (!fs.exists(dir)) Seq.empty else
+      fs.listStatus(dir).toSeq.filter(_.isFile)
+        .flatMap(s => s.getPath.getName match {
+          case branchRe(n) => Some((n, "branch",
+            readSmall(fs, s.getPath).trim.toInt))
+          case tagRe(n) => Some((n, "tag",
+            readSmall(fs, s.getPath).trim.toInt))
+          case _ => None
+        })
+    (currentVersion(spark, root).map(("main", "branch", _)).toSeq ++
+      named.sortBy(_._1))
+      .toDF("ref_name", "kind", "version")
+  }
+
   /** Read a small catalog/pointer file. ChecksumFileSystem renames
     * the data file and its .crc sidecar as two operations, so a read
     * concurrent with a rename-flip can observe new bytes under the
@@ -168,7 +384,16 @@ object CatalogStore {
       if (fs.exists(pointer(root)))
         return Some(readSmall(fs, pointer(root)).trim).filter(_.nonEmpty)
           .map(_.toInt)
-      if (catalogVersions(spark, root).isEmpty) return None
+      // only MAIN-chain catalogs imply a pointer may be mid-flip: a
+      // branch-first store (every catalog ref'd by a branch, main
+      // never committed) legitimately has catalogs and no pointer —
+      // spinning 20 rounds on every read there would tax the whole
+      // branch workflow
+      val mains = catalogVersions(spark, root).filter(v =>
+        (try catMeta(spark, root, v).ref catch {
+          case _: Exception => "main"
+        }) == "main")
+      if (mains.isEmpty) return None
       attempt += 1
       if (attempt > 20) return None // genuinely crashed pre-first-flip
       Thread.sleep(5L * attempt)
@@ -196,23 +421,83 @@ object CatalogStore {
       }).sorted
   }
 
+  /** Full parse of one catalog file: version, parent link, owning
+    * ref, and the table map. Header lines (`#parent`, `#ref`) were
+    * introduced with named refs; files written before them parse with
+    * the linear-history defaults (`parent = v - 1`, `ref = "main"`) —
+    * exactly what their protocol guaranteed. Unknown `#` headers are
+    * ignored (forward compatibility), so a table name can never start
+    * with `#` (enforced at commit).
+    */
+  final case class CatMeta(version: Int, parent: Int, ref: String,
+      tables: Map[String, Int], constraints: Seq[Constraint],
+      renames: Seq[Rename] = Seq.empty)
+
+  private[graft] def catMeta(spark: SparkSession, root: String,
+      v: Int): CatMeta = {
+    val fs = fsOf(spark, root)
+    val body = readSmall(fs, catFile(root, v))
+    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
+    require(lines.nonEmpty && lines.head.toInt == v,
+      s"catalog file c=$v is incomplete (crashed commit?)")
+    var parent = v - 1
+    var ref = "main"
+    val cs = Seq.newBuilder[Constraint]
+    val rn = Seq.newBuilder[Rename]
+    val rows = lines.tail.flatMap { l =>
+      if (l.startsWith("#")) {
+        l.split("\t") match {
+          case Array("#parent", p) => parent = p.toInt; None
+          case Array("#ref", r)    => ref = r; None
+          case Array("#constraint", t, n, k, e) =>
+            cs += Constraint(dec(t), dec(n), k, dec(e)); None
+          case Array("#rename", at, t, f, to) =>
+            rn += Rename(at.toInt, dec(t), dec(f), dec(to)); None
+          case _                   => None
+        }
+      } else {
+        val Array(n, tv) = l.split("\t")
+        Some(n -> tv.toInt)
+      }
+    }
+    CatMeta(v, parent, ref, rows.toMap, cs.result(), rn.result())
+  }
+
   /** Resolve the catalog ONCE — current, or an old version (catalog
     * time travel: every table then reads as of that transaction).
     */
   def snapshot(spark: SparkSession, root: String,
       version: Option[Int] = None): Snapshot = {
-    val fs = fsOf(spark, root)
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(s"no committed catalog under $root"))
-    val body = readSmall(fs, catFile(root, v))
-    val lines = body.split("\n").map(_.trim).filter(_.nonEmpty)
-    require(lines.nonEmpty && lines.head.toInt == v,
-      s"catalog file c=$v is incomplete (crashed commit?)")
-    Snapshot(v, lines.tail.map { l =>
-      val Array(n, tv) = l.split("\t")
-      n -> tv.toInt
-    }.toMap)
+    val m = catMeta(spark, root, v)
+    Snapshot(v, m.tables, m.renames)
   }
+
+  /** The rename chain [[read]] applies to table `name` at table
+    * version `tv`: renames recorded AFTER the version was written, in
+    * recording order. A `from` column absent in an old version (the
+    * column was added later, then renamed) skips harmlessly.
+    */
+  private def renameChain(renames: Seq[Rename], name: String,
+      tv: Int): Seq[(String, String)] =
+    renames.filter(r => r.table == name && r.atVersion > tv)
+      .sortBy(_.atVersion).map(r => (r.from, r.to))
+
+  private def applyChain(df: DataFrame,
+      chain: Seq[(String, String)]): DataFrame =
+    chain.foldLeft(df) { case (d, (f, t)) =>
+      if (d.columns.contains(f)) d.withColumnRenamed(f, t) else d
+    }
+
+  /** The PHYSICAL column name behind logical `col` for table `name`
+    * at version `tv` — the reverse walk of [[renameChain]], for the
+    * sidecar/stats surfaces that are keyed by the bytes' own names.
+    */
+  private def physicalName(renames: Seq[Rename], name: String,
+      tv: Int, col: String): String =
+    renameChain(renames, name, tv).reverse
+      .foldLeft(col) { case (c, (f, t)) => if (c == t) f else c }
 
   /** Read one table off a resolved snapshot — N reads off the SAME
     * snapshot are the consistency guarantee; resolving per-read
@@ -223,7 +508,11 @@ object CatalogStore {
     val v = snap.tables.getOrElse(name, throw new IllegalArgumentException(
       s"table $name is not in catalog version ${snap.version} " +
         s"(has: ${snap.tables.keys.toSeq.sorted.mkString(", ")})"))
-    spark.read.parquet(tableDir(root, name, v).toString)
+    // column mapping: renames recorded after this version was written
+    // project its physical names to the snapshot's logical names — a
+    // zero-cost alias projection, pruned/pushed through by Catalyst
+    applyChain(spark.read.parquet(tableDir(root, name, v).toString),
+      renameChain(snap.renames, name, v))
   }
 
   /** Convenience: resolve the current snapshot and read one table.
@@ -323,9 +612,14 @@ object CatalogStore {
       snap: Snapshot, predicate: org.apache.spark.sql.Column,
       maxFiles: Int = 65536): DataFrame =
     fileIndexOf(spark, root, snap, name) match {
-      case Some(idx) => graft.operators.Layout.autoPrunedRead(
-        spark, tablePath(root, name, snap), idx, predicate, maxFiles)
-      case None => read(spark, root, name, snap).filter(predicate)
+      // renamed tables fall back to the plain filtered read: the
+      // index boxes are keyed by the version's PHYSICAL names, the
+      // predicate by today's logical ones — row-identical either way
+      case Some(idx) if renameChain(snap.renames, name,
+          snap.tables(name)).isEmpty =>
+        graft.operators.Layout.autoPrunedRead(
+          spark, tablePath(root, name, snap), idx, predicate, maxFiles)
+      case _ => read(spark, root, name, snap).filter(predicate)
     }
 
   /** Register a snapshot's table as a SQL temp view whose SCANS skip
@@ -340,6 +634,11 @@ object CatalogStore {
   def registerSkippingView(spark: SparkSession, root: String,
       name: String, snap: Snapshot, viewName: String,
       maxFiles: Int = 65536): Unit = {
+    require(renameChain(snap.renames, name, snap.tables(name)).isEmpty,
+      s"table $name has column renames applying to its current " +
+        "version — the skipping view would expose PHYSICAL names; " +
+        "use registerSnapshotViews (plain fallback) or optimizeTable " +
+        "to fold the mapping into a fresh generation first")
     val idx = fileIndexOf(spark, root, snap, name).getOrElse(
       throw new IllegalArgumentException(
         s"table $name v${snap.tables(name)} has no persisted file " +
@@ -361,18 +660,28 @@ object CatalogStore {
     */
   def registerSnapshotViews(spark: SparkSession, root: String,
       version: Option[Int] = None, suffix: String = "",
-      skipping: Boolean = false): Snapshot = {
-    val snap = snapshot(spark, root, version)
+      skipping: Boolean = false, ref: Option[String] = None): Snapshot = {
+    require(version.isEmpty || ref.isEmpty,
+      "pass version OR ref, not both")
+    // ref names (branch or tag) resolve through refVersion — the SQL
+    // surface for "run this report against the staging branch" /
+    // "replay the eval against tag v2024.1" with zero query rewrite
+    val snap = ref match {
+      case Some(r) => snapshotRef(spark, root, r)
+      case None    => snapshot(spark, root, version)
+    }
     snap.tables.foreach { case (name, v) =>
       // skipping = true upgrades every INDEXED table's view to the
       // file-skipping relation (plain SQL prunes through the
-      // persisted boxes); unindexed tables stay plain — per-table
-      // best effort, identical rows either way
+      // persisted boxes); unindexed tables — and RENAMED ones, whose
+      // index/scan carry physical names — stay plain. Per-table best
+      // effort, identical rows either way.
       if (skipping && fsOf(spark, root)
-          .exists(fileIndexDir(root, name, v)))
+          .exists(fileIndexDir(root, name, v)) &&
+          renameChain(snap.renames, name, v).isEmpty)
         registerSkippingView(spark, root, name, snap, name + suffix)
       else
-        spark.read.parquet(tableDir(root, name, v).toString)
+        read(spark, root, name, snap)
           .createOrReplaceTempView(name + suffix)
     }
     snap
@@ -654,12 +963,17 @@ object CatalogStore {
     val schema = spark.read
       .parquet(tableDir(root, table, v).toString).schema
     val out = lit(ts.rowCount).as("row_count") +: cols.flatMap { c =>
-      require(schema.fieldNames.contains(c),
-        s"column $c not in $table v$v")
-      val cs = ts.cols.getOrElse(c, throw new IllegalStateException(
-        s"stats sidecar for $table v$v lacks column $c — " +
+      // the sidecar and footer are keyed by the version's PHYSICAL
+      // names; the caller asks (and the output is aliased) by
+      // today's logical ones
+      val p = physicalName(snap.renames, table, v, c)
+      require(schema.fieldNames.contains(p),
+        s"column $c not in $table v$v" +
+          (if (p != c) s" (physical name $p)" else ""))
+      val cs = ts.cols.getOrElse(p, throw new IllegalStateException(
+        s"stats sidecar for $table v$v lacks column $p — " +
           "re-run analyze"))
-      val dt = schema(c).dataType
+      val dt = schema(p).dataType
       def typed(s: Option[String]) =
         s.map(x => lit(x).cast(dt)).getOrElse(lit(null).cast(dt))
       Seq(lit(cs.nulls).as(s"nulls_$c"),
@@ -667,6 +981,35 @@ object CatalogStore {
     }
     import spark.implicits._
     Seq(1).toDF("__one").select(out: _*)
+  }
+
+  /** Change-data-feed read between two CATALOG versions of one table
+    * — "what did that transaction (commit / upsert / delete / merge)
+    * change", answered from the immutable version dirs the two
+    * catalogs reference: (id, status ∈ added | removed | modified |
+    * unchanged) via [[graft.operators.Incremental.snapshotDiff]]'s
+    * one id-keyed join of (id, md5) projections. Works BACKWARD
+    * (audit a rollback's blast radius) and across any un-vacuumed
+    * pair. When both catalogs reference the SAME table version (the
+    * table rode carry-forward through the transactions between
+    * them), the join is skipped: one scan projects every id as
+    * `unchanged` — and a caller who checks the map equality first
+    * skips even that, which is why the version map is public on
+    * [[Snapshot]].
+    */
+  def changesBetween(spark: SparkSession, root: String, name: String,
+      catFrom: Int, catTo: Int, idCol: String,
+      contentCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val from = snapshot(spark, root, Some(catFrom))
+    val to = snapshot(spark, root, Some(catTo))
+    if (from.tables.get(name).exists(v => to.tables.get(name)
+        .contains(v)))
+      read(spark, root, name, to)
+        .select(col(idCol), lit("unchanged").as("status"))
+    else graft.operators.Incremental.snapshotDiff(
+      read(spark, root, name, from), read(spark, root, name, to),
+      idCol, contentCol)
   }
 
   /** What [[vacuum]] removed: catalog versions dropped, and table
@@ -694,8 +1037,9 @@ object CatalogStore {
     * `claimAgeMs` — default the commit contention timeout, by which
     * time a live writer would have flipped or given up. An operator
     * who KNOWS no commit is in flight passes `claimAgeMs = 0` for an
-    * immediate sweep. Claims at or below the pointer are provably
-    * dead (their version already committed) and sweep regardless.
+    * immediate sweep. With named refs, claims at or below the pointer
+    * are NOT provably dead (a live branch publish can claim a number
+    * below a racing main pointer), so every claim age-gates.
     *
     * NO-POINTER RECOVERY: when no commit ever flipped the pointer (a
     * crash during the FIRST commit leaves `claim=1`, possibly `c=1`,
@@ -717,38 +1061,82 @@ object CatalogStore {
         claimAgeMs
     val curOpt = currentVersion(spark, root)
     val all = catalogVersions(spark, root)
-    val snaps: Map[Int, Option[Snapshot]] = all.map(v => v ->
-      (try Some(snapshot(spark, root, Some(v)))
+    val metas: Map[Int, Option[CatMeta]] = all.map(v => v ->
+      (try Some(catMeta(spark, root, v))
        catch { case _: Exception => None })).toMap // torn file: no map
-    // `keep` counts COMMITTED catalogs (complete AND at-or-below the
-    // pointer)
+    def refOf(v: Int) = metas.get(v).flatten.map(_.ref).getOrElse("main")
+    // NAMED-REF PINS: a branch pins its whole local chain up to AND
+    // INCLUDING the fork catalog (merge needs the fork map for
+    // conflict detection while the branch lives); a tag pins exactly
+    // its target (snapshots are self-contained maps). Pins override
+    // both the keep-trim and the age sweep; dropBranch/dropTag ends
+    // them.
+    val catDir = new org.apache.hadoop.fs.Path(root, "_cat")
+    val catEntries = if (fs.exists(catDir))
+      fs.listStatus(catDir).toSeq.filter(_.isFile) else Seq.empty
+    val branchRe = "^ref=(.+)$".r
+    val tagRe = "^tag=(.+)$".r
+    val refHeads = catEntries.flatMap(s => s.getPath.getName match {
+      case branchRe(_) | tagRe(_) =>
+        try Some(readSmall(fs, s.getPath).trim.toInt)
+        catch { case _: Exception => None }
+      case _ => None
+    })
+    val pinned = scala.collection.mutable.Set[Int]()
+    refHeads.foreach { h =>
+      var v = h
+      var walking = true
+      while (walking && v > 0 && !pinned.contains(v) &&
+          metas.get(v).flatten.isDefined) {
+        pinned += v
+        val m = metas(v).get
+        if (m.ref == "main") walking = false // fork pinned; main
+        else v = m.parent                    // policy covers the rest
+      }
+    }
+    // `keep` counts COMMITTED MAIN catalogs (complete, main-chain,
+    // at-or-below the pointer); branch catalogs live and die by their
+    // pins, whatever their number
     val cur = curOpt.getOrElse(0)
-    val committed = all.filter(v => curOpt.isDefined && v <= cur &&
-      snaps(v).isDefined)
-    val keepSet = committed.takeRight(keep).toSet ++ curOpt.toSet
+    val committedMain = all.filter(v => curOpt.isDefined && v <= cur &&
+      metas(v).isDefined && (refOf(v) == "main" || curOpt.contains(v)))
+    val keepSet = committedMain.takeRight(keep).toSet ++ curOpt.toSet ++
+      pinned
     // above-pointer catalog files: dead commits when aged, possibly
     // live (pre-flip or awaiting roll-forward) when young — young
     // ones survive AND pin their referenced table versions
-    val (doomedAbove, liveAbove) = all.filter(_ > cur)
+    val (doomedAbove, liveAbove) = all
+      .filter(v => v > cur && !keepSet.contains(v))
       .partition(v => aged(catFile(root, v)))
-    val doomedCats = all.filter(v => v <= cur && !keepSet.contains(v)) ++
-      doomedAbove
+    // branch-chain catalogs BELOW the pointer (numbers interleave
+    // across refs) that no ref pins: a dropped branch's history or a
+    // crashed branch publish — not provably dead by position, so age-
+    // gated like everything above the pointer
+    val (doomedBranch, liveBranch) = all
+      .filter(v => v <= cur && refOf(v) != "main" &&
+        !keepSet.contains(v))
+      .partition(v => aged(catFile(root, v)))
+    val doomedCats = all.filter(v => v <= cur && refOf(v) == "main" &&
+      !keepSet.contains(v)) ++ doomedAbove ++ doomedBranch
     doomedCats.foreach(v => fs.delete(catFile(root, v), false))
-    val referenced: Set[(String, Int)] = (keepSet ++ liveAbove).toSeq
-      .flatMap(v => snaps.get(v).flatten.toSeq.flatMap(_.tables.toSeq))
-      .toSet
-    val catDir = new org.apache.hadoop.fs.Path(root, "_cat")
+    val referenced: Set[(String, Int)] =
+      (keepSet ++ liveAbove ++ liveBranch).toSeq
+        .flatMap(v => metas.get(v).flatten.toSeq
+          .flatMap(_.tables.toSeq))
+        .toSet
     val claimRe = "^claim=(\\d+)$".r
     val tmpRe = "^c=\\d+\\.tmp$".r
-    val catEntries = if (fs.exists(catDir))
-      fs.listStatus(catDir).toSeq.filter(_.isFile) else Seq.empty
-    // claims ≤ pointer: dead. Claims above: only when aged.
+    // ALL claims age-gate: a number at or below the pointer is no
+    // longer provably dead — a live BRANCH publish can hold a claim
+    // below a racing main pointer (numbers are shared ids, not
+    // positions); deleting it would let the number be re-claimed and
+    // the collision rollback delete the live writer's staged data
     val (deadClaims, liveClaims) = catEntries
       .flatMap(s => s.getPath.getName match {
         case claimRe(n) => Some(n.toInt)
         case _          => None
       })
-      .partition(v => v <= cur || aged(claimFile(root, v)))
+      .partition(v => aged(claimFile(root, v)))
     deadClaims.foreach(v => fs.delete(claimFile(root, v), false))
     // crashed tmp bodies (between create and completion rename)
     catEntries.filter(s => tmpRe.findFirstIn(s.getPath.getName).isDefined)
@@ -759,10 +1147,11 @@ object CatalogStore {
         !e.getPath.getName.startsWith("_") &&
         !e.getPath.getName.startsWith("."))
       .map(_.getPath.getName)
-    // a table version is protected by a kept/live catalog's map OR by
-    // a surviving (young) claim — its writer may be mid-publish with
-    // data already renamed to v=N
+    // a table version is protected by a kept/pinned/live catalog's
+    // map OR by a surviving (young) claim — its writer may be
+    // mid-publish with data already renamed to v=N
     val liveClaimSet = liveClaims.toSet
+    val liveCatSet = liveAbove.toSet ++ liveBranch.toSet
     val droppedTv = tables.map { t =>
       val entries = fs.listStatus(
         new org.apache.hadoop.fs.Path(root, t)).toSeq.filter(_.isDirectory)
@@ -773,7 +1162,7 @@ object CatalogStore {
       val vs = entries.filter(_.getPath.getName.startsWith("v="))
         .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
       val doomed = vs.filterNot(v => referenced.contains((t, v)) ||
-        liveClaimSet.contains(v) || liveAbove.contains(v))
+        liveClaimSet.contains(v) || liveCatSet.contains(v))
       doomed.foreach(v => fs.delete(tableDir(root, t, v), true))
       t -> doomed
     }.filter(_._2.nonEmpty).toMap
@@ -797,21 +1186,56 @@ object CatalogStore {
     * step reads the immutable final map).
     */
   private def frontier(spark: SparkSession,
-      root: String): (Map[String, Int], Int) = {
+      root: String): (Map[String, Int], Int, Int) = {
     val fs = fsOf(spark, root)
     var v = currentVersion(spark, root).getOrElse(0)
     var prior: Map[String, Int] =
       if (v == 0) Map.empty else snapshot(spark, root, Some(v)).tables
+    // version NUMBERS are shared across refs (one claim namespace), so
+    // the walk tracks two cursors: `n` the last number consumed by ANY
+    // ref, `parent` the last MAIN catalog adopted — branch commits
+    // occupy numbers but never enter main's map, and main's chain
+    // stays linear because every main commit fills the lowest free
+    // number under an exclusive claim
+    var parent = v
+    var n = v
     var walking = true
     while (walking) {
-      if (fs.exists(catFile(root, v + 1))) {
+      if (fs.exists(catFile(root, n + 1))) {
         // complete by construction (no-overwrite completion rename);
         // the catch covers a concurrent vacuum deleting it mid-read
-        try { prior = snapshot(spark, root, Some(v + 1)).tables; v += 1 }
-        catch { case _: Exception => walking = false }
+        try {
+          val m = catMeta(spark, root, n + 1)
+          if (m.ref == "main") { prior = m.tables; parent = n + 1 }
+          n += 1
+        } catch { case _: Exception => walking = false }
       } else walking = false
     }
-    (prior, v + 1)
+    (prior, parent, n + 1)
+  }
+
+  /** The next claimable version number for a BRANCH commit: above
+    * every existing catalog file, live claim, the pointer, and the
+    * branch's own head. Branch commits skip over other writers' live
+    * claims (numbers are transaction ids, not positions — a branch's
+    * ORDER lives in its parent chain), so a crashed main claim never
+    * blocks branch work.
+    */
+  private def nextFree(spark: SparkSession, root: String,
+      floor: Int): Int = {
+    val fs = fsOf(spark, root)
+    val dir = new org.apache.hadoop.fs.Path(root, "_cat")
+    val claimRe = "^claim=(\\d+)$".r
+    val catRe = "^c=(\\d+)$".r
+    val taken = if (!fs.exists(dir)) Seq.empty else
+      fs.listStatus(dir).toSeq.filter(_.isFile)
+        .flatMap(s => s.getPath.getName match {
+          case claimRe(x) => Some(x.toInt)
+          case catRe(x)   => Some(x.toInt)
+          case _          => None
+        })
+    (taken ++ Seq(floor, currentVersion(spark, root).getOrElse(0)))
+      .max + 1
   }
 
   /** Atomically publish `tables` as one transaction; tables not in
@@ -854,8 +1278,13 @@ object CatalogStore {
       contentionTimeoutMs: Long = 60000L,
       evolve: Boolean = false,
       indexCols: Map[String, Seq[String]] = Map.empty,
-      analyzeStats: Boolean = false): CatalogTx = {
+      analyzeStats: Boolean = false,
+      ref: String = "main"): CatalogTx = {
     require(tables.nonEmpty, "a transaction must publish at least one table")
+    tables.keys.foreach(n => require(!n.startsWith("#") &&
+      !n.contains("\t") && !n.contains("\n") && !n.contains("/"),
+      s"table name '$n' would corrupt the catalog file format " +
+        "(no leading '#', no tab/newline/slash)"))
     audits.foreach(a => require(tables.contains(a.table),
       s"audit ${a.name} names ${a.table}, not in this transaction " +
         "(committed tables are immutable — audit them at their own commit)"))
@@ -886,10 +1315,36 @@ object CatalogStore {
           val deadline = System.currentTimeMillis + contentionTimeoutMs
           var attempt = 0
           var out: Option[CatalogTx] = None
+          // persisted-constraint enforcement, STAGE-ONCE shaped: the
+          // staged data validates against the target ref's current
+          // constraint set exactly once; a contention retry re-scans
+          // data only if the SET changed underneath it (a concurrent
+          // addConstraints — rare, and skipping the re-check there
+          // would publish data nothing ever validated)
+          var validatedSig: Option[Set[Constraint]] = None
           while (out.isEmpty) {
-            val (prior, next) = frontier(spark, root)
+            val (prior, parentV, next, target) =
+              if (ref == "main") {
+                val (p, pv, n) = frontier(spark, root)
+                (p, pv, n, MainRef: RefTarget)
+              } else {
+                val head = branchHead(spark, root, ref)
+                val p = if (head == 0) Map.empty[String, Int]
+                  else snapshot(spark, root, Some(head)).tables
+                (p, head, nextFree(spark, root, head),
+                  BranchTarget(ref, head): RefTarget)
+              }
+            val cs = constraintsAt(spark, root, parentV)
+            if (!validatedSig.contains(cs.toSet)) {
+              enforceConstraints(spark,
+                t => spark.read.parquet(stageDir(root, t, txid).toString),
+                tables.keys.toSeq, cs)
+              validatedSig = Some(cs.toSet)
+            }
             try out = Some(publishStaged(spark, root,
-              tables.keys.toSeq.sorted, txid, prior, next, evolve))
+              tables.keys.toSeq.sorted, txid, prior, next, evolve,
+              parentV, target, constraints = cs,
+              renames = renamesAt(spark, root, parentV)))
             catch {
               case e: CommitContentionException =>
                 attempt += 1
@@ -929,6 +1384,502 @@ object CatalogStore {
     tx
   }
 
+  /** The persisted constraint set of a snapshot's catalog version. */
+  def constraintsOf(spark: SparkSession, root: String,
+      snap: Snapshot): Seq[Constraint] =
+    catMeta(spark, root, snap.version).constraints
+
+  /** Persist new [[Constraint]]s as one metadata-only commit on
+    * `ref`. Like Delta's ADD CONSTRAINT, the EXISTING data must
+    * already satisfy them (`validate = true`, the default, scans each
+    * constrained table's current version once — a contract nobody
+    * ever validated is worse than none); every later [[commit]] /
+    * [[mergeBranch]] to the ref then enforces them automatically.
+    * Duplicate (table, name) pairs are rejected — drop first.
+    */
+  def addConstraints(spark: SparkSession, root: String,
+      cs: Seq[Constraint], ref: String = "main",
+      validate: Boolean = true,
+      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+    require(cs.nonEmpty, "addConstraints needs at least one constraint")
+    cs.foreach { c =>
+      require(c.kind == "check" || c.kind == "unique",
+        s"unknown constraint kind '${c.kind}' on ${c.table}.${c.name}")
+      require(c.name.nonEmpty && c.table.nonEmpty && c.expr.nonEmpty,
+        "constraint table/name/expr must be non-empty")
+    }
+    publishMetadata(spark, root, ref, contentionTimeoutMs) {
+      (prior, _, existing, renames) =>
+        val dup = cs.map(c => (c.table, c.name))
+          .intersect(existing.map(c => (c.table, c.name)))
+        require(dup.isEmpty,
+          s"constraint(s) already exist: ${dup.mkString(", ")} — " +
+            "dropConstraint first")
+        if (validate) enforceConstraints(spark,
+          // validation reads the LOGICAL view: the constraint's
+          // expression names today's columns, the bytes may predate
+          // a rename
+          t => applyChain(
+            spark.read.parquet(tableDir(root, t, prior(t)).toString),
+            renameChain(renames, t, prior(t))),
+          cs.map(_.table).distinct.filter(prior.contains), cs)
+        (existing ++ cs, renames)
+    }
+  }
+
+  /** Drop one persisted constraint (metadata-only commit). Loud when
+    * it does not exist — a typo'd drop that "succeeds" leaves the
+    * caller believing enforcement ended.
+    */
+  def dropConstraint(spark: SparkSession, root: String,
+      table: String, name: String, ref: String = "main",
+      contentionTimeoutMs: Long = 60000L): CatalogTx =
+    publishMetadata(spark, root, ref, contentionTimeoutMs) {
+      (_, _, existing, renames) =>
+        require(existing.exists(c => c.table == table && c.name == name),
+          s"no constraint $name on table $table to drop")
+        (existing.filterNot(c => c.table == table && c.name == name),
+          renames)
+    }
+
+  /** Rename a column of a catalog table — METADATA-ONLY (the Iceberg
+    * answer to "rename without rewriting 100 TB"; the pre-refs
+    * contract said "a rename is a new table" and this closes it): the
+    * rename lands as a data-free catalog commit recording a
+    * version-stamped mapping entry; [[read]] projects every OLDER
+    * table version's physical name to the new logical name, versions
+    * committed after it carry the new name in their bytes, and time
+    * travel to a pre-rename catalog serves the old name untouched
+    * (old catalogs don't carry the entry).
+    *
+    * Guards: `from` must be a live logical column; `to` must not
+    * collide; a column referenced by a persisted [[Constraint]]
+    * cannot be renamed (the stored expression would silently stop
+    * matching — drop and re-add the constraint around the rename).
+    * Index/stats sidecars stay keyed by each version's PHYSICAL
+    * names; [[metaAgg]] translates, [[readWhere]] and skipping views
+    * fall back to plain (row-identical) reads for renamed tables.
+    */
+  def renameColumn(spark: SparkSession, root: String, table: String,
+      from: String, to: String, ref: String = "main",
+      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+    require(from != to, "rename to the same name is a no-op")
+    publishMetadata(spark, root, ref, contentionTimeoutMs) {
+      (prior, next, cs, renames) =>
+        val tv = prior.getOrElse(table,
+          throw new IllegalArgumentException(
+            s"table $table does not exist on ref $ref"))
+        // the table's current LOGICAL columns (footer read only)
+        val logical = applyChain(
+          spark.read.parquet(tableDir(root, table, tv).toString),
+          renameChain(renames, table, tv)).columns.toSet
+        require(logical.contains(from),
+          s"column $from not in table $table (has: " +
+            s"${logical.toSeq.sorted.mkString(", ")})")
+        require(!logical.contains(to),
+          s"column $to already exists in table $table")
+        val word = ("(?i)(?<![A-Za-z0-9_])" +
+          java.util.regex.Pattern.quote(from) +
+          "(?![A-Za-z0-9_])").r
+        val referencing = cs.filter(c => c.table == table && (
+          c.kind match {
+            case "unique" => c.expr.split(",").map(_.trim)
+              .contains(from)
+            case _ => word.findFirstIn(c.expr).isDefined
+          }))
+        require(referencing.isEmpty,
+          s"column $from is referenced by constraint(s) " +
+            s"${referencing.map(_.name).mkString(", ")} — drop and " +
+            "re-add them around the rename (a stored expression " +
+            "would silently stop matching)")
+        (cs, renames :+ Rename(next, table, from, to))
+    }
+  }
+
+  /** Shared retry loop for metadata-only commits (constraint set /
+    * column mapping): computes the frontier, hands (prior map, the
+    * version being claimed, existing constraints, existing renames)
+    * to `f`, and publishes the returned pair as a data-free catalog
+    * version on the ref.
+    */
+  private def publishMetadata(spark: SparkSession, root: String,
+      ref: String, contentionTimeoutMs: Long)(
+      f: (Map[String, Int], Int, Seq[Constraint], Seq[Rename]) =>
+        (Seq[Constraint], Seq[Rename]))
+      : CatalogTx = {
+    val deadline = System.currentTimeMillis + contentionTimeoutMs
+    var attempt = 0
+    var out: Option[CatalogTx] = None
+    while (out.isEmpty) {
+      val (prior, parentV, next, target) =
+        if (ref == "main") {
+          val (p, pv, n) = frontier(spark, root)
+          (p, pv, n, MainRef: RefTarget)
+        } else {
+          val head = branchHead(spark, root, ref)
+          val p = if (head == 0) Map.empty[String, Int]
+            else snapshot(spark, root, Some(head)).tables
+          (p, head, nextFree(spark, root, head),
+            BranchTarget(ref, head): RefTarget)
+        }
+      val (mergedCs, mergedRn) = f(prior, next,
+        constraintsAt(spark, root, parentV),
+        renamesAt(spark, root, parentV))
+      try out = Some(publishStaged(spark, root, Seq.empty,
+        txid = "meta", prior, next, evolve = true, parent = parentV,
+        target = target, constraints = mergedCs, renames = mergedRn))
+      catch {
+        case e: CommitContentionException =>
+          attempt += 1
+          if (System.currentTimeMillis > deadline) throw e
+          Thread.sleep(math.min(500L, 25L * attempt))
+      }
+    }
+    out.get
+  }
+
+  /** Publish a SINGLE-table transaction whose staged content is
+    * DERIVED from the table's current version — the shared engine
+    * under [[upsertTable]], [[deleteWhere]], and [[optimizeTable]].
+    * The race it exists to close: a derivation computed against
+    * version v that publishes AFTER a concurrent writer landed v+1
+    * silently erases that writer's rows (classic lost update — the
+    * optimistic-concurrency conflict Delta detects with
+    * ConcurrentModificationException; here the loop RE-DERIVES
+    * instead of failing). `derive(base, dst)` writes the staged
+    * content for base into `dst`; the loop re-invokes it whenever the
+    * table's version at the claimed frontier differs from the one the
+    * stage dir was derived for, so what lands is always a derivation
+    * of the version it replaces. Constraint enforcement (`enforce`)
+    * follows [[commit]]'s stage-once shape.
+    */
+  private[graft] def commitDerived(spark: SparkSession, root: String,
+      name: String, ref: String, contentionTimeoutMs: Long,
+      evolve: Boolean, enforce: Boolean)(
+      derive: (Option[Int], Seq[(String, String)], String) => Unit)
+      : CatalogTx = {
+    val fs = fsOf(spark, root)
+    val txid = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val deadline = System.currentTimeMillis + contentionTimeoutMs
+    var attempt = 0
+    var stagedFor: Option[Option[Int]] = None
+    var validatedSig: Option[Set[Constraint]] = None
+    var out: Option[CatalogTx] = None
+    try {
+      while (out.isEmpty) {
+        val (prior, parentV, next, target) =
+          if (ref == "main") {
+            val (p, pv, n) = frontier(spark, root)
+            (p, pv, n, MainRef: RefTarget)
+          } else {
+            val head = branchHead(spark, root, ref)
+            val p = if (head == 0) Map.empty[String, Int]
+              else snapshot(spark, root, Some(head)).tables
+            (p, head, nextFree(spark, root, head),
+              BranchTarget(ref, head): RefTarget)
+          }
+        val base = prior.get(name)
+        val rn = renamesAt(spark, root, parentV)
+        if (!stagedFor.contains(base)) {
+          fs.delete(stageDir(root, name, txid), true)
+          // derivations read and WRITE the logical names: the staged
+          // version is a fresh physical generation, so renames older
+          // than it fold into its bytes (correctly not re-applied on
+          // read — its tv postdates their atVersion)
+          derive(base, base.map(v => renameChain(rn, name, v))
+            .getOrElse(Seq.empty), stageDir(root, name, txid).toString)
+          stagedFor = Some(base)
+          validatedSig = None
+        }
+        val cs = constraintsAt(spark, root, parentV)
+        if (enforce && !validatedSig.contains(cs.toSet)) {
+          enforceConstraints(spark,
+            _ => spark.read.parquet(stageDir(root, name, txid).toString),
+            Seq(name), cs)
+          validatedSig = Some(cs.toSet)
+        }
+        try out = Some(publishStaged(spark, root, Seq(name), txid,
+          prior, next, evolve, parentV, target, constraints = cs,
+          renames = rn))
+        catch {
+          case e: CommitContentionException =>
+            attempt += 1
+            if (System.currentTimeMillis > deadline) throw e
+            Thread.sleep(math.min(500L, 25L * attempt))
+        }
+      }
+      out.get
+    } finally fs.delete(stageDir(root, name, txid), true)
+  }
+
+  /** Row-level MERGE INTO on a catalog table: rows of `updates` whose
+    * `keys` match an existing row REPLACE it, the rest append — the
+    * DML surface over the commit protocol (publish = INSERT OVERWRITE
+    * of a table, upsert/delete = this family). Derived-CAS safe: a
+    * concurrent commit to the same table triggers a re-merge against
+    * ITS rows instead of silently erasing them, and the target ref's
+    * persisted [[Constraint]]s are enforced on the MERGED result
+    * before anything claims. A missing table makes the upsert a plain
+    * first publish. At 100 TB note the documented cost: this is
+    * copy-on-write at table-version granularity (the store's
+    * immutable-snapshot contract); deletion-vector merge-on-read
+    * lives in the Layout tier for the update-a-few-rows shape.
+    */
+  def upsertTable(spark: SparkSession, root: String, name: String,
+      updates: DataFrame, keys: Seq[String], ref: String = "main",
+      evolve: Boolean = false,
+      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    keys.foreach(k => require(updates.columns.contains(k),
+      s"key column $k not in the updates frame"))
+    commitDerived(spark, root, name, ref, contentionTimeoutMs, evolve,
+      enforce = true) { (base, chain, dst) =>
+      val merged = base match {
+        case Some(v) => graft.operators.Incremental.merge(
+          applyChain(spark.read.parquet(tableDir(root, name, v)
+            .toString), chain),
+          updates, keys)
+        case None => updates
+      }
+      merged.write.mode("errorifexists").parquet(dst)
+    }
+  }
+
+  /** Row-level DELETE on a catalog table: rows where `predicate` is
+    * TRUE are removed; FALSE and NULL rows stay (SQL DELETE
+    * semantics). Derived-CAS safe like [[upsertTable]]; constraints
+    * are not re-enforced (a subset of validated rows cannot violate a
+    * CHECK, and UNIQUE only loses duplicates). History stays intact —
+    * the GDPR-grade flow that must also purge HISTORY is the
+    * Layout-tier erasure + vacuum story (store_erasure_gate).
+    */
+  def deleteWhere(spark: SparkSession, root: String, name: String,
+      predicate: org.apache.spark.sql.Column, ref: String = "main",
+      contentionTimeoutMs: Long = 60000L): CatalogTx =
+    commitDerived(spark, root, name, ref, contentionTimeoutMs,
+      evolve = false, enforce = false) { (base, chain, dst) =>
+      val v = base.getOrElse(throw new IllegalArgumentException(
+        s"table $name does not exist on ref $ref"))
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      applyChain(spark.read.parquet(tableDir(root, name, v).toString),
+        chain)
+        .filter(coalesce(not(predicate), lit(true)))
+        .write.mode("errorifexists").parquet(dst)
+    }
+
+  /** Catalog-integrated OPTIMIZE — the Delta OPTIMIZE / Iceberg
+    * rewrite_data_files maintenance op as a TRANSACTION: the rewritten
+    * layout lands as a new table version through the full claim
+    * protocol (readers never see a half-compacted dir, time travel to
+    * the pre-optimize version keeps serving the old bytes until
+    * vacuum), and a concurrent writer triggers re-derivation instead
+    * of being erased. Two modes:
+    *
+    *  - default: small-file compaction via [[graft.operators.Layout
+    *    .compactTo]] (or `compactPartitioned` when the version dir is
+    *    hive-partitioned — auto-detected): well-sized files byte-copy,
+    *    only the small tail re-encodes — rewriting the 90% of a 100 TB
+    *    table that is already well-sized is the classic compaction
+    *    mistake;
+    *  - `zorderCols`: full clustering rewrite via `zorderWrite`
+    *    (every file owns a tight multi-dim bounding box, the IO
+    *    feed for min/max skipping); partitioned layouts need
+    *    `partitionBy` named explicitly.
+    *
+    * Pass `indexCols`/`analyzeStats` to rebuild the skipping index
+    * and stats sidecar on the optimized version in the same call —
+    * they bind to version dirs, so the optimized version starts
+    * without them otherwise.
+    */
+  def optimizeTable(spark: SparkSession, root: String, name: String,
+      targetMb: Int = 128, zorderCols: Seq[String] = Nil,
+      zorderBits: Int = 16, partitionBy: Seq[String] = Nil,
+      zorderFiles: Option[Int] = None,
+      ref: String = "main", indexCols: Seq[String] = Nil,
+      analyzeStats: Boolean = false,
+      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+    require(targetMb > 0, s"targetMb must be positive: $targetMb")
+    val fs = fsOf(spark, root)
+    val targetBytes = targetMb.toLong << 20
+    val tx = commitDerived(spark, root, name, ref, contentionTimeoutMs,
+      evolve = false, enforce = false) { (base, chain, dst) =>
+      val v = base.getOrElse(throw new IllegalArgumentException(
+        s"table $name does not exist on ref $ref — nothing to optimize"))
+      val src = tableDir(root, name, v)
+      def bytesOf = math.max(1L, fs.listStatus(src).toSeq
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getLen).sum)
+      if (zorderCols.nonEmpty) {
+        val df = applyChain(spark.read.parquet(src.toString), chain)
+        val nFiles = zorderFiles.getOrElse(math.max(1, math.ceil(
+          bytesOf.toDouble / targetBytes).toInt))
+        graft.operators.Layout.zorderWrite(df, zorderCols, zorderBits,
+          nFiles, dst, partitionBy)
+      } else if (chain.nonEmpty) {
+        // the first OPTIMIZE after a rename folds the mapping into a
+        // fresh physical generation — a full logical rewrite (the
+        // byte-copy rule can't keep files whose embedded names are
+        // stale); later optimizes byte-copy again
+        applyChain(spark.read.parquet(src.toString), chain)
+          .repartition(math.max(1, math.ceil(
+            bytesOf.toDouble / targetBytes).toInt))
+          .write.mode("errorifexists").parquet(dst)
+      } else {
+        val partitioned = fs.listStatus(src).exists(e =>
+          e.isDirectory && { val n = e.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".") })
+        if (partitioned)
+          graft.operators.Layout.compactPartitioned(spark,
+            src.toString, dst, targetBytes)
+        else
+          graft.operators.Layout.compactTo(spark, src.toString, dst,
+            targetBytes)
+      }
+    }
+    // maintenance rides the optimize like it rides commit: both
+    // builders are idempotent and bind to the NEW immutable version
+    if (tx.committed && (indexCols.nonEmpty || analyzeStats)) try {
+      val snap = snapshot(spark, root, tx.version)
+      if (indexCols.nonEmpty)
+        indexTable(spark, root, snap, name, indexCols)
+      if (analyzeStats) analyze(spark, root, snap)
+    } catch {
+      case e: Exception => System.err.println(
+        s"[catalog] post-optimize maintenance failed for " +
+          s"v${tx.version.get} (transaction committed; readers " +
+          s"degrade to plain scans / no stats): ${e.getMessage}")
+    }
+    tx
+  }
+
+  /** What [[mergeBranch]] published: the new main catalog version,
+    * whether main had not advanced since the fork (a "fast-forward"
+    * shape — same zero-copy publish either way), and the tables the
+    * branch contributed.
+    */
+  final case class Merge(version: Int, fastForward: Boolean,
+      tables: Seq[String])
+
+  /** Thrown when a table changed on BOTH the branch and main since
+    * the fork point. Not retryable without a decision: rebase the
+    * branch (re-run its job on a fresh branch from current main) or
+    * pass `force = true` — branch wins, table-level last-writer-wins.
+    */
+  final class MergeConflictException(val tables: Seq[String])
+    extends IllegalStateException(
+      s"merge conflict: table(s) ${tables.mkString(", ")} changed on " +
+        "BOTH the branch and main since the fork point — rebase the " +
+        "branch or pass force = true (branch wins)")
+
+  /** Publish a branch's work to main as ONE metadata-only commit —
+    * the write-audit-publish close: data was staged and audited on
+    * the branch; the merge catalog's map simply POINTS at the
+    * branch's immutable table versions (zero bytes copied, Nessie's
+    * merge model). Goes through the full claim + forward-only-flip
+    * protocol, so it serializes correctly with concurrent main
+    * commits — there is deliberately NO pointer-jump fast-forward: a
+    * raw jump to the branch head races a concurrent main committer
+    * whose map never saw the branch (lost update); a merge COMMIT
+    * either claims before it (the main committer's frontier adopts
+    * the merge) or retries after it (the merge re-reads the new
+    * frontier).
+    *
+    * Conflict rule, table-granular: a table the branch changed whose
+    * main version differs from the FORK's version changed on both
+    * sides → [[MergeConflictException]] unless `force` (branch wins).
+    * Tables only main changed carry forward untouched; the branch ref
+    * itself is left in place (drop it separately, or keep committing).
+    */
+  def mergeBranch(spark: SparkSession, root: String, branch: String,
+      force: Boolean = false, evolve: Boolean = false,
+      contentionTimeoutMs: Long = 60000L): Merge = {
+    validateRefName(branch)
+    val head = branchHead(spark, root, branch)
+    require(head > 0, s"branch $branch has no commits to merge")
+    // the branch-local chain: each commit's OWN tables are the map
+    // entries published at that commit's number; the first non-branch
+    // ancestor is the fork point
+    var v = head
+    var changedNames = Set.empty[String]
+    var forkV = 0
+    var walking = true
+    while (walking) {
+      if (v <= 0) { forkV = 0; walking = false }
+      else {
+        val m = catMeta(spark, root, v)
+        if (m.ref == branch) {
+          changedNames ++= m.tables.collect {
+            case (n, tv) if tv == m.version => n
+          }
+          v = m.parent
+        } else { forkV = v; walking = false }
+      }
+    }
+    val headMap = snapshot(spark, root, Some(head)).tables
+    val forkMap = if (forkV == 0) Map.empty[String, Int]
+      else snapshot(spark, root, Some(forkV)).tables
+    val branchEntries = changedNames.toSeq.sorted
+      .map(n => n -> headMap(n)).toMap
+    val deadline = System.currentTimeMillis + contentionTimeoutMs
+    var attempt = 0
+    var out: Option[Merge] = None
+    // MAIN's persisted constraints gate the merge: the branch's data
+    // was validated against the BRANCH's set at its own commits, but
+    // main is the publish point — merged tables must satisfy main's
+    // contracts (one scan per merged×constrained table, the only
+    // non-metadata cost of a merge, and only when such constraints
+    // exist). Branch-side constraint ADDITIONS do not merge —
+    // constraints are per-ref metadata; re-add them on main.
+    var validatedSig: Option[Set[Constraint]] = None
+    while (out.isEmpty) {
+      val (prior, parentV, next) = frontier(spark, root)
+      val conflicts = changedNames.toSeq.sorted
+        .filter(n => prior.get(n) != forkMap.get(n))
+      if (conflicts.nonEmpty && !force)
+        throw new MergeConflictException(conflicts)
+      val cs = constraintsAt(spark, root, parentV)
+      val rn = renamesAt(spark, root, parentV)
+      // what main will SERVE for a merged table is the branch
+      // version's bytes through MAIN's rename chain — that logical
+      // view must satisfy main's schema contract against main's
+      // current logical view (a branch that renamed/dropped columns
+      // out-of-band cannot silently fork main's schema history)
+      branchEntries.foreach { case (t, tv) =>
+        prior.get(t).foreach { pv =>
+          assertSchemaCompatible(
+            applyChain(spark.read.parquet(tableDir(root, t, tv)
+              .toString), renameChain(rn, t, tv)).schema,
+            applyChain(spark.read.parquet(tableDir(root, t, pv)
+              .toString), renameChain(rn, t, pv)).schema,
+            t, pv, evolve)
+        }
+      }
+      if (!validatedSig.contains(cs.toSet)) {
+        enforceConstraints(spark,
+          t => applyChain(spark.read.parquet(
+            tableDir(root, t, branchEntries(t)).toString),
+            renameChain(rn, t, branchEntries(t))),
+          branchEntries.keys.toSeq, cs)
+        validatedSig = Some(cs.toSet)
+      }
+      val ff = parentV == forkV
+      try {
+        publishStaged(spark, root, Seq.empty, txid = "merge",
+          prior, next, evolve = true, parent = parentV,
+          target = MainRef, extraEntries = branchEntries,
+          constraints = cs, renames = rn)
+        out = Some(Merge(next, ff, branchEntries.keys.toSeq.sorted))
+      } catch {
+        case e: CommitContentionException =>
+          attempt += 1
+          if (System.currentTimeMillis > deadline) throw e
+          Thread.sleep(math.min(500L, 25L * attempt))
+      }
+    }
+    out.get
+  }
+
   /** [[commit]]'s write path at a SPECIFIC version — package-visible
     * so the claim collision is directly testable (two racers
     * computing the same `next` meet at the exclusive claim; going
@@ -963,12 +1914,94 @@ object CatalogStore {
                 .map(v => snapshot(spark, root, Some(v)).tables))
               .getOrElse(Map.empty)
           publishStaged(spark, root, tables.keys.toSeq.sorted, txid,
-            prior, next, evolve)
+            prior, next, evolve,
+            constraints = constraintsAt(spark, root, next - 1),
+            renames = renamesAt(spark, root, next - 1))
       }
     } finally {
       tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
     }
   }
+
+  /** Where a publish lands: the main pointer (forward-only flip) or a
+    * branch ref (equality CAS against the head the transaction built
+    * on). Tags are not targets — they're immutable.
+    */
+  private sealed trait RefTarget
+  private case object MainRef extends RefTarget
+  private final case class BranchTarget(name: String,
+      expectedHead: Int) extends RefTarget
+
+  /** A branch's current head for a commit to build on. Loud on a
+    * missing ref, and louder on a TAG (the likely user error: tags
+    * are immutable names, not writable lines of history).
+    */
+  private def branchHead(spark: SparkSession, root: String,
+      name: String): Int = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(refFile(root, name))) {
+      if (fs.exists(tagFile(root, name)))
+        throw new IllegalArgumentException(
+          s"$name is a TAG — tags are immutable; commit to a branch")
+      throw new IllegalArgumentException(
+        s"unknown branch $name under $root — createBranch first")
+    }
+    readSmall(fs, refFile(root, name)).trim.toInt
+  }
+
+  /** Enforce `cs` against the tables `readDf` can serve (only
+    * constraints whose table is in `names`). CHECK: a row violates
+    * only on FALSE (`filter(!expr)` — NULL passes, ANSI CHECK).
+    * UNIQUE: one aggregation, first duplicate key reported. Both
+    * report a concrete offending row/key — a contract message the
+    * upstream job's owner can act on, never a bare boolean.
+    */
+  private def enforceConstraints(spark: SparkSession,
+      readDf: String => DataFrame, names: Seq[String],
+      cs: Seq[Constraint]): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    cs.filter(c => names.contains(c.table)).foreach { c =>
+      val df = readDf(c.table)
+      c.kind match {
+        case "check" =>
+          // collect-bound: limit(1) — one offending row for the message
+          val bad = df.filter(not(expr(c.expr))).limit(1).collect()
+          if (bad.nonEmpty) throw new ConstraintViolationException(
+            c.table, c.name,
+            s"constraint ${c.name} (CHECK ${c.expr}) violated by " +
+              s"table ${c.table}: e.g. ${bad(0)}")
+        case "unique" =>
+          val cols = c.expr.split(",").toSeq.map(_.trim)
+          // collect-bound: limit(1) — one duplicate key for the message
+          val dup = df.groupBy(cols.map(col): _*)
+            .count().filter(col("count") > 1).limit(1).collect()
+          if (dup.nonEmpty) throw new ConstraintViolationException(
+            c.table, c.name,
+            s"constraint ${c.name} (UNIQUE ${c.expr}) violated by " +
+              s"table ${c.table}: key ${dup(0)} appears more than once")
+        case other => throw new IllegalStateException(
+          s"unknown constraint kind '$other' on ${c.table}.${c.name} " +
+            "— written by a newer engine?")
+      }
+    }
+  }
+
+  /** The constraint set a publish at `parent` must enforce (the
+    * parent catalog's persisted set; empty below the first commit or
+    * under a concurrent vacuum of historic metadata).
+    */
+  private def constraintsAt(spark: SparkSession, root: String,
+      parent: Int): Seq[Constraint] =
+    if (parent <= 0) Seq.empty
+    else try catMeta(spark, root, parent).constraints
+    catch { case _: Exception => Seq.empty }
+
+  /** The column-mapping chain a publish at `parent` carries forward. */
+  private def renamesAt(spark: SparkSession, root: String,
+      parent: Int): Seq[Rename] =
+    if (parent <= 0) Seq.empty
+    else try catMeta(spark, root, parent).renames
+    catch { case _: Exception => Seq.empty }
 
   /** Test seam: runs after the catalog file completes, before the
     * pointer flip — lets the concurrency specs hold a writer in the
@@ -1007,45 +2040,66 @@ object CatalogStore {
     */
   private def checkSchemas(spark: SparkSession, root: String,
       names: Seq[String], txid: String, prior: Map[String, Int],
-      evolve: Boolean): Unit =
+      evolve: Boolean, renames: Seq[Rename] = Seq.empty): Unit =
     names.foreach { n =>
       prior.get(n).foreach { pv =>
         val staged = spark.read
           .parquet(stageDir(root, n, txid).toString).schema
-        val committed = spark.read
-          .parquet(tableDir(root, n, pv).toString).schema
-        val sT = staged.fields
-          .map(f => f.name -> f.dataType.catalogString).toMap
-        val cT = committed.fields
-          .map(f => f.name -> f.dataType.catalogString).toMap
-        val dropped = (cT.keySet -- sT.keySet).toSeq.sorted
-        if (dropped.nonEmpty) throw new SchemaEvolutionException(
-          s"commit drops committed column(s) ${dropped.mkString(", ")} " +
-            s"of table $n (v$pv) — dropping or renaming a column is a " +
-            "new table, not an evolution")
-        val retyped = cT.keys.toSeq.sorted
-          .flatMap(k => sT.get(k).filter(_ != cT(k)).map(t =>
-            s"$k: ${cT(k)} -> $t"))
-        if (retyped.nonEmpty) throw new SchemaEvolutionException(
-          s"commit retypes committed column(s) of table $n (v$pv): " +
-            s"${retyped.mkString("; ")} — a type change is a new " +
-            "table, not an evolution")
-        val added = (sT.keySet -- cT.keySet).toSeq.sorted
-        if (added.nonEmpty && !evolve)
-          throw new SchemaEvolutionException(
-            s"commit adds column(s) ${added.mkString(", ")} to table " +
-              s"$n (v$pv) under schema enforcement — additive " +
-              "evolution must be explicit: pass evolve = true")
+        // the committed side compares by its LOGICAL names — the
+        // column-mapping chain applied, so a commit after a rename
+        // must carry the renamed name (its staged bytes ARE the new
+        // physical generation)
+        val committed = applyChain(spark.read
+          .parquet(tableDir(root, n, pv).toString),
+          renameChain(renames, n, pv)).schema
+        assertSchemaCompatible(staged, committed, n, pv, evolve)
       }
     }
+
+  /** The enforcement/evolution contract over two resolved (logical)
+    * schemas — shared by [[checkSchemas]] (staged vs committed) and
+    * [[mergeBranch]] (branch table version vs main's logical view).
+    */
+  private def assertSchemaCompatible(
+      staged: org.apache.spark.sql.types.StructType,
+      committed: org.apache.spark.sql.types.StructType,
+      n: String, pv: Int, evolve: Boolean): Unit = {
+    val sT = staged.fields
+      .map(f => f.name -> f.dataType.catalogString).toMap
+    val cT = committed.fields
+      .map(f => f.name -> f.dataType.catalogString).toMap
+    val dropped = (cT.keySet -- sT.keySet).toSeq.sorted
+    if (dropped.nonEmpty) throw new SchemaEvolutionException(
+      s"commit drops committed column(s) ${dropped.mkString(", ")} " +
+        s"of table $n (v$pv) — dropping a column is a " +
+        "new table, not an evolution (renameColumn is the " +
+        "metadata-only rename)")
+    val retyped = cT.keys.toSeq.sorted
+      .flatMap(k => sT.get(k).filter(_ != cT(k)).map(t =>
+        s"$k: ${cT(k)} -> $t"))
+    if (retyped.nonEmpty) throw new SchemaEvolutionException(
+      s"commit retypes committed column(s) of table $n (v$pv): " +
+        s"${retyped.mkString("; ")} — a type change is a new " +
+        "table, not an evolution")
+    val added = (sT.keySet -- cT.keySet).toSeq.sorted
+    if (added.nonEmpty && !evolve)
+      throw new SchemaEvolutionException(
+        s"commit adds column(s) ${added.mkString(", ")} to table " +
+          s"$n (v$pv) under schema enforcement — additive " +
+          "evolution must be explicit: pass evolve = true")
+  }
 
   private def publishStaged(spark: SparkSession, root: String,
       names: Seq[String], txid: String,
       prior: Map[String, Int], next: Int,
-      evolve: Boolean = false): CatalogTx = {
+      evolve: Boolean = false,
+      parent: Int = -1, target: RefTarget = MainRef,
+      extraEntries: Map[String, Int] = Map.empty,
+      constraints: Seq[Constraint] = Seq.empty,
+      renames: Seq[Rename] = Seq.empty): CatalogTx = {
     val fs = fsOf(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
-    checkSchemas(spark, root, names, txid, prior, evolve)
+    checkSchemas(spark, root, names, txid, prior, evolve, renames)
     val claim = claimFile(root, next)
     try FsAtomic.createExclusive(fs, claim)
     catch {
@@ -1059,8 +2113,12 @@ object CatalogStore {
       // stale-claim guard: a claim at or below the pointer (vacuum
       // freed the number, or a caller-provided historical version)
       // must never complete — the pointer only moves forward, so the
-      // transaction could not land; fail before any rename
-      if (currentVersion(spark, root).exists(_ >= next))
+      // transaction could not land; fail before any rename. MAIN
+      // only: branch numbers interleave with main's, so a branch
+      // commit legitimately claims below a racing pointer — its ref
+      // CAS is the integrity check there.
+      if (target == MainRef &&
+          currentVersion(spark, root).exists(_ >= next))
         throw new CommitContentionException(next, null)
       // c=next existing while we hold a FRESH claim means version
       // `next` fully committed between our frontier walk and our
@@ -1074,8 +2132,21 @@ object CatalogStore {
           org.apache.hadoop.fs.Options.Rename.NONE)
         renamed ::= n
       }
-      val map = prior ++ names.map(_ -> next)
-      val body = (next.toString +: map.toSeq.sortBy(_._1)
+      val map = prior ++ names.map(_ -> next) ++ extraEntries
+      val refName = target match {
+        case MainRef             => "main"
+        case BranchTarget(n, _)  => n
+      }
+      val headers = Seq(
+        s"#parent\t${if (parent >= 0) parent else next - 1}",
+        s"#ref\t$refName") ++
+        constraints.sortBy(c => (c.table, c.name)).map(c =>
+          s"#constraint\t${enc(c.table)}\t${enc(c.name)}\t${c.kind}\t" +
+            enc(c.expr)) ++
+        renames.sortBy(r => (r.atVersion, r.table, r.from)).map(r =>
+          s"#rename\t${r.atVersion}\t${enc(r.table)}\t${enc(r.from)}\t" +
+            enc(r.to))
+      val body = ((next.toString +: headers) ++ map.toSeq.sortBy(_._1)
         .map { case (n, v) => s"$n\t$v" }).mkString("\n")
       val o = fs.create(tmp, true)
       try o.write(body.getBytes("UTF-8")) finally o.close()
@@ -1089,21 +2160,45 @@ object CatalogStore {
       }
       completedCat = true
       beforeFlip(next)
-      // the pointer flip is the commit point, FORWARD-ONLY through
-      // the CAS seam (in-process races fully closed by the lock;
-      // cross-JVM on plain filesystems the rename residual remains —
-      // see FsAtomic.putIfMatch). A refused flip means the pointer
-      // already passed `next` — and the only way it can do that is
-      // through a frontier chain built on OUR complete c=next (the
-      // stale-claim guard rejected pointers ≥ next before we
-      // completed), so the transaction is already included in the
-      // newer catalog's carry-forward: success, and rolling back
-      // would delete data that catalog references.
-      FsAtomic.putIfMatch(fs, conf, pointer(root),
-        new org.apache.hadoop.fs.Path(root, s"_cat_current.tmp.$next"),
-        next.toString,
-        () => currentVersion(spark, root).map(_.toString),
-        cur => cur.forall(_.trim.toInt < next))
+      target match {
+        case MainRef =>
+          // the pointer flip is the commit point, FORWARD-ONLY through
+          // the CAS seam (in-process races fully closed by the lock;
+          // cross-JVM on plain filesystems the rename residual remains —
+          // see FsAtomic.putIfMatch). A refused flip means the pointer
+          // already passed `next` — and the only way it can do that is
+          // through a frontier chain built on OUR complete c=next (the
+          // stale-claim guard rejected pointers ≥ next before we
+          // completed), so the transaction is already included in the
+          // newer catalog's carry-forward: success, and rolling back
+          // would delete data that catalog references.
+          FsAtomic.putIfMatch(fs, conf, pointer(root),
+            new org.apache.hadoop.fs.Path(root,
+              s"_cat_current.tmp.$next"),
+            next.toString,
+            () => currentVersion(spark, root).map(_.toString),
+            cur => cur.forall(_.trim.toInt < next))
+        case BranchTarget(name, expectedHead) =>
+          // branch commit point: equality CAS on the branch ref. A
+          // refusal means the head moved (or the branch was dropped)
+          // after our read — and unlike main, NOTHING can have built
+          // on our c=next (main's frontier skips non-main refs,
+          // branch readers resolve the ref file we failed to move),
+          // so the completed catalog file rolls BACK fully and the
+          // retry re-parents on the new head, metadata-only.
+          val ok = FsAtomic.putIfMatch(fs, conf, refFile(root, name),
+            new org.apache.hadoop.fs.Path(root,
+              s"_cat/.ref=$name.tmp.$next"),
+            next.toString,
+            () => if (fs.exists(refFile(root, name)))
+              Some(readSmall(fs, refFile(root, name))) else None,
+            cur => cur.exists(_.trim.toInt == expectedHead))
+          if (!ok) {
+            fs.delete(catFile(root, next), false)
+            completedCat = false
+            throw new CommitContentionException(next, null)
+          }
+      }
       fs.delete(claim, false)
       CatalogTx(Some(next), None)
     } catch {

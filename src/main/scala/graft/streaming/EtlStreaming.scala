@@ -478,4 +478,60 @@ object EtlStreaming {
           ()
         }
       }
+
+  /** One streaming-MERGE tick: the micro-batch's rows (through
+    * `transform` — project, and DEDUPE to one row per key if the
+    * batch can carry several; merge keeps incoming rows verbatim)
+    * UPSERT into ONE catalog table, with [[catalogTickBatch]]'s
+    * tick_meta guard riding in the SAME transaction — the streaming
+    * CDC-apply flow (Kafka upserts → lakehouse table) made
+    * exactly-once: a replayed batch whose id is not newer no-ops, and
+    * since guard and merged data flip in one atomic commit, a crash
+    * between them is impossible by construction. The target ref's
+    * persisted constraints gate every tick through [[graft.sources
+    * .CatalogStore.commit]]'s enforcement. Single-writer posture like
+    * every tick fold here: the stream owns its table.
+    */
+  def upsertTickBatch(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      batch: DataFrame, batchId: Long, table: String,
+      keys: Seq[String],
+      transform: DataFrame => DataFrame = identity): Boolean = {
+    import graft.sources.CatalogStore
+    require(table != "tick_meta", "tick_meta is reserved")
+    catalogTickBatch(spark, root, batch, batchId, { b =>
+      val updates = transform(b)
+      keys.foreach(k => require(updates.columns.contains(k),
+        s"key column $k not in the transformed batch"))
+      val merged = (try {
+        val snap = CatalogStore.snapshot(spark, root)
+        if (snap.tables.contains(table))
+          Some(graft.operators.Incremental.merge(
+            CatalogStore.read(spark, root, table, snap), updates, keys))
+        else None
+      } catch { case _: IllegalStateException => None }) // empty store
+        .getOrElse(updates)
+      Map(table -> merged)
+    })
+  }
+
+  /** Streaming MERGE INTO a catalog table — [[upsertTickBatch]]
+    * driven by a real stream.
+    */
+  def upsertTicks(
+      events: DataFrame, root: String, table: String,
+      keys: Seq[String],
+      transform: DataFrame => DataFrame = identity,
+      interval: String = "30 minutes"): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(interval))
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch = rawBatch.localCheckpoint(true)
+        if (!batch.isEmpty) {
+          upsertTickBatch(batch.sparkSession, root, batch, batchId,
+            table, keys, transform)
+          ()
+        }
+      }
 }

@@ -1,0 +1,317 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CatalogStore
+import graft.sources.Tables
+
+/** Named refs over the transactional catalog: branches (movable,
+  * CAS-advanced), tags (immutable), and the zero-copy merge commit —
+  * the Nessie/Iceberg-refs tier on top of [[CatalogStoreSpec]]'s
+  * single-line-of-history guarantees.
+  */
+class CatalogRefsSpec extends SparkSpec {
+
+  private lazy val orders = Tables.load(spark, sfDir, "orders")
+    .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  test("branch lifecycle: isolated commits, ref reads, parent chain") {
+    val root = Files.createTempDirectory("refs").toString
+    val a1 = orders.limit(100)
+    CatalogStore.commit(spark, root, Map("a" -> a1)) // main v1
+    assert(CatalogStore.createBranch(spark, root, "audit") == 1)
+    // duplicate / bad names are loud
+    intercept[IllegalArgumentException] {
+      CatalogStore.createBranch(spark, root, "audit")
+    }
+    intercept[IllegalArgumentException] {
+      CatalogStore.createBranch(spark, root, "main")
+    }
+    intercept[IllegalArgumentException] {
+      CatalogStore.commit(spark, root, Map("a" -> a1), ref = "nope")
+    }
+    // two branch commits: b rides only on the branch
+    val b1 = orders.limit(30)
+    val b2 = orders.limit(40)
+    val t1 = CatalogStore.commit(spark, root, Map("b" -> b1),
+      ref = "audit")
+    val t2 = CatalogStore.commit(spark, root, Map("b" -> b2),
+      ref = "audit")
+    assert(t1.committed && t2.committed)
+    // main is untouched: pointer, map, and reads
+    assert(CatalogStore.currentVersion(spark, root).contains(1))
+    val mainSnap = CatalogStore.snapshot(spark, root)
+    assert(mainSnap.tables == Map("a" -> 1))
+    // the branch world: its own b, main's a carried forward
+    val bSnap = CatalogStore.snapshotRef(spark, root, "audit")
+    assert(bSnap.tables == Map("a" -> 1, "b" -> t2.version.get))
+    assertSameRows(CatalogStore.read(spark, root, "b", bSnap), b2.toDF())
+    assertSameRows(CatalogStore.read(spark, root, "a", bSnap), a1.toDF())
+    // parent chain: t2 -> t1 -> fork(1); refs are recorded
+    val m2 = CatalogStore.catMeta(spark, root, t2.version.get)
+    val m1 = CatalogStore.catMeta(spark, root, t1.version.get)
+    assert(m2.ref == "audit" && m2.parent == t1.version.get)
+    assert(m1.ref == "audit" && m1.parent == 1)
+    // refs() lists main + the branch head
+    val rows = CatalogStore.refs(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set(("main", "branch", 1),
+      ("audit", "branch", t2.version.get)))
+    // the SQL surface names the branch world with zero query rewrite
+    try {
+      CatalogStore.registerSnapshotViews(spark, root,
+        ref = Some("audit"), suffix = "_br")
+      assert(spark.sql("SELECT count(*) AS n FROM b_br")
+        .collect()(0).getLong(0) == 40)
+      intercept[IllegalArgumentException] {
+        CatalogStore.registerSnapshotViews(spark, root,
+          version = Some(1), ref = Some("audit"))
+      }
+    } finally Seq("a_br", "b_br")
+      .foreach(spark.catalog.dropTempView)
+  }
+
+  test("main's frontier never adopts a branch catalog; numbers shared") {
+    val root = Files.createTempDirectory("refsf").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    CatalogStore.createBranch(spark, root, "wip")
+    val bt = CatalogStore.commit(spark, root,
+      Map("secret" -> orders.limit(5)), ref = "wip")
+    // the branch consumed version number 2; main's next commit must
+    // skip it, adopt nothing from it, and land above
+    val mt = CatalogStore.commit(spark, root, Map("a" -> orders.limit(20)))
+    assert(bt.version.contains(2) && mt.version.contains(3))
+    val snap = CatalogStore.snapshot(spark, root)
+    assert(snap.tables == Map("a" -> 3))
+    assert(!snap.tables.contains("secret"))
+    assert(CatalogStore.catMeta(spark, root, 3).parent == 1)
+  }
+
+  test("tags: immutable names, time travel, vacuum pin until drop") {
+    val root = Files.createTempDirectory("refst").toString
+    val a1 = orders.limit(50)
+    CatalogStore.commit(spark, root, Map("a" -> a1)) // v1
+    assert(CatalogStore.createTag(spark, root, "rel-1") == 1)
+    intercept[IllegalArgumentException] {
+      CatalogStore.createTag(spark, root, "rel-1")
+    }
+    intercept[IllegalArgumentException] { // tags are not writable
+      CatalogStore.commit(spark, root, Map("a" -> a1), ref = "rel-1")
+    }
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(60)))
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(70)))
+    // vacuum(keep=1) would normally drop catalog 1 — the tag pins it
+    // AND its table version
+    val vac = CatalogStore.vacuum(spark, root, keep = 1, claimAgeMs = 0L)
+    assert(vac.catalogs == Seq(2))
+    assert(vac.tableVersions == Map("a" -> Seq(2)))
+    val tagged = CatalogStore.snapshotRef(spark, root, "rel-1")
+    assert(tagged.version == 1)
+    assertSameRows(CatalogStore.read(spark, root, "a", tagged), a1.toDF())
+    // drop the tag: the pin ends, the next vacuum reclaims
+    assert(CatalogStore.dropTag(spark, root, "rel-1"))
+    val vac2 = CatalogStore.vacuum(spark, root, keep = 1,
+      claimAgeMs = 0L)
+    assert(vac2.catalogs == Seq(1) &&
+      vac2.tableVersions == Map("a" -> Seq(1)))
+    intercept[Exception] { CatalogStore.snapshot(spark, root, Some(1)) }
+  }
+
+  test("merge: fast-forward shape is a zero-copy main commit") {
+    val root = Files.createTempDirectory("refsm").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    CatalogStore.createBranch(spark, root, "etl")
+    val b = orders.limit(25)
+    CatalogStore.commit(spark, root, Map("b" -> b), ref = "etl")
+    val bHead = CatalogStore.refVersion(spark, root, "etl").get
+    val m = CatalogStore.mergeBranch(spark, root, "etl")
+    assert(m.fastForward && m.tables == Seq("b"))
+    val snap = CatalogStore.snapshot(spark, root)
+    // zero-copy: the merge map POINTS at the branch's version dir
+    assert(snap.version == m.version &&
+      snap.tables == Map("a" -> 1, "b" -> bHead))
+    assertSameRows(CatalogStore.read(spark, root, "b", snap), b.toDF())
+    // the merge commit is main-chain: a later commit builds on it
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(30)))
+    assert(CatalogStore.snapshot(spark, root).tables("b") == bHead)
+  }
+
+  test("merge: divergent histories combine; conflicts are loud; " +
+      "force = branch wins") {
+    val root = Files.createTempDirectory("refsc").toString
+    CatalogStore.commit(spark, root,
+      Map("a" -> orders.limit(10), "b" -> orders.limit(10)))
+    CatalogStore.createBranch(spark, root, "wip")
+    // branch changes b; main changes a — disjoint, merge combines
+    val bBranch = orders.limit(44)
+    CatalogStore.commit(spark, root, Map("b" -> bBranch), ref = "wip")
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(22)))
+    val m = CatalogStore.mergeBranch(spark, root, "wip")
+    assert(!m.fastForward && m.tables == Seq("b"))
+    val snap = CatalogStore.snapshot(spark, root)
+    assert(CatalogStore.read(spark, root, "a", snap).count() == 22)
+    assertSameRows(CatalogStore.read(spark, root, "b", snap),
+      bBranch.toDF())
+    // now BOTH sides change b since the (new) fork: conflict
+    CatalogStore.createBranch(spark, root, "wip2")
+    CatalogStore.commit(spark, root, Map("b" -> orders.limit(7)),
+      ref = "wip2")
+    CatalogStore.commit(spark, root, Map("b" -> orders.limit(9)))
+    val e = intercept[CatalogStore.MergeConflictException] {
+      CatalogStore.mergeBranch(spark, root, "wip2")
+    }
+    assert(e.tables == Seq("b"))
+    // main unchanged by the refused merge
+    assert(CatalogStore.read(spark, root, "b",
+      CatalogStore.snapshot(spark, root)).count() == 9)
+    // force: branch wins, table-level last-writer-wins
+    val fm = CatalogStore.mergeBranch(spark, root, "wip2", force = true)
+    assert(!fm.fastForward)
+    assert(CatalogStore.read(spark, root, "b",
+      CatalogStore.snapshot(spark, root)).count() == 7)
+  }
+
+  test("branch-first WAP on an unpublished store: stage, audit via " +
+      "branch reads, publish by merge") {
+    val root = Files.createTempDirectory("refsw").toString
+    // no main commit yet: branch forks at 0
+    assert(CatalogStore.createBranch(spark, root, "load") == 0)
+    val good = orders.limit(80)
+    CatalogStore.commit(spark, root, Map("t" -> good), ref = "load")
+    // main has NO catalog yet — reads fail loudly, branch serves
+    intercept[IllegalStateException] { CatalogStore.snapshot(spark, root) }
+    val bSnap = CatalogStore.snapshotRef(spark, root, "load")
+    assert(CatalogStore.read(spark, root, "t", bSnap).count() == 80)
+    val m = CatalogStore.mergeBranch(spark, root, "load")
+    assert(m.fastForward && m.tables == Seq("t"))
+    assertSameRows(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshot(spark, root)), good.toDF())
+  }
+
+  test("two branch committers race: CAS loser re-parents and lands; " +
+      "no orphan catalogs remain") {
+    val root = Files.createTempDirectory("refsr").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    for (round <- 1 to 8) {
+      val branch = s"race$round"
+      CatalogStore.createBranch(spark, root, branch)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val threads = (1 to 2).map { i =>
+        new Thread(() => {
+          try CatalogStore.commit(spark, root,
+            Map(s"t$i" -> orders.limit(10 + i)), ref = branch)
+          catch { case e: Throwable => errs.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      // both landed: head carries both tables, parent chain linear
+      val head = CatalogStore.refVersion(spark, root, branch).get
+      val snap = CatalogStore.snapshotRef(spark, root, branch)
+      assert(snap.tables.keySet == Set("a", "t1", "t2"))
+      val mHead = CatalogStore.catMeta(spark, root, head)
+      val mPrev = CatalogStore.catMeta(spark, root, mHead.parent)
+      assert(mHead.ref == branch && mPrev.ref == branch &&
+        mPrev.parent == 1)
+      // the CAS loser's aborted catalog file was rolled back: every
+      // complete catalog is either main's v1 or on a branch chain
+      // reachable from a ref — none dangling with this branch's name
+      // and a dead parent
+      val vs = CatalogStore.catalogVersions(spark, root)
+      val branchCats = vs.filter(v =>
+        CatalogStore.catMeta(spark, root, v).ref == branch)
+      assert(branchCats.toSet == Set(head, mHead.parent),
+        s"round $round: dangling branch catalogs: $branchCats")
+      CatalogStore.dropBranch(spark, root, branch)
+    }
+  }
+
+  test("branch committer racing a MAIN committer: both land, worlds " +
+      "stay separate") {
+    val root = Files.createTempDirectory("refsmx").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    for (round <- 1 to 4) {
+      val branch = s"mix$round"
+      CatalogStore.createBranch(spark, root, branch)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val tb = new Thread(() => {
+        try CatalogStore.commit(spark, root,
+          Map("bt" -> orders.limit(5)), ref = branch)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      val tm = new Thread(() => {
+        try CatalogStore.commit(spark, root,
+          Map("a" -> orders.limit(20 + round)))
+        catch { case e: Throwable => errs.add(e) }
+      })
+      tb.start(); tm.start(); tb.join(); tm.join()
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      assert(!CatalogStore.snapshot(spark, root).tables.contains("bt"))
+      assert(CatalogStore.snapshotRef(spark, root, branch)
+        .tables.contains("bt"))
+      CatalogStore.dropBranch(spark, root, branch)
+    }
+  }
+
+  test("crashed branch publish (pre-CAS) leaves the ref intact; aged " +
+      "vacuum reclaims the orphan; the branch keeps working") {
+    val root = Files.createTempDirectory("refsx").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    CatalogStore.createBranch(spark, root, "crashy")
+    CatalogStore.commit(spark, root, Map("b" -> orders.limit(5)),
+      ref = "crashy")
+    val headBefore = CatalogStore.refVersion(spark, root, "crashy").get
+    // crash between catalog-file completion and the ref CAS
+    CatalogStore.beforeFlip = v => sys.error(s"crash before CAS of $v")
+    try intercept[RuntimeException] {
+      CatalogStore.commit(spark, root, Map("b" -> orders.limit(6)),
+        ref = "crashy", contentionTimeoutMs = 2000L)
+    } finally CatalogStore.beforeFlip = _ => ()
+    // the ref never moved — branch readers are unaffected
+    assert(CatalogStore.refVersion(spark, root, "crashy")
+      .contains(headBefore))
+    assert(CatalogStore.snapshotRef(spark, root, "crashy")
+      .tables("b") == headBefore)
+    // the orphan catalog file (if the crash landed after completion)
+    // and its v-dir are unreachable; an aged sweep reclaims them and
+    // the branch continues committing cleanly
+    CatalogStore.vacuum(spark, root, keep = 5, claimAgeMs = 0L)
+    val t = CatalogStore.commit(spark, root,
+      Map("b" -> orders.limit(7)), ref = "crashy")
+    assert(t.committed)
+    assert(CatalogStore.snapshotRef(spark, root, "crashy")
+      .tables("b") == t.version.get)
+    assert(CatalogStore.read(spark, root, "b",
+      CatalogStore.snapshotRef(spark, root, "crashy")).count() == 7)
+  }
+
+  test("vacuum pins a live branch's chain and fork; dropBranch ends " +
+      "the pin") {
+    val root = Files.createTempDirectory("refsv").toString
+    val b0 = orders.limit(15)
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10),
+      "b" -> b0))                                      // main v1 (fork)
+    CatalogStore.createBranch(spark, root, "keepme")
+    val bb = orders.limit(33)
+    CatalogStore.commit(spark, root, Map("b" -> bb), ref = "keepme")
+    // main races ahead; keep=1 would drop v1 — the branch pins its
+    // fork AND the fork's table versions (merge needs the fork map)
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(20)))
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(30)))
+    val vac = CatalogStore.vacuum(spark, root, keep = 1, claimAgeMs = 0L)
+    assert(!vac.catalogs.contains(1), s"fork swept: $vac")
+    val bSnap = CatalogStore.snapshotRef(spark, root, "keepme")
+    assertSameRows(CatalogStore.read(spark, root, "b", bSnap), bb.toDF())
+    // and the merge still works after the sweep
+    val m = CatalogStore.mergeBranch(spark, root, "keepme")
+    assert(m.tables == Seq("b"))
+    // drop the branch: its unmerged-chain files become garbage; the
+    // merged DATA survives because main's map references it
+    CatalogStore.dropBranch(spark, root, "keepme")
+    CatalogStore.vacuum(spark, root, keep = 1, claimAgeMs = 0L)
+    assertSameRows(CatalogStore.read(spark, root, "b",
+      CatalogStore.snapshot(spark, root)), bb.toDF())
+  }
+}

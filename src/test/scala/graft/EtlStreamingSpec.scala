@@ -260,6 +260,54 @@ class EtlStreamingSpec extends SparkSpec {
     assertSameRows(rw, Seq((3L, 30L)).toDF("k", "v"))
   }
 
+  test("upsertTicks: streaming MERGE INTO the catalog; replay guard " +
+      "no-ops; constraints gate the ticks") {
+    import graft.sources.CatalogStore
+    val root = Files.createTempDirectory("upticks").toString
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = EtlStreaming.upsertTicks(mem.toDF().toDF("k", "v"), root,
+      "state", Seq("k"), interval = "0 seconds").start()
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      mem.addData((2L, "B"), (3L, "c")); q.processAllAvailable()
+    } finally q.stop()
+    // matched key replaced, new key appended, untouched carried
+    assertSameRows(CatalogStore.readCurrent(spark, root, "state"),
+      Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"))
+    // time travel: the first tick alone
+    assertSameRows(CatalogStore.read(spark, root, "state",
+      CatalogStore.snapshot(spark, root, Some(1))),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // replay of an already-committed id is a NO-OP — guard and merge
+    // flipped in the same transaction, so they cannot diverge
+    val snap = CatalogStore.snapshot(spark, root)
+    val replay = Seq((2L, "XXX")).toDF("k", "v")
+    assert(!EtlStreaming.upsertTickBatch(spark, root, replay, 1L,
+      "state", Seq("k")))
+    assert(CatalogStore.snapshot(spark, root) == snap)
+    // a newer id merges
+    assert(EtlStreaming.upsertTickBatch(spark, root, replay, 9L,
+      "state", Seq("k")))
+    assertSameRows(CatalogStore.readCurrent(spark, root, "state"),
+      Seq((1L, "a"), (2L, "XXX"), (3L, "c")).toDF("k", "v"))
+    // tick_meta stays reserved; persisted constraints gate the ticks
+    intercept[IllegalArgumentException] {
+      EtlStreaming.upsertTickBatch(spark, root, replay, 10L,
+        "tick_meta", Seq("k"))
+    }
+    CatalogStore.addConstraints(spark, root, Seq(
+      CatalogStore.Constraint.check("state", "v_nonempty",
+        "length(v) > 0")))
+    intercept[CatalogStore.ConstraintViolationException] {
+      EtlStreaming.upsertTickBatch(spark, root,
+        Seq((5L, "")).toDF("k", "v"), 11L, "state", Seq("k"))
+    }
+    // the refused tick moved nothing: state and guard intact
+    assertSameRows(CatalogStore.readCurrent(spark, root, "state"),
+      Seq((1L, "a"), (2L, "XXX"), (3L, "c")).toDF("k", "v"))
+  }
+
   test("dvTicks: streamed delete keys maintain the vector; data files untouched; redelivery no-ops") {
     val root = Files.createTempDirectory("dvticks")
     val tablePath = root.resolve("t").toString
