@@ -4668,6 +4668,79 @@ object ExtQueries {
           "guarded")
     },
 
+    "store_sql_ddl_gate" -> QueryDef(
+      doc = "the catalog's TEXT command surface (CatalogSql - the reference's whole operational posture is SQL text and JSON config, so an engine tier reachable only from Scala would be a regression for that user): one regular grammar, each statement mapping 1:1 onto a CatalogStore API so the parser adds a surface, never semantics. The gate drives a full lifecycle purely through text - CREATE TAG/BRANCH, DELETE FROM..WHERE (SQL NULL semantics ride through), ADD CONSTRAINT CHECK + UNIQUE (enforcement bites a later commit), DROP CONSTRAINT, ALTER TABLE RENAME COLUMN (guarded by the constraint first, landing after the drop), OPTIMIZE (compact + ZORDER BY), MERGE BRANCH, RESTORE TO, SHOW REFS/CONSTRAINTS, VACUUM KEEP - and pins: (1) text_dml - the delete/rename/optimize sequence reads back exactly right; (2) text_guards - constraint enforcement and the rename guard fire through the text path; (3) text_refs - tag time travel and branch merge land; (4) text_restore - RESTORE TO republishes the v1 world as a data-free FORWARD commit (the whole DML/rename/merge era undone in one metadata file, history still auditable); (5) text_loud - an unsupported statement fails naming the grammar",
+      oracle = "SELECT CAST(1 AS INTEGER) AS text_dml, " +
+        "CAST(1 AS INTEGER) AS text_guards, " +
+        "CAST(1 AS INTEGER) AS text_restore, " +
+        "CAST(1 AS INTEGER) AS text_refs, " +
+        "CAST(1 AS INTEGER) AS text_loud") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CatalogSql, CatalogStore}
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("k") < 6000) // slice: semantics, not IO
+      val root = java.nio.file.Files.createTempDirectory("graft-sqd")
+        .toString
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+      def x(stmt: String) = CatalogSql.exec(s, root, stmt)
+      CatalogStore.commit(s, root, Map("t" -> orders))
+      x("CREATE TAG rel AT 1")
+      x("CREATE BRANCH wip")
+      x("DELETE FROM t WHERE k % 2 = 1")
+      x("ALTER TABLE t ADD CONSTRAINT k_even CHECK (k % 2 = 0)")
+      x("ALTER TABLE t ADD CONSTRAINT uniq_k UNIQUE (k)")
+      x("ALTER TABLE t DROP CONSTRAINT k_even")
+      x("ALTER TABLE t RENAME COLUMN cents TO amount")
+      x("OPTIMIZE t TARGET 64 MB")
+      x("OPTIMIZE t ZORDER BY (k)")
+      val expected = orders.filter(col("k") % 2 === 0)
+        .withColumnRenamed("cents", "amount")
+      val textDml = eq(CatalogStore.readCurrent(s, root, "t"), expected)
+      // guards fire THROUGH the text path
+      val uniqBit = try {
+        CatalogStore.commit(s, root,
+          Map("t" -> expected.unionAll(expected.limit(5)))); false
+      } catch { case _: CatalogStore.ConstraintViolationException =>
+        true }
+      val renameGuard = try {
+        x("ALTER TABLE t RENAME COLUMN k TO id"); false
+      } catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("uniq_k") }
+      val textGuards = uniqBit && renameGuard
+      // refs: branch merge through text, tag time travel intact
+      CatalogStore.commit(s, root,
+        Map("side" -> orders.limit(10)), ref = "wip")
+      x("MERGE BRANCH wip")
+      val textRefs = CatalogStore.snapshot(s, root).tables
+        .contains("side") &&
+        CatalogStore.snapshotRef(s, root, "rel").version == 1 &&
+        eq(CatalogStore.read(s, root, "t",
+          CatalogStore.snapshotRef(s, root, "rel")), orders.toDF()) &&
+        x("SHOW REFS").collect().map(_.getString(0)).toSet ==
+          Set("main", "wip", "rel")
+      // data-free rollback of the whole DML/rename/merge era, then
+      // forward again — history stays auditable both ways
+      val preRestore = CatalogStore.snapshot(s, root)
+      x("RESTORE TO 1")
+      val restored = CatalogStore.snapshot(s, root)
+      val textRestore = restored.tables == Map("t" -> 1) &&
+        eq(CatalogStore.read(s, root, "t", restored), orders.toDF()) &&
+        { x(s"RESTORE TO ${preRestore.version}")
+          CatalogStore.snapshot(s, root).tables == preRestore.tables }
+      val textLoud = try { x("TRUNCATE TABLE t"); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("supported:") }
+      Seq((if (textDml) 1 else 0, if (textGuards) 1 else 0,
+        if (textRestore) 1 else 0, if (textRefs) 1 else 0,
+        if (textLoud) 1 else 0))
+        .toDF("text_dml", "text_guards", "text_restore", "text_refs",
+          "text_loud")
+    },
+
     "store_dml_gate" -> QueryDef(
       doc = "the DML tier's guarantees: (1) delete_sql - deleteWhere removes exactly the rows where the predicate is TRUE; FALSE and NULL rows stay (SQL DELETE semantics - a naive filter(!p) silently deletes every NULL row too); (2) upsert_checked - the persisted constraints gate the MERGED result: a violating update batch rejects pre-claim and the store is byte-identical; (3) no_lost_update - the derived-CAS loop: a concurrent commit landing between an upsert's read and its claim triggers RE-derivation against the new version, so the concurrent writer's rows survive into the merged result (the optimistic-concurrency conflict Delta surfaces as ConcurrentModificationException, closed here by replay); (4) history - every pre-DML version still serves its own bytes (DML writes new versions, never rewrites history)",
       oracle = "SELECT CAST(1 AS INTEGER) AS delete_sql, " +

@@ -1012,6 +1012,55 @@ object CatalogStore {
       idCol, contentCol)
   }
 
+  /** RESTORE: publish a NEW catalog version whose table map (and
+    * constraint set, and rename mapping) equal an older catalog's —
+    * the Delta RESTORE / Nessie assign move, here as a data-free
+    * FORWARD commit: nothing rewinds, so concurrent readers keep
+    * their snapshot guarantees, the botched history stays auditable
+    * (and vacuumable), and the restore itself shows up in
+    * [[history]] like any transaction. The restored map references
+    * the old immutable version dirs — zero bytes move, and those
+    * dirs become protected again because the current catalog
+    * references them (un-vacuumed history only: restoring past a
+    * vacuum fails loudly at [[snapshot]]).
+    */
+  def restore(spark: SparkSession, root: String, toVersion: Int,
+      ref: String = "main",
+      contentionTimeoutMs: Long = 60000L): CatalogTx = {
+    val target = catMeta(spark, root, toVersion) // loud if vacuumed
+    val deadline = System.currentTimeMillis + contentionTimeoutMs
+    var attempt = 0
+    var out: Option[CatalogTx] = None
+    while (out.isEmpty) {
+      val (prior, parentV, next, refTarget) =
+        if (ref == "main") {
+          val (p, pv, n) = frontier(spark, root)
+          (p, pv, n, MainRef: RefTarget)
+        } else {
+          val head = branchHead(spark, root, ref)
+          val p = if (head == 0) Map.empty[String, Int]
+            else snapshot(spark, root, Some(head)).tables
+          (p, head, nextFree(spark, root, head),
+            BranchTarget(ref, head): RefTarget)
+        }
+      // extraEntries REPLACES table-by-table; tables that exist now
+      // but not at the target must drop from the map — publishStaged
+      // composes prior ++ extras, so pass the target map as the
+      // WHOLE map by overriding prior
+      try out = Some(publishStaged(spark, root, Seq.empty,
+        txid = "restore", prior = target.tables, next = next,
+        evolve = true, parent = parentV, target = refTarget,
+        constraints = target.constraints, renames = target.renames))
+      catch {
+        case e: CommitContentionException =>
+          attempt += 1
+          if (System.currentTimeMillis > deadline) throw e
+          Thread.sleep(math.min(500L, 25L * attempt))
+      }
+    }
+    out.get
+  }
+
   /** What [[vacuum]] removed: catalog versions dropped, and table
     * versions dropped per table.
     */

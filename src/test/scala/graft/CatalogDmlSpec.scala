@@ -146,6 +146,41 @@ class CatalogDmlSpec extends SparkSpec {
     assertSameRows(carried, Seq((7, "unchanged")).toDF("k", "status"))
   }
 
+  test("restore: a data-free FORWARD commit republishes an older " +
+      "catalog's map, constraints, and renames") {
+    val root = Files.createTempDirectory("dmlres").toString
+    val good = Seq((1, 10L), (2, 20L)).toDF("k", "cents")
+    CatalogStore.commit(spark, root, Map("t" -> good,
+      "dim" -> Seq((7, "z")).toDF("k", "s")))          // v1
+    CatalogStore.addConstraints(spark, root, Seq(
+      CatalogStore.Constraint.check("t", "c_pos", "cents >= 0"))) // v2
+    // the regrettable era: delete + a new table + drop the constraint
+    CatalogStore.deleteWhere(spark, root, "t", col("k") === 1) // v3
+    CatalogStore.dropConstraint(spark, root, "t", "c_pos")     // v4
+    CatalogStore.commit(spark, root,
+      Map("oops" -> Seq((0, 0L)).toDF("k", "cents")))          // v5
+    val tx = CatalogStore.restore(spark, root, 2)
+    assert(tx.version.contains(6))
+    val snap = CatalogStore.snapshot(spark, root)
+    // the WHOLE map restored: t at v1's dir, dim carried, oops GONE
+    assert(snap.tables == Map("t" -> 1, "dim" -> 1))
+    assertSameRows(CatalogStore.read(spark, root, "t", snap), good)
+    // metadata restored too: the constraint bites again
+    assert(CatalogStore.constraintsOf(spark, root, snap)
+      .map(_.name) == Seq("c_pos"))
+    intercept[CatalogStore.ConstraintViolationException] {
+      CatalogStore.upsertTable(spark, root, "t",
+        Seq((9, -1L)).toDF("k", "cents"), Seq("k"))
+    }
+    // forward, not rewind: the botched history is still auditable
+    assert(CatalogStore.snapshot(spark, root, Some(5)).tables
+      .contains("oops"))
+    // and restoring forward to the newest works symmetrically
+    CatalogStore.restore(spark, root, 5)
+    assert(CatalogStore.snapshot(spark, root).tables.contains("oops"))
+    intercept[Exception] { CatalogStore.restore(spark, root, 99) }
+  }
+
   test("optimizeTable: small files compact into a new version, rows " +
       "identical, pre-optimize version byte-untouched; zorder mode; " +
       "partitioned auto-detect") {

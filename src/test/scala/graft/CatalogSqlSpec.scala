@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{CatalogSql, CatalogStore}
+
+/** The catalog's text command surface: every statement maps 1:1 onto
+  * a CatalogStore API, so these tests pin the PARSING and routing —
+  * the semantics are the underlying suites' contracts.
+  */
+class CatalogSqlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def exec(root: String, s: String, ref: String = "main") =
+    CatalogSql.exec(spark, root, s, ref)
+
+  test("full lifecycle through text: refs, DML, constraints, rename, " +
+      "optimize, merge, vacuum, show") {
+    val root = Files.createTempDirectory("csql").toString
+    CatalogStore.commit(spark, root, Map("t" ->
+      Seq((1, 5L), (2, -5L), (3, 30L)).toDF("k", "v")))
+    exec(root, "CREATE TAG rel-1 AT 1")
+    exec(root, "CREATE BRANCH wip")
+    // DELETE (SQL semantics ride the Scala API)
+    exec(root, "DELETE FROM t WHERE v < 0;")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 5L), (3, 30L)).toDF("k", "v"))
+    // constraints through text, enforced on later commits
+    exec(root, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    exec(root, "ALTER TABLE t ADD CONSTRAINT uniq_k UNIQUE (k)")
+    intercept[CatalogStore.ConstraintViolationException] {
+      CatalogStore.commit(spark, root,
+        Map("t" -> Seq((4, -1L)).toDF("k", "v")))
+    }
+    val consRows = exec(root, "SHOW CONSTRAINTS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(consRows == Set(("t", "v_pos"), ("t", "uniq_k")))
+    // rename: guarded by the constraint, then the drop-rename flow
+    intercept[IllegalArgumentException] {
+      exec(root, "ALTER TABLE t RENAME COLUMN v TO amount")
+    }
+    exec(root, "ALTER TABLE t DROP CONSTRAINT v_pos")
+    exec(root, "ALTER TABLE t RENAME COLUMN v TO amount")
+    assert(CatalogStore.readCurrent(spark, root, "t")
+      .columns.toSeq == Seq("k", "amount"))
+    // optimize, both modes
+    exec(root, "OPTIMIZE t TARGET 64 MB")
+    exec(root, "OPTIMIZE t ZORDER BY (k)")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 5L), (3, 30L)).toDF("k", "amount"))
+    // branch commit + text merge (the branch forked pre-rename and
+    // pre-constraint; publish a DISJOINT table so the merge is clean)
+    CatalogStore.commit(spark, root,
+      Map("side" -> Seq((9, 9L)).toDF("k", "amount")), ref = "wip")
+    val m = exec(root, "MERGE BRANCH wip").collect()(0).getString(1)
+    assert(m.contains("tables=side"))
+    assert(CatalogStore.snapshot(spark, root).tables.contains("side"))
+    // SHOW REFS lists main + branch + tag; tag still time-travels
+    val refs = exec(root, "SHOW REFS").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(refs.contains(("wip", "branch")) &&
+      refs.contains(("rel-1", "tag")) &&
+      refs.contains(("main", "branch")))
+    assert(CatalogStore.snapshotRef(spark, root, "rel-1").version == 1)
+    assert(exec(root, "SHOW HISTORY").count() > 0)
+    // vacuum through text (tag + branch pins hold)
+    exec(root, "DROP BRANCH wip")
+    val vac = exec(root, "VACUUM KEEP 1").collect()(0).getString(1)
+    assert(vac.startsWith("catalogs="))
+    assertSameRows(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshotRef(spark, root, "rel-1")),
+      Seq((1, 5L), (2, -5L), (3, 30L)).toDF("k", "v"))
+    exec(root, "DROP TAG rel-1")
+    // text restore: republish the pre-merge world, data-free
+    val pre = CatalogStore.snapshot(spark, root)
+    exec(root, "RESTORE TO 1")
+    assert(!CatalogStore.snapshot(spark, root).tables.contains("side"))
+    assert(CatalogStore.readCurrent(spark, root, "t")
+      .columns.toSeq == Seq("k", "v")) // pre-rename logical schema
+    exec(root, s"RESTORE TO ${pre.version}")
+    assert(CatalogStore.snapshot(spark, root).tables == pre.tables)
+    // unknown statements are loud with the grammar named
+    val e = intercept[IllegalArgumentException] {
+      exec(root, "TRUNCATE TABLE t")
+    }
+    assert(e.getMessage.contains("supported:"))
+    intercept[IllegalArgumentException] {
+      exec(root, "DROP BRANCH never_existed")
+    }
+  }
+
+  test("ref scoping: commands land on the named branch, main untouched") {
+    val root = Files.createTempDirectory("csqlr").toString
+    CatalogStore.commit(spark, root,
+      Map("t" -> Seq((1, 5L), (2, -5L)).toDF("k", "v")))
+    exec(root, "CREATE BRANCH b")
+    exec(root, "DELETE FROM t WHERE v < 0", ref = "b")
+    exec(root, "ALTER TABLE t RENAME COLUMN v TO w", ref = "b")
+    // branch world changed...
+    assertSameRows(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshotRef(spark, root, "b")),
+      Seq((1, 5L)).toDF("k", "w"))
+    // ...main is byte-identical
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 5L), (2, -5L)).toDF("k", "v"))
+    // comments strip; semicolons optional
+    exec(root, "SHOW REFS -- trailing comment")
+  }
+}
