@@ -4184,12 +4184,15 @@ object ExtQueries {
     },
 
     "store_catalog_history" -> QueryDef(
-      doc = "DESCRIBE-HISTORY surface over the transactional catalog: one row per (catalog version, table) across every complete catalog file, with the pointer's current version flagged - the audit query 'when did table X last change and what rode in that transaction'. Two fixed commits (tx1 publishes dim+fact, tx2 republishes only the fact) make the full history table DETERMINISTIC, so the driver hash pins carry-forward bookkeeping exactly: the untouched dim rides through tx2's map at its tx1 version, and only the newest catalog is current. Metadata-sized by design (catalog files are |versions| x |tables| lines)",
+      doc = "DESCRIBE-HISTORY surface over the transactional catalog: one row per (catalog version, table) across every complete catalog file, with the OWNING REF named (branch transactions must stay distinguishable from main history - 'when did X last change on main' cannot count an unmerged WIP commit) and the pointer's current version flagged. Two fixed main commits plus one BRANCH commit make the table deterministic: the driver hash pins carry-forward bookkeeping AND ref labeling exactly - the untouched dim rides through tx2's map at its tx1 version, the branch's row carries ref_name='wip', only the newest main catalog is current. Metadata-sized by design (catalog files are |versions| x |tables| lines)",
       oracle = """
         SELECT * FROM (VALUES
-          (1, 0, 'dim_h', 1), (1, 0, 'fact_h', 1),
-          (2, 1, 'dim_h', 1), (2, 1, 'fact_h', 2))
-          AS t(cat_version, is_current, table_name, table_version)""") { (s, dir) =>
+          (1, 'main', 0, 'dim_h', 1), (1, 'main', 0, 'fact_h', 1),
+          (2, 'main', 1, 'dim_h', 1), (2, 'main', 1, 'fact_h', 2),
+          (3, 'wip', 0, 'dim_h', 1), (3, 'wip', 0, 'fact_h', 2),
+          (3, 'wip', 0, 'staged_h', 3))
+          AS t(cat_version, ref_name, is_current, table_name,
+               table_version)""") { (s, dir) =>
       import graft.sources.CatalogStore
       val orders = Tables.load(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -4200,6 +4203,9 @@ object ExtQueries {
         "dim_h" -> orders.limit(20), "fact_h" -> orders))
       CatalogStore.commit(s, root,
         Map("fact_h" -> orders.filter(col("o_orderkey") % 2 === 0)))
+      CatalogStore.createBranch(s, root, "wip")
+      CatalogStore.commit(s, root,
+        Map("staged_h" -> orders.limit(7)), ref = "wip")
       CatalogStore.history(s, root)
     },
 

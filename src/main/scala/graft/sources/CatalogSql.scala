@@ -70,10 +70,25 @@ object CatalogSql {
   def exec(spark: SparkSession, root: String, statement: String,
       ref: String = "main"): DataFrame = {
     import spark.implicits._
-    // strip -- comments, collapse whitespace; the payload exprs keep
-    // their own text (comments never nest inside a single statement
-    // here — this is a command grammar, not a query language)
-    val text = statement.split("\n").map(_.replaceAll("--.*$", ""))
+    // strip -- comments QUOTE-AWARE: DELETE/CHECK payloads are full
+    // Spark SQL where '--' can sit inside a string literal
+    // (name = 'a--b', url NOT LIKE '%--%') — a line-anchored regex
+    // would corrupt exactly the part of the grammar that passes
+    // through verbatim
+    def stripComment(line: String): String = {
+      var inQuote = false
+      var i = 0
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (c == '\'') inQuote = !inQuote
+        else if (!inQuote && c == '-' && i + 1 < line.length &&
+            line.charAt(i + 1) == '-')
+          return line.substring(0, i)
+        i += 1
+      }
+      line
+    }
+    val text = statement.split("\n").map(stripComment)
       .mkString(" ").trim.stripSuffix(";").trim
     text match {
       case createRef(kind, name, at) =>
@@ -146,8 +161,10 @@ object CatalogSql {
         case "REFS"    => CatalogStore.refs(spark, root)
         case "HISTORY" => CatalogStore.history(spark, root)
         case _ =>
-          val snap = CatalogStore.snapshot(spark, root,
-            CatalogStore.refVersion(spark, root, ref))
+          // snapshotRef, not snapshot(refVersion): a typo'd ref must
+          // fail loudly, never silently serve MAIN's constraint list
+          // as the branch's
+          val snap = CatalogStore.snapshotRef(spark, root, ref)
           CatalogStore.constraintsOf(spark, root, snap)
             .map(c => (c.table, c.name, c.kind, c.expr))
             .toDF("table_name", "constraint_name", "kind", "expr")

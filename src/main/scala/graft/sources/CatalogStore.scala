@@ -115,9 +115,11 @@ object CatalogStore {
     *    (NULL passes — ANSI CHECK semantics, `notNull` closes nulls
     *    explicitly);
     *  - `unique`: `expr` is a comma-separated column list; violated
-    *    when any key value appears more than once. Enforcement costs
-    *    one aggregation of the staged table per commit — documented,
-    *    and still cheaper than the downstream join that silently
+    *    when any NON-NULL key value appears more than once (ANSI
+    *    UNIQUE: NULL keys are mutually distinct — pair with
+    *    [[Constraint.notNull]] to close them). Enforcement costs one
+    *    aggregation of the staged table per commit — documented, and
+    *    still cheaper than the downstream join that silently
     *    double-counts.
     *
     * Soundness invariant: every (constraint, table version) pair a
@@ -388,12 +390,14 @@ object CatalogStore {
       // branch-first store (every catalog ref'd by a branch, main
       // never committed) legitimately has catalogs and no pointer —
       // spinning 20 rounds on every read there would tax the whole
-      // branch workflow
-      val mains = catalogVersions(spark, root).filter(v =>
+      // branch workflow. `exists` stops at the first main witness;
+      // the all-branch store still pays one header parse per catalog
+      // on this (missing-pointer) path only — vacuum bounds the count
+      val hasMain = catalogVersions(spark, root).exists(v =>
         (try catMeta(spark, root, v).ref catch {
           case _: Exception => "main"
         }) == "main")
-      if (mains.isEmpty) return None
+      if (!hasMain) return None
       attempt += 1
       if (attempt > 20) return None // genuinely crashed pre-first-flip
       Thread.sleep(5L * attempt)
@@ -701,12 +705,16 @@ object CatalogStore {
     import spark.implicits._
     val cur = currentVersion(spark, root)
     catalogVersions(spark, root).flatMap { v =>
-      (try Some(snapshot(spark, root, Some(v)))
+      (try Some(catMeta(spark, root, v))
        catch { case _: Exception => None }).toSeq
-        .flatMap(sn => sn.tables.toSeq.sorted.map { case (t, tv) =>
-          (v, if (cur.contains(v)) 1 else 0, t, tv)
+        .flatMap(m => m.tables.toSeq.sorted.map { case (t, tv) =>
+          // ref_name keeps branch transactions distinguishable from
+          // main history — "when did X last change ON MAIN" must not
+          // count an unmerged WIP branch commit as a change
+          (v, m.ref, if (cur.contains(v)) 1 else 0, t, tv)
         })
-    }.toDF("cat_version", "is_current", "table_name", "table_version")
+    }.toDF("cat_version", "ref_name", "is_current", "table_name",
+      "table_version")
   }
 
   private def statsFile(root: String, name: String, v: Int) =
@@ -1834,11 +1842,20 @@ object CatalogStore {
     * the merge) or retries after it (the merge re-reads the new
     * frontier).
     *
-    * Conflict rule, table-granular: a table the branch changed whose
-    * main version differs from the FORK's version changed on both
-    * sides → [[MergeConflictException]] unless `force` (branch wins).
-    * Tables only main changed carry forward untouched; the branch ref
-    * itself is left in place (drop it separately, or keep committing).
+    * Merge set: the head-vs-fork DIFF of the branch's map (covers
+    * plain commits, upserts, and branch RESTOREs alike). Conflict
+    * rule, table-granular: a merged table whose main version moved
+    * since the fork — EXCEPT to a version this branch itself
+    * published (its own earlier merge; re-merging a long-lived branch
+    * is clean) — → [[MergeConflictException]] unless `force` (branch
+    * wins). Tables only main changed carry forward untouched; the
+    * branch ref stays (drop it separately, or keep committing).
+    * Refused loudly, never decided silently: branch-removed tables
+    * (no tombstones in the map model) and branch-side column renames
+    * touching merged tables (renames are per-ref metadata —
+    * re-apply on main). A branch with no map differences no-ops.
+    * Metadata-only branch commits (constraints/renames on untouched
+    * tables) never merge — re-apply them on main.
     */
   def mergeBranch(spark: SparkSession, root: String, branch: String,
       force: Boolean = false, evolve: Boolean = false,
@@ -1846,11 +1863,15 @@ object CatalogStore {
     validateRefName(branch)
     val head = branchHead(spark, root, branch)
     require(head > 0, s"branch $branch has no commits to merge")
-    // the branch-local chain: each commit's OWN tables are the map
-    // entries published at that commit's number; the first non-branch
-    // ancestor is the fork point
+    // the branch-local chain walk serves two purposes: the fork point
+    // (first non-branch ancestor) and the set of table versions the
+    // branch ITSELF published (per table) — the conflict exemption
+    // that makes a SECOND merge of the same branch clean (main's
+    // "change" to the table was this branch's own earlier merge)
     var v = head
-    var changedNames = Set.empty[String]
+    var published = Map.empty[String, Set[Int]]
+    var headRenames: Seq[Rename] = Seq.empty
+    var firstHop = true
     var forkV = 0
     var walking = true
     while (walking) {
@@ -1858,18 +1879,47 @@ object CatalogStore {
       else {
         val m = catMeta(spark, root, v)
         if (m.ref == branch) {
-          changedNames ++= m.tables.collect {
-            case (n, tv) if tv == m.version => n
+          if (firstHop) { headRenames = m.renames; firstHop = false }
+          m.tables.foreach { case (n, tv) =>
+            if (tv == m.version)
+              published = published.updated(n,
+                published.getOrElse(n, Set.empty) + tv)
           }
           v = m.parent
         } else { forkV = v; walking = false }
       }
     }
     val headMap = snapshot(spark, root, Some(head)).tables
-    val forkMap = if (forkV == 0) Map.empty[String, Int]
-      else snapshot(spark, root, Some(forkV)).tables
-    val branchEntries = changedNames.toSeq.sorted
-      .map(n => n -> headMap(n)).toMap
+    val forkMeta = if (forkV == 0) None
+      else Some(catMeta(spark, root, forkV))
+    val forkMap = forkMeta.map(_.tables).getOrElse(Map.empty)
+    // what merges = every entry the branch WORLD differs on from its
+    // fork — head-vs-fork DIFF, not just own-version entries, so a
+    // branch RESTORE to an older table version merges as the change
+    // it is instead of being silently skipped
+    val branchEntries = headMap.filter { case (n, tv) =>
+      !forkMap.get(n).contains(tv) }
+    // the map model has no tombstones: a table present at the fork
+    // but absent at the branch head (a branch restore past its
+    // creation) cannot merge as a DELETE — loud, never a silent
+    // resurrect-or-drop decision made for the caller
+    val removed = (forkMap.keySet -- headMap.keySet).toSeq.sorted
+    require(removed.isEmpty,
+      s"branch $branch removed table(s) ${removed.mkString(", ")} " +
+        "relative to its fork — the catalog map has no tombstones, " +
+        "so a merge cannot publish a delete; restore main explicitly")
+    if (branchEntries.isEmpty)
+      return Merge(currentVersion(spark, root).getOrElse(0),
+        fastForward = true, tables = Seq.empty) // nothing to publish
+    // branch-side column renames are per-ref metadata and do NOT
+    // merge; when one touches a table being merged, silence would
+    // lose it (the schema guard only catches REWRITTEN tables). The
+    // refusal is checked against MAIN's chain inside the publish
+    // loop: a rename main ALREADY carries (the documented fix —
+    // renameColumn on main first) is exempt
+    val forkRenames = forkMeta.map(_.renames).getOrElse(Seq.empty)
+    val branchOnlyRenames = headRenames.diff(forkRenames)
+      .filter(r => branchEntries.contains(r.table))
     val deadline = System.currentTimeMillis + contentionTimeoutMs
     var attempt = 0
     var out: Option[Merge] = None
@@ -1883,12 +1933,26 @@ object CatalogStore {
     var validatedSig: Option[Set[Constraint]] = None
     while (out.isEmpty) {
       val (prior, parentV, next) = frontier(spark, root)
-      val conflicts = changedNames.toSeq.sorted
-        .filter(n => prior.get(n) != forkMap.get(n))
+      // conflict = main's version moved since the fork AND not to a
+      // version this branch itself published (its own earlier merge)
+      val conflicts = branchEntries.keys.toSeq.sorted.filter { n =>
+        val cur = prior.get(n)
+        cur != forkMap.get(n) &&
+          !cur.exists(published.getOrElse(n, Set.empty).contains)
+      }
       if (conflicts.nonEmpty && !force)
         throw new MergeConflictException(conflicts)
       val cs = constraintsAt(spark, root, parentV)
       val rn = renamesAt(spark, root, parentV)
+      val offending = branchOnlyRenames.filterNot(r =>
+        rn.exists(m => m.table == r.table && m.from == r.from &&
+          m.to == r.to))
+      require(offending.isEmpty,
+        s"branch $branch renamed column(s) of merged table(s) " +
+          offending.map(r => s"${r.table}.${r.from}->${r.to}")
+            .mkString(", ") +
+          " — renames are per-ref metadata and do not merge; apply " +
+          "the same rename on main (renameColumn) BEFORE merging")
       // what main will SERVE for a merged table is the branch
       // version's bytes through MAIN's rename chain — that logical
       // view must satisfy main's schema contract against main's
@@ -1962,10 +2026,17 @@ object CatalogStore {
               .orElse(currentVersion(spark, root)
                 .map(v => snapshot(spark, root, Some(v)).tables))
               .getOrElse(Map.empty)
+          // tolerant metadata carry: this TEST SEAM commits at a
+          // caller-chosen number whose predecessor may be vacuumed
+          // (unlike the real paths, which always read the live
+          // frontier's parent — strict there)
+          val (cs, rn) =
+            try (constraintsAt(spark, root, next - 1),
+              renamesAt(spark, root, next - 1))
+            catch { case _: Exception =>
+              (Seq.empty[Constraint], Seq.empty[Rename]) }
           publishStaged(spark, root, tables.keys.toSeq.sorted, txid,
-            prior, next, evolve,
-            constraints = constraintsAt(spark, root, next - 1),
-            renames = renamesAt(spark, root, next - 1))
+            prior, next, evolve, constraints = cs, renames = rn)
       }
     } finally {
       tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
@@ -2021,8 +2092,13 @@ object CatalogStore {
               s"table ${c.table}: e.g. ${bad(0)}")
         case "unique" =>
           val cols = c.expr.split(",").toSeq.map(_.trim)
+          // ANSI UNIQUE: NULL keys are mutually DISTINCT — two rows
+          // with a NULL key never conflict (the same direction as
+          // CHECK's NULL-passes; notNull closes nulls explicitly)
+          val nonNull = cols.map(col(_).isNotNull)
+            .reduce(_ && _)
           // collect-bound: limit(1) — one duplicate key for the message
-          val dup = df.groupBy(cols.map(col): _*)
+          val dup = df.filter(nonNull).groupBy(cols.map(col): _*)
             .count().filter(col("count") > 1).limit(1).collect()
           if (dup.nonEmpty) throw new ConstraintViolationException(
             c.table, c.name,
@@ -2039,18 +2115,27 @@ object CatalogStore {
     * parent catalog's persisted set; empty below the first commit or
     * under a concurrent vacuum of historic metadata).
     */
+  /** The constraint set a publish at `parent` must enforce and carry.
+    * STRICT on read failure: every caller passes the LIVE frontier's
+    * parent (protected from vacuum by the keep-set), so an exception
+    * here is a real IO/corruption problem — swallowing it would
+    * silently publish a catalog with NO constraints and every later
+    * commit would carry that empty set forward, ending enforcement
+    * with no error.
+    */
   private def constraintsAt(spark: SparkSession, root: String,
       parent: Int): Seq[Constraint] =
     if (parent <= 0) Seq.empty
-    else try catMeta(spark, root, parent).constraints
-    catch { case _: Exception => Seq.empty }
+    else catMeta(spark, root, parent).constraints
 
-  /** The column-mapping chain a publish at `parent` carries forward. */
+  /** The column-mapping chain a publish at `parent` carries forward —
+    * strict like [[constraintsAt]]: dropping it silently would serve
+    * old physical names on every pre-rename version.
+    */
   private def renamesAt(spark: SparkSession, root: String,
       parent: Int): Seq[Rename] =
     if (parent <= 0) Seq.empty
-    else try catMeta(spark, root, parent).renames
-    catch { case _: Exception => Seq.empty }
+    else catMeta(spark, root, parent).renames
 
   /** Test seam: runs after the catalog file completes, before the
     * pointer flip — lets the concurrency specs hold a writer in the
@@ -2146,6 +2231,17 @@ object CatalogStore {
       extraEntries: Map[String, Int] = Map.empty,
       constraints: Seq[Constraint] = Seq.empty,
       renames: Seq[Rename] = Seq.empty): CatalogTx = {
+    // the catalog-format guard lives HERE, on the choke point every
+    // publish path funnels through (commit, commitDerived/upsert-
+    // first-publish, merge extras) — a tab/newline in a table name
+    // would corrupt the body's split-parse and brick every later
+    // snapshot; a leading '#' would silently vanish into the header
+    // namespace
+    (names ++ extraEntries.keys).foreach(n =>
+      require(!n.startsWith("#") && !n.contains("\t") &&
+        !n.contains("\n") && !n.contains("/"),
+        s"table name '$n' would corrupt the catalog file format " +
+          "(no leading '#', no tab/newline/slash)"))
     val fs = fsOf(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
     checkSchemas(spark, root, names, txid, prior, evolve, renames)

@@ -130,6 +130,20 @@ class CatalogConstraintSpec extends SparkSpec {
     assert(CatalogStore.commit(spark, root,
       Map("t" -> Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")))
       .committed)
+    // ANSI UNIQUE: NULL keys are mutually DISTINCT — a sparse key
+    // column with many NULLs is legal (notNull closes them)
+    CatalogStore.commit(spark, root, Map("sparse" ->
+      Seq((Some(1), "a"), (None: Option[Int], "b"),
+        (None: Option[Int], "c")).toDF("k", "s")))
+    CatalogStore.addConstraints(spark, root, Seq(
+      Constraint.unique("sparse", Seq("k"))))
+    assert(CatalogStore.commit(spark, root, Map("sparse" ->
+      Seq((Some(1), "a"), (None: Option[Int], "b"),
+        (None: Option[Int], "c")).toDF("k", "s"))).committed)
+    intercept[ConstraintViolationException] {
+      CatalogStore.commit(spark, root, Map("sparse" ->
+        Seq((Some(1), "a"), (Some(1), "b")).toDF("k", "s")))
+    }
     // composite: (k, s) unique allows repeated k with distinct s
     CatalogStore.dropConstraint(spark, root, "t", "unique_k")
     CatalogStore.addConstraints(spark, root, Seq(

@@ -46,6 +46,17 @@ class CatalogDmlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CatalogStore.upsertTable(spark, root, "t", updates, Seq("nope"))
     }
+    // the catalog-format name guard covers the FIRST-publish path
+    // too (a tab would brick every later snapshot's split-parse; a
+    // leading '#' would vanish into the header namespace)
+    intercept[IllegalArgumentException] {
+      CatalogStore.upsertTable(spark, root, "a\tb", updates, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      CatalogStore.upsertTable(spark, root, "#bad", updates, Seq("k"))
+    }
+    assert(CatalogStore.snapshot(spark, root).tables.keySet ==
+      Set("t", "fresh"))
   }
 
   test("deleteWhere: TRUE rows go, FALSE and NULL rows stay (SQL " +

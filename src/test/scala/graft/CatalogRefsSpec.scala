@@ -173,6 +173,85 @@ class CatalogRefsSpec extends SparkSpec {
       CatalogStore.snapshot(spark, root)).count() == 7)
   }
 
+  test("re-merging a long-lived branch is clean: main's 'change' was " +
+      "the branch's own earlier merge; real conflicts still detected") {
+    val root = Files.createTempDirectory("refsrm").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    CatalogStore.createBranch(spark, root, "live")
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(20)),
+      ref = "live")
+    val m1 = CatalogStore.mergeBranch(spark, root, "live")
+    assert(m1.tables == Seq("t"))
+    // keep committing on the SAME branch, then merge again — main's
+    // t version came from this branch's merge, so no conflict
+    val t2 = orders.limit(30)
+    CatalogStore.commit(spark, root, Map("t" -> t2), ref = "live")
+    val m2 = CatalogStore.mergeBranch(spark, root, "live")
+    assert(m2.tables == Seq("t"))
+    assertSameRows(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshot(spark, root)), t2.toDF())
+    // a GENUINE both-sides change still conflicts
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(5)),
+      ref = "live")
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(7)))
+    intercept[CatalogStore.MergeConflictException] {
+      CatalogStore.mergeBranch(spark, root, "live")
+    }
+    // a branch with no map differences no-ops instead of publishing
+    // an empty transaction
+    CatalogStore.createBranch(spark, root, "idle")
+    val preV = CatalogStore.snapshot(spark, root).version
+    val m0 = CatalogStore.mergeBranch(spark, root, "idle")
+    assert(m0.tables.isEmpty &&
+      CatalogStore.snapshot(spark, root).version == preV)
+  }
+
+  test("branch RESTORE merges as the change it is; a branch-removed " +
+      "table refuses loudly (no tombstones)") {
+    val root = Files.createTempDirectory("refsbr").toString
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(10)))
+    val t2 = orders.limit(20)
+    CatalogStore.commit(spark, root, Map("t" -> t2)) // main v2
+    CatalogStore.createBranch(spark, root, "roll")
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(30)),
+      ref = "roll")
+    // the branch decides its new load was bad: restore ON THE BRANCH
+    // back to its fork — head now maps t to v2's dir again; after a
+    // further branch commit, the merge must see the LATEST world
+    CatalogStore.restore(spark, root, 2, ref = "roll")
+    val t4 = orders.limit(40)
+    CatalogStore.commit(spark, root, Map("t" -> t4), ref = "roll")
+    val m = CatalogStore.mergeBranch(spark, root, "roll")
+    assert(m.tables == Seq("t"))
+    assertSameRows(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshot(spark, root)), t4.toDF())
+    // and a branch restore that ROLLS BACK to the fork version merges
+    // as a no-op for that table (head == fork ⇒ not a change)
+    CatalogStore.createBranch(spark, root, "undo")
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(50)),
+      ref = "undo")
+    val fork2 = CatalogStore.snapshot(spark, root).version
+    CatalogStore.restore(spark, root, fork2, ref = "undo")
+    assert(CatalogStore.mergeBranch(spark, root, "undo")
+      .tables.isEmpty)
+    // removal: a branch restored past a FORK table's creation leaves
+    // that table absent at its head — the map has no tombstones, so
+    // the merge refuses with advice instead of silently deciding
+    // resurrect-or-drop
+    val root2 = Files.createTempDirectory("refsbr2").toString
+    CatalogStore.commit(spark, root2, Map("a" -> orders.limit(5))) // v1
+    CatalogStore.commit(spark, root2, Map("b" -> orders.limit(6))) // v2
+    CatalogStore.createBranch(spark, root2, "drop") // fork v2: a, b
+    CatalogStore.restore(spark, root2, 1, ref = "drop") // head: a only
+    CatalogStore.commit(spark, root2, Map("a" -> orders.limit(7)),
+      ref = "drop")
+    val e = intercept[IllegalArgumentException] {
+      CatalogStore.mergeBranch(spark, root2, "drop")
+    }
+    assert(e.getMessage.contains("tombstones") &&
+      e.getMessage.contains("b"))
+  }
+
   test("branch-first WAP on an unpublished store: stage, audit via " +
       "branch reads, publish by merge") {
     val root = Files.createTempDirectory("refsw").toString

@@ -163,15 +163,16 @@ class CatalogRenameSpec extends SparkSpec {
     CatalogStore.commit(spark, root,
       Map("t" -> Seq((1, 10L)).toDF("k", "a")))
     CatalogStore.createBranch(spark, root, "wip")
-    // the branch renames a->z and commits a new generation with z
+    // the branch renames a->z and commits a new generation with z:
+    // the merge refuses UP FRONT with the fix named (renames are
+    // per-ref; silence would lose the rename or fork the schema)
     CatalogStore.renameColumn(spark, root, "t", "a", "z", ref = "wip")
     CatalogStore.commit(spark, root,
       Map("t" -> Seq((2, 20L)).toDF("k", "z")), ref = "wip")
-    // main never saw the rename: the merged version's bytes say `z`,
-    // main's logical schema says `a` — refused as drop+add
-    intercept[CatalogStore.SchemaEvolutionException] {
+    val e = intercept[IllegalArgumentException] {
       CatalogStore.mergeBranch(spark, root, "wip", force = true)
     }
+    assert(e.getMessage.contains("BEFORE merging"))
     // main is untouched and still serves `a`
     assertSameRows(CatalogStore.read(spark, root, "t",
       CatalogStore.snapshot(spark, root)),
@@ -180,5 +181,28 @@ class CatalogRenameSpec extends SparkSpec {
     assertSameRows(CatalogStore.read(spark, root, "t",
       CatalogStore.snapshotRef(spark, root, "wip")),
       Seq((2, 20L)).toDF("k", "z"))
+    // the documented fix WORKS: apply the same rename on main, then
+    // the merge lands and main serves the branch's bytes under the
+    // shared logical name
+    CatalogStore.renameColumn(spark, root, "t", "a", "z")
+    val m = CatalogStore.mergeBranch(spark, root, "wip")
+    assert(m.tables == Seq("t"))
+    assertSameRows(CatalogStore.read(spark, root, "t",
+      CatalogStore.snapshot(spark, root)),
+      Seq((2, 20L)).toDF("k", "z"))
+    // schema drift WITHOUT a rename (both sides independently create
+    // the same table with different schemas) still hits the schema
+    // guard even under force
+    val root2 = Files.createTempDirectory("renm2").toString
+    CatalogStore.commit(spark, root2,
+      Map("base" -> Seq((1, 1L)).toDF("k", "v")))
+    CatalogStore.createBranch(spark, root2, "wip3")
+    CatalogStore.commit(spark, root2,
+      Map("w" -> Seq((2, 2L)).toDF("k", "v")), ref = "wip3")
+    CatalogStore.commit(spark, root2,
+      Map("w" -> Seq(("x", 3L)).toDF("name", "v")))
+    intercept[CatalogStore.SchemaEvolutionException] {
+      CatalogStore.mergeBranch(spark, root2, "wip3", force = true)
+    }
   }
 }

@@ -108,5 +108,17 @@ class CatalogSqlSpec extends SparkSpec {
       Seq((1, 5L), (2, -5L)).toDF("k", "v"))
     // comments strip; semicolons optional
     exec(root, "SHOW REFS -- trailing comment")
+    // ...but QUOTE-AWARE: '--' inside a string literal of a payload
+    // expression passes through verbatim
+    CatalogStore.commit(spark, root, Map("s" ->
+      Seq((1, "a--b"), (2, "keep")).toDF("k", "txt")))
+    exec(root, "DELETE FROM s WHERE txt = 'a--b' -- real comment")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "s"),
+      Seq((2, "keep")).toDF("k", "txt"))
+    // SHOW CONSTRAINTS on a typo'd ref fails loudly instead of
+    // silently serving MAIN's list as the branch's
+    intercept[IllegalArgumentException] {
+      exec(root, "SHOW CONSTRAINTS", ref = "staginng")
+    }
   }
 }

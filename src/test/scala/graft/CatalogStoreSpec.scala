@@ -186,11 +186,11 @@ class CatalogStoreSpec extends SparkSpec {
       "a" -> orders.limit(10), "b" -> orders.limit(5)))
     CatalogStore.commit(spark, root, Map("a" -> orders.limit(3)))
     val h = CatalogStore.history(spark, root)
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2),
-        r.getInt(3))).toSet
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2),
+        r.getString(3), r.getInt(4))).toSet
     assert(h == Set(
-      (1, 0, "a", 1), (1, 0, "b", 1),
-      (2, 1, "a", 2), (2, 1, "b", 1)))
+      (1, "main", 0, "a", 1), (1, "main", 0, "b", 1),
+      (2, "main", 1, "a", 2), (2, "main", 1, "b", 1)))
   }
 
   test("stage-once: contention retries are metadata-only — the table's " +
