@@ -4726,6 +4726,7 @@ object ExtQueries {
         CatalogStore.snapshotRef(s, root, "rel").version == 1 &&
         eq(CatalogStore.read(s, root, "t",
           CatalogStore.snapshotRef(s, root, "rel")), orders.toDF()) &&
+        // collect-bound: |refs| rows (one per named ref)
         x("SHOW REFS").collect().map(_.getString(0)).toSet ==
           Set("main", "wip", "rel")
       // data-free rollback of the whole DML/rename/merge era, then

@@ -317,9 +317,17 @@ class TrainingStreamingSpec extends SparkSpec {
     // exclude the batch's own keys, so the refit sees the same set)
     TrainingStreaming.tickBatch(spark, drop2, root, cfg)
     val m2 = TrainingStreaming.readPcaModel(spark, root).get
-    assert(m2.eigenvalues.toSeq == m.eigenvalues.toSeq &&
-      m2.axes.map(_.toSeq).toSeq == m.axes.map(_.toSeq).toSeq,
-      "a redelivered batch must not move the rotation")
+    // the no-op is at STATE level (the refit sees the same curated
+    // set); the refit's own aggregation combine order varies run to
+    // run, so the rotation matches to ulp-scale tolerance, not ==
+    m2.eigenvalues.zip(m.eigenvalues).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9 * math.max(1.0, math.abs(b)),
+        "a redelivered batch must not move the eigenvalues")
+    }
+    m2.axes.zip(m.axes).foreach { case (a2, a1) =>
+      assert(a2.zip(a1).map { case (x, y) => x * y }.sum > 1 - 1e-9,
+        "a redelivered batch must not move the rotation")
+    }
 
     // serving parity: reduced ANN from streaming state ≡ the same
     // composition over the curated set directly
