@@ -199,22 +199,30 @@ object SketchState {
     * same discipline as the HLL state table.
     *
     * Scale shape: one uniform groupBy exchange for the exact counts
-    * (map-side combined), then a per-group top-(k+1) window over the
-    * already-aggregated (group, item) rows. State is ≤ k rows/group.
+    * (map-side combined), a rank-pruned top-(k+1) pass over the
+    * aggregated (group, item) rows ([[compress]]), and the group
+    * totals as a NARROW second aggregation of the raw column joined
+    * back by broadcast — not a sum window partitioned by group, whose
+    * window task would hold the group's ENTIRE distinct-item set
+    * (window partitions are not AQE-splittable; the tfidf/bm25 df
+    * hazard). State is ≤ k rows/group.
     */
   def heavyHitterSketches(
       df: DataFrame, groupCols: Seq[String], valueCol: String,
       k: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val grain = groupCols.map(col)
     val counts = df
-      .groupBy((groupCols.map(col) :+
+      .groupBy((grain :+
         col(valueCol).cast("string").as("item")): _*)
       .agg(count(lit(1)).as("cnt"))
-      // the group's exact total rides on the (already state-sized)
-      // count rows — the bound column and the audit column in one
-      .withColumn("__n",
-        sum(col("cnt")).over(Window.partitionBy(groupCols.map(col): _*)))
-    compress(counts, groupCols, k)
+    // the group's exact item total (the bound column and the audit
+    // column in one) — model-sized per distinct grain, broadcast back
+    val totals = df.groupBy(grain: _*).agg(count(lit(1)).as("__n"))
+    val withN =
+      if (groupCols.isEmpty) counts.crossJoin(broadcast(totals))
+      else counts.join(broadcast(totals), groupCols)
+    compress(withN, groupCols, k)
   }
 
   /** Fold a delta's partial summaries into the persisted state — the
@@ -292,22 +300,57 @@ object SketchState {
     * merged bound would then understate n and the "≤ n/(k+1)"
     * guarantee would be fiction). A nonempty group therefore always
     * keeps ≥ 1 state row.
+    *
+    * The empty-grain global form (rollups over the whole range) is
+    * expressed window-free: top-(k+1) by sort-limit
+    * (TakeOrderedAndProject — map-side top-k, no empty-spec
+    * WindowExec, no single-partition warning), t as a one-row
+    * broadcast over it. Rows with cnt > t are EXACTLY the original's
+    * rank ≤ k ∧ est > 0 set (any such row outranks every cnt = t row,
+    * and at most k rows exceed the (k+1)-th value); the rank-1
+    * keep-alive row is the sort-limit(1) head when nothing clears t.
     */
   private def compress(
       counts: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val grain = groupCols.map(col)
-    val w = Window.partitionBy(grain: _*)
-      .orderBy(col("cnt").desc, col("item").asc)
-    val t = max(when(row_number().over(w) === k + 1, col("cnt")))
-      .over(Window.partitionBy(grain: _*))
-    counts
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__t", coalesce(t, lit(0L)))
-      .filter(col("__rk") <= k &&
-        (col("cnt") - col("__t") > 0 || col("__rk") === 1))
-      .select((grain :+ col("item") :+
-        (col("cnt") - col("__t")).as("est") :+
-        col("__n").as("n_rows")): _*)
+    if (groupCols.isEmpty) {
+      val top = counts.orderBy(col("cnt").desc, col("item").asc)
+        .limit(k + 1).localCheckpoint(true)
+      val tF = top.agg(
+        when(count(lit(1)) === k + 1, min(col("cnt")))
+          .otherwise(lit(0L)).as("__t"))
+      val withT = top.crossJoin(broadcast(tF))
+      val survivors = withT.filter(col("cnt") > col("__t"))
+      val keepAlive = withT
+        .orderBy(col("cnt").desc, col("item").asc).limit(1)
+        .filter(col("cnt") === col("__t"))
+      survivors.unionByName(keepAlive)
+        .select(col("item"), (col("cnt") - col("__t")).as("est"),
+          col("__n").as("n_rows"))
+    } else {
+      // grouped: ONE rank window whose `<= k+1` filter plans as
+      // WindowGroupLimit (map tasks keep k+1 rows per group before the
+      // exchange), checkpointed for its two consumers; t then comes
+      // from a grain-sized aggregate broadcast back. The former shape
+      // — a max-when window next to the rank — blocked the rank-limit
+      // pushdown (multi-function window), so every group's ENTIRE
+      // item-count set sorted in one window task.
+      val w = Window.partitionBy(grain: _*)
+        .orderBy(col("cnt").desc, col("item").asc)
+      val top = counts
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k + 1)
+        .localCheckpoint(true)
+      val tF = top.groupBy(grain: _*).agg(
+        when(count(lit(1)) === k + 1, min(col("cnt")))
+          .otherwise(lit(0L)).as("__t"))
+      top.join(broadcast(tF), groupCols)
+        .filter(col("__rk") <= k &&
+          (col("cnt") - col("__t") > 0 || col("__rk") === 1))
+        .select((grain :+ col("item") :+
+          (col("cnt") - col("__t")).as("est") :+
+          col("__n").as("n_rows")): _*)
+    }
   }
 
   // ------------------------------------------------------------------
@@ -625,8 +668,8 @@ object SketchState {
     * Determinism: exact long products, one double multiply + divide
     * of identically-derived values — the estimate itself
     * hash-oracles, like [[estimateDistinctKmv]]. The union frame is
-    * ≤ 2k rows, so the single-partition rank window is model-sized by
-    * construction. Error scales with the product distribution's
+    * ≤ 2k rows and its bottom-k is a sort-limit
+    * (TakeOrderedAndProject). Error scales with the product distribution's
     * spread (heavy key skew needs larger k) — envelope pinned
     * empirically in kmv_joinsize_gate.
     *
@@ -644,8 +687,10 @@ object SketchState {
     val av = a.select(col("item"), col("hkey"), col("cnt").as("__ca"))
     val bv = b.select(col("item"), col("hkey"), col("cnt").as("__cb"))
     val u = av.join(bv, Seq("item", "hkey"), "full_outer")
-    val w = Window.orderBy(col("hkey").asc, col("item").asc)
-    u.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+    // global bottom-k via sort-limit (TakeOrderedAndProject) — same
+    // rows as a rank window + filter, with no empty-spec WindowExec
+    // (and so none of Spark's single-partition window warnings)
+    u.orderBy(col("hkey").asc, col("item").asc).limit(k)
       .agg(count(lit(1)).as("__kk"), max(col("hkey")).as("__uk"),
         sum(when(col("__ca").isNotNull && col("__cb").isNotNull,
           col("__ca") * col("__cb")).otherwise(lit(0L)))
@@ -715,6 +760,16 @@ object SketchState {
     * incomplete grain returns everything under the threshold (a valid
     * uniform θ-sample, just not a guaranteed bottom-k).
     * Output: (rollupCols…, item, hkey, cnt, complete).
+    *
+    * Scale shape: the rank window plans as `WindowGroupLimit` (map-side
+    * bottom-k prune — scaladoc on [[sampleCompress]]), so ≤ k rows per
+    * upstream partition ever move, even for the empty-grain global
+    * read. Per-grain availability is a grain-sized
+    * `groupBy(grain).count()` broadcast-joined back — NOT a count
+    * window, which gets no rank-limit pushdown and would move the
+    * grain's ENTIRE θ-state (θ·|distinct items|, 25% of the corpus's
+    * distinct set at θ=0.25) into one window task for the global read.
+    * Same rework [[sampleSketches]]'s `__n` total received.
     */
   def sampleFromTheta(
       state: DataFrame, rollupCols: Seq[String], k: Int): DataFrame = {
@@ -723,14 +778,26 @@ object SketchState {
     val summed = state
       .groupBy((grain :+ col("item") :+ col("hkey")): _*)
       .agg(sum(col("cnt")).as("cnt"))
-    val w = Window.partitionBy(grain: _*)
-      .orderBy(col("hkey").asc, col("item").asc)
-    summed
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__avail", count(lit(1)).over(Window.partitionBy(grain: _*)))
-      .filter(col("__rk") <= k)
-      .select((grain :+ col("item") :+ col("hkey") :+ col("cnt") :+
-        (col("__avail") >= k).as("complete")): _*)
+      .localCheckpoint(true)
+    val avail = summed.groupBy(grain: _*)
+      .agg(count(lit(1)).as("__avail"))
+    val out = (grain :+ col("item") :+ col("hkey") :+ col("cnt") :+
+      (col("__avail") >= k).as("complete"))
+    if (rollupCols.isEmpty) {
+      // global read: sort-limit plans as TakeOrderedAndProject — a
+      // map-side top-k merge with NO WindowExec, so no empty-spec
+      // window node and no "single partition" warning ever fires
+      summed.orderBy(col("hkey").asc, col("item").asc).limit(k)
+        .crossJoin(broadcast(avail))
+        .select(out: _*)
+    } else {
+      val w = Window.partitionBy(grain: _*)
+        .orderBy(col("hkey").asc, col("item").asc)
+      summed.join(broadcast(avail), rollupCols)
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select(out: _*)
+    }
   }
 
   /** Distinct-count estimate per rollup grain from θ-state: every
@@ -755,14 +822,15 @@ object SketchState {
     * __n) rows: rank keys ascending (ties by item asc), keep rank ≤ k;
     * `__n` passes through as `n_rows`.
     *
-    * Scale shape: the row_number ≤ k filter plans as Spark's
+    * Scale shape: the grouped row_number ≤ k filter plans as Spark's
     * `WindowGroupLimit` in Partial + Final form (SPARK-37099
     * rank-limit pushdown — verified in the executed plan), i.e. each
     * MAP task keeps only its local bottom-k per group BEFORE the
     * exchange, so at most k·partitions rows of any group ever move or
-    * sort — including the empty-grain global build, whose
-    * single-partition final stage receives ≤ k rows per upstream
-    * partition, never the corpus's distinct-item set. A hand-rolled
+    * sort; the empty-grain global build takes the sort-limit branch
+    * (`TakeOrderedAndProject` — the identical map-side bottom-k merge
+    * with no WindowExec node, hence no single-partition window
+    * warning), never the corpus's distinct-item set. A hand-rolled
     * two-phase prune (mapPartitions with a per-group counter) was
     * measured strictly slower: it pays a full
     * DeserializeToObject/SerializeFromObject row conversion and blocks
@@ -772,12 +840,20 @@ object SketchState {
   private def sampleCompress(
       counts: DataFrame, groupCols: Seq[String], k: Int): DataFrame = {
     val grain = groupCols.map(col)
-    val w = Window.partitionBy(grain: _*)
-      .orderBy(col("hkey").asc, col("item").asc)
-    counts
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select((grain :+ col("item") :+ col("hkey") :+ col("cnt") :+
-        col("__n").as("n_rows")): _*)
+    val out = (grain :+ col("item") :+ col("hkey") :+ col("cnt") :+
+      col("__n").as("n_rows"))
+    if (groupCols.isEmpty)
+      // global build: sort-limit = TakeOrderedAndProject, the same
+      // map-side bottom-k prune with no WindowExec node — an empty-spec
+      // window would log Spark's "single partition" warning on every
+      // execution even though WindowGroupLimit bounds its input
+      counts.orderBy(col("hkey").asc, col("item").asc).limit(k)
+        .select(out: _*)
+    else
+      counts
+        .withColumn("__rk", row_number().over(Window.partitionBy(grain: _*)
+          .orderBy(col("hkey").asc, col("item").asc)))
+        .filter(col("__rk") <= k)
+        .select(out: _*)
   }
 }

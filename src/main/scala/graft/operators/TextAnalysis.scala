@@ -394,12 +394,16 @@ object TextAnalysis {
     * cheap salient-term extraction.
     *
     * Plan shape at scale: one explode (narrow) → (doc, token) count
-    * aggregation → document frequency as a count window over the SAME
-    * rows (partitioned by token), plus a scalar corpus count riding
-    * in as a broadcast crossJoin (one row). Expressing df as a window
-    * instead of a separate groupBy+self-join halves the passes — a
-    * join formulation makes Spark re-run the whole explode+agg branch
-    * for the docFreq side (measured: 5 exchanges vs 2 here).
+    * aggregation, checkpointed once (two consumers) → document
+    * frequency as a vocab-sized `groupBy(token).count()` joined back
+    * (AQE broadcasts it when small, splits it when a Zipf-head token
+    * skews the shuffle), plus a scalar corpus count riding in as a
+    * broadcast crossJoin (one row). df used to be a count window
+    * partitioned by token — fewer exchanges on paper, but a stopword's
+    * window partition is |docs| rows in ONE task and window partitions
+    * are not AQE-splittable; the agg+join-back keeps the Zipf head
+    * splittable, and the checkpoint stops Catalyst re-running the
+    * explode+agg branch for the df side.
     */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df
@@ -408,9 +412,9 @@ object TextAnalysis {
         explode(col("__toks")).as("token"))
     val tf = tok.groupBy("doc_id", "token")
       .agg(count(lit(1)).as("__c"), first(col("__n")).as("__n"))
-    val withDf = tf.withColumn("__df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy("token")))
+      .localCheckpoint(true)
+    val dfTab = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val withDf = tf.join(dfTab, Seq("token"))
     val nDocs = df.agg(countDistinct(col(idCol)).as("__nd"))
     withDf
       .crossJoin(broadcast(nDocs))
@@ -569,16 +573,18 @@ object TextAnalysis {
     * and [[bm25FromIndex]] feed (they differ only in where the
     * corpus scalars come from), so the two can't drift.
     *
-    * Plan shape: document frequency as a count window over the
-    * (doc, token) rows, corpus scalars as a one-row broadcast —
-    * the [[tfidf]] shape.
+    * Plan shape: document frequency as a vocab-sized
+    * `groupBy(token).count()` joined back onto the checkpointed
+    * postings, corpus scalars as a one-row broadcast — the [[tfidf]]
+    * shape (and the same Zipf-head rationale: a token-partitioned
+    * count window puts a stopword's whole posting list in one
+    * non-splittable window task).
     */
   private def bm25Weights(index: DataFrame, stats: DataFrame,
       k1: Double, b: Double): DataFrame = {
-    val withDf = index.filter(col("token").isNotNull)
-      .withColumn("__df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("token")))
+    val posts = index.filter(col("token").isNotNull).localCheckpoint(true)
+    val dfTab = posts.groupBy("token").agg(count(lit(1)).as("__df"))
+    val withDf = posts.join(dfTab, Seq("token"))
     // dl/avgdl expressed as (dl·N)/Σdl — one double divide, and the
     // oracle can mirror the exact operation order
     val lenNorm = col("dl").cast("double") * col("__nd") / col("__suml")

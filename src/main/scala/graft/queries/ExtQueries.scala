@@ -1472,7 +1472,7 @@ object ExtQueries {
     },
 
     "text_tfidf" -> QueryDef(
-      doc = "TF-IDF weights per (doc, token): explode → two hash aggs + broadcast scalar corpus count — keyword scoring for salient-term extraction",
+      doc = "TF-IDF weights per (doc, token): explode → checkpointed (doc, token) agg → vocab-sized df agg joined back (AQE-splittable Zipf head) + broadcast scalar corpus count — keyword scoring for salient-term extraction",
       oracle = s"""
         WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS n FROM t),
@@ -1487,7 +1487,7 @@ object ExtQueries {
     },
 
     "text_bm25" -> QueryDef(
-      doc = "Okapi BM25 per (doc, token): saturated tf with doc-length normalization + smoothed idf — the lexical-retrieval half of hybrid search; same 2-exchange plan as text_tfidf",
+      doc = "Okapi BM25 per (doc, token): saturated tf with doc-length normalization + smoothed idf — the lexical-retrieval half of hybrid search; same df-agg-join plan as text_tfidf",
       oracle = s"""
         WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
         tok AS (SELECT doc_id, unnest(toks) AS token, len(toks) AS dl FROM t),
@@ -2523,11 +2523,12 @@ object ExtQueries {
       val bijective = h.select("d").distinct().count() == n * n &&
         h.agg(min("d"), max("d")).as[(Long, Long)].head() ==
           ((0L, n * n - 1))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
-      val adjacent = h
-        .select(col("d"), col("x"), col("y"),
-          lag("x", 1).over(w).as("px"), lag("y", 1).over(w).as("py"))
-        .filter(col("px").isNotNull)
+      // consecutive-index pairs by self-join on the checkpointed grid
+      // (d joined to d+1) — a global lag window would be an empty-spec
+      // WindowExec, the single-partition-warning shape the suite bans
+      val adjacent = h.select(col("d"), col("x"), col("y"))
+        .join(h.select((col("d") + 1).as("d"), col("x").as("px"),
+          col("y").as("py")), Seq("d"))
         .filter(abs(col("x") - col("px")) + abs(col("y") - col("py")) =!= 1)
         .count() == 0
       val orders = Tables.load(s, dir, "orders")

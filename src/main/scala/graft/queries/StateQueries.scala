@@ -309,8 +309,10 @@ object StateQueries {
       // rolled (per-day summaries merged) vs direct (one-shot over the
       // range): both valid MG(k) summaries of the same stream, so each
       // item's two estimates differ by at most the bound
-      val direct = SketchState.heavyHitterSketches(
-        ev.withColumn("__one", lit(1)), Seq("__one"), "user_id", k)
+      // the global build path directly (a Seq(constant) grain
+      // constant-folds into an empty window partition spec — the
+      // warning-generating shape the global branch exists to avoid)
+      val direct = SketchState.heavyHitterSketches(ev, Seq(), "user_id", k)
         .select(col("item"), col("est").as("d_est"))
       val directOk = rolled.select("item", "est")
         .join(direct, Seq("item"), "full_outer")

@@ -19,6 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * CREATE BRANCH b [AT v]           DROP BRANCH b
   * CREATE TAG t [AT v]              DROP TAG t
   * MERGE BRANCH b [FORCE] [EVOLVE]
+  * MERGE INTO t USING <view | (query)> ON (k1, k2, ...) [EVOLVE]
+  * INSERT INTO t <query>                 -- append (derived-CAS)
+  * INSERT OVERWRITE t <query>            -- full-table publish
   * OPTIMIZE t [TARGET <mb> MB] [ZORDER BY (c1, c2, ...)]
   * DELETE FROM t WHERE <spark-sql boolean expr>
   * ALTER TABLE t RENAME COLUMN a TO b
@@ -41,6 +44,10 @@ object CatalogSql {
     """(?is)\s*DROP\s+(BRANCH|TAG)\s+([A-Za-z0-9._-]+)\s*""".r
   private val mergeRe =
     """(?is)\s*MERGE\s+BRANCH\s+([A-Za-z0-9._-]+)((?:\s+(?:FORCE|EVOLVE))*)\s*""".r
+  private val mergeIntoRe =
+    """(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(.+?)\s+ON\s*\(([^)]+)\)(\s+EVOLVE)?\s*""".r
+  private val insertRe =
+    """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\b.+)\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+(\w+)\s*(?:TARGET\s+(\d+)\s*MB)?\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*""".r
   private val deleteRe =
@@ -104,6 +111,21 @@ object CatalogSql {
         else CatalogStore.dropTag(spark, root, name)
         require(existed, s"no ${kind.toLowerCase} named $name")
         status(spark, s"DROP ${kind.toUpperCase}", name)
+      case mergeIntoRe(table, source, keyList, evolve) =>
+        val keys = keyList.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val tx = CatalogStore.upsertTable(spark, root, table,
+          resolveSource(spark, source), keys,
+          ref = ref, evolve = evolve != null)
+        status(spark, "MERGE INTO",
+          s"$table on (${keys.mkString(",")}) -> v${tx.version.get}")
+      case insertRe(mode, table, query) =>
+        val rows = spark.sql(query)
+        val tx =
+          if (mode.equalsIgnoreCase("OVERWRITE"))
+            CatalogStore.commit(spark, root, Map(table -> rows), ref = ref)
+          else CatalogStore.appendTable(spark, root, table, rows, ref = ref)
+        status(spark, s"INSERT ${mode.toUpperCase}",
+          s"$table -> v${tx.version.get}")
       case mergeRe(name, flags) =>
         val f = flags.toUpperCase
         val m = CatalogStore.mergeBranch(spark, root, name,
@@ -172,9 +194,22 @@ object CatalogSql {
       case other => throw new IllegalArgumentException(
         "unrecognized catalog statement: '" + other.take(120) +
           "' — supported: CREATE/DROP BRANCH|TAG, MERGE BRANCH, " +
-          "OPTIMIZE, DELETE FROM..WHERE, ALTER TABLE RENAME COLUMN/" +
-          "ADD|DROP CONSTRAINT, RESTORE TO v, VACUUM [KEEP n], " +
+          "MERGE INTO..USING..ON (keys), INSERT INTO|OVERWRITE t " +
+          "<query>, OPTIMIZE, DELETE FROM..WHERE, ALTER TABLE RENAME " +
+          "COLUMN/ADD|DROP CONSTRAINT, RESTORE TO v, VACUUM [KEEP n], " +
           "SHOW REFS|HISTORY|CONSTRAINTS")
     }
+  }
+
+  /** MERGE INTO's USING operand: a parenthesized Spark SQL query runs
+    * through the session's parser; a bare name resolves as a view or
+    * table in the session catalog. Either way the DATA semantics stay
+    * the engine's — this only picks where the frame comes from.
+    */
+  private def resolveSource(spark: SparkSession, source: String): DataFrame = {
+    val s = source.trim
+    if (s.startsWith("(") && s.endsWith(")"))
+      spark.sql(s.substring(1, s.length - 1))
+    else spark.table(s)
   }
 }

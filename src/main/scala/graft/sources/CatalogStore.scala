@@ -196,11 +196,24 @@ object CatalogStore {
   private def tableDir(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
 
+  /** Branches and tags live under ONE file per name (`_cat/ref=<n>`,
+    * content `<kind> <version>`), so the exclusive no-overwrite create
+    * itself enforces the shared namespace — the former two-file layout
+    * (`ref=` + `tag=`) made the cross-kind uniqueness check a
+    * check-then-create TOCTOU where two racers creating the same name
+    * as different kinds could both succeed, with [[refVersion]] then
+    * silently resolving the branch and shadowing the tag.
+    */
   private def refFile(root: String, name: String) =
     new org.apache.hadoop.fs.Path(root, s"_cat/ref=$name")
 
-  private def tagFile(root: String, name: String) =
-    new org.apache.hadoop.fs.Path(root, s"_cat/tag=$name")
+  /** Parse a ref file's `<kind> <version>` content. */
+  private def parseRef(content: String): (String, Int) = {
+    val toks = content.trim.split("\\s+")
+    require(toks.length == 2 && (toks(0) == "branch" || toks(0) == "tag"),
+      s"corrupt ref file content '${content.take(40)}'")
+    (toks(0), toks(1).toInt)
+  }
 
   private def validateRefName(name: String): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
@@ -222,7 +235,7 @@ object CatalogStore {
         .replace("-", "").take(12))
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_cat"))
     val o = fs.create(tmp, true)
-    try o.write(v.toString.getBytes("UTF-8")) finally o.close()
+    try o.write(s"$kind $v".getBytes("UTF-8")) finally o.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       new org.apache.hadoop.fs.Path(root).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -230,8 +243,14 @@ object CatalogStore {
     catch {
       case e: Exception =>
         fs.delete(tmp, false)
+        // the EXISTING kind in the message, not the attempted one — a
+        // tag-vs-branch collision should name what actually holds the
+        // namespace
+        val existing =
+          try parseRef(readSmall(fs, dst))._1 catch { case _: Exception => kind }
         throw new IllegalArgumentException(
-          s"$kind $name already exists under $root", e)
+          s"a $existing named $name already exists under $root — " +
+            "branch and tag names share one namespace", e)
     }
   }
 
@@ -244,10 +263,8 @@ object CatalogStore {
   def createBranch(spark: SparkSession, root: String, name: String,
       at: Option[Int] = None): Int = {
     validateRefName(name)
-    val fs = fsOf(spark, root)
-    require(!fs.exists(tagFile(root, name)),
-      s"a tag named $name exists — branch and tag names share one " +
-        "namespace")
+    // no cross-kind pre-check: both kinds share ONE file name, so the
+    // exclusive create below IS the namespace guard (atomic, no TOCTOU)
     val v = at.orElse(currentVersion(spark, root)).getOrElse(0)
     if (v > 0) snapshot(spark, root, Some(v)) // must exist, complete
     createRefExclusive(spark, root, refFile(root, name), v, "branch",
@@ -263,15 +280,11 @@ object CatalogStore {
   def createTag(spark: SparkSession, root: String, name: String,
       at: Option[Int] = None): Int = {
     validateRefName(name)
-    val fs = fsOf(spark, root)
-    require(!fs.exists(refFile(root, name)),
-      s"a branch named $name exists — branch and tag names share one " +
-        "namespace")
     val v = at.orElse(currentVersion(spark, root)).getOrElse(
       throw new IllegalStateException(
         s"no committed catalog under $root to tag"))
     snapshot(spark, root, Some(v)) // a tag must name a real catalog
-    createRefExclusive(spark, root, tagFile(root, name), v, "tag", name)
+    createRefExclusive(spark, root, refFile(root, name), v, "tag", name)
     v
   }
 
@@ -281,16 +294,30 @@ object CatalogStore {
     * unknown — loud, never silent. Returns whether the ref existed.
     */
   def dropBranch(spark: SparkSession, root: String,
-      name: String): Boolean = {
-    validateRefName(name)
-    fsOf(spark, root).delete(refFile(root, name), false)
-  }
+      name: String): Boolean = dropRefOfKind(spark, root, name, "branch")
 
   /** Drop a tag; its pin on the tagged catalog ends. */
   def dropTag(spark: SparkSession, root: String,
-      name: String): Boolean = {
+      name: String): Boolean = dropRefOfKind(spark, root, name, "tag")
+
+  /** Kind-checked drop over the shared ref file: dropTag on a branch
+    * name (or vice versa) is refused loudly instead of deleting the
+    * other kind's ref.
+    */
+  private def dropRefOfKind(spark: SparkSession, root: String,
+      name: String, kind: String): Boolean = {
     validateRefName(name)
-    fsOf(spark, root).delete(tagFile(root, name), false)
+    val fs = fsOf(spark, root)
+    val rf = refFile(root, name)
+    val existing =
+      try Some(parseRef(readSmall(fs, rf))._1)
+      catch { case _: Exception => None }
+    existing match {
+      case None => false
+      case Some(k) if k != kind => throw new IllegalArgumentException(
+        s"$name is a $k — drop it as a $k, not a $kind")
+      case Some(_) => fs.delete(rf, false)
+    }
   }
 
   /** Resolve any ref name to its catalog version: "main" → the
@@ -303,9 +330,7 @@ object CatalogStore {
     else {
       val fs = fsOf(spark, root)
       val rf = refFile(root, name)
-      val tf = tagFile(root, name)
-      if (fs.exists(rf)) Some(readSmall(fs, rf).trim.toInt)
-      else if (fs.exists(tf)) Some(readSmall(fs, tf).trim.toInt)
+      if (fs.exists(rf)) Some(parseRef(readSmall(fs, rf))._2)
       else None
     }
   }
@@ -330,15 +355,13 @@ object CatalogStore {
     import spark.implicits._
     val fs = fsOf(spark, root)
     val dir = new org.apache.hadoop.fs.Path(root, "_cat")
-    val branchRe = "^ref=(.+)$".r
-    val tagRe = "^tag=(.+)$".r
+    val refRe = "^ref=(.+)$".r
     val named = if (!fs.exists(dir)) Seq.empty else
       fs.listStatus(dir).toSeq.filter(_.isFile)
         .flatMap(s => s.getPath.getName match {
-          case branchRe(n) => Some((n, "branch",
-            readSmall(fs, s.getPath).trim.toInt))
-          case tagRe(n) => Some((n, "tag",
-            readSmall(fs, s.getPath).trim.toInt))
+          case refRe(n) =>
+            val (kind, v) = parseRef(readSmall(fs, s.getPath))
+            Some((n, kind, v))
           case _ => None
         })
     (currentVersion(spark, root).map(("main", "branch", _)).toSeq ++
@@ -1031,11 +1054,31 @@ object CatalogStore {
     * dirs become protected again because the current catalog
     * references them (un-vacuumed history only: restoring past a
     * vacuum fails loudly at [[snapshot]]).
+    *
+    * Ref-scoped: `toVersion` must be an ANCESTOR on the requested
+    * ref's own history (the parent chain from its current head).
+    * Catalog numbers are shared ids across refs, so without this
+    * guard a RESTORE on main to a BRANCH catalog number would
+    * republish the branch's table map, constraint set, and rename
+    * chain onto main — bypassing [[mergeBranch]]'s conflict
+    * detection, constraint enforcement, and schema-compatibility
+    * gates (and silently replacing main's constraints with the
+    * branch's). When an intermediate catalog in the walk was already
+    * vacuumed the lineage is unprovable by walking; the guard then
+    * falls back to requiring the target was COMMITTED on this ref.
     */
   def restore(spark: SparkSession, root: String, toVersion: Int,
       ref: String = "main",
       contentionTimeoutMs: Long = 60000L): CatalogTx = {
     val target = catMeta(spark, root, toVersion) // loud if vacuumed
+    val head = refVersion(spark, root, ref).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown ref $ref under $root — nothing to restore"))
+    require(isAncestorOn(spark, root, head, toVersion, target.ref == ref),
+      s"catalog v$toVersion is not in ref $ref's history (it was " +
+        s"committed on ref '${target.ref}') — restoring a foreign " +
+        "ref's catalog would republish its tables, constraints, and " +
+        "renames without mergeBranch's gates")
     val deadline = System.currentTimeMillis + contentionTimeoutMs
     var attempt = 0
     var out: Option[CatalogTx] = None
@@ -1067,6 +1110,24 @@ object CatalogStore {
       }
     }
     out.get
+  }
+
+  /** Whether `toVersion` sits on the parent chain starting at `head`
+    * (inclusive). A vacuumed intermediate makes the walk unprovable —
+    * `onVacuumedGap` (the caller's weaker ref-match check) decides
+    * then, instead of silently passing or failing.
+    */
+  private def isAncestorOn(spark: SparkSession, root: String, head: Int,
+      toVersion: Int, onVacuumedGap: => Boolean): Boolean = {
+    var v = head
+    while (v > 0) {
+      if (v == toVersion) return true
+      if (v < toVersion) return false // parents only decrease
+      val m = try catMeta(spark, root, v)
+        catch { case _: Exception => return onVacuumedGap }
+      v = m.parent
+    }
+    false
   }
 
   /** What [[vacuum]] removed: catalog versions dropped, and table
@@ -1131,11 +1192,10 @@ object CatalogStore {
     val catDir = new org.apache.hadoop.fs.Path(root, "_cat")
     val catEntries = if (fs.exists(catDir))
       fs.listStatus(catDir).toSeq.filter(_.isFile) else Seq.empty
-    val branchRe = "^ref=(.+)$".r
-    val tagRe = "^tag=(.+)$".r
+    val refRe = "^ref=(.+)$".r
     val refHeads = catEntries.flatMap(s => s.getPath.getName match {
-      case branchRe(_) | tagRe(_) =>
-        try Some(readSmall(fs, s.getPath).trim.toInt)
+      case refRe(_) =>
+        try Some(parseRef(readSmall(fs, s.getPath))._2)
         catch { case _: Exception => None }
       case _ => None
     })
@@ -1195,10 +1255,22 @@ object CatalogStore {
       })
       .partition(v => aged(claimFile(root, v)))
     deadClaims.foreach(v => fs.delete(claimFile(root, v), false))
-    // crashed tmp bodies (between create and completion rename)
-    catEntries.filter(s => tmpRe.findFirstIn(s.getPath.getName).isDefined)
+    // crashed tmp bodies (between create and completion rename):
+    // catalog bodies (`c=N.tmp`), ref/tag create+CAS temporaries
+    // (`.branch=<n>.tmp.*`, `.tag=<n>.tmp.*`, `.ref=<n>.tmp.*`) — a
+    // crashed ref writer otherwise leaks them forever — and the
+    // pointer-flip temporary at the root (`_cat_current.tmp.*`)
+    val refTmpRe = "^\\.(?:ref|branch|tag)=.+\\.tmp\\..+$".r
+    catEntries.filter(s =>
+        tmpRe.findFirstIn(s.getPath.getName).isDefined ||
+        refTmpRe.findFirstIn(s.getPath.getName).isDefined)
       .filter(s => now - s.getModificationTime >= claimAgeMs)
       .foreach(s => fs.delete(s.getPath, false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+      .filter(e => e.isFile &&
+        e.getPath.getName.startsWith("_cat_current.tmp."))
+      .filter(e => now - e.getModificationTime >= claimAgeMs)
+      .foreach(e => fs.delete(e.getPath, false))
     val tables = fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .toSeq.filter(e => e.isDirectory &&
         !e.getPath.getName.startsWith("_") &&
@@ -1703,6 +1775,30 @@ object CatalogStore {
     }
   }
 
+  /** Row-level INSERT INTO (append) on a catalog table: `rows` are
+    * added, existing rows carry unchanged — the third DML verb next to
+    * [[upsertTable]] (merge) and full-table publish (INSERT
+    * OVERWRITE = [[commit]]). Derived-CAS safe and
+    * constraint-enforced pre-claim like the upsert (an appended batch
+    * can break a CHECK or a UNIQUE against the base, so the MERGED
+    * result validates, not just the batch). A missing table makes the
+    * insert a plain first publish. Same copy-on-write cost note as
+    * [[upsertTable]].
+    */
+  def appendTable(spark: SparkSession, root: String, name: String,
+      rows: DataFrame, ref: String = "main",
+      contentionTimeoutMs: Long = 60000L): CatalogTx =
+    commitDerived(spark, root, name, ref, contentionTimeoutMs,
+      evolve = false, enforce = true) { (base, chain, dst) =>
+      val out = base match {
+        case Some(v) => applyChain(
+          spark.read.parquet(tableDir(root, name, v).toString), chain)
+          .unionByName(rows)
+        case None => rows
+      }
+      out.write.mode("errorifexists").parquet(dst)
+    }
+
   /** Row-level DELETE on a catalog table: rows where `predicate` is
     * TRUE are removed; FALSE and NULL rows stay (SQL DELETE
     * semantics). Derived-CAS safe like [[upsertTable]]; constraints
@@ -2059,14 +2155,14 @@ object CatalogStore {
   private def branchHead(spark: SparkSession, root: String,
       name: String): Int = {
     val fs = fsOf(spark, root)
-    if (!fs.exists(refFile(root, name))) {
-      if (fs.exists(tagFile(root, name)))
-        throw new IllegalArgumentException(
-          s"$name is a TAG — tags are immutable; commit to a branch")
+    if (!fs.exists(refFile(root, name)))
       throw new IllegalArgumentException(
         s"unknown branch $name under $root — createBranch first")
+    parseRef(readSmall(fs, refFile(root, name))) match {
+      case ("tag", _) => throw new IllegalArgumentException(
+        s"$name is a TAG — tags are immutable; commit to a branch")
+      case (_, v) => v
     }
-    readSmall(fs, refFile(root, name)).trim.toInt
   }
 
   /** Enforce `cs` against the tables `readDf` can serve (only
@@ -2334,10 +2430,12 @@ object CatalogStore {
           val ok = FsAtomic.putIfMatch(fs, conf, refFile(root, name),
             new org.apache.hadoop.fs.Path(root,
               s"_cat/.ref=$name.tmp.$next"),
-            next.toString,
+            s"branch $next",
             () => if (fs.exists(refFile(root, name)))
               Some(readSmall(fs, refFile(root, name))) else None,
-            cur => cur.exists(_.trim.toInt == expectedHead))
+            cur => cur.exists(c =>
+              try parseRef(c) == (("branch", expectedHead))
+              catch { case _: Exception => false }))
           if (!ok) {
             fs.delete(catFile(root, next), false)
             completedCat = false

@@ -393,4 +393,197 @@ class CatalogRefsSpec extends SparkSpec {
     assertSameRows(CatalogStore.read(spark, root, "b",
       CatalogStore.snapshot(spark, root)), bb.toDF())
   }
+
+  test("branch/tag namespace is ONE atomic file: cross-kind racers " +
+      "get exactly one winner; drops are kind-checked") {
+    val root = Files.createTempDirectory("refsns").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    for (round <- 1 to 8) {
+      val name = s"ns$round"
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val losses = new java.util.concurrent.ConcurrentLinkedQueue[String]
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(
+        new Thread(() => {
+          gate.await()
+          try { CatalogStore.createBranch(spark, root, name)
+            wins.add("branch") }
+          catch { case _: IllegalArgumentException => losses.add("branch") }
+        }),
+        new Thread(() => {
+          gate.await()
+          try { CatalogStore.createTag(spark, root, name)
+            wins.add("tag") }
+          catch { case _: IllegalArgumentException => losses.add("tag") }
+        }))
+      threads.foreach(_.start()); gate.countDown()
+      threads.foreach(_.join())
+      // EXACTLY one winner — the two-file-era race let both land and
+      // the branch then silently shadowed the tag
+      assert(wins.size == 1 && losses.size == 1,
+        s"round $round: wins=$wins losses=$losses")
+      val kind = wins.peek()
+      val listed = CatalogStore.refs(spark, root).collect()
+        .filter(_.getString(0) == name)
+      assert(listed.length == 1 && listed(0).getString(1) == kind,
+        s"round $round: refs listing ${listed.toSeq}")
+      // kind-checked drop: the wrong verb is refused loudly instead
+      // of deleting the other kind's ref
+      val wrongDrop = intercept[IllegalArgumentException] {
+        if (kind == "branch") CatalogStore.dropTag(spark, root, name)
+        else CatalogStore.dropBranch(spark, root, name)
+      }
+      assert(wrongDrop.getMessage.contains(kind))
+      assert(CatalogStore.refVersion(spark, root, name).isDefined)
+      if (kind == "branch") CatalogStore.dropBranch(spark, root, name)
+      else CatalogStore.dropTag(spark, root, name)
+      assert(CatalogStore.refVersion(spark, root, name).isEmpty)
+    }
+    // dropping a missing name reports false, both verbs
+    assert(!CatalogStore.dropBranch(spark, root, "never"))
+    assert(!CatalogStore.dropTag(spark, root, "never"))
+  }
+
+  test("restore is ref-scoped: a foreign ref's catalog version is " +
+      "refused — no constraint/merge-gate bypass through RESTORE") {
+    val root = Files.createTempDirectory("refsrs").toString
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(10))) // v1
+    CatalogStore.createBranch(spark, root, "wip")
+    // branch world: its own table + a constraint main never adopted
+    CatalogStore.commit(spark, root, Map("bt" -> orders.limit(5)),
+      ref = "wip")                                     // v2 on wip
+    CatalogStore.addConstraints(spark, root, Seq(
+      CatalogStore.Constraint.check("bt", "b_pos", "o_orderkey >= 0")),
+      ref = "wip")                                     // v3 on wip
+    CatalogStore.commit(spark, root, Map("t" -> orders.limit(20))) // v4 main
+    val branchHead = CatalogStore.refVersion(spark, root, "wip").get
+    // main RESTORE to a BRANCH catalog: refused naming the foreign ref
+    val e = intercept[IllegalArgumentException] {
+      CatalogStore.restore(spark, root, branchHead)
+    }
+    assert(e.getMessage.contains("wip") && e.getMessage.contains("history"))
+    // main's constraints were NOT silently replaced by the branch's
+    assert(CatalogStore.constraintsOf(spark, root,
+      CatalogStore.snapshot(spark, root)).isEmpty)
+    // branch RESTORE to a main catalog AHEAD of its history: refused
+    intercept[IllegalArgumentException] {
+      CatalogStore.restore(spark, root, 4, ref = "wip")
+    }
+    // legitimate restores still work on both refs: main to its own
+    // past, the branch to its fork (main v1 IS branch history)
+    assert(CatalogStore.restore(spark, root, 1).committed)
+    assert(CatalogStore.restore(spark, root, 1, ref = "wip").committed)
+    assert(CatalogStore.snapshotRef(spark, root, "wip").tables ==
+      Map("t" -> 1))
+  }
+
+  test("vacuum sweeps crashed ref/tag/CAS temporaries (aged), keeps " +
+      "young ones") {
+    val root = Files.createTempDirectory("refstmp").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def touch(rel: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      val o = fs.create(p, true)
+      try o.write("junk".getBytes("UTF-8")) finally o.close()
+      p
+    }
+    val crashed = Seq(touch("_cat/.branch=x.tmp.abc123"),
+      touch("_cat/.tag=y.tmp.def456"), touch("_cat/.ref=z.tmp.7"),
+      touch("_cat_current.tmp.9"))
+    // young sweep: everything survives (a LIVE writer's tmp must not
+    // be yanked mid-rename)
+    CatalogStore.vacuum(spark, root, keep = 5, claimAgeMs = 3600000L)
+    crashed.foreach(p => assert(fs.exists(p), s"young tmp swept: $p"))
+    // aged sweep reclaims all of them; real refs survive
+    CatalogStore.createTag(spark, root, "keep-tag")
+    CatalogStore.vacuum(spark, root, keep = 5, claimAgeMs = 0L)
+    crashed.foreach(p => assert(!fs.exists(p), s"aged tmp leaked: $p"))
+    assert(CatalogStore.refVersion(spark, root, "keep-tag").contains(1))
+  }
+
+  test("branch committer racing mergeBranch: repeat-run, no lost " +
+      "tables, merge sees a consistent head") {
+    val root = Files.createTempDirectory("refsmg").toString
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+    for (round <- 1 to 8) {
+      val branch = s"mg$round"
+      CatalogStore.createBranch(spark, root, branch)
+      CatalogStore.commit(spark, root,
+        Map(s"pre$round" -> orders.limit(5)), ref = branch)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val committer = new Thread(() => {
+        gate.await()
+        try CatalogStore.commit(spark, root,
+          Map(s"late$round" -> orders.limit(6)), ref = branch)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      val merger = new Thread(() => {
+        gate.await()
+        try CatalogStore.mergeBranch(spark, root, branch)
+        catch { case e: Throwable => errs.add(e) }
+      })
+      committer.start(); merger.start(); gate.countDown()
+      committer.join(); merger.join()
+      assert(errs.isEmpty, s"round $round: ${errs.peek()}")
+      // the merge carried AT LEAST the pre-race table; the racing
+      // commit is either already on main or still on the branch —
+      // never lost
+      val main = CatalogStore.snapshot(spark, root).tables
+      assert(main.contains(s"pre$round"), s"round $round: $main")
+      if (!main.contains(s"late$round")) {
+        assert(CatalogStore.snapshotRef(spark, root, branch)
+          .tables.contains(s"late$round"), s"round $round: lost commit")
+        // a second merge drains it
+        CatalogStore.mergeBranch(spark, root, branch)
+        assert(CatalogStore.snapshot(spark, root).tables
+          .contains(s"late$round"))
+      }
+      CatalogStore.dropBranch(spark, root, branch)
+    }
+  }
+
+  test("vacuum at the claim-age boundary: a vacuum INSIDE a live " +
+      "writer's stall window keeps its claim; an aged sweep after a " +
+      "crash reclaims and the store keeps committing") {
+    for (round <- 1 to 4) {
+      val root = Files.createTempDirectory(s"refsvc$round").toString
+      CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+      if (round % 2 == 1) {
+        // stall a committer between its claim+renames and the flip,
+        // with vacuum running INSIDE the stall (age window still
+        // open): the claim, the completed catalog file, and the
+        // already-renamed v-dir must all survive — sweeping any of
+        // them would let the number be re-claimed under the live
+        // writer or flip the pointer onto deleted metadata
+        CatalogStore.beforeFlip = _ =>
+          CatalogStore.vacuum(spark, root, keep = 5,
+            claimAgeMs = 3600000L)
+        val tx = try CatalogStore.commit(spark, root,
+          Map("b" -> orders.limit(7)), contentionTimeoutMs = 2000L)
+        finally CatalogStore.beforeFlip = _ => ()
+        assert(tx.committed, s"round $round: live claim swept")
+        assert(CatalogStore.read(spark, root, "b",
+          CatalogStore.snapshot(spark, root)).count() == 7)
+      } else {
+        // the writer CRASHES pre-flip; the aged sweep reclaims its
+        // claim + orphan catalog, and fresh commits (which must
+        // re-claim the same number) land cleanly
+        CatalogStore.beforeFlip = v => sys.error(s"crash pre-flip $v")
+        try intercept[RuntimeException] {
+          CatalogStore.commit(spark, root,
+            Map("b" -> orders.limit(7)), contentionTimeoutMs = 2000L)
+        } finally CatalogStore.beforeFlip = _ => ()
+        CatalogStore.vacuum(spark, root, keep = 5, claimAgeMs = 0L)
+        val again = CatalogStore.commit(spark, root,
+          Map("c" -> orders.limit(8)))
+        assert(again.committed)
+        assert(CatalogStore.read(spark, root, "c",
+          CatalogStore.snapshot(spark, root)).count() == 8)
+        assert(!CatalogStore.snapshot(spark, root).tables.contains("b"))
+      }
+    }
+  }
 }

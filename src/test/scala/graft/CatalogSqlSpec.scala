@@ -121,4 +121,63 @@ class CatalogSqlSpec extends SparkSpec {
       exec(root, "SHOW CONSTRAINTS", ref = "staginng")
     }
   }
+
+  test("SQL DML: INSERT OVERWRITE/INTO and MERGE INTO map onto " +
+      "commit/appendTable/upsertTable; constraints bite pre-claim") {
+    val root = Files.createTempDirectory("csqld").toString
+    Seq((1, 10L), (2, 20L)).toDF("k", "v")
+      .createOrReplaceTempView("dml_base")
+    // INSERT OVERWRITE on a fresh store = first publish
+    exec(root, "INSERT OVERWRITE t SELECT * FROM dml_base")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 10L), (2, 20L)).toDF("k", "v"))
+    // INSERT INTO appends (and coexists with existing rows)
+    exec(root, "INSERT INTO t VALUES (3, CAST(30 AS BIGINT))")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "v"))
+    // MERGE INTO from a registered view: matched keys replace, new
+    // keys append — and the result equals the Scala upsertTable on a
+    // mirror store (the 1:1 parser contract)
+    Seq((2, 99L), (4, 40L)).toDF("k", "v")
+      .createOrReplaceTempView("dml_upd")
+    exec(root, "MERGE INTO t USING dml_upd ON (k)")
+    val mirror = Files.createTempDirectory("csqldm").toString
+    CatalogStore.commit(spark, mirror,
+      Map("t" -> Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "v")))
+    CatalogStore.upsertTable(spark, mirror, "t",
+      Seq((2, 99L), (4, 40L)).toDF("k", "v"), Seq("k"))
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      CatalogStore.readCurrent(spark, mirror, "t"))
+    // MERGE INTO with a parenthesized subquery source
+    exec(root,
+      "MERGE INTO t USING (SELECT k, v + 1 AS v FROM dml_upd " +
+        "WHERE k = 4) ON (k)")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 10L), (2, 99L), (3, 30L), (4, 41L)).toDF("k", "v"))
+    // constraint enforcement fires PRE-CLAIM through the text path:
+    // the violating INSERT publishes nothing
+    exec(root, "ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    val vBefore = CatalogStore.snapshot(spark, root).version
+    intercept[CatalogStore.ConstraintViolationException] {
+      exec(root, "INSERT INTO t VALUES (9, CAST(-1 AS BIGINT))")
+    }
+    intercept[CatalogStore.ConstraintViolationException] {
+      exec(root,
+        "MERGE INTO t USING (SELECT 2 AS k, CAST(-5 AS BIGINT) AS v) " +
+          "ON (k)")
+    }
+    assert(CatalogStore.snapshot(spark, root).version == vBefore)
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 10L), (2, 99L), (3, 30L), (4, 41L)).toDF("k", "v"))
+    // INSERT INTO a missing table = first publish (DML parity with
+    // the Scala appendTable contract)
+    exec(root, "INSERT INTO fresh SELECT * FROM dml_base")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "fresh"),
+      Seq((1, 10L), (2, 20L)).toDF("k", "v"))
+    // a MERGE INTO without ON is loud with the grammar named
+    val e = intercept[IllegalArgumentException] {
+      exec(root, "MERGE INTO t USING dml_upd")
+    }
+    assert(e.getMessage.contains("supported:"))
+  }
 }

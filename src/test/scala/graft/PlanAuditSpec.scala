@@ -412,4 +412,46 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("CartesianProduct"), p)
     assert(!p.contains("Exchange SinglePartition"), p)
   }
+
+  test("WindowAudit detector: flags a bare global count window, exempts a pruned rank window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val df = spark.range(100).toDF("v")
+    // the anti-pattern: unbounded count over NO partition key — every
+    // row to one task, no rank-limit pushdown possible
+    val bad = df.withColumn("__n",
+        org.apache.spark.sql.functions.count(lit(1))
+          .over(Window.partitionBy()))
+      .queryExecution.executedPlan
+    assert(graft.plans.WindowAudit.unprunedGlobalWindows(bad).nonEmpty,
+      bad.toString)
+    // the exemption: a global row_number <= k plans its prune BELOW the
+    // window (LimitPushDownThroughWindow → TakeOrderedAndProject here;
+    // WindowGroupLimit for partitioned specs), so the single-partition
+    // window receives <= k rows — state, not data
+    val ok = df.withColumn("__rk",
+        row_number().over(Window.partitionBy().orderBy(col("v"))))
+      .filter(col("__rk") <= 5)
+      .queryExecution.executedPlan
+    assert(ok.toString.contains("TakeOrderedAndProject") ||
+      ok.toString.contains("WindowGroupLimit"), ok.toString)
+    assert(graft.plans.WindowAudit.unprunedGlobalWindows(ok).isEmpty,
+      ok.toString)
+  }
+
+  test("theta sample + tfidf/bm25/hybrid: no unpruned global windows (round-6 invariant)") {
+    // the two families the r11 verdict flagged as the last
+    // single-partition window shapes — fixed to grain-sized
+    // agg+broadcast-join (sampleFromTheta) and vocab-sized df
+    // agg+join-back (tfidf/bm25Weights); this pins them, and PlanAudit
+    // main enforces the same rule over EVERY registered plan when
+    // PLANS.md regenerates
+    Seq("theta_window_sample", "text_tfidf", "text_bm25", "hybrid_search")
+      .foreach { q =>
+        val p = Registry.all(q).build(spark, sfDir)
+          .queryExecution.executedPlan
+        assert(graft.plans.WindowAudit.unprunedGlobalWindows(p).isEmpty,
+          s"$q:\n$p")
+      }
+  }
 }

@@ -725,11 +725,14 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: clustering coefficient bounded; direction-blind") {
+    // distinct endpoints generated filter-free (b = a + step mod 6) —
+    // an `if a != b` guard here compounds discards inside
+    // nonEmptyListOf until ScalaCheck reports Exhausted on unlucky
+    // seeds (the r11 one-in-a-full-run flake)
     val genEdges = Gen.nonEmptyListOf(for {
       a <- Gen.chooseNum(0, 5)
-      b <- Gen.chooseNum(0, 5)
-      if a != b
-    } yield (a.toLong, b.toLong)).map(_.take(15))
+      step <- Gen.chooseNum(1, 5)
+    } yield (a.toLong, ((a + step) % 6).toLong)).map(_.take(15))
     check(Prop.forAll(genEdges) { edges =>
       val df = edges.toDF("qid", "nid")
       val fwd = graft.operators.Similarity.knnClusteringCoeff(df)
