@@ -30,7 +30,11 @@ object MambaEtlJob {
 
   /** Build the pipeline; flat-table configs may be supplied
     * (README.md:246 "not mandatory") — any encounter type without one
-    * gets auto-config from metadata (README.md:247).
+    * gets auto-config from metadata (README.md:247). With
+    * `config.automatedFlattening = 1` and an EMPTY id list, every
+    * encounter type with non-voided encounters is discovered and
+    * flattened (README.md:136-137's one-flag mode) — the discovery is
+    * one model-sized distinct over the encounter table.
     */
   def pipeline(
       config: EtlConfig,
@@ -38,6 +42,16 @@ object MambaEtlJob {
       encounterTypeIds: Seq[Int],
       flatConfigs: Map[Int, FlatTableConfig] = Map.empty): EtlPipeline = {
     val p = new EtlPipeline(config)
+    val effectiveIds =
+      if (config.automatedFlattening == 1 && encounterTypeIds.isEmpty)
+        graft.operators.ModelCollect.bounded(
+          src.encounter.filter(col("voided") === 0)
+            .select(col("encounter_type").cast("int")).distinct()
+            .orderBy("encounter_type"),
+          graft.operators.ModelCollect.MaxModelRows,
+          "automated_flattening encounter types")
+          .map(_.getInt(0)).toSeq
+      else encounterTypeIds
 
     p.register(Stage("mamba_dim_person", Nil) { (_, _) =>
       src.person.filter(col("voided") === 0)
@@ -56,7 +70,7 @@ object MambaEtlJob {
           "patient_id", "encounter_datetime")
     })
 
-    encounterTypeIds.foreach { et =>
+    effectiveIds.foreach { et =>
       // config resolved at pipeline-construction (one metadata scan,
       // not one per run) because the WIDTH decides the stage list:
       // a >cap encounter type emits continuation-table stages

@@ -23,6 +23,15 @@ import org.json4s.jackson.JsonMethods
   *                        limit, so the Spark-side cap defaults high;
   *                        set 40 to mirror the reference layout
   *                        exactly, or Int.MaxValue to disable.
+  * @param automatedFlattening 1 = flatten EVERY encounter type that
+  *                        has (non-voided) encounters, no per-type
+  *                        config or id list required — the type ids
+  *                        are discovered from the encounter table
+  *                        (one model-sized distinct) and each gets
+  *                        [[graft.operators.Flatten.autoConfig]]
+  *                        (reference README.md:136-137
+  *                        `mambaetl.analysis.automated_flattening=1`);
+  *                        0 = only the explicitly requested ids.
   */
 final case class EtlConfig(
     sourceDir: String,
@@ -30,7 +39,8 @@ final case class EtlConfig(
     incrementalMode: Int = 0,
     locale: String = "en",
     etlIntervalSeconds: Long = 1800L,
-    columns: Int = 40)
+    columns: Int = 40,
+    automatedFlattening: Int = 0)
 
 /** One flat-table output column: label + which concept feeds it +
   * the concept datatype that picks the typed value_* source column

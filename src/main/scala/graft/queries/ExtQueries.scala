@@ -2632,7 +2632,7 @@ object ExtQueries {
         Seq("o_custkey", "o_totalprice")).localCheckpoint(true)
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       def plain(p: org.apache.spark.sql.Column) =
         s.read.parquet(tmp).filter(p)
       val mixed = col("o_totalprice") >= 100000 &&
@@ -2695,8 +2695,8 @@ object ExtQueries {
         Seq(Layout.Range("o_totalprice", lo, hi)))
       val full = orders.filter(
         col("o_totalprice") >= lo && col("o_totalprice") <= hi)
-      val lossless = pruned.exceptAll(full).count() == 0 &&
-        full.exceptAll(pruned).count() == 0
+      val lossless = pruned.exceptAll(full)
+        .unionByName(full.exceptAll(pruned)).isEmpty
       Seq((if (lossless) 1 else 0,
         if (survivors(zPath) <= numFiles / 2) 1 else 0,
         if (survivors(linPath) >= numFiles - 1) 1 else 0))
@@ -2821,8 +2821,8 @@ object ExtQueries {
       } && dirs(src) == dirs(dst)
       val srcRead = s.read.parquet(src)
       val dstRead = s.read.parquet(dst)
-      val rowsOk = dstRead.exceptAll(srcRead).count() == 0 &&
-        srcRead.exceptAll(dstRead).count() == 0
+      val rowsOk = dstRead.exceptAll(srcRead)
+        .unionByName(srcRead.exceptAll(dstRead)).isEmpty
       val mixed = root.resolve("mixed").toString
       orders.limit(10).withColumn("bucket", lit(1))
         .write.partitionBy("bucket").parquet(mixed)
@@ -2885,8 +2885,8 @@ object ExtQueries {
       val looked = Layout.bloomLookup(s, tmp, idx0, "o_orderkey", probes)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val full = orders.filter(col("o_orderkey") % 997 === 0)
-      val lookupEq = looked.exceptAll(full).count() == 0 &&
-        full.exceptAll(looked).count() == 0
+      val lookupEq = looked.exceptAll(full)
+        .unionByName(full.exceptAll(looked)).isEmpty
       val probe = probes.max
       val bloomFiles = idx0.filter(
         graft.functions.BloomContainsAny.column(
@@ -2902,8 +2902,8 @@ object ExtQueries {
         perFile)
       val merged = idx0.unionByName(delta)
       val rebuilt = Layout.bloomIndex(s, tmp, "o_orderkey", perFile)
-      val deltaMerge = merged.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(merged).count() == 0
+      val deltaMerge = merged.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(merged)).isEmpty
       Seq((if (lookupEq) 1 else 0, if (skips) 1 else 0,
         if (deltaMerge) 1 else 0))
         .toDF("lookup_eq", "skips", "delta_merge")
@@ -2932,8 +2932,8 @@ object ExtQueries {
       val full = Layout.fileIndex(s, path, Seq("o_totalprice"))
       val onlyNew = delta.count() == 4 &&
         delta.join(before, Seq("file"), "left_semi").count() == 0
-      val mergeEq = merged.exceptAll(full).count() == 0 &&
-        full.exceptAll(merged).count() == 0
+      val mergeEq = merged.exceptAll(full)
+        .unionByName(full.exceptAll(merged)).isEmpty
       val emptyDelta = Layout.fileIndexDelta(s, path, Seq("o_totalprice"),
         merged).count() == 0
       Seq((if (onlyNew) 1 else 0, if (mergeEq) 1 else 0,
@@ -2996,8 +2996,8 @@ object ExtQueries {
         .select("o_uuid", "o_custkey", "o_totalprice")
       val full = s.read.parquet(tmp).filter(col("o_uuid").isin(probes: _*))
         .select("o_uuid", "o_custkey", "o_totalprice")
-      val lookupEq = looked.exceptAll(full).count() == 0 &&
-        full.exceptAll(looked).count() == 0
+      val lookupEq = looked.exceptAll(full)
+        .unionByName(full.exceptAll(looked)).isEmpty
       val oneProbe = probes.max
       val bloomFiles = Layout.bloomProbeFiles(s, tmp, idx0, "o_uuid",
         Seq(oneProbe)).size
@@ -3007,8 +3007,8 @@ object ExtQueries {
       val delta = Layout.bloomIndexDelta(s, tmp, "o_uuid", idx0, perFile)
       val merged = idx0.unionByName(delta)
       val rebuilt = Layout.bloomIndex(s, tmp, "o_uuid", perFile)
-      val deltaEq = merged.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(merged).count() == 0
+      val deltaEq = merged.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(merged)).isEmpty
       Seq((if (lookupEq) 1 else 0, if (skips) 1 else 0,
         if (deltaEq) 1 else 0))
         .toDF("str_lookup_eq", "str_skips", "str_delta_merge")
@@ -3049,8 +3049,8 @@ object ExtQueries {
       val st = Layout.materializeDv(s, src, dv, dst)
       val want = Layout.readWithDv(s, src, dv).localCheckpoint(true)
       val out = s.read.parquet(dst)
-      val matEq = out.exceptAll(want).count() == 0 &&
-        want.exceptAll(out).count() == 0
+      val matEq = out.exceptAll(want)
+        .unionByName(want.exceptAll(out)).isEmpty
       val fs = new org.apache.hadoop.fs.Path(src)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def parquetFiles(p: String) =
@@ -3152,8 +3152,8 @@ object ExtQueries {
         val (offParts, offPlan, off) = run(q())
         !offPlan.contains("dynamicpruningexpression") &&
           offParts == totalParts && // full scan: no static rewrite
-          onRows.exceptAll(off).count() == 0 &&
-          off.exceptAll(onRows).count() == 0
+          onRows.exceptAll(off)
+          .unionByName(off.exceptAll(onRows)).isEmpty
       } finally s.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
       Seq((if (planned) 1 else 0, if (pruned) 1 else 0,
@@ -3212,8 +3212,8 @@ object ExtQueries {
         val planned = onPlan.contains("might_contain") &&
           !offPlan.contains("might_contain")
         val prunes = onRec > 0 && offRec > 0 && onRec * 4 < offRec
-        val rowsEq = onRows.exceptAll(offRows).count() == 0 &&
-          offRows.exceptAll(onRows).count() == 0
+        val rowsEq = onRows.exceptAll(offRows)
+          .unionByName(offRows.exceptAll(onRows)).isEmpty
         Seq((if (planned) 1 else 0, if (prunes) 1 else 0,
           if (rowsEq) 1 else 0))
           .toDF("bloom_planned", "bloom_prunes", "rows_eq")
@@ -3286,8 +3286,8 @@ object ExtQueries {
           onPlan.contains("skewed") && !offPlan.contains("skew=true")
         val split = onSplits.maxOption.getOrElse(0) >= 2 &&
           offSplits.forall(_ == 0)
-        val rowsEq = onRows.exceptAll(offRows).count() == 0 &&
-          offRows.exceptAll(onRows).count() == 0
+        val rowsEq = onRows.exceptAll(offRows)
+          .unionByName(offRows.exceptAll(onRows)).isEmpty
         Seq((if (planned) 1 else 0, if (split) 1 else 0,
           if (rowsEq) 1 else 0))
           .toDF("skew_planned", "skew_split", "rows_eq")
@@ -3338,8 +3338,8 @@ object ExtQueries {
           !offPlan.contains("coalesced")
         val shrinks = onReadParts > 0 && onMapParts > 0 &&
           onReadParts < onMapParts
-        val rowsEq = onRows.exceptAll(offRows).count() == 0 &&
-          offRows.exceptAll(onRows).count() == 0
+        val rowsEq = onRows.exceptAll(offRows)
+          .unionByName(offRows.exceptAll(onRows)).isEmpty
         Seq((if (planned) 1 else 0, if (shrinks) 1 else 0,
           if (rowsEq) 1 else 0))
           .toDF("coalesce_planned", "coalesce_shrinks", "rows_eq")
@@ -3473,8 +3473,8 @@ object ExtQueries {
       val looked = Layout.pointLookup(s, tmp, idx0, "o_orderkey", probes)
         .select("o_orderkey", "o_custkey", "o_totalprice")
       val full = orders.filter(col("o_orderkey") % 997 === 0)
-      val lookupEq = looked.exceptAll(full).count() == 0 &&
-        full.exceptAll(looked).count() == 0
+      val lookupEq = looked.exceptAll(full)
+        .unionByName(full.exceptAll(looked)).isEmpty
       // one probe: the largest key — its min/max survivors vs index files
       val probe = probes.max
       val pointFiles = idx0.filter(col("o_orderkey") === probe)
@@ -3490,8 +3490,8 @@ object ExtQueries {
       val delta = Layout.keyIndexDelta(s, tmp, "o_orderkey", idx0)
       val merged = Layout.mergeKeyIndex(idx0, delta)
       val rebuilt = Layout.keyIndex(s, tmp, "o_orderkey")
-      val deltaMerge = merged.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(merged).count() == 0
+      val deltaMerge = merged.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(merged)).isEmpty
       Seq((if (lookupEq) 1 else 0, if (beats) 1 else 0,
         if (deltaMerge) 1 else 0))
         .toDF("lookup_eq", "beats_minmax", "delta_merge")
@@ -3857,14 +3857,14 @@ object ExtQueries {
         erasedKeys.nonEmpty &&
         after.filter(col("o_custkey") === target).count() == 0
       val want = orders.filter(col("o_custkey") =!= target)
-      val othersIntact = after.exceptAll(want).count() == 0 &&
-        want.exceptAll(after).count() == 0
+      val othersIntact = after.exceptAll(want)
+        .unionByName(want.exceptAll(after)).isEmpty
       val selective = st.nIn == 8 && st.rewritten == 1 && st.kept == 7
       val idx1 = Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
         .localCheckpoint(true)
       val rebuilt = Layout.keyIndex(s, src, "o_orderkey")
-      val repairEq = idx1.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(idx1).count() == 0
+      val repairEq = idx1.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(idx1)).isEmpty
       val unfindable = Layout.pointLookup(s, src, idx1, "o_orderkey",
         erasedKeys).count() == 0
       val survivorKey = after.agg(max("o_orderkey")).head.getLong(0)
@@ -3917,16 +3917,16 @@ object ExtQueries {
       // source frame's LONG before the row comparison
       val afterAligned = after.withColumn("b", col("b").cast("long"))
         .select(want.columns.map(col): _*)
-      val othersIntact = afterAligned.exceptAll(want).count() == 0 &&
-        want.exceptAll(afterAligned).count() == 0
+      val othersIntact = afterAligned.exceptAll(want)
+        .unionByName(want.exceptAll(afterAligned)).isEmpty
       val selective = st.partitions == 4 && st.touched == 1 &&
         st.files.nIn == 8 && st.files.rewritten == 1 &&
         st.files.kept == 7
       val idx1 = Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
         .localCheckpoint(true)
       val rebuilt = Layout.keyIndex(s, src, "o_orderkey")
-      val repairEq = idx1.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(idx1).count() == 0
+      val repairEq = idx1.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(idx1)).isEmpty
       val unfindable = Layout.pointLookup(s, src, idx1, "o_orderkey",
         erasedKeys).count() == 0
       val survivorKey = after.agg(max("o_orderkey")).head.getLong(0)
@@ -3993,7 +3993,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       val a1 = orders.filter(col("o_orderkey") % 2 === 0)
       val b1 = orders.filter(col("o_orderkey") % 3 === 0)
       CatalogStore.commit(s, root, Map("a" -> a1, "b" -> b1))
@@ -4081,7 +4081,7 @@ object ExtQueries {
       val snap = CatalogStore.snapshot(s, root)
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       val carry = dirExists("dim", 1) &&
         snap.tables == Map("dim" -> 1, "fact" -> 3) &&
         eq(CatalogStore.read(s, root, "dim", snap), dim.toDF()) &&
@@ -4145,8 +4145,8 @@ object ExtQueries {
         val flippedSides = broadcastLeaves(flipped)
         val flippedFact = flippedSides.exists(_.contains("fact_sales")) &&
           !flippedSides.exists(_.contains("dim_seg"))
-        val rowsEq = flipped.exceptAll(honestRows).count() == 0 &&
-          honestRows.exceptAll(flipped).count() == 0
+        val rowsEq = flipped.exceptAll(honestRows)
+          .unionByName(honestRows.exceptAll(flipped)).isEmpty
         Seq((if (injected) 1 else 0, if (honestDim) 1 else 0,
           if (flippedFact) 1 else 0, if (rowsEq) 1 else 0))
           .toDF("stats_injected", "honest_broadcasts_dim",
@@ -4227,7 +4227,7 @@ object ExtQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       CatalogStore.commit(s, root, Map("t" -> base))
       val widened = base.withColumn("channel",
         concat(lit("c"), col("o_custkey") % 3))
@@ -4285,7 +4285,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       val dim = orders.filter(col("o_orderkey") % 3 === 0)
       CatalogStore.commit(s, root, Map("dim" -> dim)) // main v1
       CatalogStore.createBranch(s, root, "load")
@@ -4337,7 +4337,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       CatalogStore.commit(s, root, Map(
         "a" -> orders.limit(10), "b" -> orders.limit(10)))
       CatalogStore.createBranch(s, root, "wip")
@@ -4394,7 +4394,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       val rel = orders.filter(col("o_orderkey") % 4 === 0)
       CatalogStore.commit(s, root, Map("t" -> rel)) // v1
       CatalogStore.createTag(s, root, "v2024.1")
@@ -4625,7 +4625,7 @@ object ExtQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       CatalogStore.commit(s, root, Map("t" -> orders))
       val filesBefore = fs.listStatus(
         new org.apache.hadoop.fs.Path(root, "t/v=1"))
@@ -4692,7 +4692,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       def x(stmt: String) = CatalogSql.exec(s, root, stmt)
       CatalogStore.commit(s, root, Map("t" -> orders))
       x("CREATE TAG rel AT 1")
@@ -4749,6 +4749,80 @@ object ExtQueries {
           "text_loud")
     },
 
+    "store_sql_dml_gate" -> QueryDef(
+      doc = "the catalog's TEXT DML surface (closing the r11 asymmetry: the most common write verb was Scala-only while the reference's operational posture is SQL text): MERGE INTO t USING <view|(query)> ON (keys) -> upsertTable, INSERT INTO -> appendTable, INSERT OVERWRITE -> commit. Pins: (1) sql_merge_eq_scala - the text MERGE result row-equals the Scala upsertTable over a mirror store (the 1:1 parser contract, both source forms exercised); (2) sql_insert_into - INSERT INTO appends to existing rows and first-publishes a missing table; (3) sql_overwrite - INSERT OVERWRITE replaces the table wholesale; (4) sql_guard_preclaim - a persisted CHECK rejects a violating text INSERT and text MERGE before anything claims (catalog version and rows byte-identical after)",
+      oracle = "SELECT CAST(1 AS INTEGER) AS sql_merge_eq_scala, " +
+        "CAST(1 AS INTEGER) AS sql_insert_into, " +
+        "CAST(1 AS INTEGER) AS sql_overwrite, " +
+        "CAST(1 AS INTEGER) AS sql_guard_preclaim") { (s, dir) =>
+      import s.implicits._
+      import graft.sources.{CatalogSql, CatalogStore}
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+        .filter(col("k") < 6000) // slice: semantics, not IO
+      def eq(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+      val root = java.nio.file.Files.createTempDirectory("graft-sqm")
+        .toString
+      val mirror = java.nio.file.Files.createTempDirectory("graft-sqm2")
+        .toString
+      def x(stmt: String) = CatalogSql.exec(s, root, stmt)
+      val base = orders.filter(col("k") < 4000).localCheckpoint(true)
+      val upd = orders.filter(col("k") >= 2000 && col("k") < 5000)
+        .withColumn("cents", col("cents") + 7).localCheckpoint(true)
+      base.createOrReplaceTempView("sqldml_base")
+      upd.createOrReplaceTempView("sqldml_upd")
+      // text path: OVERWRITE publish, then MERGE from a view and from
+      // a parenthesized query (both USING source forms)
+      x("INSERT OVERWRITE t SELECT * FROM sqldml_base")
+      x("MERGE INTO t USING sqldml_upd ON (k)")
+      x("MERGE INTO t USING (SELECT k, cents + 1 AS cents " +
+        "FROM sqldml_upd WHERE k >= 4500) ON (k)")
+      // Scala mirror of the same three writes
+      CatalogStore.commit(s, mirror, Map("t" -> base))
+      CatalogStore.upsertTable(s, mirror, "t", upd, Seq("k"))
+      CatalogStore.upsertTable(s, mirror, "t",
+        upd.filter(col("k") >= 4500)
+          .withColumn("cents", col("cents") + 1), Seq("k"))
+      val mergeEqScala = eq(CatalogStore.readCurrent(s, root, "t"),
+        CatalogStore.readCurrent(s, mirror, "t"))
+      // INSERT INTO appends; on a missing table it first-publishes
+      val nBefore = CatalogStore.readCurrent(s, root, "t").count()
+      x("INSERT INTO t SELECT k + 1000000 AS k, cents " +
+        "FROM sqldml_base WHERE k < 200")
+      val nAppend = base.filter(col("k") < 200).count()
+      x("INSERT INTO fresh SELECT * FROM sqldml_base")
+      val insertInto =
+        CatalogStore.readCurrent(s, root, "t").count() ==
+          nBefore + nAppend &&
+        eq(CatalogStore.readCurrent(s, root, "fresh"), base.toDF())
+      // INSERT OVERWRITE replaces wholesale
+      x("INSERT OVERWRITE fresh SELECT * FROM sqldml_upd")
+      val overwrite = eq(CatalogStore.readCurrent(s, root, "fresh"),
+        upd.toDF())
+      // persisted CHECK bites pre-claim through both text verbs
+      x("ALTER TABLE fresh ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+      val vBefore = CatalogStore.snapshot(s, root).version
+      val insRejected = try {
+        x("INSERT INTO fresh VALUES (1, CAST(-1 AS BIGINT))"); false
+      } catch {
+        case _: CatalogStore.ConstraintViolationException => true }
+      val mrgRejected = try {
+        x("MERGE INTO fresh USING (SELECT 2000 AS k, " +
+          "CAST(-5 AS BIGINT) AS cents) ON (k)"); false
+      } catch {
+        case _: CatalogStore.ConstraintViolationException => true }
+      val guard = insRejected && mrgRejected &&
+        CatalogStore.snapshot(s, root).version == vBefore &&
+        eq(CatalogStore.readCurrent(s, root, "fresh"), upd.toDF())
+      Seq((if (mergeEqScala) 1 else 0, if (insertInto) 1 else 0,
+        if (overwrite) 1 else 0, if (guard) 1 else 0))
+        .toDF("sql_merge_eq_scala", "sql_insert_into", "sql_overwrite",
+          "sql_guard_preclaim")
+    },
+
     "store_dml_gate" -> QueryDef(
       doc = "the DML tier's guarantees: (1) delete_sql - deleteWhere removes exactly the rows where the predicate is TRUE; FALSE and NULL rows stay (SQL DELETE semantics - a naive filter(!p) silently deletes every NULL row too); (2) upsert_checked - the persisted constraints gate the MERGED result: a violating update batch rejects pre-claim and the store is byte-identical; (3) no_lost_update - the derived-CAS loop: a concurrent commit landing between an upsert's read and its claim triggers RE-derivation against the new version, so the concurrent writer's rows survive into the merged result (the optimistic-concurrency conflict Delta surfaces as ConcurrentModificationException, closed here by replay); (4) history - every pre-DML version still serves its own bytes (DML writes new versions, never rewrites history)",
       oracle = "SELECT CAST(1 AS INTEGER) AS delete_sql, " +
@@ -4761,7 +4835,7 @@ object ExtQueries {
         ConstraintViolationException}
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       val root = java.nio.file.Files.createTempDirectory("graft-dml")
         .toString
       // (1) DELETE semantics over a NULL-bearing column
@@ -4826,7 +4900,7 @@ object ExtQueries {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       def nFiles(v: Int) = fs.listStatus(
         new org.apache.hadoop.fs.Path(root, s"t/v=$v"))
         .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -4990,7 +5064,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       CatalogStore.commit(s, root, Map("t" ->
         orders.repartitionByRange(8, col("o_orderkey"))))
       val snap = CatalogStore.snapshot(s, root)
@@ -5036,7 +5110,7 @@ object ExtQueries {
         .toString
       def eq(a: org.apache.spark.sql.DataFrame,
           b: org.apache.spark.sql.DataFrame) =
-        a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0
+        a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
         graft.plans.PlanMetrics.scanFiles(df)
       CatalogStore.commit(s, root, Map("t" ->
@@ -5162,8 +5236,8 @@ object ExtQueries {
       val maintained = Incremental.recomputeKeys(view, after,
         deletes, keys, specs).localCheckpoint(true)
       val rebuilt = Incremental.aggView(after, keys, specs)
-      val eq = maintained.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(maintained).count() == 0
+      val eq = maintained.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(maintained)).isEmpty
       val moved = maintained
         .join(view.select(col("user_id"), col("event_type"),
           col("min_cents").as("om"), col("max_cents").as("ox")), keys)
@@ -5218,8 +5292,8 @@ object ExtQueries {
       val maintained = Incremental.recomputeJoinKeys(view, orders, bNew,
         doomed, keys).localCheckpoint(true)
       val rebuilt = orders.join(bNew, keys)
-      val eq = maintained.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(maintained).count() == 0
+      val eq = maintained.exceptAll(rebuilt)
+        .unionByName(rebuilt.exceptAll(maintained)).isEmpty
       // non-vacuity: a dirty key that kept OTHER pairs after the
       // delete — the case where anti-join-only maintenance is wrong
       val survivors = maintained
@@ -5363,11 +5437,11 @@ object ExtQueries {
         .exists(_.contains("curated_events_g"))
       AggViewCatalog.clear()
       val direct = report()
-      val eq = routedRows.exceptAll(direct).count() == 0 &&
-        direct.exceptAll(routedRows).count() == 0
+      val eq = routedRows.exceptAll(direct)
+        .unionByName(direct.exceptAll(routedRows)).isEmpty
       val ddirect = dreport()
-      val deq = droutedRows.exceptAll(ddirect).count() == 0 &&
-        ddirect.exceptAll(droutedRows).count() == 0
+      val deq = droutedRows.exceptAll(ddirect)
+        .unionByName(ddirect.exceptAll(droutedRows)).isEmpty
       Seq((if (fired) 1 else 0, if (eq) 1 else 0, if (guarded) 1 else 0,
         if (dfired) 1 else 0, if (deq) 1 else 0))
         .toDF("rewrite_fired", "rewrite_eq", "filter_guard",
@@ -5426,10 +5500,10 @@ object ExtQueries {
           p.contains("coarse_view_l"))
       val (uRows, utRows) = (u.localCheckpoint(true), ut.localCheckpoint(true))
       AggViewCatalog.clear()
-      val eq = uRows.exceptAll(perUser()).count() == 0 &&
-        perUser().exceptAll(uRows).count() == 0 &&
-        utRows.exceptAll(perUserType()).count() == 0 &&
-        perUserType().exceptAll(utRows).count() == 0
+      val eq = uRows.exceptAll(perUser())
+        .unionByName(perUser().exceptAll(uRows)).isEmpty &&
+        utRows.exceptAll(perUserType())
+          .unionByName(perUserType().exceptAll(utRows)).isEmpty
       Seq((if (coarseWins) 1 else 0, if (fineServes) 1 else 0,
         if (eq) 1 else 0))
         .toDF("coarse_wins", "fine_serves", "lattice_eq")
@@ -5458,7 +5532,12 @@ object ExtQueries {
           b: org.apache.spark.sql.DataFrame) =
         a.hint("merge").join(b, Seq("o_orderkey"))
           .groupBy("o_orderkey")
-          .agg(max("o_custkey").as("cust"), sum("l_quantity").as("qty"))
+          // integerized quantity (the IVM rule): the bucketed and the
+          // plain plan accumulate per-key sums in DIFFERENT row
+          // orders, and a double sum is order-sensitive in the last
+          // ulp — the eq leg must compare deterministic values
+          .agg(max("o_custkey").as("cust"),
+            sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty"))
       def shuffles(df: org.apache.spark.sql.DataFrame): Int =
         ("Exchange (hashpartitioning|rangepartitioning|SinglePartition" +
           "|RoundRobinPartitioning)").r
@@ -5468,8 +5547,8 @@ object ExtQueries {
       val plain = joined(orders, lines)
       val noShuffle = shuffles(bucketed) == 0
       val plainShuffles = shuffles(plain) >= 2
-      val eq = bucketed.exceptAll(plain).count() == 0 &&
-        plain.exceptAll(bucketed).count() == 0
+      val eq = bucketed.exceptAll(plain)
+        .unionByName(plain.exceptAll(bucketed)).isEmpty
       Seq((if (noShuffle) 1 else 0, if (plainShuffles) 1 else 0,
         if (eq) 1 else 0))
         .toDF("no_shuffle", "plain_shuffles", "bucketed_eq")
@@ -5498,8 +5577,8 @@ object ExtQueries {
         orders.filter(col("o_orderkey") % 3 === 0),
         "graft_bkta_orders", Seq("o_orderkey"), nBuckets = 8)
       val tbl = s.table("graft_bkta_orders")
-      val rowsEq = tbl.exceptAll(orders).count() == 0 &&
-        orders.exceptAll(tbl).count() == 0
+      val rowsEq = tbl.exceptAll(orders)
+        .unionByName(orders.exceptAll(tbl)).isEmpty
       val joined = tbl.hint("merge")
         .join(s.table("graft_bkta_lines"), Seq("o_orderkey"))
         .groupBy("o_orderkey")
@@ -5678,11 +5757,11 @@ object ExtQueries {
       val f2 = Incremental.applyChanges(f1, t2, Seq("k"))
       val f3 = Incremental.applyChanges(f2, t3, Seq("k"))
         .localCheckpoint(true)
-      val tickFold = f3.exceptAll(oneShot).count() == 0 &&
-        oneShot.exceptAll(f3).count() == 0
+      val tickFold = f3.exceptAll(oneShot)
+        .unionByName(oneShot.exceptAll(f3)).isEmpty
       val replayed = Incremental.applyChanges(f3, t3, Seq("k"))
-      val replayNoop = replayed.exceptAll(f3).count() == 0 &&
-        f3.exceptAll(replayed).count() == 0
+      val replayNoop = replayed.exceptAll(f3)
+        .unionByName(f3.exceptAll(replayed)).isEmpty
       val deleted = existing.join(oneShot, Seq("k"), "left_anti").count() > 0
       // a key whose late history is delete-then-upsert: alive at the
       // end with the post-delete image
@@ -5788,8 +5867,8 @@ object ExtQueries {
         .localCheckpoint(true)
       val scratch = Bitext.mineIvf(x, y, "vec_id", "embedding",
         k = 4, minMargin = 1.0).localCheckpoint(true)
-      val eq = served.exceptAll(scratch).count() == 0 &&
-        scratch.exceptAll(served).count() == 0
+      val eq = served.exceptAll(scratch)
+        .unionByName(scratch.exceptAll(served)).isEmpty
       val nonvac = served.count() > 0
       Seq((if (eq) 1 else 0, if (nonvac) 1 else 0))
         .toDF("bitext_index_eq", "bitext_index_nonvacuous")

@@ -229,8 +229,8 @@ object StateQueries {
         SketchState.freqSketches(half1, Seq("source"), "token"),
         SketchState.freqSketches(half2, Seq("source"), "token"),
         Seq("source"))
-      val mergeOk = merged.exceptAll(state).count() == 0 &&
-        state.exceptAll(merged).count() == 0
+      val mergeOk = merged.exceptAll(state)
+        .unionByName(state.exceptAll(merged)).isEmpty
       checks.withColumn("cms_merge_ok", lit(mergeOk).cast("int"))
     },
 
@@ -386,8 +386,8 @@ object StateQueries {
         SketchState.quantileSketches(
           counts.filter(col("n_tokens") % 2 =!= 0), Seq("lang"), "n_tokens"),
         Seq("lang"))
-      val mergeOk = merged.exceptAll(state).count() == 0 &&
-        state.exceptAll(merged).count() == 0
+      val mergeOk = merged.exceptAll(state)
+        .unionByName(state.exceptAll(merged)).isEmpty
       envOk.withColumn("q_merge_ok", lit(mergeOk).cast("int"))
     },
 

@@ -119,7 +119,19 @@ object CatalogSql {
         status(spark, "MERGE INTO",
           s"$table on (${keys.mkString(",")}) -> v${tx.version.get}")
       case insertRe(mode, table, query) =>
-        val rows = spark.sql(query)
+        val rows0 = spark.sql(query)
+        // SQL INSERT binds columns by POSITION: a VALUES source names
+        // its columns col1/col2/… and a SELECT may alias differently —
+        // when the target exists, map positionally onto its logical
+        // schema (first publish keeps the source names)
+        val rows = currentColumns(spark, root, table, ref) match {
+          case Some(cols) =>
+            require(rows0.columns.length == cols.length,
+              s"INSERT arity ${rows0.columns.length} does not match " +
+                s"table $table's ${cols.length} columns")
+            rows0.toDF(cols: _*)
+          case None => rows0
+        }
         val tx =
           if (mode.equalsIgnoreCase("OVERWRITE"))
             CatalogStore.commit(spark, root, Map(table -> rows), ref = ref)
@@ -206,6 +218,18 @@ object CatalogSql {
     * table in the session catalog. Either way the DATA semantics stay
     * the engine's — this only picks where the frame comes from.
     */
+  /** The target table's current LOGICAL column names on `ref`, None
+    * when the table (or the whole store) does not exist yet.
+    */
+  private def currentColumns(spark: SparkSession, root: String,
+      table: String, ref: String): Option[Seq[String]] =
+    try {
+      val snap = CatalogStore.snapshotRef(spark, root, ref)
+      if (snap.tables.contains(table))
+        Some(CatalogStore.read(spark, root, table, snap).columns.toSeq)
+      else None
+    } catch { case _: Exception => None }
+
   private def resolveSource(spark: SparkSession, source: String): DataFrame = {
     val s = source.trim
     if (s.startsWith("(") && s.endsWith(")"))

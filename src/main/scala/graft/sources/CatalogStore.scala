@@ -1684,9 +1684,12 @@ object CatalogStore {
     */
   private[graft] def commitDerived(spark: SparkSession, root: String,
       name: String, ref: String, contentionTimeoutMs: Long,
-      evolve: Boolean, enforce: Boolean)(
+      evolve: Boolean, enforce: Boolean,
+      extraTables: Map[String, DataFrame] = Map.empty)(
       derive: (Option[Int], Seq[(String, String)], String) => Unit)
       : CatalogTx = {
+    require(!extraTables.contains(name),
+      s"extraTables may not shadow the derived table $name")
     val fs = fsOf(spark, root)
     val txid = java.util.UUID.randomUUID().toString.replace("-", "")
       .take(12)
@@ -1696,6 +1699,13 @@ object CatalogStore {
     var validatedSig: Option[Set[Constraint]] = None
     var out: Option[CatalogTx] = None
     try {
+      // base-independent side tables (e.g. a streaming tick's replay
+      // guard) stage ONCE up front and publish in the SAME claim as
+      // the derived table — all-or-nothing with the derivation
+      extraTables.foreach { case (n, df) =>
+        df.write.mode("errorifexists")
+          .parquet(stageDir(root, n, txid).toString)
+      }
       while (out.isEmpty) {
         val (prior, parentV, next, target) =
           if (ref == "main") {
@@ -1724,11 +1734,12 @@ object CatalogStore {
         val cs = constraintsAt(spark, root, parentV)
         if (enforce && !validatedSig.contains(cs.toSet)) {
           enforceConstraints(spark,
-            _ => spark.read.parquet(stageDir(root, name, txid).toString),
-            Seq(name), cs)
+            t => spark.read.parquet(stageDir(root, t, txid).toString),
+            (name +: extraTables.keys.toSeq), cs)
           validatedSig = Some(cs.toSet)
         }
-        try out = Some(publishStaged(spark, root, Seq(name), txid,
+        try out = Some(publishStaged(spark, root,
+          (name +: extraTables.keys.toSeq).sorted, txid,
           prior, next, evolve, parentV, target, constraints = cs,
           renames = rn))
         catch {
@@ -1739,7 +1750,8 @@ object CatalogStore {
         }
       }
       out.get
-    } finally fs.delete(stageDir(root, name, txid), true)
+    } finally (name +: extraTables.keys.toSeq).foreach(n =>
+      fs.delete(stageDir(root, n, txid), true))
   }
 
   /** Row-level MERGE INTO on a catalog table: rows of `updates` whose
@@ -1758,12 +1770,27 @@ object CatalogStore {
   def upsertTable(spark: SparkSession, root: String, name: String,
       updates: DataFrame, keys: Seq[String], ref: String = "main",
       evolve: Boolean = false,
+      contentionTimeoutMs: Long = 60000L): CatalogTx =
+    upsertTableWith(spark, root, name, updates, keys, Map.empty, ref,
+      evolve, contentionTimeoutMs)
+
+  /** [[upsertTable]] plus base-independent side tables published in
+    * the SAME transaction — the streaming-tick shape: the merged
+    * table and its `tick_meta` replay guard flip together, and the
+    * derived-CAS loop re-merges when a concurrent writer moves the
+    * base (the lost-update race a snapshot-read-then-commit tick
+    * had).
+    */
+  private[graft] def upsertTableWith(spark: SparkSession, root: String,
+      name: String, updates: DataFrame, keys: Seq[String],
+      extraTables: Map[String, DataFrame], ref: String = "main",
+      evolve: Boolean = false,
       contentionTimeoutMs: Long = 60000L): CatalogTx = {
     require(keys.nonEmpty, "upsert needs at least one key column")
     keys.foreach(k => require(updates.columns.contains(k),
       s"key column $k not in the updates frame"))
     commitDerived(spark, root, name, ref, contentionTimeoutMs, evolve,
-      enforce = true) { (base, chain, dst) =>
+      enforce = true, extraTables = extraTables) { (base, chain, dst) =>
       val merged = base match {
         case Some(v) => graft.operators.Incremental.merge(
           applyChain(spark.read.parquet(tableDir(root, name, v)

@@ -497,22 +497,32 @@ object EtlStreaming {
       batch: DataFrame, batchId: Long, table: String,
       keys: Seq[String],
       transform: DataFrame => DataFrame = identity): Boolean = {
+    import spark.implicits._
     import graft.sources.CatalogStore
     require(table != "tick_meta", "tick_meta is reserved")
-    catalogTickBatch(spark, root, batch, batchId, { b =>
-      val updates = transform(b)
+    val last: Long =
+      try {
+        val snap = CatalogStore.snapshot(spark, root)
+        if (snap.tables.contains("tick_meta"))
+          CatalogStore.read(spark, root, "tick_meta", snap)
+            .select("batch_id").head.getLong(0)
+        else -1L
+      } catch { case _: IllegalStateException => -1L } // empty store
+    if (batchId <= last) false
+    else {
+      val updates = transform(batch)
       keys.foreach(k => require(updates.columns.contains(k),
         s"key column $k not in the transformed batch"))
-      val merged = (try {
-        val snap = CatalogStore.snapshot(spark, root)
-        if (snap.tables.contains(table))
-          Some(graft.operators.Incremental.merge(
-            CatalogStore.read(spark, root, table, snap), updates, keys))
-        else None
-      } catch { case _: IllegalStateException => None }) // empty store
-        .getOrElse(updates)
-      Map(table -> merged)
-    })
+      // the merge rides upsertTable's derived-CAS loop (tick_meta in
+      // the SAME transaction), so a non-stream writer landing on the
+      // table between this tick's snapshot read and its commit
+      // triggers a RE-MERGE against that writer's rows instead of
+      // silently overwriting them — the single-writer posture is now
+      // enforced by the protocol, not just documented
+      CatalogStore.upsertTableWith(spark, root, table, updates, keys,
+        extraTables = Map("tick_meta" -> Seq(batchId).toDF("batch_id")))
+      true
+    }
   }
 
   /** Streaming MERGE INTO a catalog table — [[upsertTickBatch]]

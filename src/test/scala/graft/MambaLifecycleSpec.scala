@@ -75,6 +75,30 @@ class MambaLifecycleSpec extends SparkSpec {
     assert(h.getAs[String]("counselor_notes") == "follow up")
   }
 
+  test("automated_flattening=1 with zero configs flattens every type " +
+      "with live encounters, identically to the explicit-id run") {
+    // the reference's one-flag mode (README.md:136-137): no id list,
+    // no per-type config — types {7, 8} come from the encounter
+    // table's live rows (13 is voided and type-7 anyway)
+    val auto = MambaEtlJob.run(spark,
+      EtlConfig("/src", "/out", automatedFlattening = 1), sources, Seq())
+    assert(auto.keySet == outputs.keySet)
+    Seq("mamba_flat_encounter_7", "mamba_flat_encounter_8",
+      "mamba_fact_encounter_counts").foreach { t =>
+      assertSameRows(auto(t), outputs(t))
+    }
+    // flag OFF + empty ids = just the dims and the fact, no flats —
+    // the explicit contract the flag exists to change
+    val off = MambaEtlJob.run(spark,
+      EtlConfig("/src", "/out"), sources, Seq())
+    assert(!off.keySet.exists(_.startsWith("mamba_flat_encounter_")))
+    // explicit ids win over discovery when both are given
+    val explicit = MambaEtlJob.run(spark,
+      EtlConfig("/src", "/out", automatedFlattening = 1), sources, Seq(8))
+    assert(explicit.keySet.filter(_.startsWith("mamba_flat_encounter_"))
+      == Set("mamba_flat_encounter_8"))
+  }
+
   test("derived fact aggregates over dims in base→derived order") {
     val fact = outputs("mamba_fact_encounter_counts")
       .orderBy("encounter_type_name", "gender")
