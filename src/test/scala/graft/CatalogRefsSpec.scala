@@ -548,7 +548,7 @@ class CatalogRefsSpec extends SparkSpec {
   test("vacuum at the claim-age boundary: a vacuum INSIDE a live " +
       "writer's stall window keeps its claim; an aged sweep after a " +
       "crash reclaims and the store keeps committing") {
-    for (round <- 1 to 4) {
+    for (round <- 1 to 8) {
       val root = Files.createTempDirectory(s"refsvc$round").toString
       CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
       if (round % 2 == 1) {
