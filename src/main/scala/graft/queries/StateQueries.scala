@@ -360,11 +360,16 @@ object StateQueries {
       val state = SketchState.quantileSketches(counts, Seq("lang"), "n_tokens")
         .localCheckpoint(true)
       val est = SketchState.quantileRollup(state, Seq("lang"))
-      // exact order statistic at the same inverse-CDF position
+      // exact order statistic at the same inverse-CDF position (the
+      // ground-truth leg — the rank window per lang is the point; the
+      // per-lang total rides a lang-sized broadcast join, not a count
+      // window over the same corpus-sized partition)
       val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      val nTab = counts.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
       val ranked = counts
         .withColumn("rk", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .join(broadcast(nTab), Seq("lang"))
       val exact = ranked.groupBy(col("lang")).agg(
         min(when(col("rk") >= ceil(col("n") * 0.5), col("n_tokens")))
           .as("x50"),
