@@ -44,8 +44,11 @@ object CatalogSql {
     """(?is)\s*DROP\s+(BRANCH|TAG)\s+([A-Za-z0-9._-]+)\s*""".r
   private val mergeRe =
     """(?is)\s*MERGE\s+BRANCH\s+([A-Za-z0-9._-]+)((?:\s+(?:FORCE|EVOLVE))*)\s*""".r
+  // source matched GREEDILY so the LAST `ON (…)` binds as the key
+  // clause — a lazy match would split at a JOIN's own ON inside a
+  // parenthesized USING query
   private val mergeIntoRe =
-    """(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(.+?)\s+ON\s*\(([^)]+)\)(\s+EVOLVE)?\s*""".r
+    """(?is)\s*MERGE\s+INTO\s+(\w+)\s+USING\s+(.+)\s+ON\s*\(([^)]+)\)(\s+EVOLVE)?\s*""".r
   private val insertRe =
     """(?is)\s*INSERT\s+(INTO|OVERWRITE)\s+(\w+)\s+((?:SELECT|VALUES|TABLE|WITH|FROM)\b.+)\s*""".r
   private val optimizeRe =

@@ -179,5 +179,25 @@ class CatalogSqlSpec extends SparkSpec {
       exec(root, "MERGE INTO t USING dml_upd")
     }
     assert(e.getMessage.contains("supported:"))
+    // a USING query containing its own JOIN..ON parses: the key
+    // clause binds to the LAST ON (…), not the join's
+    Seq((2, "x")).toDF("k", "tag").createOrReplaceTempView("dml_tags")
+    exec(root,
+      "MERGE INTO t USING (SELECT u.k, u.v + 100 AS v FROM dml_upd u " +
+        "JOIN dml_tags g ON (u.k = g.k)) ON (k)")
+    assert(CatalogStore.readCurrent(spark, root, "t")
+      .filter(col("k") === 2).select("v").as[Long].head() == 199L)
+    // EVOLVE rides the MERGE: an updates frame with a NEW column
+    // widens the schema instead of failing the compat gate
+    intercept[Exception] {
+      exec(root, "MERGE INTO t USING (SELECT 1 AS k, " +
+        "CAST(10 AS BIGINT) AS v, 'new' AS note) ON (k)")
+    }
+    exec(root, "MERGE INTO t USING (SELECT 1 AS k, " +
+      "CAST(10 AS BIGINT) AS v, 'new' AS note) ON (k) EVOLVE")
+    val evolved = CatalogStore.readCurrent(spark, root, "t")
+    assert(evolved.columns.contains("note"))
+    assert(evolved.filter(col("k") === 1).select("note")
+      .as[String].head() == "new")
   }
 }
