@@ -5547,8 +5547,32 @@ object ExtQueries {
       val plain = joined(orders, lines)
       val noShuffle = shuffles(bucketed) == 0
       val plainShuffles = shuffles(plain) >= 2
-      val eq = bucketed.exceptAll(plain)
-        .unionByName(plain.exceptAll(bucketed)).isEmpty
+      // each side materializes EXACTLY ONCE before the compare: the
+      // except-union plan otherwise inlines the zero-exchange bucketed
+      // scan into BOTH branches, and a long-JVM full sweep twice
+      // produced an internally-inconsistent result (b−p = ∅ while
+      // p−b = ALL rows at equal counts — i.e. one branch's bucketed
+      // scan transiently evaluated empty); comparing two checkpoints
+      // closes the double-evaluation seam, and the count guard turns
+      // any future empty-scan recurrence into a loud named failure
+      // instead of a silent flag flip
+      val b = bucketed.localCheckpoint(true)
+      val p = plain.localCheckpoint(true)
+      require(b.count() > 0 && p.count() > 0,
+        s"bucketed-gate: a side materialized empty (b=${b.count()}, " +
+          s"p=${p.count()}) — bucketed table resolution failed")
+      val diffs = b.exceptAll(p)
+        .withColumn("__side", lit("bucketed-only"))
+        .unionByName(p.exceptAll(b).withColumn("__side", lit("plain-only")))
+        .localCheckpoint(true)
+      val eq = diffs.isEmpty
+      if (!eq) {
+        System.err.println(s"[bucketed-gate] MISMATCH: b=${b.count()} " +
+          s"p=${p.count()} diff=${diffs.count()}")
+        // collect-bound: 20-row diagnostic sample, mismatch path only
+        diffs.limit(20).collect()
+          .foreach(r => System.err.println(s"[bucketed-gate] $r"))
+      }
       Seq((if (noShuffle) 1 else 0, if (plainShuffles) 1 else 0,
         if (eq) 1 else 0))
         .toDF("no_shuffle", "plain_shuffles", "bucketed_eq")
@@ -5576,9 +5600,14 @@ object ExtQueries {
       AnalysisStore.appendBucketed(
         orders.filter(col("o_orderkey") % 3 === 0),
         "graft_bkta_orders", Seq("o_orderkey"), nBuckets = 8)
+      // checkpoint the managed-table read before the two-sided compare
+      // (same double-evaluation seam as store_bucketed_gate's eq leg)
       val tbl = s.table("graft_bkta_orders")
-      val rowsEq = tbl.exceptAll(orders)
-        .unionByName(orders.exceptAll(tbl)).isEmpty
+      val tblC = tbl.localCheckpoint(true)
+      require(tblC.count() > 0,
+        "bucketed-append-gate: table materialized empty")
+      val rowsEq = tblC.exceptAll(orders)
+        .unionByName(orders.exceptAll(tblC)).isEmpty
       val joined = tbl.hint("merge")
         .join(s.table("graft_bkta_lines"), Seq("o_orderkey"))
         .groupBy("o_orderkey")
