@@ -45,7 +45,8 @@ object MambaEtlJob {
     val effectiveIds =
       if (config.automatedFlattening == 1 && encounterTypeIds.isEmpty)
         graft.operators.ModelCollect.bounded(
-          src.encounter.filter(col("voided") === 0)
+          src.encounter.filter(col("voided") === 0 &&
+              col("encounter_type").isNotNull)
             .select(col("encounter_type").cast("int")).distinct()
             .orderBy("encounter_type"),
           graft.operators.ModelCollect.MaxModelRows,

@@ -42,6 +42,38 @@ import org.apache.spark.sql.functions._
   */
 object SketchState {
 
+  /** Join on `keys` with NULL-SAFE equality (`<=>`). groupBy — like
+    * the Window.partitionBy shapes these agg+join-back rewrites
+    * replaced — treats a NULL key as a real group, but a plain
+    * `join(_, keys)` uses null-unsafe equality and silently DROPS
+    * every NULL-keyed group from the output (heavy-hitter/theta/
+    * sample state for that group would just vanish). `<=>` is still
+    * an equi-join key for Spark (EqualNullSafe participates in
+    * ExtractEquiJoinKeys), so hash joins and AQE's broadcast
+    * conversion apply as usual. Right-side keys are internally
+    * renamed and the output keeps ONE copy per key: under null-safe
+    * matching a matched row's two key values are provably
+    * interchangeable (both equal or both null), so
+    * `coalesce(left, right)` is exact for every join type including
+    * full_outer's one-sided rows. Non-key output columns are
+    * left-then-right; callers keep them disjoint.
+    */
+  private[graft] def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String], joinType: String = "inner",
+      broadcastRight: Boolean = false): DataFrame = {
+    require(keys.nonEmpty, "joinNullSafe needs at least one key")
+    val renamed = keys.foldLeft(right)((d, k) =>
+      d.withColumnRenamed(k, s"__r_$k"))
+    val r = if (broadcastRight) broadcast(renamed) else renamed
+    val cond = keys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _)
+    val joined = left.join(r, cond, joinType)
+    val outCols =
+      keys.map(k => coalesce(col(k), col(s"__r_$k")).as(k)) ++
+        left.columns.filterNot(keys.contains).map(col) ++
+        right.columns.filterNot(keys.contains).map(col)
+    joined.select(outCols: _*)
+  }
+
   /** Build (or rebuild) the fine-grain sketch state: one row per
     * distinct `groupCols` tuple carrying the HLL sketch of
     * `valueCol` plus an exact contributing-row count (`n_rows` —
@@ -201,8 +233,9 @@ object SketchState {
     * Scale shape: one uniform groupBy exchange for the exact counts
     * (map-side combined), a rank-pruned top-(k+1) pass over the
     * aggregated (group, item) rows ([[compress]]), and the group
-    * totals as a NARROW second aggregation of the raw column joined
-    * back by broadcast — not a sum window partitioned by group, whose
+    * totals as a re-aggregation OF THE COUNTS FRAME (Σcnt ≡ the raw
+    * row total; the shuffle stage is shared via exchange reuse)
+    * joined back by broadcast — not a sum window partitioned by group, whose
     * window task would hold the group's ENTIRE distinct-item set
     * (window partitions are not AQE-splittable; the tfidf/bm25 df
     * hazard). State is ≤ k rows/group.
@@ -217,11 +250,19 @@ object SketchState {
         col(valueCol).cast("string").as("item")): _*)
       .agg(count(lit(1)).as("cnt"))
     // the group's exact item total (the bound column and the audit
-    // column in one) — model-sized per distinct grain, broadcast back
-    val totals = df.groupBy(grain: _*).agg(count(lit(1)).as("__n"))
+    // column in one) — derived FROM counts (Σcnt per group ≡ the raw
+    // row total), never a second full aggregation over the raw input:
+    // the totals re-aggregation shares counts' shuffle stage through
+    // exchange reuse. The broadcast hint is the tier contract made
+    // executable: sketch state is ≤ k rows/GROUP, so the tier only
+    // makes sense for broadcast-scale grains — the hint keeps the
+    // corpus-sized counts frame from reshuffling by grain, and a
+    // grain too big to broadcast fails LOUDLY instead of silently
+    // building a corpus-sized "state" table.
+    val totals = counts.groupBy(grain: _*).agg(sum(col("cnt")).as("__n"))
     val withN =
       if (groupCols.isEmpty) counts.crossJoin(broadcast(totals))
-      else counts.join(broadcast(totals), groupCols)
+      else joinNullSafe(counts, totals, groupCols, broadcastRight = true)
     compress(withN, groupCols, k)
   }
 
@@ -244,14 +285,15 @@ object SketchState {
     val grain = groupCols.map(col)
     def totals(s: DataFrame, as: String) =
       s.groupBy(grain: _*).agg(max(col("n_rows")).as(as))
-    val nTot = totals(prior, "__np").join(totals(delta, "__nd"),
+    val nTot = joinNullSafe(totals(prior, "__np"), totals(delta, "__nd"),
         groupCols, "full_outer")
       .select((grain :+ (coalesce(col("__np"), lit(0L)) +
         coalesce(col("__nd"), lit(0L))).as("__n")): _*)
-    val summed = prior.unionByName(delta)
-      .groupBy((grain :+ col("item")): _*)
-      .agg(sum(col("est")).as("cnt"))
-      .join(nTot, groupCols)
+    val summed = joinNullSafe(
+      prior.unionByName(delta)
+        .groupBy((grain :+ col("item")): _*)
+        .agg(sum(col("est")).as("cnt")),
+      nTot, groupCols)
     compress(summed, groupCols, k)
   }
 
@@ -283,7 +325,7 @@ object SketchState {
     // never raw data — same posture as estimateFreq's global cell sum
     val joined =
       if (rollupCols.isEmpty) summed.crossJoin(broadcast(nTot))
-      else summed.join(nTot, rollupCols)
+      else joinNullSafe(summed, nTot, rollupCols)
     compress(joined, rollupCols, k)
   }
 
@@ -344,7 +386,7 @@ object SketchState {
       val tF = top.groupBy(grain: _*).agg(
         when(count(lit(1)) === k + 1, min(col("cnt")))
           .otherwise(lit(0L)).as("__t"))
-      top.join(broadcast(tF), groupCols)
+      joinNullSafe(top, tF, groupCols, broadcastRight = true)
         .filter(col("__rk") <= k &&
           (col("cnt") - col("__t") > 0 || col("__rk") === 1))
         .select((grain :+ col("item") :+
@@ -500,7 +542,7 @@ object SketchState {
       .agg(sum(col("cnt")).as("__n"))
     val withN =
       if (groupCols.isEmpty) counts.crossJoin(broadcast(totals))
-      else counts.join(broadcast(totals), groupCols)
+      else joinNullSafe(counts, totals, groupCols, broadcastRight = true)
     sampleCompress(withN.withColumn("hkey", md5Window(col("item"), 1)),
       groupCols, k)
   }
@@ -519,14 +561,15 @@ object SketchState {
     val grain = groupCols.map(col)
     def totals(s: DataFrame, as: String) =
       s.groupBy(grain: _*).agg(max(col("n_rows")).as(as))
-    val nTot = totals(prior, "__np").join(totals(delta, "__nd"),
+    val nTot = joinNullSafe(totals(prior, "__np"), totals(delta, "__nd"),
         groupCols, "full_outer")
       .select((grain :+ (coalesce(col("__np"), lit(0L)) +
         coalesce(col("__nd"), lit(0L))).as("__n")): _*)
-    val summed = prior.unionByName(delta)
-      .groupBy((grain :+ col("item")): _*)
-      .agg(sum(col("cnt")).as("cnt"), min(col("hkey")).as("hkey"))
-      .join(nTot, groupCols)
+    val summed = joinNullSafe(
+      prior.unionByName(delta)
+        .groupBy((grain :+ col("item")): _*)
+        .agg(sum(col("cnt")).as("cnt"), min(col("hkey")).as("hkey")),
+      nTot, groupCols)
     sampleCompress(summed, groupCols, k)
   }
 
@@ -554,7 +597,7 @@ object SketchState {
       .agg(sum(col("cnt")).as("cnt"), min(col("hkey")).as("hkey"))
     val joined =
       if (rollupCols.isEmpty) summed.crossJoin(broadcast(nTot))
-      else summed.join(nTot, rollupCols)
+      else joinNullSafe(summed, nTot, rollupCols)
     sampleCompress(joined, rollupCols, k)
   }
 
@@ -686,7 +729,9 @@ object SketchState {
         "the exact-membership/exact-count argument no longer holds")
     val av = a.select(col("item"), col("hkey"), col("cnt").as("__ca"))
     val bv = b.select(col("item"), col("hkey"), col("cnt").as("__cb"))
-    val u = av.join(bv, Seq("item", "hkey"), "full_outer")
+    // null-safe: a NULL raw value is a real sampled item (its hkey is
+    // null too) — plain key equality would emit it twice, once per side
+    val u = joinNullSafe(av, bv, Seq("item", "hkey"), "full_outer")
     // global bottom-k via sort-limit (TakeOrderedAndProject) — same
     // rows as a rank window + filter, with no empty-spec WindowExec
     // (and so none of Spark's single-partition window warnings)
@@ -793,7 +838,7 @@ object SketchState {
     } else {
       val w = Window.partitionBy(grain: _*)
         .orderBy(col("hkey").asc, col("item").asc)
-      summed.join(broadcast(avail), rollupCols)
+      joinNullSafe(summed, avail, rollupCols, broadcastRight = true)
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k)
         .select(out: _*)

@@ -367,9 +367,9 @@ object StateQueries {
       val w = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
       val nTab = counts.groupBy(col("lang"))
         .agg(count(lit(1)).as("n"))
-      val ranked = counts
-        .withColumn("rk", row_number().over(w))
-        .join(broadcast(nTab), Seq("lang"))
+      val ranked = SketchState.joinNullSafe(
+        counts.withColumn("rk", row_number().over(w)),
+        nTab, Seq("lang"), broadcastRight = true)
       val exact = ranked.groupBy(col("lang")).agg(
         min(when(col("rk") >= ceil(col("n") * 0.5), col("n_tokens")))
           .as("x50"),

@@ -231,7 +231,15 @@ object CatalogSql {
       if (snap.tables.contains(table))
         Some(CatalogStore.read(spark, root, table, snap).columns.toSeq)
       else None
-    } catch { case _: Exception => None }
+    } catch {
+      // ONLY the definitive not-exists signals (unknown ref / version-0
+      // unpublished store — both IllegalArgument by contract) mean
+      // "first publish". A transient store/FS read failure on an
+      // EXISTING table must propagate: swallowing it here would route
+      // INSERT INTO down the first-publish naming path and fail later
+      // with a misleading unionByName error instead of the real cause.
+      case _: IllegalArgumentException => None
+    }
 
   private def resolveSource(spark: SparkSession, source: String): DataFrame = {
     val s = source.trim

@@ -207,12 +207,45 @@ object CatalogStore {
   private def refFile(root: String, name: String) =
     new org.apache.hadoop.fs.Path(root, s"_cat/ref=$name")
 
-  /** Parse a ref file's `<kind> <version>` content. */
+  /** Parse a ref file's `<kind> <version>` content. Migration: the
+    * pre-single-file layout wrote `ref=<name>` files with a BARE
+    * version number (every `ref=` file was a branch; tags lived in
+    * separate `tag=<name>` files) — read that as `branch <v>` so an
+    * old store keeps resolving instead of throwing "corrupt" on its
+    * own refs. Legacy `tag=` files are read by [[legacyTagVersion]].
+    */
   private def parseRef(content: String): (String, Int) = {
     val toks = content.trim.split("\\s+")
-    require(toks.length == 2 && (toks(0) == "branch" || toks(0) == "tag"),
-      s"corrupt ref file content '${content.take(40)}'")
-    (toks(0), toks(1).toInt)
+    if (toks.length == 1 && toks(0).matches("\\d+"))
+      ("branch", toks(0).toInt)
+    else {
+      require(toks.length == 2 && (toks(0) == "branch" || toks(0) == "tag"),
+        s"corrupt ref file content '${content.take(40)}'")
+      (toks(0), toks(1).toInt)
+    }
+  }
+
+  /** Legacy two-file layout: `_cat/tag=<name>` with a bare-version
+    * body. Still READ (refs listing, refVersion resolution, vacuum
+    * pinning, kind-checked drop) so a pre-migration store's tags
+    * neither vanish from the listing nor — worse — lose their vacuum
+    * pins and get their targets reclaimed. New tags are only ever
+    * written to the shared `ref=<name>` file. A corrupt body throws
+    * loudly rather than falling to "no such tag".
+    */
+  private def legacyTagFile(root: String, name: String) =
+    new org.apache.hadoop.fs.Path(root, s"_cat/tag=$name")
+
+  private def legacyTagVersion(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, name: String): Option[Int] = {
+    val tf = legacyTagFile(root, name)
+    if (!fs.exists(tf)) None
+    else {
+      val body = readSmall(fs, tf).trim
+      require(body.matches("\\d+"),
+        s"corrupt legacy tag file for '$name': '${body.take(40)}'")
+      Some(body.toInt)
+    }
   }
 
   private def validateRefName(name: String): Unit = {
@@ -230,6 +263,13 @@ object CatalogStore {
       dst: org.apache.hadoop.fs.Path, v: Int, kind: String,
       name: String): Unit = {
     val fs = fsOf(spark, root)
+    // legacy two-file layout: a pre-migration tag=<name> holds the
+    // namespace too. Pre-check only (no legacy writers remain, so no
+    // TOCTOU against them) — without it a new branch would silently
+    // shadow the old tag.
+    require(legacyTagVersion(fs, root, name).isEmpty,
+      s"a tag named $name already exists under $root (legacy layout) — " +
+        "branch and tag names share one namespace")
     val tmp = new org.apache.hadoop.fs.Path(root,
       s"_cat/.$kind=$name.tmp." + java.util.UUID.randomUUID().toString
         .replace("-", "").take(12))
@@ -313,7 +353,15 @@ object CatalogStore {
       try Some(parseRef(readSmall(fs, rf))._1)
       catch { case _: Exception => None }
     existing match {
-      case None => false
+      case None =>
+        // legacy two-file layout: the tag may still live in tag=<name>
+        legacyTagVersion(fs, root, name) match {
+          case Some(_) if kind == "tag" =>
+            fs.delete(legacyTagFile(root, name), false)
+          case Some(_) => throw new IllegalArgumentException(
+            s"$name is a tag — drop it as a tag, not a $kind")
+          case None => false
+        }
       case Some(k) if k != kind => throw new IllegalArgumentException(
         s"$name is a $k — drop it as a $k, not a $kind")
       case Some(_) => fs.delete(rf, false)
@@ -331,7 +379,7 @@ object CatalogStore {
       val fs = fsOf(spark, root)
       val rf = refFile(root, name)
       if (fs.exists(rf)) Some(parseRef(readSmall(fs, rf))._2)
-      else None
+      else legacyTagVersion(fs, root, name)
     }
   }
 
@@ -356,16 +404,25 @@ object CatalogStore {
     val fs = fsOf(spark, root)
     val dir = new org.apache.hadoop.fs.Path(root, "_cat")
     val refRe = "^ref=(.+)$".r
-    val named = if (!fs.exists(dir)) Seq.empty else
+    val legacyTagRe = "^tag=(.+)$".r
+    val entries = if (!fs.exists(dir)) Seq.empty else
       fs.listStatus(dir).toSeq.filter(_.isFile)
-        .flatMap(s => s.getPath.getName match {
-          case refRe(n) =>
-            val (kind, v) = parseRef(readSmall(fs, s.getPath))
-            Some((n, kind, v))
-          case _ => None
-        })
+    val current = entries.flatMap(s => s.getPath.getName match {
+      case refRe(n) =>
+        val (kind, v) = parseRef(readSmall(fs, s.getPath))
+        Some((n, kind, v))
+      case _ => None
+    })
+    val taken = current.map(_._1).toSet
+    // pre-migration layout; a same-name ref= file shadows it, the way
+    // the old two-file resolution order did (branch shadowed tag)
+    val legacy = entries.flatMap(s => s.getPath.getName match {
+      case legacyTagRe(n) if !taken.contains(n) =>
+        legacyTagVersion(fs, root, n).map((n, "tag", _))
+      case _ => None
+    })
     (currentVersion(spark, root).map(("main", "branch", _)).toSeq ++
-      named.sortBy(_._1))
+      (current ++ legacy).sortBy(_._1))
       .toDF("ref_name", "kind", "version")
   }
 
@@ -1192,11 +1249,22 @@ object CatalogStore {
     val catDir = new org.apache.hadoop.fs.Path(root, "_cat")
     val catEntries = if (fs.exists(catDir))
       fs.listStatus(catDir).toSeq.filter(_.isFile) else Seq.empty
+    // An unparseable ref file REFUSES the vacuum rather than falling
+    // to "unpinned": silently dropping a pin is how a corrupt (or
+    // newer-layout) ref file turns into deleted tagged data. Legacy
+    // bare-version ref= files parse as branches (parseRef fallback)
+    // and legacy tag=<name> files keep their pins here.
     val refRe = "^ref=(.+)$".r
+    val legacyTagRe = "^tag=(.+)$".r
     val refHeads = catEntries.flatMap(s => s.getPath.getName match {
-      case refRe(_) =>
+      case refRe(n) =>
         try Some(parseRef(readSmall(fs, s.getPath))._2)
-        catch { case _: Exception => None }
+        catch {
+          case e: Exception => throw new IllegalStateException(
+            s"vacuum refused: ref file for '$n' is unreadable — fix or " +
+              "drop the ref first, a silent skip would unpin its data", e)
+        }
+      case legacyTagRe(n) => legacyTagVersion(fs, root, n)
       case _ => None
     })
     val pinned = scala.collection.mutable.Set[Int]()
@@ -2182,9 +2250,13 @@ object CatalogStore {
   private def branchHead(spark: SparkSession, root: String,
       name: String): Int = {
     val fs = fsOf(spark, root)
-    if (!fs.exists(refFile(root, name)))
+    if (!fs.exists(refFile(root, name))) {
+      if (legacyTagVersion(fs, root, name).isDefined)
+        throw new IllegalArgumentException(
+          s"$name is a TAG — tags are immutable; commit to a branch")
       throw new IllegalArgumentException(
         s"unknown branch $name under $root — createBranch first")
+    }
     parseRef(readSmall(fs, refFile(root, name))) match {
       case ("tag", _) => throw new IllegalArgumentException(
         s"$name is a TAG — tags are immutable; commit to a branch")

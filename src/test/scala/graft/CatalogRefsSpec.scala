@@ -477,6 +477,82 @@ class CatalogRefsSpec extends SparkSpec {
       Map("t" -> 1))
   }
 
+  test("legacy two-file ref layout: bare-version ref= and tag= files " +
+      "resolve, list, pin vacuum, block the namespace, and migrate") {
+    val root = Files.createTempDirectory("refslegacy").toString
+    val a1 = orders.limit(10)
+    CatalogStore.commit(spark, root, Map("a" -> a1))               // v1
+    CatalogStore.commit(spark, root, Map("a" -> orders.limit(20))) // v2
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(rel: String, body: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(root, rel)
+      val o = fs.create(p, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    def readRaw(rel: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(root, rel))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    // pre-migration store state: every ref= file held a BARE version
+    // (always a branch); tags lived in separate tag= files
+    put("_cat/ref=oldbranch", "1")
+    put("_cat/tag=oldtag", "1")
+    // resolution and listing see both, with kinds
+    assert(CatalogStore.refVersion(spark, root, "oldbranch").contains(1))
+    assert(CatalogStore.refVersion(spark, root, "oldtag").contains(1))
+    val refs = CatalogStore.refs(spark, root).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(refs == Set(("main", "branch", 2), ("oldbranch", "branch", 1),
+      ("oldtag", "tag", 1)), s"refs listing: $refs")
+    // the legacy tag's world reads, stays immutable, holds its name
+    assert(CatalogStore.snapshotRef(spark, root, "oldtag").tables ==
+      Map("a" -> 1))
+    intercept[Exception] {
+      CatalogStore.commit(spark, root, Map("a" -> a1), ref = "oldtag")
+    }
+    intercept[IllegalArgumentException] {
+      CatalogStore.createBranch(spark, root, "oldtag")
+    }
+    intercept[IllegalArgumentException] {
+      CatalogStore.createTag(spark, root, "oldtag")
+    }
+    // kind-checked drops stay loud across layouts
+    intercept[IllegalArgumentException] {
+      CatalogStore.dropBranch(spark, root, "oldtag")
+    }
+    intercept[IllegalArgumentException] {
+      CatalogStore.dropTag(spark, root, "oldbranch")
+    }
+    // vacuum(keep=1) would reclaim v1 — BOTH legacy refs pin it
+    assert(CatalogStore.vacuum(spark, root, keep = 1,
+      claimAgeMs = 0L).catalogs.isEmpty)
+    assertSameRows(CatalogStore.read(spark, root, "a",
+      CatalogStore.snapshotRef(spark, root, "oldtag")), a1.toDF())
+    // an UNREADABLE ref file refuses the vacuum instead of unpinning
+    put("_cat/ref=corrupt", "garbage junk")
+    intercept[IllegalStateException] {
+      CatalogStore.vacuum(spark, root, keep = 1, claimAgeMs = 0L)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_cat/ref=corrupt"),
+      false)
+    // committing to the legacy branch advances it AND migrates the
+    // file body to the current `<kind> <version>` form
+    val tx = CatalogStore.commit(spark, root,
+      Map("b" -> orders.limit(5)), ref = "oldbranch")
+    assert(tx.committed)
+    val head = CatalogStore.refVersion(spark, root, "oldbranch").get
+    assert(readRaw("_cat/ref=oldbranch") == s"branch $head")
+    // drop both; only then does vacuum reclaim v1
+    assert(CatalogStore.dropTag(spark, root, "oldtag"))
+    assert(CatalogStore.refVersion(spark, root, "oldtag").isEmpty)
+    assert(CatalogStore.dropBranch(spark, root, "oldbranch"))
+    val vac = CatalogStore.vacuum(spark, root, keep = 1, claimAgeMs = 0L)
+    assert(vac.catalogs.contains(1), s"reclaimed: ${vac.catalogs}")
+    intercept[Exception] { CatalogStore.snapshot(spark, root, Some(1)) }
+  }
+
   test("vacuum sweeps crashed ref/tag/CAS temporaries (aged), keeps " +
       "young ones") {
     val root = Files.createTempDirectory("refstmp").toString

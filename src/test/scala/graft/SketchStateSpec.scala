@@ -445,4 +445,70 @@ class SketchStateSpec extends SparkSpec {
     SketchState.jaccardFromSamples(st, "g", k = 16, buildK = 16).collect()
   }
 
+  /** groupBy — like the Window.partitionBy shapes the agg+join-back
+    * rewrites replaced — treats a NULL group key as a real group; a
+    * null-unsafe join-back would silently DROP that group's state.
+    * These pin the null-safe (`<=>`) join contract across the tier.
+    */
+  private def nullGrouped: org.apache.spark.sql.DataFrame =
+    (Seq.fill(5)((Option.empty[String], 1)) ++
+      Seq.fill(3)((Option.empty[String], 2)) ++
+      Seq.fill(2)((Option.empty[String], 3)) ++
+      Seq((Option.empty[String], 4), (Some("a"), 9)))
+      .toDF("g", "v")
+
+  test("NULL group key is a real heavy-hitter group, not a dropped one") {
+    // null group: 1×5, 2×3, 3×2, 4×1 (n=11); k=2 ⇒ t = 3rd-largest = 2
+    val st = SketchState.heavyHitterSketches(nullGrouped, Seq("g"), "v", 2)
+    assertSameRows(
+      st.filter(col("g").isNull).select("item", "est", "n_rows"),
+      Seq(("1", 3L, 11L), ("2", 1L, 11L)).toDF())
+    // merge with a delta that has NO null group (the full_outer leg):
+    // the null group's state and total must ride through unchanged
+    val delta = SketchState.heavyHitterSketches(
+      Seq((Some("a"), 9), (Some("a"), 8)).toDF("g", "v"), Seq("g"), "v", 2)
+    val merged = SketchState.mergeHeavyHitters(st, delta, Seq("g"), 2)
+    assertSameRows(
+      merged.filter(col("g").isNull).select("item", "est", "n_rows"),
+      Seq(("1", 3L, 11L), ("2", 1L, 11L)).toDF())
+    // and the rollup join-back keeps it too
+    val roll = SketchState.heavyHittersRollup(st, Seq("g"), 2)
+    assert(roll.filter(col("g").isNull).count() == 2)
+  }
+
+  test("NULL group key survives the sample-state tier end to end") {
+    val ss = SketchState.sampleSketches(nullGrouped, Seq("g"), "v", 64)
+    assert(ss.filter(col("g").isNull).count() == 4) // all 4 items kept
+    assert(ss.filter(col("g").isNull).select("n_rows")
+      .distinct().as[Long].head() == 11L)
+    val sr = SketchState.sampleRollup(ss, Seq("g"), 64)
+    assert(sr.filter(col("g").isNull).count() == 4)
+    val mg = SketchState.mergeSampleSketches(ss,
+      SketchState.sampleSketches(
+        Seq((Some("a"), 8)).toDF("g", "v"), Seq("g"), "v", 64),
+      Seq("g"), 64)
+    assert(mg.filter(col("g").isNull).count() == 4)
+    // theta read path: the grain-sized avail join-back is null-safe too
+    val theta = ss.select("g", "item", "hkey", "cnt")
+    val got = SketchState.sampleFromTheta(theta, Seq("g"), 2)
+    assert(got.filter(col("g").isNull).count() == 2)
+    assert(got.filter(col("g").isNull).select("complete")
+      .distinct().as[Boolean].head())
+  }
+
+  test("estimateJoinSize matches a NULL item across states instead of " +
+      "double-counting it") {
+    val aSt = Seq((Option("x"), Option(10L), 2L),
+      (Option.empty[String], Option.empty[Long], 3L))
+      .toDF("item", "hkey", "cnt")
+    val bSt = Seq((Option("x"), Option(10L), 4L),
+      (Option.empty[String], Option.empty[Long], 5L))
+      .toDF("item", "hkey", "cnt")
+    val est = SketchState.estimateJoinSize(aSt, bSt, k = 8)
+    // 2 combined keys < k ⇒ the EXACT fall-through: Σ cA·cB = 2·4 + 3·5.
+    // A null-unsafe union would see FOUR keys (null twice) and lose
+    // the null key's 15 from the intersection product.
+    assertSameRows(est, Seq((23.0, 2L)).toDF("join_size_est", "n_sample"))
+  }
+
 }
