@@ -112,6 +112,42 @@ object AnalysisStore {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    assertResolvable(spark, table)
+  }
+
+  /** Post-write resolution contract: the table the session catalog
+    * hands back must LIST the data files the write just committed.
+    * Exists because of the store_bucketed_gate seam (commit ca8e932):
+    * twice in long-JVM 276-query sweeps, a freshly (re)created
+    * managed bucketed table's zero-exchange scan transiently
+    * evaluated EMPTY — correct plan, successful write, zero rows.
+    * The gate now guards itself, but a USER read through this API had
+    * no guard at all; this check makes every write-then-read path
+    * loud instead. Mechanics: compare the raw filesystem listing of
+    * the table location against a fresh catalog resolution — if disk
+    * holds data files the resolution doesn't see, try `REFRESH TABLE`
+    * (drops any stale relation/FileStatusCache entry) and re-resolve;
+    * a repair is reported on stderr (greppable marker for the seam
+    * probe), an unrepaired inconsistency throws.
+    */
+  private def assertResolvable(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val loc = new org.apache.hadoop.fs.Path(meta.location)
+    val fs = fsOf(spark, loc.toString)
+    val dataOnDisk = fs.exists(loc) && fs.listStatus(loc).exists(s =>
+      s.isFile && s.getLen > 0 && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+    if (dataOnDisk && spark.table(table).inputFiles.isEmpty) {
+      System.err.println(s"[graft-store] SEAM: $table resolved an empty " +
+        "file listing over a non-empty location — refreshing")
+      spark.sql(s"REFRESH TABLE $table")
+      if (spark.table(table).inputFiles.isEmpty)
+        throw new IllegalStateException(
+          s"bucketed table $table still resolves an EMPTY file listing " +
+            s"while ${meta.location} holds data files — stale catalog/" +
+            "FileIndex state REFRESH TABLE could not repair")
+    }
   }
 
   /** Append into an EXISTING bucketed table, preserving the bucket
@@ -147,6 +183,7 @@ object AnalysisStore {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+    assertResolvable(spark, table)
   }
 
   /** Crash-safe table rewrite: materialize the new contents into a

@@ -621,6 +621,90 @@ class CatalogRefsSpec extends SparkSpec {
     }
   }
 
+  test("vacuum live-racing in-flight commits: concurrent sweeps under " +
+      "the age contract never lose a commit; the boundary holds at " +
+      "measured claim age, both sides") {
+    // leg A — TRUE concurrency, no sync hook: a writer lands 6
+    // commits while this thread vacuums continuously with a sane
+    // claim age (the production posture: claimAgeMs >> any stall).
+    // Repeat-run: the interleaving shifts with FS/JIT timing, so the
+    // vacuum's listing races claim creation, staged renames, catalog
+    // completion, and the pointer flip across rounds.
+    for (round <- 1 to 4) {
+      val root = Files.createTempDirectory(s"refslive$round").toString
+      CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+      @volatile var werr: Throwable = null
+      val writer = new Thread(() => {
+        try (1 to 6).foreach { i =>
+          val tx = CatalogStore.commit(spark, root,
+            Map(s"t$i" -> orders.limit(i + 3)),
+            contentionTimeoutMs = 20000L)
+          if (!tx.committed)
+            werr = new IllegalStateException(s"t$i not committed")
+        } catch { case t: Throwable => werr = t }
+      })
+      writer.start()
+      var sweeps = 0
+      while (writer.isAlive) {
+        CatalogStore.vacuum(spark, root, keep = 3, claimAgeMs = 60000L)
+        sweeps += 1
+      }
+      writer.join()
+      assert(werr == null, s"round $round writer failed: $werr")
+      assert(sweeps > 0, s"round $round: no sweep overlapped the writer")
+      val snap = CatalogStore.snapshot(spark, root)
+      (1 to 6).foreach(i => assert(CatalogStore.read(spark, root,
+        s"t$i", snap).count() == i + 3, s"round $round t$i rows"))
+    }
+    // leg B — the boundary at MEASURED claim age, deterministic via
+    // the pre-flip hook: a sweep whose threshold sits just ABOVE the
+    // live claim's actual age keeps it (the writer lands); a crashed
+    // claim swept with a threshold just BELOW its actual age is
+    // reclaimed (aged uses now - mtime >= claimAgeMs).
+    val fsB = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ageOf(root: String, rel: String): Long =
+      System.currentTimeMillis() - fsB.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, rel)).getModificationTime
+    for (round <- 1 to 8) {
+      val root = Files.createTempDirectory(s"refsbnd$round").toString
+      CatalogStore.commit(spark, root, Map("a" -> orders.limit(10)))
+      CatalogStore.beforeFlip = v => {
+        Thread.sleep(150)
+        CatalogStore.vacuum(spark, root, keep = 5,
+          claimAgeMs = ageOf(root, s"_cat/claim=$v") + 400L)
+      }
+      val tx = try CatalogStore.commit(spark, root,
+        Map("b" -> orders.limit(7)), contentionTimeoutMs = 5000L)
+      finally CatalogStore.beforeFlip = _ => ()
+      assert(tx.committed, s"round $round: just-above-age sweep broke " +
+        "a live claim")
+      assert(CatalogStore.read(spark, root, "b",
+        CatalogStore.snapshot(spark, root)).count() == 7)
+      // crashed claim, swept just BELOW its measured age → reclaimed,
+      // and the store keeps committing
+      CatalogStore.beforeFlip = _ => sys.error("crash pre-flip")
+      try intercept[RuntimeException] {
+        CatalogStore.commit(spark, root, Map("c" -> orders.limit(9)),
+          contentionTimeoutMs = 2000L)
+      } finally CatalogStore.beforeFlip = _ => ()
+      // the crash's exception handler already deleted its claim; the
+      // residue is the COMPLETED catalog file + v-dirs, orphaned
+      // below the unflipped pointer. Sweep with the threshold just
+      // BELOW the orphan's measured age (aged uses >=) → reclaimed.
+      Thread.sleep(150)
+      val crashedV = CatalogStore.currentVersion(spark, root).get + 1
+      CatalogStore.vacuum(spark, root, keep = 5,
+        claimAgeMs = math.max(0L, ageOf(root, s"_cat/c=$crashedV") - 100L))
+      val again = CatalogStore.commit(spark, root,
+        Map("d" -> orders.limit(4)))
+      assert(again.committed, s"round $round: post-reclaim commit")
+      val snap2 = CatalogStore.snapshot(spark, root)
+      assert(!snap2.tables.contains("c"))
+      assert(CatalogStore.read(spark, root, "d", snap2).count() == 4)
+    }
+  }
+
   test("vacuum at the claim-age boundary: a vacuum INSIDE a live " +
       "writer's stall window keeps its claim; an aged sweep after a " +
       "crash reclaims and the store keeps committing") {
