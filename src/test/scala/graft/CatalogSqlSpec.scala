@@ -200,4 +200,61 @@ class CatalogSqlSpec extends SparkSpec {
     assert(evolved.filter(col("k") === 1).select("note")
       .as[String].head() == "new")
   }
+
+  test("text DML × constraints × active rename chain: enforcement is " +
+      "pre-claim and post-rename-mapping; pre-rename constraint refs " +
+      "are unrepresentable") {
+    val root = Files.createTempDirectory("csqlcr").toString
+    CatalogStore.commit(spark, root, Map("t" ->
+      Seq((1, 10L, "a"), (2, 20L, "b")).toDF("k", "cents", "note")))
+    // an ACTIVE rename chain around the constraints: note→comment
+    // before they exist, comment→remark after — constraints always
+    // bind CURRENT logical names, and a rename of a column a
+    // constraint references is refused at the text surface too, so
+    // "constraint expr names a pre-rename column" is unrepresentable
+    // by construction (the drop→rename→re-add flow is the escape)
+    exec(root, "ALTER TABLE t RENAME COLUMN note TO comment")
+    exec(root, "ALTER TABLE t ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+    exec(root, "ALTER TABLE t ADD CONSTRAINT uniq_k UNIQUE (k)")
+    intercept[IllegalArgumentException] {
+      exec(root, "ALTER TABLE t RENAME COLUMN cents TO amount")
+    }
+    intercept[IllegalArgumentException] { // unique's column list too
+      exec(root, "ALTER TABLE t RENAME COLUMN k TO id")
+    }
+    exec(root, "ALTER TABLE t RENAME COLUMN comment TO remark")
+    val v0 = CatalogStore.snapshot(spark, root).version
+    // CHECK through MERGE INTO text: the staged frame the constraint
+    // sees is POST-rename-mapping (source written in current names)
+    intercept[CatalogStore.ConstraintViolationException] {
+      exec(root, "MERGE INTO t USING (SELECT 3 AS k, " +
+        "CAST(-5 AS BIGINT) AS cents, 'x' AS remark) ON (k)")
+    }
+    // UNIQUE through INSERT INTO text: duplicate key across
+    // existing ∪ appended rows
+    intercept[CatalogStore.ConstraintViolationException] {
+      exec(root, "INSERT INTO t SELECT 1 AS k, " +
+        "CAST(7 AS BIGINT) AS cents, 'dup' AS remark")
+    }
+    // PRE-CLAIM: both refusals left no claim or version residue —
+    // the pointer never moved and the next valid DML lands at v0+1
+    assert(CatalogStore.snapshot(spark, root).version == v0)
+    exec(root, "MERGE INTO t USING (SELECT 3 AS k, " +
+      "CAST(5 AS BIGINT) AS cents, 'c' AS remark) ON (k)")
+    assert(CatalogStore.snapshot(spark, root).version == v0 + 1)
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((1, 10L, "a"), (2, 20L, "b"), (3, 5L, "c"))
+        .toDF("k", "cents", "remark"))
+    // the chain continues past the DML; enforcement follows the name
+    exec(root, "ALTER TABLE t RENAME COLUMN remark TO memo")
+    intercept[CatalogStore.ConstraintViolationException] {
+      exec(root, "INSERT OVERWRITE t " +
+        "SELECT 1 AS k, CAST(1 AS BIGINT) AS cents, 'x' AS memo " +
+        "UNION ALL SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'y' AS memo")
+    }
+    exec(root, "INSERT OVERWRITE t SELECT 9 AS k, " +
+      "CAST(90 AS BIGINT) AS cents, 'z' AS memo")
+    assertSameRows(CatalogStore.readCurrent(spark, root, "t"),
+      Seq((9, 90L, "z")).toDF("k", "cents", "memo"))
+  }
 }
