@@ -88,7 +88,7 @@ object Similarity {
     * table, materialized as literals (a few KB) — compiled into
     * codegen, no join, identical on every executor.
     */
-  private def hyperplanes(seed: Int, nBits: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def hyperplanes(seed: Int, nBits: Int, dim: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nBits, dim)(rnd.nextGaussian())
   }

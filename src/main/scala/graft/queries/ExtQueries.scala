@@ -21,6 +21,48 @@ object ExtQueries {
     */
   private val pcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pca.Model]
+
+  /** SemDeDup's k-means centroids, memoized per dir for the same
+    * reason as [[pcaModels]]: the iterative fit isn't SQL-expressible,
+    * but the FITTED model is model-sized — query and generated oracle
+    * share one centroid set, and DuckDB replays assignment, edges,
+    * and the drop rule from the literals.
+    */
+  private val semModels = new java.util.concurrent
+    .ConcurrentHashMap[String, Array[Array[Double]]]
+  private def semCentroidsFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    semModels.computeIfAbsent(dir, _ => {
+      val e = Tables.load(s, dir, "embeddings")
+      val nc = graft.operators.Similarity.autoCells(
+        e.select("vec_id").count())
+      graft.operators.Similarity.trainCentroids(
+        e, "vec_id", "embedding", nc, iters = 5)
+    })
+
+  /** Centroids as DuckDB `(cid, c DOUBLE[])` VALUES rows —
+    * round-trip-exact literals ([[fmtD]]) so the oracle's dots are
+    * bit-identical to the engine's CentroidDots over the same model.
+    */
+  private def centroidRows(cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(fmtD).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n          ")
+
+  /** ann_topk_ivf's 16 corpus-trained centroids, memoized like
+    * [[semModels]] (same share-one-fit argument).
+    */
+  private val annIvfModels = new java.util.concurrent
+    .ConcurrentHashMap[String, Array[Array[Double]]]
+  private def annIvfCentroidsFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Array[Double]] =
+    annIvfModels.computeIfAbsent(dir, _ =>
+      graft.operators.Similarity.trainCentroids(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") >= 10),
+        "vec_id", "embedding", nCentroids = 16, iters = 5))
+
   private def pcaModelFor(
       s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.Pca.Model =
     pcaModels.computeIfAbsent(dir, _ =>
@@ -482,8 +524,34 @@ object ExtQueries {
       graft.operators.Eval.rankMetricsGraded(res, qrels, k = 10)
     },
 
-    "ann_topk_lsh" -> QueryDef.noOracle(
-      doc = "LSH-bucketed ANN top-5 (8-bit hyperplane buckets, multi-probe) — recall<1 by design; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
+    "ann_topk_lsh" -> QueryDef(
+      doc = "LSH-bucketed ANN top-5 (8 tables × 8-bit hyperplane sign buckets, exact cosine rerank of bucket-mates). HASH-oracled (r13, formerly rows-only): the hyperplanes are FIXED-seed (42+t) driver constants, so they inline as literals and DuckDB replays the sign bits (strict s > 0, bit b = 1<<b), the any-table bucket match, and the ann_topk_brute cosine/rank pipeline; recall vs brute additionally gated in ann_recall_lsh",
+      oracle = {
+        val planeRows = (0 until 8).flatMap { t =>
+          val pls = Similarity.hyperplanes(42 + t, 8, 64)
+          (0 until 8).map(b =>
+            s"($t, $b, [${pls(b).map(fmtD).mkString(", ")}]::DOUBLE[])")
+        }.mkString(",\n          ")
+        s"""
+        WITH pl(tbl, bit, p) AS (VALUES $planeRows),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buck AS (SELECT e.vec_id, pl.tbl,
+                        CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                            THEN (CAST(1 AS BIGINT) << pl.bit)
+                            ELSE 0 END) AS BIGINT) AS bucket
+                 FROM e CROSS JOIN pl GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+                 FROM buck q JOIN buck c
+                   ON q.tbl = c.tbl AND q.bucket = c.bucket
+                 WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        scored AS (SELECT cand.qid, cand.nid, $duckCosine AS cos
+                   FROM cand JOIN e a ON a.vec_id = cand.nid
+                   JOIN e b ON b.vec_id = cand.qid)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT qid, nid, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= 5"""
+      }) { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       Similarity.lshTopK(
         corpus = e.filter(col("vec_id") >= 10),
@@ -491,12 +559,45 @@ object ExtQueries {
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
-    "ann_topk_ivf" -> QueryDef.noOracle(
-      doc = "IVF ANN top-5 (16-centroid spherical k-means, 4-probe) — recall<1 by design; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
+    "ann_topk_ivf" -> QueryDef.dynamicOracle(
+      doc = "IVF ANN top-5 (16-centroid spherical k-means, 4-probe). HASH-oracled (r13, formerly rows-only) by the dedup_semdedup technique: the fitted centroids inline as literals (memoized — query and oracle share one fit) and DuckDB replays corpus assignment (argmax dot, first-max tie), the query side's 4 probe cells (dot desc, cid asc — the engine's (-d, cid) struct sort), the probed-cell cosine scoring, and the rank tie-order; recall vs brute additionally gated in ann_recall_ivf") {
+      (s, dir) =>
+        val centRows = centroidRows(annIvfCentroidsFor(s, dir))
+        s"""
+        WITH cent(cid, c) AS (VALUES $centRows),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nrm AS (SELECT vec_id, v, list_dot_product(v, v) AS s2 FROM e),
+        u AS (SELECT vec_id, list_transform(v, x -> x *
+                (CASE WHEN s2 = 0 THEN 1.0 ELSE 1.0 / sqrt(s2) END)) AS cv
+              FROM nrm),
+        cu AS (SELECT vec_id AS nid, cv FROM u WHERE vec_id >= 10),
+        qu AS (SELECT vec_id AS qid, cv AS qv FROM u WHERE vec_id < 10),
+        cd AS (SELECT cu.nid, c.cid, list_dot_product(cu.cv, c.c) AS d
+               FROM cu CROSS JOIN cent c),
+        casn AS (SELECT nid, cid FROM (
+                   SELECT nid, cid, row_number() OVER (PARTITION BY nid
+                     ORDER BY d DESC, cid) AS rn FROM cd) WHERE rn = 1),
+        qd AS (SELECT qu.qid, c.cid, list_dot_product(qu.qv, c.c) AS d
+               FROM qu CROSS JOIN cent c),
+        qp AS (SELECT qid, cid FROM (
+                 SELECT qid, cid, row_number() OVER (PARTITION BY qid
+                   ORDER BY d DESC, cid) AS rn FROM qd) WHERE rn <= 4),
+        scored AS (SELECT p.qid, a.nid,
+                          round(list_dot_product(cu.cv, qu.qv), 4) AS cos
+                   FROM casn a JOIN qp p ON a.cid = p.cid
+                   JOIN cu ON cu.nid = a.nid
+                   JOIN qu ON qu.qid = p.qid)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT qid, nid, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= 5"""
+    } { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        corpus = e.filter(col("vec_id") >= 10),
-        queries = e.filter(col("vec_id") < 10),
+      val cents = annIvfCentroidsFor(s, dir)
+      Similarity.ivfTopKFromIndex(
+        Similarity.ivfAssign(e.filter(col("vec_id") >= 10),
+          "vec_id", "embedding", cents),
+        cents, queries = e.filter(col("vec_id") < 10),
         idCol = "vec_id", vecCol = "embedding", k = 5)
     },
 
@@ -610,8 +711,24 @@ object ExtQueries {
       Similarity.opqTopK(c, q, "vec_id", "embedding", 5, m = 16, ksub = 16)
     },
 
-    "ann_topk_sq" -> QueryDef.noOracle(
-      doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes) — quantization error → rows-only; recall vs brute force asserted in SimilaritySpec") { (s, dir) =>
+    "ann_topk_sq" -> QueryDef(
+      doc = "int8 scalar-quantized exact-scan top-5 (8× smaller corpus index, codegen'd quantize + cosine over codes). HASH-oracled (r13, formerly rows-only): the quantization is pure IEEE arithmetic DuckDB replays bit-for-bit — code_i = floor(x_i·(127/√Σx²) + 0.5) is exactly Java's Math.round contract, the codes are exact small integers as doubles, and the cosine+round(…,4)+tie-order pipeline over them is the already-hash-green ann_topk_brute technique; recall vs brute force additionally gated in ann_recall_sq",
+      oracle = s"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        cr AS (SELECT vec_id, v, list_dot_product(v, v) AS s2
+               FROM e WHERE vec_id >= 10),
+        c AS (SELECT vec_id,
+                     list_transform(v, x -> floor(x *
+                       (CASE WHEN s2 = 0 THEN 0 ELSE 127.0 / sqrt(s2) END)
+                       + 0.5)) AS v
+              FROM cr),
+        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
+                   FROM c a CROSS JOIN q b)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT qid, nid, cos,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INTEGER) AS rank
+          FROM scored) WHERE rank <= 5""") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       Similarity.sqTopK(
         corpus = e.filter(col("vec_id") >= 10),
@@ -742,10 +859,45 @@ object ExtQueries {
           .cast("int").as("semantic_ok"))
     },
 
-    "dedup_semdedup" -> QueryDef.noOracle(
-      doc = "SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — corpus-scaled k-means cells (autoCells: 16 at sf0.01), within-cell cosine >= 0.4 duplicate edges, keep the member farthest from its centroid (ties by id); the semantics that make embedding dedup tractable on billion-doc corpora. k-means is iterative, not SQL-expressible -> rows-only; invariants hash-gated in dedup_semdedup_gate") { (s, dir) =>
-      Dedup.semDeDup(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.4)
+    "dedup_semdedup" -> QueryDef.dynamicOracle(
+      doc = "SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — corpus-scaled k-means cells (autoCells: 16 at sf0.01), within-cell cosine >= 0.4 duplicate edges, keep the member farthest from its centroid (ties by id); the semantics that make embedding dedup tractable on billion-doc corpora. HASH-oracled (r13, formerly rows-only) by the embedding_pca technique: the k-means fit is iterative and not SQL-expressible, but the FITTED centroids are model-sized — they inline as literal DOUBLE[] rows (memoized, so query and oracle replay the identical fit) and DuckDB replays assignment (argmax index-order dot, first-max tie like array_position), the within-cell cosine edges over the same unit vectors (x·(1/sqrt(s)) exactly as L2Normalize computes, never x/sqrt(s)), and the farther-from-centroid drop rule; invariants additionally hash-gated in dedup_semdedup_gate") {
+      (s, dir) =>
+        val centRows = centroidRows(semCentroidsFor(s, dir))
+        s"""
+        WITH cent(cid, c) AS (VALUES $centRows),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nrm AS (SELECT vec_id, v, list_dot_product(v, v) AS s2 FROM e),
+        u AS (SELECT vec_id, list_transform(v, x -> x *
+                (CASE WHEN s2 = 0 THEN 1.0 ELSE 1.0 / sqrt(s2) END)) AS cv
+              FROM nrm),
+        dots AS (SELECT u.vec_id, c.cid, list_dot_product(u.cv, c.c) AS d
+                 FROM u CROSS JOIN cent c),
+        asn AS (SELECT vec_id, cid, round(d, 4) AS cdot FROM (
+                  SELECT vec_id, cid, d,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d DESC, cid) AS rn
+                  FROM dots) WHERE rn = 1),
+        ed AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                      a.cdot AS da, b.cdot AS db,
+                      ua.cv AS xa, ub.cv AS xb
+               FROM asn a JOIN asn b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id
+               JOIN u ua ON ua.vec_id = a.vec_id
+               JOIN u ub ON ub.vec_id = b.vec_id),
+        dup AS (SELECT DISTINCT
+                       CASE WHEN da <= db THEN vb ELSE va END AS vec_id
+                FROM ed WHERE round(list_dot_product(xa, xb), 4) >= 0.4)
+        SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster,
+               a.cdot AS centroid_sim,
+               (dup.vec_id IS NOT NULL) AS is_duplicate
+        FROM asn a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
+    } { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val cents = semCentroidsFor(s, dir)
+      Dedup.semDeDupAssigned(
+        graft.operators.Similarity.ivfAssign(e, "vec_id", "embedding",
+          cents),
+        cents, "vec_id", threshold = 0.4)
     },
 
     "dedup_semdedup_gate" -> QueryDef(
