@@ -616,12 +616,22 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nComponents: Int = 32, oversample: Int = 5): DataFrame = {
-    val units = unitVectors(corpus, idCol, vecCol, "nid", "cv")
-    val model = Pca.fit(units, "cv", nComponents, center = false)
+    val model = pcaAnnModel(corpus, idCol, vecCol, nComponents)
     pcaTopKFromIndex(pcaIndex(corpus, idCol, vecCol, model), model,
       queries, idCol, vecCol, k, oversample,
       rerankWith = if (oversample > 1) Some(corpus) else None)
   }
+
+  /** The exact rotation [[pcaTopK]] fits (uncentered PCA over the
+    * corpus's UNIT vectors), exposed so callers can memoize/persist
+    * the model — the serving discipline where one fitted rotation is
+    * shared by the reducer, every query batch, and (in the driver
+    * harness) the generated oracle.
+    */
+  def pcaAnnModel(corpus: DataFrame, idCol: String, vecCol: String,
+      nComponents: Int): Pca.Model =
+    Pca.fit(unitVectors(corpus, idCol, vecCol, "nid", "cv"), "cv",
+      nComponents, center = false)
 
   /** The reduced index: (nid, rv array<double> of nComponents) — one
     * narrow rotate-and-truncate pass, written once, d/nComponents-fold

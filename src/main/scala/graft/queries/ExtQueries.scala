@@ -22,24 +22,85 @@ object ExtQueries {
   private val pcaModels =
     new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Pca.Model]
 
-  /** SemDeDup's k-means centroids, memoized per dir for the same
-    * reason as [[pcaModels]]: the iterative fit isn't SQL-expressible,
-    * but the FITTED model is model-sized — query and generated oracle
-    * share one centroid set, and DuckDB replays assignment, edges,
-    * and the drop rule from the literals.
+  /** The corpus's autoCells-scaled k-means centroids, memoized per
+    * dir for the same reason as [[pcaModels]]: the iterative fit
+    * isn't SQL-expressible, but the FITTED model is model-sized —
+    * query and generated oracle share one centroid set, and DuckDB
+    * replays assignment, probes, edges, and drop rules from the
+    * literals. SHARED by the SemDeDup row and the whole celled
+    * kNN-graph family (knn_graph + the graph_* algorithms +
+    * corpus_centrality): one fit per sweep, and every family member
+    * computes over the SAME cell structure — exactly how a production
+    * corpus snapshot reuses one persisted IVF index for serving,
+    * dedup, and graph rebuilds.
     */
-  private val semModels = new java.util.concurrent
+  private val cellModels = new java.util.concurrent
     .ConcurrentHashMap[String, Array[Array[Double]]]
-  private def semCentroidsFor(
+  private def cellCentroidsFor(
       s: org.apache.spark.sql.SparkSession,
       dir: String): Array[Array[Double]] =
-    semModels.computeIfAbsent(dir, _ => {
+    cellModels.computeIfAbsent(dir, _ => {
       val e = Tables.load(s, dir, "embeddings")
       val nc = graft.operators.Similarity.autoCells(
         e.select("vec_id").count())
       graft.operators.Similarity.trainCentroids(
         e, "vec_id", "embedding", nc, iters = 5)
     })
+
+  /** The cell-bounded corpus self-kNN graph over the shared
+    * [[cellCentroidsFor]] model — the Scala side every graph-family
+    * query computes on (r13: formerly these rows rebuilt an EXACT
+    * brute n² graph per query, whose decade step is quadratic by
+    * construction; the celled build is the 100 TB path and
+    * knn_graph_gate pins its edge recall against brute at fixture
+    * scale).
+    */
+  private def celledKnnGraph(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val e = Tables.load(s, dir, "embeddings")
+    val cents = cellCentroidsFor(s, dir)
+    graft.operators.Similarity.knnGraphFromIndex(
+      graft.operators.Similarity.ivfAssign(e, "vec_id", "embedding",
+        cents),
+      cents, e, "vec_id", "embedding", k = 5, nProbe = 8)
+  }
+
+  /** DuckDB replay of [[celledKnnGraph]] ending in
+    * `g0(qid, nid, rank, cos)`: unit vectors with L2Normalize's exact
+    * op order, index-order centroid dots, first-max assignment,
+    * top-`nProbe` probe cells (d desc, cid asc — the engine's
+    * (-d, cid) struct sort), cell-mate scoring, self-pair excluded,
+    * rank ≤ k with the brute pipeline's tie order. Callers project
+    * the edge list they need from g0.
+    */
+  private def duckCelledKnnG0(centRows: String): String = s"""
+        cent(cid, c) AS (VALUES $centRows),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nrm AS (SELECT vec_id, v, list_dot_product(v, v) AS s2 FROM e),
+        u AS (SELECT vec_id, list_transform(v, x -> x *
+                (CASE WHEN s2 = 0 THEN 1.0 ELSE 1.0 / sqrt(s2) END)) AS cv
+              FROM nrm),
+        cdots AS (SELECT u.vec_id, c.cid, list_dot_product(u.cv, c.c) AS d
+                  FROM u CROSS JOIN cent c),
+        casn AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d DESC, cid) AS rn FROM cdots) WHERE rn = 1),
+        qprob AS (SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d DESC, cid) AS rn FROM cdots) WHERE rn <= 8),
+        kcand AS (SELECT p.vec_id AS qid, a.vec_id AS nid
+                  FROM qprob p JOIN casn a ON a.cid = p.cid
+                  WHERE a.vec_id <> p.vec_id),
+        kscored AS (SELECT kcand.qid, kcand.nid,
+                           round(list_dot_product(ua.cv, uq.cv), 4) AS cos
+                    FROM kcand JOIN u ua ON ua.vec_id = kcand.nid
+                    JOIN u uq ON uq.vec_id = kcand.qid),
+        g0 AS (SELECT qid, nid, rank, cos FROM (
+                 SELECT qid, nid, cos,
+                        CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY cos DESC, nid) AS INTEGER) AS rank
+                 FROM kscored) WHERE rank <= 5)"""
 
   /** Centroids as DuckDB `(cid, c DOUBLE[])` VALUES rows —
     * round-trip-exact literals ([[fmtD]]) so the oracle's dots are
@@ -62,6 +123,21 @@ object ExtQueries {
       graft.operators.Similarity.trainCentroids(
         Tables.load(s, dir, "embeddings").filter(col("vec_id") >= 10),
         "vec_id", "embedding", nCentroids = 16, iters = 5))
+
+  /** ann_topk_pca's 64→32 uncentered rotation over the corpus's unit
+    * vectors, memoized like [[annIvfModels]] (same share-one-fit
+    * argument — query and generated oracle replay the identical
+    * axes).
+    */
+  private val annPcaModels = new java.util.concurrent
+    .ConcurrentHashMap[String, graft.operators.Pca.Model]
+  private def annPcaModelFor(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): graft.operators.Pca.Model =
+    annPcaModels.computeIfAbsent(dir, _ =>
+      graft.operators.Similarity.pcaAnnModel(
+        Tables.load(s, dir, "embeddings").filter(col("vec_id") >= 10),
+        "vec_id", "embedding", nComponents = 32))
 
   private def pcaModelFor(
       s: org.apache.spark.sql.SparkSession, dir: String): graft.operators.Pca.Model =
@@ -685,13 +761,49 @@ object ExtQueries {
           col("v").cast("int").as("var_ok"))
     },
 
-    "ann_topk_pca" -> QueryDef.noOracle(
-      doc = "PCA-reduced ANN top-5 (uncentered 64→32 rotation — the FAISS PCAMatrix pre-transform — reduced-dot shortlist ×5, exact rerank; the isotropic fixture is PCA's worst case, real embeddings concentrate far more variance) — truncated variance → rows-only; recall gated in ann_recall_pca") { (s, dir) =>
+    "ann_topk_pca" -> QueryDef.dynamicOracle(
+      doc = "PCA-reduced ANN top-5 (uncentered 64→32 rotation — the FAISS PCAMatrix pre-transform — reduced-dot shortlist ×5, exact rerank; the isotropic fixture is PCA's worst case, real embeddings concentrate far more variance). HASH-oracled (r13, formerly rows-only) by the embedding_pca technique: the eigensolve isn't SQL-expressible but the fitted 32 axes are model-sized — they inline as literal DOUBLE[] rows (memoized, query and oracle share one fit) and DuckDB replays the rotation (per-axis sequential dots via an ORDER BY i list aggregate, matching AffineTransform's component order), the ×5 reduced-dot shortlist with rank tie-order, and the exact unit-vector rerank; recall additionally gated in ann_recall_pca") {
+      (s, dir) =>
+        val m = annPcaModelFor(s, dir)
+        val axisRows = m.axes.zipWithIndex.map { case (a, i) =>
+          s"($i, [${a.map(fmtD).mkString(", ")}]::DOUBLE[])"
+        }.mkString(",\n          ")
+        s"""
+        WITH ax(i, a) AS (VALUES $axisRows),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        nrm AS (SELECT vec_id, v, list_dot_product(v, v) AS s2 FROM e),
+        u AS (SELECT vec_id, list_transform(v, x -> x *
+                (CASE WHEN s2 = 0 THEN 1.0 ELSE 1.0 / sqrt(s2) END)) AS cv
+              FROM nrm),
+        red AS (SELECT u.vec_id,
+                       list(list_dot_product(u.cv, ax.a) ORDER BY ax.i) AS rv
+                FROM u CROSS JOIN ax GROUP BY u.vec_id),
+        scored AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+                          round(list_dot_product(c.rv, q.rv), 4) AS rcos
+                   FROM red c JOIN red q
+                     ON c.vec_id >= 10 AND q.vec_id < 10),
+        short AS (SELECT qid, nid FROM (
+                    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                      ORDER BY rcos DESC, nid) AS rn FROM scored)
+                  WHERE rn <= 25),
+        ex AS (SELECT sh.qid, sh.nid,
+                      round(list_dot_product(cu.cv, qu.cv), 4) AS cos
+               FROM short sh JOIN u cu ON cu.vec_id = sh.nid
+               JOIN u qu ON qu.vec_id = sh.qid)
+        SELECT qid, nid, rank, cos FROM (
+          SELECT qid, nid, cos,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, nid) AS INTEGER) AS rank
+          FROM ex) WHERE rank <= 5"""
+    } { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.pcaTopK(
-        corpus = e.filter(col("vec_id") >= 10),
+      val corpus = e.filter(col("vec_id") >= 10)
+      val model = annPcaModelFor(s, dir)
+      Similarity.pcaTopKFromIndex(
+        Similarity.pcaIndex(corpus, "vec_id", "embedding", model), model,
         queries = e.filter(col("vec_id") < 10),
-        idCol = "vec_id", vecCol = "embedding", k = 5, nComponents = 32)
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        oversample = 5, rerankWith = Some(corpus))
     },
 
     "ann_recall_pca" -> annRecall("pca", 0.6) { (c, q) =>
@@ -836,8 +948,33 @@ object ExtQueries {
           (!col("is_canonical")).as("is_duplicate"))
     },
 
-    "dedup_semantic_lsh" -> QueryDef.noOracle(
-      doc = "approximate embedding-cosine pairs ≥0.4 — sign-LSH bucket candidates under the corpus-derived (bits, tables) plan (Dedup.signLshPlan: 4×30 at sf0.01, the persisted ANN index layout) + exact verification of candidate pairs; survivor scores are exact but candidate recall < 1 by design (≈0.98 measured at sf0.01 on the near-random fixture at its adversarial 0.4 threshold) → rows-only; recall gated in dedup_semantic_gate") { (s, dir) =>
+    "dedup_semantic_lsh" -> QueryDef.dynamicOracle(
+      doc = "approximate embedding-cosine pairs ≥0.4 — sign-LSH bucket candidates under the corpus-derived (bits, tables) plan (Dedup.signLshPlan: 4×30 at sf0.01, the persisted ANN index layout) + exact verification of candidate pairs. HASH-oracled (r13, formerly rows-only) by the ann_topk_lsh technique: the plan is a closed-form function of (count, threshold) and the hyperplanes are FIXED-seed (42+t) driver constants, so both inline as literals and DuckDB replays the sign buckets (strict s > 0, bit b = 1<<b), the any-table candidate join, and the exact-baseline cosine verification; candidate recall vs the exact pair set additionally gated in dedup_semantic_gate") {
+      (s, dir) =>
+        val n = Tables.load(s, dir, "embeddings").count()
+        val (bits, tabs) = Dedup.signLshPlan(n, 0.4)
+        val planeRows = (0 until tabs).flatMap { t =>
+          val pls = Similarity.hyperplanes(42 + t, bits, 64)
+          (0 until bits).map(b =>
+            s"($t, $b, [${pls(b).map(fmtD).mkString(", ")}]::DOUBLE[])")
+        }.mkString(",\n          ")
+        s"""
+        WITH pl(tbl, bit, p) AS (VALUES $planeRows),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        buck AS (SELECT e.vec_id, pl.tbl,
+                        CAST(sum(CASE WHEN list_dot_product(e.v, pl.p) > 0
+                            THEN (CAST(1 AS BIGINT) << pl.bit)
+                            ELSE 0 END) AS BIGINT) AS bucket
+                 FROM e CROSS JOIN pl GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT ba.vec_id AS va, bb.vec_id AS vb
+                 FROM buck ba JOIN buck bb
+                   ON ba.tbl = bb.tbl AND ba.bucket = bb.bucket
+                 WHERE ba.vec_id < bb.vec_id)
+        SELECT cand.va, cand.vb, $duckCosine AS cos
+        FROM cand JOIN e a ON a.vec_id = cand.va
+        JOIN e b ON b.vec_id = cand.vb
+        WHERE $duckCosine >= 0.4"""
+    } { (s, dir) =>
       Dedup.embeddingCosinePairsLsh(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)
     },
@@ -862,7 +999,7 @@ object ExtQueries {
     "dedup_semdedup" -> QueryDef.dynamicOracle(
       doc = "SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — corpus-scaled k-means cells (autoCells: 16 at sf0.01), within-cell cosine >= 0.4 duplicate edges, keep the member farthest from its centroid (ties by id); the semantics that make embedding dedup tractable on billion-doc corpora. HASH-oracled (r13, formerly rows-only) by the embedding_pca technique: the k-means fit is iterative and not SQL-expressible, but the FITTED centroids are model-sized — they inline as literal DOUBLE[] rows (memoized, so query and oracle replay the identical fit) and DuckDB replays assignment (argmax index-order dot, first-max tie like array_position), the within-cell cosine edges over the same unit vectors (x·(1/sqrt(s)) exactly as L2Normalize computes, never x/sqrt(s)), and the farther-from-centroid drop rule; invariants additionally hash-gated in dedup_semdedup_gate") {
       (s, dir) =>
-        val centRows = centroidRows(semCentroidsFor(s, dir))
+        val centRows = centroidRows(cellCentroidsFor(s, dir))
         s"""
         WITH cent(cid, c) AS (VALUES $centRows),
         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -893,7 +1030,7 @@ object ExtQueries {
         FROM asn a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
     } { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val cents = semCentroidsFor(s, dir)
+      val cents = cellCentroidsFor(s, dir)
       Dedup.semDeDupAssigned(
         graft.operators.Similarity.ivfAssign(e, "vec_id", "embedding",
           cents),
@@ -951,20 +1088,21 @@ object ExtQueries {
         "vec_id", "embedding", k = 5)
     },
 
-    "knn_graph" -> QueryDef.noOracle(
-      doc = "approximate corpus self-kNN graph — every vector probes its 8 nearest IVF cells (cell count scales with the corpus, Similarity.autoCells: 16 at sf0.01) and ranks cell-local candidates; the one shuffle co-partitions index and probes by cell id (nothing broadcasts — the query side IS the corpus), so the quadratic is bounded per cell. Recall < 1 by design -> rows-only; gated in knn_graph_gate") { (s, dir) =>
-      Similarity.knnGraph(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5, nProbe = 8)
-    },
+    "knn_graph" -> QueryDef.dynamicOracle(
+      doc = "approximate corpus self-kNN graph — every vector probes its 8 nearest IVF cells (cell count scales with the corpus, Similarity.autoCells: 16 at sf0.01) and ranks cell-local candidates; the one shuffle co-partitions index and probes by cell id (nothing broadcasts — the query side IS the corpus), so the quadratic is bounded per cell. HASH-oracled (r13, formerly rows-only) by the ann_topk_ivf technique: the shared memoized cell model inlines as literals and DuckDB replays assignment, the 8 probe cells, cell-mate scoring, and rank tie-order; edge recall vs brute additionally gated in knn_graph_gate") {
+      (s, dir) =>
+        s"""
+        WITH ${duckCelledKnnG0(centroidRows(cellCentroidsFor(s, dir)))}
+        SELECT qid, nid, rank, cos FROM g0"""
+    } { (s, dir) => celledKnnGraph(s, dir) },
 
     "knn_graph_gate" -> QueryDef(
-      doc = "agreement gate: edge recall of the cell-local kNN graph vs the brute-force graph (>=0.7 => knn_graph_ok=1; measured 0.82/0.81 at sf0.01/0.1 on the near-random fixture) — the driver-visible regression check for the approximate graph path",
+      doc = "agreement gate: edge recall of the cell-local kNN graph (the SAME shared-model build the knn_graph row and the graph_* family compute on) vs the brute-force graph (>=0.7 => knn_graph_ok=1; measured 0.82/0.81 at sf0.01/0.1 on the near-random fixture) — the driver-visible regression check for the approximate graph path. Deliberately quadratic (the brute side) — a FIXTURE-SCALE gate, never a production path; the production rows all ride the celled build it certifies",
       oracle = "SELECT CAST(1 AS INTEGER) AS knn_graph_ok") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val brute = Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5)
         .select("qid", "nid").localCheckpoint(true)
-      val approx = Similarity.knnGraph(e, "vec_id", "embedding", k = 5,
-          nProbe = 8)
+      val approx = celledKnnGraph(s, dir)
         .select(col("qid"), col("nid"), lit(1).as("hit"))
         .localCheckpoint(true)
       brute.join(broadcast(approx), Seq("qid", "nid"), "left")
@@ -980,8 +1118,11 @@ object ExtQueries {
       val e = Tables.load(s, dir, "embeddings")
       val old = e.filter(col("vec_id") % 7 =!= 0)
       val delta = e.filter(col("vec_id") % 7 === 0)
+      // autoCells, not a frozen 16: a fixed cell count turns the
+      // cell-local joins quadratic the moment the corpus outgrows it
+      // (the knnGraph scaladoc's measured 21.6× decade hazard)
       val centroids = Similarity.trainCentroids(old, "vec_id", "embedding",
-        nCentroids = 16, iters = 5)
+        nCentroids = Similarity.autoCells(old.count()), iters = 5)
       val oldIndex = Similarity.ivfAssign(old, "vec_id", "embedding",
         centroids).localCheckpoint(true)
       val prior = Similarity.knnGraphFromIndex(oldIndex, centroids, old,
@@ -1000,17 +1141,12 @@ object ExtQueries {
         .toDF("delta_eq_full", "delta_changed_graph")
     },
 
-    "corpus_centrality" -> QueryDef(
-      doc = "PageRank centrality over the exact self-kNN graph (k=5, 10 unrolled iterations, damping 0.85) — the corpus-cartography signal for representative-doc selection; one hash-join job per round, rank rows (never edges) in each exchange; at scale the same iteration runs on the approximate knn_graph edges",
-      oracle = {
+    "corpus_centrality" -> QueryDef.dynamicOracle(
+      doc = "PageRank centrality over the CELL-BOUNDED self-kNN graph (k=5, 10 unrolled iterations, damping 0.85; r13 — formerly rebuilt an exact brute n² graph, quadratic at the decade step by construction) — the corpus-cartography signal for representative-doc selection; one hash-join job per round, rank rows (never edges) in each exchange") {
+      (s, dir) =>
         val base = s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
-                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        g AS (SELECT qid AS u, nid AS v FROM (
-                SELECT qid, nid,
-                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-                FROM scored) WHERE rank <= 5),
+        WITH ${duckCelledKnnG0(centroidRows(cellCentroidsFor(s, dir)))},
+        g AS (SELECT qid AS u, nid AS v FROM g0),
         deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS od FROM g GROUP BY u),
         n0 AS (SELECT DISTINCT u AS node FROM g),
         pr0 AS (SELECT node, 1.0 AS r FROM n0)"""
@@ -1026,24 +1162,17 @@ object ExtQueries {
         }.mkString(",")
         s"""$base,$iterations
         SELECT node AS vec_id, round(r, 4) AS centrality FROM pr10"""
-      }) { (s, dir) =>
-      Similarity.knnCentrality(
-        Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5),
+    } { (s, dir) =>
+      Similarity.knnCentrality(celledKnnGraph(s, dir),
         iters = 10, damping = 0.85)
     },
 
-    "graph_label_prop" -> QueryDef(
-      doc = "label propagation over the exact self-kNN graph (k=5, 5 rounds): seeds (vec_id<100) keep their labels, unlabeled nodes take the most common label among their neighbors each round (ties by smallest label, all-unlabeled neighborhoods abstain) — turns 20% curated labels into corpus-wide weak labels, reaching nodes knn_label_predict's single hop cannot; deterministic integer argmax → the oracle replays the exact iteration",
-      oracle = {
+    "graph_label_prop" -> QueryDef.dynamicOracle(
+      doc = "label propagation over the CELL-BOUNDED self-kNN graph (k=5, 5 rounds; r13 — formerly rebuilt an exact brute n² graph, quadratic at the decade step by construction): seeds (vec_id<100) keep their labels, unlabeled nodes take the most common label among their neighbors each round (ties by smallest label, all-unlabeled neighborhoods abstain) — turns 20% curated labels into corpus-wide weak labels, reaching nodes knn_label_predict's single hop cannot; deterministic integer argmax → the oracle replays the exact iteration") {
+      (s, dir) =>
         val base = s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
-                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        g AS (SELECT qid AS u, nid AS v FROM (
-                SELECT qid, nid,
-                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-                FROM scored) WHERE rank <= 5),
+        WITH ${duckCelledKnnG0(centroidRows(cellCentroidsFor(s, dir)))},
+        g AS (SELECT qid AS u, nid AS v FROM g0),
         n0 AS (SELECT DISTINCT u AS node FROM g),
         seed AS (SELECT vec_id AS node, CAST(label AS INTEGER) AS seed_label
                  FROM embeddings WHERE vec_id < 100),
@@ -1068,24 +1197,18 @@ object ExtQueries {
         SELECT l.node AS vec_id, l.lbl AS label,
                (s.node IS NOT NULL) AS is_seed
         FROM l5 l LEFT JOIN seed s ON s.node = l.node"""
-      }) { (s, dir) =>
+    } { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      Similarity.labelPropagation(
-        Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5),
+      Similarity.labelPropagation(celledKnnGraph(s, dir),
         seeds = e.filter(col("vec_id") < 100),
         idCol = "vec_id", labelCol = "label", iters = 5)
     },
 
-    "graph_clustering" -> QueryDef(
-      doc = "local clustering coefficient over the exact self-kNN graph (k=5, undirected projection): triangles / possible neighbor pairs per node — separates docs inside dense semantic clusters (dedup targets) from bridges/outliers; all key-partitioned hash joins, wedge fan-out bounded by degree², hub skew AQE-split with a drop-and-audit maxDegree cap for true hubs",
-      oracle = s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
-                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        g AS (SELECT qid, nid FROM (
-                SELECT qid, nid,
-                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-                FROM scored) WHERE rank <= 5),
+    "graph_clustering" -> QueryDef.dynamicOracle(
+      doc = "local clustering coefficient over the CELL-BOUNDED self-kNN graph (k=5, undirected projection; r13 — formerly rebuilt an exact brute n² graph, quadratic at the decade step by construction): triangles / possible neighbor pairs per node — separates docs inside dense semantic clusters (dedup targets) from bridges/outliers; all key-partitioned hash joins, wedge fan-out bounded by degree², hub skew AQE-split with a drop-and-audit maxDegree cap for true hubs") {
+      (s, dir) => s"""
+        WITH ${duckCelledKnnG0(centroidRows(cellCentroidsFor(s, dir)))},
+        g AS (SELECT qid, nid FROM g0),
         sym AS (SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b FROM g),
         adj AS (SELECT a AS v, b AS w FROM sym UNION ALL SELECT b AS v, a AS w FROM sym),
         deg AS (SELECT v, count(*) AS degree FROM adj GROUP BY v),
@@ -1098,15 +1221,14 @@ object ExtQueries {
                round(CASE WHEN d.degree >= 2
                  THEN 2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1))
                  ELSE 0.0 END, 4) AS clustering_coeff
-        FROM deg d LEFT JOIN tri t ON t.v = d.v""") { (s, dir) =>
-      Similarity.knnClusteringCoeff(
-        Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5))
+        FROM deg d LEFT JOIN tri t ON t.v = d.v"""
+    } { (s, dir) =>
+      Similarity.knnClusteringCoeff(celledKnnGraph(s, dir))
     },
 
-    "graph_kcore" -> QueryDef(
-      doc = "k-core peel over the exact self-kNN graph (k=6, 10 fixed rounds): per node, core membership and the peel round that removed it — peel depth orders nodes by local embedding density even when (as on this isotropic fixture) the cascade empties the core; fixed rounds so the oracle unrolls the identical iteration (MATERIALIZED CTEs — each step references its predecessor twice)",
-      oracle = {
+    "graph_kcore" -> QueryDef.dynamicOracle(
+      doc = "k-core peel over the CELL-BOUNDED self-kNN graph (k=6, 10 fixed rounds; r13 — formerly rebuilt an exact brute n² graph, quadratic at the decade step by construction): per node, core membership and the peel round that removed it — peel depth orders nodes by local embedding density even when (as on this isotropic fixture) the cascade empties the core; fixed rounds so the oracle unrolls the identical iteration (MATERIALIZED CTEs — each step references its predecessor twice)") {
+      (s, dir) =>
         val steps = (1 to 10).map { i =>
           s"""
         s$i AS MATERIALIZED (SELECT l.v FROM adj l
@@ -1119,13 +1241,8 @@ object ExtQueries {
         val joins = (1 to 10).map(i =>
           s"LEFT JOIN s$i ON n0.v = s$i.v").mkString(" ")
         s"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        scored AS (SELECT b.vec_id AS qid, a.vec_id AS nid, $duckCosine AS cos
-                   FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        g AS MATERIALIZED (SELECT qid, nid FROM (
-                SELECT qid, nid,
-                       row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
-                FROM scored) WHERE rank <= 5),
+        WITH ${duckCelledKnnG0(centroidRows(cellCentroidsFor(s, dir)))},
+        g AS MATERIALIZED (SELECT qid, nid FROM g0),
         sym AS MATERIALIZED (SELECT DISTINCT least(qid, nid) AS a, greatest(qid, nid) AS b FROM g),
         adj AS MATERIALIZED (SELECT a AS v, b AS w FROM sym UNION ALL SELECT b AS v, a AS w FROM sym),
         n0 AS MATERIALIZED (SELECT DISTINCT v FROM adj),
@@ -1135,11 +1252,8 @@ object ExtQueries {
                CAST(CASE WHEN ($present) = 10 THEN 0
                     ELSE ($present) + 1 END AS INTEGER) AS drop_round
         FROM n0 $joins"""
-      }) { (s, dir) =>
-      Similarity.kCore(
-        Similarity.knnGraphBrute(Tables.load(s, dir, "embeddings"),
-          "vec_id", "embedding", k = 5),
-        k = 6, rounds = 10)
+    } { (s, dir) =>
+      Similarity.kCore(celledKnnGraph(s, dir), k = 6, rounds = 10)
     },
 
     "quality_model_gate" -> QueryDef(
