@@ -186,11 +186,19 @@ object Bench {
     // cold singles aren't floor-comparable; the min over warm repeats
     // is. Default 1 = the driver contract, unchanged.
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // scheduler-level per-query diagnostics (stderr only): job/stage/
+    // task counts + summed task time + shuffle bytes — the UI-less
+    // substitute for the stage table. taskTime ≈ wall × cores ⇒
+    // compute-bound; jobs high with taskTime ≪ wall ⇒ protocol-bound
+    // (sequential tiny actions), the two different optimization paths.
+    val metrics = BenchMetrics.install(spark.sparkContext)
     var sinceGc = 0
     val results = (1 to repeat).flatMap { round =>
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
+        org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
+        metrics.reset()
         val t0 = System.nanoTime()
         val cpu0 = osBean.getProcessCpuTime
         val gc0 = gcMillis
@@ -200,9 +208,10 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         val cpuS = (osBean.getProcessCpuTime - cpu0) / 1e9
+        org.apache.spark.GraftListenerBus.drain(spark.sparkContext)
         System.err.println(f"[bench] $name%-28s wall=$dt%8.2fs cpu=$cpuS%8.1fs " +
           f"(${cpuS / dt}%4.1f cores) gc=${(gcMillis - gc0) / 1000.0}%6.1fs " +
-          f"codecache=${codeCacheUsedMb}%4dMB")
+          f"codecache=${codeCacheUsedMb}%4dMB ${metrics.line}")
         // isolate queries: drop persisted blocks an operator may have
         // left behind (e.g. minhash's shingle cache) so later timings
         // don't pay its memory pressure — including the checkpoint

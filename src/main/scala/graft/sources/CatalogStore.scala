@@ -464,8 +464,15 @@ object CatalogStore {
     var attempt = 0
     while (true) {
       if (fs.exists(pointer(root)))
-        return Some(readSmall(fs, pointer(root)).trim).filter(_.nonEmpty)
-          .map(_.toInt)
+        try return Some(readSmall(fs, pointer(root)).trim)
+          .filter(_.nonEmpty).map(_.toInt)
+        catch {
+          // pointer vanished between exists() and open(): the
+          // overwrite-rename flip is delete-then-rename locally, so
+          // this is the same mid-flip window as exists()=false —
+          // fall through to the retry/hasMain arbitration below
+          case _: java.io.FileNotFoundException => ()
+        }
       // only MAIN-chain catalogs imply a pointer may be mid-flip: a
       // branch-first store (every catalog ref'd by a branch, main
       // never committed) legitimately has catalogs and no pointer —
@@ -1232,8 +1239,11 @@ object CatalogStore {
     val fs = fsOf(spark, root)
     val now = System.currentTimeMillis
     def aged(p: org.apache.hadoop.fs.Path): Boolean =
-      !fs.exists(p) || now - fs.getFileStatus(p).getModificationTime >=
-        claimAgeMs
+      !fs.exists(p) ||
+        (try now - fs.getFileStatus(p).getModificationTime >= claimAgeMs
+        // deleted between exists() and getFileStatus() (a racing
+        // writer's own cleanup): gone == no live claim to protect
+        catch { case _: java.io.FileNotFoundException => true })
     val curOpt = currentVersion(spark, root)
     val all = catalogVersions(spark, root)
     val metas: Map[Int, Option[CatMeta]] = all.map(v => v ->
