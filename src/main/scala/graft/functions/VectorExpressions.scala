@@ -231,3 +231,89 @@ object DotProduct {
       GraftSqlBridge.expression(a.cast("array<double>")),
       GraftSqlBridge.expression(b.cast("array<double>"))))
 }
+
+/** Scatter (index, weight) entries into a fixed-width dense vector,
+  * codegen'd: out[idx_i] = w_i over a zero array of length `n` — the
+  * hashing-trick long→dense step ([[graft.operators.TextAnalysis
+  * .hashEmbedDense]]).
+  *
+  * Why not `transform(sequence(0, n-1), b => element_at(map, b))`:
+  * that form is interpreted (no HOF codegen) and `element_at` on a
+  * MapData is a linear key scan, so a corpus of d-entry docs paid
+  * O(n·d) per document in lambda-frame allocations (the r13 bench
+  * profile put the corpus_topics sample-collect at 11 s of stage
+  * time, most of it this scatter). This expression fills a primitive
+  * double[] in O(d + n). Entry indexes must be unique per row (they
+  * come from a groupBy on the bucket); out-of-range indexes are
+  * ignored rather than thrown so a miscomputed bucket cannot kill a
+  * corpus pass.
+  *
+  * Input: array<struct<_1: int-castable, _2: double>> (the
+  * collect_list(struct(bucket, weight)) layout). Output matches the
+  * old transform form byte-for-byte: absent buckets are 0.0.
+  */
+case class ScatterDense(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_scatter_dense"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StructType(Array(f0, f1)), _)
+          if f0.dataType == IntegerType && f1.dataType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<struct<int, double>>, got " +
+          t.catalogString)
+    }
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val m = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < m) {
+      val r = x.getStruct(i, 2)
+      val b = r.getInt(0)
+      if (b >= 0 && b < n) out(b) = r.getDouble(1)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val row = ctx.freshName("row")
+      val arr = ctx.freshName("arr")
+      s"""
+         |int $m = $a.numElements();
+         |double[] $arr = new double[$n];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  InternalRow $row = $a.getStruct($i, 2);
+         |  int $b = $row.getInt(0);
+         |  if ($b >= 0 && $b < $n) $arr[$b] = $row.getDouble(1);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($arr);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ScatterDense =
+    copy(child = newChild)
+}
+
+object ScatterDense {
+  /** `entries` must be array<struct<bucket, weight>>; bucket is cast
+    * to int and weight to double here (the expression reads a packed
+    * (int, double) struct layout directly).
+    */
+  def column(entries: Column, n: Int): Column =
+    GraftSqlBridge.column(ScatterDense(
+      GraftSqlBridge.expression(
+        entries.cast("array<struct<_1: int, _2: double>>")), n))
+}

@@ -83,7 +83,15 @@ object DedupCluster {
         .select(col("id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
-      // 2. pointer jump: label := label(label)
+      // 2. pointer jump: label := label(label). ONE jump per round on
+      // purpose — an r13 experiment with jump∘jump (quartering chain
+      // depth per round) re-referenced the un-materialized `stepped`
+      // subtree 4× and exchange reuse did NOT collapse the copies
+      // under AQE: each round recomputed the neighbor join repeatedly
+      // and the measured wall went 4.7 s → 20+ s on the semantic
+      // cluster fixture. Extra jumps only pay when `stepped` is
+      // materialized, which costs the extra per-round action this
+      // loop exists to avoid.
       val jumped = stepped
         .join(stepped.select(col("id").as("label"),
           col("label").as("parent")).alias("p"), Seq("label"), "left")

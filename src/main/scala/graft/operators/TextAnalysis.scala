@@ -52,20 +52,24 @@ object TextAnalysis {
   /** Dense form of [[hashEmbed]]: (id, vec array<double>[buckets]) —
     * the model-free document vector the clustering/ANN entry points
     * consume. The scatter from long rows to a fixed-width array is
-    * one map_from_entries + sequence lookup per doc (interpreted
-    * HOFs, but once per document on ≤`buckets` entries — not a join
-    * hot path). Docs with zero tokens have no long rows and are
-    * excluded (they carry no signal to embed).
+    * one codegen'd [[graft.functions.ScatterDense]] fill per doc,
+    * O(entries + buckets) — the previous map_from_entries +
+    * transform/element_at form was interpreted with a linear map
+    * scan per output slot, O(buckets · entries) per doc, and
+    * dominated the corpus_topics training-sample pass (r13 bench
+    * profile). Output is byte-identical (absent buckets are 0.0,
+    * bucket ids are unique per doc from the groupBy upstream). Docs
+    * with zero tokens have no long rows and are excluded (they carry
+    * no signal to embed).
     */
   def hashEmbedDense(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 256): DataFrame =
     hashEmbed(df, idCol, textCol, buckets)
       .groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(
-        struct(col("bucket"), col("weight")))).as("__m"))
+      .agg(collect_list(struct(col("bucket"), col("weight"))).as("__e"))
       .select(col(idCol),
-        transform(sequence(lit(0), lit(buckets - 1)),
-          b => coalesce(element_at(col("__m"), b), lit(0.0))).as("vec"))
+        graft.functions.ScatterDense.column(col("__e"), buckets)
+          .as("vec"))
 
   /** Corpus topic map — the cartography summary next to
     * [[Similarity.knnCentrality]]: hashed doc vectors → spherical

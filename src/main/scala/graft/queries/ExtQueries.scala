@@ -983,12 +983,15 @@ object ExtQueries {
       doc = "agreement gate: recall of the LSH semantic-pair set vs exact all-pairs cosine (≥0.9 ⇒ semantic_ok=1) — the driver-visible regression check for the approximate semantic-dedup path",
       oracle = "SELECT CAST(1 AS INTEGER) AS semantic_ok") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
-          threshold = 0.4)
-        .select(col("va"), col("vb")).localCheckpoint(true)
-      val lsh = Dedup.embeddingCosinePairsLsh(e, "vec_id", "embedding",
-          threshold = 0.4)
-        .select(col("va"), col("vb"), lit(1).as("hit")).localCheckpoint(true)
+      // exact baseline ∥ approximate path (Par: guide §2.6 overlap)
+      val (exact, lsh) = Par.two(
+        Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+            threshold = 0.4)
+          .select(col("va"), col("vb")).localCheckpoint(true),
+        Dedup.embeddingCosinePairsLsh(e, "vec_id", "embedding",
+            threshold = 0.4)
+          .select(col("va"), col("vb"), lit(1).as("hit"))
+          .localCheckpoint(true))
       exact.join(lsh, Seq("va", "vb"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
           count(lit(1))).as("recall"))
@@ -1042,10 +1045,12 @@ object ExtQueries {
       oracle = "SELECT CAST(1 AS INTEGER) AS drops_ok, CAST(1 AS INTEGER) AS no_dup_kept_ok, CAST(1 AS INTEGER) AS partition_ok") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val nCorpus = e.count()
-      val out = Dedup.semDeDup(e, "vec_id", "embedding",
-        threshold = 0.4).localCheckpoint(true)
-      val exact = Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
-        threshold = 0.4).select("va", "vb").localCheckpoint(true)
+      // operator output ∥ exact ground truth (Par: guide §2.6 overlap)
+      val (out, exact) = Par.two(
+        Dedup.semDeDup(e, "vec_id", "embedding",
+          threshold = 0.4).localCheckpoint(true),
+        Dedup.embeddingCosinePairs(e, "vec_id", "embedding",
+          threshold = 0.4).select("va", "vb").localCheckpoint(true))
       val aSide = out.select(col("vec_id").as("va"), col("cluster").as("ca"),
         col("centroid_sim").as("da"), col("is_duplicate").as("dup_a"))
       val bSide = out.select(col("vec_id").as("vb"), col("cluster").as("cb"),
@@ -1100,11 +1105,16 @@ object ExtQueries {
       doc = "agreement gate: edge recall of the cell-local kNN graph (the SAME shared-model build the knn_graph row and the graph_* family compute on) vs the brute-force graph (>=0.7 => knn_graph_ok=1; measured 0.82/0.81 at sf0.01/0.1 on the near-random fixture) — the driver-visible regression check for the approximate graph path. Deliberately quadratic (the brute side) — a FIXTURE-SCALE gate, never a production path; the production rows all ride the celled build it certifies",
       oracle = "SELECT CAST(1 AS INTEGER) AS knn_graph_ok") { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
-      val brute = Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5)
-        .select("qid", "nid").localCheckpoint(true)
-      val approx = celledKnnGraph(s, dir)
-        .select(col("qid"), col("nid"), lit(1).as("hit"))
-        .localCheckpoint(true)
+      // independent legs materialize CONCURRENTLY (Par: guide §2.6) —
+      // the brute side's few long tasks leave most cores idle, and
+      // the celled side back-fills them; measured 2-6 of 32 cores on
+      // this row when the legs ran sequentially
+      val (brute, approx) = Par.two(
+        Similarity.knnGraphBrute(e, "vec_id", "embedding", k = 5)
+          .select("qid", "nid").localCheckpoint(true),
+        celledKnnGraph(s, dir)
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+          .localCheckpoint(true))
       brute.join(broadcast(approx), Seq("qid", "nid"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
           count(lit(1))).as("recall"))
@@ -1123,18 +1133,27 @@ object ExtQueries {
       // (the knnGraph scaladoc's measured 21.6× decade hazard)
       val centroids = Similarity.trainCentroids(old, "vec_id", "embedding",
         nCentroids = Similarity.autoCells(old.count()), iters = 5)
-      val oldIndex = Similarity.ivfAssign(old, "vec_id", "embedding",
-        centroids).localCheckpoint(true)
+      // old-index and full-index assignments are independent; so are
+      // the delta-maintained graph and the full rebuild once both
+      // indexes exist — overlap each pair (Par: guide §2.6)
+      val (oldIndex, fullIndex) = Par.two(
+        Similarity.ivfAssign(old, "vec_id", "embedding",
+          centroids).localCheckpoint(true),
+        Similarity.ivfAssign(e, "vec_id", "embedding",
+          centroids).localCheckpoint(true))
       val prior = Similarity.knnGraphFromIndex(oldIndex, centroids, old,
         "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint(true)
-      val fullIndex = Similarity.ivfAssign(e, "vec_id", "embedding",
-        centroids).localCheckpoint(true)
-      val got = Similarity.knnGraphDelta(fullIndex, centroids, prior,
-        delta.select("vec_id"), k = 5, nProbe = 8).localCheckpoint(true)
-      val want = Similarity.knnGraphFromIndex(fullIndex, centroids, e,
-        "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint(true)
-      val eq = (got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
-      val changed = !prior.exceptAll(want).isEmpty || !want.exceptAll(prior).isEmpty
+      val (got, want) = Par.two(
+        Similarity.knnGraphDelta(fullIndex, centroids, prior,
+          delta.select("vec_id"), k = 5, nProbe = 8).localCheckpoint(true),
+        Similarity.knnGraphFromIndex(fullIndex, centroids, e,
+          "vec_id", "embedding", k = 5, nProbe = 8).localCheckpoint(true))
+      // both equality legs fold to ONE short-circuiting job each (the
+      // r12 store-gate fold), run concurrently over the checkpointed
+      // frames
+      val (eq, changed) = Par.two(
+        got.exceptAll(want).unionByName(want.exceptAll(got)).isEmpty,
+        !prior.exceptAll(want).unionByName(want.exceptAll(prior)).isEmpty)
       val spark = s
       import spark.implicits._
       Seq((if (eq) 1 else 0, if (changed) 1 else 0))
@@ -1400,12 +1419,15 @@ object ExtQueries {
       doc = "agreement gate: recall of containmentLsh's pair set vs exact shingleContainment (≥0.95 ⇒ containment_ok=1) — the driver-visible regression check for the approximate containment path",
       oracle = "SELECT CAST(1 AS INTEGER) AS containment_ok") { (s, dir) =>
       val d = Tables.load(s, dir, "documents")
-      val exact = Dedup.shingleContainment(d, "doc_id", "text",
-          k = 3, threshold = 0.6)
-        .select(col("da"), col("db")).localCheckpoint(true)
-      val lsh = Dedup.containmentLsh(d, "doc_id", "text",
-          k = 3, threshold = 0.6)
-        .select(col("da"), col("db"), lit(1).as("hit")).localCheckpoint(true)
+      // exact baseline ∥ approximate path (Par: guide §2.6 overlap)
+      val (exact, lsh) = Par.two(
+        Dedup.shingleContainment(d, "doc_id", "text",
+            k = 3, threshold = 0.6)
+          .select(col("da"), col("db")).localCheckpoint(true),
+        Dedup.containmentLsh(d, "doc_id", "text",
+            k = 3, threshold = 0.6)
+          .select(col("da"), col("db"), lit(1).as("hit"))
+          .localCheckpoint(true))
       exact.join(lsh, Seq("da", "db"), "left")
         .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
           count(lit(1))).as("recall"))
@@ -2901,28 +2923,40 @@ object ExtQueries {
         a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
       def plain(p: org.apache.spark.sql.Column) =
         s.read.parquet(tmp).filter(p)
+      // the four invariant legs are independent read-only probes of
+      // the one written layout — overlap them (Par: guide §2.6);
+      // each eq pays two full scans, and sequentially the row ran at
+      // 7 of 32 cores
       val mixed = col("o_totalprice") >= 100000 &&
         col("o_totalprice") <= 150000 && col("o_orderkey") % 3 === 0
-      val lossless = eq(Layout.autoPrunedRead(s, tmp, idx, mixed),
-        plain(mixed))
-      val banded = Layout.autoPruneFiles(s, tmp, idx, mixed)
-      val midKey = orders.agg(
-        percentile_approx(col("o_custkey"), lit(0.5), lit(100)))
-        .head().getLong(0)
-      val eqPred = col("o_custkey") === midKey &&
-        col("o_totalprice") <= 120000
-      val eqFiles = Layout.autoPruneFiles(s, tmp, idx, eqPred)
-      val prunes = banded.exists(_.size <= 8) &&
-        eqFiles.exists(_.size < 8) &&
-        eq(Layout.autoPrunedRead(s, tmp, idx, eqPred), plain(eqPred))
-      val oneSided = col("o_totalprice") >= 400000
-      val oneOk = Layout.autoPruneFiles(s, tmp, idx, oneSided)
-        .exists(_.size < 16) &&
-        eq(Layout.autoPrunedRead(s, tmp, idx, oneSided), plain(oneSided))
-      val noExtract = col("o_orderkey") % 2 === 0
-      val safe = Layout.autoPruneFiles(s, tmp, idx, noExtract).isEmpty &&
-        eq(Layout.autoPrunedRead(s, tmp, idx, noExtract),
-          plain(noExtract))
+      val (lossless, prunes, oneOk, safe) = Par.four(
+        eq(Layout.autoPrunedRead(s, tmp, idx, mixed),
+          plain(mixed)),
+        {
+          val banded = Layout.autoPruneFiles(s, tmp, idx, mixed)
+          val midKey = orders.agg(
+            percentile_approx(col("o_custkey"), lit(0.5), lit(100)))
+            .head().getLong(0)
+          val eqPred = col("o_custkey") === midKey &&
+            col("o_totalprice") <= 120000
+          val eqFiles = Layout.autoPruneFiles(s, tmp, idx, eqPred)
+          banded.exists(_.size <= 8) &&
+            eqFiles.exists(_.size < 8) &&
+            eq(Layout.autoPrunedRead(s, tmp, idx, eqPred), plain(eqPred))
+        },
+        {
+          val oneSided = col("o_totalprice") >= 400000
+          Layout.autoPruneFiles(s, tmp, idx, oneSided)
+            .exists(_.size < 16) &&
+            eq(Layout.autoPrunedRead(s, tmp, idx, oneSided),
+              plain(oneSided))
+        },
+        {
+          val noExtract = col("o_orderkey") % 2 === 0
+          Layout.autoPruneFiles(s, tmp, idx, noExtract).isEmpty &&
+            eq(Layout.autoPrunedRead(s, tmp, idx, noExtract),
+              plain(noExtract))
+        })
       Seq((if (lossless) 1 else 0, if (prunes) 1 else 0,
         if (oneOk) 1 else 0, if (safe) 1 else 0))
         .toDF("auto_lossless", "auto_prunes", "auto_one_sided",
@@ -3052,8 +3086,16 @@ object ExtQueries {
         (root.resolve("src").toString, root.resolve("dst").toString)
       val hot = orders.withColumn("bucket", (col("o_custkey") % 4).cast("int"))
       hot.repartition(10).write.partitionBy("bucket").parquet(src)
-      hot.repartition(1).write.mode("append").partitionBy("bucket")
-        .parquet(src)
+      // one well-sized file per dir: repartition BY the partition
+      // column so each bucket encodes in its own task (4-way
+      // parallel) — the former repartition(1) squeezed the whole
+      // 600k-row encode through one task (r13: this gate measured
+      // 8 of 32 cores, most of it this serial write). The produced
+      // layout is identical: one appended file per bucket dir, and
+      // the gate's size rule is self-calibrating (target = max leaf
+      // length), so the check semantics are unchanged.
+      hot.repartition(col("bucket")).write.mode("append")
+        .partitionBy("bucket").parquet(src)
       // the cold partition: one file, nothing to pack
       orders.limit(500).withColumn("bucket", lit(9))
         .repartition(1).write.mode("append").partitionBy("bucket")
@@ -5041,17 +5083,23 @@ object ExtQueries {
       base.createOrReplaceTempView("sqldml_base")
       upd.createOrReplaceTempView("sqldml_upd")
       // text path: OVERWRITE publish, then MERGE from a view and from
-      // a parenthesized query (both USING source forms)
-      x("INSERT OVERWRITE t SELECT * FROM sqldml_base")
-      x("MERGE INTO t USING sqldml_upd ON (k)")
-      x("MERGE INTO t USING (SELECT k, cents + 1 AS cents " +
-        "FROM sqldml_upd WHERE k >= 4500) ON (k)")
-      // Scala mirror of the same three writes
-      CatalogStore.commit(s, mirror, Map("t" -> base))
-      CatalogStore.upsertTable(s, mirror, "t", upd, Seq("k"))
-      CatalogStore.upsertTable(s, mirror, "t",
-        upd.filter(col("k") >= 4500)
-          .withColumn("cents", col("cents") + 1), Seq("k"))
+      // a parenthesized query (both USING source forms); the Scala
+      // mirror lands the same three writes on a SEPARATE store — the
+      // two transaction chains are independent, so they run
+      // concurrently (Par: guide §2.6; each chain stays sequential
+      // internally because its transactions build on each other)
+      Par.two({
+        x("INSERT OVERWRITE t SELECT * FROM sqldml_base")
+        x("MERGE INTO t USING sqldml_upd ON (k)")
+        x("MERGE INTO t USING (SELECT k, cents + 1 AS cents " +
+          "FROM sqldml_upd WHERE k >= 4500) ON (k)")
+      }, {
+        CatalogStore.commit(s, mirror, Map("t" -> base))
+        CatalogStore.upsertTable(s, mirror, "t", upd, Seq("k"))
+        CatalogStore.upsertTable(s, mirror, "t",
+          upd.filter(col("k") >= 4500)
+            .withColumn("cents", col("cents") + 1), Seq("k"))
+      })
       val mergeEqScala = eq(CatalogStore.readCurrent(s, root, "t"),
         CatalogStore.readCurrent(s, mirror, "t"))
       // INSERT INTO appends; on a missing table it first-publishes
@@ -6145,23 +6193,30 @@ object ExtQueries {
       val e = Tables.load(s, dir, "embeddings")
       val (x, y) = (e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1))
-      val (ncx, ncy) = (Similarity.autoCells(x.count()),
-        Similarity.autoCells(y.count()))
-      val cx = Similarity.trainCentroids(x, "vec_id", "embedding", ncx, 5)
-      val cy = Similarity.trainCentroids(y, "vec_id", "embedding", ncy, 5)
+      // every x-side / y-side step is independent of its twin, and
+      // the served mine is independent of the from-scratch mine —
+      // overlap each pair (Par: guide §2.6); the protocol itself
+      // (train → write → read+mine) stays sequential per side
+      val (ncx, ncy) = Par.two(
+        Similarity.autoCells(x.count()), Similarity.autoCells(y.count()))
+      val (cx, cy) = Par.two(
+        Similarity.trainCentroids(x, "vec_id", "embedding", ncx, 5),
+        Similarity.trainCentroids(y, "vec_id", "embedding", ncy, 5))
       val store = java.nio.file.Files
         .createTempDirectory("graft-bitext-idx")
-      Similarity.ivfAssign(x, "vec_id", "embedding", cx)
-        .write.parquet(store.resolve("x").toString)
-      Similarity.ivfAssign(y, "vec_id", "embedding", cy)
-        .write.parquet(store.resolve("y").toString)
-      val served = Bitext.mineFromIndexes(
-        s.read.parquet(store.resolve("x").toString), cx,
-        s.read.parquet(store.resolve("y").toString), cy,
-        x, y, "vec_id", "embedding", k = 4, minMargin = 1.0)
-        .localCheckpoint(true)
-      val scratch = Bitext.mineIvf(x, y, "vec_id", "embedding",
-        k = 4, minMargin = 1.0).localCheckpoint(true)
+      Par.two(
+        Similarity.ivfAssign(x, "vec_id", "embedding", cx)
+          .write.parquet(store.resolve("x").toString),
+        Similarity.ivfAssign(y, "vec_id", "embedding", cy)
+          .write.parquet(store.resolve("y").toString))
+      val (served, scratch) = Par.two(
+        Bitext.mineFromIndexes(
+          s.read.parquet(store.resolve("x").toString), cx,
+          s.read.parquet(store.resolve("y").toString), cy,
+          x, y, "vec_id", "embedding", k = 4, minMargin = 1.0)
+          .localCheckpoint(true),
+        Bitext.mineIvf(x, y, "vec_id", "embedding",
+          k = 4, minMargin = 1.0).localCheckpoint(true))
       val eq = served.exceptAll(scratch)
         .unionByName(scratch.exceptAll(served)).isEmpty
       val nonvac = served.count() > 0
@@ -6177,13 +6232,15 @@ object ExtQueries {
       val e = Tables.load(s, dir, "embeddings")
       val (x, y) = (e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1))
-      val brute = Bitext.mineBrute(x, y, "vec_id", "embedding",
-        k = 4, minMargin = 1.0).select("src_id", "tgt_id")
-        .localCheckpoint(true)
-      val ivf = Bitext.mineIvf(x, y, "vec_id", "embedding",
-        k = 4, minMargin = 1.0).select(col("src_id"), col("tgt_id"),
-          lit(1).as("hit"))
-        .localCheckpoint(true)
+      // brute baseline ∥ IVF path (Par: guide §2.6 overlap)
+      val (brute, ivf) = Par.two(
+        Bitext.mineBrute(x, y, "vec_id", "embedding",
+          k = 4, minMargin = 1.0).select("src_id", "tgt_id")
+          .localCheckpoint(true),
+        Bitext.mineIvf(x, y, "vec_id", "embedding",
+          k = 4, minMargin = 1.0).select(col("src_id"), col("tgt_id"),
+            lit(1).as("hit"))
+          .localCheckpoint(true))
       brute.join(broadcast(ivf), Seq("src_id", "tgt_id"), "left")
         .agg(count(lit(1)).as("n"),
           sum(coalesce(col("hit"), lit(0))).as("agree"))

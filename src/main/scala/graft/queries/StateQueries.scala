@@ -774,39 +774,48 @@ object StateQueries {
       // most expensive row of the round-11 sweep (7.7 s stable)
       val rows = langShingleRows(s, dir)
         .filter(col("doc_id") % 3 === 0).localCheckpoint(true)
-      val direct = SketchState.sampleSketches(rows, Seq("lang"), "item", k)
-        .localCheckpoint(true)
       // doc-parity split: occurrences of one item land on BOTH sides,
       // so surviving counts being exact exercises the AKMV closure,
-      // not just disjoint-item bookkeeping
-      val merged = SketchState.mergeSampleSketches(
+      // not just disjoint-item bookkeeping.
+      // The four sketch builds over the checkpointed rows are
+      // independent — materialize them concurrently (Par: guide
+      // §2.6), then run the four check actions concurrently too; at
+      // one job each over checkpointed inputs they were pure serial
+      // latency. Each equality leg folds both exceptAll directions
+      // into ONE short-circuiting job (the r12 store-gate fold).
+      val (direct, merged, directGlobal, est) = Par.four(
+        SketchState.sampleSketches(rows, Seq("lang"), "item", k)
+          .localCheckpoint(true),
+        SketchState.mergeSampleSketches(
+          SketchState.sampleSketches(
+            rows.filter(col("doc_id") % 2 === 0), Seq("lang"), "item", k),
+          SketchState.sampleSketches(
+            rows.filter(col("doc_id") % 2 === 1), Seq("lang"), "item", k),
+          Seq("lang"), k).localCheckpoint(true),
         SketchState.sampleSketches(
-          rows.filter(col("doc_id") % 2 === 0), Seq("lang"), "item", k),
-        SketchState.sampleSketches(
-          rows.filter(col("doc_id") % 2 === 1), Seq("lang"), "item", k),
-        Seq("lang"), k)
-      val mergeOk = merged.exceptAll(direct).isEmpty &&
-        direct.exceptAll(merged).isEmpty
+          rows.select(col("item")), Seq(), "item", k)
+          .localCheckpoint(true),
+        SketchState.estimateDistinctKmv(
+          SketchState.sampleSketches(rows, Seq("lang"), "item", 256),
+          Seq("lang"), 256).localCheckpoint(true))
       val truth = rows.groupBy(col("lang"), col("item"))
         .agg(count(lit(1)).as("true_cnt"))
-      val countsOk = direct.join(truth, Seq("lang", "item"), "left")
-        .agg((sum(when(col("cnt") =!= col("true_cnt"), 1).otherwise(0)) === 0)
-          .cast("int")).first().getInt(0) == 1
       // per-lang windowed state → global rollup ≡ direct global build
       val rolledGlobal = SketchState.sampleRollup(direct, Seq(), k)
-      val directGlobal = SketchState.sampleSketches(
-        rows.select(col("item")), Seq(), "item", k)
-      val rollupOk = rolledGlobal.exceptAll(directGlobal).isEmpty &&
-        directGlobal.exceptAll(rolledGlobal).isEmpty
-      val est = SketchState.estimateDistinctKmv(
-        SketchState.sampleSketches(rows, Seq("lang"), "item", 256),
-        Seq("lang"), 256)
-      val estOk = est
-        .join(truth.groupBy("lang").agg(
-          count(lit(1)).cast("double").as("true_d")), "lang")
-        .agg((sum(when(
-          abs(col("est_distinct") / col("true_d") - 1) > 0.25, 1)
-          .otherwise(0)) === 0).cast("int")).first().getInt(0) == 1
+      val (mergeOk, countsOk, rollupOk, estOk) = Par.four(
+        merged.exceptAll(direct)
+          .unionByName(direct.exceptAll(merged)).isEmpty,
+        direct.join(truth, Seq("lang", "item"), "left")
+          .agg((sum(when(col("cnt") =!= col("true_cnt"), 1).otherwise(0)) === 0)
+            .cast("int")).first().getInt(0) == 1,
+        rolledGlobal.exceptAll(directGlobal)
+          .unionByName(directGlobal.exceptAll(rolledGlobal)).isEmpty,
+        est
+          .join(truth.groupBy("lang").agg(
+            count(lit(1)).cast("double").as("true_d")), "lang")
+          .agg((sum(when(
+            abs(col("est_distinct") / col("true_d") - 1) > 0.25, 1)
+            .otherwise(0)) === 0).cast("int")).first().getInt(0) == 1)
       s.range(1).select(
         lit(if (mergeOk) 1 else 0).as("kmv_merge_ok"),
         lit(if (countsOk) 1 else 0).as("kmv_counts_ok"),

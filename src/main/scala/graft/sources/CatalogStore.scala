@@ -196,6 +196,32 @@ object CatalogStore {
   private def tableDir(root: String, name: String, v: Int) =
     new org.apache.hadoop.fs.Path(root, s"$name/v=$v")
 
+  /** Read a committed version dir with its parquet schema memoized
+    * per path. Every bare `spark.read.parquet(path)` pays a 1-task
+    * footer-inference job before the real work — the r13 bench
+    * scheduler profile measured the store-gate family at 30–80
+    * sequential jobs per gate with task time ≪ wall, a large share
+    * of them exactly these inference jobs. Version dirs are
+    * immutable once committed (erasure rewrites ROWS in place, never
+    * the schema; renames are a logical mapping; evolution lands in a
+    * NEW version dir), so the schema is a pure function of the path
+    * and inference needs to run once per JVM. A vacuumed dir leaves
+    * a dead entry, bounded by the number of version dirs this JVM
+    * ever read. This mirrors what manifest-carrying table formats do
+    * in production: the schema travels with table METADATA, and no
+    * read re-derives it from data files (guide §6).
+    */
+  private val dirSchemaMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  private def readVersionDir(spark: SparkSession, root: String,
+      name: String, v: Int): DataFrame = {
+    val p = tableDir(root, name, v).toString
+    val sch = dirSchemaMemo.computeIfAbsent(p,
+      path => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(p)
+  }
+
   /** Branches and tags live under ONE file per name (`_cat/ref=<n>`,
     * content `<kind> <version>`), so the exclusive no-overwrite create
     * itself enforces the shared namespace — the former two-file layout
@@ -602,7 +628,7 @@ object CatalogStore {
     // column mapping: renames recorded after this version was written
     // project its physical names to the snapshot's logical names — a
     // zero-cost alias projection, pruned/pushed through by Catalyst
-    applyChain(spark.read.parquet(tableDir(root, name, v).toString),
+    applyChain(readVersionDir(spark, root, name, v),
       renameChain(snap.renames, name, v))
   }
 
@@ -835,7 +861,7 @@ object CatalogStore {
         val bytes = fs.listStatus(dir).filter(_.isFile)
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getLen).sum
-        val df = spark.read.parquet(dir.toString)
+        val df = readVersionDir(spark, root, name, v)
         // typedMinMax: the sidecar's min/max are OPTIMIZER BOUNDS
         // (and metaAgg answers), so they must be native-order — the
         // report form's lexicographic min over {9, 10} is "10", a
@@ -863,7 +889,7 @@ object CatalogStore {
         .filter(c => base.cols.contains(c) &&
           base.cols(c).hist.isEmpty)
       val ts = if (wanted.isEmpty) base else {
-        val df = spark.read.parquet(dir.toString)
+        val df = readVersionDir(spark, root, name, v)
         val merged = wanted.foldLeft(base.cols) { (m, c) =>
           equiHeightHist(df, c, histBins) match {
             case Some(h) => m + (c -> m(c).copy(hist = Some(h)))
@@ -1055,8 +1081,7 @@ object CatalogStore {
         "a publish-time CatalogStore.analyze on this snapshot")
     val ts = readStats(fs, sf)
     // footer-only read: schema, never data
-    val schema = spark.read
-      .parquet(tableDir(root, table, v).toString).schema
+    val schema = readVersionDir(spark, root, table, v).schema
     val out = lit(ts.rowCount).as("row_count") +: cols.flatMap { c =>
       // the sidecar and footer are keyed by the version's PHYSICAL
       // names; the caller asks (and the output is aliased) by
@@ -1515,7 +1540,8 @@ object CatalogStore {
           .parquet(stageDir(root, name, txid).toString)
       }
       val failed = audits.find(a => !a.check(
-        spark.read.parquet(stageDir(root, a.table, txid).toString)))
+        spark.read.schema(tables(a.table).schema)
+          .parquet(stageDir(root, a.table, txid).toString)))
       failed match {
         case Some(a) => CatalogTx(None, Some(a.name))
         case None =>
@@ -1544,14 +1570,17 @@ object CatalogStore {
             val cs = constraintsAt(spark, root, parentV)
             if (!validatedSig.contains(cs.toSet)) {
               enforceConstraints(spark,
-                t => spark.read.parquet(stageDir(root, t, txid).toString),
+                t => spark.read.schema(tables(t).schema)
+                  .parquet(stageDir(root, t, txid).toString),
                 tables.keys.toSeq, cs)
               validatedSig = Some(cs.toSet)
             }
             try out = Some(publishStaged(spark, root,
               tables.keys.toSeq.sorted, txid, prior, next, evolve,
               parentV, target, constraints = cs,
-              renames = renamesAt(spark, root, parentV)))
+              renames = renamesAt(spark, root, parentV),
+              stagedSchemas = tables.map {
+                case (n, df) => n -> df.schema }))
             catch {
               case e: CommitContentionException =>
                 attempt += 1
@@ -1626,8 +1655,7 @@ object CatalogStore {
           // validation reads the LOGICAL view: the constraint's
           // expression names today's columns, the bytes may predate
           // a rename
-          t => applyChain(
-            spark.read.parquet(tableDir(root, t, prior(t)).toString),
+          t => applyChain(readVersionDir(spark, root, t, prior(t)),
             renameChain(renames, t, prior(t))),
           cs.map(_.table).distinct.filter(prior.contains), cs)
         (existing ++ cs, renames)
@@ -1678,7 +1706,7 @@ object CatalogStore {
             s"table $table does not exist on ref $ref"))
         // the table's current LOGICAL columns (footer read only)
         val logical = applyChain(
-          spark.read.parquet(tableDir(root, table, tv).toString),
+          readVersionDir(spark, root, table, tv),
           renameChain(renames, table, tv)).columns.toSet
         require(logical.contains(from),
           s"column $from not in table $table (has: " +
@@ -1871,8 +1899,7 @@ object CatalogStore {
       enforce = true, extraTables = extraTables) { (base, chain, dst) =>
       val merged = base match {
         case Some(v) => graft.operators.Incremental.merge(
-          applyChain(spark.read.parquet(tableDir(root, name, v)
-            .toString), chain),
+          applyChain(readVersionDir(spark, root, name, v), chain),
           updates, keys)
         case None => updates
       }
@@ -1897,7 +1924,7 @@ object CatalogStore {
       evolve = false, enforce = true) { (base, chain, dst) =>
       val out = base match {
         case Some(v) => applyChain(
-          spark.read.parquet(tableDir(root, name, v).toString), chain)
+          readVersionDir(spark, root, name, v), chain)
           .unionByName(rows)
         case None => rows
       }
@@ -1920,8 +1947,7 @@ object CatalogStore {
       val v = base.getOrElse(throw new IllegalArgumentException(
         s"table $name does not exist on ref $ref"))
       import org.apache.spark.sql.functions.{coalesce, lit, not}
-      applyChain(spark.read.parquet(tableDir(root, name, v).toString),
-        chain)
+      applyChain(readVersionDir(spark, root, name, v), chain)
         .filter(coalesce(not(predicate), lit(true)))
         .write.mode("errorifexists").parquet(dst)
     }
@@ -1969,7 +1995,7 @@ object CatalogStore {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getLen).sum)
       if (zorderCols.nonEmpty) {
-        val df = applyChain(spark.read.parquet(src.toString), chain)
+        val df = applyChain(readVersionDir(spark, root, name, v), chain)
         val nFiles = zorderFiles.getOrElse(math.max(1, math.ceil(
           bytesOf.toDouble / targetBytes).toInt))
         graft.operators.Layout.zorderWrite(df, zorderCols, zorderBits,
@@ -1979,7 +2005,7 @@ object CatalogStore {
         // fresh physical generation — a full logical rewrite (the
         // byte-copy rule can't keep files whose embedded names are
         // stale); later optimizes byte-copy again
-        applyChain(spark.read.parquet(src.toString), chain)
+        applyChain(readVersionDir(spark, root, name, v), chain)
           .repartition(math.max(1, math.ceil(
             bytesOf.toDouble / targetBytes).toInt))
           .write.mode("errorifexists").parquet(dst)
@@ -2162,17 +2188,17 @@ object CatalogStore {
       branchEntries.foreach { case (t, tv) =>
         prior.get(t).foreach { pv =>
           assertSchemaCompatible(
-            applyChain(spark.read.parquet(tableDir(root, t, tv)
-              .toString), renameChain(rn, t, tv)).schema,
-            applyChain(spark.read.parquet(tableDir(root, t, pv)
-              .toString), renameChain(rn, t, pv)).schema,
+            applyChain(readVersionDir(spark, root, t, tv),
+              renameChain(rn, t, tv)).schema,
+            applyChain(readVersionDir(spark, root, t, pv),
+              renameChain(rn, t, pv)).schema,
             t, pv, evolve)
         }
       }
       if (!validatedSig.contains(cs.toSet)) {
         enforceConstraints(spark,
-          t => applyChain(spark.read.parquet(
-            tableDir(root, t, branchEntries(t)).toString),
+          t => applyChain(
+            readVersionDir(spark, root, t, branchEntries(t)),
             renameChain(rn, t, branchEntries(t))),
           branchEntries.keys.toSeq, cs)
         validatedSig = Some(cs.toSet)
@@ -2217,7 +2243,8 @@ object CatalogStore {
           .parquet(stageDir(root, name, txid).toString)
       }
       val failed = audits.find(a => !a.check(
-        spark.read.parquet(stageDir(root, a.table, txid).toString)))
+        spark.read.schema(tables(a.table).schema)
+          .parquet(stageDir(root, a.table, txid).toString)))
       failed match {
         case Some(a) => CatalogTx(None, Some(a.name))
         case None =>
@@ -2237,7 +2264,9 @@ object CatalogStore {
             catch { case _: Exception =>
               (Seq.empty[Constraint], Seq.empty[Rename]) }
           publishStaged(spark, root, tables.keys.toSeq.sorted, txid,
-            prior, next, evolve, constraints = cs, renames = rn)
+            prior, next, evolve, constraints = cs, renames = rn,
+            stagedSchemas = tables.map {
+              case (n, df) => n -> df.schema })
       }
     } finally {
       tables.keys.foreach(n => fs.delete(stageDir(root, n, txid), true))
@@ -2379,17 +2408,23 @@ object CatalogStore {
     */
   private def checkSchemas(spark: SparkSession, root: String,
       names: Seq[String], txid: String, prior: Map[String, Int],
-      evolve: Boolean, renames: Seq[Rename] = Seq.empty): Unit =
+      evolve: Boolean, renames: Seq[Rename] = Seq.empty,
+      stagedSchemas: Map[String,
+        org.apache.spark.sql.types.StructType] = Map.empty): Unit =
     names.foreach { n =>
       prior.get(n).foreach { pv =>
-        val staged = spark.read
-          .parquet(stageDir(root, n, txid).toString).schema
+        // when the publisher handed us the DataFrame it staged, its
+        // schema IS the staged schema — skip the footer-inference
+        // job (commitDerived stages deriver-written bytes, so it
+        // still infers)
+        val staged = stagedSchemas.getOrElse(n, spark.read
+          .parquet(stageDir(root, n, txid).toString).schema)
         // the committed side compares by its LOGICAL names — the
         // column-mapping chain applied, so a commit after a rename
         // must carry the renamed name (its staged bytes ARE the new
         // physical generation)
-        val committed = applyChain(spark.read
-          .parquet(tableDir(root, n, pv).toString),
+        val committed = applyChain(
+          readVersionDir(spark, root, n, pv),
           renameChain(renames, n, pv)).schema
         assertSchemaCompatible(staged, committed, n, pv, evolve)
       }
@@ -2435,7 +2470,9 @@ object CatalogStore {
       parent: Int = -1, target: RefTarget = MainRef,
       extraEntries: Map[String, Int] = Map.empty,
       constraints: Seq[Constraint] = Seq.empty,
-      renames: Seq[Rename] = Seq.empty): CatalogTx = {
+      renames: Seq[Rename] = Seq.empty,
+      stagedSchemas: Map[String,
+        org.apache.spark.sql.types.StructType] = Map.empty): CatalogTx = {
     // the catalog-format guard lives HERE, on the choke point every
     // publish path funnels through (commit, commitDerived/upsert-
     // first-publish, merge extras) — a tab/newline in a table name
@@ -2449,7 +2486,8 @@ object CatalogStore {
           "(no leading '#', no tab/newline/slash)"))
     val fs = fsOf(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
-    checkSchemas(spark, root, names, txid, prior, evolve, renames)
+    checkSchemas(spark, root, names, txid, prior, evolve, renames,
+      stagedSchemas)
     val claim = claimFile(root, next)
     try FsAtomic.createExclusive(fs, claim)
     catch {
