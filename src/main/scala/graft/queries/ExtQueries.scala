@@ -2808,33 +2808,40 @@ object ExtQueries {
         .crossJoin(s.range(n).select(col("id").as("y")))
       val h = Layout.withHilbert(grid, "x", "y", bits, "d")
         .select("d", "x", "y").localCheckpoint(true)
-      val bijective = h.select("d").distinct().count() == n * n &&
-        h.agg(min("d"), max("d")).as[(Long, Long)].head() ==
-          ((0L, n * n - 1))
-      // consecutive-index pairs by self-join on the checkpointed grid
-      // (d joined to d+1) — a global lag window would be an empty-spec
-      // WindowExec, the single-partition-warning shape the suite bans
-      val adjacent = h.select(col("d"), col("x"), col("y"))
-        .join(h.select((col("d") + 1).as("d"), col("x").as("px"),
-          col("y").as("py")), Seq("d"))
-        .filter(abs(col("x") - col("px")) + abs(col("y") - col("py")) =!= 1)
-        .count() == 0
-      val orders = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      val path = java.nio.file.Files.createTempDirectory("graft-hilb")
-        .resolve("t").toString
-      val numFiles = 16
-      Layout.hilbertWrite(orders, "o_custkey", "o_totalprice",
-        bits = 8, numFiles, path)
-      val span = orders.agg(min("o_totalprice"), max("o_totalprice"))
-        .as[(Double, Double)].head()
-      val (qLo, qHi) = (span._1 + 0.10 * (span._2 - span._1),
-        span._1 + 0.20 * (span._2 - span._1))
-      val touched = Layout.fileIndex(s, path, Seq("o_totalprice"))
-        .filter(col("max_o_totalprice") >= qLo &&
-          col("min_o_totalprice") <= qHi).count()
-      val prunes = touched <= numFiles / 2 &&
-        s.read.parquet(path).count() == orders.count()
+      // the two grid-invariant legs and the orders write+prune leg
+      // are mutually independent — overlap them (Par: guide §2.6)
+      val (bijective, adjacent, prunes) = Par.three(
+        h.select("d").distinct().count() == n * n &&
+          h.agg(min("d"), max("d")).as[(Long, Long)].head() ==
+            ((0L, n * n - 1)),
+        // consecutive-index pairs by self-join on the checkpointed
+        // grid (d joined to d+1) — a global lag window would be an
+        // empty-spec WindowExec, the single-partition-warning shape
+        // the suite bans
+        h.select(col("d"), col("x"), col("y"))
+          .join(h.select((col("d") + 1).as("d"), col("x").as("px"),
+            col("y").as("py")), Seq("d"))
+          .filter(abs(col("x") - col("px")) +
+            abs(col("y") - col("py")) =!= 1)
+          .count() == 0,
+        {
+          val orders = Tables.load(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          val path = java.nio.file.Files
+            .createTempDirectory("graft-hilb").resolve("t").toString
+          val numFiles = 16
+          Layout.hilbertWrite(orders, "o_custkey", "o_totalprice",
+            bits = 8, numFiles, path)
+          val span = orders.agg(min("o_totalprice"), max("o_totalprice"))
+            .as[(Double, Double)].head()
+          val (qLo, qHi) = (span._1 + 0.10 * (span._2 - span._1),
+            span._1 + 0.20 * (span._2 - span._1))
+          val touched = Layout.fileIndex(s, path, Seq("o_totalprice"))
+            .filter(col("max_o_totalprice") >= qLo &&
+              col("min_o_totalprice") <= qHi).count()
+          touched <= numFiles / 2 &&
+            s.read.parquet(path).count() == orders.count()
+        })
       Seq((if (bijective) 1 else 0, if (adjacent) 1 else 0,
         if (prunes) 1 else 0))
         .toDF("hilbert_bijective", "hilbert_adjacent", "hilbert_prunes")
@@ -3190,18 +3197,25 @@ object ExtQueries {
             .select("o_orderkey").distinct(),
           4096, "bloom-lookup probe keys")
         .map(_.getLong(0))
-      val looked = Layout.bloomLookup(s, tmp, idx0, "o_orderkey", probes)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      val full = orders.filter(col("o_orderkey") % 997 === 0)
-      val lookupEq = looked.exceptAll(full)
-        .unionByName(full.exceptAll(looked)).isEmpty
       val probe = probes.max
-      val bloomFiles = idx0.filter(
-        graft.functions.BloomContainsAny.column(
-          col("bloom"), lit(Array(probe)))).count()
-      val minmaxSurvivors = Layout.fileIndex(s, tmp, Seq("o_orderkey"))
-        .filter(col("min_o_orderkey") <= probe &&
-          col("max_o_orderkey") >= probe).count()
+      // the three pre-append probes are independent reads of the one
+      // written layout — overlap them (Par: guide §2.6); the append
+      // leg below MUST stay after them (it mutates the directory)
+      val (lookupEq, bloomFiles, minmaxSurvivors) = Par.three(
+        {
+          val looked = Layout.bloomLookup(s, tmp, idx0, "o_orderkey",
+              probes)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          val full = orders.filter(col("o_orderkey") % 997 === 0)
+          looked.exceptAll(full)
+            .unionByName(full.exceptAll(looked)).isEmpty
+        },
+        idx0.filter(
+          graft.functions.BloomContainsAny.column(
+            col("bloom"), lit(Array(probe)))).count(),
+        Layout.fileIndex(s, tmp, Seq("o_orderkey"))
+          .filter(col("min_o_orderkey") <= probe &&
+            col("max_o_orderkey") >= probe).count())
       val skips = bloomFiles <= 4 && minmaxSurvivors >= 12 &&
         bloomFiles < minmaxSurvivors
       orders.filter(col("o_orderkey") % 7 === 0)
@@ -3778,18 +3792,25 @@ object ExtQueries {
         else ModelCollect.bounded(
           orders.select("o_orderkey").orderBy(col("o_orderkey")).limit(5),
           8, "fallback probe keys").map(_.getLong(0))
-      val looked = Layout.pointLookup(s, tmp, idx0, "o_orderkey", probes)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      val full = orders.filter(col("o_orderkey") % 997 === 0)
-      val lookupEq = looked.exceptAll(full)
-        .unionByName(full.exceptAll(looked)).isEmpty
       // one probe: the largest key — its min/max survivors vs index files
       val probe = probes.max
-      val pointFiles = idx0.filter(col("o_orderkey") === probe)
-        .select(explode(col("files"))).count()
-      val minmaxSurvivors = Layout.fileIndex(s, tmp, Seq("o_orderkey"))
-        .filter(col("min_o_orderkey") <= probe &&
-          col("max_o_orderkey") >= probe).count()
+      // three independent pre-append probes of the one written layout
+      // — overlap them (Par: guide §2.6); the append below mutates
+      // the directory and stays after them
+      val (lookupEq, pointFiles, minmaxSurvivors) = Par.three(
+        {
+          val looked = Layout.pointLookup(s, tmp, idx0, "o_orderkey",
+              probes)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+          val full = orders.filter(col("o_orderkey") % 997 === 0)
+          looked.exceptAll(full)
+            .unionByName(full.exceptAll(looked)).isEmpty
+        },
+        idx0.filter(col("o_orderkey") === probe)
+          .select(explode(col("files"))).count(),
+        Layout.fileIndex(s, tmp, Seq("o_orderkey"))
+          .filter(col("min_o_orderkey") <= probe &&
+            col("max_o_orderkey") >= probe).count())
       val beats = pointFiles <= 2 && minmaxSurvivors >= 12 &&
         pointFiles < minmaxSurvivors
       // append two more files, then fold the delta against idx0
@@ -4161,23 +4182,31 @@ object ExtQueries {
         st = Layout.materializeDv(s, src, dv, staging)
       }
       val after = s.read.parquet(src)
-      val eraseApplied = dv.count() == erasedKeys.size &&
-        erasedKeys.nonEmpty &&
-        after.filter(col("o_custkey") === target).count() == 0
-      val want = orders.filter(col("o_custkey") =!= target)
-      val othersIntact = after.exceptAll(want)
-        .unionByName(want.exceptAll(after)).isEmpty
       val selective = st.nIn == 8 && st.rewritten == 1 && st.kept == 7
-      val idx1 = Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
-        .localCheckpoint(true)
-      val rebuilt = Layout.keyIndex(s, src, "o_orderkey")
-      val repairEq = idx1.exceptAll(rebuilt)
-        .unionByName(rebuilt.exceptAll(idx1)).isEmpty
-      val unfindable = Layout.pointLookup(s, src, idx1, "o_orderkey",
-        erasedKeys).count() == 0
-      val survivorKey = after.agg(max("o_orderkey")).head.getLong(0)
-      val survivorFound = Layout.pointLookup(s, src, idx1, "o_orderkey",
-        Seq(survivorKey)).count() >= 1
+      // post-swap checks and the two index builds are independent
+      // reads of the swapped table — overlap them (Par: guide §2.6)
+      val (eraseApplied, othersIntact, idx1, rebuilt) = Par.four(
+        dv.count() == erasedKeys.size &&
+          erasedKeys.nonEmpty &&
+          after.filter(col("o_custkey") === target).count() == 0,
+        {
+          val want = orders.filter(col("o_custkey") =!= target)
+          after.exceptAll(want)
+            .unionByName(want.exceptAll(after)).isEmpty
+        },
+        Layout.repairKeyIndex(s, src, "o_orderkey", idx0)
+          .localCheckpoint(true),
+        Layout.keyIndex(s, src, "o_orderkey").localCheckpoint(true))
+      val (repairEq, unfindable, survivorFound) = Par.three(
+        idx1.exceptAll(rebuilt)
+          .unionByName(rebuilt.exceptAll(idx1)).isEmpty,
+        Layout.pointLookup(s, src, idx1, "o_orderkey",
+          erasedKeys).count() == 0,
+        {
+          val survivorKey = after.agg(max("o_orderkey")).head.getLong(0)
+          Layout.pointLookup(s, src, idx1, "o_orderkey",
+            Seq(survivorKey)).count() >= 1
+        })
       val indexRepaired = repairEq && unfindable && survivorFound
       Seq((if (eraseApplied) 1 else 0, if (othersIntact) 1 else 0,
         if (selective) 1 else 0, if (indexRepaired) 1 else 0))
@@ -5223,11 +5252,13 @@ object ExtQueries {
       val tx = CatalogStore.optimizeTable(s, root, "t", targetMb = 128)
       val compacted = tx.version.contains(2) && nFiles(2) < 16
       val snap2 = CatalogStore.snapshot(s, root)
-      val rowsEq = eq(CatalogStore.read(s, root, "t", snap2),
-        orders.toDF())
-      val travelIntact = nFiles(1) == 16 &&
-        eq(CatalogStore.read(s, root, "t",
-          CatalogStore.snapshot(s, root, Some(1))), orders.toDF())
+      // two independent read-only equality legs — overlap them
+      // (Par: guide §2.6)
+      val (rowsEq, travelIntact) = Par.two(
+        eq(CatalogStore.read(s, root, "t", snap2), orders.toDF()),
+        nFiles(1) == 16 &&
+          eq(CatalogStore.read(s, root, "t",
+            CatalogStore.snapshot(s, root, Some(1))), orders.toDF()))
       // (4) clustering turns the file index into real pruning: the
       // same narrow band survives <= 2 clustered files vs all 16
       // random ones
@@ -5606,13 +5637,16 @@ object ExtQueries {
       val maintained = Incremental.recomputeJoinKeys(view, orders, bNew,
         doomed, keys).localCheckpoint(true)
       val rebuilt = orders.join(bNew, keys)
-      val eq = maintained.exceptAll(rebuilt)
-        .unionByName(rebuilt.exceptAll(maintained)).isEmpty
-      // non-vacuity: a dirty key that kept OTHER pairs after the
-      // delete — the case where anti-join-only maintenance is wrong
-      val survivors = maintained
-        .join(broadcast(doomed.select(keys.map(col): _*).distinct()),
-          keys, "left_semi").count() > 0
+      // two independent check actions over the checkpointed frames —
+      // overlap them (Par: guide §2.6)
+      val (eq, survivors) = Par.two(
+        maintained.exceptAll(rebuilt)
+          .unionByName(rebuilt.exceptAll(maintained)).isEmpty,
+        // non-vacuity: a dirty key that kept OTHER pairs after the
+        // delete — the case where anti-join-only maintenance is wrong
+        maintained
+          .join(broadcast(doomed.select(keys.map(col): _*).distinct()),
+            keys, "left_semi").count() > 0)
       Seq((if (eq) 1 else 0, if (survivors) 1 else 0))
         .toDF("ivm_jd_eq_rebuild", "ivm_jd_nonvacuous")
     },
@@ -5870,8 +5904,12 @@ object ExtQueries {
       // closes the double-evaluation seam, and the count guard turns
       // any future empty-scan recurrence into a loud named failure
       // instead of a silent flag flip
-      val b = bucketed.localCheckpoint(true)
-      val p = plain.localCheckpoint(true)
+      // the two materializations are separate plans over separate
+      // relations — overlap them (Par: guide §2.6); the evaluate-once
+      // seam contract above concerns re-evaluating ONE bucketed scan
+      // inside a single except-union plan, which this preserves
+      val (b, p) = Par.two(
+        bucketed.localCheckpoint(true), plain.localCheckpoint(true))
       require(b.count() > 0 && p.count() > 0,
         s"bucketed-gate: a side materialized empty (b=${b.count()}, " +
           s"p=${p.count()}) — bucketed table resolution failed")
@@ -6091,32 +6129,47 @@ object ExtQueries {
         .withColumn("op",
           when(col("event_type") === "error", "d").otherwise("u"))
         .localCheckpoint(true)
-      val oneShot = Incremental.applyChanges(existing, changes, Seq("k"))
-        .localCheckpoint(true)
       val t1 = changes.filter(col("seq") < 6000)
       val t2 = changes.filter(col("seq") >= 6000 && col("seq") < 8000)
       val t3 = changes.filter(col("seq") >= 8000)
-      val f1 = Incremental.applyChanges(existing, t1, Seq("k"))
-      val f2 = Incremental.applyChanges(f1, t2, Seq("k"))
-      val f3 = Incremental.applyChanges(f2, t3, Seq("k"))
-        .localCheckpoint(true)
-      val tickFold = f3.exceptAll(oneShot)
-        .unionByName(oneShot.exceptAll(f3)).isEmpty
-      val replayed = Incremental.applyChanges(f3, t3, Seq("k"))
-      val replayNoop = replayed.exceptAll(f3)
-        .unionByName(f3.exceptAll(replayed)).isEmpty
-      val deleted = existing.join(oneShot, Seq("k"), "left_anti").count() > 0
-      // a key whose late history is delete-then-upsert: alive at the
-      // end with the post-delete image
-      val revived = changes.filter(col("op") === "d")
-        .select("k").distinct()
-        .join(oneShot.filter(col("seq") >= 4000), Seq("k"), "left_semi")
-        .count() > 0
-      // the documented hazard: a key upserted in t1, deleted in t2/t3,
-      // gone from f3 — replaying t1 OUT OF ORDER resurrects it (no
-      // tombstone survives a hard delete to defend the key)
-      val outOfOrder = Incremental.applyChanges(f3, t1, Seq("k"))
-      val staleCross = outOfOrder.join(f3, Seq("k"), "left_anti").count() > 0
+      // the one-shot apply and the three-tick fold are independent
+      // derivations of the same inputs — overlap them (Par: guide
+      // §2.6), then run the five check actions concurrently over the
+      // checkpointed results (each was a sequential one-job action)
+      val (oneShot, f3) = Par.two(
+        Incremental.applyChanges(existing, changes, Seq("k"))
+          .localCheckpoint(true),
+        {
+          val f1 = Incremental.applyChanges(existing, t1, Seq("k"))
+          val f2 = Incremental.applyChanges(f1, t2, Seq("k"))
+          Incremental.applyChanges(f2, t3, Seq("k"))
+            .localCheckpoint(true)
+        })
+      val (tickFold, replayNoop, deleted, revived, staleCross) =
+        Par.five(
+          f3.exceptAll(oneShot)
+            .unionByName(oneShot.exceptAll(f3)).isEmpty,
+          {
+            val replayed = Incremental.applyChanges(f3, t3, Seq("k"))
+            replayed.exceptAll(f3)
+              .unionByName(f3.exceptAll(replayed)).isEmpty
+          },
+          existing.join(oneShot, Seq("k"), "left_anti").count() > 0,
+          // a key whose late history is delete-then-upsert: alive at
+          // the end with the post-delete image
+          changes.filter(col("op") === "d")
+            .select("k").distinct()
+            .join(oneShot.filter(col("seq") >= 4000), Seq("k"),
+              "left_semi")
+            .count() > 0,
+          {
+            // the documented hazard: a key upserted in t1, deleted in
+            // t2/t3, gone from f3 — replaying t1 OUT OF ORDER
+            // resurrects it (no tombstone survives a hard delete to
+            // defend the key)
+            val outOfOrder = Incremental.applyChanges(f3, t1, Seq("k"))
+            outOfOrder.join(f3, Seq("k"), "left_anti").count() > 0
+          })
       Seq((if (tickFold) 1 else 0, if (replayNoop) 1 else 0,
         if (deleted) 1 else 0, if (revived) 1 else 0,
         if (staleCross) 1 else 0))

@@ -29,9 +29,12 @@ import scala.concurrent.duration.Duration
   */
 private[queries] object Par {
 
+  // sized above the widest fan-out below (5) so legs never queue
+  // behind each other; Spark's FIFO scheduler arbitrates the actual
+  // core competition between the submitted jobs
   private lazy val pool: ExecutionContext =
     ExecutionContext.fromExecutorService(
-      Executors.newFixedThreadPool(4, r => {
+      Executors.newFixedThreadPool(6, r => {
         val t = new Thread(r, "graft-gate-leg")
         t.setDaemon(true)
         t
@@ -62,5 +65,18 @@ private[queries] object Par {
     val fd = Future(d)(pool)
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
       Await.result(fc, Duration.Inf), Await.result(fd, Duration.Inf))
+  }
+
+  /** Evaluate five independent legs concurrently. */
+  def five[A, B, C, D, E](a: => A, b: => B, c: => C, d: => D, e: => E)
+      : (A, B, C, D, E) = {
+    val fa = Future(a)(pool)
+    val fb = Future(b)(pool)
+    val fc = Future(c)(pool)
+    val fd = Future(d)(pool)
+    val fe = Future(e)(pool)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf), Await.result(fd, Duration.Inf),
+      Await.result(fe, Duration.Inf))
   }
 }
