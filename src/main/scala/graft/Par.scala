@@ -1,4 +1,4 @@
-package graft.queries
+package graft
 
 import java.util.concurrent.Executors
 
@@ -27,7 +27,7 @@ import scala.concurrent.duration.Duration
   * and back-fills the later — exactly the wanted behavior. Job
   * descriptions are thread-local, so each leg labels its own jobs.
   */
-private[queries] object Par {
+private[graft] object Par {
 
   // sized above the widest fan-out below (5) so legs never queue
   // behind each other; Spark's FIFO scheduler arbitrates the actual
@@ -66,6 +66,16 @@ private[queries] object Par {
     (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
       Await.result(fc, Duration.Inf), Await.result(fd, Duration.Inf))
   }
+
+  /** Evaluate a sequence of independent thunks concurrently,
+    * preserving order. Used for per-table staging writes inside a
+    * multi-table transaction (each stages under its own tx-private
+    * dir, so the writes share nothing but the scheduler).
+    */
+  def all[T](thunks: Seq[() => T]): Seq[T] =
+    if (thunks.sizeIs <= 1) thunks.map(_.apply())
+    else thunks.map(t => Future(t())(pool))
+      .map(Await.result(_, Duration.Inf))
 
   /** Evaluate five independent legs concurrently. */
   def five[A, B, C, D, E](a: => A, b: => B, c: => C, d: => D, e: => E)

@@ -107,11 +107,17 @@ object TextAnalysis {
   def corpusTopicsFromVecs(df: DataFrame, vecs: DataFrame,
       idCol: String, textCol: String,
       nTopics: Int = 8, topTerms: Int = 5): DataFrame = {
-    val cents = Similarity.trainCentroids(vecs, idCol, "vec", nTopics)
+    // the k-means training collect (over vecs) and tf-idf's eager
+    // (doc, token) checkpoint (over raw text) are independent actions
+    // over different inputs — overlap them (guide §2.6); the topic
+    // fit itself is unchanged
+    val (cents, terms) = graft.Par.two(
+      Similarity.trainCentroids(vecs, idCol, "vec", nTopics),
+      tfidf(df, idCol, textCol))
     val assigned = Similarity.ivfAssign(vecs, idCol, "vec", cents)
       .select(col("nid").as("doc_id"), col("cid"))
     val sizes = assigned.groupBy("cid").agg(count(lit(1)).as("n_docs"))
-    val termScore = tfidf(df, idCol, textCol)
+    val termScore = terms
       .join(assigned, Seq("doc_id"))
       .groupBy("cid", "token")
       .agg(round(sum(col("tfidf")), 4).as("score"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{Bpe, Dedup, DedupCluster, Dsir, Multimodal, Sampling, Similarity, TextAnalysis, Unigram}
 import graft.sources.Tables
+import graft.Par
 
 /** Training-data-pipeline operators (ext tier, SURVEY §7.1) over the
   * documents/embeddings tables — dedup family, similarity search,

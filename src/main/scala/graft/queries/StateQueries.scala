@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DataQuality, Dedup, SketchState, TextAnalysis}
 import graft.sources.Tables
+import graft.Par
 
 /** Round-7 sketch-state + Bloom-decontamination queries: the
   * Count-Min frequency family and the decimal quantile family extend
